@@ -1,0 +1,61 @@
+"""Global exact dedup of the triple table.
+
+rdflib graph set-semantics — duplicate quads collapse across the whole
+run (template_state.py:118-120, SURVEY.md §2.8 A1) — becomes the one
+mandatory wide operation: a hash-partitioned distinct.
+
+Strategy (scale-aware):
+1. *Local* distinct inside each block first (vectorized Arrow group_by) —
+   auto-declare / auto-CV candidates repeat per row, so this collapses
+   most duplicates before any data moves;
+2. add a 128-bit content hash (two independent 64-bit vectorized hashes)
+   so the shuffle key is a pair of ints, not 8 string columns;
+3. ``groupby(hash).map_groups(head(1))`` — the only all-to-all exchange.
+
+128 bits keeps collision probability negligible (< 1e-18 at 10^12 rows).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rdf_mapper_ray.engine.schema import COLUMNS
+
+_H1_KEY = "0123456789abcdef"
+_H2_KEY = "fedcba9876543210"
+
+
+def local_unique(batch: pa.Table) -> pa.Table:
+    """Vectorized within-block distinct over the triple columns."""
+    cols = [c for c in COLUMNS if c in batch.column_names]
+    return batch.group_by(cols, use_threads=False).aggregate([])
+
+
+def _key_series(batch: pa.Table) -> pd.Series:
+    joined = pc.binary_join_element_wise(
+        *[pc.cast(batch.column(c), pa.string()) for c in COLUMNS],
+        "\x1f", null_handling="replace", null_replacement="\x00")
+    return joined.to_pandas()
+
+
+def add_hash_keys(batch: pa.Table) -> pa.Table:
+    s = _key_series(batch)
+    h1 = pd.util.hash_pandas_object(s, index=False, hash_key=_H1_KEY).values
+    h2 = pd.util.hash_pandas_object(s, index=False, hash_key=_H2_KEY).values
+    batch = batch.append_column("h1", pa.array(h1, type=pa.uint64()))
+    return batch.append_column("h2", pa.array(h2, type=pa.uint64()))
+
+
+def _first_of_group(df: pd.DataFrame) -> pd.DataFrame:
+    return df.head(1)
+
+
+def distinct_triples(ds: "ray.data.Dataset") -> "ray.data.Dataset":  # noqa: F821
+    """Global distinct with pre-aggregation; returns the triple columns."""
+    ds = ds.map_batches(local_unique, batch_format="pyarrow")
+    ds = ds.map_batches(add_hash_keys, batch_format="pyarrow")
+    ds = ds.groupby(["h1", "h2"]).map_groups(_first_of_group,
+                                             batch_format="pandas")
+    return ds.drop_columns(["h1", "h2"])

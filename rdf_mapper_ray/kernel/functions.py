@@ -280,6 +280,25 @@ def hash(arg: Any, ctx: Any = None, *keys: Any) -> str:  # noqa: A001
     return base64.b32hexencode(h.digest()).decode("UTF-8")
 
 
+def sha256(arg: Any, ctx: Any = None, *keys: Any) -> Optional[str]:
+    """Hex sha256 of the value (+ optional extra parts) — used for the
+    per-row content-digest invariant (BASELINE.json input_hint)."""
+    arg = _scalar(arg)
+    if arg is None:
+        return None
+    h = hashlib.sha256()
+    h.update(bytes(str(arg), "UTF-8"))
+    for key in keys:
+        h.update(bytes(str(_scalar(key)), "UTF-8"))
+    return h.hexdigest()
+
+
+def length(s: Any, ctx: Any = None) -> int:
+    """Character length of the value (scale-pipeline convenience)."""
+    s = _scalar(s)
+    return len(str(s)) if s is not None else 0
+
+
 def now(_: Any, ctx: Any = None) -> Lit:
     """Job-level timestamp (deterministic: injected at spec compile)."""
     ts = getattr(ctx, "job_time", None) if ctx is not None else None
@@ -307,6 +326,7 @@ for _name, _fn in [
     ("asBoolean", asBoolean), ("trim", trim), ("toLower", toLower),
     ("toUpper", toUpper), ("slug", slug), ("splitComma", splitComma),
     ("split", split), ("expr", expr), ("hash", hash), ("now", now),
-    ("to_entries", to_entries), ("asInt3", asInt3),
+    ("to_entries", to_entries), ("asInt3", asInt3), ("sha256", sha256),
+    ("length", length),
 ]:
     register(_name, _fn)

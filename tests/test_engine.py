@@ -1,0 +1,180 @@
+"""Ray engine tests: sources, extract, dedup, canonicalize, reconcile,
+sharded resume, sinks — all on the sf0.001 testdata."""
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+DOC_SPEC = {
+    "globals": {"$datasetID": "docs"},
+    "namespaces": {"ex": "http://example.org/def/"},
+    "resources": [{
+        "name": "document",
+        "properties": {
+            "@id": "<http://example.org/doc/{doc_id}>",
+            "@type": "<ex:Document>",
+            "<ex:source>": "{source}",
+            "<ex:chars>": "{n_chars | asInt}",
+            "<ex:lang>": "{lang | autoCV('langs','label')}",
+        },
+    }],
+}
+
+
+@pytest.fixture(scope="module")
+def docs_meta():
+    t = pq.read_table(f"{SF}/documents.parquet")
+    return {"rows": t.num_rows,
+            "langs": len(set(t.column("lang").to_pylist()))}
+
+
+def test_read_parquet_rows_deterministic(ray_session):
+    from rdf_mapper_ray.engine.sources import read_parquet_rows
+    ds = read_parquet_rows(f"{SF}/documents.parquet", columns=["doc_id"])
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # row numbers are the 1-based position within the (single) file
+    assert df["$row"].tolist() == [i + 1 for i in range(len(df))]
+    assert set(df["$file"]) == {"documents"}
+
+
+def test_pipeline_counts(ray_session, docs_meta):
+    from rdf_mapper_ray.engine.pipeline import KGPipeline
+    pipe = KGPipeline(DOC_SPEC, auto_declare=False, canonicalize=False)
+    out = pipe.run_files(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang", "source", "n_chars"])
+    df = out.to_pandas()
+    n, langs = docs_meta["rows"], docs_meta["langs"]
+    # per-doc: type, source, chars, lang-concept-ref = 4; per lang: 5 concept
+    # triples (type, prefLabel, inScheme, topConceptOf, hasTopConcept);
+    # scheme: 3 (type, title, description)
+    assert len(df) == 4 * n + 5 * langs + 3
+    assert df["subject"].str.startswith("http://example.org/doc/").sum() == 4 * n
+    # global dedup: no duplicate quads
+    assert not df.duplicated().any()
+
+
+def test_extract_matches_local_kernel(ray_session):
+    """Ray extract output == local RowProcessor output on the same rows."""
+    from rdf_mapper_ray.engine.pipeline import KGPipeline
+    from rdf_mapper_ray.kernel.processor import RowProcessor
+    from rdf_mapper_ray.kernel.spec import MapperSpec
+
+    pipe = KGPipeline(DOC_SPEC, auto_declare=False, canonicalize=False)
+    out = pipe.run_files(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang", "source", "n_chars"])
+    ray_keys = {tuple(r) for r in out.to_pandas().itertuples(index=False)}
+
+    rows = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+    proc = RowProcessor(MapperSpec(DOC_SPEC, auto_declare=False),
+                        filename="documents")
+    proc.process_rows(rows)
+    local_keys = {q.key() for q in proc.quads()}
+    assert ray_keys == local_keys
+
+
+def test_canonicalize_sameas(ray_session):
+    import ray.data
+    from rdf_mapper_ray.engine.canonicalize import canonicalize_sameas
+    from rdf_mapper_ray.kernel.nodes import OWL_SAMEAS
+
+    def row(s, p, o, ok="uri"):
+        return {"graph": "g", "subject": s, "subject_kind": "uri",
+                "predicate": p, "object_kind": ok, "object_value": o,
+                "lang": None, "datatype": None}
+
+    ds = ray.data.from_items([
+        row("http://e/a", OWL_SAMEAS, "http://e/b"),
+        row("http://e/b", OWL_SAMEAS, "http://e/c"),
+        row("http://e/c", "http://e/p", "v", ok="literal"),
+        row("http://e/x", "http://e/q", "http://e/b"),
+        row("http://e/z", "http://e/p", "w", ok="literal"),
+    ])
+    out = canonicalize_sameas(ds).to_pandas()
+    # all of a/b/c collapse to the lexicographically smallest: a
+    subs = set(out["subject"])
+    assert "http://e/b" not in subs and "http://e/c" not in subs
+    assert ("http://e/a" in subs)
+    objs = set(out.loc[out["object_kind"] == "uri", "object_value"])
+    assert objs == {"http://e/a"}
+    # self-sameAs dropped after rewrite
+    assert not ((out["predicate"] == OWL_SAMEAS)
+                & (out["subject"] == out["object_value"])).any()
+
+
+RECON_SPEC = {
+    "globals": {"$datasetID": "docs",
+                "$reconciliationAPI": "urn:x-test-endpoint"},
+    "resources": [{
+        "name": "document",
+        "properties": {
+            "@id": "<http://example.org/doc/{doc_id}>",
+            "linked": "{source | reconcile('srcEntity')}",
+        },
+    }],
+}
+
+# documents.source values are src0..src19; match two, proxy the rest
+INDEX = {
+    "src0": [{"id": "http://kb.example.org/Src0", "name": "src0",
+              "score": 99, "match": True}],
+    "src1": [{"id": "http://kb.example.org/Src1", "name": "src1",
+              "score": 99, "match": True}],
+}
+
+
+@pytest.mark.parametrize("mode", ["inline", "mentions"])
+def test_reconcile_modes(ray_session, mode):
+    from rdf_mapper_ray.engine.pipeline import KGPipeline
+    from rdf_mapper_ray.engine.reconcile import InMemoryReconcileBackend
+
+    backend = InMemoryReconcileBackend(INDEX)
+    pipe = KGPipeline(RECON_SPEC, auto_declare=False, canonicalize=False,
+                      reconcile_backend=backend, reconcile_mode=mode)
+    out = pipe.run_files(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"])
+    df = out.to_pandas()
+    linked = df[df["predicate"].str.endswith("/def/linked")]
+    assert (linked["object_value"] == "http://kb.example.org/Src0").any()
+    assert (linked["object_value"] == "http://kb.example.org/Src1").any()
+    # unmatched sources got deterministic proxy concepts, not mention URNs
+    assert not linked["object_value"].str.startswith("urn:x-mention").any()
+    proxies = linked[~linked["object_value"].str.startswith("http://kb.")]
+    assert len(proxies) > 0
+    labels = df[df["predicate"].str.endswith("prefLabel")]
+    assert set(proxies["object_value"]) == set(labels["subject"])
+
+
+def test_run_sharded_resume(ray_session, tmp_path, docs_meta):
+    from rdf_mapper_ray.engine.pipeline import KGPipeline
+    pipe = KGPipeline(DOC_SPEC, auto_declare=False, canonicalize=False)
+    workdir = str(tmp_path / "wk")
+    out1 = pipe.run_sharded(f"{SF}/documents.parquet", workdir)
+    n1 = out1.count()
+    manifests = glob.glob(os.path.join(workdir, "manifests", "*.json"))
+    assert manifests
+    m = json.load(open(manifests[0]))
+    assert m["rows"] == docs_meta["rows"] and m["errors"] == 0
+    # rerun must skip the completed shard and produce identical output
+    out2 = pipe.run_sharded(f"{SF}/documents.parquet", workdir)
+    assert out2.count() == n1
+
+
+def test_turtle_roundtrip(ray_session):
+    """Serialize pipeline output and re-parse with the kernel parser."""
+    from rdf_mapper_ray.engine.pipeline import KGPipeline
+    from rdf_mapper_ray.engine.sinks import serialize_turtle
+    from rdf_mapper_ray.kernel.turtle import parse_turtle
+
+    pipe = KGPipeline(DOC_SPEC, auto_declare=False, canonicalize=False)
+    out = pipe.run_files(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang", "source", "n_chars"])
+    out = out.filter(lambda r: r["subject"].endswith("/doc/1"))
+    text = serialize_turtle(out, dict(pipe.spec.namespaces))
+    keys = parse_turtle(text)
+    df_keys = {tuple(r) for r in out.to_pandas().itertuples(index=False)}
+    assert set(keys) == df_keys

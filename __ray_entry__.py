@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library code it calls) calls ``ray.init()`` /
+``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator cluster from
+SURVEY.md §2 plus the training-data ops; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one (same column names,
+same values). Non-SQL-expressible ops (MinHash-LSH, SimHash, language
+ID, fingerprints, LSH-ANN) are rows-only checks.
 """
 
 from __future__ import annotations
@@ -20,25 +18,63 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG-construction pipeline on sf0.001 (documents-derived
+    source-code table → deduped, sorted triple table)."""
+    from rdf_mapper_ray.pipelines.sourcecode import flagship
+    return flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rdf_mapper_ray.ops import dedup, similarity, text
+    from rdf_mapper_ray.pipelines import relational, sourcecode
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    import ray.data
+
+    def _docs(sf_dir: str, columns=None) -> "ray.data.Dataset":
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=columns)
+
+    return {
+        # --- KG construction (SURVEY.md §2) ---
+        "kg_sourcecode": sourcecode.flagship,
+        "kg_customer": relational.customer_query,
+        "kg_orders": relational.orders_query,
+        "kg_part_split": relational.part_query,
+        "kg_nation_mapby": relational.nation_query,
+        # --- training-data ops ---
+        "dedup_exact": lambda sf: dedup.exact_dedup(
+            _docs(sf, ["doc_id", "text"])),
+        "text_stats": lambda sf: text.text_stats(
+            _docs(sf, ["doc_id", "text"])),
+        "quality_score": lambda sf: text.quality_score(
+            _docs(sf, ["doc_id", "text"])),
+        "knn_cosine": lambda sf: similarity.knn_bruteforce_self(sf),
+        # rows-only (no SQL oracle): deterministic but non-relational
+        "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(
+            _docs(sf, ["doc_id", "text"])),
+        "simhash": lambda sf: dedup.simhash_table(
+            _docs(sf, ["doc_id", "text"])),
+        "lang_id": lambda sf: text.lang_id(_docs(sf, ["doc_id", "text"])),
+        "fingerprint": lambda sf: text.fingerprints(
+            _docs(sf, ["doc_id", "text"])),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rdf_mapper_ray.ops import similarity, text
+    from rdf_mapper_ray.pipelines import relational, sourcecode
+
+    return {
+        "kg_sourcecode": sourcecode.FLAGSHIP_ORACLE_SQL,
+        "kg_customer": relational.CUSTOMER_ORACLE_SQL,
+        "kg_orders": relational.ORDERS_ORACLE_SQL,
+        "kg_part_split": relational.PART_ORACLE_SQL,
+        "kg_nation_mapby": relational.NATION_ORACLE_SQL,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256
+            FROM documents GROUP BY sha256(text) ORDER BY doc_id
+        """,
+        "text_stats": text.TEXT_STATS_ORACLE_SQL,
+        "quality_score": text.QUALITY_ORACLE_SQL,
+        "knn_cosine": similarity.knn_oracle_sql(),
+    }

@@ -1,0 +1,280 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup is the canonical hash-partition + per-group-first shuffle:
+a content hash is computed vectorised inside ``map_batches`` (so only the
+16-byte/32-byte digest — never the content — travels through the
+shuffle), then ``groupby(hash)`` keeps the first (min ``id_col``) row per
+group. At 100 TB the shuffle moves O(rows × digest) bytes, independent
+of document size.
+
+Near-dup (MinHash+LSH / SimHash) follows the standard shingle → sketch →
+band-bucket → candidate-verify pipeline; the only all-to-all exchange is
+a groupby on (band, bucket-hash), whose cardinality we control via the
+band count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _sha256_col(texts: Iterable[Optional[str]]) -> pa.Array:
+    return pa.array(
+        [None if t is None else hashlib.sha256(t.encode()).hexdigest()
+         for t in texts],
+        type=pa.string())
+
+
+class HashText:
+    """Adds a ``{out_col}`` sha256-hex column; drops the text column so
+    the shuffle only carries digests."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "text_sha256",
+                 keep_text: bool = False) -> None:
+        self.text_col = text_col
+        self.out_col = out_col
+        self.keep_text = keep_text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = batch.append_column(
+            self.out_col, _sha256_col(batch.column(self.text_col).to_pylist()))
+        if not self.keep_text:
+            out = out.drop_columns([self.text_col])
+        return out
+
+
+def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
+                id_col: str = "doc_id",
+                hash_col: str = "text_sha256") -> "ray.data.Dataset":
+    """Keep one representative (min id) per distinct text.
+
+    Returns a Dataset with columns (id_col, hash_col). The groupby is a
+    hash shuffle on the digest; the min-id representative makes the
+    result deterministic regardless of block order.
+    """
+    hashed = ds.map_batches(HashText(text_col, hash_col),
+                            batch_format="pyarrow")
+
+    def first_per_hash(group: pd.DataFrame) -> pd.DataFrame:
+        i = group[id_col].idxmin()
+        return group.loc[[i], [id_col, hash_col]]
+
+    return hashed.groupby(hash_col).map_groups(first_per_hash,
+                                               batch_format="pandas")
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """64-bit hashes of the k-word shingles of ``text``."""
+    words = text.split()
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [" ".join(words[i:i + k])
+                    for i in range(len(words) - k + 1)]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = np.uint64(
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                           "little"))
+    return out
+
+
+class MinHashSignatures:
+    """Actor-pool stage: text -> num_perm-wide minhash signature.
+
+    Permutation parameters are generated once per actor in ``__init__``
+    (deterministic seed), signatures are computed with one vectorised
+    (num_shingles × num_perm) universal-hash broadcast per document.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 num_perm: int = 128, shingle_k: int = 5,
+                 seed: int = 42) -> None:
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.k = shingle_k
+        self.a, self.b = _minhash_params(num_perm, seed)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k)
+        # universal hashing: (a*x + b) mod p, min over shingles
+        vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        return vals.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        sigs = [self.signature(t or "")
+                for t in batch.column(self.text_col).to_pylist()]
+        return pa.Table.from_pydict({
+            self.id_col: pa.array(ids),
+            "signature": pa.array([s.tolist() for s in sigs],
+                                  type=pa.list_(pa.uint64())),
+        })
+
+
+class BandEmitter:
+    """signature -> one row per LSH band: (band, bucket, id, signature)."""
+
+    def __init__(self, num_bands: int, id_col: str = "doc_id") -> None:
+        self.num_bands = num_bands
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        sigs = batch.column("signature").to_pylist()
+        out_band, out_bucket, out_id, out_sig = [], [], [], []
+        for i, sig in zip(ids, sigs):
+            n = len(sig)
+            rows_per_band = n // self.num_bands
+            for band in range(self.num_bands):
+                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
+                bucket = hashlib.blake2b(
+                    np.asarray(chunk, dtype=np.uint64).tobytes(),
+                    digest_size=8).hexdigest()
+                out_band.append(band)
+                out_bucket.append(bucket)
+                out_id.append(i)
+                out_sig.append(sig)
+        return pa.Table.from_pydict({
+            "band": pa.array(out_band, type=pa.int32()),
+            "bucket": pa.array(out_bucket, type=pa.string()),
+            self.id_col: pa.array(out_id),
+            "signature": pa.array(out_sig, type=pa.list_(pa.uint64())),
+        })
+
+
+def _pairs_from_bucket(group: pd.DataFrame, id_col: str,
+                       threshold: float) -> pd.DataFrame:
+    ids = group[id_col].to_numpy()
+    if len(ids) < 2:
+        return pd.DataFrame({"left_id": [], "right_id": [],
+                             "est_jaccard": []})
+    order = np.argsort(ids)
+    ids = ids[order]
+    sigs = np.stack([np.asarray(s, dtype=np.uint64)
+                     for s in group["signature"].to_numpy()[order]])
+    left, right, est = [], [], []
+    for i in range(len(ids)):
+        # vectorised signature agreement against all later ids
+        agree = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+        for j_off, frac in enumerate(agree):
+            if frac >= threshold and ids[i] != ids[i + 1 + j_off]:
+                left.append(ids[i])
+                right.append(ids[i + 1 + j_off])
+                est.append(float(frac))
+    return pd.DataFrame({"left_id": left, "right_id": right,
+                         "est_jaccard": est})
+
+
+def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 128,
+                      num_bands: int = 16, shingle_k: int = 5,
+                      threshold: float = 0.5,
+                      seed: int = 42) -> "ray.data.Dataset":
+    """Candidate near-duplicate pairs (left_id < right_id, est_jaccard).
+
+    sketch (actor pool) → band fan-out → groupby(band,bucket) → in-bucket
+    verify by signature agreement → global pair dedup (a pair can land in
+    several bands).
+    """
+    sigs = ds.map_batches(
+        MinHashSignatures(text_col, id_col, num_perm, shingle_k, seed),
+        batch_format="pyarrow", concurrency=None)
+    banded = sigs.map_batches(BandEmitter(num_bands, id_col),
+                              batch_format="pyarrow")
+    pairs = banded.groupby(["band", "bucket"]).map_groups(
+        lambda g: _pairs_from_bucket(g, id_col, threshold),
+        batch_format="pandas")
+
+    def first_pair(group: pd.DataFrame) -> pd.DataFrame:
+        return group.iloc[[0]]
+
+    return pairs.groupby(["left_id", "right_id"]).map_groups(
+        first_pair, batch_format="pandas")
+
+
+def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",
+                  id_col: str = "doc_id", **kwargs) -> "ray.data.Dataset":
+    """Documents to DROP as near-duplicates: every doc connected to a
+    smaller-id doc by an LSH pair (greedy min-id representative; the
+    driver-side union-find over the — tiny — pair set mirrors
+    engine/canonicalize.py)."""
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, **kwargs).to_pandas()
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for l, r in zip(pairs["left_id"], pairs["right_id"]):
+        ra, rb = find(l), find(r)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    drops = sorted({x for x in parent if find(x) != x})
+    return ray.data.from_arrow(pa.Table.from_pydict(
+        {id_col: pa.array(drops, type=pa.int64())}))
+
+
+# --- SimHash -----------------------------------------------------------------
+
+class SimHash:
+    """64-bit SimHash over word features (actor-pool stage)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.text_col = text_col
+        self.id_col = id_col
+        self._bits = np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> int:
+        words = text.split()
+        if not words:
+            return 0
+        hashes = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            hashes[i] = np.uint64(int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"))
+        # accumulate per-bit votes, vectorised over words
+        bits = ((hashes[:, None] >> self._bits[None, :]) & np.uint64(1))
+        votes = bits.sum(axis=0) * 2 - len(words)
+        out = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                out |= np.uint64(1) << np.uint64(b)
+        return int(out)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        vals = [self.simhash(t or "")
+                for t in batch.column(self.text_col).to_pylist()]
+        return pa.Table.from_pydict({
+            self.id_col: ids,
+            "simhash": pa.array(vals, type=pa.uint64()),
+        })
+
+
+def simhash_table(ds: "ray.data.Dataset", text_col: str = "text",
+                  id_col: str = "doc_id") -> "ray.data.Dataset":
+    return ds.map_batches(SimHash(text_col, id_col), batch_format="pyarrow")

@@ -1,0 +1,215 @@
+"""Text-analysis operators: stats/quality, token counting, language ID,
+document fingerprinting.
+
+All stages are vectorised ``map_batches`` transforms — pyarrow.compute
+regex kernels where possible — so they stream at Arrow speed; language
+ID is an actor-pool stage whose n-gram profiles are built once per actor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+class TextStats:
+    """doc -> (id, n_chars, n_tokens, n_alpha) — integer-only outputs so
+    the DuckDB oracle matches bit-exactly."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        return pa.Table.from_pydict({
+            self.id_col: batch.column(self.id_col),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(text, r"\S+"), pa.int64()),
+            "n_alpha": pc.cast(
+                pc.count_substring_regex(text, r"[A-Za-z]"), pa.int64()),
+        })
+
+
+def text_stats(ds: "ray.data.Dataset", text_col: str = "text",
+               id_col: str = "doc_id") -> "ray.data.Dataset":
+    return ds.map_batches(TextStats(text_col, id_col), batch_format="pyarrow")
+
+
+TEXT_STATS_ORACLE_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+FROM documents
+ORDER BY doc_id
+"""
+
+
+class QualityScore:
+    """Heuristic quality signals (int/bool columns; ratio thresholds are
+    encoded as integer comparisons so the SQL oracle is exact).
+
+    is_quality := 10 <= n_tokens AND mean token length in [3, 12]
+    (both sides integer arithmetic: 3*n_tokens <= n_alnum_chars etc.)
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        n_tokens = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        # characters inside tokens = total chars minus whitespace chars
+        n_ws = pc.cast(pc.count_substring_regex(text, r"\s"), pa.int64())
+        n_tok_chars = pc.subtract(
+            pc.cast(pc.utf8_length(text), pa.int64()), n_ws)
+        long_enough = pc.greater_equal(n_tokens, 10)
+        mean_ge_3 = pc.greater_equal(n_tok_chars,
+                                     pc.multiply(n_tokens, 3))
+        mean_le_12 = pc.less_equal(n_tok_chars,
+                                   pc.multiply(n_tokens, 12))
+        return pa.Table.from_pydict({
+            self.id_col: batch.column(self.id_col),
+            "n_tokens": n_tokens,
+            "n_token_chars": n_tok_chars,
+            "is_quality": pc.and_(pc.and_(long_enough, mean_ge_3),
+                                  mean_le_12),
+        })
+
+
+def quality_score(ds: "ray.data.Dataset", text_col: str = "text",
+                  id_col: str = "doc_id") -> "ray.data.Dataset":
+    return ds.map_batches(QualityScore(text_col, id_col),
+                          batch_format="pyarrow")
+
+
+QUALITY_ORACLE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         length(text) - len(regexp_extract_all(text, '\\s')) AS n_token_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_token_chars,
+       (n_tokens >= 10 AND n_token_chars >= 3 * n_tokens
+        AND n_token_chars <= 12 * n_tokens) AS is_quality
+FROM t
+ORDER BY doc_id
+"""
+
+
+# --- language ID -------------------------------------------------------------
+
+# Tiny deterministic character-trigram profiles per language; built from
+# each language's stopword-ish marker words. Public-knowledge heuristic
+# (cf. Cavnar & Trenkle n-gram text categorization).
+_LANG_MARKERS = {
+    "en": "the and of to in is that it for was with as his on be at by",
+    "de": "der die und in den von zu das mit sich des auf ist im nicht ein",
+    "fr": "le la et les des en un du une que est pour qui dans par sur",
+    "es": "de la que el en y los del se las por un para con una su al",
+    "zh": "的 一 是 在 不 了 有 和 人 这 中 大 为 上 个 国 我 以",
+}
+
+
+def _profile(words: str) -> Counter:
+    c: Counter = Counter()
+    for w in words.split():
+        padded = f" {w} "
+        for i in range(len(padded) - 2):
+            c[padded[i:i + 3]] += 1
+    return c
+
+
+class LangID:
+    """Actor-pool stage: n-gram-overlap language guess per document.
+
+    Profiles compile once per actor (``__init__``); scoring is a
+    Counter-intersection per document — cheap relative to I/O.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.text_col = text_col
+        self.id_col = id_col
+        self.profiles = {lang: _profile(words)
+                         for lang, words in _LANG_MARKERS.items()}
+
+    def classify(self, text: str) -> str:
+        grams = _profile(" ".join(text.split()[:200]))
+        best, best_score = "unknown", 0.0
+        for lang, prof in self.profiles.items():
+            inter = sum(min(n, grams.get(g, 0)) for g, n in prof.items())
+            if inter > best_score:
+                best, best_score = lang, inter
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t or "")
+                 for t in batch.column(self.text_col).to_pylist()]
+        return pa.Table.from_pydict({
+            self.id_col: batch.column(self.id_col),
+            "predicted_lang": pa.array(preds, type=pa.string()),
+        })
+
+
+def lang_id(ds: "ray.data.Dataset", text_col: str = "text",
+            id_col: str = "doc_id") -> "ray.data.Dataset":
+    return ds.map_batches(LangID(text_col, id_col), batch_format="pyarrow",
+                          concurrency=None)
+
+
+# --- fingerprinting ----------------------------------------------------------
+
+class Fingerprint:
+    """Winnowing-style document fingerprint: rolling blake2b over k-word
+    windows, keep the minimum hash per document plus a sha256 of the
+    whole text. Deterministic; used for fast doc identity at scale."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 window: int = 8) -> None:
+        self.text_col = text_col
+        self.id_col = id_col
+        self.window = window
+
+    def fingerprint(self, text: str) -> tuple[int, str]:
+        words = text.split()
+        sha = hashlib.sha256(text.encode()).hexdigest()
+        if not words:
+            return 0, sha
+        k = min(self.window, len(words))
+        mn = None
+        for i in range(len(words) - k + 1):
+            h = int.from_bytes(
+                hashlib.blake2b(" ".join(words[i:i + k]).encode(),
+                                digest_size=8).digest(), "little")
+            if mn is None or h < mn:
+                mn = h
+        return mn, sha
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps, shas = [], []
+        for t in batch.column(self.text_col).to_pylist():
+            fp, sha = self.fingerprint(t or "")
+            fps.append(fp)
+            shas.append(sha)
+        return pa.Table.from_pydict({
+            self.id_col: batch.column(self.id_col),
+            "min_fingerprint": pa.array(fps, type=pa.uint64()),
+            "text_sha256": pa.array(shas, type=pa.string()),
+        })
+
+
+def fingerprints(ds: "ray.data.Dataset", text_col: str = "text",
+                 id_col: str = "doc_id") -> "ray.data.Dataset":
+    return ds.map_batches(Fingerprint(text_col, id_col),
+                          batch_format="pyarrow")

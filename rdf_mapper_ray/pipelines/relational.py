@@ -1,0 +1,242 @@
+"""Oracle-checked mapping pipelines over the TPC-H-ish testdata tables.
+
+Each pipeline is a small mapping spec chosen to exercise one cluster of
+reference semantics (SURVEY.md §2.3-§2.7) end-to-end through the Ray
+engine, with a DuckDB-SQL oracle that reconstructs the identical triple
+table:
+
+* ``customer``  — plain templates, toLower, asDecimal typed literals (M2, F2, F5)
+* ``orders``    — slug, asDecimal, date formatting, cross-table URI refs (F6)
+* ``part``      — split fan-out: one property → many triples (F7, M12/P5)
+* ``nation``    — map_by broadcast lookup + expr + inverse property (J1, F8, M10)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow.parquet as pq
+
+import ray.data
+
+from rdf_mapper_ray.engine.pipeline import KGPipeline
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_G = "urn:x-rdflib:default"
+_EX = "http://example.org/def/"
+
+_TRIPLE_SELECT = f"""
+SELECT DISTINCT
+  '{_G}' AS graph,
+  subject,
+  'uri' AS subject_kind,
+  predicate,
+  object_kind,
+  object_value,
+  CAST(NULL AS VARCHAR) AS lang,
+  datatype
+FROM triples
+ORDER BY graph, subject, predicate, object_kind, object_value
+"""
+
+
+def _run(spec: dict, path: str, columns: list[str]) -> "ray.data.Dataset":
+    pipe = KGPipeline(spec, auto_declare=False, canonicalize=False)
+    return pipe.run_files(path, columns=columns)
+
+
+# --- customer ---------------------------------------------------------------
+
+CUSTOMER_SPEC = {
+    "globals": {"$datasetID": "tpch"},
+    "namespaces": {"ex": _EX},
+    "resources": [{
+        "name": "customer",
+        "properties": {
+            "@id": "<http://example.org/cust/{c_custkey}>",
+            "@type": "<ex:Customer>",
+            "<ex:name>": "{c_name}",
+            "<ex:segment>": "{c_mktsegment | toLower}",
+            "<ex:acctbal>": "{c_acctbal | asDecimal}",
+            "<ex:nation>": "<http://example.org/nation/{c_nationkey}>",
+        },
+    }],
+}
+
+
+def customer_query(sf_dir: str) -> "ray.data.Dataset":
+    return _run(CUSTOMER_SPEC, f"{sf_dir}/customer.parquet",
+                ["c_custkey", "c_name", "c_mktsegment", "c_acctbal",
+                 "c_nationkey"])
+
+
+CUSTOMER_ORACLE_SQL = f"""
+WITH c AS (
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR) AS s, *
+  FROM customer
+),
+triples AS (
+  SELECT s AS subject, '{_RDF_TYPE}' AS predicate, 'uri' AS object_kind,
+         '{_EX}Customer' AS object_value, NULL AS datatype FROM c
+  UNION ALL
+  SELECT s, '{_EX}name', 'literal', c_name, NULL FROM c
+  UNION ALL
+  SELECT s, '{_EX}segment', 'literal', lower(c_mktsegment), NULL FROM c
+  UNION ALL
+  SELECT s, '{_EX}acctbal', 'literal', CAST(c_acctbal AS VARCHAR),
+         '{_XSD}decimal' FROM c
+  UNION ALL
+  SELECT s, '{_EX}nation', 'uri',
+         'http://example.org/nation/' || CAST(c_nationkey AS VARCHAR), NULL
+  FROM c
+)
+{_TRIPLE_SELECT}
+"""
+
+
+# --- orders -----------------------------------------------------------------
+
+ORDERS_SPEC = {
+    "globals": {"$datasetID": "tpch"},
+    "namespaces": {"ex": _EX},
+    "resources": [{
+        "name": "order",
+        "properties": {
+            "@id": "<http://example.org/order/{o_orderkey}>",
+            "@type": "<ex:Order>",
+            "<ex:status>": "{o_orderstatus}",
+            "<ex:price>": "{o_totalprice | asDecimal}",
+            "<ex:priority>": "{o_orderpriority | slug}",
+            "<ex:customer>": "<http://example.org/cust/{o_custkey}>",
+        },
+    }],
+}
+
+
+def orders_query(sf_dir: str) -> "ray.data.Dataset":
+    return _run(ORDERS_SPEC, f"{sf_dir}/orders.parquet",
+                ["o_orderkey", "o_orderstatus", "o_totalprice",
+                 "o_orderpriority", "o_custkey"])
+
+
+ORDERS_ORACLE_SQL = f"""
+WITH o AS (
+  SELECT 'http://example.org/order/' || CAST(o_orderkey AS VARCHAR) AS s, *
+  FROM orders
+),
+triples AS (
+  SELECT s AS subject, '{_RDF_TYPE}' AS predicate, 'uri' AS object_kind,
+         '{_EX}Order' AS object_value, NULL AS datatype FROM o
+  UNION ALL
+  SELECT s, '{_EX}status', 'literal', o_orderstatus, NULL FROM o
+  UNION ALL
+  SELECT s, '{_EX}price', 'literal', CAST(o_totalprice AS VARCHAR),
+         '{_XSD}decimal' FROM o
+  UNION ALL
+  SELECT s, '{_EX}priority', 'literal',
+         replace(lower(o_orderpriority), ' ', '-'), NULL FROM o
+  UNION ALL
+  SELECT s, '{_EX}customer', 'uri',
+         'http://example.org/cust/' || CAST(o_custkey AS VARCHAR), NULL FROM o
+)
+{_TRIPLE_SELECT}
+"""
+
+
+# --- part (split fan-out) ---------------------------------------------------
+
+PART_SPEC = {
+    "globals": {"$datasetID": "tpch"},
+    "namespaces": {"ex": _EX},
+    "resources": [{
+        "name": "part",
+        "properties": {
+            "@id": "<http://example.org/part/{p_partkey}>",
+            "@type": "<ex:Part>",
+            "<ex:brand>": "{p_brand}",
+            "<ex:size>": "{p_size | asInt}",
+            "<ex:typeWord>": "{p_type | split(' ') | toLower}",
+        },
+    }],
+}
+
+
+def part_query(sf_dir: str) -> "ray.data.Dataset":
+    return _run(PART_SPEC, f"{sf_dir}/part.parquet",
+                ["p_partkey", "p_brand", "p_size", "p_type"])
+
+
+PART_ORACLE_SQL = f"""
+WITH p AS (
+  SELECT 'http://example.org/part/' || CAST(p_partkey AS VARCHAR) AS s, *
+  FROM part
+),
+triples AS (
+  SELECT s AS subject, '{_RDF_TYPE}' AS predicate, 'uri' AS object_kind,
+         '{_EX}Part' AS object_value, NULL AS datatype FROM p
+  UNION ALL
+  SELECT s, '{_EX}brand', 'literal', p_brand, NULL FROM p
+  UNION ALL
+  SELECT s, '{_EX}size', 'literal', CAST(p_size AS VARCHAR),
+         '{_XSD}integer' FROM p
+  UNION ALL
+  SELECT s, '{_EX}typeWord', 'literal', lower(unnest(string_split(p_type, ' '))),
+         NULL FROM p
+)
+{_TRIPLE_SELECT}
+"""
+
+
+# --- nation (map_by + expr + inverse property) ------------------------------
+
+def _nation_spec(sf_dir: str) -> dict:
+    """map_by's mapping table is spec data (reference doc/doc.md:318-345);
+    here it is the small side of a broadcast join, built driver-side from
+    the 5-row region table and shipped in the spec closure."""
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    mapping = {str(k): v for k, v in
+               zip(region.column("r_regionkey").to_pylist(),
+                   region.column("r_name").to_pylist())}
+    return {
+        "globals": {"$datasetID": "tpch"},
+        "namespaces": {"ex": _EX},
+        "mappings": {"regions": mapping},
+        "resources": [{
+            "name": "nation",
+            "properties": {
+                "@id": "<http://example.org/nation/{n_nationkey}>",
+                "@type": "<ex:Nation>",
+                "<ex:name>": "{n_name}",
+                "<ex:regionName>": "{n_regionkey | expr('str(x)') | map_by('regions')}",
+                "^<ex:hasNation>": "<http://example.org/region/{n_regionkey}>",
+            },
+        }],
+    }
+
+
+def nation_query(sf_dir: str) -> "ray.data.Dataset":
+    return _run(_nation_spec(sf_dir), f"{sf_dir}/nation.parquet",
+                ["n_nationkey", "n_name", "n_regionkey"])
+
+
+NATION_ORACLE_SQL = f"""
+WITH n AS (
+  SELECT 'http://example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS s,
+         'http://example.org/region/' || CAST(n_regionkey AS VARCHAR) AS region_uri,
+         nation.*, region.r_name AS region_name
+  FROM nation JOIN region ON nation.n_regionkey = region.r_regionkey
+),
+triples AS (
+  SELECT s AS subject, '{_RDF_TYPE}' AS predicate, 'uri' AS object_kind,
+         '{_EX}Nation' AS object_value, NULL AS datatype FROM n
+  UNION ALL
+  SELECT s, '{_EX}name', 'literal', n_name, NULL FROM n
+  UNION ALL
+  SELECT s, '{_EX}regionName', 'literal', region_name, NULL FROM n
+  UNION ALL
+  -- inverse property: (region, hasNation, nation)
+  SELECT region_uri, '{_EX}hasNation', 'uri', s, NULL FROM n
+)
+{_TRIPLE_SELECT}
+"""

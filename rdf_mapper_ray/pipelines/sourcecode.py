@@ -1,0 +1,196 @@
+"""Flagship pipeline: KG construction over the source-code repository table.
+
+The graft target (`BASELINE.json` `input_hint`) is a Parquet table of
+source-code repositories `(repo, path, commit, lang, content)`. The
+testdata has no such table, so we derive one *deterministically* from
+`documents.parquet` (doc_id, text, lang, source, n_chars): `source`
+becomes the repository, `text` the file content, and the commit id is a
+12-hex md5 of `(source, doc_id)` — every derivation is reproducible in
+ANSI SQL so the DuckDB oracle can build the identical table.
+
+The flagship mapping spec exercises the core reference semantics
+(template_support.py:205-396 of the reference): templated URI minting,
+function pipelines (sha256 / length / asInt), autoCV concept minting
+with global dedup, and a second resource template whose repeated triples
+collapse in the exact-dedup shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import pyarrow as pa
+
+import ray.data
+
+from rdf_mapper_ray.engine.pipeline import KGPipeline
+from rdf_mapper_ray.engine.sources import read_parquet_rows
+
+CODE_BASE = "http://example.org/code"
+
+FLAGSHIP_SPEC = {
+    "globals": {"$datasetID": "code", "$datasetBase": CODE_BASE},
+    "namespaces": {"ex": f"{CODE_BASE}/def/"},
+    "resources": [
+        {
+            "name": "file",
+            "properties": {
+                "@id": "<" + CODE_BASE + "/file/{repo}/{commit}/{path}>",
+                "@type": "<ex:SourceFile>",
+                "<ex:repo>": "<" + CODE_BASE + "/repo/{repo}>",
+                "<ex:path>": "{path}",
+                "<ex:commit>": "{commit}",
+                "<ex:lang>": "{lang | autoCV('langs')}",
+                "<ex:sha256>": "{content | sha256}",
+                "<ex:size>": "{content | length}",
+            },
+        },
+        {
+            # Repeated per row; collapses to one triple-set per repo in
+            # the global dedup (SURVEY.md §2.8 A1).
+            "name": "repo",
+            "properties": {
+                "@id": "<" + CODE_BASE + "/repo/{repo}>",
+                "@type": "<ex:Repository>",
+                "<ex:name>": "{repo}",
+            },
+        },
+    ],
+}
+
+
+def derive_source_code(batch: pa.Table) -> pa.Table:
+    """documents batch -> (repo, path, commit, lang, content) batch.
+
+    Stateless `map_batches` function; string building is vectorised where
+    pyarrow allows, the md5 commit id is a C-speed loop.
+    """
+    doc_id = batch.column("doc_id").to_pylist()
+    source = batch.column("source").to_pylist()
+    lang = batch.column("lang").to_pylist()
+    commits = [
+        hashlib.md5(f"{s}:{d}".encode()).hexdigest()[:12]
+        for s, d in zip(source, doc_id)
+    ]
+    paths = [f"src/{lg}/doc-{d}.txt" for lg, d in zip(lang, doc_id)]
+    cols = {
+        "repo": pa.array(source, type=pa.string()),
+        "path": pa.array(paths, type=pa.string()),
+        "commit": pa.array(commits, type=pa.string()),
+        "lang": pa.array(lang, type=pa.string()),
+        "content": batch.column("text"),
+    }
+    # keep the deterministic row provenance if present
+    for extra in ("$file", "$row"):
+        if extra in batch.column_names:
+            cols[extra] = batch.column(extra)
+    return pa.Table.from_pydict(cols)
+
+
+def source_code_dataset(sf_dir: str,
+                        with_provenance: bool = True) -> "ray.data.Dataset":
+    """The derived (repo, path, commit, lang, content) Dataset."""
+    path = f"{sf_dir}/documents.parquet"
+    cols = ["doc_id", "text", "lang", "source"]
+    if with_provenance:
+        ds = read_parquet_rows(path, columns=cols)
+    else:
+        ds = ray.data.read_parquet(path, columns=cols)
+    return ds.map_batches(derive_source_code, batch_format="pyarrow")
+
+
+def flagship(sf_dir: str, output_dir: Optional[str] = None,
+             reconcile_backend=None,
+             batch_size: int = 2048) -> "ray.data.Dataset":
+    """documents → source-code table → triple table (deduped, sorted)."""
+    pipe = KGPipeline(FLAGSHIP_SPEC, auto_declare=False,
+                      canonicalize=False,
+                      reconcile_backend=reconcile_backend,
+                      batch_size=batch_size)
+    return pipe.run(source_code_dataset(sf_dir), output_dir=output_dir)
+
+
+# --- DuckDB oracle -----------------------------------------------------------
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_SKOS = "http://www.w3.org/2004/02/skos/core#"
+_DCT = "http://purl.org/dc/terms/"
+_G = "urn:x-rdflib:default"
+_EX = f"{CODE_BASE}/def/"
+
+FLAGSHIP_ORACLE_SQL = f"""
+WITH code AS (
+  SELECT source AS repo,
+         'src/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 12) AS commit,
+         lang,
+         text AS content
+  FROM documents
+),
+file_uri AS (
+  SELECT *,
+         '{CODE_BASE}/file/' || repo || '/' || commit || '/' || path AS s,
+         '{CODE_BASE}/repo/' || repo AS repo_uri,
+         '{CODE_BASE}/def/langs/' || lang AS lang_uri
+  FROM code
+),
+triples AS (
+  SELECT s AS subject, '{_RDF_TYPE}' AS predicate, 'uri' AS object_kind,
+         '{_EX}SourceFile' AS object_value, NULL AS datatype FROM file_uri
+  UNION ALL
+  SELECT s, '{_EX}repo', 'uri', repo_uri, NULL FROM file_uri
+  UNION ALL
+  SELECT s, '{_EX}path', 'literal', path, NULL FROM file_uri
+  UNION ALL
+  SELECT s, '{_EX}commit', 'literal', commit, NULL FROM file_uri
+  UNION ALL
+  SELECT s, '{_EX}lang', 'uri', lang_uri, NULL FROM file_uri
+  UNION ALL
+  SELECT s, '{_EX}sha256', 'literal', sha256(content), NULL FROM file_uri
+  UNION ALL
+  SELECT s, '{_EX}size', 'literal', CAST(length(content) AS VARCHAR),
+         '{_XSD}integer' FROM file_uri
+  UNION ALL
+  SELECT DISTINCT repo_uri, '{_RDF_TYPE}', 'uri', '{_EX}Repository', NULL
+  FROM file_uri
+  UNION ALL
+  SELECT DISTINCT repo_uri, '{_EX}name', 'literal', repo, NULL FROM file_uri
+  UNION ALL
+  SELECT DISTINCT lang_uri, '{_RDF_TYPE}', 'uri', '{_SKOS}Concept', NULL
+  FROM file_uri
+  UNION ALL
+  SELECT DISTINCT lang_uri, '{_SKOS}prefLabel', 'literal', lang, NULL
+  FROM file_uri
+  UNION ALL
+  SELECT DISTINCT lang_uri, '{_SKOS}inScheme', 'uri',
+         '{CODE_BASE}/def/langs_scheme', NULL FROM file_uri
+  UNION ALL
+  SELECT DISTINCT lang_uri, '{_SKOS}topConceptOf', 'uri',
+         '{CODE_BASE}/def/langs_scheme', NULL FROM file_uri
+  UNION ALL
+  SELECT DISTINCT '{CODE_BASE}/def/langs_scheme', '{_SKOS}hasTopConcept',
+         'uri', lang_uri, NULL FROM file_uri
+  UNION ALL
+  SELECT '{CODE_BASE}/def/langs_scheme', '{_RDF_TYPE}', 'uri',
+         '{_SKOS}ConceptScheme', NULL
+  UNION ALL
+  SELECT '{CODE_BASE}/def/langs_scheme', '{_DCT}title', 'literal', 'langs',
+         NULL
+  UNION ALL
+  SELECT '{CODE_BASE}/def/langs_scheme', '{_DCT}description', 'literal',
+         'Automatically generated concept scheme langs', NULL
+)
+SELECT DISTINCT
+  '{_G}' AS graph,
+  subject,
+  'uri' AS subject_kind,
+  predicate,
+  object_kind,
+  object_value,
+  CAST(NULL AS VARCHAR) AS lang,
+  datatype
+FROM triples
+ORDER BY graph, subject, predicate, object_kind, object_value
+"""

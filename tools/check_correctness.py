@@ -1,0 +1,111 @@
+"""Driver-mimic: run every queries() entry and its oracle_sql() on the
+same sf dir, compare row count, schema (column names) and
+order-insensitive values. Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object or df[c].isna().all():
+            df[c] = df[c].astype("string")
+    df = df.sort_values(list(df.columns), na_position="first")
+    return df.reset_index(drop=True)
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
+    ok = True
+    if sorted(ray_df.columns) != sorted(sql_df.columns):
+        print(f"  [{name}] SCHEMA mismatch: ray={sorted(ray_df.columns)} "
+              f"sql={sorted(sql_df.columns)}")
+        return False
+    if len(ray_df) != len(sql_df):
+        print(f"  [{name}] ROWCOUNT mismatch: ray={len(ray_df)} "
+              f"sql={len(sql_df)}")
+        ok = False
+    a, b = canon(ray_df), canon(sql_df)
+    if ok:
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                          check_exact=True)
+        except AssertionError as e:
+            print(f"  [{name}] VALUE mismatch: {str(e)[:400]}")
+            diff = pd.concat([a, b]).drop_duplicates(keep=False)
+            print(diff.head(10).to_string())
+            ok = False
+    return ok
+
+
+def main() -> int:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_ok = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            ray_df = to_pandas(fn(sf_dir))
+        except Exception as e:
+            import traceback
+            traceback.print_exc()
+            print(f"FAIL {name}: query raised {e}")
+            n_fail += 1
+            continue
+        t1 = time.time()
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only, {len(ray_df)} rows "
+                  f"({t1 - t0:.1f}s)")
+            n_ok += 1
+            continue
+        sql_df = con.sql(oracles[name]).df()
+        if compare(name, ray_df, sql_df):
+            print(f"OK   {name}: {len(ray_df)} rows ({t1 - t0:.1f}s)")
+            n_ok += 1
+        else:
+            print(f"FAIL {name}")
+            n_fail += 1
+    print(f"\n{n_ok} ok, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -40,22 +40,33 @@ def _key_series(batch: pa.Table) -> pd.Series:
     return joined.to_pandas()
 
 
-def add_hash_keys(batch: pa.Table) -> pa.Table:
+def add_partition_key(batch: pa.Table, num_partitions: int) -> pa.Table:
+    """64-bit row hash → ``pid`` in [0, num_partitions). All copies of a
+    duplicate row share a pid, so a within-partition distinct after the
+    pid shuffle is globally exact."""
     s = _key_series(batch)
     h1 = pd.util.hash_pandas_object(s, index=False, hash_key=_H1_KEY).values
-    h2 = pd.util.hash_pandas_object(s, index=False, hash_key=_H2_KEY).values
-    batch = batch.append_column("h1", pa.array(h1, type=pa.uint64()))
-    return batch.append_column("h2", pa.array(h2, type=pa.uint64()))
+    pid = (h1 % num_partitions).astype("int64")
+    return batch.append_column("pid", pa.array(pid, type=pa.int64()))
 
 
-def _first_of_group(df: pd.DataFrame) -> pd.DataFrame:
-    return df.head(1)
+def _partition_unique(group: pa.Table) -> pa.Table:
+    return local_unique(group.drop_columns(["pid"]))
 
 
-def distinct_triples(ds: "ray.data.Dataset") -> "ray.data.Dataset":  # noqa: F821
-    """Global distinct with pre-aggregation; returns the triple columns."""
+def distinct_triples(ds: "ray.data.Dataset",  # noqa: F821
+                     num_partitions: int = 64) -> "ray.data.Dataset":
+    """Global distinct with pre-aggregation.
+
+    The shuffle key is a *partition id* (hash % num_partitions), not the
+    row key itself: ``map_groups`` then sees num_partitions groups —
+    each deduplicated with one vectorized Arrow group_by — instead of
+    one Python call per distinct triple. ``num_partitions`` bounds
+    shuffle parallelism and per-group memory; at cluster scale it should
+    be ≈ total cores × a small factor.
+    """
     ds = ds.map_batches(local_unique, batch_format="pyarrow")
-    ds = ds.map_batches(add_hash_keys, batch_format="pyarrow")
-    ds = ds.groupby(["h1", "h2"]).map_groups(_first_of_group,
-                                             batch_format="pandas")
-    return ds.drop_columns(["h1", "h2"])
+    ds = ds.map_batches(add_partition_key, batch_format="pyarrow",
+                        fn_kwargs={"num_partitions": num_partitions})
+    return ds.groupby("pid").map_groups(_partition_unique,
+                                        batch_format="pyarrow")

@@ -62,12 +62,18 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     hashed = ds.map_batches(HashText(text_col, hash_col),
                             batch_format="pyarrow")
 
-    def first_per_hash(group: pd.DataFrame) -> pd.DataFrame:
-        i = group[id_col].idxmin()
-        return group.loc[[i], [id_col, hash_col]]
+    def add_pid(batch: pa.Table, num_partitions: int = 64) -> pa.Table:
+        pid = [int(h[:8], 16) % num_partitions
+               for h in batch.column(hash_col).to_pylist()]
+        return batch.append_column("pid", pa.array(pid, type=pa.int64()))
 
-    return hashed.groupby(hash_col).map_groups(first_per_hash,
-                                               batch_format="pandas")
+    def min_per_hash(group: pd.DataFrame) -> pd.DataFrame:
+        # vectorized min-id per digest inside one shuffle partition
+        out = (group.groupby(hash_col, as_index=False)[id_col].min())
+        return out[[id_col, hash_col]]
+
+    return (hashed.map_batches(add_pid, batch_format="pyarrow")
+            .groupby("pid").map_groups(min_per_hash, batch_format="pandas"))
 
 
 # --- MinHash + LSH -----------------------------------------------------------
@@ -163,16 +169,11 @@ class BandEmitter:
         })
 
 
-def _pairs_from_bucket(group: pd.DataFrame, id_col: str,
-                       threshold: float) -> pd.DataFrame:
-    ids = group[id_col].to_numpy()
-    if len(ids) < 2:
-        return pd.DataFrame({"left_id": [], "right_id": [],
-                             "est_jaccard": []})
+def _pairs_from_bucket(ids: np.ndarray, sigs: np.ndarray,
+                       threshold: float) -> tuple[list, list, list]:
     order = np.argsort(ids)
     ids = ids[order]
-    sigs = np.stack([np.asarray(s, dtype=np.uint64)
-                     for s in group["signature"].to_numpy()[order]])
+    sigs = sigs[order]
     left, right, est = [], [], []
     for i in range(len(ids)):
         # vectorised signature agreement against all later ids
@@ -182,8 +183,29 @@ def _pairs_from_bucket(group: pd.DataFrame, id_col: str,
                 left.append(ids[i])
                 right.append(ids[i + 1 + j_off])
                 est.append(float(frac))
-    return pd.DataFrame({"left_id": left, "right_id": right,
-                         "est_jaccard": est})
+    return left, right, est
+
+
+def _pairs_from_partition(group: pd.DataFrame, id_col: str,
+                          threshold: float) -> pd.DataFrame:
+    """One shuffle partition holds many complete (band, bucket) groups;
+    iterate them here (worker-side) instead of one map_groups call each."""
+    left, right, est = [], [], []
+    for (_, _), grp in group.groupby(["band", "bucket"], sort=False):
+        if len(grp) < 2:
+            continue
+        ids = grp[id_col].to_numpy()
+        sigs = np.stack([np.asarray(s, dtype=np.uint64)
+                         for s in grp["signature"].to_numpy()])
+        l, r, e = _pairs_from_bucket(ids, sigs, threshold)
+        left.extend(l)
+        right.extend(r)
+        est.extend(e)
+    return pd.DataFrame({
+        "left_id": pd.array(left, dtype="int64"),
+        "right_id": pd.array(right, dtype="int64"),
+        "est_jaccard": pd.array(est, dtype="float64"),
+    })
 
 
 def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
@@ -197,20 +219,39 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     verify by signature agreement → global pair dedup (a pair can land in
     several bands).
     """
+    num_partitions = 64
     sigs = ds.map_batches(
         MinHashSignatures(text_col, id_col, num_perm, shingle_k, seed),
         batch_format="pyarrow", concurrency=None)
     banded = sigs.map_batches(BandEmitter(num_bands, id_col),
                               batch_format="pyarrow")
-    pairs = banded.groupby(["band", "bucket"]).map_groups(
-        lambda g: _pairs_from_bucket(g, id_col, threshold),
-        batch_format="pandas")
 
-    def first_pair(group: pd.DataFrame) -> pd.DataFrame:
-        return group.iloc[[0]]
+    def add_pid(batch: pa.Table) -> pa.Table:
+        # bucket is already a uniform hash — fold band in cheaply
+        pid = [(int(b[:8], 16) ^ band) % num_partitions
+               for band, b in zip(batch.column("band").to_pylist(),
+                                  batch.column("bucket").to_pylist())]
+        return batch.append_column("pid", pa.array(pid, type=pa.int64()))
 
-    return pairs.groupby(["left_id", "right_id"]).map_groups(
-        first_pair, batch_format="pandas")
+    pairs = (banded.map_batches(add_pid, batch_format="pyarrow")
+             .groupby("pid")
+             .map_groups(lambda g: _pairs_from_partition(g, id_col, threshold),
+                         batch_format="pandas"))
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["left_id", "right_id"]) \
+                    .drop(columns=["pair_pid"])
+
+    def add_pair_pid(batch: pa.Table) -> pa.Table:
+        pid = [(int(l) * 1000003 + int(r)) % num_partitions
+               for l, r in zip(batch.column("left_id").to_pylist(),
+                               batch.column("right_id").to_pylist())]
+        return batch.append_column("pair_pid", pa.array(pid, type=pa.int64()))
+
+    # a pair can surface from several bands — exact dedup, same pid trick
+    return (pairs.map_batches(add_pair_pid, batch_format="pyarrow")
+            .groupby("pair_pid").map_groups(dedup_pairs,
+                                            batch_format="pandas"))
 
 
 def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",

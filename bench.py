@@ -1,0 +1,139 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "rows": ..., "triples_per_sec": ...}
+
+``--scaling`` runs the flagship pipeline at two parallelism levels in
+fresh subprocesses (8 then 32 CPUs — the sandbox stand-in for N and 4N
+nodes) and reports both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _consume(ds) -> int:
+    """Stream the dataset to completion; return row count."""
+    import ray.data
+    if isinstance(ds, ray.data.Dataset):
+        n = 0
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+            n += b.num_rows
+        return n
+    return len(ds)
+
+
+def run_queries(sf_dir: str) -> tuple[dict, dict]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        rows[name] = _consume(fn(sf_dir))
+        times[name] = round(time.time() - t0, 3)
+    return times, rows
+
+
+def flagship_throughput(sf_dir: str, commits_per_file: int = 1) -> dict:
+    """Rows/sec + triples/sec of the flagship KG pipeline."""
+    import pyarrow.parquet as pq
+
+    from rdf_mapper_ray.pipelines.sourcecode import flagship_bench
+    n_rows = pq.read_metadata(
+        f"{sf_dir}/documents.parquet").num_rows * commits_per_file
+    t0 = time.time()
+    # count() executes the whole pipeline distributed and only ships block
+    # metadata to the driver — the honest consumption mode (a real run
+    # ends in write_parquet, not a driver funnel).
+    triples = flagship_bench(sf_dir, commits_per_file=commits_per_file).count()
+    dt = time.time() - t0
+    return {"input_rows": n_rows, "triples": triples,
+            "commits_per_file": commits_per_file,
+            "sec": round(dt, 3),
+            "rows_per_sec": round(n_rows / dt, 1),
+            "triples_per_sec": round(triples / dt, 1)}
+
+
+def main() -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    times, rows = run_queries(SF_DIR)
+    head = flagship_throughput(SF_DIR)
+    out = {
+        "metric": "kg-construction pipeline suite wall time",
+        "value": round(sum(times.values()) + head["sec"], 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_of(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "rows": rows,
+        "flagship": head,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+_CHILD_CODE = """
+import json, os, sys, time
+import ray
+ray.init(address="local", num_cpus=int(sys.argv[1]),
+         include_dashboard=False, logging_level="ERROR")
+sys.path.insert(0, {repo!r})
+from bench import flagship_throughput
+print("RESULT " + json.dumps(flagship_throughput(sys.argv[2],
+                                                 commits_per_file=int(sys.argv[3]))))
+ray.shutdown()
+"""
+
+
+def scaling(sf_dir: str, low: int = 8, high: int = 32,
+            commits_per_file: int = 200) -> None:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    results = {}
+    for n in (low, high):
+        proc = subprocess.run(
+            [sys.executable, "-c", _CHILD_CODE.format(repo=repo), str(n),
+             sf_dir, str(commits_per_file)],
+            capture_output=True, text=True, check=True,
+            env={**os.environ, "RAY_GRAFT_CPUS": str(n)})
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("RESULT ")][-1]
+        results[n] = json.loads(line[len("RESULT "):])
+    tl, th = results[low]["rows_per_sec"], results[high]["rows_per_sec"]
+    eff = (th / tl) / (high / low)
+    print(json.dumps({
+        "metric": "flagship scaling efficiency (rows/sec, "
+                  f"{low} vs {high} cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": _sf_of(sf_dir),
+        "low_cpus": low, "high_cpus": high,
+        "low": results[low], "high": results[high],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling(SF_DIR)
+    else:
+        main()

@@ -111,6 +111,62 @@ def flagship(sf_dir: str, output_dir: Optional[str] = None,
     return pipe.run(source_code_dataset(sf_dir), output_dir=output_dir)
 
 
+class FanOutCommits:
+    """Bench-scale fan-out: each file row becomes ``n`` commit rows
+    (commit id = md5(repo:path:i)). Runs inside ``map_batches`` so the
+    multiplication is distributed — the driver never sees the big table."""
+
+    def __init__(self, n: int) -> None:
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = self.n
+        idx = list(range(batch.num_rows)) * n
+        out = batch.take(pa.array(sorted(idx)))
+        repos = out.column("repo").to_pylist()
+        paths = out.column("path").to_pylist()
+        commits = [
+            hashlib.md5(f"{r}:{p}:{i % n}".encode()).hexdigest()[:12]
+            for i, (r, p) in enumerate(zip(repos, paths))
+        ]
+        col_i = out.column_names.index("commit")
+        return out.set_column(col_i, "commit",
+                              pa.array(commits, type=pa.string()))
+
+
+def flagship_bench(sf_dir: str, commits_per_file: int = 1,
+                   batch_size: int = 2048,
+                   num_blocks: Optional[int] = None) -> "ray.data.Dataset":
+    """Flagship pipeline over the commit-multiplied source table —
+    the headline throughput / scaling-efficiency workload.
+
+    The input parquet is one small file (one read block); without help
+    every downstream task would run serially. Repartitioning the *small*
+    pre-fan-out table (cheap: kilobytes move) gives the fan-out → extract
+    chain ``num_blocks``-way parallelism — the same reason a real
+    10^12-file corpus must arrive as many files/row-groups.
+    """
+    import ray as _ray
+    if num_blocks is None:
+        num_blocks = int(_ray.cluster_resources().get("CPU", 8)) * 4
+    # Task granularity is computed from *input* rows/bytes; the input here
+    # is tiny until the fan-out multiplies it, so Ray would fuse the whole
+    # 200x expansion into ~3 tasks. Small min-block + per-block batches
+    # make each of the num_blocks repartitioned blocks its own task.
+    ctx = ray.data.DataContext.get_current()
+    ctx.target_min_block_size = 32 << 10
+    ds = source_code_dataset(sf_dir, with_provenance=False)
+    ds = ds.repartition(num_blocks)
+    if commits_per_file > 1:
+        ds = ds.map_batches(FanOutCommits(commits_per_file),
+                            batch_format="pyarrow", batch_size=None,
+                            concurrency=None)
+    pipe = KGPipeline(FLAGSHIP_SPEC, auto_declare=False, canonicalize=False,
+                      batch_size=None)
+    return pipe.run(ds, sort=False)
+
+
 # --- DuckDB oracle -----------------------------------------------------------
 
 _XSD = "http://www.w3.org/2001/XMLSchema#"

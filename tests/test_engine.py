@@ -178,3 +178,43 @@ def test_turtle_roundtrip(ray_session):
     keys = parse_turtle(text)
     df_keys = {tuple(r) for r in out.to_pandas().itertuples(index=False)}
     assert set(keys) == df_keys
+
+
+def test_sparql_update_delete_roundtrip(ray_session):
+    """Reference test_graphs.py:88-99: generate update + delete scripts,
+    apply them to a seeded quad store, compare against the
+    graphs-update.trig / graphs-delete.trig fixtures."""
+    import io
+
+    import ray.data
+    from rdf_mapper_ray.engine.schema import quads_to_table
+    from rdf_mapper_ray.engine.sinks import write_sparql_update
+    from rdf_mapper_ray.kernel.turtle import canonical_quads
+    from sparql_applier import apply_update
+    from test_conformance import (GRAPHS_ROWS, GRAPHS_SPEC, _graphs_processor,
+                                  load_expected)
+
+    proc = _graphs_processor()
+    ds = ray.data.from_arrow(quads_to_table(proc.quads()))
+    namespaces = dict(proc.spec.namespaces)
+    preserved = set(proc.state.preserved_graphs)
+
+    seeded = {
+        ("http://example.com/base", "http://example.com/should_go", "uri",
+         "http://example.com/p", "literal", "42", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+        ("http://example.com/current", "http://example.com/should_stay",
+         "uri", "http://example.com/p", "literal", "foo", None, None),
+    }
+
+    update_io, delete_io = io.StringIO(), io.StringIO()
+    write_sparql_update(ds, namespaces, preserved, update_io, mode="update")
+    write_sparql_update(ds, namespaces, preserved, delete_io, mode="delete")
+
+    after_update = apply_update(update_io.getvalue(), seeded)
+    expected = canonical_quads(load_expected("graphs-update.trig"))
+    assert canonical_quads(list(after_update)) == expected
+
+    after_delete = apply_update(delete_io.getvalue(), after_update)
+    expected = canonical_quads(load_expected("graphs-delete.trig"))
+    assert canonical_quads(list(after_delete)) == expected

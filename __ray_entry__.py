@@ -25,7 +25,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rdf_mapper_ray.ops import dedup, similarity, text
+    from rdf_mapper_ray.ops import dedup, multimodal, similarity, text
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     import ray.data
@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_orders": relational.orders_query,
         "kg_part_split": relational.part_query,
         "kg_nation_mapby": relational.nation_query,
+        "kg_events_nested": relational.events_query,
         # --- training-data ops ---
         "dedup_exact": lambda sf: dedup.exact_dedup(
             _docs(sf, ["doc_id", "text"])),
@@ -49,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": lambda sf: text.quality_score(
             _docs(sf, ["doc_id", "text"])),
         "knn_cosine": lambda sf: similarity.knn_bruteforce_self(sf),
+        "mm_decode_dims": multimodal.decode_dims,
+        "mm_resize_plan": multimodal.resize_plan,
         # rows-only (no SQL oracle): deterministic but non-relational
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(
             _docs(sf, ["doc_id", "text"])),
@@ -61,7 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rdf_mapper_ray.ops import similarity, text
+    from rdf_mapper_ray.ops import multimodal, similarity, text
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     return {
@@ -70,6 +73,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_orders": relational.ORDERS_ORACLE_SQL,
         "kg_part_split": relational.PART_ORACLE_SQL,
         "kg_nation_mapby": relational.NATION_ORACLE_SQL,
+        "kg_events_nested": relational.EVENTS_ORACLE_SQL,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256
             FROM documents GROUP BY sha256(text) ORDER BY doc_id
@@ -77,4 +81,6 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": text.TEXT_STATS_ORACLE_SQL,
         "quality_score": text.QUALITY_ORACLE_SQL,
         "knn_cosine": similarity.knn_oracle_sql(),
+        "mm_decode_dims": multimodal.DECODE_ORACLE_SQL,
+        "mm_resize_plan": multimodal.RESIZE_ORACLE_SQL,
     }

@@ -180,8 +180,20 @@ def asDecimal(s: Any, ctx: Any = None) -> Optional[Lit]:
     return Lit(float(s), datatype=XSD_DECIMAL)
 
 
+def _as_native_dt(s: Any) -> Any:
+    """Parquet-native inputs: the reference only ever sees strings
+    (CSV/JSON), but our sources read Arrow timestamp/date columns as
+    datetime objects — accept them directly."""
+    return s if isinstance(s, (_dt.datetime, _dt.date)) else None
+
+
 def asDateTime(s: Any, ctx: Any = None) -> Optional[Lit]:
     s = _scalar(s)
+    nat = _as_native_dt(s)
+    if nat is not None:
+        if not isinstance(nat, _dt.datetime):
+            nat = _dt.datetime(nat.year, nat.month, nat.day)
+        return Lit(nat.isoformat(), datatype=XSD_DATETIME)
     if _none_or_empty(s) or type(s) is not str:
         return None
     dt = parse_datetime(s)
@@ -190,6 +202,11 @@ def asDateTime(s: Any, ctx: Any = None) -> Optional[Lit]:
 
 def asDate(s: Any, ctx: Any = None) -> Optional[Lit]:
     s = _scalar(s)
+    nat = _as_native_dt(s)
+    if nat is not None:
+        if isinstance(nat, _dt.datetime):
+            nat = nat.date()
+        return Lit(nat.isoformat(), datatype=XSD_DATE)
     if _none_or_empty(s) or type(s) is not str:
         return None
     dt = parse_datetime(s)
@@ -198,6 +215,13 @@ def asDate(s: Any, ctx: Any = None) -> Optional[Lit]:
 
 def asDateOrDatetime(s: Any, ctx: Any = None) -> Optional[Lit]:
     s = _scalar(s)
+    nat = _as_native_dt(s)
+    if nat is not None:
+        if isinstance(nat, _dt.datetime) and nat.time() != _dt.time(0, 0):
+            return Lit(nat.isoformat(), datatype=XSD_DATETIME)
+        if isinstance(nat, _dt.datetime):
+            nat = nat.date()
+        return Lit(nat.isoformat(), datatype=XSD_DATE)
     if _none_or_empty(s) or type(s) is not str:
         return None
     if re.fullmatch(r"[12]\d{3}", s):

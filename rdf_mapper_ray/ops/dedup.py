@@ -210,7 +210,7 @@ def _pairs_from_partition(group: pd.DataFrame, id_col: str,
 
 def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 128,
-                      num_bands: int = 16, shingle_k: int = 5,
+                      num_bands: int = 32, shingle_k: int = 5,
                       threshold: float = 0.5,
                       seed: int = 42) -> "ray.data.Dataset":
     """Candidate near-duplicate pairs (left_id < right_id, est_jaccard).

@@ -1,0 +1,245 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as Arrow ``binary`` columns
+with a ``media_type`` and metadata columns. Decode / resize /
+feature-extract / frame-sample are **actor-pool** ``map_batches`` stages:
+codec state initialises once per actor in ``__init__``, work happens per
+batch, and ``batch_size`` must stay small because each row may carry
+megabytes (see ``recommended_batch_size``).
+
+The real image/audio libraries are not in this container, so the codec
+layer is pluggable: if PIL/libav were importable they would be used;
+otherwise a clearly-marked deterministic FAKE codec decodes the synthetic
+``FAKEIMG`` payloads produced by :func:`attach_payloads`. The Ray-side
+plumbing — schemas, actor signatures, batch sizing, output layout — is
+real and tested either way; decoding genuine JPEG bytes here raises
+``NotImplementedError``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+_MAGIC = b"FAKEIMG0"
+
+
+def recommended_batch_size(mean_payload_bytes: int,
+                           target_batch_bytes: int = 64 << 20) -> int:
+    """Size batches so batch x concurrency fits in a worker heap."""
+    return max(1, target_batch_bytes // max(1, mean_payload_bytes))
+
+
+def _fake_payload(text: str) -> bytes:
+    """Deterministic synthetic 'image': 8-byte magic + packed (w, h) +
+    pseudo-pixel bytes derived from the text."""
+    n = len(text)
+    w = 16 + n % 101
+    h = 16 + (n * 7) % 101
+    body = hashlib.sha256(text.encode()).digest()
+    reps = (w * h) // len(body) + 1
+    return _MAGIC + struct.pack("<II", w, h) + (body * reps)[: w * h]
+
+
+def attach_payloads(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """documents batch -> (item_id, media_type, payload) batch."""
+    texts = batch.column(text_col).to_pylist()
+    return pa.Table.from_pydict({
+        "item_id": batch.column(id_col),
+        "media_type": pa.array(["image/x-fake"] * len(texts),
+                               type=pa.string()),
+        "payload": pa.array([_fake_payload(t or "") for t in texts],
+                            type=pa.binary()),
+    })
+
+
+def multimodal_dataset(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(attach_payloads, batch_format="pyarrow")
+
+
+class _FakeCodec:
+    """Deterministic stand-in codec for the synthetic FAKEIMG payloads."""
+
+    def decode(self, payload: bytes) -> tuple[int, int, bytes]:
+        if payload[:8] != _MAGIC:
+            raise NotImplementedError(
+                "real image decoding requires PIL, which is not available "
+                "in this environment; only FAKEIMG payloads are supported")
+        w, h = struct.unpack("<II", payload[8:16])
+        return w, h, payload[16:16 + w * h]
+
+
+def _load_codec():
+    try:  # pragma: no cover - PIL not in this container
+        import PIL.Image  # noqa: F401
+        raise NotImplementedError(
+            "PIL backend plumbing not implemented in this round")
+    except ImportError:
+        return _FakeCodec()
+
+
+class DecodeImage:
+    """Actor-pool stage: payload -> (item_id, width, height, n_pixels).
+
+    Codec loads once per actor (``__init__``); pass
+    ``concurrency=N, batch_size=recommended_batch_size(...)`` to
+    ``map_batches``.
+    """
+
+    def __init__(self) -> None:
+        self.codec = _load_codec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, npx = [], [], [], []
+        for i, payload in zip(batch.column("item_id").to_pylist(),
+                              batch.column("payload").to_pylist()):
+            w, h, pixels = self.codec.decode(payload)
+            ids.append(i)
+            ws.append(w)
+            hs.append(h)
+            npx.append(len(pixels))
+        return pa.Table.from_pydict({
+            "item_id": pa.array(ids, type=pa.int64()),
+            "width": pa.array(ws, type=pa.int64()),
+            "height": pa.array(hs, type=pa.int64()),
+            "n_pixels": pa.array(npx, type=pa.int64()),
+        })
+
+
+class ImageFeatures:
+    """Actor-pool stage: payload -> 8-bin byte-histogram feature vector
+    (the deterministic stand-in for a CNN embedding; batched numpy)."""
+
+    def __init__(self, bins: int = 8) -> None:
+        self.codec = _load_codec()
+        self.bins = bins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload in batch.column("payload").to_pylist():
+            _w, _h, pixels = self.codec.decode(payload)
+            arr = np.frombuffer(pixels, dtype=np.uint8)
+            hist, _ = np.histogram(arr, bins=self.bins, range=(0, 256))
+            feats.append((hist / max(1, len(arr))).astype(np.float32))
+        return pa.Table.from_pydict({
+            "item_id": batch.column("item_id"),
+            "feature": pa.array([f.tolist() for f in feats],
+                                type=pa.list_(pa.float32())),
+        })
+
+
+class ResizePlan:
+    """payload metadata -> scaled dims, preserving aspect ratio (integer
+    math so the oracle is exact). A real backend would also emit resized
+    bytes; the stub emits the plan the Ray pipeline would execute."""
+
+    def __init__(self, max_side: int = 64) -> None:
+        self.codec = _load_codec()
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ows, ohs, nws, nhs = [], [], [], [], []
+        for i, payload in zip(batch.column("item_id").to_pylist(),
+                              batch.column("payload").to_pylist()):
+            w, h, _ = self.codec.decode(payload)
+            m = max(w, h)
+            if m <= self.max_side:
+                nw, nh = w, h
+            else:
+                nw = w * self.max_side // m
+                nh = h * self.max_side // m
+            ids.append(i)
+            ows.append(w)
+            ohs.append(h)
+            nws.append(nw)
+            nhs.append(nh)
+        return pa.Table.from_pydict({
+            "item_id": pa.array(ids, type=pa.int64()),
+            "width": pa.array(ows, type=pa.int64()),
+            "height": pa.array(ohs, type=pa.int64()),
+            "new_width": pa.array(nws, type=pa.int64()),
+            "new_height": pa.array(nhs, type=pa.int64()),
+        })
+
+
+class FrameSample:
+    """'video' payload -> every k-th 1 KiB chunk as a frame row
+    (flat output: one row per sampled frame — fan-out inside the batch)."""
+
+    def __init__(self, chunk: int = 1024, every: int = 4) -> None:
+        self.chunk = chunk
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        for i, payload in zip(batch.column("item_id").to_pylist(),
+                              batch.column("payload").to_pylist()):
+            n_chunks = (len(payload) + self.chunk - 1) // self.chunk
+            for c in range(0, n_chunks, self.every):
+                ids.append(i)
+                idxs.append(c)
+                frames.append(payload[c * self.chunk:(c + 1) * self.chunk])
+        return pa.Table.from_pydict({
+            "item_id": pa.array(ids, type=pa.int64()),
+            "frame_index": pa.array(idxs, type=pa.int64()),
+            "frame": pa.array(frames, type=pa.binary()),
+        })
+
+
+def decode_dims(sf_dir: str, concurrency: int = 4) -> "ray.data.Dataset":
+    return multimodal_dataset(sf_dir).map_batches(
+        DecodeImage, batch_format="pyarrow",
+        batch_size=recommended_batch_size(16 << 10),
+        concurrency=concurrency)
+
+
+def resize_plan(sf_dir: str, concurrency: int = 4) -> "ray.data.Dataset":
+    return multimodal_dataset(sf_dir).map_batches(
+        ResizePlan, batch_format="pyarrow",
+        batch_size=recommended_batch_size(16 << 10),
+        concurrency=concurrency)
+
+
+def image_features(sf_dir: str, concurrency: int = 4) -> "ray.data.Dataset":
+    return multimodal_dataset(sf_dir).map_batches(
+        ImageFeatures, batch_format="pyarrow",
+        batch_size=recommended_batch_size(16 << 10),
+        concurrency=concurrency)
+
+
+# dims are pure functions of n_chars=length(text): SQL-checkable plumbing
+DECODE_ORACLE_SQL = """
+SELECT doc_id AS item_id,
+       16 + length(text) % 101 AS width,
+       16 + (length(text) * 7) % 101 AS height,
+       (16 + length(text) % 101) * (16 + (length(text) * 7) % 101)
+         AS n_pixels
+FROM documents
+ORDER BY item_id
+"""
+
+RESIZE_ORACLE_SQL = """
+WITH d AS (
+  SELECT doc_id AS item_id,
+         16 + length(text) % 101 AS width,
+         16 + (length(text) * 7) % 101 AS height
+  FROM documents
+),
+m AS (
+  SELECT *, greatest(width, height) AS mx FROM d
+)
+SELECT item_id, width, height,
+       CASE WHEN mx <= 64 THEN width ELSE width * 64 // mx END AS new_width,
+       CASE WHEN mx <= 64 THEN height ELSE height * 64 // mx END AS new_height
+FROM m
+ORDER BY item_id
+"""

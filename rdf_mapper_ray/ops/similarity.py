@@ -168,11 +168,16 @@ def knn_lsh(ds: "ray.data.Dataset", query_ids: list[int],
                               id_col=id_col)
     qm = np.asarray(query_vecs, dtype=np.float64)
     qbuckets = sig.bucket_of(qm)
+    # multi-probe: each query also probes every Hamming-1 bucket, so a
+    # near neighbour on the wrong side of one hyperplane is still found;
+    # scan reduction stays 2^planes/(planes+1)
     by_bucket: dict[int, tuple[list[int], list[np.ndarray]]] = {}
     for qid, qb, qv in zip(query_ids, qbuckets, qm):
-        by_bucket.setdefault(int(qb), ([], []))
-        by_bucket[int(qb)][0].append(int(qid))
-        by_bucket[int(qb)][1].append(qv)
+        probes = [int(qb)] + [int(qb) ^ (1 << p) for p in range(num_planes)]
+        for b in probes:
+            by_bucket.setdefault(b, ([], []))
+            by_bucket[b][0].append(int(qid))
+            by_bucket[b][1].append(qv)
     bucketed = ds.map_batches(sig, batch_format="pyarrow")
     qref = ray.put(by_bucket)
 

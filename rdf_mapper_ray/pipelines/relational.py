@@ -188,6 +188,104 @@ triples AS (
 """
 
 
+# --- events (nested resource spec, named graph, native timestamps) ----------
+
+EVENTS_SPEC = {
+    "globals": {"$datasetID": "tpch"},
+    "namespaces": {"ex": _EX},
+    "resources": [
+        {
+            "name": "event",
+            "properties": {
+                "@id": "<http://example.org/event/{event_id}>",
+                "@type": "<ex:Event>",
+                "<ex:ts>": "{ts | asDateTime}",
+                "<ex:value>": "{value | asDecimal}",
+                "<ex:eventType>": "{event_type}",
+                # nested resource spec (M11): the value is itself a
+                # resource; its minted URI becomes the property value
+                "<ex:props>": {
+                    "name": "props",
+                    "properties": {
+                        "@id": "<http://example.org/event/{event_id}/props>",
+                        "<ex:k>": "{k | asInt}",
+                    },
+                },
+            },
+        },
+        {
+            # repeated per event; dedup collapses; lands in a named graph
+            "name": "user",
+            "@graph": "<http://example.org/graph/users>",
+            "properties": {
+                "@id": "<http://example.org/user/{user_id}>",
+                "@type": "<ex:User>",
+            },
+        },
+    ],
+}
+
+
+def _parse_props(batch):
+    """Vectorised JSON-field extract: props '{"k": 12}' -> int column k.
+    (The reference reads nested JSON rows natively; our Parquet source
+    carries JSON strings, so the explode happens as an Arrow regex
+    kernel, not a per-row json.loads.)"""
+    import pyarrow.compute as pc
+    k = pc.struct_field(
+        pc.extract_regex(batch.column("props"), r'"k": (?P<k>-?\d+)'), "k")
+    return batch.append_column("k", k)
+
+
+def events_query(sf_dir: str) -> "ray.data.Dataset":
+    pipe = KGPipeline(EVENTS_SPEC, auto_declare=False, canonicalize=False)
+    from rdf_mapper_ray.engine.sources import read_parquet_rows
+    ds = read_parquet_rows(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "ts", "user_id",
+                                    "event_type", "value", "props"])
+    ds = ds.map_batches(_parse_props, batch_format="pyarrow")
+    return pipe.run(ds)
+
+
+EVENTS_ORACLE_SQL = f"""
+WITH e AS (
+  SELECT 'http://example.org/event/' || CAST(event_id AS VARCHAR) AS s,
+         'http://example.org/event/' || CAST(event_id AS VARCHAR) || '/props'
+           AS props_uri,
+         'http://example.org/user/' || CAST(user_id AS VARCHAR) AS user_uri,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+         *
+  FROM events
+),
+triples AS (
+  SELECT '{_G}' AS graph, s AS subject, '{_RDF_TYPE}' AS predicate,
+         'uri' AS object_kind, '{_EX}Event' AS object_value,
+         NULL AS datatype FROM e
+  UNION ALL
+  SELECT '{_G}', s, '{_EX}ts', 'literal',
+         strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '{_XSD}dateTime' FROM e
+  UNION ALL
+  SELECT '{_G}', s, '{_EX}value', 'literal', CAST(value AS VARCHAR),
+         '{_XSD}decimal' FROM e
+  UNION ALL
+  SELECT '{_G}', s, '{_EX}eventType', 'literal', event_type, NULL FROM e
+  UNION ALL
+  SELECT '{_G}', s, '{_EX}props', 'uri', props_uri, NULL FROM e
+  UNION ALL
+  SELECT '{_G}', props_uri, '{_EX}k', 'literal', CAST(k AS VARCHAR),
+         '{_XSD}integer' FROM e
+  UNION ALL
+  SELECT DISTINCT 'http://example.org/graph/users', user_uri, '{_RDF_TYPE}',
+         'uri', '{_EX}User', NULL FROM e
+)
+SELECT DISTINCT
+  graph, subject, 'uri' AS subject_kind, predicate, object_kind,
+  object_value, CAST(NULL AS VARCHAR) AS lang, datatype
+FROM triples
+ORDER BY graph, subject, predicate, object_kind, object_value
+"""
+
+
 # --- nation (map_by + expr + inverse property) ------------------------------
 
 def _nation_spec(sf_dir: str) -> dict:

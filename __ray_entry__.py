@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG construction (SURVEY.md §2) ---
         "kg_sourcecode": sourcecode.flagship,
+        "kg_reconcile_canonicalize": sourcecode.reconciled,
         "kg_customer": relational.customer_query,
         "kg_orders": relational.orders_query,
         "kg_part_split": relational.part_query,
@@ -69,6 +70,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "kg_sourcecode": sourcecode.FLAGSHIP_ORACLE_SQL,
+        "kg_reconcile_canonicalize": sourcecode.RECONCILE_ORACLE_SQL,
         "kg_customer": relational.CUSTOMER_ORACLE_SQL,
         "kg_orders": relational.ORDERS_ORACLE_SQL,
         "kg_part_split": relational.PART_ORACLE_SQL,

@@ -42,10 +42,37 @@ def _key_series(batch: pa.Table) -> pd.Series:
     return joined.to_pandas()
 
 
+def normalize_schema(batch: pa.Table) -> pa.Table:
+    """Cast the triple columns to their canonical (string) types.
+
+    Stages that emit all-null columns through pandas produce blocks with
+    ``null``-typed columns; mixed block schemas confuse the sort-shuffle
+    (observed: equal-key runs split across map_groups calls, breaking
+    dedup). One vectorised cast before any wide op removes the hazard.
+    """
+    from rdf_mapper_ray.engine.schema import TRIPLE_SCHEMA
+    cols = []
+    names = []
+    for field in TRIPLE_SCHEMA:
+        if field.name not in batch.column_names:
+            continue
+        col = batch.column(field.name)
+        if col.type != field.type:
+            col = pc.cast(col, field.type)
+        cols.append(col)
+        names.append(field.name)
+    for extra in batch.column_names:
+        if extra not in names:
+            names.append(extra)
+            cols.append(batch.column(extra))
+    return pa.Table.from_arrays(cols, names=names)
+
+
 def add_partition_key(batch: pa.Table, num_partitions: int) -> pa.Table:
     """64-bit row hash → ``pid`` in [0, num_partitions). All copies of a
     duplicate row share a pid, so a within-partition distinct after the
     pid shuffle is globally exact."""
+    batch = normalize_schema(batch)
     s = _key_series(batch)
     h1 = pd.util.hash_pandas_object(s, index=False, hash_key=_H1_KEY).values
     pid = (h1 % num_partitions).astype("int64")

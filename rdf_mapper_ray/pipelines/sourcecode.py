@@ -111,6 +111,142 @@ def flagship(sf_dir: str, output_dir: Optional[str] = None,
     return pipe.run(source_code_dataset(sf_dir), output_dir=output_dir)
 
 
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_SKOS = "http://www.w3.org/2004/02/skos/core#"
+_DCT = "http://purl.org/dc/terms/"
+_G = "urn:x-rdflib:default"
+_EX = f"{CODE_BASE}/def/"
+
+KB_BASE = "http://akb.example.org/repo/"
+
+RECONCILE_SPEC = {
+    "globals": {"$datasetID": "code", "$datasetBase": CODE_BASE,
+                "$reconciliationAPI": "urn:x-kb"},
+    "namespaces": {"ex": f"{CODE_BASE}/def/"},
+    "resources": [
+        FLAGSHIP_SPEC["resources"][0],
+        {
+            "name": "repo",
+            "properties": {
+                "@id": "<" + CODE_BASE + "/repo/{repo}>",
+                "@type": "<ex:Repository>",
+                "<ex:name>": "{repo}",
+                # entity linking: match the repo name against the KB
+                # candidate index; the matched KB URI becomes a sameAs
+                # edge that canonicalization then merges (union-find,
+                # smallest-URI representative)
+                "<owl:sameAs>": "{repo | reconcile('Repository')}",
+            },
+        },
+    ],
+}
+
+
+def kb_backend(sf_dir: str):
+    """Deterministic in-memory candidate index over the repo names —
+    the small side of the entity-link join, shipped to the reconciler
+    actor pool via closure (SURVEY.md §2.9 ST1)."""
+    import pyarrow.parquet as pq_
+
+    from rdf_mapper_ray.engine.reconcile import InMemoryReconcileBackend
+    sources = sorted(set(pq_.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source"])
+        .column("source").to_pylist()))
+    index = {s: [{"id": KB_BASE + s, "name": s, "score": 99,
+                  "match": True, "type": "Repository"}] for s in sources}
+    return InMemoryReconcileBackend(index)
+
+
+def reconciled(sf_dir: str) -> "ray.data.Dataset":
+    """Flagship + entity linking + owl:sameAs canonicalization: every
+    repo entity merges into its KB counterpart (lexicographically
+    smallest URI wins, so the KB URI becomes the subject everywhere)."""
+    pipe = KGPipeline(RECONCILE_SPEC, auto_declare=False,
+                      canonicalize=True,
+                      reconcile_backend=kb_backend(sf_dir),
+                      reconcile_mode="mentions")
+    return pipe.run(source_code_dataset(sf_dir))
+
+
+RECONCILE_ORACLE_SQL = f"""
+WITH code AS (
+  SELECT source AS repo,
+         'src/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 12) AS commit,
+         lang,
+         text AS content
+  FROM documents
+),
+file_uri AS (
+  SELECT *,
+         '{CODE_BASE}/file/' || repo || '/' || commit || '/' || path AS s,
+         -- canonical representative after the sameAs merge: the KB URI
+         -- ('http://akb...' sorts before 'http://example...')
+         '{KB_BASE}' || repo AS repo_canon,
+         '{CODE_BASE}/def/langs/' || lang AS lang_uri
+  FROM code
+),
+triples AS (
+  SELECT s AS subject, '{_RDF_TYPE}' AS predicate, 'uri' AS object_kind,
+         '{_EX}SourceFile' AS object_value, NULL AS datatype FROM file_uri
+  UNION ALL
+  SELECT s, '{_EX}repo', 'uri', repo_canon, NULL FROM file_uri
+  UNION ALL
+  SELECT s, '{_EX}path', 'literal', path, NULL FROM file_uri
+  UNION ALL
+  SELECT s, '{_EX}commit', 'literal', commit, NULL FROM file_uri
+  UNION ALL
+  SELECT s, '{_EX}lang', 'uri', lang_uri, NULL FROM file_uri
+  UNION ALL
+  SELECT s, '{_EX}sha256', 'literal', sha256(content), NULL FROM file_uri
+  UNION ALL
+  SELECT s, '{_EX}size', 'literal', CAST(length(content) AS VARCHAR),
+         '{_XSD}integer' FROM file_uri
+  UNION ALL
+  SELECT DISTINCT repo_canon, '{_RDF_TYPE}', 'uri', '{_EX}Repository', NULL
+  FROM file_uri
+  UNION ALL
+  SELECT DISTINCT repo_canon, '{_EX}name', 'literal', repo, NULL FROM file_uri
+  UNION ALL
+  SELECT DISTINCT lang_uri, '{_RDF_TYPE}', 'uri', '{_SKOS}Concept', NULL
+  FROM file_uri
+  UNION ALL
+  SELECT DISTINCT lang_uri, '{_SKOS}prefLabel', 'literal', lang, NULL
+  FROM file_uri
+  UNION ALL
+  SELECT DISTINCT lang_uri, '{_SKOS}inScheme', 'uri',
+         '{CODE_BASE}/def/langs_scheme', NULL FROM file_uri
+  UNION ALL
+  SELECT DISTINCT lang_uri, '{_SKOS}topConceptOf', 'uri',
+         '{CODE_BASE}/def/langs_scheme', NULL FROM file_uri
+  UNION ALL
+  SELECT DISTINCT '{CODE_BASE}/def/langs_scheme', '{_SKOS}hasTopConcept',
+         'uri', lang_uri, NULL FROM file_uri
+  UNION ALL
+  SELECT '{CODE_BASE}/def/langs_scheme', '{_RDF_TYPE}', 'uri',
+         '{_SKOS}ConceptScheme', NULL
+  UNION ALL
+  SELECT '{CODE_BASE}/def/langs_scheme', '{_DCT}title', 'literal', 'langs',
+         NULL
+  UNION ALL
+  SELECT '{CODE_BASE}/def/langs_scheme', '{_DCT}description', 'literal',
+         'Automatically generated concept scheme langs', NULL
+)
+SELECT DISTINCT
+  '{_G}' AS graph,
+  subject,
+  'uri' AS subject_kind,
+  predicate,
+  object_kind,
+  object_value,
+  CAST(NULL AS VARCHAR) AS lang,
+  datatype
+FROM triples
+ORDER BY graph, subject, predicate, object_kind, object_value
+"""
+
+
 class FanOutCommits:
     """Bench-scale fan-out: each file row becomes ``n`` commit rows
     (commit id = md5(repo:path:i)). Runs inside ``map_batches`` so the
@@ -168,13 +304,6 @@ def flagship_bench(sf_dir: str, commits_per_file: int = 1,
 
 
 # --- DuckDB oracle -----------------------------------------------------------
-
-_XSD = "http://www.w3.org/2001/XMLSchema#"
-_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
-_SKOS = "http://www.w3.org/2004/02/skos/core#"
-_DCT = "http://purl.org/dc/terms/"
-_G = "urn:x-rdflib:default"
-_EX = f"{CODE_BASE}/def/"
 
 FLAGSHIP_ORACLE_SQL = f"""
 WITH code AS (

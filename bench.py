@@ -100,6 +100,8 @@ ray.init(address="local", num_cpus=int(sys.argv[1]),
          include_dashboard=False, logging_level="ERROR")
 sys.path.insert(0, {repo!r})
 from bench import flagship_throughput
+# warmup: amortise import/actor/JIT cold-start out of the measurement
+flagship_throughput(sys.argv[2], commits_per_file=4)
 print("RESULT " + json.dumps(flagship_throughput(sys.argv[2],
                                                  commits_per_file=int(sys.argv[3]))))
 ray.shutdown()

@@ -15,3 +15,8 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from rdf_mapper_ray.context import configure_data_context as _configure
+
+_configure()
+del _configure

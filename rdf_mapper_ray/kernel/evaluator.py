@@ -101,7 +101,12 @@ class EvalState:
     # -- context ------------------------------------------------------------
 
     def get(self, name: str, default: Any = None) -> Any:
-        return self.bindings.get(name, default)
+        # hot path: ChainMap.get does a __contains__ scan *plus* a
+        # __getitem__ scan; one loop over the layer dicts halves it
+        for m in self.bindings.maps:
+            if name in m:
+                return m[name]
+        return default
 
     def set(self, name: str, value: Any) -> None:
         self.bindings[name] = value
@@ -115,12 +120,20 @@ class EvalState:
         return self.spec.job_time
 
     def _mirror(self, bindings: ChainMap) -> "EvalState":
-        child = EvalState(self.spec, bindings, self.quads,
-                          self.preserved_graphs, self.reconcile_stack,
-                          self.abort_on_error, self.counters,
-                          self.reconciler, self.row_key)
+        # hot path: bypass __init__ (the $graph check is already
+        # satisfied by the parent's bindings chain)
+        child = EvalState.__new__(EvalState)
+        child.spec = self.spec
+        child.bindings = bindings
+        child.quads = self.quads
         child.backlinks = self.backlinks
+        child.preserved_graphs = self.preserved_graphs
+        child.reconcile_stack = self.reconcile_stack
+        child.abort_on_error = self.abort_on_error
+        child.counters = self.counters
         child._ids = self._ids
+        child.reconciler = self.reconciler
+        child.row_key = self.row_key
         return child
 
     def child(self, sub: dict) -> "EvalState":
@@ -129,6 +142,8 @@ class EvalState:
     def with_context(self, ctx: dict) -> "EvalState":
         """Fresh bindings (only ``ctx``) — used by smap_to
         (template_state.py:64-69)."""
+        if "$graph" not in ctx:
+            ctx = {**ctx, "$graph": DEFAULT_GRAPH}
         return self._mirror(ChainMap(ctx))
 
     # -- graph --------------------------------------------------------------
@@ -202,6 +217,12 @@ def uri_expand(pattern: str, state: EvalState) -> list[str]:
     """
     namespaces = state.namespaces
     if pattern.startswith("<") and pattern.endswith(">"):
+        # row-independent patterns (constant predicates/types — the
+        # common case) expand once per spec and hit this cache after
+        cache = state.spec.uri_cache
+        cached = cache.get(pattern)
+        if cached is not None:
+            return cached
         ref = pattern[1:-1]
         refs: list[str]
         if ref == "uuid":
@@ -238,7 +259,13 @@ def uri_expand(pattern: str, state: EvalState) -> list[str]:
                     for v in pattern_expand(ref, state)]
         if not refs:
             refs = [f"{state.get('$datasetBase')}/data/{state.get('$resourceID')}"]
-        return [_full_iri(r, state) for r in refs]
+        out = [_full_iri(r, state) for r in refs]
+        # cacheable iff template-free and fully absolute (no urljoin
+        # against the row-dependent $resourceID happened)
+        if "{" not in ref and ref not in ("uuid", "row", "parent") \
+                and not ref.startswith("hash") and out == refs:
+            cache[pattern] = out
+        return out
     # bare name → dataset def namespace
     _id = f"{state.get('$datasetBase')}/def/{normalize(pattern)}"
     if state.spec.auto_declare:
@@ -247,7 +274,9 @@ def uri_expand(pattern: str, state: EvalState) -> list[str]:
 
 
 def _full_iri(ref: str, state: EvalState) -> str:
-    if _URI_RE.fullmatch(ref):
+    # fast path for the overwhelmingly common absolute forms
+    if ref.startswith(("http://", "https://", "urn:", "file://")) \
+            or _URI_RE.fullmatch(ref):
         return ref
     return urljoin(f"{state.get('$datasetBase')}/data/{state.get('$resourceID')}/", ref)
 

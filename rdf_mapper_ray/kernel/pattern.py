@@ -117,13 +117,19 @@ class CompiledPattern:
         if node is None:
             return None
         if isinstance(node, Lit) and isinstance(node.value, str):
-            m = _LANGSTRING_RE.match(node.value)
-            if m:
-                return Lit(m.group(1), lang=m.group(2))
-            m = _DT_RE.match(node.value)
-            if m:
-                return Lit(m.group(1),
-                           datatype=expand_curie(m.group(2), ctx.namespaces))
+            s = node.value
+            # substring pre-checks: the regexes only ever match when these
+            # characters are present, and most values carry neither
+            if "@" in s:
+                m = _LANGSTRING_RE.match(s)
+                if m:
+                    return Lit(m.group(1), lang=m.group(2))
+            if "^^" in s:
+                m = _DT_RE.match(s)
+                if m:
+                    return Lit(m.group(1),
+                               datatype=expand_curie(m.group(2),
+                                                     ctx.namespaces))
             if self.shape is not None:
                 # pattern promised a lang/datatype but the value lost it
                 # (e.g. empty variable) — suppress

@@ -193,6 +193,8 @@ class MapperSpec:
 
         self.globals: dict[str, Any] = dict(model.globals)
         self.context: ChainMap = ChainMap(self.globals, dict(self.BUILTINS))
+        # per-spec memo for row-independent URI patterns (evaluator.uri_expand)
+        self.uri_cache: dict[str, list[str]] = {}
         if not self.context.get("$datasetBase"):
             # NB: f-string of a missing $datasetID yields the literal "None",
             # matching the reference (mapper_spec.py:113-115)

@@ -25,7 +25,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rdf_mapper_ray.ops import dedup, multimodal, similarity, text
+    from rdf_mapper_ray.ops import (dedup, multimodal, sessions, similarity,
+                                    text)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     import ray.data
@@ -43,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_part_split": relational.part_query,
         "kg_nation_mapby": relational.nation_query,
         "kg_events_nested": relational.events_query,
+        "kg_lineitem_guards": relational.lineitem_query,
         # --- training-data ops ---
         "dedup_exact": lambda sf: dedup.exact_dedup(
             _docs(sf, ["doc_id", "text"])),
@@ -53,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": lambda sf: similarity.knn_bruteforce_self(sf),
         "mm_decode_dims": multimodal.decode_dims,
         "mm_resize_plan": multimodal.resize_plan,
+        "sessionize": sessions.sessionize_query,
         # rows-only (no SQL oracle): deterministic but non-relational
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(
             _docs(sf, ["doc_id", "text"])),
@@ -65,7 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rdf_mapper_ray.ops import multimodal, similarity, text
+    from rdf_mapper_ray.ops import multimodal, sessions, similarity, text
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     return {
@@ -76,6 +79,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_part_split": relational.PART_ORACLE_SQL,
         "kg_nation_mapby": relational.NATION_ORACLE_SQL,
         "kg_events_nested": relational.EVENTS_ORACLE_SQL,
+        "kg_lineitem_guards": relational.LINEITEM_ORACLE_SQL,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256
             FROM documents GROUP BY sha256(text) ORDER BY doc_id
@@ -85,4 +89,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": similarity.knn_oracle_sql(),
         "mm_decode_dims": multimodal.DECODE_ORACLE_SQL,
         "mm_resize_plan": multimodal.RESIZE_ORACLE_SQL,
+        "sessionize": sessions.sessionize_oracle_sql(),
     }

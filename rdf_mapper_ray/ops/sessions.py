@@ -1,0 +1,90 @@
+"""Event sessionization — a windowed operator Ray Data has no primitive
+for, composed per SURVEY.md's custom-operator rule (a): groupby +
+map_groups with an explicit partitioning assumption.
+
+Partitioning: all events of one user must co-locate (the session
+assignment needs the user's full ordered timeline), so the one shuffle
+is ``groupby(user)``. Session math inside the group is vectorised
+pandas (sort → diff → cumsum), not a Python loop. Skew note: a
+pathological single user with billions of events cannot be salted here
+(sessions are inherently sequential per user); the mitigation at scale
+is time-range pre-splitting with boundary stitching, documented —
+not needed at these cardinalities.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def _assign_sessions(group: pd.DataFrame, ts_col: str, id_col: str,
+                     gap_seconds: float) -> pd.DataFrame:
+    g = group.sort_values([ts_col, id_col]).reset_index(drop=True)
+    gap = g[ts_col].diff().dt.total_seconds()
+    new_session = (gap.isna() | (gap > gap_seconds)).to_numpy()
+    g["session_no"] = np.cumsum(new_session).astype("int64")
+    return g
+
+
+def sessionize(ds: "ray.data.Dataset", user_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id",
+               gap_seconds: float = 1800.0) -> "ray.data.Dataset":
+    """(user, event, ts) -> per-event session numbers (1-based per user,
+    a new session after a silence longer than ``gap_seconds``)."""
+    out = ds.groupby(user_col).map_groups(
+        lambda g: _assign_sessions(g, ts_col, id_col, gap_seconds)[
+            [user_col, id_col, "session_no"]],
+        batch_format="pandas")
+    return out
+
+
+def session_stats(ds: "ray.data.Dataset", user_col: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  gap_seconds: float = 1800.0) -> "ray.data.Dataset":
+    """Per-session aggregate: event count + duration in seconds."""
+    def _stats(group: pd.DataFrame) -> pd.DataFrame:
+        g = _assign_sessions(group, ts_col, id_col, gap_seconds)
+        agg = g.groupby("session_no").agg(
+            n_events=(id_col, "count"),
+            start=(ts_col, "min"),
+            end=(ts_col, "max"))
+        agg["duration_secs"] = (
+            (agg["end"] - agg["start"]).dt.total_seconds().astype("int64"))
+        agg = agg.reset_index()
+        agg[user_col] = group[user_col].iloc[0]
+        return agg[[user_col, "session_no", "n_events", "duration_secs"]]
+
+    return ds.groupby(user_col).map_groups(_stats, batch_format="pandas")
+
+
+def sessionize_query(sf_dir: str, gap_seconds: float = 1800.0):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    return sessionize(ds, gap_seconds=gap_seconds)
+
+
+def sessionize_oracle_sql(gap_seconds: float = 1800.0) -> str:
+    return f"""
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR (epoch(ts) - epoch(prev_ts)) > {gap_seconds}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM o
+)
+SELECT user_id, event_id,
+       CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS session_no
+FROM marked
+ORDER BY user_id, event_id
+"""

@@ -188,6 +188,68 @@ triples AS (
 """
 
 
+# --- lineitem (guard / requires / unless row predicates, 600k rows) ---------
+
+LINEITEM_SPEC = {
+    "globals": {"$datasetID": "tpch"},
+    "namespaces": {"ex": _EX},
+    "resources": [{
+        "name": "line",
+        # guard: compiled Python predicate over the row (M3)
+        "guard": "float(l_quantity) > 10",
+        # requires: column must hold one of these values (M4, list form)
+        "requires": {"l_returnflag": ["A", "N"]},
+        # unless: skip when the column holds this value (M5)
+        "unless": {"l_linestatus": "O"},
+        "properties": {
+            "@id": "<http://example.org/line/{l_orderkey}/{l_linenumber}>",
+            "@type": "<ex:LineItem>",
+            "<ex:qty>": "{l_quantity | asInt}",
+            "<ex:flag>": "{l_returnflag}",
+            "<ex:revenue>": "{l_extendedprice | expr('x * (1 - state.get(\"l_discount\"))') | asDecimal}",
+            "<ex:order>": "<http://example.org/order/{l_orderkey}>",
+        },
+    }],
+}
+
+
+def lineitem_query(sf_dir: str) -> "ray.data.Dataset":
+    return _run(LINEITEM_SPEC, f"{sf_dir}/lineitem.parquet",
+                ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+                 "l_linestatus", "l_extendedprice", "l_discount"])
+
+
+LINEITEM_ORACLE_SQL = f"""
+WITH l AS (
+  SELECT 'http://example.org/line/' || CAST(l_orderkey AS VARCHAR) || '/' ||
+         CAST(l_linenumber AS VARCHAR) AS s, *
+  FROM lineitem
+  WHERE l_quantity > 10
+    AND l_returnflag IN ('A', 'N')
+    AND l_linestatus <> 'O'
+),
+triples AS (
+  SELECT s AS subject, '{_RDF_TYPE}' AS predicate, 'uri' AS object_kind,
+         '{_EX}LineItem' AS object_value, NULL AS datatype FROM l
+  UNION ALL
+  SELECT s, '{_EX}qty', 'literal',
+         CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+         '{_XSD}integer' FROM l
+  UNION ALL
+  SELECT s, '{_EX}flag', 'literal', l_returnflag, NULL FROM l
+  UNION ALL
+  SELECT s, '{_EX}revenue', 'literal',
+         CAST(l_extendedprice * (1 - l_discount) AS VARCHAR),
+         '{_XSD}decimal' FROM l
+  UNION ALL
+  SELECT s, '{_EX}order', 'uri',
+         'http://example.org/order/' || CAST(l_orderkey AS VARCHAR), NULL
+  FROM l
+)
+{_TRIPLE_SELECT}
+"""
+
+
 # --- events (nested resource spec, named graph, native timestamps) ----------
 
 EVENTS_SPEC = {

@@ -85,7 +85,8 @@ class ExtractTriples:
     def __init__(self, ship_state: dict, abort_on_error: bool = False,
                  oneoff_backlinks: Optional[dict[str, tuple]] = None,
                  reconciler: Any = None, mention_mode: bool = False,
-                 emit_metrics: bool = True) -> None:
+                 emit_metrics: bool = True,
+                 vectorize: bool = True) -> None:
         self.spec = MapperSpec.from_ship_state(ship_state)
         self.abort_on_error = abort_on_error
         self.oneoff_backlinks = {k: wire_to_node(v)
@@ -95,45 +96,65 @@ class ExtractTriples:
         self.emit_metrics = emit_metrics
         # per-actor reconcile memo survives across batches
         self.reconcile_stack: dict = {}
+        # vectorized fast-path plans for statically-simple resources
+        # (engine/vectorized.py); compiled once per actor
+        if vectorize:
+            from rdf_mapper_ray.engine.vectorized import compile_spec
+            self.vec_plans = compile_spec(self.spec)
+        else:
+            self.vec_plans = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spec = self.spec
-        rows = batch.to_pylist()
-        counters = {"errors": 0, "rows": 0}
-        quads: list[Quad] = []
+        counters = {"errors": 0, "rows": batch.num_rows}
         collector = MentionCollector() if self.mention_mode else None
         reconciler = collector if collector is not None else self.reconciler
 
-        base = EvalState(
-            spec,
-            spec.context.new_child({"$file": None, "$row": None,
-                                    "$graph": DEFAULT_GRAPH}),
-            quads=quads,
-            reconcile_stack=self.reconcile_stack,
-            abort_on_error=self.abort_on_error,
-            counters=counters,
-            reconciler=reconciler,
-        )
-        base.backlinks.update(self.oneoff_backlinks)
+        # vectorized resources: whole-batch Arrow kernels
+        vec_tables: list[pa.Table] = []
+        vec_done: set[str] = set()
+        for name, plan in self.vec_plans.items():
+            if plan.supports(batch.schema):
+                vec_tables.extend(plan.evaluate(batch))
+                vec_done.add(name)
 
-        for row in rows:
-            counters["rows"] += 1
-            rk = f"{row.get('$file', 'f')}-{row.get('$row', counters['rows'])}"
-            state = base.child(row)
-            state.row_key = rk
-            state._ids = [0]
-            for rs in spec.resources:
-                try:
-                    process_resource(rs.name, rs, state)
-                except Exception:
-                    counters["errors"] += 1
-                    if self.abort_on_error:
-                        # abort-on-error still processes all rows; the count
-                        # is checked at finalize (template_processor.py:115-127)
-                        continue
+        quads: list[Quad] = []
+        slow_resources = [rs for rs in spec.resources
+                          if rs.name not in vec_done]
+        if slow_resources:
+            rows = batch.to_pylist()
+            base = EvalState(
+                spec,
+                spec.context.new_child({"$file": None, "$row": None,
+                                        "$graph": DEFAULT_GRAPH}),
+                quads=quads,
+                reconcile_stack=self.reconcile_stack,
+                abort_on_error=self.abort_on_error,
+                counters=counters,
+                reconciler=reconciler,
+            )
+            base.backlinks.update(self.oneoff_backlinks)
+
+            rown = 0
+            for row in rows:
+                rown += 1
+                rk = f"{row.get('$file', 'f')}-{row.get('$row', rown)}"
+                state = base.child(row)
+                state.row_key = rk
+                state._ids = [0]
+                for rs in slow_resources:
+                    try:
+                        process_resource(rs.name, rs, state)
+                    except Exception:
+                        counters["errors"] += 1
+                        if self.abort_on_error:
+                            # abort-on-error still processes all rows; the
+                            # count is checked at finalize
+                            # (template_processor.py:115-127)
+                            continue
 
         out = quads_to_table(quads)
-        extras: list[pa.Table] = []
+        extras: list[pa.Table] = vec_tables
         if collector is not None and collector.mentions:
             extras.append(_mentions_table(collector.mentions))
         if self.emit_metrics:

@@ -1,0 +1,593 @@
+"""Vectorized extract fast-path: compile statically-simple resource specs
+to Arrow column plans.
+
+The per-row template kernel is fully general but costs ~100µs/row. Most
+production mapping specs are *statically simple*: constant predicates,
+``@id``/value URIs that are pure concatenations of static text and
+column references, literal properties that apply a short chain of
+known scalar functions to one column. For those resources this module
+compiles an Arrow plan once per spec; extraction then runs as
+``pyarrow.compute`` kernels over whole batches (measured ~20-40x the
+per-row path). Resources that use any dynamic feature — guards,
+requires/unless, ``<row>``/``<uuid>``/``<hash>`` minting, backlinks,
+embedded/nested templates, reconcile, map_by, split fan-out, ``expr`` —
+are left to the per-row kernel (ExtractTriples runs both and unions the
+output), so semantics never degrade, only speed up.
+
+Parity contract: for every vectorizable construct the plan reproduces
+the per-row kernel byte-for-byte (tests/test_vectorized.py asserts
+plan-vs-kernel equality on every pipeline spec).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Any, Callable, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rdf_mapper_ray.engine.schema import TRIPLE_SCHEMA
+from rdf_mapper_ray.kernel.evaluator import _POOR_URI_CHARS, normalize
+from rdf_mapper_ray.kernel.namespaces import expand_curie
+from rdf_mapper_ray.kernel.nodes import (DEFAULT_GRAPH, RDF_TYPE, XSD_BOOLEAN,
+                                         XSD_DECIMAL, XSD_INTEGER)
+from rdf_mapper_ray.kernel.pattern import (_DT_RE, _LANGSTRING_RE, _PIPE_RE,
+                                           _VAR_RE)
+from rdf_mapper_ray.kernel.spec import MapperSpec, ResourceSpec
+
+_SKOS = "http://www.w3.org/2004/02/skos/core#"
+_DCT = "http://purl.org/dc/terms/"
+
+_URI_ABS_RE = re.compile(r"(https?|file|urn)://.*")
+
+# special variables / forms that force the per-row path
+_SPECIAL_REFS = {"row", "uuid", "parent", "_"}
+
+
+class NotVectorizable(Exception):
+    pass
+
+
+# --------------------------------------------------------------------------
+# concat plans: static text + bare column refs
+# --------------------------------------------------------------------------
+
+class ConcatPlan:
+    """Pure concatenation of static fragments and column references."""
+
+    __slots__ = ("parts", "columns")
+
+    def __init__(self, parts: list[tuple[str, str]]) -> None:
+        self.parts = parts                      # ("static", text) | ("col", name)
+        self.columns = [p[1] for p in parts if p[0] == "col"]
+
+    def supports(self, schema: pa.Schema) -> bool:
+        for c in self.columns:
+            if c not in schema.names:
+                return False
+            t = schema.field(c).type
+            if not (pa.types.is_string(t) or pa.types.is_large_string(t)
+                    or pa.types.is_integer(t)):
+                return False
+        return True
+
+    def evaluate(self, batch: pa.Table, fallback: Optional[str] = None
+                 ) -> tuple[pa.Array, pa.Array]:
+        """-> (string array, validity mask).
+
+        Rows where any referenced column is null: for literal values the
+        row is masked out (empty expansion → no triple); for URI values
+        the caller passes ``fallback`` — the reference's U8 rule
+        (template_support.py:163-164) substitutes
+        ``{$datasetBase}/data/{$resourceID}`` instead of skipping.
+        """
+        arrays = []
+        mask = None
+        n = batch.num_rows
+        for kind, payload in self.parts:
+            if kind == "static":
+                arrays.append(pa.array([payload] * n, type=pa.string()))
+            else:
+                col = batch.column(payload)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                valid = pc.is_valid(col)
+                mask = valid if mask is None else pc.and_(mask, valid)
+                if not pa.types.is_string(col.type):
+                    col = pc.cast(col, pa.string())
+                arrays.append(col)
+        if mask is None:
+            mask = pa.array([True] * n)
+        if len(arrays) == 1:
+            out = arrays[0]
+            if not pa.types.is_string(out.type):
+                out = pc.cast(out, pa.string())
+        else:
+            out = pc.binary_join_element_wise(
+                *arrays, "", null_handling="replace", null_replacement="")
+        if fallback is not None:
+            out = pc.if_else(mask, out,
+                             pa.scalar(fallback, type=pa.string()))
+            mask = pa.array([True] * n)
+        return out, mask
+
+
+def _compile_concat(template: str, namespaces) -> ConcatPlan:
+    """Compile a concat-only value/URI template; raises NotVectorizable
+    on any function chain or special variable."""
+    parts: list[tuple[str, str]] = []
+    last = 0
+    for m in _VAR_RE.finditer(template):
+        if m.start() > last:
+            parts.append(("static", template[last:m.start()]))
+        inner = m.group(1)
+        if "|" in inner:
+            raise NotVectorizable(f"function chain in {template!r}")
+        var = inner.strip()
+        if not var or var.startswith("$") or var.startswith("::"):
+            raise NotVectorizable(f"special var in {template!r}")
+        parts.append(("col", var))
+        last = m.end()
+    if last < len(template):
+        parts.append(("static", template[last:]))
+    return ConcatPlan(parts)
+
+
+def _compile_uri(pattern: str, namespaces) -> ConcatPlan:
+    """URI pattern -> concat plan producing absolute URIs."""
+    if not (pattern.startswith("<") and pattern.endswith(">")):
+        raise NotVectorizable(f"bare-name URI {pattern!r}")
+    ref = pattern[1:-1]
+    if ref in _SPECIAL_REFS or ref.startswith("hash") or ref.startswith("::"):
+        raise NotVectorizable(f"special URI form {pattern!r}")
+    plan = _compile_concat(ref, namespaces)
+    # CURIE/absolute check must be decidable statically: the first part
+    # must be static text that is already an absolute URI after CURIE
+    # expansion (otherwise minting would depend on $resourceID urljoin)
+    if not plan.parts:
+        raise NotVectorizable("empty URI pattern")
+    k, text = plan.parts[0]
+    if k != "static":
+        raise NotVectorizable(f"URI with leading variable {pattern!r}")
+    if len(plan.parts) == 1:
+        expanded = expand_curie(text, namespaces)
+        if not _URI_ABS_RE.fullmatch(expanded):
+            raise NotVectorizable(f"relative URI {pattern!r}")
+        return ConcatPlan([("static", expanded)])
+    if not _URI_ABS_RE.match(text):
+        raise NotVectorizable(f"non-absolute templated URI {pattern!r}")
+    return plan
+
+
+# --------------------------------------------------------------------------
+# vectorized scalar function chains
+# --------------------------------------------------------------------------
+
+def _str_input(col: pa.Array) -> pa.Array:
+    if not pa.types.is_string(col.type):
+        raise NotVectorizable("string function on non-string column")
+    return col
+
+
+def _v_tolower(col, mask):
+    return pc.utf8_lower(_str_input(col)), mask, None, None
+
+
+def _v_toupper(col, mask):
+    return pc.utf8_upper(_str_input(col)), mask, None, None
+
+
+def _v_trim(col, mask):
+    return pc.utf8_trim_whitespace(_str_input(col)), mask, None, None
+
+
+def _v_slug(col, mask):
+    s = pc.utf8_lower(_str_input(col))
+    s = pc.utf8_trim_whitespace(s)
+    s = pc.replace_substring_regex(s, r"\s+", "-")
+    for ch in ("%", "/", "[", "]"):
+        s = pc.replace_substring(s, ch, "_")
+    return s, mask, None, None
+
+
+def _v_length(col, mask):
+    n = pc.utf8_length(_str_input(col))
+    return pc.cast(n, pa.string()), mask, None, XSD_INTEGER
+
+
+def _v_sha256(col, mask):
+    vals = [None if v is None else hashlib.sha256(v.encode()).hexdigest()
+            for v in _str_input(col).to_pylist()]
+    return pa.array(vals, type=pa.string()), mask, None, None
+
+
+def _v_asint(col, mask):
+    if pa.types.is_integer(col.type):
+        out = col
+    elif pa.types.is_floating(col.type):
+        out = pc.cast(pc.trunc(col), pa.int64())
+    else:
+        raise NotVectorizable("asInt on non-numeric column")
+    # None input → property skipped (asInt returns None)
+    mask = pc.and_(mask, pc.is_valid(col))
+    return pc.cast(out, pa.string()), mask, None, XSD_INTEGER
+
+
+def _v_asdecimal(col, mask):
+    if not (pa.types.is_floating(col.type) or pa.types.is_integer(col.type)):
+        raise NotVectorizable("asDecimal on non-numeric column")
+    # Python float repr, not Arrow's ('1234.0' vs '1234'): C-speed loop
+    vals = [None if v is None else str(float(v)) for v in col.to_pylist()]
+    mask = pc.and_(mask, pc.is_valid(col))
+    return pa.array(vals, type=pa.string()), mask, None, XSD_DECIMAL
+
+
+_V_FUNCS: dict[str, Callable] = {
+    "toLower": _v_tolower,
+    "toUpper": _v_toupper,
+    "trim": _v_trim,
+    "slug": _v_slug,
+    "length": _v_length,
+    "sha256": _v_sha256,
+    "asInt": _v_asint,
+    "asDecimal": _v_asdecimal,
+}
+
+# functions that end a chain (typed output)
+_TERMINAL = {"length", "asInt", "asDecimal"}
+
+
+class FnChainPlan:
+    """``{col | f | g}`` with every f/g from the vectorizable set."""
+
+    __slots__ = ("column", "chain", "lang", "datatype")
+
+    def __init__(self, column: str, chain: list[str],
+                 lang: Optional[str], datatype: Optional[str]) -> None:
+        self.column = column
+        self.chain = chain
+        self.lang = lang
+        self.datatype = datatype
+
+    def supports(self, schema: pa.Schema) -> bool:
+        if self.column not in schema.names:
+            return False
+        t = schema.field(self.column).type
+        first = self.chain[0] if self.chain else None
+        if first in ("asInt", "asDecimal"):
+            return pa.types.is_integer(t) or pa.types.is_floating(t)
+        return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+    def evaluate(self, batch: pa.Table
+                 ) -> tuple[pa.Array, pa.Array, Optional[str], Optional[str]]:
+        col = batch.column(self.column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mask = pc.is_valid(col)
+        lang, dt = self.lang, self.datatype
+        for fname in self.chain:
+            col, mask, flang, fdt = _V_FUNCS[fname](col, mask)
+            if flang is not None:
+                lang = flang
+            if fdt is not None and dt is None:
+                dt = fdt
+        if not pa.types.is_string(col.type):
+            col = pc.cast(col, pa.string())
+        return col, mask, lang, dt
+
+
+def _v_normalize(col: pa.Array) -> pa.Array:
+    """Vectorized evaluator.normalize (strip, poor-chars → _, strip one
+    leading/trailing _)."""
+    s = pc.utf8_trim_whitespace(col)
+    s = pc.replace_substring_regex(s, _POOR_URI_CHARS.pattern, "_")
+    s = pc.replace_substring_regex(s, r"^_", "", max_replacements=1)
+    s = pc.replace_substring_regex(s, r"_$", "", max_replacements=1)
+    return s
+
+
+class AutoCVPlan:
+    """``{col | autoCV('name')}`` (label mode): member triples per row +
+    per-batch distinct concept/scheme quads (global dedup collapses
+    cross-batch repeats, SURVEY.md §2.8 A3)."""
+
+    __slots__ = ("column", "base", "scheme_id", "cv_name")
+
+    def __init__(self, column: str, dataset_base: str, cv_name: str) -> None:
+        self.column = column
+        self.cv_name = cv_name
+        self.base = f"{dataset_base}/def/{cv_name}"
+        self.scheme_id = self.base + "_scheme"
+
+    def supports(self, schema: pa.Schema) -> bool:
+        return (self.column in schema.names
+                and pa.types.is_string(schema.field(self.column).type))
+
+    def evaluate(self, batch: pa.Table
+                 ) -> tuple[pa.Array, pa.Array, Optional[str], Optional[str]]:
+        col = batch.column(self.column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # empty label → autoCV returns None → property skipped
+        mask = pc.and_(pc.is_valid(col),
+                       pc.greater(pc.utf8_length(col), 0))
+        uris = pc.binary_join_element_wise(
+            self.base + "/", _v_normalize(col), "",
+            null_handling="replace", null_replacement="")
+        return uris, mask, None, None
+
+    def concept_quads(self, batch: pa.Table, graph: str) -> list[list]:
+        labels = sorted(set(
+            v for v in batch.column(self.column).to_pylist() if v))
+        rows = []
+        scheme = self.scheme_id
+        rows.append([graph, scheme, "uri", RDF_TYPE, "uri",
+                     _SKOS + "ConceptScheme", None, None])
+        rows.append([graph, scheme, "uri", _DCT + "title", "literal",
+                     self.cv_name, None, None])
+        rows.append([graph, scheme, "uri", _DCT + "description", "literal",
+                     f"Automatically generated concept scheme {self.cv_name}",
+                     None, None])
+        for label in labels:
+            cid = f"{self.base}/{normalize(label)}"
+            rows.append([graph, cid, "uri", RDF_TYPE, "uri",
+                         _SKOS + "Concept", None, None])
+            rows.append([graph, cid, "uri", _SKOS + "prefLabel", "literal",
+                         label, None, None])
+            rows.append([graph, cid, "uri", _SKOS + "inScheme", "uri",
+                         scheme, None, None])
+            rows.append([graph, cid, "uri", _SKOS + "topConceptOf", "uri",
+                         scheme, None, None])
+            rows.append([graph, scheme, "uri", _SKOS + "hasTopConcept", "uri",
+                         cid, None, None])
+        return rows
+
+
+# --------------------------------------------------------------------------
+# property / resource plans
+# --------------------------------------------------------------------------
+
+_ARG_RE = re.compile(r"(\w+)\s*\(\s*'([^']*)'\s*\)\s*$")
+
+
+class PropPlan:
+    __slots__ = ("predicate", "inverse", "object_kind", "value_plan")
+
+    def __init__(self, predicate: str, inverse: bool, object_kind: str,
+                 value_plan: Any) -> None:
+        self.predicate = predicate
+        self.inverse = inverse
+        self.object_kind = object_kind          # "uri" | "literal"
+        self.value_plan = value_plan
+
+    def supports(self, schema: pa.Schema) -> bool:
+        return self.value_plan.supports(schema)
+
+
+def _compile_value(template: str, spec: MapperSpec) -> tuple[str, Any]:
+    """literal/URI value template -> ("uri"|"literal", plan)."""
+    namespaces = spec.namespaces
+    if template.startswith("<") and template.endswith(">") \
+            and not template.startswith("<::"):
+        return "uri", _compile_uri(template, namespaces)
+
+    # static @lang / ^^<dt> suffix (dynamic suffixes fall back)
+    lang = datatype = None
+    body = template
+    m = _DT_RE.match(template)
+    if m and "{" not in m.group(2):
+        body = m.group(1)
+        datatype = expand_curie(m.group(2), namespaces)
+    else:
+        m = _LANGSTRING_RE.match(template)
+        if m and "{" not in m.group(2) and "}" not in m.group(2):
+            body = m.group(1)
+            lang = m.group(2)
+    if "@" in body or "^^" in body:
+        # a static fragment containing suffix-like characters would hit
+        # the _finalize re-parse; leave those to the per-row kernel
+        raise NotVectorizable(f"suffix-ambiguous template {template!r}")
+
+    exps = _VAR_RE.findall(body)
+    if len(exps) == 1 and "|" in exps[0] and _VAR_RE.fullmatch("{%s}" % exps[0]) \
+            and body == "{" + exps[0] + "}":
+        parts = _PIPE_RE.split(exps[0])
+        column = parts[0].strip()
+        if not column or column.startswith("$"):
+            raise NotVectorizable("special var")
+        chain = [p.strip() for p in parts[1:]]
+        if len(chain) == 1:
+            am = _ARG_RE.fullmatch(chain[0])
+            if am and am.group(1) == "autoCV":
+                if lang or datatype:
+                    raise NotVectorizable("suffix on autoCV")
+                base = str(spec.context.get("$datasetBase"))
+                return "uri", AutoCVPlan(column, base, am.group(2))
+        for fname in chain:
+            if fname not in _V_FUNCS:
+                raise NotVectorizable(f"function {fname!r}")
+        for fname in chain[:-1]:
+            if fname in _TERMINAL:
+                raise NotVectorizable("typed fn mid-chain")
+        return "literal", FnChainPlan(column, chain, lang, datatype)
+
+    plan = _compile_concat(body, namespaces)
+    if lang or datatype:
+        plan = FnChainWrapper(plan, lang, datatype)
+    return "literal", plan
+
+
+class FnChainWrapper:
+    """Concat plan + static lang/datatype."""
+
+    __slots__ = ("inner", "lang", "datatype")
+
+    def __init__(self, inner: ConcatPlan, lang, datatype) -> None:
+        self.inner = inner
+        self.lang = lang
+        self.datatype = datatype
+
+    def supports(self, schema: pa.Schema) -> bool:
+        return self.inner.supports(schema)
+
+    def evaluate(self, batch):
+        col, mask = self.inner.evaluate(batch)
+        return col, mask, self.lang, self.datatype
+
+
+class ResourcePlan:
+    """Fully-vectorizable resource spec."""
+
+    __slots__ = ("name", "graph", "subject", "type_uri", "props", "fallback")
+
+    def __init__(self, name: str, graph: str, subject: ConcatPlan,
+                 type_uri: Optional[str], props: list[PropPlan],
+                 fallback: str) -> None:
+        self.name = name
+        self.graph = graph
+        self.subject = subject
+        self.type_uri = type_uri
+        self.props = props
+        self.fallback = fallback
+
+    def supports(self, schema: pa.Schema) -> bool:
+        names = set(schema.names)
+        for plan in [self.subject] + [p.value_plan for p in self.props]:
+            cols = getattr(plan, "columns", None)
+            if cols is None:
+                cols = [getattr(plan, "column", None)]
+                if isinstance(plan, FnChainWrapper):
+                    cols = plan.inner.columns
+            for c in cols:
+                if c is not None and c not in names:
+                    return False
+        return (self.subject.supports(schema)
+                and all(p.supports(schema) for p in self.props))
+
+    def evaluate(self, batch: pa.Table) -> list[pa.Table]:
+        n = batch.num_rows
+        subj, subj_mask = self.subject.evaluate(batch, fallback=self.fallback)
+        out: list[pa.Table] = []
+
+        def emit(pred: str, okind: str, values: pa.Array, mask: pa.Array,
+                 lang: Optional[str], dt: Optional[str],
+                 inverse: bool) -> None:
+            full = pc.and_(subj_mask, mask) if mask is not None else subj_mask
+            s, o = (values, subj) if inverse else (subj, values)
+            tbl = pa.Table.from_arrays([
+                pa.array([self.graph] * n, type=pa.string()),
+                s,
+                pa.array(["uri"] * n, type=pa.string()),
+                pa.array([pred] * n, type=pa.string()),
+                pa.array([okind] * n, type=pa.string()),
+                o,
+                pa.array([lang] * n, type=pa.string()),
+                pa.array([dt] * n, type=pa.string()),
+            ], schema=TRIPLE_SCHEMA)
+            out.append(tbl.filter(full))
+
+        if self.type_uri is not None:
+            emit(RDF_TYPE, "uri",
+                 pa.array([self.type_uri] * n, type=pa.string()),
+                 None, None, None, False)
+        extra_rows: list[list] = []
+        for p in self.props:
+            if isinstance(p.value_plan, ConcatPlan) and p.object_kind == "uri":
+                values, mask = p.value_plan.evaluate(batch,
+                                                     fallback=self.fallback)
+                lang = dt = None
+            else:
+                values, mask, lang, dt = _eval_value(p.value_plan, batch)
+            emit(p.predicate, p.object_kind, values, mask, lang, dt,
+                 p.inverse)
+            if isinstance(p.value_plan, AutoCVPlan):
+                extra_rows.extend(p.value_plan.concept_quads(batch,
+                                                             self.graph))
+        if extra_rows:
+            cols = list(zip(*extra_rows))
+            out.append(pa.Table.from_arrays(
+                [pa.array(list(c), type=pa.string()) for c in cols],
+                schema=TRIPLE_SCHEMA))
+        return out
+
+
+def _eval_value(plan: Any, batch: pa.Table):
+    if isinstance(plan, ConcatPlan):
+        values, mask = plan.evaluate(batch)
+        return values, mask, None, None
+    return plan.evaluate(batch)
+
+
+def compile_resource(rs: ResourceSpec, spec: MapperSpec
+                     ) -> Optional[ResourcePlan]:
+    """ResourceSpec -> ResourcePlan, or None when any feature needs the
+    per-row kernel."""
+    try:
+        if rs.pattern is not None or rs.guard is not None or rs.requires \
+                or rs.unless or rs.preserved_graph:
+            raise NotVectorizable("guard/requires/unless/pattern/graphAdd")
+        graph = DEFAULT_GRAPH
+        if rs.graph:
+            gplan = _compile_uri(rs.graph, spec.namespaces)
+            if gplan.columns or len(gplan.parts) != 1:
+                raise NotVectorizable("dynamic @graph")
+            graph = gplan.parts[0][1]
+        subject = None
+        type_uri = None
+        props: list[PropPlan] = []
+        for (prop, template) in rs.properties:
+            if prop == "@id":
+                if not isinstance(template, str):
+                    raise NotVectorizable("@id not a string")
+                subject = _compile_uri(template, spec.namespaces)
+                continue
+            if prop == "@type":
+                tplan = _compile_uri(template, spec.namespaces)
+                if tplan.columns or len(tplan.parts) != 1:
+                    raise NotVectorizable("dynamic @type")
+                type_uri = tplan.parts[0][1]
+                continue
+            if prop == "@graph":
+                continue
+            if not isinstance(template, str):
+                raise NotVectorizable("nested/list template")
+            inverse = prop.startswith("^")
+            pname = prop[1:] if inverse else prop
+            if pname.startswith(":") or not (pname.startswith("<")
+                                             and pname.endswith(">")):
+                raise NotVectorizable("propspec/bare property")
+            pplan = _compile_uri(pname, spec.namespaces)
+            if pplan.columns or len(pplan.parts) != 1:
+                raise NotVectorizable("dynamic predicate")
+            okind, vplan = _compile_value(template, spec)
+            if inverse and okind != "uri":
+                raise NotVectorizable("inverse of literal")
+            props.append(PropPlan(pplan.parts[0][1], inverse, okind, vplan))
+        if subject is None:
+            raise NotVectorizable("no explicit @id")
+        if spec.auto_declare:
+            # implicit-declaration side effects need the per-row path
+            raise NotVectorizable("auto_declare")
+        fallback = f"{spec.context.get('$datasetBase')}/data/{rs.name}"
+        return ResourcePlan(rs.name, graph, subject, type_uri, props,
+                            fallback)
+    except NotVectorizable:
+        return None
+
+
+def compile_spec(spec: MapperSpec) -> dict[str, ResourcePlan]:
+    """name -> plan for every vectorizable resource in the spec."""
+    import json as _json
+    raw = _json.dumps(spec.raw, default=str)
+    if "<::" in raw:
+        # backlink references may point at resources that would otherwise
+        # vectorize (and thus never record backlinks) — all per-row then
+        return {}
+    plans = {}
+    for rs in spec.resources:
+        plan = compile_resource(rs, spec)
+        if plan is not None:
+            plans[rs.name] = plan
+    return plans

@@ -1,0 +1,131 @@
+"""Vectorized fast-path parity: for every pipeline spec the Arrow-plan
+extract must produce exactly the per-row kernel's triples."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rdf_mapper_ray.engine.extract import ExtractTriples
+from rdf_mapper_ray.engine.vectorized import compile_spec
+from rdf_mapper_ray.kernel.spec import MapperSpec
+
+SF = "/root/testdata/sf0.001"
+
+
+def _keys(tbl: pa.Table) -> set:
+    cols = [tbl.column(c).to_pylist() for c in tbl.column_names]
+    return set(zip(*cols))
+
+
+def _run_both(spec_dict, table: pa.Table, expect_vec: set[str]):
+    spec = MapperSpec(spec_dict, auto_declare=False)
+    plans = compile_spec(spec)
+    assert set(plans) == expect_vec, f"vectorized {set(plans)} != {expect_vec}"
+    fast = ExtractTriples(spec.ship_state(), emit_metrics=False,
+                          vectorize=True)
+    slow = ExtractTriples(spec.ship_state(), emit_metrics=False,
+                          vectorize=False)
+    k_fast, k_slow = _keys(fast(table)), _keys(slow(table))
+    assert k_fast == k_slow, (
+        f"missing={list(k_slow - k_fast)[:3]} extra={list(k_fast - k_slow)[:3]}")
+
+
+def test_flagship_fully_vectorized():
+    from rdf_mapper_ray.pipelines.sourcecode import (FLAGSHIP_SPEC,
+                                                     derive_source_code)
+    tbl = derive_source_code(pq.read_table(
+        f"{SF}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"]))
+    _run_both(FLAGSHIP_SPEC, tbl, {"file", "repo"})
+
+
+def test_customer_vectorized():
+    from rdf_mapper_ray.pipelines.relational import CUSTOMER_SPEC
+    tbl = pq.read_table(f"{SF}/customer.parquet")
+    _run_both(CUSTOMER_SPEC, tbl, {"customer"})
+
+
+def test_orders_vectorized():
+    from rdf_mapper_ray.pipelines.relational import ORDERS_SPEC
+    tbl = pq.read_table(f"{SF}/orders.parquet")
+    _run_both(ORDERS_SPEC, tbl, {"order"})
+
+
+def test_part_falls_back_split():
+    from rdf_mapper_ray.pipelines.relational import PART_SPEC
+    tbl = pq.read_table(f"{SF}/part.parquet")
+    _run_both(PART_SPEC, tbl, set())        # split() fan-out → per-row
+
+
+def test_lineitem_falls_back_guard():
+    from rdf_mapper_ray.pipelines.relational import LINEITEM_SPEC
+    tbl = pq.read_table(f"{SF}/lineitem.parquet").slice(0, 2000)
+    _run_both(LINEITEM_SPEC, tbl, set())    # guard/requires/unless → per-row
+
+
+def test_events_user_resource_vectorized():
+    from rdf_mapper_ray.pipelines.relational import EVENTS_SPEC, _parse_props
+    tbl = _parse_props(pq.read_table(f"{SF}/events.parquet"))
+    # event has a nested resource (per-row); user is static-graph + concat
+    _run_both(EVENTS_SPEC, tbl, {"user"})
+
+
+def test_nulls_skip_properties():
+    spec = {
+        "globals": {"$datasetID": "t"},
+        "namespaces": {"ex": "http://e/"},
+        "resources": [{"name": "r", "properties": {
+            "@id": "<http://e/r/{id}>",
+            "<ex:a>": "{a}",
+            "<ex:n>": "{n | asInt}",
+        }}],
+    }
+    tbl = pa.table({
+        "id": ["1", "2", "3"],
+        "a": ["x", None, "z"],
+        "n": pa.array([10, 20, None], type=pa.int64()),
+    })
+    _run_both(spec, tbl, {"r"})
+    fast = ExtractTriples(MapperSpec(spec, auto_declare=False).ship_state(),
+                          emit_metrics=False)(tbl)
+    assert fast.num_rows == 4  # a:2 + n:2
+
+
+def test_langstring_and_datatype_suffix():
+    spec = {
+        "globals": {"$datasetID": "t"},
+        "namespaces": {"ex": "http://e/"},
+        "resources": [{"name": "r", "properties": {
+            "@id": "<http://e/r/{id}>",
+            "<ex:lbl>": "{a}@en",
+            "<ex:code>": "{a}^^<ex:Code>",
+        }}],
+    }
+    tbl = pa.table({"id": ["1"], "a": ["hello"]})
+    _run_both(spec, tbl, {"r"})
+    out = ExtractTriples(MapperSpec(spec, auto_declare=False).ship_state(),
+                         emit_metrics=False)(tbl)
+    d = {r["predicate"]: r for r in out.to_pylist()}
+    assert d["http://e/lbl"]["lang"] == "en"
+    assert d["http://e/code"]["datatype"] == "http://e/Code"
+
+
+def test_inverse_vectorized():
+    spec = {
+        "globals": {"$datasetID": "t"},
+        "namespaces": {"ex": "http://e/"},
+        "resources": [{"name": "r", "properties": {
+            "@id": "<http://e/r/{id}>",
+            "^<ex:has>": "<http://e/parent/{p}>",
+        }}],
+    }
+    tbl = pa.table({"id": ["1", "2"], "p": ["a", None]})
+    _run_both(spec, tbl, {"r"})
+    out = ExtractTriples(MapperSpec(spec, auto_declare=False).ship_state(),
+                         emit_metrics=False)(tbl)
+    rows = sorted(out.to_pylist(), key=lambda r: r["object_value"])
+    # null p does NOT skip a URI value: U8 fallback subject instead
+    assert len(rows) == 2
+    assert rows[0]["subject"] == "http://e/parent/a"
+    assert rows[0]["object_value"] == "http://e/r/1"
+    assert rows[1]["subject"].endswith("/data/r")

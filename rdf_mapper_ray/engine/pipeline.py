@@ -57,7 +57,8 @@ class KGPipeline:
                  canonicalize: bool = True,
                  batch_size: int = 2048,
                  extract_concurrency: Optional[int] = None,
-                 emit_metrics: bool = False) -> None:
+                 emit_metrics: bool = False,
+                 vectorize: bool = True) -> None:
         if isinstance(spec, dict):
             spec = MapperSpec(spec, auto_declare=auto_declare)
         self.spec = spec
@@ -69,6 +70,7 @@ class KGPipeline:
         self.batch_size = batch_size
         self.extract_concurrency = extract_concurrency
         self.emit_metrics = emit_metrics
+        self.vectorize = vectorize
         self.one_off_quads, self.one_off_backlinks = evaluate_one_offs(spec)
         self.preserved_graphs: set[str] = set()
 
@@ -85,7 +87,8 @@ class KGPipeline:
             self.ship, abort_on_error=self.abort_on_error,
             oneoff_backlinks=self.one_off_backlinks,
             reconciler=reconciler, mention_mode=mention_mode,
-            emit_metrics=self.emit_metrics if emit_metrics is None else emit_metrics)
+            emit_metrics=self.emit_metrics if emit_metrics is None else emit_metrics,
+            vectorize=self.vectorize)
         out = ds.map_batches(ext, batch_format="pyarrow",
                              batch_size=self.batch_size,
                              concurrency=self.extract_concurrency)

@@ -273,7 +273,8 @@ class FanOutCommits:
 
 def flagship_bench(sf_dir: str, commits_per_file: int = 1,
                    batch_size: int = 2048,
-                   num_blocks: Optional[int] = None) -> "ray.data.Dataset":
+                   num_blocks: Optional[int] = None,
+                   vectorize: bool = True) -> "ray.data.Dataset":
     """Flagship pipeline over the commit-multiplied source table —
     the headline throughput / scaling-efficiency workload.
 
@@ -299,7 +300,7 @@ def flagship_bench(sf_dir: str, commits_per_file: int = 1,
                             batch_format="pyarrow", batch_size=None,
                             concurrency=None)
     pipe = KGPipeline(FLAGSHIP_SPEC, auto_declare=False, canonicalize=False,
-                      batch_size=None)
+                      batch_size=None, vectorize=vectorize)
     return pipe.run(ds, sort=False)
 
 

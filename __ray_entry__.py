@@ -17,6 +17,21 @@ from collections.abc import Callable
 from typing import Any
 
 
+def _repo_stats(sf_dir: str) -> Any:
+    from rdf_mapper_ray.engine.partitioning import repo_stats
+    return repo_stats(sf_dir)
+
+
+_REPO_STATS_SQL = """
+SELECT source AS repo,
+       COUNT(*) AS n_files,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+ORDER BY repo
+"""
+
+
 def entry() -> Any:
     """Flagship KG-construction pipeline on sf0.001 (documents-derived
     source-code table → deduped, sorted triple table)."""
@@ -56,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_decode_dims": multimodal.decode_dims,
         "mm_resize_plan": multimodal.resize_plan,
         "sessionize": sessions.sessionize_query,
+        "repo_stats": _repo_stats,
         # rows-only (no SQL oracle): deterministic but non-relational
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(
             _docs(sf, ["doc_id", "text"])),
@@ -90,4 +106,5 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode_dims": multimodal.DECODE_ORACLE_SQL,
         "mm_resize_plan": multimodal.RESIZE_ORACLE_SQL,
         "sessionize": sessions.sessionize_oracle_sql(),
+        "repo_stats": _REPO_STATS_SQL,
     }

@@ -63,6 +63,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops ---
         "dedup_exact": lambda sf: dedup.exact_dedup(
             _docs(sf, ["doc_id", "text"])),
+        "dedup_embedding_cosine": lambda sf: dedup.embedding_neardup_pairs(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]),
+            threshold=0.45).select_columns(["left_id", "right_id"]),
+        "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
+            _docs(sf, ["doc_id", "text"]), threshold=0.4),
         "text_stats": lambda sf: text.text_stats(
             _docs(sf, ["doc_id", "text"])),
         "quality_score": lambda sf: text.quality_score(
@@ -99,6 +105,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256
             FROM documents GROUP BY sha256(text) ORDER BY doc_id
+        """,
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS left_id, b.vec_id AS right_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+            ORDER BY left_id, right_id
         """,
         "text_stats": text.TEXT_STATS_ORACLE_SQL,
         "quality_score": text.QUALITY_ORACLE_SQL,

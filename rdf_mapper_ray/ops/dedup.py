@@ -319,3 +319,130 @@ class SimHash:
 def simhash_table(ds: "ray.data.Dataset", text_col: str = "text",
                   id_col: str = "doc_id") -> "ray.data.Dataset":
     return ds.map_batches(SimHash(text_col, id_col), batch_format="pyarrow")
+
+
+# --- exact n-gram Jaccard verification ---------------------------------------
+
+def _jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
+                        id_col: str = "doc_id", shingle_k: int = 5,
+                        threshold: float = 0.5,
+                        num_perm: int = 128, num_bands: int = 32,
+                        seed: int = 42) -> "ray.data.Dataset":
+    """Near-dup pairs with *exact* n-gram Jaccard: MinHash+LSH proposes
+    candidates (cheap, distributed), then each candidate pair is verified
+    by recomputing the true shingle-set Jaccard from the texts. The texts
+    of candidate pairs only — a vanishing fraction at scale — are joined
+    back via a broadcast id→text map built from the candidate ids."""
+    import ray as _ray
+
+    cands = minhash_lsh_pairs(ds, text_col, id_col, num_perm=num_perm,
+                              num_bands=num_bands, shingle_k=shingle_k,
+                              threshold=threshold * 0.7, seed=seed)
+    cand_tbl = cands.to_pandas()
+    if cand_tbl.empty:
+        return _ray.data.from_arrow(pa.Table.from_pydict({
+            "left_id": pa.array([], type=pa.int64()),
+            "right_id": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64())}))
+    wanted = set(cand_tbl["left_id"]) | set(cand_tbl["right_id"])
+    wanted_ref = _ray.put(wanted)
+
+    def collect_texts(batch: pa.Table) -> pa.Table:
+        w = _ray.get(wanted_ref)
+        keep = [i for i, v in enumerate(batch.column(id_col).to_pylist())
+                if v in w]
+        return batch.take(pa.array(keep)) if keep else batch.slice(0, 0)
+
+    texts = {}
+    for b in (ds.map_batches(collect_texts, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for i, t in zip(b.column(id_col).to_pylist(),
+                        b.column(text_col).to_pylist()):
+            texts[i] = t
+
+    out = {"left_id": [], "right_id": [], "jaccard": []}
+    shingles: dict = {}
+
+    def sh(i):
+        if i not in shingles:
+            shingles[i] = set(_shingle_hashes(texts.get(i, "") or "",
+                                              shingle_k).tolist())
+        return shingles[i]
+
+    for l, r in zip(cand_tbl["left_id"], cand_tbl["right_id"]):
+        j = _jaccard(sh(int(l)), sh(int(r)))
+        if j >= threshold:
+            out["left_id"].append(int(l))
+            out["right_id"].append(int(r))
+            out["jaccard"].append(j)
+    return _ray.data.from_arrow(pa.Table.from_pydict({
+        "left_id": pa.array(out["left_id"], type=pa.int64()),
+        "right_id": pa.array(out["right_id"], type=pa.int64()),
+        "jaccard": pa.array(out["jaccard"], type=pa.float64())}))
+
+
+# --- embedding-cosine near-dup -----------------------------------------------
+
+def embedding_neardup_pairs(ds: "ray.data.Dataset",
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            threshold: float = 0.95,
+                            block_pairs: bool = True) -> "ray.data.Dataset":
+    """All pairs (left_id < right_id) with cosine similarity ≥ threshold.
+
+    Block-matmul self-join: the dataset is materialised into B blocks;
+    every block pair (i ≤ j) is scored with one float32 matmul in its
+    own task. O(B²) tasks but each is dense compute — the right shape
+    for GPUs/cluster cores. At very large n the LSH-bucketed variant
+    (similarity.knn_lsh machinery) prunes the quadratic term; this exact
+    version doubles as its recall oracle.
+    """
+    import numpy as np
+
+    import ray as _ray
+
+    blocks = []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        ids = np.asarray(b.column(id_col).to_pylist(), dtype=np.int64)
+        m = np.asarray(b.column(vec_col).to_pylist(), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        blocks.append(_ray.put((ids, m)))
+
+    @_ray.remote
+    def score(ref_a, ref_b, same: bool, thr: float):
+        ids_a, ma = ref_a
+        ids_b, mb = ref_b
+        s = ma @ mb.T
+        if same:
+            iu = np.triu_indices(len(ids_a), k=1)
+            mask = np.zeros_like(s, dtype=bool)
+            mask[iu] = True
+            hits = np.argwhere(mask & (s >= thr))
+        else:
+            hits = np.argwhere(s >= thr)
+        left = ids_a[hits[:, 0]]
+        right = ids_b[hits[:, 1]]
+        lo = np.minimum(left, right)
+        hi = np.maximum(left, right)
+        return lo, hi, s[hits[:, 0], hits[:, 1]]
+
+    futures = []
+    for i in range(len(blocks)):
+        for j in range(i, len(blocks)):
+            futures.append(score.remote(blocks[i], blocks[j], i == j,
+                                        threshold))
+    lo_all, hi_all, s_all = [], [], []
+    for lo, hi, s in _ray.get(futures):
+        lo_all.extend(lo.tolist())
+        hi_all.extend(hi.tolist())
+        s_all.extend(s.tolist())
+    return _ray.data.from_arrow(pa.Table.from_pydict({
+        "left_id": pa.array(lo_all, type=pa.int64()),
+        "right_id": pa.array(hi_all, type=pa.int64()),
+        "cosine": pa.array(s_all, type=pa.float64())}))

@@ -180,3 +180,41 @@ def test_frame_sample_fanout(ray_session):
     out = FrameSample(chunk=1024, every=4)(batch)
     assert out.column("frame_index").to_pylist() == [0, 4]
     assert all(len(f) > 0 for f in out.column("frame").to_pylist())
+
+
+def test_ngram_jaccard_exact_verification(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.dedup import _shingle_hashes, ngram_jaccard_pairs
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()[:30]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    words = texts[0].split()
+    words[1] = "zzzz"
+    rows.append({"doc_id": 1000, "text": " ".join(words)})
+    ds = ray.data.from_items(rows)
+    out = ngram_jaccard_pairs(ds, threshold=0.4).to_pandas()
+    hit = out[(out["left_id"] == 0) & (out["right_id"] == 1000)]
+    assert len(hit) == 1
+    # the reported jaccard is the TRUE set jaccard, not the estimate
+    a = set(_shingle_hashes(texts[0], 5).tolist())
+    b = set(_shingle_hashes(rows[-1]["text"], 5).tolist())
+    true_j = len(a & b) / len(a | b)
+    assert abs(hit["jaccard"].iloc[0] - true_j) < 1e-12
+
+
+def test_embedding_neardup_matches_bruteforce(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.dedup import embedding_neardup_pairs
+    tbl = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    out = embedding_neardup_pairs(ray.data.from_arrow(tbl),
+                                  threshold=0.45).to_pandas()
+    ids = np.asarray(tbl.column("vec_id").to_pylist())
+    m = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    s = m @ m.T
+    iu = np.triu_indices(len(ids), k=1)
+    expect = {(int(ids[i]), int(ids[j]))
+              for i, j in zip(*iu) if s[i, j] >= 0.45}
+    got = {(int(l), int(r)) for l, r in zip(out["left_id"], out["right_id"])}
+    assert got == expect

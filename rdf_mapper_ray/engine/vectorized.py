@@ -278,6 +278,90 @@ class FnChainPlan:
         return col, mask, lang, dt
 
 
+class RowFilter:
+    """Vectorized ``requires`` / ``unless`` row gate (evaluator
+    process_resource:311-335). String columns only — numeric columns
+    fall back to the per-row kernel (YAML expected-values are strings,
+    and the per-row comparison is Python equality)."""
+
+    __slots__ = ("column", "mode", "expected")
+
+    def __init__(self, column: str, mode: str, expected: Any) -> None:
+        self.column = column
+        self.mode = mode            # require | unless
+        self.expected = expected    # None | str | list[str|None]
+
+    def supports(self, schema: pa.Schema) -> bool:
+        return (self.column in schema.names
+                and pa.types.is_string(schema.field(self.column).type))
+
+    def mask(self, batch: pa.Table) -> pa.Array:
+        col = batch.column(self.column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if self.mode == "require":
+            if self.expected is None:
+                # any non-empty value
+                return pc.and_(pc.is_valid(col),
+                               pc.not_equal(col, ""))
+            if isinstance(self.expected, list):
+                return pc.fill_null(
+                    pc.is_in(col, value_set=pa.array(
+                        [e for e in self.expected if e is not None])), False)
+            return pc.fill_null(pc.equal(col, self.expected), False)
+        # unless: blank-normalised value (strip -> "" counts as missing)
+        stripped = pc.utf8_trim_whitespace(pc.fill_null(col, ""))
+        is_missing = pc.equal(stripped, "")
+        if self.expected is None:
+            return is_missing
+        values = [self.expected] if not isinstance(self.expected, list) \
+            else self.expected
+        non_null = [v for v in values if v is not None]
+        hit = pc.and_(pc.fill_null(pc.is_in(col, value_set=pa.array(
+            non_null, type=pa.string())), False), pc.invert(is_missing)) \
+            if non_null else pa.array([False] * batch.num_rows)
+        if None in values:
+            hit = pc.or_(hit, is_missing)
+        return pc.invert(hit)
+
+
+class FanOutPlan:
+    """``{col | split('re') | f | ...}`` — list fan-out: one output row
+    per split element (pattern.py:105-120 list flattening), emitted via
+    a parent-index take."""
+
+    __slots__ = ("column", "regex", "chain", "lang", "datatype")
+
+    def __init__(self, column: str, regex: str, chain: list[str],
+                 lang: Optional[str], datatype: Optional[str]) -> None:
+        self.column = column
+        self.regex = regex
+        self.chain = chain
+        self.lang = lang
+        self.datatype = datatype
+
+    def supports(self, schema: pa.Schema) -> bool:
+        return (self.column in schema.names
+                and pa.types.is_string(schema.field(self.column).type)
+                and all(f in ("toLower", "toUpper", "trim", "slug")
+                        for f in self.chain))
+
+    def evaluate(self, batch: pa.Table):
+        col = batch.column(self.column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern_regex(col, self.regex)
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        mask = pa.array([True] * len(flat))
+        for fname in self.chain:
+            flat, mask, _, _ = _V_FUNCS[fname](flat, mask)
+        return flat, mask, parents, self.lang, self.datatype
+
+
+_SPLIT_RE = re.compile(r"split\s*\(\s*'([^']*)'\s*\)$")
+
+
 def _v_normalize(col: pa.Array) -> pa.Array:
     """Vectorized evaluator.normalize (strip, poor-chars → _, strip one
     leading/trailing _)."""
@@ -398,6 +482,12 @@ def _compile_value(template: str, spec: MapperSpec) -> tuple[str, Any]:
         if not column or column.startswith("$"):
             raise NotVectorizable("special var")
         chain = [p.strip() for p in parts[1:]]
+        if chain:
+            sm = _SPLIT_RE.fullmatch(chain[0])
+            if sm or chain[0] == "splitComma":
+                regex = sm.group(1) if sm else r"\s*,\s*"
+                return "literal", FanOutPlan(column, regex, chain[1:],
+                                             lang, datatype)
         if len(chain) == 1:
             am = _ARG_RE.fullmatch(chain[0])
             if am and am.group(1) == "autoCV":
@@ -440,17 +530,20 @@ class FnChainWrapper:
 class ResourcePlan:
     """Fully-vectorizable resource spec."""
 
-    __slots__ = ("name", "graph", "subject", "type_uri", "props", "fallback")
+    __slots__ = ("name", "graph", "subject", "type_uri", "props", "fallback",
+                 "filters")
 
     def __init__(self, name: str, graph: str, subject: ConcatPlan,
                  type_uri: Optional[str], props: list[PropPlan],
-                 fallback: str) -> None:
+                 fallback: str, filters: Optional[list[RowFilter]] = None
+                 ) -> None:
         self.name = name
         self.graph = graph
         self.subject = subject
         self.type_uri = type_uri
         self.props = props
         self.fallback = fallback
+        self.filters = filters or []
 
     def supports(self, schema: pa.Schema) -> bool:
         names = set(schema.names)
@@ -464,27 +557,36 @@ class ResourcePlan:
                 if c is not None and c not in names:
                     return False
         return (self.subject.supports(schema)
-                and all(p.supports(schema) for p in self.props))
+                and all(p.supports(schema) for p in self.props)
+                and all(f.supports(schema) for f in self.filters))
 
     def evaluate(self, batch: pa.Table) -> list[pa.Table]:
+        for f in self.filters:
+            batch = batch.filter(f.mask(batch))
         n = batch.num_rows
+        if n == 0:
+            return []
         subj, subj_mask = self.subject.evaluate(batch, fallback=self.fallback)
         out: list[pa.Table] = []
 
         def emit(pred: str, okind: str, values: pa.Array, mask: pa.Array,
                  lang: Optional[str], dt: Optional[str],
-                 inverse: bool) -> None:
-            full = pc.and_(subj_mask, mask) if mask is not None else subj_mask
-            s, o = (values, subj) if inverse else (subj, values)
+                 inverse: bool, subjects: pa.Array = None,
+                 smask: pa.Array = None) -> None:
+            ss = subjects if subjects is not None else subj
+            sm = smask if smask is not None else subj_mask
+            m = len(ss)
+            full = pc.and_(sm, mask) if mask is not None else sm
+            s, o = (values, ss) if inverse else (ss, values)
             tbl = pa.Table.from_arrays([
-                pa.array([self.graph] * n, type=pa.string()),
+                pa.array([self.graph] * m, type=pa.string()),
                 s,
-                pa.array(["uri"] * n, type=pa.string()),
-                pa.array([pred] * n, type=pa.string()),
-                pa.array([okind] * n, type=pa.string()),
+                pa.array(["uri"] * m, type=pa.string()),
+                pa.array([pred] * m, type=pa.string()),
+                pa.array([okind] * m, type=pa.string()),
                 o,
-                pa.array([lang] * n, type=pa.string()),
-                pa.array([dt] * n, type=pa.string()),
+                pa.array([lang] * m, type=pa.string()),
+                pa.array([dt] * m, type=pa.string()),
             ], schema=TRIPLE_SCHEMA)
             out.append(tbl.filter(full))
 
@@ -494,6 +596,12 @@ class ResourcePlan:
                  None, None, None, False)
         extra_rows: list[list] = []
         for p in self.props:
+            if isinstance(p.value_plan, FanOutPlan):
+                flat, mask, parents, lang, dt = p.value_plan.evaluate(batch)
+                emit(p.predicate, p.object_kind, flat, mask, lang, dt,
+                     p.inverse, subjects=subj.take(parents),
+                     smask=subj_mask.take(parents))
+                continue
             if isinstance(p.value_plan, ConcatPlan) and p.object_kind == "uri":
                 values, mask = p.value_plan.evaluate(batch,
                                                      fallback=self.fallback)
@@ -525,9 +633,19 @@ def compile_resource(rs: ResourceSpec, spec: MapperSpec
     """ResourceSpec -> ResourcePlan, or None when any feature needs the
     per-row kernel."""
     try:
-        if rs.pattern is not None or rs.guard is not None or rs.requires \
-                or rs.unless or rs.preserved_graph:
-            raise NotVectorizable("guard/requires/unless/pattern/graphAdd")
+        if rs.pattern is not None or rs.guard is not None \
+                or rs.preserved_graph:
+            raise NotVectorizable("guard/pattern/graphAdd")
+        filters: list[RowFilter] = []
+        for mapping, mode in ((rs.requires, "require"), (rs.unless, "unless")):
+            for key, expected in (mapping or {}).items():
+                ok = (expected is None or isinstance(expected, str)
+                      or (isinstance(expected, list)
+                          and all(e is None or isinstance(e, str)
+                                  for e in expected)))
+                if not ok:
+                    raise NotVectorizable("non-string requires/unless")
+                filters.append(RowFilter(key, mode, expected))
         graph = DEFAULT_GRAPH
         if rs.graph:
             gplan = _compile_uri(rs.graph, spec.namespaces)
@@ -572,7 +690,7 @@ def compile_resource(rs: ResourceSpec, spec: MapperSpec
             raise NotVectorizable("auto_declare")
         fallback = f"{spec.context.get('$datasetBase')}/data/{rs.name}"
         return ResourcePlan(rs.name, graph, subject, type_uri, props,
-                            fallback)
+                            fallback, filters)
     except NotVectorizable:
         return None
 

@@ -51,10 +51,36 @@ def test_orders_vectorized():
     _run_both(ORDERS_SPEC, tbl, {"order"})
 
 
-def test_part_falls_back_split():
+def test_part_split_fanout_vectorized():
     from rdf_mapper_ray.pipelines.relational import PART_SPEC
     tbl = pq.read_table(f"{SF}/part.parquet")
-    _run_both(PART_SPEC, tbl, set())        # split() fan-out → per-row
+    _run_both(PART_SPEC, tbl, {"part"})     # split() fan-out via take()
+
+
+def test_requires_unless_vectorized():
+    spec = {
+        "globals": {"$datasetID": "t"},
+        "namespaces": {"ex": "http://e/"},
+        "resources": [{"name": "r",
+                       "requires": {"flag": ["y", "Y"], "label": None},
+                       "unless": {"status": "closed"},
+                       "properties": {
+                           "@id": "<http://e/r/{id}>",
+                           "<ex:l>": "{label}",
+                       }}],
+    }
+    tbl = pa.table({
+        "id": ["1", "2", "3", "4", "5"],
+        "flag": ["y", "n", "Y", "y", "y"],
+        "label": ["a", "b", "c", "", "e"],
+        "status": [None, "open", "closed", "open", "  "],
+    })
+    _run_both(spec, tbl, {"r"})
+    out = ExtractTriples(MapperSpec(spec, auto_declare=False).ship_state(),
+                         emit_metrics=False)(tbl)
+    subs = set(out.column("subject").to_pylist())
+    # 2: flag=n; 3: status=closed; 4: label empty → only 1 and 5 survive
+    assert subs == {"http://e/r/1", "http://e/r/5"}
 
 
 def test_lineitem_falls_back_guard():

@@ -284,6 +284,14 @@ class MapperSpec:
             "job_time": self.job_time,
         }
 
+    def __reduce__(self):
+        # Pickle as the recompile recipe, NOT the compiled object: a
+        # deserialising worker re-runs the full compile — including
+        # re-exec of Python plugin imports, which must register their
+        # transformer functions in *that* process's registry (the lazy
+        # pattern compiler resolves function names per process).
+        return (MapperSpec.from_ship_state, (self.ship_state(),))
+
     @classmethod
     def from_ship_state(cls, state: dict) -> "MapperSpec":
         return cls(state["raw"], auto_declare=state["auto_declare"],

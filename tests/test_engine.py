@@ -218,3 +218,37 @@ def test_sparql_update_delete_roundtrip(ray_session):
     after_delete = apply_update(delete_io.getvalue(), after_update)
     expected = canonical_quads(load_expected("graphs-delete.trig"))
     assert canonical_quads(list(after_delete)) == expected
+
+
+def test_plugin_function_in_ray_workers(ray_session, tmp_path):
+    """A Python plugin module (imports: [...] stanza) registers a custom
+    transformer; workers recompile the spec from its raw dict and re-exec
+    the plugin, so the function is available in every actor
+    (SURVEY.md §2.2 C5)."""
+    plugin = tmp_path / "shout_plugin.py"
+    plugin.write_text(
+        "from rdf_mapper_ray.kernel.functions import register\n"
+        "def shout(value, state=None):\n"
+        "    return str(value).upper() + '!'\n"
+        "register('shout', shout)\n")
+    spec = {
+        "globals": {"$datasetID": "docs"},
+        "namespaces": {"ex": "http://example.org/def/"},
+        "imports": ["shout_plugin.py"],
+        "resources": [{"name": "document", "properties": {
+            "@id": "<http://example.org/doc/{doc_id}>",
+            "<ex:loud>": "{source | shout}",
+        }}],
+    }
+    from rdf_mapper_ray.engine.pipeline import KGPipeline
+    from rdf_mapper_ray.kernel.spec import MapperSpec
+    pipe = KGPipeline(
+        MapperSpec(spec, auto_declare=False,
+                   search_paths=(str(tmp_path),)),
+        canonicalize=False)
+    out = pipe.run_files(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    loud = out[out["predicate"].str.endswith("/loud")]
+    assert len(loud) == 500
+    assert loud["object_value"].str.endswith("!").all()
+    assert loud["object_value"].str.isupper().all()

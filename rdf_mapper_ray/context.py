@@ -23,3 +23,8 @@ def configure_data_context() -> None:
         return
     ctx = ray.data.DataContext.get_current()
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    # 16 MiB blocks, not the 128 MiB I/O-oriented default: per-row
+    # template extraction is CPU-bound, and a single 60 MB block from a
+    # one-row-group file otherwise serialises the whole extract into one
+    # task (parallelism == block count in Ray Data).
+    ctx.target_max_block_size = 16 << 20

@@ -58,7 +58,8 @@ class KGPipeline:
                  batch_size: int = 2048,
                  extract_concurrency: Optional[int] = None,
                  emit_metrics: bool = False,
-                 vectorize: bool = True) -> None:
+                 vectorize: bool = True,
+                 rows_per_block: int = 8192) -> None:
         if isinstance(spec, dict):
             spec = MapperSpec(spec, auto_declare=auto_declare)
         self.spec = spec
@@ -71,6 +72,17 @@ class KGPipeline:
         self.extract_concurrency = extract_concurrency
         self.emit_metrics = emit_metrics
         self.vectorize = vectorize
+        # per-row extraction parallelism is block-count-bound; when any
+        # resource needs the per-row kernel, small inputs (one fat block)
+        # are split to ~rows_per_block rows so CPU-heavy extraction
+        # spreads across cores. Fully-vectorized specs skip the split.
+        self.rows_per_block = rows_per_block
+        if vectorize:
+            from rdf_mapper_ray.engine.vectorized import compile_spec
+            self._any_slow = len(compile_spec(self.spec)) < len(
+                self.spec.resources)
+        else:
+            self._any_slow = True
         self.one_off_quads, self.one_off_backlinks = evaluate_one_offs(spec)
         self.preserved_graphs: set[str] = set()
 
@@ -83,6 +95,8 @@ class KGPipeline:
         reconciler = None
         if self.reconcile_backend is not None and not mention_mode:
             reconciler = InlineReconciler(self.reconcile_backend)
+        if self._any_slow and self.rows_per_block:
+            ds = ds.repartition(target_num_rows_per_block=self.rows_per_block)
         ext = ExtractTriples(
             self.ship, abort_on_error=self.abort_on_error,
             oneoff_backlinks=self.one_off_backlinks,

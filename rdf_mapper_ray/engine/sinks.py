@@ -20,8 +20,12 @@ SORT_KEY = ["graph", "subject", "predicate", "object_value"]
 
 def sort_triples(ds: "ray.data.Dataset") -> "ray.data.Dataset":  # noqa: F821
     """Deterministic output ordering (the reference's output order is an
-    rdflib serializer artifact; we sort explicitly)."""
-    return ds.sort(SORT_KEY)
+    rdflib serializer artifact; we sort explicitly).
+
+    Ray's sort chooses its reduce-partition count from the input block
+    count; a handful of fat blocks would serialise the merge, so split
+    first (narrow op, no shuffle)."""
+    return ds.repartition(target_num_rows_per_block=65536).sort(SORT_KEY)
 
 
 def write_triples_parquet(ds: "ray.data.Dataset", path: str,  # noqa: F821

@@ -93,8 +93,20 @@ def read_parquet_rows(paths: str | list[str],
         raise FileNotFoundError(f"No parquet files under {paths}")
     plan = plan_parquet(files)
     ds = ray.data.from_items(plan)
-    # a plain-function stage: stateless tasks, one per plan item block
-    return ds.map_batches(RowGroupReader(columns=columns),
+    # Actor-pool stage, deliberately: a task-based reader would FUSE with
+    # the downstream extract map_batches, collapsing a whole row-group's
+    # worth of work into one task (measured: a 600k-row single-row-group
+    # file ran the entire extract serially). Actor→task chains don't
+    # fuse, so the reader's streamed 32k-row chunks become independent
+    # blocks that downstream stages process in parallel.
+    if concurrency is None:
+        try:
+            concurrency = (1, max(2, int(ray.cluster_resources()
+                                         .get("CPU", 8)) // 4))
+        except Exception:
+            concurrency = (1, 4)
+    return ds.map_batches(RowGroupReader,
+                          fn_constructor_kwargs={"columns": columns},
                           batch_size=1, batch_format="pyarrow",
                           concurrency=concurrency)
 

@@ -88,7 +88,9 @@ def main() -> None:
         ray.init(address="local", num_cpus=NUM_CPUS,
                  include_dashboard=False, logging_level="ERROR")
     times, rows = run_queries(SF_DIR)
-    head = flagship_throughput(SF_DIR)
+    # headline: the commit-multiplied 1M-row source-code workload (the
+    # bare table is so small that fixed pipeline overhead dominates)
+    head = flagship_throughput(SF_DIR, commits_per_file=200)
     out = {
         "metric": "kg-construction pipeline suite wall time",
         "value": round(sum(times.values()) + head["sec"], 3),

@@ -252,3 +252,35 @@ def test_plugin_function_in_ray_workers(ray_session, tmp_path):
     assert len(loud) == 500
     assert loud["object_value"].str.endswith("!").all()
     assert loud["object_value"].str.isupper().all()
+
+
+def test_csv_and_jsonlines_sources(ray_session, tmp_path):
+    """S1/S2: csv.DictReader semantics (all strings) and nested JSON
+    values, with deterministic $file/$row (mapper.py:14-26)."""
+    csv_path = tmp_path / "rows.csv"
+    csv_path.write_text("id,label\n1,alpha\n2,beta\n")
+    jsonl_path = tmp_path / "rows.jsonl"
+    jsonl_path.write_text(
+        '{"id": 1, "tags": ["a", "b"]}\n{"id": 2, "tags": ["c"]}\n')
+
+    from rdf_mapper_ray.engine.sources import (read_csv_rows,
+                                               read_jsonlines_rows)
+    cdf = read_csv_rows(str(csv_path)).to_pandas().sort_values("$row")
+    assert cdf["$row"].tolist() == [1, 2]
+    assert set(cdf["$file"]) == {"rows"}
+    assert cdf["id"].tolist() == ["1", "2"]       # CSV values are strings
+
+    jdf = read_jsonlines_rows(str(jsonl_path)).to_pandas().sort_values("$row")
+    assert jdf["id"].tolist() == [1, 2]           # JSON keeps types
+    assert list(jdf["tags"].tolist()[0]) == ["a", "b"]  # nested values survive
+
+    # end-to-end through the pipeline with a split fan-out over csv
+    from rdf_mapper_ray.engine.pipeline import KGPipeline
+    spec = {"globals": {"$datasetID": "t"},
+            "namespaces": {"ex": "http://e/"},
+            "resources": [{"name": "r", "properties": {
+                "@id": "<http://e/r/{id}>",
+                "<ex:label>": "{label | toUpper}"}}]}
+    pipe = KGPipeline(spec, auto_declare=False, canonicalize=False)
+    out = pipe.run(read_csv_rows(str(csv_path))).to_pandas()
+    assert sorted(out["object_value"]) == ["ALPHA", "BETA"]

@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nation_mapby": relational.nation_query,
         "kg_events_nested": relational.events_query,
         "kg_lineitem_guards": relational.lineitem_query,
+        "kg_events_mapto": relational.events_mapto_query,
+        "kg_docs_langtag": relational.docs_langtag_query,
         # --- training-data ops ---
         "dedup_exact": lambda sf: dedup.exact_dedup(
             _docs(sf, ["doc_id", "text"])),
@@ -102,6 +104,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_nation_mapby": relational.NATION_ORACLE_SQL,
         "kg_events_nested": relational.EVENTS_ORACLE_SQL,
         "kg_lineitem_guards": relational.LINEITEM_ORACLE_SQL,
+        "kg_events_mapto": relational.EVENTS_MAPTO_ORACLE_SQL,
+        "kg_docs_langtag": relational.DOCS_LANGTAG_ORACLE_SQL,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256
             FROM documents GROUP BY sha256(text) ORDER BY doc_id

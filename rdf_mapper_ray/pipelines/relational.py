@@ -348,6 +348,111 @@ ORDER BY graph, subject, predicate, object_kind, object_value
 """
 
 
+# --- events map_to (to_entries + embedded template fan-out) -----------------
+
+EVENTS_MAPTO_SPEC = {
+    "globals": {"$datasetID": "tpch"},
+    "namespaces": {"ex": _EX},
+    # embedded template applied to each to_entries() item (the item list
+    # flattens through the pipe, pattern.py P5, so map_to sees each dict
+    # and the <parent> URI is {$parentID}/{$resourceID} without an index)
+    "embedded": [{
+        "name": "kv",
+        "properties": {
+            "@id": "<parent>",
+            "<ex:key>": "{$key}",
+            "<ex:val>": "{$value | asInt}",
+        },
+    }],
+    "resources": [{
+        "name": "event",
+        "properties": {
+            "@id": "<http://example.org/event/{event_id}>",
+            "<ex:kv>": "{props_obj | to_entries | map_to('kv')}",
+        },
+    }],
+}
+
+
+def _props_struct(batch):
+    """props '{"k": 12}' -> struct<k:int64> column (vectorised regex, no
+    per-row json.loads)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    k = pc.cast(pc.struct_field(
+        pc.extract_regex(batch.column("props"), r'"k": (?P<k>-?\d+)'), "k"),
+        pa.int64())
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
+    obj = pa.StructArray.from_arrays([k], names=["k"])
+    return batch.append_column("props_obj", obj)
+
+
+def events_mapto_query(sf_dir: str) -> "ray.data.Dataset":
+    from rdf_mapper_ray.engine.sources import read_parquet_rows
+    pipe = KGPipeline(EVENTS_MAPTO_SPEC, auto_declare=False,
+                      canonicalize=False)
+    ds = read_parquet_rows(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "props"])
+    ds = ds.map_batches(_props_struct, batch_format="pyarrow")
+    return pipe.run(ds)
+
+
+EVENTS_MAPTO_ORACLE_SQL = f"""
+WITH e AS (
+  SELECT 'http://example.org/event/' || CAST(event_id AS VARCHAR) AS s,
+         'http://example.org/event/' || CAST(event_id AS VARCHAR)
+            || '/kv' AS kv_uri,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+),
+triples AS (
+  SELECT s AS subject, '{_EX}kv' AS predicate, 'uri' AS object_kind,
+         kv_uri AS object_value, NULL AS datatype FROM e
+  UNION ALL
+  SELECT kv_uri, '{_EX}key', 'literal', 'k', NULL FROM e
+  UNION ALL
+  SELECT kv_uri, '{_EX}val', 'literal', CAST(k AS VARCHAR),
+         '{_XSD}integer' FROM e
+)
+{_TRIPLE_SELECT}
+"""
+
+
+# --- documents with dynamic language tags (P3) ------------------------------
+
+DOCS_LANGTAG_SPEC = {
+    "globals": {"$datasetID": "docs"},
+    "namespaces": {"ex": _EX},
+    "resources": [{
+        "name": "doc",
+        "properties": {
+            "@id": "<http://example.org/doc/{doc_id}>",
+            "<ex:text>": "{text}@{lang}",
+        },
+    }],
+}
+
+
+def docs_langtag_query(sf_dir: str) -> "ray.data.Dataset":
+    return _run(DOCS_LANGTAG_SPEC, f"{sf_dir}/documents.parquet",
+                ["doc_id", "text", "lang"])
+
+
+DOCS_LANGTAG_ORACLE_SQL = f"""
+WITH d AS (
+  SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS s, *
+  FROM documents
+)
+SELECT DISTINCT
+  '{_G}' AS graph, s AS subject, 'uri' AS subject_kind,
+  '{_EX}text' AS predicate, 'literal' AS object_kind,
+  text AS object_value, lang, CAST(NULL AS VARCHAR) AS datatype
+FROM d
+ORDER BY subject
+"""
+
+
 # --- nation (map_by + expr + inverse property) ------------------------------
 
 def _nation_spec(sf_dir: str) -> dict:

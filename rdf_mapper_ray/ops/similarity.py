@@ -216,3 +216,100 @@ def knn_lsh(ds: "ray.data.Dataset", query_ids: list[int],
                                 concurrency=2)
     return cand.groupby("query_id").map_groups(
         lambda g: _final_topk(g, k), batch_format="pandas")
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
+            seed: int = 42) -> np.ndarray:
+    """Seeded mini k-means on a bounded driver-side sample — the
+    centroid table is tiny and broadcast once."""
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+class IVFIndex:
+    """Driver-built IVF metadata: centroids from a sample pass; the
+    cluster-assignment column is added by a vectorized map_batches."""
+
+    def __init__(self, ds: "ray.data.Dataset", nlist: int = 16,
+                 vec_col: str = "embedding", sample_rows: int = 4096,
+                 seed: int = 42) -> None:
+        sample = ds.limit(sample_rows).to_pandas()[vec_col].tolist()
+        self.centroids = _kmeans(np.asarray(sample, dtype=np.float64),
+                                 nlist, seed=seed)
+        self.vec_col = vec_col
+
+    def assign(self, ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        cent_ref = ray.put(self.centroids)
+        vec_col = self.vec_col
+
+        def add_cluster(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cent_ref)
+            m = _stack(batch.column(vec_col))
+            d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            return batch.append_column(
+                "cluster", pa.array(d.argmin(axis=1), type=pa.int64()))
+
+        return ds.map_batches(add_cluster, batch_format="pyarrow")
+
+
+def knn_ivf(ds: "ray.data.Dataset", query_ids: list[int],
+            query_vecs: list[list[float]], k: int = 10, nlist: int = 16,
+            nprobe: int = 4, vec_col: str = "embedding",
+            id_col: str = "vec_id") -> "ray.data.Dataset":
+    """IVF top-k: scan only the ``nprobe`` nearest clusters per query —
+    an nlist/nprobe scan reduction with recall measured against
+    knn_bruteforce in tests."""
+    index = IVFIndex(ds, nlist=nlist, vec_col=vec_col)
+    assigned = index.assign(ds)
+    qm = np.asarray(query_vecs, dtype=np.float64)
+    dq = ((qm[:, None, :] - index.centroids[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(dq, axis=1)[:, :nprobe]
+    by_cluster: dict[int, tuple[list[int], list[np.ndarray]]] = {}
+    for qi, qid in enumerate(query_ids):
+        for c in probes[qi]:
+            by_cluster.setdefault(int(c), ([], []))
+            by_cluster[int(c)][0].append(int(qid))
+            by_cluster[int(c)][1].append(qm[qi])
+    qref = ray.put(by_cluster)
+
+    def cluster_topk(batch: pa.Table) -> pa.Table:
+        table = ray.get(qref)
+        out = {"query_id": [], "neighbor_id": [], "score": []}
+        df = batch.to_pandas()
+        for cluster, grp in df.groupby("cluster"):
+            hit = table.get(int(cluster))
+            if hit is None:
+                continue
+            qids, qvecs = hit
+            m = np.asarray(grp[vec_col].tolist(), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            qn = np.asarray(qvecs, dtype=np.float64)
+            qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+            scores = qn @ m.T
+            ids = grp[id_col].to_numpy()
+            for qi, qid in enumerate(qids):
+                kk = min(k + 1, scores.shape[1])
+                for j in np.argpartition(-scores[qi], kk - 1)[:kk]:
+                    if ids[j] != qid:
+                        out["query_id"].append(qid)
+                        out["neighbor_id"].append(int(ids[j]))
+                        out["score"].append(float(scores[qi][j]))
+        return pa.Table.from_pydict({
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
+            "score": pa.array(out["score"], type=pa.float64()),
+        })
+
+    cand = assigned.map_batches(cluster_topk, batch_format="pyarrow")
+    return cand.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pandas")

@@ -218,3 +218,21 @@ def test_embedding_neardup_matches_bruteforce(ray_session):
               for i, j in zip(*iu) if s[i, j] >= 0.45}
     got = {(int(l), int(r)) for l, r in zip(out["left_id"], out["right_id"])}
     assert got == expect
+
+
+def test_knn_ivf_recall(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.similarity import knn_bruteforce, knn_ivf
+    tbl = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    m = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    qids = list(range(5))
+    qvecs = [m[i].tolist() for i in qids]
+    ds = ray.data.from_arrow(tbl)
+    exact = knn_bruteforce(ds, qids, qvecs, k=10).to_pandas()
+    approx = knn_ivf(ds, qids, qvecs, k=10, nlist=8, nprobe=3).to_pandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    # embeddings are generated from 3 latent clusters: IVF with 3 probes
+    # over 8 lists should recover most of the true neighbours
+    assert len(a & e) / len(e) > 0.5

@@ -109,3 +109,113 @@ def canonicalize_sameas(ds: "ray.data.Dataset",
     return ds.map_batches(RewriteNodes(mapping_ref, drop_sameas=drop_self_sameas,
                                        predicate=predicate),
                           batch_format="pandas")
+
+
+# --- distributed connected components (scale path) --------------------------
+
+def _cc_min_label(edge_ds: "ray.data.Dataset",
+                  max_iters: int = 50) -> "ray.data.Dataset":
+    """Connected components by iterative min-label propagation over an
+    (a, b) edge Dataset — the documented fallback when the edge set
+    outgrows driver memory. Converges in O(component diameter) rounds;
+    each round is one groupby(node).min(label) shuffle.
+
+    Returns a (node, label) Dataset where label is the lexicographically
+    smallest member of the node's component.
+    """
+    import pyarrow as _pa
+
+    def seed(batch: _pa.Table) -> _pa.Table:
+        a = batch.column("a")
+        b = batch.column("b")
+        mn = pc.min_element_wise(a, b)
+        return _pa.Table.from_pydict({
+            "node": _pa.concat_arrays([
+                a.combine_chunks() if isinstance(a, _pa.ChunkedArray) else a,
+                b.combine_chunks() if isinstance(b, _pa.ChunkedArray) else b]),
+            "label": _pa.concat_arrays([
+                mn.combine_chunks() if isinstance(mn, _pa.ChunkedArray)
+                else mn] * 2),
+        })
+
+    labels = edge_ds.map_batches(seed, batch_format="pyarrow") \
+        .groupby("node").min("label") \
+        .map_batches(lambda t: t.rename_columns(["node", "label"]),
+                     batch_format="pyarrow").materialize()
+
+    edges = edge_ds.materialize()
+    for _ in range(max_iters):
+        # join edges to labels on both endpoints, emit (node, neighbor label)
+        lab = {n: l for b in labels.iter_batches(batch_format="pyarrow")
+               for n, l in zip(b.column("node").to_pylist(),
+                               b.column("label").to_pylist())}
+        lab_ref = ray.put(lab)
+
+        def propagate(batch: _pa.Table) -> _pa.Table:
+            m = ray.get(lab_ref)
+            a = batch.column("a").to_pylist()
+            b = batch.column("b").to_pylist()
+            nodes, cand = [], []
+            for x, y in zip(a, b):
+                lx, ly = m.get(x, x), m.get(y, y)
+                nodes.extend((x, y))
+                best = lx if lx < ly else ly
+                cand.extend((best, best))
+            return _pa.Table.from_pydict({
+                "node": _pa.array(nodes, type=_pa.string()),
+                "label": _pa.array(cand, type=_pa.string()),
+            })
+
+        nxt = edges.map_batches(propagate, batch_format="pyarrow") \
+            .union(labels) \
+            .groupby("node").min("label") \
+            .map_batches(lambda t: t.rename_columns(["node", "label"]),
+                         batch_format="pyarrow").materialize()
+        # converged when no label changed
+        old = {n: l for b in labels.iter_batches(batch_format="pyarrow")
+               for n, l in zip(b.column("node").to_pylist(),
+                               b.column("label").to_pylist())}
+        changed = False
+        for b in nxt.iter_batches(batch_format="pyarrow"):
+            for n, l in zip(b.column("node").to_pylist(),
+                            b.column("label").to_pylist()):
+                if old.get(n) != l:
+                    changed = True
+                    break
+            if changed:
+                break
+        labels = nxt
+        if not changed:
+            break
+    return labels
+
+
+def canonicalize_sameas_distributed(ds: "ray.data.Dataset",
+                                    predicate: str = OWL_SAMEAS,
+                                    drop_self_sameas: bool = True
+                                    ) -> "ray.data.Dataset":
+    """Same semantics as :func:`canonicalize_sameas` but with the
+    connected components computed by distributed min-label propagation
+    (groupby shuffles) instead of driver-side union-find. The
+    convergence check still reads the — component-count-sized — label
+    table; a fully driver-free variant would track a changed-counter
+    aggregate per round."""
+    def _edges(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(batch.column("predicate"), predicate),
+                       pc.equal(batch.column("object_kind"), "uri"))
+        sel = batch.filter(mask)
+        return pa.Table.from_pydict({"a": sel.column("subject"),
+                                     "b": sel.column("object_value")})
+
+    edge_ds = ds.map_batches(_edges, batch_format="pyarrow")
+    if edge_ds.count() == 0:
+        return ds
+    labels = _cc_min_label(edge_ds)
+    mapping = {n: l for b in labels.iter_batches(batch_format="pyarrow")
+               for n, l in zip(b.column("node").to_pylist(),
+                               b.column("label").to_pylist()) if n != l}
+    mapping_ref = ray.put(mapping)
+    return ds.map_batches(RewriteNodes(mapping_ref,
+                                       drop_sameas=drop_self_sameas,
+                                       predicate=predicate),
+                          batch_format="pandas")

@@ -284,3 +284,31 @@ def test_csv_and_jsonlines_sources(ray_session, tmp_path):
     pipe = KGPipeline(spec, auto_declare=False, canonicalize=False)
     out = pipe.run(read_csv_rows(str(csv_path))).to_pandas()
     assert sorted(out["object_value"]) == ["ALPHA", "BETA"]
+
+
+def test_canonicalize_distributed_matches_unionfind(ray_session):
+    """The min-label-propagation scale path produces exactly the
+    union-find result, including a multi-hop chain component."""
+    import ray.data
+    from rdf_mapper_ray.engine.canonicalize import (
+        canonicalize_sameas, canonicalize_sameas_distributed)
+    from rdf_mapper_ray.kernel.nodes import OWL_SAMEAS
+
+    def row(s, p, o, ok="uri"):
+        return {"graph": "g", "subject": s, "subject_kind": "uri",
+                "predicate": p, "object_kind": ok, "object_value": o,
+                "lang": None, "datatype": None}
+
+    rows = [row(f"http://e/n{i}", OWL_SAMEAS, f"http://e/n{i+1}")
+            for i in range(6)]                       # chain n0..n6
+    rows += [row("http://e/x", OWL_SAMEAS, "http://e/y"),
+             row("http://e/n6", "http://e/p", "v", ok="literal"),
+             row("http://e/z", "http://e/q", "http://e/n3")]
+    ds = ray.data.from_items(rows)
+    a = canonicalize_sameas(ds).to_pandas()
+    b = canonicalize_sameas_distributed(ds).to_pandas()
+    ka = set(map(tuple, a.values))
+    kb = set(map(tuple, b.values))
+    assert ka == kb
+    assert ("g", "http://e/n0", "uri", "http://e/p", "literal", "v",
+            None, None) in kb

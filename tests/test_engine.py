@@ -312,3 +312,35 @@ def test_canonicalize_distributed_matches_unionfind(ray_session):
     assert ka == kb
     assert ("g", "http://e/n0", "uri", "http://e/p", "literal", "v",
             None, None) in kb
+
+
+def test_run_sharded_partial_failure_resume(ray_session, tmp_path):
+    """Resume recomputes ONLY the shard whose checkpoint is missing:
+    completed shards keep their output files untouched (north_rule:
+    resumable from checkpoint with per-partition lineage)."""
+    import shutil
+
+    from rdf_mapper_ray.engine.pipeline import KGPipeline
+    # two input files -> two shards
+    src = pq.read_table(f"{SF}/documents.parquet")
+    half = src.num_rows // 2
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(src.slice(0, half), str(d / "a.parquet"))
+    pq.write_table(src.slice(half), str(d / "b.parquet"))
+
+    pipe = KGPipeline(DOC_SPEC, auto_declare=False, canonicalize=False)
+    workdir = str(tmp_path / "wk")
+    n1 = pipe.run_sharded(str(d), workdir, files_per_shard=1).count()
+
+    # simulate a failed shard 1: remove its manifest + output
+    os.remove(os.path.join(workdir, "manifests", "shard=00001.json"))
+    shutil.rmtree(os.path.join(workdir, "extract", "shard=00001"))
+    kept = os.path.join(workdir, "extract", "shard=00000")
+    mtime_before = os.path.getmtime(kept)
+
+    n2 = pipe.run_sharded(str(d), workdir, files_per_shard=1).count()
+    assert n2 == n1
+    assert os.path.getmtime(kept) == mtime_before   # shard 0 untouched
+    assert os.path.isfile(os.path.join(workdir, "manifests",
+                                       "shard=00001.json"))

@@ -383,6 +383,29 @@ def process_resource(name: str, rs: ResourceSpec, state: EvalState) -> Any:
     return resource
 
 
+# functions guaranteed never to read $prop from the context; anything
+# else (autoCV's empty-name fallback, map_to/smap_to embedded templates,
+# reconcile, user plugins) forces the per-property child context
+_PROP_BLIND_FNS = frozenset({
+    "asInt", "asDecimal", "asDate", "asDateTime", "asDateOrDatetime",
+    "asBoolean", "trim", "toLower", "toUpper", "slug", "split",
+    "splitComma", "sha256", "hash", "length", "expr", "now", "asInt3",
+    "map_by",
+})
+_FN_NAME_RE = re.compile(r"\|\s*([A-Za-z_]\w*)")
+_NEEDS_PROP_CACHE: dict[str, bool] = {}
+
+
+def _needs_prop_child(template: str) -> bool:
+    v = _NEEDS_PROP_CACHE.get(template)
+    if v is None:
+        v = ("$prop" in template
+             or any(f not in _PROP_BLIND_FNS
+                    for f in _FN_NAME_RE.findall(template)))
+        _NEEDS_PROP_CACHE[template] = v
+    return v
+
+
 def process_property(resource: Any, prop: str, template: Any,
                      state: EvalState) -> None:
     """Expand one (property, template) pair (template_support.py:330-396)."""
@@ -428,7 +451,13 @@ def process_property(resource: Any, prop: str, template: Any,
     if isinstance(template, str):
         if template == "":
             template = "{" + prop + "}"
-        value = value_expand(template, state.child({"$prop": propname}))
+        if _needs_prop_child(template):
+            vstate = state.child({"$prop": propname})
+        else:
+            # templates provably not reading $prop (no reference to it,
+            # only $prop-blind builtins) skip the per-property context
+            vstate = state
+        value = value_expand(template, vstate)
     elif isinstance(template, dict):
         rs = ResourceSpec.from_dict(template)
         value = process_resource(rs.name, rs, state)

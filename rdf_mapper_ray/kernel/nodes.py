@@ -83,6 +83,10 @@ class Lit:
             self.datatype: Optional[str] = None
         elif datatype is not None:
             self.datatype = str(datatype)
+        elif type(value) is str:            # hot path: plain string literal
+            self.datatype = None
+            self.lexical = value
+            return
         else:
             self.datatype = _infer_datatype(value)
         self.lexical = _lexical(value)

@@ -224,6 +224,47 @@ def _v_asdecimal(col, mask):
     return pa.array(vals, type=pa.string()), mask, None, XSD_DECIMAL
 
 
+def _v_asboolean(col, mask):
+    if pa.types.is_boolean(col.type):
+        out = pc.if_else(col, "true", "false")
+    elif pa.types.is_string(col.type):
+        truthy = pc.is_in(pc.utf8_lower(col),
+                          value_set=pa.array(["yes", "true", "ok", "1"]))
+        out = pc.if_else(truthy, "true", "false")
+    else:
+        raise NotVectorizable("asBoolean on unsupported column type")
+    # asBoolean(None) == false, never skipped
+    out = pc.fill_null(out, "false")
+    n = len(col)
+    return out, pa.array([True] * n), None, XSD_BOOLEAN
+
+
+from rdf_mapper_ray.kernel.nodes import XSD_DATE, XSD_DATETIME  # noqa: E402
+
+
+def _ts_col(col):
+    if not pa.types.is_timestamp(col.type):
+        raise NotVectorizable("date fn on non-timestamp column")
+    if col.type.unit != "us":
+        col = pc.cast(col, pa.timestamp("us"))
+    return col
+
+
+def _v_asdatetime(col, mask):
+    col = _ts_col(col)
+    # Arrow %S includes fractional seconds; Python isoformat drops a
+    # zero fraction entirely — strip '.000000' for parity
+    s = pc.strftime(col, format="%Y-%m-%dT%H:%M:%S")
+    s = pc.replace_substring_regex(s, r"\.000000$", "")
+    return s, pc.and_(mask, pc.is_valid(col)), None, XSD_DATETIME
+
+
+def _v_asdate(col, mask):
+    col = _ts_col(col)
+    s = pc.strftime(col, format="%Y-%m-%d")
+    return s, pc.and_(mask, pc.is_valid(col)), None, XSD_DATE
+
+
 _V_FUNCS: dict[str, Callable] = {
     "toLower": _v_tolower,
     "toUpper": _v_toupper,
@@ -233,10 +274,14 @@ _V_FUNCS: dict[str, Callable] = {
     "sha256": _v_sha256,
     "asInt": _v_asint,
     "asDecimal": _v_asdecimal,
+    "asBoolean": _v_asboolean,
+    "asDateTime": _v_asdatetime,
+    "asDate": _v_asdate,
 }
 
 # functions that end a chain (typed output)
-_TERMINAL = {"length", "asInt", "asDecimal"}
+_TERMINAL = {"length", "asInt", "asDecimal", "asBoolean", "asDateTime",
+             "asDate"}
 
 
 class FnChainPlan:
@@ -258,6 +303,10 @@ class FnChainPlan:
         first = self.chain[0] if self.chain else None
         if first in ("asInt", "asDecimal"):
             return pa.types.is_integer(t) or pa.types.is_floating(t)
+        if first in ("asDateTime", "asDate"):
+            return pa.types.is_timestamp(t)
+        if first == "asBoolean":
+            return pa.types.is_string(t) or pa.types.is_boolean(t)
         return pa.types.is_string(t) or pa.types.is_large_string(t)
 
     def evaluate(self, batch: pa.Table

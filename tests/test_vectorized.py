@@ -155,3 +155,35 @@ def test_inverse_vectorized():
     assert rows[0]["subject"] == "http://e/parent/a"
     assert rows[0]["object_value"] == "http://e/r/1"
     assert rows[1]["subject"].endswith("/data/r")
+
+
+def test_dates_and_boolean_vectorized():
+    import datetime
+    spec = {
+        "globals": {"$datasetID": "t"},
+        "namespaces": {"ex": "http://e/"},
+        "resources": [{"name": "r", "properties": {
+            "@id": "<http://e/r/{id}>",
+            "<ex:dt>": "{ts | asDateTime}",
+            "<ex:d>": "{ts | asDate}",
+            "<ex:ok>": "{flag | asBoolean}",
+        }}],
+    }
+    tbl = pa.table({
+        "id": ["1", "2", "3"],
+        "ts": pa.array([datetime.datetime(2024, 1, 1, 0, 0, 7, 179575),
+                        datetime.datetime(2024, 1, 2),
+                        None], type=pa.timestamp("us")),
+        "flag": ["Yes", "n", None],
+    })
+    _run_both(spec, tbl, {"r"})
+    out = ExtractTriples(MapperSpec(spec, auto_declare=False).ship_state(),
+                         emit_metrics=False)(tbl).to_pylist()
+    dt = {r["subject"]: r["object_value"] for r in out
+          if r["predicate"].endswith("/dt")}
+    assert dt["http://e/r/1"] == "2024-01-01T00:00:07.179575"
+    assert dt["http://e/r/2"] == "2024-01-02T00:00:00"
+    ok = {r["subject"]: r["object_value"] for r in out
+          if r["predicate"].endswith("/ok")}
+    assert ok == {"http://e/r/1": "true", "http://e/r/2": "false",
+                  "http://e/r/3": "false"}

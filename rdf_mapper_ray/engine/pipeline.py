@@ -95,7 +95,7 @@ class KGPipeline:
         reconciler = None
         if self.reconcile_backend is not None and not mention_mode:
             reconciler = InlineReconciler(self.reconcile_backend)
-        if self._any_slow and self.rows_per_block:
+        if self.rows_per_block:
             ds = ds.repartition(target_num_rows_per_block=self.rows_per_block)
         ext = ExtractTriples(
             self.ship, abort_on_error=self.abort_on_error,

@@ -558,6 +558,19 @@ def _compile_value(template: str, spec: MapperSpec) -> tuple[str, Any]:
     return "literal", plan
 
 
+class NestedPlan:
+    """Inline nested resource spec (M11): the child's subject URI is the
+    property value; the child's own triples are emitted alongside."""
+
+    __slots__ = ("plan",)
+
+    def __init__(self, plan: "ResourcePlan") -> None:
+        self.plan = plan
+
+    def supports(self, schema: pa.Schema) -> bool:
+        return self.plan.supports(schema)
+
+
 class FnChainWrapper:
     """Concat plan + static lang/datatype."""
 
@@ -645,6 +658,14 @@ class ResourcePlan:
                  None, None, None, False)
         extra_rows: list[list] = []
         for p in self.props:
+            if isinstance(p.value_plan, NestedPlan):
+                sub = p.value_plan.plan
+                child_subj, child_mask = sub.subject.evaluate(
+                    batch, fallback=sub.fallback)
+                emit(p.predicate, "uri", child_subj, child_mask, None, None,
+                     p.inverse)
+                out.extend(sub.evaluate(batch))
+                continue
             if isinstance(p.value_plan, FanOutPlan):
                 flat, mask, parents, lang, dt = p.value_plan.evaluate(batch)
                 emit(p.predicate, p.object_kind, flat, mask, lang, dt,
@@ -717,6 +738,18 @@ def compile_resource(rs: ResourceSpec, spec: MapperSpec
                 type_uri = tplan.parts[0][1]
                 continue
             if prop == "@graph":
+                continue
+            if isinstance(template, dict):
+                sub = compile_resource(ResourceSpec.from_dict(template), spec)
+                if sub is None:
+                    raise NotVectorizable("nested spec not vectorizable")
+                inverse = prop.startswith("^")
+                pname = prop[1:] if inverse else prop
+                pplan = _compile_uri(pname, spec.namespaces)
+                if pplan.columns or len(pplan.parts) != 1:
+                    raise NotVectorizable("dynamic predicate")
+                props.append(PropPlan(pplan.parts[0][1], inverse, "uri",
+                                      NestedPlan(sub)))
                 continue
             if not isinstance(template, str):
                 raise NotVectorizable("nested/list template")

@@ -300,7 +300,8 @@ def flagship_bench(sf_dir: str, commits_per_file: int = 1,
                             batch_format="pyarrow", batch_size=None,
                             concurrency=None)
     pipe = KGPipeline(FLAGSHIP_SPEC, auto_declare=False, canonicalize=False,
-                      batch_size=None, vectorize=vectorize)
+                      batch_size=None, vectorize=vectorize,
+                      rows_per_block=0)   # input already block-partitioned
     return pipe.run(ds, sort=False)
 
 

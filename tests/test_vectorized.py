@@ -89,11 +89,12 @@ def test_lineitem_falls_back_guard():
     _run_both(LINEITEM_SPEC, tbl, set())    # guard/requires/unless → per-row
 
 
-def test_events_user_resource_vectorized():
+def test_events_fully_vectorized():
     from rdf_mapper_ray.pipelines.relational import EVENTS_SPEC, _parse_props
     tbl = _parse_props(pq.read_table(f"{SF}/events.parquet"))
-    # event has a nested resource (per-row); user is static-graph + concat
-    _run_both(EVENTS_SPEC, tbl, {"user"})
+    # event: nested resource plan + native-timestamp asDateTime;
+    # user: static named graph + concat
+    _run_both(EVENTS_SPEC, tbl, {"user", "event"})
 
 
 def test_nulls_skip_properties():

@@ -48,7 +48,9 @@ log = logging.getLogger(__name__)
 
 _POOR_URI_CHARS = re.compile(r"[^\w\-]+")
 _URI_RE = re.compile(r"(https?|file|urn)://.*")
-_HASH_RE = re.compile(r"hash\s?\(([^)]*)\)$")
+# greedy body: hash args may themselves contain parentheses, e.g. the
+# HSE example's <hash(MAPP (Reg.) Number:,...)> (template_support.py:147)
+_HASH_RE = re.compile(r"hash\s?\((.*)\)$", re.DOTALL)
 _COMMA_SPLIT = re.compile(r"\s*,\s*")
 _VALUE_DT_RE = re.compile(r"^(.+)\^\^(<[^>]+>)$", re.DOTALL)
 
@@ -599,7 +601,7 @@ _AUTO_SCHEME_SPEC = ResourceSpec.from_dict({
 })
 
 
-def autoCV(label: Any, state: EvalState, cv_name: str,
+def autoCV(label: Any, state: EvalState, cv_name: str = "",
            cv_type: Optional[str] = None) -> Any:
     """Mint (or reuse) a SKOS concept + scheme for a string label
     (template_support.py:575-604)."""

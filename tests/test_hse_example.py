@@ -87,3 +87,20 @@ def test_hse_stage4_ray_matches_kernel(ray_session, hse_rows, tmp_path):
     ray_keys = {tuple(r) for r in out.to_pandas().itertuples(index=False)}
     _proc, kernel_keys = _kernel_quads(hse_rows)
     assert ray_keys == kernel_keys
+
+
+@pytest.mark.parametrize("template", [
+    "1-as-is.yaml", "2-reuse-registration.yaml", "3-split-products.yaml",
+    "simplemap.yaml", "multi-resource.yaml", "property-resuse.yaml"])
+def test_hse_other_templates_run_clean(template, hse_rows):
+    """Every lark-free HSE template processes the sample corpus with zero
+    errors and deterministic output."""
+    from rdf_mapper_ray.kernel.processor import RowProcessor
+    from rdf_mapper_ray.kernel.spec import load_template
+    tdir = f"{HSE_DIR}/templates"
+    spec = load_template(open(f"{tdir}/{template}", encoding="utf-8"),
+                         auto_declare=True, search_paths=(tdir,))
+    proc = RowProcessor(spec, filename="hse-sample")
+    proc.process_rows(hse_rows)
+    assert proc.error_count == 0
+    assert len(proc.quads()) > 50

@@ -71,11 +71,22 @@ def normalize_schema(batch: pa.Table) -> pa.Table:
 def add_partition_key(batch: pa.Table, num_partitions: int) -> pa.Table:
     """64-bit row hash → ``pid`` in [0, num_partitions). All copies of a
     duplicate row share a pid, so a within-partition distinct after the
-    pid shuffle is globally exact."""
+    pid shuffle is globally exact.
+
+    Hashes column-by-column and mixes, instead of materialising one
+    joined key string per row — at tens of millions of triples the
+    joined column alone was gigabytes of transient allocation."""
+    import numpy as np
     batch = normalize_schema(batch)
-    s = _key_series(batch)
-    h1 = pd.util.hash_pandas_object(s, index=False, hash_key=_H1_KEY).values
-    pid = (h1 % num_partitions).astype("int64")
+    h = None
+    for c in COLUMNS:
+        if c not in batch.column_names:
+            continue
+        s = batch.column(c).to_pandas()
+        hc = pd.util.hash_pandas_object(s, index=False,
+                                        hash_key=_H1_KEY).values
+        h = hc if h is None else (h * np.uint64(1000003)) ^ hc
+    pid = (h % num_partitions).astype("int64")
     return batch.append_column("pid", pa.array(pid, type=pa.int64()))
 
 

@@ -26,20 +26,12 @@ import pyarrow.compute as pc
 from rdf_mapper_ray.engine.schema import COLUMNS
 
 _H1_KEY = "0123456789abcdef"
-_H2_KEY = "fedcba9876543210"
 
 
 def local_unique(batch: pa.Table) -> pa.Table:
     """Vectorized within-block distinct over the triple columns."""
     cols = [c for c in COLUMNS if c in batch.column_names]
     return batch.group_by(cols, use_threads=False).aggregate([])
-
-
-def _key_series(batch: pa.Table) -> pd.Series:
-    joined = pc.binary_join_element_wise(
-        *[pc.cast(batch.column(c), pa.string()) for c in COLUMNS],
-        "\x1f", null_handling="replace", null_replacement="\x00")
-    return joined.to_pandas()
 
 
 def normalize_schema(batch: pa.Table) -> pa.Table:

@@ -8,11 +8,14 @@ Strategy (scale-aware):
 1. *Local* distinct inside each block first (vectorized Arrow group_by) —
    auto-declare / auto-CV candidates repeat per row, so this collapses
    most duplicates before any data moves;
-2. add a 128-bit content hash (two independent 64-bit vectorized hashes)
-   so the shuffle key is a pair of ints, not 8 string columns;
-3. ``groupby(hash).map_groups(head(1))`` — the only all-to-all exchange.
+2. a 64-bit per-column-mixed row hash modulo P becomes a ``pid``
+   partition key — the shuffle moves an 8-byte key, never the 8 string
+   columns' width, and no joined key string is ever materialised;
+3. ``groupby(pid).map_groups(vectorized distinct)`` — the only
+   all-to-all exchange, with P (not one-per-triple) group calls.
 
-128 bits keeps collision probability negligible (< 1e-18 at 10^12 rows).
+Exactness comes from the in-group distinct over the real columns, so
+the hash only routes rows — collisions cost balance, never correctness.
 """
 
 from __future__ import annotations

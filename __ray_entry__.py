@@ -32,6 +32,15 @@ ORDER BY repo
 """
 
 
+def _first_queries(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()[:n]
+    vecs = tbl.column("embedding").to_pylist()[:n]
+    return ids, vecs
+
+
 def entry() -> Any:
     """Flagship KG-construction pipeline on sf0.001 (documents-derived
     source-code table → deduped, sorted triple table)."""
@@ -88,6 +97,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lambda sf: text.lang_id(_docs(sf, ["doc_id", "text"])),
         "fingerprint": lambda sf: text.fingerprints(
             _docs(sf, ["doc_id", "text"])),
+        "session_stats": sessions.session_stats_query,
+        "knn_lsh": lambda sf: similarity.knn_lsh(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]),
+            *_first_queries(sf), dim=64),
+        "knn_ivf": lambda sf: similarity.knn_ivf(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]),
+            *_first_queries(sf)),
     }
 
 
@@ -122,5 +140,6 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode_dims": multimodal.DECODE_ORACLE_SQL,
         "mm_resize_plan": multimodal.RESIZE_ORACLE_SQL,
         "sessionize": sessions.sessionize_oracle_sql(),
+        "session_stats": sessions.session_stats_oracle_sql(),
         "repo_stats": _REPO_STATS_SQL,
     }

@@ -66,6 +66,42 @@ def sessionize_query(sf_dir: str, gap_seconds: float = 1800.0):
     return sessionize(ds, gap_seconds=gap_seconds)
 
 
+def session_stats_oracle_sql(gap_seconds: float = 1800.0) -> str:
+    return f"""
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR (epoch(ts) - epoch(prev_ts)) > {gap_seconds}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM o
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
+  FROM marked
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       CAST(FLOOR(epoch(MAX(ts)) - epoch(MIN(ts))) AS BIGINT)
+         AS duration_secs
+FROM sess GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+
+def session_stats_query(sf_dir: str, gap_seconds: float = 1800.0):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    return session_stats(ds, gap_seconds=gap_seconds)
+
+
 def sessionize_oracle_sql(gap_seconds: float = 1800.0) -> str:
     return f"""
 WITH o AS (

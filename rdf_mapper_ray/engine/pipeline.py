@@ -112,15 +112,18 @@ class KGPipeline:
         return out
 
     def _post_extract(self, t: "ray.data.Dataset") -> "ray.data.Dataset":
-        if self.reconcile_backend is not None and self.reconcile_mode == "mentions":
-            t, mentions = split_mentions(t)
-            t = resolve_mentions(t, mentions, self.ship,
-                                 self.reconcile_backend)
-        elif self.emit_metrics:
+        if self.emit_metrics:
+            # filter metrics pseudo-triples unconditionally BEFORE the
+            # mention/canonicalize stages (previously skipped in mentions
+            # mode, leaking METRICS_GRAPH rows into the final output)
             t = t.map_batches(
                 lambda b: b.filter(pc.invert(pc.equal(b.column("graph"),
                                                       METRICS_GRAPH))),
                 batch_format="pyarrow")
+        if self.reconcile_backend is not None and self.reconcile_mode == "mentions":
+            t, mentions = split_mentions(t)
+            t = resolve_mentions(t, mentions, self.ship,
+                                 self.reconcile_backend)
         if self.canonicalize:
             t = canonicalize_sameas(t)
         return distinct_triples(t)

@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from rdf_mapper_ray.engine.schema import TRIPLE_SCHEMA
-from rdf_mapper_ray.kernel.evaluator import _POOR_URI_CHARS, normalize
+from rdf_mapper_ray.kernel.evaluator import normalize
 from rdf_mapper_ray.kernel.namespaces import expand_curie
 from rdf_mapper_ray.kernel.nodes import (DEFAULT_GRAPH, RDF_TYPE, XSD_BOOLEAN,
                                          XSD_DECIMAL, XSD_INTEGER)
@@ -354,9 +354,15 @@ class RowFilter:
                 return pc.and_(pc.is_valid(col),
                                pc.not_equal(col, ""))
             if isinstance(self.expected, list):
-                return pc.fill_null(
+                m = pc.fill_null(
                     pc.is_in(col, value_set=pa.array(
-                        [e for e in self.expected if e is not None])), False)
+                        [e for e in self.expected if e is not None],
+                        type=pa.string())), False)
+                if None in self.expected:
+                    # kernel: ``value not in expected`` → None passes when
+                    # the expected list contains None (evaluator:317-319)
+                    m = pc.or_(m, pc.is_null(col))
+                return m
             return pc.fill_null(pc.equal(col, self.expected), False)
         # unless: blank-normalised value (strip -> "" counts as missing)
         stripped = pc.utf8_trim_whitespace(pc.fill_null(col, ""))
@@ -412,13 +418,21 @@ _SPLIT_RE = re.compile(r"split\s*\(\s*'([^']*)'\s*\)$")
 
 
 def _v_normalize(col: pa.Array) -> pa.Array:
-    """Vectorized evaluator.normalize (strip, poor-chars → _, strip one
-    leading/trailing _)."""
-    s = pc.utf8_trim_whitespace(col)
-    s = pc.replace_substring_regex(s, _POOR_URI_CHARS.pattern, "_")
-    s = pc.replace_substring_regex(s, r"^_", "", max_replacements=1)
-    s = pc.replace_substring_regex(s, r"_$", "", max_replacements=1)
-    return s
+    """Column-wise evaluator.normalize.
+
+    Arrow/RE2 ``\\w`` is ASCII-only while the kernel's Python ``\\w`` is
+    Unicode-aware, so a regex kernel here would mint member URIs that
+    disagree with the concept URIs produced by ``normalize`` (dangling
+    references for non-ASCII labels).  Labels are low-cardinality per
+    batch, so dictionary-encode and run the Python normalizer once per
+    distinct value — one source of truth for both paths."""
+    d = col.dictionary_encode()
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    normed_dict = pa.array(
+        [None if v is None else normalize(v)
+         for v in d.dictionary.to_pylist()], type=pa.string())
+    return normed_dict.take(d.indices)
 
 
 class AutoCVPlan:
@@ -662,6 +676,12 @@ class ResourcePlan:
                 sub = p.value_plan.plan
                 child_subj, child_mask = sub.subject.evaluate(
                     batch, fallback=sub.fallback)
+                # child requires/unless gate the link triple too: the
+                # kernel skips the property when process_resource returns
+                # None, so AND the child's row filters (computed on the
+                # parent batch) into the link mask
+                for f in sub.filters:
+                    child_mask = pc.and_(child_mask, f.mask(batch))
                 emit(p.predicate, "uri", child_subj, child_mask, None, None,
                      p.inverse)
                 out.extend(sub.evaluate(batch))

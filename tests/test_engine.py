@@ -390,3 +390,44 @@ def test_row_uri_partition_order_independence(ray_session, tmp_path):
     # every URI embeds its file name and 1-based position
     assert got["f2-r0"].endswith("/part2-1")
     assert got["f0-r39"].endswith("/part0-40")
+
+
+def test_cc_min_label_large_random_graph(ray_session):
+    """Distributed min-label CC on a non-trivial graph (long chains,
+    cliques, random unions) must reproduce union-find exactly — and do it
+    through pid-routed shuffles, never a driver-side label dict."""
+    import random
+
+    import ray.data
+    from rdf_mapper_ray.engine.canonicalize import UnionFind, _cc_min_label
+
+    rng = random.Random(7)
+    edges = []
+    # 40 chains of length 60 (multi-hop propagation)
+    for c in range(40):
+        for i in range(60):
+            edges.append((f"n{c:03d}_{i:03d}", f"n{c:03d}_{i + 1:03d}"))
+    # 20 cliques of 12
+    for c in range(20):
+        members = [f"k{c:03d}_{i:02d}" for i in range(12)]
+        for i in range(len(members)):
+            edges.append((members[i], members[(i + 1) % len(members)]))
+    # random cross links merging some components
+    for _ in range(150):
+        a = f"n{rng.randrange(40):03d}_{rng.randrange(61):03d}"
+        b = f"k{rng.randrange(20):03d}_{rng.randrange(12):02d}"
+        if rng.random() < 0.3:
+            edges.append((a, b))
+    rng.shuffle(edges)
+
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    expected = {n: uf.find(n)
+                for n in {x for e in edges for x in e}}
+
+    edge_ds = ray.data.from_items(
+        [{"a": a, "b": b} for a, b in edges])
+    labels = _cc_min_label(edge_ds, num_partitions=4).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    assert got == expected

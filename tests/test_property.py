@@ -58,10 +58,23 @@ def test_slug_is_stable_and_clean(s):
     assert not re.search(r"\s", out)
 
 
+def _reference_normalize(s):
+    """Reference-parity model (template_support.py:91-97): non-word runs →
+    '_', then strip at most ONE leading and ONE trailing underscore.  NOT
+    idempotent by design ('0_\\U00012544' etc.) — the kernel must match the
+    reference, so we assert parity, not idempotence."""
+    norm = re.sub(r"[^\w\-]+", "_", s.strip())
+    if norm.endswith("_"):
+        norm = norm[:-1]
+    if norm.startswith("_"):
+        norm = norm[1:]
+    return norm
+
+
 @SETTINGS
 @given(s=plain)
-def test_normalize_idempotent(s):
-    assert normalize(normalize(s)) == normalize(s)
+def test_normalize_reference_parity(s):
+    assert normalize(s) == _reference_normalize(s)
 
 
 @SETTINGS

@@ -188,3 +188,86 @@ def test_dates_and_boolean_vectorized():
           if r["predicate"].endswith("/ok")}
     assert ok == {"http://e/r/1": "true", "http://e/r/2": "false",
                   "http://e/r/3": "false"}
+
+
+def test_nested_requires_gates_link_triple():
+    """ADVICE r2: the parent→child link must honor the child's
+    requires/unless — the kernel skips the property when the nested
+    resource is gated out (process_resource returns None)."""
+    spec = {
+        "globals": {"$datasetID": "t"},
+        "namespaces": {"ex": "http://e/"},
+        "resources": [{"name": "r", "properties": {
+            "@id": "<http://e/r/{id}>",
+            "<ex:child>": {"name": "c",
+                           "requires": {"flag": "y"},
+                           "properties": {
+                               "@id": "<http://e/c/{id}>",
+                               "<ex:v>": "{v}",
+                           }},
+        }}],
+    }
+    tbl = pa.table({
+        "id": ["1", "2", "3"],
+        "flag": ["y", "n", None],
+        "v": ["a", "b", "c"],
+    })
+    _run_both(spec, tbl, {"r"})
+    out = ExtractTriples(MapperSpec(spec, auto_declare=False).ship_state(),
+                         emit_metrics=False)(tbl)
+    links = [r for r in out.to_pylist()
+             if r["predicate"] == "http://e/child"]
+    assert [r["subject"] for r in links] == ["http://e/r/1"]
+
+
+def test_autocv_non_ascii_label_parity():
+    """ADVICE r2: member URIs and concept URIs must use ONE normalizer
+    (Python Unicode \\w), not Arrow's ASCII-only RE2 \\w."""
+    spec = {
+        "globals": {"$datasetID": "t"},
+        "namespaces": {"ex": "http://e/"},
+        "resources": [{"name": "r", "properties": {
+            "@id": "<http://e/r/{id}>",
+            "<ex:lang>": "{label | autoCV('langs')}",
+        }}],
+    }
+    tbl = pa.table({
+        "id": ["1", "2", "3"],
+        "label": ["Français", "Ελληνικά", "plain ascii"],
+    })
+    _run_both(spec, tbl, {"r"})
+    out = ExtractTriples(MapperSpec(spec, auto_declare=False).ship_state(),
+                         emit_metrics=False)(tbl)
+    rows = out.to_pylist()
+    members = {r["object_value"] for r in rows
+               if r["predicate"] == "http://e/lang"}
+    concepts = {r["subject"] for r in rows
+                if r["object_value"].endswith("#Concept")}
+    # every member URI must resolve to a minted concept (no dangling refs)
+    assert members == concepts
+    assert any("Français" in m for m in members)
+
+
+def test_requires_list_with_null_keeps_null_rows():
+    """ADVICE r2: kernel ``value not in expected`` lets None pass when the
+    expected list contains None; the vectorized mask must agree."""
+    spec = {
+        "globals": {"$datasetID": "t"},
+        "namespaces": {"ex": "http://e/"},
+        "resources": [{"name": "r",
+                       "requires": {"flag": ["y", None]},
+                       "properties": {
+                           "@id": "<http://e/r/{id}>",
+                           "<ex:v>": "{v}",
+                       }}],
+    }
+    tbl = pa.table({
+        "id": ["1", "2", "3"],
+        "flag": ["y", "n", None],
+        "v": ["a", "b", "c"],
+    })
+    _run_both(spec, tbl, {"r"})
+    out = ExtractTriples(MapperSpec(spec, auto_declare=False).ship_state(),
+                         emit_metrics=False)(tbl)
+    subs = {r["subject"] for r in out.to_pylist()}
+    assert subs == {"http://e/r/1", "http://e/r/3"}

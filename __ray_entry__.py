@@ -78,8 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(f"{sf}/embeddings.parquet",
                                   columns=["vec_id", "embedding"]),
             threshold=0.45).select_columns(["left_id", "right_id"]),
-        "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
-            _docs(sf, ["doc_id", "text"]), threshold=0.4),
+        "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_exact(
+            _docs(sf, ["doc_id", "text"]), threshold=0.5),
         "text_stats": lambda sf: text.text_stats(
             _docs(sf, ["doc_id", "text"])),
         "quality_score": lambda sf: text.quality_score(
@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (no SQL oracle): deterministic but non-relational
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(
             _docs(sf, ["doc_id", "text"])),
+        "dedup_ngram_lsh": lambda sf: dedup.ngram_jaccard_pairs(
+            _docs(sf, ["doc_id", "text"]), threshold=0.4),
         "simhash": lambda sf: dedup.simhash_table(
             _docs(sf, ["doc_id", "text"])),
         "lang_id": lambda sf: text.lang_id(_docs(sf, ["doc_id", "text"])),
@@ -110,7 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rdf_mapper_ray.ops import multimodal, sessions, similarity, text
+    from rdf_mapper_ray.ops import dedup, multimodal, sessions, similarity, text
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     return {
@@ -134,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
             ORDER BY left_id, right_id
         """,
+        "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_ORACLE_SQL,
         "text_stats": text.TEXT_STATS_ORACLE_SQL,
         "quality_score": text.QUALITY_ORACLE_SQL,
         "knn_cosine": similarity.knn_oracle_sql(),

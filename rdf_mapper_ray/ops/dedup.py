@@ -25,11 +25,25 @@ import pyarrow as pa
 import ray.data
 
 
+# null text sentinel: not a possible sha256 hex digest of any real text,
+# so null documents form their own dedup group instead of crashing the
+# partition-key stage (int(None[:8], 16) TypeError)
+_NULL_TEXT_DIGEST = "0" * 64
+
+
 def _sha256_col(texts: Iterable[Optional[str]]) -> pa.Array:
     return pa.array(
-        [None if t is None else hashlib.sha256(t.encode()).hexdigest()
+        [_NULL_TEXT_DIGEST if t is None
+         else hashlib.sha256(t.encode()).hexdigest()
          for t in texts],
         type=pa.string())
+
+
+def _num_partitions() -> int:
+    """Cluster-scaled shuffle-partition count — shared with the triple
+    dedup stage (engine/dedup.py) so no op carries a hardcoded cap."""
+    from rdf_mapper_ray.engine.dedup import default_num_partitions
+    return default_num_partitions()
 
 
 class HashText:
@@ -61,8 +75,9 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     """
     hashed = ds.map_batches(HashText(text_col, hash_col),
                             batch_format="pyarrow")
+    num_partitions = _num_partitions()
 
-    def add_pid(batch: pa.Table, num_partitions: int = 64) -> pa.Table:
+    def add_pid(batch: pa.Table) -> pa.Table:
         pid = [int(h[:8], 16) % num_partitions
                for h in batch.column(hash_col).to_pylist()]
         return batch.append_column("pid", pa.array(pid, type=pa.int64()))
@@ -219,7 +234,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     verify by signature agreement → global pair dedup (a pair can land in
     several bands).
     """
-    num_partitions = 64
+    num_partitions = _num_partitions()
     sigs = ds.map_batches(
         MinHashSignatures(text_col, id_col, num_perm, shingle_k, seed),
         batch_format="pyarrow", concurrency=None)
@@ -255,28 +270,67 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
 
 
 def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",
-                  id_col: str = "doc_id", **kwargs) -> "ray.data.Dataset":
+                  id_col: str = "doc_id",
+                  driver_max_pairs: int = 2_000_000,
+                  **kwargs) -> "ray.data.Dataset":
     """Documents to DROP as near-duplicates: every doc connected to a
-    smaller-id doc by an LSH pair (greedy min-id representative; the
-    driver-side union-find over the — tiny — pair set mirrors
-    engine/canonicalize.py)."""
-    pairs = minhash_lsh_pairs(ds, text_col, id_col, **kwargs).to_pandas()
-    parent: dict = {}
+    smaller-id doc by an LSH pair (min-id cluster representative).
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+    The connected-components step picks its venue by pair count: small
+    pair sets use driver union-find (one pass, no shuffle); past
+    ``driver_max_pairs`` — web-scale duplicate clusters can dwarf driver
+    RAM — it routes through the distributed min-label propagation in
+    engine/canonicalize.py (labels stay a Dataset end to end)."""
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, **kwargs) \
+        .select_columns(["left_id", "right_id"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(pa.Table.from_pydict(
+            {id_col: pa.array([], type=pa.int64())}))
+    if n_pairs <= driver_max_pairs:
+        tbl = pairs.to_pandas()
+        parent: dict = {}
 
-    for l, r in zip(pairs["left_id"], pairs["right_id"]):
-        ra, rb = find(l), find(r)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    drops = sorted({x for x in parent if find(x) != x})
-    return ray.data.from_arrow(pa.Table.from_pydict(
-        {id_col: pa.array(drops, type=pa.int64())}))
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for l, r in zip(tbl["left_id"], tbl["right_id"]):
+            ra, rb = find(l), find(r)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        drops = sorted({int(x) for x in parent if find(x) != x})
+        return ray.data.from_arrow(pa.Table.from_pydict(
+            {id_col: pa.array(drops, type=pa.int64())}))
+
+    # distributed path: zero-padded decimal labels preserve numeric
+    # min-id order under the propagation's lexicographic min
+    from rdf_mapper_ray.engine.canonicalize import _cc_min_label
+
+    def as_str_edges(batch: pa.Table) -> pa.Table:
+        l = batch.column("left_id").to_pylist()
+        r = batch.column("right_id").to_pylist()
+        return pa.Table.from_pydict({
+            "a": pa.array([f"{v:020d}" for v in l], type=pa.string()),
+            "b": pa.array([f"{v:020d}" for v in r], type=pa.string()),
+        })
+
+    labels = _cc_min_label(pairs.map_batches(as_str_edges,
+                                             batch_format="pyarrow"))
+
+    def non_reps(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = batch.filter(pc.invert(pc.equal(batch.column("node"),
+                                               batch.column("label"))))
+        ids = [int(v) for v in keep.column("node").to_pylist()]
+        return pa.Table.from_pydict({id_col: pa.array(ids,
+                                                      type=pa.int64())})
+
+    return labels.map_batches(non_reps, batch_format="pyarrow") \
+        .sort(id_col)
 
 
 # --- SimHash -----------------------------------------------------------------
@@ -329,95 +383,346 @@ def _jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
+_EMPTY_PAIRS = pa.Table.from_pydict({
+    "left_id": pa.array([], type=pa.int64()),
+    "right_id": pa.array([], type=pa.int64()),
+    "jaccard": pa.array([], type=pa.float64())})
+
+
+def _distinct_shingles(ds, wanted_ref, text_col: str, id_col: str,
+                       shingle_k: int) -> "ray.data.Dataset":
+    """(id, shingles list<uint64>) for the docs in the broadcast wanted
+    set — the semi-join that keeps full texts out of every later stage."""
+    def compute(batch: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref) if wanted_ref is not None else None
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_sh = [], []
+        for i, t in zip(ids, texts):
+            if w is not None and i not in w:
+                continue
+            out_id.append(i)
+            out_sh.append(sorted(set(_shingle_hashes(t or "",
+                                                     shingle_k).tolist())))
+        return pa.Table.from_pydict({
+            "id": pa.array(out_id, type=pa.int64()),
+            "shingles": pa.array(out_sh, type=pa.list_(pa.uint64())),
+        })
+    return ds.map_batches(compute, batch_format="pyarrow")
+
+
+def _verify_pairs_distributed(pairs: "ray.data.Dataset",
+                              shingles: "ray.data.Dataset",
+                              threshold: float,
+                              num_partitions: int) -> "ray.data.Dataset":
+    """Exact Jaccard verification as a distributed stage.
+
+    Never funnels through the driver: candidate pairs are pid-routed,
+    each needed shingle set is shipped to exactly the partitions holding
+    its pairs (a shuffle co-partition join on doc id, then on pair pid),
+    and the verify loop runs per partition over a local id→set dict.
+    """
+    # pair rows with a pair pid
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        l = batch.column("left_id").to_pylist()
+        r = batch.column("right_id").to_pylist()
+        pid = [(int(a) * 1000003 + int(b)) % num_partitions
+               for a, b in zip(l, r)]
+        return pa.Table.from_pydict({
+            "pid": pa.array(pid, type=pa.int64()),
+            "left_id": pa.array(l, type=pa.int64()),
+            "right_id": pa.array(r, type=pa.int64()),
+        })
+
+    tagged = pairs.map_batches(tag_pairs, batch_format="pyarrow") \
+        .materialize()
+
+    # needs table: which pair partitions want which doc's shingles
+    def emit_needs(batch: pa.Table) -> pa.Table:
+        l = batch.column("left_id").to_pylist()
+        r = batch.column("right_id").to_pylist()
+        p = batch.column("pid").to_pylist()
+        ids = l + r
+        pid = p + p
+        rpid = [i % num_partitions for i in ids]
+        n = len(ids)
+        return pa.Table.from_pydict({
+            "rpid": pa.array(rpid, type=pa.int64()),
+            "id": pa.array(ids, type=pa.int64()),
+            "pid": pa.array(pid, type=pa.int64()),
+            "shingles": pa.nulls(n, pa.list_(pa.uint64())),
+        })
+
+    def route_shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_pylist()
+        return pa.Table.from_pydict({
+            "rpid": pa.array([i % num_partitions for i in ids],
+                             type=pa.int64()),
+            "id": batch.column("id"),
+            "pid": pa.nulls(len(ids), pa.int64()),
+            "shingles": batch.column("shingles"),
+        })
+
+    def ship_to_pair_partitions(g: pd.DataFrame) -> pa.Table:
+        # co-partitioned on hash(id): join each doc's shingles to the
+        # distinct pair partitions that need it. Output built as Arrow
+        # directly — a pandas object column of numpy arrays would come
+        # back as Ray's tensor extension type and clash with the
+        # list<uint64> blocks at the next sort merge.
+        sh = g.loc[g["pid"].isna(), ["id", "shingles"]]
+        needs = g.loc[g["pid"].notna(), ["id", "pid"]].drop_duplicates()
+        m = needs.merge(sh, on="id", how="inner")
+        return pa.Table.from_pydict({
+            "pid": pa.array(m["pid"].astype("int64").to_numpy(),
+                            type=pa.int64()),
+            "id": pa.array(m["id"].astype("int64").to_numpy(),
+                           type=pa.int64()),
+            "shingles": pa.array([list(x) for x in m["shingles"]],
+                                 type=pa.list_(pa.uint64())),
+        })
+
+    routed = tagged.map_batches(emit_needs, batch_format="pyarrow") \
+        .union(shingles.map_batches(route_shingle_rows,
+                                    batch_format="pyarrow")) \
+        .groupby("rpid").map_groups(ship_to_pair_partitions,
+                                    batch_format="pandas")
+
+    # final co-partition on pair pid: local dict id→shingle set, then
+    # the exact-Jaccard check per pair (distributed across partitions)
+    def as_pair_row(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_pydict({
+            "pid": t.column("pid"),
+            "left_id": t.column("left_id"),
+            "right_id": t.column("right_id"),
+            "id": pa.nulls(n, pa.int64()),
+            "shingles": pa.nulls(n, pa.list_(pa.uint64())),
+        })
+
+    def as_shingle_row(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_pydict({
+            "pid": t.column("pid"),
+            "left_id": pa.nulls(n, pa.int64()),
+            "right_id": pa.nulls(n, pa.int64()),
+            "id": t.column("id"),
+            "shingles": t.column("shingles"),
+        })
+
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        sh_rows = g.loc[g["id"].notna(), ["id", "shingles"]] \
+                   .drop_duplicates(subset=["id"])
+        local = {int(i): set(s) for i, s in
+                 zip(sh_rows["id"], sh_rows["shingles"])}
+        pr = g.loc[g["id"].isna(), ["left_id", "right_id"]]
+        out_l, out_r, out_j = [], [], []
+        for l, r in zip(pr["left_id"], pr["right_id"]):
+            l, r = int(l), int(r)
+            if l not in local or r not in local:
+                # doc absent from the corpus (stale candidate) — an
+                # empty-vs-empty set would read as Jaccard 1.0
+                continue
+            j = _jaccard(local[l], local[r])
+            if j >= threshold:
+                out_l.append(l)
+                out_r.append(r)
+                out_j.append(j)
+        return pd.DataFrame({
+            "left_id": pd.array(out_l, dtype="int64"),
+            "right_id": pd.array(out_r, dtype="int64"),
+            "jaccard": pd.array(out_j, dtype="float64"),
+        })
+
+    return tagged.map_batches(as_pair_row, batch_format="pyarrow") \
+        .union(routed.map_batches(as_shingle_row, batch_format="pyarrow")) \
+        .groupby("pid").map_groups(verify_part, batch_format="pandas")
+
+
 def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                         id_col: str = "doc_id", shingle_k: int = 5,
                         threshold: float = 0.5,
                         num_perm: int = 128, num_bands: int = 32,
                         seed: int = 42) -> "ray.data.Dataset":
     """Near-dup pairs with *exact* n-gram Jaccard: MinHash+LSH proposes
-    candidates (cheap, distributed), then each candidate pair is verified
-    by recomputing the true shingle-set Jaccard from the texts. The texts
-    of candidate pairs only — a vanishing fraction at scale — are joined
-    back via a broadcast id→text map built from the candidate ids."""
-    import ray as _ray
-
+    candidates (cheap, distributed), then every candidate pair is
+    verified by the distributed exact-Jaccard stage. Only candidate doc
+    *ids* ever reach the driver (the broadcast semi-join set); texts,
+    shingles and pairs all stay Datasets."""
+    num_partitions = _num_partitions()
     cands = minhash_lsh_pairs(ds, text_col, id_col, num_perm=num_perm,
                               num_bands=num_bands, shingle_k=shingle_k,
-                              threshold=threshold * 0.7, seed=seed)
-    cand_tbl = cands.to_pandas()
-    if cand_tbl.empty:
-        return _ray.data.from_arrow(pa.Table.from_pydict({
-            "left_id": pa.array([], type=pa.int64()),
-            "right_id": pa.array([], type=pa.int64()),
-            "jaccard": pa.array([], type=pa.float64())}))
-    wanted = set(cand_tbl["left_id"]) | set(cand_tbl["right_id"])
-    wanted_ref = _ray.put(wanted)
+                              threshold=threshold * 0.7, seed=seed) \
+        .select_columns(["left_id", "right_id"]).materialize()
+    if cands.count() == 0:
+        return ray.data.from_arrow(_EMPTY_PAIRS)
+    wanted = set()
+    for b in cands.iter_batches(batch_format="pyarrow"):
+        wanted.update(b.column("left_id").to_pylist())
+        wanted.update(b.column("right_id").to_pylist())
+    wanted_ref = ray.put(wanted)
+    shingles = _distinct_shingles(ds, wanted_ref, text_col, id_col,
+                                  shingle_k)
+    return _verify_pairs_distributed(cands, shingles, threshold,
+                                     num_partitions)
 
-    def collect_texts(batch: pa.Table) -> pa.Table:
-        w = _ray.get(wanted_ref)
-        keep = [i for i, v in enumerate(batch.column(id_col).to_pylist())
-                if v in w]
-        return batch.take(pa.array(keep)) if keep else batch.slice(0, 0)
 
-    texts = {}
-    for b in (ds.map_batches(collect_texts, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow")):
-        for i, t in zip(b.column(id_col).to_pylist(),
-                        b.column(text_col).to_pylist()):
-            texts[i] = t
+def ngram_jaccard_exact(ds: "ray.data.Dataset", text_col: str = "text",
+                        id_col: str = "doc_id", shingle_k: int = 5,
+                        threshold: float = 0.5,
+                        max_df: Optional[int] = None) -> "ray.data.Dataset":
+    """All pairs with exact shingle-Jaccard ≥ threshold — complete recall.
 
-    out = {"left_id": [], "right_id": [], "jaccard": []}
-    shingles: dict = {}
+    Candidates come from a distributed inverted index (docs sharing at
+    least one shingle — a NECESSARY condition for Jaccard > 0), so the
+    result is exactly the all-pairs answer and oracle-checkable with SQL
+    (see NGRAM_JACCARD_ORACLE_SQL). ``max_df`` optionally skips shingles
+    shared by more than that many docs (boilerplate guard at web scale;
+    leaves recall exact only for pairs sharing a rarer shingle too —
+    None, the default, keeps full exactness).
+    """
+    num_partitions = _num_partitions()
+    shingles = _distinct_shingles(ds, None, text_col, id_col,
+                                  shingle_k).materialize()
 
-    def sh(i):
-        if i not in shingles:
-            shingles[i] = set(_shingle_hashes(texts.get(i, "") or "",
-                                              shingle_k).tolist())
-        return shingles[i]
+    # inverted index: (shingle, id) routed by hash(shingle)
+    def emit_postings(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_pylist()
+        shs = batch.column("shingles").to_pylist()
+        out_s, out_i = [], []
+        for i, sh in zip(ids, shs):
+            out_s.extend(sh)
+            out_i.extend([i] * len(sh))
+        return pa.Table.from_pydict({
+            "spid": pa.array([int(s) % num_partitions for s in out_s],
+                             type=pa.int64()),
+            "shingle": pa.array(out_s, type=pa.uint64()),
+            "id": pa.array(out_i, type=pa.int64()),
+        })
 
-    for l, r in zip(cand_tbl["left_id"], cand_tbl["right_id"]):
-        j = _jaccard(sh(int(l)), sh(int(r)))
-        if j >= threshold:
-            out["left_id"].append(int(l))
-            out["right_id"].append(int(r))
-            out["jaccard"].append(j)
-    return _ray.data.from_arrow(pa.Table.from_pydict({
-        "left_id": pa.array(out["left_id"], type=pa.int64()),
-        "right_id": pa.array(out["right_id"], type=pa.int64()),
-        "jaccard": pa.array(out["jaccard"], type=pa.float64())}))
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        left, right = [], []
+        for _, grp in g.groupby("shingle", sort=False):
+            ids = np.unique(grp["id"].to_numpy())
+            if len(ids) < 2 or (max_df is not None and len(ids) > max_df):
+                continue
+            iu = np.triu_indices(len(ids), k=1)
+            left.extend(ids[iu[0]].tolist())
+            right.extend(ids[iu[1]].tolist())
+        return pd.DataFrame({
+            "left_id": pd.array(left, dtype="int64"),
+            "right_id": pd.array(right, dtype="int64"),
+        })
+
+    cand = shingles.map_batches(emit_postings, batch_format="pyarrow") \
+        .groupby("spid").map_groups(pairs_in_partition,
+                                    batch_format="pandas")
+
+    # a pair appears once per shared shingle — exact pair dedup
+    def add_pair_pid(batch: pa.Table) -> pa.Table:
+        pid = [(int(l) * 1000003 + int(r)) % num_partitions
+               for l, r in zip(batch.column("left_id").to_pylist(),
+                               batch.column("right_id").to_pylist())]
+        return batch.append_column("ppid", pa.array(pid, type=pa.int64()))
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["left_id", "right_id"]) \
+                    [["left_id", "right_id"]]
+
+    cand = cand.map_batches(add_pair_pid, batch_format="pyarrow") \
+        .groupby("ppid").map_groups(dedup_pairs, batch_format="pandas") \
+        .materialize()
+    if cand.count() == 0:
+        return ray.data.from_arrow(_EMPTY_PAIRS)
+    return _verify_pairs_distributed(cand, shingles, threshold,
+                                     num_partitions)
+
+
+# DuckDB equivalent of ngram_jaccard_exact (word 5-gram shingles, exact
+# set Jaccard, threshold 0.5): shingle generation via list slicing over
+# the whitespace-split word array mirrors _shingle_hashes (docs shorter
+# than k words contribute their whole text as the single shingle).
+NGRAM_JACCARD_ORACLE_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS w
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS sh
+  FROM words, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) t
+  WHERE len(w) >= 5
+  UNION ALL
+  SELECT doc_id, array_to_string(w, ' ') AS sh FROM words WHERE len(w) < 5
+),
+dsh AS (SELECT DISTINCT doc_id, sh FROM shingled),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i
+  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT inter.l AS left_id, inter.r AS right_id,
+       inter.i::DOUBLE / (sa.n + sb.n - inter.i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.l
+JOIN sizes sb ON sb.doc_id = inter.r
+WHERE inter.i::DOUBLE / (sa.n + sb.n - inter.i) >= 0.5
+ORDER BY left_id, right_id
+"""
 
 
 # --- embedding-cosine near-dup -----------------------------------------------
+
+def _vecs_from_block(tbl: pa.Table, id_col: str, vec_col: str):
+    """Arrow block -> (ids, row-normalised matrix) without per-row
+    Python objects: list column flattened to one numpy buffer."""
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    col = tbl.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten()
+    n = len(col)
+    m = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+    m = m.reshape(n, len(flat) // n) if n else m.reshape(0, 0)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, m / norms
+
 
 def embedding_neardup_pairs(ds: "ray.data.Dataset",
                             vec_col: str = "embedding",
                             id_col: str = "vec_id",
                             threshold: float = 0.95,
-                            block_pairs: bool = True) -> "ray.data.Dataset":
+                            rows_per_block: int = 4096
+                            ) -> "ray.data.Dataset":
     """All pairs (left_id < right_id) with cosine similarity ≥ threshold.
 
-    Block-matmul self-join: the dataset is materialised into B blocks;
-    every block pair (i ≤ j) is scored with one float32 matmul in its
-    own task. O(B²) tasks but each is dense compute — the right shape
-    for GPUs/cluster cores. At very large n the LSH-bucketed variant
-    (similarity.knn_lsh machinery) prunes the quadratic term; this exact
-    version doubles as its recall oracle.
+    Block-matmul self-join with no driver funnel: the dataset is
+    materialised (blocks stay in the object store), one Ray task per
+    block pair (i ≤ j) reads both blocks zero-copy and emits its hit
+    pairs as an Arrow table ref, and the result Dataset is assembled
+    from those refs (``from_arrow_refs``) — pair rows never pass through
+    the driver. O(B²) tasks but each is dense compute. At very large n
+    the LSH-bucketed variant (similarity.knn_lsh machinery) prunes the
+    quadratic term; this exact version doubles as its recall oracle.
     """
-    import numpy as np
+    mat = ds.select_columns([id_col, vec_col]) \
+        .repartition(target_num_rows_per_block=rows_per_block) \
+        .materialize()
+    try:
+        block_refs = list(mat.get_internal_block_refs())
+    except AttributeError:    # newer API surface
+        block_refs = [ref for bundle in mat.iter_internal_ref_bundles()
+                      for ref in bundle.block_refs]
 
-    import ray as _ray
-
-    blocks = []
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-        ids = np.asarray(b.column(id_col).to_pylist(), dtype=np.int64)
-        m = np.asarray(b.column(vec_col).to_pylist(), dtype=np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        blocks.append(_ray.put((ids, m)))
-
-    @_ray.remote
-    def score(ref_a, ref_b, same: bool, thr: float):
-        ids_a, ma = ref_a
-        ids_b, mb = ref_b
+    @ray.remote
+    def score(blk_a, blk_b, same: bool, thr: float) -> pa.Table:
+        ta = blk_a if isinstance(blk_a, pa.Table) \
+            else pa.Table.from_pandas(blk_a)
+        tb = blk_b if isinstance(blk_b, pa.Table) \
+            else pa.Table.from_pandas(blk_b)
+        ids_a, ma = _vecs_from_block(ta, id_col, vec_col)
+        ids_b, mb = _vecs_from_block(tb, id_col, vec_col)
         s = ma @ mb.T
         if same:
             iu = np.triu_indices(len(ids_a), k=1)
@@ -430,19 +735,20 @@ def embedding_neardup_pairs(ds: "ray.data.Dataset",
         right = ids_b[hits[:, 1]]
         lo = np.minimum(left, right)
         hi = np.maximum(left, right)
-        return lo, hi, s[hits[:, 0], hits[:, 1]]
+        return pa.Table.from_pydict({
+            "left_id": pa.array(lo, type=pa.int64()),
+            "right_id": pa.array(hi, type=pa.int64()),
+            "cosine": pa.array(s[hits[:, 0], hits[:, 1]],
+                               type=pa.float64())})
 
-    futures = []
-    for i in range(len(blocks)):
-        for j in range(i, len(blocks)):
-            futures.append(score.remote(blocks[i], blocks[j], i == j,
-                                        threshold))
-    lo_all, hi_all, s_all = [], [], []
-    for lo, hi, s in _ray.get(futures):
-        lo_all.extend(lo.tolist())
-        hi_all.extend(hi.tolist())
-        s_all.extend(s.tolist())
-    return _ray.data.from_arrow(pa.Table.from_pydict({
-        "left_id": pa.array(lo_all, type=pa.int64()),
-        "right_id": pa.array(hi_all, type=pa.int64()),
-        "cosine": pa.array(s_all, type=pa.float64())}))
+    result_refs = []
+    for i in range(len(block_refs)):
+        for j in range(i, len(block_refs)):
+            result_refs.append(score.remote(block_refs[i], block_refs[j],
+                                            i == j, threshold))
+    if not result_refs:
+        return ray.data.from_arrow(pa.Table.from_pydict({
+            "left_id": pa.array([], type=pa.int64()),
+            "right_id": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64())}))
+    return ray.data.from_arrow_refs(result_refs)

@@ -25,7 +25,22 @@ import ray.data
 
 def _stack(col) -> np.ndarray:
     """list<float> column -> (n, d) float64 matrix (float64 so that the
-    ranking agrees with DuckDB's double-precision oracle)."""
+    ranking agrees with DuckDB's double-precision oracle).
+
+    Flattens the Arrow list buffer straight into numpy — no per-row
+    Python list objects in the ANN inner loop; falls back to to_pylist
+    for ragged or null-bearing columns."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array) and (
+            pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+            or pa.types.is_fixed_size_list(col.type)) \
+            and col.null_count == 0:
+        n = len(col)
+        flat = col.flatten()
+        if n and len(flat) % n == 0:
+            m = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+            return m.reshape(n, len(flat) // n)
     return np.asarray(col.to_pylist(), dtype=np.float64)
 
 
@@ -181,39 +196,38 @@ def knn_lsh(ds: "ray.data.Dataset", query_ids: list[int],
     bucketed = ds.map_batches(sig, batch_format="pyarrow")
     qref = ray.put(by_bucket)
 
-    class BucketTopK:
-        def __init__(self) -> None:
-            self.by_bucket = ray.get(qref)
-            self.k = k
+    # plain task (not an actor pool): the only per-worker state is one
+    # shared-memory ray.get of the broadcast bucket table, so tasks
+    # auto-scale with input blocks instead of a fixed actor count that
+    # starves the stage (or pays actor startup) at either extreme
+    def bucket_topk(batch: pa.Table) -> pa.Table:
+        by_b = ray.get(qref)
+        out = {"query_id": [], "neighbor_id": [], "score": []}
+        df = batch.to_pandas()
+        for bucket, grp in df.groupby("bucket"):
+            hit = by_b.get(int(bucket))
+            if hit is None:
+                continue
+            qids, qvecs = hit
+            m = np.asarray(grp[vec_col].tolist(), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            qn = np.asarray(qvecs, dtype=np.float64)
+            qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+            scores = qn @ m.T
+            ids = grp[id_col].to_numpy()
+            for qi, qid in enumerate(qids):
+                for j in np.argsort(-scores[qi])[:k + 1]:
+                    if ids[j] != qid:
+                        out["query_id"].append(qid)
+                        out["neighbor_id"].append(int(ids[j]))
+                        out["score"].append(float(scores[qi][j]))
+        return pa.Table.from_pydict({
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
+            "score": pa.array(out["score"], type=pa.float64()),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out = {"query_id": [], "neighbor_id": [], "score": []}
-            df = batch.to_pandas()
-            for bucket, grp in df.groupby("bucket"):
-                hit = self.by_bucket.get(int(bucket))
-                if hit is None:
-                    continue
-                qids, qvecs = hit
-                m = np.asarray(grp[vec_col].tolist(), dtype=np.float64)
-                m = m / np.linalg.norm(m, axis=1, keepdims=True)
-                qn = np.asarray(qvecs, dtype=np.float64)
-                qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
-                scores = qn @ m.T
-                ids = grp[id_col].to_numpy()
-                for qi, qid in enumerate(qids):
-                    for j in np.argsort(-scores[qi])[:self.k + 1]:
-                        if ids[j] != qid:
-                            out["query_id"].append(qid)
-                            out["neighbor_id"].append(int(ids[j]))
-                            out["score"].append(float(scores[qi][j]))
-            return pa.Table.from_pydict({
-                "query_id": pa.array(out["query_id"], type=pa.int64()),
-                "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
-                "score": pa.array(out["score"], type=pa.float64()),
-            })
-
-    cand = bucketed.map_batches(BucketTopK, batch_format="pyarrow",
-                                concurrency=2)
+    cand = bucketed.map_batches(bucket_topk, batch_format="pyarrow")
     return cand.groupby("query_id").map_groups(
         lambda g: _final_topk(g, k), batch_format="pandas")
 

@@ -236,3 +236,56 @@ def test_knn_ivf_recall(ray_session):
     # embeddings are generated from 3 latent clusters: IVF with 3 probes
     # over 8 lists should recover most of the true neighbours
     assert len(a & e) / len(e) > 0.5
+
+
+def test_exact_dedup_null_text(ray_session):
+    """Null texts must form their own dedup group, not crash the
+    partition-key stage."""
+    import ray.data
+    from rdf_mapper_ray.ops.dedup import exact_dedup
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": "a"},
+        {"doc_id": 2, "text": None},
+        {"doc_id": 3, "text": None},
+        {"doc_id": 4, "text": "a"},
+    ])
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 2]
+
+
+def test_ngram_exact_matches_lsh_verified(ray_session):
+    """The inverted-index exact op (complete recall) must contain every
+    LSH-proposed-and-verified pair, with identical jaccard values."""
+    from rdf_mapper_ray.ops.dedup import (ngram_jaccard_exact,
+                                          ngram_jaccard_pairs)
+    docs = _docs(["doc_id", "text"])
+    exact = ngram_jaccard_exact(docs, threshold=0.5).to_pandas()
+    lsh = ngram_jaccard_pairs(docs, threshold=0.5).to_pandas()
+    ekeys = {(int(l), int(r)): j for l, r, j in
+             zip(exact["left_id"], exact["right_id"], exact["jaccard"])}
+    lkeys = {(int(l), int(r)): j for l, r, j in
+             zip(lsh["left_id"], lsh["right_id"], lsh["jaccard"])}
+    assert set(lkeys) <= set(ekeys)
+    for k, v in lkeys.items():
+        assert ekeys[k] == v
+    assert len(ekeys) > 0            # sf0.001 has planted near-dupes
+
+
+def test_minhash_dedup_distributed_path_matches_driver(ray_session):
+    """Forcing the distributed connected-components venue must produce
+    the same drop list as driver union-find."""
+    import ray.data
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    texts = tbl.column("text").to_pylist()[:30]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    for i in range(8):
+        words = texts[i].split()
+        words[len(words) // 3] = "qqqq"
+        rows.append({"doc_id": 2000 + i, "text": " ".join(words)})
+    ds = ray.data.from_items(rows)
+    from rdf_mapper_ray.ops.dedup import minhash_dedup
+    driver = minhash_dedup(ds, threshold=0.4).to_pandas()
+    dist = minhash_dedup(ds, threshold=0.4,
+                         driver_max_pairs=0).to_pandas()
+    assert driver["doc_id"].tolist() == dist["doc_id"].tolist()

@@ -89,14 +89,34 @@ class KGPipeline:
     # -- stages -------------------------------------------------------------
 
     def extract(self, ds: "ray.data.Dataset",
-                emit_metrics: Optional[bool] = None) -> "ray.data.Dataset":
+                emit_metrics: Optional[bool] = None,
+                rows_hint: Optional[int] = None) -> "ray.data.Dataset":
         mention_mode = (self.reconcile_backend is not None
                         and self.reconcile_mode == "mentions")
         reconciler = None
         if self.reconcile_backend is not None and not mention_mode:
             reconciler = InlineReconciler(self.reconcile_backend)
         if self.rows_per_block:
-            ds = ds.repartition(target_num_rows_per_block=self.rows_per_block)
+            # per-row kernel: small blocks = max CPU parallelism; fully
+            # vectorized specs: ~one block per core — fewer, fatter
+            # blocks amortise per-task overhead across the whole chain
+            # (measured 2.9x on the 600k-row lineitem workload at 32
+            # cpus) while small inputs keep enough blocks to parallelise
+            if self._any_slow:
+                target = self.rows_per_block
+            elif rows_hint:
+                # sweet spot measured at ~cpus/2 blocks (lineitem 600k:
+                # 19 blocks 3.1s vs 73 blocks 8.9s; events 100k: 12
+                # blocks 4.0s vs 3 blocks 5.8s)
+                try:
+                    cpus = int(ray.cluster_resources().get("CPU", 8))
+                except Exception:
+                    cpus = 8
+                target = min(max(rows_hint // max(1, cpus // 2), 2048),
+                             65536)
+            else:
+                target = self.rows_per_block
+            ds = ds.repartition(target_num_rows_per_block=target)
         ext = ExtractTriples(
             self.ship, abort_on_error=self.abort_on_error,
             oneoff_backlinks=self.one_off_backlinks,
@@ -131,8 +151,9 @@ class KGPipeline:
     # -- entry points --------------------------------------------------------
 
     def run(self, ds: "ray.data.Dataset", output_dir: Optional[str] = None,
-            sort: bool = True) -> "ray.data.Dataset":
-        t = self._post_extract(self.extract(ds))
+            sort: bool = True,
+            rows_hint: Optional[int] = None) -> "ray.data.Dataset":
+        t = self._post_extract(self.extract(ds, rows_hint=rows_hint))
         if output_dir:
             write_triples_parquet(t, output_dir, sort=sort)
             return t
@@ -142,8 +163,13 @@ class KGPipeline:
                   columns: Optional[list[str]] = None,
                   output_dir: Optional[str] = None,
                   sort: bool = True) -> "ray.data.Dataset":
-        return self.run(read_parquet_rows(paths, columns=columns),
-                        output_dir=output_dir, sort=sort)
+        from rdf_mapper_ray.engine.sources import plan_parquet
+        files = expand_paths(paths)
+        # block-target sizing from parquet metadata only (no data I/O)
+        rows_hint = sum(i["num_rows"] for i in plan_parquet(files))
+        return self.run(read_parquet_rows(files, columns=columns),
+                        output_dir=output_dir, sort=sort,
+                        rows_hint=rows_hint)
 
     # -- sharded, resumable execution ----------------------------------------
 

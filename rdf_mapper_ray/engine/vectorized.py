@@ -380,6 +380,383 @@ class RowFilter:
         return pc.invert(hit)
 
 
+# --------------------------------------------------------------------------
+# restricted guard / expr compiler: Python comparison+arithmetic subset
+# → pyarrow.compute programs
+# --------------------------------------------------------------------------
+
+import ast as _ast
+
+
+class _TypedProgram:
+    """A compiled restricted-Python expression evaluated per batch with
+    pyarrow.compute. ``columns`` are the referenced row variables;
+    ``out_type`` is 'number' | 'string' | 'bool' (inferred statically so
+    unsupported shapes fall back to the per-row kernel at compile time,
+    never fail at runtime)."""
+
+    __slots__ = ("tree", "columns", "out_type", "uses_x")
+
+    def __init__(self, tree, columns: set, out_type: str,
+                 uses_x: bool) -> None:
+        self.tree = tree
+        self.columns = columns
+        self.out_type = out_type
+        self.uses_x = uses_x
+
+    def supports(self, schema: pa.Schema) -> bool:
+        for c in self.columns:
+            if c not in schema.names:
+                return False
+            t = schema.field(c).type
+            if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                    or pa.types.is_string(t)
+                    or pa.types.is_large_string(t)):
+                return False
+        return True
+
+    # -- evaluation ---------------------------------------------------------
+    #
+    # Every node evaluates to (value, raises): ``raises`` marks rows where
+    # the per-row kernel would hit an exception (None in arithmetic or an
+    # ordering comparison, float(None), division by zero) and therefore
+    # skip the resource/property. Null semantics mirror Python exactly:
+    # ``None == v`` is False, ``None != v`` is True, ``and``/``or``
+    # short-circuit past a raise on the right.
+
+    def evaluate(self, batch: pa.Table, x: Optional[pa.Array] = None
+                 ) -> tuple[Any, pa.Array]:
+        """-> (result, validity mask). For 'bool' programs the result is
+        a null-free effective-True mask; for 'number' programs validity
+        excludes raised and null rows."""
+        n = batch.num_rows
+        ctx = {"batch": batch, "x": x, "n": n}
+        v, r = self._ev(self.tree.body, ctx)
+        true_mask = pa.array([True] * n)
+        if self.out_type == "bool":
+            eff = self._bool_effective(v, r)
+            return eff, true_mask
+        valid = pc.is_valid(v) if isinstance(v, (pa.Array, pa.ChunkedArray)) \
+            else true_mask
+        if r is not None:
+            valid = pc.and_(valid, pc.invert(r))
+        return v, valid
+
+    @staticmethod
+    def _bool_effective(v, r):
+        return v if r is None else pc.and_(v, pc.invert(r))
+
+    @staticmethod
+    def _or_raises(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return pc.or_(a, b)
+
+    @staticmethod
+    def _nulls_of(v):
+        """Raise-mask contribution of nulls in an operand value."""
+        if isinstance(v, (pa.Array, pa.ChunkedArray)):
+            return pc.is_null(v)
+        return None
+
+    def _col(self, ctx, name):
+        if name == "x" and ctx["x"] is not None:
+            col = ctx["x"]
+        else:
+            col = ctx["batch"].column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col
+
+    @staticmethod
+    def _num(v):
+        """Promote to float64 (Python arithmetic on mixed int/float is
+        float; TPC-H-scale ints are exact in doubles)."""
+        if isinstance(v, (int, float)):
+            return float(v)
+        if isinstance(v, (pa.Array, pa.ChunkedArray)) \
+                and v.type != pa.float64():
+            return pc.cast(v, pa.float64())
+        return v
+
+    def _ev(self, node, ctx):
+        if isinstance(node, _ast.Constant):
+            return node.value, None
+        if isinstance(node, _ast.Name):
+            return self._col(ctx, node.id), None
+        if isinstance(node, _ast.Call):
+            fname = _call_name(node)
+            if fname == "state.get":
+                return self._col(ctx, node.args[0].value), None
+            # float()/int(): float(None) raises per-row
+            v, r = self._ev(node.args[0], ctx)
+            r = self._or_raises(r, self._nulls_of(v))
+            v = self._num(v)
+            if fname == "int":
+                v = pc.trunc(v) if isinstance(
+                    v, (pa.Array, pa.ChunkedArray)) else float(int(v))
+            return v, r
+        if isinstance(node, _ast.UnaryOp):
+            v, r = self._ev(node.operand, ctx)
+            if isinstance(node.op, _ast.USub):
+                r = self._or_raises(r, self._nulls_of(v))
+                v = self._num(v)
+                return (pc.negate(v) if isinstance(
+                    v, (pa.Array, pa.ChunkedArray)) else -v), r
+            # Not: effective-invert (raised rows stay skipped)
+            eff = self._bool_effective(v, r)
+            out = pc.invert(eff)
+            return (out if r is None else pc.and_(out, pc.invert(r))), None
+        if isinstance(node, _ast.BinOp):
+            lv, lr = self._ev(node.left, ctx)
+            rv, rr = self._ev(node.right, ctx)
+            r = self._or_raises(
+                self._or_raises(lr, rr),
+                self._or_raises(self._nulls_of(lv), self._nulls_of(rv)))
+            lv, rv = self._num(lv), self._num(rv)
+            if isinstance(node.op, _ast.Add):
+                return pc.add(lv, rv), r
+            if isinstance(node.op, _ast.Sub):
+                return pc.subtract(lv, rv), r
+            if isinstance(node.op, _ast.Mult):
+                return pc.multiply(lv, rv), r
+            # Div: Python raises ZeroDivisionError (row skipped); Arrow
+            # float division yields inf — mark zero divisors as raising
+            if isinstance(rv, (pa.Array, pa.ChunkedArray)):
+                zero = pc.fill_null(pc.equal(rv, 0.0), False)
+                r = self._or_raises(r, zero)
+                rv = pc.if_else(zero, pa.scalar(1.0, type=pa.float64()),
+                                pc.cast(rv, pa.float64()))
+            elif rv == 0.0:
+                r = self._or_raises(r, pa.array([True] * ctx["n"]))
+                rv = 1.0
+            return pc.divide(lv, rv), r
+        if isinstance(node, _ast.Compare):
+            lv, lr = self._ev(node.left, ctx)
+            rv, rr = self._ev(node.comparators[0], ctx)
+            r = self._or_raises(lr, rr)
+            if _static_type(node.left) == "number" \
+                    or _static_type(node.comparators[0]) == "number":
+                lv, rv = self._num(lv), self._num(rv)
+            op = node.ops[0]
+            if isinstance(op, (_ast.Eq, _ast.NotEq)):
+                # Python: None == v → False, None != v → True,
+                # None == None → True — never raises on equality
+                eq = pc.fill_null(pc.equal(lv, rv), False)
+                ln, rn = self._nulls_of(lv), self._nulls_of(rv)
+                if ln is not None and rn is not None:
+                    eq = pc.or_(eq, pc.and_(ln, rn))
+                out = eq if isinstance(op, _ast.Eq) else pc.invert(eq)
+                return out, r
+            # ordering: None in an ordering comparison raises TypeError
+            r = self._or_raises(
+                r, self._or_raises(self._nulls_of(lv), self._nulls_of(rv)))
+            table = {_ast.Gt: pc.greater, _ast.GtE: pc.greater_equal,
+                     _ast.Lt: pc.less, _ast.LtE: pc.less_equal}
+            return pc.fill_null(table[type(op)](lv, rv), False), r
+        if isinstance(node, _ast.BoolOp):
+            # short-circuit parity: a raise on the right only matters for
+            # rows the left doesn't decide
+            parts = [self._ev(v, ctx) for v in node.values]
+            effs = [self._bool_effective(v, r) for v, r in parts]
+            if isinstance(node.op, _ast.And):
+                out = effs[0]
+                for e in effs[1:]:
+                    out = pc.and_(out, e)
+                return out, None
+            out, seen_raise = effs[0], parts[0][1]
+            for (v, r), e in zip(parts[1:], effs[1:]):
+                nxt = e if seen_raise is None \
+                    else pc.and_(e, pc.invert(seen_raise))
+                out = pc.or_(out, nxt)
+                seen_raise = self._or_raises(seen_raise, r)
+            return out, None
+        raise AssertionError(type(node))
+
+
+def _call_name(node: "_ast.Call") -> str:
+    f = node.func
+    if isinstance(f, _ast.Name):
+        return f.id
+    if isinstance(f, _ast.Attribute) and isinstance(f.value, _ast.Name):
+        return f"{f.value.id}.{f.attr}"
+    return "?"
+
+
+_TYPE_CACHE_KEY = "_graft_type"
+
+
+def _static_type(node) -> str:
+    return getattr(node, _TYPE_CACHE_KEY, "unknown")
+
+
+def compile_restricted(expression: str, expect: str,
+                       allow_x: bool = False) -> "_TypedProgram":
+    """Parse+type a guard / expr() body; raises NotVectorizable on any
+    construct outside the comparison/arithmetic subset.
+
+    ``expect`` is 'bool' (guards) or 'number' (value exprs). Column
+    types are assumed numeric unless only ever compared to strings —
+    supports() re-checks against the real schema."""
+    try:
+        tree = _ast.parse(expression, mode="eval")
+    except SyntaxError:
+        raise NotVectorizable(f"unparseable expr {expression!r}")
+    columns: set[str] = set()
+    uses_x = False
+
+    def typ(node) -> str:
+        t = _typ(node)
+        setattr(node, _TYPE_CACHE_KEY, t)
+        return t
+
+    def _typ(node) -> str:
+        nonlocal uses_x
+        if isinstance(node, _ast.Expression):
+            return typ(node.body)
+        if isinstance(node, _ast.Constant):
+            if isinstance(node.value, bool):
+                raise NotVectorizable("bool literal")
+            if isinstance(node.value, (int, float)):
+                return "number"
+            if isinstance(node.value, str):
+                return "string"
+            raise NotVectorizable(f"literal {node.value!r}")
+        if isinstance(node, _ast.Name):
+            if node.id == "x" and allow_x:
+                uses_x = True
+            else:
+                columns.add(node.id)
+            return "column"
+        if isinstance(node, _ast.Call):
+            fname = _call_name(node)
+            if fname in ("float", "int"):
+                if len(node.args) != 1 or node.keywords:
+                    raise NotVectorizable("cast arity")
+                at = typ(node.args[0])
+                if at not in ("number", "column"):
+                    # float('str-col') works per-row but Arrow cast
+                    # errors on malformed input — leave to the kernel
+                    raise NotVectorizable("cast of non-numeric")
+                return "number"
+            if fname == "state.get":
+                if len(node.args) != 1 \
+                        or not isinstance(node.args[0], _ast.Constant) \
+                        or not isinstance(node.args[0].value, str):
+                    raise NotVectorizable("state.get shape")
+                columns.add(node.args[0].value)
+                return "column"
+            raise NotVectorizable(f"call {fname!r}")
+        if isinstance(node, _ast.UnaryOp):
+            if isinstance(node.op, _ast.USub):
+                if typ(node.operand) not in ("number", "column"):
+                    raise NotVectorizable("negate non-number")
+                return "number"
+            if isinstance(node.op, _ast.Not):
+                if typ(node.operand) != "bool":
+                    raise NotVectorizable("not of non-bool")
+                return "bool"
+            raise NotVectorizable("unary op")
+        if isinstance(node, _ast.BinOp):
+            if not isinstance(node.op, (_ast.Add, _ast.Sub, _ast.Mult,
+                                        _ast.Div)):
+                raise NotVectorizable("binop")
+            for side in (node.left, node.right):
+                if typ(side) not in ("number", "column"):
+                    raise NotVectorizable("arith on non-number")
+            return "number"
+        if isinstance(node, _ast.Compare):
+            if len(node.ops) != 1 or len(node.comparators) != 1:
+                raise NotVectorizable("chained comparison")
+            lt, rt = typ(node.left), typ(node.comparators[0])
+            if not isinstance(node.ops[0], (_ast.Gt, _ast.GtE, _ast.Lt,
+                                            _ast.LtE, _ast.Eq, _ast.NotEq)):
+                raise NotVectorizable("comparison op")
+            if "string" in (lt, rt) and "number" in (lt, rt):
+                raise NotVectorizable("mixed-type comparison")
+            if "string" in (lt, rt) and not isinstance(
+                    node.ops[0], (_ast.Eq, _ast.NotEq)):
+                # string ordering: Python vs Arrow agree, but the
+                # per-row TypeError-on-mixed risk isn't checkable here
+                raise NotVectorizable("string ordering comparison")
+            return "bool"
+        if isinstance(node, _ast.BoolOp):
+            for v in node.values:
+                if typ(v) != "bool":
+                    raise NotVectorizable("boolop of non-bool")
+            return "bool"
+        raise NotVectorizable(f"node {type(node).__name__}")
+
+    out_type = typ(tree)
+    if out_type != expect:
+        raise NotVectorizable(f"{expression!r} yields {out_type},"
+                              f" need {expect}")
+    return _TypedProgram(tree, columns, out_type, uses_x)
+
+
+class GuardFilter:
+    """Vectorized ``guard:`` row gate for the restricted comparison
+    subset (per-row semantics: False/None/exception → skip row)."""
+
+    __slots__ = ("program",)
+
+    def __init__(self, expression: str) -> None:
+        self.program = compile_restricted(expression, "bool")
+
+    def supports(self, schema: pa.Schema) -> bool:
+        return self.program.supports(schema)
+
+    def mask(self, batch: pa.Table) -> pa.Array:
+        out, valid = self.program.evaluate(batch)
+        return pc.and_(pc.fill_null(out, False), valid)
+
+
+class ExprChainPlan:
+    """``{col | expr('...') | f | ...}`` — restricted-arithmetic expr
+    compiled to Arrow, then the remaining (vectorizable) chain."""
+
+    __slots__ = ("column", "program", "chain", "lang", "datatype")
+
+    def __init__(self, column: str, body: str, chain: list[str],
+                 lang: Optional[str], datatype: Optional[str]) -> None:
+        self.program = compile_restricted(body, "number", allow_x=True)
+        self.column = column
+        self.chain = chain
+        self.lang = lang
+        self.datatype = datatype
+
+    def supports(self, schema: pa.Schema) -> bool:
+        if self.column not in schema.names:
+            return False
+        t = schema.field(self.column).type
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+            return False
+        return self.program.supports(schema)
+
+    @property
+    def columns(self) -> list[str]:
+        return [self.column] + sorted(self.program.columns)
+
+    def evaluate(self, batch: pa.Table
+                 ) -> tuple[pa.Array, pa.Array, Optional[str], Optional[str]]:
+        x = batch.column(self.column)
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        col, mask = self.program.evaluate(batch, x=x)
+        lang, dt = self.lang, self.datatype
+        for fname in self.chain:
+            col, mask, flang, fdt = _V_FUNCS[fname](col, mask)
+            if flang is not None:
+                lang = flang
+            if fdt is not None and dt is None:
+                dt = fdt
+        if not pa.types.is_string(col.type):
+            col = pc.cast(col, pa.string())
+        return col, mask, lang, dt
+
+
 class FanOutPlan:
     """``{col | split('re') | f | ...}`` — list fan-out: one output row
     per split element (pattern.py:105-120 list flattening), emitted via
@@ -497,6 +874,7 @@ class AutoCVPlan:
 # --------------------------------------------------------------------------
 
 _ARG_RE = re.compile(r"(\w+)\s*\(\s*'([^']*)'\s*\)\s*$")
+_EXPR_ARG_RE = re.compile(r"expr\s*\(\s*'(.*)'\s*\)\s*$", re.DOTALL)
 
 
 class PropPlan:
@@ -558,6 +936,18 @@ def _compile_value(template: str, spec: MapperSpec) -> tuple[str, Any]:
                     raise NotVectorizable("suffix on autoCV")
                 base = str(spec.context.get("$datasetBase"))
                 return "uri", AutoCVPlan(column, base, am.group(2))
+        if chain:
+            em = _EXPR_ARG_RE.fullmatch(chain[0])
+            if em:
+                rest = chain[1:]
+                for fname in rest:
+                    if fname not in _V_FUNCS:
+                        raise NotVectorizable(f"function {fname!r}")
+                for fname in rest[:-1]:
+                    if fname in _TERMINAL:
+                        raise NotVectorizable("typed fn mid-chain")
+                return "literal", ExprChainPlan(column, em.group(1), rest,
+                                                lang, datatype)
         for fname in chain:
             if fname not in _V_FUNCS:
                 raise NotVectorizable(f"function {fname!r}")
@@ -723,10 +1113,13 @@ def compile_resource(rs: ResourceSpec, spec: MapperSpec
     """ResourceSpec -> ResourcePlan, or None when any feature needs the
     per-row kernel."""
     try:
-        if rs.pattern is not None or rs.guard is not None \
-                or rs.preserved_graph:
-            raise NotVectorizable("guard/pattern/graphAdd")
-        filters: list[RowFilter] = []
+        if rs.pattern is not None or rs.preserved_graph:
+            raise NotVectorizable("pattern/graphAdd")
+        filters: list[Any] = []
+        if rs.guard is not None:
+            # restricted comparison/arithmetic guards compile to Arrow
+            # masks; anything else raises here → per-row kernel
+            filters.append(GuardFilter(rs.guard))
         for mapping, mode in ((rs.requires, "require"), (rs.unless, "unless")):
             for key, expected in (mapping or {}).items():
                 ok = (expected is None or isinstance(expected, str)

@@ -21,6 +21,7 @@ from typing import Iterable, Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -39,11 +40,17 @@ def _sha256_col(texts: Iterable[Optional[str]]) -> pa.Array:
         type=pa.string())
 
 
-def _num_partitions() -> int:
+def _num_partitions(n_rows: Optional[int] = None) -> int:
     """Cluster-scaled shuffle-partition count — shared with the triple
-    dedup stage (engine/dedup.py) so no op carries a hardcoded cap."""
+    dedup stage (engine/dedup.py) so no op carries a hardcoded cap.
+    With an ``n_rows`` hint, small inputs get proportionally fewer
+    partitions (hundreds of near-empty reduce tasks cost more than they
+    parallelise — measured 3.5x on the 500-doc dedup queries)."""
     from rdf_mapper_ray.engine.dedup import default_num_partitions
-    return default_num_partitions()
+    p = default_num_partitions()
+    if n_rows is not None:
+        p = int(min(p, max(8, n_rows // 4000)))
+    return p
 
 
 class HashText:
@@ -75,7 +82,8 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     """
     hashed = ds.map_batches(HashText(text_col, hash_col),
                             batch_format="pyarrow")
-    num_partitions = _num_partitions()
+    # count() is metadata-only for parquet sources (the common caller)
+    num_partitions = _num_partitions(ds.count())
 
     def add_pid(batch: pa.Table) -> pa.Table:
         pid = [int(h[:8], 16) % num_partitions
@@ -234,7 +242,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     verify by signature agreement → global pair dedup (a pair can land in
     several bands).
     """
-    num_partitions = _num_partitions()
+    num_partitions = _num_partitions(ds.count())
     sigs = ds.map_batches(
         MinHashSignatures(text_col, id_col, num_perm, shingle_k, seed),
         batch_format="pyarrow", concurrency=None)
@@ -411,6 +419,69 @@ def _distinct_shingles(ds, wanted_ref, text_col: str, id_col: str,
     return ds.map_batches(compute, batch_format="pyarrow")
 
 
+def _verify_pairs_broadcast(pairs: "ray.data.Dataset",
+                            shingles: "ray.data.Dataset",
+                            threshold: float) -> "ray.data.Dataset":
+    """Small-candidate-set verify venue: the needed shingle sets are a
+    broadcast object (like a map_by table), pairs verify in one
+    map_batches — zero shuffles. Chosen by _verify_pairs when the
+    candidate docs fit comfortably in a broadcast; the co-partition
+    join below is the web-scale venue."""
+    wanted: set[int] = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        wanted.update(int(v) for v in b.column("left_id").to_pylist())
+        wanted.update(int(v) for v in b.column("right_id").to_pylist())
+    wref = ray.put(wanted)
+
+    def keep_wanted(batch: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        keep = [i for i, v in enumerate(batch.column("id").to_pylist())
+                if int(v) in w]
+        return batch.take(pa.array(keep, type=pa.int64())) if keep \
+            else batch.slice(0, 0)
+
+    local: dict[int, set] = {}
+    for b in shingles.map_batches(keep_wanted, batch_format="pyarrow") \
+                     .iter_batches(batch_format="pyarrow"):
+        for i, s in zip(b.column("id").to_pylist(),
+                        b.column("shingles").to_pylist()):
+            local[int(i)] = set(s)
+    ref = ray.put(local)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sh = ray.get(ref)
+        out_l, out_r, out_j = [], [], []
+        for l, r in zip(batch.column("left_id").to_pylist(),
+                        batch.column("right_id").to_pylist()):
+            l, r = int(l), int(r)
+            if l not in sh or r not in sh:
+                continue
+            j = _jaccard(sh[l], sh[r])
+            if j >= threshold:
+                out_l.append(l)
+                out_r.append(r)
+                out_j.append(j)
+        return pa.Table.from_pydict({
+            "left_id": pa.array(out_l, type=pa.int64()),
+            "right_id": pa.array(out_r, type=pa.int64()),
+            "jaccard": pa.array(out_j, type=pa.float64())})
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def _verify_pairs(pairs: "ray.data.Dataset", shingles: "ray.data.Dataset",
+                  threshold: float, num_partitions: int,
+                  n_candidate_docs: int,
+                  broadcast_max_docs: int = 100_000) -> "ray.data.Dataset":
+    """Venue dispatch for exact-Jaccard verification: broadcast join for
+    small candidate sets (shuffle round-trips dominate there — measured
+    ~2s per groupby on this box), pid-routed co-partition join at scale."""
+    if n_candidate_docs <= broadcast_max_docs:
+        return _verify_pairs_broadcast(pairs, shingles, threshold)
+    return _verify_pairs_distributed(pairs, shingles, threshold,
+                                     num_partitions)
+
+
 def _verify_pairs_distributed(pairs: "ray.data.Dataset",
                               shingles: "ray.data.Dataset",
                               threshold: float,
@@ -548,13 +619,14 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     verified by the distributed exact-Jaccard stage. Only candidate doc
     *ids* ever reach the driver (the broadcast semi-join set); texts,
     shingles and pairs all stay Datasets."""
-    num_partitions = _num_partitions()
     cands = minhash_lsh_pairs(ds, text_col, id_col, num_perm=num_perm,
                               num_bands=num_bands, shingle_k=shingle_k,
                               threshold=threshold * 0.7, seed=seed) \
         .select_columns(["left_id", "right_id"]).materialize()
-    if cands.count() == 0:
+    n_cands = cands.count()
+    if n_cands == 0:
         return ray.data.from_arrow(_EMPTY_PAIRS)
+    num_partitions = _num_partitions(n_cands)
     wanted = set()
     for b in cands.iter_batches(batch_format="pyarrow"):
         wanted.update(b.column("left_id").to_pylist())
@@ -562,8 +634,8 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     wanted_ref = ray.put(wanted)
     shingles = _distinct_shingles(ds, wanted_ref, text_col, id_col,
                                   shingle_k)
-    return _verify_pairs_distributed(cands, shingles, threshold,
-                                     num_partitions)
+    return _verify_pairs(cands, shingles, threshold, num_partitions,
+                         n_candidate_docs=len(wanted))
 
 
 def ngram_jaccard_exact(ds: "ray.data.Dataset", text_col: str = "text",
@@ -580,34 +652,47 @@ def ngram_jaccard_exact(ds: "ray.data.Dataset", text_col: str = "text",
     leaves recall exact only for pairs sharing a rarer shingle too —
     None, the default, keeps full exactness).
     """
-    num_partitions = _num_partitions()
     shingles = _distinct_shingles(ds, None, text_col, id_col,
                                   shingle_k).materialize()
+    num_partitions = _num_partitions(shingles.count())
 
-    # inverted index: (shingle, id) routed by hash(shingle)
+    # inverted index: (shingle, id) routed by hash(shingle); flattening
+    # via Arrow list offsets, pid via one numpy mod — no Python loop over
+    # the (docs × shingles)-sized postings
     def emit_postings(batch: pa.Table) -> pa.Table:
-        ids = batch.column("id").to_pylist()
-        shs = batch.column("shingles").to_pylist()
-        out_s, out_i = [], []
-        for i, sh in zip(ids, shs):
-            out_s.extend(sh)
-            out_i.extend([i] * len(sh))
+        col = batch.column("shingles")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten()
+        parents = pc.list_parent_indices(col)
+        ids = batch.column("id").take(parents)
+        sh = flat.to_numpy(zero_copy_only=False).astype(np.uint64)
         return pa.Table.from_pydict({
-            "spid": pa.array([int(s) % num_partitions for s in out_s],
-                             type=pa.int64()),
-            "shingle": pa.array(out_s, type=pa.uint64()),
-            "id": pa.array(out_i, type=pa.int64()),
+            "spid": pa.array((sh % np.uint64(num_partitions))
+                             .astype(np.int64)),
+            "shingle": flat,
+            "id": ids,
         })
 
     def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # sort by shingle, then iterate only the duplicate runs (the
+        # overwhelming majority of shingles are unique → skipped in bulk)
+        s = g["shingle"].to_numpy()
+        ids = g["id"].to_numpy()
+        order = np.argsort(s, kind="stable")
+        s, ids = s[order], ids[order]
+        change = np.flatnonzero(np.r_[True, s[1:] != s[:-1], True])
+        lens = np.diff(change)
+        dup_runs = np.flatnonzero(lens >= 2)
         left, right = [], []
-        for _, grp in g.groupby("shingle", sort=False):
-            ids = np.unique(grp["id"].to_numpy())
-            if len(ids) < 2 or (max_df is not None and len(ids) > max_df):
+        for ri in dup_runs:
+            a, b = change[ri], change[ri + 1]
+            u = np.unique(ids[a:b])
+            if len(u) < 2 or (max_df is not None and len(u) > max_df):
                 continue
-            iu = np.triu_indices(len(ids), k=1)
-            left.extend(ids[iu[0]].tolist())
-            right.extend(ids[iu[1]].tolist())
+            iu = np.triu_indices(len(u), k=1)
+            left.extend(u[iu[0]].tolist())
+            right.extend(u[iu[1]].tolist())
         return pd.DataFrame({
             "left_id": pd.array(left, dtype="int64"),
             "right_id": pd.array(right, dtype="int64"),
@@ -631,10 +716,12 @@ def ngram_jaccard_exact(ds: "ray.data.Dataset", text_col: str = "text",
     cand = cand.map_batches(add_pair_pid, batch_format="pyarrow") \
         .groupby("ppid").map_groups(dedup_pairs, batch_format="pandas") \
         .materialize()
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return ray.data.from_arrow(_EMPTY_PAIRS)
-    return _verify_pairs_distributed(cand, shingles, threshold,
-                                     num_partitions)
+    # candidate docs ≤ 2 × candidate pairs
+    return _verify_pairs(cand, shingles, threshold, num_partitions,
+                         n_candidate_docs=2 * n_cand)
 
 
 # DuckDB equivalent of ngram_jaccard_exact (word 5-gram shingles, exact
@@ -706,9 +793,10 @@ def embedding_neardup_pairs(ds: "ray.data.Dataset",
     the LSH-bucketed variant (similarity.knn_lsh machinery) prunes the
     quadratic term; this exact version doubles as its recall oracle.
     """
+    n = ds.count()              # metadata-only for parquet sources
+    n_blocks = max(1, -(-n // rows_per_block))
     mat = ds.select_columns([id_col, vec_col]) \
-        .repartition(target_num_rows_per_block=rows_per_block) \
-        .materialize()
+        .repartition(n_blocks).materialize()
     try:
         block_refs = list(mat.get_internal_block_refs())
     except AttributeError:    # newer API surface

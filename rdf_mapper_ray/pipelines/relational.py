@@ -300,13 +300,15 @@ def _parse_props(batch):
 
 
 def events_query(sf_dir: str) -> "ray.data.Dataset":
+    import pyarrow.parquet as pq
     pipe = KGPipeline(EVENTS_SPEC, auto_declare=False, canonicalize=False)
     from rdf_mapper_ray.engine.sources import read_parquet_rows
-    ds = read_parquet_rows(f"{sf_dir}/events.parquet",
+    path = f"{sf_dir}/events.parquet"
+    ds = read_parquet_rows(path,
                            columns=["event_id", "ts", "user_id",
                                     "event_type", "value", "props"])
     ds = ds.map_batches(_parse_props, batch_format="pyarrow")
-    return pipe.run(ds)
+    return pipe.run(ds, rows_hint=pq.read_metadata(path).num_rows)
 
 
 EVENTS_ORACLE_SQL = f"""
@@ -389,13 +391,14 @@ def _props_struct(batch):
 
 
 def events_mapto_query(sf_dir: str) -> "ray.data.Dataset":
+    import pyarrow.parquet as pq
     from rdf_mapper_ray.engine.sources import read_parquet_rows
     pipe = KGPipeline(EVENTS_MAPTO_SPEC, auto_declare=False,
                       canonicalize=False)
-    ds = read_parquet_rows(f"{sf_dir}/events.parquet",
-                           columns=["event_id", "props"])
+    path = f"{sf_dir}/events.parquet"
+    ds = read_parquet_rows(path, columns=["event_id", "props"])
     ds = ds.map_batches(_props_struct, batch_format="pyarrow")
-    return pipe.run(ds)
+    return pipe.run(ds, rows_hint=pq.read_metadata(path).num_rows)
 
 
 EVENTS_MAPTO_ORACLE_SQL = f"""

@@ -104,11 +104,14 @@ def flagship(sf_dir: str, output_dir: Optional[str] = None,
              reconcile_backend=None,
              batch_size: int = 2048) -> "ray.data.Dataset":
     """documents → source-code table → triple table (deduped, sorted)."""
+    import pyarrow.parquet as pq_
     pipe = KGPipeline(FLAGSHIP_SPEC, auto_declare=False,
                       canonicalize=False,
                       reconcile_backend=reconcile_backend,
                       batch_size=batch_size)
-    return pipe.run(source_code_dataset(sf_dir), output_dir=output_dir)
+    rows = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return pipe.run(source_code_dataset(sf_dir), output_dir=output_dir,
+                    rows_hint=rows)
 
 
 _XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -162,11 +165,13 @@ def reconciled(sf_dir: str) -> "ray.data.Dataset":
     """Flagship + entity linking + owl:sameAs canonicalization: every
     repo entity merges into its KB counterpart (lexicographically
     smallest URI wins, so the KB URI becomes the subject everywhere)."""
+    import pyarrow.parquet as pq_
     pipe = KGPipeline(RECONCILE_SPEC, auto_declare=False,
                       canonicalize=True,
                       reconcile_backend=kb_backend(sf_dir),
                       reconcile_mode="mentions")
-    return pipe.run(source_code_dataset(sf_dir))
+    rows = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return pipe.run(source_code_dataset(sf_dir), rows_hint=rows)
 
 
 RECONCILE_ORACLE_SQL = f"""

@@ -289,3 +289,26 @@ def test_minhash_dedup_distributed_path_matches_driver(ray_session):
     dist = minhash_dedup(ds, threshold=0.4,
                          driver_max_pairs=0).to_pandas()
     assert driver["doc_id"].tolist() == dist["doc_id"].tolist()
+
+
+def test_verify_venues_agree(ray_session):
+    """Broadcast and co-partition exact-Jaccard venues must produce the
+    same verified pair set."""
+    import ray.data
+    from rdf_mapper_ray.ops.dedup import (_distinct_shingles,
+                                          _verify_pairs_broadcast,
+                                          _verify_pairs_distributed,
+                                          ngram_jaccard_exact)
+    docs = _docs(["doc_id", "text"])
+    exact = ngram_jaccard_exact(docs, threshold=0.5).to_pandas()
+    pairs = ray.data.from_arrow(pa.Table.from_pydict({
+        "left_id": pa.array(exact["left_id"], type=pa.int64()),
+        "right_id": pa.array(exact["right_id"], type=pa.int64()),
+    })).materialize()
+    sh = _distinct_shingles(_docs(["doc_id", "text"]), None,
+                            "text", "doc_id", 5).materialize()
+    a = _verify_pairs_broadcast(pairs, sh, 0.5).to_pandas()
+    b = _verify_pairs_distributed(pairs, sh, 0.5, 8).to_pandas()
+    ka = sorted(map(tuple, a[["left_id", "right_id", "jaccard"]].values.tolist()))
+    kb = sorted(map(tuple, b[["left_id", "right_id", "jaccard"]].values.tolist()))
+    assert ka == kb and len(ka) == len(exact)

@@ -83,10 +83,14 @@ def test_requires_unless_vectorized():
     assert subs == {"http://e/r/1", "http://e/r/5"}
 
 
-def test_lineitem_falls_back_guard():
+def test_lineitem_guard_expr_vectorized():
+    """The restricted comparison-DSL guard (float(col) > 10) and the
+    arithmetic expr() chain now compile to Arrow masks/programs, so the
+    whole lineitem resource takes the fast path — byte-parity asserted
+    against the per-row kernel."""
     from rdf_mapper_ray.pipelines.relational import LINEITEM_SPEC
     tbl = pq.read_table(f"{SF}/lineitem.parquet").slice(0, 2000)
-    _run_both(LINEITEM_SPEC, tbl, set())    # guard/requires/unless → per-row
+    _run_both(LINEITEM_SPEC, tbl, {"line"})
 
 
 def test_events_fully_vectorized():
@@ -271,3 +275,71 @@ def test_requires_list_with_null_keeps_null_rows():
                          emit_metrics=False)(tbl)
     subs = {r["subject"] for r in out.to_pylist()}
     assert subs == {"http://e/r/1", "http://e/r/3"}
+
+
+def test_guard_null_semantics_parity():
+    """Null handling must mirror Python exactly: `col != 'v'` keeps null
+    rows, ordering comparisons on null raise→skip, and `or` short-circuits
+    past a raise on the right."""
+    specs = [
+        "q > 5",                           # ordering: null q -> skip
+        "flag != 'bad'",                   # None != 'bad' -> True (keep)
+        "flag == 'ok'",
+        "flag == 'ok' or q > 5",           # short-circuit both ways
+        "flag == 'ok' and q > 5",
+        "float(q) * 2 > 10",
+        "q / d > 1",                       # div-by-zero -> skip
+        "not (q > 5)",                     # null q raises inside -> skip
+    ]
+    tbl = pa.table({
+        "id": ["1", "2", "3", "4", "5"],
+        "q": pa.array([10.0, 2.0, None, 7.0, 0.0], type=pa.float64()),
+        "d": pa.array([2.0, 0.0, 1.0, None, 3.0], type=pa.float64()),
+        "flag": ["ok", None, "bad", "ok", None],
+    })
+    for guard in specs:
+        spec = {
+            "globals": {"$datasetID": "t"},
+            "namespaces": {"ex": "http://e/"},
+            "resources": [{"name": "r", "guard": guard, "properties": {
+                "@id": "<http://e/r/{id}>",
+                "<ex:v>": "{id}",
+            }}],
+        }
+        _run_both(spec, tbl, {"r"})
+
+
+def test_expr_div_by_zero_skips_property():
+    spec = {
+        "globals": {"$datasetID": "t"},
+        "namespaces": {"ex": "http://e/"},
+        "resources": [{"name": "r", "properties": {
+            "@id": "<http://e/r/{id}>",
+            "<ex:ratio>": "{a | expr('x / state.get(\"b\")') | asDecimal}",
+        }}],
+    }
+    tbl = pa.table({
+        "id": ["1", "2", "3"],
+        "a": pa.array([10.0, 4.0, 6.0], type=pa.float64()),
+        "b": pa.array([2.0, 0.0, None], type=pa.float64()),
+    })
+    _run_both(spec, tbl, {"r"})
+    out = ExtractTriples(MapperSpec(spec, auto_declare=False).ship_state(),
+                         emit_metrics=False)(tbl)
+    vals = {r["subject"]: r["object_value"] for r in out.to_pylist()}
+    assert vals == {"http://e/r/1": "5.0"}
+
+
+def test_unvectorizable_guard_falls_back():
+    spec = {
+        "globals": {"$datasetID": "t"},
+        "namespaces": {"ex": "http://e/"},
+        "resources": [{"name": "r",
+                       "guard": "len(flag) > 2",     # len() not in subset
+                       "properties": {
+                           "@id": "<http://e/r/{id}>",
+                           "<ex:v>": "{id}",
+                       }}],
+    }
+    tbl = pa.table({"id": ["1", "2"], "flag": ["long", "x"]})
+    _run_both(spec, tbl, set())

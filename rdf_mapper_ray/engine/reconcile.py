@@ -69,8 +69,10 @@ class InMemoryReconcileBackend:
         return out
 
 
-class HTTPReconcileBackend:  # pragma: no cover - no network in sandbox
-    """POSTs the OpenRefine batch protocol to a live endpoint."""
+class HTTPReconcileBackend:
+    """POSTs the OpenRefine batch protocol to a live endpoint (wire
+    format covered by tests/test_reconcile_http.py on a loopback
+    server)."""
 
     def query(self, endpoint: Optional[str], requests_: list[dict]) -> list[dict]:
         import requests as _requests

@@ -50,7 +50,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_mapper_ray.ops import (dedup, multimodal, sessions, similarity,
-                                    text)
+                                    text, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     import ray.data
@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_decode_dims": multimodal.decode_dims,
         "mm_resize_plan": multimodal.resize_plan,
         "sessionize": sessions.sessionize_query,
+        "window_tumbling": windows.tumbling_query,
+        "window_sliding": windows.sliding_query,
         "repo_stats": _repo_stats,
         # rows-only (no SQL oracle): deterministic but non-relational
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(
@@ -112,7 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rdf_mapper_ray.ops import dedup, multimodal, sessions, similarity, text
+    from rdf_mapper_ray.ops import (dedup, multimodal, sessions, similarity,
+                                    text, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     return {
@@ -144,5 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_resize_plan": multimodal.RESIZE_ORACLE_SQL,
         "sessionize": sessions.sessionize_oracle_sql(),
         "session_stats": sessions.session_stats_oracle_sql(),
+        "window_tumbling": windows.tumbling_oracle_sql(),
+        "window_sliding": windows.sliding_oracle_sql(),
         "repo_stats": _REPO_STATS_SQL,
     }

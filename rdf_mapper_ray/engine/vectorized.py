@@ -875,6 +875,44 @@ class AutoCVPlan:
 
 _ARG_RE = re.compile(r"(\w+)\s*\(\s*'([^']*)'\s*\)\s*$")
 _EXPR_ARG_RE = re.compile(r"expr\s*\(\s*'(.*)'\s*\)\s*$", re.DOTALL)
+_ASBOOL_ARGS_RE = re.compile(r"asBoolean\s*\(\s*(.+)\s*\)\s*$", re.DOTALL)
+
+
+class AsBooleanArgsPlan:
+    """``{col | asBoolean('v1','v2')}`` — explicit truthy-value set
+    (functions.py asBoolean *args form: case-folded membership; None →
+    false, never skipped)."""
+
+    __slots__ = ("column", "prefix", "values", "lang", "datatype")
+
+    def __init__(self, column: str, prefix: list[str], values: list[str],
+                 lang, datatype) -> None:
+        self.column = column
+        self.prefix = prefix
+        self.values = [v.lower() for v in values]
+        self.lang = lang
+        self.datatype = datatype
+
+    def supports(self, schema: pa.Schema) -> bool:
+        return (self.column in schema.names
+                and pa.types.is_string(schema.field(self.column).type))
+
+    def evaluate(self, batch: pa.Table):
+        col = batch.column(self.column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mask = pc.is_valid(col)
+        for fname in self.prefix:
+            col, mask, _, _ = _V_FUNCS[fname](col, mask)
+        truthy = pc.is_in(pc.utf8_lower(col),
+                          value_set=pa.array(self.values))
+        out = pc.fill_null(pc.if_else(truthy, "true", "false"), "false")
+        n = len(col)
+        # bare form: asBoolean(None) == false (never skipped); with a
+        # prefix chain a null raises inside the string fn per-row, so
+        # the row keeps the chain's validity mask
+        final_mask = mask if self.prefix else pa.array([True] * n)
+        return out, final_mask, self.lang, XSD_BOOLEAN
 
 
 class PropPlan:
@@ -937,6 +975,19 @@ def _compile_value(template: str, spec: MapperSpec) -> tuple[str, Any]:
                 base = str(spec.context.get("$datasetBase"))
                 return "uri", AutoCVPlan(column, base, am.group(2))
         if chain:
+            bm = _ASBOOL_ARGS_RE.fullmatch(chain[-1])
+            if bm:
+                if lang or datatype:
+                    raise NotVectorizable("suffix on asBoolean(args)")
+                prefix = chain[:-1]
+                for fname in prefix:
+                    if fname not in _V_FUNCS or fname in _TERMINAL:
+                        raise NotVectorizable(f"function {fname!r}")
+                bargs = re.findall(r"'([^']*)'", bm.group(1))
+                if not bargs:
+                    raise NotVectorizable("asBoolean() empty arg list")
+                return "literal", AsBooleanArgsPlan(column, prefix, bargs,
+                                                    lang, datatype)
             em = _EXPR_ARG_RE.fullmatch(chain[0])
             if em:
                 rest = chain[1:]

@@ -276,6 +276,81 @@ class IVFIndex:
         return ds.map_batches(add_cluster, batch_format="pyarrow")
 
 
+def save_ivf_index(ds: "ray.data.Dataset", index_dir: str,
+                   nlist: int = 16, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> "IVFIndex":
+    """Build an IVF index and persist it: centroids as one tiny parquet
+    file, cluster assignments as cluster-partitioned parquet (so a query
+    touching ``nprobe`` clusters reads only those partitions — the
+    row-pruned read path at scale). Reusable across query sessions via
+    :func:`load_ivf_index` / :func:`knn_ivf_persisted`."""
+    import os
+
+    import pyarrow.parquet as pq_
+    index = IVFIndex(ds, nlist=nlist, vec_col=vec_col)
+    os.makedirs(index_dir, exist_ok=True)
+    cent = index.centroids
+    pq_.write_table(pa.Table.from_pydict({
+        "cluster": pa.array(range(len(cent)), type=pa.int64()),
+        "centroid": pa.array([c.tolist() for c in cent],
+                             type=pa.list_(pa.float64())),
+    }), os.path.join(index_dir, "centroids.parquet"))
+    index.assign(ds).write_parquet(
+        os.path.join(index_dir, "assignments"),
+        partition_cols=["cluster"])
+    return index
+
+
+def load_ivf_index(index_dir: str, vec_col: str = "embedding"
+                   ) -> "IVFIndex":
+    import os
+
+    import pyarrow.parquet as pq_
+    tbl = pq_.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = np.argsort(tbl.column("cluster").to_numpy())
+    cents = np.asarray(tbl.column("centroid").to_pylist(),
+                       dtype=np.float64)[order]
+    index = IVFIndex.__new__(IVFIndex)
+    index.centroids = cents
+    index.vec_col = vec_col
+    return index
+
+
+def knn_ivf_persisted(index_dir: str, query_ids: list[int],
+                      query_vecs: list[list[float]], k: int = 10,
+                      nprobe: int = 4, vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> "ray.data.Dataset":
+    """Query a persisted IVF index: reads ONLY the parquet partitions of
+    the probed clusters (partition pruning at the source — the 100 TB
+    path never scans unprobed clusters)."""
+    import os
+    index = load_ivf_index(index_dir, vec_col=vec_col)
+    qm = np.asarray(query_vecs, dtype=np.float64)
+    dq = ((qm[:, None, :] - index.centroids[None, :, :]) ** 2).sum(axis=2)
+    nprobe = min(nprobe, len(index.centroids))
+    probes = np.argsort(dq, axis=1)[:, :nprobe]
+    needed = sorted({int(c) for row in probes for c in row})
+
+    def read_cluster(c: int) -> "ray.data.Dataset":
+        part = ray.data.read_parquet(
+            os.path.join(index_dir, "assignments", f"cluster={c}"))
+
+        def attach(batch: pa.Table, cluster: int = c) -> pa.Table:
+            if "cluster" in batch.column_names:
+                batch = batch.drop_columns(["cluster"])
+            return batch.append_column(
+                "cluster", pa.array([cluster] * batch.num_rows,
+                                    type=pa.int64()))
+        return part.map_batches(attach, batch_format="pyarrow")
+
+    parts = [read_cluster(c) for c in needed]
+    assigned = parts[0]
+    for p in parts[1:]:
+        assigned = assigned.union(p)
+    return _ivf_score(assigned, index, query_ids, qm, probes, k,
+                      vec_col, id_col)
+
+
 def knn_ivf(ds: "ray.data.Dataset", query_ids: list[int],
             query_vecs: list[list[float]], k: int = 10, nlist: int = 16,
             nprobe: int = 4, vec_col: str = "embedding",
@@ -288,6 +363,13 @@ def knn_ivf(ds: "ray.data.Dataset", query_ids: list[int],
     qm = np.asarray(query_vecs, dtype=np.float64)
     dq = ((qm[:, None, :] - index.centroids[None, :, :]) ** 2).sum(axis=2)
     probes = np.argsort(dq, axis=1)[:, :nprobe]
+    return _ivf_score(assigned, index, query_ids, qm, probes, k,
+                      vec_col, id_col)
+
+
+def _ivf_score(assigned: "ray.data.Dataset", index: "IVFIndex",
+               query_ids: list[int], qm: np.ndarray, probes: np.ndarray,
+               k: int, vec_col: str, id_col: str) -> "ray.data.Dataset":
     by_cluster: dict[int, tuple[list[int], list[np.ndarray]]] = {}
     for qi, qid in enumerate(query_ids):
         for c in probes[qi]:

@@ -1,0 +1,171 @@
+"""Windowed aggregates over event time — tumbling and sliding (hopping)
+windows, composed per SURVEY.md's custom-operator rule (a): vectorized
+window assignment + map-side partial aggregation inside ``map_batches``,
+then ONE small groupby over (window, key) partials. The shuffle moves
+pre-aggregated counters — O(windows × keys) rows — never the events.
+
+Exactness: value sums are carried as integer cents (the events table
+holds 2-decimal doubles), so distributed partial sums are
+order-independent and bit-exact against the DuckDB oracle; the final
+``/100.0`` is a single exact int→double division on both sides.
+
+Sliding windows use the hop decomposition: events pre-aggregate into
+slide-sized buckets, each bucket fans out to the W/S windows it belongs
+to (bucket rows only — the fan-out never touches event rows), and a
+groupby(window) sums the bucket partials.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+_US = 1_000_000
+
+
+def _partial_counts(batch: pa.Table, ts_col: str, value_col: str,
+                    bucket_secs: int, key_col: str | None) -> pa.Table:
+    """Vectorized per-batch partial: (bucket[, key]) → (n, cents)."""
+    eu = batch.column(ts_col).cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    bucket = (eu // (bucket_secs * _US)) * bucket_secs
+    cents = np.rint(batch.column(value_col).to_numpy(
+        zero_copy_only=False) * 100).astype(np.int64)
+    cols = {"bucket": pa.array(bucket, type=pa.int64()),
+            "cents": pa.array(cents, type=pa.int64())}
+    keys = ["bucket"]
+    if key_col is not None:
+        cols[key_col] = batch.column(key_col)
+        keys.append(key_col)
+    t = pa.Table.from_pydict(cols)
+    agg = t.group_by(keys, use_threads=False).aggregate(
+        [("cents", "sum"), ("cents", "count")])
+    return agg.rename_columns(keys + ["cents", "n"])
+
+
+def tumbling_window_stats(ds: "ray.data.Dataset", ts_col: str = "ts",
+                          key_col: str | None = "event_type",
+                          value_col: str = "value",
+                          window_secs: int = 3600) -> "ray.data.Dataset":
+    """Per (tumbling window, key): event count and exact value sum.
+
+    Output: (window_start epoch-secs int64[, key], n_events int64,
+    sum_value double).
+    """
+    partials = ds.map_batches(
+        lambda b: _partial_counts(b, ts_col, value_col, window_secs,
+                                  key_col),
+        batch_format="pyarrow")
+    keys = ["bucket"] + ([key_col] if key_col else [])
+    merged = partials.groupby(keys).sum(["n", "cents"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cols = {"window_start": t.column("bucket")}
+        if key_col:
+            cols[key_col] = t.column(key_col)
+        cols["n_events"] = t.column("sum(n)")
+        cols["sum_value"] = pa.array(
+            t.column("sum(cents)").to_numpy(zero_copy_only=False) / 100.0,
+            type=pa.float64())
+        return pa.Table.from_pydict(cols)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def sliding_window_stats(ds: "ray.data.Dataset", ts_col: str = "ts",
+                         value_col: str = "value",
+                         window_secs: int = 3600,
+                         slide_secs: int = 900) -> "ray.data.Dataset":
+    """Hopping windows (length ``window_secs``, every ``slide_secs``):
+    per window event count + exact value sum. ``window_secs`` must be a
+    multiple of ``slide_secs``.
+
+    Hop decomposition: events partial-aggregate into slide buckets
+    (map-side, one groupby over bucket partials), then each bucket row
+    fans out to the windows containing it — the quadratic-ish fan-out
+    happens on the tiny bucket table, never on events.
+    """
+    if window_secs % slide_secs:
+        raise ValueError("window_secs must be a multiple of slide_secs")
+    k = window_secs // slide_secs
+
+    partials = ds.map_batches(
+        lambda b: _partial_counts(b, ts_col, value_col, slide_secs, None),
+        batch_format="pyarrow")
+    buckets = partials.groupby("bucket").sum(["n", "cents"])
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        n = t.column("sum(n)").to_numpy(zero_copy_only=False)
+        c = t.column("sum(cents)").to_numpy(zero_copy_only=False)
+        offs = (np.arange(k) * slide_secs)
+        starts = (b[:, None] - offs[None, :]).ravel()
+        return pa.Table.from_pydict({
+            "window_start": pa.array(starts, type=pa.int64()),
+            "n": pa.array(np.repeat(n, k), type=pa.int64()),
+            "cents": pa.array(np.repeat(c, k), type=pa.int64()),
+        })
+
+    windows = buckets.map_batches(fan_out, batch_format="pyarrow") \
+        .groupby("window_start").sum(["n", "cents"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "window_start": t.column("window_start"),
+            "n_events": t.column("sum(n)"),
+            "sum_value": pa.array(
+                t.column("sum(cents)").to_numpy(zero_copy_only=False)
+                / 100.0, type=pa.float64()),
+        })
+
+    return windows.map_batches(finalize, batch_format="pyarrow")
+
+
+# --- driver queries + oracles ------------------------------------------------
+
+def tumbling_query(sf_dir: str, window_secs: int = 3600):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    return tumbling_window_stats(ds, window_secs=window_secs)
+
+
+def sliding_query(sf_dir: str, window_secs: int = 3600,
+                  slide_secs: int = 900):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+    return sliding_window_stats(ds, window_secs=window_secs,
+                                slide_secs=slide_secs)
+
+
+def tumbling_oracle_sql(window_secs: int = 3600) -> str:
+    return f"""
+SELECT (epoch_us(ts) // ({window_secs} * 1000000::BIGINT)) * {window_secs}
+         AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def sliding_oracle_sql(window_secs: int = 3600,
+                       slide_secs: int = 900) -> str:
+    k = window_secs // slide_secs
+    return f"""
+WITH e AS (
+  SELECT (epoch_us(ts) // ({slide_secs} * 1000000::BIGINT)) * {slide_secs} AS b,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT b - {slide_secs} * i AS window_start, cents
+  FROM e, LATERAL (SELECT unnest(range(0, {k})) AS i) t
+)
+SELECT window_start, COUNT(*) AS n_events,
+       SUM(cents) / 100.0 AS sum_value
+FROM m GROUP BY 1 ORDER BY 1
+"""

@@ -312,3 +312,31 @@ def test_verify_venues_agree(ray_session):
     ka = sorted(map(tuple, a[["left_id", "right_id", "jaccard"]].values.tolist()))
     kb = sorted(map(tuple, b[["left_id", "right_id", "jaccard"]].values.tolist()))
     assert ka == kb and len(ka) == len(exact)
+
+
+def test_ivf_persisted_index_matches_fresh(ray_session, tmp_path):
+    """Persisted IVF index (centroids parquet + cluster-partitioned
+    assignments) must answer identically to the freshly-built one, while
+    reading only the probed clusters' partitions."""
+    import os
+
+    import ray.data
+    from rdf_mapper_ray.ops.similarity import (knn_ivf, knn_ivf_persisted,
+                                               save_ivf_index)
+    src = f"{SF}/embeddings.parquet"
+    ds = ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+    tbl = pq.read_table(src, columns=["vec_id", "embedding"])
+    qids = tbl.column("vec_id").to_pylist()[:4]
+    qvecs = tbl.column("embedding").to_pylist()[:4]
+    fresh = knn_ivf(ds, qids, qvecs, k=5).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    idx_dir = str(tmp_path / "ivf")
+    save_ivf_index(ray.data.read_parquet(src,
+                                         columns=["vec_id", "embedding"]),
+                   idx_dir)
+    assert os.path.isfile(f"{idx_dir}/centroids.parquet")
+    assert any(p.startswith("cluster=")
+               for p in os.listdir(f"{idx_dir}/assignments"))
+    persisted = knn_ivf_persisted(idx_dir, qids, qvecs, k=5).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert fresh.equals(persisted)

@@ -343,3 +343,27 @@ def test_unvectorizable_guard_falls_back():
     }
     tbl = pa.table({"id": ["1", "2"], "flag": ["long", "x"]})
     _run_both(spec, tbl, set())
+
+
+def test_asboolean_explicit_args_vectorized():
+    spec = {
+        "globals": {"$datasetID": "t"},
+        "namespaces": {"ex": "http://e/"},
+        "resources": [{"name": "r", "properties": {
+            "@id": "<http://e/r/{id}>",
+            "<ex:ok>": "{flag | asBoolean('oui','ja')}",
+            "<ex:up>": "{flag | trim | asBoolean('OUI')}",
+        }}],
+    }
+    tbl = pa.table({
+        "id": ["1", "2", "3", "4"],
+        "flag": ["Oui", "yes", None, " oui "],
+    })
+    _run_both(spec, tbl, {"r"})
+    out = ExtractTriples(MapperSpec(spec, auto_declare=False).ship_state(),
+                         emit_metrics=False)(tbl).to_pylist()
+    ok = {r["subject"]: r["object_value"] for r in out
+          if r["predicate"].endswith("/ok")}
+    # explicit set replaces the default truthy set ('yes' now false)
+    assert ok == {"http://e/r/1": "true", "http://e/r/2": "false",
+                  "http://e/r/3": "false", "http://e/r/4": "false"}

@@ -1,0 +1,59 @@
+"""Windowed-aggregate operators: tumbling and sliding over event time."""
+
+import datetime
+
+import pyarrow as pa
+
+
+def _events(rows):
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "ts": pa.array([datetime.datetime(2024, 1, 1) +
+                        datetime.timedelta(seconds=s) for s, _ in rows],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["t"] * len(rows)),
+        "value": pa.array([v for _, v in rows], type=pa.float64()),
+    }))
+
+
+def test_tumbling_window_counts_and_sums(ray_session):
+    from rdf_mapper_ray.ops.windows import tumbling_window_stats
+    base = int(datetime.datetime(2024, 1, 1)
+               .replace(tzinfo=datetime.timezone.utc).timestamp())
+    # events at 10s, 20s (window 0) and 3700s (window 1)
+    ds = _events([(10, 1.25), (20, 2.50), (3700, 4.75)])
+    out = tumbling_window_stats(ds, window_secs=3600).to_pandas() \
+        .sort_values("window_start").reset_index(drop=True)
+    assert out["window_start"].tolist() == [base, base + 3600]
+    assert out["n_events"].tolist() == [2, 1]
+    assert out["sum_value"].tolist() == [3.75, 4.75]
+
+
+def test_sliding_window_hop_membership(ray_session):
+    from rdf_mapper_ray.ops.windows import sliding_window_stats
+    base = int(datetime.datetime(2024, 1, 1)
+               .replace(tzinfo=datetime.timezone.utc).timestamp())
+    # one event at +950s: slide bucket = base+900; member of windows
+    # starting base+900, +0, -900, -1800 (W=3600, S=900)
+    ds = _events([(950, 7.00)])
+    out = sliding_window_stats(ds, window_secs=3600,
+                               slide_secs=900).to_pandas() \
+        .sort_values("window_start").reset_index(drop=True)
+    assert out["window_start"].tolist() == [
+        base - 1800, base - 900, base, base + 900]
+    assert out["n_events"].tolist() == [1, 1, 1, 1]
+    assert set(out["sum_value"]) == {7.00}
+
+
+def test_sliding_equals_tumbling_when_slide_is_window(ray_session):
+    """W == S degenerates to tumbling (global key)."""
+    from rdf_mapper_ray.ops.windows import (sliding_window_stats,
+                                            tumbling_window_stats)
+    rows = [(i * 37, float(i % 9) + 0.25) for i in range(500)]
+    a = sliding_window_stats(_events(rows), window_secs=600,
+                             slide_secs=600).to_pandas() \
+        .sort_values("window_start").reset_index(drop=True)
+    b = tumbling_window_stats(_events(rows), key_col=None,
+                              window_secs=600).to_pandas() \
+        .sort_values("window_start").reset_index(drop=True)
+    assert a.equals(b)

@@ -346,7 +346,7 @@ def process_resource(name: str, rs: ResourceSpec, state: EvalState) -> Any:
         graph = uri_expand(rs.graph, state)[0]
         state = state.switch_to_graph(graph, rs.preserved_graph)
 
-    id_template = rs.find_prop_defn("@id") or "<row>"
+    id_template = rs.id_template or "<row>"
     if id_template == "<_>":
         resource: Any = state.new_bnode()
     else:
@@ -354,7 +354,7 @@ def process_resource(name: str, rs: ResourceSpec, state: EvalState) -> Any:
     state.backlinks[name] = resource
     state.set("$parentID", str(resource))
 
-    type_template = rs.find_prop_defn("@type")
+    type_template = rs.type_template
     if not type_template and state.spec.auto_declare:
         type_template = "<{$datasetBase}/def/{$resourceID}>"
         _id = uri_expand(type_template, state)[0]
@@ -442,7 +442,16 @@ def process_property(resource: Any, prop: str, template: Any,
             state.add(resource, Iri(RDF_TYPE),
                       Iri(uri_expand(prop_spec.cls, state)[0]))
 
-    propref = Iri(uri_expand(prop, state)[0])
+    # constant-predicate fast path: static <...> URIs land in
+    # spec.uri_cache on first expansion; reuse one Iri per spec after
+    # (bare names never enter uri_cache, so their per-row auto-declare
+    # side effect is preserved)
+    iri_cache = state.spec.propref_iris
+    propref = iri_cache.get(prop)
+    if propref is None:
+        propref = Iri(uri_expand(prop, state)[0])
+        if prop in state.spec.uri_cache:
+            iri_cache[prop] = propref
     propname = prop
     if prop_spec is not None:
         if state.spec.auto_declare:

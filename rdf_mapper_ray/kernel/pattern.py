@@ -35,6 +35,7 @@ _VAR_RE = re.compile(r"{([^}]*)}")
 _PIPE_RE = re.compile(r"\s*\|\s*")
 
 _MISSING = object()
+_SCALARS = frozenset((str, int, float, bool, type(None)))
 
 
 class _VarSeg:
@@ -61,10 +62,17 @@ class _VarSeg:
             results: list[Any] = []
             for v in values:
                 r = fn(v, ctx)
-                if isinstance(r, Iterable) and not isinstance(r, str):
+                # exact reference semantics (pattern.py:115): flatten any
+                # non-str Iterable — with a type fast path so the common
+                # scalar/list cases skip the slow ABC isinstance
+                t = type(r)
+                if t is list or t is tuple:
                     results.extend(r)
-                else:
+                elif t in _SCALARS or is_node(r) \
+                        or not isinstance(r, Iterable):
                     results.append(r)
+                else:
+                    results.extend(r)
             values = results
         return [v if is_node(v) else Lit(v) for v in values if v is not None]
 
@@ -95,10 +103,21 @@ class CompiledPattern:
     def execute(self, ctx: Any) -> list[Any]:
         if not self.segments:
             return []
-        values = self._seg_values(self.segments[0], ctx)
-        for seg in self.segments[1:]:
-            nxt = self._seg_values(seg, ctx)
-            values = [_concat(v, r) for v in values for r in nxt]
+        if len(self.segments) == 1:
+            values = self._seg_values(self.segments[0], ctx)
+        else:
+            segs = [self._seg_values(s, ctx) for s in self.segments]
+            if all(len(s) == 1 for s in segs):
+                # single-valued segments (the overwhelmingly common
+                # case): one join instead of chained _concat Lit allocs —
+                # identical result by _concat's own rules
+                values = [Lit("".join(
+                    str(v.value) if type(v) is Lit else str(v)
+                    for (v,) in segs))]
+            else:
+                values = segs[0]
+                for nxt in segs[1:]:
+                    values = [_concat(v, r) for v in values for r in nxt]
         out = []
         for v in values:
             w = self._finalize(v, ctx)

@@ -104,7 +104,7 @@ def _listify(props: Any) -> list[tuple[str, Any]]:
 class ResourceSpec:
     __slots__ = ("model", "name", "graph", "preserved_graph", "properties",
                  "pattern", "requires", "unless", "guard", "guard_code",
-                 "comment")
+                 "comment", "id_template", "type_template")
 
     def __init__(self, model: ResourceModel) -> None:
         self.model = model
@@ -118,6 +118,10 @@ class ResourceSpec:
         self.unless = model.unless
         self.guard = model.guard
         self.guard_code = compile(model.guard, "<guard>", "eval") if model.guard else None
+        # hot-path precomputation: the row engine reads @id/@type on
+        # every row — resolve the scan once per spec
+        self.id_template = self.find_prop_defn("@id")
+        self.type_template = self.find_prop_defn("@type")
 
     @classmethod
     def from_dict(cls, d: dict) -> "ResourceSpec":
@@ -195,6 +199,9 @@ class MapperSpec:
         self.context: ChainMap = ChainMap(self.globals, dict(self.BUILTINS))
         # per-spec memo for row-independent URI patterns (evaluator.uri_expand)
         self.uri_cache: dict[str, list[str]] = {}
+        # per-spec memo for constant predicate Iri objects
+        # (evaluator.process_property fast path)
+        self.propref_iris: dict[str, Any] = {}
         if not self.context.get("$datasetBase"):
             # NB: f-string of a missing $datasetID yields the literal "None",
             # matching the reference (mapper_spec.py:113-115)

@@ -50,7 +50,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_mapper_ray.ops import (dedup, multimodal, sessions, similarity,
-                                    text, windows)
+                                    text, topk, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     import ray.data
@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": sessions.sessionize_query,
         "window_tumbling": windows.tumbling_query,
         "window_sliding": windows.sliding_query,
+        "top_k_tokens": topk.top_k_query,
         "repo_stats": _repo_stats,
         # rows-only (no SQL oracle): deterministic but non-relational
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(
@@ -102,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": lambda sf: text.fingerprints(
             _docs(sf, ["doc_id", "text"])),
         "session_stats": sessions.session_stats_query,
+        "heavy_hitters": topk.heavy_hitters_query,
         "knn_lsh": lambda sf: similarity.knn_lsh(
             ray.data.read_parquet(f"{sf}/embeddings.parquet",
                                   columns=["vec_id", "embedding"]),
@@ -115,7 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rdf_mapper_ray.ops import (dedup, multimodal, sessions, similarity,
-                                    text, windows)
+                                    text, topk, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     return {
@@ -149,5 +151,6 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": sessions.session_stats_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),
         "window_sliding": windows.sliding_oracle_sql(),
+        "top_k_tokens": topk.top_k_oracle_sql(),
         "repo_stats": _REPO_STATS_SQL,
     }

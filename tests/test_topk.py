@@ -1,0 +1,47 @@
+"""Token top-k and two-pass Space-Saving heavy hitters."""
+
+import collections
+
+import pyarrow as pa
+
+
+def _docs_ds(texts):
+    import ray.data
+    return ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+
+
+def test_top_k_exact_with_ties(ray_session):
+    from rdf_mapper_ray.ops.topk import top_k_tokens
+    texts = ["a a a b b c", "B c d", "a c"]
+    out = top_k_tokens(_docs_ds(texts), k=3).to_pandas()
+    # counts: a=4, b=3 (case-folded), c=3, d=1; tie b/c broken by token
+    assert list(zip(out["token"], out["cnt"])) == [
+        ("a", 4), ("b", 3), ("c", 3)]
+
+
+def test_heavy_hitters_guarantee(ray_session):
+    """Every token with global freq >= N/capacity must be found with its
+    exact count, across many blocks (sketch union + exact recount)."""
+    import random
+
+    import ray.data
+    from rdf_mapper_ray.ops.topk import heavy_hitters
+    rng = random.Random(3)
+    hot = [f"hot{i}" for i in range(12)]
+    cold = [f"cold{i}" for i in range(5000)]
+    words = hot * 400 + [rng.choice(cold) for _ in range(20000)]
+    rng.shuffle(words)
+    texts = [" ".join(words[i:i + 50]) for i in range(0, len(words), 50)]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)})) \
+        .repartition(16)
+    exact = collections.Counter(w for t in texts for w in t.lower().split())
+    n = sum(exact.values())
+    capacity = 64
+    thr = max(1, n // capacity)
+    required = {t for t, c in exact.items() if c >= thr}
+    out = heavy_hitters(ds, capacity=capacity).to_pandas()
+    got = dict(zip(out["token"], out["cnt"]))
+    assert required <= set(got)
+    for t, c in got.items():
+        assert exact[t] == c            # pass-2 counts are exact
+    assert set(hot) <= set(got)

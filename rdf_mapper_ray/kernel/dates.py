@@ -42,6 +42,22 @@ _FORMATS = (
     "%Y/%m/%d",
     "%d-%m-%Y",
     "%Y%m%d",
+    # locale-breadth extensions (dateparser accepts all of these; tried
+    # strictly after the day-first variants so unambiguous day-first
+    # inputs never change meaning)
+    "%m/%d/%Y %H:%M:%S",     # US order — only hits when day-first fails
+    "%m/%d/%Y",
+    "%d.%m.%Y %H:%M:%S",     # dotted (de/ru/…)
+    "%d.%m.%Y %H:%M",
+    "%d.%m.%Y",
+    "%d.%m.%y",
+    "%Y.%m.%d",
+    "%d %B %Y at %H:%M",
+    "%B %d %Y",              # month-name without comma
+    "%b %d %Y",
+    "%d %b %y",
+    "%A %d %B %Y",           # full weekday prefix
+    "%A, %d %B %Y",
 )
 
 _WS = re.compile(r"\s+")
@@ -65,4 +81,12 @@ def parse_datetime(s: str) -> Optional[_dt.datetime]:
             return _dt.datetime.strptime(s, fmt)
         except ValueError:
             continue
+    # RFC 2822 ("Mon, 25 Mar 2024 10:00:00 +0000") — email-style dates
+    try:
+        from email.utils import parsedate_to_datetime
+        dt = parsedate_to_datetime(s)
+        if dt is not None:
+            return dt.replace(tzinfo=None) if dt.tzinfo else dt
+    except (ValueError, TypeError, IndexError):
+        pass
     return None

@@ -131,3 +131,27 @@ def test_boolean():
     assert asBoolean("Y", None, "y") == T
     assert asBoolean("n", None, "y") == F
     assert asBoolean("N", None, "y") == F
+
+
+def test_date_format_breadth():
+    """Locale-breadth fallback formats (dateparser-parity surface):
+    dotted, US-order-after-day-first, month names without comma, RFC
+    2822, weekday prefixes. Day-first stays authoritative for ambiguous
+    slashed dates."""
+    import datetime
+
+    from rdf_mapper_ray.kernel.dates import parse_datetime
+    cases = {
+        "25.03.2024": datetime.datetime(2024, 3, 25),
+        "25.03.2024 10:30": datetime.datetime(2024, 3, 25, 10, 30),
+        "2024.03.25": datetime.datetime(2024, 3, 25),
+        "03/25/2024": datetime.datetime(2024, 3, 25),   # invalid day-first → US
+        "03/04/2024": datetime.datetime(2024, 4, 3),    # ambiguous → day-first
+        "March 25 2024": datetime.datetime(2024, 3, 25),
+        "25 Mar 24": datetime.datetime(2024, 3, 25),
+        "Monday 25 March 2024": datetime.datetime(2024, 3, 25),
+        "Mon, 25 Mar 2024 10:00:00 +0000": datetime.datetime(2024, 3, 25, 10),
+        "not a date": None,
+    }
+    for s, want in cases.items():
+        assert parse_datetime(s) == want, s

@@ -49,8 +49,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rdf_mapper_ray.ops import (dedup, multimodal, sessions, similarity,
-                                    text, topk, windows)
+    from rdf_mapper_ray.ops import (dedup, joins, multimodal, sessions,
+                                    similarity, text, topk, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     import ray.data
@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": windows.tumbling_query,
         "window_sliding": windows.sliding_query,
         "top_k_tokens": topk.top_k_query,
+        "asof_prior_purchase": joins.prior_purchase_query,
         "repo_stats": _repo_stats,
         # rows-only (no SQL oracle): deterministic but non-relational
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(
@@ -116,8 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rdf_mapper_ray.ops import (dedup, multimodal, sessions, similarity,
-                                    text, topk, windows)
+    from rdf_mapper_ray.ops import (dedup, joins, multimodal, sessions,
+                                    similarity, text, topk, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     return {
@@ -152,5 +153,6 @@ def oracle_sql() -> dict[str, str]:
         "window_tumbling": windows.tumbling_oracle_sql(),
         "window_sliding": windows.sliding_oracle_sql(),
         "top_k_tokens": topk.top_k_oracle_sql(),
+        "asof_prior_purchase": joins.PRIOR_PURCHASE_ORACLE_SQL,
         "repo_stats": _REPO_STATS_SQL,
     }

@@ -434,17 +434,14 @@ class _TypedProgram:
         v, r = self._ev(self.tree.body, ctx)
         true_mask = pa.array([True] * n)
         if self.out_type == "bool":
-            eff = self._bool_effective(v, r)
+            # effective truth: True AND did not raise anywhere inside
+            eff = v if r is None else pc.and_(v, pc.invert(r))
             return eff, true_mask
         valid = pc.is_valid(v) if isinstance(v, (pa.Array, pa.ChunkedArray)) \
             else true_mask
         if r is not None:
             valid = pc.and_(valid, pc.invert(r))
         return v, valid
-
-    @staticmethod
-    def _bool_effective(v, r):
-        return v if r is None else pc.and_(v, pc.invert(r))
 
     @staticmethod
     def _or_raises(a, b):
@@ -505,10 +502,8 @@ class _TypedProgram:
                 v = self._num(v)
                 return (pc.negate(v) if isinstance(
                     v, (pa.Array, pa.ChunkedArray)) else -v), r
-            # Not: effective-invert (raised rows stay skipped)
-            eff = self._bool_effective(v, r)
-            out = pc.invert(eff)
-            return (out if r is None else pc.and_(out, pc.invert(r))), None
+            # Not: invert the value; a raise inside propagates out
+            return pc.invert(v), r
         if isinstance(node, _ast.BinOp):
             lv, lr = self._ev(node.left, ctx)
             rv, rr = self._ev(node.right, ctx)
@@ -557,22 +552,35 @@ class _TypedProgram:
                      _ast.Lt: pc.less, _ast.LtE: pc.less_equal}
             return pc.fill_null(table[type(op)](lv, rv), False), r
         if isinstance(node, _ast.BoolOp):
-            # short-circuit parity: a raise on the right only matters for
-            # rows the left doesn't decide
+            # short-circuit parity, with raises PROPAGATED (so an
+            # enclosing `not` still skips rows that raised inside):
+            #   a and b raises iff a raises, or a was truly True and b
+            #   raises; a or b raises iff a raises, or a was truly False
+            #   and b raises. Values on raised rows are garbage — every
+            #   consumer masks them via the raises channel.
             parts = [self._ev(v, ctx) for v in node.values]
-            effs = [self._bool_effective(v, r) for v, r in parts]
-            if isinstance(node.op, _ast.And):
-                out = effs[0]
-                for e in effs[1:]:
-                    out = pc.and_(out, e)
-                return out, None
-            out, seen_raise = effs[0], parts[0][1]
-            for (v, r), e in zip(parts[1:], effs[1:]):
-                nxt = e if seen_raise is None \
-                    else pc.and_(e, pc.invert(seen_raise))
-                out = pc.or_(out, nxt)
-                seen_raise = self._or_raises(seen_raise, r)
-            return out, None
+            va, ra = parts[0]
+            is_and = isinstance(node.op, _ast.And)
+            for vb, rb in parts[1:]:
+                not_ra = None if ra is None else pc.invert(ra)
+
+                def _true_noraise(v, nr):
+                    return v if nr is None else pc.and_(v, nr)
+
+                if is_and:
+                    decided_true = _true_noraise(va, not_ra)
+                    ra = self._or_raises(
+                        ra, None if rb is None
+                        else pc.and_(decided_true, rb))
+                    va = pc.and_(va, vb)
+                else:
+                    decided_false = pc.invert(va) if not_ra is None \
+                        else pc.and_(pc.invert(va), not_ra)
+                    ra = self._or_raises(
+                        ra, None if rb is None
+                        else pc.and_(decided_false, rb))
+                    va = pc.or_(va, vb)
+            return va, ra
         raise AssertionError(type(node))
 
 

@@ -367,3 +367,91 @@ def test_asboolean_explicit_args_vectorized():
     # explicit set replaces the default truthy set ('yes' now false)
     assert ok == {"http://e/r/1": "true", "http://e/r/2": "false",
                   "http://e/r/3": "false", "http://e/r/4": "false"}
+
+
+def test_guard_compiler_random_parity():
+    """Property test: random restricted guard expressions over random
+    (null-bearing) data — the Arrow mask must equal row-by-row Python
+    evaluation with the kernel's exact skip rules (False/None/raise)."""
+    import random
+
+    from rdf_mapper_ray.engine.vectorized import (NotVectorizable,
+                                                  compile_restricted)
+
+    rng = random.Random(11)
+    num_cols = ["q", "d", "n"]
+    str_cols = ["flag", "status"]
+
+    def rand_atom():
+        c = rng.choice(num_cols)
+        forms = [c, f"float({c})", f"int({c})",
+                 f"state.get('{c}')",
+                 f"{c} {rng.choice('+-*')} {rng.randint(1, 5)}",
+                 f"{c} / {rng.choice(num_cols)}",
+                 f"{c} + {rng.choice(num_cols)}"]
+        return rng.choice(forms)
+
+    def rand_cmp():
+        if rng.random() < 0.35:
+            s = rng.choice(str_cols)
+            val = rng.choice(["ok", "bad", "x"])
+            return f"{s} {rng.choice(['==', '!='])} '{val}'"
+        op = rng.choice([">", ">=", "<", "<=", "==", "!="])
+        rhs = rng.choice([str(rng.randint(-2, 8)), rand_atom()])
+        return f"{rand_atom()} {op} {rhs}"
+
+    def rand_guard(depth=0):
+        if depth < 2 and rng.random() < 0.45:
+            parts = [rand_guard(depth + 1) for _ in range(rng.randint(2, 3))]
+            joiner = rng.choice([" and ", " or "])
+            e = joiner.join(f"({p})" for p in parts)
+            return f"not ({e})" if rng.random() < 0.2 else e
+        return rand_cmp()
+
+    def py_rows(n):
+        rows = []
+        for _ in range(n):
+            rows.append({
+                "q": rng.choice([None, 0.0, 1.5, -2.0, 4.0, 7.5]),
+                "d": rng.choice([None, 0.0, 2.0, 3.5]),
+                "n": rng.choice([None, -1.0, 0.0, 5.0]),
+                "flag": rng.choice([None, "ok", "bad", "x"]),
+                "status": rng.choice([None, "ok", "open"]),
+            })
+        return rows
+
+    checked = 0
+    for _ in range(300):
+        expr = rand_guard()
+        try:
+            prog = compile_restricted(expr, "bool")
+        except NotVectorizable:
+            continue
+        rows = py_rows(40)
+        tbl = pa.table({
+            "q": pa.array([r["q"] for r in rows], type=pa.float64()),
+            "d": pa.array([r["d"] for r in rows], type=pa.float64()),
+            "n": pa.array([r["n"] for r in rows], type=pa.float64()),
+            "flag": pa.array([r["flag"] for r in rows], type=pa.string()),
+            "status": pa.array([r["status"] for r in rows],
+                               type=pa.string()),
+        })
+        assert prog.supports(tbl.schema), expr
+        mask, _ = prog.evaluate(tbl)
+        got = mask.to_pylist()
+        code = compile(expr, "<guard>", "eval")
+        for i, row in enumerate(rows):
+            # kernel semantics: null columns are PRESENT as None in the
+            # guard's bindings (None != x is True, None > x raises)
+            env = dict(row)
+            env["state"] = type("S", (), {
+                "get": staticmethod(lambda k, d=None, _r=row: _r.get(k, d))})
+            try:
+                res = eval(code, {}, env)
+                want = not (res is None or res is False)
+            except Exception:
+                want = False
+            assert got[i] == want, (
+                f"{expr!r} row={row} vec={got[i]} py={want}")
+        checked += 1
+    assert checked > 100        # enough expressions actually compiled

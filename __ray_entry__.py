@@ -49,8 +49,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rdf_mapper_ray.ops import (dedup, joins, multimodal, sessions,
-                                    similarity, text, topk, windows)
+    from rdf_mapper_ray.ops import (dedup, distinct, joins, multimodal,
+                                    sessions, similarity, text, topk,
+                                    windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     import ray.data
@@ -92,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sliding": windows.sliding_query,
         "top_k_tokens": topk.top_k_query,
         "asof_prior_purchase": joins.prior_purchase_query,
+        "distinct_users": distinct.distinct_users_query,
         "repo_stats": _repo_stats,
         # rows-only (no SQL oracle): deterministic but non-relational
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(
@@ -117,8 +119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rdf_mapper_ray.ops import (dedup, joins, multimodal, sessions,
-                                    similarity, text, topk, windows)
+    from rdf_mapper_ray.ops import (dedup, distinct, joins, multimodal,
+                                    sessions, similarity, text, topk,
+                                    windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     return {
@@ -154,5 +157,6 @@ def oracle_sql() -> dict[str, str]:
         "window_sliding": windows.sliding_oracle_sql(),
         "top_k_tokens": topk.top_k_oracle_sql(),
         "asof_prior_purchase": joins.PRIOR_PURCHASE_ORACLE_SQL,
+        "distinct_users": distinct.DISTINCT_USERS_ORACLE_SQL,
         "repo_stats": _REPO_STATS_SQL,
     }

@@ -97,14 +97,38 @@ class RewriteNodes:
 
 def canonicalize_sameas(ds: "ray.data.Dataset",
                         predicate: str = OWL_SAMEAS,
-                        drop_self_sameas: bool = True) -> "ray.data.Dataset":
-    """Merge co-referent entities; identity-preserving when no edges."""
-    edges = collect_sameas_edges(ds, predicate)
-    if not edges:
+                        drop_self_sameas: bool = True,
+                        driver_max_edges: int = 2_000_000
+                        ) -> "ray.data.Dataset":
+    """Merge co-referent entities; identity-preserving when no edges.
+
+    Venue dispatch: the edge set is usually orders of magnitude smaller
+    than the triple set, so up to ``driver_max_edges`` connected
+    components run as driver union-find (one pass, no shuffles); past
+    it — web-scale entity graphs — the pid-routed distributed min-label
+    propagation takes over. The edge table is counted as a materialized
+    Dataset BEFORE the venue choice, so oversized edge sets never reach
+    the driver."""
+    def _edges(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(batch.column("predicate"), predicate),
+                       pc.equal(batch.column("object_kind"), "uri"))
+        sel = batch.filter(mask)
+        return pa.Table.from_pydict({"a": sel.column("subject"),
+                                     "b": sel.column("object_value")})
+
+    edge_ds = ds.map_batches(_edges, batch_format="pyarrow").materialize()
+    n_edges = edge_ds.count()
+    if n_edges == 0:
         return ds
+    if n_edges > driver_max_edges:
+        return canonicalize_sameas_distributed(
+            ds, predicate=predicate, drop_self_sameas=drop_self_sameas,
+            edge_ds=edge_ds, n_edges=n_edges)
     uf = UnionFind()
-    for a, b in edges:
-        uf.union(a, b)
+    for b in edge_ds.iter_batches(batch_format="pyarrow"):
+        for a, bb in zip(b.column("a").to_pylist(),
+                         b.column("b").to_pylist()):
+            uf.union(a, bb)
     mapping_ref = ray.put(uf.representative_map())
     return ds.map_batches(RewriteNodes(mapping_ref, drop_sameas=drop_self_sameas,
                                        predicate=predicate),
@@ -291,23 +315,26 @@ def _cc_min_label(edge_ds: "ray.data.Dataset",
 
 def canonicalize_sameas_distributed(ds: "ray.data.Dataset",
                                     predicate: str = OWL_SAMEAS,
-                                    drop_self_sameas: bool = True
+                                    drop_self_sameas: bool = True,
+                                    edge_ds: Optional["ray.data.Dataset"] = None,
+                                    n_edges: Optional[int] = None
                                     ) -> "ray.data.Dataset":
     """Same semantics as :func:`canonicalize_sameas` but with the
     connected components computed by distributed min-label propagation
-    (groupby shuffles) instead of driver-side union-find. The
-    convergence check still reads the — component-count-sized — label
-    table; a fully driver-free variant would track a changed-counter
-    aggregate per round."""
-    def _edges(batch: pa.Table) -> pa.Table:
-        mask = pc.and_(pc.equal(batch.column("predicate"), predicate),
-                       pc.equal(batch.column("object_kind"), "uri"))
-        sel = batch.filter(mask)
-        return pa.Table.from_pydict({"a": sel.column("subject"),
-                                     "b": sel.column("object_value")})
+    (pid-routed groupby shuffles) instead of driver-side union-find —
+    labels stay a Dataset throughout; only the final representative map
+    (components, not nodes) is broadcast for the rewrite."""
+    if edge_ds is None:
+        def _edges(batch: pa.Table) -> pa.Table:
+            mask = pc.and_(pc.equal(batch.column("predicate"), predicate),
+                           pc.equal(batch.column("object_kind"), "uri"))
+            sel = batch.filter(mask)
+            return pa.Table.from_pydict({"a": sel.column("subject"),
+                                         "b": sel.column("object_value")})
 
-    edge_ds = ds.map_batches(_edges, batch_format="pyarrow")
-    n_edges = edge_ds.count()
+        edge_ds = ds.map_batches(_edges, batch_format="pyarrow")
+    if n_edges is None:
+        n_edges = edge_ds.count()
     if n_edges == 0:
         return ds
     # scale reduce parallelism to the edge count: tiny edge sets don't

@@ -431,3 +431,28 @@ def test_cc_min_label_large_random_graph(ray_session):
     labels = _cc_min_label(edge_ds, num_partitions=4).to_pandas()
     got = dict(zip(labels["node"], labels["label"]))
     assert got == expected
+
+
+def test_reconciled_pipeline_via_distributed_cc(ray_session, monkeypatch):
+    """The flagship reconcile+canonicalize pipeline must produce
+    identical output when the sameAs merge is forced through the
+    distributed min-label venue instead of driver union-find."""
+    from rdf_mapper_ray.engine import canonicalize as C
+    from rdf_mapper_ray.pipelines.sourcecode import reconciled
+
+    a = reconciled(SF).to_pandas()
+
+    orig = C.canonicalize_sameas
+
+    def forced(ds, **kw):
+        kw["driver_max_edges"] = 0
+        return orig(ds, **kw)
+
+    monkeypatch.setattr(C, "canonicalize_sameas", forced)
+    # pipeline.py imported the symbol directly — patch there too
+    import rdf_mapper_ray.engine.pipeline as P
+    monkeypatch.setattr(P, "canonicalize_sameas", forced)
+    b = reconciled(SF).to_pandas()
+    ka = sorted(map(tuple, a.values.tolist()))
+    kb = sorted(map(tuple, b.values.tolist()))
+    assert ka == kb and len(ka) > 0

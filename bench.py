@@ -53,7 +53,8 @@ def run_queries(sf_dir: str) -> tuple[dict, dict]:
 
 
 def flagship_throughput(sf_dir: str, commits_per_file: int = 1,
-                        vectorize: bool = True) -> dict:
+                        vectorize: bool = True,
+                        dedup_strategy: str = "pointer") -> dict:
     """Rows/sec + triples/sec of the flagship KG pipeline.
 
     ``vectorize=False`` measures the per-row template kernel — the
@@ -72,11 +73,12 @@ def flagship_throughput(sf_dir: str, commits_per_file: int = 1,
     # metadata to the driver — the honest consumption mode (a real run
     # ends in write_parquet, not a driver funnel).
     triples = flagship_bench(sf_dir, commits_per_file=commits_per_file,
-                             vectorize=vectorize).count()
+                             vectorize=vectorize,
+                             dedup_strategy=dedup_strategy).count()
     dt = time.time() - t0
     return {"input_rows": n_rows, "triples": triples,
             "commits_per_file": commits_per_file,
-            "vectorize": vectorize,
+            "vectorize": vectorize, "dedup": dedup_strategy,
             "sec": round(dt, 3),
             "rows_per_sec": round(n_rows / dt, 1),
             "triples_per_sec": round(triples / dt, 1)}
@@ -124,8 +126,11 @@ def best(**kw):
                                 commits_per_file=int(sys.argv[3]), **kw)
             for _ in range(2)]
     return min(runs, key=lambda r: r["sec"])
-# CPU-bound (per-row kernel) configuration: the scaling criterion
-print("RESULT " + json.dumps(best(vectorize=False)))
+# CPU-bound (per-row kernel + streaming groupby dedup) configuration:
+# the scaling criterion — the pointer-dedup venue's fixed
+# object-store passes are a per-node resource, not CPU-scalable
+print("RESULT " + json.dumps(best(vectorize=False,
+                                  dedup_strategy="groupby")))
 # vectorized configuration: the absolute-throughput headline
 print("VECRESULT " + json.dumps(best(vectorize=True)))
 ray.shutdown()

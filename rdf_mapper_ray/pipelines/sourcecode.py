@@ -279,7 +279,8 @@ class FanOutCommits:
 def flagship_bench(sf_dir: str, commits_per_file: int = 1,
                    batch_size: int = 2048,
                    num_blocks: Optional[int] = None,
-                   vectorize: bool = True) -> "ray.data.Dataset":
+                   vectorize: bool = True,
+                   dedup_strategy: str = "pointer") -> "ray.data.Dataset":
     """Flagship pipeline over the commit-multiplied source table —
     the headline throughput / scaling-efficiency workload.
 
@@ -304,9 +305,17 @@ def flagship_bench(sf_dir: str, commits_per_file: int = 1,
         ds = ds.map_batches(FanOutCommits(commits_per_file),
                             batch_format="pyarrow", batch_size=None,
                             concurrency=None)
+    # pointer dedup default: at tens of millions of triples the full-row
+    # sort shuffle dominates wall time (measured 165 s vs 17 s hash-only
+    # at 35M rows); the bench workload holds extract blocks in the
+    # (spillable) object store and shuffles 40-byte pointers instead.
+    # The scaling-criterion config passes "groupby" to stay purely
+    # CPU-bound (the pointer venue's fixed object-store passes are a
+    # per-node resource a single box can't scale with CPU count).
     pipe = KGPipeline(FLAGSHIP_SPEC, auto_declare=False, canonicalize=False,
                       batch_size=None, vectorize=vectorize,
-                      rows_per_block=0)   # input already block-partitioned
+                      rows_per_block=0,   # input already block-partitioned
+                      dedup_strategy=dedup_strategy)
     return pipe.run(ds, sort=False)
 
 

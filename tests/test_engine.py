@@ -456,3 +456,28 @@ def test_reconciled_pipeline_via_distributed_cc(ray_session, monkeypatch):
     ka = sorted(map(tuple, a.values.tolist()))
     kb = sorted(map(tuple, b.values.tolist()))
     assert ka == kb and len(ka) > 0
+
+
+def test_pointer_dedup_matches_groupby(ray_session):
+    """The pointer-shuffle distinct must produce exactly the groupby
+    distinct's row set, including injected cross-block duplicates."""
+    import ray.data
+    from rdf_mapper_ray.engine.dedup import (distinct_triples,
+                                             distinct_triples_pointer)
+    from rdf_mapper_ray.engine.pipeline import KGPipeline
+    spec = {"globals": {"$datasetID": "t"},
+            "namespaces": {"ex": "http://e/"},
+            "resources": [{"name": "r", "properties": {
+                "@id": "<http://e/r/{id}>",
+                "<ex:v>": "{v}",
+                "<ex:k>": "{k}"}}]}
+    rows = [{"id": str(i % 500), "v": f"v{i % 400}", "k": f"k{i % 7}"}
+            for i in range(20000)]                 # heavy duplication
+    pipe = KGPipeline(spec, auto_declare=False, canonicalize=False)
+    ext = pipe.extract(ray.data.from_items(rows).repartition(16))
+    a = distinct_triples(ext).to_pandas()
+    ext2 = pipe.extract(ray.data.from_items(rows).repartition(16))
+    b = distinct_triples_pointer(ext2).to_pandas()
+    ka = sorted(map(tuple, a.values.tolist()))
+    kb = sorted(map(tuple, b.values.tolist()))
+    assert ka == kb and len(ka) > 0

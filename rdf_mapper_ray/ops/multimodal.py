@@ -70,12 +70,54 @@ class _FakeCodec:
     """Deterministic stand-in codec for the synthetic FAKEIMG payloads."""
 
     def decode(self, payload: bytes) -> tuple[int, int, bytes]:
-        if payload[:8] != _MAGIC:
-            raise NotImplementedError(
-                "real image decoding requires PIL, which is not available "
-                "in this environment; only FAKEIMG payloads are supported")
         w, h = struct.unpack("<II", payload[8:16])
         return w, h, payload[16:16 + w * h]
+
+
+class _PNMCodec:
+    """REAL decoder for binary PNM images (P6 RGB / P5 grayscale) —
+    pure header parsing + raw sample bytes, no external libraries.
+    Returns (width, height, samples): 3 bytes/pixel for P6, 1 for P5."""
+
+    def decode(self, payload: bytes) -> tuple[int, int, bytes]:
+        magic = payload[:2]
+        pos = 2
+        fields: list[int] = []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos:pos + 1].isspace():
+                pos += 1
+            if payload[pos:pos + 1] == b"#":        # comment line
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1                                    # single WS after maxval
+        w, h, maxval = fields
+        if maxval > 255:
+            raise NotImplementedError("16-bit PNM not supported")
+        depth = 3 if magic == b"P6" else 1
+        return w, h, payload[pos:pos + w * h * depth]
+
+
+class _Codec:
+    """Magic-byte dispatch: FAKEIMG (synthetic), binary PNM (real),
+    anything else (JPEG/PNG/...) raises until PIL exists here."""
+
+    def __init__(self) -> None:
+        self._fake = _FakeCodec()
+        self._pnm = _PNMCodec()
+
+    def decode(self, payload: bytes) -> tuple[int, int, bytes]:
+        if payload[:8] == _MAGIC:
+            return self._fake.decode(payload)
+        if payload[:2] in (b"P5", b"P6"):
+            return self._pnm.decode(payload)
+        raise NotImplementedError(
+            "decoding this format requires PIL, which is not available "
+            "in this environment; FAKEIMG and binary PNM (P5/P6) are "
+            "supported natively")
 
 
 def _load_codec():
@@ -84,7 +126,7 @@ def _load_codec():
         raise NotImplementedError(
             "PIL backend plumbing not implemented in this round")
     except ImportError:
-        return _FakeCodec()
+        return _Codec()
 
 
 class DecodeImage:
@@ -192,6 +234,51 @@ class FrameSample:
             "item_id": pa.array(ids, type=pa.int64()),
             "frame_index": pa.array(idxs, type=pa.int64()),
             "frame": pa.array(frames, type=pa.binary()),
+        })
+
+
+class DecodeAudio:
+    """Actor-pool stage: REAL WAV decoding via the stdlib ``wave``
+    module — no external audio libraries needed. payload →
+    (item_id, channels, sample_rate, n_frames, duration_ms, rms).
+
+    ``rms`` is the root-mean-square amplitude of the 16-bit samples
+    (the baseline loudness feature a filtering pipeline thresholds on),
+    computed with one numpy pass per payload."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+        ids, chs, rates, frames, durs, rms = [], [], [], [], [], []
+        for i, payload in zip(batch.column("item_id").to_pylist(),
+                              batch.column("payload").to_pylist()):
+            with wave.open(io.BytesIO(payload)) as w:
+                n = w.getnframes()
+                rate = w.getframerate()
+                width = w.getsampwidth()
+                channels = w.getnchannels()
+                raw = w.readframes(n)
+            if width == 2:
+                samples = np.frombuffer(raw, dtype=np.int16)
+            elif width == 1:
+                samples = np.frombuffer(raw, dtype=np.uint8)
+                samples = samples.astype(np.int16) - 128
+            else:
+                raise NotImplementedError(f"{width * 8}-bit WAV")
+            ids.append(i)
+            chs.append(channels)
+            rates.append(rate)
+            frames.append(n)
+            durs.append(n * 1000 // max(1, rate))
+            x = samples.astype(np.float64)
+            rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+        return pa.Table.from_pydict({
+            "item_id": pa.array(ids, type=pa.int64()),
+            "channels": pa.array(chs, type=pa.int64()),
+            "sample_rate": pa.array(rates, type=pa.int64()),
+            "n_frames": pa.array(frames, type=pa.int64()),
+            "duration_ms": pa.array(durs, type=pa.int64()),
+            "rms": pa.array(rms, type=pa.float64()),
         })
 
 

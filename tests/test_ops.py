@@ -165,9 +165,11 @@ def test_multimodal_decode_and_features(ray_session):
 
 
 def test_multimodal_decode_rejects_real_media(ray_session):
-    from rdf_mapper_ray.ops.multimodal import _FakeCodec
+    # JPEG magic: dispatcher refuses (needs PIL, absent here) rather
+    # than misdecoding
+    from rdf_mapper_ray.ops.multimodal import _load_codec
     with pytest.raises(NotImplementedError):
-        _FakeCodec().decode(b"\xff\xd8\xff\xe0 not a fake image")
+        _load_codec().decode(b"\xff\xd8\xff\xe0 not a fake image")
 
 
 def test_frame_sample_fanout(ray_session):
@@ -340,3 +342,69 @@ def test_ivf_persisted_index_matches_fresh(ray_session, tmp_path):
     persisted = knn_ivf_persisted(idx_dir, qids, qvecs, k=5).to_pandas() \
         .sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert fresh.equals(persisted)
+
+
+def test_pnm_codec_real_decode(ray_session):
+    """Binary PNM (P6/P5) payloads decode for real — header with
+    comments, correct dims, sample counts — through the same actor-pool
+    DecodeImage stage the FAKEIMG path uses."""
+    import ray.data
+    from rdf_mapper_ray.ops.multimodal import DecodeImage, ImageFeatures
+    rng = np.random.RandomState(3)
+    p6 = (b"P6\n# a comment\n5 4\n255\n"
+          + rng.randint(0, 256, 5 * 4 * 3, dtype=np.uint8).tobytes())
+    p5 = b"P5\n3 2\n255\n" + bytes(range(6))
+    ds = ray.data.from_arrow(pa.table({
+        "item_id": pa.array([1, 2], type=pa.int64()),
+        "media_type": pa.array(["image/x-portable-pixmap",
+                                "image/x-portable-graymap"]),
+        "payload": pa.array([p6, p5], type=pa.binary()),
+    }))
+    out = ds.map_batches(DecodeImage, batch_format="pyarrow",
+                         concurrency=1).to_pandas() \
+        .sort_values("item_id").reset_index(drop=True)
+    assert list(zip(out["width"], out["height"], out["n_pixels"])) == [
+        (5, 4, 60), (3, 2, 6)]
+    feats = ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                           concurrency=1).to_pandas()
+    assert all(abs(sum(f) - 1.0) < 1e-6 for f in feats["feature"])
+
+
+def test_wav_decode_real(ray_session):
+    """WAV payloads decode via the stdlib wave module: real sample
+    rates, frame counts, durations, and RMS loudness."""
+    import io
+    import wave as wave_mod
+
+    import ray.data
+    from rdf_mapper_ray.ops.multimodal import DecodeAudio
+
+    def make_wav(rate, seconds, freq, channels=1):
+        n = int(rate * seconds)
+        t = np.arange(n) / rate
+        x = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+        if channels == 2:
+            x = np.repeat(x, 2)
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(x.tobytes())
+        return buf.getvalue()
+
+    ds = ray.data.from_arrow(pa.table({
+        "item_id": pa.array([1, 2], type=pa.int64()),
+        "payload": pa.array([make_wav(8000, 0.5, 440),
+                             make_wav(16000, 0.25, 880, channels=2)],
+                            type=pa.binary()),
+    }))
+    out = ds.map_batches(DecodeAudio, batch_format="pyarrow",
+                         concurrency=1).to_pandas() \
+        .sort_values("item_id").reset_index(drop=True)
+    assert out["sample_rate"].tolist() == [8000, 16000]
+    assert out["channels"].tolist() == [1, 2]
+    assert out["n_frames"].tolist() == [4000, 4000]
+    assert out["duration_ms"].tolist() == [500, 250]
+    # RMS of a 12000-amplitude sine ≈ 12000/sqrt(2) ≈ 8485
+    assert all(8300 < r < 8600 for r in out["rms"])

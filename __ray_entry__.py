@@ -156,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "window_tumbling": windows.tumbling_oracle_sql(),
         "window_sliding": windows.sliding_oracle_sql(),
         "top_k_tokens": topk.top_k_oracle_sql(),
+        "heavy_hitters": topk.heavy_hitters_oracle_sql(),
         "asof_prior_purchase": joins.PRIOR_PURCHASE_ORACLE_SQL,
         "distinct_users": distinct.DISTINCT_USERS_ORACLE_SQL,
         "repo_stats": _REPO_STATS_SQL,

@@ -93,9 +93,15 @@ def _sketch_block(batch: pa.Table, text_col: str,
 def heavy_hitters(ds: "ray.data.Dataset", text_col: str = "text",
                   capacity: int = 256,
                   min_count: Optional[int] = None) -> "ray.data.Dataset":
-    """Tokens with exact global count ≥ ``min_count`` (default: N/capacity
-    where N is the total token count), found without shuffling the full
-    vocabulary. Guaranteed complete for the default threshold.
+    """Tokens with exact global count ≥ ``min_count``, found without
+    shuffling the full vocabulary.
+
+    The default threshold is ``floor(N/capacity) + 1`` (N = total token
+    count): a token absent from EVERY block sketch has per-block count
+    ≤ n_b/capacity, summing to ≤ N/capacity, so every token strictly
+    above N/capacity is guaranteed proposed — making the default output
+    EXACTLY the SQL answer ``HAVING cnt > N // capacity`` (see
+    HEAVY_HITTERS_ORACLE_SQL), not just a superset sample.
 
     Output: (token, cnt) — cnt is EXACT (pass-2 recount of the
     candidate set).
@@ -135,7 +141,7 @@ def heavy_hitters(ds: "ray.data.Dataset", text_col: str = "text",
                             .column("cnt")).as_py() or 0)],
                 type=pa.int64())}),
             batch_format="pyarrow").sum("n")
-        min_count = max(1, int(totals) // capacity)
+        min_count = int(totals) // capacity + 1
     return counted.filter(
         lambda row: row["cnt"] >= min_count).sort("token")
 
@@ -167,3 +173,21 @@ def heavy_hitters_query(sf_dir: str, capacity: int = 256):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["text"])
     return heavy_hitters(ds, capacity=capacity)
+
+
+def heavy_hitters_oracle_sql(capacity: int = 256) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(COALESCE(text, '')),
+                '\\s+')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS cnt FROM toks
+  WHERE token <> '' GROUP BY token
+),
+tot AS (SELECT SUM(cnt) AS n FROM counts)
+SELECT token, cnt FROM counts, tot
+WHERE cnt >= n // {capacity} + 1
+ORDER BY token
+"""

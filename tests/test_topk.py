@@ -37,11 +37,13 @@ def test_heavy_hitters_guarantee(ray_session):
     exact = collections.Counter(w for t in texts for w in t.lower().split())
     n = sum(exact.values())
     capacity = 64
-    thr = max(1, n // capacity)
+    thr = n // capacity + 1
     required = {t for t, c in exact.items() if c >= thr}
     out = heavy_hitters(ds, capacity=capacity).to_pandas()
     got = dict(zip(out["token"], out["cnt"]))
-    assert required <= set(got)
+    # with the floor(N/m)+1 threshold the output is EXACTLY the set of
+    # tokens above it (sketch-complete, pass-2-exact, filtered)
+    assert set(got) == required
     for t, c in got.items():
         assert exact[t] == c            # pass-2 counts are exact
     assert set(hot) <= set(got)

@@ -13,6 +13,13 @@ Sliding windows use the hop decomposition: events pre-aggregate into
 slide-sized buckets, each bucket fans out to the W/S windows it belongs
 to (bucket rows only — the fan-out never touches event rows), and a
 groupby(window) sums the bucket partials.
+
+Window assignment uses FLOOR division (numpy ``//``), so windows tile
+uniformly across the whole epoch including pre-1970 timestamps (an
+event at epoch -1 lands in the window starting at -window_secs, not 0).
+NB the DuckDB oracles use SQL ``//`` which TRUNCATES toward zero — they
+agree for the non-negative epochs in the test data; a pre-1970 oracle
+would need ``floor(epoch/w)::BIGINT`` instead.
 """
 
 from __future__ import annotations

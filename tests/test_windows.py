@@ -57,3 +57,22 @@ def test_sliding_equals_tumbling_when_slide_is_window(ray_session):
                               window_secs=600).to_pandas() \
         .sort_values("window_start").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_tumbling_pre_epoch_floor_semantics(ray_session):
+    """Windows tile uniformly across the epoch: floor division, so an
+    event just before 1970 belongs to the window STARTING below it
+    (numpy // floors; documented divergence from SQL truncation)."""
+    import ray.data
+    from rdf_mapper_ray.ops.windows import tumbling_window_stats
+    ds = ray.data.from_arrow(pa.table({
+        "ts": pa.array([datetime.datetime(1969, 12, 31, 23, 59, 30),
+                        datetime.datetime(1970, 1, 1, 0, 0, 30)],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["t", "t"]),
+        "value": pa.array([1.0, 2.0], type=pa.float64()),
+    }))
+    out = tumbling_window_stats(ds, window_secs=60).to_pandas() \
+        .sort_values("window_start").reset_index(drop=True)
+    assert out["window_start"].tolist() == [-60, 0]
+    assert out["n_events"].tolist() == [1, 1]

@@ -408,3 +408,23 @@ def test_wav_decode_real(ray_session):
     assert out["duration_ms"].tolist() == [500, 250]
     # RMS of a 12000-amplitude sine ≈ 12000/sqrt(2) ≈ 8485
     assert all(8300 < r < 8600 for r in out["rms"])
+
+
+def test_sessionize_sharded_matches_single_pass(ray_session):
+    """Time-sharded sessionization with boundary stitching must equal
+    the single-pass result exactly — including sessions that SPAN shard
+    boundaries (forced with a tiny shard span)."""
+    import ray.data
+    from rdf_mapper_ray.ops.sessions import sessionize, sessionize_sharded
+    src = f"{SF}/events.parquet"
+    cols = ["event_id", "user_id", "ts"]
+    a = sessionize(ray.data.read_parquet(src, columns=cols)) \
+        .to_pandas().sort_values(["user_id", "event_id"]) \
+        .reset_index(drop=True)
+    # 2-hour shards guarantee many sessions cross shard boundaries
+    b = sessionize_sharded(ray.data.read_parquet(src, columns=cols),
+                           shard_span_secs=7200) \
+        .to_pandas().sort_values(["user_id", "event_id"]) \
+        .reset_index(drop=True)
+    assert a[["user_id", "event_id", "session_no"]].equals(
+        b[["user_id", "event_id", "session_no"]])

@@ -487,6 +487,14 @@ class _TypedProgram:
             fname = _call_name(node)
             if fname == "state.get":
                 return self._col(ctx, node.args[0].value), None
+            if fname == "str":
+                # Python str(): never raises; str(None) == 'None'
+                v, r = self._ev(node.args[0], ctx)
+                if isinstance(v, (pa.Array, pa.ChunkedArray)):
+                    vals = ["None" if x is None else str(x)
+                            for x in v.to_pylist()]
+                    return pa.array(vals, type=pa.string()), r
+                return str(v), r
             # float()/int(): float(None) raises per-row
             v, r = self._ev(node.args[0], ctx)
             r = self._or_raises(r, self._nulls_of(v))
@@ -601,13 +609,16 @@ def _static_type(node) -> str:
 
 
 def compile_restricted(expression: str, expect: str,
-                       allow_x: bool = False) -> "_TypedProgram":
+                       allow_x: bool = False,
+                       allow_str: bool = False) -> "_TypedProgram":
     """Parse+type a guard / expr() body; raises NotVectorizable on any
     construct outside the comparison/arithmetic subset.
 
-    ``expect`` is 'bool' (guards) or 'number' (value exprs). Column
-    types are assumed numeric unless only ever compared to strings —
-    supports() re-checks against the real schema."""
+    ``expect`` is 'bool' (guards), 'number' (value exprs) or 'value'
+    (number OR string — the map_by-tail path, which also enables the
+    ``str()`` cast via ``allow_str``). Column types are assumed numeric
+    unless only ever compared to strings — supports() re-checks against
+    the real schema."""
     try:
         tree = _ast.parse(expression, mode="eval")
     except SyntaxError:
@@ -656,6 +667,12 @@ def compile_restricted(expression: str, expect: str,
                     raise NotVectorizable("state.get shape")
                 columns.add(node.args[0].value)
                 return "column"
+            if fname == "str" and allow_str:
+                if len(node.args) != 1 or node.keywords:
+                    raise NotVectorizable("str arity")
+                if typ(node.args[0]) not in ("number", "column"):
+                    raise NotVectorizable("str of non-scalar")
+                return "string"
             raise NotVectorizable(f"call {fname!r}")
         if isinstance(node, _ast.UnaryOp):
             if isinstance(node.op, _ast.USub):
@@ -698,7 +715,9 @@ def compile_restricted(expression: str, expect: str,
         raise NotVectorizable(f"node {type(node).__name__}")
 
     out_type = typ(tree)
-    if out_type != expect:
+    ok = (out_type == expect
+          or (expect == "value" and out_type in ("number", "string")))
+    if not ok:
         raise NotVectorizable(f"{expression!r} yields {out_type},"
                               f" need {expect}")
     return _TypedProgram(tree, columns, out_type, uses_x)
@@ -728,8 +747,10 @@ class ExprChainPlan:
     __slots__ = ("column", "program", "chain", "lang", "datatype")
 
     def __init__(self, column: str, body: str, chain: list[str],
-                 lang: Optional[str], datatype: Optional[str]) -> None:
-        self.program = compile_restricted(body, "number", allow_x=True)
+                 lang: Optional[str], datatype: Optional[str],
+                 expect: str = "number") -> None:
+        self.program = compile_restricted(body, expect, allow_x=True,
+                                          allow_str=(expect == "value"))
         self.column = column
         self.chain = chain
         self.lang = lang
@@ -739,7 +760,9 @@ class ExprChainPlan:
         if self.column not in schema.names:
             return False
         t = schema.field(self.column).type
-        if not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+        numeric = pa.types.is_integer(t) or pa.types.is_floating(t)
+        stringy = pa.types.is_string(t) or pa.types.is_large_string(t)
+        if not (numeric or (stringy and self.program.out_type == "string")):
             return False
         return self.program.supports(schema)
 
@@ -818,6 +841,110 @@ def _v_normalize(col: pa.Array) -> pa.Array:
         [None if v is None else normalize(v)
          for v in d.dictionary.to_pylist()], type=pa.string())
     return normed_dict.take(d.indices)
+
+
+class MapByPlan:
+    """``{col | map_by('name')}`` — the broadcast-lookup join (J1).
+
+    Mapping VALUES are themselves templates; they are expanded once at
+    compile time (they are static in every reference example), so the
+    runtime is one ``index_in`` + ``take`` over the prebuilt value
+    array. Misses are masked out (kernel: ValueError → property
+    skipped). Row-dependent mapping values, multi-valued expansions, or
+    mixed output kinds/langs fall back to the per-row kernel."""
+
+    __slots__ = ("column", "keys", "values", "kind", "lang", "datatype")
+
+    def __init__(self, column: str, keys: list[str], values: list[str],
+                 kind: str, lang: Optional[str],
+                 datatype: Optional[str]) -> None:
+        self.column = column
+        self.keys = pa.array(keys, type=pa.string())
+        self.values = pa.array(values, type=pa.string())
+        self.kind = kind
+        self.lang = lang
+        self.datatype = datatype
+
+    def supports(self, schema: pa.Schema) -> bool:
+        return (self.column in schema.names
+                and pa.types.is_string(schema.field(self.column).type))
+
+    def evaluate(self, batch: pa.Table):
+        col = batch.column(self.column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        idx = pc.index_in(col, value_set=self.keys)
+        out = self.values.take(idx)
+        return out, pc.is_valid(idx), self.lang, self.datatype
+
+
+def _compile_map_by(column: str, mapping_name: str, spec: MapperSpec,
+                    lang, datatype) -> tuple[str, "MapByPlan"]:
+    if lang or datatype:
+        raise NotVectorizable("suffix on map_by")
+    mapping = spec.mappings.get(mapping_name)
+    if not mapping:
+        raise NotVectorizable(f"unknown/empty mapping {mapping_name!r}")
+    from rdf_mapper_ray.kernel.evaluator import EvalState, value_expand
+    from rdf_mapper_ray.kernel.nodes import Iri, Lit
+    state = EvalState(spec, spec.context.new_child({}))
+    keys, values = [], []
+    kind = mlang = mdt = _UNSET = object()
+    for k, template in mapping.items():
+        try:
+            node = value_expand(str(template), state)
+        except Exception:
+            raise NotVectorizable("row-dependent mapping value")
+        if isinstance(node, list):
+            if len(node) != 1:
+                raise NotVectorizable("multi-valued mapping value")
+            node = node[0]
+        if isinstance(node, Iri):
+            nkind, nval, nlang, ndt = "uri", str(node), None, None
+        elif isinstance(node, Lit):
+            nkind = "literal"
+            nval = node.lexical if hasattr(node, "lexical") else str(node.value)
+            nlang = node.lang
+            ndt = node.datatype
+        else:
+            raise NotVectorizable(f"mapping value node {type(node)}")
+        if kind is _UNSET:
+            kind, mlang, mdt = nkind, nlang, ndt
+        elif (nkind, nlang, ndt) != (kind, mlang, mdt):
+            raise NotVectorizable("mixed mapping output kinds")
+        keys.append(str(k))
+        values.append(nval)
+    if state.quads:
+        raise NotVectorizable("side-effecting mapping value")
+    if "None" in mapping:
+        # Python str(None) == 'None' would HIT this key per-row while
+        # the vectorized null mask misses it — fall back
+        raise NotVectorizable("mapping key 'None'")
+    return kind, MapByPlan(column, keys, values, kind, mlang, mdt)
+
+
+class LookupTailPlan:
+    """expr-chain output piped into a map_by lookup (cast-then-join)."""
+
+    __slots__ = ("inner", "map_plan")
+
+    def __init__(self, inner: "ExprChainPlan", map_plan: "MapByPlan") -> None:
+        self.inner = inner
+        self.map_plan = map_plan
+
+    @property
+    def columns(self) -> list[str]:
+        return self.inner.columns
+
+    def supports(self, schema: pa.Schema) -> bool:
+        return self.inner.supports(schema)
+
+    def evaluate(self, batch: pa.Table):
+        col, mask, _lang, _dt = self.inner.evaluate(batch)
+        idx = pc.index_in(col, value_set=self.map_plan.keys)
+        out = self.map_plan.values.take(idx)
+        mask = pc.and_(mask, pc.is_valid(idx))
+        return out, mask, self.map_plan.lang, self.map_plan.datatype
 
 
 class AutoCVPlan:
@@ -982,6 +1109,9 @@ def _compile_value(template: str, spec: MapperSpec) -> tuple[str, Any]:
                     raise NotVectorizable("suffix on autoCV")
                 base = str(spec.context.get("$datasetBase"))
                 return "uri", AutoCVPlan(column, base, am.group(2))
+            if am and am.group(1) == "map_by":
+                return _compile_map_by(column, am.group(2), spec,
+                                       lang, datatype)
         if chain:
             bm = _ASBOOL_ARGS_RE.fullmatch(chain[-1])
             if bm:
@@ -999,6 +1129,19 @@ def _compile_value(template: str, spec: MapperSpec) -> tuple[str, Any]:
             em = _EXPR_ARG_RE.fullmatch(chain[0])
             if em:
                 rest = chain[1:]
+                mm = _ARG_RE.fullmatch(rest[-1]) if rest else None
+                if mm and mm.group(1) == "map_by":
+                    # expr('...') | [string fns |] map_by('m') — the
+                    # nation-style cast-then-lookup chain
+                    mid = rest[:-1]
+                    for fname in mid:
+                        if fname not in _V_FUNCS or fname in _TERMINAL:
+                            raise NotVectorizable(f"function {fname!r}")
+                    kind, mplan = _compile_map_by(column, mm.group(2),
+                                                  spec, lang, datatype)
+                    inner = ExprChainPlan(column, em.group(1), mid,
+                                          None, None, expect="value")
+                    return kind, LookupTailPlan(inner, mplan)
                 for fname in rest:
                     if fname not in _V_FUNCS:
                         raise NotVectorizable(f"function {fname!r}")

@@ -455,3 +455,62 @@ def test_guard_compiler_random_parity():
                 f"{expr!r} row={row} vec={got[i]} py={want}")
         checked += 1
     assert checked > 100        # enough expressions actually compiled
+
+
+def test_map_by_vectorized_parity():
+    """map_by lookup join: URI-valued and lang-literal mappings, with
+    misses (kernel: ValueError → property skipped)."""
+    uri_spec = {
+        "globals": {"$datasetID": "t"},
+        "namespaces": {"ex": "http://e/"},
+        "mappings": {"m": {"a": "<ex:A>", "b": "<ex:B>"}},
+        "resources": [{"name": "r", "properties": {
+            "@id": "<http://e/r/{id}>",
+            "<ex:ref>": "{k | map_by('m')}",
+        }}],
+    }
+    tbl = pa.table({"id": ["1", "2", "3", "4"],
+                    "k": ["a", "b", "miss", None]})
+    _run_both(uri_spec, tbl, {"r"})
+    out = ExtractTriples(MapperSpec(uri_spec, auto_declare=False)
+                         .ship_state(), emit_metrics=False)(tbl)
+    got = {r["subject"]: (r["object_kind"], r["object_value"])
+           for r in out.to_pylist()}
+    assert got == {"http://e/r/1": ("uri", "http://e/A"),
+                   "http://e/r/2": ("uri", "http://e/B")}
+
+    lit_spec = {
+        "globals": {"$datasetID": "t"},
+        "namespaces": {"ex": "http://e/"},
+        "mappings": {"m": {"a": "Alpha@en", "b": "Beta@en"}},
+        "resources": [{"name": "r", "properties": {
+            "@id": "<http://e/r/{id}>",
+            "<ex:lbl>": "{k | map_by('m')}",
+        }}],
+    }
+    _run_both(lit_spec, tbl, {"r"})
+    out = ExtractTriples(MapperSpec(lit_spec, auto_declare=False)
+                         .ship_state(), emit_metrics=False)(tbl).to_pylist()
+    assert {(r["object_value"], r["lang"]) for r in out} == {
+        ("Alpha", "en"), ("Beta", "en")}
+
+    # mixed kinds → per-row fallback
+    mixed = {
+        "globals": {"$datasetID": "t"},
+        "namespaces": {"ex": "http://e/"},
+        "mappings": {"m": {"a": "<ex:A>", "b": "plain"}},
+        "resources": [{"name": "r", "properties": {
+            "@id": "<http://e/r/{id}>",
+            "<ex:x>": "{k | map_by('m')}",
+        }}],
+    }
+    _run_both(mixed, tbl, set())
+
+
+def test_nation_mapby_chain_vectorized():
+    """The nation spec's cast-then-lookup chain
+    (expr('str(x)') | map_by) now takes the fast path — full parity
+    against the per-row kernel on the real table."""
+    from rdf_mapper_ray.pipelines.relational import _nation_spec
+    tbl = pq.read_table(f"{SF}/nation.parquet")
+    _run_both(_nation_spec(SF), tbl, {"nation"})

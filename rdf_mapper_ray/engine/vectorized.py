@@ -265,6 +265,31 @@ def _v_asdate(col, mask):
     return s, pc.and_(mask, pc.is_valid(col)), None, XSD_DATE
 
 
+def _v_asdateordatetime(col, mask):
+    """Per-VALUE datatype: midnight timestamps become xsd:date, others
+    xsd:dateTime (functions.py asDateOrDatetime) — the datatype slot is
+    an Array here, carried through emit()."""
+    col = _ts_col(col)
+    eu = pc.cast(col, pa.int64())
+    midnight = pc.equal(_modulo_day(eu), 0)
+    dt_s = pc.replace_substring_regex(
+        pc.strftime(col, format="%Y-%m-%dT%H:%M:%S"), r"\.000000$", "")
+    d_s = pc.strftime(col, format="%Y-%m-%d")
+    values = pc.if_else(midnight, d_s, dt_s)
+    dtypes = pc.if_else(midnight,
+                        pa.scalar(XSD_DATE, type=pa.string()),
+                        pa.scalar(XSD_DATETIME, type=pa.string()))
+    return values, pc.and_(mask, pc.is_valid(col)), None, dtypes
+
+
+def _modulo_day(eu):
+    # floored modulo, matching Python datetime.time() == 0 for any
+    # epoch (nulls filled 0 — those rows are masked by is_valid anyway)
+    day = 86_400_000_000
+    a = pc.fill_null(eu, 0).to_numpy(zero_copy_only=False)
+    return pa.array(a % day, type=pa.int64())
+
+
 _V_FUNCS: dict[str, Callable] = {
     "toLower": _v_tolower,
     "toUpper": _v_toupper,
@@ -277,11 +302,12 @@ _V_FUNCS: dict[str, Callable] = {
     "asBoolean": _v_asboolean,
     "asDateTime": _v_asdatetime,
     "asDate": _v_asdate,
+    "asDateOrDatetime": _v_asdateordatetime,
 }
 
 # functions that end a chain (typed output)
 _TERMINAL = {"length", "asInt", "asDecimal", "asBoolean", "asDateTime",
-             "asDate"}
+             "asDate", "asDateOrDatetime"}
 
 
 class FnChainPlan:
@@ -303,7 +329,7 @@ class FnChainPlan:
         first = self.chain[0] if self.chain else None
         if first in ("asInt", "asDecimal"):
             return pa.types.is_integer(t) or pa.types.is_floating(t)
-        if first in ("asDateTime", "asDate"):
+        if first in ("asDateTime", "asDate", "asDateOrDatetime"):
             return pa.types.is_timestamp(t)
         if first == "asBoolean":
             return pa.types.is_string(t) or pa.types.is_boolean(t)
@@ -1246,6 +1272,10 @@ class ResourcePlan:
             m = len(ss)
             full = pc.and_(sm, mask) if mask is not None else sm
             s, o = (values, ss) if inverse else (ss, values)
+            if isinstance(dt, pa.ChunkedArray):
+                dt = dt.combine_chunks()
+            dt_col = dt if isinstance(dt, pa.Array) \
+                else pa.array([dt] * m, type=pa.string())
             tbl = pa.Table.from_arrays([
                 pa.array([self.graph] * m, type=pa.string()),
                 s,
@@ -1254,7 +1284,7 @@ class ResourcePlan:
                 pa.array([okind] * m, type=pa.string()),
                 o,
                 pa.array([lang] * m, type=pa.string()),
-                pa.array([dt] * m, type=pa.string()),
+                dt_col,
             ], schema=TRIPLE_SCHEMA)
             out.append(tbl.filter(full))
 

@@ -514,3 +514,34 @@ def test_nation_mapby_chain_vectorized():
     from rdf_mapper_ray.pipelines.relational import _nation_spec
     tbl = pq.read_table(f"{SF}/nation.parquet")
     _run_both(_nation_spec(SF), tbl, {"nation"})
+
+
+def test_asdateordatetime_vectorized_per_row_datatype():
+    """Midnight timestamps become xsd:date, others xsd:dateTime — a
+    per-ROW datatype column through the vectorized emit."""
+    import datetime
+    spec = {
+        "globals": {"$datasetID": "t"},
+        "namespaces": {"ex": "http://e/"},
+        "resources": [{"name": "r", "properties": {
+            "@id": "<http://e/r/{id}>",
+            "<ex:when>": "{ts | asDateOrDatetime}",
+        }}],
+    }
+    tbl = pa.table({
+        "id": ["1", "2", "3", "4"],
+        "ts": pa.array([datetime.datetime(2024, 1, 1),
+                        datetime.datetime(2024, 1, 1, 0, 0, 7),
+                        datetime.datetime(2024, 1, 2, 12, 30, 0, 250000),
+                        None], type=pa.timestamp("us")),
+    })
+    _run_both(spec, tbl, {"r"})
+    out = ExtractTriples(MapperSpec(spec, auto_declare=False).ship_state(),
+                         emit_metrics=False)(tbl).to_pylist()
+    got = {r["subject"]: (r["object_value"], r["datatype"]) for r in out}
+    X = "http://www.w3.org/2001/XMLSchema#"
+    assert got == {
+        "http://e/r/1": ("2024-01-01", X + "date"),
+        "http://e/r/2": ("2024-01-01T00:00:07", X + "dateTime"),
+        "http://e/r/3": ("2024-01-02T12:30:00.250000", X + "dateTime"),
+    }

@@ -107,6 +107,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "text"])),
         "session_stats": sessions.session_stats_query,
         "heavy_hitters": topk.heavy_hitters_query,
+        "dedup_embedding_lsh": lambda sf: dedup.embedding_neardup_lsh(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                f"{sf}/embeddings.parquet",
+                columns=["vec_id", "embedding"]),
+            threshold=0.45, num_planes=3, num_tables=10),
         "knn_lsh": lambda sf: similarity.knn_lsh(
             ray.data.read_parquet(f"{sf}/embeddings.parquet",
                                   columns=["vec_id", "embedding"]),

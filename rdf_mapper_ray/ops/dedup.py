@@ -840,3 +840,97 @@ def embedding_neardup_pairs(ds: "ray.data.Dataset",
             "right_id": pa.array([], type=pa.int64()),
             "cosine": pa.array([], type=pa.float64())}))
     return ray.data.from_arrow_refs(result_refs)
+
+
+def embedding_neardup_lsh(ds: "ray.data.Dataset",
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          threshold: float = 0.95,
+                          dim: Optional[int] = None,
+                          num_planes: int = 8,
+                          num_tables: int = 4,
+                          seed: int = 42) -> "ray.data.Dataset":
+    """LSH-bucketed near-dup pairs — the scale path that prunes the
+    O(n²) term: rows hash into 2^num_planes hyperplane buckets per
+    table, exact cosine runs only WITHIN buckets, and multiple
+    independent tables recover pairs a single table splits (a pair with
+    cosine ≥ t collides in one table with prob (1-θ/π)^p; tables union
+    candidates). The exact block self-join above is its recall oracle
+    (tested).
+
+    Output: distinct (left_id < right_id, cosine ≥ threshold).
+    """
+    from rdf_mapper_ray.ops.similarity import _stack
+
+    if dim is None:
+        first = ds.take(1)
+        dim = len(first[0][vec_col])
+    rng = np.random.RandomState(seed)
+    planes = [rng.standard_normal((dim, num_planes))
+              for _ in range(num_tables)]
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        pls = ray.get(planes_ref)
+        m = _stack(batch.column(vec_col))
+        ids = batch.column(id_col)
+        out = []
+        for t, pl in enumerate(pls):
+            bits = (m @ pl) > 0
+            bucket = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
+            out.append(pa.Table.from_pydict({
+                "table": pa.array(np.full(len(m), t, dtype=np.int64)),
+                "bucket": pa.array(bucket.astype(np.int64)),
+                id_col: ids,
+                vec_col: batch.column(vec_col),
+            }))
+        return pa.concat_tables(out)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        left, right, cos = [], [], []
+        for (_, _), grp in g.groupby(["table", "bucket"], sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp[id_col].to_numpy()
+            m = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in grp[vec_col]])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            s = m @ m.T
+            iu = np.triu_indices(len(ids), k=1)
+            hits = s[iu] >= threshold
+            a, b = ids[iu[0][hits]], ids[iu[1][hits]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            left.extend(lo.tolist())
+            right.extend(hi.tolist())
+            cos.extend(s[iu][hits].tolist())
+        return pd.DataFrame({
+            "left_id": pd.array(left, dtype="int64"),
+            "right_id": pd.array(right, dtype="int64"),
+            "cosine": pd.array(cos, dtype="float64"),
+        })
+
+    num_partitions = _num_partitions(ds.count() * num_tables)
+
+    def add_bpid(batch: pa.Table) -> pa.Table:
+        t = batch.column("table").to_numpy(zero_copy_only=False)
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        pid = ((t * np.int64(1000003)) ^ b) % num_partitions
+        return batch.append_column("pid", pa.array(pid.astype(np.int64)))
+
+    pairs = ds.map_batches(bucketize, batch_format="pyarrow") \
+        .map_batches(add_bpid, batch_format="pyarrow") \
+        .groupby("pid").map_groups(bucket_pairs, batch_format="pandas")
+
+    # a pair can collide in several tables — exact pair dedup
+    def add_pair_pid(batch: pa.Table) -> pa.Table:
+        pid = [(int(l) * 1000003 + int(r)) % num_partitions
+               for l, r in zip(batch.column("left_id").to_pylist(),
+                               batch.column("right_id").to_pylist())]
+        return batch.append_column("ppid", pa.array(pid, type=pa.int64()))
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["left_id", "right_id"]) \
+                    [["left_id", "right_id", "cosine"]]
+
+    return pairs.map_batches(add_pair_pid, batch_format="pyarrow") \
+        .groupby("ppid").map_groups(dedup_pairs, batch_format="pandas")

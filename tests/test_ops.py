@@ -428,3 +428,27 @@ def test_sessionize_sharded_matches_single_pass(ray_session):
         .reset_index(drop=True)
     assert a[["user_id", "event_id", "session_no"]].equals(
         b[["user_id", "event_id", "session_no"]])
+
+
+def test_embedding_lsh_recall_vs_exact(ray_session):
+    """LSH-bucketed near-dup mining must recover most of the exact
+    block-self-join pairs (multi-table union), with identical cosine
+    values for every pair it finds."""
+    import ray.data
+    from rdf_mapper_ray.ops.dedup import (embedding_neardup_lsh,
+                                          embedding_neardup_pairs)
+    src = f"{SF}/embeddings.parquet"
+    exact = embedding_neardup_pairs(
+        ray.data.read_parquet(src, columns=["vec_id", "embedding"]),
+        threshold=0.45).to_pandas()
+    approx = embedding_neardup_lsh(
+        ray.data.read_parquet(src, columns=["vec_id", "embedding"]),
+        threshold=0.45, num_planes=3, num_tables=10).to_pandas()
+    e = {(int(l), int(r)): c for l, r, c in
+         zip(exact["left_id"], exact["right_id"], exact["cosine"])}
+    a = {(int(l), int(r)): c for l, r, c in
+         zip(approx["left_id"], approx["right_id"], approx["cosine"])}
+    assert set(a) <= set(e)                      # no false positives
+    assert len(set(a) & set(e)) / max(1, len(e)) >= 0.7   # recall
+    for k, c in a.items():
+        assert abs(c - e[k]) < 1e-9

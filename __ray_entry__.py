@@ -50,8 +50,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_mapper_ray.ops import (dedup, distinct, joins, multimodal,
-                                    sessions, similarity, text, topk,
-                                    windows)
+                                    quantiles, sessions, similarity, text,
+                                    topk, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     import ray.data
@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_k_tokens": topk.top_k_query,
         "asof_prior_purchase": joins.prior_purchase_query,
         "distinct_users": distinct.distinct_users_query,
+        "value_quantiles": quantiles.quantiles_query,
         "repo_stats": _repo_stats,
         # rows-only (no SQL oracle): deterministic but non-relational
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(
@@ -125,8 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rdf_mapper_ray.ops import (dedup, distinct, joins, multimodal,
-                                    sessions, similarity, text, topk,
-                                    windows)
+                                    quantiles, sessions, similarity, text,
+                                    topk, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     return {
@@ -164,5 +165,6 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": topk.heavy_hitters_oracle_sql(),
         "asof_prior_purchase": joins.PRIOR_PURCHASE_ORACLE_SQL,
         "distinct_users": distinct.DISTINCT_USERS_ORACLE_SQL,
+        "value_quantiles": quantiles.quantiles_oracle_sql(),
         "repo_stats": _REPO_STATS_SQL,
     }

@@ -1,0 +1,84 @@
+"""Exact distributed quantiles over fixed-decimal value columns.
+
+A naive distributed quantile sorts the whole column; this operator
+exploits the bounded value domain instead (the events table carries
+2-decimal doubles): per-batch Arrow value-count partials in integer
+cents (map-side combine), one groupby over the — value-domain-sized,
+not row-sized — (group, cents) count table, then a tiny per-group
+cumulative-sum walk picks the discrete quantiles. The shuffle volume is
+O(groups × distinct values) regardless of row count, and the result is
+EXACT (DuckDB ``quantile_disc`` convention: index ``ceil(q·n) − 1``,
+verified empirically and value-matched by the oracle).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+DEFAULT_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def quantiles_by(ds: "ray.data.Dataset", value_col: str = "value",
+                 by_col: str = "event_type",
+                 qs: tuple[float, ...] = DEFAULT_QS) -> "ray.data.Dataset":
+    """Per-group discrete quantiles. Output: (by, quantile, value)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column(value_col).to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.Table.from_pydict({
+            by_col: batch.column(by_col),
+            "cents": pa.array(cents),
+        })
+        agg = t.group_by([by_col, "cents"], use_threads=False) \
+            .aggregate([("cents", "count")])
+        return agg.rename_columns([by_col, "cents", "n"])
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([by_col, "cents"]).sum("n") \
+        .map_batches(lambda t: t.rename_columns([by_col, "cents", "n"]),
+                     batch_format="pyarrow")
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        counts = g["n"].to_numpy()
+        values = g["cents"].to_numpy()
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        out_q, out_v = [], []
+        for q in qs:
+            idx = max(0, math.ceil(q * total) - 1)
+            pos = int(np.searchsorted(cum, idx + 1))
+            out_q.append(q)
+            out_v.append(values[pos] / 100.0)
+        return pd.DataFrame({
+            by_col: [g[by_col].iloc[0]] * len(qs),
+            "quantile": pd.array(out_q, dtype="float64"),
+            "value": pd.array(out_v, dtype="float64"),
+        })
+
+    # groups are few (event types); one Python call per group is fine —
+    # the heavy lifting happened in the partials
+    return merged.groupby(by_col).map_groups(per_group,
+                                             batch_format="pandas")
+
+
+def quantiles_query(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return quantiles_by(ds)
+
+
+def quantiles_oracle_sql(qs: tuple[float, ...] = DEFAULT_QS) -> str:
+    # quantile_disc requires a CONSTANT parameter — one scan per q
+    parts = [f"""
+SELECT event_type, {q} AS quantile,
+       quantile_disc(value, {q}) AS value
+FROM events GROUP BY event_type""" for q in qs]
+    return " UNION ALL ".join(parts) + "\nORDER BY event_type, quantile"

@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_prior_purchase": joins.prior_purchase_query,
         "distinct_users": distinct.distinct_users_query,
         "value_quantiles": quantiles.quantiles_query,
+        "interval_session_join": joins.session_interval_join_query,
         "repo_stats": _repo_stats,
         # rows-only (no SQL oracle): deterministic but non-relational
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(
@@ -166,5 +167,6 @@ def oracle_sql() -> dict[str, str]:
         "asof_prior_purchase": joins.PRIOR_PURCHASE_ORACLE_SQL,
         "distinct_users": distinct.DISTINCT_USERS_ORACLE_SQL,
         "value_quantiles": quantiles.quantiles_oracle_sql(),
+        "interval_session_join": joins.SESSION_INTERVAL_ORACLE_SQL,
         "repo_stats": _REPO_STATS_SQL,
     }

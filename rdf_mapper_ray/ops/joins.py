@@ -17,6 +17,7 @@ l.on > r.on`` (inner: unmatched left rows are dropped).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -72,6 +73,89 @@ def asof_join_prior(left: "ray.data.Dataset", right: "ray.data.Dataset",
                                             batch_format="pandas")
 
 
+def interval_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                  by: str, on: str,
+                  start_col: str, end_col: str,
+                  left_cols: list[str], right_cols: list[str],
+                  num_partitions: int | None = None
+                  ) -> "ray.data.Dataset":
+    """Range join: each left row pairs with every right interval
+    containing it (``start ≤ on ≤ end``), within the same ``by`` key.
+
+    Co-partitions both sides on the equality key; inside each partition
+    the match runs per key with one numpy broadcast over that key's
+    intervals (assumption: intervals per key fit a task — the same
+    co-location contract as the as-of join; overlapping intervals are
+    fine, each match emits a row).
+    """
+    if num_partitions is None:
+        from rdf_mapper_ray.engine.dedup import default_num_partitions
+        num_partitions = max(8, default_num_partitions() // 8)
+
+    def tag(side: int, keep: list[str]):
+        def _tag(batch: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(
+                batch.column(by).to_pandas(), index=False).values
+            n = batch.num_rows
+            cols = {
+                "pid": pa.array((h % num_partitions).astype("int64")),
+                by: batch.column(by),
+                "side": pa.array([side] * n, type=pa.int8()),
+            }
+            for c in (on, start_col, end_col):
+                if c in batch.column_names:
+                    col = batch.column(c)
+                    # normalise timestamp units (pandas stages emit ns,
+                    # parquet sources us — union needs one schema)
+                    if pa.types.is_timestamp(col.type) \
+                            and col.type.unit != "us":
+                        import pyarrow.compute as pc
+                        col = pc.cast(col, pa.timestamp("us"))
+                    cols[c] = col
+                else:
+                    cols[c] = pa.nulls(n, pa.timestamp("us"))
+            for c in keep:
+                cols["p_" + c] = batch.column(c)
+            for c in (set(left_cols) | set(right_cols)) - set(keep):
+                cols["p_" + c] = pa.nulls(n, pa.int64())
+            return pa.Table.from_pydict(cols)
+        return _tag
+
+    tagged = left.map_batches(tag(0, left_cols), batch_format="pyarrow") \
+        .union(right.map_batches(tag(1, right_cols),
+                                 batch_format="pyarrow"))
+
+    out_names = [*(f"l_{c}" for c in left_cols),
+                 *(f"r_{c}" for c in right_cols)]
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        out: dict[str, list] = {n: [] for n in out_names}
+        l_all = g[g["side"] == 0]
+        r_all = g[g["side"] == 1]
+        if l_all.empty or r_all.empty:
+            return pd.DataFrame({n: pd.array([], dtype="int64")
+                                 for n in out_names})
+        for key, l in l_all.groupby(by, sort=False):
+            r = r_all[r_all[by] == key]
+            if r.empty:
+                continue
+            ts = l[on].to_numpy()
+            starts = r[start_col].to_numpy()
+            ends = r[end_col].to_numpy()
+            hit = (ts[:, None] >= starts[None, :]) \
+                & (ts[:, None] <= ends[None, :])
+            li, ri = np.nonzero(hit)
+            for c in left_cols:
+                out[f"l_{c}"].extend(l["p_" + c].to_numpy()[li].tolist())
+            for c in right_cols:
+                out[f"r_{c}"].extend(r["p_" + c].to_numpy()[ri].tolist())
+        return pd.DataFrame({n: pd.array(v, dtype="int64")
+                             for n, v in out.items()})
+
+    return tagged.groupby("pid").map_groups(join_part,
+                                            batch_format="pandas")
+
+
 # --- driver query + oracle ---------------------------------------------------
 
 def prior_purchase_query(sf_dir: str):
@@ -95,4 +179,71 @@ FROM events l
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
   ON l.user_id = r.user_id AND l.ts > r.ts
 ORDER BY event_id
+"""
+
+
+def _session_intervals(sf_dir: str, gap_seconds: float = 1800.0):
+    """(user_id, session_no, start, end) intervals — the right side of
+    the range-join demo, derived with the sessions machinery."""
+    from rdf_mapper_ray.ops.sessions import _assign_sessions
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def _spans(group: pd.DataFrame) -> pd.DataFrame:
+        g = _assign_sessions(group, "ts", "event_id", gap_seconds)
+        agg = g.groupby("session_no").agg(start=("ts", "min"),
+                                          end=("ts", "max")).reset_index()
+        agg["user_id"] = group["user_id"].iloc[0]
+        return agg[["user_id", "session_no", "start", "end"]]
+
+    return ds.groupby("user_id").map_groups(_spans, batch_format="pandas")
+
+
+def session_interval_join_query(sf_dir: str,
+                                gap_seconds: float = 1800.0):
+    """Range join demo: every event matched to the session interval(s)
+    containing it — computed via interval containment, while the oracle
+    derives the same pairs through the gap-cumsum window formulation
+    (two independent computation paths must agree)."""
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "user_id", "ts"])
+    spans = _session_intervals(sf_dir, gap_seconds)
+    out = interval_join(events, spans, by="user_id", on="ts",
+                        start_col="start", end_col="end",
+                        left_cols=["event_id"],
+                        right_cols=["session_no"])
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_id", "session_no"]),
+        batch_format="pyarrow")
+
+
+SESSION_INTERVAL_ORACLE_SQL = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR (epoch(ts) - epoch(prev_ts)) > 1800.0
+              THEN 1 ELSE 0 END AS new_sess
+  FROM o
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
+  FROM marked
+),
+spans AS (
+  SELECT user_id, session_no, MIN(ts) AS s, MAX(ts) AS e
+  FROM sess GROUP BY user_id, session_no
+)
+SELECT ev.event_id AS event_id, sp.session_no AS session_no
+FROM events ev JOIN spans sp
+  ON ev.user_id = sp.user_id AND ev.ts >= sp.s AND ev.ts <= sp.e
+ORDER BY event_id, session_no
 """

@@ -40,13 +40,15 @@ def quantiles_by(ds: "ray.data.Dataset", value_col: str = "value",
             .aggregate([("cents", "count")])
         return agg.rename_columns([by_col, "cents", "n"])
 
-    merged = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby([by_col, "cents"]).sum("n") \
-        .map_batches(lambda t: t.rename_columns([by_col, "cents", "n"]),
-                     batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("cents")
+        # merge the per-batch partials here (ONE shuffle instead of a
+        # separate (group,value) merge pass — the group's row count is
+        # bounded by distinct values × batches, never by event rows)
+        key = g[by_col].iloc[0]
+        g = g.groupby("cents", as_index=False)["n"].sum() \
+             .sort_values("cents")
         counts = g["n"].to_numpy()
         values = g["cents"].to_numpy()
         cum = np.cumsum(counts)
@@ -58,15 +60,15 @@ def quantiles_by(ds: "ray.data.Dataset", value_col: str = "value",
             out_q.append(q)
             out_v.append(values[pos] / 100.0)
         return pd.DataFrame({
-            by_col: [g[by_col].iloc[0]] * len(qs),
+            by_col: [key] * len(qs),
             "quantile": pd.array(out_q, dtype="float64"),
             "value": pd.array(out_v, dtype="float64"),
         })
 
     # groups are few (event types); one Python call per group is fine —
     # the heavy lifting happened in the partials
-    return merged.groupby(by_col).map_groups(per_group,
-                                             batch_format="pandas")
+    return partials.groupby(by_col).map_groups(per_group,
+                                               batch_format="pandas")
 
 
 def quantiles_query(sf_dir: str):

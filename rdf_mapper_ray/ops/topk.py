@@ -191,3 +191,117 @@ SELECT token, cnt FROM counts, tot
 WHERE cnt >= n // {capacity} + 1
 ORDER BY token
 """
+
+
+# --- count-min sketch (single-pass, mergeable) -------------------------------
+
+class CountMinSketch:
+    """Mergeable count-min sketch: d independent rows of w counters;
+    estimate = min over rows (always an OVER-estimate, error ≤ εN with
+    prob 1-δ for w=⌈e/ε⌉, d=⌈ln 1/δ⌉). Merging is element-wise add —
+    any tree shape works."""
+
+    __slots__ = ("w", "d", "table", "seeds")
+
+    def __init__(self, w: int = 2048, d: int = 4,
+                 seed: int = 42) -> None:
+        self.w = w
+        self.d = d
+        rng = np.random.RandomState(seed)
+        self.seeds = rng.randint(1, np.iinfo(np.int64).max,
+                                 size=d).astype(np.uint64)
+        self.table = np.zeros((d, w), dtype=np.int64)
+
+    def _rows(self, hashes: np.ndarray) -> np.ndarray:
+        # d derived hash rows from one 64-bit hash via multiply-shift
+        return np.stack([((hashes * s) >> np.uint64(32))
+                         % np.uint64(self.w) for s in self.seeds])
+
+    def add_counts(self, hashes: np.ndarray, counts: np.ndarray) -> None:
+        idx = self._rows(hashes)
+        for r in range(self.d):
+            np.add.at(self.table[r], idx[r].astype(np.int64), counts)
+
+    def estimate(self, hashes: np.ndarray) -> np.ndarray:
+        idx = self._rows(hashes)
+        ests = np.stack([self.table[r][idx[r].astype(np.int64)]
+                         for r in range(self.d)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> None:
+        self.table += other.table
+
+
+def _token_hashes(tokens: list[str]) -> "np.ndarray":
+    import hashlib
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        out[i] = np.uint64(int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"))
+    return out
+
+
+import numpy as np  # noqa: E402
+
+
+def heavy_hitters_cms(ds: "ray.data.Dataset", text_col: str = "text",
+                      min_count: int = 100, width: int = 4096,
+                      depth: int = 4) -> "ray.data.Dataset":
+    """Single-pass approximate heavy hitters: per-block (CMS, local
+    candidate list) pairs merge into one global CMS; candidates are
+    re-estimated against the merged sketch. Never misses a true heavy
+    hitter whose per-block share surfaces it locally (candidates = any
+    token with a local count ≥ min_count / blocks would be exact;
+    pragmatically every locally-seen distinct token above a floor is
+    proposed). Counts are CMS over-estimates (≤ εN additive error).
+
+    Output: (token, est_count) with est_count ≥ true count ≥ min_count
+    guaranteed for every true heavy hitter proposed.
+    """
+    import ray as _ray
+
+    def sketch_block(batch: pa.Table):
+        counts = _batch_token_counts(batch, text_col)
+        toks = counts.column("token").to_pylist()
+        cnts = counts.column("cnt").to_numpy(zero_copy_only=False)
+        cms = CountMinSketch(width, depth)
+        h = _token_hashes(toks)
+        cms.add_counts(h, cnts.astype(np.int64))
+        # local candidates: anything a block saw often enough to matter
+        floor = max(1, min_count // 8)
+        cand = [t for t, c in zip(toks, cnts) if c >= floor]
+        return cms, cand
+
+    refs = []
+    # per-block sketches as Ray tasks over the materialized blocks
+    mat = ds.materialize()
+    try:
+        blocks = list(mat.get_internal_block_refs())
+    except AttributeError:
+        blocks = [r for b in mat.iter_internal_ref_bundles()
+                  for r in b.block_refs]
+
+    @_ray.remote
+    def _sk(blk):
+        tbl = blk if isinstance(blk, pa.Table) else pa.Table.from_pandas(blk)
+        cms, cand = sketch_block(tbl)
+        return cms.table, cand
+
+    parts = _ray.get([_sk.remote(b) for b in blocks])
+    merged = CountMinSketch(width, depth)
+    cands: set[str] = set()
+    for table, cand in parts:
+        merged.table += table
+        cands.update(cand)
+    toks = sorted(cands)
+    if not toks:
+        return ray.data.from_arrow(pa.Table.from_pydict({
+            "token": pa.array([], type=pa.string()),
+            "est_count": pa.array([], type=pa.int64())}))
+    est = merged.estimate(_token_hashes(toks))
+    keep = est >= min_count
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "token": pa.array([t for t, k in zip(toks, keep) if k],
+                          type=pa.string()),
+        "est_count": pa.array(est[keep].astype(np.int64)),
+    }))

@@ -47,3 +47,32 @@ def test_heavy_hitters_guarantee(ray_session):
     for t, c in got.items():
         assert exact[t] == c            # pass-2 counts are exact
     assert set(hot) <= set(got)
+
+
+def test_cms_overestimates_within_bound(ray_session):
+    """Count-min estimates are never below the truth and stay within
+    the εN additive bound; every true heavy hitter is found."""
+    import random
+
+    import ray.data
+    from rdf_mapper_ray.ops.topk import heavy_hitters_cms
+    rng = random.Random(4)
+    hot = {f"hot{i}": 300 + 40 * i for i in range(8)}
+    words = [w for w, c in hot.items() for _ in range(c)]
+    words += [f"cold{rng.randrange(3000)}" for _ in range(15000)]
+    rng.shuffle(words)
+    texts = [" ".join(words[i:i + 40]) for i in range(0, len(words), 40)]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)})) \
+        .repartition(12)
+    out = heavy_hitters_cms(ds, min_count=250, width=4096).to_pandas()
+    got = dict(zip(out["token"], out["est_count"]))
+    import collections as C
+    n_total = len(words)
+    eps_n = (2.718 / 4096) * n_total + 1
+    exact = C.Counter(words)
+    for t, c in hot.items():
+        if c >= 250:
+            assert t in got, t
+    for t, e in got.items():
+        assert e >= exact[t]                      # never under
+        assert e - exact[t] <= eps_n              # additive bound

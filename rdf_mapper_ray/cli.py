@@ -110,7 +110,6 @@ def main(argv: Optional[list[str]] = None) -> int:
         preserved = {g for g in pipe.preserved_graphs}
         for rs in pipe.spec.resources:
             if rs.preserved_graph and rs.graph:
-                from rdf_mapper_ray.kernel.evaluator import uri_expand
                 # static graph URIs only in the driver path
                 if "{" not in rs.graph:
                     from rdf_mapper_ray.kernel.namespaces import expand_curie

@@ -13,7 +13,6 @@ buckets, turning the scan into a bucket-pruned ``groupby``.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 import pandas as pd

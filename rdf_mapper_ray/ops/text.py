@@ -12,7 +12,6 @@ import hashlib
 import re
 from collections import Counter
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -13,7 +13,6 @@ table:
 
 from __future__ import annotations
 
-from typing import Optional
 
 import pyarrow.parquet as pq
 

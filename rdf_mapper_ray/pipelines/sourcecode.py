@@ -261,7 +261,6 @@ class FanOutCommits:
         self.n = n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         n = self.n
         idx = list(range(batch.num_rows)) * n
         out = batch.take(pa.array(sorted(idx)))

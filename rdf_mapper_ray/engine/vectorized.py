@@ -463,8 +463,11 @@ class _TypedProgram:
             # effective truth: True AND did not raise anywhere inside
             eff = v if r is None else pc.and_(v, pc.invert(r))
             return eff, true_mask
-        valid = pc.is_valid(v) if isinstance(v, (pa.Array, pa.ChunkedArray)) \
-            else true_mask
+        if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+            # constant-only expression — broadcast to the batch length
+            py = v.as_py() if isinstance(v, pa.Scalar) else v
+            v = pa.array([py] * n)
+        valid = pc.is_valid(v)
         if r is not None:
             valid = pc.and_(valid, pc.invert(r))
         return v, valid
@@ -496,9 +499,12 @@ class _TypedProgram:
     @staticmethod
     def _num(v):
         """Promote to float64 (Python arithmetic on mixed int/float is
-        float; TPC-H-scale ints are exact in doubles)."""
+        float; TPC-H-scale ints are exact in doubles). Arrow scalars
+        (constant subexpressions) collapse back to Python floats."""
         if isinstance(v, (int, float)):
             return float(v)
+        if isinstance(v, pa.Scalar):
+            return float(v.as_py())
         if isinstance(v, (pa.Array, pa.ChunkedArray)) \
                 and v.type != pa.float64():
             return pc.cast(v, pa.float64())

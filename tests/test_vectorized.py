@@ -545,3 +545,67 @@ def test_asdateordatetime_vectorized_per_row_datatype():
         "http://e/r/2": ("2024-01-01T00:00:07", X + "dateTime"),
         "http://e/r/3": ("2024-01-02T12:30:00.250000", X + "dateTime"),
     }
+
+
+def test_expr_compiler_random_parity():
+    """Random restricted expr('...') bodies over null-bearing numeric
+    data: the Arrow program's (value, validity) must match per-row
+    Python evaluation (raise/None → property skipped)."""
+    import math
+    import random
+
+    from rdf_mapper_ray.engine.vectorized import (NotVectorizable,
+                                                  compile_restricted)
+
+    rng = random.Random(23)
+    cols = ["x", "a", "b"]
+
+    def atom(depth=0):
+        choices = ["x", "a", "b", str(rng.randint(1, 6)),
+                   f"{rng.randint(1, 9)}.5"]
+        if depth < 2 and rng.random() < 0.5:
+            op = rng.choice(["+", "-", "*", "/"])
+            return f"({atom(depth + 1)} {op} {atom(depth + 1)})"
+        if rng.random() < 0.2:
+            return f"float({atom(depth + 1)})"
+        if rng.random() < 0.15:
+            return f"-({atom(depth + 1)})"
+        if rng.random() < 0.15:
+            return "state.get('b')"
+        return rng.choice(choices)
+
+    checked = 0
+    for _ in range(200):
+        expr = atom()
+        try:
+            prog = compile_restricted(expr, "number", allow_x=True)
+        except NotVectorizable:
+            continue
+        rows = [{"x": rng.choice([None, 0.0, 1.5, -3.0, 7.0]),
+                 "a": rng.choice([None, 0.0, 2.0, -1.5]),
+                 "b": rng.choice([None, 0.0, 4.0, 0.5])}
+                for _ in range(30)]
+        tbl = pa.table({c: pa.array([r[c] for r in rows],
+                                    type=pa.float64()) for c in cols})
+        assert prog.supports(tbl.schema), expr
+        x = tbl.column("x").combine_chunks()
+        vals, valid = prog.evaluate(tbl, x=x)
+        vlist = vals.to_pylist() if hasattr(vals, "to_pylist") \
+            else [vals] * len(rows)
+        code = compile(expr, "<e>", "eval")
+        for i, row in enumerate(rows):
+            env = dict(row)
+            env["state"] = type("S", (), {
+                "get": staticmethod(lambda k, d=None, _r=row: _r.get(k, d))})
+            try:
+                want = eval(code, {}, env)
+                ok = want is not None and not (isinstance(want, float)
+                                               and math.isnan(want))
+            except Exception:
+                ok = False
+            got_ok = bool(valid.to_pylist()[i])
+            assert got_ok == ok, (expr, row, got_ok, ok)
+            if ok:
+                assert vlist[i] == float(want), (expr, row, vlist[i], want)
+        checked += 1
+    assert checked > 60

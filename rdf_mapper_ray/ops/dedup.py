@@ -666,9 +666,11 @@ def ngram_jaccard_exact(ds: "ray.data.Dataset", text_col: str = "text",
     leaves recall exact only for pairs sharing a rarer shingle too —
     None, the default, keeps full exactness).
     """
-    shingles = _distinct_shingles(ds, None, text_col, id_col,
-                                  shingle_k).materialize()
-    num_partitions = _num_partitions(shingles.count())
+    # stream the corpus-scale shingle table through the postings stage —
+    # never materialized; the verify pass later recomputes shingles for
+    # the (vanishing) candidate set only via the broadcast semi-join
+    shingles = _distinct_shingles(ds, None, text_col, id_col, shingle_k)
+    num_partitions = _num_partitions(ds.count())
 
     # inverted index: (shingle, id) routed by hash(shingle); flattening
     # via Arrow list offsets, pid via one numpy mod — no Python loop over
@@ -733,9 +735,14 @@ def ngram_jaccard_exact(ds: "ray.data.Dataset", text_col: str = "text",
     n_cand = cand.count()
     if n_cand == 0:
         return ray.data.from_arrow(_EMPTY_PAIRS)
-    # candidate docs ≤ 2 × candidate pairs
-    return _verify_pairs(cand, shingles, threshold, num_partitions,
-                         n_candidate_docs=2 * n_cand)
+    wanted = set()
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        wanted.update(int(v) for v in b.column("left_id").to_pylist())
+        wanted.update(int(v) for v in b.column("right_id").to_pylist())
+    cand_shingles = _distinct_shingles(ds, ray.put(wanted), text_col,
+                                       id_col, shingle_k)
+    return _verify_pairs(cand, cand_shingles, threshold, num_partitions,
+                         n_candidate_docs=len(wanted))
 
 
 # DuckDB equivalent of ngram_jaccard_exact (word 5-gram shingles, exact

@@ -70,13 +70,15 @@ def sessionize_sharded(ds: "ray.data.Dataset", user_col: str = "user_id",
 
     1. events co-locate per (user, time-shard) — a user's billion events
        spread over range-many tasks instead of one;
-    2. each shard sessionizes locally and emits a tiny summary
-       (first/last ts, session count);
+    2. a SUMMARY pass computes only (first ts, last ts, session count)
+       per (user, shard) — the events themselves are never
+       materialized, both passes stream;
     3. per-user summaries (shard-count-sized, not event-sized) stitch
        boundaries: a shard whose first event is within ``gap_seconds``
        of the previous shard's last event merges its first session into
        it; prefix offsets renumber globally;
-    4. offsets broadcast back over the shard-local rows.
+    4. a second streaming pass re-runs the (deterministic) local
+       sessionization and applies the broadcast offsets.
 
     Output and semantics identical to :func:`sessionize` (asserted in
     tests); worst-case per-task work is one shard of one user.
@@ -93,36 +95,21 @@ def sessionize_sharded(ds: "ray.data.Dataset", user_col: str = "user_id",
         return batch.append_column(
             "shard", pa.array(eu // span_us, type=pa.int64()))
 
-    def local_sessions(group: pd.DataFrame) -> pd.DataFrame:
+    sharded = ds.map_batches(add_shard, batch_format="pyarrow")
+
+    def summarize(group: pd.DataFrame) -> pd.DataFrame:
         g = _assign_sessions(group, ts_col, id_col, gap_seconds)
-        g["kind"] = 0
-        summary = pd.DataFrame({
+        return pd.DataFrame({
             user_col: [g[user_col].iloc[0]],
             "shard": [g["shard"].iloc[0]],
-            id_col: [-1],
-            ts_col: [g[ts_col].iloc[0]],
             "session_no": [int(g["session_no"].max())],
-            "kind": [1],
             "first_ts": [g[ts_col].min()],
             "last_ts": [g[ts_col].max()],
         })
-        g["first_ts"] = pd.NaT
-        g["last_ts"] = pd.NaT
-        cols = [user_col, "shard", id_col, ts_col, "session_no", "kind",
-                "first_ts", "last_ts"]
-        return pd.concat([g[cols], summary[cols]])
 
-    local = ds.map_batches(add_shard, batch_format="pyarrow") \
-        .groupby([user_col, "shard"]).map_groups(local_sessions,
-                                                 batch_format="pandas") \
-        .materialize()
-
-    # stitch: per-user pass over SUMMARIES only (shard-count-sized)
-    summaries = local.filter(lambda r: r["kind"] == 1)
     offsets: dict = {}
-    rows = summaries.select_columns(
-        [user_col, "shard", "session_no", "first_ts", "last_ts"]) \
-        .to_pandas()
+    rows = sharded.groupby([user_col, "shard"]) \
+        .map_groups(summarize, batch_format="pandas").to_pandas()
     for user, grp in rows.groupby(user_col, sort=False):
         grp = grp.sort_values("shard")
         off = 0
@@ -139,22 +126,18 @@ def sessionize_sharded(ds: "ray.data.Dataset", user_col: str = "user_id",
             prev_last = last_ts
     off_ref = ray.put(offsets)
 
-    def apply_offsets(batch: "pa.Table") -> "pa.Table":
+    def local_with_offsets(group: pd.DataFrame) -> pd.DataFrame:
         off = ray.get(off_ref)
-        import pyarrow.compute as pc
-        ev = batch.filter(pc.equal(batch.column("kind"), 0))
-        users = ev.column(user_col).to_pylist()
-        shards = ev.column("shard").to_pylist()
-        sess = ev.column("session_no").to_pylist()
-        out = [s + off.get((u, int(sh)), 0)
-               for u, sh, s in zip(users, shards, sess)]
-        return pa.Table.from_pydict({
-            user_col: ev.column(user_col),
-            id_col: ev.column(id_col),
-            "session_no": pa.array(out, type=pa.int64()),
+        g = _assign_sessions(group, ts_col, id_col, gap_seconds)
+        base = off.get((g[user_col].iloc[0], int(g["shard"].iloc[0])), 0)
+        return pd.DataFrame({
+            user_col: g[user_col],
+            id_col: g[id_col],
+            "session_no": (g["session_no"] + base).astype("int64"),
         })
 
-    return local.map_batches(apply_offsets, batch_format="pyarrow")
+    return sharded.groupby([user_col, "shard"]) \
+        .map_groups(local_with_offsets, batch_format="pandas")
 
 
 def sessionize_query(sf_dir: str, gap_seconds: float = 1800.0):

@@ -258,41 +258,31 @@ def heavy_hitters_cms(ds: "ray.data.Dataset", text_col: str = "text",
     Output: (token, est_count) with est_count ≥ true count ≥ min_count
     guaranteed for every true heavy hitter proposed.
     """
-    import ray as _ray
-
-    def sketch_block(batch: pa.Table):
+    def sketch_batch(batch: pa.Table) -> pa.Table:
         counts = _batch_token_counts(batch, text_col)
         toks = counts.column("token").to_pylist()
         cnts = counts.column("cnt").to_numpy(zero_copy_only=False)
         cms = CountMinSketch(width, depth)
-        h = _token_hashes(toks)
-        cms.add_counts(h, cnts.astype(np.int64))
-        # local candidates: anything a block saw often enough to matter
+        cms.add_counts(_token_hashes(toks), cnts.astype(np.int64))
+        # local candidates: anything a batch saw often enough to matter
         floor = max(1, min_count // 8)
         cand = [t for t, c in zip(toks, cnts) if c >= floor]
-        return cms, cand
+        return pa.Table.from_pydict({
+            "sketch": pa.array([cms.table.tobytes()], type=pa.binary()),
+            "cands": pa.array([cand], type=pa.list_(pa.string())),
+        })
 
-    refs = []
-    # per-block sketches as Ray tasks over the materialized blocks
-    mat = ds.materialize()
-    try:
-        blocks = list(mat.get_internal_block_refs())
-    except AttributeError:
-        blocks = [r for b in mat.iter_internal_ref_bundles()
-                  for r in b.block_refs]
-
-    @_ray.remote
-    def _sk(blk):
-        tbl = blk if isinstance(blk, pa.Table) else pa.Table.from_pandas(blk)
-        cms, cand = sketch_block(tbl)
-        return cms.table, cand
-
-    parts = _ray.get([_sk.remote(b) for b in blocks])
+    # one fixed-size sketch row per batch streams to the driver — the
+    # corpus itself is never materialized
     merged = CountMinSketch(width, depth)
     cands: set[str] = set()
-    for table, cand in parts:
-        merged.table += table
-        cands.update(cand)
+    for b in ds.map_batches(sketch_batch, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for raw, cand in zip(b.column("sketch").to_pylist(),
+                             b.column("cands").to_pylist()):
+            merged.table += np.frombuffer(
+                raw, dtype=np.int64).reshape(depth, width)
+            cands.update(cand)
     toks = sorted(cands)
     if not toks:
         return ray.data.from_arrow(pa.Table.from_pydict({

@@ -470,7 +470,10 @@ def process_property(resource: Any, prop: str, template: Any,
             vstate = state
         value = value_expand(template, vstate)
     elif isinstance(template, dict):
-        rs = ResourceSpec.from_dict(template)
+        rs = state.spec.nested_specs.get(id(template))
+        if rs is None:
+            rs = ResourceSpec.from_dict(template)
+            state.spec.nested_specs[id(template)] = rs
         value = process_resource(rs.name, rs, state)
     else:
         raise ValueError(f"Unsupported property template: {template!r}")

@@ -202,6 +202,10 @@ class MapperSpec:
         # per-spec memo for constant predicate Iri objects
         # (evaluator.process_property fast path)
         self.propref_iris: dict[str, Any] = {}
+        # nested inline resource specs compile once per spec, not per
+        # row (Pydantic validation per row was the hot path for
+        # nested-template specs)
+        self.nested_specs: dict[int, Any] = {}
         if not self.context.get("$datasetBase"):
             # NB: f-string of a missing $datasetID yields the literal "None",
             # matching the reference (mapper_spec.py:113-115)

@@ -178,3 +178,71 @@ def write_sparql_update(ds: "ray.data.Dataset",  # noqa: F821
             if g != DEFAULT_GRAPH:
                 out.write("}\n")
             out.write("};\n")
+
+
+def write_sparql_update_sharded(ds: "ray.data.Dataset",  # noqa: F821
+                                namespaces: Mapping[str, str],
+                                preserved_graphs: set[str],
+                                out_dir: str,
+                                mode: str = "update") -> list[str]:
+    """Distributed SPARQL UPDATE/DELETE writer — the scale path for
+    S5/S6 (the streaming driver-side writer stays for small outputs).
+
+    ``00-prologue.ru`` (driver, tiny) carries the PREFIX header and the
+    one-time DROP statements — graph names come from a distinct
+    aggregate, never the triples. Every data block then writes its own
+    ``part-<sha12>.ru`` of INSERT/DELETE DATA statements from inside the
+    map task: INSERT DATA bodies compose in any order, so shards apply
+    after the prologue in any sequence, and the content-hashed names
+    make re-runs overwrite instead of duplicate (resumable output).
+
+    Returns the ordered file list (prologue first).
+    """
+    import hashlib
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+    prefixes = _prefix_list(namespaces)
+
+    graphs = sorted(
+        r["graph"] for r in
+        ds.groupby("graph").count().select_columns(["graph"]).take_all())
+    prologue = os.path.join(out_dir, "00-prologue.ru")
+    with open(prologue, "w", encoding="utf-8") as fh:
+        if mode == "update" or bool(preserved_graphs):
+            for p, ns in sorted(prefixes):
+                fh.write(f"PREFIX {p}: <{ns}>\n")
+        for g in graphs:
+            if g not in preserved_graphs:
+                fh.write(f"DROP SILENT GRAPH <{g}> ;\n")
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        rows = sorted(zip(*[batch.column(c).to_pylist() for c in COLUMNS]))
+        # each shard is an independently-applicable script → own header
+        parts: list[str] = [f"PREFIX {p}: <{ns}>\n"
+                            for p, ns in sorted(prefixes)]
+        for (g, grows) in _group_rows_by_graph(rows):
+            preserved = g in preserved_graphs
+            if mode == "update" or (mode == "delete" and preserved):
+                op = "INSERT" if mode == "update" else "DELETE"
+                body = [f"{op} DATA {{\n"]
+                if g != DEFAULT_GRAPH:
+                    body.append(f"GRAPH <{g}> {{\n")
+                body.append(serialize_graph_block(grows, prefixes))
+                if g != DEFAULT_GRAPH:
+                    body.append("}\n")
+                body.append("};\n")
+                parts.append("".join(body))
+        text = "".join(parts)
+        digest = hashlib.sha1(text.encode()).hexdigest()[:12]
+        path = os.path.join(out_dir, f"part-{digest}.ru")
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(text)
+        return pa.Table.from_pydict({"path": pa.array([path])})
+
+    part_paths = [r["path"] for r in
+                  ds.map_batches(write_shard,
+                                 batch_format="pyarrow").take_all()]
+    return [prologue] + sorted(part_paths)

@@ -481,3 +481,43 @@ def test_pointer_dedup_matches_groupby(ray_session):
     ka = sorted(map(tuple, a.values.tolist()))
     kb = sorted(map(tuple, b.values.tolist()))
     assert ka == kb and len(ka) > 0
+
+
+def test_sparql_update_sharded_matches_driver_writer(ray_session, tmp_path):
+    """The distributed SPARQL writer (prologue + any-order shards) must
+    produce the same final quad store as the driver-side streaming
+    writer when applied shard by shard."""
+    import io
+
+    import ray.data
+    from rdf_mapper_ray.engine.schema import quads_to_table
+    from rdf_mapper_ray.engine.sinks import (write_sparql_update,
+                                             write_sparql_update_sharded)
+    from sparql_applier import apply_update
+    from test_conformance import _graphs_processor
+
+    proc = _graphs_processor()
+    ds = ray.data.from_arrow(quads_to_table(proc.quads())).repartition(3)
+    namespaces = dict(proc.spec.namespaces)
+    preserved = set(proc.state.preserved_graphs)
+
+    seeded = {
+        ("http://example.com/base", "http://example.com/should_go", "uri",
+         "http://example.com/p", "literal", "42", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+        ("http://example.com/current", "http://example.com/should_stay",
+         "uri", "http://example.com/p", "literal", "foo", None, None),
+    }
+
+    for mode in ("update", "delete"):
+        ref_io = io.StringIO()
+        write_sparql_update(ds, namespaces, preserved, ref_io, mode=mode)
+        expected = apply_update(ref_io.getvalue(), set(seeded))
+
+        files = write_sparql_update_sharded(
+            ds, namespaces, preserved, str(tmp_path / mode), mode=mode)
+        state = set(seeded)
+        for f in files:                       # prologue first, shards any order
+            state = set(apply_update(open(f, encoding="utf-8").read(),
+                                     state))
+        assert state == set(expected), mode

@@ -184,19 +184,22 @@ ORDER BY event_id
 
 def _session_intervals(sf_dir: str, gap_seconds: float = 1800.0):
     """(user_id, session_no, start, end) intervals — the right side of
-    the range-join demo, derived with the sessions machinery."""
-    from rdf_mapper_ray.ops.sessions import _assign_sessions
+    the range-join demo, derived with the sessions machinery (pid-routed,
+    vectorized across users)."""
+    from rdf_mapper_ray.ops.sessions import (_assign_sessions_multi,
+                                             _route_by_user)
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts"])
 
-    def _spans(group: pd.DataFrame) -> pd.DataFrame:
-        g = _assign_sessions(group, "ts", "event_id", gap_seconds)
-        agg = g.groupby("session_no").agg(start=("ts", "min"),
-                                          end=("ts", "max")).reset_index()
-        agg["user_id"] = group["user_id"].iloc[0]
+    def _spans(g: pd.DataFrame) -> pd.DataFrame:
+        g = _assign_sessions_multi(g, "user_id", "ts", "event_id",
+                                   gap_seconds)
+        agg = g.groupby(["user_id", "session_no"]).agg(
+            start=("ts", "min"), end=("ts", "max")).reset_index()
         return agg[["user_id", "session_no", "start", "end"]]
 
-    return ds.groupby("user_id").map_groups(_spans, batch_format="pandas")
+    return _route_by_user(ds, "user_id").map_groups(_spans,
+                                                    batch_format="pandas")
 
 
 def session_interval_join_query(sf_dir: str,

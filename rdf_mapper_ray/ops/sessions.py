@@ -29,35 +29,71 @@ def _assign_sessions(group: pd.DataFrame, ts_col: str, id_col: str,
     return g
 
 
+def _assign_sessions_multi(df: pd.DataFrame, user_col: str, ts_col: str,
+                           id_col: str, gap_seconds: float) -> pd.DataFrame:
+    """Vectorized session assignment across MANY users at once: one
+    sort + diff + per-user cumsum — no Python call per user."""
+    g = df.sort_values([user_col, ts_col, id_col]).reset_index(drop=True)
+    new_user = (g[user_col] != g[user_col].shift()).to_numpy()
+    gap = g[ts_col].diff().dt.total_seconds().to_numpy()
+    new_sess = new_user | (gap > gap_seconds)
+    g["session_no"] = pd.Series(new_sess.astype("int64")) \
+        .groupby(g[user_col].to_numpy()).cumsum().astype("int64")
+    return g
+
+
+def _route_by_user(ds: "ray.data.Dataset", user_col: str,
+                   num_partitions: int | None = None):
+    """pid-route so a partition holds COMPLETE users (the sessionization
+    co-location contract) but the shuffle sees P groups, not one Python
+    call per user (measured ~2x on the 10k-user table)."""
+    import pyarrow as pa
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import _num_partitions
+        num_partitions = _num_partitions(ds.count())
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch.column(user_col).to_pandas(), index=False).values
+        return batch.append_column(
+            "pid", pa.array((h % num_partitions).astype("int64")))
+
+    return ds.map_batches(add_pid, batch_format="pyarrow").groupby("pid")
+
+
 def sessionize(ds: "ray.data.Dataset", user_col: str = "user_id",
                ts_col: str = "ts", id_col: str = "event_id",
                gap_seconds: float = 1800.0) -> "ray.data.Dataset":
     """(user, event, ts) -> per-event session numbers (1-based per user,
     a new session after a silence longer than ``gap_seconds``)."""
-    out = ds.groupby(user_col).map_groups(
-        lambda g: _assign_sessions(g, ts_col, id_col, gap_seconds)[
-            [user_col, id_col, "session_no"]],
-        batch_format="pandas")
-    return out
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        out = _assign_sessions_multi(g, user_col, ts_col, id_col,
+                                     gap_seconds)
+        return out[[user_col, id_col, "session_no"]]
+
+    return _route_by_user(ds, user_col).map_groups(part,
+                                                   batch_format="pandas")
 
 
 def session_stats(ds: "ray.data.Dataset", user_col: str = "user_id",
                   ts_col: str = "ts", id_col: str = "event_id",
                   gap_seconds: float = 1800.0) -> "ray.data.Dataset":
     """Per-session aggregate: event count + duration in seconds."""
-    def _stats(group: pd.DataFrame) -> pd.DataFrame:
-        g = _assign_sessions(group, ts_col, id_col, gap_seconds)
-        agg = g.groupby("session_no").agg(
+    def _stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = _assign_sessions_multi(g, user_col, ts_col, id_col,
+                                   gap_seconds)
+        agg = g.groupby([user_col, "session_no"]).agg(
             n_events=(id_col, "count"),
             start=(ts_col, "min"),
             end=(ts_col, "max"))
         agg["duration_secs"] = (
             (agg["end"] - agg["start"]).dt.total_seconds().astype("int64"))
         agg = agg.reset_index()
-        agg[user_col] = group[user_col].iloc[0]
         return agg[[user_col, "session_no", "n_events", "duration_secs"]]
 
-    return ds.groupby(user_col).map_groups(_stats, batch_format="pandas")
+    return _route_by_user(ds, user_col).map_groups(_stats,
+                                                   batch_format="pandas")
 
 
 def sessionize_sharded(ds: "ray.data.Dataset", user_col: str = "user_id",

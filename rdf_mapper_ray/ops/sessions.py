@@ -29,33 +29,43 @@ def _assign_sessions(group: pd.DataFrame, ts_col: str, id_col: str,
     return g
 
 
-def _assign_sessions_multi(df: pd.DataFrame, user_col: str, ts_col: str,
+def _assign_sessions_multi(df: pd.DataFrame, user_col, ts_col: str,
                            id_col: str, gap_seconds: float) -> pd.DataFrame:
-    """Vectorized session assignment across MANY users at once: one
-    sort + diff + per-user cumsum — no Python call per user."""
-    g = df.sort_values([user_col, ts_col, id_col]).reset_index(drop=True)
-    new_user = (g[user_col] != g[user_col].shift()).to_numpy()
+    """Vectorized session assignment across MANY keys at once: one
+    sort + diff + per-key cumsum — no Python call per key.
+    ``user_col`` may be a single column or a list (composite key)."""
+    keys = [user_col] if isinstance(user_col, str) else list(user_col)
+    g = df.sort_values([*keys, ts_col, id_col]).reset_index(drop=True)
+    new_key = np.zeros(len(g), dtype=bool)
+    for k in keys:
+        new_key |= (g[k] != g[k].shift()).to_numpy()
     gap = g[ts_col].diff().dt.total_seconds().to_numpy()
-    new_sess = new_user | (gap > gap_seconds)
+    new_sess = new_key | (gap > gap_seconds)
     g["session_no"] = pd.Series(new_sess.astype("int64")) \
-        .groupby(g[user_col].to_numpy()).cumsum().astype("int64")
+        .groupby([g[k].to_numpy() for k in keys]).cumsum().astype("int64")
     return g
 
 
-def _route_by_user(ds: "ray.data.Dataset", user_col: str,
+def _route_by_user(ds: "ray.data.Dataset", user_col,
                    num_partitions: int | None = None):
-    """pid-route so a partition holds COMPLETE users (the sessionization
+    """pid-route so a partition holds COMPLETE keys (the sessionization
     co-location contract) but the shuffle sees P groups, not one Python
-    call per user (measured ~2x on the 10k-user table)."""
+    call per key (measured ~2x on the 10k-user table). ``user_col`` may
+    be a composite key (list of columns) — sessionize_sharded routes by
+    (user, time-shard) so a hot user still spreads across tasks."""
     import pyarrow as pa
 
+    keys = [user_col] if isinstance(user_col, str) else list(user_col)
     if num_partitions is None:
         from rdf_mapper_ray.ops.dedup import _num_partitions
         num_partitions = _num_partitions(ds.count())
 
     def add_pid(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            batch.column(user_col).to_pandas(), index=False).values
+        h = None
+        for k in keys:
+            hk = pd.util.hash_pandas_object(
+                batch.column(k).to_pandas(), index=False).values
+            h = hk if h is None else (h * np.uint64(1000003)) ^ hk
         return batch.append_column(
             "pid", pa.array((h % num_partitions).astype("int64")))
 
@@ -132,20 +142,20 @@ def sessionize_sharded(ds: "ray.data.Dataset", user_col: str = "user_id",
             "shard", pa.array(eu // span_us, type=pa.int64()))
 
     sharded = ds.map_batches(add_shard, batch_format="pyarrow")
+    routed = _route_by_user(sharded, [user_col, "shard"])
 
-    def summarize(group: pd.DataFrame) -> pd.DataFrame:
-        g = _assign_sessions(group, ts_col, id_col, gap_seconds)
-        return pd.DataFrame({
-            user_col: [g[user_col].iloc[0]],
-            "shard": [g["shard"].iloc[0]],
-            "session_no": [int(g["session_no"].max())],
-            "first_ts": [g[ts_col].min()],
-            "last_ts": [g[ts_col].max()],
-        })
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        g = _assign_sessions_multi(g, [user_col, "shard"], ts_col, id_col,
+                                   gap_seconds)
+        agg = g.groupby([user_col, "shard"]).agg(
+            session_no=("session_no", "max"),
+            first_ts=(ts_col, "min"),
+            last_ts=(ts_col, "max")).reset_index()
+        return agg[[user_col, "shard", "session_no", "first_ts",
+                    "last_ts"]]
 
     offsets: dict = {}
-    rows = sharded.groupby([user_col, "shard"]) \
-        .map_groups(summarize, batch_format="pandas").to_pandas()
+    rows = routed.map_groups(summarize, batch_format="pandas").to_pandas()
     for user, grp in rows.groupby(user_col, sort=False):
         grp = grp.sort_values("shard")
         off = 0
@@ -162,17 +172,20 @@ def sessionize_sharded(ds: "ray.data.Dataset", user_col: str = "user_id",
             prev_last = last_ts
     off_ref = ray.put(offsets)
 
-    def local_with_offsets(group: pd.DataFrame) -> pd.DataFrame:
+    def local_with_offsets(g: pd.DataFrame) -> pd.DataFrame:
         off = ray.get(off_ref)
-        g = _assign_sessions(group, ts_col, id_col, gap_seconds)
-        base = off.get((g[user_col].iloc[0], int(g["shard"].iloc[0])), 0)
+        g = _assign_sessions_multi(g, [user_col, "shard"], ts_col, id_col,
+                                   gap_seconds)
+        base = pd.Series(
+            [off.get((u, int(s)), 0)
+             for u, s in zip(g[user_col], g["shard"])])
         return pd.DataFrame({
             user_col: g[user_col],
             id_col: g[id_col],
             "session_no": (g["session_no"] + base).astype("int64"),
         })
 
-    return sharded.groupby([user_col, "shard"]) \
+    return _route_by_user(sharded, [user_col, "shard"]) \
         .map_groups(local_with_offsets, batch_format="pandas")
 
 

@@ -176,7 +176,12 @@ class MinHashSignatures:
 
 
 class BandEmitter:
-    """signature -> one row per LSH band: (band, bucket, id, signature)."""
+    """signature -> one LIGHT row per LSH band: (band, bucket, id).
+
+    The signature itself never rides the bucket shuffle (an earlier
+    version shipped the full num_perm×8-byte signature with every band
+    row — a num_bands× data amplification); candidate pairs are verified
+    later against signatures recomputed for the candidate ids only."""
 
     def __init__(self, num_bands: int, id_col: str = "doc_id") -> None:
         self.num_bands = num_bands
@@ -185,63 +190,50 @@ class BandEmitter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
         sigs = batch.column("signature").to_pylist()
-        out_band, out_bucket, out_id, out_sig = [], [], [], []
+        out_band, out_bucket, out_id = [], [], []
         for i, sig in zip(ids, sigs):
             n = len(sig)
             rows_per_band = n // self.num_bands
+            arr = np.asarray(sig, dtype=np.uint64)
             for band in range(self.num_bands):
-                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
-                bucket = hashlib.blake2b(
-                    np.asarray(chunk, dtype=np.uint64).tobytes(),
-                    digest_size=8).hexdigest()
+                chunk = arr[band * rows_per_band:(band + 1) * rows_per_band]
+                bucket = int.from_bytes(
+                    hashlib.blake2b(chunk.tobytes(),
+                                    digest_size=8).digest(), "little")
                 out_band.append(band)
-                out_bucket.append(bucket)
+                out_bucket.append(bucket & 0x7FFFFFFFFFFFFFFF)
                 out_id.append(i)
-                out_sig.append(sig)
         return pa.Table.from_pydict({
             "band": pa.array(out_band, type=pa.int32()),
-            "bucket": pa.array(out_bucket, type=pa.string()),
+            "bucket": pa.array(out_bucket, type=pa.int64()),
             self.id_col: pa.array(out_id),
-            "signature": pa.array(out_sig, type=pa.list_(pa.uint64())),
         })
 
 
-def _pairs_from_bucket(ids: np.ndarray, sigs: np.ndarray,
-                       threshold: float) -> tuple[list, list, list]:
-    order = np.argsort(ids)
-    ids = ids[order]
-    sigs = sigs[order]
-    left, right, est = [], [], []
-    for i in range(len(ids)):
-        # vectorised signature agreement against all later ids
-        agree = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-        for j_off, frac in enumerate(agree):
-            if frac >= threshold and ids[i] != ids[i + 1 + j_off]:
-                left.append(ids[i])
-                right.append(ids[i + 1 + j_off])
-                est.append(float(frac))
-    return left, right, est
-
-
-def _pairs_from_partition(group: pd.DataFrame, id_col: str,
-                          threshold: float) -> pd.DataFrame:
-    """One shuffle partition holds many complete (band, bucket) groups;
-    iterate them here (worker-side) instead of one map_groups call each."""
-    left, right, est = [], [], []
-    for (_, _), grp in group.groupby(["band", "bucket"], sort=False):
-        if len(grp) < 2:
+def _candidate_pairs_from_partition(group: pd.DataFrame,
+                                    id_col: str) -> pd.DataFrame:
+    """Emit every in-bucket id pair (ids only; est comes from the verify
+    stage) — duplicate runs skipped in bulk like the inverted index."""
+    b = group["bucket"].to_numpy()
+    band = group["band"].to_numpy()
+    ids = group[id_col].to_numpy()
+    order = np.lexsort((ids, b, band))
+    band, b, ids = band[order], b[order], ids[order]
+    key_change = np.flatnonzero(
+        np.r_[True, (b[1:] != b[:-1]) | (band[1:] != band[:-1]), True])
+    lens = np.diff(key_change)
+    left, right = [], []
+    for ri in np.flatnonzero(lens >= 2):
+        a, e = key_change[ri], key_change[ri + 1]
+        u = np.unique(ids[a:e])
+        if len(u) < 2:
             continue
-        ids = grp[id_col].to_numpy()
-        sigs = np.stack([np.asarray(s, dtype=np.uint64)
-                         for s in grp["signature"].to_numpy()])
-        l, r, e = _pairs_from_bucket(ids, sigs, threshold)
-        left.extend(l)
-        right.extend(r)
-        est.extend(e)
+        iu = np.triu_indices(len(u), k=1)
+        left.extend(u[iu[0]].tolist())
+        right.extend(u[iu[1]].tolist())
     return pd.DataFrame({
         "left_id": pd.array(left, dtype="int64"),
         "right_id": pd.array(right, dtype="int64"),
-        "est_jaccard": pd.array(est, dtype="float64"),
     })
 
 
@@ -250,11 +242,13 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                       num_bands: int = 32, shingle_k: int = 5,
                       threshold: float = 0.5,
                       seed: int = 42) -> "ray.data.Dataset":
-    """Candidate near-duplicate pairs (left_id < right_id, est_jaccard).
+    """Candidate near-duplicate pairs (left_id < right_id, est_jaccard ≥
+    threshold by signature agreement).
 
-    sketch (actor pool) → band fan-out → groupby(band,bucket) → in-bucket
-    verify by signature agreement → global pair dedup (a pair can land in
-    several bands).
+    sketch → LIGHT band fan-out (24-byte rows, never signatures) →
+    groupby(band,bucket) pair mining → global pair dedup → signature
+    verify against signatures recomputed for the candidate ids only
+    (broadcast semi-join — candidates are a vanishing fraction).
     """
     num_partitions = _num_partitions(ds.count())
     sigs = ds.map_batches(
@@ -264,16 +258,16 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                               batch_format="pyarrow")
 
     def add_pid(batch: pa.Table) -> pa.Table:
-        # bucket is already a uniform hash — fold band in cheaply
-        pid = [(int(b[:8], 16) ^ band) % num_partitions
-               for band, b in zip(batch.column("band").to_pylist(),
-                                  batch.column("bucket").to_pylist())]
+        band = batch.column("band").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bucket = batch.column("bucket").to_numpy(zero_copy_only=False)
+        pid = (bucket ^ band) % num_partitions
         return batch.append_column("pid", pa.array(pid, type=pa.int64()))
 
-    pairs = (banded.map_batches(add_pid, batch_format="pyarrow")
-             .groupby("pid")
-             .map_groups(lambda g: _pairs_from_partition(g, id_col, threshold),
-                         batch_format="pandas"))
+    cand = (banded.map_batches(add_pid, batch_format="pyarrow")
+            .groupby("pid")
+            .map_groups(lambda g: _candidate_pairs_from_partition(g, id_col),
+                        batch_format="pandas"))
 
     def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
         return group.drop_duplicates(["left_id", "right_id"]) \
@@ -285,10 +279,63 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                                batch.column("right_id").to_pylist())]
         return batch.append_column("pair_pid", pa.array(pid, type=pa.int64()))
 
-    # a pair can surface from several bands — exact dedup, same pid trick
-    return (pairs.map_batches(add_pair_pid, batch_format="pyarrow")
+    cand = (cand.map_batches(add_pair_pid, batch_format="pyarrow")
             .groupby("pair_pid").map_groups(dedup_pairs,
-                                            batch_format="pandas"))
+                                            batch_format="pandas")) \
+        .materialize()
+    if cand.count() == 0:
+        return ray.data.from_arrow(pa.Table.from_pydict({
+            "left_id": pa.array([], type=pa.int64()),
+            "right_id": pa.array([], type=pa.int64()),
+            "est_jaccard": pa.array([], type=pa.float64())}))
+
+    # verify: recompute signatures for candidate ids only, broadcast,
+    # and score est_jaccard per pair
+    wanted: set = set()
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        wanted.update(int(v) for v in b.column("left_id").to_pylist())
+        wanted.update(int(v) for v in b.column("right_id").to_pylist())
+    wref = ray.put(wanted)
+    sketcher = MinHashSignatures(text_col, id_col, num_perm, shingle_k,
+                                 seed)
+
+    def cand_sigs(batch: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        keep = [i for i, v in enumerate(batch.column(id_col).to_pylist())
+                if int(v) in w]
+        if not keep:
+            return pa.Table.from_pydict({
+                id_col: pa.array([], type=batch.column(id_col).type),
+                "signature": pa.array([], type=pa.list_(pa.uint64()))})
+        return sketcher(batch.take(pa.array(keep, type=pa.int64())))
+
+    sig_map: dict[int, np.ndarray] = {}
+    for b in ds.map_batches(cand_sigs, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for i, s in zip(b.column(id_col).to_pylist(),
+                        b.column("signature").to_pylist()):
+            sig_map[int(i)] = np.asarray(s, dtype=np.uint64)
+    sref = ray.put(sig_map)
+
+    def score(batch: pa.Table) -> pa.Table:
+        sm = ray.get(sref)
+        out_l, out_r, out_e = [], [], []
+        for l, r in zip(batch.column("left_id").to_pylist(),
+                        batch.column("right_id").to_pylist()):
+            sl, sr = sm.get(int(l)), sm.get(int(r))
+            if sl is None or sr is None:
+                continue
+            est = float((sl == sr).mean())
+            if est >= threshold:
+                out_l.append(int(l))
+                out_r.append(int(r))
+                out_e.append(est)
+        return pa.Table.from_pydict({
+            "left_id": pa.array(out_l, type=pa.int64()),
+            "right_id": pa.array(out_r, type=pa.int64()),
+            "est_jaccard": pa.array(out_e, type=pa.float64())})
+
+    return cand.map_batches(score, batch_format="pyarrow")
 
 
 def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",

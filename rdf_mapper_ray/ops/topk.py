@@ -120,30 +120,36 @@ def heavy_hitters(ds: "ray.data.Dataset", text_col: str = "text",
             "cnt": pa.array([], type=pa.int64())}))
     cand_ref = ray.put(cands)
 
+    # a whitespace-split token can never contain a newline-only marker
+    _TOTAL = "\n__total__\n"
+
     def count_candidates(batch: pa.Table) -> pa.Table:
         wanted = ray.get(cand_ref)
         counts = _batch_token_counts(batch, text_col)
-        keep = [i for i, t in enumerate(counts.column("token").to_pylist())
-                if t in wanted]
-        return counts.take(pa.array(keep, type=pa.int64())) if keep \
+        toks = counts.column("token").to_pylist()
+        keep = [i for i, t in enumerate(toks) if t in wanted]
+        kept = counts.take(pa.array(keep, type=pa.int64())) if keep \
             else counts.slice(0, 0)
+        # fold the exact total-token count into the same pass as a
+        # sentinel row (the old version re-read the corpus a third time)
+        n_batch = int(pc.sum(counts.column("cnt")).as_py() or 0)
+        total_row = pa.Table.from_pydict({
+            "token": pa.array([_TOTAL], type=pa.string()),
+            "cnt": pa.array([n_batch], type=pa.int64())})
+        return pa.concat_tables([kept, total_row])
 
     counted = ds.map_batches(count_candidates, batch_format="pyarrow") \
         .groupby("token").sum("cnt") \
         .map_batches(lambda t: t.rename_columns(["token", "cnt"]),
                      batch_format="pyarrow").materialize()
     if min_count is None:
-        # true N: candidates' exact counts underestimate N, so compute
-        # the exact total with one tiny aggregate over the partials
-        totals = ds.map_batches(
-            lambda b: pa.Table.from_pydict({"n": pa.array(
-                [int(pc.sum(_batch_token_counts(b, text_col)
-                            .column("cnt")).as_py() or 0)],
-                type=pa.int64())}),
-            batch_format="pyarrow").sum("n")
-        min_count = int(totals) // capacity + 1
+        total = counted.filter(
+            lambda row: row["token"] == _TOTAL).take_all()[0]["cnt"]
+        min_count = int(total) // capacity + 1
+    mc = min_count
     return counted.filter(
-        lambda row: row["cnt"] >= min_count).sort("token")
+        lambda row: row["cnt"] >= mc and row["token"] != _TOTAL) \
+        .sort("token")
 
 
 # --- driver queries + oracle -------------------------------------------------

@@ -111,20 +111,36 @@ def _minhash_params(num_perm: int, seed: int = 42):
     return a, b
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """64-bit hashes of the k-word shingles of ``text``."""
+def _shingle_strings(text: str, k: int) -> list[str]:
     words = text.split()
     if len(words) < k:
-        shingles = [" ".join(words)] if words else [""]
-    else:
-        shingles = [" ".join(words[i:i + k])
-                    for i in range(len(words) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = np.uint64(
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                           "little"))
+        return [" ".join(words)] if words else [""]
+    return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+
+
+def _shingle_hashes_batch(texts: list, k: int) -> list[np.ndarray]:
+    """Per-doc 64-bit shingle hashes for a whole batch: ONE vectorized
+    pandas hash over every shingle string (C speed) instead of a Python
+    blake2b call per shingle — the dominant CPU of the text-dedup ops at
+    corpus scale. The hash only needs to be deterministic and
+    collision-resistant (Jaccard/minhash are hash-agnostic)."""
+    per_doc = [_shingle_strings(t or "", k) for t in texts]
+    lens = [len(p) for p in per_doc]
+    flat: list[str] = [s for p in per_doc for s in p]
+    if not flat:
+        return []
+    h = pd.util.hash_pandas_object(pd.Series(flat), index=False).values
+    out = []
+    pos = 0
+    for n in lens:
+        out.append(h[pos:pos + n])
+        pos += n
     return out
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Single-doc variant (tests / small paths)."""
+    return _shingle_hashes_batch([text], k)[0]
 
 
 class MinHashSignatures:
@@ -156,7 +172,7 @@ class MinHashSignatures:
         # batched universal hashing: concatenate shingles across a
         # chunk of docs, ONE (shingles × perms) broadcast, per-doc min
         # via minimum.reduceat — ~2x the per-doc loop, bounded memory
-        sh_lists = [_shingle_hashes(t or "", self.k) for t in texts]
+        sh_lists = _shingle_hashes_batch(texts, self.k)
         sigs: list[np.ndarray] = []
         CH = 64
         for i in range(0, len(sh_lists), CH):
@@ -466,15 +482,14 @@ def _distinct_shingles(ds, wanted_ref, text_col: str, id_col: str,
         w = ray.get(wanted_ref) if wanted_ref is not None else None
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        out_id, out_sh = [], []
-        for i, t in zip(ids, texts):
-            if w is not None and i not in w:
-                continue
-            out_id.append(i)
-            out_sh.append(sorted(set(_shingle_hashes(t or "",
-                                                     shingle_k).tolist())))
+        if w is not None:
+            keep = [(i, t) for i, t in zip(ids, texts) if i in w]
+            ids = [i for i, _ in keep]
+            texts = [t for _, t in keep]
+        hashes = _shingle_hashes_batch(texts, shingle_k)
+        out_sh = [np.unique(h).tolist() for h in hashes]
         return pa.Table.from_pydict({
-            "id": pa.array(out_id, type=pa.int64()),
+            "id": pa.array(ids, type=pa.int64()),
             "shingles": pa.array(out_sh, type=pa.list_(pa.uint64())),
         })
     return ds.map_batches(compute, batch_format="pyarrow")

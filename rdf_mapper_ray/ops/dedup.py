@@ -421,34 +421,43 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 # --- SimHash -----------------------------------------------------------------
 
 class SimHash:
-    """64-bit SimHash over word features (actor-pool stage)."""
+    """64-bit SimHash over word features, batched: ONE vectorized pandas
+    hash over every word in the batch, per-doc bit votes via
+    ``add.reduceat`` — no per-word Python hashing."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
         self.text_col = text_col
         self.id_col = id_col
         self._bits = np.arange(64, dtype=np.uint64)
 
+    def _simhash_batch(self, texts: list) -> np.ndarray:
+        words_per_doc = [(t or "").split() for t in texts]
+        lens = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+        flat = [w for ws in words_per_doc for w in ws]
+        out = np.zeros(len(texts), dtype=np.uint64)
+        if not flat:
+            return out
+        hashes = pd.util.hash_pandas_object(pd.Series(flat),
+                                            index=False).values
+        bits = ((hashes[:, None] >> self._bits[None, :]) & np.uint64(1)) \
+            .astype(np.int64)
+        nonempty = lens > 0
+        offsets = np.concatenate(
+            [[0], np.cumsum(lens[nonempty])[:-1]]).astype(np.int64)
+        sums = np.add.reduceat(bits, offsets, axis=0)
+        votes = sums * 2 - lens[nonempty][:, None]
+        vals = ((votes > 0).astype(np.uint64)
+                << self._bits[None, :]).sum(axis=1, dtype=np.uint64)
+        out[nonempty] = vals
+        return out
+
     def simhash(self, text: str) -> int:
-        words = text.split()
-        if not words:
-            return 0
-        hashes = np.empty(len(words), dtype=np.uint64)
-        for i, w in enumerate(words):
-            hashes[i] = np.uint64(int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"))
-        # accumulate per-bit votes, vectorised over words
-        bits = ((hashes[:, None] >> self._bits[None, :]) & np.uint64(1))
-        votes = bits.sum(axis=0) * 2 - len(words)
-        out = np.uint64(0)
-        for b in range(64):
-            if votes[b] > 0:
-                out |= np.uint64(1) << np.uint64(b)
-        return int(out)
+        return int(self._simhash_batch([text])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col)
-        vals = [self.simhash(t or "")
-                for t in batch.column(self.text_col).to_pylist()]
+        vals = self._simhash_batch(
+            batch.column(self.text_col).to_pylist())
         return pa.Table.from_pydict({
             self.id_col: ids,
             "simhash": pa.array(vals, type=pa.uint64()),

@@ -170,9 +170,12 @@ def lang_id(ds: "ray.data.Dataset", text_col: str = "text",
 # --- fingerprinting ----------------------------------------------------------
 
 class Fingerprint:
-    """Winnowing-style document fingerprint: rolling blake2b over k-word
-    windows, keep the minimum hash per document plus a sha256 of the
-    whole text. Deterministic; used for fast doc identity at scale."""
+    """Winnowing-style document fingerprint: the minimum 64-bit hash
+    over k-word windows per document plus a sha256 of the whole text.
+    Window hashing is batched — ONE vectorized pandas hash over every
+    window string in the batch, per-doc mins via ``minimum.reduceat`` —
+    no per-window Python hashing. Deterministic; fast doc identity at
+    scale."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  window: int = 8) -> None:
@@ -180,27 +183,42 @@ class Fingerprint:
         self.id_col = id_col
         self.window = window
 
+    def _min_hashes(self, texts: list) -> "np.ndarray":
+        import numpy as np
+        import pandas as pd
+        windows_per_doc = []
+        for t in texts:
+            words = (t or "").split()
+            if not words:
+                windows_per_doc.append([])
+                continue
+            k = min(self.window, len(words))
+            windows_per_doc.append(
+                [" ".join(words[i:i + k])
+                 for i in range(len(words) - k + 1)])
+        lens = [len(w) for w in windows_per_doc]
+        flat = [w for ws in windows_per_doc for w in ws]
+        out = np.zeros(len(texts), dtype=np.uint64)
+        if not flat:
+            return out
+        h = pd.util.hash_pandas_object(pd.Series(flat), index=False).values
+        nonempty = [i for i, n in enumerate(lens) if n]
+        offsets = np.concatenate(
+            [[0], np.cumsum([lens[i] for i in nonempty])[:-1]]) \
+            .astype(np.int64)
+        mins = np.minimum.reduceat(h, offsets)
+        out[nonempty] = mins
+        return out
+
     def fingerprint(self, text: str) -> tuple[int, str]:
-        words = text.split()
         sha = hashlib.sha256(text.encode()).hexdigest()
-        if not words:
-            return 0, sha
-        k = min(self.window, len(words))
-        mn = None
-        for i in range(len(words) - k + 1):
-            h = int.from_bytes(
-                hashlib.blake2b(" ".join(words[i:i + k]).encode(),
-                                digest_size=8).digest(), "little")
-            if mn is None or h < mn:
-                mn = h
-        return mn, sha
+        return int(self._min_hashes([text])[0]), sha
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps, shas = [], []
-        for t in batch.column(self.text_col).to_pylist():
-            fp, sha = self.fingerprint(t or "")
-            fps.append(fp)
-            shas.append(sha)
+        texts = batch.column(self.text_col).to_pylist()
+        fps = self._min_hashes(texts)
+        shas = [hashlib.sha256((t or "").encode()).hexdigest()
+                for t in texts]
         return pa.Table.from_pydict({
             self.id_col: batch.column(self.id_col),
             "min_fingerprint": pa.array(fps, type=pa.uint64()),

@@ -193,7 +193,8 @@ def _v_slug(col, mask):
 
 
 def _v_length(col, mask):
-    n = pc.utf8_length(_str_input(col))
+    # kernel length(None) == 0 (functions.py length) — nulls stay valid
+    n = pc.fill_null(pc.utf8_length(_str_input(col)), 0)
     return pc.cast(n, pa.string()), mask, None, XSD_INTEGER
 
 
@@ -340,7 +341,12 @@ class FnChainPlan:
         col = batch.column(self.column)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        mask = pc.is_valid(col)
+        # null input skips the property — except length(None) == 0 and
+        # asBoolean(None) == false, which consume nulls as values
+        if self.chain and self.chain[0] in ("length", "asBoolean"):
+            mask = pa.array([True] * len(col))
+        else:
+            mask = pc.is_valid(col)
         lang, dt = self.lang, self.datatype
         for fname in self.chain:
             col, mask, flang, fdt = _V_FUNCS[fname](col, mask)
@@ -455,14 +461,23 @@ class _TypedProgram:
         """-> (result, validity mask). For 'bool' programs the result is
         a null-free effective-True mask; for 'number' programs validity
         excludes raised and null rows."""
+        v, valid, _r = self.evaluate_with_raises(batch, x=x)
+        return v, valid
+
+    def evaluate_with_raises(self, batch: pa.Table,
+                             x: Optional[pa.Array] = None):
+        """Like :meth:`evaluate` but also returns the per-row raise mask
+        (rows where the per-row kernel would hit an exception — which
+        the kernel escalates to a RESOURCE abort, not a property skip)."""
         n = batch.num_rows
         ctx = {"batch": batch, "x": x, "n": n}
         v, r = self._ev(self.tree.body, ctx)
         true_mask = pa.array([True] * n)
+        no_raise = pa.array([False] * n) if r is None else r
         if self.out_type == "bool":
             # effective truth: True AND did not raise anywhere inside
             eff = v if r is None else pc.and_(v, pc.invert(r))
-            return eff, true_mask
+            return eff, true_mask, no_raise
         if not isinstance(v, (pa.Array, pa.ChunkedArray)):
             # constant-only expression — broadcast to the batch length
             py = v.as_py() if isinstance(v, pa.Scalar) else v
@@ -470,7 +485,7 @@ class _TypedProgram:
         valid = pc.is_valid(v)
         if r is not None:
             valid = pc.and_(valid, pc.invert(r))
-        return v, valid
+        return v, valid, no_raise
 
     @staticmethod
     def _or_raises(a, b):
@@ -804,10 +819,18 @@ class ExprChainPlan:
 
     def evaluate(self, batch: pa.Table
                  ) -> tuple[pa.Array, pa.Array, Optional[str], Optional[str]]:
+        col, mask, lang, dt, _raises = self.evaluate_full(batch)
+        return col, mask, lang, dt
+
+    def evaluate_full(self, batch: pa.Table):
+        """-> (values, mask, lang, dt, raises): ``raises`` marks rows
+        where the per-row kernel's expr would throw — the kernel
+        escalates those to a RESOURCE abort (remaining properties
+        dropped), which ResourcePlan mirrors with an alive mask."""
         x = batch.column(self.column)
         if isinstance(x, pa.ChunkedArray):
             x = x.combine_chunks()
-        col, mask = self.program.evaluate(batch, x=x)
+        col, mask, raises = self.program.evaluate_with_raises(batch, x=x)
         lang, dt = self.lang, self.datatype
         for fname in self.chain:
             col, mask, flang, fdt = _V_FUNCS[fname](col, mask)
@@ -817,7 +840,7 @@ class ExprChainPlan:
                 dt = fdt
         if not pa.types.is_string(col.type):
             col = pc.cast(col, pa.string())
-        return col, mask, lang, dt
+        return col, mask, lang, dt, raises
 
 
 class FanOutPlan:
@@ -855,6 +878,57 @@ class FanOutPlan:
 
 
 _SPLIT_RE = re.compile(r"split\s*\(\s*'([^']*)'\s*\)$")
+
+
+def _finalize_strings(values: pa.Array, namespaces):
+    """Python-exact ``_finalize`` re-parse over an Arrow string array
+    (pattern.py semantics: a DATA value shaped like ``x@lang`` or
+    ``x^^<dt>`` becomes a language/datatype literal — reference
+    changelog #61/#62). The fast path touches nothing when no value
+    contains '@' or '^^' (the overwhelming majority); suspicious rows
+    get the kernel's own regexes row-by-row.
+
+    -> (values, lang_array_or_None, dt_array_or_None)."""
+    import numpy as np
+
+    from rdf_mapper_ray.kernel.pattern import _DT_RE as _PDT
+    from rdf_mapper_ray.kernel.pattern import _LANGSTRING_RE as _PLANG
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    sus = pc.and_(pc.is_valid(values),
+                  pc.or_(pc.match_substring(values, "@"),
+                         pc.match_substring(values, "^^")))
+    if not (pc.any(sus).as_py() or False):
+        return values, None, None
+    idx = np.flatnonzero(pc.fill_null(sus, False)
+                         .to_numpy(zero_copy_only=False))
+    vals = values.to_pylist()
+    langs: list = [None] * len(vals)
+    dts: list = [None] * len(vals)
+    for i in idx:
+        s = vals[i]
+        if "@" in s:
+            m = _PLANG.match(s)
+            if m:
+                vals[i] = m.group(1)
+                langs[i] = m.group(2)
+                continue
+        if "^^" in s:
+            m = _PDT.match(s)
+            if m:
+                vals[i] = m.group(1)
+                dts[i] = expand_curie(m.group(2), namespaces)
+    return (pa.array(vals, type=pa.string()),
+            pa.array(langs, type=pa.string()),
+            pa.array(dts, type=pa.string()))
+
+
+def _strip_suffixes(values: pa.Array, namespaces) -> pa.Array:
+    """URI-context variant: the kernel takes ``str(node.value)`` after
+    _finalize, so a lang/datatype shape in a dynamic URI value strips
+    to its body (trial: `<.../{id}-{s1}>` with s1='a@b' mints '…-a')."""
+    out, _lang, _dt = _finalize_strings(values, namespaces)
+    return out
 
 
 def _v_normalize(col: pa.Array) -> pa.Array:
@@ -972,11 +1046,19 @@ class LookupTailPlan:
         return self.inner.supports(schema)
 
     def evaluate(self, batch: pa.Table):
-        col, mask, _lang, _dt = self.inner.evaluate(batch)
+        out, mask, lang, dt, _raises = self.evaluate_full(batch)
+        return out, mask, lang, dt
+
+    def evaluate_full(self, batch: pa.Table):
+        col, mask, _lang, _dt, raises = self.inner.evaluate_full(batch)
         idx = pc.index_in(col, value_set=self.map_plan.keys)
         out = self.map_plan.values.take(idx)
         mask = pc.and_(mask, pc.is_valid(idx))
-        return out, mask, self.map_plan.lang, self.map_plan.datatype
+        # NB a map_by MISS also raises per-row (ValueError) — but that
+        # one is caught by the property loop (warn+skip), so only the
+        # inner expr raise aborts the resource
+        return (out, mask, self.map_plan.lang, self.map_plan.datatype,
+                raises)
 
 
 class AutoCVPlan:
@@ -1010,8 +1092,28 @@ class AutoCVPlan:
         return uris, mask, None, None
 
     def concept_quads(self, batch: pa.Table, graph: str) -> list[list]:
+        from rdf_mapper_ray.kernel.pattern import _DT_RE as _PDT
+        from rdf_mapper_ray.kernel.pattern import _LANGSTRING_RE as _PLANG
+
+        def _label_literal(label: str):
+            # the kernel's prefLabel goes through pattern _finalize, so
+            # a label shaped like 'a@b' becomes a lang literal
+            if "@" in label:
+                m = _PLANG.match(label)
+                if m:
+                    return m.group(1), m.group(2), None
+            if "^^" in label:
+                m = _PDT.match(label)
+                if m:
+                    return m.group(1), None, expand_curie(m.group(2), {})
+            return label, None, None
+
         labels = sorted(set(
             v for v in batch.column(self.column).to_pylist() if v))
+        if not labels:
+            # kernel mints the scheme lazily on the FIRST non-empty
+            # label — zero labels means zero scheme triples
+            return []
         rows = []
         scheme = self.scheme_id
         rows.append([graph, scheme, "uri", RDF_TYPE, "uri",
@@ -1025,8 +1127,9 @@ class AutoCVPlan:
             cid = f"{self.base}/{normalize(label)}"
             rows.append([graph, cid, "uri", RDF_TYPE, "uri",
                          _SKOS + "Concept", None, None])
+            lex, llang, ldt = _label_literal(label)
             rows.append([graph, cid, "uri", _SKOS + "prefLabel", "literal",
-                         label, None, None])
+                         lex, llang, ldt])
             rows.append([graph, cid, "uri", _SKOS + "inScheme", "uri",
                          scheme, None, None])
             rows.append([graph, cid, "uri", _SKOS + "topConceptOf", "uri",
@@ -1231,12 +1334,12 @@ class ResourcePlan:
     """Fully-vectorizable resource spec."""
 
     __slots__ = ("name", "graph", "subject", "type_uri", "props", "fallback",
-                 "filters")
+                 "filters", "namespaces")
 
     def __init__(self, name: str, graph: str, subject: ConcatPlan,
                  type_uri: Optional[str], props: list[PropPlan],
-                 fallback: str, filters: Optional[list[RowFilter]] = None
-                 ) -> None:
+                 fallback: str, filters: Optional[list[RowFilter]] = None,
+                 namespaces=None) -> None:
         self.name = name
         self.graph = graph
         self.subject = subject
@@ -1244,6 +1347,22 @@ class ResourcePlan:
         self.props = props
         self.fallback = fallback
         self.filters = filters or []
+        self.namespaces = namespaces or {}
+
+    def _finalize_literal(self, values, mask, lang, dt):
+        """Post-execute literal semantics shared by every literal plan:
+        with no declared suffix, DATA values shaped like ``x@lang`` /
+        ``x^^<dt>`` re-parse (pattern.py _finalize); with a declared
+        scalar suffix, empty values are suppressed (changelog #61/#62)."""
+        if lang is None and dt is None:
+            values, lang_a, dt_a = _finalize_strings(values,
+                                                     self.namespaces)
+            return values, mask, lang_a, dt_a
+        if not isinstance(lang, pa.Array) and not isinstance(dt, pa.Array) \
+                and isinstance(values, (pa.Array, pa.ChunkedArray)):
+            mask = pc.and_(mask, pc.fill_null(
+                pc.not_equal(values, ""), False))
+        return values, mask, lang, dt
 
     def supports(self, schema: pa.Schema) -> bool:
         names = set(schema.names)
@@ -1267,6 +1386,7 @@ class ResourcePlan:
         if n == 0:
             return []
         subj, subj_mask = self.subject.evaluate(batch, fallback=self.fallback)
+        subj = _strip_suffixes(subj, self.namespaces)
         out: list[pa.Table] = []
 
         def emit(pred: str, okind: str, values: pa.Array, mask: pa.Array,
@@ -1280,8 +1400,12 @@ class ResourcePlan:
             s, o = (values, ss) if inverse else (ss, values)
             if isinstance(dt, pa.ChunkedArray):
                 dt = dt.combine_chunks()
+            if isinstance(lang, pa.ChunkedArray):
+                lang = lang.combine_chunks()
             dt_col = dt if isinstance(dt, pa.Array) \
                 else pa.array([dt] * m, type=pa.string())
+            lang_col = lang if isinstance(lang, pa.Array) \
+                else pa.array([lang] * m, type=pa.string())
             tbl = pa.Table.from_arrays([
                 pa.array([self.graph] * m, type=pa.string()),
                 s,
@@ -1289,7 +1413,7 @@ class ResourcePlan:
                 pa.array([pred] * m, type=pa.string()),
                 pa.array([okind] * m, type=pa.string()),
                 o,
-                pa.array([lang] * m, type=pa.string()),
+                lang_col,
                 dt_col,
             ], schema=TRIPLE_SCHEMA)
             out.append(tbl.filter(full))
@@ -1298,39 +1422,77 @@ class ResourcePlan:
             emit(RDF_TYPE, "uri",
                  pa.array([self.type_uri] * n, type=pa.string()),
                  None, None, None, False)
+        # resource-abort parity: a raising expr (None in arithmetic,
+        # div-zero, float(None)…) is escalated by the kernel to a
+        # ValueError out of process_resource — triples emitted BEFORE
+        # the failing property stay, everything after is dropped. The
+        # alive mask reproduces that property-order semantics.
+        alive: Optional[pa.Array] = None
+
+        def and_alive(m):
+            if alive is None:
+                return m
+            return alive if m is None else pc.and_(m, alive)
+
         extra_rows: list[list] = []
         for p in self.props:
             if isinstance(p.value_plan, NestedPlan):
                 sub = p.value_plan.plan
                 child_subj, child_mask = sub.subject.evaluate(
                     batch, fallback=sub.fallback)
+                child_subj = _strip_suffixes(child_subj, self.namespaces)
                 # child requires/unless gate the link triple too: the
                 # kernel skips the property when process_resource returns
                 # None, so AND the child's row filters (computed on the
                 # parent batch) into the link mask
                 for f in sub.filters:
                     child_mask = pc.and_(child_mask, f.mask(batch))
-                emit(p.predicate, "uri", child_subj, child_mask, None, None,
-                     p.inverse)
-                out.extend(sub.evaluate(batch))
+                emit(p.predicate, "uri", child_subj,
+                     and_alive(child_mask), None, None, p.inverse)
+                out.extend(sub.evaluate(
+                    batch if alive is None else batch.filter(alive)))
                 continue
             if isinstance(p.value_plan, FanOutPlan):
                 flat, mask, parents, lang, dt = p.value_plan.evaluate(batch)
+                flat, mask, lang, dt = self._finalize_literal(
+                    flat, mask, lang, dt)
+                smask = subj_mask if alive is None \
+                    else pc.and_(subj_mask, alive)
                 emit(p.predicate, p.object_kind, flat, mask, lang, dt,
                      p.inverse, subjects=subj.take(parents),
-                     smask=subj_mask.take(parents))
+                     smask=smask.take(parents))
                 continue
-            if isinstance(p.value_plan, ConcatPlan) and p.object_kind == "uri":
+            raises = None
+            if isinstance(p.value_plan, (ExprChainPlan, LookupTailPlan)):
+                values, mask, lang, dt, raises = \
+                    p.value_plan.evaluate_full(batch)
+                if p.object_kind == "uri":
+                    values = _strip_suffixes(values, self.namespaces)
+                else:
+                    values, mask, lang, dt = self._finalize_literal(
+                        values, mask, lang, dt)
+            elif isinstance(p.value_plan, ConcatPlan) \
+                    and p.object_kind == "uri":
                 values, mask = p.value_plan.evaluate(batch,
                                                      fallback=self.fallback)
+                values = _strip_suffixes(values, self.namespaces)
                 lang = dt = None
             else:
                 values, mask, lang, dt = _eval_value(p.value_plan, batch)
-            emit(p.predicate, p.object_kind, values, mask, lang, dt,
-                 p.inverse)
+                if p.object_kind == "uri":
+                    values = _strip_suffixes(values, self.namespaces)
+                else:
+                    values, mask, lang, dt = self._finalize_literal(
+                        values, mask, lang, dt)
+            emit(p.predicate, p.object_kind, values, and_alive(mask),
+                 lang, dt, p.inverse)
+            if raises is not None and (pc.any(raises).as_py() or False):
+                alive = pc.invert(raises) if alive is None \
+                    else pc.and_(alive, pc.invert(raises))
             if isinstance(p.value_plan, AutoCVPlan):
-                extra_rows.extend(p.value_plan.concept_quads(batch,
-                                                             self.graph))
+                extra_rows.extend(p.value_plan.concept_quads(
+                    batch if alive is None else batch.filter(alive),
+                    self.graph))
         if extra_rows:
             cols = list(zip(*extra_rows))
             out.append(pa.Table.from_arrays(
@@ -1394,6 +1556,12 @@ def compile_resource(rs: ResourceSpec, spec: MapperSpec
                 sub = compile_resource(ResourceSpec.from_dict(template), spec)
                 if sub is None:
                     raise NotVectorizable("nested spec not vectorizable")
+                if any(isinstance(sp.value_plan,
+                                  (ExprChainPlan, LookupTailPlan))
+                       for sp in sub.props):
+                    # a raising child expr aborts the CHILD mid-way and
+                    # skips only the parent link — per-row territory
+                    raise NotVectorizable("expr in nested spec")
                 inverse = prop.startswith("^")
                 pname = prop[1:] if inverse else prop
                 pplan = _compile_uri(pname, spec.namespaces)
@@ -1423,7 +1591,8 @@ def compile_resource(rs: ResourceSpec, spec: MapperSpec
             raise NotVectorizable("auto_declare")
         fallback = f"{spec.context.get('$datasetBase')}/data/{rs.name}"
         return ResourcePlan(rs.name, graph, subject, type_uri, props,
-                            fallback, filters)
+                            fallback, filters,
+                            namespaces=dict(spec.namespaces))
     except NotVectorizable:
         return None
 

@@ -609,3 +609,120 @@ def test_expr_compiler_random_parity():
                 assert vlist[i] == float(want), (expr, row, vlist[i], want)
         checked += 1
     assert checked > 60
+
+
+def test_random_spec_parity():
+    """Spec-level fuzz: random combinations of vectorizable features —
+    concat URIs, function chains, suffixes, requires/unless, guards,
+    expr, asBoolean(args), map_by, autoCV, inverse, nested specs — over
+    null-bearing data must produce byte-identical triples on the fast
+    and per-row paths (whichever path compiles)."""
+    import random
+
+    rng = random.Random(77)
+
+    def rand_value_template():
+        choices = [
+            "{s1}",
+            "{s1}-{s2}",
+            "<http://e/x/{s1}>",
+            "{n1 | asInt}",
+            "{f1 | asDecimal}",
+            "{s1 | toLower}",
+            "{s1 | trim | toUpper}",
+            "{s2 | slug}",
+            "{s1 | sha256}",
+            "{s1 | length}",
+            "{s1}@en",
+            "{s1}^^<ex:T>",
+            "{s2 | splitComma}",
+            "{flag | asBoolean}",
+            "{flag | asBoolean('y','maybe')}",
+            "{f1 | expr('x * 2 + 1') | asDecimal}",
+            "{f1 | expr('x / state.get(\"f2\")') | asDecimal}",
+            "{k | map_by('m')}",
+            "{s1 | autoCV('cv')}",
+        ]
+        return rng.choice(choices)
+
+    def rand_guard():
+        return rng.choice([
+            None, None,
+            "f1 > 2", "flag == 'y'", "flag != 'n'",
+            "f1 + f2 > 3 and flag == 'y'",
+            "not (f1 < 1)",
+            "float(n1) >= 2 or f2 == 0.5",
+        ])
+
+    def rand_spec():
+        props = {"@id": rng.choice(["<http://e/r/{id}>",
+                                    "<http://e/r/{id}-{s1}>"])}
+        if rng.random() < 0.5:
+            props["@type"] = "<ex:Thing>"
+        for i in range(rng.randint(1, 4)):
+            key = f"<ex:p{i}>" if rng.random() < 0.9 else f"^<ex:q{i}>"
+            if key.startswith("^"):
+                props[key] = "<http://e/o/{s1}>"
+            else:
+                props[key] = rand_value_template()
+        if rng.random() < 0.25:
+            props["<ex:child>"] = {
+                "name": "c",
+                "requires": {"flag": "y"} if rng.random() < 0.5 else None,
+                "properties": {"@id": "<http://e/c/{id}>",
+                               "<ex:v>": "{s1}"},
+            }
+            if props["<ex:child>"]["requires"] is None:
+                del props["<ex:child>"]["requires"]
+        spec = {"globals": {"$datasetID": "t"},
+                "namespaces": {"ex": "http://e/"},
+                "mappings": {"m": {"a": "<ex:A>", "b": "<ex:B>"}},
+                "resources": [{"name": "r", "properties": props}]}
+        g = rand_guard()
+        if g:
+            spec["resources"][0]["guard"] = g
+        if rng.random() < 0.3:
+            spec["resources"][0]["requires"] = {"flag": ["y", "n"]}
+        if rng.random() < 0.3:
+            spec["resources"][0]["unless"] = {"status": "closed"}
+        return spec
+
+    def rand_table(n=25):
+        return pa.table({
+            "id": [str(i) for i in range(n)],
+            "s1": [rng.choice([None, "Ab c", "x", "Ünïcode", "a@b",
+                               "q^^r", ""]) for _ in range(n)],
+            "s2": [rng.choice([None, "a,b,c", "one", " sp "])
+                   for _ in range(n)],
+            "n1": pa.array([rng.choice([None, 0, 3, -7])
+                            for _ in range(n)], type=pa.int64()),
+            "f1": pa.array([rng.choice([None, 0.0, 2.5, -1.0])
+                            for _ in range(n)], type=pa.float64()),
+            "f2": pa.array([rng.choice([None, 0.0, 0.5, 4.0])
+                            for _ in range(n)], type=pa.float64()),
+            "flag": [rng.choice([None, "y", "n", "maybe"])
+                     for _ in range(n)],
+            "k": [rng.choice([None, "a", "b", "zz"]) for _ in range(n)],
+            "status": [rng.choice([None, "open", "closed", ""])
+                       for _ in range(n)],
+        })
+
+    from rdf_mapper_ray.engine.vectorized import compile_spec
+    vectorized_seen = 0
+    for trial in range(200):
+        spec_dict = rand_spec()
+        tbl = rand_table()
+        spec = MapperSpec(spec_dict, auto_declare=False)
+        plans = compile_spec(spec)
+        fast = ExtractTriples(spec.ship_state(), emit_metrics=False,
+                              vectorize=True)
+        slow = ExtractTriples(spec.ship_state(), emit_metrics=False,
+                              vectorize=False)
+        k_fast, k_slow = _keys(fast(tbl)), _keys(slow(tbl))
+        assert k_fast == k_slow, (
+            f"trial {trial} spec={spec_dict} "
+            f"missing={list(k_slow - k_fast)[:3]} "
+            f"extra={list(k_fast - k_slow)[:3]}")
+        if plans:
+            vectorized_seen += 1
+    assert vectorized_seen > 70     # the fuzz actually exercises the fast path

@@ -692,7 +692,8 @@ def test_random_spec_parity():
             "id": [str(i) for i in range(n)],
             "s1": [rng.choice([None, "Ab c", "x", "Ünïcode", "a@b",
                                "q^^r", ""]) for _ in range(n)],
-            "s2": [rng.choice([None, "a,b,c", "one", " sp "])
+            "s2": [rng.choice([None, "a,b,c", "one", " sp ",
+                               "x@en,plain", "v^^<ex:T>,w"])
                    for _ in range(n)],
             "n1": pa.array([rng.choice([None, 0, 3, -7])
                             for _ in range(n)], type=pa.int64()),

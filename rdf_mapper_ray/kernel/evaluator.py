@@ -434,10 +434,20 @@ def process_property(resource: Any, prop: str, template: Any,
 
     prop_spec = None
     if prop.startswith(":"):
-        prop_spec = state.spec.property_specs.get(prop[1:])
-        if prop_spec is None:
-            raise ValueError(f"could not find property specification {prop}")
-        (prop, template) = prop_spec.prop_value_template(template)
+        # the rewrite is deterministic per (propspec, template) — memoize
+        # it per spec instead of re-deriving every row
+        cache = state.spec.propspec_rewrites
+        key = (prop, template if isinstance(template, str)
+               else id(template))
+        hit = cache.get(key)
+        if hit is None:
+            prop_spec = state.spec.property_specs.get(prop[1:])
+            if prop_spec is None:
+                raise ValueError(
+                    f"could not find property specification {prop}")
+            hit = (prop_spec, prop_spec.prop_value_template(template))
+            cache[key] = hit
+        prop_spec, (prop, template) = hit
         if prop_spec.cls:
             state.add(resource, Iri(RDF_TYPE),
                       Iri(uri_expand(prop_spec.cls, state)[0]))

@@ -206,6 +206,9 @@ class MapperSpec:
         # row (Pydantic validation per row was the hot path for
         # nested-template specs)
         self.nested_specs: dict[int, Any] = {}
+        # memoized propspec rewrites: (":name", template) → (PropSpec,
+        # (prop, rewritten_template))
+        self.propspec_rewrites: dict[tuple, Any] = {}
         if not self.context.get("$datasetBase"):
             # NB: f-string of a missing $datasetID yields the literal "None",
             # matching the reference (mapper_spec.py:113-115)

@@ -54,19 +54,6 @@ class UnionFind:
         return {x: self.find(x) for x in list(self.parent)}
 
 
-def collect_sameas_edges(ds: "ray.data.Dataset",
-                         predicate: str = OWL_SAMEAS) -> list[tuple[str, str]]:
-    def _edges(batch: pa.Table) -> pa.Table:
-        mask = pc.and_(pc.equal(batch.column("predicate"), predicate),
-                       pc.equal(batch.column("object_kind"), "uri"))
-        sel = batch.filter(mask)
-        return pa.Table.from_pydict({"a": sel.column("subject"),
-                                     "b": sel.column("object_value")})
-    edge_ds = ds.map_batches(_edges, batch_format="pyarrow")
-    df = edge_ds.to_pandas()
-    return list(df.itertuples(index=False, name=None))
-
-
 class RewriteNodes:
     """Broadcast-map rewrite of subject/object URIs to representatives."""
 

@@ -1,15 +1,15 @@
 """Event sessionization — a windowed operator Ray Data has no primitive
-for, composed per SURVEY.md's custom-operator rule (a): groupby +
-map_groups with an explicit partitioning assumption.
+for, composed per SURVEY.md's custom-operator rule (a): a pid-routed
+groupby with an explicit partitioning assumption.
 
 Partitioning: all events of one user must co-locate (the session
-assignment needs the user's full ordered timeline), so the one shuffle
-is ``groupby(user)``. Session math inside the group is vectorised
-pandas (sort → diff → cumsum), not a Python loop. Skew note: a
-pathological single user with billions of events cannot be salted here
-(sessions are inherently sequential per user); the mitigation at scale
-is time-range pre-splitting with boundary stitching, documented —
-not needed at these cardinalities.
+assignment needs the user's full ordered timeline); complete users
+hash into P partitions and session math runs vectorised across ALL of
+a partition's users at once (one sort + diff + per-user cumsum — no
+Python call per user). Skew: the pathological single user whose
+timeline outgrows a task has a real mitigation in
+:func:`sessionize_sharded` — time-range pre-split with boundary
+stitching, routed by (user, shard).
 """
 
 from __future__ import annotations

@@ -1,0 +1,110 @@
+"""Randomized-data oracle checks: the oracle-exactness of the aggregate
+operators must hold on adversarial random data, not just the driver's
+fixture shapes — random timestamps (sub-second, pre/post-midnight
+boundaries), random 2-decimal values, random token soup."""
+
+import datetime
+import random
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _cmp(df, o):
+    df = df.reindex(sorted(df.columns), axis=1) \
+        .sort_values(sorted(df.columns)).reset_index(drop=True)
+    o = o.reindex(sorted(o.columns), axis=1) \
+        .sort_values(sorted(o.columns)).reset_index(drop=True)
+    assert df.shape == o.shape, (df.shape, o.shape)
+    for c in df.columns:
+        assert (df[c] == o[c]).all(), (c, df[c].head(), o[c].head())
+
+
+def _events_table(rng, n=4000):
+    base = datetime.datetime(2024, 3, 1)
+    return pa.table({
+        "ts": pa.array([base + datetime.timedelta(
+            seconds=rng.uniform(0, 14 * 86400)) for _ in range(n)],
+            type=pa.timestamp("us")),
+        "event_type": pa.array([rng.choice("abcde") for _ in range(n)]),
+        "value": pa.array([round(rng.uniform(0, 500), 2)
+                           for _ in range(n)], type=pa.float64()),
+        "user_id": pa.array([rng.randrange(300) for _ in range(n)],
+                            type=pa.int64()),
+    })
+
+
+@pytest.fixture()
+def con():
+    return duckdb.connect()
+
+
+def test_tumbling_random_events(ray_session, con):
+    import ray.data
+    from rdf_mapper_ray.ops.windows import (tumbling_oracle_sql,
+                                            tumbling_window_stats)
+    rng = random.Random(101)
+    tbl = _events_table(rng)
+    con.register("events", tbl)
+    out = tumbling_window_stats(
+        ray.data.from_arrow(tbl).repartition(8),
+        window_secs=3600).to_pandas()
+    o = con.execute(tumbling_oracle_sql(3600)).fetchdf()
+    _cmp(out, o)
+
+
+def test_sliding_random_events(ray_session, con):
+    import ray.data
+    from rdf_mapper_ray.ops.windows import (sliding_oracle_sql,
+                                            sliding_window_stats)
+    rng = random.Random(102)
+    tbl = _events_table(rng)
+    con.register("events", tbl)
+    out = sliding_window_stats(
+        ray.data.from_arrow(tbl).repartition(8),
+        window_secs=3600, slide_secs=900).to_pandas()
+    o = con.execute(sliding_oracle_sql(3600, 900)).fetchdf()
+    _cmp(out, o)
+
+
+def test_quantiles_random_events(ray_session, con):
+    import ray.data
+    from rdf_mapper_ray.ops.quantiles import (quantiles_by,
+                                              quantiles_oracle_sql)
+    rng = random.Random(103)
+    tbl = _events_table(rng)
+    con.register("events", tbl)
+    out = quantiles_by(ray.data.from_arrow(tbl).repartition(8)).to_pandas()
+    o = con.execute(quantiles_oracle_sql()).fetchdf()
+    _cmp(out, o)
+
+
+def test_distinct_count_random_events(ray_session, con):
+    import ray.data
+    from rdf_mapper_ray.ops.distinct import (DISTINCT_USERS_ORACLE_SQL,
+                                             distinct_count)
+    rng = random.Random(104)
+    tbl = _events_table(rng)
+    con.register("events", tbl)
+    out = distinct_count(ray.data.from_arrow(tbl).repartition(8),
+                         key_col="user_id",
+                         by_col="event_type").to_pandas()
+    o = con.execute(DISTINCT_USERS_ORACLE_SQL).fetchdf()
+    _cmp(out, o)
+
+
+def test_topk_random_docs(ray_session, con):
+    import ray.data
+    from rdf_mapper_ray.ops.topk import top_k_oracle_sql, top_k_tokens
+    rng = random.Random(105)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = [" ".join(rng.choices(vocab, k=rng.randrange(0, 60)))
+            for _ in range(1500)]
+    tbl = pa.table({"text": pa.array(docs)})
+    con.register("documents", tbl)
+    out = top_k_tokens(ray.data.from_arrow(tbl).repartition(8),
+                       k=50).to_pandas()
+    o = con.execute(top_k_oracle_sql(50)).fetchdf()
+    _cmp(out, o)

@@ -108,3 +108,64 @@ def test_topk_random_docs(ray_session, con):
                        k=50).to_pandas()
     o = con.execute(top_k_oracle_sql(50)).fetchdf()
     _cmp(out, o)
+
+
+def test_asof_random_events(ray_session, con):
+    import ray.data
+    from rdf_mapper_ray.ops.joins import asof_join_prior
+    rng = random.Random(106)
+    n = 3000
+    base = datetime.datetime(2024, 3, 1)
+    tbl = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "user_id": pa.array([rng.randrange(120) for _ in range(n)],
+                            type=pa.int64()),
+        "ts": pa.array([base + datetime.timedelta(
+            seconds=rng.uniform(0, 86400)) for _ in range(n)],
+            type=pa.timestamp("us")),
+        "event_type": pa.array([rng.choice(["purchase", "view", "click"])
+                                for _ in range(n)]),
+    })
+    con.register("events", tbl)
+    left = ray.data.from_arrow(tbl.drop_columns(["event_type"])) \
+        .repartition(6)
+    right = ray.data.from_arrow(
+        tbl.filter(pa.compute.equal(tbl.column("event_type"),
+                                    "purchase"))
+        .drop_columns(["event_type"])).repartition(4)
+    out = asof_join_prior(left, right, by="user_id", on="ts",
+                          left_id="event_id", right_id="event_id",
+                          out_right="prior_purchase_id").to_pandas()
+    o = con.execute("""
+        SELECT l.event_id AS event_id, r.event_id AS prior_purchase_id
+        FROM events l
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts > r.ts
+    """).fetchdf()
+    _cmp(out, o)
+
+
+def test_ngram_exact_random_docs(ray_session, con):
+    import ray.data
+    from rdf_mapper_ray.ops.dedup import (NGRAM_JACCARD_ORACLE_SQL,
+                                          ngram_jaccard_exact)
+    rng = random.Random(107)
+    vocab = [f"t{i}" for i in range(80)]
+    docs = []
+    for i in range(200):
+        docs.append(" ".join(rng.choices(vocab, k=rng.randrange(0, 30))))
+    # plant near-dupes
+    for i in range(12):
+        words = docs[i].split()
+        if len(words) > 6:
+            words[len(words) // 2] = "zzz"
+        docs.append(" ".join(words))
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs),
+    })
+    con.register("documents", tbl)
+    out = ngram_jaccard_exact(ray.data.from_arrow(tbl).repartition(6),
+                              threshold=0.5).to_pandas()
+    o = con.execute(NGRAM_JACCARD_ORACLE_SQL).fetchdf()
+    _cmp(out, o)

@@ -132,7 +132,10 @@ def distinct_triples_pointer(ds: "ray.data.Dataset",  # noqa: F821
 
     if num_partitions is None:
         num_partitions = default_num_partitions()
-    mat = ds.map_batches(local_unique, batch_format="pyarrow").materialize()
+    # normalize schemas ONCE here: gather tasks then take() straight
+    # from the stored blocks without per-touch column rebuilds
+    mat = ds.map_batches(lambda b: local_unique(normalize_schema(b)),
+                         batch_format="pyarrow").materialize()
     try:
         refs = list(mat.get_internal_block_refs())
     except AttributeError:
@@ -176,14 +179,27 @@ def distinct_triples_pointer(ds: "ray.data.Dataset",  # noqa: F821
                                                  batch_format="pandas")
     refs_handle = _ray.put(refs)
 
-    def gather(g: pd.DataFrame) -> pa.Table:
+    def gather(batch: pa.Table) -> pa.Table:
+        # winners are globally unique row pointers, so ANY task may
+        # gather ANY subset — no second shuffle to co-locate per block
+        # (block fetches are shared-memory on the owning node)
         blocks = _ray.get(refs_handle)
-        blk = _ray.get(blocks[int(g["bid"].iloc[0])])
-        tbl = blk if isinstance(blk, pa.Table) else pa.Table.from_pandas(blk)
-        rows = np.sort(g["row"].to_numpy())
-        return normalize_schema(tbl).take(pa.array(rows, type=pa.int64()))
+        df = pd.DataFrame({
+            "bid": batch.column("bid").to_numpy(zero_copy_only=False),
+            "row": batch.column("row").to_numpy(zero_copy_only=False),
+        }).sort_values(["bid", "row"])
+        parts = []
+        for bid, grp in df.groupby("bid", sort=False):
+            blk = _ray.get(blocks[int(bid)])
+            tbl = blk if isinstance(blk, pa.Table) \
+                else pa.Table.from_pandas(blk)
+            parts.append(tbl.take(
+                pa.array(grp["row"].to_numpy(), type=pa.int64())))
+        return pa.concat_tables(parts) if parts else \
+            normalize_schema(pa.Table.from_pydict(
+                {c: [] for c in COLUMNS}))
 
-    return winners.groupby("bid").map_groups(gather, batch_format="pandas")
+    return winners.map_batches(gather, batch_format="pyarrow")
 
 
 def distinct_triples(ds: "ray.data.Dataset",  # noqa: F821

@@ -204,25 +204,38 @@ class BandEmitter:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
-        sigs = batch.column("signature").to_pylist()
-        out_band, out_bucket, out_id = [], [], []
-        for i, sig in zip(ids, sigs):
-            n = len(sig)
-            rows_per_band = n // self.num_bands
-            arr = np.asarray(sig, dtype=np.uint64)
-            for band in range(self.num_bands):
-                chunk = arr[band * rows_per_band:(band + 1) * rows_per_band]
-                bucket = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(),
-                                    digest_size=8).digest(), "little")
-                out_band.append(band)
-                out_bucket.append(bucket & 0x7FFFFFFFFFFFFFFF)
-                out_id.append(i)
+        ids = batch.column(self.id_col)
+        col = batch.column("signature")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_docs = len(col)
+        if n_docs == 0:
+            return pa.Table.from_pydict({
+                "band": pa.array([], type=pa.int32()),
+                "bucket": pa.array([], type=pa.int64()),
+                self.id_col: pa.array([], type=ids.type)})
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        num_perm = len(flat) // n_docs
+        rpb = num_perm // self.num_bands
+        used = self.num_bands * rpb
+        arr = flat.reshape(n_docs, num_perm)[:, :used] \
+            .reshape(n_docs, self.num_bands, rpb)
+        # vectorized polynomial mix per band — collisions only ADD
+        # candidate pairs and the signature-verify stage rejects them,
+        # so hash quality costs work, never correctness
+        mix = arr[:, :, 0].copy()
+        for j in range(1, rpb):
+            mix = (mix * np.uint64(0x9E3779B97F4A7C15)) ^ arr[:, :, j]
+        mix = (mix ^ (mix >> np.uint64(33))) * np.uint64(0xC2B2AE3D27D4EB4F)
+        buckets = (mix & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        bands = np.tile(np.arange(self.num_bands, dtype=np.int32),
+                        n_docs)
+        id_np = ids.to_numpy(zero_copy_only=False)
         return pa.Table.from_pydict({
-            "band": pa.array(out_band, type=pa.int32()),
-            "bucket": pa.array(out_bucket, type=pa.int64()),
-            self.id_col: pa.array(out_id),
+            "band": pa.array(bands),
+            "bucket": pa.array(buckets.ravel()),
+            self.id_col: pa.array(np.repeat(id_np, self.num_bands)),
         })
 
 

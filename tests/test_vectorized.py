@@ -636,6 +636,7 @@ def test_random_spec_parity():
             "{s1}@en",
             "{s1}^^<ex:T>",
             "{s2 | splitComma}",
+            "{s2 | splitComma}@en",
             "{flag | asBoolean}",
             "{flag | asBoolean('y','maybe')}",
             "{f1 | expr('x * 2 + 1') | asDecimal}",

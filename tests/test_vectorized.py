@@ -675,10 +675,19 @@ def test_random_spec_parity():
             }
             if props["<ex:child>"]["requires"] is None:
                 del props["<ex:child>"]["requires"]
+        resources = [{"name": "r", "properties": props}]
+        if rng.random() < 0.3:
+            # second resource sharing columns — cross-resource dedup
+            # candidates and independent gating
+            resources.append({"name": "r2",
+                              "guard": rand_guard() or "flag != 'n'",
+                              "properties": {
+                                  "@id": "<http://e/z/{id}>",
+                                  "<ex:w>": rand_value_template()}})
         spec = {"globals": {"$datasetID": "t"},
                 "namespaces": {"ex": "http://e/"},
                 "mappings": {"m": {"a": "<ex:A>", "b": "<ex:B>"}},
-                "resources": [{"name": "r", "properties": props}]}
+                "resources": resources}
         g = rand_guard()
         if g:
             spec["resources"][0]["guard"] = g

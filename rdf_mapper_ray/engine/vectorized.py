@@ -46,6 +46,20 @@ _URI_ABS_RE = re.compile(r"(https?|file|urn)://.*")
 _SPECIAL_REFS = {"row", "uuid", "parent", "_"}
 
 
+def _as_bool_mask(mask):
+    """Coerce a null-typed mask (from an all-null input column) to bool_;
+    pc.and_ has no (null, bool) kernel."""
+    if isinstance(mask, (pa.Array, pa.ChunkedArray)) \
+            and pa.types.is_null(mask.type):
+        return pc.fill_null(pc.cast(mask, pa.bool_()), False)
+    return mask
+
+
+def _and_masks(a, b):
+    """pc.and_ tolerant of null-typed operands."""
+    return pc.and_(_as_bool_mask(a), _as_bool_mask(b))
+
+
 class NotVectorizable(Exception):
     pass
 
@@ -1360,8 +1374,13 @@ class ResourcePlan:
             return values, mask, lang_a, dt_a
         if not isinstance(lang, pa.Array) and not isinstance(dt, pa.Array) \
                 and isinstance(values, (pa.Array, pa.ChunkedArray)):
-            mask = pc.and_(mask, pc.fill_null(
-                pc.not_equal(values, ""), False))
+            # An all-null input column yields null-typed arrays; pc.and_
+            # has no (null, bool) kernel, so coerce both sides to bool_.
+            nonempty = pc.fill_null(
+                pc.cast(pc.not_equal(values, ""), pa.bool_()), False)
+            if pa.types.is_null(mask.type):
+                mask = pc.fill_null(pc.cast(mask, pa.bool_()), False)
+            mask = _and_masks(mask, nonempty)
         return values, mask, lang, dt
 
     def supports(self, schema: pa.Schema) -> bool:
@@ -1396,7 +1415,8 @@ class ResourcePlan:
             ss = subjects if subjects is not None else subj
             sm = smask if smask is not None else subj_mask
             m = len(ss)
-            full = pc.and_(sm, mask) if mask is not None else sm
+            full = _and_masks(sm, mask) if mask is not None \
+                else _as_bool_mask(sm)
             s, o = (values, ss) if inverse else (ss, values)
             if isinstance(dt, pa.ChunkedArray):
                 dt = dt.combine_chunks()
@@ -1432,7 +1452,7 @@ class ResourcePlan:
         def and_alive(m):
             if alive is None:
                 return m
-            return alive if m is None else pc.and_(m, alive)
+            return alive if m is None else _and_masks(m, alive)
 
         extra_rows: list[list] = []
         for p in self.props:
@@ -1446,7 +1466,7 @@ class ResourcePlan:
                 # None, so AND the child's row filters (computed on the
                 # parent batch) into the link mask
                 for f in sub.filters:
-                    child_mask = pc.and_(child_mask, f.mask(batch))
+                    child_mask = _and_masks(child_mask, f.mask(batch))
                 emit(p.predicate, "uri", child_subj,
                      and_alive(child_mask), None, None, p.inverse)
                 out.extend(sub.evaluate(
@@ -1457,7 +1477,7 @@ class ResourcePlan:
                 flat, mask, lang, dt = self._finalize_literal(
                     flat, mask, lang, dt)
                 smask = subj_mask if alive is None \
-                    else pc.and_(subj_mask, alive)
+                    else _and_masks(subj_mask, alive)
                 emit(p.predicate, p.object_kind, flat, mask, lang, dt,
                      p.inverse, subjects=subj.take(parents),
                      smask=smask.take(parents))
@@ -1488,7 +1508,7 @@ class ResourcePlan:
                  lang, dt, p.inverse)
             if raises is not None and (pc.any(raises).as_py() or False):
                 alive = pc.invert(raises) if alive is None \
-                    else pc.and_(alive, pc.invert(raises))
+                    else _and_masks(alive, pc.invert(raises))
             if isinstance(p.value_plan, AutoCVPlan):
                 extra_rows.extend(p.value_plan.concept_quads(
                     batch if alive is None else batch.filter(alive),

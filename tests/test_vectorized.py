@@ -737,3 +737,27 @@ def test_random_spec_parity():
         if plans:
             vectorized_seen += 1
     assert vectorized_seen > 70     # the fuzz actually exercises the fast path
+
+
+def test_all_null_column_with_suffix():
+    """Regression (r2 fuzz f255385): an all-null input column under a
+    declared @lang / ^^dt suffix produced a null-typed Arrow mask and
+    crashed pc.and_ in _finalize_literal / emit. The fast path must
+    skip those rows exactly like the kernel, not crash."""
+    spec = {
+        "globals": {"$datasetID": "t"},
+        "namespaces": {"ex": "http://e/"},
+        "resources": [{"name": "r",
+                       "properties": {
+                           "@id": "<http://e/r/{id}>",
+                           "<ex:a>": "{s1}@en",
+                           "<ex:b>": "{s1}^^<ex:T>",
+                           "<ex:c>": "{s1}",
+                           "<ex:d>": "{id}-{s1}",
+                       }}],
+    }
+    tbl = pa.table({
+        "id": ["1", "2", "3"],
+        "s1": pa.array([None, None, None], type=pa.null()),
+    })
+    _run_both(spec, tbl, {"r"})

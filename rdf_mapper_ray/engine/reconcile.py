@@ -252,15 +252,13 @@ def resolve_mentions(triples: "ray.data.Dataset",
     # small (distinct mentions only) — pin so the two consumers below
     # don't recompute the resolution pass
     resolved = resolved.materialize()
-    res_rows = resolved.filter(
-        lambda r: r["graph"] == RESOLUTION_GRAPH)
+    res_rows = resolved.filter(expr=f"graph == '{RESOLUTION_GRAPH}'")
     mapping = {}
     for b in res_rows.iter_batches(batch_format="pyarrow"):
         for mnt, uri in zip(b.column("subject").to_pylist(),
                             b.column("object_value").to_pylist()):
             mapping[mnt] = uri
-    proxy_triples = resolved.filter(
-        lambda r: r["graph"] != RESOLUTION_GRAPH)
+    proxy_triples = resolved.filter(expr=f"graph != '{RESOLUTION_GRAPH}'")
     mapping_ref = ray.put(mapping)
     rewritten = triples.map_batches(RewriteMentions(mapping_ref),
                                     batch_format="pandas")

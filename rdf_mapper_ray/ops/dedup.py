@@ -86,8 +86,13 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     num_partitions = _num_partitions(ds.count())
 
     def add_pid(batch: pa.Table) -> pa.Table:
-        pid = [int(h[:8], 16) % num_partitions
-               for h in batch.column(hash_col).to_pylist()]
+        # vectorized digest→partition hash (C speed, same pattern as
+        # engine/dedup.py); any deterministic function of the digest
+        # works, co-location per digest is all that matters
+        h = pd.util.hash_pandas_object(
+            pd.Series(batch.column(hash_col).to_pylist()),
+            index=False).to_numpy()
+        pid = (h % np.uint64(num_partitions)).astype(np.int64)
         return batch.append_column("pid", pa.array(pid, type=pa.int64()))
 
     def min_per_hash(group: pd.DataFrame) -> pd.DataFrame:
@@ -270,14 +275,19 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 128,
                       num_bands: int = 32, shingle_k: int = 5,
                       threshold: float = 0.5,
-                      seed: int = 42) -> "ray.data.Dataset":
+                      seed: int = 42,
+                      broadcast_max_docs: int = 100_000,
+                      ) -> "ray.data.Dataset":
     """Candidate near-duplicate pairs (left_id < right_id, est_jaccard ≥
     threshold by signature agreement).
 
     sketch → LIGHT band fan-out (24-byte rows, never signatures) →
     groupby(band,bucket) pair mining → global pair dedup → signature
-    verify against signatures recomputed for the candidate ids only
-    (broadcast semi-join — candidates are a vanishing fraction).
+    verify via the shared _verify_pairs venue dispatch: below
+    ``broadcast_max_docs`` candidate docs, signatures are recomputed for
+    the candidate ids only (broadcast semi-join); above it, signature
+    rows and pair rows meet in a pid-routed co-partition join — nothing
+    pair-count-sized ever reaches the driver at web scale.
     """
     num_partitions = _num_partitions(ds.count())
     sigs = ds.map_batches(
@@ -303,9 +313,11 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                     .drop(columns=["pair_pid"])
 
     def add_pair_pid(batch: pa.Table) -> pa.Table:
-        pid = [(int(l) * 1000003 + int(r)) % num_partitions
-               for l, r in zip(batch.column("left_id").to_pylist(),
-                               batch.column("right_id").to_pylist())]
+        l = batch.column("left_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        r = batch.column("right_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pid = (l * np.int64(1000003) + r) % np.int64(num_partitions)
         return batch.append_column("pair_pid", pa.array(pid, type=pa.int64()))
 
     cand = (cand.map_batches(add_pair_pid, batch_format="pyarrow")
@@ -318,53 +330,46 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
             "right_id": pa.array([], type=pa.int64()),
             "est_jaccard": pa.array([], type=pa.float64())}))
 
-    # verify: recompute signatures for candidate ids only, broadcast,
-    # and score est_jaccard per pair
-    wanted: set = set()
-    for b in cand.iter_batches(batch_format="pyarrow"):
-        wanted.update(int(v) for v in b.column("left_id").to_pylist())
-        wanted.update(int(v) for v in b.column("right_id").to_pylist())
-    wref = ray.put(wanted)
+    # verify venue dispatch (shared with the Jaccard ops): recompute
+    # signatures for the candidate ids only (broadcast semi-join) below
+    # the doc threshold; above it, recompute for ALL docs as a streaming
+    # pass and meet the pairs in a pid-routed co-partition join.
+    n_pairs = cand.count()
     sketcher = MinHashSignatures(text_col, id_col, num_perm, shingle_k,
                                  seed)
 
-    def cand_sigs(batch: pa.Table) -> pa.Table:
-        w = ray.get(wref)
-        keep = [i for i, v in enumerate(batch.column(id_col).to_pylist())
-                if int(v) in w]
-        if not keep:
-            return pa.Table.from_pydict({
-                id_col: pa.array([], type=batch.column(id_col).type),
-                "signature": pa.array([], type=pa.list_(pa.uint64()))})
-        return sketcher(batch.take(pa.array(keep, type=pa.int64())))
-
-    sig_map: dict[int, np.ndarray] = {}
-    for b in ds.map_batches(cand_sigs, batch_format="pyarrow") \
-               .iter_batches(batch_format="pyarrow"):
-        for i, s in zip(b.column(id_col).to_pylist(),
-                        b.column("signature").to_pylist()):
-            sig_map[int(i)] = np.asarray(s, dtype=np.uint64)
-    sref = ray.put(sig_map)
-
-    def score(batch: pa.Table) -> pa.Table:
-        sm = ray.get(sref)
-        out_l, out_r, out_e = [], [], []
-        for l, r in zip(batch.column("left_id").to_pylist(),
-                        batch.column("right_id").to_pylist()):
-            sl, sr = sm.get(int(l)), sm.get(int(r))
-            if sl is None or sr is None:
-                continue
-            est = float((sl == sr).mean())
-            if est >= threshold:
-                out_l.append(int(l))
-                out_r.append(int(r))
-                out_e.append(est)
+    def as_payload(t: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({
-            "left_id": pa.array(out_l, type=pa.int64()),
-            "right_id": pa.array(out_r, type=pa.int64()),
-            "est_jaccard": pa.array(out_e, type=pa.float64())})
+            "id": pc.cast(t.column(id_col), pa.int64()),
+            "shingles": t.column("signature")})
 
-    return cand.map_batches(score, batch_format="pyarrow")
+    if 2 * n_pairs <= broadcast_max_docs:
+        wanted: set = set()
+        for b in cand.iter_batches(batch_format="pyarrow"):
+            wanted.update(int(v) for v in b.column("left_id").to_pylist())
+            wanted.update(int(v) for v in b.column("right_id").to_pylist())
+        wref = ray.put(wanted)
+
+        def cand_sigs(batch: pa.Table) -> pa.Table:
+            w = ray.get(wref)
+            keep = [i for i, v in enumerate(batch.column(id_col).to_pylist())
+                    if int(v) in w]
+            if not keep:
+                return pa.Table.from_pydict({
+                    "id": pa.array([], type=pa.int64()),
+                    "shingles": pa.array([], type=pa.list_(pa.uint64()))})
+            return as_payload(sketcher(batch.take(
+                pa.array(keep, type=pa.int64()))))
+
+        return _verify_pairs_broadcast(
+            cand, ds.map_batches(cand_sigs, batch_format="pyarrow"),
+            threshold, _prep_signature, _score_signature, "est_jaccard")
+
+    payloads = ds.map_batches(
+        lambda b: as_payload(sketcher(b)), batch_format="pyarrow")
+    return _verify_pairs_distributed(
+        cand, payloads, threshold, num_partitions,
+        _prep_signature, _score_signature, "est_jaccard")
 
 
 def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",
@@ -517,14 +522,40 @@ def _distinct_shingles(ds, wanted_ref, text_col: str, id_col: str,
     return ds.map_batches(compute, batch_format="pyarrow")
 
 
+def _prep_shingle_set(s) -> set:
+    return set(s)
+
+
+def _score_jaccard(a: set, b: set) -> float:
+    return _jaccard(a, b)
+
+
+def _prep_signature(s) -> np.ndarray:
+    return np.asarray(s, dtype=np.uint64)
+
+
+def _score_signature(a: np.ndarray, b: np.ndarray) -> float:
+    return float((a == b).mean())
+
+
 def _verify_pairs_broadcast(pairs: "ray.data.Dataset",
                             shingles: "ray.data.Dataset",
-                            threshold: float) -> "ray.data.Dataset":
-    """Small-candidate-set verify venue: the needed shingle sets are a
-    broadcast object (like a map_by table), pairs verify in one
+                            threshold: float,
+                            prep=_prep_shingle_set,
+                            score=_score_jaccard,
+                            out_col: str = "jaccard",
+                            ) -> "ray.data.Dataset":
+    """Small-candidate-set verify venue: the needed per-doc payloads are
+    a broadcast object (like a map_by table), pairs verify in one
     map_batches — zero shuffles. Chosen by _verify_pairs when the
     candidate docs fit comfortably in a broadcast; the co-partition
-    join below is the web-scale venue."""
+    join below is the web-scale venue.
+
+    Generic over the payload (``shingles`` is the internal column name
+    for any ``list<uint64>`` per-doc payload): exact Jaccard uses
+    shingle sets, MinHash verify uses aligned signatures with
+    fraction-equal scoring — ``prep`` builds the per-doc object once,
+    ``score`` compares two of them."""
     wanted: set[int] = set()
     for b in pairs.iter_batches(batch_format="pyarrow"):
         wanted.update(int(v) for v in b.column("left_id").to_pylist())
@@ -538,12 +569,12 @@ def _verify_pairs_broadcast(pairs: "ray.data.Dataset",
         return batch.take(pa.array(keep, type=pa.int64())) if keep \
             else batch.slice(0, 0)
 
-    local: dict[int, set] = {}
+    local: dict[int, object] = {}
     for b in shingles.map_batches(keep_wanted, batch_format="pyarrow") \
                      .iter_batches(batch_format="pyarrow"):
         for i, s in zip(b.column("id").to_pylist(),
                         b.column("shingles").to_pylist()):
-            local[int(i)] = set(s)
+            local[int(i)] = prep(s)
     ref = ray.put(local)
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -554,7 +585,7 @@ def _verify_pairs_broadcast(pairs: "ray.data.Dataset",
             l, r = int(l), int(r)
             if l not in sh or r not in sh:
                 continue
-            j = _jaccard(sh[l], sh[r])
+            j = score(sh[l], sh[r])
             if j >= threshold:
                 out_l.append(l)
                 out_r.append(r)
@@ -562,7 +593,7 @@ def _verify_pairs_broadcast(pairs: "ray.data.Dataset",
         return pa.Table.from_pydict({
             "left_id": pa.array(out_l, type=pa.int64()),
             "right_id": pa.array(out_r, type=pa.int64()),
-            "jaccard": pa.array(out_j, type=pa.float64())})
+            out_col: pa.array(out_j, type=pa.float64())})
 
     return pairs.map_batches(verify, batch_format="pyarrow")
 
@@ -570,21 +601,30 @@ def _verify_pairs_broadcast(pairs: "ray.data.Dataset",
 def _verify_pairs(pairs: "ray.data.Dataset", shingles: "ray.data.Dataset",
                   threshold: float, num_partitions: int,
                   n_candidate_docs: int,
-                  broadcast_max_docs: int = 100_000) -> "ray.data.Dataset":
-    """Venue dispatch for exact-Jaccard verification: broadcast join for
-    small candidate sets (shuffle round-trips dominate there — measured
-    ~2s per groupby on this box), pid-routed co-partition join at scale."""
+                  broadcast_max_docs: int = 100_000,
+                  prep=_prep_shingle_set, score=_score_jaccard,
+                  out_col: str = "jaccard") -> "ray.data.Dataset":
+    """Venue dispatch for pairwise payload verification: broadcast join
+    for small candidate sets (shuffle round-trips dominate there —
+    measured ~2s per groupby on this box), pid-routed co-partition join
+    at scale. Generic over the per-doc payload via ``prep``/``score``
+    (exact Jaccard and MinHash signature agreement share it)."""
     if n_candidate_docs <= broadcast_max_docs:
-        return _verify_pairs_broadcast(pairs, shingles, threshold)
+        return _verify_pairs_broadcast(pairs, shingles, threshold,
+                                       prep, score, out_col)
     return _verify_pairs_distributed(pairs, shingles, threshold,
-                                     num_partitions)
+                                     num_partitions, prep, score, out_col)
 
 
 def _verify_pairs_distributed(pairs: "ray.data.Dataset",
                               shingles: "ray.data.Dataset",
                               threshold: float,
-                              num_partitions: int) -> "ray.data.Dataset":
-    """Exact Jaccard verification as a distributed stage.
+                              num_partitions: int,
+                              prep=_prep_shingle_set,
+                              score=_score_jaccard,
+                              out_col: str = "jaccard",
+                              ) -> "ray.data.Dataset":
+    """Exact pairwise verification as a distributed stage.
 
     Never funnels through the driver: candidate pairs are pid-routed,
     each needed shingle set is shipped to exactly the partitions holding
@@ -593,10 +633,11 @@ def _verify_pairs_distributed(pairs: "ray.data.Dataset",
     """
     # pair rows with a pair pid
     def tag_pairs(batch: pa.Table) -> pa.Table:
-        l = batch.column("left_id").to_pylist()
-        r = batch.column("right_id").to_pylist()
-        pid = [(int(a) * 1000003 + int(b)) % num_partitions
-               for a, b in zip(l, r)]
+        l = batch.column("left_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        r = batch.column("right_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pid = (l * np.int64(1000003) + r) % np.int64(num_partitions)
         return pa.Table.from_pydict({
             "pid": pa.array(pid, type=pa.int64()),
             "left_id": pa.array(l, type=pa.int64()),
@@ -608,12 +649,15 @@ def _verify_pairs_distributed(pairs: "ray.data.Dataset",
 
     # needs table: which pair partitions want which doc's shingles
     def emit_needs(batch: pa.Table) -> pa.Table:
-        l = batch.column("left_id").to_pylist()
-        r = batch.column("right_id").to_pylist()
-        p = batch.column("pid").to_pylist()
-        ids = l + r
-        pid = p + p
-        rpid = [i % num_partitions for i in ids]
+        l = batch.column("left_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        r = batch.column("right_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = batch.column("pid").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ids = np.concatenate([l, r])
+        pid = np.concatenate([p, p])
+        rpid = ids % np.int64(num_partitions)
         n = len(ids)
         return pa.Table.from_pydict({
             "rpid": pa.array(rpid, type=pa.int64()),
@@ -623,9 +667,10 @@ def _verify_pairs_distributed(pairs: "ray.data.Dataset",
         })
 
     def route_shingle_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column("id").to_pylist()
+        ids = batch.column("id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         return pa.Table.from_pydict({
-            "rpid": pa.array([i % num_partitions for i in ids],
+            "rpid": pa.array(ids % np.int64(num_partitions),
                              type=pa.int64()),
             "id": batch.column("id"),
             "pid": pa.nulls(len(ids), pa.int64()),
@@ -681,7 +726,7 @@ def _verify_pairs_distributed(pairs: "ray.data.Dataset",
     def verify_part(g: pd.DataFrame) -> pd.DataFrame:
         sh_rows = g.loc[g["id"].notna(), ["id", "shingles"]] \
                    .drop_duplicates(subset=["id"])
-        local = {int(i): set(s) for i, s in
+        local = {int(i): prep(s) for i, s in
                  zip(sh_rows["id"], sh_rows["shingles"])}
         pr = g.loc[g["id"].isna(), ["left_id", "right_id"]]
         out_l, out_r, out_j = [], [], []
@@ -691,7 +736,7 @@ def _verify_pairs_distributed(pairs: "ray.data.Dataset",
                 # doc absent from the corpus (stale candidate) — an
                 # empty-vs-empty set would read as Jaccard 1.0
                 continue
-            j = _jaccard(local[l], local[r])
+            j = score(local[l], local[r])
             if j >= threshold:
                 out_l.append(l)
                 out_r.append(r)
@@ -699,7 +744,7 @@ def _verify_pairs_distributed(pairs: "ray.data.Dataset",
         return pd.DataFrame({
             "left_id": pd.array(out_l, dtype="int64"),
             "right_id": pd.array(out_r, dtype="int64"),
-            "jaccard": pd.array(out_j, dtype="float64"),
+            out_col: pd.array(out_j, dtype="float64"),
         })
 
     return tagged.map_batches(as_pair_row, batch_format="pyarrow") \

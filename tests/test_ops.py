@@ -316,6 +316,31 @@ def test_verify_venues_agree(ray_session):
     assert ka == kb and len(ka) == len(exact)
 
 
+def test_minhash_verify_venues_agree(ray_session):
+    """MinHash signature verify must give identical pairs through the
+    broadcast semi-join venue and the pid-routed co-partition venue
+    (broadcast_max_docs=0 forces the distributed path — the r2 verdict's
+    driver-funnel fix)."""
+    import ray.data
+    from rdf_mapper_ray.ops.dedup import minhash_lsh_pairs
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    texts = tbl.column("text").to_pylist()[:40]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    for i in range(10):
+        words = texts[i].split()
+        words[len(words) // 3] = "zzzz"
+        rows.append({"doc_id": 3000 + i, "text": " ".join(words)})
+    ds = ray.data.from_items(rows)
+    bc = minhash_lsh_pairs(ds, threshold=0.4).to_pandas()
+    dist = minhash_lsh_pairs(ds, threshold=0.4,
+                             broadcast_max_docs=0).to_pandas()
+    cols = ["left_id", "right_id", "est_jaccard"]
+    ka = sorted(map(tuple, bc[cols].values.tolist()))
+    kb = sorted(map(tuple, dist[cols].values.tolist()))
+    assert ka == kb and len(ka) > 0
+
+
 def test_ivf_persisted_index_matches_fresh(ray_session, tmp_path):
     """Persisted IVF index (centroids parquet + cluster-partitioned
     assignments) must answer identically to the freshly-built one, while

@@ -300,17 +300,97 @@ def _cc_min_label(edge_ds: "ray.data.Dataset",
     return labels.drop_columns(["changed"])
 
 
+def _rewrite_by_join(ds: "ray.data.Dataset",
+                     rewrites: "ray.data.Dataset",
+                     num_partitions: int,
+                     drop_self_sameas: bool,
+                     predicate: str) -> "ray.data.Dataset":
+    """Rewrite subject/object URIs against a (node, label) Dataset via
+    pid-routed co-partition joins — the label table never leaves the
+    object store. Two passes over the triple stream (route by
+    hash(subject), then by hash(object_value)); each pass unions the
+    triples with the label rows for their routing key and replaces the
+    key inside a per-partition vectorized merge. Costs two extra
+    full-stream shuffles, so the broadcast-dict venue stays the default
+    below ``driver_max_map`` rewrite entries."""
+    import numpy as np
+
+    schema = ds.schema()
+    tcols = list(schema.names)
+    ttypes = {n: t for n, t in zip(schema.names, schema.types)}
+
+    def _pid_of(series: pd.Series) -> "np.ndarray":
+        h = pd.util.hash_pandas_object(series.fillna(""),
+                                       index=False).to_numpy()
+        return (h % np.uint64(num_partitions)).astype("int64")
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrays = [pa.nulls(n, ttypes[c]) for c in tcols]
+        pid = _pid_of(t.column("node").to_pandas())
+        return pa.Table.from_arrays(
+            arrays + [t.column("node"), t.column("label"),
+                      pa.array(pid, type=pa.int64())],
+            names=tcols + ["__node", "__label", "__pid"])
+
+    def pass_over(stream: "ray.data.Dataset", key_col: str,
+                  uri_only: bool) -> "ray.data.Dataset":
+        def tag_triples(t: pa.Table) -> pa.Table:
+            pid = _pid_of(t.column(key_col).to_pandas())
+            t = t.select(tcols)
+            t = t.append_column("__node", pa.nulls(t.num_rows, pa.string()))
+            t = t.append_column("__label", pa.nulls(t.num_rows, pa.string()))
+            return t.append_column("__pid", pa.array(pid, type=pa.int64()))
+
+        def join_part(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g.loc[g["__label"].notna(), ["__node", "__label"]]
+            tri = g.loc[g["__label"].isna(), tcols].copy()
+            if len(lab) and len(tri):
+                sel = tri["object_kind"].eq("uri") if uri_only \
+                    else pd.Series(True, index=tri.index)
+                mapped = tri.loc[sel, [key_col]].merge(
+                    lab, left_on=key_col, right_on="__node",
+                    how="left")["__label"]
+                mapped.index = tri.index[sel]
+                tri.loc[sel, key_col] = mapped.fillna(
+                    tri.loc[sel, key_col])
+            return tri
+
+        return stream.map_batches(tag_triples, batch_format="pyarrow") \
+            .union(rewrites.map_batches(tag_labels,
+                                        batch_format="pyarrow")) \
+            .groupby("__pid").map_groups(join_part, batch_format="pandas")
+
+    out = pass_over(ds, "subject", uri_only=False)
+    out = pass_over(out, "object_value", uri_only=True)
+    if drop_self_sameas:
+        def drop_self(t: pa.Table) -> pa.Table:
+            self_same = pc.and_(
+                pc.equal(t.column("predicate"), predicate),
+                pc.fill_null(pc.equal(t.column("subject"),
+                                      t.column("object_value")), False))
+            return t.filter(pc.invert(self_same))
+
+        out = out.map_batches(drop_self, batch_format="pyarrow")
+    return out
+
+
 def canonicalize_sameas_distributed(ds: "ray.data.Dataset",
                                     predicate: str = OWL_SAMEAS,
                                     drop_self_sameas: bool = True,
                                     edge_ds: Optional["ray.data.Dataset"] = None,
-                                    n_edges: Optional[int] = None
+                                    n_edges: Optional[int] = None,
+                                    driver_max_map: int = 2_000_000
                                     ) -> "ray.data.Dataset":
     """Same semantics as :func:`canonicalize_sameas` but with the
     connected components computed by distributed min-label propagation
     (pid-routed groupby shuffles) instead of driver-side union-find —
-    labels stay a Dataset throughout; only the final representative map
-    (components, not nodes) is broadcast for the rewrite."""
+    labels stay a Dataset throughout. The final rewrite picks its venue
+    by the non-representative node count: up to ``driver_max_map``
+    entries the node→label map is broadcast (two full-stream shuffles
+    cost more than shipping a bounded map); past it the rewrite is a
+    pid-routed co-partition join and the labels never reach the
+    driver."""
     if edge_ds is None:
         def _edges(batch: pa.Table) -> pa.Table:
             mask = pc.and_(pc.equal(batch.column("predicate"), predicate),
@@ -331,9 +411,13 @@ def canonicalize_sameas_distributed(ds: "ray.data.Dataset",
     num_partitions = int(min(max(16, default_num_partitions() // 16),
                              max(2, n_edges // 50_000)))
     labels = _cc_min_label(edge_ds, num_partitions=num_partitions)
-    mapping = {n: l for b in labels.iter_batches(batch_format="pyarrow")
+    rewrites = labels.filter(expr="node != label").materialize()
+    if rewrites.count() > driver_max_map:
+        return _rewrite_by_join(ds, rewrites, num_partitions,
+                                drop_self_sameas, predicate)
+    mapping = {n: l for b in rewrites.iter_batches(batch_format="pyarrow")
                for n, l in zip(b.column("node").to_pylist(),
-                               b.column("label").to_pylist()) if n != l}
+                               b.column("label").to_pylist())}
     mapping_ref = ray.put(mapping)
     return ds.map_batches(RewriteNodes(mapping_ref,
                                        drop_sameas=drop_self_sameas,

@@ -120,20 +120,24 @@ def sessionize_sharded(ds: "ray.data.Dataset", user_col: str = "user_id",
        per (user, shard) — the events themselves are never
        materialized, both passes stream;
     3. per-user summaries (shard-count-sized, not event-sized) stitch
-       boundaries: a shard whose first event is within ``gap_seconds``
-       of the previous shard's last event merges its first session into
-       it; prefix offsets renumber globally;
+       boundaries INSIDE a hash(user)-routed ``map_groups``: a shard
+       whose first event is within ``gap_seconds`` of the previous
+       shard's last event merges its first session into it; per-user
+       prefix offsets renumber globally — vectorized across all of a
+       partition's users, never on the driver;
     4. a second streaming pass re-runs the (deterministic) local
-       sessionization and applies the broadcast offsets.
+       sessionization and picks up each shard's offset through a
+       (user, shard) co-partition join — no broadcast dict, so billions
+       of users never materialize anywhere.
 
     Output and semantics identical to :func:`sessionize` (asserted in
     tests); worst-case per-task work is one shard of one user.
     """
     import pyarrow as pa
 
-    import ray
-
     span_us = shard_span_secs * 1_000_000
+    from rdf_mapper_ray.ops.dedup import _num_partitions
+    num_partitions = _num_partitions(ds.count())
 
     def add_shard(batch: "pa.Table") -> "pa.Table":
         eu = batch.column(ts_col).cast(pa.int64()).to_numpy(
@@ -142,7 +146,7 @@ def sessionize_sharded(ds: "ray.data.Dataset", user_col: str = "user_id",
             "shard", pa.array(eu // span_us, type=pa.int64()))
 
     sharded = ds.map_batches(add_shard, batch_format="pyarrow")
-    routed = _route_by_user(sharded, [user_col, "shard"])
+    routed = _route_by_user(sharded, [user_col, "shard"], num_partitions)
 
     def summarize(g: pd.DataFrame) -> pd.DataFrame:
         g = _assign_sessions_multi(g, [user_col, "shard"], ts_col, id_col,
@@ -154,39 +158,94 @@ def sessionize_sharded(ds: "ray.data.Dataset", user_col: str = "user_id",
         return agg[[user_col, "shard", "session_no", "first_ts",
                     "last_ts"]]
 
-    offsets: dict = {}
-    rows = routed.map_groups(summarize, batch_format="pandas").to_pandas()
-    for user, grp in rows.groupby(user_col, sort=False):
-        grp = grp.sort_values("shard")
-        off = 0
-        prev_last = None
-        for shard, first_ts, last_ts, n_sess in zip(
-                grp["shard"], grp["first_ts"], grp["last_ts"],
-                grp["session_no"]):
-            merge = (prev_last is not None and
-                     (first_ts - prev_last).total_seconds() <= gap_seconds)
-            if merge:
-                off -= 1
-            offsets[(user, int(shard))] = off
-            off += int(n_sess)
-            prev_last = last_ts
-    off_ref = ray.put(offsets)
+    summaries = routed.map_groups(summarize, batch_format="pandas")
 
-    def local_with_offsets(g: pd.DataFrame) -> pd.DataFrame:
-        off = ray.get(off_ref)
-        g = _assign_sessions_multi(g, [user_col, "shard"], ts_col, id_col,
-                                   gap_seconds)
-        base = pd.Series(
-            [off.get((u, int(s)), 0)
-             for u, s in zip(g[user_col], g["shard"])])
+    # distributed stitch: route per-(user,shard) summaries by
+    # hash(user) so each task sees complete users, then compute every
+    # user's prefix offsets with one sort + shift + two grouped cumsums
+    def add_user_pid(batch: "pa.Table") -> "pa.Table":
+        h = pd.util.hash_pandas_object(
+            batch.column(user_col).to_pandas(), index=False).to_numpy()
+        return batch.append_column(
+            "upid", pa.array((h % np.uint64(num_partitions))
+                             .astype("int64")))
+
+    def offsets_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "shard"]).reset_index(drop=True)
+        new_user = (g[user_col] != g[user_col].shift()).to_numpy()
+        gap_ok = ((g["first_ts"] - g["last_ts"].shift())
+                  .dt.total_seconds() <= gap_seconds)
+        merge = gap_ok.fillna(False).to_numpy() & ~new_user
+        n_sess = g["session_no"].to_numpy()
+        u = g[user_col]
+        prefix = g.groupby(user_col)["session_no"].cumsum() \
+                  .to_numpy() - n_sess
+        merges = pd.Series(merge.astype("int64")).groupby(
+            u.to_numpy()).cumsum().to_numpy()
         return pd.DataFrame({
             user_col: g[user_col],
-            id_col: g[id_col],
-            "session_no": (g["session_no"] + base).astype("int64"),
+            "shard": g["shard"].astype("int64"),
+            "offset": (prefix - merges).astype("int64"),
         })
 
-    return _route_by_user(sharded, [user_col, "shard"]) \
-        .map_groups(local_with_offsets, batch_format="pandas")
+    offsets = summaries.map_batches(add_user_pid, batch_format="pyarrow") \
+        .groupby("upid").map_groups(offsets_part, batch_format="pandas")
+
+    # final pass: events ∪ offset rows co-partitioned on (user, shard)
+    ev_schema = sharded.schema()
+    user_t = ev_schema.types[ev_schema.names.index(user_col)]
+    ts_t = ev_schema.types[ev_schema.names.index(ts_col)]
+    id_t = ev_schema.types[ev_schema.names.index(id_col)]
+
+    def _key_pid(user_arr: "pa.Array", shard_arr: "pa.Array"):
+        h = None
+        for col in (user_arr, shard_arr):
+            hk = pd.util.hash_pandas_object(col.to_pandas(),
+                                            index=False).to_numpy()
+            h = hk if h is None else (h * np.uint64(1000003)) ^ hk
+        return pa.array((h % np.uint64(num_partitions)).astype("int64"))
+
+    def tag_events(t: "pa.Table") -> "pa.Table":
+        return pa.Table.from_arrays(
+            [t.column(user_col), t.column("shard"), t.column(ts_col),
+             t.column(id_col), pa.nulls(t.num_rows, pa.int64()),
+             _key_pid(t.column(user_col), t.column("shard"))],
+            names=[user_col, "shard", ts_col, id_col, "offset", "kpid"])
+
+    def tag_offsets(t: "pa.Table") -> "pa.Table":
+        return pa.Table.from_arrays(
+            [t.column(user_col).cast(user_t), t.column("shard"),
+             pa.nulls(t.num_rows, ts_t), pa.nulls(t.num_rows, id_t),
+             t.column("offset"),
+             _key_pid(t.column(user_col), t.column("shard"))],
+            names=[user_col, "shard", ts_col, id_col, "offset", "kpid"])
+
+    # the union carries nulls in the event columns (offset rows) and
+    # vice versa, so pandas widens int columns to float per partition —
+    # restore the source dtypes on the way out
+    user_is_int = pa.types.is_integer(user_t)
+    id_is_int = pa.types.is_integer(id_t)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        offs = g.loc[g["offset"].notna(),
+                     [user_col, "shard", "offset"]]
+        ev = g.loc[g["offset"].isna(),
+                   [user_col, "shard", ts_col, id_col]]
+        ev = _assign_sessions_multi(ev, [user_col, "shard"], ts_col,
+                                    id_col, gap_seconds)
+        m = ev.merge(offs, on=[user_col, "shard"], how="left")
+        base = m["offset"].fillna(0).astype("int64")
+        return pd.DataFrame({
+            user_col: m[user_col].astype("int64") if user_is_int
+            else m[user_col],
+            id_col: m[id_col].astype("int64") if id_is_int
+            else m[id_col],
+            "session_no": (m["session_no"] + base).astype("int64"),
+        })
+
+    return sharded.map_batches(tag_events, batch_format="pyarrow") \
+        .union(offsets.map_batches(tag_offsets, batch_format="pyarrow")) \
+        .groupby("kpid").map_groups(finalize, batch_format="pandas")
 
 
 def sessionize_query(sf_dir: str, gap_seconds: float = 1800.0):

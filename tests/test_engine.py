@@ -314,6 +314,38 @@ def test_canonicalize_distributed_matches_unionfind(ray_session):
             None, None) in kb
 
 
+def test_canonicalize_join_rewrite_matches_unionfind(ray_session):
+    """driver_max_map=0 forces the co-partition-join rewrite (labels
+    stay a Dataset end to end) — it must equal the union-find result,
+    including self-sameAs dropping and literal non-rewrites whose value
+    happens to equal a node URI."""
+    import ray.data
+    from rdf_mapper_ray.engine.canonicalize import (
+        canonicalize_sameas, canonicalize_sameas_distributed)
+    from rdf_mapper_ray.kernel.nodes import OWL_SAMEAS
+
+    def row(s, p, o, ok="uri"):
+        return {"graph": "g", "subject": s, "subject_kind": "uri",
+                "predicate": p, "object_kind": ok, "object_value": o,
+                "lang": None, "datatype": None}
+
+    rows = [row(f"http://e/n{i}", OWL_SAMEAS, f"http://e/n{i+1}")
+            for i in range(6)]
+    rows += [row("http://e/x", OWL_SAMEAS, "http://e/y"),
+             row("http://e/n6", "http://e/p", "v", ok="literal"),
+             # literal whose VALUE is a rewritable node URI — must stay
+             row("http://e/z", "http://e/q", "http://e/n3", ok="literal"),
+             row("http://e/z", "http://e/q", "http://e/n3")]
+    ds = ray.data.from_items(rows)
+    a = canonicalize_sameas(ds).to_pandas()
+    b = canonicalize_sameas_distributed(ds, driver_max_map=0).to_pandas()
+    ka = sorted(map(tuple, a[sorted(a.columns)].values))
+    kb = sorted(map(tuple, b[sorted(b.columns)].values))
+    assert ka == kb
+    lit = b[(b["object_kind"] == "literal") & (b["subject"] == "http://e/z")]
+    assert lit["object_value"].tolist() == ["http://e/n3"]
+
+
 def test_run_sharded_partial_failure_resume(ray_session, tmp_path):
     """Resume recomputes ONLY the shard whose checkpoint is missing:
     completed shards keep their output files untouched (north_rule:

@@ -116,54 +116,73 @@ sys.path.insert(0, {repo!r})
 from bench import flagship_throughput
 # warmup: amortise import/actor/JIT cold-start out of the measurement
 flagship_throughput(sys.argv[2], commits_per_file=4)
-# best-of-2 per configuration: this sandbox shows +/-2x ambient load
-# swings between identical runs, and min-over-repeats estimates the
-# machine's noise floor (standard benchmarking practice) — the scaling
-# criterion is a RATIO, so one slow outlier at either level would
-# corrupt it
-def best(**kw):
-    runs = [flagship_throughput(sys.argv[2],
-                                commits_per_file=int(sys.argv[3]), **kw)
-            for _ in range(2)]
-    return min(runs, key=lambda r: r["sec"])
 # CPU-bound (per-row kernel + streaming groupby dedup) configuration:
 # the scaling criterion — the pointer-dedup venue's fixed
 # object-store passes are a per-node resource, not CPU-scalable
-print("RESULT " + json.dumps(best(vectorize=False,
-                                  dedup_strategy="groupby")))
-# vectorized configuration: the absolute-throughput headline
-print("VECRESULT " + json.dumps(best(vectorize=True)))
+r = flagship_throughput(sys.argv[2], commits_per_file=int(sys.argv[3]),
+                        vectorize=False, dedup_strategy="groupby")
+print("RESULT " + json.dumps(r))
+if len(sys.argv) > 4 and sys.argv[4] == "vec":
+    # vectorized configuration: the absolute-throughput headline
+    print("VECRESULT " + json.dumps(flagship_throughput(
+        sys.argv[2], commits_per_file=int(sys.argv[3]), vectorize=True)))
 ray.shutdown()
 """
 
 
 def scaling(sf_dir: str, low: int = 8, high: int = 32,
-            commits_per_file: int = 200) -> None:
+            commits_per_file: int = 200, pairs: int = 4) -> None:
+    """Noise-robust scaling measurement: ``pairs`` ALTERNATING
+    (low, high) legs, each in a fresh subprocess, so ambient load hits
+    both levels evenly over the window (this sandbox swings +/-2x
+    between identical runs — a single pair can read anywhere in
+    0.6-1.3). Reports per-pair efficiencies with min/median/max, plus
+    the pooled best-leg ("noise-floor") efficiency; the headline value
+    is the median pair."""
+    import statistics
+
     repo = os.path.dirname(os.path.abspath(__file__))
-    results = {}
-    for n in (low, high):
-        proc = subprocess.run(
-            [sys.executable, "-c", _CHILD_CODE.format(repo=repo), str(n),
-             sf_dir, str(commits_per_file)],
-            capture_output=True, text=True, check=True,
-            env={**os.environ, "RAY_GRAFT_CPUS": str(n)})
+
+    def leg(n: int, want_vec: bool) -> dict:
+        args = [sys.executable, "-c", _CHILD_CODE.format(repo=repo),
+                str(n), sf_dir, str(commits_per_file)]
+        if want_vec:
+            args.append("vec")
+        proc = subprocess.run(args, capture_output=True, text=True,
+                              check=True,
+                              env={**os.environ, "RAY_GRAFT_CPUS": str(n)})
         line = [ln for ln in proc.stdout.splitlines()
                 if ln.startswith("RESULT ")][-1]
-        results[n] = json.loads(line[len("RESULT "):])
-        vline = [ln for ln in proc.stdout.splitlines()
-                 if ln.startswith("VECRESULT ")][-1]
-        results[n]["vectorized"] = json.loads(vline[len("VECRESULT "):])
-    tl, th = results[low]["rows_per_sec"], results[high]["rows_per_sec"]
-    eff = (th / tl) / (high / low)
+        out = json.loads(line[len("RESULT "):])
+        vlines = [ln for ln in proc.stdout.splitlines()
+                  if ln.startswith("VECRESULT ")]
+        if vlines:
+            out["vectorized"] = json.loads(vlines[-1][len("VECRESULT "):])
+        return out
+
+    samples = []
+    for i in range(pairs):
+        lo = leg(low, want_vec=(i == 0))
+        hi = leg(high, want_vec=(i == 0))
+        eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (high / low)
+        samples.append({"pair": i + 1, "efficiency": round(eff, 3),
+                        "low": lo, "high": hi})
+    effs = [s["efficiency"] for s in samples]
+    best_low = max(s["low"]["rows_per_sec"] for s in samples)
+    best_high = max(s["high"]["rows_per_sec"] for s in samples)
+    pooled = (best_high / best_low) / (high / low)
     print(json.dumps({
         "metric": "flagship scaling efficiency (rows/sec, "
-                  f"{low} vs {high} cpus, CPU-bound per-row kernel config; "
-                  "vectorized-config throughput reported alongside)",
-        "value": round(eff, 3),
+                  f"{low} vs {high} cpus, CPU-bound per-row kernel config, "
+                  f"median of {pairs} alternating pairs; pooled = "
+                  "best-leg-per-level ratio, the noise-floor estimate)",
+        "value": round(statistics.median(effs), 3),
         "unit": "efficiency",
         "sf": _sf_of(sf_dir),
         "low_cpus": low, "high_cpus": high,
-        "low": results[low], "high": results[high],
+        "min": min(effs), "median": round(statistics.median(effs), 3),
+        "max": max(effs), "pooled_best_leg": round(pooled, 3),
+        "samples": samples,
     }))
 
 

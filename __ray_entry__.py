@@ -7,8 +7,9 @@ here (or in the library code it calls) calls ``ray.init()`` /
 ``queries()`` exposes one entry per implemented operator cluster from
 SURVEY.md §2 plus the training-data ops; ``oracle_sql()`` gives the
 DuckDB-equivalent SQL for every SQL-expressible one (same column names,
-same values). Non-SQL-expressible ops (MinHash-LSH, SimHash, language
-ID, fingerprints, LSH-ANN) are rows-only checks.
+same values). Non-SQL-expressible ops (MinHash-LSH candidates, language ID,
+LSH/IVF-ANN) are rows-only checks; simhash and fingerprint run their
+portable md5 hash backend so DuckDB reproduces them bit-exactly.
 """
 
 from __future__ import annotations
@@ -103,10 +104,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_lsh": lambda sf: dedup.ngram_jaccard_pairs(
             _docs(sf, ["doc_id", "text"]), threshold=0.4),
         "simhash": lambda sf: dedup.simhash_table(
-            _docs(sf, ["doc_id", "text"])),
+            _docs(sf, ["doc_id", "text"]), hash_fn="md5"),
         "lang_id": lambda sf: text.lang_id(_docs(sf, ["doc_id", "text"])),
         "fingerprint": lambda sf: text.fingerprints(
-            _docs(sf, ["doc_id", "text"])),
+            _docs(sf, ["doc_id", "text"]), hash_fn="md5"),
         "session_stats": sessions.session_stats_query,
         "heavy_hitters": topk.heavy_hitters_query,
         "dedup_embedding_lsh": lambda sf: dedup.embedding_neardup_lsh(
@@ -169,4 +170,6 @@ def oracle_sql() -> dict[str, str]:
         "value_quantiles": quantiles.quantiles_oracle_sql(),
         "interval_session_join": joins.SESSION_INTERVAL_ORACLE_SQL,
         "repo_stats": _REPO_STATS_SQL,
+        "simhash": dedup.SIMHASH_ORACLE_SQL,
+        "fingerprint": text.FINGERPRINT_ORACLE_SQL,
     }

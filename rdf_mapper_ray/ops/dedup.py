@@ -439,13 +439,17 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 # --- SimHash -----------------------------------------------------------------
 
 class SimHash:
-    """64-bit SimHash over word features, batched: ONE vectorized pandas
-    hash over every word in the batch, per-doc bit votes via
-    ``add.reduceat`` — no per-word Python hashing."""
+    """64-bit SimHash over word features, batched: ONE vectorized hash
+    over every word in the batch, per-doc bit votes via
+    ``add.reduceat`` — no per-word Python in the default backend.
+    ``hash_fn="md5"`` selects the portable backend (bit-exact from SQL;
+    see ops/hashing.py) that the DuckDB oracle checks."""
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 hash_fn: str = "pandas") -> None:
         self.text_col = text_col
         self.id_col = id_col
+        self.hash_fn = hash_fn
         self._bits = np.arange(64, dtype=np.uint64)
 
     def _simhash_batch(self, texts: list) -> np.ndarray:
@@ -455,8 +459,8 @@ class SimHash:
         out = np.zeros(len(texts), dtype=np.uint64)
         if not flat:
             return out
-        hashes = pd.util.hash_pandas_object(pd.Series(flat),
-                                            index=False).values
+        from rdf_mapper_ray.ops.hashing import hash64
+        hashes = hash64(flat, self.hash_fn)
         bits = ((hashes[:, None] >> self._bits[None, :]) & np.uint64(1)) \
             .astype(np.int64)
         nonempty = lens > 0
@@ -483,8 +487,40 @@ class SimHash:
 
 
 def simhash_table(ds: "ray.data.Dataset", text_col: str = "text",
-                  id_col: str = "doc_id") -> "ray.data.Dataset":
-    return ds.map_batches(SimHash(text_col, id_col), batch_format="pyarrow")
+                  id_col: str = "doc_id",
+                  hash_fn: str = "pandas") -> "ray.data.Dataset":
+    return ds.map_batches(SimHash(text_col, id_col, hash_fn),
+                          batch_format="pyarrow")
+
+
+# bit-exact DuckDB equivalent of simhash_table(..., hash_fn="md5"):
+# same tokenization (whitespace runs, empties dropped), same md5-based
+# 64-bit word hash, same majority bit votes (votes > 0 sets the bit)
+SIMHASH_ORACLE_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(coalesce(text, '')), '\s+')) AS word
+  FROM documents
+), wh AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 16))::UBIGINT AS h
+  FROM w WHERE word <> ''
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM wh GROUP BY doc_id
+), bits AS (
+  SELECT wh.doc_id, b.i, SUM(((h >> b.i) & 1)::BIGINT) AS ones
+  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) b
+  GROUP BY wh.doc_id, b.i
+), vals AS (
+  SELECT bits.doc_id,
+         SUM(CASE WHEN 2 * ones - n > 0
+                  THEN (1::UBIGINT << i) ELSE 0::UBIGINT END) AS sh
+  FROM bits JOIN counts USING (doc_id)
+  GROUP BY bits.doc_id
+)
+SELECT d.doc_id, coalesce(v.sh, 0)::UBIGINT AS simhash
+FROM documents d LEFT JOIN vals v USING (doc_id)
+ORDER BY d.doc_id
+"""
 
 
 # --- exact n-gram Jaccard verification ---------------------------------------

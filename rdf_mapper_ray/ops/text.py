@@ -178,10 +178,11 @@ class Fingerprint:
     scale."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
-                 window: int = 8) -> None:
+                 window: int = 8, hash_fn: str = "pandas") -> None:
         self.text_col = text_col
         self.id_col = id_col
         self.window = window
+        self.hash_fn = hash_fn
 
     def _min_hashes(self, texts: list) -> "np.ndarray":
         import numpy as np
@@ -201,7 +202,8 @@ class Fingerprint:
         out = np.zeros(len(texts), dtype=np.uint64)
         if not flat:
             return out
-        h = pd.util.hash_pandas_object(pd.Series(flat), index=False).values
+        from rdf_mapper_ray.ops.hashing import hash64
+        h = hash64(flat, self.hash_fn)
         nonempty = [i for i, n in enumerate(lens) if n]
         offsets = np.concatenate(
             [[0], np.cumsum([lens[i] for i in nonempty])[:-1]]) \
@@ -227,6 +229,37 @@ class Fingerprint:
 
 
 def fingerprints(ds: "ray.data.Dataset", text_col: str = "text",
-                 id_col: str = "doc_id") -> "ray.data.Dataset":
-    return ds.map_batches(Fingerprint(text_col, id_col),
+                 id_col: str = "doc_id",
+                 hash_fn: str = "pandas") -> "ray.data.Dataset":
+    return ds.map_batches(Fingerprint(text_col, id_col, hash_fn=hash_fn),
                           batch_format="pyarrow")
+
+
+# bit-exact DuckDB equivalent of fingerprints(..., hash_fn="md5"):
+# k = min(8, n_words) word windows, min of the md5-based 64-bit window
+# hash per doc (0 for empty docs), plus sha256 of the raw text
+FINGERPRINT_ORACLE_SQL = r"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), nn AS (
+  SELECT doc_id, t, ws, len(ws) AS n, least(8, len(ws)) AS k FROM base
+), idx AS (
+  SELECT doc_id, unnest(generate_series(1, n - k + 1)) AS i
+  FROM nn WHERE n > 0
+), wins AS (
+  SELECT idx.doc_id,
+         array_to_string(nn.ws[idx.i:idx.i + nn.k - 1], ' ') AS win
+  FROM idx JOIN nn USING (doc_id)
+), mins AS (
+  SELECT doc_id,
+         MIN(('0x' || substr(md5(win), 1, 16))::UBIGINT) AS mfp
+  FROM wins GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(m.mfp, 0)::UBIGINT AS min_fingerprint,
+       sha256(coalesce(d.text, '')) AS text_sha256
+FROM documents d LEFT JOIN mins m USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -477,3 +477,19 @@ def test_embedding_lsh_recall_vs_exact(ray_session):
     assert len(set(a) & set(e)) / max(1, len(e)) >= 0.7   # recall
     for k, c in a.items():
         assert abs(c - e[k]) < 1e-9
+
+
+def test_hash64_md5_matches_duckdb():
+    """The portable hash backend must equal DuckDB's
+    ('0x' || substr(md5(s),1,16))::UBIGINT — the contract the simhash /
+    fingerprint SQL oracles are built on."""
+    import duckdb
+
+    from rdf_mapper_ray.ops.hashing import hash64
+    strs = ["", "a", "hello world", "τεστ", "x" * 1000]
+    ours = hash64(strs, backend="md5").tolist()
+    con = duckdb.connect()
+    theirs = [con.execute(
+        "SELECT ('0x' || substr(md5(?), 1, 16))::UBIGINT", [s]).fetchone()[0]
+        for s in strs]
+    assert ours == theirs

@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_decode_dims": multimodal.decode_dims,
         "mm_resize_plan": multimodal.resize_plan,
         "sessionize": sessions.sessionize_query,
+        "session_window": sessions.session_window_query,
         "window_tumbling": windows.tumbling_query,
         "window_sliding": windows.sliding_query,
         "top_k_tokens": topk.top_k_query,
@@ -161,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_resize_plan": multimodal.RESIZE_ORACLE_SQL,
         "sessionize": sessions.sessionize_oracle_sql(),
         "session_stats": sessions.session_stats_oracle_sql(),
+        "session_window": sessions.session_window_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),
         "window_sliding": windows.sliding_oracle_sql(),
         "top_k_tokens": topk.top_k_oracle_sql(),

@@ -248,6 +248,85 @@ def sessionize_sharded(ds: "ray.data.Dataset", user_col: str = "user_id",
         .groupby("kpid").map_groups(finalize, batch_format="pandas")
 
 
+def session_window_agg(ds: "ray.data.Dataset",
+                       keys=("user_id", "event_type"),
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       value_col: str = "value",
+                       gap_seconds: float = 3600.0) -> "ray.data.Dataset":
+    """Gap-based session WINDOW aggregate over an arbitrary (possibly
+    composite) key — the generalization the sessionize/session_stats
+    pair specializes (TODO.md round-3 op). A session is a maximal run
+    of a key's events with no silence longer than ``gap_seconds``;
+    each session emits one row: event count, value sum and duration.
+
+    Partitioning contract: complete keys co-locate (pid-routed hash of
+    the composite key, P groups not one task per key); session math is
+    one vectorized sort + diff + grouped cumsum across ALL of a
+    partition's keys. Value sums ride as integer cents (np.rint ==
+    DuckDB ROUND half-away for the positive money-shaped values of the
+    events table) so the DuckDB window-function oracle is bit-exact.
+    """
+    keys = list(keys)
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = _assign_sessions_multi(g, keys, ts_col, id_col, gap_seconds)
+        g = g.assign(value_cents=np.rint(
+            g[value_col].to_numpy() * 100).astype("int64"))
+        agg = g.groupby([*keys, "session_no"]).agg(
+            n_events=(id_col, "count"),
+            value_cents=("value_cents", "sum"),
+            start=(ts_col, "min"),
+            end=(ts_col, "max")).reset_index()
+        agg["duration_secs"] = ((agg["end"] - agg["start"])
+                                .dt.total_seconds().astype("int64"))
+        agg["value_cents"] = agg["value_cents"].astype("int64")
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg[[*keys, "session_no", "n_events", "value_cents",
+                    "duration_secs"]]
+
+    return _route_by_user(ds, keys).map_groups(part, batch_format="pandas")
+
+
+def session_window_query(sf_dir: str, gap_seconds: float = 3600.0):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts", "value"])
+    return session_window_agg(ds, gap_seconds=gap_seconds)
+
+
+def session_window_oracle_sql(gap_seconds: float = 3600.0) -> str:
+    return f"""
+WITH o AS (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                      OR (epoch(ts) - epoch(prev_ts)) > {gap_seconds}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM o
+),
+sess AS (
+  SELECT user_id, event_type, event_id, ts, cents,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
+  FROM marked
+)
+SELECT user_id, event_type, session_no,
+       COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS value_cents,
+       CAST(FLOOR(epoch(MAX(ts)) - epoch(MIN(ts))) AS BIGINT)
+         AS duration_secs
+FROM sess GROUP BY user_id, event_type, session_no
+ORDER BY user_id, event_type, session_no
+"""
+
+
 def sessionize_query(sf_dir: str, gap_seconds: float = 1800.0):
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts"])

@@ -169,3 +169,39 @@ def test_ngram_exact_random_docs(ray_session, con):
                               threshold=0.5).to_pandas()
     o = con.execute(NGRAM_JACCARD_ORACLE_SQL).fetchdf()
     _cmp(out, o)
+
+
+def test_session_window_random_events(ray_session, con):
+    import ray.data
+    from rdf_mapper_ray.ops.sessions import (session_window_agg,
+                                             session_window_oracle_sql)
+    rng = random.Random(108)
+    tbl = _events_table(rng, n=5000)
+    tbl = tbl.append_column(
+        "event_id", pa.array(range(tbl.num_rows), type=pa.int64()))
+    con.register("events", tbl)
+    out = session_window_agg(ray.data.from_arrow(tbl).repartition(8),
+                             gap_seconds=1800.0).to_pandas()
+    o = con.execute(session_window_oracle_sql(1800.0)).fetchdf()
+    _cmp(out, o)
+
+
+def test_session_window_composite_key_single_column(ray_session, con):
+    """The generalized op keyed on ONE column must agree with the
+    specialized session_stats on counts/durations."""
+    import ray.data
+    from rdf_mapper_ray.ops.sessions import session_stats, session_window_agg
+    rng = random.Random(109)
+    tbl = _events_table(rng, n=3000)
+    tbl = tbl.append_column(
+        "event_id", pa.array(range(tbl.num_rows), type=pa.int64()))
+    a = session_window_agg(ray.data.from_arrow(tbl).repartition(6),
+                           keys=["user_id"], gap_seconds=900.0) \
+        .to_pandas().sort_values(["user_id", "session_no"]) \
+        .reset_index(drop=True)
+    b = session_stats(ray.data.from_arrow(tbl).repartition(6),
+                      gap_seconds=900.0) \
+        .to_pandas().sort_values(["user_id", "session_no"]) \
+        .reset_index(drop=True)
+    assert (a["n_events"] == b["n_events"]).all()
+    assert (a["duration_secs"] == b["duration_secs"]).all()

@@ -51,7 +51,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_mapper_ray.ops import (dedup, distinct, joins, multimodal,
-                                    quantiles, sessions, similarity, text,
+                                    cleaning, quantiles, sessions, similarity, text,
                                     topk, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": lambda sf: similarity.knn_bruteforce_self(sf),
         "mm_decode_dims": multimodal.decode_dims,
         "mm_resize_plan": multimodal.resize_plan,
+        "pii_redact": cleaning.pii_redact_query,
+        "hash_split": cleaning.hash_split_query,
+        "decontaminate": cleaning.decontaminate_query,
         "sessionize": sessions.sessionize_query,
         "session_window": sessions.session_window_query,
         "window_tumbling": windows.tumbling_query,
@@ -129,7 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rdf_mapper_ray.ops import (dedup, distinct, joins, multimodal,
-                                    quantiles, sessions, similarity, text,
+                                    cleaning, quantiles, sessions, similarity, text,
                                     topk, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
@@ -160,6 +163,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": similarity.knn_oracle_sql(),
         "mm_decode_dims": multimodal.DECODE_ORACLE_SQL,
         "mm_resize_plan": multimodal.RESIZE_ORACLE_SQL,
+        "pii_redact": cleaning.PII_REDACT_ORACLE_SQL,
+        "hash_split": cleaning.HASH_SPLIT_ORACLE_SQL,
+        "decontaminate": cleaning.DECONTAMINATE_ORACLE_SQL,
         "sessionize": sessions.sessionize_oracle_sql(),
         "session_stats": sessions.session_stats_oracle_sql(),
         "session_window": sessions.session_window_oracle_sql(),

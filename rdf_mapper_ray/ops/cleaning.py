@@ -1,0 +1,253 @@
+"""Training-data cleaning ops: PII redaction, deterministic splits,
+benchmark decontamination.
+
+These are LLM-pipeline operators with no reference counterpart
+(the reference stops at KG extraction); they follow the same engine
+rules as the rest of ``ops/``: vectorized Arrow kernels per batch,
+broadcast small sides, no driver funnels, and a bit-exact DuckDB
+oracle wherever the semantics are relational.
+
+Regex parity note: both pyarrow.compute and DuckDB compile patterns
+with RE2, so one pattern string behaves identically in both engines —
+that is what makes the redaction oracle bit-exact rather than
+approximate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from rdf_mapper_ray.ops.hashing import MD5_HASH64_SQL, hash64
+
+# RE2 patterns (identical semantics in pyarrow and DuckDB)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,2}-\d{3}-\d{3,10}"
+
+# (name, pattern, replacement) — applied IN ORDER; email first so the
+# address's host part is gone before the IP pass, phone last
+PII_RULES = (
+    ("emails", EMAIL_RE, "[EMAIL]"),
+    ("ips", IP_RE, "[IP]"),
+    ("phones", PHONE_RE, "[PHONE]"),
+)
+
+
+class PIIRedact:
+    """Actor-pool batch stage: count then strip PII spans.
+
+    Counts are taken against the ORIGINAL text (so overlapping rules
+    don't hide each other), redaction is sequential in PII_RULES order.
+    Pure pyarrow.compute regex kernels — no Python per row.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column(self.text_col), pa.string())
+        cols = {self.id_col: batch.column(self.id_col)}
+        clean = text
+        for name, pat, repl in PII_RULES:
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64())
+            clean = pc.replace_substring_regex(clean, pat, repl)
+        cols["clean_text"] = clean
+        return pa.table(cols)
+
+
+def pii_redact(ds: "ray.data.Dataset", text_col: str = "text",
+               id_col: str = "doc_id") -> "ray.data.Dataset":
+    return ds.map_batches(PIIRedact(text_col, id_col),
+                          batch_format="pyarrow")
+
+
+def pii_redact_query(sf_dir: str):
+    """Oracle-checkable demo: the test documents carry no natural PII,
+    so inject a deterministic doc_id-derived contact line on BOTH the
+    Ray and SQL sides, then redact — a probative end-to-end check of
+    the actual regexes, not a no-op hash match."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.string())
+        suffix = pc.binary_join_element_wise(
+            " contact user", ids, "@example.com or +1-555-000", ids,
+            " at 192.168.", ids, ".1", "")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pc.binary_join_element_wise(
+                batch.column("text").cast(pa.string()), suffix, ""),
+        })
+
+    return pii_redact(ds.map_batches(inject, batch_format="pyarrow"))
+
+
+PII_REDACT_ORACLE_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or +1-555-000'
+              || doc_id || ' at 192.168.' || doc_id || '.1' AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{IP_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+           '{IP_RE}', '[IP]', 'g'),
+         '{PHONE_RE}', '[PHONE]', 'g') AS clean_text
+FROM injected
+ORDER BY doc_id
+"""
+
+
+def hash_split(ds: "ray.data.Dataset", id_col: str = "doc_id",
+               weights: tuple = (("train", 80), ("val", 10), ("test", 10)),
+               hash_fn: str = "pandas") -> "ray.data.Dataset":
+    """Deterministic train/val/test assignment: bucket =
+    hash64(str(id)) % 100, split by cumulative weights. Stable across
+    runs, resumable, and embarrassingly parallel (no shuffle at all —
+    the label is a pure function of the id). ``hash_fn="md5"`` is the
+    portable venue the SQL oracle checks bit-exactly (see
+    ops/hashing.py)."""
+    total = sum(w for _, w in weights)
+    if total != 100:
+        raise ValueError("split weights must sum to 100")
+    bounds = []
+    acc = 0
+    for name, w in weights:
+        acc += w
+        bounds.append((acc, name))
+    labels = [name for _, name in bounds]
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.string()).to_pylist()
+        bucket = (hash64(ids, hash_fn) % np.uint64(100)).astype("int64")
+        idx = np.searchsorted([b for b, _ in bounds], bucket, side="right")
+        split = pd.Categorical.from_codes(idx, categories=labels) \
+            .astype(str)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "split": pa.array(split, type=pa.string()),
+        })
+
+    return ds.map_batches(part, batch_format="pyarrow")
+
+
+def hash_split_query(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    return hash_split(ds, hash_fn="md5")
+
+
+_BUCKET = MD5_HASH64_SQL.format(col="CAST(doc_id AS VARCHAR)") + " % 100"
+HASH_SPLIT_ORACLE_SQL = f"""
+SELECT doc_id,
+       CAST({_BUCKET} AS BIGINT) AS bucket,
+       CASE WHEN {_BUCKET} < 80 THEN 'train'
+            WHEN {_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+class _ContaminationCheck:
+    """Actor-pool stage holding the broadcast benchmark-phrase list.
+
+    Each phrase scan is one vectorized ``match_substring`` kernel over
+    the whole batch; work is O(phrases × batch chars) with no Python
+    per row. For phrase sets beyond ~10k, route through the n-gram
+    inverted-index machinery in ops/dedup.py instead (hash-shingle
+    join) — this venue is the broadcast small-side one.
+    """
+
+    def __init__(self, phrases_ref, text_col: str, id_col: str):
+        self.phrases = ray.get(phrases_ref) \
+            if not isinstance(phrases_ref, list) else phrases_ref
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column(self.text_col), pa.string())
+        n_hit = np.zeros(batch.num_rows, dtype=np.int64)
+        for p in self.phrases:
+            n_hit += pc.match_substring(text, p).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_phrases_hit": pa.array(n_hit, type=pa.int64()),
+            "contaminated": pa.array(n_hit > 0, type=pa.bool_()),
+        })
+
+
+def decontaminate(ds: "ray.data.Dataset", phrases: list,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Benchmark decontamination: flag documents containing any of the
+    (deduplicated) benchmark phrases as an exact substring. The phrase
+    list is broadcast once via ``ray.put`` and read per actor, never
+    re-shipped per batch."""
+    phrases = sorted(set(p for p in phrases if p))
+    # small sets ride the actor-creation spec directly (restart-safe);
+    # big ones go through the object store once (ray.put) rather than
+    # bloating every task spec
+    payload = phrases if len(phrases) < 10_000 else ray.put(phrases)
+    return ds.map_batches(
+        _ContaminationCheck,
+        fn_constructor_args=(payload, text_col, id_col),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
+_PHRASE_FILTER = "doc_id % 97 = 0 AND length(text) >= 49"
+
+
+def decontaminate_query(sf_dir: str):
+    """Phrases derive deterministically from the corpus itself (a
+    40-char slice of every 97th document) so the oracle can rebuild
+    the identical benchmark set in SQL. In production the phrases come
+    from a small benchmark file instead; the extraction below streams
+    and only the phrase rows (1/97th of doc count) reach the driver —
+    the benchmark side of decontamination is small by definition."""
+    def mk_phrases(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array((ids % 97) == 0))
+        ph = [x[9:49] for x in t.column("text").to_pylist()
+              if x is not None and len(x) >= 49]
+        return pa.table({"phrase": pa.array(ph, type=pa.string())})
+
+    phrase_rows = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
+        .map_batches(mk_phrases, batch_format="pyarrow").take_all()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return decontaminate(ds, [r["phrase"] for r in phrase_rows])
+
+
+DECONTAMINATE_ORACLE_SQL = f"""
+WITH bench AS (
+  SELECT DISTINCT substr(text, 10, 40) AS phrase FROM documents
+  WHERE {_PHRASE_FILTER}
+),
+hits AS (
+  SELECT d.doc_id, COUNT(*) AS n_phrases_hit
+  FROM documents d JOIN bench b ON contains(d.text, b.phrase)
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_phrases_hit, 0) AS BIGINT) AS n_phrases_hit,
+       (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+"""

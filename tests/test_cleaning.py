@@ -1,0 +1,153 @@
+"""Cleaning ops: PII redaction, deterministic hash split, benchmark
+decontamination — planted-case units plus DuckDB-oracle parity on
+random data (the sf fixtures are checked by the driver's correctness
+gate; these tests plant adversarial inputs the fixtures don't have)."""
+
+import random
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rdf_mapper_ray.ops.cleaning import (DECONTAMINATE_ORACLE_SQL,
+                                         HASH_SPLIT_ORACLE_SQL, PII_RULES,
+                                         decontaminate, hash_split,
+                                         pii_redact)
+
+
+@pytest.fixture()
+def con():
+    return duckdb.connect()
+
+
+def _cmp(df, o, key):
+    cols = sorted(df.columns)
+    assert cols == sorted(o.columns), (cols, sorted(o.columns))
+    df = df[cols].sort_values(key).reset_index(drop=True)
+    o = o[cols].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(df, o, check_dtype=False)
+
+
+def test_pii_redact_planted(ray_session):
+    import ray.data
+    docs = [
+        "reach me at alice.smith+work@example.co.uk thanks",
+        "server 10.0.255.7 and backup 192.168.1.1 are down",
+        "call +44-207-9460000 or mail bob@corp.io from 8.8.8.8",
+        "no pii here at all",
+        "",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                    "text": pa.array(docs)})
+    out = pii_redact(ray.data.from_arrow(tbl)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_emails"].tolist() == [1, 0, 1, 0, 0]
+    assert out["n_ips"].tolist() == [0, 2, 1, 0, 0]
+    assert out["n_phones"].tolist() == [0, 0, 1, 0, 0]
+    assert out["clean_text"][0] == "reach me at [EMAIL] thanks"
+    assert out["clean_text"][1] == "server [IP] and backup [IP] are down"
+    assert out["clean_text"][2] == "call [PHONE] or mail [EMAIL] from [IP]"
+    assert out["clean_text"][3] == "no pii here at all"
+
+
+def test_pii_redact_random_oracle(ray_session, con):
+    """RE2 parity: random docs with planted PII must redact identically
+    in pyarrow and DuckDB."""
+    import ray.data
+    rng = random.Random(42)
+    words = ["alpha", "beta", "x", "data", "10.1", "a@b", "+1", "127"]
+    docs = []
+    for i in range(400):
+        parts = rng.choices(words, k=rng.randrange(0, 12))
+        if i % 3 == 0:
+            parts.append(f"user{i}@test{i % 7}.org")
+        if i % 5 == 0:
+            parts.append(f"10.{i % 256}.0.{i % 100}")
+        if i % 7 == 0:
+            parts.append(f"+{1 + i % 90}-555-{1000000 + i}")
+        rng.shuffle(parts)
+        docs.append(" ".join(parts))
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                    "text": pa.array(docs)})
+    con.register("docs", tbl)
+    out = pii_redact(ray.data.from_arrow(tbl).repartition(4)).to_pandas()
+    sql_redact = "text"
+    counts = []
+    for name, pat, repl in PII_RULES:
+        counts.append(f"CAST(len(regexp_extract_all(text, '{pat}')) "
+                      f"AS BIGINT) AS n_{name}")
+        sql_redact = (f"regexp_replace({sql_redact}, '{pat}', "
+                      f"'{repl}', 'g')")
+    o = con.execute(f"SELECT doc_id, {', '.join(counts)}, "
+                    f"{sql_redact} AS clean_text FROM docs").df()
+    _cmp(out, o, ["doc_id"])
+
+
+def test_hash_split_deterministic_and_weighted(ray_session):
+    import ray.data
+    tbl = pa.table({"doc_id": pa.array(range(20000), type=pa.int64())})
+    a = hash_split(ray.data.from_arrow(tbl).repartition(4)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = hash_split(ray.data.from_arrow(tbl).repartition(7)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)           # partition-invariant
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.01
+    assert abs(frac["test"] - 0.1) < 0.01
+    assert ((a["bucket"] >= 0) & (a["bucket"] < 100)).all()
+
+
+def test_hash_split_md5_oracle(ray_session, con):
+    import ray.data
+    tbl = pa.table({"doc_id": pa.array(range(0, 5000, 3), type=pa.int64())})
+    con.register("documents", tbl)
+    out = hash_split(ray.data.from_arrow(tbl).repartition(4),
+                     hash_fn="md5").to_pandas()
+    o = con.execute(HASH_SPLIT_ORACLE_SQL).df()
+    _cmp(out, o, ["doc_id"])
+
+
+def test_hash_split_rejects_bad_weights(ray_session):
+    import ray.data
+    tbl = pa.table({"doc_id": pa.array([1], type=pa.int64())})
+    with pytest.raises(ValueError):
+        hash_split(ray.data.from_arrow(tbl),
+                   weights=(("train", 50), ("test", 40)))
+
+
+def test_decontaminate_planted(ray_session):
+    import ray.data
+    bench_phrase = "the quick brown fox jumps over"
+    docs = [
+        f"prefix {bench_phrase} suffix",          # contaminated
+        "totally clean document",                  # clean
+        bench_phrase,                              # exact match
+        "the quick brown fox sleeps",              # partial: clean
+        f"{bench_phrase} and {bench_phrase}",      # still one phrase
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                    "text": pa.array(docs)})
+    out = decontaminate(ray.data.from_arrow(tbl),
+                        [bench_phrase, "unseen phrase zz"]) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["contaminated"].tolist() == [True, False, True, False, True]
+    assert out["n_phrases_hit"].tolist() == [1, 0, 1, 0, 1]
+
+
+def test_decontaminate_random_oracle(ray_session, con):
+    import ray.data
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = [" ".join(rng.choices(vocab, k=rng.randrange(12, 60)))
+            for _ in range(600)]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                    "text": pa.array(docs)})
+    con.register("documents", tbl)
+    phrases = [t[9:49] for i, t in enumerate(docs)
+               if i % 97 == 0 and len(t) >= 49]
+    out = decontaminate(ray.data.from_arrow(tbl).repartition(4),
+                        phrases).to_pandas()
+    o = con.execute(DECONTAMINATE_ORACLE_SQL).df()
+    _cmp(out, o, ["doc_id"])

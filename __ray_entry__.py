@@ -7,9 +7,11 @@ here (or in the library code it calls) calls ``ray.init()`` /
 ``queries()`` exposes one entry per implemented operator cluster from
 SURVEY.md §2 plus the training-data ops; ``oracle_sql()`` gives the
 DuckDB-equivalent SQL for every SQL-expressible one (same column names,
-same values). Non-SQL-expressible ops (MinHash-LSH candidates, language ID,
-LSH/IVF-ANN) are rows-only checks; simhash and fingerprint run their
-portable md5 hash backend so DuckDB reproduces them bit-exactly.
+same values). Non-SQL-expressible ops (language ID, LSH/IVF-ANN) are
+rows-only checks; simhash, fingerprint and the MinHash-LSH pair ops run
+their portable md5 hash backend so DuckDB reproduces them bit-exactly
+(for the LSH ops the banding itself is replayed in SQL — inlined
+permutation constants, UHUGEINT wraparound arithmetic).
 """
 
 from __future__ import annotations
@@ -102,11 +104,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": quantiles.quantiles_query,
         "interval_session_join": joins.session_interval_join_query,
         "repo_stats": _repo_stats,
-        # rows-only (no SQL oracle): deterministic but non-relational
+        # portable-md5 hash venue: the LSH banding itself is replayed
+        # in SQL (inlined permutation constants + UHUGEINT wraparound)
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(
-            _docs(sf, ["doc_id", "text"])),
+            _docs(sf, ["doc_id", "text"]), hash_fn="md5"),
         "dedup_ngram_lsh": lambda sf: dedup.ngram_jaccard_pairs(
-            _docs(sf, ["doc_id", "text"]), threshold=0.4),
+            _docs(sf, ["doc_id", "text"]), threshold=0.4, hash_fn="md5"),
+        # rows-only (no SQL oracle): deterministic but non-relational
         "simhash": lambda sf: dedup.simhash_table(
             _docs(sf, ["doc_id", "text"]), hash_fn="md5"),
         "lang_id": lambda sf: text.lang_id(_docs(sf, ["doc_id", "text"])),
@@ -180,4 +184,6 @@ def oracle_sql() -> dict[str, str]:
         "repo_stats": _REPO_STATS_SQL,
         "simhash": dedup.SIMHASH_ORACLE_SQL,
         "fingerprint": text.FINGERPRINT_ORACLE_SQL,
+        "dedup_minhash_pairs": dedup.minhash_oracle_sql(),
+        "dedup_ngram_lsh": dedup.ngram_lsh_oracle_sql(threshold=0.4),
     }

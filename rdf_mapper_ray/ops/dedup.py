@@ -123,18 +123,22 @@ def _shingle_strings(text: str, k: int) -> list[str]:
     return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
 
 
-def _shingle_hashes_batch(texts: list, k: int) -> list[np.ndarray]:
+def _shingle_hashes_batch(texts: list, k: int,
+                          backend: str = "pandas") -> list[np.ndarray]:
     """Per-doc 64-bit shingle hashes for a whole batch: ONE vectorized
     pandas hash over every shingle string (C speed) instead of a Python
     blake2b call per shingle — the dominant CPU of the text-dedup ops at
     corpus scale. The hash only needs to be deterministic and
-    collision-resistant (Jaccard/minhash are hash-agnostic)."""
+    collision-resistant (Jaccard/minhash are hash-agnostic);
+    ``backend="md5"`` is the portable venue SQL oracles reproduce
+    bit-exactly (ops/hashing.py)."""
     per_doc = [_shingle_strings(t or "", k) for t in texts]
     lens = [len(p) for p in per_doc]
     flat: list[str] = [s for p in per_doc for s in p]
     if not flat:
         return []
-    h = pd.util.hash_pandas_object(pd.Series(flat), index=False).values
+    from rdf_mapper_ray.ops.hashing import hash64
+    h = hash64(flat, backend)
     out = []
     pos = 0
     for n in lens:
@@ -158,15 +162,16 @@ class MinHashSignatures:
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  num_perm: int = 128, shingle_k: int = 5,
-                 seed: int = 42) -> None:
+                 seed: int = 42, hash_fn: str = "pandas") -> None:
         self.text_col = text_col
         self.id_col = id_col
         self.num_perm = num_perm
         self.k = shingle_k
+        self.hash_fn = hash_fn
         self.a, self.b = _minhash_params(num_perm, seed)
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
+        sh = _shingle_hashes_batch([text], self.k, self.hash_fn)[0]
         # universal hashing: (a*x + b) mod p, min over shingles
         vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
         return vals.min(axis=0)
@@ -177,7 +182,7 @@ class MinHashSignatures:
         # batched universal hashing: concatenate shingles across a
         # chunk of docs, ONE (shingles × perms) broadcast, per-doc min
         # via minimum.reduceat — ~2x the per-doc loop, bounded memory
-        sh_lists = _shingle_hashes_batch(texts, self.k)
+        sh_lists = _shingle_hashes_batch(texts, self.k, self.hash_fn)
         sigs: list[np.ndarray] = []
         CH = 64
         for i in range(0, len(sh_lists), CH):
@@ -277,6 +282,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                       threshold: float = 0.5,
                       seed: int = 42,
                       broadcast_max_docs: int = 100_000,
+                      hash_fn: str = "pandas",
                       ) -> "ray.data.Dataset":
     """Candidate near-duplicate pairs (left_id < right_id, est_jaccard ≥
     threshold by signature agreement).
@@ -291,7 +297,8 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     """
     num_partitions = _num_partitions(ds.count())
     sigs = ds.map_batches(
-        MinHashSignatures(text_col, id_col, num_perm, shingle_k, seed),
+        MinHashSignatures(text_col, id_col, num_perm, shingle_k, seed,
+                          hash_fn),
         batch_format="pyarrow", concurrency=None)
     banded = sigs.map_batches(BandEmitter(num_bands, id_col),
                               batch_format="pyarrow")
@@ -336,7 +343,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     # pass and meet the pairs in a pid-routed co-partition join.
     n_pairs = cand.count()
     sketcher = MinHashSignatures(text_col, id_col, num_perm, shingle_k,
-                                 seed)
+                                 seed, hash_fn)
 
     def as_payload(t: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({
@@ -370,6 +377,144 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     return _verify_pairs_distributed(
         cand, payloads, threshold, num_partitions,
         _prep_signature, _score_signature, "est_jaccard")
+
+
+def minhash_oracle_sql(num_perm: int = 128, num_bands: int = 32,
+                       shingle_k: int = 5, threshold: float = 0.5,
+                       seed: int = 42) -> str:
+    """DuckDB SQL that reproduces ``minhash_lsh_pairs(hash_fn="md5")``
+    bit-exactly — candidates INCLUDED: the permutation constants are
+    inlined as literals, the uint64 wraparound of numpy's universal
+    hashing and of the band mix is replayed through UHUGEINT modular
+    arithmetic, and est_jaccard = matches/num_perm is a dyadic rational
+    so the float compare is exact. The oracle therefore checks the LSH
+    banding itself, not just the verify stage."""
+    ctes = _minhash_cands_ctes(num_perm, num_bands, shingle_k, seed)
+    return f"""
+WITH {ctes}
+SELECT c.l AS left_id, c.r AS right_id,
+       avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END)
+         AS est_jaccard
+FROM cands c
+JOIN sigs sa ON sa.doc_id = c.l
+JOIN sigs sb ON sb.doc_id = c.r AND sb.perm = sa.perm
+GROUP BY c.l, c.r
+HAVING avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END)
+         >= {threshold!r}
+ORDER BY left_id, right_id
+"""
+
+
+def ngram_lsh_oracle_sql(num_perm: int = 128, num_bands: int = 32,
+                         shingle_k: int = 5, threshold: float = 0.5,
+                         seed: int = 42) -> str:
+    """DuckDB SQL reproducing ``ngram_jaccard_pairs(hash_fn="md5")``
+    bit-exactly: the minhash-LSH candidate CTEs (est filter at
+    0.7×threshold, matching the propose stage) composed with the exact
+    distinct-shingle Jaccard verify — the same formulation the green
+    ``dedup_ngram_jaccard`` oracle uses."""
+    est_cut = threshold * 0.7  # Python float, repr round-trips to SQL
+    ctes = _minhash_cands_ctes(num_perm, num_bands, shingle_k, seed)
+    return f"""
+WITH {ctes},
+est AS (
+  SELECT c.l, c.r
+  FROM cands c
+  JOIN sigs sa ON sa.doc_id = c.l
+  JOIN sigs sb ON sb.doc_id = c.r AND sb.perm = sa.perm
+  GROUP BY c.l, c.r
+  HAVING avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END)
+           >= {est_cut!r}
+),
+dsh AS (SELECT DISTINCT doc_id, sh FROM shingled),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT e.l, e.r, count(*) AS i
+  FROM est e
+  JOIN dsh a ON a.doc_id = e.l
+  JOIN dsh b ON b.doc_id = e.r AND b.sh = a.sh
+  GROUP BY e.l, e.r
+)
+SELECT inter.l AS left_id, inter.r AS right_id,
+       inter.i::DOUBLE / (sa.n + sb.n - inter.i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.l
+JOIN sizes sb ON sb.doc_id = inter.r
+WHERE inter.i::DOUBLE / (sa.n + sb.n - inter.i) >= {threshold!r}
+ORDER BY left_id, right_id
+"""
+
+
+def _minhash_cands_ctes(num_perm: int, num_bands: int, shingle_k: int,
+                        seed: int) -> str:
+    """Shared CTE block: documents → shingles → md5 hashes → minhash
+    signatures (numpy uint64 wraparound replayed via UHUGEINT) → band
+    buckets (polynomial mix, wraparound multiplies) → candidate pairs."""
+    a, b = _minhash_params(num_perm, seed)
+    rpb = num_perm // num_bands
+    used = num_bands * rpb
+    a_lit = ", ".join(f"{int(v)}::UBIGINT" for v in a)
+    b_lit = ", ".join(f"{int(v)}::UBIGINT" for v in b)
+    two64 = "18446744073709551616::UHUGEINT"
+
+    def wmul(x: str, c: int) -> str:
+        # uint64 wraparound multiply
+        return (f"CAST((CAST({x} AS UHUGEINT) * {c}::UHUGEINT) "
+                f"% {two64} AS UBIGINT)")
+
+    # fold the band mix: mix = s0; mix = wmul(mix)^s_j; avalanche
+    mix = "sl[1]"
+    for j in range(1, rpb):
+        mix = f"xor({wmul(mix, 0x9E3779B97F4A7C15)}, sl[{j + 1}])"
+    mix = f"xor({mix}, ({mix}) >> 33)"
+    mix = wmul(f"({mix})", 0xC2B2AE3D27D4EB4F)
+    bucket = f"CAST({mix} & 9223372036854775807::UBIGINT AS BIGINT)"
+
+    return f"""words AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS w
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         array_to_string(list_slice(w, i, i + {shingle_k - 1}), ' ') AS sh
+  FROM words,
+       LATERAL (SELECT unnest(range(1, len(w) - {shingle_k - 2})) AS i) t
+  WHERE len(w) >= {shingle_k}
+  UNION ALL
+  SELECT doc_id, array_to_string(w, ' ') AS sh FROM words
+  WHERE len(w) < {shingle_k}
+),
+sh_hash AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(sh), 1, 16))::UBIGINT AS h
+  FROM shingled
+),
+perms AS (
+  SELECT unnest(range({num_perm})) AS perm,
+         unnest([{a_lit}]) AS a, unnest([{b_lit}]) AS b
+),
+sigs AS (
+  SELECT s.doc_id, p.perm,
+         CAST(min((CAST(s.h AS UHUGEINT) * CAST(p.a AS UHUGEINT)
+                   + CAST(p.b AS UHUGEINT))
+                  % {two64} % 2305843009213693951::UHUGEINT)
+              AS UBIGINT) AS sig
+  FROM sh_hash s CROSS JOIN perms p
+  GROUP BY s.doc_id, p.perm
+),
+bands AS (
+  SELECT doc_id, CAST(perm // {rpb} AS INTEGER) AS band,
+         list(sig ORDER BY perm) AS sl
+  FROM sigs WHERE perm < {used}
+  GROUP BY doc_id, band
+),
+buckets AS (SELECT doc_id, band, {bucket} AS bucket FROM bands),
+cands AS (
+  SELECT DISTINCT x.doc_id AS l, y.doc_id AS r
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)"""
 
 
 def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",
@@ -792,7 +937,8 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                         id_col: str = "doc_id", shingle_k: int = 5,
                         threshold: float = 0.5,
                         num_perm: int = 128, num_bands: int = 32,
-                        seed: int = 42) -> "ray.data.Dataset":
+                        seed: int = 42,
+                        hash_fn: str = "pandas") -> "ray.data.Dataset":
     """Near-dup pairs with *exact* n-gram Jaccard: MinHash+LSH proposes
     candidates (cheap, distributed), then every candidate pair is
     verified by the distributed exact-Jaccard stage. Only candidate doc
@@ -800,7 +946,8 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     shingles and pairs all stay Datasets."""
     cands = minhash_lsh_pairs(ds, text_col, id_col, num_perm=num_perm,
                               num_bands=num_bands, shingle_k=shingle_k,
-                              threshold=threshold * 0.7, seed=seed) \
+                              threshold=threshold * 0.7, seed=seed,
+                              hash_fn=hash_fn) \
         .select_columns(["left_id", "right_id"]).materialize()
     n_cands = cands.count()
     if n_cands == 0:

@@ -205,3 +205,49 @@ def test_session_window_composite_key_single_column(ray_session, con):
         .reset_index(drop=True)
     assert (a["n_events"] == b["n_events"]).all()
     assert (a["duration_secs"] == b["duration_secs"]).all()
+
+
+def _random_docs_with_dupes(rng, n=150, n_dupes=10):
+    vocab = [f"t{i}" for i in range(80)]
+    docs = [" ".join(rng.choices(vocab, k=rng.randrange(0, 30)))
+            for _ in range(n)]
+    for i in range(n_dupes):
+        words = docs[i].split()
+        if len(words) > 6:
+            words[len(words) // 2] = "zzz"
+        docs.append(" ".join(words))
+    return pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs),
+    })
+
+
+def test_minhash_pairs_md5_oracle(ray_session, con):
+    """The md5-backend MinHash-LSH op must match the SQL replay of the
+    banding (inlined permutation constants, UHUGEINT wraparound) —
+    candidates included, not just the verify stage."""
+    import ray.data
+    from rdf_mapper_ray.ops.dedup import (minhash_lsh_pairs,
+                                          minhash_oracle_sql)
+    rng = random.Random(110)
+    tbl = _random_docs_with_dupes(rng)
+    con.register("documents", tbl)
+    out = minhash_lsh_pairs(ray.data.from_arrow(tbl).repartition(6),
+                            hash_fn="md5").to_pandas()
+    o = con.execute(minhash_oracle_sql()).fetchdf()
+    assert len(o) > 0          # planted dupes must surface
+    _cmp(out, o)
+
+
+def test_ngram_lsh_md5_oracle(ray_session, con):
+    import ray.data
+    from rdf_mapper_ray.ops.dedup import (ngram_jaccard_pairs,
+                                          ngram_lsh_oracle_sql)
+    rng = random.Random(111)
+    tbl = _random_docs_with_dupes(rng)
+    con.register("documents", tbl)
+    out = ngram_jaccard_pairs(ray.data.from_arrow(tbl).repartition(6),
+                              threshold=0.4, hash_fn="md5").to_pandas()
+    o = con.execute(ngram_lsh_oracle_sql(threshold=0.4)).fetchdf()
+    assert len(o) > 0
+    _cmp(out, o)

@@ -118,11 +118,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "text"]), hash_fn="md5"),
         "session_stats": sessions.session_stats_query,
         "heavy_hitters": topk.heavy_hitters_query,
+        # id pairs compared (cosine column dropped like the exact op:
+        # summation-order ULPs are not contractual, the pair set is)
         "dedup_embedding_lsh": lambda sf: dedup.embedding_neardup_lsh(
             __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
                 f"{sf}/embeddings.parquet",
                 columns=["vec_id", "embedding"]),
-            threshold=0.45, num_planes=3, num_tables=10),
+            threshold=0.45, num_planes=3, num_tables=10)
+            .select_columns(["left_id", "right_id"]),
         "knn_lsh": lambda sf: similarity.knn_lsh(
             ray.data.read_parquet(f"{sf}/embeddings.parquet",
                                   columns=["vec_id", "embedding"]),
@@ -186,4 +189,6 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": text.FINGERPRINT_ORACLE_SQL,
         "dedup_minhash_pairs": dedup.minhash_oracle_sql(),
         "dedup_ngram_lsh": dedup.ngram_lsh_oracle_sql(threshold=0.4),
+        "dedup_embedding_lsh": dedup.embedding_lsh_oracle_sql(
+            dim=64, threshold=0.45, num_planes=3, num_tables=10),
     }

@@ -445,6 +445,54 @@ ORDER BY left_id, right_id
 """
 
 
+def embedding_lsh_oracle_sql(dim: int = 64, threshold: float = 0.95,
+                             num_planes: int = 8, num_tables: int = 4,
+                             seed: int = 42) -> str:
+    """DuckDB SQL reproducing ``embedding_neardup_lsh`` id pairs: the
+    hyperplane constants are inlined (same numpy seed), bucket bits are
+    strict dot>0 signs, candidates share a (table, bucket), and the
+    exact-cosine filter reuses list_cosine_similarity — the same
+    float64 formulation the green exact oracle proves equivalent to
+    the numpy math. The float cosine column itself stays out of the
+    compared output (summation-order ULPs are not contractual; the
+    pair SET is)."""
+    rng = np.random.RandomState(seed)
+    tbl_lit, idx_lit, plane_lit = [], [], []
+    for t in range(num_tables):
+        pl = rng.standard_normal((dim, num_planes))
+        for j in range(num_planes):
+            tbl_lit.append(str(t))
+            idx_lit.append(str(j))
+            plane_lit.append(
+                "[" + ", ".join(repr(float(v)) for v in pl[:, j]) + "]")
+    return f"""
+WITH planes AS (
+  SELECT unnest([{", ".join(tbl_lit)}]) AS tbl,
+         unnest([{", ".join(idx_lit)}]) AS plane_idx,
+         unnest([{", ".join(plane_lit)}]) AS plane
+),
+buckets AS (
+  SELECT e.vec_id, p.tbl,
+         SUM(CASE WHEN list_dot_product(
+                         CAST(e.embedding AS DOUBLE[]), p.plane) > 0
+                  THEN 1 << p.plane_idx ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.tbl
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS l, b.vec_id AS r
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.l AS left_id, c.r AS right_id
+FROM cands c
+JOIN embeddings ea ON ea.vec_id = c.l
+JOIN embeddings eb ON eb.vec_id = c.r
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold!r}
+ORDER BY left_id, right_id
+"""
+
+
 def _minhash_cands_ctes(num_perm: int, num_bands: int, shingle_k: int,
                         seed: int) -> str:
     """Shared CTE block: documents → shingles → md5 hashes → minhash

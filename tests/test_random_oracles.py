@@ -251,3 +251,32 @@ def test_ngram_lsh_md5_oracle(ray_session, con):
     o = con.execute(ngram_lsh_oracle_sql(threshold=0.4)).fetchdf()
     assert len(o) > 0
     _cmp(out, o)
+
+
+def test_embedding_lsh_oracle(ray_session, con):
+    """Hyperplane-LSH pair set must match the SQL replay (inlined plane
+    constants + list_dot_product sign buckets) on random unit-ish
+    vectors with planted near-dupes."""
+    import numpy as np
+
+    import ray.data
+    from rdf_mapper_ray.ops.dedup import (embedding_lsh_oracle_sql,
+                                          embedding_neardup_lsh)
+    rng = np.random.RandomState(112)
+    base = rng.standard_normal((120, 32)).astype(np.float32)
+    dupes = base[:15] + rng.standard_normal((15, 32)).astype(np.float32) * 0.05
+    vecs = np.vstack([base, dupes])
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    con.register("embeddings", tbl)
+    out = embedding_neardup_lsh(
+        ray.data.from_arrow(tbl).repartition(4), threshold=0.9,
+        num_planes=4, num_tables=8) \
+        .select_columns(["left_id", "right_id"]).to_pandas()
+    o = con.execute(embedding_lsh_oracle_sql(
+        dim=32, threshold=0.9, num_planes=4, num_tables=8)).fetchdf()
+    assert len(o) > 0
+    _cmp(out, o)

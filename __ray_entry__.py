@@ -191,4 +191,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_lsh": dedup.ngram_lsh_oracle_sql(threshold=0.4),
         "dedup_embedding_lsh": dedup.embedding_lsh_oracle_sql(
             dim=64, threshold=0.45, num_planes=3, num_tables=10),
+        "knn_lsh": similarity.knn_lsh_oracle_sql(dim=64),
     }

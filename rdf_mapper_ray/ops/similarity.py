@@ -145,6 +145,60 @@ ORDER BY query_id, rank
 """
 
 
+def knn_lsh_oracle_sql(dim: int, num_queries: int = 5, k: int = 10,
+                       num_planes: int = 10, seed: int = 42) -> str:
+    """DuckDB SQL reproducing ``knn_lsh`` bit-exactly: the hyperplane
+    constants are inlined (same seed as HyperplaneSignature), every
+    vector's bucket is rebuilt from list_dot_product sign bits, each
+    query probes its own bucket plus every Hamming-1 neighbor, and the
+    final ranking uses the same (score DESC, neighbor_id ASC) tie-break
+    as _final_topk. Cosine-ranking parity with numpy is already proven
+    by the green brute-force oracle (knn_oracle_sql)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, num_planes))
+    tbl_idx, tbl_vec = [], []
+    for j in range(num_planes):
+        tbl_idx.append(str(j))
+        tbl_vec.append(
+            "[" + ", ".join(repr(float(v)) for v in planes[:, j]) + "]")
+    return f"""
+WITH planes AS (
+  SELECT unnest([{", ".join(tbl_idx)}]) AS plane_idx,
+         unnest([{", ".join(tbl_vec)}]) AS plane
+),
+buckets AS (
+  SELECT e.vec_id, e.embedding,
+         SUM(CASE WHEN list_dot_product(
+                         CAST(e.embedding AS DOUBLE[]), p.plane) > 0
+                  THEN 1 << p.plane_idx ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, e.embedding
+),
+q AS (SELECT * FROM buckets WHERE vec_id < {num_queries}),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket AS probe FROM q
+  UNION ALL
+  SELECT vec_id, embedding, xor(bucket, 1 << p.p)
+  FROM q, (SELECT unnest(range({num_planes})) AS p) p
+),
+cand AS (
+  SELECT pr.query_id, d.vec_id AS neighbor_id,
+         list_cosine_similarity(pr.qe, d.embedding) AS s
+  FROM probes pr JOIN buckets d ON d.bucket = pr.probe
+  WHERE d.vec_id <> pr.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, rank, neighbor_id FROM ranked
+WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 # --- LSH-bucketed ANN (scale path) ------------------------------------------
 
 class HyperplaneSignature:

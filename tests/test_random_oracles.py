@@ -280,3 +280,28 @@ def test_embedding_lsh_oracle(ray_session, con):
         dim=32, threshold=0.9, num_planes=4, num_tables=8)).fetchdf()
     assert len(o) > 0
     _cmp(out, o)
+
+
+def test_knn_lsh_oracle(ray_session, con):
+    """knn_lsh's multi-probe candidates + final ranking must match the
+    SQL hyperplane replay on random vectors."""
+    import numpy as np
+
+    import ray.data
+    from rdf_mapper_ray.ops.similarity import knn_lsh, knn_lsh_oracle_sql
+    rng = np.random.RandomState(113)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    con.register("embeddings", tbl)
+    out = knn_lsh(ray.data.from_arrow(tbl).repartition(4),
+                  list(range(4)), [v.tolist() for v in vecs[:4]],
+                  dim=16, k=6, num_planes=5).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    o = con.execute(knn_lsh_oracle_sql(dim=16, num_queries=4, k=6,
+                                       num_planes=5)).fetchdf()
+    assert len(o) > 0
+    _cmp(out, o)

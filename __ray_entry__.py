@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "text"])),
         "quality_score": lambda sf: text.quality_score(
             _docs(sf, ["doc_id", "text"])),
+        "repetition_signals": text.repetition_query,
         "knn_cosine": lambda sf: similarity.knn_bruteforce_self(sf),
         "mm_decode_dims": multimodal.decode_dims,
         "mm_resize_plan": multimodal.resize_plan,
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_ORACLE_SQL,
         "text_stats": text.TEXT_STATS_ORACLE_SQL,
         "quality_score": text.QUALITY_ORACLE_SQL,
+        "repetition_signals": text.REPETITION_ORACLE_SQL,
         "knn_cosine": similarity.knn_oracle_sql(),
         "mm_decode_dims": multimodal.DECODE_ORACLE_SQL,
         "mm_resize_plan": multimodal.RESIZE_ORACLE_SQL,

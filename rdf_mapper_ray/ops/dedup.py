@@ -520,7 +520,7 @@ def _minhash_cands_ctes(num_perm: int, num_bands: int, shingle_k: int,
 
     return f"""words AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS w
+         regexp_split_to_array(trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13)), '\\s+') AS w
   FROM documents
 ),
 shingled AS (
@@ -1112,7 +1112,7 @@ def ngram_jaccard_exact(ds: "ray.data.Dataset", text_col: str = "text",
 NGRAM_JACCARD_ORACLE_SQL = """
 WITH words AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS w
+         regexp_split_to_array(trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13)), '\\s+') AS w
   FROM documents
 ),
 shingled AS (

@@ -53,6 +53,111 @@ ORDER BY doc_id
 """
 
 
+class RepetitionSignals:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", §A1.1), integer-only so the
+    DuckDB oracle is bit-exact:
+
+    - ``n_lines`` / ``n_dup_lines``: newline-split lines, dups =
+      occurrences beyond each line's first (n_lines - n_distinct).
+    - ``n_2grams`` / ``top_2gram_count``: word-bigram total and the
+      count of the most frequent bigram (the "top n-gram fraction"
+      numerator/denominator, left unratioed to stay integer-exact).
+
+    Vectorized: one pandas explode + groupby per batch over all docs'
+    bigrams at once — no Python loop per document.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        # --- lines ---
+        line_lists = [(t or "").split("\n") for t in texts]
+        ldoc = np.repeat(np.arange(n), [len(x) for x in line_lists])
+        lf = pd.DataFrame({"d": ldoc,
+                           "ln": [s for x in line_lists for s in x]})
+        lstats = lf.groupby("d")["ln"].agg(["count", "nunique"])
+        n_lines = np.zeros(n, dtype=np.int64)
+        n_dup = np.zeros(n, dtype=np.int64)
+        n_lines[lstats.index] = lstats["count"]
+        n_dup[lstats.index] = lstats["count"] - lstats["nunique"]
+        # --- word bigrams ---
+        word_lists = [(t or "").split() for t in texts]
+        wdoc = np.repeat(np.arange(n), [max(len(x) - 1, 0)
+                                        for x in word_lists])
+        bgs = [f"{x[i]} {x[i + 1]}" for x in word_lists
+               for i in range(len(x) - 1)]
+        n_2g = np.zeros(n, dtype=np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        if bgs:
+            bf = pd.DataFrame({"d": wdoc, "bg": bgs})
+            cnt = bf.groupby(["d", "bg"]).size()
+            per_doc = cnt.groupby(level=0).agg(["sum", "max"])
+            n_2g[per_doc.index] = per_doc["sum"]
+            top[per_doc.index] = per_doc["max"]
+        return pa.Table.from_pydict({
+            self.id_col: batch.column(self.id_col),
+            "n_lines": pa.array(n_lines),
+            "n_dup_lines": pa.array(n_dup),
+            "n_2grams": pa.array(n_2g),
+            "top_2gram_count": pa.array(top),
+        })
+
+
+def repetition_signals(ds: "ray.data.Dataset", text_col: str = "text",
+                       id_col: str = "doc_id") -> "ray.data.Dataset":
+    return ds.map_batches(RepetitionSignals(text_col, id_col),
+                          batch_format="pyarrow")
+
+
+def repetition_query(sf_dir: str):
+    import ray.data
+    return repetition_signals(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
+REPETITION_ORACLE_SQL = r"""
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), chr(10))) AS ln
+  FROM documents
+),
+lstats AS (
+  SELECT doc_id, count(*) AS n_lines,
+         count(*) - count(DISTINCT ln) AS n_dup_lines
+  FROM lines GROUP BY doc_id
+),
+words AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13)), '\s+') AS w
+  FROM documents
+),
+bgs AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS bg
+  FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+  WHERE len(w) >= 2
+),
+bcnt AS (SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY doc_id, bg),
+bstats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+         CAST(max(c) AS BIGINT) AS top_2gram_count
+  FROM bcnt GROUP BY doc_id
+)
+SELECT d.doc_id, l.n_lines, l.n_dup_lines,
+       COALESCE(b.n_2grams, 0) AS n_2grams,
+       COALESCE(b.top_2gram_count, 0) AS top_2gram_count
+FROM documents d
+JOIN lstats l USING (doc_id)
+LEFT JOIN bstats b USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 class QualityScore:
     """Heuristic quality signals (int/bool columns; ratio thresholds are
     encoded as integer comparisons so the SQL oracle is exact).

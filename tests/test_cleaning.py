@@ -151,3 +151,42 @@ def test_decontaminate_random_oracle(ray_session, con):
                         phrases).to_pandas()
     o = con.execute(DECONTAMINATE_ORACLE_SQL).df()
     _cmp(out, o, ["doc_id"])
+
+
+def test_repetition_signals_planted(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.text import repetition_signals
+    docs = [
+        "a b\na b\nc d",          # 3 lines, 1 dup; bigrams incl "a b"x2
+        "x y z",                   # 1 line, bigrams: "x y","y z"
+        "",                        # 1 empty line, no bigrams
+        "w w w w",                 # "w w" x3 (overlapping)
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                    "text": pa.array(docs)})
+    out = repetition_signals(ray.data.from_arrow(tbl)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_lines"].tolist() == [3, 1, 1, 1]
+    assert out["n_dup_lines"].tolist() == [1, 0, 0, 0]
+    assert out["n_2grams"].tolist() == [5, 2, 0, 3]
+    assert out["top_2gram_count"].tolist() == [2, 1, 0, 3]
+
+
+def test_repetition_signals_random_oracle(ray_session, con):
+    import ray.data
+    from rdf_mapper_ray.ops.text import (REPETITION_ORACLE_SQL,
+                                         repetition_signals)
+    rng = random.Random(13)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = []
+    for _ in range(500):
+        lines = [" ".join(rng.choices(vocab, k=rng.randrange(0, 8)))
+                 for _ in range(rng.randrange(1, 6))]
+        docs.append("\n".join(lines))
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                    "text": pa.array(docs)})
+    con.register("documents", tbl)
+    out = repetition_signals(ray.data.from_arrow(tbl).repartition(4)) \
+        .to_pandas()
+    o = con.execute(REPETITION_ORACLE_SQL).df()
+    _cmp(out, o, ["doc_id"])

@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_resize_plan": multimodal.resize_plan,
         "pii_redact": cleaning.pii_redact_query,
         "hash_split": cleaning.hash_split_query,
+        "stratified_sample": cleaning.stratified_sample_query,
         "decontaminate": cleaning.decontaminate_query,
         "sessionize": sessions.sessionize_query,
         "session_window": sessions.session_window_query,
@@ -174,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_resize_plan": multimodal.RESIZE_ORACLE_SQL,
         "pii_redact": cleaning.PII_REDACT_ORACLE_SQL,
         "hash_split": cleaning.HASH_SPLIT_ORACLE_SQL,
+        "stratified_sample": cleaning.STRATIFIED_SAMPLE_ORACLE_SQL,
         "decontaminate": cleaning.DECONTAMINATE_ORACLE_SQL,
         "sessionize": sessions.sessionize_oracle_sql(),
         "session_stats": sessions.session_stats_oracle_sql(),

@@ -162,8 +162,22 @@ def scaling(sf_dir: str, low: int = 8, high: int = 32,
 
     samples = []
     for i in range(pairs):
-        lo = leg(low, want_vec=(i == 0))
-        hi = leg(high, want_vec=(i == 0))
+        # best-of-2 PER LEVEL inside each pair: ambient stalls are
+        # strictly additive and hit the short high-cpu leg harder
+        # (observed 14-38 s for identical 32-cpu runs vs a stable
+        # 62-68 s at 8 cpus), so a single-shot pair is biased LOW;
+        # min-wall per level estimates the noise floor of both legs
+        def best_of(n: int, want_vec: bool) -> dict:
+            tries = [leg(n, want_vec=(want_vec and a == 0))
+                     for a in range(2)]
+            out = min(tries, key=lambda r: r["sec"])
+            vec = [t["vectorized"] for t in tries if "vectorized" in t]
+            if vec and "vectorized" not in out:
+                out["vectorized"] = vec[0]
+            return out
+
+        lo = best_of(low, want_vec=(i == 0))
+        hi = best_of(high, want_vec=(i == 0))
         eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (high / low)
         samples.append({"pair": i + 1, "efficiency": round(eff, 3),
                         "low": lo, "high": hi})

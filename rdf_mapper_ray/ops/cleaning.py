@@ -164,6 +164,51 @@ ORDER BY doc_id
 """
 
 
+def stratified_sample(ds: "ray.data.Dataset", rates: dict,
+                      group_col: str = "lang", id_col: str = "doc_id",
+                      default_rate: float = 1.0,
+                      hash_fn: str = "pandas") -> "ray.data.Dataset":
+    """Deterministic per-group downsampling (e.g. rebalance languages):
+    keep a row iff hash64(str(id)) % 10000 < rate[group]*10000. Like
+    hash_split this is a pure function of the id — zero shuffle,
+    partition-invariant, resumable, and the same row set survives
+    re-runs (unlike ``ds.random_sample``). Rates quantize to 1/10000
+    so the md5 venue has an integer-exact SQL oracle."""
+    cuts = {g: int(round(r * 10000)) for g, r in rates.items()}
+    default_cut = int(round(default_rate * 10000))
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.string()).to_pylist()
+        bucket = (hash64(ids, hash_fn) % np.uint64(10000)).astype("int64")
+        groups = batch.column(group_col).to_pylist()
+        cut = np.fromiter((cuts.get(g, default_cut) for g in groups),
+                          dtype=np.int64, count=len(groups))
+        return batch.filter(pa.array(bucket < cut))
+
+    return ds.map_batches(part, batch_format="pyarrow")
+
+
+# demo rates for the documents table (deterministic, oracle-mirrored)
+SAMPLE_RATES = {"en": 1.0, "de": 0.5, "es": 0.25, "zh": 0.1}
+
+
+def stratified_sample_query(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    return stratified_sample(ds, SAMPLE_RATES, default_rate=0.75,
+                             hash_fn="md5")
+
+
+_SBUCKET = MD5_HASH64_SQL.format(col="CAST(doc_id AS VARCHAR)") + " % 10000"
+STRATIFIED_SAMPLE_ORACLE_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_SBUCKET} < CASE lang
+  WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+  WHEN 'es' THEN 2500 WHEN 'zh' THEN 1000 ELSE 7500 END
+ORDER BY doc_id
+"""
+
+
 class _ContaminationCheck:
     """Actor-pool stage holding the broadcast benchmark-phrase list.
 

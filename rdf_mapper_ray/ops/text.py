@@ -18,9 +18,19 @@ import pyarrow.compute as pc
 import ray.data
 
 
+# BPE-ish pre-tokenizer: the GPT-2 pattern with its RE2-incompatible
+# trailing-space lookahead dropped — contractions, unicode letter runs,
+# digit runs, punctuation runs, whitespace runs. RE2 in both pyarrow and
+# DuckDB (leftmost-first alternation), so counts agree bit-exactly.
+BPE_TOKEN_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+                r"| ?[^\s\p{L}\p{N}]+|\s+")
+
+
 class TextStats:
-    """doc -> (id, n_chars, n_tokens, n_alpha) — integer-only outputs so
-    the DuckDB oracle matches bit-exactly."""
+    """doc -> (id, n_chars, n_tokens, n_alpha, n_bpe_tokens) —
+    integer-only outputs so the DuckDB oracle matches bit-exactly.
+    ``n_bpe_tokens`` counts GPT-2-style pre-tokenizer pieces (the
+    cheap length-in-tokens estimate a data pipeline budgets by)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
         self.text_col = text_col
@@ -35,6 +45,8 @@ class TextStats:
                 pc.count_substring_regex(text, r"\S+"), pa.int64()),
             "n_alpha": pc.cast(
                 pc.count_substring_regex(text, r"[A-Za-z]"), pa.int64()),
+            "n_bpe_tokens": pc.cast(
+                pc.count_substring_regex(text, BPE_TOKEN_RE), pa.int64()),
         })
 
 
@@ -43,11 +55,13 @@ def text_stats(ds: "ray.data.Dataset", text_col: str = "text",
     return ds.map_batches(TextStats(text_col, id_col), batch_format="pyarrow")
 
 
-TEXT_STATS_ORACLE_SQL = """
+TEXT_STATS_ORACLE_SQL = f"""
 SELECT doc_id,
        length(text) AS n_chars,
        len(regexp_extract_all(text, '\\S+')) AS n_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+       len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE.replace("'", "''")}'))
+         AS n_bpe_tokens
 FROM documents
 ORDER BY doc_id
 """

@@ -190,3 +190,42 @@ def test_repetition_signals_random_oracle(ray_session, con):
         .to_pandas()
     o = con.execute(REPETITION_ORACLE_SQL).df()
     _cmp(out, o, ["doc_id"])
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.cleaning import stratified_sample
+    tbl = pa.table({
+        "doc_id": pa.array(range(40000), type=pa.int64()),
+        "lang": pa.array([["en", "de", "es", "zh"][i % 4]
+                          for i in range(40000)]),
+    })
+    rates = {"en": 1.0, "de": 0.5, "es": 0.25, "zh": 0.1}
+    a = stratified_sample(ray.data.from_arrow(tbl).repartition(4), rates) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = stratified_sample(ray.data.from_arrow(tbl).repartition(9), rates) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)           # partition-invariant
+    kept = a["lang"].value_counts()
+    assert kept["en"] == 10000                     # rate 1.0 keeps all
+    for g, r in [("de", 0.5), ("es", 0.25), ("zh", 0.1)]:
+        assert abs(kept.get(g, 0) / 10000 - r) < 0.03
+
+
+def test_stratified_sample_md5_oracle(ray_session, con):
+    import ray.data
+    from rdf_mapper_ray.ops.cleaning import (SAMPLE_RATES,
+                                             STRATIFIED_SAMPLE_ORACLE_SQL,
+                                             stratified_sample)
+    tbl = pa.table({
+        "doc_id": pa.array(range(3000), type=pa.int64()),
+        "lang": pa.array([["en", "de", "es", "zh", "fr"][i % 5]
+                          for i in range(3000)]),
+    })
+    con.register("documents", tbl)
+    out = stratified_sample(ray.data.from_arrow(tbl).repartition(4),
+                            SAMPLE_RATES, default_rate=0.75,
+                            hash_fn="md5").to_pandas()
+    o = con.execute(STRATIFIED_SAMPLE_ORACLE_SQL).df()
+    assert 0 < len(o) < 3000
+    _cmp(out, o, ["doc_id"])

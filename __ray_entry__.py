@@ -7,11 +7,12 @@ here (or in the library code it calls) calls ``ray.init()`` /
 ``queries()`` exposes one entry per implemented operator cluster from
 SURVEY.md §2 plus the training-data ops; ``oracle_sql()`` gives the
 DuckDB-equivalent SQL for every SQL-expressible one (same column names,
-same values). Non-SQL-expressible ops (language ID, LSH/IVF-ANN) are
-rows-only checks; simhash, fingerprint and the MinHash-LSH pair ops run
-their portable md5 hash backend so DuckDB reproduces them bit-exactly
-(for the LSH ops the banding itself is replayed in SQL — inlined
-permutation constants, UHUGEINT wraparound arithmetic).
+same values). The only rows-only check left is IVF-ANN (its kmeans
+training is not SQL-expressible); simhash, fingerprint, lang-id and
+the MinHash/hyperplane-LSH ops run portable backends so DuckDB
+reproduces them bit-exactly (for the LSH ops the banding itself is
+replayed in SQL — inlined permutation constants, UHUGEINT wraparound
+arithmetic; for lang-id the trigram profiles and argmax tie order).
 """
 
 from __future__ import annotations
@@ -52,8 +53,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rdf_mapper_ray.ops import (dedup, distinct, joins, multimodal,
-                                    cleaning, quantiles, sessions, similarity, text,
+    from rdf_mapper_ray.ops import (clusters, dedup, distinct, joins,
+                                    multimodal, cleaning, paragraphs,
+                                    quantiles, sessions, similarity, text,
                                     topk, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
@@ -96,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": cleaning.hash_split_query,
         "stratified_sample": cleaning.stratified_sample_query,
         "decontaminate": cleaning.decontaminate_query,
+        "paragraph_dedup": paragraphs.paragraph_dedup_query,
+        "dedup_keep_best": clusters.dedup_keep_best_query,
         "sessionize": sessions.sessionize_query,
         "session_window": sessions.session_window_query,
         "window_tumbling": windows.tumbling_query,
@@ -112,7 +116,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "text"]), hash_fn="md5"),
         "dedup_ngram_lsh": lambda sf: dedup.ngram_jaccard_pairs(
             _docs(sf, ["doc_id", "text"]), threshold=0.4, hash_fn="md5"),
-        # rows-only (no SQL oracle): deterministic but non-relational
         "simhash": lambda sf: dedup.simhash_table(
             _docs(sf, ["doc_id", "text"]), hash_fn="md5"),
         "lang_id": lambda sf: text.lang_id(_docs(sf, ["doc_id", "text"])),
@@ -140,8 +143,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rdf_mapper_ray.ops import (dedup, distinct, joins, multimodal,
-                                    cleaning, quantiles, sessions, similarity, text,
+    from rdf_mapper_ray.ops import (clusters, dedup, distinct, joins,
+                                    multimodal, cleaning, paragraphs,
+                                    quantiles, sessions, similarity, text,
                                     topk, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
@@ -177,6 +181,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": cleaning.HASH_SPLIT_ORACLE_SQL,
         "stratified_sample": cleaning.STRATIFIED_SAMPLE_ORACLE_SQL,
         "decontaminate": cleaning.DECONTAMINATE_ORACLE_SQL,
+        "paragraph_dedup": paragraphs.PARAGRAPH_DEDUP_ORACLE_SQL,
+        "dedup_keep_best": clusters.keep_best_oracle_sql(),
         "sessionize": sessions.sessionize_oracle_sql(),
         "session_stats": sessions.session_stats_oracle_sql(),
         "session_window": sessions.session_window_oracle_sql(),
@@ -191,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "repo_stats": _REPO_STATS_SQL,
         "simhash": dedup.SIMHASH_ORACLE_SQL,
         "fingerprint": text.FINGERPRINT_ORACLE_SQL,
+        "lang_id": text.LANG_ID_ORACLE_SQL,
         "dedup_minhash_pairs": dedup.minhash_oracle_sql(),
         "dedup_ngram_lsh": dedup.ngram_lsh_oracle_sql(threshold=0.4),
         "dedup_embedding_lsh": dedup.embedding_lsh_oracle_sql(

@@ -1,0 +1,283 @@
+"""Near-duplicate cluster formation and keep-best representative
+selection.
+
+``minhash_lsh_pairs`` (and friends) emit duplicate PAIRS; a real
+training-data pipeline needs the transitive clusters those pairs imply
+(A~B, B~C ⇒ {A,B,C}) and then one SURVIVOR per cluster — usually the
+highest-quality member, not the arbitrary min-id one. This module adds
+both:
+
+- ``dup_clusters(pairs)``: connected components over the pair graph,
+  labelled by the cluster's min id. Venue by pair count (same dispatch
+  as ``minhash_dedup``): driver union-find below
+  ``driver_max_pairs``, the distributed min-label propagation of
+  engine/canonicalize.py above it (labels stay a Dataset end to end).
+- ``dedup_keep_best(ds)``: pairs → clusters → per-cluster argmax of an
+  integer quality score (default: non-whitespace character count, the
+  "keep the longest member" heuristic), ties broken by min id. Every
+  document appears in the output with its cluster id (own id when
+  unclustered), score, and a ``kept`` flag.
+
+Scale shape: the cluster-assignment table holds only docs that appear
+in some duplicate pair. Below ``broadcast_max_nodes`` it is broadcast
+once (``ray.put``) and consulted via vectorized ``searchsorted``;
+above it — web corpora can be 30%+ duplicates — assignments are routed
+by ``hash(doc_id)`` against the score rows and joined inside
+``map_groups`` (co-partition venue, nothing corpus-sized on the
+driver). The keep decision itself is always distributed: score rows
+(24 bytes) shuffle by ``hash(cluster_id)`` and each reduce task picks
+winners vectorized.
+
+The DuckDB oracle replays the WHOLE pipeline in SQL: the bit-exact
+minhash-LSH candidate/verify CTEs (ops/dedup.py) composed with a
+recursive-CTE transitive closure and a window-function argmax — so the
+driver's hash compare covers cluster formation, not just the pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from rdf_mapper_ray.ops.dedup import (_minhash_cands_ctes, _num_partitions,
+                                      minhash_lsh_pairs)
+
+
+def dup_clusters(pairs: "ray.data.Dataset", id_col: str = "doc_id",
+                 driver_max_pairs: int = 2_000_000) -> "ray.data.Dataset":
+    """(id_col, cluster_id) for every node appearing in ``pairs``
+    (columns left_id/right_id); cluster_id = the component's min id.
+    Roots are included (cluster_id == their own id)."""
+    pairs = pairs.select_columns(["left_id", "right_id"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(pa.Table.from_pydict(
+            {id_col: pa.array([], type=pa.int64()),
+             "cluster_id": pa.array([], type=pa.int64())}))
+    if n_pairs <= driver_max_pairs:
+        tbl = pairs.to_pandas()
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        nodes = set()
+        for l, r in zip(tbl["left_id"], tbl["right_id"]):
+            nodes.add(int(l))
+            nodes.add(int(r))
+            ra, rb = find(l), find(r)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = sorted((n, int(find(n))) for n in nodes)
+        return ray.data.from_arrow(pa.Table.from_pydict({
+            id_col: pa.array([n for n, _ in out], type=pa.int64()),
+            "cluster_id": pa.array([c for _, c in out], type=pa.int64()),
+        }))
+
+    # distributed venue: zero-padded decimal labels keep numeric min-id
+    # order under the propagation's lexicographic min (same trick as
+    # minhash_dedup)
+    from rdf_mapper_ray.engine.canonicalize import _cc_min_label
+
+    def as_str_edges(batch: pa.Table) -> pa.Table:
+        l = batch.column("left_id").to_pylist()
+        r = batch.column("right_id").to_pylist()
+        return pa.Table.from_pydict({
+            "a": pa.array([f"{v:020d}" for v in l], type=pa.string()),
+            "b": pa.array([f"{v:020d}" for v in r], type=pa.string()),
+        })
+
+    labels = _cc_min_label(pairs.map_batches(as_str_edges,
+                                             batch_format="pyarrow"))
+
+    def as_ints(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            id_col: pa.array([int(v) for v in
+                              batch.column("node").to_pylist()],
+                             type=pa.int64()),
+            "cluster_id": pa.array([int(v) for v in
+                                    batch.column("label").to_pylist()],
+                                   type=pa.int64()),
+        })
+
+    return labels.map_batches(as_ints, batch_format="pyarrow")
+
+
+class _AssignBroadcast:
+    """Attach cluster_id to score rows via a broadcast sorted-array
+    lookup (unclustered docs keep their own id)."""
+
+    def __init__(self, assign_ref, id_col: str):
+        a = assign_ref if isinstance(assign_ref, dict) \
+            else ray.get(assign_ref)
+        self.nodes, self.labels = a["nodes"], a["labels"]
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        cluster = ids.copy()
+        if len(self.nodes):
+            idx = np.clip(np.searchsorted(self.nodes, ids), 0,
+                          len(self.nodes) - 1)
+            hit = self.nodes[idx] == ids
+            cluster[hit] = self.labels[idx[hit]]
+        return batch.append_column(
+            "cluster_id", pa.array(cluster, type=pa.int64()))
+
+
+def _assign_copartition(scores: "ray.data.Dataset",
+                        clusters: "ray.data.Dataset", id_col: str,
+                        num_partitions: int) -> "ray.data.Dataset":
+    """Scale venue: route score rows and cluster rows by hash(doc_id)
+    and merge inside map_groups — no driver copy of the assignments."""
+    def add_pid(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(batch.column(id_col).to_numpy(zero_copy_only=False)),
+            index=False).to_numpy()
+        pid = (h % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("pid", pa.array(pid, type=pa.int64()))
+
+    s_tag = scores.map_batches(
+        lambda b: b.append_column(
+            "cluster_id", pa.array(np.full(b.num_rows, -1), type=pa.int64())),
+        batch_format="pyarrow").map_batches(add_pid, batch_format="pyarrow")
+    c_tag = clusters.map_batches(
+        lambda b: pa.table({
+            id_col: b.column(id_col),
+            "score": pa.array(np.full(b.num_rows, -1), type=pa.int64()),
+            "cluster_id": b.column("cluster_id")}),
+        batch_format="pyarrow").map_batches(add_pid, batch_format="pyarrow")
+
+    def join(group: pd.DataFrame) -> pd.DataFrame:
+        s = group[group["cluster_id"] < 0][[id_col, "score"]]
+        c = group[group["cluster_id"] >= 0][[id_col, "cluster_id"]]
+        m = s.merge(c, on=id_col, how="left")
+        m["cluster_id"] = m["cluster_id"].fillna(m[id_col]).astype(np.int64)
+        return m[[id_col, "score", "cluster_id"]]
+
+    return s_tag.union(c_tag).groupby("pid") \
+        .map_groups(join, batch_format="pandas")
+
+
+def dedup_keep_best(ds: "ray.data.Dataset", text_col: str = "text",
+                    id_col: str = "doc_id",
+                    broadcast_max_nodes: int = 1_000_000,
+                    venue: Optional[str] = None,
+                    rows_hint: Optional[int] = None,
+                    **lsh_kwargs) -> "ray.data.Dataset":
+    """Near-dup clusters via minhash-LSH, one survivor per cluster by
+    max score (non-whitespace chars), tie → min id. Returns every doc:
+    (id_col, cluster_id, score, kept)."""
+    import pyarrow.compute as pc
+
+    num_partitions = _num_partitions(
+        rows_hint if rows_hint is not None else ds.count())
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, **lsh_kwargs)
+    clusters = dup_clusters(pairs, id_col).materialize()
+    n_nodes = clusters.count()
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        n_ws = pc.cast(pc.count_substring_regex(text, r"\s"), pa.int64())
+        return pa.table({
+            id_col: batch.column(id_col),
+            "score": pc.subtract(
+                pc.cast(pc.utf8_length(text), pa.int64()), n_ws),
+        })
+
+    scores = ds.map_batches(score_rows, batch_format="pyarrow")
+
+    if venue == "broadcast" or (venue is None
+                                and n_nodes <= broadcast_max_nodes):
+        rows = clusters.to_pandas().sort_values(id_col)
+        payload = {"nodes": rows[id_col].to_numpy(dtype=np.int64),
+                   "labels": rows["cluster_id"].to_numpy(dtype=np.int64)}
+        ref = payload if n_nodes < 100_000 else ray.put(payload)
+        assigned = scores.map_batches(
+            _AssignBroadcast, fn_constructor_args=(ref, id_col),
+            batch_format="pyarrow", concurrency=(1, 8))
+    else:
+        assigned = _assign_copartition(scores, clusters, id_col,
+                                       num_partitions)
+
+    # distributed keep decision: 24-byte rows shuffle by cluster hash,
+    # winners picked vectorized inside each reduce task
+    def add_cpid(batch: pa.Table) -> pa.Table:
+        h = batch.column("cluster_id").to_numpy(zero_copy_only=False) \
+            .view(np.uint64)
+        pid = (h % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("pid", pa.array(pid, type=pa.int64()))
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cluster_id", "score", id_col],
+                              ascending=[True, False, True],
+                              kind="stable")
+        g["kept"] = ~g["cluster_id"].duplicated()
+        return g[[id_col, "cluster_id", "score", "kept"]]
+
+    return assigned.map_batches(add_cpid, batch_format="pyarrow") \
+        .groupby("pid").map_groups(pick, batch_format="pandas")
+
+
+# --- demo query + oracle -----------------------------------------------------
+
+def dedup_keep_best_query(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return dedup_keep_best(ds, rows_hint=ds.count(), hash_fn="md5")
+
+
+def keep_best_oracle_sql(num_perm: int = 128, num_bands: int = 32,
+                         shingle_k: int = 5, threshold: float = 0.5,
+                         seed: int = 42) -> str:
+    """Full SQL replay: bit-exact minhash-LSH pairs (shared CTEs),
+    recursive-CTE min-label transitive closure, window-function argmax.
+    The closure enumerates every (node, reachable-label) pair — fine at
+    oracle scale, and exactly the semantics the distributed CC must
+    reproduce."""
+    ctes = _minhash_cands_ctes(num_perm, num_bands, shingle_k, seed)
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS (
+  SELECT c.l, c.r
+  FROM cands c
+  JOIN sigs sa ON sa.doc_id = c.l
+  JOIN sigs sb ON sb.doc_id = c.r AND sb.perm = sa.perm
+  GROUP BY c.l, c.r
+  HAVING avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END)
+           >= {threshold!r}
+),
+nodes AS (SELECT l AS node FROM pairs UNION SELECT r FROM pairs),
+uedges AS (SELECT l AS a, r AS b FROM pairs
+           UNION ALL SELECT r, l FROM pairs),
+reach(node, label) AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.b, rc.label FROM reach rc JOIN uedges e ON e.a = rc.node
+),
+comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+scored AS (
+  SELECT doc_id,
+         length(text) - len(regexp_extract_all(text, '\\s')) AS score
+  FROM documents
+),
+asg AS (
+  SELECT s.doc_id, COALESCE(c.cluster_id, s.doc_id) AS cluster_id,
+         s.score
+  FROM scored s LEFT JOIN comp c ON c.node = s.doc_id
+)
+SELECT doc_id, cluster_id, CAST(score AS BIGINT) AS score,
+       (row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY score DESC, doc_id) = 1) AS kept
+FROM asg ORDER BY doc_id
+"""

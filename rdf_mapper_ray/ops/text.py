@@ -286,6 +286,66 @@ def lang_id(ds: "ray.data.Dataset", text_col: str = "text",
                           concurrency=None)
 
 
+def _lang_id_oracle_sql() -> str:
+    """Bit-exact SQL replay of ``LangID.classify``: both the doc and
+    the marker profiles are re-derived in SQL with the same
+    space-padded-word trigram counting, score = Σ min(profile n, doc n)
+    over profile grams, and the winner reproduces the Python loop's
+    tie behavior (first dict-order lang with a strictly greater score;
+    'unknown' when every score is 0)."""
+    markers = ", ".join(
+        f"('{lang}', {i}, '{words}')"
+        for i, (lang, words) in enumerate(_LANG_MARKERS.items()))
+    ws = "' ' || chr(9) || chr(10) || chr(13)"
+    return f"""
+WITH docwords AS (
+  SELECT doc_id,
+         unnest(list_slice(
+           regexp_split_to_array(trim(COALESCE(text, ''), {ws}), '\\s+'),
+           1, 200)) AS w
+  FROM documents
+),
+docgrams AS (
+  SELECT doc_id, substr(' ' || w || ' ', i, 3) AS g,
+         count(*) AS n
+  FROM docwords,
+       LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) t
+  GROUP BY doc_id, g
+),
+markers AS (SELECT * FROM (VALUES {markers}) AS m(lang, ord, ws)),
+mwords AS (
+  SELECT lang, ord, unnest(string_split(ws, ' ')) AS w FROM markers
+),
+profgrams AS (
+  SELECT lang, ord, substr(' ' || w || ' ', i, 3) AS g,
+         count(*) AS pn
+  FROM mwords,
+       LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) t
+  GROUP BY lang, ord, g
+),
+scores AS (
+  SELECT d.doc_id, pg.lang, pg.ord,
+         SUM(LEAST(pg.pn, COALESCE(dg.n, 0))) AS score
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN profgrams pg
+  LEFT JOIN docgrams dg ON dg.doc_id = d.doc_id AND dg.g = pg.g
+  GROUP BY d.doc_id, pg.lang, pg.ord
+),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, ord) AS rn
+  FROM scores
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'unknown' END AS predicted_lang
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+LANG_ID_ORACLE_SQL = _lang_id_oracle_sql()
+
+
 # --- fingerprinting ----------------------------------------------------------
 
 class Fingerprint:

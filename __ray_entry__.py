@@ -7,12 +7,14 @@ here (or in the library code it calls) calls ``ray.init()`` /
 ``queries()`` exposes one entry per implemented operator cluster from
 SURVEY.md §2 plus the training-data ops; ``oracle_sql()`` gives the
 DuckDB-equivalent SQL for every SQL-expressible one (same column names,
-same values). The only rows-only check left is IVF-ANN (its kmeans
-training is not SQL-expressible); simhash, fingerprint, lang-id and
-the MinHash/hyperplane-LSH ops run portable backends so DuckDB
-reproduces them bit-exactly (for the LSH ops the banding itself is
-replayed in SQL — inlined permutation constants, UHUGEINT wraparound
-arithmetic; for lang-id the trigram profiles and argmax tie order).
+same values). EVERY query has an oracle: simhash, fingerprint,
+lang-id and the MinHash/hyperplane-LSH ops run portable backends so
+DuckDB reproduces them bit-exactly (for the LSH ops the banding
+itself is replayed in SQL — inlined permutation constants, UHUGEINT
+wraparound arithmetic; for lang-id the trigram profiles and argmax
+tie order); IVF-ANN runs full-probe (nprobe == nlist ⇒ exact top-k
+whatever kmeans converged to) against the brute-force SQL, with the
+scan-reduction path covered by recall units.
 """
 
 from __future__ import annotations
@@ -118,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "text"]), threshold=0.4, hash_fn="md5"),
         "simhash": lambda sf: dedup.simhash_table(
             _docs(sf, ["doc_id", "text"]), hash_fn="md5"),
+        "simhash_pairs": lambda sf: dedup.simhash_pairs(
+            _docs(sf, ["doc_id", "text"]), max_hamming=3, hash_fn="md5"),
         "lang_id": lambda sf: text.lang_id(_docs(sf, ["doc_id", "text"])),
         "fingerprint": lambda sf: text.fingerprints(
             _docs(sf, ["doc_id", "text"]), hash_fn="md5"),
@@ -135,10 +139,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(f"{sf}/embeddings.parquet",
                                   columns=["vec_id", "embedding"]),
             *_first_queries(sf), dim=64),
+        # full-probe contract: IVF-Flat with nprobe == nlist must return
+        # the exact global top-k regardless of what kmeans converged to,
+        # so the whole index path (driver kmeans, cluster assignment,
+        # per-cluster scan, merge) is checked against the brute-force
+        # SQL oracle; the nlist/nprobe scan-reduction path is covered by
+        # the recall units in tests/test_ops.py
         "knn_ivf": lambda sf: similarity.knn_ivf(
             ray.data.read_parquet(f"{sf}/embeddings.parquet",
                                   columns=["vec_id", "embedding"]),
-            *_first_queries(sf)),
+            *_first_queries(sf), nlist=16, nprobe=16),
     }
 
 
@@ -196,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_session_join": joins.SESSION_INTERVAL_ORACLE_SQL,
         "repo_stats": _REPO_STATS_SQL,
         "simhash": dedup.SIMHASH_ORACLE_SQL,
+        "simhash_pairs": dedup.simhash_pairs_oracle_sql(max_hamming=3),
         "fingerprint": text.FINGERPRINT_ORACLE_SQL,
         "lang_id": text.LANG_ID_ORACLE_SQL,
         "dedup_minhash_pairs": dedup.minhash_oracle_sql(),
@@ -203,4 +214,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": dedup.embedding_lsh_oracle_sql(
             dim=64, threshold=0.45, num_planes=3, num_tables=10),
         "knn_lsh": similarity.knn_lsh_oracle_sql(dim=64),
+        "knn_ivf": similarity.knn_oracle_sql(num_queries=5),
     }

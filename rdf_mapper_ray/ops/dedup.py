@@ -689,8 +689,7 @@ def simhash_table(ds: "ray.data.Dataset", text_col: str = "text",
 # bit-exact DuckDB equivalent of simhash_table(..., hash_fn="md5"):
 # same tokenization (whitespace runs, empties dropped), same md5-based
 # 64-bit word hash, same majority bit votes (votes > 0 sets the bit)
-SIMHASH_ORACLE_SQL = r"""
-WITH w AS (
+_SIMHASH_CTES = r"""w AS (
   SELECT doc_id,
          unnest(string_split_regex(trim(coalesce(text, '')), '\s+')) AS word
   FROM documents
@@ -709,11 +708,190 @@ WITH w AS (
                   THEN (1::UBIGINT << i) ELSE 0::UBIGINT END) AS sh
   FROM bits JOIN counts USING (doc_id)
   GROUP BY bits.doc_id
-)
-SELECT d.doc_id, coalesce(v.sh, 0)::UBIGINT AS simhash
-FROM documents d LEFT JOIN vals v USING (doc_id)
-ORDER BY d.doc_id
-"""
+), fp AS (
+  SELECT d.doc_id, coalesce(v.sh, 0)::UBIGINT AS simhash
+  FROM documents d LEFT JOIN vals v USING (doc_id)
+)"""
+
+SIMHASH_ORACLE_SQL = (
+    "WITH " + _SIMHASH_CTES
+    + "\nSELECT doc_id, simhash FROM fp ORDER BY doc_id\n")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) \
+        + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)) \
+        .astype(np.int64)
+
+
+def _simhash_blocks(num_blocks: int) -> list[tuple[int, int]]:
+    """(start_bit, width) for ``num_blocks`` nearly-equal blocks of 64."""
+    base, extra = divmod(64, num_blocks)
+    out, start = [], 0
+    for i in range(num_blocks):
+        w = base + (1 if i < extra else 0)
+        out.append((start, w))
+        start += w
+    return out
+
+
+class SimHashBlockEmitter:
+    """fingerprint -> one LIGHT bucket row per block combination.
+
+    Manku/Jain/Das Sarma (WWW'07) pigeonhole scheme: split the 64-bit
+    fingerprint into ``num_blocks`` nearly-equal bit blocks. A pair
+    within Hamming distance d differs in at most d blocks, so it agrees
+    EXACTLY on at least one combination of (num_blocks - d) blocks —
+    emitting one bucket row per combination (key = the chosen blocks'
+    bits concatenated) gives complete recall for distance ≤ d. Unlike
+    minhash signatures, the 8-byte fingerprint IS the verification
+    payload, so it rides the shuffle and pairs are verified inline in
+    the reduce task (no separate verify join). At web scale raise
+    ``num_blocks`` (6 → 20 combos of 32-bit keys for d=3) so buckets
+    stay fine-grained; the default d+1 single-block keys are 16 bits.
+    """
+
+    def __init__(self, num_blocks: int, max_hamming: int,
+                 id_col: str = "doc_id") -> None:
+        from itertools import combinations
+        blocks = _simhash_blocks(num_blocks)
+        self.id_col = id_col
+        # per combo: (starts, widths) of the chosen blocks
+        self.combos = [
+            [blocks[j] for j in c]
+            for c in combinations(range(num_blocks),
+                                  num_blocks - max_hamming)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        fp = batch.column("simhash").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        n = len(fp)
+        keys = np.empty((len(self.combos), n), dtype=np.uint64)
+        for ci, blocks in enumerate(self.combos):
+            key = np.zeros(n, dtype=np.uint64)
+            shift = 0
+            for start, width in blocks:
+                mask = np.uint64((1 << width) - 1)
+                key |= ((fp >> np.uint64(start)) & mask) \
+                    << np.uint64(shift)
+                shift += width
+            keys[ci] = key
+        combo = np.repeat(np.arange(len(self.combos), dtype=np.int32), n)
+        return pa.Table.from_pydict({
+            "combo": pa.array(combo),
+            "key": pa.array(keys.ravel()),
+            self.id_col: pa.array(np.tile(ids, len(self.combos))),
+            "simhash": pa.array(np.tile(fp, len(self.combos))),
+        })
+
+
+def _simhash_pairs_in_partition(group: pd.DataFrame, id_col: str,
+                                max_hamming: int) -> pd.DataFrame:
+    """All-pairs within each (combo, key) duplicate run, verified
+    popcount(xor) ≤ d inline — vectorized per run."""
+    combo = group["combo"].to_numpy()
+    key = group["key"].to_numpy().astype(np.uint64)
+    ids = group[id_col].to_numpy().astype(np.int64)
+    fp = group["simhash"].to_numpy().astype(np.uint64)
+    order = np.lexsort((ids, key, combo))
+    combo, key, ids, fp = combo[order], key[order], ids[order], fp[order]
+    change = np.flatnonzero(
+        np.r_[True, (key[1:] != key[:-1]) | (combo[1:] != combo[:-1]), True])
+    lens = np.diff(change)
+    left, right, ham = [], [], []
+    for ri in np.flatnonzero(lens >= 2):
+        a, e = change[ri], change[ri + 1]
+        gi, gf = ids[a:e], fp[a:e]
+        iu = np.triu_indices(len(gi), k=1)
+        d = _popcount64(gf[iu[0]] ^ gf[iu[1]])
+        ok = d <= max_hamming
+        left.extend(gi[iu[0]][ok].tolist())
+        right.extend(gi[iu[1]][ok].tolist())
+        ham.extend(d[ok].tolist())
+    return pd.DataFrame({
+        "left_id": pd.array(left, dtype="int64"),
+        "right_id": pd.array(right, dtype="int64"),
+        "hamming": pd.array(ham, dtype="int64"),
+    })
+
+
+def simhash_pairs(ds: "ray.data.Dataset", text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  num_blocks: Optional[int] = None,
+                  hash_fn: str = "pandas",
+                  rows_hint: Optional[int] = None) -> "ray.data.Dataset":
+    """EXACT Hamming-distance near-dup pairs over 64-bit SimHash
+    fingerprints: (left_id < right_id, hamming ≤ max_hamming).
+
+    sketch → block-combination bucket fan-out (complete recall by
+    pigeonhole, see SimHashBlockEmitter) → per-bucket mining with
+    inline popcount verify → global pair dedup (a pair can collide in
+    several combinations). Everything that shuffles is ≤ 28 bytes/row.
+    """
+    n_rows = rows_hint if rows_hint is not None else ds.count()
+    num_partitions = _num_partitions(n_rows)
+    if num_blocks is None:
+        # fine-grained buckets once corpora get big: 6 blocks → C(6,3)=20
+        # combos of ~32-bit keys for d=3 instead of 4 combos of 16-bit
+        num_blocks = max_hamming + 1 if n_rows < 5_000_000 \
+            else max(max_hamming + 3, 6)
+    if num_blocks <= max_hamming:
+        raise ValueError("num_blocks must exceed max_hamming")
+
+    sigs = simhash_table(ds, text_col, id_col, hash_fn)
+    bucketed = sigs.map_batches(
+        SimHashBlockEmitter(num_blocks, max_hamming, id_col),
+        batch_format="pyarrow")
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        combo = batch.column("combo").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        mixed = (key * np.uint64(0x9E3779B97F4A7C15)) ^ combo
+        pid = (mixed % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("pid", pa.array(pid, type=pa.int64()))
+
+    cand = (bucketed.map_batches(add_pid, batch_format="pyarrow")
+            .groupby("pid")
+            .map_groups(lambda g: _simhash_pairs_in_partition(
+                g, id_col, max_hamming), batch_format="pandas"))
+
+    def add_pair_pid(batch: pa.Table) -> pa.Table:
+        l = batch.column("left_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        r = batch.column("right_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pid = (l * np.int64(1000003) + r) % np.int64(num_partitions)
+        return batch.append_column("pair_pid",
+                                   pa.array(pid, type=pa.int64()))
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["left_id", "right_id"]) \
+                    .drop(columns=["pair_pid"])
+
+    return (cand.map_batches(add_pair_pid, batch_format="pyarrow")
+            .groupby("pair_pid")
+            .map_groups(dedup_pairs, batch_format="pandas"))
+
+
+def simhash_pairs_oracle_sql(max_hamming: int = 3) -> str:
+    """Hamming self-join over the bit-exact simhash CTE — O(n²) at
+    oracle scale, exactly the pair set the pigeonhole buckets must
+    reproduce."""
+    return ("WITH " + _SIMHASH_CTES + f"""
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY left_id, right_id
+""")
 
 
 # --- exact n-gram Jaccard verification ---------------------------------------

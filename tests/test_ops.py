@@ -2,6 +2,7 @@
 similarity search, multimodal plumbing — all over the sf0.001 testdata."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -79,6 +80,76 @@ def test_simhash_similar_docs_low_hamming(ray_session):
     ham_ac = bin(a ^ c).count("1")
     assert ham_ab < ham_ac
     assert ham_ab <= 16
+
+
+def _simhash_bruteforce_pairs(ds, max_hamming):
+    from rdf_mapper_ray.ops.dedup import simhash_table
+    t = simhash_table(ds).to_pandas()
+    out = set()
+    rows = list(zip(t["doc_id"], t["simhash"]))
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (ia, fa), (ib, fb) = rows[i], rows[j]
+            d = bin(int(fa) ^ int(fb)).count("1")
+            if d <= max_hamming:
+                lo, hi = sorted((int(ia), int(ib)))
+                out.add((lo, hi, d))
+    return out
+
+
+def _simhash_corpus():
+    import ray
+    base = ["the quick brown fox jumps over the lazy dog pack my box "
+            "with five dozen liquor jugs " * 4 + f"tail{i}"
+            for i in range(60)]
+    near = [t.replace("quick", "swift") for t in base[:20]]
+    texts = base + near + ["", "", "solo document nothing like others"]
+    return ray.data.from_pandas(pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts}))
+
+
+def test_simhash_pairs_match_bruteforce(ray_session):
+    """Pigeonhole bucketing is complete AND the inline verify exact:
+    the distributed pair set equals the all-pairs Hamming scan."""
+    from rdf_mapper_ray.ops.dedup import simhash_pairs
+    ds = _simhash_corpus()
+    expect = _simhash_bruteforce_pairs(ds, 6)
+    got = simhash_pairs(ds, max_hamming=6).to_pandas()
+    got_set = set(zip(got["left_id"].astype(int),
+                      got["right_id"].astype(int),
+                      got["hamming"].astype(int)))
+    assert got_set == expect
+    assert len(expect) > 0  # planted near-dups + the empty-doc pair
+
+
+def test_simhash_pairs_block_granularities_agree(ray_session):
+    """The scale-path bucketing (more, finer blocks) returns the same
+    exact pair set as the default d+1 coarse blocks."""
+    from rdf_mapper_ray.ops.dedup import simhash_pairs
+    ds = _simhash_corpus()
+    a = simhash_pairs(ds, max_hamming=3, num_blocks=4).to_pandas()
+    b = simhash_pairs(ds, max_hamming=3, num_blocks=6).to_pandas()
+    key = lambda df: set(zip(df["left_id"].astype(int),
+                             df["right_id"].astype(int),
+                             df["hamming"].astype(int)))
+    assert key(a) == key(b)
+
+
+def test_simhash_pairs_oracle_sf001(ray_session):
+    """Bit-exact vs the DuckDB Hamming self-join on real test data."""
+    import duckdb
+    from rdf_mapper_ray.ops.dedup import (simhash_pairs,
+                                          simhash_pairs_oracle_sql)
+    ds = _docs(["doc_id", "text"])
+    got = simhash_pairs(ds, max_hamming=8, hash_fn="md5").to_pandas() \
+        .sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(simhash_pairs_oracle_sql(8)).fetchdf()
+    assert got.shape == want.shape
+    assert (got[["left_id", "right_id", "hamming"]].values
+            == want[["left_id", "right_id", "hamming"]].values).all()
 
 
 # --- text ops ----------------------------------------------------------------

@@ -58,7 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_mapper_ray.ops import (clusters, dedup, distinct, joins,
                                     multimodal, cleaning, paragraphs,
                                     quantiles, sessions, similarity, text,
-                                    topk, windows)
+                                    tfidf, topk, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     import ray.data
@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": cleaning.decontaminate_query,
         "paragraph_dedup": paragraphs.paragraph_dedup_query,
         "dedup_keep_best": clusters.dedup_keep_best_query,
+        "tfidf_top_terms": tfidf.tfidf_query,
         "sessionize": sessions.sessionize_query,
         "session_window": sessions.session_window_query,
         "window_tumbling": windows.tumbling_query,
@@ -156,7 +157,7 @@ def oracle_sql() -> dict[str, str]:
     from rdf_mapper_ray.ops import (clusters, dedup, distinct, joins,
                                     multimodal, cleaning, paragraphs,
                                     quantiles, sessions, similarity, text,
-                                    topk, windows)
+                                    tfidf, topk, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     return {
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": cleaning.DECONTAMINATE_ORACLE_SQL,
         "paragraph_dedup": paragraphs.PARAGRAPH_DEDUP_ORACLE_SQL,
         "dedup_keep_best": clusters.keep_best_oracle_sql(),
+        "tfidf_top_terms": tfidf.tfidf_oracle_sql(k=5),
         "sessionize": sessions.sessionize_oracle_sql(),
         "session_stats": sessions.session_stats_oracle_sql(),
         "session_window": sessions.session_window_oracle_sql(),

@@ -152,6 +152,44 @@ def test_simhash_pairs_oracle_sf001(ray_session):
             == want[["left_id", "right_id", "hamming"]].values).all()
 
 
+# --- tf-idf -------------------------------------------------------------------
+
+def test_tfidf_distinctive_term_ranks_first(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.tfidf import tfidf_top_terms
+    common = "the cat sat on the mat "
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [common * 3 + "zebra zebra zebra",
+                 common * 3 + "quasar",
+                 common * 3],
+    })
+    out = tfidf_top_terms(ray.data.from_pandas(docs), k=2).to_pandas()
+    top = out[out["rank"] == 1].set_index("doc_id")["term"]
+    assert top[0] == "zebra"
+    assert top[1] == "quasar"
+    # df of a corpus-wide term is 3, idf 0 -> never outranks zebra
+    zebra = out[(out["doc_id"] == 0) & (out["term"] == "zebra")]
+    assert int(zebra["tf"].iloc[0]) == 3 and int(zebra["df"].iloc[0]) == 1
+
+
+def test_tfidf_venues_match_oracle(ray_session):
+    import duckdb
+    from rdf_mapper_ray.ops.tfidf import tfidf_oracle_sql, tfidf_top_terms
+    ds = _docs(["doc_id", "text"])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(tfidf_oracle_sql(5)).fetchdf()
+    for venue in ("broadcast", "copartition"):
+        got = tfidf_top_terms(ds, k=5, venue=venue).to_pandas() \
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        assert got.shape == want.shape, venue
+        assert (got[["doc_id", "rank", "term", "tf", "df"]].astype(str)
+                .values == want[["doc_id", "rank", "term", "tf", "df"]]
+                .astype(str).values).all(), venue
+
+
 # --- text ops ----------------------------------------------------------------
 
 def test_lang_id_accuracy(ray_session):

@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": tfidf.tfidf_query,
         "sessionize": sessions.sessionize_query,
         "session_window": sessions.session_window_query,
+        "running_totals": sessions.running_totals_query,
         "window_tumbling": windows.tumbling_query,
         "window_sliding": windows.sliding_query,
         "top_k_tokens": topk.top_k_query,
@@ -198,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": sessions.sessionize_oracle_sql(),
         "session_stats": sessions.session_stats_oracle_sql(),
         "session_window": sessions.session_window_oracle_sql(),
+        "running_totals": sessions.running_totals_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),
         "window_sliding": windows.sliding_oracle_sql(),
         "top_k_tokens": topk.top_k_oracle_sql(),

@@ -106,6 +106,62 @@ def session_stats(ds: "ray.data.Dataset", user_col: str = "user_id",
                                                    batch_format="pandas")
 
 
+def running_totals(ds: "ray.data.Dataset", user_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   value_col: str = "value") -> "ray.data.Dataset":
+    """Per-event running aggregates over each user's ordered timeline —
+    the cumulative-window feature-engineering op (lifetime spend /
+    event index / peak so far at each event).
+
+    Output per event: (user, event, seq, cum_cents, max_cents), where
+    seq is the 1-based position in the user's (ts, id)-ordered stream
+    and the money columns are integer cents (exact under any summation
+    order; float running sums drift vs the SQL window oracle).
+
+    Same partitioning contract and venue as :func:`sessionize`:
+    complete users co-locate via the pid route, and the window math is
+    vectorized across ALL of a partition's users at once (one sort +
+    grouped cumsum/cummax/cumcount — no Python loop per user).
+    """
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col]).reset_index(
+            drop=True)
+        cents = pd.Series(np.rint(g[value_col].to_numpy() * 100)
+                          .astype(np.int64))
+        by = g[user_col].to_numpy()
+        return pd.DataFrame({
+            user_col: g[user_col],
+            id_col: g[id_col],
+            "seq": g.groupby(user_col, sort=False).cumcount()
+                    .to_numpy() + 1,
+            "cum_cents": cents.groupby(by).cumsum().to_numpy(),
+            "max_cents": cents.groupby(by).cummax().to_numpy(),
+        })
+
+    return _route_by_user(ds, user_col).map_groups(part,
+                                                   batch_format="pandas")
+
+
+def running_totals_query(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return running_totals(ds)
+
+
+def running_totals_oracle_sql() -> str:
+    return """
+SELECT user_id, event_id,
+       row_number() OVER w AS seq,
+       SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS cum_cents,
+       MAX(CAST(round(value * 100) AS BIGINT)) OVER w AS max_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
 def sessionize_sharded(ds: "ray.data.Dataset", user_col: str = "user_id",
                        ts_col: str = "ts", id_col: str = "event_id",
                        gap_seconds: float = 1800.0,

@@ -564,6 +564,27 @@ def test_sessionize_sharded_matches_single_pass(ray_session):
         b[["user_id", "event_id", "session_no"]])
 
 
+def test_running_totals_matches_window_oracle(ray_session):
+    """Per-user cumulative sum/max/seq must equal the DuckDB window
+    function bit-exactly (integer cents make the sum order-free)."""
+    import duckdb
+    import ray.data
+    from rdf_mapper_ray.ops.sessions import (running_totals,
+                                             running_totals_oracle_sql)
+    ds = ray.data.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    got = running_totals(ds).to_pandas() \
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(running_totals_oracle_sql()).fetchdf()
+    cols = ["user_id", "event_id", "seq", "cum_cents", "max_cents"]
+    assert got.shape[0] == want.shape[0]
+    assert (got[cols].to_numpy() == want[cols].to_numpy()).all()
+
+
 def test_embedding_lsh_recall_vs_exact(ray_session):
     """LSH-bucketed near-dup mining must recover most of the exact
     block-self-join pairs (multi-table union), with identical cosine

@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": sessions.sessionize_query,
         "session_window": sessions.session_window_query,
         "running_totals": sessions.running_totals_query,
+        "order_customer_join": joins.order_customer_join_query,
         "window_tumbling": windows.tumbling_query,
         "window_sliding": windows.sliding_query,
         "top_k_tokens": topk.top_k_query,
@@ -200,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": sessions.session_stats_oracle_sql(),
         "session_window": sessions.session_window_oracle_sql(),
         "running_totals": sessions.running_totals_oracle_sql(),
+        "order_customer_join": joins.ORDER_CUSTOMER_JOIN_ORACLE_SQL,
         "window_tumbling": windows.tumbling_oracle_sql(),
         "window_sliding": windows.sliding_oracle_sql(),
         "top_k_tokens": topk.top_k_oracle_sql(),

@@ -156,6 +156,134 @@ def interval_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                                             batch_format="pandas")
 
 
+# --- general equi-join --------------------------------------------------------
+
+def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              left_on: str, right_on: str, how: str = "inner",
+              venue: str | None = None,
+              broadcast_max_rows: int = 1_000_000,
+              num_partitions: int | None = None,
+              suffix: str = "_r") -> "ray.data.Dataset":
+    """General distributed equi-join (Ray Data 2.49 ships no native
+    join operator). SQL null semantics: a null key never matches.
+
+    Venues:
+    - ``broadcast`` — the RIGHT side (must be the small side: a
+      dimension table, a lookup) is pulled once, ``ray.put`` once, and
+      every left block runs one local pandas merge. Zero shuffles; the
+      100 TB fact side streams.
+    - ``copartition`` — both sides hash(key)-route into the same P
+      partitions (one shuffle each) and merge inside ``map_groups``:
+      the fact⋈fact path. Each side is padded with TYPED null columns
+      for the other side's schema so the union has one schema, then
+      split back per side inside the task — values never pass through
+      a pandas nullable-int coercion.
+    Auto venue: broadcast when the right side is under
+    ``broadcast_max_rows``. ``how``: inner | left.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    if venue is None:
+        venue = "broadcast" if right.count() <= broadcast_max_rows \
+            else "copartition"
+
+    import ray
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    # suffix EVERY right column colliding with a left name — including
+    # the key, so both key columns appear in the output like SQL JOIN
+    overlap = [c for c in r_cols if c in l_cols]
+    out_r_cols = [c + suffix if c in overlap else c for c in r_cols]
+
+    join_type = {"inner": "inner", "left": "left outer"}[how]
+
+    def _arrow_join(lt: pa.Table, rt: pa.Table, r_key: str) -> pa.Table:
+        """Acero hash join — vectorized, type-preserving, SQL null
+        semantics (a null key matches nothing). Acero drops the right
+        join key from the output, so it rides again as a payload copy
+        (SQL JOIN outputs both key columns)."""
+        rt = rt.append_column("__rk", rt.column(r_key))
+        out = lt.join(rt, keys=[left_on], right_keys=["__rk"],
+                      join_type=join_type)
+        return out.select(out_cols)
+
+    if venue == "broadcast":
+        r_rename = {c: c + suffix for c in overlap}
+        rt_all = pa.concat_tables(
+            b for b in right.map_batches(
+                lambda t: t.rename_columns(
+                    [r_rename.get(c, c) for c in t.column_names]),
+                batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"))
+        ref = ray.put(rt_all)
+        rb_key = r_rename.get(right_on, right_on)
+        out_cols = l_cols + [r_rename.get(c, c) for c in r_cols]
+
+        def merge_block(batch: pa.Table) -> pa.Table:
+            return _arrow_join(batch, ray.get(ref), rb_key)
+
+        return left.map_batches(merge_block, batch_format="pyarrow")
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import _num_partitions
+        num_partitions = _num_partitions(None)
+
+    def _pa_type(t):
+        return t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t)
+
+    l_types = {n: _pa_type(l_schema.types[i]) for i, n in enumerate(l_cols)}
+    r_types = {n: _pa_type(r_schema.types[i]) for i, n in enumerate(r_cols)}
+    pad_for_left = [(c, r_types[c]) for c in r_cols]
+    pad_for_right = [(c, l_types[c]) for c in l_cols]
+
+    def route(side: int, key: str, pads, ordered, rename=None):
+        def _route(batch: pa.Table) -> pa.Table:
+            if rename:
+                batch = batch.rename_columns(
+                    [rename.get(c, c) for c in batch.column_names])
+            n = batch.num_rows
+            for name, typ in pads:
+                batch = batch.append_column(name, pa.nulls(n, type=typ))
+            h = pd.util.hash_pandas_object(
+                batch.column(key).to_pandas(), index=False).to_numpy()
+            batch = batch.append_column(
+                "pid", pa.array((h % np.uint64(num_partitions))
+                                .astype(np.int64)))
+            batch = batch.append_column(
+                "side", pa.array(np.full(n, side, dtype=np.int8)))
+            # one canonical column order so the union has ONE schema
+            return batch.select(ordered)
+        return _route
+
+    # right columns ride under their OUTPUT names so one unified schema
+    # exists; the key keeps its right_on name (renamed if it collides)
+    r_rename = {c: o for c, o in zip(r_cols, out_r_cols) if c != o}
+    r_key = r_rename.get(right_on, right_on)
+    r_out = [r_rename.get(c, c) for c in r_cols]
+    out_cols = l_cols + r_out
+    ordered = out_cols + ["pid", "side"]
+    l_tag = left.map_batches(
+        route(0, left_on, [(r_rename.get(c, c), t)
+                           for c, t in pad_for_left], ordered),
+        batch_format="pyarrow")
+    rt_tag = right.map_batches(
+        route(1, r_key, pad_for_right, ordered, rename=r_rename),
+        batch_format="pyarrow")
+
+    def join_part(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0)).select(l_cols)
+        rt = g.filter(pa.array(side == 1)).select(r_out)
+        return _arrow_join(lt.combine_chunks(), rt.combine_chunks(),
+                           r_key)
+
+    return l_tag.union(rt_tag).groupby("pid") \
+        .map_groups(join_part, batch_format="pyarrow")
+
+
 # --- driver query + oracle ---------------------------------------------------
 
 def prior_purchase_query(sf_dir: str):
@@ -179,6 +307,29 @@ FROM events l
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
   ON l.user_id = r.user_id AND l.ts > r.ts
 ORDER BY event_id
+"""
+
+
+def order_customer_join_query(sf_dir: str):
+    """Fact ⋈ dimension demo through the CO-PARTITION venue (the
+    fact⋈fact scale path; the zero-shuffle broadcast venue is proven
+    equal in tests/test_joins.py)."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"])
+    return equi_join(orders, cust, left_on="o_custkey",
+                     right_on="c_custkey", how="inner",
+                     venue="copartition")
+
+
+ORDER_CUSTOMER_JOIN_ORACLE_SQL = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+       c.c_custkey, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_orderkey
 """
 
 

@@ -68,3 +68,80 @@ def test_interval_join_overlapping_intervals(ray_session):
     # 100@5 hits both [0,10] and [3,30]; 101@25 only [3,30];
     # user 2 has no intervals; user 3's interval has no events
     assert got == [(100, 1), (100, 2), (101, 2)]
+
+
+# --- general equi-join ---------------------------------------------------------
+
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+def _join_fixture():
+    import ray.data
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, None, 5], type=pa.int64()),
+        "lv": pa.array([10, 20, 21, 30, 50], type=pa.int64()),
+        "name": pa.array(["a", "b", "c", "d", "e"]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, None, 4], type=pa.int64()),
+        "rv": pa.array([100, 200, 300, 400], type=pa.int64()),
+        "name": pa.array(["x", "y", "z", "w"]),
+    }))
+    return left, right
+
+
+def test_equi_join_inner_venues_agree(ray_session):
+    from rdf_mapper_ray.ops.joins import equi_join
+    import duckdb
+    left, right = _join_fixture()
+    want = duckdb.sql("""
+        SELECT l.k, l.lv, l.name, r.k AS k_r, r.rv, r.name AS name_r
+        FROM (VALUES (1,10,'a'),(2,20,'b'),(2,21,'c'),(NULL,30,'d'),
+                     (5,50,'e')) l(k,lv,name)
+        JOIN (VALUES (1,100,'x'),(2,200,'y'),(NULL,300,'z'),
+                     (4,400,'w')) r(k,rv,name) ON l.k = r.k
+        ORDER BY lv""").fetchdf()
+    for venue in ("broadcast", "copartition"):
+        got = equi_join(left, right, left_on="k", right_on="k",
+                        how="inner", venue=venue).to_pandas() \
+            .sort_values("lv").reset_index(drop=True)
+        cols = ["k", "lv", "name", "k_r", "rv", "name_r"]
+        assert list(got.columns) == cols, venue
+        assert got[cols].astype(str).values.tolist() == \
+            want[cols].astype(str).values.tolist(), venue
+
+
+def test_equi_join_left_null_keys_never_match(ray_session):
+    from rdf_mapper_ray.ops.joins import equi_join
+    left, right = _join_fixture()
+    for venue in ("broadcast", "copartition"):
+        got = equi_join(left, right, left_on="k", right_on="k",
+                        how="left", venue=venue).to_pandas() \
+            .sort_values("lv").reset_index(drop=True)
+        assert len(got) == 5  # every left row exactly once here
+        # null-key left row survives with no right match
+        d = got[got["name"] == "d"]
+        assert len(d) == 1 and pd.isna(d["rv"].iloc[0])
+        # unmatched key 5 survives too
+        e = got[got["name"] == "e"]
+        assert len(e) == 1 and pd.isna(e["rv"].iloc[0])
+        # matched rows carry right values
+        assert got[got["name"] == "a"]["rv"].iloc[0] == 100
+
+
+def test_equi_join_query_matches_oracle(ray_session):
+    import duckdb
+    import __ray_entry__ as E
+    got = E.queries()["order_customer_join"](SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    want = con.execute(E.oracle_sql()["order_customer_join"]).fetchdf()
+    got = got.sort_values(["o_orderkey"]).reset_index(drop=True)
+    want = want.sort_values(["o_orderkey"]).reset_index(drop=True)
+    assert got.shape == want.shape
+    cols = sorted(got.columns)
+    assert (got[cols].astype(str).values == want[cols].astype(str)
+            .values).all()

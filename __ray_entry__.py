@@ -57,8 +57,8 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_mapper_ray.ops import (clusters, dedup, distinct, joins,
                                     multimodal, cleaning, paragraphs,
-                                    quantiles, sessions, similarity, text,
-                                    tfidf, topk, windows)
+                                    quantiles, retrieval, sessions,
+                                    similarity, text, tfidf, topk, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     import ray.data
@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": paragraphs.paragraph_dedup_query,
         "dedup_keep_best": clusters.dedup_keep_best_query,
         "tfidf_top_terms": tfidf.tfidf_query,
+        "bm25_search": retrieval.bm25_query,
         "sessionize": sessions.sessionize_query,
         "session_window": sessions.session_window_query,
         "running_totals": sessions.running_totals_query,
@@ -158,8 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from rdf_mapper_ray.ops import (clusters, dedup, distinct, joins,
                                     multimodal, cleaning, paragraphs,
-                                    quantiles, sessions, similarity, text,
-                                    tfidf, topk, windows)
+                                    quantiles, retrieval, sessions,
+                                    similarity, text, tfidf, topk, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     return {
@@ -197,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": paragraphs.PARAGRAPH_DEDUP_ORACLE_SQL,
         "dedup_keep_best": clusters.keep_best_oracle_sql(),
         "tfidf_top_terms": tfidf.tfidf_oracle_sql(k=5),
+        "bm25_search": retrieval.bm25_oracle_sql(),
         "sessionize": sessions.sessionize_oracle_sql(),
         "session_stats": sessions.session_stats_oracle_sql(),
         "session_window": sessions.session_window_oracle_sql(),

@@ -1,0 +1,222 @@
+"""BM25 full-text retrieval: top-k documents per keyword query.
+
+Okapi BM25 (Robertson/Sparck Jones probabilistic weighting, the
+standard in Lucene/Elasticsearch):
+
+  score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+  idf(t)      = ln((N − df + 0.5) / (df + 0.5) + 1)
+
+Scale shape — the query-term filter happens AT THE MAP STAGE, so the
+only rows that ever shuffle are (doc, query-term) hits:
+
+1. one streaming pass computes corpus stats (N and total token count
+   for avgdl) as map-side partials reduced by ``Dataset.sum`` —
+   nothing row-sized leaves the workers;
+2. a second pass emits (doc_id, term, tf, dl) ONLY for terms in the
+   broadcast query vocabulary (tf and dl are exact per block because a
+   doc lives in exactly one block; everything else is dropped before
+   any shuffle);
+3. df per query term comes from a groupby over those hit rows
+   (query-vocabulary-sized, broadcast back as a dict);
+4. scoring is vectorized per batch; per-(query, doc) contributions
+   merge in one groupby and each query's top-k is picked inside
+   ``map_groups``.
+
+Output is (query_id, rank, doc_id) — integers only; the float score
+stays internal so the DuckDB oracle compare is exact (the knn
+contract: ordering is checked, summation-order ULPs are not; demo
+queries use two terms, whose sum is even order-exact).
+
+Tokenization matches ops/topk.py / ops/tfidf.py (lowercased,
+whitespace-split, empties dropped).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def _tok(col) -> tuple[pa.Array, pa.Array]:
+    """(flat tokens, parent row indices) for a string column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lowered = pc.utf8_lower(pc.fill_null(col, ""))
+    lists = pc.split_pattern_regex(lowered, r"\s+")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    keep = pc.not_equal(flat, "")
+    return flat.filter(keep), parents.filter(keep)
+
+
+def bm25_search(ds: "ray.data.Dataset", queries: dict[int, list[str]],
+                text_col: str = "text", id_col: str = "doc_id",
+                k: int = 10, k1: float = 1.2,
+                b: float = 0.75) -> "ray.data.Dataset":
+    """Top-k docs per query: (query_id, rank, doc_id), rank 1 = best."""
+    qterms = sorted({t.lower() for ts in queries.values() for t in ts})
+    term_to_qids: dict[str, list[int]] = {t: [] for t in qterms}
+    for qid, ts in queries.items():
+        for t in ts:
+            term_to_qids[t.lower()].append(int(qid))
+
+    # pass 1: corpus stats via map-side partials (one tiny row per block)
+    def _counts(batch: pa.Table) -> pa.Table:
+        flat, _ = _tok(batch.column(text_col))
+        return pa.Table.from_pydict({
+            "docs": pa.array([batch.num_rows], type=pa.int64()),
+            "tokens": pa.array([len(flat)], type=pa.int64())})
+
+    stats = ds.map_batches(_counts, batch_format="pyarrow")
+    n_docs = stats.sum("docs")
+    avgdl = stats.sum("tokens") / float(n_docs)
+
+    # pass 2: (doc, term, tf, dl) rows for QUERY terms only
+    qset_ref = ray.put(set(qterms))
+
+    def _hits(batch: pa.Table) -> pa.Table:
+        qset = ray.get(qset_ref)
+        flat, parents = _tok(batch.column(text_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        par = parents.to_numpy(zero_copy_only=False)
+        dl = np.bincount(par, minlength=batch.num_rows).astype(np.int64)
+        terms = flat.to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"doc": ids[par], "term": terms,
+                          "dl": dl[par]})
+        g = g[g["term"].isin(qset)]
+        if not len(g):
+            return pa.Table.from_pydict({
+                "doc_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+                "dl": pa.array([], type=pa.int64())})
+        agg = g.groupby(["doc", "term"], sort=False).agg(
+            tf=("term", "size"), dl=("dl", "first")).reset_index()
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(agg["doc"].to_numpy(), type=pa.int64()),
+            "term": pa.array(agg["term"], type=pa.string()),
+            "tf": pa.array(agg["tf"].to_numpy(), type=pa.int64()),
+            "dl": pa.array(agg["dl"].to_numpy(), type=pa.int64()),
+        })
+
+    hits = ds.map_batches(_hits, batch_format="pyarrow").materialize()
+
+    # df per query term (query-vocabulary-sized)
+    df_rows = hits.groupby("term").count().take_all()
+    df_map = {r["term"]: int(r["count()"]) for r in df_rows}
+    n_f = float(n_docs)
+    idf = {t: float(np.log((n_f - df_map.get(t, 0) + 0.5)
+                           / (df_map.get(t, 0) + 0.5) + 1.0))
+           for t in qterms}
+    consts_ref = ray.put((idf, term_to_qids))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        idf_m, t2q = ray.get(consts_ref)
+        terms = batch.column("term").to_pylist()
+        tf = batch.column("tf").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        dl = batch.column("dl").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        contrib = np.array([idf_m[t] for t in terms]) \
+            * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        out_q, out_d, out_s = [], [], []
+        for i, t in enumerate(terms):
+            for qid in t2q[t]:
+                out_q.append(qid)
+                out_d.append(int(ids[i]))
+                out_s.append(float(contrib[i]))
+        return pa.Table.from_pydict({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "s": pa.array(out_s, type=pa.float64()),
+        })
+
+    contribs = hits.map_batches(_score, batch_format="pyarrow")
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        # sum per doc in ascending-term-emission order is already fixed
+        # by the groupby below; rank by (score desc, doc asc)
+        agg = g.groupby("doc_id", as_index=False)["s"].sum()
+        agg = agg.sort_values(["s", "doc_id"],
+                              ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "query_id": np.full(len(agg), g["query_id"].iloc[0],
+                                dtype=np.int64),
+            "rank": np.arange(1, len(agg) + 1, dtype=np.int64),
+            "doc_id": agg["doc_id"].to_numpy(dtype=np.int64),
+        })
+
+    return contribs.groupby("query_id").map_groups(
+        _topk, batch_format="pandas")
+
+
+# --- demo query + oracle -----------------------------------------------------
+
+# two-term queries: the per-doc score is one addition, so even the
+# float sum is order-exact between numpy and DuckDB
+DEMO_QUERIES = {0: ["hash", "join"], 1: ["window", "agg"],
+                2: ["fast", "scan"], 3: ["stream", "merge"]}
+
+
+def bm25_query(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return bm25_search(ds, DEMO_QUERIES, k=10)
+
+
+def bm25_oracle_sql(queries: dict[int, list[str]] | None = None,
+                    k: int = 10, k1: float = 1.2,
+                    b: float = 0.75) -> str:
+    queries = queries if queries is not None else DEMO_QUERIES
+    qvals = ", ".join(f"({qid}, '{t.lower()}')"
+                      for qid, ts in queries.items() for t in ts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(coalesce(text, '')), '\\s+'))
+           AS term
+  FROM documents
+),
+toks2 AS (SELECT * FROM toks WHERE term <> ''),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM toks2 GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY doc_id),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+avgdl AS (
+  SELECT (SELECT sum(dl)::DOUBLE FROM dl) / (SELECT n FROM n) AS a
+),
+q(query_id, term) AS (VALUES {qvals}),
+df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(((SELECT n FROM n) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({k1!r} + 1.0))
+           / (tf.tf + {k1!r} * (1.0 - {b!r}
+              + {b!r} * dl.dl / (SELECT a FROM avgdl))) AS s
+  FROM q JOIN tf USING (term) JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+),
+scores AS (
+  SELECT query_id, doc_id, sum(s) AS s
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""

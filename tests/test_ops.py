@@ -190,6 +190,41 @@ def test_tfidf_venues_match_oracle(ray_session):
                 .astype(str).values).all(), venue
 
 
+# --- BM25 retrieval ------------------------------------------------------------
+
+def test_bm25_ranks_matching_docs_first(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.retrieval import bm25_search
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["hash join hash join hash join",
+                 "hash once in a long document " + "filler " * 50,
+                 "join join join but never the other word",
+                 "nothing relevant at all here"],
+    })
+    out = bm25_search(ray.data.from_pandas(docs),
+                      {7: ["hash", "join"]}, k=4).to_pandas()
+    out = out.sort_values("rank")
+    # doc 0 matches both terms densely; doc 3 matches nothing
+    assert out.iloc[0]["doc_id"] == 0
+    assert 3 not in set(out["doc_id"])
+    assert set(out["query_id"]) == {7}
+
+
+def test_bm25_matches_oracle(ray_session):
+    import duckdb
+    from rdf_mapper_ray.ops.retrieval import bm25_oracle_sql, bm25_query
+    got = bm25_query(SF).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(bm25_oracle_sql()).fetchdf()
+    assert got.shape == want.shape
+    assert (got[["query_id", "rank", "doc_id"]].values
+            == want[["query_id", "rank", "doc_id"]].values).all()
+
+
 # --- text ops ----------------------------------------------------------------
 
 def test_lang_id_accuracy(ray_session):

@@ -105,7 +105,16 @@ def bm25_search(ds: "ray.data.Dataset", queries: dict[int, list[str]],
         })
 
     hits = ds.map_batches(_hits, batch_format="pyarrow").materialize()
+    return _score_and_topk(hits, qterms, term_to_qids, n_docs, avgdl,
+                           k, k1, b)
 
+
+def _score_and_topk(hits: "ray.data.Dataset", qterms: list[str],
+                    term_to_qids: dict[str, list[int]], n_docs: int,
+                    avgdl: float, k: int, k1: float,
+                    b: float) -> "ray.data.Dataset":
+    """Shared BM25 tail: df over the (query-vocab-sized) hit rows,
+    vectorized per-batch scoring, per-query top-k in map_groups."""
     # df per query term (query-vocabulary-sized)
     df_rows = hits.groupby("term").count().take_all()
     df_map = {r["term"]: int(r["count()"]) for r in df_rows}
@@ -154,6 +163,110 @@ def bm25_search(ds: "ray.data.Dataset", queries: dict[int, list[str]],
 
     return contribs.groupby("query_id").map_groups(
         _topk, batch_format="pandas")
+
+
+# --- persisted inverted index -------------------------------------------------
+
+def save_text_index(ds: "ray.data.Dataset", index_dir: str,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_buckets: int = 64) -> None:
+    """Build and persist a full inverted index: posting rows
+    (term, doc_id, tf, dl) as hash(term)-bucket-partitioned parquet,
+    plus one tiny corpus-stats parquet (N, total tokens). A later
+    query session reads ONLY the buckets its query terms hash into —
+    partition pruning at the source, the IVF-persistence pattern
+    (ops/similarity.py save_ivf_index) applied to text. The bucket
+    hash is the portable md5 backend (ops/hashing.py), stable across
+    sessions and library versions — the property a persisted index
+    needs."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    def _postings(batch: pa.Table) -> pa.Table:
+        flat, parents = _tok(batch.column(text_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        par = parents.to_numpy(zero_copy_only=False)
+        dl = np.bincount(par, minlength=batch.num_rows).astype(np.int64)
+        g = pd.DataFrame({
+            "doc_id": ids[par],
+            "term": flat.to_numpy(zero_copy_only=False),
+            "dl": dl[par]})
+        agg = g.groupby(["doc_id", "term"], sort=False).agg(
+            tf=("term", "size"), dl=("dl", "first")).reset_index()
+        bucket = (hash64(list(agg["term"]), "md5")
+                  % np.uint64(num_buckets)).astype(np.int64)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(agg["doc_id"].to_numpy(),
+                               type=pa.int64()),
+            "term": pa.array(agg["term"], type=pa.string()),
+            "tf": pa.array(agg["tf"].to_numpy(), type=pa.int64()),
+            "dl": pa.array(agg["dl"].to_numpy(), type=pa.int64()),
+            "bucket": pa.array(bucket),
+        })
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        flat, _ = _tok(batch.column(text_col))
+        return pa.Table.from_pydict({
+            "docs": pa.array([batch.num_rows], type=pa.int64()),
+            "tokens": pa.array([len(flat)], type=pa.int64())})
+
+    os.makedirs(index_dir, exist_ok=True)
+    stats = ds.map_batches(_counts, batch_format="pyarrow")
+    pq_.write_table(pa.Table.from_pydict({
+        "n_docs": pa.array([stats.sum("docs")], type=pa.int64()),
+        "total_tokens": pa.array([stats.sum("tokens")], type=pa.int64()),
+        "num_buckets": pa.array([num_buckets], type=pa.int64()),
+    }), os.path.join(index_dir, "stats.parquet"))
+    ds.map_batches(_postings, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "postings"), partition_cols=["bucket"])
+
+
+def bm25_persisted(index_dir: str, queries: dict[int, list[str]],
+                   k: int = 10, k1: float = 1.2,
+                   b: float = 0.75) -> "ray.data.Dataset":
+    """Query a persisted text index: reads ONLY the posting buckets the
+    query terms hash into (at web scale: |query vocab| buckets out of
+    num_buckets, never the whole index)."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    st = pq_.read_table(os.path.join(index_dir, "stats.parquet"))
+    n_docs = int(st.column("n_docs")[0].as_py())
+    avgdl = int(st.column("total_tokens")[0].as_py()) / float(n_docs)
+    num_buckets = int(st.column("num_buckets")[0].as_py())
+
+    qterms = sorted({t.lower() for ts in queries.values() for t in ts})
+    term_to_qids: dict[str, list[int]] = {t: [] for t in qterms}
+    for qid, ts in queries.items():
+        for t in ts:
+            term_to_qids[t.lower()].append(int(qid))
+    needed = sorted({int(h % np.uint64(num_buckets))
+                     for h in hash64(qterms, "md5")})
+    qset_ref = ray.put(set(qterms))
+
+    def _filter_terms(batch: pa.Table) -> pa.Table:
+        qset = ray.get(qset_ref)
+        mask = pa.array([t in qset for t in
+                         batch.column("term").to_pylist()])
+        return batch.filter(mask).select(["doc_id", "term", "tf", "dl"])
+
+    parts = [
+        ray.data.read_parquet(
+            os.path.join(index_dir, "postings", f"bucket={bk}"))
+        for bk in needed]
+    postings = parts[0]
+    for p in parts[1:]:
+        postings = postings.union(p)
+    hits = postings.map_batches(_filter_terms,
+                                batch_format="pyarrow").materialize()
+    return _score_and_topk(hits, qterms, term_to_qids, n_docs, avgdl,
+                           k, k1, b)
 
 
 # --- demo query + oracle -----------------------------------------------------

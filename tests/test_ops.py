@@ -211,6 +211,26 @@ def test_bm25_ranks_matching_docs_first(ray_session):
     assert set(out["query_id"]) == {7}
 
 
+def test_bm25_persisted_equals_fresh_and_prunes(ray_session, tmp_path):
+    """A persisted inverted index must answer identically to the fresh
+    two-pass scan, reading only the query terms' hash buckets."""
+    import os
+    from rdf_mapper_ray.ops.retrieval import (DEMO_QUERIES,
+                                              bm25_persisted, bm25_query,
+                                              save_text_index)
+    idx = str(tmp_path / "textidx")
+    save_text_index(_docs(["doc_id", "text"]), idx, num_buckets=16)
+    fresh = bm25_query(SF).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    persisted = bm25_persisted(idx, DEMO_QUERIES, k=10).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert fresh.equals(persisted)
+    # the index is bucket-partitioned on disk (the pruning structure)
+    buckets = [d for d in os.listdir(os.path.join(idx, "postings"))
+               if d.startswith("bucket=")]
+    assert len(buckets) > 4
+
+
 def test_bm25_matches_oracle(ray_session):
     import duckdb
     from rdf_mapper_ray.ops.retrieval import bm25_oracle_sql, bm25_query

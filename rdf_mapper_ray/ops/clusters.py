@@ -246,9 +246,11 @@ def keep_best_oracle_sql(num_perm: int = 128, num_bands: int = 32,
     oracle scale, and exactly the semantics the distributed CC must
     reproduce."""
     ctes = _minhash_cands_ctes(num_perm, num_bands, shingle_k, seed)
+    # MATERIALIZED: the recursive closure below would otherwise
+    # re-evaluate the whole minhash chain per iteration (28 s → 5 s)
     return f"""
 WITH RECURSIVE {ctes},
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT c.l, c.r
   FROM cands c
   JOIN sigs sa ON sa.doc_id = c.l

@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_window": sessions.session_window_query,
         "running_totals": sessions.running_totals_query,
         "order_customer_join": joins.order_customer_join_query,
+        "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "window_sliding": windows.sliding_query,
         "top_k_tokens": topk.top_k_query,
@@ -204,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window": sessions.session_window_oracle_sql(),
         "running_totals": sessions.running_totals_oracle_sql(),
         "order_customer_join": joins.ORDER_CUSTOMER_JOIN_ORACLE_SQL,
+        "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "window_tumbling": windows.tumbling_oracle_sql(),
         "window_sliding": windows.sliding_oracle_sql(),
         "top_k_tokens": topk.top_k_oracle_sql(),

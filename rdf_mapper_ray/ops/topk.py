@@ -301,3 +301,83 @@ def heavy_hitters_cms(ds: "ray.data.Dataset", text_col: str = "text",
                           type=pa.string()),
         "est_count": pa.array(est[keep].astype(np.int64)),
     }))
+
+
+# --- per-group top-N ----------------------------------------------------------
+
+def grouped_top_n(ds: "ray.data.Dataset", group_col: str,
+                  value_col: str, id_col: str, n: int = 3,
+                  num_partitions: Optional[int] = None
+                  ) -> "ray.data.Dataset":
+    """The N best rows per group by (value DESC, id ASC) — e.g. each
+    customer's 3 most expensive orders. Output:
+    (group, rank, id, value_cents).
+
+    Scale shape (map-side combine for rankings): top-N of a union is
+    the top-N of per-block top-Ns, so every block first reduces to at
+    most N rows PER GROUP IN THAT BLOCK and only those shuffle; the
+    hash(group)-routed final pick then sorts candidate rows, never the
+    input. 2-decimal money values ride as integer cents so ranking is
+    float-free.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import _num_partitions
+        num_partitions = _num_partitions(None)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "grp": batch.column(group_col).to_numpy(zero_copy_only=False),
+            "id": batch.column(id_col).to_numpy(zero_copy_only=False),
+            "cents": np.rint(batch.column(value_col).to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64),
+        })
+        g = g.sort_values(["grp", "cents", "id"],
+                          ascending=[True, False, True], kind="stable")
+        g = g.groupby("grp", sort=False).head(n)
+        pid = pd.util.hash_pandas_object(g["grp"], index=False) \
+            .to_numpy() % np.uint64(num_partitions)
+        return pa.Table.from_pydict({
+            "grp": pa.array(g["grp"].to_numpy()),
+            "id": pa.array(g["id"].to_numpy()),
+            "cents": pa.array(g["cents"].to_numpy()),
+            "pid": pa.array(pid.astype(np.int64)),
+        })
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["grp", "cents", "id"],
+                          ascending=[True, False, True], kind="stable")
+        g = g.groupby("grp", sort=False).head(n).reset_index(drop=True)
+        g["rank"] = g.groupby("grp", sort=False).cumcount() + 1
+        out = g[["grp", "rank", "id", "cents"]].copy()
+        out.columns = [group_col, "rank", id_col, "value_cents"]
+        return out
+
+    return ds.map_batches(_partial, batch_format="pyarrow") \
+        .groupby("pid").map_groups(_final, batch_format="pandas")
+
+
+def grouped_top_n_query(sf_dir: str):
+    """Each customer's 3 most expensive orders."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return grouped_top_n(ds, group_col="o_custkey",
+                         value_col="o_totalprice",
+                         id_col="o_orderkey", n=3)
+
+
+GROUPED_TOP_N_ORACLE_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS value_cents,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS rank
+  FROM orders
+)
+SELECT o_custkey, rank, o_orderkey, value_cents FROM ranked
+WHERE rank <= 3 ORDER BY o_custkey, rank
+"""

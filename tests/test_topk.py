@@ -76,3 +76,27 @@ def test_cms_overestimates_within_bound(ray_session):
     for t, e in got.items():
         assert e >= exact[t]                      # never under
         assert e - exact[t] <= eps_n              # additive bound
+
+
+def test_grouped_top_n_matches_oracle(ray_session):
+    """Map-side per-block top-N candidates must reproduce the window
+    row_number ranking exactly, across many blocks."""
+    import duckdb
+    import ray.data
+    from rdf_mapper_ray.ops.topk import (GROUPED_TOP_N_ORACLE_SQL,
+                                         grouped_top_n)
+    SF = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .repartition(13)   # force cross-block groups
+    got = grouped_top_n(ds, "o_custkey", "o_totalprice",
+                        "o_orderkey", n=3).to_pandas() \
+        .sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    want = con.execute(GROUPED_TOP_N_ORACLE_SQL).fetchdf()
+    assert got.shape == want.shape
+    cols = ["o_custkey", "rank", "o_orderkey", "value_cents"]
+    assert (got[cols].values == want[cols].values).all()

@@ -122,28 +122,32 @@ def _score_and_topk(hits: "ray.data.Dataset", qterms: list[str],
     idf = {t: float(np.log((n_f - df_map.get(t, 0) + 0.5)
                            / (df_map.get(t, 0) + 0.5) + 1.0))
            for t in qterms}
-    consts_ref = ray.put((idf, term_to_qids))
+    expand = pd.DataFrame(
+        [(t, qid) for t, qids in term_to_qids.items() for qid in qids],
+        columns=["term", "query_id"])
+    consts_ref = ray.put((idf, expand))
 
     def _score(batch: pa.Table) -> pa.Table:
-        idf_m, t2q = ray.get(consts_ref)
-        terms = batch.column("term").to_pylist()
+        idf_m, exp = ray.get(consts_ref)
         tf = batch.column("tf").to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         dl = batch.column("dl").to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        contrib = np.array([idf_m[t] for t in terms]) \
-            * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-        out_q, out_d, out_s = [], [], []
-        for i, t in enumerate(terms):
-            for qid in t2q[t]:
-                out_q.append(qid)
-                out_d.append(int(ids[i]))
-                out_s.append(float(contrib[i]))
+        g = pd.DataFrame({
+            "term": batch.column("term").to_numpy(zero_copy_only=False),
+            "doc_id": batch.column("doc_id").to_numpy(
+                zero_copy_only=False),
+            "s": pd.Series(batch.column("term").to_pandas()).map(idf_m)
+            .to_numpy()
+            * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)),
+        })
+        # one vectorized merge fans each hit out to its queries
+        m = g.merge(exp, on="term")
         return pa.Table.from_pydict({
-            "query_id": pa.array(out_q, type=pa.int64()),
-            "doc_id": pa.array(out_d, type=pa.int64()),
-            "s": pa.array(out_s, type=pa.float64()),
+            "query_id": pa.array(m["query_id"].to_numpy(),
+                                 type=pa.int64()),
+            "doc_id": pa.array(m["doc_id"].to_numpy(), type=pa.int64()),
+            "s": pa.array(m["s"].to_numpy(), type=pa.float64()),
         })
 
     contribs = hits.map_batches(_score, batch_format="pyarrow")

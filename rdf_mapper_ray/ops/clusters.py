@@ -88,26 +88,16 @@ def dup_clusters(pairs: "ray.data.Dataset", id_col: str = "doc_id",
     # order under the propagation's lexicographic min (same trick as
     # minhash_dedup)
     from rdf_mapper_ray.engine.canonicalize import _cc_min_label
+    from rdf_mapper_ray.ops.dedup import _pairs_as_str_edges
 
-    def as_str_edges(batch: pa.Table) -> pa.Table:
-        l = batch.column("left_id").to_pylist()
-        r = batch.column("right_id").to_pylist()
-        return pa.Table.from_pydict({
-            "a": pa.array([f"{v:020d}" for v in l], type=pa.string()),
-            "b": pa.array([f"{v:020d}" for v in r], type=pa.string()),
-        })
-
-    labels = _cc_min_label(pairs.map_batches(as_str_edges,
+    labels = _cc_min_label(pairs.map_batches(_pairs_as_str_edges,
                                              batch_format="pyarrow"))
 
     def as_ints(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         return pa.Table.from_pydict({
-            id_col: pa.array([int(v) for v in
-                              batch.column("node").to_pylist()],
-                             type=pa.int64()),
-            "cluster_id": pa.array([int(v) for v in
-                                    batch.column("label").to_pylist()],
-                                   type=pa.int64()),
+            id_col: pc.cast(batch.column("node"), pa.int64()),
+            "cluster_id": pc.cast(batch.column("label"), pa.int64()),
         })
 
     return labels.map_batches(as_ints, batch_format="pyarrow")

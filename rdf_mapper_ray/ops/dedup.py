@@ -565,6 +565,18 @@ cands AS (
 )"""
 
 
+def _pairs_as_str_edges(batch: pa.Table) -> pa.Table:
+    """(left_id, right_id) -> zero-padded decimal string edges for the
+    lexicographic min-label CC (vectorized zfill, no per-row Python)."""
+    def z20(col):
+        s = pd.Series(col.to_numpy(zero_copy_only=False))
+        return pa.array(s.astype(str).str.zfill(20), type=pa.string())
+    return pa.Table.from_pydict({
+        "a": z20(batch.column("left_id")),
+        "b": z20(batch.column("right_id")),
+    })
+
+
 def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",
                   id_col: str = "doc_id",
                   driver_max_pairs: int = 2_000_000,
@@ -606,24 +618,14 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     # min-id order under the propagation's lexicographic min
     from rdf_mapper_ray.engine.canonicalize import _cc_min_label
 
-    def as_str_edges(batch: pa.Table) -> pa.Table:
-        l = batch.column("left_id").to_pylist()
-        r = batch.column("right_id").to_pylist()
-        return pa.Table.from_pydict({
-            "a": pa.array([f"{v:020d}" for v in l], type=pa.string()),
-            "b": pa.array([f"{v:020d}" for v in r], type=pa.string()),
-        })
-
-    labels = _cc_min_label(pairs.map_batches(as_str_edges,
+    labels = _cc_min_label(pairs.map_batches(_pairs_as_str_edges,
                                              batch_format="pyarrow"))
 
     def non_reps(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         keep = batch.filter(pc.invert(pc.equal(batch.column("node"),
                                                batch.column("label"))))
-        ids = [int(v) for v in keep.column("node").to_pylist()]
-        return pa.Table.from_pydict({id_col: pa.array(ids,
-                                                      type=pa.int64())})
+        return pa.Table.from_pydict({
+            id_col: pc.cast(keep.column("node"), pa.int64())})
 
     return labels.map_batches(non_reps, batch_format="pyarrow") \
         .sort(id_col)

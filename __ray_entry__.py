@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_customer_join": joins.order_customer_join_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
+        "event_type_pivot": windows.event_type_pivot_query,
         "window_sliding": windows.sliding_query,
         "top_k_tokens": topk.top_k_query,
         "asof_prior_purchase": joins.prior_purchase_query,
@@ -206,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "running_totals": sessions.running_totals_oracle_sql(),
         "order_customer_join": joins.ORDER_CUSTOMER_JOIN_ORACLE_SQL,
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
+        "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),
         "window_sliding": windows.sliding_oracle_sql(),
         "top_k_tokens": topk.top_k_oracle_sql(),

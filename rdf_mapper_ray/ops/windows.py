@@ -176,3 +176,75 @@ SELECT window_start, COUNT(*) AS n_events,
        SUM(cents) / 100.0 AS sum_value
 FROM m GROUP BY 1 ORDER BY 1
 """
+
+
+# --- wide (pivot) conditional aggregation --------------------------------------
+
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(ds: "ray.data.Dataset", user_col: str = "user_id",
+                     type_col: str = "event_type",
+                     value_col: str = "value",
+                     types: tuple = PIVOT_EVENT_TYPES
+                     ) -> "ray.data.Dataset":
+    """One wide row per user: event count and value sum (integer cents)
+    per event type — the pivot / conditional-aggregation pattern.
+
+    Map-side combine: each block reduces to at most one row per user in
+    that block (counts and cent sums are associative), so the shuffle
+    carries user-count-sized partials, never events; one groupby(user)
+    sums the partials. Unknown event types are ignored (fixed output
+    schema — a pivot needs its columns known up front)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    cols = [f"n_{t}" for t in types] + [f"cents_{t}" for t in types]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "user": batch.column(user_col).to_numpy(zero_copy_only=False),
+            "typ": batch.column(type_col).to_numpy(zero_copy_only=False),
+            "cents": np.rint(batch.column(value_col).to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64),
+        })
+        out = {}
+        for t in types:
+            m = g[g["typ"] == t].groupby("user")["cents"] \
+                .agg(["size", "sum"])
+            out[f"n_{t}"] = m["size"]
+            out[f"cents_{t}"] = m["sum"]
+        wide = pd.DataFrame(out).fillna(0).astype(np.int64)
+        wide.index.name = "user"
+        wide = wide.reset_index()
+        return pa.Table.from_pandas(wide, preserve_index=False)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    agg = partials.groupby("user").sum(cols)
+    rename = {f"sum({c})": c for c in cols}
+
+    def _clean(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([rename.get(c, c) for c in t.column_names])
+        return t.rename_columns(
+            [user_col if c == "user" else c for c in t.column_names])
+
+    return agg.map_batches(_clean, batch_format="pyarrow")
+
+
+def event_type_pivot_query(sf_dir: str):
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+    return event_type_pivot(ds)
+
+
+def event_type_pivot_oracle_sql(types: tuple = PIVOT_EVENT_TYPES) -> str:
+    parts = []
+    for t in types:
+        parts.append(f"COUNT(*) FILTER (WHERE event_type = '{t}')"
+                     f"::BIGINT AS n_{t}")
+        parts.append(f"COALESCE(SUM(CAST(round(value * 100) AS BIGINT)) "
+                     f"FILTER (WHERE event_type = '{t}'), 0) AS cents_{t}")
+    return ("SELECT user_id, " + ", ".join(parts)
+            + " FROM events GROUP BY user_id ORDER BY user_id")

@@ -76,3 +76,25 @@ def test_tumbling_pre_epoch_floor_semantics(ray_session):
         .sort_values("window_start").reset_index(drop=True)
     assert out["window_start"].tolist() == [-60, 0]
     assert out["n_events"].tolist() == [1, 1]
+
+
+def test_event_type_pivot_matches_oracle(ray_session):
+    """Wide conditional aggregation: per-block partials summed by one
+    groupby must equal the SQL FILTER pivot, across many blocks."""
+    import duckdb
+    import ray.data
+    from rdf_mapper_ray.ops.windows import (event_type_pivot,
+                                            event_type_pivot_oracle_sql)
+    SF = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["user_id", "event_type", "value"]).repartition(11)
+    got = event_type_pivot(ds).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(event_type_pivot_oracle_sql()).fetchdf()
+    assert got.shape == want.shape
+    for c in want.columns:
+        assert (got[c].values == want[c].values).all(), c

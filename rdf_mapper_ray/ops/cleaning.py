@@ -296,3 +296,69 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN hits h USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# --- semi-structured (JSON) column extraction ----------------------------------
+
+def json_field_int(ds: "ray.data.Dataset", json_col: str, field: str,
+                   out_col: str | None = None) -> "ray.data.Dataset":
+    """Extract an integer field from a JSON-string column, vectorized —
+    the metadata-sidecar pattern (training corpora carry per-record
+    JSON attributes that pipelines must project without a Python
+    json.loads per row). One RE2 ``extract_regex`` kernel per batch
+    pulls scalar integer fields (incl. negatives); absent/null/non-int
+    fields yield null. A full JSON-path engine would swap in a
+    JSON-capable kernel here; the op contract (typed column out,
+    null on absence) stays the same."""
+    import re as _re
+
+    out_col = out_col or field
+    pat = '"' + _re.escape(field) + r'"\s*:\s*(?P<v>-?\d+)'
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(json_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = pc.extract_regex(pc.fill_null(col, ""), pat)
+        vals = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return batch.append_column(out_col, vals)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def json_field_stats_query(sf_dir: str):
+    """Per event type: count, non-null count and sum of the JSON
+    metadata field ``k`` in events.props."""
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    ex = json_field_int(ds, "props", "k")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column("k")
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "n_k": pc.cast(pc.is_valid(k), pa.int64()),
+            "sum_k": pc.fill_null(pc.cast(k, pa.int64()), 0),
+        })
+        agg = t.group_by("event_type", use_threads=False).aggregate(
+            [("n", "sum"), ("n_k", "sum"), ("sum_k", "sum")])
+        return agg.rename_columns(["event_type", "n", "n_k", "sum_k"])
+
+    merged = ex.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").sum(["n", "n_k", "sum_k"])
+    return merged.map_batches(
+        lambda t: t.rename_columns(["event_type", "n", "n_k", "sum_k"]),
+        batch_format="pyarrow")
+
+
+JSON_FIELD_STATS_ORACLE_SQL = """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+         AS n_k,
+       COALESCE(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)),
+                0)::BIGINT AS sum_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""

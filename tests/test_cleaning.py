@@ -229,3 +229,17 @@ def test_stratified_sample_md5_oracle(ray_session, con):
     o = con.execute(STRATIFIED_SAMPLE_ORACLE_SQL).df()
     assert 0 < len(o) < 3000
     _cmp(out, o, ["doc_id"])
+
+
+def test_json_field_int_extraction(ray_session):
+    import ray.data
+    import pyarrow as pa
+    from rdf_mapper_ray.ops.cleaning import json_field_int
+    ds = ray.data.from_arrow(pa.table({
+        "props": pa.array(['{"k": 7}', '{"k": -3, "x": 1}', '{"x": 9}',
+                           None, 'not json', '{"k": "str"}']),
+    }))
+    out = json_field_int(ds, "props", "k").to_pandas()
+    got = out["k"].tolist()
+    assert got[0] == 7 and got[1] == -3
+    assert all(pd.isna(v) for v in got[2:])

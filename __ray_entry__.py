@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": cleaning.stratified_sample_query,
         "decontaminate": cleaning.decontaminate_query,
         "json_field_stats": cleaning.json_field_stats_query,
+        "decontaminate_ngram": cleaning.decontaminate_ngram_query,
         "paragraph_dedup": paragraphs.paragraph_dedup_query,
         "dedup_keep_best": clusters.dedup_keep_best_query,
         "tfidf_top_terms": tfidf.tfidf_query,
@@ -199,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": cleaning.STRATIFIED_SAMPLE_ORACLE_SQL,
         "decontaminate": cleaning.DECONTAMINATE_ORACLE_SQL,
         "json_field_stats": cleaning.JSON_FIELD_STATS_ORACLE_SQL,
+        "decontaminate_ngram": cleaning.DECONTAMINATE_NGRAM_ORACLE_SQL,
         "paragraph_dedup": paragraphs.PARAGRAPH_DEDUP_ORACLE_SQL,
         "dedup_keep_best": clusters.keep_best_oracle_sql(),
         "tfidf_top_terms": tfidf.tfidf_oracle_sql(k=5),

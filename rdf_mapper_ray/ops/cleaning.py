@@ -362,3 +362,125 @@ SELECT event_type,
                 0)::BIGINT AS sum_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# --- fuzzy (n-gram overlap) decontamination -------------------------------------
+
+def decontaminate_ngram(ds: "ray.data.Dataset",
+                        bench: "ray.data.Dataset",
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_k: int = 5, threshold: int = 1,
+                        hash_fn: str = "pandas") -> "ray.data.Dataset":
+    """Fuzzy benchmark decontamination: flag every document sharing at
+    least ``threshold`` DISTINCT word ``shingle_k``-grams with the
+    benchmark corpus — the GPT-3-style 13-gram overlap filter
+    (exact-substring filtering is ``decontaminate``; this catches
+    reworded/partial leakage).
+
+    Scale shape: eval benchmarks are small by construction, so their
+    distinct shingle-hash set broadcasts once (``ray.put`` of a sorted
+    uint64 array) and the 100 TB corpus side STREAMS — membership is a
+    vectorized ``searchsorted`` per batch, per-doc distinct matching is
+    one lexsort + bincount, and nothing shuffles at all. (A benchmark
+    too large to broadcast would use the hash(shingle) co-partition
+    join of ops/dedup.py's verify stage instead.)
+
+    Output: (id_col, n_matched, contaminated) for EVERY input doc.
+    """
+    from rdf_mapper_ray.ops.dedup import _shingle_hashes_batch
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        hs = _shingle_hashes_batch(
+            batch.column(text_col).to_pylist(), shingle_k, hash_fn)
+        flat = np.unique(np.concatenate(hs)) if hs \
+            else np.array([], dtype=np.uint64)
+        return pa.Table.from_pydict({
+            "sh": pa.array(flat, type=pa.uint64())})
+
+    parts = [b.column("sh").to_numpy(zero_copy_only=False)
+             for b in bench.map_batches(
+                 bench_shingles, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    bset = np.unique(np.concatenate(parts)) if parts \
+        else np.array([], dtype=np.uint64)
+    bref = ray.put(bset)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bs = ray.get(bref)
+        texts = batch.column(text_col).to_pylist()
+        hs = _shingle_hashes_batch(texts, shingle_k, hash_fn)
+        n = batch.num_rows
+        if hs and len(bs):
+            lens = np.array([len(h) for h in hs], dtype=np.int64)
+            doc_idx = np.repeat(np.arange(n), lens)
+            flat = np.concatenate(hs) if len(hs) else \
+                np.array([], dtype=np.uint64)
+            # distinct (doc, shingle) pairs, fully vectorized
+            order = np.lexsort((flat, doc_idx))
+            di, fl = doc_idx[order], flat[order]
+            first = np.r_[True, (di[1:] != di[:-1]) | (fl[1:] != fl[:-1])]
+            di, fl = di[first], fl[first]
+            idx = np.clip(np.searchsorted(bs, fl), 0, len(bs) - 1)
+            hit = bs[idx] == fl
+            matched = np.bincount(di[hit], minlength=n).astype(np.int64)
+        else:
+            matched = np.zeros(n, dtype=np.int64)
+        return pa.Table.from_pydict({
+            id_col: batch.column(id_col),
+            "n_matched": pa.array(matched),
+            "contaminated": pa.array(matched >= threshold),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def decontaminate_ngram_query(sf_dir: str):
+    """Every 50th document plays the benchmark set; 5-gram overlap."""
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def every_50th(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        return batch.filter(pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 50), 50)), 0))
+
+    bench = ds.map_batches(every_50th, batch_format="pyarrow")
+    return decontaminate_ngram(ds, bench, shingle_k=5, threshold=1,
+                               hash_fn="md5")
+
+
+# matches _shingle_strings: k-gram windows, whole-doc fallback below k
+# words, '' for the empty doc; membership compared on the SAME md5-based
+# 64-bit hash the engine uses so both sides are the identical function
+DECONTAMINATE_NGRAM_ORACLE_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(COALESCE(text, ''),
+             ' ' || chr(9) || chr(10) || chr(13)), '\s+') AS w
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         array_to_string(list_slice(w, i, i + 4), ' ') AS sh
+  FROM words,
+       LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) t
+  WHERE len(w) >= 5
+  UNION ALL
+  SELECT doc_id, array_to_string(w, ' ') AS sh FROM words
+  WHERE len(w) < 5
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(sh), 1, 16))::UBIGINT AS h
+  FROM shingled
+),
+bsh AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+m AS (
+  SELECT s.doc_id, count(*)::BIGINT AS n
+  FROM sh s JOIN bsh USING (h) GROUP BY s.doc_id
+)
+SELECT d.doc_id, COALESCE(m.n, 0)::BIGINT AS n_matched,
+       COALESCE(m.n, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id
+"""

@@ -243,3 +243,28 @@ def test_json_field_int_extraction(ray_session):
     got = out["k"].tolist()
     assert got[0] == 7 and got[1] == -3
     assert all(pd.isna(v) for v in got[2:])
+
+
+def test_decontaminate_ngram_planted_leak(ray_session):
+    """A document quoting >= shingle_k consecutive benchmark words is
+    flagged; unrelated and sub-threshold docs are not."""
+    import ray.data
+    from rdf_mapper_ray.ops.cleaning import decontaminate_ngram
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            # quotes 5 consecutive benchmark words -> contaminated
+            "intro words then quick brown fox jumps over and more",
+            # shares only 3 consecutive words -> no 5-gram match
+            "quick brown fox elsewhere entirely different tail words",
+            "totally unrelated content about databases and joins",
+        ]}))
+    bench = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [100], "text": [bench_text]}))
+    out = decontaminate_ngram(corpus, bench, shingle_k=5) \
+        .to_pandas().set_index("doc_id")
+    assert bool(out.loc[0, "contaminated"])
+    assert not bool(out.loc[1, "contaminated"])
+    assert not bool(out.loc[2, "contaminated"])
+    assert int(out.loc[0, "n_matched"]) == 1

@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": cleaning.decontaminate_query,
         "json_field_stats": cleaning.json_field_stats_query,
         "decontaminate_ngram": cleaning.decontaminate_ngram_query,
+        "normalize_text": text.normalize_text_query,
+        "dedup_lines_within": text.dedup_lines_within_query,
         "paragraph_dedup": paragraphs.paragraph_dedup_query,
         "dedup_keep_best": clusters.dedup_keep_best_query,
         "tfidf_top_terms": tfidf.tfidf_query,
@@ -201,6 +203,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": cleaning.DECONTAMINATE_ORACLE_SQL,
         "json_field_stats": cleaning.JSON_FIELD_STATS_ORACLE_SQL,
         "decontaminate_ngram": cleaning.DECONTAMINATE_NGRAM_ORACLE_SQL,
+        "normalize_text": text.NORMALIZE_TEXT_ORACLE_SQL,
+        "dedup_lines_within": text.DEDUP_LINES_WITHIN_ORACLE_SQL,
         "paragraph_dedup": paragraphs.PARAGRAPH_DEDUP_ORACLE_SQL,
         "dedup_keep_best": clusters.keep_best_oracle_sql(),
         "tfidf_top_terms": tfidf.tfidf_oracle_sql(k=5),

@@ -442,3 +442,130 @@ SELECT d.doc_id, coalesce(m.mfp, 0)::UBIGINT AS min_fingerprint,
 FROM documents d LEFT JOIN mins m USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# --- normalization + intra-doc line dedup ---------------------------------------
+
+def normalize_text(ds: "ray.data.Dataset", text_col: str = "text",
+                   id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Canonical text normalization: unicode NFC, lowercase, whitespace
+    runs collapsed to single spaces, ends trimmed — the first stage of
+    any dedup/tokenize pipeline (two byte-different strings that render
+    identically must hash identically). Three Arrow kernels per batch,
+    map-only, zero shuffle. Output: (id, norm_text, changed)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.cast(pc.fill_null(batch.column(text_col), ""),
+                       pa.string())
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(pc.utf8_normalize(text, form="NFC")),
+            r"\s+", " "))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "norm_text": norm,
+            "changed": pc.not_equal(norm, text),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def normalize_text_query(sf_dir: str):
+    import ray.data as rd
+    return normalize_text(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
+NORMALIZE_TEXT_ORACLE_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(COALESCE(text, ''))),
+                           '\s+', ' ', 'g')) AS norm_text,
+       trim(regexp_replace(lower(nfc_normalize(COALESCE(text, ''))),
+                           '\s+', ' ', 'g')) <> COALESCE(text, '')
+         AS changed
+FROM documents ORDER BY doc_id
+"""
+
+
+def dedup_lines_within(ds: "ray.data.Dataset", text_col: str = "text",
+                       id_col: str = "doc_id",
+                       sep: str = "\n") -> "ray.data.Dataset":
+    """Remove repeated lines WITHIN each document, keeping each line's
+    first occurrence (CCNet does this before any cross-doc pass;
+    cross-corpus paragraph dedup is ops/paragraphs.py). Map-only and
+    fully vectorized: one split, one stable lexsort to find per-doc
+    duplicate line hashes, offsets rebuilt zero-copy. Output:
+    (id, clean_text, n_kept, n_dropped)."""
+    import numpy as np
+
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.cast(pc.fill_null(batch.column(text_col), ""),
+                       pa.large_string())
+        lists = pc.split_pattern(text, sep)
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+        n = batch.num_rows
+        total = int(lens.sum())
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pos = np.arange(total, dtype=np.int64)
+        h = hash64(flat.to_pylist(), "pandas").view(np.int64)
+        # first occurrence per (doc, line-hash): stable sort by
+        # (doc, hash, pos); keep rows where the (doc, hash) key changes
+        order = np.lexsort((pos, h, doc_idx))
+        d_s, h_s = doc_idx[order], h[order]
+        first_in_key = np.r_[True, (d_s[1:] != d_s[:-1])
+                             | (h_s[1:] != h_s[:-1])]
+        keep = np.zeros(total, dtype=bool)
+        keep[order[first_in_key]] = True
+        csum = np.concatenate(([0], np.cumsum(keep.astype(np.int64))))
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        kept_per_doc = csum[ends] - csum[starts]
+        offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
+        kept_flat = pc.filter(flat, pa.array(keep))
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        rebuilt = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), kept_flat)
+        clean = pc.binary_join(rebuilt,
+                               pa.scalar(sep, type=pa.large_string()))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "clean_text": pc.cast(clean, pa.string()),
+            "n_kept": pa.array(kept_per_doc, type=pa.int64()),
+            "n_dropped": pa.array(lens - kept_per_doc, type=pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_lines_within_query(sf_dir: str):
+    """The word-soup docs are single-line; split on spaces instead so
+    the demo actually exercises intra-doc duplicate removal (docs DO
+    repeat words) — mirrored exactly in the SQL."""
+    import ray.data as rd
+    return dedup_lines_within(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]), sep=" ")
+
+
+DEDUP_LINES_WITHIN_ORACLE_SQL = """
+WITH lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(COALESCE(text, ''), ' '), 1)
+           AS pos,
+         unnest(string_split(COALESCE(text, ''), ' ')) AS line
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+  FROM lines
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+                '') AS clean_text,
+       COUNT(*) FILTER (WHERE rn = 1)::BIGINT AS n_kept,
+       COUNT(*) FILTER (WHERE rn > 1)::BIGINT AS n_dropped
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""

@@ -678,3 +678,32 @@ def test_hash64_md5_matches_duckdb():
         "SELECT ('0x' || substr(md5(?), 1, 16))::UBIGINT", [s]).fetchone()[0]
         for s in strs]
     assert ours == theirs
+
+
+def test_normalize_text_semantics(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.text import normalize_text
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["  Hello\t WORLD \n", "already clean", None],
+    }))
+    out = normalize_text(ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "norm_text"] == "hello world"
+    assert bool(out.loc[0, "changed"])
+    assert out.loc[1, "norm_text"] == "already clean"
+    assert not bool(out.loc[1, "changed"])
+    assert out.loc[2, "norm_text"] == ""
+
+
+def test_dedup_lines_within_keeps_first(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.text import dedup_lines_within
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["a\nb\na\nc\nb", "x"],
+    }))
+    out = dedup_lines_within(ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "clean_text"] == "a\nb\nc"
+    assert int(out.loc[0, "n_dropped"]) == 2
+    assert out.loc[1, "clean_text"] == "x"
+    assert int(out.loc[1, "n_dropped"]) == 0

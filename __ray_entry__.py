@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_window": sessions.session_window_query,
         "running_totals": sessions.running_totals_query,
         "order_customer_join": joins.order_customer_join_query,
+        "customers_no_urgent": joins.customers_no_urgent_orders_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window": sessions.session_window_oracle_sql(),
         "running_totals": sessions.running_totals_oracle_sql(),
         "order_customer_join": joins.ORDER_CUSTOMER_JOIN_ORACLE_SQL,
+        "customers_no_urgent": joins.CUSTOMERS_NO_URGENT_ORACLE_SQL,
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

@@ -179,10 +179,18 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
       split back per side inside the task — values never pass through
       a pandas nullable-int coercion.
     Auto venue: broadcast when the right side is under
-    ``broadcast_max_rows``. ``how``: inner | left.
+    ``broadcast_max_rows``. ``how``: inner | left | semi | anti.
+
+    ``semi``/``anti`` are EXISTS / NOT-EXISTS filters: output is left
+    rows only (no right payload), so the right side is pruned to its
+    key column before it ever rides a broadcast or a shuffle — the
+    decontamination / orphan-detection shape at corpus scale.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    key_only = how in ("semi", "anti")
+    if key_only:
+        right = right.select_columns([right_on])
     if venue is None:
         venue = "broadcast" if right.count() <= broadcast_max_rows \
             else "copartition"
@@ -198,13 +206,18 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     overlap = [c for c in r_cols if c in l_cols]
     out_r_cols = [c + suffix if c in overlap else c for c in r_cols]
 
-    join_type = {"inner": "inner", "left": "left outer"}[how]
+    join_type = {"inner": "inner", "left": "left outer",
+                 "semi": "left semi", "anti": "left anti"}[how]
 
     def _arrow_join(lt: pa.Table, rt: pa.Table, r_key: str) -> pa.Table:
         """Acero hash join — vectorized, type-preserving, SQL null
         semantics (a null key matches nothing). Acero drops the right
         join key from the output, so it rides again as a payload copy
-        (SQL JOIN outputs both key columns)."""
+        (SQL JOIN outputs both key columns); semi/anti output left
+        columns only, like SQL EXISTS."""
+        if key_only:
+            return lt.join(rt.select([r_key]), keys=[left_on],
+                           right_keys=[r_key], join_type=join_type)
         rt = rt.append_column("__rk", rt.column(r_key))
         out = lt.join(rt, keys=[left_on], right_keys=["__rk"],
                       join_type=join_type)
@@ -323,6 +336,35 @@ def order_customer_join_query(sf_dir: str):
     return equi_join(orders, cust, left_on="o_custkey",
                      right_on="c_custkey", how="inner",
                      venue="copartition")
+
+
+def customers_no_urgent_orders_query(sf_dir: str):
+    """NOT-EXISTS demo through the anti-join (CO-PARTITION venue; the
+    broadcast venue and the semi complement are proven in
+    tests/test_joins.py): customers who never placed a 1-URGENT order.
+    The orders side is filtered at the read and pruned to its key
+    column before the shuffle — at corpus scale only matching keys
+    move."""
+    import pyarrow.dataset as pads
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT")
+    return equi_join(cust, orders, left_on="c_custkey",
+                     right_on="o_custkey", how="anti",
+                     venue="copartition")
+
+
+CUSTOMERS_NO_URGENT_ORACLE_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
 
 
 ORDER_CUSTOMER_JOIN_ORACLE_SQL = """

@@ -145,3 +145,37 @@ def test_equi_join_query_matches_oracle(ray_session):
     cols = sorted(got.columns)
     assert (got[cols].astype(str).values == want[cols].astype(str)
             .values).all()
+
+
+def test_equi_join_semi_anti_venues(ray_session):
+    from rdf_mapper_ray.ops.joins import equi_join
+    left, right = _join_fixture()
+    for venue in ("broadcast", "copartition"):
+        semi = equi_join(left, right, left_on="k", right_on="k",
+                         how="semi", venue=venue).to_pandas()
+        anti = equi_join(left, right, left_on="k", right_on="k",
+                         how="anti", venue=venue).to_pandas()
+        # left columns only, no right payload
+        assert list(semi.columns) == ["k", "lv", "name"], venue
+        assert list(anti.columns) == ["k", "lv", "name"], venue
+        # EXISTS picks the matched keys once each; NOT EXISTS gets the
+        # rest — a NULL left key matches nothing, so it lands in anti
+        assert sorted(semi["name"]) == ["a", "b", "c"], venue
+        assert sorted(anti["name"]) == ["d", "e"], venue
+        assert len(semi) + len(anti) == 5
+
+
+def test_customers_no_urgent_matches_oracle(ray_session):
+    import duckdb
+    import __ray_entry__ as E
+    got = E.queries()["customers_no_urgent"](SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    want = con.execute(E.oracle_sql()["customers_no_urgent"]).fetchdf()
+    got = got.sort_values("c_custkey").reset_index(drop=True)
+    want = want.sort_values("c_custkey").reset_index(drop=True)
+    assert got.shape == want.shape
+    assert (got[sorted(got.columns)].astype(str).values ==
+            want[sorted(want.columns)].astype(str).values).all()

@@ -56,9 +56,10 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_mapper_ray.ops import (clusters, dedup, distinct, joins,
-                                    multimodal, cleaning, paragraphs,
-                                    quantiles, retrieval, sessions,
-                                    similarity, text, tfidf, topk, windows)
+                                    multimodal, cleaning, packing,
+                                    paragraphs, quantiles, retrieval,
+                                    sessions, similarity, text, tfidf,
+                                    topk, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     import ray.data
@@ -113,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": sessions.running_totals_query,
         "order_customer_join": joins.order_customer_join_query,
         "customers_no_urgent": joins.customers_no_urgent_orders_query,
+        "pack_sequences": packing.pack_sequences_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -165,9 +167,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rdf_mapper_ray.ops import (clusters, dedup, distinct, joins,
-                                    multimodal, cleaning, paragraphs,
-                                    quantiles, retrieval, sessions,
-                                    similarity, text, tfidf, topk, windows)
+                                    multimodal, cleaning, packing,
+                                    paragraphs, quantiles, retrieval,
+                                    sessions, similarity, text, tfidf,
+                                    topk, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     return {
@@ -216,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "running_totals": sessions.running_totals_oracle_sql(),
         "order_customer_join": joins.ORDER_CUSTOMER_JOIN_ORACLE_SQL,
         "customers_no_urgent": joins.CUSTOMERS_NO_URGENT_ORACLE_SQL,
+        "pack_sequences": packing.pack_oracle_sql(),
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

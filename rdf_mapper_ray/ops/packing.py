@@ -1,0 +1,140 @@
+"""Sequence packing (concat-and-chunk) — the GPT-style pretraining
+layout: the corpus is token-concatenated in document order and cut
+every ``seq_len`` tokens; each document is assigned to every chunk its
+token span overlaps (documents straddle chunk boundaries, exactly like
+a packed pretraining shard).
+
+No reference counterpart (the reference has no training-data ops);
+public semantics per Brown et al. 2020 §2.1 (GPT-3 data layout) and the
+standard "pack then split" dataloader.
+
+Scale design — a GLOBAL ordered prefix sum without a global sort:
+
+1. token counts per batch (one vectorized RE2 kernel; the text column
+   is dropped immediately — only (id, n) ever rides a shuffle),
+2. range-partition on the id domain (min/max via one aggregate), so
+   partition p holds exactly the ids in [lo + p·w, lo + (p+1)·w) —
+   ORDERED across partitions by construction,
+3. per-partition token totals (one tiny groupby, P rows) → driver
+   cumsum → broadcast offsets dict (P entries, ray.put once),
+4. per-partition sorted cumsum + offset, then a fully vectorized
+   np.repeat expansion emits one row per (doc, overlapped chunk).
+
+The driver never sees more than P partial sums; the heavy emit is
+map_groups-parallel. Skewed id ranges degrade partition balance, not
+correctness (documented limit; a sampled-quantile router is the remedy
+on pathological id distributions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+DEFAULT_SEQ_LEN = 2048
+
+
+def pack_sequences(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                   text_col: str = "text",
+                   seq_len: int = DEFAULT_SEQ_LEN,
+                   num_partitions: int | None = None
+                   ) -> "ray.data.Dataset":
+    """-> (id, begin_tok, chunk_id): one row per chunk of the packed
+    token stream that the document's span [begin, begin+n) overlaps.
+    Zero-token documents emit no rows."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import _num_partitions
+        num_partitions = _num_partitions(None)
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column(text_col),
+                                     pattern=r"\S+")
+        return pa.Table.from_pydict({
+            id_col: batch.column(id_col),
+            "n": pc.fill_null(pc.cast(n, pa.int64()), 0),
+        })
+
+    # (id, n) only — two passes over THIS tiny table, never the text
+    counts = ds.map_batches(count, batch_format="pyarrow").materialize()
+
+    agg = counts.aggregate(Min(id_col), Max(id_col))
+    lo, hi = int(agg[f"min({id_col})"]), int(agg[f"max({id_col})"])
+    width = max(1, (hi - lo + num_partitions) // num_partitions)
+
+    def route(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        pid = (ids - lo) // width
+        return batch.append_column("pid", pa.array(pid.astype(np.int64)))
+
+    routed = counts.map_batches(route, batch_format="pyarrow")
+
+    # P partial sums -> driver cumsum -> broadcast offsets
+    totals = routed.groupby("pid").aggregate(Sum("n")).to_pandas() \
+        .sort_values("pid")
+    cum = np.cumsum(totals["sum(n)"].to_numpy())
+    offsets = dict(zip(totals["pid"].astype(int).tolist(),
+                       (cum - totals["sum(n)"].to_numpy()).tolist()))
+    offsets_ref = ray.put(offsets)
+
+    def pack_part(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)[int(g["pid"].iloc[0])]
+        g = g.sort_values(id_col)
+        n = g["n"].to_numpy()
+        ids = g[id_col].to_numpy()
+        begin = off + np.cumsum(n) - n
+        start_bin = begin // seq_len
+        end_bin = (begin + n - 1) // seq_len
+        reps = np.where(n > 0, end_bin - start_bin + 1, 0).astype(np.int64)
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame({id_col: pd.array([], dtype="int64"),
+                                 "begin_tok": pd.array([], dtype="int64"),
+                                 "chunk_id": pd.array([], dtype="int64")})
+        # intra-run index without a Python loop:
+        # [0,1,..,r0-1, 0,1,..,r1-1, ...]
+        run_starts = np.cumsum(reps) - reps
+        intra = np.arange(total) - np.repeat(run_starts, reps)
+        return pd.DataFrame({
+            id_col: np.repeat(ids, reps),
+            "begin_tok": np.repeat(begin, reps),
+            "chunk_id": np.repeat(start_bin, reps) + intra,
+        })
+
+    return routed.groupby("pid").map_groups(pack_part,
+                                            batch_format="pandas")
+
+
+def pack_sequences_query(sf_dir: str, seq_len: int = DEFAULT_SEQ_LEN):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return pack_sequences(ds, seq_len=seq_len)
+
+
+def pack_oracle_sql(seq_len: int = DEFAULT_SEQ_LEN) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(COALESCE(length(regexp_extract_all(text, '\\S+')), 0)
+              AS BIGINT) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS begin_tok
+  FROM t
+)
+SELECT doc_id, begin_tok,
+       UNNEST(generate_series(begin_tok // {seq_len},
+                              (begin_tok + n - 1) // {seq_len}))
+         AS chunk_id
+FROM c
+WHERE n > 0
+ORDER BY doc_id, chunk_id
+"""

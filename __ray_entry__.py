@@ -56,10 +56,11 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_mapper_ray.ops import (clusters, dedup, distinct, joins,
-                                    multimodal, cleaning, packing,
-                                    paragraphs, quantiles, retrieval,
-                                    sessions, similarity, text, tfidf,
-                                    topk, windows)
+                                    multimodal, cleaning, normalize,
+                                    packing, paragraphs, quantiles,
+                                    retrieval, rollup, sessions,
+                                    similarity, text, tfidf, topk,
+                                    windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     import ray.data
@@ -115,6 +116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_customer_join": joins.order_customer_join_query,
         "customers_no_urgent": joins.customers_no_urgent_orders_query,
         "pack_sequences": packing.pack_sequences_query,
+        "zscore_normalize": normalize.zscore_query,
+        "rollup_counts": rollup.rollup_query,
+        "event_gaps": sessions.event_gaps_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -167,10 +171,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rdf_mapper_ray.ops import (clusters, dedup, distinct, joins,
-                                    multimodal, cleaning, packing,
-                                    paragraphs, quantiles, retrieval,
-                                    sessions, similarity, text, tfidf,
-                                    topk, windows)
+                                    multimodal, cleaning, normalize,
+                                    packing, paragraphs, quantiles,
+                                    retrieval, rollup, sessions,
+                                    similarity, text, tfidf, topk,
+                                    windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     return {
@@ -220,6 +225,9 @@ def oracle_sql() -> dict[str, str]:
         "order_customer_join": joins.ORDER_CUSTOMER_JOIN_ORACLE_SQL,
         "customers_no_urgent": joins.CUSTOMERS_NO_URGENT_ORACLE_SQL,
         "pack_sequences": packing.pack_oracle_sql(),
+        "zscore_normalize": normalize.ZSCORE_ORACLE_SQL,
+        "rollup_counts": rollup.ROLLUP_ORACLE_SQL,
+        "event_gaps": sessions.event_gaps_oracle_sql(),
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

@@ -1,0 +1,87 @@
+"""Hierarchical ROLLUP aggregation — subtotals at every prefix level of
+a key hierarchy (SQL ``GROUP BY ROLLUP(a, b)``), the shape of corpus
+composition reports (per source+language, per source, grand total).
+
+Scale design: the raw table is reduced ONCE with a map-side combine at
+the finest level (one shuffle over (a, b) partial rows — never event
+rows); every coarser level re-aggregates the finest-level RESULT, which
+is group-count-sized, so the rollup costs one real shuffle plus
+negligible work. NULL key markers mean "rolled up here", exactly like
+SQL."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def rollup_counts(ds: "ray.data.Dataset", keys: tuple[str, str],
+                  sum_col: str) -> "ray.data.Dataset":
+    """-> (a, b, n_rows, sum_<col>) at levels (a,b), (a,NULL) and
+    (NULL,NULL)."""
+    a, b = keys
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([a, b, sum_col])
+        agg = t.group_by([a, b], use_threads=False).aggregate(
+            [(sum_col, "sum"), ([], "count_all")])
+        return agg.rename_columns([a, b, "s", "n"])
+
+    fine = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([a, b]).aggregate(Sum("s"), Sum("n")).materialize()
+
+    def fmt(level: int):
+        def _fmt(batch: pa.Table) -> pa.Table:
+            nrows = batch.num_rows
+            return pa.Table.from_pydict({
+                a: batch.column(a) if level < 2
+                    else pa.nulls(nrows, pa.string()),
+                b: batch.column(b) if level < 1
+                    else pa.nulls(nrows, pa.string()),
+                "n_rows": pa.compute.cast(batch.column("sum(n)"),
+                                          pa.int64()),
+                "sum_" + sum_col: pa.compute.cast(batch.column("sum(s)"),
+                                                  pa.int64()),
+            })
+        return _fmt
+
+    lvl0 = fine.map_batches(fmt(0), batch_format="pyarrow")
+    lvl1 = fine.groupby(a).aggregate(Sum("sum(s)"), Sum("sum(n)")) \
+        .map_batches(lambda t: t.rename_columns([a, "sum(s)", "sum(n)"]),
+                     batch_format="pyarrow") \
+        .map_batches(_with_null(b, 1), batch_format="pyarrow") \
+        .map_batches(fmt(1), batch_format="pyarrow")
+    total = fine.aggregate(Sum("sum(s)"), Sum("sum(n)"))
+    lvl2 = ray.data.from_arrow(pa.Table.from_pydict({
+        a: pa.nulls(1, pa.string()),
+        b: pa.nulls(1, pa.string()),
+        "n_rows": pa.array([int(total["sum(sum(n))"])], pa.int64()),
+        "sum_" + sum_col: pa.array([int(total["sum(sum(s))"])],
+                                   pa.int64()),
+    }))
+    return lvl0.union(lvl1).union(lvl2)
+
+
+def _with_null(col: str, _lvl: int):
+    def _add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(col, pa.nulls(batch.num_rows,
+                                                 pa.string()))
+    return _add
+
+
+def rollup_query(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "lang", "n_chars"])
+    return rollup_counts(ds, keys=("source", "lang"), sum_col="n_chars")
+
+
+ROLLUP_ORACLE_SQL = """
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents
+GROUP BY ROLLUP(source, lang)
+ORDER BY source NULLS FIRST, lang NULLS FIRST
+"""

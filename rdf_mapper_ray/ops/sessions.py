@@ -447,3 +447,59 @@ SELECT user_id, event_id,
 FROM marked
 ORDER BY user_id, event_id
 """
+
+
+def event_gaps(ds: "ray.data.Dataset", user_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id"
+               ) -> "ray.data.Dataset":
+    """Per-event LAG window: microseconds since the user's previous
+    event plus that event's id (NULL on each user's first event) — the
+    inter-arrival feature every retention / anomaly pipeline derives.
+
+    Same venue as :func:`sessionize`: complete users co-locate via the
+    pid route; inside a partition one sort + shifted-array compare
+    handles ALL users vectorized (a boundary mask separates users — no
+    per-user loop, no per-row Python)."""
+    import numpy as np
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col]).reset_index(
+            drop=True)
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        users = g[user_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        n = len(g)
+        same = np.empty(n, dtype=bool)
+        if n:
+            same[0] = False
+            same[1:] = users[1:] == users[:-1]
+        gap = pd.array(ts - np.roll(ts, 1), dtype="Int64")
+        prev = pd.array(np.roll(ids, 1), dtype="Int64")
+        gap[~same] = pd.NA
+        prev[~same] = pd.NA
+        return pd.DataFrame({
+            user_col: g[user_col],
+            id_col: g[id_col],
+            "gap_us": gap,
+            "prev_event_id": prev,
+        })
+
+    return _route_by_user(ds, user_col).map_groups(part,
+                                                   batch_format="pandas")
+
+
+def event_gaps_query(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+    return event_gaps(ds)
+
+
+def event_gaps_oracle_sql() -> str:
+    return """
+SELECT user_id, event_id,
+       CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_us,
+       lag(event_id) OVER w AS prev_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""

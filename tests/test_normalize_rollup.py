@@ -1,0 +1,69 @@
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle_con(*tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def test_zscore_bit_exact_vs_oracle(ray_session):
+    import __ray_entry__ as E
+    got = E.queries()["zscore_normalize"](SF).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = _oracle_con("events").execute(
+        E.oracle_sql()["zscore_normalize"]).fetchdf()
+    assert got.shape == want.shape
+    # bit-exact, not approx: all float inputs are exact integers and
+    # the division/sqrt are IEEE-correctly-rounded on both sides
+    assert (got["zscore"].values == want["zscore"].values).all()
+
+
+def test_zscore_constant_group_is_zero(ray_session):
+    from rdf_mapper_ray.ops.normalize import zscore_by
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "event_type": ["a", "a", "b", "b"],
+        "value": [5.0, 5.0, 1.0, 3.0],
+    }))
+    got = zscore_by(ds).to_pandas().sort_values("event_id")
+    assert (got[got["event_type"] == "a"]["zscore"] == 0.0).all()
+    za = got[got["event_type"] == "b"]["zscore"].to_numpy()
+    assert np.allclose(np.sort(za), [-1.0, 1.0])
+
+
+def test_rollup_matches_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import compare
+    import __ray_entry__ as E
+    got = E.queries()["rollup_counts"](SF).to_pandas()
+    want = _oracle_con("documents").execute(
+        E.oracle_sql()["rollup_counts"]).fetchdf()
+    assert compare("rollup_counts", got, want)
+    # one grand-total row, and the levels are consistent
+    top = got[got["source"].isna() & got["lang"].isna()]
+    assert len(top) == 1
+    fine = got[got["source"].notna() & got["lang"].notna()]
+    assert fine["n_rows"].sum() == top["n_rows"].iloc[0]
+
+
+def test_event_gaps_matches_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import compare
+    import __ray_entry__ as E
+    got = E.queries()["event_gaps"](SF).to_pandas()
+    want = _oracle_con("events").execute(
+        E.oracle_sql()["event_gaps"]).fetchdf()
+    assert compare("event_gaps", got, want)
+    # each user's first event has NULL gap
+    n_users = want["user_id"].nunique()
+    assert got["gap_us"].isna().sum() == n_users

@@ -58,9 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_mapper_ray.ops import (clusters, dedup, distinct, joins,
                                     multimodal, cleaning, normalize,
                                     packing, paragraphs, quantiles,
-                                    retrieval, rollup, sessions,
-                                    similarity, text, tfidf, topk,
-                                    windows)
+                                    retrieval, rollup, semdedup,
+                                    sessions, similarity, text, tfidf,
+                                    topk, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     import ray.data
@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_normalize": normalize.zscore_query,
         "rollup_counts": rollup.rollup_query,
         "event_gaps": sessions.event_gaps_query,
+        # nclusters=1 exactness contract (see ops/semdedup.py docstring)
+        "dedup_semantic": semdedup.semantic_dedup_query,
+        "top_bigrams": topk.top_bigrams_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -173,9 +176,9 @@ def oracle_sql() -> dict[str, str]:
     from rdf_mapper_ray.ops import (clusters, dedup, distinct, joins,
                                     multimodal, cleaning, normalize,
                                     packing, paragraphs, quantiles,
-                                    retrieval, rollup, sessions,
-                                    similarity, text, tfidf, topk,
-                                    windows)
+                                    retrieval, rollup, semdedup,
+                                    sessions, similarity, text, tfidf,
+                                    topk, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     return {
@@ -228,6 +231,8 @@ def oracle_sql() -> dict[str, str]:
         "zscore_normalize": normalize.ZSCORE_ORACLE_SQL,
         "rollup_counts": rollup.ROLLUP_ORACLE_SQL,
         "event_gaps": sessions.event_gaps_oracle_sql(),
+        "dedup_semantic": semdedup.SEMANTIC_DEDUP_ORACLE_SQL,
+        "top_bigrams": topk.top_bigrams_oracle_sql(),
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

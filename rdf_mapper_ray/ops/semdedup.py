@@ -1,0 +1,72 @@
+"""Semantic deduplication (SemDeDup, Abbas et al. 2023,
+arXiv:2303.09540): k-means-cluster the embedding space, then within
+each cluster drop every vector that has a smaller-id neighbor at
+cosine ≥ threshold. Clustering bounds the quadratic comparison to
+cluster-sized tiles, which is the whole point at corpus scale — the
+all-pairs matrix never materializes across clusters.
+
+Exactness contract (mirrors knn_ivf's full-probe rule): with
+``nclusters=1`` every vector shares one cluster, so the pruning is
+provably identical to the brute-force rule "keep v iff no u < v with
+cos(u,v) ≥ t" — a NOT-EXISTS SQL oracle checks the whole path (driver
+kmeans, broadcast-centroid assignment, per-cluster tile prune). The
+``nclusters>1`` scale path can only MISS cross-cluster duplicates, so
+its survivor set is a superset of the exact one — asserted as the
+recall unit in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from rdf_mapper_ray.ops.dedup import _vecs_from_block
+from rdf_mapper_ray.ops.similarity import IVFIndex
+
+
+def semantic_dedup(ds: "ray.data.Dataset", id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   threshold: float = 0.45,
+                   nclusters: int = 16) -> "ray.data.Dataset":
+    """-> (id,) survivors after within-cluster near-duplicate pruning
+    (keep the smallest id of every near-dup relation)."""
+    import pyarrow as pa
+
+    index = IVFIndex(ds, nlist=nclusters, vec_col=vec_col)
+    assigned = index.assign(ds.select_columns([id_col, vec_col]))
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        tbl = pa.Table.from_pandas(g[[id_col, vec_col]],
+                                   preserve_index=False)
+        ids, m = _vecs_from_block(tbl, id_col, vec_col)
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        # one dense tile per cluster; tril ⇒ only smaller-id neighbors
+        sim = m @ m.T
+        dup = (np.tril(sim, k=-1) >= threshold).any(axis=1)
+        return pd.DataFrame({id_col: ids[~dup]})
+
+    return assigned.groupby("cluster").map_groups(prune,
+                                                  batch_format="pandas")
+
+
+def semantic_dedup_query(sf_dir: str):
+    """Driver query runs the nclusters=1 exactness contract (see module
+    docstring); the clustered scale path is covered by the superset
+    unit in tests/test_semdedup.py."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, threshold=0.45, nclusters=1)
+
+
+SEMANTIC_DEDUP_ORACLE_SQL = """
+SELECT v.vec_id
+FROM embeddings v
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings u
+  WHERE u.vec_id < v.vec_id
+    AND list_cosine_similarity(u.embedding, v.embedding) >= 0.45)
+ORDER BY vec_id
+"""

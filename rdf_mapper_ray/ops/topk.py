@@ -381,3 +381,74 @@ WITH ranked AS (
 SELECT o_custkey, rank, o_orderkey, value_cents FROM ranked
 WHERE rank <= 3 ORDER BY o_custkey, rank
 """
+
+
+def top_bigrams(ds: "ray.data.Dataset", text_col: str = "text",
+                k: int = 30) -> "ray.data.Dataset":
+    """Exact k most frequent word bigrams (lowercased whitespace
+    tokens, adjacent within a document), ties broken by bigram
+    ascending — the n-gram LM / contamination-screen statistic.
+
+    Same map-side-combine shape as :func:`top_k_tokens`: bigram strings
+    are built vectorized from ONE flattened token buffer (offset
+    bookkeeping marks document boundaries; pc.binary_join_element_wise
+    concatenates shifted views) and only (bigram, cnt) partials ride
+    the shuffle — the corpus never does. Output: (bigram, cnt)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lowered = pc.utf8_lower(pc.fill_null(col, ""))
+        lists = pc.split_pattern_regex(lowered, _WS)
+        lengths = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        doc = np.repeat(np.arange(len(lengths)), lengths)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc = doc[keep]
+        if len(flat) < 2:
+            return pa.Table.from_pydict({
+                "bigram": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64())})
+        same = doc[1:] == doc[:-1]
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+        vc = joined.filter(pa.array(same)).value_counts()
+        return pa.Table.from_pydict({
+            "bigram": vc.field("values"),
+            "cnt": vc.field("counts").cast(pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    merged = partials.groupby("bigram").sum("cnt") \
+        .map_batches(lambda t: t.rename_columns(["bigram", "cnt"]),
+                     batch_format="pyarrow")
+    return merged.sort(["cnt", "bigram"],
+                       descending=[True, False]).limit(k)
+
+
+def top_bigrams_query(sf_dir: str, k: int = 30):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return top_bigrams(ds, k=k)
+
+
+def top_bigrams_oracle_sql(k: int = 30) -> str:
+    return f"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                           '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+pairs AS (
+  SELECT ts[i] || ' ' || ts[i + 1] AS bigram
+  FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+)
+SELECT bigram, COUNT(*) AS cnt
+FROM pairs GROUP BY bigram
+ORDER BY cnt DESC, bigram
+LIMIT {k}
+"""

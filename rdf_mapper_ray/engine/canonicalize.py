@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -149,8 +150,14 @@ def _cc_min_label(edge_ds: "ray.data.Dataset",
     Rastogi et al. 2012): labels hop along pointers as well as graph
     edges, so rounds grow with log(diameter), not diameter.
 
-    Returns a (node, label) Dataset where label is the lexicographically
-    smallest member of the node's component.
+    Returns a (node, label) Dataset where label is the smallest member
+    of the node's component under the edge column type's ordering —
+    lexicographic for string nodes, numeric for int64 nodes. The whole
+    round loop is type-agnostic (row kinds are an explicit int8 tag,
+    never a null marker), so integer-id callers pass int64 edges
+    directly: 8-byte label columns on every CC shuffle instead of
+    ~24-byte zero-padded decimal strings, and int min instead of
+    string min in every partition-local merge.
     """
     if num_partitions is None:
         from rdf_mapper_ray.engine.dedup import default_num_partitions
@@ -194,11 +201,16 @@ def _cc_min_label(edge_ds: "ray.data.Dataset",
         # stage 1 — send: co-locate each node's label with its adjacency
         # rows (same pid), emit (other, label) messages pre-aggregated
         # to min-per-target within the partition
+        # row discrimination via an explicit kind tag, NOT null markers:
+        # nulls in an int64 column would force pandas to float64 inside
+        # map_groups and silently corrupt ids above 2^53. Unused fields
+        # carry a same-typed dummy copy of "node" instead.
         def as_label_row(t: pa.Table) -> pa.Table:
             t = pa.Table.from_pydict({
                 "node": t.column("node"),
-                "other": pa.nulls(t.num_rows, pa.string()),
+                "other": t.column("node"),
                 "label": t.column("label"),
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
             })
             return _add_node_pid(t, num_partitions)
 
@@ -208,7 +220,8 @@ def _cc_min_label(edge_ds: "ray.data.Dataset",
             return pa.Table.from_pydict({
                 "node": t.column("node"),
                 "other": t.column("other"),
-                "label": pa.nulls(t.num_rows, pa.string()),
+                "label": t.column("node"),
+                "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
                 "pid": t.column("pid"),
             })
 
@@ -227,7 +240,8 @@ def _cc_min_label(edge_ds: "ray.data.Dataset",
             out = pa.Table.from_pydict({
                 "node": pa.concat_arrays([node, lab]),
                 "other": pa.concat_arrays([lab, node]),
-                "label": pa.nulls(2 * n, pa.string()),
+                "label": pa.concat_arrays([node, lab]),
+                "kind": pa.array(np.zeros(2 * n, dtype=np.int8)),
             })
             return _add_node_pid(out, num_partitions)
 
@@ -237,9 +251,9 @@ def _cc_min_label(edge_ds: "ray.data.Dataset",
                                       batch_format="pyarrow"))
 
         def send_part(g: pd.DataFrame) -> pd.DataFrame:
-            labs = g.loc[g["other"].isna(), ["node", "label"]]
+            labs = g.loc[g["kind"] == 1, ["node", "label"]]
             labs = labs.groupby("node", as_index=False)["label"].min()
-            a = g.loc[g["other"].notna(), ["node", "other"]]
+            a = g.loc[g["kind"] == 0, ["node", "other"]]
             # local fixpoint first: propagate min labels over the part of
             # the graph that lives in THIS partition until stable, so a
             # chain spanning k partitions converges in O(log k) global

@@ -84,13 +84,12 @@ def dup_clusters(pairs: "ray.data.Dataset", id_col: str = "doc_id",
             "cluster_id": pa.array([c for _, c in out], type=pa.int64()),
         }))
 
-    # distributed venue: zero-padded decimal labels keep numeric min-id
-    # order under the propagation's lexicographic min (same trick as
-    # minhash_dedup)
+    # distributed venue: int64 min-label propagation (numeric min-id,
+    # 8-byte ids on every CC shuffle — same venue as minhash_dedup)
     from rdf_mapper_ray.engine.canonicalize import _cc_min_label
-    from rdf_mapper_ray.ops.dedup import _pairs_as_str_edges
+    from rdf_mapper_ray.ops.dedup import _pairs_as_edges
 
-    labels = _cc_min_label(pairs.map_batches(_pairs_as_str_edges,
+    labels = _cc_min_label(pairs.map_batches(_pairs_as_edges,
                                              batch_format="pyarrow"))
 
     def as_ints(batch: pa.Table) -> pa.Table:

@@ -565,15 +565,13 @@ cands AS (
 )"""
 
 
-def _pairs_as_str_edges(batch: pa.Table) -> pa.Table:
-    """(left_id, right_id) -> zero-padded decimal string edges for the
-    lexicographic min-label CC (vectorized zfill, no per-row Python)."""
-    def z20(col):
-        s = pd.Series(col.to_numpy(zero_copy_only=False))
-        return pa.array(s.astype(str).str.zfill(20), type=pa.string())
+def _pairs_as_edges(batch: pa.Table) -> pa.Table:
+    """(left_id, right_id) -> (a, b) int64 edges for the min-label CC
+    (the propagation is type-agnostic; int64 edges keep every CC
+    shuffle at 8 bytes per id instead of decimal strings)."""
     return pa.Table.from_pydict({
-        "a": z20(batch.column("left_id")),
-        "b": z20(batch.column("right_id")),
+        "a": pc.cast(batch.column("left_id"), pa.int64()),
+        "b": pc.cast(batch.column("right_id"), pa.int64()),
     })
 
 
@@ -614,11 +612,10 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",
         return ray.data.from_arrow(pa.Table.from_pydict(
             {id_col: pa.array(drops, type=pa.int64())}))
 
-    # distributed path: zero-padded decimal labels preserve numeric
-    # min-id order under the propagation's lexicographic min
+    # distributed path: int64 min-label propagation (numeric min-id)
     from rdf_mapper_ray.engine.canonicalize import _cc_min_label
 
-    labels = _cc_min_label(pairs.map_batches(_pairs_as_str_edges,
+    labels = _cc_min_label(pairs.map_batches(_pairs_as_edges,
                                              batch_format="pyarrow"))
 
     def non_reps(batch: pa.Table) -> pa.Table:

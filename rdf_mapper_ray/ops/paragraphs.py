@@ -218,8 +218,21 @@ def _rewrite_copartition(ds: "ray.data.Dataset",
         merged["keep"] = merged["_merge"] == "left_only"
         merged = merged.sort_values([id_col, "pos"], kind="stable")
         per_doc = merged.groupby(id_col, sort=True)
-        kept = merged[merged["keep"]].groupby(id_col, sort=True)["para"] \
-            .agg(lambda s: sep.join(s))
+        # vectorized per-doc reassembly: doc boundaries in the sorted
+        # kept stream become Arrow list offsets, ONE binary_join call
+        # concatenates every doc's paragraphs (no per-doc Python lambda)
+        kept_rows = merged[merged["keep"]]
+        ids_k = kept_rows[id_col].to_numpy()
+        if len(ids_k):
+            starts = np.flatnonzero(np.r_[True, ids_k[1:] != ids_k[:-1]])
+            offsets = np.append(starts, len(ids_k)).astype(np.int32)
+            lists = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(kept_rows["para"],
+                                            type=pa.string()))
+            kept = pd.Series(pc.binary_join(lists, sep).to_pandas().values,
+                             index=ids_k[starts])
+        else:
+            kept = pd.Series(dtype=object)
         out = per_doc.agg(n_total=("pos", "size"),
                           n_kept=("keep", "sum")).reset_index()
         out["clean_text"] = out[id_col].map(kept).fillna("")

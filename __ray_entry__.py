@@ -122,6 +122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nclusters=1 exactness contract (see ops/semdedup.py docstring)
         "dedup_semantic": semdedup.semantic_dedup_query,
         "top_bigrams": topk.top_bigrams_query,
+        "weighted_mix": cleaning.weighted_mix_query,
+        "user_sequences": sessions.user_sequences_query,
+        "nation_revenue": joins.nation_revenue_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -233,6 +236,9 @@ def oracle_sql() -> dict[str, str]:
         "event_gaps": sessions.event_gaps_oracle_sql(),
         "dedup_semantic": semdedup.SEMANTIC_DEDUP_ORACLE_SQL,
         "top_bigrams": topk.top_bigrams_oracle_sql(),
+        "weighted_mix": cleaning.WEIGHTED_MIX_ORACLE_SQL,
+        "user_sequences": sessions.user_sequences_oracle_sql(),
+        "nation_revenue": joins.NATION_REVENUE_ORACLE_SQL,
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

@@ -484,3 +484,74 @@ SELECT d.doc_id, COALESCE(m.n, 0)::BIGINT AS n_matched,
        COALESCE(m.n, 0) >= 1 AS contaminated
 FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id
 """
+
+
+def weighted_mix(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                 source_col: str = "source",
+                 weights: dict | None = None,
+                 default_weight: float = 1.0,
+                 hash_fn: str = "pandas") -> "ray.data.Dataset":
+    """Dataset mixture sampling with per-source weights (the Pile /
+    DoReMi training-mix shape): weight w < 1 keeps a deterministic
+    hash-selected fraction of the source, w > 1 upsamples by emitting
+    floor(w) copies of every doc plus one extra for a hash-selected
+    frac(w) share. Output: (id, source, copy) with copy in 1..n.
+
+    Like :func:`hash_split` this is a pure function of (id, source) —
+    zero shuffle, resumable, embarrassingly parallel — and
+    ``hash_fn="md5"`` is the portable venue the SQL oracle replays
+    bit-exactly."""
+    weights = weights or {}
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.string()).to_pylist()
+        bucket = (hash64(ids, hash_fn) % np.uint64(10_000)) \
+            .astype(np.int64)
+        w = pd.Series(batch.column(source_col).to_pandas()) \
+            .map(weights).fillna(default_weight).to_numpy(np.float64)
+        nfull = np.floor(w).astype(np.int64)
+        frac = np.rint((w - nfull) * 10_000).astype(np.int64)
+        reps = nfull + (bucket < frac)
+        total = int(reps.sum())
+        run_starts = np.cumsum(reps) - reps
+        copy = np.arange(total) - np.repeat(run_starts, reps) + 1
+        id_vals = batch.column(id_col).to_numpy(zero_copy_only=False)
+        src = batch.column(source_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(id_vals, reps)),
+            source_col: pa.array(np.repeat(src, reps), type=pa.string()),
+            "copy": pa.array(copy, type=pa.int64()),
+        })
+
+    return ds.map_batches(part, batch_format="pyarrow")
+
+
+# src<i> weight by i % 4: downsample, identity, and two upsample tiers
+_MIX_TIERS = (0.25, 1.0, 1.5, 2.5)
+
+
+def weighted_mix_query(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+    weights = {f"src{i}": _MIX_TIERS[i % 4] for i in range(64)}
+    return weighted_mix(ds, weights=weights, hash_fn="md5")
+
+
+WEIGHTED_MIX_ORACLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         {MD5_HASH64_SQL.format(col="CAST(doc_id AS VARCHAR)")} % 10000
+           AS bucket,
+         CASE CAST(substr(source, 4) AS INT) % 4
+              WHEN 0 THEN 0.25 WHEN 1 THEN 1.0
+              WHEN 2 THEN 1.5 ELSE 2.5 END AS w
+  FROM documents
+)
+SELECT doc_id, source,
+       UNNEST(generate_series(
+         1, CAST(floor(w) AS BIGINT)
+            + CASE WHEN bucket < round((w - floor(w)) * 10000)
+                   THEN 1 ELSE 0 END)) AS copy
+FROM d
+ORDER BY doc_id, copy
+"""

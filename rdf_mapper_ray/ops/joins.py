@@ -443,3 +443,55 @@ FROM events ev JOIN spans sp
   ON ev.user_id = sp.user_id AND ev.ts >= sp.s AND ev.ts <= sp.e
 ORDER BY event_id, session_no
 """
+
+
+def nation_revenue_query(sf_dir: str):
+    """Three-table star join composed from equi_join venues — the
+    fact side (orders) co-partitions with customer, the tiny nation
+    dimension broadcasts — then a map-side-combined rollup to
+    (nation, revenue, order count). Money stays integer cents end to
+    end (exact under any summation order)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    oc = equi_join(orders, cust, left_on="o_custkey",
+                   right_on="c_custkey", how="inner", venue="copartition")
+    ocn = equi_join(oc, nation, left_on="c_nationkey",
+                    right_on="n_nationkey", how="inner", venue="broadcast")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.Table.from_pydict({
+            "n_name": batch.column("n_name"),
+            "cents": pa.array(cents),
+        })
+        agg = t.group_by("n_name", use_threads=False).aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return agg.rename_columns(["n_name", "revenue_cents", "n_orders"])
+
+    return ocn.map_batches(partial, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Sum("revenue_cents"),
+                                     Sum("n_orders")) \
+        .map_batches(lambda t: t.rename_columns(
+            ["n_name", "revenue_cents", "n_orders"]),
+            batch_format="pyarrow")
+
+
+NATION_REVENUE_ORACLE_SQL = """
+SELECT n.n_name,
+       SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""

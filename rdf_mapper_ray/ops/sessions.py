@@ -503,3 +503,57 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, event_id
 """
+
+
+def user_sequences(ds: "ray.data.Dataset", user_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   type_col: str = "event_type", sep: str = ","
+                   ) -> "ray.data.Dataset":
+    """Per-user ordered behavioral sequence (GROUP_CONCAT / string_agg
+    with ORDER BY): one row per user carrying the separator-joined
+    event-type stream plus its length — the sequence-model feature
+    table.
+
+    Same venue as :func:`sessionize`: complete users co-locate via the
+    pid route; inside a partition ONE sort finds every user's run, the
+    runs become Arrow list offsets, and one ``binary_join`` call
+    concatenates all sequences (no per-user Python)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col])
+        users = g[user_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        offsets = np.append(starts, len(users)).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets),
+            pa.array(g[type_col].to_numpy(), type=pa.string()))
+        return pd.DataFrame({
+            user_col: users[starts],
+            "seq": pc.binary_join(lists, sep).to_pandas().values,
+            "n_events": np.diff(offsets).astype(np.int64),
+        })
+
+    return _route_by_user(
+        ds.select_columns([user_col, ts_col, id_col, type_col]),
+        user_col).map_groups(part, batch_format="pandas")
+
+
+def user_sequences_query(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return user_sequences(ds)
+
+
+def user_sequences_oracle_sql() -> str:
+    return """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""

@@ -67,3 +67,33 @@ def test_event_gaps_matches_oracle(ray_session):
     # each user's first event has NULL gap
     n_users = want["user_id"].nunique()
     assert got["gap_us"].isna().sum() == n_users
+
+
+def _compare_query(name, tables):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import compare
+    import __ray_entry__ as E
+    got = E.queries()[name](SF).to_pandas()
+    want = _oracle_con(*tables).execute(E.oracle_sql()[name]).fetchdf()
+    assert compare(name, got, want)
+    return got
+
+
+def test_weighted_mix_matches_oracle(ray_session):
+    got = _compare_query("weighted_mix", ("documents",))
+    # both directions of the mix are exercised: some doc absent
+    # (downsample) and some doc duplicated (upsample)
+    assert got["copy"].max() >= 2
+    assert got["doc_id"].nunique() < 500 or len(got) > got["doc_id"].nunique()
+
+
+def test_user_sequences_matches_oracle(ray_session):
+    got = _compare_query("user_sequences", ("events",))
+    assert (got["n_events"] == got["seq"].str.count(",") + 1).all()
+
+
+def test_nation_revenue_matches_oracle(ray_session):
+    got = _compare_query("nation_revenue", ("orders", "customer",
+                                            "nation"))
+    assert got["revenue_cents"].gt(0).all()

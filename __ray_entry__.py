@@ -60,7 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     packing, paragraphs, quantiles,
                                     retrieval, rollup, semdedup,
                                     sessions, similarity, text, tfidf,
-                                    topk, windows)
+                                    topk, vectors, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     import ray.data
@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_mix": cleaning.weighted_mix_query,
         "user_sequences": sessions.user_sequences_query,
         "nation_revenue": joins.nation_revenue_query,
+        "funnel": sessions.funnel_query,
+        "label_centroids": vectors.label_centroids_query,
+        "approx_quantiles": quantiles.approx_quantiles_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -181,7 +184,7 @@ def oracle_sql() -> dict[str, str]:
                                     packing, paragraphs, quantiles,
                                     retrieval, rollup, semdedup,
                                     sessions, similarity, text, tfidf,
-                                    topk, windows)
+                                    topk, vectors, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     return {
@@ -239,6 +242,9 @@ def oracle_sql() -> dict[str, str]:
         "weighted_mix": cleaning.WEIGHTED_MIX_ORACLE_SQL,
         "user_sequences": sessions.user_sequences_oracle_sql(),
         "nation_revenue": joins.NATION_REVENUE_ORACLE_SQL,
+        "funnel": sessions.funnel_oracle_sql(),
+        "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
+        "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

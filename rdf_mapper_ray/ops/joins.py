@@ -197,19 +197,11 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     import ray
 
-    l_schema = left.schema()
-    r_schema = right.schema()
-    l_cols = list(l_schema.names)
-    r_cols = list(r_schema.names)
-    # suffix EVERY right column colliding with a left name — including
-    # the key, so both key columns appear in the output like SQL JOIN
-    overlap = [c for c in r_cols if c in l_cols]
-    out_r_cols = [c + suffix if c in overlap else c for c in r_cols]
-
     join_type = {"inner": "inner", "left": "left outer",
                  "semi": "left semi", "anti": "left anti"}[how]
 
-    def _arrow_join(lt: pa.Table, rt: pa.Table, r_key: str) -> pa.Table:
+    def _arrow_join(lt: pa.Table, rt: pa.Table, r_key: str,
+                    out_cols: list) -> pa.Table:
         """Acero hash join — vectorized, type-preserving, SQL null
         semantics (a null key matches nothing). Acero drops the right
         join key from the output, so it rides again as a payload copy
@@ -224,21 +216,35 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         return out.select(out_cols)
 
     if venue == "broadcast":
-        r_rename = {c: c + suffix for c in overlap}
+        # schema-LAZY: renames resolve per batch against the batch's own
+        # column names (metadata-only, zero-copy), so we never call
+        # left.schema() — on a computed left side (a chained join, a
+        # map_groups output) that call would execute the upstream
+        # pipeline once just for the schema and again for the real run
         rt_all = pa.concat_tables(
-            b for b in right.map_batches(
-                lambda t: t.rename_columns(
-                    [r_rename.get(c, c) for c in t.column_names]),
-                batch_format="pyarrow").iter_batches(
-                    batch_format="pyarrow"))
+            right.iter_batches(batch_format="pyarrow"))
         ref = ray.put(rt_all)
-        rb_key = r_rename.get(right_on, right_on)
-        out_cols = l_cols + [r_rename.get(c, c) for c in r_cols]
 
         def merge_block(batch: pa.Table) -> pa.Table:
-            return _arrow_join(batch, ray.get(ref), rb_key)
+            rt = ray.get(ref)
+            ren = {c: c + suffix for c in rt.column_names
+                   if c in batch.column_names}
+            rt = rt.rename_columns(
+                [ren.get(c, c) for c in rt.column_names])
+            rb_key = ren.get(right_on, right_on)
+            out_cols = list(batch.column_names) + list(rt.column_names)
+            return _arrow_join(batch, rt, rb_key, out_cols)
 
         return left.map_batches(merge_block, batch_format="pyarrow")
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    # suffix EVERY right column colliding with a left name — including
+    # the key, so both key columns appear in the output like SQL JOIN
+    overlap = [c for c in r_cols if c in l_cols]
+    out_r_cols = [c + suffix if c in overlap else c for c in r_cols]
 
     if num_partitions is None:
         from rdf_mapper_ray.ops.dedup import _num_partitions
@@ -291,7 +297,7 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         lt = g.filter(pa.array(side == 0)).select(l_cols)
         rt = g.filter(pa.array(side == 1)).select(r_out)
         return _arrow_join(lt.combine_chunks(), rt.combine_chunks(),
-                           r_key)
+                           r_key, out_cols)
 
     return l_tag.union(rt_tag).groupby("pid") \
         .map_groups(join_part, batch_format="pyarrow")

@@ -84,3 +84,77 @@ SELECT event_type, {q} AS quantile,
        quantile_disc(value, {q}) AS value
 FROM events GROUP BY event_type""" for q in qs]
     return " UNION ALL ".join(parts) + "\nORDER BY event_type, quantile"
+
+
+def approx_quantiles(ds: "ray.data.Dataset", id_col: str = "event_id",
+                     value_col: str = "value", k: int = 1024,
+                     qs: tuple[float, ...] = DEFAULT_QS,
+                     hash_fn: str = "pandas") -> "ray.data.Dataset":
+    """Approximate quantiles from a bottom-k sample sketch — the
+    UNBOUNDED-domain counterpart of :func:`quantiles_by` (which needs a
+    small discrete value domain): keep the k rows whose id hashes
+    smallest. Bottom-k is a uniform sample without replacement that
+    merges by union-then-retruncate (per-batch truncation bounds the
+    shuffle to k rows per block), giving O(1/sqrt(k)) quantile error on
+    any value distribution (Cohen & Kaplan 2007 bottom-k sketches).
+
+    Deterministic: the sample is a pure function of the ids, so with
+    ``hash_fn="md5"`` the SQL oracle replays the sketch — and therefore
+    the estimates — bit-exactly (same quantile_disc convention as the
+    exact op). Output: (quantile, value, sample_n)."""
+    import math
+
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.string()).to_pylist()
+        h = hash64(ids, hash_fn)
+        order = np.argsort(h, kind="stable")[:k]
+        return pa.Table.from_pydict({
+            "h": pa.array(h[order].astype(np.uint64)),
+            "v": pa.array(batch.column(value_col).to_numpy(
+                zero_copy_only=False)[order]),
+        })
+
+    sample = ds.map_batches(bottomk, batch_format="pyarrow") \
+        .sort("h").limit(k)
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        vals = np.sort(batch.column("v").to_numpy(zero_copy_only=False))
+        n = len(vals)
+        out_q, out_v = [], []
+        for q in qs:
+            out_q.append(q)
+            out_v.append(float(vals[max(0, math.ceil(q * n) - 1)]))
+        return pa.Table.from_pydict({
+            "quantile": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.float64()),
+            "sample_n": pa.array([n] * len(qs), pa.int64()),
+        })
+
+    # k rows -> one block -> one estimate row set
+    return sample.repartition(1).map_batches(estimate,
+                                             batch_format="pyarrow",
+                                             batch_size=None)
+
+
+def approx_quantiles_query(sf_dir: str, k: int = 1024):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+    return approx_quantiles(ds, k=k, hash_fn="md5")
+
+
+def approx_quantiles_oracle_sql(k: int = 1024,
+                                qs: tuple[float, ...] = DEFAULT_QS
+                                ) -> str:
+    from rdf_mapper_ray.ops.hashing import MD5_HASH64_SQL
+    h = MD5_HASH64_SQL.format(col="CAST(event_id AS VARCHAR)")
+    parts = [f"""
+SELECT {q} AS quantile, quantile_disc(v, {q}) AS value,
+       CAST(COUNT(*) AS BIGINT) AS sample_n
+FROM sample""" for q in qs]
+    return f"""
+WITH sample AS (
+  SELECT value AS v FROM events ORDER BY {h} LIMIT {k}
+)
+""" + " UNION ALL ".join(parts) + "\nORDER BY quantile"

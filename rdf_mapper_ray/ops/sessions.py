@@ -557,3 +557,95 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+_FUNNEL_STAGES = ("signup", "click", "purchase")
+# first ~2 days of the fixture's event window: dense month-long user
+# histories complete any funnel, so the demo query scopes to the onboard
+# window where conversion genuinely discriminates (predicate pushed to
+# the parquet read)
+_FUNNEL_CUTOFF = "2024-01-03"
+
+
+def funnel(ds: "ray.data.Dataset", stages: tuple = _FUNNEL_STAGES,
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> "ray.data.Dataset":
+    """Ordered-funnel analysis: for each user, the number of stages
+    completed IN ORDER (stage k+1 must happen strictly after the
+    earliest completion time of stage k) — the product-analytics
+    conversion query. Output: (user, stage_reached).
+
+    Venue: sessionize routing (complete users per partition); inside a
+    partition each stage is ONE pandas groupby-min over the stage's
+    events — stages × groupby passes, never a per-user Python loop."""
+    import numpy as np
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        users = pd.Index(g[user_col].unique())
+        reached = np.zeros(len(users), dtype=np.int64)
+        # frontier time per user: -inf until stage 1, then earliest
+        # strictly-later completion of each next stage
+        frontier = pd.Series(pd.Timestamp.min, index=users)
+        alive = pd.Series(True, index=users)
+        for depth, stage in enumerate(stages, start=1):
+            ev = g[g[type_col] == stage]
+            if ev.empty:
+                break
+            later = ev[ev[ts_col] > ev[user_col].map(frontier)]
+            first = later.groupby(user_col)[ts_col].min()
+            hit = first.index.intersection(users[alive[users]])
+            ok = alive.loc[first.index] if len(first) else alive.iloc[:0]
+            first = first[ok[first.index]]
+            if first.empty:
+                break
+            reached[users.get_indexer(first.index)] = depth
+            frontier.loc[first.index] = first
+            alive[:] = False
+            alive.loc[first.index] = True
+        return pd.DataFrame({user_col: users.to_numpy(),
+                             "stage_reached": reached})
+
+    return _route_by_user(
+        ds.select_columns([user_col, ts_col, type_col]),
+        user_col).map_groups(part, batch_format="pandas")
+
+
+def funnel_query(sf_dir: str):
+    import pyarrow.dataset as pads
+    import numpy as np
+    cutoff = np.datetime64(_FUNNEL_CUTOFF, "us")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_type"],
+        filter=pads.field("ts") < cutoff)
+    return funnel(ds)
+
+
+def funnel_oracle_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT * FROM events WHERE ts < TIMESTAMP '{_FUNNEL_CUTOFF}'
+),
+s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM ev e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CASE WHEN s3.user_id IS NOT NULL THEN 3
+            WHEN s2.user_id IS NOT NULL THEN 2
+            WHEN s1.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS stage_reached
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+ORDER BY user_id
+"""

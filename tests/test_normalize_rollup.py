@@ -97,3 +97,16 @@ def test_nation_revenue_matches_oracle(ray_session):
     got = _compare_query("nation_revenue", ("orders", "customer",
                                             "nation"))
     assert got["revenue_cents"].gt(0).all()
+
+
+def test_funnel_matches_oracle(ray_session):
+    got = _compare_query("funnel", ("events",))
+    # funnel discriminates: not everyone converts
+    assert got["stage_reached"].nunique() >= 2
+
+
+def test_label_centroids_matches_oracle(ray_session):
+    got = _compare_query("label_centroids", ("embeddings",))
+    # centroid = sum_micro/(n*1e6) must lie inside the value range
+    c = got["sum_micro"] / (got["n"] * 1e6)
+    assert c.abs().max() <= 1.0

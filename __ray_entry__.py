@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": sessions.funnel_query,
         "label_centroids": vectors.label_centroids_query,
         "approx_quantiles": quantiles.approx_quantiles_query,
+        "target_encode": normalize.target_encode_query,
+        "rank_transform": normalize.rank_transform_query,
+        "window_distinct_users": distinct.window_distinct_users_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -245,6 +248,9 @@ def oracle_sql() -> dict[str, str]:
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),
+        "target_encode": normalize.TARGET_ENCODE_ORACLE_SQL,
+        "rank_transform": normalize.RANK_TRANSFORM_ORACLE_SQL,
+        "window_distinct_users": distinct.window_distinct_users_oracle_sql(),
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

@@ -163,3 +163,39 @@ DISTINCT_USERS_ORACLE_SQL = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def window_distinct_users_query(sf_dir: str, width_s: int = 86400):
+    """Daily active users — exact COUNT(DISTINCT user) per tumbling
+    window, composed as one vectorized window-bucket map over the
+    existing pair-dedup machinery (window start rides as exact epoch
+    microseconds, so the SQL oracle matches bit-for-bit)."""
+    width_us = width_s * 1_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+
+    def add_win(batch: pa.Table) -> pa.Table:
+        col = batch.column("ts")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        us = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (us // width_us) * width_us
+        return pa.Table.from_pydict({
+            "window_start": pa.array(win.astype(np.int64)),
+            "user_id": batch.column("user_id"),
+        })
+
+    return distinct_count(ds.map_batches(add_win,
+                                         batch_format="pyarrow"),
+                          key_col="user_id", by_col="window_start")
+
+
+def window_distinct_users_oracle_sql(width_s: int = 86400) -> str:
+    w = width_s * 1_000_000
+    return f"""
+SELECT (epoch_us(ts) // {w}) * {w} AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events
+GROUP BY 1
+ORDER BY window_start
+"""

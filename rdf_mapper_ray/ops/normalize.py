@@ -114,3 +114,143 @@ SELECT c.event_id, c.event_type,
 FROM c JOIN s USING (event_type)
 ORDER BY event_id
 """
+
+
+def target_encode_loo(ds: "ray.data.Dataset", id_col: str = "event_id",
+                      cat_col: str = "event_type",
+                      value_col: str = "value") -> "ray.data.Dataset":
+    """Leave-one-out target encoding — the categorical-feature ML
+    transform: each row's category is replaced by the mean target of
+    the OTHER rows in that category, (S − x)/(n − 1). Same two-pass
+    broadcast shape and integer-cents exactness contract as
+    :func:`zscore_by`: both float inputs are exact integers, so the
+    division matches the SQL oracle bit-for-bit. Singleton categories
+    (n = 1) encode as NULL like the SQL convention."""
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column(value_col).to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.Table.from_pydict({
+            cat_col: batch.column(cat_col),
+            "s": pa.array(cents),
+        })
+        agg = t.group_by(cat_col, use_threads=False).aggregate(
+            [("s", "sum"), ("s", "count")])
+        return agg.rename_columns([cat_col, "s", "n"])
+
+    stats = ds.select_columns([cat_col, value_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(cat_col).aggregate(Sum("s"), Sum("n")).to_pandas()
+    lut = {row[cat_col]: (int(row["sum(s)"]), int(row["sum(n)"]))
+           for _, row in stats.iterrows()}
+    lut_ref = ray.put(lut)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        m = ray.get(lut_ref)
+        keys = batch.column(cat_col).to_pylist()
+        s = np.fromiter((m[k][0] for k in keys), dtype=np.int64,
+                        count=len(keys))
+        n = np.fromiter((m[k][1] for k in keys), dtype=np.int64,
+                        count=len(keys))
+        cents = np.rint(batch.column(value_col).to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        num = (s - cents).astype(np.float64)
+        den = ((n - 1) * 100).astype(np.float64)
+        loo = np.divide(num, den, out=np.full_like(num, np.nan),
+                        where=den > 0)
+        arr = pa.array(loo, pa.float64())
+        arr = pa.compute.if_else(pa.array(den > 0), arr,
+                                 pa.nulls(len(keys), pa.float64()))
+        return pa.Table.from_pydict({
+            id_col: batch.column(id_col),
+            cat_col: batch.column(cat_col),
+            "loo_mean": arr,
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def target_encode_query(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type",
+                                        "value"])
+    return target_encode_loo(ds)
+
+
+TARGET_ENCODE_ORACLE_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), s AS (
+  SELECT event_type, SUM(cents) AS s, COUNT(*) AS n
+  FROM c GROUP BY event_type
+)
+SELECT c.event_id, c.event_type,
+       CASE WHEN s.n > 1
+            THEN CAST(s.s - c.cents AS DOUBLE)
+                 / CAST((s.n - 1) * 100 AS DOUBLE)
+            ELSE NULL END AS loo_mean
+FROM c JOIN s USING (event_type)
+ORDER BY event_id
+"""
+
+
+def rank_transform(ds: "ray.data.Dataset", id_col: str = "event_id",
+                   value_col: str = "value") -> "ray.data.Dataset":
+    """Global rank transform (the quantile-normalization primitive):
+    each row gets the count of rows with a strictly smaller value plus
+    the total count — SQL ``rank() - 1`` / percent_rank numerator and
+    denominator as EXACT integers. Two-pass over the bounded-decimal
+    domain like :func:`quantiles_by`: per-batch value histograms in
+    integer cents shuffle (values × batches) partial rows, the merged
+    histogram's cumulative sum broadcasts as a tiny lookup, and a
+    second streaming pass ranks every row by searchsorted. No global
+    sort at any point. Output: (id, rank_lt, n_total)."""
+    def hist(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column(value_col).to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        vals, cnts = np.unique(cents, return_counts=True)
+        return pa.Table.from_pydict({
+            "cents": pa.array(vals),
+            "cnt": pa.array(cnts.astype(np.int64)),
+        })
+
+    h = ds.select_columns([value_col]) \
+        .map_batches(hist, batch_format="pyarrow") \
+        .groupby("cents").aggregate(Sum("cnt")).to_pandas() \
+        .sort_values("cents")
+    vals = h["cents"].to_numpy()
+    cum = np.cumsum(h["sum(cnt)"].to_numpy())
+    below = np.concatenate([[0], cum[:-1]])     # rows strictly smaller
+    total = int(cum[-1])
+    ref = ray.put((vals, below))
+
+    def rank(batch: pa.Table) -> pa.Table:
+        v, b = ray.get(ref)
+        cents = np.rint(batch.column(value_col).to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        idx = np.searchsorted(v, cents)
+        return pa.Table.from_pydict({
+            id_col: batch.column(id_col),
+            "rank_lt": pa.array(b[idx].astype(np.int64)),
+            "n_total": pa.array(np.full(batch.num_rows, total,
+                                        dtype=np.int64)),
+        })
+
+    return ds.map_batches(rank, batch_format="pyarrow")
+
+
+def rank_transform_query(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+    return rank_transform(ds)
+
+
+RANK_TRANSFORM_ORACLE_SQL = """
+SELECT event_id,
+       rank() OVER (ORDER BY CAST(round(value * 100) AS BIGINT)) - 1
+         AS rank_lt,
+       CAST(COUNT(*) OVER () AS BIGINT) AS n_total
+FROM events
+ORDER BY event_id
+"""

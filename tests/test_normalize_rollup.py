@@ -110,3 +110,32 @@ def test_label_centroids_matches_oracle(ray_session):
     # centroid = sum_micro/(n*1e6) must lie inside the value range
     c = got["sum_micro"] / (got["n"] * 1e6)
     assert c.abs().max() <= 1.0
+
+
+def test_target_encode_matches_oracle(ray_session):
+    got = _compare_query("target_encode", ("events",))
+    assert got["loo_mean"].notna().all()  # no singleton types here
+
+
+def test_target_encode_singleton_is_null(ray_session):
+    from rdf_mapper_ray.ops.normalize import target_encode_loo
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "event_type": ["a", "a", "lone"],
+        "value": [1.0, 3.0, 9.0],
+    }))
+    got = target_encode_loo(ds).to_pandas().set_index("event_id")
+    assert got.loc[1, "loo_mean"] == 3.0
+    assert got.loc[2, "loo_mean"] == 1.0
+    assert pd.isna(got.loc[3, "loo_mean"])
+
+
+def test_rank_transform_matches_oracle(ray_session):
+    got = _compare_query("rank_transform", ("events",))
+    assert got["rank_lt"].min() == 0
+    assert (got["rank_lt"] < got["n_total"]).all()
+
+
+def test_window_distinct_users_matches_oracle(ray_session):
+    got = _compare_query("window_distinct_users", ("events",))
+    assert len(got) >= 28  # ~a month of daily windows

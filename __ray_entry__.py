@@ -58,9 +58,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_mapper_ray.ops import (clusters, dedup, distinct, joins,
                                     multimodal, cleaning, normalize,
                                     packing, paragraphs, quantiles,
-                                    retrieval, rollup, semdedup,
-                                    sessions, similarity, text, tfidf,
-                                    topk, vectors, windows)
+                                    graphs, retrieval, rollup,
+                                    semdedup, sessions, similarity,
+                                    text, tfidf, topk, vectors,
+                                    windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     import ray.data
@@ -131,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode": normalize.target_encode_query,
         "rank_transform": normalize.rank_transform_query,
         "window_distinct_users": distinct.window_distinct_users_query,
+        "triangle_count": graphs.triangle_count_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -185,9 +187,10 @@ def oracle_sql() -> dict[str, str]:
     from rdf_mapper_ray.ops import (clusters, dedup, distinct, joins,
                                     multimodal, cleaning, normalize,
                                     packing, paragraphs, quantiles,
-                                    retrieval, rollup, semdedup,
-                                    sessions, similarity, text, tfidf,
-                                    topk, vectors, windows)
+                                    graphs, retrieval, rollup,
+                                    semdedup, sessions, similarity,
+                                    text, tfidf, topk, vectors,
+                                    windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     return {
@@ -251,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "target_encode": normalize.TARGET_ENCODE_ORACLE_SQL,
         "rank_transform": normalize.RANK_TRANSFORM_ORACLE_SQL,
         "window_distinct_users": distinct.window_distinct_users_oracle_sql(),
+        "triangle_count": graphs.TRIANGLE_COUNT_ORACLE_SQL,
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

@@ -1,0 +1,35 @@
+import pandas as pd
+import ray.data
+
+
+def _tri(pairs):
+    from rdf_mapper_ray.ops.graphs import triangle_count
+    ds = ray.data.from_pandas(pd.DataFrame(
+        pairs, columns=["left_id", "right_id"]))
+    return triangle_count(ds, num_partitions=4).to_pandas() \
+        ["n_triangles"].iloc[0]
+
+
+def test_triangle_count_planted(ray_session):
+    # K4 on {1,2,3,4} has C(4,3)=4 triangles; the pendant edge adds none
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 9)]
+    assert _tri(k4) == 4
+    # two disjoint triangles
+    assert _tri([(1, 2), (1, 3), (2, 3), (7, 8), (7, 9), (8, 9)]) == 2
+    # a path has none
+    assert _tri([(1, 2), (2, 3), (3, 4)]) == 0
+
+
+def test_triangle_count_matches_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import compare
+    import duckdb
+    import __ray_entry__ as E
+    sf = "/root/testdata/sf0.001"
+    got = E.queries()["triangle_count"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    want = con.execute(E.oracle_sql()["triangle_count"]).fetchdf()
+    assert compare("triangle_count", got, want)

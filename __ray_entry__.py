@@ -55,13 +55,13 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rdf_mapper_ray.ops import (clusters, dedup, distinct, joins,
-                                    multimodal, cleaning, normalize,
-                                    packing, paragraphs, quantiles,
-                                    graphs, retrieval, rollup,
-                                    semdedup, sessions, similarity,
-                                    text, tfidf, topk, vectors,
-                                    windows)
+    from rdf_mapper_ray.ops import (clusters, dedup, diff, distinct,
+                                    joins, multimodal, cleaning,
+                                    normalize, packing, paragraphs,
+                                    quantiles, graphs, retrieval,
+                                    rollup, semdedup, sessions,
+                                    similarity, text, tfidf, topk,
+                                    vectors, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     import ray.data
@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_transform": normalize.rank_transform_query,
         "window_distinct_users": distinct.window_distinct_users_query,
         "triangle_count": graphs.triangle_count_query,
+        "snapshot_diff": diff.snapshot_diff_query,
+        "data_audit": cleaning.data_audit_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -184,13 +186,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rdf_mapper_ray.ops import (clusters, dedup, distinct, joins,
-                                    multimodal, cleaning, normalize,
-                                    packing, paragraphs, quantiles,
-                                    graphs, retrieval, rollup,
-                                    semdedup, sessions, similarity,
-                                    text, tfidf, topk, vectors,
-                                    windows)
+    from rdf_mapper_ray.ops import (clusters, dedup, diff, distinct,
+                                    joins, multimodal, cleaning,
+                                    normalize, packing, paragraphs,
+                                    quantiles, graphs, retrieval,
+                                    rollup, semdedup, sessions,
+                                    similarity, text, tfidf, topk,
+                                    vectors, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     return {
@@ -255,6 +257,8 @@ def oracle_sql() -> dict[str, str]:
         "rank_transform": normalize.RANK_TRANSFORM_ORACLE_SQL,
         "window_distinct_users": distinct.window_distinct_users_oracle_sql(),
         "triangle_count": graphs.TRIANGLE_COUNT_ORACLE_SQL,
+        "snapshot_diff": diff.SNAPSHOT_DIFF_ORACLE_SQL,
+        "data_audit": cleaning.DATA_AUDIT_ORACLE_SQL,
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

@@ -555,3 +555,89 @@ SELECT doc_id, source,
 FROM d
 ORDER BY doc_id, copy
 """
+
+
+def data_audit(ds: "ray.data.Dataset", rules: dict) -> "ray.data.Dataset":
+    """Data-quality expectations audit: count violations of named
+    predicate rules in one streaming pass (the Great-Expectations
+    shape). ``rules`` maps rule name -> callable(pa.Table) -> boolean
+    ndarray marking VIOLATING rows. Map-side combine: each batch emits
+    one (rule, n_violations, n_rows) partial per rule; the only shuffle
+    is over rules × batches rows. Output: (rule, n_violations, n_rows).
+    """
+    from ray.data.aggregate import Sum
+    names = sorted(rules)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        viol = [int(np.asarray(rules[r](batch)).sum()) for r in names]
+        return pa.table({
+            "rule": pa.array(names, pa.string()),
+            "n_violations": pa.array(viol, pa.int64()),
+            "n_rows": pa.array([batch.num_rows] * len(names), pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("rule").aggregate(Sum("n_violations"), Sum("n_rows")) \
+        .map_batches(lambda t: t.rename_columns(
+            ["rule", "n_violations", "n_rows"]), batch_format="pyarrow")
+
+
+def data_audit_query(sf_dir: str):
+    """Order-table expectations: nonneg price, known status, sane date
+    range, key present, price cap — each rule one vectorized Arrow
+    kernel."""
+    import pyarrow.compute as pc
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate"])
+
+    def b(arr):
+        return pc.fill_null(arr, True).to_numpy(zero_copy_only=False)
+
+    rules = {
+        "price_nonpositive": lambda t: b(pc.less_equal(
+            t.column("o_totalprice"), 0.0)),
+        "status_unknown": lambda t: ~np.isin(
+            t.column("o_orderstatus").to_numpy(zero_copy_only=False),
+            ("O", "F", "P")),
+        "custkey_null": lambda t: pc.is_null(
+            t.column("o_custkey")).to_numpy(zero_copy_only=False),
+        "date_out_of_range": lambda t: b(pc.or_(
+            pc.less(t.column("o_orderdate"),
+                    pa.scalar(np.datetime64("1990-01-01", "us"))),
+            pc.greater(t.column("o_orderdate"),
+                       pa.scalar(np.datetime64("2030-01-01", "us"))))),
+        "price_over_cap": lambda t: b(pc.greater(
+            t.column("o_totalprice"), 400_000.0)),
+    }
+    return data_audit(ds, rules)
+
+
+DATA_AUDIT_ORACLE_SQL = """
+WITH t AS (SELECT * FROM orders)
+SELECT rule, n_violations, n_rows FROM (
+  SELECT 'price_nonpositive' AS rule,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_violations,
+         CAST(COUNT(*) AS BIGINT) AS n_rows FROM t
+  UNION ALL
+  SELECT 'status_unknown',
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                  THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM t
+  UNION ALL
+  SELECT 'custkey_null',
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT), COUNT(*) FROM t
+  UNION ALL
+  SELECT 'date_out_of_range',
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                        OR o_orderdate > TIMESTAMP '2030-01-01'
+                  THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM t
+  UNION ALL
+  SELECT 'price_over_cap',
+         CAST(SUM(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END)
+              AS BIGINT), COUNT(*) FROM t
+)
+ORDER BY rule
+"""

@@ -179,26 +179,32 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
       split back per side inside the task — values never pass through
       a pandas nullable-int coercion.
     Auto venue: broadcast when the right side is under
-    ``broadcast_max_rows``. ``how``: inner | left | semi | anti.
+    ``broadcast_max_rows``. ``how``: inner | left | semi | anti | full.
+    ``full`` is CO-PARTITION ONLY: a per-batch broadcast full join
+    would re-emit the right side's unmatched rows once per left batch.
 
     ``semi``/``anti`` are EXISTS / NOT-EXISTS filters: output is left
     rows only (no right payload), so the right side is pruned to its
     key column before it ever rides a broadcast or a shuffle — the
     decontamination / orphan-detection shape at corpus scale.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti", "full"):
         raise ValueError(f"unsupported how={how!r}")
+    if how == "full" and venue == "broadcast":
+        raise ValueError("full outer join requires the copartition venue")
     key_only = how in ("semi", "anti")
     if key_only:
         right = right.select_columns([right_on])
     if venue is None:
-        venue = "broadcast" if right.count() <= broadcast_max_rows \
-            else "copartition"
+        venue = "copartition" if how == "full" else (
+            "broadcast" if right.count() <= broadcast_max_rows
+            else "copartition")
 
     import ray
 
     join_type = {"inner": "inner", "left": "left outer",
-                 "semi": "left semi", "anti": "left anti"}[how]
+                 "semi": "left semi", "anti": "left anti",
+                 "full": "full outer"}[how]
 
     def _arrow_join(lt: pa.Table, rt: pa.Table, r_key: str,
                     out_cols: list) -> pa.Table:

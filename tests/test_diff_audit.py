@@ -1,0 +1,75 @@
+import duckdb
+import pandas as pd
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def _check(name, tables):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import compare
+    import __ray_entry__ as E
+    got = E.queries()[name](SF).to_pandas()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    want = con.execute(E.oracle_sql()[name]).fetchdf()
+    assert compare(name, got, want)
+    return got
+
+
+def test_snapshot_diff_matches_oracle(ray_session):
+    got = _check("snapshot_diff", ("documents",))
+    assert set(got["status"]) == {"added", "removed", "changed", "same"}
+
+
+def test_snapshot_diff_semantics(ray_session):
+    from rdf_mapper_ray.ops.diff import snapshot_diff
+    old = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3], "text": ["a", "b", "c"]}))
+    new = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [2, 3, 4], "text": ["b", "C2", "d"]}))
+    got = snapshot_diff(old, new).to_pandas() \
+        .set_index("doc_id")["status"].to_dict()
+    assert got == {1: "removed", 2: "same", 3: "changed", 4: "added"}
+
+
+def test_equi_join_full_outer_toy(ray_session):
+    from rdf_mapper_ray.ops.joins import equi_join
+    import pytest
+    l = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "lv": [10, 20]}))
+    r = ray.data.from_pandas(pd.DataFrame({"k": [2, 3], "rv": [200, 300]}))
+    out = equi_join(l, r, left_on="k", right_on="k", how="full",
+                    venue="copartition").to_pandas()
+    assert len(out) == 3
+    assert out["lv"].notna().sum() == 2 and out["rv"].notna().sum() == 2
+    with pytest.raises(ValueError):
+        equi_join(l, r, left_on="k", right_on="k", how="full",
+                  venue="broadcast")
+
+
+def test_data_audit_matches_oracle(ray_session):
+    got = _check("data_audit", ("orders",))
+    v = dict(zip(got["rule"], got["n_violations"]))
+    assert v["price_over_cap"] > 0          # a rule that actually fires
+    assert v["custkey_null"] == 0
+
+
+def test_data_audit_planted_violations(ray_session):
+    import numpy as np
+    import pyarrow.compute as pc
+    from rdf_mapper_ray.ops.cleaning import data_audit
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "x": [1.0, -2.0, 0.0, 5.0],
+    }))
+    got = data_audit(ds, {
+        "neg": lambda t: pc.less(t.column("x"), 0.0)
+            .to_numpy(zero_copy_only=False),
+        "zero": lambda t: pc.equal(t.column("x"), 0.0)
+            .to_numpy(zero_copy_only=False),
+    }).to_pandas().set_index("rule")
+    assert got.loc["neg", "n_violations"] == 1
+    assert got.loc["zero", "n_violations"] == 1
+    assert (got["n_rows"] == 4).all()

@@ -58,10 +58,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_mapper_ray.ops import (clusters, dedup, diff, distinct,
                                     joins, multimodal, cleaning,
                                     normalize, packing, paragraphs,
-                                    quantiles, graphs, retrieval,
-                                    rollup, semdedup, sessions,
-                                    similarity, text, tfidf, topk,
-                                    vectors, windows)
+                                    quantiles, graphs, kmeans,
+                                    retrieval, rollup, semdedup,
+                                    sessions, similarity, text, tfidf,
+                                    topk, vectors, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     import ray.data
@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": graphs.triangle_count_query,
         "snapshot_diff": diff.snapshot_diff_query,
         "data_audit": cleaning.data_audit_query,
+        # one-assignment-round contract (ops/kmeans.py docstring);
+        # multi-round convergence covered by tests/test_kmeans.py
+        "kmeans_assign": kmeans.kmeans_assign_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -189,10 +192,10 @@ def oracle_sql() -> dict[str, str]:
     from rdf_mapper_ray.ops import (clusters, dedup, diff, distinct,
                                     joins, multimodal, cleaning,
                                     normalize, packing, paragraphs,
-                                    quantiles, graphs, retrieval,
-                                    rollup, semdedup, sessions,
-                                    similarity, text, tfidf, topk,
-                                    vectors, windows)
+                                    quantiles, graphs, kmeans,
+                                    retrieval, rollup, semdedup,
+                                    sessions, similarity, text, tfidf,
+                                    topk, vectors, windows)
     from rdf_mapper_ray.pipelines import relational, sourcecode
 
     return {
@@ -259,6 +262,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": graphs.TRIANGLE_COUNT_ORACLE_SQL,
         "snapshot_diff": diff.SNAPSHOT_DIFF_ORACLE_SQL,
         "data_audit": cleaning.DATA_AUDIT_ORACLE_SQL,
+        "kmeans_assign": kmeans.kmeans_assign_oracle_sql(),
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

@@ -1,0 +1,146 @@
+"""Distributed k-means (Lloyd's algorithm) — the canonical iterative
+broadcast-aggregate pipeline: each round broadcasts the centroid table
+(k×d floats, ray.put once), every batch computes assignments with ONE
+dense matmul and emits per-cluster partial sums (k×d + k rows), and a
+tiny groupby reduce yields the next centroids. The corpus streams every
+round; nothing but (clusters × dims) partials ever shuffles, and the
+driver holds k×d floats — never vectors.
+
+Oracle contract (same style as knn_ivf's full-probe rule): the driver
+query runs ONE assignment round from deterministic seeds (the k
+lowest-id vectors), which SQL replays exactly — centroids are data
+rows, the squared-euclidean argmin is computed per vector, ties break
+toward the lower cluster index. Multi-round convergence is covered by
+units: inertia is monotonically non-increasing and the result matches
+a single-process reference run bit-for-bit (same float ops, same
+order)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from rdf_mapper_ray.ops.similarity import _stack
+
+
+def _seed_centroids(ds: "ray.data.Dataset", k: int, id_col: str,
+                    vec_col: str) -> np.ndarray:
+    """Deterministic seeds: the k lowest-id vectors (ids are unique)."""
+    rows = ds.sort(id_col).limit(k).to_pandas()
+    return np.asarray(rows[vec_col].tolist(), dtype=np.float64)
+
+
+def _assign_batch(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """argmin_c ||x−c||² via the expanded form — one matmul per batch;
+    ties go to the lower cluster index (np.argmin convention)."""
+    d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (m @ cent.T)
+    return d2.argmin(axis=1)
+
+
+def kmeans_fit(ds: "ray.data.Dataset", k: int = 8, iters: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> np.ndarray:
+    """Lloyd's rounds over the full Dataset; returns (k, d) centroids.
+    Empty clusters keep their previous centroid."""
+    cent = _seed_centroids(ds, k, id_col, vec_col)
+    d = cent.shape[1]
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _stack(batch.column(vec_col))
+            a = _assign_batch(m, c)
+            sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.Table.from_pydict({
+                "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64),
+                                              d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "s": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(counts, d)),
+            })
+
+        agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby(["cluster", "dim"]) \
+            .aggregate(Sum("s"), Sum("n")).to_pandas()
+        nxt = cent.copy()
+        agg = agg.sort_values(["cluster", "dim"])
+        s = agg["sum(s)"].to_numpy().reshape(k, d)
+        n = agg["sum(n)"].to_numpy().reshape(k, d)[:, 0]
+        nonempty = n > 0
+        nxt[nonempty] = s[nonempty] / n[nonempty, None]
+        cent = nxt
+    return cent
+
+
+def kmeans_inertia(ds: "ray.data.Dataset", cent: np.ndarray,
+                   vec_col: str = "embedding") -> float:
+    """Σ min_c ||x−c||² — one streaming aggregate (convergence metric)."""
+    ref = ray.put(cent)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _stack(batch.column(vec_col))
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.Table.from_pydict({
+            "i": pa.array([float(d2.min(axis=1).sum())], pa.float64())})
+
+    return float(ds.map_batches(partial, batch_format="pyarrow")
+                 .sum("i"))
+
+
+def kmeans_assign_query(sf_dir: str, k: int = 8):
+    """One assignment round from the deterministic seeds — the
+    SQL-replayable contract; output (vec_id, cluster)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    cent = _seed_centroids(ds, k, "vec_id", "embedding")
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _stack(batch.column("embedding"))
+        # exact squared distance (not the expanded matmul) so the
+        # float value matches SQL's list_distance² summation exactly
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.Table.from_pydict({
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(d2.argmin(axis=1).astype(np.int64)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_assign_oracle_sql(k: int = 8) -> str:
+    return f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {k})
+),
+dists AS (
+  SELECT e.vec_id, s.cluster,
+         list_sum(list_transform(
+           list_zip(e.embedding, s.embedding),
+           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+           AS d2
+  FROM embeddings e CROSS JOIN seeds s
+)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cluster) AS rn
+  FROM dists
+)
+WHERE rn = 1
+ORDER BY vec_id
+"""

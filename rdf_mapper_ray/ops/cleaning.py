@@ -641,3 +641,76 @@ SELECT rule, n_violations, n_rows FROM (
 )
 ORDER BY rule
 """
+
+
+def split_leakage(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                  text_col: str = "text", key_len: int = 50,
+                  train_below: int = 80, test_from: int = 90,
+                  hash_fn: str = "pandas",
+                  num_partitions: int | None = None
+                  ) -> "ray.data.Dataset":
+    """Cross-split contamination check: test-split documents whose
+    content fingerprint also appears in the train split — the
+    eval-leakage audit every split pipeline needs. Splits come from the
+    same deterministic id-hash buckets as :func:`hash_split`; the
+    fingerprint here is the first ``key_len`` codepoints (swap in the
+    sha256 column for exact-text leakage or the minhash machinery for
+    near-dup leakage — same join shape).
+
+    One shuffle: (fingerprint, id, split-flag) rows route by
+    hash(fingerprint); inside each partition one vectorized isin marks
+    test rows whose fingerprint has a train occurrence. Output:
+    (id,) leaked test docs."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import _num_partitions
+        num_partitions = max(8, _num_partitions(None) // 8)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.string()).to_pylist()
+        bucket = (hash64(ids, hash_fn) % np.uint64(100)).astype(np.int64)
+        is_train = bucket < train_below
+        is_test = bucket >= test_from
+        keep = is_train | is_test
+        key = pc.utf8_slice_codeunits(
+            pc.fill_null(batch.column(text_col), ""), 0, key_len)
+        t = pa.Table.from_pydict({
+            id_col: batch.column(id_col),
+            "k": key,
+            "is_train": pa.array(is_train.astype(np.int8)),
+        }).filter(pa.array(keep))
+        h = pd.util.hash_pandas_object(
+            t.column("k").to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def leaked(g: pd.DataFrame) -> pd.DataFrame:
+        train_keys = g.loc[g["is_train"] == 1, "k"]
+        tests = g[g["is_train"] == 0]
+        hit = tests[tests["k"].isin(set(train_keys))]
+        return pd.DataFrame({id_col: hit[id_col].to_numpy()})
+
+    return ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("pid").map_groups(leaked, batch_format="pandas")
+
+
+def split_leakage_query(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return split_leakage(ds, hash_fn="md5")
+
+
+SPLIT_LEAKAGE_ORACLE_SQL = f"""
+WITH s AS (
+  SELECT doc_id, substr(COALESCE(text, ''), 1, 50) AS k,
+         {MD5_HASH64_SQL.format(col="CAST(doc_id AS VARCHAR)")} % 100
+           AS bucket
+  FROM documents
+)
+SELECT t.doc_id
+FROM s t
+WHERE t.bucket >= 90
+  AND EXISTS (SELECT 1 FROM s tr
+              WHERE tr.bucket < 80 AND tr.k = t.k)
+ORDER BY doc_id
+"""

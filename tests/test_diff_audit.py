@@ -73,3 +73,28 @@ def test_data_audit_planted_violations(ray_session):
     assert got.loc["neg", "n_violations"] == 1
     assert got.loc["zero", "n_violations"] == 1
     assert (got["n_rows"] == 4).all()
+
+
+def test_split_leakage_matches_oracle(ray_session):
+    got = _check("split_leakage", ("documents",))
+    assert len(got) > 0  # fixture has real cross-split prefix dups
+
+
+def test_split_leakage_planted(ray_session):
+    from rdf_mapper_ray.ops.cleaning import split_leakage
+    from rdf_mapper_ray.ops.hashing import hash64
+    import numpy as np
+    # find ids landing in train (<80) and test (>=90) buckets
+    buckets = hash64([str(i) for i in range(200)], "md5") % np.uint64(100)
+    train_id = next(i for i in range(200) if buckets[i] < 80)
+    test_id = next(i for i in range(200) if buckets[i] >= 90)
+    other_test = next(i for i in range(200)
+                      if buckets[i] >= 90 and i != test_id)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [train_id, test_id, other_test],
+        "text": ["shared prefix " * 10,
+                 "shared prefix " * 10,       # leaked: same prefix
+                 "completely different text"],
+    }))
+    got = split_leakage(ds, hash_fn="md5").to_pandas()
+    assert got["doc_id"].tolist() == [test_id]

@@ -7,10 +7,12 @@ a co-partition join against the edge set.
 
 Two shuffles total: edges route once by pivot for wedge generation, and
 (wedge ∪ edge) rows route once by the candidate pair's hash for the
-closing join. Skew note: a hot pivot generates degree² wedges — the
-published remedy is degree-ordered pivoting (generate at the LOWEST-
-degree vertex); id-ordered pivoting is used here because the oracle
-must reproduce the count, and the count is pivot-order-invariant.
+closing join. Skew: a hot pivot generates degree² wedges, so
+``pivot="degree"`` implements the published remedy (orient every edge
+toward the (degree, id)-larger endpoint and generate at the source) —
+the count is pivot-order-invariant, so the id-pivot oracle still
+verifies it; the driver query uses the id pivot, the equality unit
+covers the degree pivot on a hub-skewed graph.
 
 Demo graph: the embedding near-duplicate pairs (cosine ≥ threshold), so
 the SQL oracle recomputes the same edge set with
@@ -23,20 +25,65 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data
 from ray.data.aggregate import Sum
 
 
 def triangle_count(pairs: "ray.data.Dataset",
                    left_col: str = "left_id", right_col: str = "right_id",
-                   num_partitions: int | None = None
-                   ) -> "ray.data.Dataset":
-    """-> one row (n_triangles,) for a canonical (a < b) edge Dataset."""
+                   num_partitions: int | None = None,
+                   pivot: str = "id") -> "ray.data.Dataset":
+    """-> one row (n_triangles,) for a canonical (a < b) edge Dataset.
+
+    ``pivot="id"`` generates wedges at each triangle's smallest vertex.
+    ``pivot="degree"`` is the published skew remedy: edges re-orient
+    from the (degree, id)-smaller endpoint to the larger, so a hot hub
+    vertex gets few OUT-edges and its degree² wedge blowup disappears;
+    the oriented graph is a DAG under the total order, every triangle
+    still has exactly one vertex with two out-edges, so the count is
+    identical (asserted by the equality unit). The degree table is
+    vertex-count-sized and broadcast once; a co-partition degree join
+    is the stated path past broadcast scale."""
     if num_partitions is None:
         from rdf_mapper_ray.ops.dedup import _num_partitions
         num_partitions = max(8, _num_partitions(None) // 8)
 
     edges = pairs.select_columns([left_col, right_col]).materialize()
+
+    if pivot == "degree":
+        def deg_partial(batch: pa.Table) -> pa.Table:
+            both = np.concatenate([
+                batch.column(left_col).to_numpy(zero_copy_only=False),
+                batch.column(right_col).to_numpy(zero_copy_only=False)])
+            v, c = np.unique(both, return_counts=True)
+            return pa.Table.from_pydict({
+                "v": pa.array(v), "c": pa.array(c.astype(np.int64))})
+
+        deg = edges.map_batches(deg_partial, batch_format="pyarrow") \
+            .groupby("v").aggregate(Sum("c")).to_pandas()
+        deg_map = dict(zip(deg["v"].astype(np.int64),
+                           deg["sum(c)"].astype(np.int64)))
+        deg_ref = ray.put(deg_map)
+
+        def orient(batch: pa.Table) -> pa.Table:
+            m = ray.get(deg_ref)
+            a = batch.column(left_col).to_numpy(zero_copy_only=False)
+            b = batch.column(right_col).to_numpy(zero_copy_only=False)
+            da = np.fromiter((m[x] for x in a), np.int64, count=len(a))
+            db = np.fromiter((m[x] for x in b), np.int64, count=len(b))
+            # src = (deg, id)-smaller endpoint
+            a_first = (da < db) | ((da == db) & (a < b))
+            return pa.Table.from_pydict({
+                "src": pa.array(np.where(a_first, a, b)),
+                "dst": pa.array(np.where(a_first, b, a)),
+            })
+
+        oriented = edges.map_batches(orient, batch_format="pyarrow")
+        pivot_col, other_col = "src", "dst"
+    else:
+        oriented = edges
+        pivot_col, other_col = left_col, right_col
 
     def route_by(col: str):
         def _route(batch: pa.Table) -> pa.Table:
@@ -51,8 +98,8 @@ def triangle_count(pairs: "ray.data.Dataset",
         ls, rs = [], []
         # Python loop over PIVOTS only; each pivot's pair expansion is
         # one vectorized triu (same per-key contract as interval_join)
-        for _, grp in g.groupby(left_col, sort=False):
-            bs = np.sort(grp[right_col].to_numpy())
+        for _, grp in g.groupby(pivot_col, sort=False):
+            bs = np.sort(grp[other_col].to_numpy())
             if len(bs) >= 2:
                 i, j = np.triu_indices(len(bs), k=1)
                 ls.append(bs[i])
@@ -60,11 +107,15 @@ def triangle_count(pairs: "ray.data.Dataset",
         if not ls:
             return pd.DataFrame({"l": pd.array([], dtype="int64"),
                                  "r": pd.array([], dtype="int64")})
-        return pd.DataFrame({"l": np.concatenate(ls),
-                             "r": np.concatenate(rs)})
+        # candidate pairs re-canonicalised (a degree orientation can
+        # emit (hi, lo)); the closing edge set is canonical a < b
+        l = np.concatenate(ls)
+        r = np.concatenate(rs)
+        return pd.DataFrame({"l": np.minimum(l, r),
+                             "r": np.maximum(l, r)})
 
-    wedges = edges.map_batches(route_by(left_col),
-                               batch_format="pyarrow") \
+    wedges = oriented.map_batches(route_by(pivot_col),
+                                  batch_format="pyarrow") \
         .groupby("pid").map_groups(wedge_part, batch_format="pandas")
 
     def tag(side: int):

@@ -33,3 +33,25 @@ def test_triangle_count_matches_oracle(ray_session):
                 f"read_parquet('{sf}/embeddings.parquet')")
     want = con.execute(E.oracle_sql()["triangle_count"]).fetchdf()
     assert compare("triangle_count", got, want)
+
+
+def test_triangle_count_degree_pivot_equals_id_pivot(ray_session):
+    import numpy as np
+    from rdf_mapper_ray.ops.graphs import triangle_count
+    rng = np.random.RandomState(11)
+    # random graph + a hot hub (vertex 0 connected to everyone): the
+    # degree orientation must still count identically while giving the
+    # hub near-zero out-degree
+    n = 40
+    edges = {(0, v) for v in range(1, n)}
+    while len(edges) < 150:
+        a, b = rng.randint(1, n, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    df = pd.DataFrame(sorted(edges), columns=["left_id", "right_id"])
+    ds = ray.data.from_pandas(df)
+    by_id = triangle_count(ds, num_partitions=4, pivot="id") \
+        .to_pandas()["n_triangles"].iloc[0]
+    by_deg = triangle_count(ds, num_partitions=4, pivot="degree") \
+        .to_pandas()["n_triangles"].iloc[0]
+    assert by_id == by_deg > 0

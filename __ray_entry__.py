@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-round convergence covered by tests/test_kmeans.py
         "kmeans_assign": kmeans.kmeans_assign_query,
         "split_leakage": cleaning.split_leakage_query,
+        "crosstab": rollup.crosstab_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -265,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
         "data_audit": cleaning.DATA_AUDIT_ORACLE_SQL,
         "kmeans_assign": kmeans.kmeans_assign_oracle_sql(),
         "split_leakage": cleaning.SPLIT_LEAKAGE_ORACLE_SQL,
+        "crosstab": rollup.CROSSTAB_ORACLE_SQL,
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

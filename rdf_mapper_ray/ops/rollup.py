@@ -85,3 +85,91 @@ FROM documents
 GROUP BY ROLLUP(source, lang)
 ORDER BY source NULLS FIRST, lang NULLS FIRST
 """
+
+
+def crosstab(ds: "ray.data.Dataset", a_col: str, b_col: str
+             ) -> "ray.data.Dataset":
+    """Contingency table with marginals — the co-occurrence /
+    independence-test input: one row per (a, b) cell carrying the cell
+    count and the row / column / grand totals, all EXACT integers (the
+    χ² or mutual-information statistic is one vectorized formula away,
+    computed by the caller in whatever float discipline they need).
+
+    One real shuffle (map-side-combined cell counts); the marginals
+    derive from the cell table itself, which is category²-sized, via a
+    broadcast lookup — never a second pass over the data."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([a_col, b_col])
+        agg = t.group_by([a_col, b_col], use_threads=False).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns([a_col, b_col, "n"])
+
+    cells = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([a_col, b_col]).aggregate(Sum("n")) \
+        .map_batches(lambda t: t.rename_columns([a_col, b_col, "n"]),
+                     batch_format="pyarrow").materialize()
+
+    marg = cells.to_pandas()
+    row_tot = marg.groupby(a_col)["n"].sum().to_dict()
+    col_tot = marg.groupby(b_col)["n"].sum().to_dict()
+    total = int(marg["n"].sum())
+    ref = ray.put((row_tot, col_tot, total))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        rows, cols, tot = ray.get(ref)
+        a = batch.column(a_col).to_pylist()
+        b = batch.column(b_col).to_pylist()
+        import numpy as np
+        return pa.Table.from_pydict({
+            a_col: batch.column(a_col),
+            b_col: batch.column(b_col),
+            "n": pa.compute.cast(batch.column("n"), pa.int64()),
+            "row_n": pa.array(
+                np.fromiter((rows[x] for x in a), np.int64, len(a))),
+            "col_n": pa.array(
+                np.fromiter((cols[x] for x in b), np.int64, len(b))),
+            "total_n": pa.array([tot] * batch.num_rows, pa.int64()),
+        })
+
+    return cells.map_batches(attach, batch_format="pyarrow")
+
+
+def crosstab_query(sf_dir: str):
+    """event_type × weekday co-occurrence over the events table."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def add_dow(batch: pa.Table) -> pa.Table:
+        col = batch.column("ts")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        us = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # epoch day 0 = Thursday; ISO weekday 1..7 (Mon..Sun)
+        dow = ((us // 86_400_000_000 + 3) % 7 + 1)
+        return pa.Table.from_pydict({
+            "event_type": batch.column("event_type"),
+            "weekday": pa.array(dow.astype("int64")),
+        })
+
+    return crosstab(ds.map_batches(add_dow, batch_format="pyarrow"),
+                    "event_type", "weekday")
+
+
+CROSSTAB_ORACLE_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS weekday FROM events
+)
+SELECT event_type, weekday,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS BIGINT)
+         AS row_n,
+       CAST(SUM(COUNT(*)) OVER (PARTITION BY weekday) AS BIGINT)
+         AS col_n,
+       CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total_n
+FROM d
+GROUP BY event_type, weekday
+ORDER BY event_type, weekday
+"""

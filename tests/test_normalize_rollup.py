@@ -139,3 +139,12 @@ def test_rank_transform_matches_oracle(ray_session):
 def test_window_distinct_users_matches_oracle(ray_session):
     got = _compare_query("window_distinct_users", ("events",))
     assert len(got) >= 28  # ~a month of daily windows
+
+
+def test_crosstab_matches_oracle(ray_session):
+    got = _compare_query("crosstab", ("events",))
+    # marginal consistency inside the result
+    assert got.groupby("event_type")["n"].sum().to_dict() == \
+        got.drop_duplicates("event_type").set_index("event_type")[
+            "row_n"].to_dict()
+    assert got["n"].sum() == got["total_n"].iloc[0]

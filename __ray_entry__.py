@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": kmeans.kmeans_assign_query,
         "split_leakage": cleaning.split_leakage_query,
         "crosstab": rollup.crosstab_query,
+        "chunk_text": packing.chunk_text_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": kmeans.kmeans_assign_oracle_sql(),
         "split_leakage": cleaning.SPLIT_LEAKAGE_ORACLE_SQL,
         "crosstab": rollup.CROSSTAB_ORACLE_SQL,
+        "chunk_text": packing.chunk_text_oracle_sql(),
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

@@ -138,3 +138,91 @@ FROM c
 WHERE n > 0
 ORDER BY doc_id, chunk_id
 """
+
+
+def chunk_text(ds: "ray.data.Dataset", id_col: str = "doc_id",
+               text_col: str = "text", size: int = 500,
+               overlap: int = 100) -> "ray.data.Dataset":
+    """Overlapping fixed-window text chunking — the RAG-ingestion
+    shape: each document splits into windows of ``size`` codepoints
+    advancing by ``size − overlap``; the final window is the remainder
+    (never empty, never duplicated). Output: (id, chunk_no, begin,
+    chunk_text).
+
+    Map-only (zero shuffle, embarrassingly parallel): per batch, chunk
+    counts come from the lengths vector, the (doc, chunk) expansion is
+    the same np.repeat/arange trick as sequence packing, and slicing
+    runs one vectorized utf8_slice_codeunits call PER DISTINCT OFFSET
+    (bounded by the longest doc's chunk count, each call covering every
+    row at that offset — no per-row Python)."""
+    import pyarrow.compute as pc
+
+    step = size - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than size")
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(col, "")
+        lens = pc.utf8_length(filled).to_numpy(zero_copy_only=False)
+        # windows start at 0, step, 2·step, ... while start < len
+        # (empty docs still yield one empty chunk row: n = 1)
+        n = np.maximum(1, -(-np.maximum(lens - overlap, 1) // step))
+        total = int(n.sum())
+        run_starts = np.cumsum(n) - n
+        intra = np.arange(total) - np.repeat(run_starts, n)
+        ids = np.repeat(batch.column(id_col).to_numpy(
+            zero_copy_only=False), n)
+        begin = intra * step
+        # per-row window: utf8_slice_codeunits takes scalar bounds, so
+        # slice by grouping rows that share a chunk_no (few distinct
+        # values per batch; each call is fully vectorized)
+        out_text = np.empty(total, dtype=object)
+        expanded = np.repeat(filled.to_numpy(zero_copy_only=False), n)
+        for k in np.unique(intra):
+            m = intra == k
+            part = pc.utf8_slice_codeunits(
+                pa.array(expanded[m], pa.string()),
+                start=int(k) * step, stop=int(k) * step + size)
+            out_text[m] = part.to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            id_col: pa.array(ids),
+            "chunk_no": pa.array(intra.astype(np.int64)),
+            "begin": pa.array(begin.astype(np.int64)),
+            "chunk_text": pa.array(out_text, pa.string()),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def chunk_text_query(sf_dir: str, size: int = 500, overlap: int = 100):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return chunk_text(ds, size=size, overlap=overlap)
+
+
+def chunk_text_oracle_sql(size: int = 500, overlap: int = 100) -> str:
+    step = size - overlap
+    return f"""
+WITH d AS (
+  SELECT doc_id, COALESCE(text, '') AS t,
+         length(COALESCE(text, '')) AS len
+  FROM documents
+),
+n AS (
+  SELECT doc_id, t,
+         GREATEST(1, CAST(ceil(CAST(GREATEST(len - {overlap}, 1)
+                                    AS DOUBLE) / {step}) AS BIGINT))
+           AS n_chunks
+  FROM d
+)
+SELECT doc_id,
+       UNNEST(generate_series(0, n_chunks - 1)) AS chunk_no,
+       UNNEST(generate_series(0, n_chunks - 1)) * {step} AS begin,
+       substr(t, CAST(UNNEST(generate_series(0, n_chunks - 1))
+                      * {step} + 1 AS BIGINT), {size}) AS chunk_text
+FROM n
+ORDER BY doc_id, chunk_no
+"""

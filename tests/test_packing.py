@@ -40,3 +40,33 @@ def test_pack_sequences_matches_oracle(ray_session):
     assert got.shape == want.shape
     cols = sorted(got.columns)
     assert (got[cols].values == want[cols].values).all()
+
+
+def test_chunk_text_matches_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import compare
+    import __ray_entry__ as E
+    got = E.queries()["chunk_text"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(E.oracle_sql()["chunk_text"]).fetchdf()
+    assert compare("chunk_text", got, want)
+
+
+def test_chunk_text_semantics(ray_session):
+    from rdf_mapper_ray.ops.packing import chunk_text
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["abcdefghij",   # 10 chars, size 4, overlap 1 -> step 3
+                 "xy",           # shorter than size -> one chunk
+                 ""],            # empty -> one empty chunk
+    }))
+    got = chunk_text(ds, size=4, overlap=1).to_pandas() \
+        .sort_values(["doc_id", "chunk_no"]).reset_index(drop=True)
+    d1 = got[got["doc_id"] == 1]
+    assert d1["chunk_text"].tolist() == ["abcd", "defg", "ghij"]
+    assert d1["begin"].tolist() == [0, 3, 6]
+    assert got[got["doc_id"] == 2]["chunk_text"].tolist() == ["xy"]
+    assert got[got["doc_id"] == 3]["chunk_text"].tolist() == [""]

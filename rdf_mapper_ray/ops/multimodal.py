@@ -379,3 +379,77 @@ SELECT item_id, width, height,
 FROM m
 ORDER BY item_id
 """
+
+
+class AudioSpectral:
+    """REAL spectral features from WAV payloads — numpy's FFT is all it
+    takes, no scipy/librosa: frames of ``n_fft`` samples (hann window),
+    averaged power spectrum, then (spectral centroid in Hz, zero-
+    crossing rate, ``n_bands`` log-spaced band energies) — the classic
+    audio-quality / content-filter feature row. One rfft per payload's
+    frame matrix (vectorized over frames), channels averaged to mono."""
+
+    def __init__(self, n_fft: int = 256, n_bands: int = 8) -> None:
+        self.n_fft = n_fft
+        self.n_bands = n_bands
+        self._window = np.hanning(n_fft)
+
+    def _features(self, samples: np.ndarray, rate: int, channels: int
+                  ) -> tuple[float, float, list]:
+        x = samples.astype(np.float64)
+        if channels > 1:
+            x = x[: len(x) // channels * channels] \
+                .reshape(-1, channels).mean(axis=1)
+        if len(x) == 0:
+            return 0.0, 0.0, [0.0] * self.n_bands
+        zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) \
+            if len(x) > 1 else 0.0
+        n = (len(x) // self.n_fft) * self.n_fft
+        if n == 0:                   # shorter than one frame: pad one
+            frames = np.zeros((1, self.n_fft))
+            frames[0, : len(x)] = x
+        else:
+            frames = x[:n].reshape(-1, self.n_fft)
+        spec = np.abs(np.fft.rfft(frames * self._window, axis=1)) ** 2
+        p = spec.mean(axis=0)
+        freqs = np.fft.rfftfreq(self.n_fft, d=1.0 / max(1, rate))
+        tot = p.sum()
+        centroid = float((freqs * p).sum() / tot) if tot > 0 else 0.0
+        # log-spaced band edges over (first bin, nyquist]
+        edges = np.geomspace(freqs[1] if len(freqs) > 1 else 1.0,
+                             freqs[-1], self.n_bands + 1)
+        idx = np.searchsorted(freqs, edges)
+        bands = [float(p[idx[i]:max(idx[i] + 1, idx[i + 1])].sum())
+                 for i in range(self.n_bands)]
+        return centroid, zcr, bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+        ids, cents, zcrs, bands = [], [], [], []
+        for i, payload in zip(batch.column("item_id").to_pylist(),
+                              batch.column("payload").to_pylist()):
+            with wave.open(io.BytesIO(payload)) as w:
+                rate = w.getframerate()
+                width = w.getsampwidth()
+                channels = w.getnchannels()
+                raw = w.readframes(w.getnframes())
+            if width == 2:
+                samples = np.frombuffer(raw, dtype=np.int16)
+            elif width == 1:
+                samples = (np.frombuffer(raw, dtype=np.uint8)
+                           .astype(np.int16) - 128)
+            else:
+                raise NotImplementedError(f"{width * 8}-bit WAV")
+            c, z, b = self._features(samples, rate, channels)
+            ids.append(i)
+            cents.append(c)
+            zcrs.append(z)
+            bands.append(b)
+        return pa.Table.from_pydict({
+            "item_id": pa.array(ids, type=pa.int64()),
+            "spec_centroid_hz": pa.array(cents, type=pa.float64()),
+            "zcr": pa.array(zcrs, type=pa.float64()),
+            "band_energy": pa.array(bands,
+                                    type=pa.list_(pa.float64())),
+        })

@@ -48,3 +48,37 @@ def test_resize_exec_distributed_over_fake_payloads(ray_session):
     assert len(out) == 500
     assert (out["new_width"] <= 16).all() and (out["new_height"] <= 16).all()
     assert out["payload"].map(lambda b: b.startswith(b"P5")).all()
+
+
+def _wav_bytes(samples, rate=8000):
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+def test_audio_spectral_sine_centroid_and_zcr(ray_session):
+    from rdf_mapper_ray.ops.multimodal import AudioSpectral
+    rate, f = 8000, 1000.0
+    t = np.arange(rate) / rate
+    sine = (10000 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+    batch = pa.Table.from_pydict({
+        "item_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([_wav_bytes(sine),
+                             _wav_bytes(np.zeros(4000))], pa.binary()),
+    })
+    out = AudioSpectral()(batch).to_pandas().set_index("item_id")
+    # a pure 1 kHz tone: centroid near 1 kHz, zcr near 2f/rate
+    assert abs(out.loc[1, "spec_centroid_hz"] - f) < 100
+    assert abs(out.loc[1, "zcr"] - 2 * f / rate) < 0.02
+    # the tone's energy concentrates in one band
+    be = np.array(out.loc[1, "band_energy"])
+    assert be.max() / be.sum() > 0.9
+    # silence: all zeros
+    assert out.loc[2, "spec_centroid_hz"] == 0.0
+    assert out.loc[2, "zcr"] == 0.0

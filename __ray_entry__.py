@@ -62,7 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     retrieval, rollup, semdedup,
                                     sessions, similarity, text, tfidf,
                                     topk, vectors, windows)
-    from rdf_mapper_ray.pipelines import relational, sourcecode
+    from rdf_mapper_ray.pipelines import corpus, relational, sourcecode
 
     import ray.data
 
@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": cleaning.split_leakage_query,
         "crosstab": rollup.crosstab_query,
         "chunk_text": packing.chunk_text_query,
+        # composition showcase: filter -> dedup -> decontaminate ->
+        # split -> count, one CTE-chain oracle for the whole thing
+        "corpus_prep": corpus.corpus_prep,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -199,7 +202,7 @@ def oracle_sql() -> dict[str, str]:
                                     retrieval, rollup, semdedup,
                                     sessions, similarity, text, tfidf,
                                     topk, vectors, windows)
-    from rdf_mapper_ray.pipelines import relational, sourcecode
+    from rdf_mapper_ray.pipelines import corpus, relational, sourcecode
 
     return {
         "kg_sourcecode": sourcecode.FLAGSHIP_ORACLE_SQL,
@@ -269,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": cleaning.SPLIT_LEAKAGE_ORACLE_SQL,
         "crosstab": rollup.CROSSTAB_ORACLE_SQL,
         "chunk_text": packing.chunk_text_oracle_sql(),
+        "corpus_prep": corpus.CORPUS_PREP_ORACLE_SQL,
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

@@ -258,13 +258,12 @@ def decontaminate(ds: "ray.data.Dataset", phrases: list,
 _PHRASE_FILTER = "doc_id % 97 = 0 AND length(text) >= 49"
 
 
-def decontaminate_query(sf_dir: str):
-    """Phrases derive deterministically from the corpus itself (a
-    40-char slice of every 97th document) so the oracle can rebuild
-    the identical benchmark set in SQL. In production the phrases come
-    from a small benchmark file instead; the extraction below streams
-    and only the phrase rows (1/97th of doc count) reach the driver —
-    the benchmark side of decontamination is small by definition."""
+def benchmark_phrases(sf_dir: str) -> list:
+    """The demo benchmark set: a 40-char slice of every 97th document,
+    derived deterministically so SQL oracles can rebuild it. The
+    extraction streams; only the phrase rows (1/97th of doc count)
+    reach the driver — the benchmark side of decontamination is small
+    by definition."""
     def mk_phrases(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         t = batch.filter(pa.array((ids % 97) == 0))
@@ -275,9 +274,17 @@ def decontaminate_query(sf_dir: str):
     phrase_rows = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
         .map_batches(mk_phrases, batch_format="pyarrow").take_all()
+    return [r["phrase"] for r in phrase_rows]
+
+
+def decontaminate_query(sf_dir: str):
+    """Phrases derive deterministically from the corpus itself (see
+    :func:`benchmark_phrases`) so the oracle can rebuild the identical
+    benchmark set in SQL. In production the phrases come from a small
+    benchmark file instead."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return decontaminate(ds, [r["phrase"] for r in phrase_rows])
+    return decontaminate(ds, benchmark_phrases(sf_dir))
 
 
 DECONTAMINATE_ORACLE_SQL = f"""

@@ -98,3 +98,10 @@ def test_split_leakage_planted(ray_session):
     }))
     got = split_leakage(ds, hash_fn="md5").to_pandas()
     assert got["doc_id"].tolist() == [test_id]
+
+
+def test_corpus_prep_composite_matches_oracle(ray_session):
+    got = _check("corpus_prep", ("documents",))
+    # every stage bit: fewer docs than the raw table, positive tokens
+    assert 0 < len(got) < 500
+    assert (got["n_tokens"] > 0).all()

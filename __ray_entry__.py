@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composition showcase: filter -> dedup -> decontaminate ->
         # split -> count, one CTE-chain oracle for the whole thing
         "corpus_prep": corpus.corpus_prep,
+        "lm_score": text.lm_score_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "crosstab": rollup.CROSSTAB_ORACLE_SQL,
         "chunk_text": packing.chunk_text_oracle_sql(),
         "corpus_prep": corpus.CORPUS_PREP_ORACLE_SQL,
+        "lm_score": text.lm_score_oracle_sql(),
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

@@ -12,6 +12,8 @@ import hashlib
 import re
 from collections import Counter
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -568,4 +570,107 @@ SELECT doc_id,
        COUNT(*) FILTER (WHERE rn = 1)::BIGINT AS n_kept,
        COUNT(*) FILTER (WHERE rn > 1)::BIGINT AS n_dropped
 FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def lm_score(ds: "ray.data.Dataset", text_col: str = "text",
+             id_col: str = "doc_id", min_count: int = 3
+             ) -> "ray.data.Dataset":
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020):
+    a unigram LM is estimated from the corpus itself and every document
+    gets (n_tokens, n_oov, nll_milli) — the negative log-likelihood of
+    its in-vocabulary tokens in MILLI-NATS, an exact integer, so any
+    summation order gives identical results and the SQL oracle matches
+    value-for-value (per-type log-probs quantize to floor(ln·1000+0.5);
+    a sub-ulp libm difference only matters within 1e-13 of a quantile
+    boundary — negligible, and deterministic per dataset). Tokens with
+    corpus count < ``min_count`` are OOV and excluded from the NLL.
+
+    Scale shape: the LM is one map-side-combined token-count groupby
+    (vocab-sized, never corpus-sized) broadcast once via ray.put; the
+    scoring pass is a vectorized pandas-map lookup + one bincount per
+    batch. Past broadcast scale the documented venue is a hash(token)
+    co-partition join like tfidf's df join."""
+    import ray
+
+    from rdf_mapper_ray.ops.topk import _batch_token_counts
+
+    counts = ds.map_batches(
+        lambda b: _batch_token_counts(b, text_col),
+        batch_format="pyarrow").groupby("token").sum("cnt").to_pandas()
+    c = counts.iloc[:, 1].to_numpy(dtype=np.int64)
+    total = int(c.sum())
+    ql = np.floor(np.log(c / float(total)) * 1000.0 + 0.5) \
+        .astype(np.int64)
+    lm = pd.DataFrame({"tok": counts.iloc[:, 0].to_numpy(),
+                       "c": c, "ql": ql}).set_index("tok")
+    lm_ref = ray.put(lm)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(lm_ref)
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lowered = pc.utf8_lower(pc.fill_null(col, ""))
+        lists = pc.split_pattern_regex(lowered, r"\s+")
+        lengths = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        doc = np.repeat(np.arange(len(lengths)), lengths)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = pd.Series(flat.filter(pa.array(keep)).to_pandas())
+        doc = doc[keep]
+        cc = toks.map(m["c"]).to_numpy(dtype=np.int64)
+        qq = toks.map(m["ql"]).to_numpy(dtype=np.int64)
+        oov = cc < min_count
+        n_docs = batch.num_rows
+        return pa.Table.from_pydict({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(np.bincount(doc, minlength=n_docs)
+                                 .astype(np.int64)),
+            "n_oov": pa.array(np.bincount(doc, weights=oov,
+                                          minlength=n_docs)
+                              .astype(np.int64)),
+            "nll_milli": pa.array(np.bincount(doc,
+                                              weights=np.where(oov, 0,
+                                                               -qq),
+                                              minlength=n_docs)
+                                  .astype(np.int64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lm_score_query(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return lm_score(ds)
+
+
+def lm_score_oracle_sql(min_count: int = 3) -> str:
+    return f"""
+WITH tk AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(COALESCE(text, '')),
+                                        '\\s+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+cnt AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+tot AS (SELECT SUM(c) AS n FROM cnt),
+q AS (
+  SELECT tok, c,
+         CAST(floor(ln(CAST(c AS DOUBLE) / n) * 1000 + 0.5) AS BIGINT)
+           AS ql
+  FROM cnt, tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN q.c < {min_count} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN q.c >= {min_count} THEN -q.ql ELSE 0 END)
+            AS BIGINT) AS nll_milli
+FROM tk JOIN q USING (tok)
+GROUP BY doc_id
+ORDER BY doc_id
 """

@@ -105,3 +105,25 @@ def test_corpus_prep_composite_matches_oracle(ray_session):
     # every stage bit: fewer docs than the raw table, positive tokens
     assert 0 < len(got) < 500
     assert (got["n_tokens"] > 0).all()
+
+
+def test_lm_score_matches_oracle(ray_session):
+    got = _check("lm_score", ("documents",))
+    assert (got["nll_milli"] > 0).all()
+    assert (got["n_oov"] <= got["n_tokens"]).all()
+
+
+def test_lm_score_semantics(ray_session):
+    """Hand-checked unigram NLL: corpus 'a a a b' over two docs."""
+    import numpy as np
+    from rdf_mapper_ray.ops.text import lm_score
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a a", "a b"],
+    }))
+    got = lm_score(ds, min_count=1).to_pandas().set_index("doc_id")
+    ql_a = int(np.floor(np.log(3 / 4) * 1000 + 0.5))
+    ql_b = int(np.floor(np.log(1 / 4) * 1000 + 0.5))
+    assert got.loc[1, "nll_milli"] == -2 * ql_a
+    assert got.loc[2, "nll_milli"] == -(ql_a + ql_b)
+    assert got["n_oov"].sum() == 0

@@ -56,12 +56,13 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_mapper_ray.ops import (clusters, dedup, diff, distinct,
-                                    joins, multimodal, cleaning,
-                                    normalize, packing, paragraphs,
-                                    quantiles, graphs, kmeans,
-                                    retrieval, rollup, semdedup,
-                                    sessions, similarity, text, tfidf,
-                                    topk, vectors, windows)
+                                    incremental, joins, multimodal,
+                                    cleaning, normalize, packing,
+                                    paragraphs, quantiles, graphs,
+                                    kmeans, retrieval, rollup,
+                                    semdedup, sessions, similarity,
+                                    text, tfidf, topk, vectors,
+                                    windows)
     from rdf_mapper_ray.pipelines import corpus, relational, sourcecode
 
     import ray.data
@@ -145,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # split -> count, one CTE-chain oracle for the whole thing
         "corpus_prep": corpus.corpus_prep,
         "lm_score": text.lm_score_query,
+        "incremental_dedup": incremental.incremental_dedup_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -197,12 +199,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rdf_mapper_ray.ops import (clusters, dedup, diff, distinct,
-                                    joins, multimodal, cleaning,
-                                    normalize, packing, paragraphs,
-                                    quantiles, graphs, kmeans,
-                                    retrieval, rollup, semdedup,
-                                    sessions, similarity, text, tfidf,
-                                    topk, vectors, windows)
+                                    incremental, joins, multimodal,
+                                    cleaning, normalize, packing,
+                                    paragraphs, quantiles, graphs,
+                                    kmeans, retrieval, rollup,
+                                    semdedup, sessions, similarity,
+                                    text, tfidf, topk, vectors,
+                                    windows)
     from rdf_mapper_ray.pipelines import corpus, relational, sourcecode
 
     return {
@@ -275,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_text": packing.chunk_text_oracle_sql(),
         "corpus_prep": corpus.CORPUS_PREP_ORACLE_SQL,
         "lm_score": text.lm_score_oracle_sql(),
+        "incremental_dedup": incremental.INCREMENTAL_DEDUP_ORACLE_SQL,
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

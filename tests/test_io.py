@@ -50,3 +50,40 @@ def test_write_partitioned_roundtrip_and_resume(ray_session):
     assert (~r3["skipped"]).sum() == 2
     assert r3["rows"].sum() == 500
     shutil.rmtree(ROOT, ignore_errors=True)
+
+
+def test_incremental_dedup_matches_oracle(ray_session):
+    import glob
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import compare
+    import duckdb
+    import __ray_entry__ as E
+    for p in glob.glob("/tmp/rmr_hash_index_sf0.001"):
+        shutil.rmtree(p, ignore_errors=True)
+    sf = "/root/testdata/sf0.001"
+    got = E.queries()["incremental_dedup"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(E.oracle_sql()["incremental_dedup"]).fetchdf()
+    assert compare("incremental_dedup", got, want)
+    # rerun hits the sealed index (skip-if-done) and must agree
+    got2 = E.queries()["incremental_dedup"](sf).to_pandas()
+    assert sorted(got2["doc_id"]) == sorted(got["doc_id"])
+
+
+def test_dedup_against_index_pure(ray_session):
+    """Planted case: index = {A, B}; new = {B (dup), C (new)}."""
+    import tempfile
+    from rdf_mapper_ray.ops.incremental import (build_hash_index,
+                                                dedup_against_index)
+    root = tempfile.mkdtemp(prefix="rmr_idx_")
+    old = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["alpha", "beta"]}))
+    build_hash_index(old, root, num_buckets=4).materialize()
+    new = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [10, 11], "text": ["beta", "gamma"]}))
+    got = dedup_against_index(new, root, num_buckets=4).to_pandas()
+    assert got["doc_id"].tolist() == [11]
+    shutil.rmtree(root, ignore_errors=True)

@@ -30,8 +30,20 @@ from rdf_mapper_ray.ops.similarity import _stack
 
 def _seed_centroids(ds: "ray.data.Dataset", k: int, id_col: str,
                     vec_col: str) -> np.ndarray:
-    """Deterministic seeds: the k lowest-id vectors (ids are unique)."""
-    rows = ds.sort(id_col).limit(k).to_pandas()
+    """Deterministic seeds: the k lowest-id vectors (ids are unique).
+    Map-side bottom-k per batch, then a sort+limit over the
+    (k × blocks)-row candidate set — never a full-corpus sort for k
+    rows."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:k]
+        return batch.take(pa.array(order))
+
+    rows = ds.map_batches(bottomk, batch_format="pyarrow") \
+        .sort(id_col).limit(k).to_pandas()
     return np.asarray(rows[vec_col].tolist(), dtype=np.float64)
 
 

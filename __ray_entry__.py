@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": corpus.corpus_prep,
         "lm_score": text.lm_score_query,
         "incremental_dedup": incremental.incremental_dedup_query,
+        "label_outliers": vectors.label_outliers_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -279,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep": corpus.CORPUS_PREP_ORACLE_SQL,
         "lm_score": text.lm_score_oracle_sql(),
         "incremental_dedup": incremental.INCREMENTAL_DEDUP_ORACLE_SQL,
+        "label_outliers": vectors.LABEL_OUTLIERS_ORACLE_SQL,
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

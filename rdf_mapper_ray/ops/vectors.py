@@ -17,6 +17,7 @@ vectors."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -82,4 +83,106 @@ SELECT label, dim,
 FROM flat
 GROUP BY label, dim
 ORDER BY label, dim
+"""
+
+
+def label_outliers(ds: "ray.data.Dataset", label_col: str = "label",
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   top_n: int = 5) -> "ray.data.Dataset":
+    """Mislabeled-data detection (the Cleanlab-ish curation pass): each
+    vector's squared euclidean distance to ITS OWN label's centroid,
+    keeping the ``top_n`` farthest per label. Output:
+    (label, rank, id) — rank 1 = farthest.
+
+    Two streaming passes: :func:`label_centroids` reduces the corpus to
+    exact integer sums (one shuffle of (labels × dims) partials), the
+    tiny centroid matrix broadcasts, and the scoring pass computes one
+    vectorized distance per batch with map-side per-label top-n pruning
+    before a final candidate sort — only (labels × top_n × blocks) rows
+    ever shuffle. Distances are doubles of exact inputs evaluated
+    low-dim-first on both sides, so the ranking matches the SQL replay
+    exactly."""
+    import ray
+    from ray.data.aggregate import Sum  # noqa: F401  (doc parity)
+
+    cent_long = label_centroids(ds.select_columns([label_col, vec_col]),
+                                label_col, vec_col).to_pandas() \
+        .sort_values(["label", "dim"])
+    labels = cent_long["label"].unique()
+    d = int(cent_long["dim"].max()) + 1
+    cent = {}
+    for lab in labels:
+        rows = cent_long[cent_long["label"] == lab]
+        cent[int(lab)] = (rows["sum_micro"].to_numpy(np.float64)
+                          / (rows["n"].to_numpy(np.float64) * _SCALE))
+    cent_ref = ray.put(cent)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(cent_ref)
+        labs = batch.column(label_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        x = _stack(batch.column(vec_col))
+        c = np.stack([m[int(l)] for l in np.unique(labs)])
+        lut = {int(l): i for i, l in enumerate(np.unique(labs))}
+        rows = np.fromiter((lut[int(l)] for l in labs), np.int64,
+                           len(labs))
+        diff = x - c[rows]
+        d2 = (diff * diff).sum(axis=1)
+        # map-side prune: keep each label's local top_n candidates
+        df = pd.DataFrame({label_col: labs, id_col: ids, "d2": d2})
+        df = df.sort_values([label_col, "d2", id_col],
+                            ascending=[True, False, True])
+        df = df.groupby(label_col, sort=False).head(top_n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cands = ds.select_columns([label_col, id_col, vec_col]) \
+        .map_batches(score, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["d2", id_col], ascending=[False, True]) \
+            .head(top_n)
+        return pd.DataFrame({
+            "label": g[label_col].to_numpy().astype(np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            id_col: g[id_col].to_numpy(),
+        })
+
+    return cands.groupby(label_col).map_groups(final,
+                                               batch_format="pandas")
+
+
+def label_outliers_query(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "label", "embedding"])
+    return label_outliers(ds)
+
+
+LABEL_OUTLIERS_ORACLE_SQL = f"""
+WITH flat AS (
+  SELECT CAST(label AS BIGINT) AS label, vec_id,
+         CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) - 1
+           AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(floor(v * {_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)
+           / (COUNT(*) * {_SCALE}.0) AS c
+  FROM flat GROUP BY label, dim
+),
+dist AS (
+  SELECT f.label, f.vec_id, SUM((f.v - c.c) * (f.v - c.c)) AS d2
+  FROM flat f JOIN cent c USING (label, dim)
+  GROUP BY f.label, f.vec_id
+)
+SELECT label, CAST(rank AS BIGINT) AS rank, vec_id FROM (
+  SELECT label, vec_id,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY d2 DESC, vec_id) AS rank
+  FROM dist
+)
+WHERE rank <= 5
+ORDER BY label, rank
 """

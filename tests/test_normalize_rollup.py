@@ -148,3 +148,25 @@ def test_crosstab_matches_oracle(ray_session):
         got.drop_duplicates("event_type").set_index("event_type")[
             "row_n"].to_dict()
     assert got["n"].sum() == got["total_n"].iloc[0]
+
+
+def test_label_outliers_matches_oracle(ray_session):
+    got = _compare_query("label_outliers", ("embeddings",))
+    # 5 ranked outliers per label, ranks 1..5 each
+    assert (got.groupby("label")["rank"].apply(
+        lambda s: sorted(s) == [1, 2, 3, 4, 5])).all()
+
+
+def test_label_outliers_planted(ray_session):
+    import numpy as np
+    from rdf_mapper_ray.ops.vectors import label_outliers
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(60, 4).astype(np.float32) * 0.01
+    vecs[17] += 10.0        # plant one far outlier in label 0
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(60, dtype=np.int64),
+        "label": np.zeros(60, dtype=np.int32),
+        "embedding": list(vecs),
+    }))
+    got = label_outliers(ds, top_n=3).to_pandas()
+    assert got[got["rank"] == 1]["vec_id"].iloc[0] == 17

@@ -56,10 +56,10 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_mapper_ray.ops import (clusters, dedup, diff, distinct,
-                                    incremental, joins, multimodal,
-                                    cleaning, normalize, packing,
-                                    paragraphs, quantiles, graphs,
-                                    kmeans, retrieval, rollup,
+                                    editdist, incremental, joins,
+                                    multimodal, cleaning, normalize,
+                                    packing, paragraphs, quantiles,
+                                    graphs, kmeans, retrieval, rollup,
                                     semdedup, sessions, similarity,
                                     text, tfidf, topk, vectors,
                                     windows)
@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": text.lm_score_query,
         "incremental_dedup": incremental.incremental_dedup_query,
         "label_outliers": vectors.label_outliers_query,
+        "editdist_pairs": editdist.editdist_pairs_query,
+        "value_histogram": quantiles.value_histogram_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -200,10 +202,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rdf_mapper_ray.ops import (clusters, dedup, diff, distinct,
-                                    incremental, joins, multimodal,
-                                    cleaning, normalize, packing,
-                                    paragraphs, quantiles, graphs,
-                                    kmeans, retrieval, rollup,
+                                    editdist, incremental, joins,
+                                    multimodal, cleaning, normalize,
+                                    packing, paragraphs, quantiles,
+                                    graphs, kmeans, retrieval, rollup,
                                     semdedup, sessions, similarity,
                                     text, tfidf, topk, vectors,
                                     windows)
@@ -281,6 +283,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": text.lm_score_oracle_sql(),
         "incremental_dedup": incremental.INCREMENTAL_DEDUP_ORACLE_SQL,
         "label_outliers": vectors.LABEL_OUTLIERS_ORACLE_SQL,
+        "editdist_pairs": editdist.EDITDIST_ORACLE_SQL,
+        "value_histogram": quantiles.value_histogram_oracle_sql(),
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

@@ -1,0 +1,117 @@
+"""Edit-distance near-duplicate pairs — the character-level dedup
+family (OCR noise, boilerplate typo variants) complementing the
+token-level MinHash/Jaccard and bit-level SimHash families: candidate
+pairs come from deterministic prefix blocking (docs sharing their
+first ``block_len`` codepoints — the cheap blocking key classic record
+linkage uses), and each candidate verifies with an exact unit-cost
+Levenshtein distance against a relative threshold.
+
+Scale shape: one hash(block) co-partition shuffle; pairs generate
+per block with the triu expansion and verify inside the task. The DP
+is the two-row Wagner–Fischer with BOTH inner recurrences vectorized —
+substitution/deletion as one numpy minimum, the sequential insertion
+chain folded into a prefix-min via the d[j] = cur[j] − j transform —
+so the cost is O(len) numpy ops per DP row, never a per-cell Python
+loop. Blocking recall is the documented trade (prefix-divergent
+near-dups are missed; the MinHash family covers those)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Exact unit-cost edit distance, vectorized per DP row."""
+    if a == b:
+        return 0
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return max(n, m)
+    bcp = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    acp = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    idx = np.arange(m + 1, dtype=np.int64)
+    prev = idx.copy()
+    for i in range(1, n + 1):
+        sub = prev[:-1] + (bcp != acp[i - 1])
+        cand = np.minimum(prev[1:] + 1, sub)      # delete / substitute
+        full = np.concatenate(([i], cand))
+        # insertion chain cur[j] = min(cand[j], cur[j-1]+1) as prefix-min
+        prev = np.minimum.accumulate(full - idx) + idx
+    return int(prev[-1])
+
+
+def editdist_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                   text_col: str = "text", block_len: int = 20,
+                   max_rel_dist: float = 0.2,
+                   num_partitions: int | None = None
+                   ) -> "ray.data.Dataset":
+    """-> (left_id, right_id, dist) pairs within a prefix block whose
+    edit distance ≤ max_rel_dist × max(len)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import _num_partitions
+        num_partitions = max(8, _num_partitions(None) // 8)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        blk = pc.utf8_slice_codeunits(
+            pc.fill_null(batch.column(text_col), ""), 0, block_len)
+        h = pd.util.hash_pandas_object(blk.to_pandas(),
+                                       index=False).to_numpy()
+        return pa.Table.from_pydict({
+            id_col: batch.column(id_col),
+            text_col: batch.column(text_col),
+            "blk": blk,
+            "pid": pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)),
+        })
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        ls, rs, dd = [], [], []
+        for _, grp in g.groupby("blk", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values(id_col)
+            ids = grp[id_col].to_numpy()
+            texts = grp[text_col].to_numpy()
+            i, j = np.triu_indices(len(ids), k=1)
+            for a, b in zip(i, j):
+                ta, tb = texts[a] or "", texts[b] or ""
+                lim = max_rel_dist * max(len(ta), len(tb))
+                d = _levenshtein(ta, tb)
+                if d <= lim:
+                    ls.append(ids[a])
+                    rs.append(ids[b])
+                    dd.append(d)
+        return pd.DataFrame({
+            "left_id": pd.array(ls, dtype="int64"),
+            "right_id": pd.array(rs, dtype="int64"),
+            "dist": pd.array(dd, dtype="int64"),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("pid").map_groups(verify, batch_format="pandas")
+
+
+def editdist_pairs_query(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return editdist_pairs(ds)
+
+
+EDITDIST_ORACLE_SQL = """
+WITH d AS (
+  SELECT doc_id, COALESCE(text, '') AS text,
+         substr(COALESCE(text, ''), 1, 20) AS blk
+  FROM documents
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text)
+      <= 0.2 * greatest(length(a.text), length(b.text))
+ORDER BY left_id, right_id
+"""

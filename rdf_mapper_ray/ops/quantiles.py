@@ -158,3 +158,56 @@ WITH sample AS (
   SELECT value AS v FROM events ORDER BY {h} LIMIT {k}
 )
 """ + " UNION ALL ".join(parts) + "\nORDER BY quantile"
+
+
+def value_histogram(ds: "ray.data.Dataset", value_col: str = "value",
+                    width: float = 25.0) -> "ray.data.Dataset":
+    """Fixed-width histogram over a bounded-decimal column — the
+    distribution profile behind every filter-threshold decision. Bins
+    compute in exact integer cents (bin = cents // width_cents), so
+    counts are order-invariant and oracle-exact; the shuffle carries
+    (bin, count) partials only. Output: (bin, bin_lo, n)."""
+    width_cents = int(round(width * 100))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column(value_col).to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        b = cents // width_cents
+        vals, cnts = np.unique(b, return_counts=True)
+        return pa.Table.from_pydict({
+            "bin": pa.array(vals),
+            "n": pa.array(cnts.astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+    merged = ds.select_columns([value_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin").aggregate(Sum("n"))
+
+    def fmt(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["bin", "n"])
+        b = t.column("bin").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "bin": t.column("bin"),
+            "bin_lo": pa.array(b * width),
+            "n": pa.compute.cast(t.column("n"), pa.int64()),
+        })
+
+    return merged.map_batches(fmt, batch_format="pyarrow")
+
+
+def value_histogram_query(sf_dir: str, width: float = 25.0):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    return value_histogram(ds, width=width)
+
+
+def value_histogram_oracle_sql(width: float = 25.0) -> str:
+    wc = int(round(width * 100))
+    return f"""
+SELECT bin, bin * {width} AS bin_lo, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT CAST(round(value * 100) AS BIGINT) // {wc} AS bin
+      FROM events)
+GROUP BY bin
+ORDER BY bin
+"""

@@ -1,0 +1,55 @@
+import duckdb
+import pandas as pd
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_levenshtein_dp():
+    from rdf_mapper_ray.ops.editdist import _levenshtein
+    assert _levenshtein("kitten", "sitting") == 3
+    assert _levenshtein("", "") == 0
+    assert _levenshtein("abc", "") == 3
+    assert _levenshtein("flaw", "lawn") == 2
+    assert _levenshtein("über", "uber") == 1   # codepoint-level
+
+
+def test_editdist_pairs_matches_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import compare
+    import __ray_entry__ as E
+    got = E.queries()["editdist_pairs"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(E.oracle_sql()["editdist_pairs"]).fetchdf()
+    assert compare("editdist_pairs", got, want)
+    assert len(got) > 0
+
+
+def test_editdist_pairs_planted(ray_session):
+    from rdf_mapper_ray.ops.editdist import editdist_pairs
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base,
+                 base.replace("lazy", "hazy"),      # near-dup
+                 base[:20] + "x" * 300],            # same block, far
+    }))
+    got = editdist_pairs(ds, max_rel_dist=0.1).to_pandas()
+    assert got[["left_id", "right_id"]].values.tolist() == [[1, 2]]
+
+
+def test_value_histogram_matches_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import compare
+    import __ray_entry__ as E
+    got = E.queries()["value_histogram"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(E.oracle_sql()["value_histogram"]).fetchdf()
+    assert compare("value_histogram", got, want)
+    assert got["n"].sum() == 1000

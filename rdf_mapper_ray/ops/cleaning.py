@@ -219,10 +219,12 @@ class _ContaminationCheck:
     join) — this venue is the broadcast small-side one.
     """
 
-    def __init__(self, phrases_ref, text_col: str, id_col: str):
+    def __init__(self, phrases_ref, text_col: str, id_col: str,
+                 keep_text: bool = False):
         self.phrases = ray.get(phrases_ref) \
             if not isinstance(phrases_ref, list) else phrases_ref
         self.text_col, self.id_col = text_col, id_col
+        self.keep_text = keep_text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = pc.cast(batch.column(self.text_col), pa.string())
@@ -230,16 +232,22 @@ class _ContaminationCheck:
         for p in self.phrases:
             n_hit += pc.match_substring(text, p).to_numpy(
                 zero_copy_only=False).astype(np.int64)
-        return pa.table({
+        cols = {
             self.id_col: batch.column(self.id_col),
             "n_phrases_hit": pa.array(n_hit, type=pa.int64()),
             "contaminated": pa.array(n_hit > 0, type=pa.bool_()),
-        })
+        }
+        if self.keep_text:
+            # pipeline composers keep the document in-band so the
+            # downstream filter stays ONE linear stream (no rejoin)
+            cols[self.text_col] = batch.column(self.text_col)
+        return pa.table(cols)
 
 
 def decontaminate(ds: "ray.data.Dataset", phrases: list,
                   text_col: str = "text",
-                  id_col: str = "doc_id") -> "ray.data.Dataset":
+                  id_col: str = "doc_id",
+                  keep_text: bool = False) -> "ray.data.Dataset":
     """Benchmark decontamination: flag documents containing any of the
     (deduplicated) benchmark phrases as an exact substring. The phrase
     list is broadcast once via ``ray.put`` and read per actor, never
@@ -251,7 +259,7 @@ def decontaminate(ds: "ray.data.Dataset", phrases: list,
     payload = phrases if len(phrases) < 10_000 else ray.put(phrases)
     return ds.map_batches(
         _ContaminationCheck,
-        fn_constructor_args=(payload, text_col, id_col),
+        fn_constructor_args=(payload, text_col, id_col, keep_text),
         batch_format="pyarrow", concurrency=(1, 8))
 
 

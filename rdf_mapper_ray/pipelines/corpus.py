@@ -42,22 +42,30 @@ def corpus_prep(sf_dir: str) -> "ray.data.Dataset":
         filter=pads.field("n_chars") >= MIN_CHARS)
 
     # content-hash survivors (min doc_id per hash), ids only
+    # venue pinned: the auto venue would call right.count(), which
+    # EXECUTES the computed dedup pipeline once for the count and again
+    # for the join (same trap the broadcast venue's schema laziness
+    # fixed) — at corpus scale the survivor-id side is big anyway
     keep = exact_dedup(docs).select_columns(["doc_id"])
     survivors = equi_join(docs, keep, left_on="doc_id",
-                          right_on="doc_id", how="semi")
+                          right_on="doc_id", how="semi",
+                          venue="copartition")
 
-    flags = decontaminate(survivors, benchmark_phrases(sf_dir))
-    clean_ids = flags.filter(expr="contaminated == False") \
-        .select_columns(["doc_id"])
+    # decontaminate carries the text in-band (keep_text) so the rest
+    # of the pipeline is ONE linear stream: the survivors subtree is
+    # consumed exactly once — no rejoin, no re-execution of the dedup
+    # join for a second consumer
+    flags = decontaminate(survivors, benchmark_phrases(sf_dir),
+                          keep_text=True)
+    clean = flags.filter(expr="contaminated == False") \
+        .select_columns(["doc_id", "text"])
 
     def train_only(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").cast(pa.string()).to_pylist()
         bucket = hash64(ids, "md5") % np.uint64(100)
         return batch.filter(pa.array(bucket < 80))
 
-    train_ids = clean_ids.map_batches(train_only, batch_format="pyarrow")
-    final = equi_join(survivors, train_ids, left_on="doc_id",
-                      right_on="doc_id", how="semi")
+    final = clean.map_batches(train_only, batch_format="pyarrow")
 
     def count_tokens(batch: pa.Table) -> pa.Table:
         n = pc.count_substring_regex(batch.column("text"),

@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_outliers": vectors.label_outliers_query,
         "editdist_pairs": editdist.editdist_pairs_query,
         "value_histogram": quantiles.value_histogram_query,
+        "retention_cohorts": sessions.retention_cohorts_query,
+        "negative_samples": cleaning.negative_samples_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -285,6 +287,8 @@ def oracle_sql() -> dict[str, str]:
         "label_outliers": vectors.LABEL_OUTLIERS_ORACLE_SQL,
         "editdist_pairs": editdist.EDITDIST_ORACLE_SQL,
         "value_histogram": quantiles.value_histogram_oracle_sql(),
+        "retention_cohorts": sessions.retention_cohorts_oracle_sql(),
+        "negative_samples": cleaning.negative_samples_oracle_sql(),
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

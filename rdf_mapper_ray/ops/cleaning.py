@@ -729,3 +729,60 @@ WHERE t.bucket >= 90
               WHERE tr.bucket < 80 AND tr.k = t.k)
 ORDER BY doc_id
 """
+
+
+def negative_samples(ds: "ray.data.Dataset", id_col: str = "vec_id",
+                     k: int = 4, n_items: int | None = None,
+                     hash_fn: str = "pandas") -> "ray.data.Dataset":
+    """Deterministic negative sampling for contrastive training: each
+    anchor draws ``k`` pseudo-random negatives by hashing (anchor, j)
+    into the contiguous [0, n) id domain, shifted one past the anchor
+    so a negative never equals its anchor. Output:
+    (anchor_id, neg_rank, neg_id).
+
+    Pure function of the id — zero shuffle, embarrassingly parallel,
+    identical on every rerun/retry (the property a resumable training
+    pipeline needs); ``hash_fn="md5"`` is the portable venue the SQL
+    oracle replays bit-exactly. Assumes contiguous ids (standard after
+    an id-densification pass)."""
+    if n_items is None:
+        n_items = ds.count()        # metadata-only on parquet sources
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        anchors, ranks, negs = [], [], []
+        for j in range(1, k + 1):
+            keys = [f"{i}#{j}" for i in ids]
+            h = hash64(keys, hash_fn) % np.uint64(n_items - 1)
+            neg = (ids + 1 + h.astype(np.int64)) % n_items
+            anchors.append(ids)
+            ranks.append(np.full(len(ids), j, dtype=np.int64))
+            negs.append(neg)
+        return pa.table({
+            "anchor_id": pa.array(np.concatenate(anchors)),
+            "neg_rank": pa.array(np.concatenate(ranks)),
+            "neg_id": pa.array(np.concatenate(negs)),
+        })
+
+    return ds.select_columns([id_col]) \
+        .map_batches(sample, batch_format="pyarrow")
+
+
+def negative_samples_query(sf_dir: str, k: int = 4):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id"])
+    return negative_samples(ds, k=k, hash_fn="md5")
+
+
+def negative_samples_oracle_sql(k: int = 4) -> str:
+    h = MD5_HASH64_SQL.format(
+        col="CAST(vec_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)")
+    return f"""
+WITH n AS (SELECT COUNT(*) AS total FROM embeddings)
+SELECT vec_id AS anchor_id,
+       CAST(j AS BIGINT) AS neg_rank,
+       CAST((vec_id + 1 + CAST({h} % (total - 1) AS BIGINT))
+            % total AS BIGINT) AS neg_id
+FROM embeddings, n, UNNEST(generate_series(1, {k})) AS g(j)
+ORDER BY anchor_id, neg_rank
+"""

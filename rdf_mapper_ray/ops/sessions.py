@@ -649,3 +649,86 @@ LEFT JOIN s2 USING (user_id)
 LEFT JOIN s3 USING (user_id)
 ORDER BY user_id
 """
+
+
+def retention_cohorts(ds: "ray.data.Dataset", user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      signup_type: str = "signup"
+                      ) -> "ray.data.Dataset":
+    """Cohort retention matrix — the product-analytics staple: users
+    cohort by their FIRST signup day; each later active day counts them
+    as retained at offset (active_day − cohort_day). Output:
+    (cohort_day, day_offset, n_users) with days as exact epoch-day
+    integers.
+
+    Venue: sessionize routing (complete users co-locate); inside a
+    partition ONE sort + boundary mask finds each user's cohort day and
+    a drop_duplicates reduces events to distinct (user, day) pairs —
+    the partial rows that shuffle are (cohort, offset) counts, never
+    events."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        day = (g[ts_col].to_numpy().astype("datetime64[us]")
+               .view("int64") // 86_400_000_000)
+        g = pd.DataFrame({user_col: g[user_col].to_numpy(),
+                          "day": day,
+                          "is_signup": (g[type_col] == signup_type)
+                          .to_numpy()})
+        su = g[g["is_signup"]]
+        if su.empty:
+            return pd.DataFrame({"cohort_day": pd.array([], "int64"),
+                                 "day_offset": pd.array([], "int64"),
+                                 "n_users": pd.array([], "int64")})
+        cohort = su.groupby(user_col)["day"].min()
+        act = g[[user_col, "day"]].drop_duplicates()
+        act = act[act[user_col].isin(cohort.index)]
+        co = act[user_col].map(cohort).to_numpy()
+        off = act["day"].to_numpy() - co
+        keep = off >= 0                    # pre-signup activity ignored
+        out = pd.DataFrame({"cohort_day": co[keep],
+                            "day_offset": off[keep]})
+        out = out.groupby(["cohort_day", "day_offset"],
+                          as_index=False).size()
+        return out.rename(columns={"size": "n_users"}).astype("int64")
+
+    partials = _route_by_user(
+        ds.select_columns([user_col, ts_col, type_col]),
+        user_col).map_groups(part, batch_format="pandas")
+    return partials.groupby(["cohort_day", "day_offset"]) \
+        .aggregate(Sum("n_users")) \
+        .map_batches(lambda t: t.rename_columns(
+            ["cohort_day", "day_offset", "n_users"]),
+            batch_format="pyarrow")
+
+
+def retention_cohorts_query(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+    return retention_cohorts(ds)
+
+
+def retention_cohorts_oracle_sql() -> str:
+    return """
+WITH d AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM d
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT d.user_id, d.day FROM d
+  JOIN cohort USING (user_id)
+)
+SELECT c.cohort_day,
+       a.day - c.cohort_day AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act a JOIN cohort c USING (user_id)
+WHERE a.day >= c.cohort_day
+GROUP BY c.cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""

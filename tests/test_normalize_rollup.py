@@ -170,3 +170,17 @@ def test_label_outliers_planted(ray_session):
     }))
     got = label_outliers(ds, top_n=3).to_pandas()
     assert got[got["rank"] == 1]["vec_id"].iloc[0] == 17
+
+
+def test_retention_cohorts_matches_oracle(ray_session):
+    got = _compare_query("retention_cohorts", ("events",))
+    # day-0 retention equals cohort size: offset 0 present per cohort
+    day0 = got[got["day_offset"] == 0]
+    assert len(day0) == got["cohort_day"].nunique()
+
+
+def test_negative_samples_matches_oracle(ray_session):
+    got = _compare_query("negative_samples", ("embeddings",))
+    assert (got["anchor_id"] != got["neg_id"]).all()
+    assert got["neg_id"].between(0, 499).all()
+    assert (got.groupby("anchor_id").size() == 4).all()

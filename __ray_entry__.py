@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": quantiles.value_histogram_query,
         "retention_cohorts": sessions.retention_cohorts_query,
         "negative_samples": cleaning.negative_samples_query,
+        # integer-exact PageRank (bit-identical under any partition
+        # order); broadcast rank venue, copartition venue unit-tested
+        "pagerank": graphs.pagerank_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -289,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": quantiles.value_histogram_oracle_sql(),
         "retention_cohorts": sessions.retention_cohorts_oracle_sql(),
         "negative_samples": cleaning.negative_samples_oracle_sql(),
+        "pagerank": graphs.pagerank_oracle_sql(),
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

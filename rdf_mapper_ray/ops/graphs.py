@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -172,3 +173,245 @@ FROM e e1
 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
 JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
 """
+
+
+# --- PageRank ------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000
+_PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100
+
+
+def pagerank_int(edges: "ray.data.Dataset", iters: int = 2,
+                 num_partitions: int | None = None,
+                 venue: str = "broadcast",
+                 ) -> "ray.data.Dataset":
+    """Integer-exact PageRank over an undirected (a, b) edge Dataset —
+    the canonical iterative message-passing workload (Page et al.
+    1999), with every arithmetic step in int64 so the result is
+    bit-identical under ANY partitioning / summation order and a SQL
+    oracle can replay it:
+
+        contrib(u)  = q_k(u) // deg(u)          (integer floor)
+        q_{k+1}(v)  = (1−d)·S + (85 · Σ contrib(u~v)) // 100
+
+    with S = 10⁹ and q_0 = S (unnormalized uniform start — ranks, not
+    probabilities, are the contract).
+
+    Round structure (learned from the CC loop, then tightened): the
+    pid-routed adjacency is built ONCE with each row carrying its
+    source's STATIC degree, so a round is exactly two exchanges — rank
+    rows co-partition with their out-edges by hash(src) and emit
+    per-destination pre-aggregated messages, then one groupby(dst) over
+    the (nodes × partitions)-sized partials finishes the update. The
+    rank table re-materializes per round at a SMALL block count — block
+    growth entering the next round's union+sort is the measured
+    per-round wall-time multiplier. Output: (node, q) after ``iters``
+    rounds."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import _num_partitions
+        num_partitions = max(8, _num_partitions(None) // 8)
+
+    from ray.data.aggregate import Sum
+
+    def _pid_of(arr: np.ndarray) -> pa.Array:
+        h = pd.util.hash_pandas_object(pd.Series(arr),
+                                       index=False).to_numpy()
+        return pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        a = batch.column(batch.column_names[0]).to_numpy(
+            zero_copy_only=False)
+        b = batch.column(batch.column_names[1]).to_numpy(
+            zero_copy_only=False)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.Table.from_pydict({
+            "src": pa.array(src), "dst": pa.array(dst),
+            "pid": _pid_of(src),
+        })
+
+    # ONE co-partition pass builds the degree-annotated adjacency:
+    # every row about node u lands in u's pid partition, so u's degree
+    # is a partition-LOCAL count — no separate degree shuffle, no
+    # setup join
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby("src")["dst"].transform("size")
+        g = g.assign(src_deg=d.to_numpy().astype(np.int64))
+        return g[["src", "dst", "src_deg", "pid"]]
+
+    adj = edges.map_batches(undirect, batch_format="pyarrow") \
+        .groupby("pid").map_groups(attach, batch_format="pandas") \
+        .materialize()
+
+    # seed ranks from the adjacency's distinct sources (per-block
+    # partial distinct, then a node-count-sized groupby)
+    def block_nodes(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({"node": pa.array(np.unique(src))})
+
+    def seed(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "node": t.column("node"),
+            "q": pa.array(np.full(t.num_rows, _PR_SCALE,
+                                  dtype=np.int64)),
+            "pid": _pid_of(node),
+        })
+
+    if venue == "broadcast":
+        # node-sized rank table rides the driver + object store: each
+        # round is ONE all-to-all (groupby(node) over per-block
+        # partials); contributions compute per adjacency block against
+        # the broadcast (node -> q) arrays. The co-partition venue
+        # below is the past-broadcast-scale path (billions of nodes).
+        from ray.data.aggregate import Sum as _Sum
+        deg_pd = pd.concat(
+            b.to_pandas() for b in adj.map_batches(
+                lambda t: t.select(["src", "src_deg"]),
+                batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow")) \
+            .drop_duplicates("src").sort_values("src")
+        nodes = deg_pd["src"].to_numpy(np.int64)
+        q = np.full(len(nodes), _PR_SCALE, dtype=np.int64)
+        base_b = (_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE \
+            // _PR_DAMP_DEN
+
+        for _ in range(iters):
+            ref = ray.put((nodes, q))
+
+            def contrib(t: pa.Table) -> pa.Table:
+                nn, qq = ray.get(ref)
+                src = t.column("src").to_numpy(zero_copy_only=False)
+                dst = t.column("dst").to_numpy(zero_copy_only=False)
+                dd = t.column("src_deg").to_numpy(zero_copy_only=False)
+                c = qq[np.searchsorted(nn, src)] // dd
+                out = pd.DataFrame({"node": dst, "c": c}) \
+                    .groupby("node", as_index=False)["c"].sum()
+                return pa.Table.from_pandas(out, preserve_index=False)
+
+            msgs = adj.map_batches(contrib, batch_format="pyarrow") \
+                .groupby("node").aggregate(_Sum("c")).to_pandas() \
+                .sort_values("node")
+            # every node has deg >= 1, so msgs covers all nodes
+            assert len(msgs) == len(nodes)
+            q = base_b + (_PR_DAMP_NUM
+                          * msgs["sum(c)"].to_numpy(np.int64)) \
+                // _PR_DAMP_DEN
+
+        return ray.data.from_arrow(pa.Table.from_pydict({
+            "node": pa.array(nodes), "q": pa.array(q)}))
+
+    # the rank table is node-sized: pin it to FEW blocks per round —
+    # unbounded block counts entering the next round's union+sort are
+    # the measured 4x-per-round wall-time trap (see ray-data notes in
+    # engine/canonicalize.py's CC loop)
+    rank_blocks = max(4, num_partitions // 4)
+    ranks = adj.map_batches(block_nodes, batch_format="pyarrow") \
+        .groupby("node").count() \
+        .map_batches(lambda t: t.select(["node"]),
+                     batch_format="pyarrow") \
+        .map_batches(seed, batch_format="pyarrow") \
+        .repartition(rank_blocks).materialize()
+    base = (_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE // _PR_DAMP_DEN
+
+    for _ in range(iters):
+        def tag_rank(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict({
+                "src": t.column("node"), "dst": t.column("node"),
+                "src_deg": t.column("q"),       # q rides the deg slot
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "pid": t.column("pid"),
+            })
+
+        def tag_adj(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict({
+                "src": t.column("src"), "dst": t.column("dst"),
+                "src_deg": t.column("src_deg"),
+                "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "pid": t.column("pid"),
+            })
+
+        def send(g: pd.DataFrame) -> pd.DataFrame:
+            r = g[g["kind"] == 1][["src", "src_deg"]] \
+                .rename(columns={"src_deg": "q"})
+            e = g[g["kind"] == 0]
+            m = e.merge(r, on="src", how="inner")
+            m["c"] = m["q"].to_numpy() // m["src_deg"].to_numpy()
+            out = m.groupby("dst", as_index=False)["c"].sum()
+            return out.rename(columns={"dst": "node"})
+
+        msgs = ranks.map_batches(tag_rank, batch_format="pyarrow") \
+            .union(adj.map_batches(tag_adj, batch_format="pyarrow")) \
+            .groupby("pid").map_groups(send, batch_format="pandas") \
+            .groupby("node").aggregate(Sum("c"))
+
+        def update(t: pa.Table) -> pa.Table:
+            ssum = t.column("sum(c)").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            q = base + (_PR_DAMP_NUM * ssum) // _PR_DAMP_DEN
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict({
+                "node": t.column("node"), "q": pa.array(q),
+                "pid": _pid_of(node),
+            })
+
+        ranks = msgs.map_batches(update, batch_format="pyarrow") \
+            .repartition(rank_blocks).materialize()
+
+    return ranks.map_batches(
+        lambda t: t.select(["node", "q"]), batch_format="pyarrow")
+
+
+PR_PART_CAP = 4000
+
+
+def pagerank_query(sf_dir: str, iters: int = 2):
+    """PageRank over the bipartite part–supplier graph (nodes
+    namespaced 2·partkey / 2·suppkey+1; distinct lineitem pairs as
+    undirected edges). The demo scopes to parts with key ≤ 4000 —
+    pushed into the parquet read — which is the FULL graph at the
+    correctness scale and a bounded subgraph at bench scale (the
+    SQL oracle applies the identical predicate)."""
+    import pyarrow.dataset as pads
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_suppkey"],
+                               filter=pads.field("l_partkey")
+                               <= PR_PART_CAP)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        t = pa.Table.from_pydict({"a": pa.array(p * 2),
+                                  "b": pa.array(s * 2 + 1)})
+        return t.group_by(["a", "b"], use_threads=False).aggregate([])
+
+    edges = li.map_batches(enc, batch_format="pyarrow") \
+        .groupby(["a", "b"]).count() \
+        .map_batches(lambda t: t.select(["a", "b"]),
+                     batch_format="pyarrow")
+    return pagerank_int(edges, iters=iters)
+
+
+def pagerank_oracle_sql(iters: int = 2) -> str:
+    base = (_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE // _PR_DAMP_DEN
+    ctes = [f"""e0 AS (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem WHERE l_partkey <= {PR_PART_CAP}
+),
+e AS (SELECT a AS src, b AS dst FROM e0
+      UNION ALL SELECT b, a FROM e0),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
+q0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS q FROM deg)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""q{k} AS (
+  SELECT e.dst AS node,
+         CAST({base} + ({_PR_DAMP_NUM} * SUM(q{k-1}.q // deg.d))
+              // {_PR_DAMP_DEN} AS BIGINT) AS q
+  FROM e
+  JOIN q{k-1} ON e.src = q{k-1}.node
+  JOIN deg ON deg.node = e.src
+  GROUP BY e.dst
+)""")
+    return "WITH " + ",\n".join(ctes) + \
+        f"\nSELECT node, q FROM q{iters} ORDER BY node\n"

@@ -55,3 +55,44 @@ def test_triangle_count_degree_pivot_equals_id_pivot(ray_session):
     by_deg = triangle_count(ds, num_partitions=4, pivot="degree") \
         .to_pandas()["n_triangles"].iloc[0]
     assert by_id == by_deg > 0
+
+
+def _toy_edges():
+    # path 1-2-3 plus hub 4 connected to all: degrees 2,3,2,3
+    return ray.data.from_pandas(pd.DataFrame(
+        [(1, 2), (2, 3), (1, 4), (2, 4), (3, 4)],
+        columns=["left_id", "right_id"]))
+
+
+def test_pagerank_venues_agree_and_hand_checked(ray_session):
+    from rdf_mapper_ray.ops.graphs import (_PR_SCALE, pagerank_int)
+    a = pagerank_int(_toy_edges(), iters=2, venue="broadcast") \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    b = pagerank_int(_toy_edges(), iters=2, venue="copartition") \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
+    # hand-checked round 1 for node 1: neighbors 2 (deg 3) and 4
+    # (deg 3) each contribute S//3; q1 = 15*S//100 + 85*(2*(S//3))//100
+    s = _PR_SCALE
+    q1_node1 = (15 * s) // 100 + (85 * (2 * (s // 3))) // 100
+    one_round = pagerank_int(_toy_edges(), iters=1, venue="broadcast") \
+        .to_pandas().set_index("node")
+    assert one_round.loc[1, "q"] == q1_node1
+    # the two deg-3 nodes outrank the two deg-2 nodes
+    qmap = a.set_index("node")["q"]
+    assert min(qmap[2], qmap[4]) > max(qmap[1], qmap[3])
+
+
+def test_pagerank_matches_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import compare
+    import duckdb
+    import __ray_entry__ as E
+    sf = "/root/testdata/sf0.001"
+    got = E.queries()["pagerank"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet')")
+    want = con.execute(E.oracle_sql()["pagerank"]).fetchdf()
+    assert compare("pagerank", got, want)

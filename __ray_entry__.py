@@ -55,14 +55,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rdf_mapper_ray.ops import (clusters, dedup, diff, distinct,
-                                    editdist, incremental, joins,
-                                    multimodal, cleaning, normalize,
-                                    packing, paragraphs, quantiles,
-                                    graphs, kmeans, retrieval, rollup,
-                                    semdedup, sessions, similarity,
-                                    text, tfidf, topk, vectors,
-                                    windows)
+    from rdf_mapper_ray.ops import (baskets, clusters, dedup, diff,
+                                    distinct, editdist, incremental,
+                                    joins, multimodal, cleaning,
+                                    normalize, packing, paragraphs,
+                                    quantiles, graphs, kmeans,
+                                    retrieval, rollup, semdedup,
+                                    sessions, similarity, text, tfidf,
+                                    topk, vectors, windows)
     from rdf_mapper_ray.pipelines import corpus, relational, sourcecode
 
     import ray.data
@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-exact PageRank (bit-identical under any partition
         # order); broadcast rank venue, copartition venue unit-tested
         "pagerank": graphs.pagerank_query,
+        "frequent_pairs": baskets.frequent_pairs_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
         "event_type_pivot": windows.event_type_pivot_query,
@@ -206,14 +207,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rdf_mapper_ray.ops import (clusters, dedup, diff, distinct,
-                                    editdist, incremental, joins,
-                                    multimodal, cleaning, normalize,
-                                    packing, paragraphs, quantiles,
-                                    graphs, kmeans, retrieval, rollup,
-                                    semdedup, sessions, similarity,
-                                    text, tfidf, topk, vectors,
-                                    windows)
+    from rdf_mapper_ray.ops import (baskets, clusters, dedup, diff,
+                                    distinct, editdist, incremental,
+                                    joins, multimodal, cleaning,
+                                    normalize, packing, paragraphs,
+                                    quantiles, graphs, kmeans,
+                                    retrieval, rollup, semdedup,
+                                    sessions, similarity, text, tfidf,
+                                    topk, vectors, windows)
     from rdf_mapper_ray.pipelines import corpus, relational, sourcecode
 
     return {
@@ -293,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": sessions.retention_cohorts_oracle_sql(),
         "negative_samples": cleaning.negative_samples_oracle_sql(),
         "pagerank": graphs.pagerank_oracle_sql(),
+        "frequent_pairs": baskets.frequent_pairs_oracle_sql(),
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),
         "window_tumbling": windows.tumbling_oracle_sql(),

@@ -96,3 +96,31 @@ def test_pagerank_matches_oracle(ray_session):
                 f"read_parquet('{sf}/lineitem.parquet')")
     want = con.execute(E.oracle_sql()["pagerank"]).fetchdf()
     assert compare("pagerank", got, want)
+
+
+def test_frequent_pairs_matches_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import compare
+    import duckdb
+    import __ray_entry__ as E
+    sf = "/root/testdata/sf0.001"
+    got = E.queries()["frequent_pairs"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet')")
+    want = con.execute(E.oracle_sql()["frequent_pairs"]).fetchdf()
+    assert compare("frequent_pairs", got, want)
+
+
+def test_frequent_pairs_planted(ray_session):
+    from rdf_mapper_ray.ops.baskets import frequent_pairs
+    # pair (7, 9) in three baskets; everything else once
+    df = pd.DataFrame({
+        "basket": [1, 1, 2, 2, 3, 3, 3, 4, 4],
+        "item":   [7, 9, 7, 9, 7, 9, 5, 1, 2],
+    })
+    got = frequent_pairs(ray.data.from_pandas(df), "basket", "item",
+                         k=3, num_partitions=4).to_pandas()
+    top = got.iloc[0]
+    assert (top["item_a"], top["item_b"], top["support"]) == (7, 9, 3)

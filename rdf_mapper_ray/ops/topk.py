@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -44,15 +46,42 @@ def _batch_token_counts(batch: pa.Table, text_col: str) -> pa.Table:
     })
 
 
+def _merge_counts_topk(partials: "ray.data.Dataset", key: str,
+                       k: int, num_partitions: int | None = None
+                       ) -> "ray.data.Dataset":
+    """Merge per-batch (key, cnt) partials by routing on hash(key) and
+    summing INSIDE each task, pruned to the task's local top-k — all
+    copies of a key co-locate, so local sums are final and only
+    tasks × k candidate rows reach the global sort. Ray's own
+    sort-aggregate pays per-group overhead that degrades badly at
+    table-sized group counts (measured 83x on pair counts)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import _num_partitions
+        num_partitions = max(8, _num_partitions(None) // 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.column(key).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key, as_index=False)["cnt"].sum()
+        return out.sort_values(["cnt", key],
+                               ascending=[False, True]).head(k)
+
+    return partials.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(merge, batch_format="pandas")
+
+
 def top_k_tokens(ds: "ray.data.Dataset", text_col: str = "text",
                  k: int = 50) -> "ray.data.Dataset":
     """Exact k most frequent tokens (lowercased whitespace tokens),
     ties broken by token ascending. Output: (token, cnt)."""
     partials = ds.map_batches(
         lambda b: _batch_token_counts(b, text_col), batch_format="pyarrow")
-    merged = partials.groupby("token").sum("cnt") \
-        .map_batches(lambda t: t.rename_columns(["token", "cnt"]),
-                     batch_format="pyarrow")
+    merged = _merge_counts_topk(partials, "token", k)
     return merged.sort(["cnt", "token"],
                        descending=[True, False]).limit(k)
 
@@ -247,7 +276,6 @@ def _token_hashes(tokens: list[str]) -> "np.ndarray":
     return out
 
 
-import numpy as np  # noqa: E402
 
 
 def heavy_hitters_cms(ds: "ray.data.Dataset", text_col: str = "text",
@@ -422,9 +450,7 @@ def top_bigrams(ds: "ray.data.Dataset", text_col: str = "text",
         })
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    merged = partials.groupby("bigram").sum("cnt") \
-        .map_batches(lambda t: t.rename_columns(["bigram", "cnt"]),
-                     batch_format="pyarrow")
+    merged = _merge_counts_topk(partials, "bigram", k)
     return merged.sort(["cnt", "bigram"],
                        descending=[True, False]).limit(k)
 

@@ -72,66 +72,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=columns)
 
     return {
-        # --- KG construction (SURVEY.md §2) ---
-        "kg_sourcecode": sourcecode.flagship,
-        "kg_reconcile_canonicalize": sourcecode.reconciled,
-        "kg_customer": relational.customer_query,
-        "kg_orders": relational.orders_query,
-        "kg_part_split": relational.part_query,
-        "kg_nation_mapby": relational.nation_query,
-        "kg_events_nested": relational.events_query,
-        "kg_lineitem_guards": relational.lineitem_query,
-        "kg_events_mapto": relational.events_mapto_query,
-        "kg_docs_langtag": relational.docs_langtag_query,
-        # --- training-data ops ---
-        "dedup_exact": lambda sf: dedup.exact_dedup(
-            _docs(sf, ["doc_id", "text"])),
-        "dedup_embedding_cosine": lambda sf: dedup.embedding_neardup_pairs(
-            ray.data.read_parquet(f"{sf}/embeddings.parquet",
-                                  columns=["vec_id", "embedding"]),
-            threshold=0.45).select_columns(["left_id", "right_id"]),
-        "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_exact(
-            _docs(sf, ["doc_id", "text"]), threshold=0.5),
-        "text_stats": lambda sf: text.text_stats(
-            _docs(sf, ["doc_id", "text"])),
-        "quality_score": lambda sf: text.quality_score(
-            _docs(sf, ["doc_id", "text"])),
-        "repetition_signals": text.repetition_query,
-        "knn_cosine": lambda sf: similarity.knn_bruteforce_self(sf),
-        "mm_decode_dims": multimodal.decode_dims,
-        "mm_resize_plan": multimodal.resize_plan,
-        "pii_redact": cleaning.pii_redact_query,
-        "hash_split": cleaning.hash_split_query,
-        "stratified_sample": cleaning.stratified_sample_query,
-        "decontaminate": cleaning.decontaminate_query,
-        "json_field_stats": cleaning.json_field_stats_query,
-        "decontaminate_ngram": cleaning.decontaminate_ngram_query,
-        "normalize_text": text.normalize_text_query,
-        "dedup_lines_within": text.dedup_lines_within_query,
-        "paragraph_dedup": paragraphs.paragraph_dedup_query,
-        "dedup_keep_best": clusters.dedup_keep_best_query,
-        "tfidf_top_terms": tfidf.tfidf_query,
-        "bm25_search": retrieval.bm25_query,
-        "sessionize": sessions.sessionize_query,
-        "session_window": sessions.session_window_query,
-        "running_totals": sessions.running_totals_query,
-        "order_customer_join": joins.order_customer_join_query,
-        "customers_no_urgent": joins.customers_no_urgent_orders_query,
-        "pack_sequences": packing.pack_sequences_query,
-        "zscore_normalize": normalize.zscore_query,
-        "rollup_counts": rollup.rollup_query,
-        "event_gaps": sessions.event_gaps_query,
-        # nclusters=1 exactness contract (see ops/semdedup.py docstring)
-        "dedup_semantic": semdedup.semantic_dedup_query,
-        "top_bigrams": topk.top_bigrams_query,
-        "weighted_mix": cleaning.weighted_mix_query,
-        "user_sequences": sessions.user_sequences_query,
-        "nation_revenue": joins.nation_revenue_query,
-        "funnel": sessions.funnel_query,
-        "label_centroids": vectors.label_centroids_query,
-        "approx_quantiles": quantiles.approx_quantiles_query,
-        "target_encode": normalize.target_encode_query,
-        "rank_transform": normalize.rank_transform_query,
+        # ------------------------------------------------------------------
+        # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
+        # 50 entries only.  Entries are rotated each round so every query
+        # gets a driver row across consecutive rounds: (a) the 39 entries
+        # the r3 driver never reached come first, (b) then the 4 that were
+        # hash-red in r3 (dtype fixes must be re-verified), (c) then new
+        # round-4 queries, (d) the 46 r3-hash-green entries go last.
+        # ------------------------------------------------------------------
+        # --- (a) not driver-verified in r3 (positions 51-89 then) ---
         "window_distinct_users": distinct.window_distinct_users_query,
         "triangle_count": graphs.triangle_count_query,
         "snapshot_diff": diff.snapshot_diff_query,
@@ -203,6 +152,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(f"{sf}/embeddings.parquet",
                                   columns=["vec_id", "embedding"]),
             *_first_queries(sf), nlist=16, nprobe=16),
+        # --- (b) hash-red in r3, dtype-aligned this round ---
+        "running_totals": sessions.running_totals_query,
+        "event_gaps": sessions.event_gaps_query,
+        "nation_revenue": joins.nation_revenue_query,
+        "label_centroids": vectors.label_centroids_query,
+        # --- (c) new round-4 queries ---
+        # --- (d) r3 driver-hash-green ---
+        # --- KG construction (SURVEY.md §2) ---
+        "kg_sourcecode": sourcecode.flagship,
+        "kg_reconcile_canonicalize": sourcecode.reconciled,
+        "kg_customer": relational.customer_query,
+        "kg_orders": relational.orders_query,
+        "kg_part_split": relational.part_query,
+        "kg_nation_mapby": relational.nation_query,
+        "kg_events_nested": relational.events_query,
+        "kg_lineitem_guards": relational.lineitem_query,
+        "kg_events_mapto": relational.events_mapto_query,
+        "kg_docs_langtag": relational.docs_langtag_query,
+        # --- training-data ops ---
+        "dedup_exact": lambda sf: dedup.exact_dedup(
+            _docs(sf, ["doc_id", "text"])),
+        "dedup_embedding_cosine": lambda sf: dedup.embedding_neardup_pairs(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]),
+            threshold=0.45).select_columns(["left_id", "right_id"]),
+        "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_exact(
+            _docs(sf, ["doc_id", "text"]), threshold=0.5),
+        "text_stats": lambda sf: text.text_stats(
+            _docs(sf, ["doc_id", "text"])),
+        "quality_score": lambda sf: text.quality_score(
+            _docs(sf, ["doc_id", "text"])),
+        "repetition_signals": text.repetition_query,
+        "knn_cosine": lambda sf: similarity.knn_bruteforce_self(sf),
+        "mm_decode_dims": multimodal.decode_dims,
+        "mm_resize_plan": multimodal.resize_plan,
+        "pii_redact": cleaning.pii_redact_query,
+        "hash_split": cleaning.hash_split_query,
+        "stratified_sample": cleaning.stratified_sample_query,
+        "decontaminate": cleaning.decontaminate_query,
+        "json_field_stats": cleaning.json_field_stats_query,
+        "decontaminate_ngram": cleaning.decontaminate_ngram_query,
+        "normalize_text": text.normalize_text_query,
+        "dedup_lines_within": text.dedup_lines_within_query,
+        "paragraph_dedup": paragraphs.paragraph_dedup_query,
+        "dedup_keep_best": clusters.dedup_keep_best_query,
+        "tfidf_top_terms": tfidf.tfidf_query,
+        "bm25_search": retrieval.bm25_query,
+        "sessionize": sessions.sessionize_query,
+        "session_window": sessions.session_window_query,
+        "order_customer_join": joins.order_customer_join_query,
+        "customers_no_urgent": joins.customers_no_urgent_orders_query,
+        "pack_sequences": packing.pack_sequences_query,
+        "zscore_normalize": normalize.zscore_query,
+        "rollup_counts": rollup.rollup_query,
+        # nclusters=1 exactness contract (see ops/semdedup.py docstring)
+        "dedup_semantic": semdedup.semantic_dedup_query,
+        "top_bigrams": topk.top_bigrams_query,
+        "weighted_mix": cleaning.weighted_mix_query,
+        "user_sequences": sessions.user_sequences_query,
+        "funnel": sessions.funnel_query,
+        "approx_quantiles": quantiles.approx_quantiles_query,
+        "target_encode": normalize.target_encode_query,
+        "rank_transform": normalize.rank_transform_query,
     }
 
 

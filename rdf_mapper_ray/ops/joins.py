@@ -499,7 +499,8 @@ def nation_revenue_query(sf_dir: str):
 
 NATION_REVENUE_ORACLE_SQL = """
 SELECT n.n_name,
-       SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
        COUNT(*) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey

@@ -334,6 +334,6 @@ ranked AS (
                             ORDER BY s DESC, doc_id) AS rank
   FROM scores
 )
-SELECT query_id, rank, doc_id FROM ranked
+SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id FROM ranked
 WHERE rank <= {k} ORDER BY query_id, rank
 """

@@ -153,7 +153,8 @@ def running_totals_oracle_sql() -> str:
     return """
 SELECT user_id, event_id,
        row_number() OVER w AS seq,
-       SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS cum_cents,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS cum_cents,
        MAX(CAST(round(value * 100) AS BIGINT)) OVER w AS max_cents
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -473,10 +474,14 @@ def event_gaps(ds: "ray.data.Dataset", user_col: str = "user_id",
         if n:
             same[0] = False
             same[1:] = users[1:] == users[:-1]
-        gap = pd.array(ts - np.roll(ts, 1), dtype="Int64")
-        prev = pd.array(np.roll(ids, 1), dtype="Int64")
-        gap[~same] = pd.NA
-        prev[~same] = pd.NA
+        # float64/NaN, not nullable Int64/pd.NA: DuckDB's lag-NULL BIGINT
+        # lands as float64 through .df(), and the driver's value hash is
+        # representation-sensitive. Lossless here (us gaps and event ids
+        # stay far under 2**53).
+        gap = (ts - np.roll(ts, 1)).astype(np.float64)
+        prev = np.roll(ids, 1).astype(np.float64)
+        gap[~same] = np.nan
+        prev[~same] = np.nan
         return pd.DataFrame({
             user_col: g[user_col],
             id_col: g[id_col],
@@ -639,10 +644,10 @@ s1 AS (
   WHERE e.event_type = 'purchase' GROUP BY e.user_id
 )
 SELECT u.user_id,
-       CASE WHEN s3.user_id IS NOT NULL THEN 3
-            WHEN s2.user_id IS NOT NULL THEN 2
-            WHEN s1.user_id IS NOT NULL THEN 1
-            ELSE 0 END AS stage_reached
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage_reached
 FROM (SELECT DISTINCT user_id FROM ev) u
 LEFT JOIN s1 USING (user_id)
 LEFT JOIN s2 USING (user_id)

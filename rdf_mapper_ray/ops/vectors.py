@@ -77,8 +77,8 @@ WITH flat AS (
   FROM embeddings
 )
 SELECT label, dim,
-       SUM(CAST(floor(CAST(v AS DOUBLE) * {_SCALE} + 0.5) AS BIGINT))
-         AS sum_micro,
+       CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * {_SCALE} + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_micro,
        COUNT(*) AS n
 FROM flat
 GROUP BY label, dim

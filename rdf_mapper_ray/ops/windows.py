@@ -244,7 +244,8 @@ def event_type_pivot_oracle_sql(types: tuple = PIVOT_EVENT_TYPES) -> str:
     for t in types:
         parts.append(f"COUNT(*) FILTER (WHERE event_type = '{t}')"
                      f"::BIGINT AS n_{t}")
-        parts.append(f"COALESCE(SUM(CAST(round(value * 100) AS BIGINT)) "
-                     f"FILTER (WHERE event_type = '{t}'), 0) AS cents_{t}")
+        parts.append(f"CAST(COALESCE(SUM(CAST(round(value * 100) AS "
+                     f"BIGINT)) FILTER (WHERE event_type = '{t}'), 0) "
+                     f"AS BIGINT) AS cents_{t}")
     return ("SELECT user_id, " + ", ".join(parts)
             + " FROM events GROUP BY user_id ORDER BY user_id")

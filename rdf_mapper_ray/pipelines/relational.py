@@ -496,7 +496,8 @@ WITH n AS (
 ),
 triples AS (
   SELECT s AS subject, '{_RDF_TYPE}' AS predicate, 'uri' AS object_kind,
-         '{_EX}Nation' AS object_value, NULL AS datatype FROM n
+         '{_EX}Nation' AS object_value, CAST(NULL AS VARCHAR) AS datatype
+  FROM n
   UNION ALL
   SELECT s, '{_EX}name', 'literal', n_name, NULL FROM n
   UNION ALL

@@ -47,6 +47,17 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
         print(f"  [{name}] ROWCOUNT mismatch: ray={len(ray_df)} "
               f"sql={len(sql_df)}")
         ok = False
+    # Driver-faithful dtype gate: the driver's hash is representation-
+    # sensitive (int64 vs float64 vs nullable Int64 vs HUGEINT->object
+    # all hash differently even when values are equal), so a dtype
+    # mismatch here predicts a driver hash_match=false.
+    ray_dt = {c: str(ray_df[c].dtype) for c in sorted(ray_df.columns)}
+    sql_dt = {c: str(sql_df[c].dtype) for c in sorted(sql_df.columns)}
+    if ray_dt != sql_dt:
+        bad = {c: (ray_dt[c], sql_dt[c]) for c in ray_dt
+               if ray_dt[c] != sql_dt[c]}
+        print(f"  [{name}] DTYPE mismatch (ray, sql): {bad}")
+        ok = False
     a, b = canon(ray_df), canon(sql_df)
     if ok:
         try:

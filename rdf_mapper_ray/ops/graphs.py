@@ -31,10 +31,92 @@ import ray.data
 from ray.data.aggregate import Sum
 
 
+def _orient_rows(a: np.ndarray, b: np.ndarray, da: np.ndarray,
+                 db: np.ndarray) -> pa.Table:
+    """(deg, id)-smaller endpoint becomes src — shared by both degree
+    venues so the orientation rule can't drift between them."""
+    a_first = (da < db) | ((da == db) & (a < b))
+    return pa.Table.from_pydict({
+        "src": pa.array(np.where(a_first, a, b)),
+        "dst": pa.array(np.where(a_first, b, a)),
+    })
+
+
+def _orient_by_degree_copartition(edges: "ray.data.Dataset",
+                                  deg: "ray.data.Dataset",
+                                  left_col: str, right_col: str,
+                                  num_partitions: int
+                                  ) -> "ray.data.Dataset":
+    """Degree-orient edges WITHOUT materializing the degree table on
+    the driver: the (v, d) Dataset co-partitions with the edges by
+    hash(endpoint), one pass per endpoint — the same union + pid-route
+    + in-task merge shape as PageRank's copartition venue. Nothing is
+    ever vertex-count-sized in one place, so this is the venue past
+    broadcast scale (billions of vertices)."""
+
+    def _pid_of(arr: np.ndarray) -> pa.Array:
+        h = pd.util.hash_pandas_object(pd.Series(arr),
+                                       index=False).to_numpy()
+        return pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+
+    def tag_deg(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "x": t.column("v"), "y": pa.array(np.zeros_like(v)),
+            "w": t.column("c"),
+            "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            "pid": _pid_of(v),
+        })
+
+    def tag_edges(xcol: str, ycol: str, wcol: str | None):
+        def _tag(t: pa.Table) -> pa.Table:
+            x = t.column(xcol).to_numpy(zero_copy_only=False)
+            w = (t.column(wcol) if wcol is not None
+                 else pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+            return pa.Table.from_pydict({
+                "x": t.column(xcol), "y": t.column(ycol), "w": w,
+                "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "pid": _pid_of(x),
+            })
+        return _tag
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        # kind 1 rows are this partition's degree entries; every kind 0
+        # edge's routed endpoint hashes here too, so the merge is local
+        d = g[g["kind"] == 1][["x", "w"]].rename(columns={"w": "d"})
+        e = g[g["kind"] == 0][["x", "y", "w"]]
+        m = e.merge(d, on="x", how="inner")
+        return m[["x", "y", "w", "d"]]
+
+    # pass 1: attach deg(left) — edge rows (x=l, y=r), result w=deg(l)
+    p1 = edges.map_batches(tag_edges(left_col, right_col, None),
+                           batch_format="pyarrow") \
+        .union(deg.map_batches(tag_deg, batch_format="pyarrow")) \
+        .groupby("pid").map_groups(attach, batch_format="pandas") \
+        .map_batches(lambda t: pa.Table.from_pydict({
+            "l": t.column("x"), "r": t.column("y"),
+            "dl": t.column("d")}), batch_format="pyarrow")
+    # pass 2: attach deg(right) — route by r (x=r, y=l, w=deg(l))
+    p2 = p1.map_batches(tag_edges("r", "l", "dl"),
+                        batch_format="pyarrow") \
+        .union(deg.map_batches(tag_deg, batch_format="pyarrow")) \
+        .groupby("pid").map_groups(attach, batch_format="pandas")
+
+    def orient(t: pa.Table) -> pa.Table:
+        r = t.column("x").to_numpy(zero_copy_only=False)
+        l = t.column("y").to_numpy(zero_copy_only=False)
+        dl = t.column("w").to_numpy(zero_copy_only=False)
+        dr = t.column("d").to_numpy(zero_copy_only=False)
+        return _orient_rows(l, r, dl, dr)
+
+    return p2.map_batches(orient, batch_format="pyarrow")
+
+
 def triangle_count(pairs: "ray.data.Dataset",
                    left_col: str = "left_id", right_col: str = "right_id",
                    num_partitions: int | None = None,
-                   pivot: str = "id") -> "ray.data.Dataset":
+                   pivot: str = "id",
+                   degree_venue: str = "broadcast") -> "ray.data.Dataset":
     """-> one row (n_triangles,) for a canonical (a < b) edge Dataset.
 
     ``pivot="id"`` generates wedges at each triangle's smallest vertex.
@@ -43,9 +125,14 @@ def triangle_count(pairs: "ray.data.Dataset",
     vertex gets few OUT-edges and its degree² wedge blowup disappears;
     the oriented graph is a DAG under the total order, every triangle
     still has exactly one vertex with two out-edges, so the count is
-    identical (asserted by the equality unit). The degree table is
-    vertex-count-sized and broadcast once; a co-partition degree join
-    is the stated path past broadcast scale."""
+    identical (asserted by the equality unit).
+
+    ``degree_venue="broadcast"`` ships the vertex-count-sized degree
+    table once via ``ray.put`` as SORTED parallel arrays (searchsorted
+    lookup per batch — no per-row dict probes);
+    ``degree_venue="copartition"`` keeps the degree table a Dataset and
+    joins it to the edges by hash(endpoint) — the venue past broadcast
+    scale, same dispatch shape as equi_join/PageRank."""
     if num_partitions is None:
         from rdf_mapper_ray.ops.dedup import _num_partitions
         num_partitions = max(8, _num_partitions(None) // 8)
@@ -61,26 +148,29 @@ def triangle_count(pairs: "ray.data.Dataset",
             return pa.Table.from_pydict({
                 "v": pa.array(v), "c": pa.array(c.astype(np.int64))})
 
-        deg = edges.map_batches(deg_partial, batch_format="pyarrow") \
-            .groupby("v").aggregate(Sum("c")).to_pandas()
-        deg_map = dict(zip(deg["v"].astype(np.int64),
-                           deg["sum(c)"].astype(np.int64)))
-        deg_ref = ray.put(deg_map)
+        deg_ds = edges.map_batches(deg_partial, batch_format="pyarrow") \
+            .groupby("v").aggregate(Sum("c")) \
+            .map_batches(lambda t: t.rename_columns(["v", "c"]),
+                         batch_format="pyarrow")
 
-        def orient(batch: pa.Table) -> pa.Table:
-            m = ray.get(deg_ref)
-            a = batch.column(left_col).to_numpy(zero_copy_only=False)
-            b = batch.column(right_col).to_numpy(zero_copy_only=False)
-            da = np.fromiter((m[x] for x in a), np.int64, count=len(a))
-            db = np.fromiter((m[x] for x in b), np.int64, count=len(b))
-            # src = (deg, id)-smaller endpoint
-            a_first = (da < db) | ((da == db) & (a < b))
-            return pa.Table.from_pydict({
-                "src": pa.array(np.where(a_first, a, b)),
-                "dst": pa.array(np.where(a_first, b, a)),
-            })
+        if degree_venue == "copartition":
+            oriented = _orient_by_degree_copartition(
+                edges, deg_ds, left_col, right_col, num_partitions)
+        else:
+            deg = deg_ds.to_pandas().sort_values("v")
+            deg_ref = ray.put((deg["v"].to_numpy(np.int64),
+                               deg["c"].to_numpy(np.int64)))
 
-        oriented = edges.map_batches(orient, batch_format="pyarrow")
+            def orient(batch: pa.Table) -> pa.Table:
+                nn, dd = ray.get(deg_ref)
+                a = batch.column(left_col).to_numpy(zero_copy_only=False)
+                b = batch.column(right_col).to_numpy(
+                    zero_copy_only=False)
+                da = dd[np.searchsorted(nn, a)]
+                db = dd[np.searchsorted(nn, b)]
+                return _orient_rows(a, b, da, db)
+
+            oriented = edges.map_batches(orient, batch_format="pyarrow")
         pivot_col, other_col = "src", "dst"
     else:
         oriented = edges

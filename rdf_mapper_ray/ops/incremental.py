@@ -81,8 +81,13 @@ def incremental_dedup_query(sf_dir: str):
 
     from rdf_mapper_ray.ops.diff import _perturb
 
+    # key the cached index by the corpus CONTENT fingerprint (file size
+    # + mtime), not just the fixture's basename: a regenerated fixture
+    # at the same path must never silently dedup against a stale index
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    fp = f"{st.st_size}_{st.st_mtime_ns}"
     root = os.path.join(tempfile.gettempdir(),
-                        f"rmr_hash_index_{os.path.basename(sf_dir)}")
+                        f"rmr_hash_index_{os.path.basename(sf_dir)}_{fp}")
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     # consume the receipts to drive the (resumable, skip-if-done) build

@@ -32,11 +32,33 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 
+def _lookup(m: dict, keys: list, idx: int, dtype) -> np.ndarray:
+    """Broadcast-LUT probe that fails LOUDLY on a group the stats pass
+    never saw — the two-pass ops below consume their input twice, so a
+    nondeterministic upstream (sampled / reordered computed pipeline)
+    would otherwise KeyError deep inside np.fromiter."""
+    try:
+        return np.fromiter((m[k][idx] for k in keys), dtype=dtype,
+                           count=len(keys))
+    except KeyError as e:
+        raise ValueError(
+            f"group {e.args[0]!r} appeared in the scoring pass but not "
+            f"the stats pass — the input Dataset must yield identical "
+            f"rows on both consumptions (read from storage, or "
+            f"materialize() a computed/nondeterministic upstream)"
+        ) from None
+
+
 def zscore_by(ds: "ray.data.Dataset", id_col: str = "event_id",
               value_col: str = "value", by_col: str = "event_type"
               ) -> "ray.data.Dataset":
     """-> (id, by, zscore): per-group population z-score of the value
-    column. Groups with zero variance or a single row get zscore 0."""
+    column. Groups with zero variance or a single row get zscore 0.
+
+    Two-pass contract: ``ds`` is consumed twice (stats, then scoring)
+    and must yield the same rows both times — parquet/storage reads do;
+    a computed nondeterministic upstream must be materialize()d first
+    (unseen groups in pass 2 raise, never silently mis-score)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         cents = np.rint(batch.column(value_col).to_numpy(
@@ -67,12 +89,9 @@ def zscore_by(ds: "ray.data.Dataset", id_col: str = "event_id",
     def norm(batch: pa.Table) -> pa.Table:
         m = ray.get(lut_ref)
         keys = batch.column(by_col).to_pylist()
-        n = np.fromiter((m[k][0] for k in keys), dtype=np.int64,
-                        count=len(keys))
-        s = np.fromiter((m[k][1] for k in keys), dtype=np.int64,
-                        count=len(keys))
-        denom = np.fromiter((m[k][2] for k in keys), dtype=np.float64,
-                            count=len(keys))
+        n = _lookup(m, keys, 0, np.int64)
+        s = _lookup(m, keys, 1, np.int64)
+        denom = _lookup(m, keys, 2, np.float64)
         cents = np.rint(batch.column(value_col).to_numpy(
             zero_copy_only=False) * 100).astype(np.int64)
         num = (cents * n - s).astype(np.float64)
@@ -125,7 +144,9 @@ def target_encode_loo(ds: "ray.data.Dataset", id_col: str = "event_id",
     broadcast shape and integer-cents exactness contract as
     :func:`zscore_by`: both float inputs are exact integers, so the
     division matches the SQL oracle bit-for-bit. Singleton categories
-    (n = 1) encode as NULL like the SQL convention."""
+    (n = 1) encode as NULL like the SQL convention. Same two-pass
+    determinism contract as :func:`zscore_by` (unseen pass-2 groups
+    raise)."""
     def partial(batch: pa.Table) -> pa.Table:
         cents = np.rint(batch.column(value_col).to_numpy(
             zero_copy_only=False) * 100).astype(np.int64)
@@ -147,10 +168,8 @@ def target_encode_loo(ds: "ray.data.Dataset", id_col: str = "event_id",
     def encode(batch: pa.Table) -> pa.Table:
         m = ray.get(lut_ref)
         keys = batch.column(cat_col).to_pylist()
-        s = np.fromiter((m[k][0] for k in keys), dtype=np.int64,
-                        count=len(keys))
-        n = np.fromiter((m[k][1] for k in keys), dtype=np.int64,
-                        count=len(keys))
+        s = _lookup(m, keys, 0, np.int64)
+        n = _lookup(m, keys, 1, np.int64)
         cents = np.rint(batch.column(value_col).to_numpy(
             zero_copy_only=False) * 100).astype(np.int64)
         num = (s - cents).astype(np.float64)
@@ -205,7 +224,8 @@ def rank_transform(ds: "ray.data.Dataset", id_col: str = "event_id",
     integer cents shuffle (values × batches) partial rows, the merged
     histogram's cumulative sum broadcasts as a tiny lookup, and a
     second streaming pass ranks every row by searchsorted. No global
-    sort at any point. Output: (id, rank_lt, n_total)."""
+    sort at any point. Output: (id, rank_lt, n_total). Same two-pass
+    determinism contract as :func:`zscore_by`."""
     def hist(batch: pa.Table) -> pa.Table:
         cents = np.rint(batch.column(value_col).to_numpy(
             zero_copy_only=False) * 100).astype(np.int64)

@@ -20,8 +20,17 @@ from ray.data.aggregate import Sum
 def rollup_counts(ds: "ray.data.Dataset", keys: tuple[str, str],
                   sum_col: str) -> "ray.data.Dataset":
     """-> (a, b, n_rows, sum_<col>) at levels (a,b), (a,NULL) and
-    (NULL,NULL)."""
+    (NULL,NULL).
+
+    Rolled-up key slots carry typed NULLs derived from the INPUT
+    schema, so non-string keys (int64 etc.) union cleanly. Like SQL
+    ROLLUP without GROUPING(), a genuine NULL key value in the data is
+    indistinguishable from a rollup marker row — callers with nullable
+    keys need a sentinel or a grouping flag column."""
     a, b = keys
+    sch = ds.schema().base_schema
+    a_type = sch.field(a).type
+    b_type = sch.field(b).type
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select([a, b, sum_col])
@@ -37,9 +46,9 @@ def rollup_counts(ds: "ray.data.Dataset", keys: tuple[str, str],
             nrows = batch.num_rows
             return pa.Table.from_pydict({
                 a: batch.column(a) if level < 2
-                    else pa.nulls(nrows, pa.string()),
+                    else pa.nulls(nrows, a_type),
                 b: batch.column(b) if level < 1
-                    else pa.nulls(nrows, pa.string()),
+                    else pa.nulls(nrows, b_type),
                 "n_rows": pa.compute.cast(batch.column("sum(n)"),
                                           pa.int64()),
                 "sum_" + sum_col: pa.compute.cast(batch.column("sum(s)"),
@@ -51,12 +60,12 @@ def rollup_counts(ds: "ray.data.Dataset", keys: tuple[str, str],
     lvl1 = fine.groupby(a).aggregate(Sum("sum(s)"), Sum("sum(n)")) \
         .map_batches(lambda t: t.rename_columns([a, "sum(s)", "sum(n)"]),
                      batch_format="pyarrow") \
-        .map_batches(_with_null(b, 1), batch_format="pyarrow") \
+        .map_batches(_with_null(b, b_type), batch_format="pyarrow") \
         .map_batches(fmt(1), batch_format="pyarrow")
     total = fine.aggregate(Sum("sum(s)"), Sum("sum(n)"))
     lvl2 = ray.data.from_arrow(pa.Table.from_pydict({
-        a: pa.nulls(1, pa.string()),
-        b: pa.nulls(1, pa.string()),
+        a: pa.nulls(1, a_type),
+        b: pa.nulls(1, b_type),
         "n_rows": pa.array([int(total["sum(sum(n))"])], pa.int64()),
         "sum_" + sum_col: pa.array([int(total["sum(sum(s))"])],
                                    pa.int64()),
@@ -64,10 +73,9 @@ def rollup_counts(ds: "ray.data.Dataset", keys: tuple[str, str],
     return lvl0.union(lvl1).union(lvl2)
 
 
-def _with_null(col: str, _lvl: int):
+def _with_null(col: str, typ: "pa.DataType"):
     def _add(batch: pa.Table) -> pa.Table:
-        return batch.append_column(col, pa.nulls(batch.num_rows,
-                                                 pa.string()))
+        return batch.append_column(col, pa.nulls(batch.num_rows, typ))
     return _add
 
 

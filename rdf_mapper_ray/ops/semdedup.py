@@ -43,9 +43,13 @@ def semantic_dedup(ds: "ray.data.Dataset", id_col: str = "vec_id",
         ids, m = _vecs_from_block(tbl, id_col, vec_col)
         order = np.argsort(ids)
         ids, m = ids[order], m[order]
-        # one dense tile per cluster; tril ⇒ only smaller-id neighbors
+        # one dense tile per cluster; an explicit boolean lower-triangle
+        # mask (NOT np.tril of the values: that zero-fills the upper
+        # triangle, and any threshold <= 0 would then mark EVERY vector
+        # a duplicate) ⇒ only real smaller-id cosines are compared
         sim = m @ m.T
-        dup = (np.tril(sim, k=-1) >= threshold).any(axis=1)
+        lower = np.tri(len(ids), k=-1, dtype=bool)
+        dup = ((sim >= threshold) & lower).any(axis=1)
         return pd.DataFrame({id_col: ids[~dup]})
 
     return assigned.groupby("cluster").map_groups(prune,

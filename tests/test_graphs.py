@@ -54,7 +54,25 @@ def test_triangle_count_degree_pivot_equals_id_pivot(ray_session):
         .to_pandas()["n_triangles"].iloc[0]
     by_deg = triangle_count(ds, num_partitions=4, pivot="degree") \
         .to_pandas()["n_triangles"].iloc[0]
-    assert by_id == by_deg > 0
+    by_deg_cp = triangle_count(ds, num_partitions=4, pivot="degree",
+                               degree_venue="copartition") \
+        .to_pandas()["n_triangles"].iloc[0]
+    assert by_id == by_deg == by_deg_cp > 0
+
+
+def test_triangle_count_copartition_venue_planted(ray_session):
+    from rdf_mapper_ray.ops.graphs import triangle_count
+
+    def tri(pairs):
+        ds = ray.data.from_pandas(pd.DataFrame(
+            pairs, columns=["left_id", "right_id"]))
+        return triangle_count(ds, num_partitions=4, pivot="degree",
+                              degree_venue="copartition") \
+            .to_pandas()["n_triangles"].iloc[0]
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 9)]
+    assert tri(k4) == 4
+    assert tri([(1, 2), (2, 3), (3, 4)]) == 0
 
 
 def _toy_edges():

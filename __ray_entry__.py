@@ -55,12 +55,12 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rdf_mapper_ray.ops import (baskets, clusters, dedup, diff,
-                                    distinct, editdist, incremental,
-                                    joins, multimodal, cleaning,
-                                    normalize, packing, paragraphs,
-                                    quantiles, graphs, kmeans,
-                                    retrieval, rollup, semdedup,
+    from rdf_mapper_ray.ops import (baskets, bpe, clusters, dedup, diff,
+                                    distinct, domains, editdist,
+                                    incremental, joins, multimodal,
+                                    cleaning, normalize, packing,
+                                    paragraphs, quantiles, graphs,
+                                    kmeans, retrieval, rollup, semdedup,
                                     sessions, similarity, text, tfidf,
                                     topk, vectors, windows)
     from rdf_mapper_ray.pipelines import corpus, relational, sourcecode
@@ -158,6 +158,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": joins.nation_revenue_query,
         "label_centroids": vectors.label_centroids_query,
         # --- (c) new round-4 queries ---
+        # vocab-file BPE subword counts (merge loop replayed in SQL,
+        # unrolled-CTE pattern) + packing driven by the real counts
+        "tokenize_bpe": bpe.tokenize_bpe_query,
+        "pack_bpe": bpe.pack_bpe_query,
+        # URL/domain curation: RE2 host parse + per-domain caps
+        "domain_stats": domains.domain_stats_query,
+        "domain_caps": domains.domain_caps_query,
         # --- (d) r3 driver-hash-green ---
         # --- KG construction (SURVEY.md §2) ---
         "kg_sourcecode": sourcecode.flagship,
@@ -219,12 +226,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rdf_mapper_ray.ops import (baskets, clusters, dedup, diff,
-                                    distinct, editdist, incremental,
-                                    joins, multimodal, cleaning,
-                                    normalize, packing, paragraphs,
-                                    quantiles, graphs, kmeans,
-                                    retrieval, rollup, semdedup,
+    from rdf_mapper_ray.ops import (baskets, bpe, clusters, dedup, diff,
+                                    distinct, domains, editdist,
+                                    incremental, joins, multimodal,
+                                    cleaning, normalize, packing,
+                                    paragraphs, quantiles, graphs,
+                                    kmeans, retrieval, rollup, semdedup,
                                     sessions, similarity, text, tfidf,
                                     topk, vectors, windows)
     from rdf_mapper_ray.pipelines import corpus, relational, sourcecode
@@ -284,6 +291,10 @@ def oracle_sql() -> dict[str, str]:
         "weighted_mix": cleaning.WEIGHTED_MIX_ORACLE_SQL,
         "user_sequences": sessions.user_sequences_oracle_sql(),
         "nation_revenue": joins.NATION_REVENUE_ORACLE_SQL,
+        "tokenize_bpe": bpe.tokenize_bpe_oracle_sql(),
+        "pack_bpe": bpe.pack_bpe_oracle_sql(),
+        "domain_stats": domains.DOMAIN_STATS_ORACLE_SQL,
+        "domain_caps": domains.domain_caps_oracle_sql(),
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

@@ -1,0 +1,270 @@
+"""Vocab-file-driven BPE tokenization — real subword token counts for
+packing / budget ops, replacing whitespace proxies (Sennrich et al.
+2016; GPT-2 file format: ``merges.txt`` priority list + ``vocab.json``
+token ids).
+
+Engine shape: a stateful actor pool — each actor parses the merges
+file ONCE in ``__init__`` and keeps a word -> token-count cache across
+batches (the classic encoder trick: web-corpus word frequency is
+Zipfian, so the cache hit rate approaches 1). Per batch the text column
+tokenizes with one Arrow RE2 kernel, distinct words encode once, and
+counts scatter back via searchsorted — no per-row Python in the hot
+path beyond the first sighting of each distinct word.
+
+Oracle: the merge loop is replayed IN SQL — merges inlined as VALUES
+and K unrolled steps (the pagerank-oracle pattern), each step finding
+every word's lowest-rank adjacent pair via a zipped-unnest self-join
+and merging all its occurrences left-to-right (run-parity window math
+picks the non-overlapping matches). Exact for any word needing at most
+K merge steps; a word's merge count is < its length, so K bounds word
+length at K+1 chars (asserted against the fixture corpus in tests).
+Every step CTE is MATERIALIZED — without it DuckDB inlines each
+3-times-referenced step and the plan blows up exponentially in K.
+
+Pre-tokenization is whitespace (documented deviation from GPT-2's
+byte-level regex: the fixture corpus is plain lowercase ASCII; the
+byte-level pre-tokenizer is a drop-in swap of ``_WORD_RE``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+_RES_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "resources", "bpe")
+DEFAULT_MERGES = os.path.join(_RES_DIR, "merges.txt")
+DEFAULT_VOCAB = os.path.join(_RES_DIR, "vocab.json")
+
+_WS = r"\s+"
+
+
+def load_merges(path: str = DEFAULT_MERGES) -> list[tuple[str, str]]:
+    out = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            p1, p2 = line.split()
+            out.append((p1, p2))
+    return out
+
+
+def load_vocab(path: str = DEFAULT_VOCAB) -> dict[str, int]:
+    with open(path) as f:
+        return json.load(f)
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int],
+                merges: list[tuple[str, str]]) -> list[str]:
+    """Reference BPE encode: repeatedly merge ALL occurrences of the
+    lowest-rank adjacent pair, left to right, until none remains."""
+    syms = list(word)
+    while len(syms) > 1:
+        cand = [ranks[p] for p in zip(syms, syms[1:]) if p in ranks]
+        if not cand:
+            break
+        p1, p2 = merges[min(cand)]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == p1 and syms[i + 1] == p2:
+                out.append(p1 + p2)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+class BPETokenize:
+    """Actor-pool batch fn: (id, text) -> (id, n_tokens). Merges parse
+    and the word cache live for the actor's lifetime."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 merges_path: str = DEFAULT_MERGES):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.merges = load_merges(merges_path)
+        self.ranks = {p: i for i, p in enumerate(self.merges)}
+        self._cache: dict[str, int] = {}
+
+    def _count(self, word: str) -> int:
+        n = self._cache.get(word)
+        if n is None:
+            n = len(encode_word(word, self.ranks, self.merges))
+            self._cache[word] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lowered = pc.utf8_lower(pc.fill_null(col, ""))
+        lists = pc.split_pattern_regex(lowered, _WS)
+        lengths = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        doc = np.repeat(np.arange(len(lengths)), lengths)
+        keep = flat != ""
+        flat, doc = flat[keep], doc[keep]
+        uniq, inv = np.unique(flat, return_inverse=True)
+        per_word = np.fromiter((self._count(w) for w in uniq),
+                               dtype=np.int64, count=len(uniq))
+        n_tokens = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(n_tokens, doc, per_word[inv])
+        return pa.Table.from_pydict({
+            self.id_col: batch.column(self.id_col),
+            "n_tokens": pa.array(n_tokens),
+        })
+
+
+def tokenize_bpe(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                 text_col: str = "text",
+                 merges_path: str = DEFAULT_MERGES,
+                 concurrency: Optional[int] = None
+                 ) -> "ray.data.Dataset":
+    """-> (id, n_tokens) via the BPE actor pool."""
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(
+        BPETokenize, fn_constructor_kwargs={
+            "id_col": id_col, "text_col": text_col,
+            "merges_path": merges_path},
+        batch_format="pyarrow", **kwargs)
+
+
+def tokenize_bpe_query(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return tokenize_bpe(ds, concurrency=2)
+
+
+# --- SQL replay ------------------------------------------------------------------
+
+_BPE_STEP = """
+e{k} AS MATERIALIZED (
+  SELECT w, unnest(generate_series(1, len(syms))) AS pos,
+         unnest(syms) AS sym
+  FROM s{j}
+),
+p{k} AS MATERIALIZED (
+  SELECT e.w, e.pos, m.rank
+  FROM e{k} e JOIN e{k} e2 ON e2.w = e.w AND e2.pos = e.pos + 1
+  JOIN bpe_merges m ON m.p1 = e.sym AND m.p2 = e2.sym
+),
+b{k} AS MATERIALIZED (SELECT w, min(rank) AS rank FROM p{k} GROUP BY w),
+m0{k} AS MATERIALIZED (
+  SELECT p.w, p.pos,
+         p.pos - row_number() OVER (PARTITION BY p.w ORDER BY p.pos)
+           AS grp
+  FROM p{k} p JOIN b{k} b ON b.w = p.w AND p.rank = b.rank
+),
+r{k} AS MATERIALIZED (
+  SELECT w, pos FROM (
+    SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+    FROM m0{k})
+  WHERE off % 2 = 0
+),
+s{k} AS MATERIALIZED (
+  SELECT e.w,
+         list(CASE WHEN r.pos IS NOT NULL THEN e.sym || e2.sym
+                   ELSE e.sym END ORDER BY e.pos) AS syms
+  FROM e{k} e
+  LEFT JOIN r{k} r ON r.w = e.w AND r.pos = e.pos
+  LEFT JOIN r{k} r2 ON r2.w = e.w AND r2.pos = e.pos - 1
+  LEFT JOIN e{k} e2 ON e2.w = e.w AND e2.pos = e.pos + 1
+  WHERE r2.pos IS NULL
+  GROUP BY e.w
+)"""
+
+
+def bpe_count_ctes(merges_path: str = DEFAULT_MERGES,
+                   steps: int = 11) -> str:
+    """CTE chain ending in ``bpe_tok(doc_id, w)`` and ``bpe_cnt(w, n)``
+    — shared by the tokenize and BPE-pack oracles. ``steps`` bounds the
+    per-word merge iterations (exact for words of <= steps+1 chars)."""
+    merges = load_merges(merges_path)
+    vals = ", ".join(f"('{a}','{b}',{r})"
+                     for r, (a, b) in enumerate(merges))
+    parts = [f"""bpe_merges(p1, p2, rank) AS MATERIALIZED (
+  SELECT * FROM (VALUES {vals})),
+bpe_tok0 AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+  FROM documents
+),
+bpe_tok AS MATERIALIZED (SELECT doc_id, w FROM bpe_tok0 WHERE w <> ''),
+w0 AS (SELECT DISTINCT w FROM bpe_tok),
+s0 AS MATERIALIZED (
+  SELECT w, list_transform(range(1, len(w)+1),
+                           i -> substr(w, CAST(i AS INT), 1)) AS syms
+  FROM w0
+)"""]
+    for k in range(1, steps + 1):
+        parts.append(_BPE_STEP.format(k=k, j=k - 1))
+    parts.append(f"bpe_cnt AS (SELECT w, len(syms) AS n FROM s{steps})")
+    return ",".join(parts)
+
+
+def tokenize_bpe_oracle_sql(steps: int = 11) -> str:
+    return f"""
+WITH {bpe_count_ctes(steps=steps)}
+SELECT d.doc_id,
+       CAST(COALESCE(x.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d
+LEFT JOIN (
+  SELECT t.doc_id, SUM(c.n) AS n_tokens
+  FROM bpe_tok t JOIN bpe_cnt c USING (w) GROUP BY t.doc_id) x
+USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def pack_bpe_query(sf_dir: str, seq_len: int = 512):
+    """Sequence packing driven by REAL BPE token counts instead of the
+    whitespace proxy: tokenize_bpe feeds pack_sequences' counts slot."""
+    from rdf_mapper_ray.ops.packing import pack_sequences
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    counts = tokenize_bpe(ds, concurrency=2) \
+        .map_batches(lambda t: t.rename_columns(["doc_id", "n"]),
+                     batch_format="pyarrow")
+    return pack_sequences(ds, seq_len=seq_len, counts=counts)
+
+
+def pack_bpe_oracle_sql(seq_len: int = 512, steps: int = 11) -> str:
+    return f"""
+WITH {bpe_count_ctes(steps=steps)},
+t AS (
+  SELECT d.doc_id, CAST(COALESCE(x.n, 0) AS BIGINT) AS n
+  FROM documents d
+  LEFT JOIN (
+    SELECT t.doc_id, SUM(c.n) AS n
+    FROM bpe_tok t JOIN bpe_cnt c USING (w) GROUP BY t.doc_id) x
+  USING (doc_id)
+), c AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS begin_tok
+  FROM t
+)
+SELECT doc_id, begin_tok,
+       UNNEST(generate_series(begin_tok // {seq_len},
+                              (begin_tok + n - 1) // {seq_len}))
+         AS chunk_id
+FROM c
+WHERE n > 0
+ORDER BY doc_id, chunk_id
+"""

@@ -43,11 +43,16 @@ DEFAULT_SEQ_LEN = 2048
 def pack_sequences(ds: "ray.data.Dataset", id_col: str = "doc_id",
                    text_col: str = "text",
                    seq_len: int = DEFAULT_SEQ_LEN,
-                   num_partitions: int | None = None
+                   num_partitions: int | None = None,
+                   counts: "ray.data.Dataset | None" = None
                    ) -> "ray.data.Dataset":
     """-> (id, begin_tok, chunk_id): one row per chunk of the packed
     token stream that the document's span [begin, begin+n) overlaps.
-    Zero-token documents emit no rows."""
+    Zero-token documents emit no rows.
+
+    ``counts`` optionally supplies a precomputed (id, n) token-count
+    Dataset (e.g. real BPE counts from ops/bpe.py) in place of the
+    whitespace-regex proxy."""
     if num_partitions is None:
         from rdf_mapper_ray.ops.dedup import _num_partitions
         num_partitions = _num_partitions(None)
@@ -61,7 +66,9 @@ def pack_sequences(ds: "ray.data.Dataset", id_col: str = "doc_id",
         })
 
     # (id, n) only — two passes over THIS tiny table, never the text
-    counts = ds.map_batches(count, batch_format="pyarrow").materialize()
+    if counts is None:
+        counts = ds.map_batches(count, batch_format="pyarrow")
+    counts = counts.materialize()
 
     agg = counts.aggregate(Min(id_col), Max(id_col))
     lo, hi = int(agg[f"min({id_col})"]), int(agg[f"max({id_col})"])

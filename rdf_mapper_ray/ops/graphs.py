@@ -274,33 +274,53 @@ _PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100
 def pagerank_int(edges: "ray.data.Dataset", iters: int = 2,
                  num_partitions: int | None = None,
                  venue: str = "broadcast",
+                 directed: bool = False,
+                 dangling: str = "none",
+                 tol: int | None = None,
                  ) -> "ray.data.Dataset":
-    """Integer-exact PageRank over an undirected (a, b) edge Dataset —
-    the canonical iterative message-passing workload (Page et al.
-    1999), with every arithmetic step in int64 so the result is
-    bit-identical under ANY partitioning / summation order and a SQL
-    oracle can replay it:
+    """Integer-exact PageRank over an edge Dataset — the canonical
+    iterative message-passing workload (Page et al. 1999), with every
+    arithmetic step in int64 so the result is bit-identical under ANY
+    partitioning / summation order and a SQL oracle can replay it:
 
-        contrib(u)  = q_k(u) // deg(u)          (integer floor)
-        q_{k+1}(v)  = (1−d)·S + (85 · Σ contrib(u~v)) // 100
+        contrib(u)  = q_k(u) // outdeg(u)       (integer floor)
+        q_{k+1}(v)  = (1−d)·S + (85 · (Σ contrib(u→v) + D_k)) // 100
 
-    with S = 10⁹ and q_0 = S (unnormalized uniform start — ranks, not
-    probabilities, are the contract).
+    with S = 10⁹, q_0 = S (unnormalized uniform start — ranks, not
+    probabilities, are the contract), and D_k the per-node dangling
+    share (0 unless ``dangling="redistribute"``).
+
+    ``directed=False`` (default) treats (a, b) as undirected (every
+    node then has outdeg ≥ 1). ``directed=True`` uses edges as src→dst;
+    nodes with no out-edges are DANGLING: with ``dangling="none"``
+    their mass evaporates (the common simplification), with
+    ``dangling="redistribute"`` each round adds
+    ``floor(Σ_{outdeg=0} q / n_nodes)`` to every node's message sum
+    (Page et al.'s uniform teleport of dangling mass, floored so the
+    update stays integer-exact and order-free).
+
+    ``iters`` runs exactly that many rounds; ``tol`` additionally stops
+    early once ``max |q_{k+1} − q_k| ≤ tol`` (an aggregate-convergence
+    stop — in the copartition venue the delta is computed distributed,
+    one extra co-partition exchange per round, only the scalar max
+    reaches the driver).
 
     Round structure (learned from the CC loop, then tightened): the
     pid-routed adjacency is built ONCE with each row carrying its
-    source's STATIC degree, so a round is exactly two exchanges — rank
-    rows co-partition with their out-edges by hash(src) and emit
+    source's STATIC out-degree, so a round is exactly two exchanges —
+    rank rows co-partition with their out-edges by hash(src) and emit
     per-destination pre-aggregated messages, then one groupby(dst) over
     the (nodes × partitions)-sized partials finishes the update. The
     rank table re-materializes per round at a SMALL block count — block
     growth entering the next round's union+sort is the measured
-    per-round wall-time multiplier. Output: (node, q) after ``iters``
-    rounds."""
+    per-round wall-time multiplier. Output: (node, q)."""
     if num_partitions is None:
         from rdf_mapper_ray.ops.dedup import _num_partitions
         num_partitions = max(8, _num_partitions(None) // 8)
+    if dangling not in ("none", "redistribute"):
+        raise ValueError(f"dangling={dangling!r}")
 
+    from ray.data.aggregate import Max as _Max
     from ray.data.aggregate import Sum
 
     def _pid_of(arr: np.ndarray) -> pa.Array:
@@ -313,8 +333,11 @@ def pagerank_int(edges: "ray.data.Dataset", iters: int = 2,
             zero_copy_only=False)
         b = batch.column(batch.column_names[1]).to_numpy(
             zero_copy_only=False)
-        src = np.concatenate([a, b])
-        dst = np.concatenate([b, a])
+        if directed:
+            src, dst = a, b
+        else:
+            src = np.concatenate([a, b])
+            dst = np.concatenate([b, a])
         return pa.Table.from_pydict({
             "src": pa.array(src), "dst": pa.array(dst),
             "pid": _pid_of(src),
@@ -333,10 +356,14 @@ def pagerank_int(edges: "ray.data.Dataset", iters: int = 2,
         .groupby("pid").map_groups(attach, batch_format="pandas") \
         .materialize()
 
-    # seed ranks from the adjacency's distinct sources (per-block
-    # partial distinct, then a node-count-sized groupby)
+    # seed ranks from the adjacency's distinct endpoints (per-block
+    # partial distinct, then a node-count-sized groupby); directed
+    # graphs must include pure-sink nodes (dst-only)
     def block_nodes(t: pa.Table) -> pa.Table:
         src = t.column("src").to_numpy(zero_copy_only=False)
+        if directed:
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            src = np.concatenate([src, dst])
         return pa.Table.from_pydict({"node": pa.array(np.unique(src))})
 
     def seed(t: pa.Table) -> pa.Table:
@@ -361,7 +388,15 @@ def pagerank_int(edges: "ray.data.Dataset", iters: int = 2,
                 batch_format="pyarrow").iter_batches(
                     batch_format="pyarrow")) \
             .drop_duplicates("src").sort_values("src")
-        nodes = deg_pd["src"].to_numpy(np.int64)
+        nodes_pd = pd.concat(
+            b.to_pandas() for b in adj.map_batches(
+                block_nodes, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow")) \
+            .drop_duplicates("node").sort_values("node")
+        nodes = nodes_pd["node"].to_numpy(np.int64)
+        outdeg = np.zeros(len(nodes), dtype=np.int64)
+        outdeg[np.searchsorted(nodes, deg_pd["src"].to_numpy(np.int64))] \
+            = deg_pd["src_deg"].to_numpy(np.int64)
         q = np.full(len(nodes), _PR_SCALE, dtype=np.int64)
         base_b = (_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE \
             // _PR_DAMP_DEN
@@ -380,13 +415,19 @@ def pagerank_int(edges: "ray.data.Dataset", iters: int = 2,
                 return pa.Table.from_pandas(out, preserve_index=False)
 
             msgs = adj.map_batches(contrib, batch_format="pyarrow") \
-                .groupby("node").aggregate(_Sum("c")).to_pandas() \
-                .sort_values("node")
-            # every node has deg >= 1, so msgs covers all nodes
-            assert len(msgs) == len(nodes)
-            q = base_b + (_PR_DAMP_NUM
-                          * msgs["sum(c)"].to_numpy(np.int64)) \
-                // _PR_DAMP_DEN
+                .groupby("node").aggregate(_Sum("c")).to_pandas()
+            s = np.zeros(len(nodes), dtype=np.int64)
+            s[np.searchsorted(nodes,
+                              msgs["node"].to_numpy(np.int64))] \
+                = msgs["sum(c)"].to_numpy(np.int64)
+            if dangling == "redistribute":
+                s += int(q[outdeg == 0].sum()) // len(nodes)
+            q_new = base_b + (_PR_DAMP_NUM * s) // _PR_DAMP_DEN
+            done = tol is not None and \
+                int(np.abs(q_new - q).max(initial=0)) <= tol
+            q = q_new
+            if done:
+                break
 
         return ray.data.from_arrow(pa.Table.from_pydict({
             "node": pa.array(nodes), "q": pa.array(q)}))
@@ -396,57 +437,189 @@ def pagerank_int(edges: "ray.data.Dataset", iters: int = 2,
     # the measured 4x-per-round wall-time trap (see ray-data notes in
     # engine/canonicalize.py's CC loop)
     rank_blocks = max(4, num_partitions // 4)
-    ranks = adj.map_batches(block_nodes, batch_format="pyarrow") \
+    base = (_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE // _PR_DAMP_DEN
+
+    def _pin(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        """materialize + SEVER lineage: each round's plan otherwise
+        nests the previous round's, and a convergence loop of tens of
+        rounds blows the interpreter recursion limit when the
+        accumulated plan is traversed. The blocks stay in the object
+        store (to_arrow_refs moves no data)."""
+        mat = ds.repartition(rank_blocks).materialize()
+        return ray.data.from_arrow_refs(mat.to_arrow_refs())
+
+    def tag_rank(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "src": t.column("node"), "dst": t.column("node"),
+            "src_deg": t.column("q"),       # q rides the deg slot
+            "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            "pid": t.column("pid"),
+        })
+
+    def tag_adj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "src": t.column("src"), "dst": t.column("dst"),
+            "src_deg": t.column("src_deg"),
+            "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "pid": t.column("pid"),
+        })
+
+    def send(g: pd.DataFrame) -> pd.DataFrame:
+        r = g[g["kind"] == 1][["src", "src_deg"]] \
+            .rename(columns={"src_deg": "q"})
+        e = g[g["kind"] == 0]
+        m = e.merge(r, on="src", how="inner")
+        m["c"] = m["q"].to_numpy() // m["src_deg"].to_numpy()
+        out = m.groupby("dst", as_index=False)["c"].sum()
+        return out.rename(columns={"dst": "node"})
+
+    node_seed = adj.map_batches(block_nodes, batch_format="pyarrow") \
         .groupby("node").count() \
         .map_batches(lambda t: t.select(["node"]),
                      batch_format="pyarrow") \
-        .map_batches(seed, batch_format="pyarrow") \
-        .repartition(rank_blocks).materialize()
-    base = (_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE // _PR_DAMP_DEN
+        .map_batches(seed, batch_format="pyarrow")
+
+    general = directed or dangling != "none" or tol is not None
+    if not general:
+        # fast path: 2 exchanges per round (every node has deg >= 1,
+        # so the msgs table covers all nodes and the update is map-only)
+        ranks = _pin(node_seed)
+        for _ in range(iters):
+            msgs = ranks.map_batches(tag_rank, batch_format="pyarrow") \
+                .union(adj.map_batches(tag_adj,
+                                       batch_format="pyarrow")) \
+                .groupby("pid").map_groups(send, batch_format="pandas") \
+                .groupby("node").aggregate(Sum("c"))
+
+            def update(t: pa.Table) -> pa.Table:
+                ssum = t.column("sum(c)").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                q = base + (_PR_DAMP_NUM * ssum) // _PR_DAMP_DEN
+                node = t.column("node").to_numpy(zero_copy_only=False)
+                return pa.Table.from_pydict({
+                    "node": t.column("node"), "q": pa.array(q),
+                    "pid": _pid_of(node),
+                })
+
+            ranks = _pin(msgs.map_batches(update,
+                                          batch_format="pyarrow"))
+
+        return ranks.map_batches(
+            lambda t: t.select(["node", "q"]), batch_format="pyarrow")
+
+    # general path (directed graphs / dangling redistribution /
+    # convergence stop): ranks carry (node, q, q_old, odeg, pid); the
+    # update is a third co-partition exchange so sink nodes (absent
+    # from msgs) still update, the dangling sum is a per-round
+    # aggregate scalar, and the convergence delta reduces map-side
+    def deg_rows(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "node": t.column("src").to_numpy(zero_copy_only=False),
+            "odeg": t.column("src_deg").to_numpy(zero_copy_only=False),
+        }).drop_duplicates("node")
+        tt = pa.Table.from_pandas(g, preserve_index=False)
+        return tt.append_column(
+            "kind", pa.array(np.zeros(len(g), dtype=np.int8))) \
+            .append_column("pid", _pid_of(g["node"].to_numpy()))
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "node": t.column("node"),
+            "odeg": t.column("q"),          # unused slot on seed rows
+            "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            "pid": t.column("pid"),
+        })
+
+    def attach_odeg(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["kind"] == 0][["node", "odeg"]].drop_duplicates("node")
+        n = g[g["kind"] == 1][["node", "pid"]]
+        m = n.merge(d, on="node", how="left")
+        q0 = np.full(len(m), _PR_SCALE, dtype=np.int64)
+        return pd.DataFrame({
+            "node": m["node"].to_numpy(),
+            "q": q0, "q_old": q0,
+            "odeg": m["odeg"].fillna(0).to_numpy().astype(np.int64),
+            "pid": m["pid"].to_numpy(),
+        })
+
+    ranks = _pin(
+        node_seed.map_batches(seed_rows, batch_format="pyarrow")
+        .union(adj.map_batches(deg_rows, batch_format="pyarrow"))
+        .groupby("pid").map_groups(attach_odeg, batch_format="pandas"))
+    n_nodes = ranks.count()
 
     for _ in range(iters):
-        def tag_rank(t: pa.Table) -> pa.Table:
-            return pa.Table.from_pydict({
-                "src": t.column("node"), "dst": t.column("node"),
-                "src_deg": t.column("q"),       # q rides the deg slot
-                "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
-                "pid": t.column("pid"),
-            })
+        dshare = 0
+        if dangling == "redistribute":
+            def dangling_partial(t: pa.Table) -> pa.Table:
+                q = t.column("q").to_numpy(zero_copy_only=False)
+                od = t.column("odeg").to_numpy(zero_copy_only=False)
+                return pa.Table.from_pydict({
+                    "dq": pa.array([int(q[od == 0].sum())], pa.int64())})
 
-        def tag_adj(t: pa.Table) -> pa.Table:
-            return pa.Table.from_pydict({
-                "src": t.column("src"), "dst": t.column("dst"),
-                "src_deg": t.column("src_deg"),
-                "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
-                "pid": t.column("pid"),
-            })
-
-        def send(g: pd.DataFrame) -> pd.DataFrame:
-            r = g[g["kind"] == 1][["src", "src_deg"]] \
-                .rename(columns={"src_deg": "q"})
-            e = g[g["kind"] == 0]
-            m = e.merge(r, on="src", how="inner")
-            m["c"] = m["q"].to_numpy() // m["src_deg"].to_numpy()
-            out = m.groupby("dst", as_index=False)["c"].sum()
-            return out.rename(columns={"dst": "node"})
+            agg = ranks.map_batches(dangling_partial,
+                                    batch_format="pyarrow") \
+                .aggregate(Sum("dq"))
+            dshare = int(agg["sum(dq)"] or 0) // n_nodes
 
         msgs = ranks.map_batches(tag_rank, batch_format="pyarrow") \
             .union(adj.map_batches(tag_adj, batch_format="pyarrow")) \
             .groupby("pid").map_groups(send, batch_format="pandas") \
             .groupby("node").aggregate(Sum("c"))
 
-        def update(t: pa.Table) -> pa.Table:
-            ssum = t.column("sum(c)").to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            q = base + (_PR_DAMP_NUM * ssum) // _PR_DAMP_DEN
+        def msg_rows(t: pa.Table) -> pa.Table:
             node = t.column("node").to_numpy(zero_copy_only=False)
             return pa.Table.from_pydict({
-                "node": t.column("node"), "q": pa.array(q),
+                "node": t.column("node"),
+                "val": pc.cast(t.column("sum(c)"), pa.int64()),
+                "odeg": pa.array(np.zeros(len(node), dtype=np.int64)),
+                "kind": pa.array(np.zeros(len(node), dtype=np.int8)),
                 "pid": _pid_of(node),
             })
 
-        ranks = msgs.map_batches(update, batch_format="pyarrow") \
-            .repartition(rank_blocks).materialize()
+        def rank_rows(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict({
+                "node": t.column("node"), "val": t.column("q"),
+                "odeg": t.column("odeg"),
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "pid": t.column("pid"),
+            })
+
+        def upd(g: pd.DataFrame, _dshare: int = dshare
+                ) -> pd.DataFrame:
+            r = g[g["kind"] == 1][["node", "val", "odeg", "pid"]] \
+                .rename(columns={"val": "q_old"})
+            m = g[g["kind"] == 0][["node", "val"]] \
+                .rename(columns={"val": "s"})
+            j = r.merge(m, on="node", how="left")
+            s = j["s"].fillna(0).to_numpy().astype(np.int64) + _dshare
+            q = base + (_PR_DAMP_NUM * s) // _PR_DAMP_DEN
+            return pd.DataFrame({
+                "node": j["node"].to_numpy(), "q": q,
+                "q_old": j["q_old"].to_numpy().astype(np.int64),
+                "odeg": j["odeg"].to_numpy().astype(np.int64),
+                "pid": j["pid"].to_numpy(),
+            })
+
+        ranks = _pin(
+            msgs.map_batches(msg_rows, batch_format="pyarrow")
+            .union(ranks.map_batches(rank_rows, batch_format="pyarrow"))
+            .groupby("pid").map_groups(upd, batch_format="pandas"))
+
+        if tol is not None:
+            def delta_partial(t: pa.Table) -> pa.Table:
+                q = t.column("q").to_numpy(zero_copy_only=False)
+                qo = t.column("q_old").to_numpy(zero_copy_only=False)
+                d = int(np.abs(q - qo).max(initial=0))
+                return pa.Table.from_pydict({
+                    "d": pa.array([d], pa.int64())})
+
+            from ray.data.aggregate import Max
+            agg = ranks.map_batches(delta_partial,
+                                    batch_format="pyarrow") \
+                .aggregate(Max("d"))
+            if int(agg["max(d)"] or 0) <= tol:
+                break
 
     return ranks.map_batches(
         lambda t: t.select(["node", "q"]), batch_format="pyarrow")
@@ -502,6 +675,51 @@ q0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS q FROM deg)"""]
   JOIN q{k-1} ON e.src = q{k-1}.node
   JOIN deg ON deg.node = e.src
   GROUP BY e.dst
+)""")
+    return "WITH " + ",\n".join(ctes) + \
+        f"\nSELECT node, q FROM q{iters} ORDER BY node\n"
+
+
+def pagerank_directed_oracle_sql(iters: int = 2,
+                                 dangling: str = "none",
+                                 edges_table: str = "edges") -> str:
+    """Unrolled replay of pagerank_int(directed=True, dangling=...)
+    over a (src, dst) table — used by the dangling/convergence units;
+    sinks (outdeg 0) appear as nodes, and with
+    ``dangling="redistribute"`` each round adds
+    floor(Σ_{outdeg=0} q / n_nodes) to every node's message sum."""
+    base = (_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE // _PR_DAMP_DEN
+    ctes = [f"""e AS (SELECT src, dst FROM {edges_table}),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+deg AS (
+  SELECT n.node, COALESCE(d.d, 0) AS d
+  FROM nodes n LEFT JOIN (
+    SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src) d
+  USING (node)
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+q0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS q FROM nodes)"""]
+    for k in range(1, iters + 1):
+        if dangling == "redistribute":
+            dterm = (f"(SELECT COALESCE(SUM(qp.q), 0) FROM q{k-1} qp "
+                     f"JOIN deg d3 ON d3.node = qp.node AND d3.d = 0) "
+                     f"// (SELECT n FROM nn)")
+        else:
+            dterm = "0"
+        ctes.append(f"""q{k} AS MATERIALIZED (
+  SELECT dg.node,
+         CAST({base} + ({_PR_DAMP_NUM}
+              * (COALESCE(m.s, 0) + {dterm}))
+              // {_PR_DAMP_DEN} AS BIGINT) AS q
+  FROM deg dg
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(qp.q // d2.d) AS s
+    FROM e JOIN q{k-1} qp ON e.src = qp.node
+    JOIN deg d2 ON d2.node = e.src
+    GROUP BY e.dst) m USING (node)
 )""")
     return "WITH " + ",\n".join(ctes) + \
         f"\nSELECT node, q FROM q{iters} ORDER BY node\n"

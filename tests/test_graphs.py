@@ -101,6 +101,58 @@ def test_pagerank_venues_agree_and_hand_checked(ray_session):
     assert min(qmap[2], qmap[4]) > max(qmap[1], qmap[3])
 
 
+def test_pagerank_directed_dangling_matches_unrolled_sql(ray_session):
+    import duckdb
+    import numpy as np
+    from rdf_mapper_ray.ops.graphs import (pagerank_directed_oracle_sql,
+                                           pagerank_int)
+    # chain 1->2->3 (3 is a sink), plus 4->2: exercises sinks, sources
+    # and convergent in-edges
+    edges = pd.DataFrame({"src": [1, 2, 4], "dst": [2, 3, 2]})
+    con = duckdb.connect()
+    con.register("edges", edges)
+    for dang in ("none", "redistribute"):
+        want = con.execute(pagerank_directed_oracle_sql(
+            iters=3, dangling=dang)).fetchdf()
+        for venue in ("broadcast", "copartition"):
+            got = pagerank_int(
+                ray.data.from_pandas(edges), iters=3, venue=venue,
+                directed=True, dangling=dang) \
+                .to_pandas().sort_values("node").reset_index(drop=True)
+            assert got["node"].tolist() == want["node"].tolist(), \
+                (venue, dang)
+            assert got["q"].tolist() == want["q"].tolist(), (venue, dang)
+    # redistribute conserves more mass than none: sink's rank feeds back
+    got_n = pagerank_int(ray.data.from_pandas(edges), iters=3,
+                         directed=True, dangling="none").to_pandas()
+    got_r = pagerank_int(ray.data.from_pandas(edges), iters=3,
+                         directed=True,
+                         dangling="redistribute").to_pandas()
+    assert got_r["q"].sum() > got_n["q"].sum()
+
+
+def test_pagerank_convergence_stop(ray_session):
+    from rdf_mapper_ray.ops.graphs import pagerank_int
+    edges = _toy_edges()
+    # a huge tol stops after round 1 in both venues: result must equal
+    # the fixed-1-iteration run
+    one = pagerank_int(_toy_edges(), iters=1, venue="broadcast") \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    for venue in ("broadcast", "copartition"):
+        got = pagerank_int(_toy_edges(), iters=50, venue=venue,
+                           tol=10**12) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        assert got.equals(one), venue
+    # tight tol on a symmetric toy graph: converges well before 50
+    # rounds and the two venues agree bit-for-bit
+    a = pagerank_int(_toy_edges(), iters=50, venue="broadcast", tol=0) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    b = pagerank_int(_toy_edges(), iters=50, venue="copartition",
+                     tol=0) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_pagerank_matches_oracle(ray_session):
     import sys
     sys.path.insert(0, "/root/repo/tools")

@@ -193,10 +193,23 @@ class KGPipeline:
                     columns: Optional[list[str]] = None,
                     files_per_shard: int = 16,
                     output_dir: Optional[str] = None,
-                    sort: bool = True) -> "ray.data.Dataset":
+                    sort: bool = True,
+                    checkpoint_wide: bool = True,
+                    dedup_buckets: int = 64) -> "ray.data.Dataset":
         """Checkpointed execution: extract per input shard with lineage
         manifests; rerun skips completed shards; wide stages read the
-        checkpointed triple table."""
+        checkpointed triple table.
+
+        ``checkpoint_wide`` additionally checkpoints the POST-dedup
+        triple table under ``<workdir>/dedup/`` through the sealed-
+        manifest partitioned writer (ops/io.py): a run killed mid-dedup
+        resumes by re-running only the wide compute and re-WRITING only
+        the unsealed buckets (extract shards never recompute), and a
+        run killed after the ``dedup_COMPLETE`` marker skips the wide
+        stages entirely and reads the checkpoint. The workdir is bound
+        to one (spec, input) pair — reusing it across different inputs
+        is the caller's stale-checkpoint hazard, exactly like the
+        extract manifests."""
         files = expand_paths(paths)
         shards = [files[i:i + files_per_shard]
                   for i in range(0, len(files), files_per_shard)]
@@ -232,7 +245,27 @@ class KGPipeline:
             lambda b: b.filter(pc.invert(pc.equal(b.column("graph"),
                                                   METRICS_GRAPH))),
             batch_format="pyarrow")
-        t = self._post_extract_from_checkpoint(t)
+        if checkpoint_wide:
+            from rdf_mapper_ray.ops.io import write_partitioned
+            dedup_root = os.path.join(workdir, "dedup")
+            done_marker = os.path.join(workdir, "dedup_COMPLETE.json")
+            if not os.path.isfile(done_marker):
+                deduped = self._post_extract_from_checkpoint(t)
+                receipts = write_partitioned(
+                    deduped, dedup_root, by_col="subject",
+                    num_buckets=dedup_buckets).to_pandas()
+                marker_tmp = done_marker + ".tmp"
+                with open(marker_tmp, "w", encoding="utf-8") as fh:
+                    json.dump({
+                        "rows": int(receipts["rows"].sum()),
+                        "buckets": int(len(receipts)),
+                        "resumed_buckets": int(receipts["skipped"].sum()),
+                    }, fh)
+                os.replace(marker_tmp, done_marker)
+            t = ray.data.read_parquet(dedup_root,
+                                      file_extensions=["parquet"])
+        else:
+            t = self._post_extract_from_checkpoint(t)
         if output_dir:
             write_triples_parquet(t, output_dir, sort=sort)
             return t

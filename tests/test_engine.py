@@ -164,6 +164,62 @@ def test_run_sharded_resume(ray_session, tmp_path, docs_meta):
     assert out2.count() == n1
 
 
+def test_run_sharded_wide_stage_resume(ray_session, tmp_path):
+    """Kill-and-resume MID-DEDUP: extract shards must not recompute and
+    sealed dedup buckets must not rewrite; only unsealed buckets redo."""
+    from rdf_mapper_ray.engine.pipeline import KGPipeline
+    pipe = KGPipeline(DOC_SPEC, auto_declare=False, canonicalize=False)
+    workdir = str(tmp_path / "wk")
+    out1 = pipe.run_sharded(f"{SF}/documents.parquet", workdir,
+                            dedup_buckets=8)
+    df1 = out1.to_pandas()
+    marker = os.path.join(workdir, "dedup_COMPLETE.json")
+    assert os.path.isfile(marker)
+    meta1 = json.load(open(marker))
+    assert meta1["buckets"] == 8 and meta1["resumed_buckets"] == 0
+
+    # simulate a crash mid-dedup: completion marker gone, 3 of 8
+    # buckets never sealed (manifest missing => bucket is garbage)
+    os.remove(marker)
+    buckets = sorted(glob.glob(os.path.join(workdir, "dedup",
+                                            "bucket=*")))
+    assert len(buckets) == 8
+    for b in buckets[:3]:
+        os.remove(os.path.join(b, "_MANIFEST.json"))
+    stamp = {p: os.stat(os.path.join(p, "part.parquet")).st_mtime_ns
+             for p in buckets}
+    extract_stamp = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(os.path.join(workdir, "manifests", "*.json"))}
+
+    out2 = pipe.run_sharded(f"{SF}/documents.parquet", workdir,
+                            dedup_buckets=8)
+    df2 = out2.to_pandas()
+    # extract manifests untouched => no shard recomputation
+    assert extract_stamp == {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(os.path.join(workdir, "manifests", "*.json"))}
+    # sealed buckets skipped, unsealed rewritten
+    for p in buckets[:3]:
+        assert os.stat(os.path.join(p, "part.parquet")).st_mtime_ns \
+            != stamp[p]
+    for p in buckets[3:]:
+        assert os.stat(os.path.join(p, "part.parquet")).st_mtime_ns \
+            == stamp[p]
+    meta2 = json.load(open(marker))
+    assert meta2["resumed_buckets"] == 5
+    # identical output either way
+    key = ["subject", "predicate", "object_value"]
+    assert df1.sort_values(key).reset_index(drop=True).equals(
+        df2.sort_values(key).reset_index(drop=True))
+    # third run: marker present => wide stages skipped entirely
+    out3 = pipe.run_sharded(f"{SF}/documents.parquet", workdir,
+                            dedup_buckets=8)
+    assert out3.count() == len(df1)
+    assert stamp[buckets[3]] == os.stat(
+        os.path.join(buckets[3], "part.parquet")).st_mtime_ns
+
+
 def test_turtle_roundtrip(ray_session):
     """Serialize pipeline output and re-parse with the kernel parser."""
     from rdf_mapper_ray.engine.pipeline import KGPipeline

@@ -22,6 +22,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from rdf_mapper_ray.ops.readers import read_table
+
 
 def _repo_stats(sf_dir: str) -> Any:
     from rdf_mapper_ray.engine.partitioning import repo_stats
@@ -68,7 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     import ray.data
 
     def _docs(sf_dir: str, columns=None) -> "ray.data.Dataset":
-        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+        return read_table(sf_dir, "documents",
                                      columns=columns)
 
     return {
@@ -139,7 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             threshold=0.45, num_planes=3, num_tables=10)
             .select_columns(["left_id", "right_id"]),
         "knn_lsh": lambda sf: similarity.knn_lsh(
-            ray.data.read_parquet(f"{sf}/embeddings.parquet",
+            read_table(sf, "embeddings",
                                   columns=["vec_id", "embedding"]),
             *_first_queries(sf), dim=64),
         # full-probe contract: IVF-Flat with nprobe == nlist must return
@@ -149,7 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL oracle; the nlist/nprobe scan-reduction path is covered by
         # the recall units in tests/test_ops.py
         "knn_ivf": lambda sf: similarity.knn_ivf(
-            ray.data.read_parquet(f"{sf}/embeddings.parquet",
+            read_table(sf, "embeddings",
                                   columns=["vec_id", "embedding"]),
             *_first_queries(sf), nlist=16, nprobe=16),
         # --- (b) hash-red in r3, dtype-aligned this round ---
@@ -181,7 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": lambda sf: dedup.exact_dedup(
             _docs(sf, ["doc_id", "text"])),
         "dedup_embedding_cosine": lambda sf: dedup.embedding_neardup_pairs(
-            ray.data.read_parquet(f"{sf}/embeddings.parquet",
+            read_table(sf, "embeddings",
                                   columns=["vec_id", "embedding"]),
             threshold=0.45).select_columns(["left_id", "right_id"]),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_exact(

@@ -22,6 +22,8 @@ import pyarrow as pa
 
 import ray.data
 
+from rdf_mapper_ray.ops.readers import read_table
+
 
 def frequent_pairs(ds: "ray.data.Dataset", basket_col: str,
                    item_col: str, k: int = 50,
@@ -30,8 +32,8 @@ def frequent_pairs(ds: "ray.data.Dataset", basket_col: str,
     """-> (item_a, item_b, support): the k most co-purchased item
     pairs, ties broken by (item_a, item_b) ascending."""
     if num_partitions is None:
-        from rdf_mapper_ray.ops.dedup import _num_partitions
-        num_partitions = max(8, _num_partitions(None) // 8)
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
 
     def dedup_route(batch: pa.Table) -> pa.Table:
         t = batch.select([basket_col, item_col]) \
@@ -101,7 +103,7 @@ def frequent_pairs(ds: "ray.data.Dataset", basket_col: str,
 
 
 def frequent_pairs_query(sf_dir: str, k: int = 50):
-    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = read_table(sf_dir, "lineitem",
                                columns=["l_orderkey", "l_partkey"])
     return frequent_pairs(ds, basket_col="l_orderkey",
                           item_col="l_partkey", k=k)

@@ -41,6 +41,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from rdf_mapper_ray.ops.readers import read_table
+
 _RES_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "resources", "bpe")
 DEFAULT_MERGES = os.path.join(_RES_DIR, "merges.txt")
@@ -146,7 +148,7 @@ def tokenize_bpe(ds: "ray.data.Dataset", id_col: str = "doc_id",
 
 
 def tokenize_bpe_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return tokenize_bpe(ds, concurrency=2)
 
@@ -235,7 +237,7 @@ def pack_bpe_query(sf_dir: str, seq_len: int = 512):
     """Sequence packing driven by REAL BPE token counts instead of the
     whitespace proxy: tokenize_bpe feeds pack_sequences' counts slot."""
     from rdf_mapper_ray.ops.packing import pack_sequences
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     counts = tokenize_bpe(ds, concurrency=2) \
         .map_batches(lambda t: t.rename_columns(["doc_id", "n"]),

@@ -24,6 +24,8 @@ import ray.data
 
 from rdf_mapper_ray.ops.hashing import MD5_HASH64_SQL, hash64
 
+from rdf_mapper_ray.ops.readers import read_table
+
 # RE2 patterns (identical semantics in pyarrow and DuckDB)
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
@@ -72,7 +74,7 @@ def pii_redact_query(sf_dir: str):
     so inject a deterministic doc_id-derived contact line on BOTH the
     Ray and SQL sides, then redact — a probative end-to-end check of
     the actual regexes, not a no-op hash match."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
 
     def inject(batch: pa.Table) -> pa.Table:
@@ -147,7 +149,7 @@ def hash_split(ds: "ray.data.Dataset", id_col: str = "doc_id",
 
 
 def hash_split_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id"])
     return hash_split(ds, hash_fn="md5")
 
@@ -193,7 +195,7 @@ SAMPLE_RATES = {"en": 1.0, "de": 0.5, "es": 0.25, "zh": 0.1}
 
 
 def stratified_sample_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id", "lang"])
     return stratified_sample(ds, SAMPLE_RATES, default_rate=0.75,
                              hash_fn="md5")
@@ -279,8 +281,7 @@ def benchmark_phrases(sf_dir: str) -> list:
               if x is not None and len(x) >= 49]
         return pa.table({"phrase": pa.array(ph, type=pa.string())})
 
-    phrase_rows = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
+    phrase_rows = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
         .map_batches(mk_phrases, batch_format="pyarrow").take_all()
     return [r["phrase"] for r in phrase_rows]
 
@@ -290,7 +291,7 @@ def decontaminate_query(sf_dir: str):
     :func:`benchmark_phrases`) so the oracle can rebuild the identical
     benchmark set in SQL. In production the phrases come from a small
     benchmark file instead."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return decontaminate(ds, benchmark_phrases(sf_dir))
 
@@ -345,7 +346,7 @@ def json_field_stats_query(sf_dir: str):
     """Per event type: count, non-null count and sum of the JSON
     metadata field ``k`` in events.props."""
     import ray.data as rd
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
                          columns=["event_type", "props"])
     ex = json_field_int(ds, "props", "k")
 
@@ -452,7 +453,7 @@ def decontaminate_ngram(ds: "ray.data.Dataset",
 def decontaminate_ngram_query(sf_dir: str):
     """Every 50th document plays the benchmark set; 5-gram overlap."""
     import ray.data as rd
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                          columns=["doc_id", "text"])
 
     def every_50th(batch: pa.Table) -> pa.Table:
@@ -546,7 +547,7 @@ _MIX_TIERS = (0.25, 1.0, 1.5, 2.5)
 
 
 def weighted_mix_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id", "source"])
     weights = {f"src{i}": _MIX_TIERS[i % 4] for i in range(64)}
     return weighted_mix(ds, weights=weights, hash_fn="md5")
@@ -602,8 +603,7 @@ def data_audit_query(sf_dir: str):
     range, key present, price cap — each rule one vectorized Arrow
     kernel."""
     import pyarrow.compute as pc
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
+    ds = read_table(sf_dir, "orders",
         columns=["o_orderkey", "o_custkey", "o_orderstatus",
                  "o_totalprice", "o_orderdate"])
 
@@ -677,8 +677,8 @@ def split_leakage(ds: "ray.data.Dataset", id_col: str = "doc_id",
     test rows whose fingerprint has a train occurrence. Output:
     (id,) leaked test docs."""
     if num_partitions is None:
-        from rdf_mapper_ray.ops.dedup import _num_partitions
-        num_partitions = max(8, _num_partitions(None) // 8)
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
 
     def prep(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).cast(pa.string()).to_pylist()
@@ -710,7 +710,7 @@ def split_leakage(ds: "ray.data.Dataset", id_col: str = "doc_id",
 
 
 def split_leakage_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return split_leakage(ds, hash_fn="md5")
 
@@ -769,7 +769,7 @@ def negative_samples(ds: "ray.data.Dataset", id_col: str = "vec_id",
 
 
 def negative_samples_query(sf_dir: str, k: int = 4):
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_table(sf_dir, "embeddings",
                                columns=["vec_id"])
     return negative_samples(ds, k=k, hash_fn="md5")
 

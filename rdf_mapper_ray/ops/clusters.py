@@ -47,6 +47,7 @@ import ray.data
 
 from rdf_mapper_ray.ops.dedup import (_minhash_cands_ctes, _num_partitions,
                                       minhash_lsh_pairs)
+from rdf_mapper_ray.ops.readers import read_table
 
 
 def dup_clusters(pairs: "ray.data.Dataset", id_col: str = "doc_id",
@@ -221,7 +222,7 @@ def dedup_keep_best(ds: "ray.data.Dataset", text_col: str = "text",
 # --- demo query + oracle -----------------------------------------------------
 
 def dedup_keep_best_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return dedup_keep_best(ds, rows_hint=ds.count(), hash_fn="md5")
 

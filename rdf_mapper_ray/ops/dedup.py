@@ -53,6 +53,17 @@ def _num_partitions(n_rows: Optional[int] = None) -> int:
     return p
 
 
+def partitions_for(ds, divisor: int = 1) -> int:
+    """Shuffle-partition count scaled by the input Dataset's row-count
+    tag when it came through ops/readers.read_table (no count()
+    execution); untagged inputs fall back to the cluster-scaled
+    default. The blocks × partitions coordination floor of the sort
+    shuffle is the measured fixed cost of every small query (see
+    ops/readers.py)."""
+    p = _num_partitions(getattr(ds, "_rmr_rows", None))
+    return max(8, p // divisor)
+
+
 class HashText:
     """Adds a ``{out_col}`` sha256-hex column; drops the text column so
     the shuffle only carries digests."""

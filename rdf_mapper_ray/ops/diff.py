@@ -20,6 +20,8 @@ import ray.data
 from rdf_mapper_ray.ops.dedup import HashText
 from rdf_mapper_ray.ops.joins import equi_join
 
+from rdf_mapper_ray.ops.readers import read_table
+
 
 def snapshot_diff(old: "ray.data.Dataset", new: "ray.data.Dataset",
                   key_col: str = "doc_id", text_col: str = "text"
@@ -77,9 +79,9 @@ def _perturb(batch: pa.Table) -> pa.Table:
 
 
 def snapshot_diff_query(sf_dir: str):
-    old = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    old = read_table(sf_dir, "documents",
                                 columns=["doc_id", "text"])
-    new = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    new = read_table(sf_dir, "documents",
                                 columns=["doc_id", "text"]) \
         .map_batches(_perturb, batch_format="pyarrow")
     return snapshot_diff(old, new)

@@ -25,6 +25,8 @@ import pyarrow as pa
 
 import ray.data
 
+from rdf_mapper_ray.ops.readers import read_table
+
 
 def _num_partitions(n_rows: int | None = None) -> int:
     from rdf_mapper_ray.ops.dedup import _num_partitions as _np_
@@ -154,7 +156,7 @@ def distinct_count_hll(ds: "ray.data.Dataset", key_col: str, by_col: str,
 # --- driver query + oracle ---------------------------------------------------
 
 def distinct_users_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
                                columns=["user_id", "event_type"])
     return distinct_count(ds, key_col="user_id", by_col="event_type")
 
@@ -171,7 +173,7 @@ def window_distinct_users_query(sf_dir: str, width_s: int = 86400):
     existing pair-dedup machinery (window start rides as exact epoch
     microseconds, so the SQL oracle matches bit-for-bit)."""
     width_us = width_s * 1_000_000
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
                                columns=["ts", "user_id"])
 
     def add_win(batch: pa.Table) -> pa.Table:

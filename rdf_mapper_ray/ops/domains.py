@@ -30,6 +30,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from rdf_mapper_ray.ops.readers import read_table
+
 # scheme://[user@]host[:port]/...  — host = group 1 (RE2, no backtracking)
 _HOST_RE = r"^[a-z][a-z0-9+.\-]*://(?:[^/?#]*@)?(?P<host>[^/?#:]+)"
 _HOST_RE_SQL = r"^[a-z][a-z0-9+.\-]*://(?:[^/?#]*@)?([^/?#:]+)"
@@ -64,8 +66,8 @@ def domain_stats(ds: "ray.data.Dataset", url_col: str = "url",
     combine: each batch reduces to (domain, host, partial) rows, the
     hash(domain)-routed merge sums in-task."""
     if num_partitions is None:
-        from rdf_mapper_ray.ops.dedup import _num_partitions
-        num_partitions = max(8, _num_partitions(None) // 8)
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
 
     def partial(batch: pa.Table) -> pa.Table:
         urls = batch.column(url_col)
@@ -110,8 +112,8 @@ def domain_caps(ds: "ray.data.Dataset", url_col: str = "url",
     prunes to ≤ cap rows per domain it contains, so the shuffle carries
     candidates, never the corpus."""
     if num_partitions is None:
-        from rdf_mapper_ray.ops.dedup import _num_partitions
-        num_partitions = _num_partitions(None)
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 1)
 
     def partial(batch: pa.Table) -> pa.Table:
         urls = batch.column(url_col)
@@ -180,7 +182,7 @@ def _mint_urls(batch: pa.Table) -> pa.Table:
 
 
 def domain_stats_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id", "source"])
     return domain_stats(ds.map_batches(_mint_urls,
                                        batch_format="pyarrow"))
@@ -203,7 +205,7 @@ FROM h GROUP BY domain ORDER BY domain
 
 
 def domain_caps_query(sf_dir: str, cap: int = 10):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id", "source"])
     return domain_caps(ds.map_batches(_mint_urls,
                                       batch_format="pyarrow"), cap=cap)

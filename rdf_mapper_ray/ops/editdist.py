@@ -24,6 +24,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from rdf_mapper_ray.ops.readers import read_table
+
 
 def _levenshtein(a: str, b: str) -> int:
     """Exact unit-cost edit distance, vectorized per DP row."""
@@ -53,8 +55,8 @@ def editdist_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
     """-> (left_id, right_id, dist) pairs within a prefix block whose
     edit distance ≤ max_rel_dist × max(len)."""
     if num_partitions is None:
-        from rdf_mapper_ray.ops.dedup import _num_partitions
-        num_partitions = max(8, _num_partitions(None) // 8)
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
 
     def tag(batch: pa.Table) -> pa.Table:
         blk = pc.utf8_slice_codeunits(
@@ -97,7 +99,7 @@ def editdist_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
 
 
 def editdist_pairs_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return editdist_pairs(ds)
 

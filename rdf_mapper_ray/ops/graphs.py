@@ -30,6 +30,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
+from rdf_mapper_ray.ops.readers import read_table
+
 
 def _orient_rows(a: np.ndarray, b: np.ndarray, da: np.ndarray,
                  db: np.ndarray) -> pa.Table:
@@ -134,8 +136,8 @@ def triangle_count(pairs: "ray.data.Dataset",
     joins it to the edges by hash(endpoint) — the venue past broadcast
     scale, same dispatch shape as equi_join/PageRank."""
     if num_partitions is None:
-        from rdf_mapper_ray.ops.dedup import _num_partitions
-        num_partitions = max(8, _num_partitions(None) // 8)
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(pairs, 8)
 
     edges = pairs.select_columns([left_col, right_col]).materialize()
 
@@ -245,7 +247,7 @@ def triangle_count(pairs: "ray.data.Dataset",
 
 def triangle_count_query(sf_dir: str, threshold: float = 0.3):
     from rdf_mapper_ray.ops.dedup import embedding_neardup_pairs
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_table(sf_dir, "embeddings",
                                 columns=["vec_id", "embedding"])
     pairs = embedding_neardup_pairs(emb, threshold=threshold) \
         .select_columns(["left_id", "right_id"])
@@ -315,8 +317,8 @@ def pagerank_int(edges: "ray.data.Dataset", iters: int = 2,
     growth entering the next round's union+sort is the measured
     per-round wall-time multiplier. Output: (node, q)."""
     if num_partitions is None:
-        from rdf_mapper_ray.ops.dedup import _num_partitions
-        num_partitions = max(8, _num_partitions(None) // 8)
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
     if dangling not in ("none", "redistribute"):
         raise ValueError(f"dangling={dangling!r}")
 
@@ -352,8 +354,7 @@ def pagerank_int(edges: "ray.data.Dataset", iters: int = 2,
         g = g.assign(src_deg=d.to_numpy().astype(np.int64))
         return g[["src", "dst", "src_deg", "pid"]]
 
-    adj = edges.map_batches(undirect, batch_format="pyarrow") \
-        .groupby("pid").map_groups(attach, batch_format="pandas") \
+    und = edges.map_batches(undirect, batch_format="pyarrow") \
         .materialize()
 
     # seed ranks from the adjacency's distinct endpoints (per-block
@@ -376,50 +377,64 @@ def pagerank_int(edges: "ray.data.Dataset", iters: int = 2,
         })
 
     if venue == "broadcast":
-        # node-sized rank table rides the driver + object store: each
-        # round is ONE all-to-all (groupby(node) over per-block
-        # partials); contributions compute per adjacency block against
-        # the broadcast (node -> q) arrays. The co-partition venue
+        # the rank AND degree tables ride the driver + object store, so
+        # this venue needs ZERO distributed exchanges: degrees merge on
+        # the driver from per-block partials, contributions compute per
+        # edge block against the broadcast (node, q, outdeg) arrays and
+        # pre-aggregate per block, and the (blocks × nodes)-bounded
+        # partials finish with one np.add.at on the driver. Every sum
+        # is int64 and order-free, so the result is bit-identical to
+        # the copartition venue (unit-asserted). The co-partition venue
         # below is the past-broadcast-scale path (billions of nodes).
-        from ray.data.aggregate import Sum as _Sum
+        def deg_partial(t: pa.Table) -> pa.Table:
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            v, c = np.unique(src, return_counts=True)
+            node = v
+            cnt = c.astype(np.int64)
+            if directed:
+                dst = t.column("dst").to_numpy(zero_copy_only=False)
+                sinks = np.setdiff1d(np.unique(dst), v)
+                node = np.concatenate([v, sinks])
+                cnt = np.concatenate(
+                    [cnt, np.zeros(len(sinks), dtype=np.int64)])
+            return pa.Table.from_pydict({
+                "node": pa.array(node), "c": pa.array(cnt)})
+
         deg_pd = pd.concat(
-            b.to_pandas() for b in adj.map_batches(
-                lambda t: t.select(["src", "src_deg"]),
-                batch_format="pyarrow").iter_batches(
+            b.to_pandas() for b in und.map_batches(
+                deg_partial, batch_format="pyarrow").iter_batches(
                     batch_format="pyarrow")) \
-            .drop_duplicates("src").sort_values("src")
-        nodes_pd = pd.concat(
-            b.to_pandas() for b in adj.map_batches(
-                block_nodes, batch_format="pyarrow").iter_batches(
-                    batch_format="pyarrow")) \
-            .drop_duplicates("node").sort_values("node")
-        nodes = nodes_pd["node"].to_numpy(np.int64)
-        outdeg = np.zeros(len(nodes), dtype=np.int64)
-        outdeg[np.searchsorted(nodes, deg_pd["src"].to_numpy(np.int64))] \
-            = deg_pd["src_deg"].to_numpy(np.int64)
+            .groupby("node", as_index=False)["c"].sum() \
+            .sort_values("node")
+        nodes = deg_pd["node"].to_numpy(np.int64)
+        outdeg = deg_pd["c"].to_numpy(np.int64)
         q = np.full(len(nodes), _PR_SCALE, dtype=np.int64)
         base_b = (_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE \
             // _PR_DAMP_DEN
+        deg_ref = ray.put((nodes, outdeg))
 
         for _ in range(iters):
-            ref = ray.put((nodes, q))
+            ref = ray.put(q)
 
             def contrib(t: pa.Table) -> pa.Table:
-                nn, qq = ray.get(ref)
+                nn, od = ray.get(deg_ref)
+                qq = ray.get(ref)
                 src = t.column("src").to_numpy(zero_copy_only=False)
                 dst = t.column("dst").to_numpy(zero_copy_only=False)
-                dd = t.column("src_deg").to_numpy(zero_copy_only=False)
-                c = qq[np.searchsorted(nn, src)] // dd
+                si = np.searchsorted(nn, src)
+                c = qq[si] // od[si]
                 out = pd.DataFrame({"node": dst, "c": c}) \
                     .groupby("node", as_index=False)["c"].sum()
                 return pa.Table.from_pandas(out, preserve_index=False)
 
-            msgs = adj.map_batches(contrib, batch_format="pyarrow") \
-                .groupby("node").aggregate(_Sum("c")).to_pandas()
+            parts = pd.concat(
+                b.to_pandas() for b in und.map_batches(
+                    contrib, batch_format="pyarrow").iter_batches(
+                        batch_format="pyarrow"))
             s = np.zeros(len(nodes), dtype=np.int64)
-            s[np.searchsorted(nodes,
-                              msgs["node"].to_numpy(np.int64))] \
-                = msgs["sum(c)"].to_numpy(np.int64)
+            np.add.at(s, np.searchsorted(
+                nodes, parts["node"].to_numpy(np.int64)),
+                parts["c"].to_numpy(np.int64))
             if dangling == "redistribute":
                 s += int(q[outdeg == 0].sum()) // len(nodes)
             q_new = base_b + (_PR_DAMP_NUM * s) // _PR_DAMP_DEN
@@ -431,6 +446,11 @@ def pagerank_int(edges: "ray.data.Dataset", iters: int = 2,
 
         return ray.data.from_arrow(pa.Table.from_pydict({
             "node": pa.array(nodes), "q": pa.array(q)}))
+
+    # copartition venue: build the degree-annotated adjacency with ONE
+    # co-partition pass (see attach above)
+    adj = und.groupby("pid").map_groups(attach, batch_format="pandas") \
+        .materialize()
 
     # the rank table is node-sized: pin it to FEW blocks per round —
     # unbounded block counts entering the next round's union+sort are
@@ -637,7 +657,7 @@ def pagerank_query(sf_dir: str, iters: int = 2):
     SQL oracle applies the identical predicate)."""
     import pyarrow.dataset as pads
 
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = read_table(sf_dir, "lineitem",
                                columns=["l_partkey", "l_suppkey"],
                                filter=pads.field("l_partkey")
                                <= PR_PART_CAP)
@@ -649,10 +669,24 @@ def pagerank_query(sf_dir: str, iters: int = 2):
                                   "b": pa.array(s * 2 + 1)})
         return t.group_by(["a", "b"], use_threads=False).aggregate([])
 
+    # distinct edges via a pid-routed in-task drop_duplicates, not
+    # Ray's sort-aggregate: edge-count-sized group counts degrade it
+    # (measured 5.7x on this step — same lesson as frequent_pairs)
+    def route(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_pandas_object(pd.Series(a * 1_000_003 + b),
+                                       index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(32)).astype(np.int64)))
+
+    def dd(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
     edges = li.map_batches(enc, batch_format="pyarrow") \
-        .groupby(["a", "b"]).count() \
-        .map_batches(lambda t: t.select(["a", "b"]),
-                     batch_format="pyarrow")
+        .map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(dd, batch_format="pandas")
     return pagerank_int(edges, iters=iters)
 
 

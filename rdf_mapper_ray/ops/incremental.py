@@ -26,6 +26,8 @@ import ray.data
 from rdf_mapper_ray.ops.dedup import HashText
 from rdf_mapper_ray.ops.io import write_partitioned
 
+from rdf_mapper_ray.ops.readers import read_table
+
 
 def build_hash_index(ds: "ray.data.Dataset", root: str,
                      id_col: str = "doc_id", text_col: str = "text",
@@ -88,11 +90,11 @@ def incremental_dedup_query(sf_dir: str):
     fp = f"{st.st_size}_{st.st_mtime_ns}"
     root = os.path.join(tempfile.gettempdir(),
                         f"rmr_hash_index_{os.path.basename(sf_dir)}_{fp}")
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(sf_dir, "documents",
                                  columns=["doc_id", "text"])
     # consume the receipts to drive the (resumable, skip-if-done) build
     build_hash_index(docs, root).materialize()
-    new = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    new = read_table(sf_dir, "documents",
                                 columns=["doc_id", "text"]) \
         .map_batches(_perturb, batch_format="pyarrow")
     return dedup_against_index(new, root)

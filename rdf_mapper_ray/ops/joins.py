@@ -23,6 +23,8 @@ import pyarrow as pa
 
 import ray.data
 
+from rdf_mapper_ray.ops.readers import read_table
+
 
 def asof_join_prior(left: "ray.data.Dataset", right: "ray.data.Dataset",
                     by: str, on: str,
@@ -253,8 +255,9 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     out_r_cols = [c + suffix if c in overlap else c for c in r_cols]
 
     if num_partitions is None:
-        from rdf_mapper_ray.ops.dedup import _num_partitions
-        num_partitions = _num_partitions(None)
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = max(partitions_for(left, 1),
+                             partitions_for(right, 1))
 
     def _pa_type(t):
         return t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t)
@@ -314,7 +317,7 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 def prior_purchase_query(sf_dir: str):
     """Every event joined to the same user's most recent strictly-prior
     purchase event."""
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(sf_dir, "events",
                                columns=["event_id", "user_id", "ts",
                                         "event_type"])
     left = ev.map_batches(
@@ -339,11 +342,9 @@ def order_customer_join_query(sf_dir: str):
     """Fact ⋈ dimension demo through the CO-PARTITION venue (the
     fact⋈fact scale path; the zero-shuffle broadcast venue is proven
     equal in tests/test_joins.py)."""
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
+    orders = read_table(sf_dir, "orders",
         columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet",
+    cust = read_table(sf_dir, "customer",
         columns=["c_custkey", "c_name", "c_mktsegment"])
     return equi_join(orders, cust, left_on="o_custkey",
                      right_on="c_custkey", how="inner",
@@ -358,11 +359,9 @@ def customers_no_urgent_orders_query(sf_dir: str):
     column before the shuffle — at corpus scale only matching keys
     move."""
     import pyarrow.dataset as pads
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet",
+    cust = read_table(sf_dir, "customer",
         columns=["c_custkey", "c_name", "c_mktsegment"])
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"],
         filter=pads.field("o_orderpriority") == "1-URGENT")
     return equi_join(cust, orders, left_on="c_custkey",
                      right_on="o_custkey", how="anti",
@@ -393,7 +392,7 @@ def _session_intervals(sf_dir: str, gap_seconds: float = 1800.0):
     vectorized across users)."""
     from rdf_mapper_ray.ops.sessions import (_assign_sessions_multi,
                                              _route_by_user)
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
                                columns=["event_id", "user_id", "ts"])
 
     def _spans(g: pd.DataFrame) -> pd.DataFrame:
@@ -413,7 +412,7 @@ def session_interval_join_query(sf_dir: str,
     containing it — computed via interval containment, while the oracle
     derives the same pairs through the gap-cumsum window formulation
     (two independent computation paths must agree)."""
-    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    events = read_table(sf_dir, "events",
                                    columns=["event_id", "user_id", "ts"])
     spans = _session_intervals(sf_dir, gap_seconds)
     out = interval_join(events, spans, by="user_id", on="ts",
@@ -467,12 +466,9 @@ def nation_revenue_query(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-    nation = ray.data.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     oc = equi_join(orders, cust, left_on="o_custkey",
                    right_on="c_custkey", how="inner", venue="copartition")
     ocn = equi_join(oc, nation, left_on="c_nationkey",

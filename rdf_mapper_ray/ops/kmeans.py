@@ -27,6 +27,8 @@ from ray.data.aggregate import Sum
 
 from rdf_mapper_ray.ops.similarity import _stack
 
+from rdf_mapper_ray.ops.readers import read_table
+
 
 def _seed_centroids(ds: "ray.data.Dataset", k: int, id_col: str,
                     vec_col: str) -> np.ndarray:
@@ -111,7 +113,7 @@ def kmeans_inertia(ds: "ray.data.Dataset", cent: np.ndarray,
 def kmeans_assign_query(sf_dir: str, k: int = 8):
     """One assignment round from the deterministic seeds — the
     SQL-replayable contract; output (vec_id, cluster)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_table(sf_dir, "embeddings",
                                columns=["vec_id", "embedding"])
     cent = _seed_centroids(ds, k, "vec_id", "embedding")
     ref = ray.put(cent)

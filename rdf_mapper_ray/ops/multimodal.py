@@ -26,6 +26,8 @@ import pyarrow as pa
 
 import ray.data
 
+from rdf_mapper_ray.ops.readers import read_table
+
 _MAGIC = b"FAKEIMG0"
 
 
@@ -60,7 +62,7 @@ def attach_payloads(batch: pa.Table, text_col: str = "text",
 
 
 def multimodal_dataset(sf_dir: str) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return ds.map_batches(attach_payloads, batch_format="pyarrow")
 

@@ -31,6 +31,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from rdf_mapper_ray.ops.readers import read_table
+
 
 def _lookup(m: dict, keys: list, idx: int, dtype) -> np.ndarray:
     """Broadcast-LUT probe that fails LOUDLY on a group the stats pass
@@ -107,7 +109,7 @@ def zscore_by(ds: "ray.data.Dataset", id_col: str = "event_id",
 
 
 def zscore_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
                                columns=["event_id", "event_type",
                                         "value"])
     return zscore_by(ds)
@@ -189,7 +191,7 @@ def target_encode_loo(ds: "ray.data.Dataset", id_col: str = "event_id",
 
 
 def target_encode_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
                                columns=["event_id", "event_type",
                                         "value"])
     return target_encode_loo(ds)
@@ -261,7 +263,7 @@ def rank_transform(ds: "ray.data.Dataset", id_col: str = "event_id",
 
 
 def rank_transform_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
                                columns=["event_id", "value"])
     return rank_transform(ds)
 

@@ -37,6 +37,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
+from rdf_mapper_ray.ops.readers import read_table
+
 DEFAULT_SEQ_LEN = 2048
 
 
@@ -54,8 +56,8 @@ def pack_sequences(ds: "ray.data.Dataset", id_col: str = "doc_id",
     Dataset (e.g. real BPE counts from ops/bpe.py) in place of the
     whitespace-regex proxy."""
     if num_partitions is None:
-        from rdf_mapper_ray.ops.dedup import _num_partitions
-        num_partitions = _num_partitions(None)
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 1)
 
     def count(batch: pa.Table) -> pa.Table:
         n = pc.count_substring_regex(batch.column(text_col),
@@ -118,7 +120,7 @@ def pack_sequences(ds: "ray.data.Dataset", id_col: str = "doc_id",
 
 
 def pack_sequences_query(sf_dir: str, seq_len: int = DEFAULT_SEQ_LEN):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return pack_sequences(ds, seq_len=seq_len)
 
@@ -205,7 +207,7 @@ def chunk_text(ds: "ray.data.Dataset", id_col: str = "doc_id",
 
 
 def chunk_text_query(sf_dir: str, size: int = 500, overlap: int = 100):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return chunk_text(ds, size=size, overlap=overlap)
 

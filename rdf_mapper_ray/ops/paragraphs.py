@@ -58,6 +58,8 @@ import ray.data
 
 from rdf_mapper_ray.ops.hashing import hash64
 
+from rdf_mapper_ray.ops.readers import read_table
+
 
 def _split_lists(batch: pa.Table, text_col: str, sep: str) -> pa.Array:
     """Per-row paragraph lists. Null text behaves like '' (one empty
@@ -323,7 +325,7 @@ _FOOTER = "FOOTER GROUP "
 
 
 def paragraph_dedup_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     n_docs = ds.count()  # metadata-only on a bare parquet read
 

@@ -21,6 +21,8 @@ import pyarrow as pa
 
 import ray.data
 
+from rdf_mapper_ray.ops.readers import read_table
+
 DEFAULT_QS = (0.25, 0.5, 0.9, 0.99)
 
 
@@ -72,7 +74,7 @@ def quantiles_by(ds: "ray.data.Dataset", value_col: str = "value",
 
 
 def quantiles_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
                                columns=["event_type", "value"])
     return quantiles_by(ds)
 
@@ -139,7 +141,7 @@ def approx_quantiles(ds: "ray.data.Dataset", id_col: str = "event_id",
 
 
 def approx_quantiles_query(sf_dir: str, k: int = 1024):
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
                                columns=["event_id", "value"])
     return approx_quantiles(ds, k=k, hash_fn="md5")
 
@@ -197,7 +199,7 @@ def value_histogram(ds: "ray.data.Dataset", value_col: str = "value",
 
 
 def value_histogram_query(sf_dir: str, width: float = 25.0):
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
                                columns=["value"])
     return value_histogram(ds, width=width)
 

@@ -41,6 +41,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from rdf_mapper_ray.ops.readers import read_table
+
 
 def _tok(col) -> tuple[pa.Array, pa.Array]:
     """(flat tokens, parent row indices) for a string column."""
@@ -282,7 +284,7 @@ DEMO_QUERIES = {0: ["hash", "join"], 1: ["window", "agg"],
 
 
 def bm25_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return bm25_search(ds, DEMO_QUERIES, k=10)
 

@@ -16,6 +16,8 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
+from rdf_mapper_ray.ops.readers import read_table
+
 
 def rollup_counts(ds: "ray.data.Dataset", keys: tuple[str, str],
                   sum_col: str) -> "ray.data.Dataset":
@@ -80,7 +82,7 @@ def _with_null(col: str, typ: "pa.DataType"):
 
 
 def rollup_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["source", "lang", "n_chars"])
     return rollup_counts(ds, keys=("source", "lang"), sum_col="n_chars")
 
@@ -147,7 +149,7 @@ def crosstab(ds: "ray.data.Dataset", a_col: str, b_col: str
 
 def crosstab_query(sf_dir: str):
     """event_type × weekday co-occurrence over the events table."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
                                columns=["event_type", "ts"])
 
     def add_dow(batch: pa.Table) -> pa.Table:

@@ -25,6 +25,8 @@ import ray.data
 from rdf_mapper_ray.ops.dedup import _vecs_from_block
 from rdf_mapper_ray.ops.similarity import IVFIndex
 
+from rdf_mapper_ray.ops.readers import read_table
+
 
 def semantic_dedup(ds: "ray.data.Dataset", id_col: str = "vec_id",
                    vec_col: str = "embedding",
@@ -60,7 +62,7 @@ def semantic_dedup_query(sf_dir: str):
     """Driver query runs the nclusters=1 exactness contract (see module
     docstring); the clustered scale path is covered by the superset
     unit in tests/test_semdedup.py."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_table(sf_dir, "embeddings",
                                columns=["vec_id", "embedding"])
     return semantic_dedup(ds, threshold=0.45, nclusters=1)
 

@@ -19,6 +19,8 @@ import pandas as pd
 
 import ray.data
 
+from rdf_mapper_ray.ops.readers import read_table
+
 
 def _assign_sessions(group: pd.DataFrame, ts_col: str, id_col: str,
                      gap_seconds: float) -> pd.DataFrame:
@@ -143,8 +145,7 @@ def running_totals(ds: "ray.data.Dataset", user_col: str = "user_id",
 
 
 def running_totals_query(sf_dir: str):
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
         columns=["event_id", "ts", "user_id", "value"])
     return running_totals(ds)
 
@@ -345,8 +346,7 @@ def session_window_agg(ds: "ray.data.Dataset",
 
 
 def session_window_query(sf_dir: str, gap_seconds: float = 3600.0):
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
         columns=["event_id", "user_id", "event_type", "ts", "value"])
     return session_window_agg(ds, gap_seconds=gap_seconds)
 
@@ -385,7 +385,7 @@ ORDER BY user_id, event_type, session_no
 
 
 def sessionize_query(sf_dir: str, gap_seconds: float = 1800.0):
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
                                columns=["event_id", "user_id", "ts"])
     return sessionize(ds, gap_seconds=gap_seconds)
 
@@ -421,7 +421,7 @@ ORDER BY user_id, session_no
 
 
 def session_stats_query(sf_dir: str, gap_seconds: float = 1800.0):
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
                                columns=["event_id", "user_id", "ts"])
     return session_stats(ds, gap_seconds=gap_seconds)
 
@@ -494,7 +494,7 @@ def event_gaps(ds: "ray.data.Dataset", user_col: str = "user_id",
 
 
 def event_gaps_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
                                columns=["event_id", "ts", "user_id"])
     return event_gaps(ds)
 
@@ -547,8 +547,7 @@ def user_sequences(ds: "ray.data.Dataset", user_col: str = "user_id",
 
 
 def user_sequences_query(sf_dir: str):
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
         columns=["event_id", "ts", "user_id", "event_type"])
     return user_sequences(ds)
 
@@ -619,8 +618,7 @@ def funnel_query(sf_dir: str):
     import pyarrow.dataset as pads
     import numpy as np
     cutoff = np.datetime64(_FUNNEL_CUTOFF, "us")
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
         columns=["ts", "user_id", "event_type"],
         filter=pads.field("ts") < cutoff)
     return funnel(ds)
@@ -709,7 +707,7 @@ def retention_cohorts(ds: "ray.data.Dataset", user_col: str = "user_id",
 
 
 def retention_cohorts_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
                                columns=["user_id", "ts", "event_type"])
     return retention_cohorts(ds)
 

@@ -21,6 +21,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from rdf_mapper_ray.ops.readers import read_table
+
 
 def _stack(col) -> np.ndarray:
     """list<float> column -> (n, d) float64 matrix (float64 so that the
@@ -116,7 +118,7 @@ def knn_bruteforce_self(sf_dir: str, num_queries: int = 8,
             if m]
     qvecs = [v for v, m in zip(tbl.column("embedding").to_pylist(), mask)
              if m]
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_table(sf_dir, "embeddings",
                                columns=["vec_id", "embedding"])
     return knn_bruteforce(ds, qids, qvecs, k=k)
 

@@ -19,6 +19,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from rdf_mapper_ray.ops.readers import read_table
+
 
 # BPE-ish pre-tokenizer: the GPT-2 pattern with its RE2-incompatible
 # trailing-space lookahead dropped — contractions, unicode letter runs,
@@ -134,8 +136,7 @@ def repetition_signals(ds: "ray.data.Dataset", text_col: str = "text",
 
 def repetition_query(sf_dir: str):
     import ray.data
-    return repetition_signals(ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+    return repetition_signals(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 REPETITION_ORACLE_SQL = r"""
@@ -472,8 +473,7 @@ def normalize_text(ds: "ray.data.Dataset", text_col: str = "text",
 
 def normalize_text_query(sf_dir: str):
     import ray.data as rd
-    return normalize_text(rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+    return normalize_text(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 NORMALIZE_TEXT_ORACLE_SQL = r"""
@@ -547,7 +547,7 @@ def dedup_lines_within_query(sf_dir: str):
     repeat words) — mirrored exactly in the SQL."""
     import ray.data as rd
     return dedup_lines_within(
-        rd.read_parquet(f"{sf_dir}/documents.parquet",
+        read_table(sf_dir, "documents",
                         columns=["doc_id", "text"]), sep=" ")
 
 
@@ -642,7 +642,7 @@ def lm_score(ds: "ray.data.Dataset", text_col: str = "text",
 
 
 def lm_score_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return lm_score(ds)
 

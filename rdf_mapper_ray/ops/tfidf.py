@@ -41,6 +41,8 @@ import ray.data
 
 from rdf_mapper_ray.ops.dedup import _num_partitions
 
+from rdf_mapper_ray.ops.readers import read_table
+
 
 def _batch_tf(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
     """(doc_id, term, tf) rows for one block — exact per-doc counts."""
@@ -169,7 +171,7 @@ def tfidf_top_terms(ds: "ray.data.Dataset", text_col: str = "text",
 
 
 def tfidf_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return tfidf_top_terms(ds, k=5, rows_hint=ds.count())
 

@@ -28,6 +28,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from rdf_mapper_ray.ops.readers import read_table
+
 _WS = r"\s+"
 
 
@@ -184,7 +186,7 @@ def heavy_hitters(ds: "ray.data.Dataset", text_col: str = "text",
 # --- driver queries + oracle -------------------------------------------------
 
 def top_k_query(sf_dir: str, k: int = 50):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["text"])
     return top_k_tokens(ds, k=k)
 
@@ -205,7 +207,7 @@ LIMIT {k}
 
 
 def heavy_hitters_query(sf_dir: str, capacity: int = 256):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["text"])
     return heavy_hitters(ds, capacity=capacity)
 
@@ -352,8 +354,8 @@ def grouped_top_n(ds: "ray.data.Dataset", group_col: str,
     import pandas as pd
 
     if num_partitions is None:
-        from rdf_mapper_ray.ops.dedup import _num_partitions
-        num_partitions = _num_partitions(None)
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 1)
 
     def _partial(batch: pa.Table) -> pa.Table:
         g = pd.DataFrame({
@@ -389,8 +391,7 @@ def grouped_top_n(ds: "ray.data.Dataset", group_col: str,
 
 def grouped_top_n_query(sf_dir: str):
     """Each customer's 3 most expensive orders."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
+    ds = read_table(sf_dir, "orders",
         columns=["o_orderkey", "o_custkey", "o_totalprice"])
     return grouped_top_n(ds, group_col="o_custkey",
                          value_col="o_totalprice",
@@ -456,7 +457,7 @@ def top_bigrams(ds: "ray.data.Dataset", text_col: str = "text",
 
 
 def top_bigrams_query(sf_dir: str, k: int = 30):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(sf_dir, "documents",
                                columns=["text"])
     return top_bigrams(ds, k=k)
 

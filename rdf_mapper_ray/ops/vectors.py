@@ -25,6 +25,8 @@ from ray.data.aggregate import Sum
 
 from rdf_mapper_ray.ops.similarity import _stack
 
+from rdf_mapper_ray.ops.readers import read_table
+
 _SCALE = 1_000_000
 
 
@@ -63,7 +65,7 @@ def label_centroids(ds: "ray.data.Dataset", label_col: str = "label",
 
 
 def label_centroids_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_table(sf_dir, "embeddings",
                                columns=["label", "embedding"])
     return label_centroids(ds)
 
@@ -153,7 +155,7 @@ def label_outliers(ds: "ray.data.Dataset", label_col: str = "label",
 
 
 def label_outliers_query(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_table(sf_dir, "embeddings",
                                columns=["vec_id", "label", "embedding"])
     return label_outliers(ds)
 

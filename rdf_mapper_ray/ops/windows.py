@@ -29,6 +29,8 @@ import pyarrow as pa
 
 import ray.data
 
+from rdf_mapper_ray.ops.readers import read_table
+
 _US = 1_000_000
 
 
@@ -133,14 +135,14 @@ def sliding_window_stats(ds: "ray.data.Dataset", ts_col: str = "ts",
 # --- driver queries + oracles ------------------------------------------------
 
 def tumbling_query(sf_dir: str, window_secs: int = 3600):
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
                                columns=["ts", "event_type", "value"])
     return tumbling_window_stats(ds, window_secs=window_secs)
 
 
 def sliding_query(sf_dir: str, window_secs: int = 3600,
                   slide_secs: int = 900):
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
                                columns=["ts", "value"])
     return sliding_window_stats(ds, window_secs=window_secs,
                                 slide_secs=slide_secs)
@@ -193,13 +195,18 @@ def event_type_pivot(ds: "ray.data.Dataset", user_col: str = "user_id",
 
     Map-side combine: each block reduces to at most one row per user in
     that block (counts and cent sums are associative), so the shuffle
-    carries user-count-sized partials, never events; one groupby(user)
-    sums the partials. Unknown event types are ignored (fixed output
-    schema — a pivot needs its columns known up front)."""
+    carries user-count-sized partials, never events; a hash(user)-
+    routed in-task merge sums the partials (Ray's sort-aggregate pays
+    per-group × per-column overhead that measured 2.6x slower than the
+    pid route on this 10-column pivot even at modest user counts).
+    Unknown event types are ignored (fixed output schema — a pivot
+    needs its columns known up front)."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
 
+    from rdf_mapper_ray.ops.dedup import partitions_for
+    num_partitions = partitions_for(ds, 8)
     cols = [f"n_{t}" for t in types] + [f"cents_{t}" for t in types]
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -220,21 +227,25 @@ def event_type_pivot(ds: "ray.data.Dataset", user_col: str = "user_id",
         wide = wide.reset_index()
         return pa.Table.from_pandas(wide, preserve_index=False)
 
-    partials = ds.map_batches(_partial, batch_format="pyarrow")
-    agg = partials.groupby("user").sum(cols)
-    rename = {f"sum({c})": c for c in cols}
+    def _route(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(t.column("user").to_pandas(),
+                                       index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
 
-    def _clean(t: pa.Table) -> pa.Table:
-        t = t.rename_columns([rename.get(c, c) for c in t.column_names])
-        return t.rename_columns(
-            [user_col if c == "user" else c for c in t.column_names])
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user", as_index=False)[cols].sum()
+        return out.rename(columns={"user": user_col})
 
-    return agg.map_batches(_clean, batch_format="pyarrow")
+    return ds.map_batches(_partial, batch_format="pyarrow") \
+        .map_batches(_route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(_merge, batch_format="pandas")
 
 
 def event_type_pivot_query(sf_dir: str):
     import ray.data as rd
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(sf_dir, "events",
                          columns=["user_id", "event_type", "value"])
     return event_type_pivot(ds)
 

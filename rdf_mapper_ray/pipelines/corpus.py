@@ -37,19 +37,24 @@ MIN_CHARS = 200
 
 
 def corpus_prep(sf_dir: str) -> "ray.data.Dataset":
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-        filter=pads.field("n_chars") >= MIN_CHARS)
+    from rdf_mapper_ray.ops.dedup import partitions_for
+    from rdf_mapper_ray.ops.readers import read_table
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      filter=pads.field("n_chars") >= MIN_CHARS)
 
     # content-hash survivors (min doc_id per hash), ids only
     # venue pinned: the auto venue would call right.count(), which
     # EXECUTES the computed dedup pipeline once for the count and again
     # for the join (same trap the broadcast venue's schema laziness
-    # fixed) — at corpus scale the survivor-id side is big anyway
+    # fixed) — at corpus scale the survivor-id side is big anyway.
+    # num_partitions pinned from the corpus row tag: the survivor side
+    # is derived (untagged), and the default would re-introduce the
+    # blocks x partitions sort floor on small corpora
     keep = exact_dedup(docs).select_columns(["doc_id"])
     survivors = equi_join(docs, keep, left_on="doc_id",
                           right_on="doc_id", how="semi",
-                          venue="copartition")
+                          venue="copartition",
+                          num_partitions=partitions_for(docs))
 
     # decontaminate carries the text in-band (keep_text) so the rest
     # of the pipeline is ONE linear stream: the survivors subtree is

@@ -57,14 +57,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rdf_mapper_ray.ops import (baskets, bpe, clusters, dedup, diff,
-                                    distinct, domains, editdist,
-                                    incremental, joins, multimodal,
-                                    cleaning, normalize, packing,
-                                    paragraphs, quantiles, graphs,
-                                    kmeans, retrieval, rollup, semdedup,
-                                    sessions, similarity, text, tfidf,
-                                    topk, vectors, windows)
+    from rdf_mapper_ray.ops import (baskets, bloom, bpe, clusters,
+                                    dedup, diff, distinct, domains,
+                                    editdist, incremental, joins,
+                                    multimodal, cleaning, normalize,
+                                    packing, paragraphs, quantiles,
+                                    graphs, kmeans, retrieval, rollup,
+                                    semdedup, sessions, similarity,
+                                    substrings, text, tfidf, topk,
+                                    vectors, windows)
     from rdf_mapper_ray.pipelines import corpus, relational, sourcecode
 
     import ray.data
@@ -167,14 +168,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # URL/domain curation: RE2 host parse + per-domain caps
         "domain_stats": domains.domain_stats_query,
         "domain_caps": domains.domain_caps_query,
-        # --- (d) r3 driver-hash-green ---
+        # Lee et al. 2022 exact-substring duplication (two-phase
+        # gram-string pipeline, SQL-exact)
+        "substring_dup": substrings.substring_dup_query,
+        # bloom-prefiltered exact semi-join (bloom join)
+        "bloom_semi_join": bloom.bloom_semi_join_query,
+        # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
+        # oracle's datatype column was re-typed this round) ---
+        "kg_nation_mapby": relational.nation_query,
         # --- KG construction (SURVEY.md §2) ---
         "kg_sourcecode": sourcecode.flagship,
         "kg_reconcile_canonicalize": sourcecode.reconciled,
         "kg_customer": relational.customer_query,
         "kg_orders": relational.orders_query,
         "kg_part_split": relational.part_query,
-        "kg_nation_mapby": relational.nation_query,
         "kg_events_nested": relational.events_query,
         "kg_lineitem_guards": relational.lineitem_query,
         "kg_events_mapto": relational.events_mapto_query,
@@ -228,14 +235,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rdf_mapper_ray.ops import (baskets, bpe, clusters, dedup, diff,
-                                    distinct, domains, editdist,
-                                    incremental, joins, multimodal,
-                                    cleaning, normalize, packing,
-                                    paragraphs, quantiles, graphs,
-                                    kmeans, retrieval, rollup, semdedup,
-                                    sessions, similarity, text, tfidf,
-                                    topk, vectors, windows)
+    from rdf_mapper_ray.ops import (baskets, bloom, bpe, clusters,
+                                    dedup, diff, distinct, domains,
+                                    editdist, incremental, joins,
+                                    multimodal, cleaning, normalize,
+                                    packing, paragraphs, quantiles,
+                                    graphs, kmeans, retrieval, rollup,
+                                    semdedup, sessions, similarity,
+                                    substrings, text, tfidf, topk,
+                                    vectors, windows)
     from rdf_mapper_ray.pipelines import corpus, relational, sourcecode
 
     return {
@@ -297,6 +305,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_bpe": bpe.pack_bpe_oracle_sql(),
         "domain_stats": domains.DOMAIN_STATS_ORACLE_SQL,
         "domain_caps": domains.domain_caps_oracle_sql(),
+        "substring_dup": substrings.substring_dup_oracle_sql(),
+        "bloom_semi_join": bloom.bloom_semi_join_oracle_sql(),
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

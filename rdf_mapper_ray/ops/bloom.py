@@ -1,0 +1,134 @@
+"""Bloom-prefiltered semi-join — the classic big-data join narrowing
+(Bloom 1970; the "bloom join" of distributed SQL engines): when the
+probe side is huge and selectivity is low, ship a compact bitset of
+the build side's keys to every probe task and drop non-matching rows
+BEFORE the exact join's shuffle. The bloom pass is only a prefilter
+(false positives survive it), so the exact co-partition semi-join on
+the survivors keeps the result EXACT — the oracle is plain SQL
+EXISTS, no approximation caveat.
+
+Scale shape: the bitset builds as per-block partial bitmaps OR-merged
+on the driver (m/8 bytes each — 1 MiB covers ~8.4 M bits), rides
+``ray.put`` once, and the probe is one vectorized double-hash per
+batch. The exchange that remains carries only rows that passed the
+bloom — at 1% selectivity that is 100x less shuffle volume than the
+naive semi-join."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from rdf_mapper_ray.ops.readers import read_table
+
+
+def _hash2(vals: np.ndarray, m: int):
+    """Two independent bit positions per key (Kirsch–Mitzenmacher
+    double hashing: h1 + i·h2 covers k probes; k=2 here)."""
+    s = pd.Series(vals)
+    h1 = pd.util.hash_pandas_object(s, index=False).to_numpy()
+    h2 = pd.util.hash_pandas_object(s, index=False,
+                                    hash_key="fedcba9876543210") \
+        .to_numpy()
+    return (h1 % np.uint64(m)).astype(np.int64), \
+        (h2 % np.uint64(m)).astype(np.int64)
+
+
+def build_bloom(keys: "ray.data.Dataset", key_col: str,
+                num_bits: int = 1 << 23) -> np.ndarray:
+    """-> packed uint8 bitmap of length num_bits/8: per-block partial
+    bitmaps OR-merge on the driver (block count × m/8 bytes total)."""
+    m = num_bits
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(key_col).to_numpy(zero_copy_only=False)
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        for pos in _hash2(v, m):
+            np.bitwise_or.at(bits, pos // 8,
+                             np.left_shift(np.uint8(1),
+                                           (pos % 8).astype(np.uint8)))
+        return pa.Table.from_pydict({"bits": pa.array([bits.tobytes()],
+                                                      pa.binary())})
+
+    out = np.zeros(m // 8, dtype=np.uint8)
+    for b in keys.map_batches(partial,
+                              batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for buf in b.column("bits").to_pylist():
+            out |= np.frombuffer(buf, dtype=np.uint8)
+    return out
+
+
+def bloom_semi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                    left_on: str, right_on: str,
+                    num_bits: int = 1 << 23,
+                    num_partitions: Optional[int] = None
+                    ) -> "ray.data.Dataset":
+    """EXACT semi-join (left rows whose key EXISTS in right) with a
+    bloom prefilter ahead of the co-partition exchange."""
+    from rdf_mapper_ray.ops.joins import equi_join
+
+    bits = build_bloom(right.select_columns([right_on]), right_on,
+                       num_bits)
+    ref = ray.put(bits)
+    m = num_bits
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        v = t.column(left_on).to_numpy(zero_copy_only=False)
+        keep = np.ones(len(v), dtype=bool)
+        for pos in _hash2(v, m):
+            keep &= (bm[pos // 8]
+                     & np.left_shift(np.uint8(1),
+                                     (pos % 8).astype(np.uint8))) != 0
+        return t.filter(pa.array(keep))
+
+    survivors = left.map_batches(prefilter, batch_format="pyarrow")
+    return equi_join(survivors, right, left_on=left_on,
+                     right_on=right_on, how="semi",
+                     venue="copartition",
+                     num_partitions=num_partitions)
+
+
+def bloom_semi_join_query(sf_dir: str, size: int = 50):
+    """Lineitems of size-50 parts: a low-selectivity probe where the
+    bloom drops ~98% of the fact side before the exchange."""
+    import pyarrow.dataset as pads
+
+    from rdf_mapper_ray.ops.dedup import partitions_for
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_quantity"])
+    parts = read_table(sf_dir, "part", columns=["p_partkey"],
+                       filter=pads.field("p_size") == size)
+    out = bloom_semi_join(li, parts, left_on="l_partkey",
+                          right_on="p_partkey",
+                          num_partitions=partitions_for(li))
+    import pyarrow.compute as pc
+
+    def shape(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(pc.multiply(
+            t.column("l_quantity"), 100.0)), pa.int64())
+        return pa.Table.from_pydict({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_partkey": t.column("l_partkey"),
+            "qty_cents": q,
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+def bloom_semi_join_oracle_sql(size: int = 50) -> str:
+    return f"""
+SELECT l_orderkey, l_partkey,
+       CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM part p
+              WHERE p.p_partkey = l.l_partkey AND p.p_size = {size})
+ORDER BY l_orderkey, l_partkey, qty_cents
+"""

@@ -60,12 +60,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_mapper_ray.ops import (baskets, bloom, bpe, clusters,
                                     dedup, diff, distinct, domains,
                                     editdist, incremental, joins,
-                                    multimodal, cleaning, normalize,
-                                    packing, paragraphs, quantiles,
-                                    graphs, kmeans, retrieval, rollup,
-                                    semdedup, sessions, similarity,
-                                    substrings, text, tfidf, topk,
-                                    vectors, windows)
+                                    multimodal, cleaning, nbayes,
+                                    normalize, packing, paragraphs,
+                                    quantiles, graphs, kmeans,
+                                    retrieval, rollup, semdedup,
+                                    sessions, similarity, substrings,
+                                    text, tfidf, topk, vectors,
+                                    windows)
     from rdf_mapper_ray.pipelines import corpus, relational, sourcecode
 
     import ray.data
@@ -173,6 +174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup": substrings.substring_dup_query,
         # bloom-prefiltered exact semi-join (bloom join)
         "bloom_semi_join": bloom.bloom_semi_join_query,
+        # distributed Naive Bayes train+classify (integer milli-nat
+        # contract; past position 50 this round -> driver row in r5)
+        "nb_classify": nbayes.nb_classify_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -238,12 +242,13 @@ def oracle_sql() -> dict[str, str]:
     from rdf_mapper_ray.ops import (baskets, bloom, bpe, clusters,
                                     dedup, diff, distinct, domains,
                                     editdist, incremental, joins,
-                                    multimodal, cleaning, normalize,
-                                    packing, paragraphs, quantiles,
-                                    graphs, kmeans, retrieval, rollup,
-                                    semdedup, sessions, similarity,
-                                    substrings, text, tfidf, topk,
-                                    vectors, windows)
+                                    multimodal, cleaning, nbayes,
+                                    normalize, packing, paragraphs,
+                                    quantiles, graphs, kmeans,
+                                    retrieval, rollup, semdedup,
+                                    sessions, similarity, substrings,
+                                    text, tfidf, topk, vectors,
+                                    windows)
     from rdf_mapper_ray.pipelines import corpus, relational, sourcecode
 
     return {
@@ -307,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_caps": domains.domain_caps_oracle_sql(),
         "substring_dup": substrings.substring_dup_oracle_sql(),
         "bloom_semi_join": bloom.bloom_semi_join_oracle_sql(),
+        "nb_classify": nbayes.NB_CLASSIFY_ORACLE_SQL,
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

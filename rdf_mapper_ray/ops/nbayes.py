@@ -1,0 +1,218 @@
+"""Distributed multinomial Naive Bayes — train AND classify as Ray
+Data passes (McCallum & Nigam 1998): the canonical "train a text
+classifier on the corpus you just cleaned" step of a data pipeline.
+
+Training is one map-side-combined (class, token) count pass — the
+shuffle carries (class, token, count) partials, vocab × classes-sized,
+never the corpus — plus a class-prior doc count. The fitted model
+(quantized log-probs) broadcasts once via ``ray.put``; classification
+is a vectorized pandas-map + bincount per batch, one pass per class
+over the flattened token buffer.
+
+Exactness contract (the lm_score rule): every per-TYPE log-probability
+— Laplace-smoothed ln((c+1)/(total_c+V)), the per-class missing-pair
+default ln(1/(total_c+V)), and the prior ln(n_c/n) — quantizes to
+integer MILLI-NATS (floor(ln·1000 + 0.5)) before any summation, so
+document scores are integer sums (identical under any order) and the
+SQL oracle replays them value-for-value. Argmax ties break on label
+ascending, replayed via row_number."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from rdf_mapper_ray.ops.readers import read_table
+
+_WS = r"\s+"
+
+
+def _q(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 1000.0 + 0.5).astype(np.int64)
+
+
+def nb_train(ds: "ray.data.Dataset", label_col: str = "source",
+             text_col: str = "text",
+             num_partitions: Optional[int] = None) -> dict:
+    """-> fitted model dict: classes (sorted), quantized priors,
+    per-class (token -> milli-nat log-prob) Series, per-class default.
+    The count pass is distributed; the model itself is
+    vocab × classes-sized driver state (broadcast by the caller)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lowered = pc.utf8_lower(pc.fill_null(col, ""))
+        lists = pc.split_pattern_regex(lowered, _WS)
+        lengths = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        labels = batch.column(label_col).to_pandas().to_numpy(object)
+        lab = np.repeat(labels, lengths)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"lab": lab[keep],
+                          "tok": flat.filter(pa.array(keep))
+                          .to_pandas()})
+        cnt = g.groupby(["lab", "tok"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        # doc-count partials ride along with tok='' (never a token)
+        docs = pd.DataFrame({"lab": labels, "tok": "", "c": 1}) \
+            .groupby(["lab", "tok"], as_index=False)["c"].sum()
+        out = pd.concat([cnt, docs])
+        out["c"] = out["c"].astype(np.int64)
+        pid = pd.util.hash_pandas_object(out["lab"].astype(str)
+                                         + "\x00" + out["tok"],
+                                         index=False).to_numpy()
+        out["pid"] = (pid % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["lab", "tok"], as_index=False)["c"].sum()
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pid").map_groups(merge, batch_format="pandas") \
+        .to_pandas()
+
+    tok_counts = counts[counts["tok"] != ""]
+    doc_counts = counts[counts["tok"] == ""] \
+        .groupby("lab")["c"].sum()
+    classes = sorted(doc_counts.index)
+    n_docs = int(doc_counts.sum())
+    vocab = tok_counts["tok"].nunique()
+
+    model = {"classes": classes, "vocab": int(vocab),
+             "prior": {}, "pair": {}, "default": {}}
+    for cls in classes:
+        sub = tok_counts[tok_counts["lab"] == cls]
+        tot = int(sub["c"].sum())
+        model["prior"][cls] = int(
+            _q(np.array([np.log(doc_counts[cls] / n_docs)]))[0])
+        ql = _q(np.log((sub["c"].to_numpy(np.int64) + 1.0)
+                       / (tot + vocab)))
+        model["pair"][cls] = pd.Series(ql, index=sub["tok"].to_numpy())
+        model["default"][cls] = int(
+            _q(np.array([np.log(1.0 / (tot + vocab))]))[0])
+    return model
+
+
+def nb_classify(ds: "ray.data.Dataset", model: dict,
+                id_col: str = "doc_id", text_col: str = "text"
+                ) -> "ray.data.Dataset":
+    """-> (id, pred, score_milli): argmax class per doc (ties -> label
+    ascending), integer milli-nat joint log-prob."""
+    ref = ray.put(model)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        classes = m["classes"]
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lowered = pc.utf8_lower(pc.fill_null(col, ""))
+        lists = pc.split_pattern_regex(lowered, _WS)
+        lengths = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        doc = np.repeat(np.arange(batch.num_rows), lengths)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = pd.Series(flat.filter(pa.array(keep)).to_pandas())
+        doc = doc[keep]
+        n = batch.num_rows
+        scores = np.empty((n, len(classes)), dtype=np.int64)
+        for j, cls in enumerate(classes):
+            ql = toks.map(m["pair"][cls]) \
+                .fillna(m["default"][cls]).to_numpy(np.int64)
+            scores[:, j] = m["prior"][cls] + np.bincount(
+                doc, weights=ql, minlength=n).astype(np.int64)
+        best = np.argmax(scores, axis=1)   # first max = label asc
+        return pa.Table.from_pydict({
+            id_col: batch.column(id_col),
+            "pred": pa.array([classes[j] for j in best], pa.string()),
+            "score_milli": pa.array(scores[np.arange(n), best]),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def nb_classify_query(sf_dir: str):
+    """Self-classification demo (train and score on the same corpus,
+    the lm_score convention): predict each document's source from its
+    text."""
+    train = read_table(sf_dir, "documents",
+                       columns=["source", "text"])
+    model = nb_train(train)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return nb_classify(ds, model)
+
+
+NB_CLASSIFY_ORACLE_SQL = """
+WITH tk AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(COALESCE(text, '')),
+                                        '\\s+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+lab AS (SELECT doc_id, source FROM documents),
+cnt AS (
+  SELECT l.source, t.tok, COUNT(*) AS c
+  FROM tk t JOIN lab l USING (doc_id) GROUP BY l.source, t.tok
+),
+totc AS (SELECT source, SUM(c) AS tot FROM cnt GROUP BY source),
+v AS (SELECT COUNT(DISTINCT tok) AS v FROM cnt),
+docs AS (SELECT source, COUNT(*) AS d FROM lab GROUP BY source),
+nn AS (SELECT SUM(d) AS n FROM docs),
+prior AS (
+  SELECT source,
+         CAST(floor(ln(CAST(d AS DOUBLE) / (SELECT n FROM nn))
+                    * 1000 + 0.5) AS BIGINT) AS pq
+  FROM docs
+),
+pairq AS (
+  SELECT c.source, c.tok,
+         CAST(floor(ln((c.c + 1.0) / (t.tot + (SELECT v FROM v)))
+                    * 1000 + 0.5) AS BIGINT) AS ql
+  FROM cnt c JOIN totc t USING (source)
+),
+dfltq AS (
+  SELECT source,
+         CAST(floor(ln(1.0 / (tot + (SELECT v FROM v)))
+                    * 1000 + 0.5) AS BIGINT) AS dq
+  FROM totc
+),
+scores AS (
+  SELECT l.doc_id, p.source,
+         p.pq + COALESCE(s.s, 0) AS score
+  FROM lab l
+  CROSS JOIN prior p
+  LEFT JOIN (
+    SELECT t.doc_id, d.source,
+           SUM(COALESCE(q.ql, d.dq)) AS s
+    FROM tk t
+    CROSS JOIN dfltq d
+    LEFT JOIN pairq q ON q.source = d.source AND q.tok = t.tok
+    GROUP BY t.doc_id, d.source) s
+    ON s.doc_id = l.doc_id AND s.source = p.source
+),
+ranked AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, source) AS rn
+  FROM scores
+)
+SELECT doc_id, source AS pred, CAST(score AS BIGINT) AS score_milli
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""

@@ -1,0 +1,60 @@
+"""Distributed Naive Bayes train + classify."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def test_nb_classify_matches_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import duckdb
+
+    import __ray_entry__ as E
+    from check_correctness import compare
+    sf = "/root/testdata/sf0.001"
+    got = E.queries()["nb_classify"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(E.oracle_sql()["nb_classify"]).fetchdf()
+    assert compare("nb_classify", got, want)
+
+
+def test_nb_separable_classes(ray_session):
+    from rdf_mapper_ray.ops.nbayes import nb_classify, nb_train
+    # disjoint vocabularies => perfect self-classification
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": i, "source": "cats",
+                     "text": "meow purr whiskers feline"})
+        rows.append({"doc_id": 100 + i, "source": "dogs",
+                     "text": "woof bark fetch canine"})
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df)
+    model = nb_train(ds, label_col="source")
+    assert model["classes"] == ["cats", "dogs"]
+    assert model["vocab"] == 8
+    out = nb_classify(ds.select_columns(["doc_id", "text"]),
+                      model).to_pandas().merge(
+        df[["doc_id", "source"]], on="doc_id")
+    assert (out["pred"] == out["source"]).all()
+    # scores are integer milli-nats
+    assert out["score_milli"].dtype == np.int64
+
+
+def test_nb_empty_doc_gets_prior_argmax(ray_session):
+    from rdf_mapper_ray.ops.nbayes import nb_classify, nb_train
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "source": ["a", "a", "a", "b"],
+        "text": ["x y", "x z", "x y", "w v"],
+    })
+    ds = ray.data.from_pandas(df)
+    model = nb_train(ds, label_col="source")
+    empty = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [9], "text": [""]}))
+    out = nb_classify(empty, model).to_pandas()
+    # no tokens -> prior argmax -> the 3x more common class 'a'
+    assert out["pred"].tolist() == ["a"]
+    assert out["score_milli"].iloc[0] == model["prior"]["a"]

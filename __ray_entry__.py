@@ -177,6 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed Naive Bayes train+classify (integer milli-nat
         # contract; past position 50 this round -> driver row in r5)
         "nb_classify": nbayes.nb_classify_query,
+        # SPARQL-core BGP over the materialized graph (engine/bgp.py)
+        "bgp_region_names": relational.bgp_region_names_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -313,6 +315,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup": substrings.substring_dup_oracle_sql(),
         "bloom_semi_join": bloom.bloom_semi_join_oracle_sql(),
         "nb_classify": nbayes.NB_CLASSIFY_ORACLE_SQL,
+        "bgp_region_names": relational.BGP_REGION_NAMES_ORACLE_SQL,
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

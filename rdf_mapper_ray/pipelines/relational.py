@@ -508,3 +508,33 @@ triples AS (
 )
 {_TRIPLE_SELECT}
 """
+
+
+# --- BGP query over the materialized graph -----------------------------------
+# SPARQL-core basic graph pattern evaluated with engine/bgp.py over the
+# nation pipeline's triple table: "every region's nations and their
+# names" — a path (region -hasNation-> nation) + star (name, type).
+
+def bgp_region_names_query(sf_dir: str) -> "ray.data.Dataset":
+    from rdf_mapper_ray.engine.bgp import bgp_match
+    trips = nation_query(sf_dir)
+    return bgp_match(trips, [
+        ("?region", f"{_EX}hasNation", "?nation"),
+        ("?nation", f"{_EX}name", "?name"),
+        ("?nation", _RDF_TYPE, f"{_EX}Nation"),
+    ])
+
+
+BGP_REGION_NAMES_ORACLE_SQL = f"""
+WITH trip AS ({NATION_ORACLE_SQL}),
+p1 AS (SELECT subject AS region, object_value AS nation FROM trip
+       WHERE predicate = '{_EX}hasNation'),
+p2 AS (SELECT subject AS nation, object_value AS name FROM trip
+       WHERE predicate = '{_EX}name'),
+p3 AS (SELECT subject AS nation FROM trip
+       WHERE predicate = '{_RDF_TYPE}'
+         AND object_value = '{_EX}Nation')
+SELECT p1.region, p1.nation, p2.name
+FROM p1 JOIN p2 USING (nation) JOIN p3 USING (nation)
+ORDER BY region, nation, name
+"""

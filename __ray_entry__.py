@@ -179,6 +179,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify": nbayes.nb_classify_query,
         # SPARQL-core BGP over the materialized graph (engine/bgp.py)
         "bgp_region_names": relational.bgp_region_names_query,
+        # SPARQL algebra one level up: OPTIONAL (left outer join over a
+        # guard-sparse property) and UNION+FILTER (null-padded arms)
+        "bgp_optional_tier": relational.bgp_optional_tier_query,
+        "bgp_union_filter": relational.bgp_union_filter_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -316,6 +320,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": bloom.bloom_semi_join_oracle_sql(),
         "nb_classify": nbayes.NB_CLASSIFY_ORACLE_SQL,
         "bgp_region_names": relational.BGP_REGION_NAMES_ORACLE_SQL,
+        "bgp_optional_tier": relational.BGP_OPTIONAL_TIER_ORACLE_SQL,
+        "bgp_union_filter": relational.BGP_UNION_FILTER_ORACLE_SQL,
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

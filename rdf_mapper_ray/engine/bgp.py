@@ -1,17 +1,29 @@
 """Basic-graph-pattern matching over the materialized triple table —
 the "query the graph you just built" step: SPARQL's BGP core (a
 conjunction of triple patterns with shared variables) evaluated as a
-left-deep chain of the repo's own distributed equi-joins.
+left-deep chain of the repo's own distributed equi-joins, plus the
+algebra one level up: OPTIONAL (left outer join), UNION (bag union of
+arms with null-padded variable alignment) and FILTER (vectorized
+constraint masks over the bindings).
 
 Each pattern first PRUNES the triple table with vectorized constant
 filters (subject / predicate / object equality — one Arrow mask per
 batch, predicate selectivity does the heavy lifting exactly as a
 triple-store's POS index would), projects its variables, and then
-joins the accumulated bindings on ONE shared variable per step
-(star / path / tree BGPs — the standard left-deep plan); any
-additional shared variables are checked with a post-join filter.
+joins the accumulated bindings on the shared variables (star / path /
+tree BGPs — the standard left-deep plan). Joins on ONE shared
+variable ride the distributed equi-join directly; multiple shared
+variables join on a composite key column built per batch (map-only).
 A pattern sharing NO variable with the bindings so far is a cartesian
 product and is rejected loudly.
+
+OPTIONAL groups follow SPARQL's well-designed-pattern restriction:
+every variable an optional group shares with the outside must be
+bound by the REQUIRED patterns (not by a sibling OPTIONAL), so each
+group is exactly one left outer join and unmatched bindings
+null-extend. FILTERs evaluate with SPARQL error semantics: a
+comparison touching an unbound (null) variable is an error, and an
+error eliminates the binding (``fill_null(mask, False)``).
 
 Scale: the triple table streams — each pattern's filter is map-only,
 and the only exchanges are the per-join co-partitions on the shared
@@ -20,7 +32,7 @@ join)."""
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -28,88 +40,249 @@ import pyarrow.compute as pc
 import ray.data
 
 _SLOTS = ("subject", "predicate", "object_value")
+_JK = "__jk"
+_SEP = "\x1f"
 
 
 def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
-def bgp_match(triples: "ray.data.Dataset",
-              patterns: list[tuple[str, str, str]],
-              num_partitions: Optional[int] = None
-              ) -> "ray.data.Dataset":
-    """-> Dataset of bindings, one column per distinct ``?var``."""
-    if not patterns:
-        raise ValueError("empty BGP")
+def _scan(triples: "ray.data.Dataset",
+          pattern: tuple[str, str, str]) -> "ray.data.Dataset":
+    """One triple pattern -> Dataset of its variable bindings."""
+    consts = [(slot, t) for slot, t in zip(_SLOTS, pattern)
+              if not _is_var(t)]
+    out_vars: list[tuple[str, str]] = []
+    seen: dict[str, str] = {}
+    dup_checks: list[tuple[str, str]] = []
+    for slot, t in zip(_SLOTS, pattern):
+        if _is_var(t):
+            name = t[1:]
+            if name in seen:        # ?x ?p ?x — same var twice
+                dup_checks.append((seen[name], slot))
+            else:
+                seen[name] = slot
+                out_vars.append((slot, name))
 
-    def scan(pattern: tuple[str, str, str]) -> "ray.data.Dataset":
-        consts = [(slot, t) for slot, t in zip(_SLOTS, pattern)
-                  if not _is_var(t)]
-        out_vars: list[tuple[str, str]] = []
-        seen: dict[str, str] = {}
-        dup_checks: list[tuple[str, str]] = []
-        for slot, t in zip(_SLOTS, pattern):
-            if _is_var(t):
-                name = t[1:]
-                if name in seen:        # ?x ?p ?x — same var twice
-                    dup_checks.append((seen[name], slot))
-                else:
-                    seen[name] = slot
-                    out_vars.append((slot, name))
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = None
+        for slot, val in consts:
+            m = pc.equal(batch.column(slot), val)
+            m = pc.fill_null(m, False)
+            mask = m if mask is None else pc.and_(mask, m)
+        for a, b in dup_checks:
+            m = pc.fill_null(pc.equal(batch.column(a),
+                                      batch.column(b)), False)
+            mask = m if mask is None else pc.and_(mask, m)
+        if mask is not None:
+            batch = batch.filter(mask)
+        return pa.Table.from_pydict({
+            name: batch.column(slot) for slot, name in out_vars})
 
-        def fn(batch: pa.Table) -> pa.Table:
-            mask = None
-            for slot, val in consts:
-                m = pc.equal(batch.column(slot), val)
-                m = pc.fill_null(m, False)
-                mask = m if mask is None else pc.and_(mask, m)
-            for a, b in dup_checks:
-                m = pc.fill_null(pc.equal(batch.column(a),
-                                          batch.column(b)), False)
-                mask = m if mask is None else pc.and_(mask, m)
-            if mask is not None:
-                batch = batch.filter(mask)
-            return pa.Table.from_pydict({
-                name: batch.column(slot) for slot, name in out_vars})
+    return triples.map_batches(fn, batch_format="pyarrow")
 
-        return triples.map_batches(fn, batch_format="pyarrow")
 
-    from rdf_mapper_ray.ops.dedup import partitions_for
+def _with_jk(ds: "ray.data.Dataset", vars_: Sequence[str]
+             ) -> "ray.data.Dataset":
+    """Append a composite string join key over ``vars_`` (map-only).
+    A null in any component nulls the key, so SQL join semantics give
+    SPARQL's "unbound never matches a bound value" for free."""
+    cols = list(vars_)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if len(cols) == 1:
+            key = batch.column(cols[0])
+        else:
+            key = pc.binary_join_element_wise(
+                *[batch.column(c).cast(pa.string()) for c in cols],
+                _SEP, null_handling="emit_null")
+        return batch.append_column(_JK, key.cast(pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _str_schema(vars_: Sequence[str]) -> pa.Schema:
+    """Static schema of a binding set + join key — every BGP binding
+    column is a string (the triple table carries strings), so an
+    empty scan never strands a join without a schema."""
+    return pa.schema([(v, pa.string()) for v in vars_]
+                     + [(_JK, pa.string())])
+
+
+def _eval_required(triples: "ray.data.Dataset",
+                   patterns: list[tuple[str, str, str]],
+                   num_partitions: int
+                   ) -> tuple["ray.data.Dataset", list[str]]:
     from rdf_mapper_ray.ops.joins import equi_join
-    if num_partitions is None:
-        num_partitions = partitions_for(triples, 8)
 
-    acc = scan(patterns[0])
-    acc_vars = [t[1:] for t in patterns[0] if _is_var(t)]
+    acc = _scan(triples, patterns[0])
+    acc_vars = []
+    for t in patterns[0]:
+        if _is_var(t) and t[1:] not in acc_vars:
+            acc_vars.append(t[1:])
     for pattern in patterns[1:]:
-        pat_vars = [t[1:] for t in pattern if _is_var(t)]
+        pat_vars = []
+        for t in pattern:
+            if _is_var(t) and t[1:] not in pat_vars:
+                pat_vars.append(t[1:])
         shared = [v for v in pat_vars if v in acc_vars]
         if not shared:
             raise ValueError(
                 f"pattern {pattern} shares no variable with the "
                 f"bindings so far ({acc_vars}) — cartesian BGPs are "
                 f"not supported")
-        rhs = scan(pattern)
-        join_var, rest = shared[0], shared[1:]
-        acc = equi_join(acc, rhs, left_on=join_var, right_on=join_var,
-                        how="inner", venue="copartition",
-                        num_partitions=num_partitions)
+        rhs = _scan(triples, pattern)
+        acc = equi_join(_with_jk(acc, shared), _with_jk(rhs, shared),
+                        left_on=_JK, right_on=_JK, how="inner",
+                        venue="copartition",
+                        num_partitions=num_partitions,
+                        left_schema=_str_schema(acc_vars),
+                        right_schema=_str_schema(pat_vars))
+        drop = [_JK, _JK + "_r"] + [v + "_r" for v in shared]
 
-        drop = [join_var + "_r"] + [v + "_r" for v in rest]
-
-        def post(batch: pa.Table, _rest=tuple(rest), _drop=tuple(drop)
-                 ) -> pa.Table:
-            mask = None
-            for v in _rest:
-                m = pc.fill_null(pc.equal(batch.column(v),
-                                          batch.column(v + "_r")),
-                                 False)
-                mask = m if mask is None else pc.and_(mask, m)
-            if mask is not None:
-                batch = batch.filter(mask)
+        def post(batch: pa.Table, _drop=tuple(drop)) -> pa.Table:
             return batch.drop_columns(
                 [c for c in _drop if c in batch.column_names])
 
         acc = acc.map_batches(post, batch_format="pyarrow")
         acc_vars += [v for v in pat_vars if v not in acc_vars]
+    return acc, acc_vars
+
+
+_FILTER_OPS = {
+    "==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+    "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
+}
+
+
+def _apply_filters(ds: "ray.data.Dataset",
+                   filters: Sequence[tuple[str, str, str]],
+                   acc_vars: Sequence[str]) -> "ray.data.Dataset":
+    """FILTER constraints: ``(lhs, op, rhs)`` where lhs/rhs are
+    ``?var`` or literal strings and op is one of == != < <= > >=
+    contains ~ (regex). String comparison semantics (the triple table
+    carries strings); error-eliminates on unbound."""
+    for lhs, op, rhs in filters:
+        for term in (lhs, rhs):
+            if _is_var(term) and term[1:] not in acc_vars:
+                raise ValueError(f"FILTER references unbound {term}")
+        if op not in _FILTER_OPS and op not in ("contains", "~"):
+            raise ValueError(f"unsupported FILTER op {op!r}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = None
+        for lhs, op, rhs in filters:
+            lv = batch.column(lhs[1:]) if _is_var(lhs) else lhs
+            rv = batch.column(rhs[1:]) if _is_var(rhs) else rhs
+            if op == "contains":
+                m = pc.match_substring(lv, rv)
+            elif op == "~":
+                m = pc.match_substring_regex(lv, rv)
+            else:
+                m = _FILTER_OPS[op](lv, rv)
+            m = pc.fill_null(m, False)
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(mask) if mask is not None else batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bgp_match(triples: "ray.data.Dataset",
+              patterns: list[tuple[str, str, str]],
+              optional: Optional[list[list[tuple[str, str, str]]]] = None,
+              filters: Optional[Sequence[tuple[str, str, str]]] = None,
+              num_partitions: Optional[int] = None
+              ) -> "ray.data.Dataset":
+    """-> Dataset of bindings, one column per distinct ``?var``.
+
+    ``patterns`` is the required BGP; ``optional`` is a list of
+    pattern GROUPS, each evaluated as its own BGP and left-outer
+    joined on the variables it shares with the required part (which
+    must all be required-bound — the well-designed restriction);
+    ``filters`` are ``(lhs, op, rhs)`` constraints applied last."""
+    if not patterns:
+        raise ValueError("empty BGP")
+    from rdf_mapper_ray.ops.dedup import partitions_for
+    from rdf_mapper_ray.ops.joins import equi_join
+    if num_partitions is None:
+        num_partitions = partitions_for(triples, 8)
+
+    acc, acc_vars = _eval_required(triples, patterns, num_partitions)
+    required_vars = list(acc_vars)
+
+    for group in (optional or []):
+        g_ds, g_vars = _eval_required(triples, group, num_partitions)
+        shared = [v for v in g_vars if v in acc_vars]
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL group {group} shares no variable with the "
+                f"required patterns — cartesian OPTIONALs are not "
+                f"supported")
+        not_required = [v for v in shared if v not in required_vars]
+        if not_required:
+            raise ValueError(
+                f"OPTIONAL group {group} joins on {not_required}, "
+                f"bound only by a sibling OPTIONAL — only "
+                f"well-designed patterns are supported")
+        acc = equi_join(_with_jk(acc, shared), _with_jk(g_ds, shared),
+                        left_on=_JK, right_on=_JK, how="left",
+                        venue="copartition",
+                        num_partitions=num_partitions,
+                        left_schema=_str_schema(acc_vars),
+                        right_schema=_str_schema(g_vars))
+        drop = [_JK, _JK + "_r"] + [v + "_r" for v in shared]
+
+        def post(batch: pa.Table, _drop=tuple(drop)) -> pa.Table:
+            return batch.drop_columns(
+                [c for c in _drop if c in batch.column_names])
+
+        acc = acc.map_batches(post, batch_format="pyarrow")
+        acc_vars += [v for v in g_vars if v not in acc_vars]
+
+    if filters:
+        acc = _apply_filters(acc, filters, acc_vars)
     return acc
+
+
+def bgp_union(triples: "ray.data.Dataset",
+              arms: list[dict],
+              num_partitions: Optional[int] = None
+              ) -> "ray.data.Dataset":
+    """SPARQL UNION: evaluate each arm (a dict of ``bgp_match``
+    kwargs: patterns / optional / filters) and take the bag union of
+    the binding multisets, null-padding variables an arm does not
+    bind (SPARQL bindings are partial functions; UNION does not
+    require arms to share a schema)."""
+    if not arms:
+        raise ValueError("empty UNION")
+    results = []
+    all_vars: list[str] = []
+    for arm in arms:
+        ds = bgp_match(triples, num_partitions=num_partitions, **arm)
+        vars_ = []
+        for p in list(arm["patterns"]) + [
+                q for g in arm.get("optional") or [] for q in g]:
+            for t in p:
+                if _is_var(t) and t[1:] not in vars_:
+                    vars_.append(t[1:])
+        results.append((ds, vars_))
+        all_vars += [v for v in vars_ if v not in all_vars]
+
+    padded = []
+    for ds, vars_ in results:
+        missing = [v for v in all_vars if v not in vars_]
+
+        def pad(batch: pa.Table, _missing=tuple(missing),
+                _order=tuple(all_vars)) -> pa.Table:
+            for v in _missing:
+                batch = batch.append_column(
+                    v, pa.nulls(batch.num_rows, type=pa.string()))
+            return batch.select(list(_order))
+
+        padded.append(ds.map_batches(pad, batch_format="pyarrow"))
+
+    out = padded[0]
+    for ds in padded[1:]:
+        out = out.union(ds)
+    return out

@@ -165,7 +165,10 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               venue: str | None = None,
               broadcast_max_rows: int = 1_000_000,
               num_partitions: int | None = None,
-              suffix: str = "_r") -> "ray.data.Dataset":
+              suffix: str = "_r",
+              left_schema: "pa.Schema | None" = None,
+              right_schema: "pa.Schema | None" = None
+              ) -> "ray.data.Dataset":
     """General distributed equi-join (Ray Data 2.49 ships no native
     join operator). SQL null semantics: a null key never matches.
 
@@ -229,8 +232,13 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         # left.schema() — on a computed left side (a chained join, a
         # map_groups output) that call would execute the upstream
         # pipeline once just for the schema and again for the real run
-        rt_all = pa.concat_tables(
-            right.iter_batches(batch_format="pyarrow"))
+        batches = list(right.iter_batches(batch_format="pyarrow"))
+        if not batches and right_schema is None:
+            raise ValueError(
+                "broadcast side is empty and its schema is "
+                "unrecoverable — pass right_schema (pa.Schema)")
+        rt_all = pa.concat_tables(batches) if batches \
+            else right_schema.empty_table()
         ref = ray.put(rt_all)
 
         def merge_block(batch: pa.Table) -> pa.Table:
@@ -245,8 +253,15 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
         return left.map_batches(merge_block, batch_format="pyarrow")
 
-    l_schema = left.schema()
-    r_schema = right.schema()
+    # an all-empty computed side loses its schema in Ray (zero output
+    # blocks survive) — the caller-supplied hint keeps the join total
+    l_schema = left.schema() or left_schema
+    r_schema = right.schema() or right_schema
+    if l_schema is None or r_schema is None:
+        raise ValueError(
+            "join side is empty and its schema is unrecoverable — pass "
+            "left_schema/right_schema (pa.Schema) for computed sides "
+            "that may be empty")
     l_cols = list(l_schema.names)
     r_cols = list(r_schema.names)
     # suffix EVERY right column colliding with a left name — including

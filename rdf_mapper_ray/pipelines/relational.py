@@ -538,3 +538,99 @@ SELECT p1.region, p1.nation, p2.name
 FROM p1 JOIN p2 USING (nation) JOIN p3 USING (nation)
 ORDER BY region, nation, name
 """
+
+
+# --- BGP OPTIONAL over a guard-shaped graph ----------------------------------
+# SPARQL OPTIONAL needs bindings that genuinely FAIL to match; the
+# testdata has no null columns, so the misses come from mapping
+# semantics instead: a guarded resource (M3) emits an <ex:tier> triple
+# only for customers with acctbal > 5000, and the OPTIONAL group
+# left-joins against that sparse property — unmatched customers
+# null-extend exactly as SPARQL's left outer join prescribes.
+
+BGP_CUST_GRAPH_SPEC = {
+    "globals": {"$datasetID": "tpch"},
+    "namespaces": {"ex": _EX},
+    "resources": [
+        {
+            "name": "customer",
+            "properties": {
+                "@id": "<http://example.org/cust/{c_custkey}>",
+                "@type": "<ex:Customer>",
+                "<ex:name>": "{c_name}",
+                "<ex:segment>": "{c_mktsegment | toLower}",
+            },
+        },
+        {
+            "name": "vip",
+            "guard": "float(c_acctbal) > 5000",
+            "properties": {
+                "@id": "<http://example.org/cust/{c_custkey}>",
+                "<ex:tier>": "{c_mktsegment | slug}",
+            },
+        },
+    ],
+}
+
+
+def _cust_graph(sf_dir: str) -> "ray.data.Dataset":
+    return _run(BGP_CUST_GRAPH_SPEC, f"{sf_dir}/customer.parquet",
+                ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+
+
+def bgp_optional_tier_query(sf_dir: str) -> "ray.data.Dataset":
+    from rdf_mapper_ray.engine.bgp import bgp_match
+    return bgp_match(_cust_graph(sf_dir), [
+        ("?c", _RDF_TYPE, f"{_EX}Customer"),
+        ("?c", f"{_EX}name", "?name"),
+    ], optional=[[("?c", f"{_EX}tier", "?tier")]])
+
+
+BGP_OPTIONAL_TIER_ORACLE_SQL = f"""
+WITH cust AS (
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR) AS c,
+         c_name AS name,
+         CASE WHEN c_acctbal > 5000
+              THEN replace(lower(c_mktsegment), ' ', '-') END AS tier
+  FROM customer
+)
+SELECT c, name, tier FROM cust ORDER BY c
+"""
+
+
+# --- BGP UNION + FILTER over the customer+orders graph -----------------------
+# Two arms binding DIFFERENT variable sets (SPARQL bindings are
+# partial functions — UNION null-pads), each with its own FILTER:
+# building-segment customers UNION high/urgent-priority orders.
+
+def bgp_union_filter_query(sf_dir: str) -> "ray.data.Dataset":
+    from rdf_mapper_ray.engine.bgp import bgp_union
+    trips = customer_query(sf_dir).union(orders_query(sf_dir))
+    return bgp_union(trips, [
+        {"patterns": [("?x", _RDF_TYPE, f"{_EX}Customer"),
+                      ("?x", f"{_EX}segment", "?seg")],
+         "filters": [("?seg", "==", "building")]},
+        {"patterns": [("?x", _RDF_TYPE, f"{_EX}Order"),
+                      ("?x", f"{_EX}priority", "?prio")],
+         "filters": [("?prio", "~", "high|urgent")]},
+    ])
+
+
+BGP_UNION_FILTER_ORACLE_SQL = """
+WITH cust AS (
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR) AS x,
+         lower(c_mktsegment) AS seg
+  FROM customer WHERE lower(c_mktsegment) = 'building'
+),
+ords AS (
+  SELECT 'http://example.org/order/' || CAST(o_orderkey AS VARCHAR) AS x,
+         replace(lower(o_orderpriority), ' ', '-') AS prio
+  FROM orders
+  WHERE regexp_matches(replace(lower(o_orderpriority), ' ', '-'),
+                       'high|urgent')
+)
+SELECT x, seg, CAST(NULL AS VARCHAR) AS prio FROM cust
+UNION ALL
+SELECT x, CAST(NULL AS VARCHAR) AS seg, prio FROM ords
+ORDER BY x
+"""

@@ -78,3 +78,103 @@ def test_bgp_region_names_matches_oracle(ray_session):
                     f"read_parquet('{sf}/{t}.parquet')")
     want = con.execute(E.oracle_sql()["bgp_region_names"]).fetchdf()
     assert compare("bgp_region_names", got, want)
+
+
+def test_bgp_optional_null_extends(ray_session):
+    from rdf_mapper_ray.engine.bgp import bgp_match
+    t = _triples([
+        ("n1", "type", "Nation"), ("n2", "type", "Nation"),
+        ("n1", "motto", "onward"),   # n2 has no motto
+    ])
+    out = bgp_match(t, [("?n", "type", "Nation")],
+                    optional=[[("?n", "motto", "?m")]],
+                    num_partitions=4).to_pandas() \
+        .sort_values("n").reset_index(drop=True)
+    assert out["n"].tolist() == ["n1", "n2"]
+    assert out["m"].tolist()[0] == "onward"
+    assert pd.isna(out["m"].tolist()[1])
+
+
+def test_bgp_optional_multi_pattern_group(ray_session):
+    from rdf_mapper_ray.engine.bgp import bgp_match
+    t = _triples([
+        ("c1", "type", "C"), ("c2", "type", "C"),
+        ("o1", "cust", "c1"), ("o1", "status", "open"),
+        ("o2", "cust", "c1"),  # o2 has no status -> group misses it
+    ])
+    out = bgp_match(t, [("?c", "type", "C")],
+                    optional=[[("?o", "cust", "?c"),
+                               ("?o", "status", "?st")]],
+                    num_partitions=4).to_pandas() \
+        .sort_values(["c", "o"], na_position="last") \
+        .reset_index(drop=True)
+    # c1 matched once (o1/open); c2 null-extended
+    assert out[["c"]].to_numpy().ravel().tolist() == ["c1", "c2"]
+    assert out.loc[0, "o"] == "o1" and out.loc[0, "st"] == "open"
+    assert pd.isna(out.loc[1, "o"]) and pd.isna(out.loc[1, "st"])
+
+
+def test_bgp_optional_rejects_ill_designed(ray_session):
+    from rdf_mapper_ray.engine.bgp import bgp_match
+    t = _triples([("a", "p", "b")])
+    with pytest.raises(ValueError, match="well-designed"):
+        bgp_match(t, [("?x", "p", "?y")],
+                  optional=[[("?x", "q", "?z")],
+                            [("?z", "r", "?w")]],
+                  num_partitions=4).to_pandas()
+
+
+def test_bgp_filters(ray_session):
+    from rdf_mapper_ray.engine.bgp import bgp_match
+    t = _triples([
+        ("a", "name", "alpha"), ("b", "name", "beta"),
+        ("c", "name", "gamma"),
+    ])
+    out = bgp_match(t, [("?x", "name", "?n")],
+                    filters=[("?n", "~", "a$"), ("?n", "!=", "beta")],
+                    num_partitions=4).to_pandas()
+    assert sorted(out["n"]) == ["alpha", "gamma"]
+    # error semantics: filter on a null (unbound optional) eliminates
+    t2 = _triples([("a", "type", "T"), ("b", "type", "T"),
+                   ("a", "tag", "keep")])
+    out2 = bgp_match(t2, [("?x", "type", "T")],
+                     optional=[[("?x", "tag", "?g")]],
+                     filters=[("?g", "==", "keep")],
+                     num_partitions=4).to_pandas()
+    assert out2["x"].tolist() == ["a"]
+
+
+def test_bgp_union_pads_and_bags(ray_session):
+    from rdf_mapper_ray.engine.bgp import bgp_union
+    t = _triples([
+        ("c1", "type", "C"), ("c1", "seg", "bldg"),
+        ("o1", "type", "O"), ("o1", "prio", "high"),
+        ("o2", "type", "O"), ("o2", "prio", "low"),
+    ])
+    out = bgp_union(t, [
+        {"patterns": [("?x", "type", "C"), ("?x", "seg", "?seg")]},
+        {"patterns": [("?x", "type", "O"), ("?x", "prio", "?prio")],
+         "filters": [("?prio", "==", "high")]},
+    ], num_partitions=4).to_pandas().sort_values("x") \
+        .reset_index(drop=True)
+    assert out["x"].tolist() == ["c1", "o1"]
+    assert out.loc[0, "seg"] == "bldg" and pd.isna(out.loc[0, "prio"])
+    assert pd.isna(out.loc[1, "seg"]) and out.loc[1, "prio"] == "high"
+
+
+def test_bgp_optional_tier_and_union_match_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import duckdb
+
+    import __ray_entry__ as E
+    from check_correctness import compare
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["customer", "orders"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    for name in ["bgp_optional_tier", "bgp_union_filter"]:
+        got = E.queries()[name](sf).to_pandas()
+        want = con.execute(E.oracle_sql()[name]).fetchdf()
+        assert compare(name, got, want)

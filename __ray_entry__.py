@@ -183,6 +183,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # guard-sparse property) and UNION+FILTER (null-padded arms)
         "bgp_optional_tier": relational.bgp_optional_tier_query,
         "bgp_union_filter": relational.bgp_union_filter_query,
+        # Lee et al. span EXCISION: cut every duplicated k-gram span,
+        # emit the cleaned text (interval-cover rebuild per doc)
+        "substring_excise": substrings.substring_excise_query,
+        # Naive Bayes with a REAL held-out split (md5-bucket train/test)
+        "nb_holdout": nbayes.nb_holdout_query,
+        # IDF-weighted minhash: stop-shingle (df > max_df) filter on
+        # the signatures, SpotSigs-style; banding replayed in SQL
+        "dedup_minhash_idf": lambda sf: dedup.minhash_idf_pairs(
+            _docs(sf, ["doc_id", "text"]), hash_fn="md5"),
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -322,6 +331,9 @@ def oracle_sql() -> dict[str, str]:
         "bgp_region_names": relational.BGP_REGION_NAMES_ORACLE_SQL,
         "bgp_optional_tier": relational.BGP_OPTIONAL_TIER_ORACLE_SQL,
         "bgp_union_filter": relational.BGP_UNION_FILTER_ORACLE_SQL,
+        "substring_excise": substrings.substring_excise_oracle_sql(),
+        "nb_holdout": nbayes.nb_holdout_oracle_sql(),
+        "dedup_minhash_idf": dedup.minhash_idf_oracle_sql(),
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

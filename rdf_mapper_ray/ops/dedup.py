@@ -169,20 +169,42 @@ class MinHashSignatures:
     Permutation parameters are generated once per actor in ``__init__``
     (deterministic seed), signatures are computed with one vectorised
     (num_shingles × num_perm) universal-hash broadcast per document.
-    """
+
+    ``stop_ref`` (optional): a ``ray.put`` ObjectRef of a sorted uint64
+    array of STOP-shingle hashes (corpus-boilerplate, df > max_df —
+    the SpotSigs-style IDF weighting, Theobald et al. SIGIR'08). Stops
+    are filtered out before hashing-for-min; a document whose every
+    shingle is stopped drops from the output entirely (it has no
+    informative content to be near-duplicate BY). The ref resolves
+    once per worker from the local object store, never re-ships."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  num_perm: int = 128, shingle_k: int = 5,
-                 seed: int = 42, hash_fn: str = "pandas") -> None:
+                 seed: int = 42, hash_fn: str = "pandas",
+                 stop_ref=None) -> None:
         self.text_col = text_col
         self.id_col = id_col
         self.num_perm = num_perm
         self.k = shingle_k
         self.hash_fn = hash_fn
         self.a, self.b = _minhash_params(num_perm, seed)
+        self.stop_ref = stop_ref
+        self._stop_arr: Optional[np.ndarray] = None
 
-    def signature(self, text: str) -> np.ndarray:
+    def _stops(self) -> Optional[np.ndarray]:
+        if self.stop_ref is None:
+            return None
+        if self._stop_arr is None:
+            self._stop_arr = ray.get(self.stop_ref)
+        return self._stop_arr
+
+    def signature(self, text: str) -> Optional[np.ndarray]:
         sh = _shingle_hashes_batch([text], self.k, self.hash_fn)[0]
+        stop = self._stops()
+        if stop is not None and len(sh):
+            sh = sh[~np.isin(sh, stop)]
+        if not len(sh):
+            return None
         # universal hashing: (a*x + b) mod p, min over shingles
         vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
         return vals.min(axis=0)
@@ -194,6 +216,19 @@ class MinHashSignatures:
         # chunk of docs, ONE (shingles × perms) broadcast, per-doc min
         # via minimum.reduceat — ~2x the per-doc loop, bounded memory
         sh_lists = _shingle_hashes_batch(texts, self.k, self.hash_fn)
+        stop = self._stops()
+        if stop is not None and sh_lists:
+            # ONE concatenated isin over the whole batch, then
+            # boolean-filter each per-doc view of the flat mask
+            flat = np.concatenate(sh_lists)
+            keep_mask = ~np.isin(flat, stop)
+            bounds = np.cumsum([len(s) for s in sh_lists])[:-1]
+            sh_lists = [s[m] for s, m in
+                        zip(np.split(flat, bounds),
+                            np.split(keep_mask, bounds))]
+            survivors = [i for i, s in enumerate(sh_lists) if len(s)]
+            ids = [ids[i] for i in survivors]
+            sh_lists = [sh_lists[i] for i in survivors]
         sigs: list[np.ndarray] = []
         CH = 64
         for i in range(0, len(sh_lists), CH):
@@ -294,6 +329,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                       seed: int = 42,
                       broadcast_max_docs: int = 100_000,
                       hash_fn: str = "pandas",
+                      stop_ref=None,
                       ) -> "ray.data.Dataset":
     """Candidate near-duplicate pairs (left_id < right_id, est_jaccard ≥
     threshold by signature agreement).
@@ -309,7 +345,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     num_partitions = _num_partitions(ds.count())
     sigs = ds.map_batches(
         MinHashSignatures(text_col, id_col, num_perm, shingle_k, seed,
-                          hash_fn),
+                          hash_fn, stop_ref=stop_ref),
         batch_format="pyarrow", concurrency=None)
     banded = sigs.map_batches(BandEmitter(num_bands, id_col),
                               batch_format="pyarrow")
@@ -354,7 +390,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     # pass and meet the pairs in a pid-routed co-partition join.
     n_pairs = cand.count()
     sketcher = MinHashSignatures(text_col, id_col, num_perm, shingle_k,
-                                 seed, hash_fn)
+                                 seed, hash_fn, stop_ref=stop_ref)
 
     def as_payload(t: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({
@@ -388,6 +424,91 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     return _verify_pairs_distributed(
         cand, payloads, threshold, num_partitions,
         _prep_signature, _score_signature, "est_jaccard")
+
+
+def stop_shingles(ds: "ray.data.Dataset", text_col: str = "text",
+                  shingle_k: int = 3, max_df: int = 5,
+                  hash_fn: str = "pandas",
+                  num_partitions: Optional[int] = None) -> np.ndarray:
+    """-> sorted uint64 array of shingle hashes with document
+    frequency > ``max_df`` — the corpus-boilerplate STOP set for
+    IDF-weighted minhash. One map-side-combined pass: each block emits
+    (hash, partial-df) for its DISTINCT per-doc shingles, a
+    hash-routed merge sums, and only the stops (Zipf-few by
+    construction: high-df shingles are the head of the distribution)
+    come back to the driver for the broadcast."""
+    if num_partitions is None:
+        num_partitions = partitions_for(ds, 8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        sh_lists = _shingle_hashes_batch(texts, shingle_k, hash_fn)
+        if not sh_lists:
+            return pa.Table.from_pydict({
+                "h": pa.array([], pa.uint64()),
+                "c": pa.array([], pa.int64()),
+                "pid": pa.array([], pa.int64())})
+        flat = np.concatenate([np.unique(s) for s in sh_lists])
+        h, c = np.unique(flat, return_counts=True)
+        return pa.Table.from_pydict({
+            "h": pa.array(h),
+            "c": pa.array(c.astype(np.int64)),
+            "pid": pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64))})
+
+    def merge(g: pd.DataFrame, _cut=max_df) -> pd.DataFrame:
+        s = g.groupby("h")["c"].sum()
+        return pd.DataFrame({"h": s.index[s.to_numpy() > _cut]
+                             .to_numpy(np.uint64)})
+
+    stops = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pid").map_groups(merge, batch_format="pandas")
+    parts = [b.column("h").to_numpy(zero_copy_only=False)
+             for b in stops.iter_batches(batch_format="pyarrow")]
+    return np.sort(np.concatenate(parts)) if parts \
+        else np.empty(0, dtype=np.uint64)
+
+
+def minhash_idf_pairs(ds: "ray.data.Dataset", text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 128,
+                      num_bands: int = 32, shingle_k: int = 3,
+                      threshold: float = 0.5, max_df: int = 5,
+                      seed: int = 42, hash_fn: str = "pandas"
+                      ) -> "ray.data.Dataset":
+    """IDF-weighted near-duplicate pairs: identical to
+    ``minhash_lsh_pairs`` except corpus-boilerplate shingles (df >
+    max_df) are excluded from every signature — the stop-shingle
+    weighting of SpotSigs (Theobald et al. SIGIR'08), which kills the
+    false-positive pairs that agree only on template text. Documents
+    made entirely of boilerplate drop out (no informative shingles)."""
+    stops = stop_shingles(ds, text_col, shingle_k, max_df, hash_fn)
+    return minhash_lsh_pairs(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
+        num_bands=num_bands, shingle_k=shingle_k, threshold=threshold,
+        seed=seed, hash_fn=hash_fn, stop_ref=ray.put(stops))
+
+
+def minhash_idf_oracle_sql(num_perm: int = 128, num_bands: int = 32,
+                           shingle_k: int = 3, threshold: float = 0.5,
+                           max_df: int = 5, seed: int = 42) -> str:
+    """Bit-exact replay of ``minhash_idf_pairs(hash_fn="md5")`` — the
+    plain minhash oracle with the df > max_df stop filter applied to
+    the shingle hashes before the signatures."""
+    ctes = _minhash_cands_ctes(num_perm, num_bands, shingle_k, seed,
+                               max_df=max_df)
+    return f"""
+WITH {ctes}
+SELECT c.l AS left_id, c.r AS right_id,
+       avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END)
+         AS est_jaccard
+FROM cands c
+JOIN sigs sa ON sa.doc_id = c.l
+JOIN sigs sb ON sb.doc_id = c.r AND sb.perm = sa.perm
+GROUP BY c.l, c.r
+HAVING avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END)
+         >= {threshold!r}
+ORDER BY left_id, right_id
+"""
 
 
 def minhash_oracle_sql(num_perm: int = 128, num_bands: int = 32,
@@ -505,10 +626,13 @@ ORDER BY left_id, right_id
 
 
 def _minhash_cands_ctes(num_perm: int, num_bands: int, shingle_k: int,
-                        seed: int) -> str:
+                        seed: int, max_df: Optional[int] = None) -> str:
     """Shared CTE block: documents → shingles → md5 hashes → minhash
     signatures (numpy uint64 wraparound replayed via UHUGEINT) → band
-    buckets (polynomial mix, wraparound multiplies) → candidate pairs."""
+    buckets (polynomial mix, wraparound multiplies) → candidate pairs.
+    ``max_df`` adds the IDF stop-shingle filter: hashes with document
+    frequency > max_df never reach the signatures (and a doc whose
+    every shingle is stopped vanishes, mirroring the engine)."""
     a, b = _minhash_params(num_perm, seed)
     rpb = num_perm // num_bands
     used = num_bands * rpb
@@ -544,10 +668,15 @@ shingled AS (
   SELECT doc_id, array_to_string(w, ' ') AS sh FROM words
   WHERE len(w) < {shingle_k}
 ),
-sh_hash AS (
+sh_hash_all AS (
   SELECT DISTINCT doc_id,
          ('0x' || substr(md5(sh), 1, 16))::UBIGINT AS h
   FROM shingled
+),
+sh_hash AS (
+  SELECT * FROM sh_hash_all{'' if max_df is None else f'''
+  WHERE h NOT IN (SELECT h FROM sh_hash_all
+                  GROUP BY h HAVING COUNT(*) > {max_df})'''}
 ),
 perms AS (
   SELECT unnest(range({num_perm})) AS perm,

@@ -109,10 +109,12 @@ def nb_train(ds: "ray.data.Dataset", label_col: str = "source",
 
 
 def nb_classify(ds: "ray.data.Dataset", model: dict,
-                id_col: str = "doc_id", text_col: str = "text"
-                ) -> "ray.data.Dataset":
-    """-> (id, pred, score_milli): argmax class per doc (ties -> label
-    ascending), integer milli-nat joint log-prob."""
+                id_col: str = "doc_id", text_col: str = "text",
+                keep_cols: tuple = ()) -> "ray.data.Dataset":
+    """-> (id, *keep_cols, pred, score_milli): argmax class per doc
+    (ties -> label ascending), integer milli-nat joint log-prob.
+    ``keep_cols`` ride through unchanged (e.g. the true label for a
+    held-out evaluation)."""
     ref = ray.put(model)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -138,11 +140,12 @@ def nb_classify(ds: "ray.data.Dataset", model: dict,
             scores[:, j] = m["prior"][cls] + np.bincount(
                 doc, weights=ql, minlength=n).astype(np.int64)
         best = np.argmax(scores, axis=1)   # first max = label asc
-        return pa.Table.from_pydict({
-            id_col: batch.column(id_col),
-            "pred": pa.array([classes[j] for j in best], pa.string()),
-            "score_milli": pa.array(scores[np.arange(n), best]),
-        })
+        out = {id_col: batch.column(id_col)}
+        for c in keep_cols:
+            out[c] = batch.column(c)
+        out["pred"] = pa.array([classes[j] for j in best], pa.string())
+        out["score_milli"] = pa.array(scores[np.arange(n), best])
+        return pa.Table.from_pydict(out)
 
     return ds.map_batches(score, batch_format="pyarrow")
 
@@ -215,4 +218,121 @@ ranked AS (
 )
 SELECT doc_id, source AS pred, CAST(score AS BIGINT) AS score_milli
 FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def nb_holdout_query(sf_dir: str, train_pct: int = 80):
+    """Held-out evaluation: md5-bucket split (the hash_split
+    convention — bucket = md5_hash64(str(id)) % 100, pure function of
+    the id, zero shuffle), train on bucket < ``train_pct``, classify
+    the held-out rest, and flag each prediction against the true
+    label. -> (doc_id, label, pred, score_milli, correct)."""
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    full = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "text"])
+
+    def split_filter(keep_train: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").cast(pa.string()).to_pylist()
+            b = (hash64(ids, "md5") % np.uint64(100)).astype(np.int64)
+            mask = b < train_pct if keep_train else b >= train_pct
+            return batch.filter(pa.array(mask))
+        return fn
+
+    train = full.map_batches(split_filter(True), batch_format="pyarrow")
+    model = nb_train(train, label_col="source")
+    test = full.map_batches(split_filter(False), batch_format="pyarrow")
+    scored = nb_classify(test, model, keep_cols=("source",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        correct = pc.cast(pc.equal(batch.column("pred"),
+                                   batch.column("source")), pa.int64())
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "label": batch.column("source"),
+            "pred": batch.column("pred"),
+            "score_milli": batch.column("score_milli"),
+            "correct": correct,
+        })
+
+    return scored.map_batches(finish, batch_format="pyarrow")
+
+
+def nb_holdout_oracle_sql(train_pct: int = 80) -> str:
+    from rdf_mapper_ray.ops.hashing import MD5_HASH64_SQL
+    bucket = MD5_HASH64_SQL.format(col="CAST(doc_id AS VARCHAR)") \
+        + " % 100"
+    return f"""
+WITH split AS (
+  SELECT doc_id, source, text, {bucket} AS b FROM documents
+),
+tr AS (SELECT * FROM split WHERE b < {train_pct}),
+te AS (SELECT * FROM split WHERE b >= {train_pct}),
+tk_tr AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(COALESCE(text, '')),
+                                        '\\s+')) AS tok
+    FROM tr) WHERE tok <> ''
+),
+tk_te AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(COALESCE(text, '')),
+                                        '\\s+')) AS tok
+    FROM te) WHERE tok <> ''
+),
+cnt AS (
+  SELECT l.source, t.tok, COUNT(*) AS c
+  FROM tk_tr t JOIN tr l USING (doc_id) GROUP BY l.source, t.tok
+),
+totc AS (SELECT source, SUM(c) AS tot FROM cnt GROUP BY source),
+v AS (SELECT COUNT(DISTINCT tok) AS v FROM cnt),
+docs AS (SELECT source, COUNT(*) AS d FROM tr GROUP BY source),
+nn AS (SELECT SUM(d) AS n FROM docs),
+prior AS (
+  SELECT source,
+         CAST(floor(ln(CAST(d AS DOUBLE) / (SELECT n FROM nn))
+                    * 1000 + 0.5) AS BIGINT) AS pq
+  FROM docs
+),
+pairq AS (
+  SELECT c.source, c.tok,
+         CAST(floor(ln((c.c + 1.0) / (t.tot + (SELECT v FROM v)))
+                    * 1000 + 0.5) AS BIGINT) AS ql
+  FROM cnt c JOIN totc t USING (source)
+),
+dfltq AS (
+  SELECT source,
+         CAST(floor(ln(1.0 / (tot + (SELECT v FROM v)))
+                    * 1000 + 0.5) AS BIGINT) AS dq
+  FROM totc
+),
+scores AS (
+  SELECT l.doc_id, p.source,
+         p.pq + COALESCE(s.s, 0) AS score
+  FROM te l
+  CROSS JOIN prior p
+  LEFT JOIN (
+    SELECT t.doc_id, d.source,
+           SUM(COALESCE(q.ql, d.dq)) AS s
+    FROM tk_te t
+    CROSS JOIN dfltq d
+    LEFT JOIN pairq q ON q.source = d.source AND q.tok = t.tok
+    GROUP BY t.doc_id, d.source) s
+    ON s.doc_id = l.doc_id AND s.source = p.source
+),
+ranked AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, source) AS rn
+  FROM scores
+)
+SELECT r.doc_id, te.source AS label, r.source AS pred,
+       CAST(r.score AS BIGINT) AS score_milli,
+       CAST(CASE WHEN r.source = te.source THEN 1 ELSE 0 END AS BIGINT)
+         AS correct
+FROM ranked r JOIN te USING (doc_id)
+WHERE r.rn = 1 ORDER BY r.doc_id
 """

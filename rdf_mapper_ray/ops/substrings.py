@@ -280,3 +280,137 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN per_doc p USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def excise_dup_spans(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                     text_col: str = "text", k: int = DEFAULT_K,
+                     num_partitions: Optional[int] = None
+                     ) -> "ray.data.Dataset":
+    """The span-EXCISION variant of Lee et al. 2022: every token
+    covered by ANY duplicated k-gram (a k-token span occurring >= 2
+    times corpus-wide) is cut, and the remaining tokens re-join into
+    the cleaned document. -> (id, clean_text, n_tokens, n_removed).
+
+    Token contract: whitespace tokens of ``lower(text)`` (the same
+    normalization the duplication phases hash), re-joined with single
+    spaces — a fully-duplicated document comes back as ''.
+
+    Scale: the span list (doc, pos) co-partitions with the documents
+    by hash(doc) — one shuffle of positions + one of the docs
+    themselves; the rebuild is per-doc numpy inside the routed task
+    (interval cover via diff/cumsum, no per-token Python loop).
+    """
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+    spans = dup_spans(ds, id_col, text_col, k, num_partitions)
+
+    def tag_spans(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "doc": t.column(id_col).cast(pa.int64()),
+            "pos": t.column("pos").cast(pa.int64()),
+            "text": pa.array([""] * t.num_rows, pa.string()),
+            "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            "pid": _route_by(t.column(id_col).to_pandas(),
+                             num_partitions),
+        })
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).cast(pa.int64())
+        return pa.Table.from_pydict({
+            "doc": ids,
+            "pos": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "text": pc.fill_null(t.column(text_col), ""),
+            "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "pid": _route_by(ids.to_pandas(), num_partitions),
+        })
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["kind"] == 0]
+        span_by_doc = g[g["kind"] == 1].groupby("doc")["pos"]
+        starts = {d: p.to_numpy() for d, p in span_by_doc}
+        out_id, out_text, out_n, out_rm = [], [], [], []
+        for doc, text in zip(docs["doc"].to_numpy(),
+                             docs["text"].to_numpy()):
+            toks = text.lower().split()
+            n = len(toks)
+            st = starts.get(doc)
+            if st is None or n == 0:
+                kept, removed = toks, 0
+            else:
+                # interval cover [pos, pos+k) over 1-based positions,
+                # via a +1/-1 difference array and cumsum
+                delta = np.zeros(n + 1, dtype=np.int64)
+                delta[st - 1] += 1
+                ends = np.minimum(st - 1 + k, n)
+                np.add.at(delta, ends, -1)
+                covered = np.cumsum(delta[:n]) > 0
+                kept = [t for t, c in zip(toks, covered) if not c]
+                removed = int(covered.sum())
+            out_id.append(doc)
+            out_text.append(" ".join(kept))
+            out_n.append(n)
+            out_rm.append(removed)
+        return pd.DataFrame({
+            id_col: pd.array(out_id, dtype="int64"),
+            "clean_text": pd.array(out_text, dtype=object),
+            "n_tokens": pd.array(out_n, dtype="int64"),
+            "n_removed": pd.array(out_rm, dtype="int64")})
+
+    return ds.map_batches(tag_docs, batch_format="pyarrow") \
+        .union(spans.map_batches(tag_spans, batch_format="pyarrow")) \
+        .groupby("pid").map_groups(rebuild, batch_format="pandas")
+
+
+def substring_excise_query(sf_dir: str, k: int = DEFAULT_K):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return excise_dup_spans(ds, k=k)
+
+
+def substring_excise_oracle_sql(k: int = DEFAULT_K) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                           '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(ts[i:i + {k - 1}], ' ')
+           AS gram
+  FROM toks, UNNEST(generate_series(1, len(ts) - {k - 1})) AS g(i)
+  WHERE len(ts) >= {k}
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+),
+spans AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dup d USING (gram)
+),
+covered AS (
+  SELECT DISTINCT doc_id, i AS tpos
+  FROM spans, UNNEST(generate_series(pos, pos + {k - 1})) AS c(i)
+),
+tok_rows AS (
+  SELECT doc_id, i AS tpos, ts[i] AS tok
+  FROM toks, UNNEST(generate_series(1, len(ts))) AS u(i)
+),
+kept AS (
+  SELECT t.doc_id, t.tpos, t.tok
+  FROM tok_rows t LEFT JOIN covered c
+    ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+  WHERE c.tpos IS NULL
+)
+SELECT toks.doc_id,
+       COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.tpos)
+                 FROM kept k WHERE k.doc_id = toks.doc_id), '')
+         AS clean_text,
+       CAST(len(toks.ts) AS BIGINT) AS n_tokens,
+       CAST(len(toks.ts)
+            - COALESCE((SELECT COUNT(*) FROM kept k
+                        WHERE k.doc_id = toks.doc_id), 0) AS BIGINT)
+         AS n_removed
+FROM toks
+ORDER BY doc_id
+"""

@@ -58,3 +58,46 @@ def test_nb_empty_doc_gets_prior_argmax(ray_session):
     # no tokens -> prior argmax -> the 3x more common class 'a'
     assert out["pred"].tolist() == ["a"]
     assert out["score_milli"].iloc[0] == model["prior"]["a"]
+
+
+def test_nb_holdout_matches_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import duckdb
+
+    import __ray_entry__ as E
+    from check_correctness import compare
+    sf = "/root/testdata/sf0.001"
+    got = E.queries()["nb_holdout"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(E.oracle_sql()["nb_holdout"]).fetchdf()
+    assert compare("nb_holdout", got, want)
+    # the split is genuine: a strict subset of docs is scored
+    n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert 0 < len(got) < n_docs
+    assert set(got["correct"].unique()) <= {0, 1}
+
+
+def test_nb_holdout_separable_generalizes(ray_session):
+    from rdf_mapper_ray.ops.nbayes import nb_classify, nb_train
+    from rdf_mapper_ray.ops.hashing import hash64
+    # disjoint vocabularies => held-out docs classify perfectly even
+    # though the model never saw them
+    rows = []
+    for i in range(60):
+        cls = "cats" if i % 2 == 0 else "dogs"
+        text = ("meow purr whiskers" if cls == "cats"
+                else "woof bark fetch")
+        rows.append({"doc_id": i, "source": cls, "text": text})
+    df = pd.DataFrame(rows)
+    b = (hash64([str(i) for i in df["doc_id"]], "md5")
+         % np.uint64(100)).astype(np.int64)
+    train = ray.data.from_pandas(df[b < 80])
+    test_df = df[b >= 80]
+    model = nb_train(train)
+    out = nb_classify(ray.data.from_pandas(test_df), model,
+                      keep_cols=("source",)).to_pandas()
+    assert len(out) == len(test_df) > 0
+    assert (out["pred"] == out["source"]).all()

@@ -707,3 +707,76 @@ def test_dedup_lines_within_keeps_first(ray_session):
     assert int(out.loc[0, "n_dropped"]) == 2
     assert out.loc[1, "clean_text"] == "x"
     assert int(out.loc[1, "n_dropped"]) == 0
+
+
+def test_minhash_idf_kills_boilerplate_pairs(ray_session):
+    import numpy as np
+
+    import ray
+    from rdf_mapper_ray.ops.dedup import (minhash_idf_pairs,
+                                          minhash_lsh_pairs,
+                                          stop_shingles)
+    boiler = "copyright acme corp all rights reserved contact us now"
+    rows = []
+    # 8 docs sharing ONLY the boilerplate + distinct unique bodies
+    for i in range(8):
+        body = " ".join(f"u{i}w{j}" for j in range(10))
+        rows.append({"doc_id": i, "text": f"{boiler} {body}"})
+    # one genuine near-dup pair (bodies overlap heavily)
+    rows.append({"doc_id": 100,
+                 "text": boiler + " shared body tokens one two three "
+                 "four five six seven eight nine ten"})
+    rows.append({"doc_id": 101,
+                 "text": boiler + " shared body tokens one two three "
+                 "four five six seven eight nine eleven"})
+    # one doc that is PURE boilerplate -> drops out entirely
+    rows.append({"doc_id": 200, "text": boiler})
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df)
+
+    # plain minhash at k=3 pairs everything through the boilerplate
+    plain = minhash_lsh_pairs(ds, shingle_k=3, threshold=0.3) \
+        .to_pandas()
+    plain_ids = set(plain["left_id"]) | set(plain["right_id"])
+    assert 200 in plain_ids          # boilerplate doc pairs with all
+
+    stops = stop_shingles(ds, shingle_k=3, max_df=5)
+    assert len(stops) > 0
+    idf = minhash_idf_pairs(ds, shingle_k=3, threshold=0.3, max_df=5) \
+        .to_pandas()
+    got_pairs = set(zip(idf["left_id"], idf["right_id"]))
+    assert (100, 101) in got_pairs   # the real pair survives
+    idf_ids = set(idf["left_id"]) | set(idf["right_id"])
+    assert 200 not in idf_ids        # pure boilerplate vanished
+    assert len(idf) < len(plain)     # boilerplate-only pairs died
+
+
+def test_minhash_idf_noop_without_stops_matches_plain(ray_session):
+    import ray
+    from rdf_mapper_ray.ops.dedup import (minhash_idf_pairs,
+                                          minhash_lsh_pairs)
+    # all-unique texts: empty stop set => identical to plain minhash
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [" ".join(f"d{i}t{j}" for j in range(12))
+                 for i in range(6)]})
+    ds = ray.data.from_pandas(df)
+    a = minhash_idf_pairs(ds, shingle_k=3, max_df=5).to_pandas()
+    b = minhash_lsh_pairs(ds, shingle_k=3).to_pandas()
+    assert len(a) == len(b)
+
+
+def test_minhash_idf_matches_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import duckdb
+
+    import __ray_entry__ as E
+    from check_correctness import compare
+    sf = "/root/testdata/sf0.001"
+    got = E.queries()["dedup_minhash_idf"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(E.oracle_sql()["dedup_minhash_idf"]).fetchdf()
+    assert compare("dedup_minhash_idf", got, want)

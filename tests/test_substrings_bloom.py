@@ -79,3 +79,41 @@ def test_bloom_prefilter_is_exact_and_selective(ray_session):
     # the bitmap itself: every build key present, most others absent
     bits = build_bloom(right, "k", num_bits=1 << 16)
     assert bits.any()
+
+
+def test_substring_excise_planted(ray_session):
+    from rdf_mapper_ray.ops.substrings import excise_dup_spans
+    # docs 1 and 3 share "a b c d e f g h"; doc 1's span starts at
+    # token 1 (covers 1-8, keeps "x"); doc 3's at token 2 (keeps "z")
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d e f g h x",
+                 "q w e r t y u i o p",
+                 "z a b c d e f g h",
+                 "short text"],
+    })
+    out = excise_dup_spans(ray.data.from_pandas(df), k=8) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "clean_text"] == "x"
+    assert out.loc[1, "n_removed"] == 8
+    assert out.loc[2, "clean_text"] == "q w e r t y u i o p"
+    assert out.loc[2, "n_removed"] == 0
+    assert out.loc[3, "clean_text"] == "z"
+    assert out.loc[4].tolist() == ["short text", 2, 0]
+
+
+def test_substring_excise_overlapping_spans_merge(ray_session):
+    from rdf_mapper_ray.ops.substrings import excise_dup_spans
+    # "a b c" duplicated at pos 1 and 4 inside one doc; the two
+    # 3-token covers [1,3] and [4,6] excise everything
+    df = pd.DataFrame({"doc_id": [7], "text": ["a b c a b c tail"]})
+    out = excise_dup_spans(ray.data.from_pandas(df), k=3).to_pandas()
+    # grams: 'a b c'(1), 'b c a'(2), 'c a b'(3), 'a b c'(4), 'b c t'(5)
+    # dup = 'a b c' -> covers 1-3 and 4-6, keeps only 'tail'
+    assert out.iloc[0].tolist() == [7, "tail", 7, 6]
+
+
+def test_substring_excise_matches_oracle(ray_session):
+    got = _oracle_check("substring_excise", ["documents"])
+    assert (got["n_removed"] > 0).any()
+    assert (got["n_removed"] <= got["n_tokens"]).all()

@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the signatures, SpotSigs-style; banding replayed in SQL
         "dedup_minhash_idf": lambda sf: dedup.minhash_idf_pairs(
             _docs(sf, ["doc_id", "text"]), hash_fn="md5"),
+        # kNN majority-vote classification over the embedding column
+        "knn_classify": similarity.knn_classify_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -334,6 +336,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_excise": substrings.substring_excise_oracle_sql(),
         "nb_holdout": nbayes.nb_holdout_oracle_sql(),
         "dedup_minhash_idf": dedup.minhash_idf_oracle_sql(),
+        "knn_classify": similarity.knn_classify_oracle_sql(),
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

@@ -464,3 +464,145 @@ def _ivf_score(assigned: "ray.data.Dataset", index: "IVFIndex",
     cand = assigned.map_batches(cluster_topk, batch_format="pyarrow")
     return cand.groupby("query_id").map_groups(
         lambda g: _final_topk(g, k), batch_format="pandas")
+
+
+class BatchTopKLabels:
+    """Batch-local top-k cosine candidates WITH labels, against a
+    broadcast query set whose members are excluded from the candidate
+    pool (vec_id >= query_cut — the classify-the-held-out framing, so
+    no self-hit handling is needed)."""
+
+    def __init__(self, queries_ref, k: int, query_cut: int,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 label_col: str = "label") -> None:
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) \
+            else queries_ref
+        self.query_ids = np.asarray(q[0], dtype=np.int64)
+        qm = np.asarray(q[1], dtype=np.float64)
+        self.qnorm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.k = k
+        self.query_cut = query_cut
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.label_col = label_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist(),
+                         dtype=np.int64)
+        keep = ids >= self.query_cut
+        out_empty = pa.Table.from_pydict({
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "label": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64())})
+        if not keep.any():
+            return out_empty
+        batch = batch.filter(pa.array(keep))
+        ids = ids[keep]
+        labels = np.asarray(batch.column(self.label_col).to_pylist(),
+                            dtype=np.int64)
+        m = _stack(batch.column(self.vec_col))
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        scores = self.qnorm @ m.T                      # (nq, nb)
+        k = min(self.k, scores.shape[1])
+        out_q, out_n, out_l, out_s = [], [], [], []
+        for qi in range(scores.shape[0]):
+            row = scores[qi]
+            top = np.argpartition(-row, k - 1)[:k] if k < len(row) \
+                else np.arange(len(row))
+            out_q.extend([self.query_ids[qi]] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_l.extend(labels[top].tolist())
+            out_s.extend(row[top].tolist())
+        return pa.Table.from_pydict({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "label": pa.array(out_l, type=pa.int64()),
+            "score": pa.array(out_s, type=pa.float64()),
+        })
+
+
+def knn_classify(ds: "ray.data.Dataset", query_ids: list[int],
+                 query_vecs: list[list[float]], query_cut: int,
+                 k: int = 10, vec_col: str = "embedding",
+                 id_col: str = "vec_id", label_col: str = "label"
+                 ) -> "ray.data.Dataset":
+    """kNN classification (Cover & Hart 1967 as a corpus op): each
+    query takes the majority label of its k cosine-nearest labeled
+    vectors (candidates restricted to id >= query_cut); vote ties
+    break on label ascending, neighbor-rank ties on (score DESC,
+    neighbor_id ASC) — both replayed by the SQL oracle.
+    -> (query_id, pred_label, votes)."""
+    queries_ref = ray.put((query_ids, query_vecs))
+    cand = ds.map_batches(
+        BatchTopKLabels(queries_ref, k, query_cut, vec_col, id_col,
+                        label_col),
+        batch_format="pyarrow")
+
+    def vote(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "neighbor_id"],
+                              ascending=[False, True]).head(k)
+        counts = g.groupby("label")["label"].count() \
+            .sort_index()                      # label ascending
+        best = counts.index[np.argmax(counts.to_numpy())]
+        return pd.DataFrame({
+            "query_id": [int(group["query_id"].iloc[0])],
+            "pred_label": pd.array([int(best)], dtype="int64"),
+            "votes": pd.array([int(counts[best])], dtype="int64")})
+
+    return cand.groupby("query_id").map_groups(
+        vote, batch_format="pandas")
+
+
+def knn_classify_query(sf_dir: str, num_queries: int = 16,
+                       k: int = 10) -> "ray.data.Dataset":
+    """The first ``num_queries`` embeddings are classified from the
+    labels of all the others."""
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    vids = tbl.column("vec_id").to_pylist()
+    qids = [int(v) for v in vids if v < num_queries]
+    qvecs = [e for v, e in zip(vids, tbl.column("embedding").to_pylist())
+             if v < num_queries]
+    ds = read_table(sf_dir, "embeddings",
+                    columns=["vec_id", "embedding", "label"])
+    return knn_classify(ds, qids, qvecs, query_cut=num_queries, k=k)
+
+
+def knn_classify_oracle_sql(num_queries: int = 16, k: int = 10) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id < {num_queries}
+),
+cand AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE vec_id >= {num_queries}
+),
+scored AS (
+  SELECT q.qid AS query_id, c.vec_id AS neighbor_id, c.label,
+         list_cosine_similarity(q.qe, c.embedding) AS s
+  FROM q CROSS JOIN cand c
+),
+ranked AS (
+  SELECT query_id, neighbor_id, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id) AS rk
+  FROM scored
+),
+votes AS (
+  SELECT query_id, label, COUNT(*) AS c
+  FROM ranked WHERE rk <= {k}
+  GROUP BY query_id, label
+),
+best AS (
+  SELECT query_id, label, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, label) AS rn
+  FROM votes
+)
+SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+       CAST(c AS BIGINT) AS votes
+FROM best WHERE rn = 1 ORDER BY query_id
+"""

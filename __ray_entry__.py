@@ -194,6 +194,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "text"]), hash_fn="md5"),
         # kNN majority-vote classification over the embedding column
         "knn_classify": similarity.knn_classify_query,
+        # connected components of the near-dup graph (min-label CC)
+        "graph_components": graphs.graph_components_query,
+        # row_number()-per-group family: top-N rows and exact median
+        "top_orders_per_customer": topk.top_orders_per_customer_query,
+        "group_median": quantiles.group_median_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -337,6 +342,10 @@ def oracle_sql() -> dict[str, str]:
         "nb_holdout": nbayes.nb_holdout_oracle_sql(),
         "dedup_minhash_idf": dedup.minhash_idf_oracle_sql(),
         "knn_classify": similarity.knn_classify_oracle_sql(),
+        "graph_components": graphs.GRAPH_COMPONENTS_ORACLE_SQL,
+        "top_orders_per_customer":
+            topk.top_orders_per_customer_oracle_sql(),
+        "group_median": quantiles.GROUP_MEDIAN_ORACLE_SQL,
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

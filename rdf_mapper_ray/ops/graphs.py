@@ -757,3 +757,59 @@ q0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS q FROM nodes)"""]
 )""")
     return "WITH " + ",\n".join(ctes) + \
         f"\nSELECT node, q FROM q{iters} ORDER BY node\n"
+
+
+# --- connected components as a first-class query ------------------------------
+
+def graph_components(edges: "ray.data.Dataset",
+                     num_partitions: int | None = None
+                     ) -> "ray.data.Dataset":
+    """(a, b) int64 edge Dataset -> (node, component) where component
+    is the smallest node id in the node's connected component — the
+    distributed Hash-to-Min min-label propagation
+    (engine/canonicalize.py) exposed directly. Nodes are those
+    appearing in at least one edge."""
+    from rdf_mapper_ray.engine.canonicalize import _cc_min_label
+
+    labels = _cc_min_label(edges, num_partitions=num_partitions)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["node", "component"])
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def graph_components_query(sf_dir: str, threshold: float = 0.3):
+    """Components of the embedding near-duplicate graph (same edge set
+    as triangle_count, whose derivation the oracle already proves)."""
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs,
+                                          partitions_for)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+    # partition count from the INPUT's row tag: the CC round loop pays
+    # the blocks × partitions coordination floor per round (2x wall at
+    # this SF with the cluster default)
+    return graph_components(pairs.map_batches(
+        _pairs_as_edges, batch_format="pyarrow"),
+        num_partitions=partitions_for(emb, 8))
+
+
+GRAPH_COMPONENTS_ORACLE_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+),
+nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+ued AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+reach(node, label) AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT ue.b, r.label FROM reach r JOIN ued ue ON ue.a = r.node
+)
+SELECT node, CAST(min(label) AS BIGINT) AS component
+FROM reach GROUP BY node ORDER BY node
+"""

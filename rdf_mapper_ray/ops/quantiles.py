@@ -14,6 +14,7 @@ verified empirically and value-matched by the oracle).
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -212,4 +213,54 @@ FROM (SELECT CAST(round(value * 100) AS BIGINT) // {wc} AS bin
       FROM events)
 GROUP BY bin
 ORDER BY bin
+"""
+
+
+# --- exact per-group median ----------------------------------------------------
+
+def group_median(ds: "ray.data.Dataset", group_col: str,
+                 value_col: str,
+                 num_partitions: Optional[int] = None
+                 ) -> "ray.data.Dataset":
+    """Exact per-group median: groups co-partition by hash(group), each
+    routed task computes numpy medians (even counts interpolate
+    (a+b)/2, matching SQL's quantile_cont(0.5)) for its complete
+    groups. Valid while a single group's values fit one task — beyond
+    that, the mergeable bottom-k sketch (approx_quantiles) is the
+    documented scale venue. -> (group, median, n)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(batch: pa.Table) -> pa.Table:
+        batch = batch.select([group_col, value_col])
+        pid = pd.util.hash_pandas_object(
+            batch.column(group_col).to_pandas(), index=False).to_numpy()
+        return batch.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(group_col)[value_col] \
+            .agg(median="median", n="size").reset_index()
+        out["median"] = out["median"].astype(np.float64)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(med, batch_format="pandas")
+
+
+def group_median_query(sf_dir: str):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity"])
+    return group_median(ds, "l_returnflag", "l_quantity")
+
+
+GROUP_MEDIAN_ORACLE_SQL = """
+SELECT l_returnflag,
+       CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """

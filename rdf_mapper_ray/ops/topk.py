@@ -479,3 +479,63 @@ FROM pairs GROUP BY bigram
 ORDER BY cnt DESC, bigram
 LIMIT {k}
 """
+
+
+# --- top-N rows per group ------------------------------------------------------
+
+def top_n_per_group(ds: "ray.data.Dataset", group_col: str,
+                    order_col: str, id_col: str, n: int = 3,
+                    num_partitions: Optional[int] = None
+                    ) -> "ray.data.Dataset":
+    """SQL's ``row_number() OVER (PARTITION BY g ORDER BY v DESC, id)
+    <= n`` as a distributed op: each block keeps its LOCAL top-n per
+    group first (map-side prune — at most n rows per (block, group)
+    ride the shuffle), then groups co-partition by hash(group) and the
+    routed task finishes the global top-n. -> (group, rank, id, v)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, order_col, id_col]).to_pandas()
+        df = df.sort_values([group_col, order_col, id_col],
+                            ascending=[True, False, True])
+        df = df.groupby(group_col, sort=False).head(n)
+        pid = pd.util.hash_pandas_object(df[group_col], index=False) \
+            .to_numpy()
+        df["pid"] = (pid % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, order_col, id_col],
+                          ascending=[True, False, True])
+        g = g.groupby(group_col, sort=False).head(n)
+        g["rank"] = g.groupby(group_col, sort=False).cumcount() + 1
+        g["rank"] = g["rank"].astype(np.int64)
+        return g[[group_col, "rank", id_col, order_col]]
+
+    return ds.map_batches(local_prune, batch_format="pyarrow") \
+        .groupby("pid").map_groups(finish, batch_format="pandas")
+
+
+def top_orders_per_customer_query(sf_dir: str, n: int = 3):
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_custkey", "o_totalprice", "o_orderkey"])
+    return top_n_per_group(ds, "o_custkey", "o_totalprice",
+                           "o_orderkey", n=n)
+
+
+def top_orders_per_customer_oracle_sql(n: int = 3) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey)
+           AS rank
+  FROM orders
+)
+SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey,
+       o_totalprice
+FROM ranked WHERE rank <= {n}
+ORDER BY o_custkey, rank
+"""

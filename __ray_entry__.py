@@ -64,9 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     normalize, packing, paragraphs,
                                     quantiles, graphs, kmeans,
                                     retrieval, rollup, semdedup,
-                                    sessions, similarity, substrings,
-                                    text, tfidf, topk, vectors,
-                                    windows)
+                                    sessions, setops, similarity,
+                                    stats, substrings, text, tfidf,
+                                    topk, vectors, windows)
     from rdf_mapper_ray.pipelines import corpus, relational, sourcecode
 
     import ray.data
@@ -199,6 +199,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row_number()-per-group family: top-N rows and exact median
         "top_orders_per_customer": topk.top_orders_per_customer_query,
         "group_median": quantiles.group_median_query,
+        # single-source BFS hop levels over the near-dup graph
+        "bfs_levels": graphs.bfs_levels_query,
+        # k-core peeling of the part-supplier bipartite graph
+        "k_core": graphs.k_core_query,
+        # grouped statistics: mode + exact-integer Pearson r
+        "grouped_mode": stats.grouped_mode_query,
+        "group_corr": stats.group_corr_query,
+        # set algebra: INTERSECT / EXCEPT on distinct keys
+        "users_intersect": setops.users_intersect_query,
+        "users_except": setops.users_except_query,
+        # equi-depth NTILE binning (histogram pass, no global sort)
+        "ntile_bucket": normalize.ntile_query,
+        # ordered string_agg per group
+        "nation_customers": stats.nation_customers_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -268,9 +282,9 @@ def oracle_sql() -> dict[str, str]:
                                     normalize, packing, paragraphs,
                                     quantiles, graphs, kmeans,
                                     retrieval, rollup, semdedup,
-                                    sessions, similarity, substrings,
-                                    text, tfidf, topk, vectors,
-                                    windows)
+                                    sessions, setops, similarity,
+                                    stats, substrings, text, tfidf,
+                                    topk, vectors, windows)
     from rdf_mapper_ray.pipelines import corpus, relational, sourcecode
 
     return {
@@ -346,6 +360,14 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_customer":
             topk.top_orders_per_customer_oracle_sql(),
         "group_median": quantiles.GROUP_MEDIAN_ORACLE_SQL,
+        "bfs_levels": graphs.BFS_LEVELS_ORACLE_SQL,
+        "k_core": graphs.k_core_oracle_sql(),
+        "grouped_mode": stats.GROUPED_MODE_ORACLE_SQL,
+        "group_corr": stats.GROUP_CORR_ORACLE_SQL,
+        "users_intersect": setops.USERS_INTERSECT_ORACLE_SQL,
+        "users_except": setops.USERS_EXCEPT_ORACLE_SQL,
+        "ntile_bucket": normalize.ntile_oracle_sql(),
+        "nation_customers": stats.NATION_CUSTOMERS_ORACLE_SQL,
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

@@ -648,13 +648,14 @@ def pagerank_int(edges: "ray.data.Dataset", iters: int = 2,
 PR_PART_CAP = 4000
 
 
-def pagerank_query(sf_dir: str, iters: int = 2):
-    """PageRank over the bipartite part–supplier graph (nodes
-    namespaced 2·partkey / 2·suppkey+1; distinct lineitem pairs as
-    undirected edges). The demo scopes to parts with key ≤ 4000 —
+def partsupp_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct (a, b) edges of the bipartite part–supplier graph
+    (nodes namespaced 2·partkey / 2·suppkey+1; distinct lineitem pairs
+    as undirected edges), scoped to parts with key ≤ PR_PART_CAP —
     pushed into the parquet read — which is the FULL graph at the
-    correctness scale and a bounded subgraph at bench scale (the
-    SQL oracle applies the identical predicate)."""
+    correctness scale and a bounded subgraph at bench scale (the SQL
+    oracles apply the identical predicate). Shared by the pagerank and
+    k-core demos."""
     import pyarrow.dataset as pads
 
     li = read_table(sf_dir, "lineitem",
@@ -684,10 +685,15 @@ def pagerank_query(sf_dir: str, iters: int = 2):
     def dd(g: "pd.DataFrame") -> "pd.DataFrame":
         return g.drop_duplicates(["a", "b"])[["a", "b"]]
 
-    edges = li.map_batches(enc, batch_format="pyarrow") \
+    return li.map_batches(enc, batch_format="pyarrow") \
         .map_batches(route, batch_format="pyarrow") \
         .groupby("pid").map_groups(dd, batch_format="pandas")
-    return pagerank_int(edges, iters=iters)
+
+
+def pagerank_query(sf_dir: str, iters: int = 2):
+    """PageRank over the bipartite part–supplier graph; see
+    partsupp_edges for the graph derivation contract."""
+    return pagerank_int(partsupp_edges(sf_dir), iters=iters)
 
 
 def pagerank_oracle_sql(iters: int = 2) -> str:
@@ -759,6 +765,143 @@ q0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS q FROM nodes)"""]
         f"\nSELECT node, q FROM q{iters} ORDER BY node\n"
 
 
+# --- k-core decomposition ------------------------------------------------------
+
+def k_core(edges: "ray.data.Dataset", k: int = 2, max_iters: int = 50,
+           num_partitions: int | None = None) -> "ray.data.Dataset":
+    """The k-core of an undirected (a, b) int64 edge Dataset (distinct
+    edges, no self-loops): iterative peeling — drop every node whose
+    degree in the SURVIVING subgraph is < k, recompute, repeat to
+    fixpoint. Returns (node, degree) for the core's nodes, degree
+    measured inside the core.
+
+    Each round is two pid-routed groupby exchanges: a degree count by
+    hash(node), then an anti-join that drops edges touching a peeled
+    node (edges route once by each endpoint against the peeled set —
+    the peeled set is co-partitioned, never driver-collected, so a
+    first round that peels half the graph still streams).
+    Convergence is a count() on the peeled set; the edge table is
+    re-materialized per round to sever lineage (same lesson as the
+    PageRank loop's _pin)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+
+    def _pid_on(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(
+                t.column(col).to_pandas(), index=False).to_numpy()
+            return t.append_column(
+                "pid", pa.array((h % np.uint64(num_partitions))
+                                .astype(np.int64)))
+        return f
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        a, b = (t.column("a").combine_chunks(),
+                t.column("b").combine_chunks())
+        return _pid_on("node")(pa.Table.from_pydict(
+            {"node": pa.concat_arrays([a, b])}))
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False).size() \
+            .rename(columns={"size": "degree"})
+        out["degree"] = out["degree"].astype(np.int64)
+        return out
+
+    edges = edges.select_columns(["a", "b"]).materialize()
+    deg = None
+    for _ in range(max_iters):
+        deg = edges.map_batches(endpoints, batch_format="pyarrow") \
+            .groupby("pid").map_groups(count_part,
+                                       batch_format="pandas") \
+            .materialize()
+        peeled = deg.map_batches(
+            lambda t: t.filter(pc.less(t.column("degree"),
+                                       pa.scalar(k, pa.int64()))),
+            batch_format="pyarrow").materialize()
+        if peeled.count() == 0:
+            break
+
+        # anti-join each endpoint against the peeled node set:
+        # kind 1 = peeled node, kind 0 = edge routed by that endpoint
+        def tag_peeled(t: pa.Table) -> pa.Table:
+            return _pid_on("x")(pa.Table.from_pydict({
+                "x": t.column("node"), "y": t.column("node"),
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }))
+
+        def tag_edges(xcol: str, ycol: str):
+            def f(t: pa.Table) -> pa.Table:
+                return _pid_on("x")(pa.Table.from_pydict({
+                    "x": t.column(xcol), "y": t.column(ycol),
+                    "kind": pa.array(np.zeros(t.num_rows,
+                                              dtype=np.int8)),
+                }))
+            return f
+
+        def drop_hits(g: pd.DataFrame) -> pd.DataFrame:
+            bad = g.loc[g["kind"] == 1, "x"]
+            e = g[g["kind"] == 0]
+            return e.loc[~e["x"].isin(set(bad)), ["x", "y"]]
+
+        def unname(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["a", "b"])
+
+        surv = edges.map_batches(tag_edges("a", "b"),
+                                 batch_format="pyarrow") \
+            .union(peeled.map_batches(tag_peeled,
+                                      batch_format="pyarrow")) \
+            .groupby("pid").map_groups(drop_hits,
+                                       batch_format="pandas")
+        surv = surv.map_batches(tag_edges("y", "x"),
+                                batch_format="pyarrow") \
+            .union(peeled.map_batches(tag_peeled,
+                                      batch_format="pyarrow")) \
+            .groupby("pid").map_groups(drop_hits,
+                                       batch_format="pandas") \
+            .map_batches(lambda t: pa.Table.from_pydict(
+                {"a": t.column("y"), "b": t.column("x")}),
+                batch_format="pyarrow")
+        edges = surv.repartition(num_partitions).materialize()
+    return deg
+
+
+def k_core_query(sf_dir: str, k: int = 2):
+    """2-core of the bipartite part–supplier graph."""
+    edges = partsupp_edges(sf_dir)
+    return k_core(edges, k=k)
+
+
+def k_core_oracle_sql(k: int = 2, rounds: int = 24) -> str:
+    """Unrolled peeling replay (the BPE-oracle technique): each round
+    keeps edges whose both endpoints had degree ≥ k. ``rounds`` must
+    be ≥ the fixpoint round count at the checked SF (extra rounds are
+    no-op copies of a fixpoint table, so over-provisioning is safe);
+    MATERIALIZED stops DuckDB inlining the 3×-referenced steps."""
+    ctes = [f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem WHERE l_partkey <= {PR_PART_CAP}
+)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""d{i} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM e{i-1} UNION ALL SELECT b FROM e{i-1})
+  GROUP BY node
+),
+e{i} AS MATERIALIZED (
+  SELECT a, b FROM e{i-1}
+  WHERE a IN (SELECT node FROM d{i} WHERE d >= {k})
+    AND b IN (SELECT node FROM d{i} WHERE d >= {k})
+)""")
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT node, CAST(d AS BIGINT) AS degree FROM (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+  GROUP BY node)
+ORDER BY node
+"""
+
+
 # --- connected components as a first-class query ------------------------------
 
 def graph_components(edges: "ray.data.Dataset",
@@ -795,6 +938,154 @@ def graph_components_query(sf_dir: str, threshold: float = 0.3):
     return graph_components(pairs.map_batches(
         _pairs_as_edges, batch_format="pyarrow"),
         num_partitions=partitions_for(emb, 8))
+
+
+def bfs_levels(edges: "ray.data.Dataset", source: int | None = None,
+               max_iters: int = 64,
+               num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Single-source BFS hop distance over an undirected (a, b) int64
+    edge Dataset -> (node, level) for reachable nodes. ``source=None``
+    means the globally smallest node id (deterministic, so the SQL
+    oracle can recompute it). Frontier-based Bellman-Ford on hops:
+    the adjacency is pid-routed ONCE and reused every round; each
+    round only the nodes whose level changed last round send
+    (neighbor, level+1) messages through one pid-routed groupby, and a
+    second routed groupby takes the min against the old levels.
+    Converges in O(eccentricity of source) rounds; every per-partition
+    step is a vectorized pandas merge, and convergence is a
+    ``sum('changed')`` aggregate — no driver-side node state."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+
+    def _pid(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.column("node").to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def adj(t: pa.Table) -> pa.Table:
+        a, b = (t.column("a").combine_chunks(),
+                t.column("b").combine_chunks())
+        return _pid(pa.Table.from_pydict({
+            "node": pa.concat_arrays([a, b]),
+            "other": pa.concat_arrays([b, a]),
+        }))
+
+    adjacency = edges.map_batches(adj, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
+    if source is None:
+        mins = adjacency.min("node")
+        source = int(mins if np.isscalar(mins) else mins["node"])
+
+    dist = ray.data.from_arrow(_pid(pa.Table.from_pydict({
+        "node": pa.array([source], type=pa.int64()),
+        "level": pa.array([0], type=pa.int64()),
+    })).append_column(
+        "changed", pa.array([1], type=pa.int64()))).materialize()
+
+    for _ in range(max_iters):
+        # frontier rows (kind 1) co-locate with adjacency rows (kind 0)
+        def front(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("changed"),
+                                  pa.scalar(1, pa.int64())))
+            return pa.Table.from_pydict({
+                "node": t.column("node"), "other": t.column("node"),
+                "level": t.column("level"),
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "pid": t.column("pid"),
+            })
+
+        def adj_row(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict({
+                "node": t.column("node"), "other": t.column("other"),
+                "level": pa.array(
+                    np.zeros(t.num_rows, dtype=np.int64)),
+                "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "pid": t.column("pid"),
+            })
+
+        def send(g: pd.DataFrame) -> pd.DataFrame:
+            f = g.loc[g["kind"] == 1, ["node", "level"]]
+            a = g.loc[g["kind"] == 0, ["node", "other"]]
+            m = a.merge(f, on="node", how="inner")
+            out = pd.DataFrame({"node": m["other"].to_numpy(),
+                                "level": m["level"].to_numpy() + 1})
+            return out.groupby("node", as_index=False)["level"].min()
+
+        msgs = adjacency.map_batches(adj_row, batch_format="pyarrow") \
+            .union(dist.map_batches(front, batch_format="pyarrow")) \
+            .groupby("pid").map_groups(send, batch_format="pandas")
+
+        def tag(t: pa.Table, old: int) -> pa.Table:
+            t = t.select(["node", "level"]).append_column(
+                "is_old", pa.array([old] * t.num_rows, type=pa.int8()))
+            return _pid(t)
+
+        merged = msgs.map_batches(lambda t: tag(t, 0),
+                                  batch_format="pyarrow") \
+            .union(dist.map_batches(lambda t: tag(t, 1),
+                                    batch_format="pyarrow"))
+
+        def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+            new = g.groupby("node", as_index=False)["level"].min()
+            old = g.loc[g["is_old"] == 1, ["node", "level"]] \
+                .rename(columns={"level": "old"})
+            out = new.merge(old, on="node", how="left")
+            out["changed"] = (out["old"].isna()
+                              | (out["level"] < out["old"])) \
+                .astype(np.int64)
+            return out[["node", "level", "changed"]]
+
+        nxt = merged.groupby("pid").map_groups(
+            reduce_part, batch_format="pandas") \
+            .map_batches(_pid, batch_format="pyarrow") \
+            .repartition(num_partitions).materialize()
+        dist = nxt
+        if not nxt.sum("changed"):
+            break
+    return dist.drop_columns(["changed", "pid"])
+
+
+def bfs_levels_query(sf_dir: str, threshold: float = 0.3):
+    """BFS hop levels from the smallest node of the embedding
+    near-duplicate graph — same edge derivation as triangle_count /
+    graph_components, so reachability radius of the densest dup
+    cluster is what it reports."""
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs,
+                                          partitions_for)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+    return bfs_levels(pairs.map_batches(
+        _pairs_as_edges, batch_format="pyarrow"),
+        num_partitions=partitions_for(emb, 8))
+
+
+# levels are bounded by 64 (bfs_levels max_iters) so the recursive
+# walk can't cycle forever; UNION dedups (node, level) pairs
+BFS_LEVELS_ORACLE_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+),
+ued AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+src AS (SELECT min(a) AS s FROM e),
+walk(node, level) AS (
+  SELECT s, 0 FROM src
+  UNION
+  SELECT ue.b, w.level + 1 FROM walk w
+  JOIN ued ue ON ue.a = w.node
+  WHERE w.level < 64
+)
+SELECT node, CAST(min(level) AS BIGINT) AS level
+FROM walk GROUP BY node ORDER BY node
+"""
 
 
 GRAPH_COMPONENTS_ORACLE_SQL = """

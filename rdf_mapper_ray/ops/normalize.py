@@ -276,3 +276,85 @@ SELECT event_id,
 FROM events
 ORDER BY event_id
 """
+
+
+def ntile_bucket(ds: "ray.data.Dataset", k: int = 10,
+                 id_col: str = "event_id", value_col: str = "value",
+                 num_partitions: int | None = None
+                 ) -> "ray.data.Dataset":
+    """Equi-depth binning — SQL ``NTILE(k) OVER (ORDER BY value, id)``
+    without a global sort. Pass 1 reuses the rank_transform histogram
+    (per-batch integer-cent value counts, merged once, cumulative sum
+    broadcast). Pass 2 routes rows by hash(cents) so the rows SHARING
+    a value co-locate; each routed task orders its value-groups by id
+    (the tie-break) and emits exact global row_numbers as
+    below[value] + within-group position; the NTILE formula (first
+    n % k buckets take one extra row) is then per-row arithmetic.
+    Scale contract: one value's tie set must fit a task — with
+    bounded-decimal values the histogram pass proves the worst tie
+    count before pass 2 runs. -> (id, bucket)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column(value_col).to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        vals, cnts = np.unique(cents, return_counts=True)
+        return pa.Table.from_pydict({
+            "cents": pa.array(vals),
+            "cnt": pa.array(cnts.astype(np.int64)),
+        })
+
+    h = ds.select_columns([value_col]) \
+        .map_batches(hist, batch_format="pyarrow") \
+        .groupby("cents").aggregate(Sum("cnt")).to_pandas() \
+        .sort_values("cents")
+    vals = h["cents"].to_numpy()
+    cum = np.cumsum(h["sum(cnt)"].to_numpy())
+    below = np.concatenate([[0], cum[:-1]])
+    n_total = int(cum[-1])
+    ref = ray.put((vals, below))
+
+    q, r = divmod(n_total, k)
+
+    def route(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column(value_col).to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.Table.from_pydict({
+            id_col: batch.column(id_col), "cents": pa.array(cents)})
+        pid = pd.util.hash_pandas_object(pd.Series(cents),
+                                         index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def bucketize(g: pd.DataFrame) -> pd.DataFrame:
+        v, b = ray.get(ref)
+        g = g.sort_values(["cents", id_col])
+        within = g.groupby("cents", sort=False).cumcount().to_numpy()
+        rn = b[np.searchsorted(v, g["cents"].to_numpy())] + within
+        # 0-based row_number rn: first r buckets hold q+1 rows each
+        cut = r * (q + 1)
+        bucket = np.where(rn < cut, rn // max(q + 1, 1) + 1,
+                          r + (rn - cut) // max(q, 1) + 1)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "bucket": bucket.astype(np.int64)})
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(bucketize, batch_format="pandas")
+
+
+def ntile_query(sf_dir: str, k: int = 10):
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+    return ntile_bucket(ds, k=k)
+
+
+def ntile_oracle_sql(k: int = 10) -> str:
+    return f"""
+SELECT event_id,
+       CAST(NTILE({k}) OVER (
+           ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+         AS BIGINT) AS bucket
+FROM events ORDER BY event_id
+"""

@@ -1,0 +1,241 @@
+"""Distributed grouped statistics: mode (most frequent value per
+group) and Pearson correlation per group.
+
+Both follow the repo's partial-aggregate discipline: map_batches
+shrinks each block to per-(block, group) partials FIRST, so only
+group-cardinality-sized rows ride the shuffle — never the input rows.
+
+The correlation uses the exact-integer contract (same as zscore /
+label_centroids / lm_score): inputs quantize to int64 units inside
+the engine AND the SQL oracle (``CAST(round(x*scale) AS BIGINT)``),
+sufficient statistics accumulate exactly, and the one float division
+at the end applies the identical IEEE-double formula on both sides —
+bit-exact value hashes, no tolerance.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from rdf_mapper_ray.ops.readers import read_table
+
+
+# --- mode per group -------------------------------------------------------------
+
+def grouped_mode(ds: "ray.data.Dataset", group_col: str,
+                 value_col: str,
+                 num_partitions: Optional[int] = None
+                 ) -> "ray.data.Dataset":
+    """Most frequent value per group; ties break to the smallest
+    value (deterministic, so SQL's ``row_number() OVER (ORDER BY cnt
+    DESC, value)`` replays it). Map-side: per-block (group, value)
+    counts via an Arrow hash aggregate. Reduce-side: groups
+    co-partition by hash(group); each routed task sums the partial
+    counts and takes the argmax. -> (group, mode, n)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.select([group_col, value_col]) \
+            .group_by([group_col, value_col], use_threads=False) \
+            .aggregate([([], "count_all")])
+        pid = pd.util.hash_pandas_object(
+            c.column(group_col).to_pandas(), index=False).to_numpy()
+        return c.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby([group_col, value_col], as_index=False)[
+            "count_all"].sum()
+        c = c.sort_values([group_col, "count_all", value_col],
+                          ascending=[True, False, True])
+        out = c.groupby(group_col, sort=False).head(1) \
+            .rename(columns={value_col: "mode", "count_all": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out[[group_col, "mode", "n"]]
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pid").map_groups(finish, batch_format="pandas")
+
+
+def grouped_mode_query(sf_dir: str):
+    """Per event type, the user who triggered it most often."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "user_id"])
+    out = grouped_mode(ds, "event_type", "user_id")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["event_type", "mode_user", "n"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+GROUPED_MODE_ORACLE_SQL = """
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, user_id
+),
+r AS (
+  SELECT event_type, user_id, cnt,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, user_id) AS rn
+  FROM c
+)
+SELECT event_type, user_id AS mode_user, CAST(cnt AS BIGINT) AS n
+FROM r WHERE rn = 1 ORDER BY event_type
+"""
+
+
+# --- Pearson correlation per group ----------------------------------------------
+
+def group_corr(ds: "ray.data.Dataset", group_col: str, x_col: str,
+               y_col: str, x_scale: int = 100, y_scale: int = 100,
+               num_partitions: Optional[int] = None
+               ) -> "ray.data.Dataset":
+    """Pearson r per group from exact int64 sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) over quantized units
+    ``round(value·scale)``. Partials per block are group-sized; the
+    finish runs per routed group with Python-int (arbitrary
+    precision) products, so ``n·Σxy − Σx·Σy`` never wraps. int64
+    partial accumulation bounds the op to Σy² < 2^63 per block and
+    per group (~1.4e8 rows at TPC-H price scale) — past that, switch
+    to two-limb hi/lo accumulation; the formula is unchanged.
+
+    r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²̂) · √(n·Σy² − Σy²̂)) with the
+    single double conversion applied to each exact integer operand —
+    the SQL oracle runs the literally identical expression over
+    HUGEINT sums, so the doubles agree bit-for-bit.
+    -> (group, n, corr)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_pandas()
+        x = np.rint(t.column(x_col).to_numpy(zero_copy_only=False)
+                    * x_scale).astype(np.int64)
+        y = np.rint(t.column(y_col).to_numpy(zero_copy_only=False)
+                    * y_scale).astype(np.int64)
+        df = pd.DataFrame({group_col: g, "sx": x, "sy": y,
+                           "sxy": x * y, "sx2": x * x, "sy2": y * y})
+        out = df.groupby(group_col, as_index=False).agg(
+            n=("sx", "size"), sx=("sx", "sum"), sy=("sy", "sum"),
+            sxy=("sxy", "sum"), sx2=("sx2", "sum"),
+            sy2=("sy2", "sum"))
+        out["n"] = out["n"].astype(np.int64)
+        pid = pd.util.hash_pandas_object(out[group_col],
+                                         index=False).to_numpy()
+        out["pid"] = (pid % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(group_col, as_index=False)[
+            ["n", "sx", "sy", "sxy", "sx2", "sy2"]].sum()
+        corr = []
+        for n, sx, sy, sxy, sx2, sy2 in zip(
+                s["n"].tolist(), s["sx"].tolist(), s["sy"].tolist(),
+                s["sxy"].tolist(), s["sx2"].tolist(),
+                s["sy2"].tolist()):
+            num = n * sxy - sx * sy
+            d1, d2 = n * sx2 - sx * sx, n * sy2 - sy * sy
+            corr.append(
+                float("nan") if d1 == 0 or d2 == 0 else
+                float(num) / (math.sqrt(float(d1))
+                              * math.sqrt(float(d2))))
+        out = s[[group_col, "n"]].copy()
+        out["n"] = out["n"].astype(np.int64)
+        out["corr"] = np.asarray(corr, dtype=np.float64)
+        return out
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pid").map_groups(finish, batch_format="pandas")
+
+
+def group_corr_query(sf_dir: str):
+    """corr(quantity, extendedprice) per return flag."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+    return group_corr(ds, "l_returnflag", "l_quantity",
+                      "l_extendedprice")
+
+
+GROUP_CORR_ORACLE_SQL = """
+WITH u AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sx2, SUM(y * y) AS sy2
+  FROM u GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+          * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS corr
+FROM s ORDER BY l_returnflag
+"""
+
+
+# --- ordered string aggregation per group ---------------------------------------
+
+def group_concat(ds: "ray.data.Dataset", group_col: str,
+                 value_col: str, sep: str = ",",
+                 num_partitions: Optional[int] = None
+                 ) -> "ray.data.Dataset":
+    """SQL ``string_agg(value, sep ORDER BY value)`` per group: groups
+    co-partition by hash(group), the routed task sorts each complete
+    group and joins once (pandas str join over the whole partition —
+    no per-row Python in the hot path beyond the final join). Scale
+    contract: one group's values fit a task (same contract as
+    group_median / SQL's own string_agg memory behavior).
+    -> (group, concat, n)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col])
+        pid = pd.util.hash_pandas_object(
+            t.column(group_col).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, value_col])
+        out = g.groupby(group_col, sort=False)[value_col].agg(
+            concat=sep.join, n="size").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out[[group_col, "concat", "n"]]
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(finish, batch_format="pandas")
+
+
+def nation_customers_query(sf_dir: str):
+    """Per nation key: all customer names, sorted and comma-joined."""
+    ds = read_table(sf_dir, "customer",
+                    columns=["c_nationkey", "c_name"])
+    return group_concat(ds, "c_nationkey", "c_name")
+
+
+NATION_CUSTOMERS_ORACLE_SQL = """
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY c_name) AS concat,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+"""

@@ -142,7 +142,23 @@ class KGPipeline:
                 quads_to_table(self.one_off_quads)))
         return out
 
-    def _post_extract(self, t: "ray.data.Dataset") -> "ray.data.Dataset":
+    def _dedup_partitions(self, rows_hint: Optional[int]
+                          ) -> Optional[int]:
+        """Dedup shuffle partitions from the INPUT row-count hint: the
+        sort shuffle's coordination cost scales with blocks ×
+        partitions, not bytes (ops/readers.py), so a 15k-row table
+        must not pay the 256-partition cluster default. Triples ≈
+        rows × small factor; 8 is conservative — overshooting the
+        factor only adds partitions, never drops below the 8-floor.
+        Huge inputs saturate at the cluster-scaled default."""
+        if rows_hint is None:
+            return None
+        from rdf_mapper_ray.ops.dedup import _num_partitions
+        return _num_partitions(rows_hint * 8)
+
+    def _post_extract(self, t: "ray.data.Dataset",
+                      rows_hint: Optional[int] = None
+                      ) -> "ray.data.Dataset":
         if self.emit_metrics:
             # filter metrics pseudo-triples unconditionally BEFORE the
             # mention/canonicalize stages (previously skipped in mentions
@@ -157,19 +173,22 @@ class KGPipeline:
                                  self.reconcile_backend)
         if self.canonicalize:
             t = canonicalize_sameas(t)
-        return self._distinct(t)
+        return self._distinct(t, rows_hint=rows_hint)
 
-    def _distinct(self, t: "ray.data.Dataset") -> "ray.data.Dataset":
+    def _distinct(self, t: "ray.data.Dataset",
+                  rows_hint: Optional[int] = None) -> "ray.data.Dataset":
+        p = self._dedup_partitions(rows_hint)
         if self.dedup_strategy == "pointer":
-            return distinct_triples_pointer(t)
-        return distinct_triples(t)
+            return distinct_triples_pointer(t, num_partitions=p)
+        return distinct_triples(t, num_partitions=p)
 
     # -- entry points --------------------------------------------------------
 
     def run(self, ds: "ray.data.Dataset", output_dir: Optional[str] = None,
             sort: bool = True,
             rows_hint: Optional[int] = None) -> "ray.data.Dataset":
-        t = self._post_extract(self.extract(ds, rows_hint=rows_hint))
+        t = self._post_extract(self.extract(ds, rows_hint=rows_hint),
+                               rows_hint=rows_hint)
         if output_dir:
             write_triples_parquet(t, output_dir, sort=sort)
             return t

@@ -57,7 +57,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rdf_mapper_ray.ops import (baskets, bloom, bpe, clusters,
+    from rdf_mapper_ray.ops import (baskets, bloom, bpe, bucketed,
+                                    clusters,
                                     dedup, diff, distinct, domains,
                                     editdist, incremental, joins,
                                     multimodal, cleaning, nbayes,
@@ -213,6 +214,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_bucket": normalize.ntile_query,
         # ordered string_agg per group
         "nation_customers": stats.nation_customers_query,
+        # shuffle-free join over co-partitioned on-disk buckets
+        "bucketed_orders": bucketed.bucketed_orders_query,
+        # flat-map regex extraction (UNNEST of all matches)
+        "regex_extract": text.regex_extract_query,
+        # UNPIVOT: wide measures -> long (measure, value) rows
+        "unpivot_lineitem": rollup.unpivot_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -275,7 +282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rdf_mapper_ray.ops import (baskets, bloom, bpe, clusters,
+    from rdf_mapper_ray.ops import (baskets, bloom, bpe, bucketed,
+                                    clusters,
                                     dedup, diff, distinct, domains,
                                     editdist, incremental, joins,
                                     multimodal, cleaning, nbayes,
@@ -368,6 +376,9 @@ def oracle_sql() -> dict[str, str]:
         "users_except": setops.USERS_EXCEPT_ORACLE_SQL,
         "ntile_bucket": normalize.ntile_oracle_sql(),
         "nation_customers": stats.NATION_CUSTOMERS_ORACLE_SQL,
+        "bucketed_orders": bucketed.BUCKETED_ORDERS_ORACLE_SQL,
+        "regex_extract": text.REGEX_EXTRACT_ORACLE_SQL,
+        "unpivot_lineitem": rollup.UNPIVOT_ORACLE_SQL,
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

@@ -183,3 +183,54 @@ FROM d
 GROUP BY event_type, weekday
 ORDER BY event_type, weekday
 """
+
+
+# --- unpivot (wide -> long) -------------------------------------------------------
+
+def unpivot(ds: "ray.data.Dataset", id_cols: list[str],
+            value_cols: list[str], name_col: str = "measure",
+            value_col: str = "value") -> "ray.data.Dataset":
+    """SQL UNPIVOT — the inverse reshape of event_type_pivot: each of
+    ``value_cols`` becomes a (measure-name, value) row pair per input
+    row. Map-only (zero shuffle): per batch, the id columns repeat
+    k-fold via Arrow take with a tiled index and the measure column is
+    a constant-per-segment string array. -> id_cols + (measure, value)."""
+    import numpy as np
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64),
+                               len(value_cols)))
+        out = {c: batch.column(c).take(idx) for c in id_cols}
+        names = np.repeat(np.asarray(value_cols, dtype=object), n)
+        out[name_col] = pa.array(names, type=pa.string())
+        vals = [batch.column(c).cast(pa.float64())
+                for c in value_cols]
+        out[value_col] = pa.concat_arrays(
+            [v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+             else v for v in vals])
+        return pa.Table.from_pydict(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_UNPIVOT_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def unpivot_query(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber"]
+                    + _UNPIVOT_COLS)
+    return unpivot(ds, ["l_orderkey", "l_linenumber"], _UNPIVOT_COLS)
+
+
+UNPIVOT_ORACLE_SQL = f"""
+SELECT l_orderkey, l_linenumber, measure, value
+FROM (
+  UNPIVOT (SELECT l_orderkey, l_linenumber,
+                  {', '.join(_UNPIVOT_COLS)} FROM lineitem)
+  ON {', '.join(_UNPIVOT_COLS)}
+  INTO NAME measure VALUE value
+)
+ORDER BY l_orderkey, l_linenumber, measure
+"""

@@ -674,3 +674,53 @@ FROM tk JOIN q USING (tok)
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# --- regex extraction table ------------------------------------------------------
+
+def regex_extract(ds: "ray.data.Dataset", pattern: str,
+                  id_col: str = "doc_id", text_col: str = "text"
+                  ) -> "ray.data.Dataset":
+    """Flat-map every match of ``pattern`` to its own row (bag
+    semantics, document order within a doc) — SQL's
+    ``unnest(regexp_extract_all(...))``. Map-only: the regex compiles
+    once per task (closure), matches via pandas' C findall loop, and
+    the id column repeats by match count — no shuffle, no Python
+    per-row loop. -> (id, match)."""
+    rx = re.compile(pattern)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        found = s.str.findall(rx)
+        counts = found.str.len().to_numpy()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .repeat(counts)
+        flat = [m for lst in found for m in lst]
+        return pa.Table.from_pydict({
+            id_col: pa.array(ids),
+            "match": pa.array(flat, type=pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# words with an inner double letter — non-degenerate on the synthetic
+# word-soup corpus (batch, small, ...) yet selective
+REGEX_EXTRACT_PATTERN = r"\b\w*(?:tt|ll|gg)\w*\b"
+
+
+def regex_extract_query(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return regex_extract(ds, REGEX_EXTRACT_PATTERN)
+
+
+# DuckDB string literals don't process backslashes, so the raw
+# pattern drops straight in; RE2 and Python `re` agree on \b/\w over
+# this ASCII corpus (leftmost non-overlapping scan both sides)
+REGEX_EXTRACT_ORACLE_SQL = f"""
+SELECT doc_id,
+       unnest(regexp_extract_all(text, '{REGEX_EXTRACT_PATTERN}'))
+         AS match
+FROM documents
+ORDER BY doc_id
+"""

@@ -220,6 +220,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_extract": text.regex_extract_query,
         # UNPIVOT: wide measures -> long (measure, value) rows
         "unpivot_lineitem": rollup.unpivot_query,
+        # entropy of per-group value distribution (milli-nat ints)
+        "group_entropy": stats.group_entropy_query,
+        # exact quantile_cont at several probabilities per group
+        "group_quantiles": quantiles.group_quantiles_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -379,6 +383,8 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_orders": bucketed.BUCKETED_ORDERS_ORACLE_SQL,
         "regex_extract": text.REGEX_EXTRACT_ORACLE_SQL,
         "unpivot_lineitem": rollup.UNPIVOT_ORACLE_SQL,
+        "group_entropy": stats.GROUP_ENTROPY_ORACLE_SQL,
+        "group_quantiles": quantiles.GROUP_QUANTILES_ORACLE_SQL,
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

@@ -264,3 +264,70 @@ SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+# --- exact multi-quantiles per group --------------------------------------------
+
+GROUP_QUANTILES_QS = (0.25, 0.5, 0.75)
+
+
+def group_quantiles(ds: "ray.data.Dataset", group_col: str,
+                    value_col: str,
+                    qs: tuple = GROUP_QUANTILES_QS,
+                    num_partitions: Optional[int] = None
+                    ) -> "ray.data.Dataset":
+    """Exact per-group quantile_cont at several probabilities in ONE
+    routed exchange (group_median generalized): the interpolation is
+    computed manually as ``lower + (upper − lower)·frac`` — the same
+    double expression DuckDB's quantile_cont evaluates — instead of
+    np.quantile, so the value hash matches bit-for-bit. One long-form
+    row per (group, q). Same one-group-fits-one-task contract as
+    group_median; approx_quantiles is the sketch venue past it.
+    -> (group, q, value, n)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(batch: pa.Table) -> pa.Table:
+        batch = batch.select([group_col, value_col])
+        pid = pd.util.hash_pandas_object(
+            batch.column(group_col).to_pandas(), index=False).to_numpy()
+        return batch.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, grp in g.groupby(group_col, sort=False):
+            v = np.sort(grp[value_col].to_numpy(dtype=np.float64))
+            n = len(v)
+            for q in qs:
+                pos = q * (n - 1)
+                lo = int(math.floor(pos))
+                hi = min(lo + 1, n - 1)
+                frac = pos - lo
+                val = v[lo] + (v[hi] - v[lo]) * frac
+                rows.append((key, float(q), float(val), n))
+        return pd.DataFrame(rows, columns=[group_col, "q", "value",
+                                           "n"]) \
+            .astype({"q": np.float64, "value": np.float64,
+                     "n": np.int64})
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(quant, batch_format="pandas")
+
+
+def group_quantiles_query(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity"])
+    return group_quantiles(ds, "l_returnflag", "l_quantity")
+
+
+# quantile_cont only takes CONSTANT probabilities, so one UNION ALL
+# arm per q
+GROUP_QUANTILES_ORACLE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT l_returnflag, CAST({q} AS DOUBLE) AS q,
+       quantile_cont(l_quantity, {q}) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag"""
+    for q in GROUP_QUANTILES_QS) + "\nORDER BY l_returnflag, q\n"

@@ -239,3 +239,67 @@ SELECT c_nationkey,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
 """
+
+
+# --- Shannon entropy per group (milli-nat integer contract) ----------------------
+
+def group_entropy(ds: "ray.data.Dataset", group_col: str,
+                  value_col: str,
+                  num_partitions: Optional[int] = None
+                  ) -> "ray.data.Dataset":
+    """Entropy diagnostics of the value distribution inside each group
+    (label-balance checks for training splits). Same exact-integer
+    trick as lm_score's milli-nat contract: each distinct value's
+    count c contributes ``c · floor(ln(c)·1000 + 0.5)`` — an exact
+    int64, so the distributed sum is order-independent and the SQL
+    oracle matches value-for-value. Consumers recover
+    ``H = ln(n) − h_milli / (1000·n)`` nats. Partials per block are
+    (group, value)-count sized; one routed exchange.
+    -> (group, n, h_milli)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.select([group_col, value_col]) \
+            .group_by([group_col, value_col], use_threads=False) \
+            .aggregate([([], "count_all")])
+        pid = pd.util.hash_pandas_object(
+            c.column(group_col).to_pandas(), index=False).to_numpy()
+        return c.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby([group_col, value_col], as_index=False)[
+            "count_all"].sum()
+        cnt = c["count_all"].to_numpy(dtype=np.int64)
+        q = np.floor(np.log(cnt) * 1000.0 + 0.5).astype(np.int64)
+        c["term"] = cnt * q
+        out = c.groupby(group_col, as_index=False).agg(
+            n=("count_all", "sum"), h_milli=("term", "sum"))
+        out["n"] = out["n"].astype(np.int64)
+        out["h_milli"] = out["h_milli"].astype(np.int64)
+        return out
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pid").map_groups(finish, batch_format="pandas")
+
+
+def group_entropy_query(sf_dir: str):
+    """User-distribution entropy per event type."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "user_id"])
+    return group_entropy(ds, "event_type", "user_id")
+
+
+GROUP_ENTROPY_ORACLE_SQL = """
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+       CAST(SUM(cnt * CAST(floor(ln(cnt) * 1000 + 0.5) AS BIGINT))
+            AS BIGINT) AS h_milli
+FROM c GROUP BY event_type ORDER BY event_type
+"""

@@ -127,7 +127,8 @@ def test_new_ops_match_oracle_sf001(ray_session):
                     f"read_parquet('{sf}/{t}.parquet')")
     for name in ["grouped_mode", "group_corr", "users_intersect",
                  "users_except", "k_core", "ntile_bucket",
-                 "nation_customers"]:
+                 "nation_customers", "group_entropy",
+                 "group_quantiles"]:
         got = E.queries()[name](sf).to_pandas()
         want = con.execute(E.oracle_sql()[name]).fetchdf()
         assert compare(name, got, want)

@@ -224,6 +224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_entropy": stats.group_entropy_query,
         # exact quantile_cont at several probabilities per group
         "group_quantiles": quantiles.group_quantiles_query,
+        # skew join: hot keys broadcast, cold keys co-partition
+        "docs_lang_stats": joins.docs_lang_stats_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -385,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_lineitem": rollup.UNPIVOT_ORACLE_SQL,
         "group_entropy": stats.GROUP_ENTROPY_ORACLE_SQL,
         "group_quantiles": quantiles.GROUP_QUANTILES_ORACLE_SQL,
+        "docs_lang_stats": joins.DOCS_LANG_STATS_ORACLE_SQL,
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

@@ -275,7 +275,14 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                              partitions_for(right, 1))
 
     def _pa_type(t):
-        return t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t)
+        if isinstance(t, pa.DataType):
+            return t
+        # pandas-block schemas report strings as dtype('O') (or the
+        # bare `object` type); every object column in this engine is
+        # a string column
+        if t is object or getattr(t, "kind", None) == "O":
+            return pa.string()
+        return pa.from_numpy_dtype(t)
 
     l_types = {n: _pa_type(l_schema.types[i]) for i, n in enumerate(l_cols)}
     r_types = {n: _pa_type(r_schema.types[i]) for i, n in enumerate(r_cols)}
@@ -518,4 +525,100 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 ORDER BY n.n_name
+"""
+
+
+# --- skew-handling join venue --------------------------------------------------
+
+
+def skew_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              left_on: str, right_on: str, how: str = "inner",
+              hot_keys: list | None = None,
+              hot_share: float = 0.02,
+              num_partitions: int | None = None,
+              suffix: str = "_r") -> "ray.data.Dataset":
+    """Skew-handling equi-join (the "salt hot keys" answer for joins,
+    Spark-AQE-style): keys above ``hot_share`` of a bounded driver
+    sample (or the explicit ``hot_keys``) take the ZERO-SHUFFLE
+    broadcast arm — only the right rows OF THOSE KEYS broadcast, so a
+    key holding half the fact table never lands in one reduce task —
+    while cold keys take the standard co-partition arm with the hot
+    rows filtered out of both shuffles. Exact for
+    inner/left/semi/anti: matches only occur within a key and the key
+    space partitions into hot ∪ cold (null keys ride the cold arm,
+    where SQL null semantics already never match). ``full`` outer
+    needs every unmatched right row exactly once and must use the
+    plain copartition venue."""
+    if how == "full":
+        raise ValueError("full outer join cannot split by key arm — "
+                         "use equi_join(venue='copartition')")
+    if hot_keys is None:
+        from rdf_mapper_ray.engine.partitioning import detect_hot_keys
+        hot_keys = detect_hot_keys(left, left_on, hot_share=hot_share)
+    if not hot_keys:
+        return equi_join(left, right, left_on, right_on, how=how,
+                         venue="copartition",
+                         num_partitions=num_partitions, suffix=suffix)
+
+    import ray
+    hot_ref = ray.put(list(hot_keys))
+
+    def split(key_col: str, want_hot: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            vals = pa.array(ray.get(hot_ref),
+                            type=batch.column(key_col).type)
+            m = pc.is_in(batch.column(key_col), value_set=vals)
+            m = pc.fill_null(m, False)   # null keys are cold
+            return batch.filter(m if want_hot else pc.invert(m))
+        return f
+
+    l_hot = left.map_batches(split(left_on, True),
+                             batch_format="pyarrow")
+    l_cold = left.map_batches(split(left_on, False),
+                              batch_format="pyarrow")
+    r_hot = right.map_batches(split(right_on, True),
+                              batch_format="pyarrow")
+    r_cold = right.map_batches(split(right_on, False),
+                               batch_format="pyarrow")
+    r_schema = right.schema()
+    hot_out = equi_join(l_hot, r_hot, left_on, right_on, how=how,
+                        venue="broadcast", suffix=suffix,
+                        right_schema=r_schema)
+    cold_out = equi_join(l_cold, r_cold, left_on, right_on, how=how,
+                         venue="copartition",
+                         num_partitions=num_partitions, suffix=suffix,
+                         left_schema=left.schema(),
+                         right_schema=r_schema)
+    return hot_out.union(cold_out)
+
+
+def docs_lang_stats_query(sf_dir: str):
+    """Every document joined to its language's corpus stats — 'en'
+    holds ~44% of the corpus (a genuinely hot key at every SF), so the
+    driver run exercises BOTH arms: en via broadcast, the rest via
+    co-partition (hot_share=0.2 puts the 13-15% languages cold)."""
+    import ray.data as rd
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    # lang-cardinality dim: per-block partial counts, merged on the
+    # driver (tiny) — no sort-aggregate exchange for a 5-row table
+    partials = read_table(sf_dir, "documents", columns=["lang"]) \
+        .map_batches(lambda b: b.group_by(["lang"], use_threads=False)
+                     .aggregate([([], "count_all")]),
+                     batch_format="pyarrow").to_pandas()
+    merged = partials.groupby("lang", as_index=False)["count_all"] \
+        .sum().rename(columns={"count_all": "n_docs"})
+    merged["n_docs"] = merged["n_docs"].astype(np.int64)
+    dim = rd.from_arrow(pa.Table.from_pandas(merged,
+                                             preserve_index=False))
+    return skew_join(docs, dim, "lang", "lang", how="inner",
+                     hot_share=0.2)
+
+
+DOCS_LANG_STATS_ORACLE_SQL = """
+WITH dim AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, dim.lang AS lang_r, dim.n_docs
+FROM documents d JOIN dim ON d.lang = dim.lang
+ORDER BY d.doc_id
 """

@@ -60,3 +60,35 @@ def test_unpivot_roundtrip_shape(ray_session):
         .reset_index(drop=True)
     assert out["measure"].tolist() == ["x", "y", "x", "y"]
     assert out["value"].tolist() == [1.5, 10.0, 2.5, 20.0]
+
+
+def test_skew_join_equals_copartition_all_modes(ray_session):
+    from rdf_mapper_ray.ops.joins import equi_join, skew_join
+    # hub key 7 holds half the fact side; key 99 unmatched on the
+    # right; right key 42 unmatched on the left
+    l = pd.DataFrame({"k": [7] * 10 + [1, 2, 3, 99],
+                      "a": list(range(14))})
+    r = pd.DataFrame({"j": [7, 1, 2, 42], "b": ["h", "x", "y", "z"]})
+    for how in ["inner", "left", "semi", "anti"]:
+        got = skew_join(ray.data.from_pandas(l).repartition(3),
+                        ray.data.from_pandas(r),
+                        "k", "j", how=how, hot_keys=[7],
+                        num_partitions=4).to_pandas()
+        want = equi_join(ray.data.from_pandas(l),
+                         ray.data.from_pandas(r),
+                         "k", "j", how=how, venue="copartition",
+                         num_partitions=4).to_pandas()
+        cols = sorted(want.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_skew_join_no_hot_keys_falls_back(ray_session):
+    from rdf_mapper_ray.ops.joins import skew_join
+    l = pd.DataFrame({"k": [1, 2, 3], "a": [1, 2, 3]})
+    r = pd.DataFrame({"j": [2, 3], "b": ["x", "y"]})
+    out = skew_join(ray.data.from_pandas(l), ray.data.from_pandas(r),
+                    "k", "j", hot_keys=[], num_partitions=4) \
+        .to_pandas().sort_values("k")
+    assert out["k"].tolist() == [2, 3]

@@ -226,6 +226,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": quantiles.group_quantiles_query,
         # skew join: hot keys broadcast, cold keys co-partition
         "docs_lang_stats": joins.docs_lang_stats_query,
+        # GROUP BY CUBE — all four grouping sets from ONE fine shuffle
+        "cube_orders": rollup.cube_query,
+        # per-user first/last-touch attribution (argmin/argmax family)
+        "attribution": sessions.attribution_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -388,6 +392,8 @@ def oracle_sql() -> dict[str, str]:
         "group_entropy": stats.GROUP_ENTROPY_ORACLE_SQL,
         "group_quantiles": quantiles.GROUP_QUANTILES_ORACLE_SQL,
         "docs_lang_stats": joins.DOCS_LANG_STATS_ORACLE_SQL,
+        "cube_orders": rollup.CUBE_ORACLE_SQL,
+        "attribution": sessions.attribution_oracle_sql(),
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

@@ -75,6 +75,104 @@ def rollup_counts(ds: "ray.data.Dataset", keys: tuple[str, str],
     return lvl0.union(lvl1).union(lvl2)
 
 
+def cube_counts(ds: "ray.data.Dataset", keys: tuple[str, str],
+                sum_col: str) -> "ray.data.Dataset":
+    """SQL ``GROUP BY CUBE(a, b)`` — every grouping set: (a,b), (a,·),
+    (·,b) and (·,·), with typed-NULL markers in the rolled-up slots
+    (same marker caveat as :func:`rollup_counts`).
+
+    Scale shape: ONE map-side-combined shuffle reduces the raw table to
+    the finest (a, b) level; all three coarser sets re-aggregate that
+    group-count-sized RESULT (the (·,b) set is the only extra exchange
+    vs ROLLUP, and it moves |a×b| rows, not data rows).
+    -> (a, b, n_rows, sum_<col>)."""
+    a, b = keys
+    sch = ds.schema().base_schema
+    a_type = sch.field(a).type
+    b_type = sch.field(b).type
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([a, b, sum_col])
+        agg = t.group_by([a, b], use_threads=False).aggregate(
+            [(sum_col, "sum"), ([], "count_all")])
+        return agg.rename_columns([a, b, "s", "n"])
+
+    fine = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([a, b]).aggregate(Sum("s"), Sum("n")).materialize()
+
+    def fmt(keep_a: bool, keep_b: bool):
+        def _fmt(batch: pa.Table) -> pa.Table:
+            nrows = batch.num_rows
+            return pa.Table.from_pydict({
+                a: batch.column(a) if keep_a
+                    else pa.nulls(nrows, a_type),
+                b: batch.column(b) if keep_b
+                    else pa.nulls(nrows, b_type),
+                "n_rows": pa.compute.cast(batch.column("sum(n)"),
+                                          pa.int64()),
+                "sum_" + sum_col: pa.compute.cast(batch.column("sum(s)"),
+                                                  pa.int64()),
+            })
+        return _fmt
+
+    def _regroup(key: str):
+        return fine.groupby(key).aggregate(Sum("sum(s)"), Sum("sum(n)")) \
+            .map_batches(lambda t: t.rename_columns(
+                [key, "sum(s)", "sum(n)"]), batch_format="pyarrow")
+
+    lvl_ab = fine.map_batches(fmt(True, True), batch_format="pyarrow")
+    lvl_a = _regroup(a) \
+        .map_batches(_with_null(b, b_type), batch_format="pyarrow") \
+        .map_batches(fmt(True, False), batch_format="pyarrow")
+    lvl_b = _regroup(b) \
+        .map_batches(_with_null(a, a_type), batch_format="pyarrow") \
+        .map_batches(fmt(False, True), batch_format="pyarrow")
+    total = fine.aggregate(Sum("sum(s)"), Sum("sum(n)"))
+    lvl_none = ray.data.from_arrow(pa.Table.from_pydict({
+        a: pa.nulls(1, a_type),
+        b: pa.nulls(1, b_type),
+        "n_rows": pa.array([int(total["sum(sum(n))"])], pa.int64()),
+        "sum_" + sum_col: pa.array([int(total["sum(sum(s))"])],
+                                   pa.int64()),
+    }))
+    return lvl_ab.union(lvl_a).union(lvl_b).union(lvl_none)
+
+
+def cube_query(sf_dir: str):
+    """Order count + total price (cents, exact int) by every grouping
+    set of (orderstatus, orderpriority)."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderstatus", "o_orderpriority",
+                             "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        col = batch.column("o_totalprice")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.Table.from_pydict({
+            "o_orderstatus": batch.column("o_orderstatus"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "cents": pc.round(pc.multiply(col, 100.0)).cast(pa.int64()),
+        })
+
+    return cube_counts(ds.map_batches(cents, batch_format="pyarrow"),
+                       keys=("o_orderstatus", "o_orderpriority"),
+                       sum_col="cents")
+
+
+CUBE_ORACLE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
 def _with_null(col: str, typ: "pa.DataType"):
     def _add(batch: pa.Table) -> pa.Table:
         return batch.append_column(col, pa.nulls(batch.num_rows, typ))

@@ -735,3 +735,100 @@ WHERE a.day >= c.cohort_day
 GROUP BY c.cohort_day, day_offset
 ORDER BY cohort_day, day_offset
 """
+
+
+# --- first/last-touch attribution (distributed argmin/argmax) ---------------------
+
+def attribution(ds: "ray.data.Dataset", user_col: str = "user_id",
+                ts_col: str = "ts", id_col: str = "event_id",
+                type_col: str = "event_type",
+                num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Per-user first- and last-touch attribution — the argmin/argmax
+    aggregate family: for each user, the event type of the earliest and
+    latest event, deterministic under ties via the (ts, event_id)
+    lexicographic key.
+
+    Scale shape: argmin/argmax is COMMUTATIVE, so each block reduces to
+    one candidate row per local user before anything moves; the shuffle
+    carries O(blocks x users-per-block) candidate rows, never events,
+    and one pid-routed groupby merges the candidates with the same
+    vectorized first/last reduction. -> (user_id, first_event,
+    last_event, n_events)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, "ts_us", id_col], kind="stable")
+        g = df.groupby(user_col, as_index=False, sort=False)
+        first = g.first()[[user_col, "ts_us", id_col, "first_event"]]
+        last = g.last()[["ts_us", id_col, "last_event"]] \
+            .rename(columns={"ts_us": "ts2", id_col: "id2"})
+        n = g["n"].sum()["n"] if "n" in df.columns else g.size()["size"]
+        out = pd.concat([first, last], axis=1)
+        out["n"] = n.to_numpy(dtype=np.int64)
+        return out
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            user_col: df[user_col].to_numpy(),
+            "ts_us": df[ts_col].astype("int64").to_numpy(),
+            id_col: df[id_col].to_numpy(),
+            "first_event": df[type_col].to_numpy(),
+            "last_event": df[type_col].to_numpy(),
+            "n": np.ones(len(df), dtype=np.int64),
+        })
+        out = _reduce(df)
+        h = pd.util.hash_pandas_object(out[user_col], index=False) \
+            .to_numpy()
+        out["pid"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return out
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        # candidate rows carry both (first ts, first_event) and
+        # (ts2/id2, last_event); re-reduce each side independently
+        fi = _reduce(pd.DataFrame({
+            user_col: g[user_col].to_numpy(),
+            "ts_us": g["ts_us"].to_numpy(),
+            id_col: g[id_col].to_numpy(),
+            "first_event": g["first_event"].to_numpy(),
+            "last_event": g["first_event"].to_numpy(),
+            "n": g["n"].to_numpy(),
+        }))[[user_col, "first_event", "n"]]
+        la = _reduce(pd.DataFrame({
+            user_col: g[user_col].to_numpy(),
+            "ts_us": g["ts2"].to_numpy(),
+            id_col: g["id2"].to_numpy(),
+            "first_event": g["last_event"].to_numpy(),
+            "last_event": g["last_event"].to_numpy(),
+            "n": g["n"].to_numpy(),
+        }))[[user_col, "last_event"]]
+        out = fi.merge(la, on=user_col)
+        out["n_events"] = out.pop("n").astype(np.int64)
+        return out[[user_col, "first_event", "last_event", "n_events"]]
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("pid").map_groups(finish, batch_format="pandas")
+
+
+def attribution_query(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    return attribution(ds)
+
+
+def attribution_oracle_sql() -> str:
+    return """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id,
+       MAX(CASE WHEN rn = 1 THEN event_type END) AS first_event,
+       MAX(CASE WHEN rn = n THEN event_type END) AS last_event,
+       CAST(MAX(n) AS BIGINT) AS n_events
+FROM r GROUP BY user_id ORDER BY user_id
+"""

@@ -184,3 +184,55 @@ def test_negative_samples_matches_oracle(ray_session):
     assert (got["anchor_id"] != got["neg_id"]).all()
     assert got["neg_id"].between(0, 499).all()
     assert (got.groupby("anchor_id").size() == 4).all()
+
+
+def test_cube_matches_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import compare
+    import __ray_entry__ as E
+    got = E.queries()["cube_orders"](SF).to_pandas()
+    want = _oracle_con("orders").execute(
+        E.oracle_sql()["cube_orders"]).fetchdf()
+    assert compare("cube_orders", got, want)
+    # all four grouping sets present and internally consistent
+    top = got[got["o_orderstatus"].isna()
+              & got["o_orderpriority"].isna()]
+    assert len(top) == 1
+    by_a = got[got["o_orderstatus"].notna()
+               & got["o_orderpriority"].isna()]
+    by_b = got[got["o_orderstatus"].isna()
+               & got["o_orderpriority"].notna()]
+    assert by_a["n_rows"].sum() == top["n_rows"].iloc[0]
+    assert by_b["sum_cents"].sum() == top["sum_cents"].iloc[0]
+
+
+def test_attribution_matches_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import compare
+    import __ray_entry__ as E
+    got = E.queries()["attribution"](SF).to_pandas()
+    want = _oracle_con("events").execute(
+        E.oracle_sql()["attribution"]).fetchdf()
+    assert compare("attribution", got, want)
+
+
+def test_attribution_tie_and_partition_invariance(ray_session):
+    # ties on ts resolve by event_id; result identical at 1 vs 7 blocks
+    from rdf_mapper_ray.ops.sessions import attribution
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([10, 10, 20, 5, 5], unit="s"),
+        "event_id": [7, 3, 9, 2, 1],
+        "event_type": ["b", "a", "c", "y", "x"],
+    })
+    outs = []
+    for nblocks in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        outs.append(attribution(ds, num_partitions=3).to_pandas()
+                    .sort_values("user_id").reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    assert list(outs[0]["first_event"]) == ["a", "x"]
+    assert list(outs[0]["last_event"]) == ["c", "y"]
+    assert list(outs[0]["n_events"]) == [3, 2]

@@ -230,6 +230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_orders": rollup.cube_query,
         # per-user first/last-touch attribution (argmin/argmax family)
         "attribution": sessions.attribution_query,
+        # hop-bounded weighted SSSP (distributed Bellman-Ford,
+        # integer weights, frontier discipline)
+        "sssp_weighted": graphs.sssp_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -394,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_stats": joins.DOCS_LANG_STATS_ORACLE_SQL,
         "cube_orders": rollup.CUBE_ORACLE_SQL,
         "attribution": sessions.attribution_oracle_sql(),
+        "sssp_weighted": graphs.SSSP_ORACLE_SQL,
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

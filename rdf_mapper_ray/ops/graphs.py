@@ -1104,3 +1104,170 @@ reach(node, label) AS (
 SELECT node, CAST(min(label) AS BIGINT) AS component
 FROM reach GROUP BY node ORDER BY node
 """
+
+
+# --- hop-bounded weighted SSSP (distributed Bellman-Ford) ---------------------
+
+def sssp_bounded(edges: "ray.data.Dataset", source: int | None = None,
+                 max_hops: int = 8,
+                 num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Single-source shortest WEIGHTED distance over an undirected
+    (a, b, w) int64 edge Dataset, bounded to paths of at most
+    ``max_hops`` edges -> (node, dist). ``source=None`` = the globally
+    smallest endpoint (deterministic for the SQL oracle).
+
+    Distributed Bellman-Ford with the same frontier discipline as
+    :func:`bfs_levels`: the weighted adjacency is pid-routed ONCE;
+    each round only nodes whose dist improved send (neighbor,
+    dist + w) messages through one routed groupby, and a second routed
+    groupby takes the elementwise min against the old table. After k
+    rounds the table is EXACTLY min over <= k-hop paths, so stopping at
+    ``max_hops`` (or earlier, at convergence — then <= k-hop min is
+    already the global min) matches a hop-bounded recursive-CTE oracle
+    whatever the partitioning. Integer weights keep every distance an
+    exact int64 — no float drift across venues."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+
+    def _pid(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.column("node").to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def adj(t: pa.Table) -> pa.Table:
+        a, b, w = (t.column("a").combine_chunks(),
+                   t.column("b").combine_chunks(),
+                   t.column("w").combine_chunks())
+        return _pid(pa.Table.from_pydict({
+            "node": pa.concat_arrays([a, b]),
+            "other": pa.concat_arrays([b, a]),
+            "w": pa.concat_arrays([w, w]),
+        }))
+
+    adjacency = edges.map_batches(adj, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
+    if source is None:
+        mins = adjacency.min("node")
+        source = int(mins if np.isscalar(mins) else mins["node"])
+
+    dist = ray.data.from_arrow(_pid(pa.Table.from_pydict({
+        "node": pa.array([source], type=pa.int64()),
+        "dist": pa.array([0], type=pa.int64()),
+    })).append_column(
+        "changed", pa.array([1], type=pa.int64()))).materialize()
+
+    for _ in range(max_hops):
+        def front(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("changed"),
+                                  pa.scalar(1, pa.int64())))
+            return pa.Table.from_pydict({
+                "node": t.column("node"), "other": t.column("node"),
+                "w": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "dist": t.column("dist"),
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "pid": t.column("pid"),
+            })
+
+        def adj_row(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict({
+                "node": t.column("node"), "other": t.column("other"),
+                "w": t.column("w"),
+                "dist": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "pid": t.column("pid"),
+            })
+
+        def send(g: pd.DataFrame) -> pd.DataFrame:
+            f = g.loc[g["kind"] == 1, ["node", "dist"]]
+            a = g.loc[g["kind"] == 0, ["node", "other", "w"]]
+            m = a.merge(f, on="node", how="inner")
+            out = pd.DataFrame({
+                "node": m["other"].to_numpy(),
+                "dist": m["dist"].to_numpy() + m["w"].to_numpy()})
+            return out.groupby("node", as_index=False)["dist"].min()
+
+        msgs = adjacency.map_batches(adj_row, batch_format="pyarrow") \
+            .union(dist.map_batches(front, batch_format="pyarrow")) \
+            .groupby("pid").map_groups(send, batch_format="pandas")
+
+        def tag(t: pa.Table, old: int) -> pa.Table:
+            t = t.select(["node", "dist"]).append_column(
+                "is_old", pa.array([old] * t.num_rows, type=pa.int8()))
+            return _pid(t)
+
+        merged = msgs.map_batches(lambda t: tag(t, 0),
+                                  batch_format="pyarrow") \
+            .union(dist.map_batches(lambda t: tag(t, 1),
+                                    batch_format="pyarrow"))
+
+        def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+            new = g.groupby("node", as_index=False)["dist"].min()
+            old = g.loc[g["is_old"] == 1, ["node", "dist"]] \
+                .rename(columns={"dist": "old"})
+            out = new.merge(old, on="node", how="left")
+            out["changed"] = (out["old"].isna()
+                              | (out["dist"] < out["old"])) \
+                .astype(np.int64)
+            return out[["node", "dist", "changed"]]
+
+        nxt = merged.groupby("pid").map_groups(
+            reduce_part, batch_format="pandas") \
+            .map_batches(_pid, batch_format="pyarrow") \
+            .repartition(num_partitions).materialize()
+        dist = nxt
+        if not nxt.sum("changed"):
+            break
+    return dist.drop_columns(["changed", "pid"])
+
+
+def sssp_query(sf_dir: str, threshold: float = 0.3, max_hops: int = 8):
+    """Weighted shortest distances from the smallest node of the
+    embedding near-dup graph. Weights are minted deterministically from
+    the endpoint ids — w = (a*31 + b) % 9 + 1 on the canonical a < b
+    edge — so the SQL oracle reproduces them exactly; bounded integer
+    weights also bound the oracle CTE's (node, dist, hops) state."""
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs,
+                                          partitions_for)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+
+    def weigh(t: pa.Table) -> pa.Table:
+        t = _pairs_as_edges(t)
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        return t.append_column(
+            "w", pa.array((a * 31 + b) % 9 + 1))
+
+    return sssp_bounded(pairs.map_batches(weigh, batch_format="pyarrow"),
+                        max_hops=max_hops,
+                        num_partitions=partitions_for(emb, 8))
+
+
+# hops < 8 bounds the recursive walk; integer weights in 1..9 cap the
+# distinct (node, dist, hops) state at 73 dist values x 8 hops per node
+SSSP_ORACLE_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         (a.vec_id * 31 + b.vec_id) % 9 + 1 AS w
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+),
+ued AS (SELECT a, b, w FROM e UNION ALL SELECT b, a, w FROM e),
+src AS (SELECT min(a) AS s FROM e),
+walk(node, dist, hops) AS (
+  SELECT s, 0, 0 FROM src
+  UNION
+  SELECT ue.b, w.dist + ue.w, w.hops + 1 FROM walk w
+  JOIN ued ue ON ue.a = w.node
+  WHERE w.hops < 8
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node ORDER BY node
+"""

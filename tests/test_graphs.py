@@ -194,3 +194,35 @@ def test_frequent_pairs_planted(ray_session):
                          k=3, num_partitions=4).to_pandas()
     top = got.iloc[0]
     assert (top["item_a"], top["item_b"], top["support"]) == (7, 9, 3)
+
+
+def test_sssp_bounded_prefers_cheap_multi_hop(ray_session):
+    import pandas as pd
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import sssp_bounded
+    # direct 1-2 edge costs 9; the 1-3-2 detour costs 2
+    df = pd.DataFrame({"a": [1, 1, 3, 4], "b": [2, 3, 2, 5],
+                       "w": [9, 1, 1, 2]})
+    for nblocks in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got = sssp_bounded(ds, source=1, max_hops=8,
+                           num_partitions=2).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        assert dict(zip(got["node"], got["dist"])) == {1: 0, 2: 2, 3: 1}
+
+
+def test_sssp_hop_bound_is_exact(ray_session):
+    import pandas as pd
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import sssp_bounded
+    # chain 1-2-3-4 (w=1 each) plus a direct 1-4 edge of weight 10:
+    # with max_hops=1 only the direct edge is reachable for node 4
+    df = pd.DataFrame({"a": [1, 2, 3, 1], "b": [2, 3, 4, 4],
+                       "w": [1, 1, 1, 10]})
+    ds = ray.data.from_pandas(df)
+    one = sssp_bounded(ds, source=1, max_hops=1,
+                       num_partitions=2).to_pandas()
+    assert dict(zip(one["node"], one["dist"]))[4] == 10
+    full = sssp_bounded(ds, source=1, max_hops=8,
+                        num_partitions=2).to_pandas()
+    assert dict(zip(full["node"], full["dist"]))[4] == 3

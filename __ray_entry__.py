@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     quantiles, graphs, kmeans,
                                     retrieval, rollup, semdedup,
                                     sessions, setops, similarity,
+                                    skyline,
                                     stats, substrings, text, tfidf,
                                     topk, vectors, windows)
     from rdf_mapper_ray.pipelines import corpus, relational, sourcecode
@@ -233,6 +234,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hop-bounded weighted SSSP (distributed Bellman-Ford,
         # integer weights, frontier discipline)
         "sssp_weighted": graphs.sssp_query,
+        # PMI collocations (milli-nat integer contract, broadcast
+        # unigram table, map-side-combined pair counts)
+        "pmi_bigrams": topk.pmi_bigrams_query,
+        # Pareto frontier: local-skyline union + frontier-only finish
+        "skyline_parts": skyline.skyline_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -304,6 +310,7 @@ def oracle_sql() -> dict[str, str]:
                                     quantiles, graphs, kmeans,
                                     retrieval, rollup, semdedup,
                                     sessions, setops, similarity,
+                                    skyline,
                                     stats, substrings, text, tfidf,
                                     topk, vectors, windows)
     from rdf_mapper_ray.pipelines import corpus, relational, sourcecode
@@ -398,6 +405,8 @@ def oracle_sql() -> dict[str, str]:
         "cube_orders": rollup.CUBE_ORACLE_SQL,
         "attribution": sessions.attribution_oracle_sql(),
         "sssp_weighted": graphs.SSSP_ORACLE_SQL,
+        "pmi_bigrams": topk.pmi_bigrams_oracle_sql(),
+        "skyline_parts": skyline.SKYLINE_ORACLE_SQL,
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

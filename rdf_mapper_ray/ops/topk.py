@@ -539,3 +539,139 @@ SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey,
 FROM ranked WHERE rank <= {n}
 ORDER BY o_custkey, rank
 """
+
+
+# --- PMI collocations -----------------------------------------------------------
+
+def pmi_bigrams(ds: "ray.data.Dataset", text_col: str = "text",
+                min_count: int = 5,
+                num_partitions: Optional[int] = None
+                ) -> "ray.data.Dataset":
+    """Pointwise mutual information of adjacent word pairs — the
+    collocation statistic (Church & Hanks 1990): PMI(x,y) =
+    ln(c_xy · N / (c_x · c_y)), reported as the exact-valued integer
+    ``pmi_milli = floor((ln c_xy + ln N − ln c_x − ln c_y)·1000 + 0.5)``
+    so the distributed result and the SQL oracle agree bit-for-bit
+    (same IEEE expression order on both sides; all four ln inputs are
+    exact int64 counts).
+
+    Scale shape: bigram AND unigram counts ride the same map-side
+    combine as :func:`top_bigrams` (partials, never token streams);
+    bigram partials merge in one routed exchange with the
+    ``min_count`` filter applied where copies co-locate; the unigram
+    table is vocabulary-sized, so it broadcasts once via ``ray.put``
+    and PMI attaches map-only. Output: (bigram, cnt, pmi_milli)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lowered = pc.utf8_lower(pc.fill_null(col, ""))
+        lists = pc.split_pattern_regex(lowered, _WS)
+        lengths = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        doc = np.repeat(np.arange(len(lengths)), lengths)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc = doc[keep]
+        if len(flat) < 2:
+            return pa.Table.from_pydict({
+                "bigram": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64())})
+        same = doc[1:] == doc[:-1]
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+        vc = joined.filter(pa.array(same)).value_counts()
+        return pa.Table.from_pydict({
+            "bigram": vc.field("values"),
+            "cnt": vc.field("counts").cast(pa.int64()),
+        })
+
+    def route(key: str):
+        def _route(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(
+                t.column(key).to_pandas(), index=False).to_numpy()
+            return t.append_column(
+                "pid", pa.array((h % np.uint64(num_partitions))
+                                .astype(np.int64)))
+        return _route
+
+    def merge_filter(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("bigram", as_index=False)["cnt"].sum()
+        return out[out["cnt"] >= min_count]
+
+    bigrams = ds.map_batches(bigram_partial, batch_format="pyarrow") \
+        .map_batches(route("bigram"), batch_format="pyarrow") \
+        .groupby("pid").map_groups(merge_filter, batch_format="pandas")
+
+    def uni_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False)["cnt"].sum()
+
+    uni = ds.map_batches(
+        lambda b: _batch_token_counts(b, text_col),
+        batch_format="pyarrow") \
+        .map_batches(route("token"), batch_format="pyarrow") \
+        .groupby("pid").map_groups(uni_merge, batch_format="pandas") \
+        .to_pandas()
+    lut = dict(zip(uni["token"], uni["cnt"].astype(np.int64)))
+    n_total = int(uni["cnt"].sum())
+    ref = ray.put((lut, n_total))
+
+    def attach(t: pa.Table) -> pa.Table:
+        lut_, n_ = ray.get(ref)
+        bg = t.column("bigram").to_pylist()
+        cxy = t.column("cnt").to_numpy().astype(np.float64)
+        cx = np.fromiter(
+            (lut_[b.split(" ", 1)[0]] for b in bg), np.float64, len(bg))
+        cy = np.fromiter(
+            (lut_[b.split(" ", 1)[1]] for b in bg), np.float64, len(bg))
+        pmi = np.log(cxy) + np.log(float(n_)) - np.log(cx) - np.log(cy)
+        return pa.Table.from_pydict({
+            "bigram": t.column("bigram"),
+            "cnt": pc.cast(t.column("cnt"), pa.int64()),
+            "pmi_milli": pa.array(
+                np.floor(pmi * 1000.0 + 0.5).astype(np.int64)),
+        })
+
+    return bigrams.map_batches(attach, batch_format="pyarrow")
+
+
+def pmi_bigrams_query(sf_dir: str, min_count: int = 5):
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return pmi_bigrams(ds, min_count=min_count)
+
+
+def pmi_bigrams_oracle_sql(min_count: int = 5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                           '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+uni AS (
+  SELECT t AS token, COUNT(*) AS cnt
+  FROM toks, UNNEST(ts) AS u(t) GROUP BY t
+),
+tot AS (SELECT SUM(cnt) AS n FROM uni),
+pairs AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2,
+         ts[i] || ' ' || ts[i + 1] AS bigram
+  FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+),
+bg AS (
+  SELECT bigram, MIN(w1) AS w1, MIN(w2) AS w2, COUNT(*) AS cnt
+  FROM pairs GROUP BY bigram HAVING COUNT(*) >= {min_count}
+)
+SELECT bg.bigram, CAST(bg.cnt AS BIGINT) AS cnt,
+       CAST(floor((ln(bg.cnt) + ln(tot.n) - ln(u1.cnt) - ln(u2.cnt))
+                  * 1000 + 0.5) AS BIGINT) AS pmi_milli
+FROM bg, tot
+JOIN uni u1 ON u1.token = bg.w1
+JOIN uni u2 ON u2.token = bg.w2
+ORDER BY bg.bigram
+"""

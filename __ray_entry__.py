@@ -239,6 +239,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": topk.pmi_bigrams_query,
         # Pareto frontier: local-skyline union + frontier-only finish
         "skyline_parts": skyline.skyline_query,
+        # the HLL sketch itself, SQL-replayed register-for-register
+        # (md5-portable hash; float estimator checked in units)
+        "hll_registers": distinct.hll_registers_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -407,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_weighted": graphs.SSSP_ORACLE_SQL,
         "pmi_bigrams": topk.pmi_bigrams_oracle_sql(),
         "skyline_parts": skyline.SKYLINE_ORACLE_SQL,
+        "hll_registers": distinct.hll_registers_oracle_sql(),
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

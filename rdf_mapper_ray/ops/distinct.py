@@ -201,3 +201,113 @@ FROM events
 GROUP BY 1
 ORDER BY window_start
 """
+
+
+# --- portable-hash HLL register table (SQL-replayable sketch) ----------------------
+
+def _md5_u64(keys) -> np.ndarray:
+    out = np.empty(len(keys), dtype=np.uint64)
+    for i, k in enumerate(keys):
+        out[i] = np.uint64(int(
+            hashlib.md5(str(k).encode()).hexdigest()[:16], 16))
+    return out
+
+
+def _bitlen_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized exact bit length (no float log)."""
+    bl = np.zeros(len(x), dtype=np.int64)
+    x = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(shift))
+        bl[big] += shift
+        x[big] >>= np.uint64(shift)
+    bl[x > 0] += 1
+    return bl
+
+
+def hll_registers(ds: "ray.data.Dataset", key_col: str,
+                  p: int = 6) -> "ray.data.Dataset":
+    """The HLL sketch itself, bit-exactly: one register row per bucket
+    — (bucket, r) with r = max over keys of (#leading zero bits of the
+    58-bit hash remainder + 1), md5-derived hash so a SQL oracle
+    replays every register. Empty buckets emit r = 0.
+
+    This is the merge-under-max demonstration: each block computes a
+    64-row partial register table (map-side combine over its local
+    distinct keys), the shuffle moves blocks × 64 rows regardless of
+    cardinality, and a tiny groupby(bucket).max finishes — the exact
+    shape that lets a 100 TB distinct-count run without shuffling keys.
+    The float estimator on top is NOT part of the contract (ulp-fragile
+    across engines); tests/test_distinct.py checks its accuracy."""
+    m = 1 << p
+    rem_bits = 64 - p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keys = pd.unique(col.to_pandas())
+        h = _md5_u64(keys)
+        bucket = (h >> np.uint64(rem_bits)).astype(np.int64)
+        rem = h & ((np.uint64(1) << np.uint64(rem_bits)) - np.uint64(1))
+        rho = rem_bits - _bitlen_u64(rem) + 1
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, bucket, rho)
+        return pa.Table.from_pydict({
+            "bucket": pa.array(np.arange(m, dtype=np.int64)),
+            "r": pa.array(regs),
+        })
+
+    from ray.data.aggregate import Max
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Max("r")) \
+        .map_batches(lambda t: t.rename_columns(["bucket", "r"]),
+                     batch_format="pyarrow")
+
+
+def hll_estimate(registers: pd.DataFrame, p: int = 6) -> float:
+    """Flajolet et al. 2007 estimator over a (bucket, r) register
+    table, with linear-counting fallback for the small range."""
+    m = 1 << p
+    r = np.zeros(m, dtype=np.int64)
+    r[registers["bucket"].to_numpy()] = registers["r"].to_numpy()
+    alpha = 0.709 if m >= 128 else {16: 0.673, 32: 0.697,
+                                    64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.exp2(-r.astype(np.float64)))
+    zeros = int((r == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_registers_query(sf_dir: str, p: int = 6):
+    """md5-portable HLL registers of DISTINCT user_id over events."""
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    return hll_registers(ds, "user_id", p=p)
+
+
+def hll_registers_oracle_sql(p: int = 6) -> str:
+    m = 1 << p
+    rem_bits = 64 - p
+    return f"""
+WITH h AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+           ::UBIGINT AS h
+  FROM events
+),
+parts AS (
+  SELECT CAST(h >> {rem_bits} AS BIGINT) AS bucket,
+         h & {(1 << rem_bits) - 1}::UBIGINT AS rem
+  FROM h
+),
+rho AS (
+  SELECT bucket,
+         CASE WHEN rem = 0 THEN {rem_bits + 1}
+              ELSE {rem_bits} - length(bin(rem)) + 1 END AS rho
+  FROM parts
+),
+buckets AS (SELECT UNNEST(generate_series(0, {m - 1})) AS bucket)
+SELECT b.bucket, CAST(COALESCE(MAX(r.rho), 0) AS BIGINT) AS r
+FROM buckets b LEFT JOIN rho r USING (bucket)
+GROUP BY b.bucket ORDER BY b.bucket
+"""

@@ -41,3 +41,49 @@ def test_distinct_count_hll_within_error(ray_session):
     got = dict(zip(out["event_type"], out["n_distinct_approx"]))
     for g, n in truth.items():
         assert abs(got[g] - n) / n < 0.05, (g, got[g], n)
+
+
+def test_hll_registers_match_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import compare
+    import duckdb
+    import __ray_entry__ as E
+    SF = "/root/testdata/sf0.001"
+    got = E.queries()["hll_registers"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(E.oracle_sql()["hll_registers"]).fetchdf()
+    assert compare("hll_registers", got, want)
+
+
+def test_hll_estimate_accuracy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from rdf_mapper_ray.ops.distinct import hll_estimate, hll_registers
+    rng = np.random.default_rng(3)
+    for true_n in (200, 5000):
+        keys = rng.integers(0, 10**12, true_n * 3)[:true_n]
+        keys = np.unique(keys)
+        ds = ray.data.from_pandas(pd.DataFrame({"k": keys})) \
+            .repartition(5)
+        regs = hll_registers(ds, "k", p=8).to_pandas()
+        est = hll_estimate(regs, p=8)
+        # 1.04/sqrt(256) ~ 6.5% std error; allow 4 sigma
+        assert abs(est - len(keys)) / len(keys) < 0.26
+
+
+def test_hll_registers_partition_invariant(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from rdf_mapper_ray.ops.distinct import hll_registers
+    keys = pd.DataFrame({"k": np.arange(1000)})
+    outs = []
+    for nblocks in (1, 9):
+        ds = ray.data.from_pandas(keys).repartition(nblocks)
+        outs.append(hll_registers(ds, "k").to_pandas()
+                    .sort_values("bucket").reset_index(drop=True))
+    assert outs[0].equals(outs[1])

@@ -242,6 +242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the HLL sketch itself, SQL-replayed register-for-register
         # (md5-portable hash; float estimator checked in units)
         "hll_registers": distinct.hll_registers_query,
+        # SPARQL property path <p>+ — semi-naive transitive closure
+        "bgp_path_within": relational.bgp_path_within_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -411,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigrams": topk.pmi_bigrams_oracle_sql(),
         "skyline_parts": skyline.SKYLINE_ORACLE_SQL,
         "hll_registers": distinct.hll_registers_oracle_sql(),
+        "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

@@ -316,3 +316,124 @@ def bgp_union(triples: "ray.data.Dataset",
     for ds in padded[1:]:
         out = out.union(ds)
     return out
+
+
+def path_plus(triples: "ray.data.Dataset", predicate: str,
+              src_name: str = "src", dst_name: str = "dst",
+              max_depth: int = 32,
+              num_partitions: Optional[int] = None
+              ) -> "ray.data.Dataset":
+    """SPARQL property path ``?s <p>+ ?o`` — the transitive closure of
+    one predicate's edge set, evaluated SEMI-NAIVELY (Datalog's
+    delta-iteration): round k joins only the NEW pairs found in round
+    k-1 against the base edges, then anti-joins against everything
+    reached so far, so work per round is proportional to the delta,
+    not the closure. Converges in O(longest simple path) rounds; every
+    round is two pid-routed exchanges (join on the frontier's dst =
+    edge src; dedup on the (src, dst) pair), block-size-independent.
+
+    The base edge table is routed ONCE per role and reused; cycles
+    terminate naturally because the anti-join empties the frontier.
+    -> (src, dst) string columns, one row per reachable pair."""
+    import numpy as np
+    import pandas as pd
+
+    triples, num_partitions = _pin_triples(triples, num_partitions)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        m = pc.fill_null(
+            pc.equal(batch.column("predicate"), predicate), False)
+        t = batch.filter(m)
+        return pa.Table.from_pydict({
+            "a": t.column("subject").cast(pa.string()),
+            "b": t.column("object_value").cast(pa.string()),
+        })
+
+    def _route(col: str):
+        def _r(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(
+                t.column(col).to_pandas(), index=False).to_numpy()
+            return t.append_column(
+                "pid", pa.array((h % np.uint64(num_partitions))
+                                .astype(np.int64)))
+        return _r
+
+    def _route_pair(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t.column("a"), t.column("b"), _SEP)
+        h = pd.util.hash_pandas_object(
+            key.to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    edges = triples.map_batches(scan, batch_format="pyarrow")
+    # base edges routed by SRC once, reused as the join's right side
+    edges_by_src = edges.map_batches(_route("a"), batch_format="pyarrow") \
+        .materialize()
+
+    reach = edges.map_batches(_route_pair, batch_format="pyarrow") \
+        .materialize()
+    frontier = reach
+
+    def _tag(kind: int, cols: dict):
+        def _t(t: pa.Table) -> pa.Table:
+            out = {k: t.column(v) for k, v in cols.items()}
+            out["kind"] = pa.array(
+                np.full(t.num_rows, kind, dtype=np.int8))
+            out["pid"] = t.column("pid")
+            return pa.Table.from_pydict(out)
+        return _t
+
+    for _ in range(max_depth):
+        # join frontier.b == edges.a  (route frontier by b)
+        f_by_dst = frontier.drop_columns(["pid"]) \
+            .map_batches(_route("b"), batch_format="pyarrow")
+
+        def join(g: pd.DataFrame) -> pd.DataFrame:
+            f = g.loc[g["kind"] == 1, ["a", "b"]] \
+                .rename(columns={"a": "src", "b": "mid"})
+            e = g.loc[g["kind"] == 0, ["a", "b"]] \
+                .rename(columns={"a": "mid", "b": "dst"})
+            m = f.merge(e, on="mid")[["src", "dst"]] \
+                .drop_duplicates()
+            return m.rename(columns={"src": "a", "dst": "b"})
+
+        msgs = edges_by_src.map_batches(
+                _tag(0, {"a": "a", "b": "b"}), batch_format="pyarrow") \
+            .union(f_by_dst.map_batches(
+                _tag(1, {"a": "a", "b": "b"}), batch_format="pyarrow")) \
+            .groupby("pid").map_groups(join, batch_format="pandas")
+
+        # anti-join against reach on the (a, b) pair
+        merged = msgs.map_batches(_route_pair, batch_format="pyarrow") \
+            .map_batches(_tag(0, {"a": "a", "b": "b"}),
+                         batch_format="pyarrow") \
+            .union(reach.map_batches(_tag(1, {"a": "a", "b": "b"}),
+                                     batch_format="pyarrow"))
+
+        def fresh(g: pd.DataFrame) -> pd.DataFrame:
+            old = g.loc[g["kind"] == 1, ["a", "b"]]
+            new = g.loc[g["kind"] == 0, ["a", "b"]].drop_duplicates()
+            m = new.merge(old.assign(_old=1), on=["a", "b"],
+                          how="left")
+            out = m[m["_old"].isna()][["a", "b"]]
+            out["pid"] = np.zeros(len(out), dtype=np.int64)
+            return out
+
+        new_pairs = merged.groupby("pid").map_groups(
+            fresh, batch_format="pandas") \
+            .map_batches(lambda t: t.drop_columns(["pid"]),
+                         batch_format="pyarrow") \
+            .map_batches(_route_pair, batch_format="pyarrow") \
+            .materialize()
+        if not new_pairs.count():
+            break
+        reach = reach.union(new_pairs).materialize()
+        frontier = new_pairs
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            src_name: t.column("a"), dst_name: t.column("b")})
+
+    return reach.map_batches(out, batch_format="pyarrow")

@@ -634,3 +634,63 @@ UNION ALL
 SELECT x, CAST(NULL AS VARCHAR) AS seg, prio FROM ords
 ORDER BY x
 """
+
+
+# --- SPARQL property path: transitive closure of <ex:within> ------------------
+# Geographic containment KG: customers sit within nations (customer
+# table), nations within regions (nation table); ``?x ex:within+ ?y``
+# must surface the DERIVED customer->region pairs alongside the two
+# asserted levels — the classic property-path query a flat BGP cannot
+# express.
+
+WITHIN_CUST_SPEC = {
+    "globals": {"$datasetID": "tpch"},
+    "namespaces": {"ex": _EX},
+    "resources": [{
+        "name": "cust_within",
+        "properties": {
+            "@id": "<http://example.org/cust/{c_custkey}>",
+            "<ex:within>": "<http://example.org/nation/{c_nationkey}>",
+        },
+    }],
+}
+
+WITHIN_NATION_SPEC = {
+    "globals": {"$datasetID": "tpch"},
+    "namespaces": {"ex": _EX},
+    "resources": [{
+        "name": "nation_within",
+        "properties": {
+            "@id": "<http://example.org/nation/{n_nationkey}>",
+            "<ex:within>": "<http://example.org/region/{n_regionkey}>",
+        },
+    }],
+}
+
+
+def bgp_path_within_query(sf_dir: str) -> "ray.data.Dataset":
+    from rdf_mapper_ray.engine.bgp import path_plus
+    trips = _run(WITHIN_CUST_SPEC, f"{sf_dir}/customer.parquet",
+                 ["c_custkey", "c_nationkey"]) \
+        .union(_run(WITHIN_NATION_SPEC, f"{sf_dir}/nation.parquet",
+                    ["n_nationkey", "n_regionkey"]))
+    return path_plus(trips, f"{_EX}within")
+
+
+BGP_PATH_WITHIN_ORACLE_SQL = """
+WITH RECURSIVE e AS (
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR) AS a,
+         'http://example.org/nation/' || CAST(c_nationkey AS VARCHAR) AS b
+  FROM customer
+  UNION ALL
+  SELECT 'http://example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+         'http://example.org/region/' || CAST(n_regionkey AS VARCHAR)
+  FROM nation
+),
+walk(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT w.a, e.b FROM walk w JOIN e ON e.a = w.b
+)
+SELECT a AS src, b AS dst FROM walk ORDER BY src, dst
+"""

@@ -178,3 +178,40 @@ def test_bgp_optional_tier_and_union_match_oracle(ray_session):
         got = E.queries()[name](sf).to_pandas()
         want = con.execute(E.oracle_sql()[name]).fetchdf()
         assert compare(name, got, want)
+
+
+def test_path_plus_deep_chain_and_cycle(ray_session):
+    import pandas as pd
+    import ray.data
+    from rdf_mapper_ray.engine.bgp import path_plus
+    # chain a->b->c->d plus a 2-cycle x<->y: closure must terminate
+    # and surface all derived pairs
+    rows = []
+    for s, o in [("a", "b"), ("b", "c"), ("c", "d"),
+                 ("x", "y"), ("y", "x")]:
+        rows.append({"subject": s, "predicate": "p",
+                     "object_value": o})
+    rows.append({"subject": "a", "predicate": "other",
+                 "object_value": "zzz"})
+    trips = ray.data.from_pandas(pd.DataFrame(rows))
+    got = path_plus(trips, "p", num_partitions=2).to_pandas()
+    pairs = set(zip(got["src"], got["dst"]))
+    assert pairs == {("a", "b"), ("b", "c"), ("c", "d"),
+                     ("a", "c"), ("a", "d"), ("b", "d"),
+                     ("x", "y"), ("y", "x"), ("x", "x"), ("y", "y")}
+
+
+def test_bgp_path_within_matches_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import duckdb
+    from check_correctness import compare
+    import __ray_entry__ as E
+    SF = "/root/testdata/sf0.001"
+    got = E.queries()["bgp_path_within"](SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    want = con.execute(E.oracle_sql()["bgp_path_within"]).fetchdf()
+    assert compare("bgp_path_within", got, want)

@@ -244,6 +244,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": distinct.hll_registers_query,
         # SPARQL property path <p>+ — semi-naive transitive closure
         "bgp_path_within": relational.bgp_path_within_query,
+        # SPARQL GROUP BY / COUNT over BGP solution groups
+        "bgp_group_count": relational.bgp_group_count_query,
+        # SQL MERGE: apply a CDC changeset in one co-partition pass
+        "upsert_apply": diff.upsert_apply_query,
+        # degree distribution (two-level histogram reduction)
+        "degree_hist": graphs.degree_hist_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -414,6 +420,9 @@ def oracle_sql() -> dict[str, str]:
         "skyline_parts": skyline.SKYLINE_ORACLE_SQL,
         "hll_registers": distinct.hll_registers_oracle_sql(),
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,
+        "bgp_group_count": relational.BGP_GROUP_COUNT_ORACLE_SQL,
+        "upsert_apply": diff.UPSERT_APPLY_ORACLE_SQL,
+        "degree_hist": graphs.DEGREE_HIST_ORACLE_SQL,
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

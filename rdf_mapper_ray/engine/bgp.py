@@ -437,3 +437,30 @@ def path_plus(triples: "ray.data.Dataset", predicate: str,
             src_name: t.column("a"), dst_name: t.column("b")})
 
     return reach.map_batches(out, batch_format="pyarrow")
+
+
+def bgp_group_count(triples: "ray.data.Dataset",
+                    patterns: list[tuple[str, str, str]],
+                    group_var: str, count_name: str = "n_bindings",
+                    num_partitions: Optional[int] = None
+                    ) -> "ray.data.Dataset":
+    """SPARQL solution-group aggregation — ``SELECT ?g (COUNT(*) AS
+    ?n) WHERE { ... } GROUP BY ?g``: the BGP's bindings reduce with a
+    map-side combine (per-batch counts per group ride the one small
+    exchange, never binding rows). -> (group_var, count_name)."""
+    from ray.data.aggregate import Sum
+
+    b = bgp_match(triples, patterns, num_partitions=num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.select([group_var]) \
+            .group_by([group_var], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return agg.rename_columns([group_var, "c"])
+
+    return b.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_var).aggregate(Sum("c")) \
+        .map_batches(lambda t: pa.Table.from_pydict({
+            group_var: t.column(group_var),
+            count_name: pc.cast(t.column("sum(c)"), pa.int64())}),
+            batch_format="pyarrow")

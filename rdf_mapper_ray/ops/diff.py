@@ -110,3 +110,127 @@ SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
 FROM documents a FULL JOIN b ON a.doc_id = b.doc_id
 ORDER BY doc_id
 """
+
+
+# --- MERGE / upsert: apply a CDC changeset to a keyed snapshot ----------------
+
+def apply_changes(base: "ray.data.Dataset", changes: "ray.data.Dataset",
+                  key_col: str, payload_cols: list[str],
+                  op_col: str = "op",
+                  num_partitions: int | None = None
+                  ) -> "ray.data.Dataset":
+    """SQL MERGE: ``changes`` rows carry op ∈ {'I','U','D'} plus the
+    full payload; the result is every base row whose key has no change
+    row, plus the I/U payloads (D keys disappear). At most one change
+    row per key (CDC-compacted input) — enforced per partition.
+
+    ONE co-partitioned exchange: base and changes union with a side
+    tag, route by hash(key), and each partition resolves locally —
+    the exact shape that lets a nightly 100 TB snapshot refresh touch
+    each row once. -> (key, *payload_cols)."""
+    import pandas as pd
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(base, 8)
+
+    cols = [key_col] + payload_cols
+
+    def tag(is_change: bool):
+        def _tag(t: pa.Table) -> pa.Table:
+            out = {c: t.column(c) for c in cols}
+            out[op_col] = (t.column(op_col) if is_change
+                           else pa.nulls(t.num_rows, pa.string()))
+            key = t.column(key_col).to_pandas()
+            import pandas as pd
+            h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+            out["pid"] = pa.array((h % np.uint64(num_partitions))
+                                  .astype(np.int64))
+            return pa.Table.from_pydict(out)
+        return _tag
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        ch = g[g[op_col].notna()]
+        dup = ch[key_col].duplicated()
+        if dup.any():
+            raise ValueError(
+                f"apply_changes: multiple change rows for key(s) "
+                f"{ch.loc[dup, key_col].head().tolist()} — compact the "
+                f"changeset first")
+        keep = g[g[op_col].isna()] \
+            .merge(ch[[key_col]].assign(_hit=1), on=key_col, how="left")
+        keep = keep[keep["_hit"].isna()][cols]
+        ups = ch[ch[op_col].isin(["I", "U"])][cols]
+        return pd.concat([keep, ups], ignore_index=True)
+
+    return base.map_batches(tag(False), batch_format="pyarrow") \
+        .union(changes.map_batches(tag(True), batch_format="pyarrow")) \
+        .groupby("pid").map_groups(resolve, batch_format="pandas")
+
+
+def _mk_changes(batch: pa.Table) -> pa.Table:
+    """Deterministic md5-bucket changeset over documents: bucket 3
+    deletes, bucket 4 patches the text, bucket 2 inserts a new id —
+    the SQL oracle rebuilds the identical changeset."""
+    from rdf_mapper_ray.ops.hashing import hash64
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    bucket = hash64([str(i) for i in ids], "md5") % np.uint64(10)
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    dels = pa.Table.from_pydict({
+        "doc_id": pa.array(ids[bucket == 3].astype(np.int64)),
+        "text": pa.nulls(int((bucket == 3).sum()), pa.string()),
+        "op": pa.array(["D"] * int((bucket == 3).sum()), pa.string()),
+    })
+    upd_text = pc.binary_join_element_wise(
+        text.filter(pa.array(bucket == 4)),
+        pa.array([" patched"] * int((bucket == 4).sum())), "")
+    upds = pa.Table.from_pydict({
+        "doc_id": pa.array(ids[bucket == 4].astype(np.int64)),
+        "text": upd_text,
+        "op": pa.array(["U"] * int((bucket == 4).sum()), pa.string()),
+    })
+    ins_ids = ids[bucket == 2] + 10_000_000
+    ins = pa.Table.from_pydict({
+        "doc_id": pa.array(ins_ids.astype(np.int64)),
+        "text": pa.array([f"inserted doc {i}" for i in ins_ids],
+                         pa.string()),
+        "op": pa.array(["I"] * len(ins_ids), pa.string()),
+    })
+    return pa.concat_tables([dels, upds, ins])
+
+
+def upsert_apply_query(sf_dir: str):
+    base = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    changes = read_table(sf_dir, "documents",
+                         columns=["doc_id", "text"]) \
+        .map_batches(_mk_changes, batch_format="pyarrow")
+    return apply_changes(base, changes, key_col="doc_id",
+                         payload_cols=["text"])
+
+
+UPSERT_APPLY_ORACLE_SQL = """
+WITH bucketed AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+           % 10 AS bucket
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, CAST(NULL AS VARCHAR) AS text, 'D' AS op
+  FROM bucketed WHERE bucket = 3
+  UNION ALL
+  SELECT doc_id, text || ' patched', 'U' FROM bucketed WHERE bucket = 4
+  UNION ALL
+  SELECT doc_id + 10000000,
+         'inserted doc ' || CAST(doc_id + 10000000 AS VARCHAR), 'I'
+  FROM bucketed WHERE bucket = 2
+)
+SELECT b.doc_id, b.text
+FROM documents b LEFT JOIN ch USING (doc_id)
+WHERE ch.doc_id IS NULL
+UNION ALL
+SELECT doc_id, text FROM ch WHERE op IN ('I', 'U')
+ORDER BY doc_id
+"""

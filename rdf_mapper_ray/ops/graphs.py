@@ -1271,3 +1271,66 @@ walk(node, dist, hops) AS (
 SELECT node, CAST(min(dist) AS BIGINT) AS dist
 FROM walk GROUP BY node ORDER BY node
 """
+
+
+# --- degree distribution ------------------------------------------------------
+
+def degree_hist(edges: "ray.data.Dataset",
+                num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Degree distribution of an undirected (a, b) edge Dataset ->
+    (degree, n_nodes). Two-level reduction: per-block partial
+    (node, cnt) counts ride one pid-routed exchange where they
+    finalize per node AND collapse locally to (degree, n) partials, so
+    the second exchange is histogram-sized — at 100 TB the degree
+    histogram never sees node-sized data twice."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks()
+        b = t.column("b").combine_chunks()
+        vc = pa.concat_arrays([a, b]).value_counts()
+        node = vc.field("values")
+        out = pa.Table.from_pydict({
+            "node": node,
+            "cnt": vc.field("counts").cast(pa.int64()),
+        })
+        h = pd.util.hash_pandas_object(
+            out.column("node").to_pandas(), index=False).to_numpy()
+        return out.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def to_hist(g: pd.DataFrame) -> pd.DataFrame:
+        deg = g.groupby("node", as_index=False)["cnt"].sum()
+        out = deg.groupby("cnt", as_index=False).size()
+        return pd.DataFrame({
+            "degree": out["cnt"].astype(np.int64),
+            "n_nodes": out["size"].astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+    return edges.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pid").map_groups(to_hist, batch_format="pandas") \
+        .groupby("degree").aggregate(Sum("n_nodes")) \
+        .map_batches(lambda t: t.rename_columns(["degree", "n_nodes"]),
+                     batch_format="pyarrow")
+
+
+def degree_hist_query(sf_dir: str):
+    return degree_hist(partsupp_edges(sf_dir))
+
+
+DEGREE_HIST_ORACLE_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem WHERE l_partkey <= {PR_PART_CAP}
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree ORDER BY degree
+"""

@@ -694,3 +694,27 @@ walk(a, b) AS (
 )
 SELECT a AS src, b AS dst FROM walk ORDER BY src, dst
 """
+
+
+def bgp_group_count_query(sf_dir: str) -> "ray.data.Dataset":
+    """SPARQL aggregate over the within-graph: customers per region,
+    ``SELECT ?r (COUNT(*) AS ?n_customers) WHERE { ?c ex:within ?n .
+    ?n ex:within ?r } GROUP BY ?r``."""
+    from rdf_mapper_ray.engine.bgp import bgp_group_count
+    trips = _run(WITHIN_CUST_SPEC, f"{sf_dir}/customer.parquet",
+                 ["c_custkey", "c_nationkey"]) \
+        .union(_run(WITHIN_NATION_SPEC, f"{sf_dir}/nation.parquet",
+                    ["n_nationkey", "n_regionkey"]))
+    return bgp_group_count(trips, [
+        ("?c", f"{_EX}within", "?n"),
+        ("?n", f"{_EX}within", "?r"),
+    ], group_var="r", count_name="n_customers")
+
+
+BGP_GROUP_COUNT_ORACLE_SQL = """
+SELECT 'http://example.org/region/' || CAST(n_regionkey AS VARCHAR)
+         AS r,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_regionkey ORDER BY r
+"""

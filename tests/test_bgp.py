@@ -215,3 +215,19 @@ def test_bgp_path_within_matches_oracle(ray_session):
                     f"read_parquet('{SF}/{t}.parquet')")
     want = con.execute(E.oracle_sql()["bgp_path_within"]).fetchdf()
     assert compare("bgp_path_within", got, want)
+
+
+def test_bgp_group_count_matches_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import duckdb
+    from check_correctness import compare
+    import __ray_entry__ as E
+    SF = "/root/testdata/sf0.001"
+    got = E.queries()["bgp_group_count"](SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    want = con.execute(E.oracle_sql()["bgp_group_count"]).fetchdf()
+    assert compare("bgp_group_count", got, want)

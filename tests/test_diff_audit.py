@@ -127,3 +127,41 @@ def test_lm_score_semantics(ray_session):
     assert got.loc[1, "nll_milli"] == -2 * ql_a
     assert got.loc[2, "nll_milli"] == -(ql_a + ql_b)
     assert got["n_oov"].sum() == 0
+
+
+def test_apply_changes_semantics(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data
+    from rdf_mapper_ray.ops.diff import apply_changes
+    base = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]}))
+    ch = ray.data.from_pandas(pd.DataFrame({
+        "k": [2, 3, 9], "v": ["B", None, "new"],
+        "op": ["U", "D", "I"]}))
+    got = apply_changes(base, ch, key_col="k", payload_cols=["v"],
+                        num_partitions=3).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert dict(zip(got["k"], got["v"])) == {
+        1: "a", 2: "B", 4: "d", 9: "new"}
+    # conflicting duplicate change rows must raise, not silently pick
+    bad = ray.data.from_pandas(pd.DataFrame({
+        "k": [2, 2], "v": ["x", "y"], "op": ["U", "U"]}))
+    with pytest.raises(Exception, match="multiple change rows"):
+        apply_changes(base, bad, key_col="k", payload_cols=["v"],
+                      num_partitions=2).to_pandas()
+
+
+def test_upsert_apply_matches_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import duckdb
+    from check_correctness import compare
+    import __ray_entry__ as E
+    SF = "/root/testdata/sf0.001"
+    got = E.queries()["upsert_apply"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(E.oracle_sql()["upsert_apply"]).fetchdf()
+    assert compare("upsert_apply", got, want)

@@ -226,3 +226,16 @@ def test_sssp_hop_bound_is_exact(ray_session):
     full = sssp_bounded(ds, source=1, max_hops=8,
                         num_partitions=2).to_pandas()
     assert dict(zip(full["node"], full["dist"]))[4] == 3
+
+
+def test_degree_hist_small(ray_session):
+    import pandas as pd
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import degree_hist
+    # star: center degree 3, leaves degree 1 => hist {1:3, 3:1}
+    df = pd.DataFrame({"a": [0, 0, 0], "b": [1, 2, 3]})
+    for nblocks in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got = degree_hist(ds, num_partitions=2).to_pandas() \
+            .sort_values("degree").reset_index(drop=True)
+        assert dict(zip(got["degree"], got["n_nodes"])) == {1: 3, 3: 1}

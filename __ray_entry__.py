@@ -48,6 +48,62 @@ def _first_queries(sf_dir: str, n: int = 5):
     vecs = tbl.column("embedding").to_pylist()[:n]
     return ids, vecs
 
+# ----------------------------------------------------------------------------
+# DRIVER WINDOW: the driver's correctness gate checks the FIRST 50
+# queries() entries only, so the roster is rotated each round. Round-4
+# window = everything never driver-verified, newest first (this
+# session's 10 ops, the continuation session's 24, round-4-main's 7,
+# the 5 modified-in-r4 ops), then the 4 that were hash-red in r3
+# (dtype fixes need driver re-confirmation). 16 never-driver-checked
+# entries don't fit — all are value+dtype-exact under
+# tools/check_correctness.py this session AND were judge-verified
+# green in r3; they lead the tail so they rotate in first in round 5.
+# ----------------------------------------------------------------------------
+_DRIVER_WINDOW = [
+    # new this session
+    "cube_orders", "attribution", "sssp_weighted", "pmi_bigrams",
+    "skyline_parts", "hll_registers", "bgp_path_within",
+    "bgp_group_count", "upsert_apply", "degree_hist",
+    # round-4 continuation session
+    "bgp_region_names", "bgp_optional_tier", "bgp_union_filter",
+    "substring_excise", "nb_holdout", "dedup_minhash_idf",
+    "knn_classify", "graph_components", "top_orders_per_customer",
+    "group_median", "bfs_levels", "k_core", "grouped_mode",
+    "group_corr", "users_intersect", "users_except", "ntile_bucket",
+    "nation_customers", "bucketed_orders", "regex_extract",
+    "unpivot_lineitem", "group_entropy", "group_quantiles",
+    "docs_lang_stats",
+    # round-4 main session
+    "tokenize_bpe", "pack_bpe", "domain_stats", "domain_caps",
+    "substring_dup", "bloom_semi_join", "nb_classify",
+    # modified in round 4 (never driver-verified)
+    "triangle_count", "corpus_prep", "incremental_dedup", "pagerank",
+    "event_type_pivot",
+    # hash-red in r3, dtype-aligned in r4
+    "running_totals", "event_gaps", "nation_revenue",
+    "label_centroids",
+]
+
+# never driver-verified but deferred past the window this round
+# (value+dtype-exact locally, judge-verified in r3) — round-5 leads
+_NEXT_UP = [
+    "window_distinct_users", "snapshot_diff", "data_audit",
+    "kmeans_assign", "split_leakage", "crosstab", "chunk_text",
+    "lm_score", "label_outliers", "editdist_pairs",
+    "value_histogram", "retention_cohorts", "negative_samples",
+    "frequent_pairs", "grouped_top_n", "simhash_pairs",
+]
+
+
+def _driver_order(q: dict) -> dict:
+    missing = [k for k in _DRIVER_WINDOW + _NEXT_UP if k not in q]
+    if missing:
+        raise KeyError(f"_DRIVER_WINDOW references unknown {missing}")
+    out = {k: q[k] for k in _DRIVER_WINDOW}
+    out.update({k: q[k] for k in _NEXT_UP})
+    out.update({k: v for k, v in q.items() if k not in out})
+    return out
+
 
 def entry() -> Any:
     """Flagship KG-construction pipeline on sf0.001 (documents-derived
@@ -77,7 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return read_table(sf_dir, "documents",
                                      columns=columns)
 
-    return {
+    return _driver_order({
         # ------------------------------------------------------------------
         # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
         # 50 entries only.  Entries are rotated each round so every query
@@ -308,7 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": quantiles.approx_quantiles_query,
         "target_encode": normalize.target_encode_query,
         "rank_transform": normalize.rank_transform_query,
-    }
+    })
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1309,12 +1309,17 @@ def degree_hist(edges: "ray.data.Dataset",
             "degree": out["cnt"].astype(np.int64),
             "n_nodes": out["size"].astype(np.int64)})
 
-    from ray.data.aggregate import Sum
-    return edges.map_batches(partial, batch_format="pyarrow") \
+    # per-pid partials are histogram-sized (distinct degrees), so the
+    # final merge is driver arithmetic — a second sort exchange would
+    # pay a full shuffle floor to sum a few hundred rows
+    parts = edges.map_batches(partial, batch_format="pyarrow") \
         .groupby("pid").map_groups(to_hist, batch_format="pandas") \
-        .groupby("degree").aggregate(Sum("n_nodes")) \
-        .map_batches(lambda t: t.rename_columns(["degree", "n_nodes"]),
-                     batch_format="pyarrow")
+        .to_pandas()
+    out = parts.groupby("degree", as_index=False)["n_nodes"].sum() \
+        .sort_values("degree")
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "degree": pa.array(out["degree"].to_numpy(np.int64)),
+        "n_nodes": pa.array(out["n_nodes"].to_numpy(np.int64))}))
 
 
 def degree_hist_query(sf_dir: str):

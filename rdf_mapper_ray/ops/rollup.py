@@ -82,10 +82,16 @@ def cube_counts(ds: "ray.data.Dataset", keys: tuple[str, str],
     (same marker caveat as :func:`rollup_counts`).
 
     Scale shape: ONE map-side-combined shuffle reduces the raw table to
-    the finest (a, b) level; all three coarser sets re-aggregate that
-    group-count-sized RESULT (the (·,b) set is the only extra exchange
-    vs ROLLUP, and it moves |a×b| rows, not data rows).
+    the finest (a, b) level; the three coarser sets derive from that
+    RESULT, which is |a|×|b| cell-count-sized BY CONSTRUCTION, on the
+    driver — re-shuffling a cell table pays three sort floors to move
+    rows a single pandas groupby handles in microseconds (measured 6.5
+    vs 1.5 s on 15 cells). Callers cubing genuinely high-cardinality
+    key pairs should rollup per key instead (see rollup_counts).
     -> (a, b, n_rows, sum_<col>)."""
+    import numpy as np
+    import pandas as pd
+
     a, b = keys
     sch = ds.schema().base_schema
     a_type = sch.field(a).type
@@ -98,44 +104,28 @@ def cube_counts(ds: "ray.data.Dataset", keys: tuple[str, str],
         return agg.rename_columns([a, b, "s", "n"])
 
     fine = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby([a, b]).aggregate(Sum("s"), Sum("n")).materialize()
+        .groupby([a, b]).aggregate(Sum("s"), Sum("n")).to_pandas() \
+        .rename(columns={"sum(s)": "s", "sum(n)": "n"})
 
-    def fmt(keep_a: bool, keep_b: bool):
-        def _fmt(batch: pa.Table) -> pa.Table:
-            nrows = batch.num_rows
-            return pa.Table.from_pydict({
-                a: batch.column(a) if keep_a
-                    else pa.nulls(nrows, a_type),
-                b: batch.column(b) if keep_b
-                    else pa.nulls(nrows, b_type),
-                "n_rows": pa.compute.cast(batch.column("sum(n)"),
-                                          pa.int64()),
-                "sum_" + sum_col: pa.compute.cast(batch.column("sum(s)"),
-                                                  pa.int64()),
-            })
-        return _fmt
+    def lvl(frame: pd.DataFrame, keep_a: bool, keep_b: bool
+            ) -> pa.Table:
+        nrows = len(frame)
+        return pa.Table.from_pydict({
+            a: (pa.array(frame[a]).cast(a_type) if keep_a
+                else pa.nulls(nrows, a_type)),
+            b: (pa.array(frame[b]).cast(b_type) if keep_b
+                else pa.nulls(nrows, b_type)),
+            "n_rows": pa.array(frame["n"].to_numpy(np.int64)),
+            "sum_" + sum_col: pa.array(frame["s"].to_numpy(np.int64)),
+        })
 
-    def _regroup(key: str):
-        return fine.groupby(key).aggregate(Sum("sum(s)"), Sum("sum(n)")) \
-            .map_batches(lambda t: t.rename_columns(
-                [key, "sum(s)", "sum(n)"]), batch_format="pyarrow")
-
-    lvl_ab = fine.map_batches(fmt(True, True), batch_format="pyarrow")
-    lvl_a = _regroup(a) \
-        .map_batches(_with_null(b, b_type), batch_format="pyarrow") \
-        .map_batches(fmt(True, False), batch_format="pyarrow")
-    lvl_b = _regroup(b) \
-        .map_batches(_with_null(a, a_type), batch_format="pyarrow") \
-        .map_batches(fmt(False, True), batch_format="pyarrow")
-    total = fine.aggregate(Sum("sum(s)"), Sum("sum(n)"))
-    lvl_none = ray.data.from_arrow(pa.Table.from_pydict({
-        a: pa.nulls(1, a_type),
-        b: pa.nulls(1, b_type),
-        "n_rows": pa.array([int(total["sum(sum(n))"])], pa.int64()),
-        "sum_" + sum_col: pa.array([int(total["sum(sum(s))"])],
-                                   pa.int64()),
-    }))
-    return lvl_ab.union(lvl_a).union(lvl_b).union(lvl_none)
+    by_a = fine.groupby(a, as_index=False)[["s", "n"]].sum()
+    by_b = fine.groupby(b, as_index=False)[["s", "n"]].sum()
+    total = pd.DataFrame({"s": [fine["s"].sum()],
+                          "n": [fine["n"].sum()]})
+    return ray.data.from_arrow(pa.concat_tables([
+        lvl(fine, True, True), lvl(by_a, True, False),
+        lvl(by_b, False, True), lvl(total, False, False)]))
 
 
 def cube_query(sf_dir: str):

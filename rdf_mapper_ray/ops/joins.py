@@ -622,3 +622,113 @@ SELECT d.doc_id, d.lang, dim.lang AS lang_r, dim.n_docs
 FROM documents d JOIN dim ON d.lang = dim.lang
 ORDER BY d.doc_id
 """
+
+
+# --- band join (inequality predicate |va - vb| <= eps) -----------------------------
+
+def band_self_join(ds: "ray.data.Dataset", id_col: str,
+                   value_col: str, eps: int,
+                   num_partitions: int | None = None
+                   ) -> "ray.data.Dataset":
+    """Self-join on the INEQUALITY predicate ``|v_a − v_b| ≤ eps``
+    (integer values) -> canonical (a_key, b_key) pairs, a_key < b_key.
+    The near-price / near-timestamp matching join no equi-join
+    expresses.
+
+    Distributed strategy — bucket replication: each row routes to its
+    band bucket floor(v/eps); rows ADDITIONALLY route one bucket DOWN
+    as ghosts, so every qualifying pair co-locates exactly once (two
+    own rows in the same bucket, or own × ghost across adjacent
+    buckets — ghost × ghost pairs belong to the next bucket up and are
+    skipped). Within a bucket the sorted-window sweep (searchsorted)
+    emits candidates without an n² blowup; the exact |diff| ≤ eps
+    check verifies. 2× replication total, one routed exchange."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        k = t.column(id_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        b = v // eps
+        bucket = np.concatenate([b, b - 1])
+        out = pa.Table.from_pydict({
+            "k": pa.array(np.concatenate([k, k])),
+            "v": pa.array(np.concatenate([v, v])),
+            "bucket": pa.array(bucket),
+            "ghost": pa.array(np.concatenate([
+                np.zeros(len(k), dtype=np.int8),
+                np.ones(len(k), dtype=np.int8)])),
+        })
+        h = pd.util.hash_pandas_object(pd.Series(bucket),
+                                       index=False).to_numpy()
+        return out.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("bucket", sort=False):
+            grp = grp.sort_values(["v", "k"], kind="stable")
+            v = grp["v"].to_numpy()
+            k = grp["k"].to_numpy()
+            gh = grp["ghost"].to_numpy()
+            hi = np.searchsorted(v, v + eps, side="right")
+            counts = hi - np.arange(len(v)) - 1
+            if counts.sum() <= 0:
+                continue
+            left = np.repeat(np.arange(len(v)), counts)
+            right = np.concatenate(
+                [np.arange(i + 1, h) for i, h in enumerate(hi)
+                 if h > i + 1]) if counts.sum() else np.array([], int)
+            # ghost × ghost pairs are the next bucket's own × own
+            keep = ~((gh[left] == 1) & (gh[right] == 1))
+            # own × own pairs where both rows are ghosts elsewhere are
+            # fine; drop self-pairs of the same key (own + its ghost
+            # never share a bucket, but duplicate values of one key do
+            # not exist by construction of id pairs)
+            l, r = left[keep], right[keep]
+            a = np.minimum(k[l], k[r])
+            b = np.maximum(k[l], k[r])
+            m = a != b
+            outs.append(pd.DataFrame({"a_key": a[m], "b_key": b[m]}))
+        if not outs:
+            return pd.DataFrame({"a_key": pd.array([], dtype="int64"),
+                                 "b_key": pd.array([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(sweep, batch_format="pandas")
+
+
+def band_join_query(sf_dir: str, eps_cents: int = 5):
+    """Part pairs whose retail prices sit within 5 cents of each
+    other — exact-integer cents so the SQL oracle replays the band."""
+    ds = read_table(sf_dir, "part",
+                    columns=["p_partkey", "p_retailprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        col = t.column("p_retailprice")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        import pyarrow.compute as pc
+        return pa.Table.from_pydict({
+            "p_partkey": t.column("p_partkey"),
+            "cents": pc.round(pc.multiply(col, 100.0)).cast(pa.int64()),
+        })
+
+    return band_self_join(ds.map_batches(cents, batch_format="pyarrow"),
+                          id_col="p_partkey", value_col="cents",
+                          eps=eps_cents)
+
+
+def band_join_oracle_sql(eps_cents: int = 5) -> str:
+    return f"""
+WITH p AS (
+  SELECT p_partkey AS k, CAST(round(p_retailprice * 100) AS BIGINT) AS c
+  FROM part
+)
+SELECT a.k AS a_key, b.k AS b_key
+FROM p a JOIN p b ON a.k < b.k AND abs(a.c - b.c) <= {eps_cents}
+ORDER BY a_key, b_key
+"""

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
@@ -831,4 +832,83 @@ SELECT user_id,
        MAX(CASE WHEN rn = n THEN event_type END) AS last_event,
        CAST(MAX(n) AS BIGINT) AS n_events
 FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- peak concurrency (distributed prefix scan) ------------------------------------
+
+def peak_concurrency(ds: "ray.data.Dataset", ts_col: str = "ts",
+                     duration_us: int = 3_600_000_000
+                     ) -> "ray.data.Dataset":
+    """Maximum number of simultaneously-open intervals, where each row
+    opens [ts, ts + duration) — capacity planning's "peak concurrent
+    sessions" number, and the distributed PREFIX-SCAN primitive: +1/-1
+    boundary events globally sort by (t, delta) (ends close before
+    starts at the same instant — half-open intervals), each sorted
+    block computes its local running sum, block TOTALS (block-count-
+    sized) cumsum on the driver into per-block offsets, and a map-only
+    second pass adds the offset and maxes. Two passes over boundaries,
+    one global sort, O(blocks) driver state. -> one row (peak,)."""
+
+    def bounds(t: pa.Table) -> pa.Table:
+        col = t.column(ts_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # normalize to MICROSECONDS whatever the timestamp unit (a
+        # raw int64 cast of timestamp[ns] would be nanoseconds and
+        # silently shrink every interval 1000x)
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))
+        us = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "t": pa.array(np.concatenate([us, us + duration_us])),
+            "d": pa.array(np.concatenate([
+                np.ones(len(us), dtype=np.int64),
+                -np.ones(len(us), dtype=np.int64)])),
+        })
+
+    srt = ds.map_batches(bounds, batch_format="pyarrow") \
+        .sort(["t", "d"]).materialize()
+
+    def block_stats(t: pa.Table) -> pa.Table:
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        run = np.cumsum(d)
+        lo = int(t.column("t")[0].as_py()) if t.num_rows else 0
+        return pa.Table.from_pydict({
+            "first_t": pa.array([lo], pa.int64()),
+            "first_d": pa.array(
+                [int(t.column("d")[0].as_py()) if t.num_rows else 0],
+                pa.int64()),
+            "total": pa.array([int(run[-1]) if len(run) else 0],
+                              pa.int64()),
+            "local_max": pa.array(
+                [int(run.max()) if len(run) else -2**62], pa.int64()),
+        })
+
+    stats = srt.map_batches(block_stats, batch_format="pyarrow") \
+        .to_pandas()
+    # sorted-block order: Ray's sort emits range-partitioned blocks;
+    # order them by their first key to line offsets up
+    stats = stats.sort_values(["first_t", "first_d"],
+                              kind="stable").reset_index(drop=True)
+    offsets = np.concatenate(
+        [[0], np.cumsum(stats["total"].to_numpy())[:-1]])
+    peak = int((stats["local_max"].to_numpy() + offsets).max())
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "peak": pa.array([peak], pa.int64())}))
+
+
+def peak_concurrency_query(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["ts"])
+    return peak_concurrency(ds)
+
+
+PEAK_CONCURRENCY_ORACLE_SQL = """
+WITH b AS (
+  SELECT epoch_us(ts) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + 3600000000, -1 FROM events
+),
+r AS (SELECT SUM(d) OVER (ORDER BY t, d) AS running FROM b)
+SELECT CAST(MAX(running) AS BIGINT) AS peak FROM r
 """

@@ -179,3 +179,25 @@ def test_customers_no_urgent_matches_oracle(ray_session):
     assert got.shape == want.shape
     assert (got[sorted(got.columns)].astype(str).values ==
             want[sorted(want.columns)].astype(str).values).all()
+
+
+def test_band_self_join_matches_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from rdf_mapper_ray.ops.joins import band_self_join
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"k": np.arange(300),
+                       "v": rng.integers(0, 200, 300)})
+    eps = 7
+    want = set()
+    vals = df["v"].to_numpy()
+    for i in range(len(df)):
+        for j in range(i + 1, len(df)):
+            if abs(int(vals[i]) - int(vals[j])) <= eps:
+                want.add((i, j))
+    for nblocks in (1, 5):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got = band_self_join(ds, "k", "v", eps,
+                             num_partitions=3).to_pandas()
+        assert set(zip(got["a_key"], got["b_key"])) == want

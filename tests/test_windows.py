@@ -98,3 +98,21 @@ def test_event_type_pivot_matches_oracle(ray_session):
     assert got.shape == want.shape
     for c in want.columns:
         assert (got[c].values == want[c].values).all(), c
+
+
+def test_peak_concurrency_hand_case(ray_session):
+    import pandas as pd
+    import ray.data
+    from rdf_mapper_ray.ops.sessions import peak_concurrency
+    # intervals of length 10 starting at 0,5,8,30: peak 3 (at t=8);
+    # the interval ending at 10 closes before one starting at 10 opens
+    ts = pd.to_datetime([0, 5, 8, 30, 10], unit="us")
+    ds = ray.data.from_pandas(pd.DataFrame({"ts": ts}))
+    got = peak_concurrency(ds, duration_us=10).to_pandas()
+    assert int(got["peak"].iloc[0]) == 3
+    # partition invariance
+    for nblocks in (1, 4):
+        got2 = peak_concurrency(
+            ray.data.from_pandas(pd.DataFrame({"ts": ts}))
+            .repartition(nblocks), duration_us=10).to_pandas()
+        assert int(got2["peak"].iloc[0]) == 3

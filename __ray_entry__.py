@@ -64,12 +64,13 @@ _DRIVER_WINDOW = [
     "cube_orders", "attribution", "sssp_weighted", "pmi_bigrams",
     "skyline_parts", "hll_registers", "bgp_path_within",
     "bgp_group_count", "upsert_apply", "degree_hist",
-    "peak_concurrency", "band_join",
+    "peak_concurrency", "band_join", "cms_counts",
+    "weighted_sample",
     # round-4 continuation session
     "bgp_region_names", "bgp_optional_tier", "bgp_union_filter",
     "substring_excise", "nb_holdout", "dedup_minhash_idf",
     "knn_classify", "graph_components", "top_orders_per_customer",
-    "group_median", "bfs_levels", "k_core", "users_intersect", "users_except", "ntile_bucket",
+    "group_median", "bfs_levels", "k_core", "ntile_bucket",
     "nation_customers", "bucketed_orders", "regex_extract",
     "unpivot_lineitem", "group_entropy", "group_quantiles",
     "docs_lang_stats",
@@ -87,6 +88,7 @@ _DRIVER_WINDOW = [
 # never driver-verified but deferred past the window this round
 # (value+dtype-exact locally, judge-verified in r3) — round-5 leads
 _NEXT_UP = [
+    "users_intersect", "users_except",
     "grouped_mode", "group_corr",
     "window_distinct_users", "snapshot_diff", "data_audit",
     "kmeans_assign", "split_leakage", "crosstab", "chunk_text",
@@ -311,6 +313,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": sessions.peak_concurrency_query,
         # inequality band join |va-vb|<=eps via bucket replication
         "band_join": joins.band_join_query,
+        # count-min sketch, SQL-replayed cell-for-cell (md5 rows)
+        "cms_counts": distinct.cms_counts_query,
+        # deterministic weighted sample per group (hash priority)
+        "weighted_sample": cleaning.weighted_sample_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -486,6 +492,8 @@ def oracle_sql() -> dict[str, str]:
         "degree_hist": graphs.DEGREE_HIST_ORACLE_SQL,
         "peak_concurrency": sessions.PEAK_CONCURRENCY_ORACLE_SQL,
         "band_join": joins.band_join_oracle_sql(),
+        "cms_counts": distinct.cms_counts_oracle_sql(),
+        "weighted_sample": cleaning.weighted_sample_oracle_sql(),
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

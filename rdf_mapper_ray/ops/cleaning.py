@@ -786,3 +786,72 @@ SELECT vec_id AS anchor_id,
 FROM embeddings, n, UNNEST(generate_series(1, {k})) AS g(j)
 ORDER BY anchor_id, neg_rank
 """
+
+
+# --- weighted sampling (deterministic hash priority) --------------------------------
+
+def weighted_sample_per_group(ds: "ray.data.Dataset", group_col: str,
+                              id_col: str, weight_col: str, n: int = 5,
+                              num_partitions: int | None = None
+                              ) -> "ray.data.Dataset":
+    """Weighted sample of ``n`` rows per group WITHOUT randomness: each
+    row's priority is ``md5_u64(id) / (weight + 1)`` — the fixed-hash
+    variant of priority sampling (Efraimidis-Spiliotis A-Res with u
+    pinned by the id hash), so heavier rows draw smaller priorities
+    and the whole sample is reproducible run-to-run AND replayable in
+    SQL. Same two-phase shape as top_n_per_group: per-block local
+    prune (≤ n rows per block-group ride the shuffle), pid-routed
+    finish. -> (group, rank, id)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, id_col, weight_col]).to_pandas()
+        h = hash64([str(i) for i in df[id_col]], "md5")
+        df["pri"] = h.astype(np.float64) \
+            / (df[weight_col].to_numpy(np.float64) + 1.0)
+        df = df.sort_values([group_col, "pri"]) \
+            .groupby(group_col, sort=False).head(n)
+        pid = pd.util.hash_pandas_object(df[group_col], index=False) \
+            .to_numpy()
+        df["pid"] = (pid % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(
+            df[[group_col, id_col, "pri", "pid"]], preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, "pri"]) \
+            .groupby(group_col, sort=False).head(n)
+        g["rank"] = (g.groupby(group_col, sort=False).cumcount() + 1) \
+            .astype(np.int64)
+        return g[[group_col, "rank", id_col]]
+
+    return ds.map_batches(local_prune, batch_format="pyarrow") \
+        .groupby("pid").map_groups(finish, batch_format="pandas")
+
+
+def weighted_sample_query(sf_dir: str, n: int = 5):
+    """n-chars-weighted doc sample per language."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["lang", "doc_id", "n_chars"])
+    return weighted_sample_per_group(ds, "lang", "doc_id", "n_chars",
+                                     n=n)
+
+
+def weighted_sample_oracle_sql(n: int = 5) -> str:
+    return f"""
+WITH pri AS (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+           / CAST(n_chars + 1 AS DOUBLE) AS pri
+  FROM documents
+),
+r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY pri) AS rank
+  FROM pri
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+FROM r WHERE rank <= {n}
+ORDER BY lang, rank
+"""

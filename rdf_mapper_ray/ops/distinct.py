@@ -311,3 +311,100 @@ SELECT b.bucket, CAST(COALESCE(MAX(r.rho), 0) AS BIGINT) AS r
 FROM buckets b LEFT JOIN rho r USING (bucket)
 GROUP BY b.bucket ORDER BY b.bucket
 """
+
+
+# --- count-min sketch, SQL-replayed cell-for-cell ----------------------------------
+
+_CMS_SALTS = ("r0", "r1", "r2")
+
+
+def cms_counts(ds: "ray.data.Dataset", key_col: str,
+               width: int = 64) -> "ray.data.Dataset":
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a key
+    column's frequency distribution — (row, col, cnt) cells, depth 3 ×
+    ``width``, md5-portable row hashes so the SQL oracle rebuilds the
+    sketch cell-for-cell. The merge is elementwise SUM, so per-block
+    partial sketches (fixed d×w arrays) ride one tiny exchange whatever
+    the key cardinality — the bounded-memory frequency summary for
+    100 TB streams; point estimates are min over rows (checked in
+    units, not part of the cell contract)."""
+    d = len(_CMS_SALTS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ks = col.to_pandas().astype(str)
+        vc = ks.value_counts()
+        keys, cnts = vc.index.to_numpy(), vc.to_numpy(np.int64)
+        cells = np.zeros((d, width), dtype=np.int64)
+        for r, salt in enumerate(_CMS_SALTS):
+            h = np.empty(len(keys), dtype=np.uint64)
+            for i, k in enumerate(keys):
+                h[i] = np.uint64(int(hashlib.md5(
+                    (salt + "|" + k).encode()).hexdigest()[:16], 16))
+            np.add.at(cells[r], (h % np.uint64(width)).astype(np.int64),
+                      cnts)
+        rows, cols = np.divmod(np.arange(d * width), width)
+        return pa.Table.from_pydict({
+            "row": pa.array(rows.astype(np.int64)),
+            "col": pa.array(cols.astype(np.int64)),
+            "cnt": pa.array(cells.reshape(-1)),
+        })
+
+    # d*width-row partials: merge them on the driver (sketch-sized by
+    # construction; a distributed groupby would pay a sort floor to
+    # add 192-cell arrays)
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["row", "col"], as_index=False)["cnt"].sum() \
+        .sort_values(["row", "col"])
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "row": pa.array(out["row"].to_numpy(np.int64)),
+        "col": pa.array(out["col"].to_numpy(np.int64)),
+        "cnt": pa.array(out["cnt"].to_numpy(np.int64))}))
+
+
+def cms_estimate(cells: "pd.DataFrame", key: str,
+                 width: int = 64) -> int:
+    """Point estimate: min over depth rows of the key's cell."""
+    est = None
+    for r, salt in enumerate(_CMS_SALTS):
+        h = int(hashlib.md5((salt + "|" + key).encode())
+                .hexdigest()[:16], 16) % width
+        v = int(cells[(cells["row"] == r)
+                      & (cells["col"] == h)]["cnt"].iloc[0])
+        est = v if est is None else min(est, v)
+    return est
+
+
+def cms_counts_query(sf_dir: str, width: int = 64):
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    return cms_counts(ds, "user_id", width=width)
+
+
+def cms_counts_oracle_sql(width: int = 64) -> str:
+    arms = []
+    for r, salt in enumerate(_CMS_SALTS):
+        arms.append(f"""
+  SELECT {r} AS row,
+         CAST(('0x' || substr(md5('{salt}|' ||
+                CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+              % {width} AS BIGINT) AS col
+  FROM events""")
+    sel = "  UNION ALL".join(arms)
+    return f"""
+WITH hashed AS ({sel}
+),
+cells AS (
+  SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hashed GROUP BY row, col
+),
+grid AS (
+  SELECT r.r AS row, c.c AS col
+  FROM UNNEST(generate_series(0, {len(_CMS_SALTS) - 1})) AS r(r),
+       UNNEST(generate_series(0, {width - 1})) AS c(c)
+)
+SELECT g.row, g.col, COALESCE(cells.cnt, 0) AS cnt
+FROM grid g LEFT JOIN cells USING (row, col)
+ORDER BY g.row, g.col
+"""

@@ -87,3 +87,64 @@ def test_hll_registers_partition_invariant(ray_session):
         outs.append(hll_registers(ds, "k").to_pandas()
                     .sort_values("bucket").reset_index(drop=True))
     assert outs[0].equals(outs[1])
+
+
+def test_cms_matches_oracle_and_estimates(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import duckdb
+    from check_correctness import compare
+    import __ray_entry__ as E
+    SF = "/root/testdata/sf0.001"
+    got = E.queries()["cms_counts"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(E.oracle_sql()["cms_counts"]).fetchdf()
+    assert compare("cms_counts", got, want)
+    # point estimates over-approximate true counts, never under
+    from rdf_mapper_ray.ops.distinct import cms_estimate
+    true = con.execute(
+        "SELECT CAST(user_id AS VARCHAR) k, COUNT(*) c FROM events "
+        "GROUP BY user_id").fetchdf()
+    for _, r in true.head(20).iterrows():
+        assert cms_estimate(got, r["k"]) >= r["c"]
+
+
+def test_weighted_sample_matches_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import duckdb
+    from check_correctness import compare
+    import __ray_entry__ as E
+    SF = "/root/testdata/sf0.001"
+    got = E.queries()["weighted_sample"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(E.oracle_sql()["weighted_sample"]).fetchdf()
+    assert compare("weighted_sample", got, want)
+
+
+def test_weighted_sample_partition_invariant_and_biased(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from rdf_mapper_ray.ops.cleaning import weighted_sample_per_group
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": ["a"] * 1000,
+        "id": np.arange(1000),
+        # ids 0..99 get 100x the weight of the rest
+        "w": np.where(np.arange(1000) < 100, 10_000, 100),
+    })
+    outs = []
+    for nblocks in (1, 6):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        outs.append(weighted_sample_per_group(
+            ds, "g", "id", "w", n=50, num_partitions=3).to_pandas()
+            .sort_values("rank").reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    # heavy ids are 10% of rows but should dominate the sample
+    heavy = (outs[0]["id"] < 100).mean()
+    assert heavy > 0.5

@@ -65,13 +65,12 @@ _DRIVER_WINDOW = [
     "skyline_parts", "hll_registers", "bgp_path_within",
     "bgp_group_count", "upsert_apply", "degree_hist",
     "peak_concurrency", "band_join", "cms_counts",
-    "weighted_sample",
+    "weighted_sample", "community_lpa",
     # round-4 continuation session
     "bgp_region_names", "bgp_optional_tier", "bgp_union_filter",
     "substring_excise", "nb_holdout", "dedup_minhash_idf",
     "knn_classify", "graph_components", "top_orders_per_customer",
-    "group_median", "bfs_levels", "k_core", "ntile_bucket",
-    "nation_customers", "bucketed_orders", "regex_extract",
+    "group_median", "bfs_levels", "k_core", "nation_customers", "bucketed_orders", "regex_extract",
     "unpivot_lineitem", "group_entropy", "group_quantiles",
     "docs_lang_stats",
     # round-4 main session
@@ -88,6 +87,7 @@ _DRIVER_WINDOW = [
 # never driver-verified but deferred past the window this round
 # (value+dtype-exact locally, judge-verified in r3) — round-5 leads
 _NEXT_UP = [
+    "ntile_bucket",
     "users_intersect", "users_except",
     "grouped_mode", "group_corr",
     "window_distinct_users", "snapshot_diff", "data_audit",
@@ -317,6 +317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": distinct.cms_counts_query,
         # deterministic weighted sample per group (hash priority)
         "weighted_sample": cleaning.weighted_sample_query,
+        # sync label-propagation communities (min-label tie-break,
+        # fixed rounds => bit-stable + SQL-unrollable)
+        "community_lpa": graphs.community_lpa_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -494,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
         "band_join": joins.band_join_oracle_sql(),
         "cms_counts": distinct.cms_counts_oracle_sql(),
         "weighted_sample": cleaning.weighted_sample_oracle_sql(),
+        "community_lpa": graphs.community_lpa_oracle_sql(),
         "funnel": sessions.funnel_oracle_sql(),
         "label_centroids": vectors.LABEL_CENTROIDS_ORACLE_SQL,
         "approx_quantiles": quantiles.approx_quantiles_oracle_sql(),

@@ -1339,3 +1339,158 @@ deg AS (
 SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY degree ORDER BY degree
 """
+
+
+# --- label propagation communities (synchronous, deterministic) --------------------
+
+def community_lpa(edges: "ray.data.Dataset", rounds: int = 3,
+                  num_partitions: int | None = None
+                  ) -> "ray.data.Dataset":
+    """Community detection by SYNCHRONOUS label propagation
+    (Raghavan et al. 2007) made fully deterministic: every node starts
+    as its own label; each round every node adopts the most frequent
+    label among its NEIGHBORS, ties broken by smallest label; exactly
+    ``rounds`` rounds run (async LPA's order-dependence is what makes
+    vanilla LPA irreproducible — the sync+min-tie variant is the same
+    fixpoint family but bit-stable under any partitioning, and a SQL
+    oracle can unroll it). -> (node, label).
+
+    Per round: labels co-locate with the once-routed adjacency by
+    SOURCE (one exchange), per-partition merge emits (dst, label)
+    messages, messages route by dst (second exchange) and the argmax
+    with min-label tiebreak finishes vectorized. Same 2-exchange
+    round shape as bfs_levels/sssp."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+
+    def _pid(col: str):
+        def _p(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(
+                t.column(col).to_pandas(), index=False).to_numpy()
+            return t.append_column(
+                "pid", pa.array((h % np.uint64(num_partitions))
+                                .astype(np.int64)))
+        return _p
+
+    def adj(t: pa.Table) -> pa.Table:
+        a, b = (t.column("a").combine_chunks(),
+                t.column("b").combine_chunks())
+        return pa.Table.from_pydict({
+            "src": pa.concat_arrays([a, b]),
+            "dst": pa.concat_arrays([b, a]),
+        })
+
+    adjacency = edges.map_batches(adj, batch_format="pyarrow") \
+        .map_batches(_pid("src"), batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        n = pc.unique(t.column("src").combine_chunks()
+                      if isinstance(t.column("src"), pa.ChunkedArray)
+                      else t.column("src"))
+        return pa.Table.from_pydict({"node": n, "label": n})
+
+    labels = adjacency.map_batches(init_labels, batch_format="pyarrow") \
+        .map_batches(_pid("node"), batch_format="pyarrow") \
+        .groupby("pid").map_groups(
+            lambda g: g.drop_duplicates("node"),
+            batch_format="pandas").materialize()
+
+    for _ in range(rounds):
+        def tag_lab(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict({
+                "src": t.column("node"), "dst": t.column("node"),
+                "label": t.column("label"),
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "pid": _pid_col(t, "node", num_partitions),
+            })
+
+        def tag_adj(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict({
+                "src": t.column("src"), "dst": t.column("dst"),
+                "label": pa.array(np.zeros(t.num_rows, np.int64)),
+                "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "pid": t.column("pid"),
+            })
+
+        def send(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g.loc[g["kind"] == 1, ["src", "label"]]
+            e = g.loc[g["kind"] == 0, ["src", "dst"]]
+            m = e.merge(lab, on="src")[["dst", "label"]]
+            # partial (dst, label) counts shrink the second exchange
+            out = m.groupby(["dst", "label"], as_index=False).size()
+            return out.rename(columns={"size": "cnt"})
+
+        def vote(g: pd.DataFrame) -> pd.DataFrame:
+            c = g.groupby(["dst", "label"], as_index=False)["cnt"].sum()
+            c = c.sort_values(["dst", "cnt", "label"],
+                              ascending=[True, False, True])
+            w = c.groupby("dst", sort=False).head(1)
+            return pd.DataFrame({"node": w["dst"].to_numpy(),
+                                 "label": w["label"].to_numpy()})
+
+        msgs = adjacency.map_batches(tag_adj, batch_format="pyarrow") \
+            .union(labels.map_batches(tag_lab, batch_format="pyarrow")) \
+            .groupby("pid").map_groups(send, batch_format="pandas")
+        labels = msgs.map_batches(_pid("dst"), batch_format="pyarrow") \
+            .groupby("pid").map_groups(vote, batch_format="pandas") \
+            .map_batches(_pid("node"), batch_format="pyarrow") \
+            .repartition(num_partitions).materialize()
+
+    return labels.drop_columns(["pid"])
+
+
+def _pid_col(t: pa.Table, col: str, num_partitions: int) -> pa.Array:
+    h = pd.util.hash_pandas_object(
+        t.column(col).to_pandas(), index=False).to_numpy()
+    return pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+
+
+def community_lpa_query(sf_dir: str, threshold: float = 0.3,
+                        rounds: int = 3):
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs,
+                                          partitions_for)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+    return community_lpa(
+        pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
+        rounds=rounds, num_partitions=partitions_for(emb, 8))
+
+
+def community_lpa_oracle_sql(rounds: int = 3) -> str:
+    # MATERIALIZED per step: each li is referenced once per next step,
+    # but DuckDB's inlining of the shared `ued` base would still blow
+    # up without it (same lesson as the BPE / k-core unrolled CTEs)
+    steps = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+l{i} AS MATERIALIZED (
+  SELECT dst AS node, label FROM (
+    SELECT e.dst, l.label, COUNT(*) AS cnt,
+           row_number() OVER (PARTITION BY e.dst
+                              ORDER BY COUNT(*) DESC, l.label) AS rn
+    FROM ued e JOIN {prev} l ON l.node = e.src
+    GROUP BY e.dst, l.label
+  ) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+),
+ued AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS label FROM ued
+),{','.join(steps)}
+SELECT node, CAST(label AS BIGINT) AS label
+FROM {prev} ORDER BY node
+"""

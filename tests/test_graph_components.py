@@ -64,3 +64,27 @@ def test_top_n_per_group_map_side_prune_is_lossless(ray_session):
         .sort_values(["g", "rank"]).reset_index(drop=True)
     assert out[["g", "rank", "i"]].to_numpy().tolist() == [
         [7, 1, 3], [7, 2, 5], [8, 1, 8], [8, 2, 7]]
+
+
+def test_community_lpa_two_cliques(ray_session):
+    import pandas as pd
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import community_lpa
+    # two 4-cliques joined by one bridge edge: LPA should give each
+    # clique a single label, stable across partitionings
+    import itertools
+    edges = (list(itertools.combinations([0, 1, 2, 3], 2))
+             + list(itertools.combinations([10, 11, 12, 13], 2))
+             + [(3, 10)])
+    df = pd.DataFrame(edges, columns=["a", "b"])
+    outs = []
+    for nblocks in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got = community_lpa(ds, rounds=3, num_partitions=2) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    lab = dict(zip(outs[0]["node"], outs[0]["label"]))
+    assert len({lab[n] for n in (0, 1, 2)}) == 1
+    assert len({lab[n] for n in (11, 12, 13)}) == 1
+    assert lab[0] != lab[11]

@@ -87,6 +87,9 @@ _DRIVER_WINDOW = [
 # never driver-verified but deferred past the window this round
 # (value+dtype-exact locally, judge-verified in r3) — round-5 leads
 _NEXT_UP = [
+    # new in round-4 session 4 (window already full; locally dtype-exact)
+    "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
+    "bgp_construct",
     "ntile_bucket",
     "users_intersect", "users_except",
     "grouped_mode", "group_corr",
@@ -305,6 +308,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_path_within": relational.bgp_path_within_query,
         # SPARQL GROUP BY / COUNT over BGP solution groups
         "bgp_group_count": relational.bgp_group_count_query,
+        # SPARQL negation: MINUS (anti-join) / FILTER EXISTS (semi)
+        "bgp_minus_tier": relational.bgp_minus_tier_query,
+        "bgp_exists_tier": relational.bgp_exists_tier_query,
+        # SPARQL sequence property path p1/p2 (join chain, mid
+        # variables projected away before each exchange)
+        "bgp_path_seq": relational.bgp_path_seq_query,
+        # SPARQL CONSTRUCT: derive a NEW graph from BGP bindings
+        "bgp_construct": relational.bgp_construct_query,
         # SQL MERGE: apply a CDC changeset in one co-partition pass
         "upsert_apply": diff.upsert_apply_query,
         # degree distribution (two-level histogram reduction)
@@ -491,6 +502,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers": distinct.hll_registers_oracle_sql(),
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,
         "bgp_group_count": relational.BGP_GROUP_COUNT_ORACLE_SQL,
+        "bgp_minus_tier": relational.BGP_MINUS_TIER_ORACLE_SQL,
+        "bgp_exists_tier": relational.BGP_EXISTS_TIER_ORACLE_SQL,
+        "bgp_path_seq": relational.BGP_PATH_SEQ_ORACLE_SQL,
+        "bgp_construct": relational.BGP_CONSTRUCT_ORACLE_SQL,
         "upsert_apply": diff.UPSERT_APPLY_ORACLE_SQL,
         "degree_hist": graphs.DEGREE_HIST_ORACLE_SQL,
         "peak_concurrency": sessions.PEAK_CONCURRENCY_ORACLE_SQL,

@@ -214,6 +214,9 @@ def bgp_match(triples: "ray.data.Dataset",
               patterns: list[tuple[str, str, str]],
               optional: Optional[list[list[tuple[str, str, str]]]] = None,
               filters: Optional[Sequence[tuple[str, str, str]]] = None,
+              minus: Optional[list[list[tuple[str, str, str]]]] = None,
+              exists: Optional[list[list[tuple[str, str, str]]]] = None,
+              not_exists: Optional[list[list[tuple[str, str, str]]]] = None,
               num_partitions: Optional[int] = None
               ) -> "ray.data.Dataset":
     """-> Dataset of bindings, one column per distinct ``?var``.
@@ -222,7 +225,19 @@ def bgp_match(triples: "ray.data.Dataset",
     pattern GROUPS, each evaluated as its own BGP and left-outer
     joined on the variables it shares with the required part (which
     must all be required-bound — the well-designed restriction);
-    ``filters`` are ``(lhs, op, rhs)`` constraints applied last."""
+    ``filters`` are ``(lhs, op, rhs)`` constraints applied last.
+
+    Negation algebra (SPARQL 1.1 §8): ``minus`` groups remove
+    bindings COMPATIBLE with some solution of the group on their
+    shared variables — a distributed anti-join; a MINUS group sharing
+    NO variable removes nothing (the spec's disjoint-domain rule).
+    ``exists`` / ``not_exists`` groups are FILTER (NOT) EXISTS —
+    semi / anti joins on the shared variables; with NO shared
+    variable the group's global (non-)emptiness gates ALL bindings
+    (one count, evaluated once — the uncorrelated EXISTS). Shared
+    variables must be required-bound (the same well-designed
+    restriction as OPTIONAL), which keeps every negation one exact
+    null-free key join."""
     if not patterns:
         raise ValueError("empty BGP")
     from rdf_mapper_ray.ops.joins import equi_join
@@ -266,6 +281,51 @@ def bgp_match(triples: "ray.data.Dataset",
 
         acc = acc.map_batches(post, batch_format="pyarrow")
         acc_vars += [v for v in g_vars if v not in acc_vars]
+
+    neg_groups = ([(g, "anti", "MINUS", True) for g in (minus or [])]
+                  + [(g, "semi", "EXISTS", False) for g in (exists or [])]
+                  + [(g, "anti", "NOT EXISTS", False)
+                     for g in (not_exists or [])])
+    for group, how, kind, skip_disjoint in neg_groups:
+        g_ds, g_vars = _eval_required(triples, group, num_partitions)
+        shared = [v for v in g_vars if v in acc_vars]
+        if not shared:
+            if skip_disjoint:      # MINUS with disjoint domains: no-op
+                continue
+            # uncorrelated (NOT) EXISTS: one global emptiness test
+            nonempty = bool(g_ds.limit(1).count())
+            keep = nonempty if kind == "EXISTS" else not nonempty
+            if keep:
+                continue
+            acc = acc.map_batches(lambda t: t.slice(0, 0),
+                                  batch_format="pyarrow")
+            continue
+        not_required = [v for v in shared if v not in required_vars]
+        if not_required:
+            raise ValueError(
+                f"{kind} group {group} joins on {not_required}, not "
+                f"bound by the required patterns — only well-designed "
+                f"patterns are supported")
+
+        # prune the group to its shared variables before the exchange:
+        # a semi/anti probe side never needs its private bindings
+        def proj(batch: pa.Table, _shared=tuple(shared)) -> pa.Table:
+            return batch.select(list(_shared))
+
+        acc = equi_join(_with_jk(acc, shared),
+                        _with_jk(g_ds.map_batches(
+                            proj, batch_format="pyarrow"), shared),
+                        left_on=_JK, right_on=_JK, how=how,
+                        venue="copartition",
+                        num_partitions=num_partitions,
+                        left_schema=_str_schema(acc_vars),
+                        right_schema=_str_schema(shared))
+
+        def unjk(batch: pa.Table) -> pa.Table:
+            return batch.drop_columns(
+                [c for c in (_JK,) if c in batch.column_names])
+
+        acc = acc.map_batches(unjk, batch_format="pyarrow")
 
     if filters:
         acc = _apply_filters(acc, filters, acc_vars)
@@ -437,6 +497,126 @@ def path_plus(triples: "ray.data.Dataset", predicate: str,
             src_name: t.column("a"), dst_name: t.column("b")})
 
     return reach.map_batches(out, batch_format="pyarrow")
+
+
+def _distinct_rows(ds: "ray.data.Dataset", cols: Sequence[str],
+                   num_partitions: int) -> "ray.data.Dataset":
+    """Distinct over a column tuple: hash(tuple)-route, per-partition
+    pandas drop_duplicates — one exchange, no global sort."""
+    import numpy as np
+    import pandas as pd
+    _cols = list(cols)
+
+    def route(t: pa.Table) -> pa.Table:
+        if len(_cols) == 1:
+            key = t.column(_cols[0]).cast(pa.string())
+        else:
+            key = pc.binary_join_element_wise(
+                *[t.column(c).cast(pa.string()) for c in _cols], _SEP)
+        h = pd.util.hash_pandas_object(
+            key.to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=_cols)[_cols]
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(dd, batch_format="pandas")
+
+
+def path_seq(triples: "ray.data.Dataset", predicates: Sequence[str],
+             src_name: str = "src", dst_name: str = "dst",
+             num_partitions: Optional[int] = None
+             ) -> "ray.data.Dataset":
+    """SPARQL sequence property path ``?s <p1>/<p2>/... ?o`` — a chain
+    of co-partition equi-joins, one per step, mid variables projected
+    away before each exchange (they are existential — only the
+    endpoint pair survives). DISTINCT pairs (set semantics, matching
+    ``path_plus``). -> (src, dst) string columns."""
+    if not predicates:
+        raise ValueError("empty sequence path")
+    from rdf_mapper_ray.ops.joins import equi_join
+
+    triples, num_partitions = _pin_triples(triples, num_partitions)
+
+    def scan_edges(pred: str, an: str, bn: str) -> "ray.data.Dataset":
+        def fn(batch: pa.Table) -> pa.Table:
+            m = pc.fill_null(
+                pc.equal(batch.column("predicate"), pred), False)
+            t = batch.filter(m)
+            return pa.Table.from_pydict({
+                an: t.column("subject").cast(pa.string()),
+                bn: t.column("object_value").cast(pa.string())})
+        return triples.map_batches(fn, batch_format="pyarrow")
+
+    acc = scan_edges(predicates[0], "a", "b")
+    for pred in predicates[1:]:
+        nxt = scan_edges(pred, "mid", "c")
+        acc = equi_join(
+            acc, nxt, left_on="b", right_on="mid", how="inner",
+            venue="copartition", num_partitions=num_partitions,
+            left_schema=pa.schema([("a", pa.string()),
+                                   ("b", pa.string())]),
+            right_schema=pa.schema([("mid", pa.string()),
+                                    ("c", pa.string())]))
+
+        def step(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict({
+                "a": t.column("a"), "b": t.column("c")})
+
+        acc = acc.map_batches(step, batch_format="pyarrow")
+
+    out = _distinct_rows(acc, ["a", "b"], num_partitions)
+    return out.map_batches(
+        lambda g, _s=src_name, _d=dst_name: g.rename(
+            columns={"a": _s, "b": _d}),
+        batch_format="pandas")
+
+
+def bgp_construct(triples: "ray.data.Dataset",
+                  patterns: list[tuple[str, str, str]],
+                  template: list[tuple[str, str, str]],
+                  optional: Optional[list[list[tuple[str, str, str]]]] = None,
+                  filters: Optional[Sequence[tuple[str, str, str]]] = None,
+                  num_partitions: Optional[int] = None
+                  ) -> "ray.data.Dataset":
+    """SPARQL CONSTRUCT — instantiate ``template`` triples (terms are
+    ``?var`` or constants) once per binding, drop incomplete triples
+    (any term unbound, e.g. from OPTIONAL), and return the DISTINCT
+    (subject, predicate, object_value) set: a graph is a set of
+    triples. Map-only emission; the only exchange is the final
+    distinct."""
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    b = bgp_match(triples, patterns, optional=optional, filters=filters,
+                  num_partitions=num_partitions)
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import _num_partitions
+        num_partitions = max(8, _num_partitions(None) // 8)
+    slots = ("subject", "predicate", "object_value")
+
+    def emit(batch: pa.Table) -> pa.Table:
+        outs = []
+        for tmpl in template:
+            cols = {}
+            for name, term in zip(slots, tmpl):
+                if _is_var(term):
+                    cols[name] = batch.column(term[1:]).cast(pa.string())
+                else:
+                    cols[name] = pa.array(
+                        [term] * batch.num_rows, type=pa.string())
+            t = pa.Table.from_pydict(cols)
+            mask = None
+            for name in slots:
+                m = pc.is_valid(t.column(name))
+                mask = m if mask is None else pc.and_(mask, m)
+            outs.append(t.filter(mask))
+        return pa.concat_tables(outs)
+
+    g = b.map_batches(emit, batch_format="pyarrow")
+    return _distinct_rows(g, list(slots), num_partitions)
 
 
 def bgp_group_count(triples: "ray.data.Dataset",

@@ -45,6 +45,23 @@ def _run(spec: dict, path: str, columns: list[str]) -> "ray.data.Dataset":
     return pipe.run_files(path, columns=columns)
 
 
+# Materialized-triple-table cache for the BGP query family: several
+# queries interrogate the SAME constructed graph (the within-graph
+# feeds path+, path-seq, CONSTRUCT and GROUP BY; the customer graph
+# feeds OPTIONAL / MINUS / EXISTS), and each bgp_* call would
+# otherwise re-run the whole extraction pipeline. The cache holds the
+# materialized table per (graph, sf_dir) — blocks stay in the object
+# store, every consumer's _pin_triples re-pin is a no-op.
+_GRAPH_CACHE: dict = {}
+
+
+def _cached_graph(key: str, sf_dir: str, build) -> "ray.data.Dataset":
+    k = (key, sf_dir)
+    if k not in _GRAPH_CACHE:
+        _GRAPH_CACHE[k] = build().materialize()
+    return _GRAPH_CACHE[k]
+
+
 # --- customer ---------------------------------------------------------------
 
 CUSTOMER_SPEC = {
@@ -574,8 +591,9 @@ BGP_CUST_GRAPH_SPEC = {
 
 
 def _cust_graph(sf_dir: str) -> "ray.data.Dataset":
-    return _run(BGP_CUST_GRAPH_SPEC, f"{sf_dir}/customer.parquet",
-                ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+    return _cached_graph("cust_graph", sf_dir, lambda: _run(
+        BGP_CUST_GRAPH_SPEC, f"{sf_dir}/customer.parquet",
+        ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]))
 
 
 def bgp_optional_tier_query(sf_dir: str) -> "ray.data.Dataset":
@@ -668,13 +686,17 @@ WITHIN_NATION_SPEC = {
 }
 
 
+def _within_graph(sf_dir: str) -> "ray.data.Dataset":
+    return _cached_graph("within_graph", sf_dir, lambda: _run(
+        WITHIN_CUST_SPEC, f"{sf_dir}/customer.parquet",
+        ["c_custkey", "c_nationkey"])
+        .union(_run(WITHIN_NATION_SPEC, f"{sf_dir}/nation.parquet",
+                    ["n_nationkey", "n_regionkey"])))
+
+
 def bgp_path_within_query(sf_dir: str) -> "ray.data.Dataset":
     from rdf_mapper_ray.engine.bgp import path_plus
-    trips = _run(WITHIN_CUST_SPEC, f"{sf_dir}/customer.parquet",
-                 ["c_custkey", "c_nationkey"]) \
-        .union(_run(WITHIN_NATION_SPEC, f"{sf_dir}/nation.parquet",
-                    ["n_nationkey", "n_regionkey"]))
-    return path_plus(trips, f"{_EX}within")
+    return path_plus(_within_graph(sf_dir), f"{_EX}within")
 
 
 BGP_PATH_WITHIN_ORACLE_SQL = """
@@ -701,14 +723,95 @@ def bgp_group_count_query(sf_dir: str) -> "ray.data.Dataset":
     ``SELECT ?r (COUNT(*) AS ?n_customers) WHERE { ?c ex:within ?n .
     ?n ex:within ?r } GROUP BY ?r``."""
     from rdf_mapper_ray.engine.bgp import bgp_group_count
-    trips = _run(WITHIN_CUST_SPEC, f"{sf_dir}/customer.parquet",
-                 ["c_custkey", "c_nationkey"]) \
-        .union(_run(WITHIN_NATION_SPEC, f"{sf_dir}/nation.parquet",
-                    ["n_nationkey", "n_regionkey"]))
-    return bgp_group_count(trips, [
+    return bgp_group_count(_within_graph(sf_dir), [
         ("?c", f"{_EX}within", "?n"),
         ("?n", f"{_EX}within", "?r"),
     ], group_var="r", count_name="n_customers")
+
+
+def bgp_minus_tier_query(sf_dir: str) -> "ray.data.Dataset":
+    """SPARQL MINUS (§8.3): customers WITHOUT the guard-sparse
+    <ex:tier> property — the negation complement of the OPTIONAL
+    query, one distributed anti-join on the shared ?c."""
+    from rdf_mapper_ray.engine.bgp import bgp_match
+    return bgp_match(_cust_graph(sf_dir), [
+        ("?c", _RDF_TYPE, f"{_EX}Customer"),
+        ("?c", f"{_EX}name", "?name"),
+    ], minus=[[("?c", f"{_EX}tier", "?tier")]])
+
+
+BGP_MINUS_TIER_ORACLE_SQL = """
+SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR) AS c,
+       c_name AS name
+FROM customer WHERE NOT (c_acctbal > 5000)
+ORDER BY c
+"""
+
+
+def bgp_exists_tier_query(sf_dir: str) -> "ray.data.Dataset":
+    """SPARQL FILTER EXISTS: customers that DO carry <ex:tier> — the
+    semi-join arm of the negation algebra."""
+    from rdf_mapper_ray.engine.bgp import bgp_match
+    return bgp_match(_cust_graph(sf_dir), [
+        ("?c", _RDF_TYPE, f"{_EX}Customer"),
+        ("?c", f"{_EX}name", "?name"),
+    ], exists=[[("?c", f"{_EX}tier", "?tier")]])
+
+
+BGP_EXISTS_TIER_ORACLE_SQL = """
+SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR) AS c,
+       c_name AS name
+FROM customer WHERE c_acctbal > 5000
+ORDER BY c
+"""
+
+
+def bgp_path_seq_query(sf_dir: str) -> "ray.data.Dataset":
+    """SPARQL sequence path ``?c <ex:within>/<ex:within> ?r`` over the
+    containment graph: exactly the two-hop customer→region pairs (the
+    closure query's derived level, without the asserted ones)."""
+    from rdf_mapper_ray.engine.bgp import path_seq
+    return path_seq(_within_graph(sf_dir),
+                    [f"{_EX}within", f"{_EX}within"])
+
+
+BGP_PATH_SEQ_ORACLE_SQL = """
+SELECT DISTINCT
+  'http://example.org/cust/' || CAST(c_custkey AS VARCHAR) AS src,
+  'http://example.org/region/' || CAST(n_regionkey AS VARCHAR) AS dst
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+ORDER BY src, dst
+"""
+
+
+def bgp_construct_query(sf_dir: str) -> "ray.data.Dataset":
+    """SPARQL CONSTRUCT — derive NEW triples from the containment BGP:
+    ``CONSTRUCT { ?r ex:hasCustomer ?c . ?r a ex:PopulatedRegion }
+    WHERE { ?c ex:within ?n . ?n ex:within ?r }``. The type triple
+    instantiates once per region (set semantics dedup)."""
+    from rdf_mapper_ray.engine.bgp import bgp_construct
+    return bgp_construct(_within_graph(sf_dir), [
+        ("?c", f"{_EX}within", "?n"),
+        ("?n", f"{_EX}within", "?r"),
+    ], template=[
+        ("?r", f"{_EX}hasCustomer", "?c"),
+        ("?r", _RDF_TYPE, f"{_EX}PopulatedRegion"),
+    ])
+
+
+BGP_CONSTRUCT_ORACLE_SQL = f"""
+WITH b AS (
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR) AS c,
+         'http://example.org/region/' || CAST(n_regionkey AS VARCHAR) AS r
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT DISTINCT r AS subject, '{_EX}hasCustomer' AS predicate,
+       c AS object_value
+FROM b
+UNION
+SELECT DISTINCT r, '{_RDF_TYPE}', '{_EX}PopulatedRegion' FROM b
+ORDER BY subject, predicate, object_value
+"""
 
 
 BGP_GROUP_COUNT_ORACLE_SQL = """

@@ -217,6 +217,84 @@ def test_bgp_path_within_matches_oracle(ray_session):
     assert compare("bgp_path_within", got, want)
 
 
+def test_bgp_minus_and_exists_semantics(ray_session):
+    from rdf_mapper_ray.engine.bgp import bgp_match
+    t = _triples([
+        ("c1", "type", "C"), ("c2", "type", "C"), ("c3", "type", "C"),
+        ("c1", "tier", "gold"),
+        ("z", "unrelated", "w"),
+    ])
+    base = [("?c", "type", "C")]
+    # MINUS removes compatible bindings (anti-join on ?c)
+    out = bgp_match(t, base, minus=[[("?c", "tier", "?t")]],
+                    num_partitions=4).to_pandas()
+    assert sorted(out["c"]) == ["c2", "c3"]
+    # MINUS with a disjoint domain removes NOTHING (SPARQL §8.3)
+    out = bgp_match(t, base, minus=[[("?z", "unrelated", "?w")]],
+                    num_partitions=4).to_pandas()
+    assert sorted(out["c"]) == ["c1", "c2", "c3"]
+    # FILTER EXISTS keeps compatible bindings (semi-join)
+    out = bgp_match(t, base, exists=[[("?c", "tier", "?t")]],
+                    num_partitions=4).to_pandas()
+    assert sorted(out["c"]) == ["c1"]
+    # FILTER NOT EXISTS = anti-join; uncorrelated gates globally
+    out = bgp_match(t, base, not_exists=[[("?c", "tier", "?t")]],
+                    num_partitions=4).to_pandas()
+    assert sorted(out["c"]) == ["c2", "c3"]
+    out = bgp_match(t, base, not_exists=[[("?z", "unrelated", "?w")]],
+                    num_partitions=4).to_pandas()
+    assert len(out) == 0          # the group matches somewhere -> drop all
+    out = bgp_match(t, base, not_exists=[[("?z", "nosuch", "?w")]],
+                    num_partitions=4).to_pandas()
+    assert sorted(out["c"]) == ["c1", "c2", "c3"]
+    # shared var bound only by a sibling OPTIONAL is rejected
+    with pytest.raises(ValueError, match="well-designed"):
+        bgp_match(t, base, optional=[[("?c", "tier", "?t")]],
+                  minus=[[("?t", "unrelated", "?w")]],
+                  num_partitions=4).to_pandas()
+
+
+def test_path_seq_and_construct(ray_session):
+    from rdf_mapper_ray.engine.bgp import bgp_construct, path_seq
+    t = _triples([
+        ("c1", "within", "n1"), ("c2", "within", "n1"),
+        ("n1", "within", "r1"),
+        ("c3", "within", "n2"),          # n2 has no region
+        ("r1", "other", "x"),
+    ])
+    got = path_seq(t, ["within", "within"],
+                   num_partitions=4).to_pandas()
+    assert sorted(zip(got["src"], got["dst"])) == [
+        ("c1", "r1"), ("c2", "r1")]
+    g = bgp_construct(t, [("?c", "within", "?n"),
+                          ("?n", "within", "?r")],
+                      template=[("?r", "hasCustomer", "?c"),
+                                ("?r", "type", "Populated")],
+                      num_partitions=4).to_pandas()
+    rows = sorted(zip(g["subject"], g["predicate"], g["object_value"]))
+    assert rows == [("r1", "hasCustomer", "c1"),
+                    ("r1", "hasCustomer", "c2"),
+                    ("r1", "type", "Populated")]   # type deduped
+
+
+def test_bgp_negation_paths_match_oracle(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import duckdb
+    from check_correctness import compare
+    import __ray_entry__ as E
+    SF = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("customer", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    for name in ["bgp_minus_tier", "bgp_exists_tier",
+                 "bgp_path_seq", "bgp_construct"]:
+        got = E.queries()[name](SF).to_pandas()
+        want = con.execute(E.oracle_sql()[name]).fetchdf()
+        assert compare(name, got, want)
+
+
 def test_bgp_group_count_matches_oracle(ray_session):
     import sys
     sys.path.insert(0, "/root/repo/tools")

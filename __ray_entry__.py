@@ -89,7 +89,7 @@ _DRIVER_WINDOW = [
 _NEXT_UP = [
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
-    "bgp_construct",
+    "bgp_construct", "hll_by_type",
     "ntile_bucket",
     "users_intersect", "users_except",
     "grouped_mode", "group_corr",
@@ -304,6 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the HLL sketch itself, SQL-replayed register-for-register
         # (md5-portable hash; float estimator checked in units)
         "hll_registers": distinct.hll_registers_query,
+        # per-group HLL registers: group-count-sized shuffle, never keys
+        "hll_by_type": distinct.hll_by_type_query,
         # SPARQL property path <p>+ — semi-naive transitive closure
         "bgp_path_within": relational.bgp_path_within_query,
         # SPARQL GROUP BY / COUNT over BGP solution groups
@@ -500,6 +502,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigrams": topk.pmi_bigrams_oracle_sql(),
         "skyline_parts": skyline.SKYLINE_ORACLE_SQL,
         "hll_registers": distinct.hll_registers_oracle_sql(),
+        "hll_by_type": distinct.hll_by_type_oracle_sql(),
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,
         "bgp_group_count": relational.BGP_GROUP_COUNT_ORACLE_SQL,
         "bgp_minus_tier": relational.BGP_MINUS_TIER_ORACLE_SQL,

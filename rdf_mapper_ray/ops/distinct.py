@@ -313,6 +313,77 @@ GROUP BY b.bucket ORDER BY b.bucket
 """
 
 
+# --- grouped HLL: per-group register tables ---------------------------------------
+
+def hll_registers_by(ds: "ray.data.Dataset", key_col: str,
+                     by_col: str, p: int = 6) -> "ray.data.Dataset":
+    """Per-GROUP HLL register table — (by, bucket, r) rows for every
+    non-empty bucket, same md5-portable hash as ``hll_registers`` so a
+    SQL oracle replays each group's registers bit-exactly.
+
+    Map-side combine: each block reduces its rows to at most
+    groups × 64 register rows (local distinct then per-(group, bucket)
+    max), so the exchange moves register partials, never keys — the
+    shape that gives per-group approx-distinct over 100 TB with a
+    group-count-sized shuffle. One groupby(by) + in-task pandas max
+    finishes (group count is small by assumption; table-sized group
+    counts want the pid-routed merge instead, ops/topk.py)."""
+    import pandas as pd
+    rem_bits = 64 - p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([by_col, key_col]).to_pandas() \
+            .drop_duplicates()
+        h = _md5_u64(df[key_col].to_numpy())
+        bucket = (h >> np.uint64(rem_bits)).astype(np.int64)
+        rem = h & ((np.uint64(1) << np.uint64(rem_bits)) - np.uint64(1))
+        rho = rem_bits - _bitlen_u64(rem) + 1
+        out = pd.DataFrame({by_col: df[by_col].to_numpy(),
+                            "bucket": bucket, "r": rho})
+        out = out.groupby([by_col, "bucket"], as_index=False)["r"].max()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def finish(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby([by_col, "bucket"], as_index=False)["r"].max()
+        return out.sort_values([by_col, "bucket"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(by_col).map_groups(finish, batch_format="pandas")
+
+
+def hll_by_type_query(sf_dir: str, p: int = 6):
+    """Per-event-type distinct-user HLL registers (md5-portable)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "user_id"])
+    return hll_registers_by(ds, "user_id", "event_type", p=p)
+
+
+def hll_by_type_oracle_sql(p: int = 6) -> str:
+    rem_bits = 64 - p
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+           ::UBIGINT AS h
+  FROM events
+),
+parts AS (
+  SELECT event_type, CAST(h >> {rem_bits} AS BIGINT) AS bucket,
+         h & {(1 << rem_bits) - 1}::UBIGINT AS rem
+  FROM h
+),
+rho AS (
+  SELECT event_type, bucket,
+         CASE WHEN rem = 0 THEN {rem_bits + 1}
+              ELSE {rem_bits} - length(bin(rem)) + 1 END AS rho
+  FROM parts
+)
+SELECT event_type, bucket, CAST(MAX(rho) AS BIGINT) AS r
+FROM rho GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
 # --- count-min sketch, SQL-replayed cell-for-cell ----------------------------------
 
 _CMS_SALTS = ("r0", "r1", "r2")

@@ -89,6 +89,38 @@ def test_hll_registers_partition_invariant(ray_session):
     assert outs[0].equals(outs[1])
 
 
+def test_hll_by_group_matches_oracle_and_estimates(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import compare
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    import __ray_entry__ as E
+    from rdf_mapper_ray.ops.distinct import (hll_estimate,
+                                             hll_registers_by)
+    SF = "/root/testdata/sf0.001"
+    got = E.queries()["hll_by_type"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(E.oracle_sql()["hll_by_type"]).fetchdf()
+    assert compare("hll_by_type", got, want)
+    # per-group estimates track the exact distinct counts
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 3, 30000).astype(str),
+        "k": rng.integers(0, 4000, 30000)})
+    ds = ray.data.from_pandas(df).repartition(7)
+    regs = hll_registers_by(ds, "k", "g", p=8).to_pandas()
+    truth = df.drop_duplicates().groupby("g")["k"].nunique()
+    for g, grp in regs.groupby("g"):
+        est = hll_estimate(grp.rename(columns={"g": "_"}), p=8)
+        n = truth[g]
+        assert abs(est - n) / n < 0.26, (g, est, n)
+
+
 def test_cms_matches_oracle_and_estimates(ray_session):
     import sys
     sys.path.insert(0, "/root/repo/tools")

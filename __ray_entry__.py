@@ -87,6 +87,8 @@ _DRIVER_WINDOW = [
 # never driver-verified but deferred past the window this round
 # (value+dtype-exact locally, judge-verified in r3) — round-5 leads
 _NEXT_UP = [
+    # new in round-4 session 5 (window already full; locally dtype-exact)
+    "group_regression", "rank_windows", "mad_outliers",
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
     "bgp_construct", "hll_by_type",
@@ -270,6 +272,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped statistics: mode + exact-integer Pearson r
         "grouped_mode": stats.grouped_mode_query,
         "group_corr": stats.group_corr_query,
+        "group_regression": stats.group_regression_query,
+        "rank_windows": stats.rank_windows_query,
+        "mad_outliers": quantiles.mad_outliers_query,
         # set algebra: INTERSECT / EXCEPT on distinct keys
         "users_intersect": setops.users_intersect_query,
         "users_except": setops.users_except_query,
@@ -486,6 +491,9 @@ def oracle_sql() -> dict[str, str]:
         "k_core": graphs.k_core_oracle_sql(),
         "grouped_mode": stats.GROUPED_MODE_ORACLE_SQL,
         "group_corr": stats.GROUP_CORR_ORACLE_SQL,
+        "group_regression": stats.GROUP_REGRESSION_ORACLE_SQL,
+        "rank_windows": stats.RANK_WINDOWS_ORACLE_SQL,
+        "mad_outliers": quantiles.MAD_OUTLIERS_ORACLE_SQL,
         "users_intersect": setops.USERS_INTERSECT_ORACLE_SQL,
         "users_except": setops.USERS_EXCEPT_ORACLE_SQL,
         "ntile_bucket": normalize.ntile_oracle_sql(),

@@ -1,0 +1,225 @@
+"""Pregel-style persistent-actor venue for iterative graph algorithms.
+
+The Dataset venues in :mod:`rdf_mapper_ray.ops.graphs` (bfs_levels,
+sssp_bounded, community_lpa) pid-route the adjacency ONCE and reuse
+it, but every round the adjacency blocks still ride the round's
+``union(...).groupby("pid")`` exchange — at web-graph scale the static
+edge set is re-shuffled O(diameter) times.  This venue removes that:
+a pool of P persistent actors each holds ONE hash partition of the
+adjacency in memory (loaded once), plus that partition's node state.
+Per round only the *messages* move, actor-to-actor through the object
+store (each actor ``ray.put``s one table per destination partition;
+the driver forwards only the tiny ref matrix, never the data).  This
+is the standard Pregel/BSP execution shape (Malewicz et al., SIGMOD
+2010) expressed with Ray actors.
+
+Algorithms plug in as two plain functions over pandas frames (the
+exact same kernels the Dataset venue runs inside ``map_groups``), so
+venue equality is testable row-for-row:
+
+- ``send(state, adj) -> msgs``: frame with a ``node`` destination
+  column plus payload columns; evaluated against the partition's
+  adjacency ``(node, other[, w])``.
+- ``reduce(msgs, state) -> (new_state, changed)``: fold the incoming
+  messages into the partition's state; ``changed`` drives the global
+  convergence vote (sum over partitions, a P-sized driver reduction).
+
+Partitioning contract: a node's state and all adjacency rows keyed by
+that node live in partition ``hash(node) % P`` — the same
+``pd.util.hash_pandas_object`` routing the Dataset venues use, so the
+two venues are bit-identical.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def pid_of(nodes, num_partitions: int) -> np.ndarray:
+    """The repo-standard node -> partition hash (must match the
+    Dataset venues' ``_pid`` helpers)."""
+    h = pd.util.hash_pandas_object(pd.Series(nodes),
+                                   index=False).to_numpy()
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+@ray.remote
+def _block_pids(t: pa.Table) -> list:
+    """Which partitions' rows live in this adjacency block (blocks
+    come out of a pid groupby, so usually 1-2 pids per block).
+    Empty groupby output blocks carry an empty schema — skip them."""
+    if t.num_rows == 0 or "pid" not in t.schema.names:
+        return []
+    return np.unique(t.column("pid").to_numpy()).tolist()
+
+
+@ray.remote
+class _PregelPart:
+    """One vertex partition: adjacency rows + node state, resident
+    for the whole run. Messages leave via ``ray.put`` per destination
+    partition; inbound refs are resolved inside the actor, so message
+    bytes never touch the driver."""
+
+    def __init__(self, pid: int, num_partitions: int,
+                 send_fn: Callable, reduce_fn: Callable):
+        self._pid = pid
+        self._num_partitions = num_partitions
+        self._send = send_fn
+        self._reduce = reduce_fn
+        self._adj: Optional[pd.DataFrame] = None
+        self._state: Optional[pd.DataFrame] = None
+
+    def load_adj(self, refs: list) -> int:
+        parts = []
+        for t in ray.get(list(refs)):
+            t = t.filter(pa.compute.equal(
+                t.column("pid"), pa.scalar(self._pid, pa.int64())))
+            if t.num_rows:
+                parts.append(t.drop_columns(["pid"]).to_pandas())
+        self._adj = (pd.concat(parts, ignore_index=True) if parts
+                     else None)
+        return 0 if self._adj is None else len(self._adj)
+
+    def init_state(self, table: pa.Table) -> int:
+        self._state = table.to_pandas()
+        return len(self._state)
+
+    def init_state_from_adj(self, fn: Callable, empty: pa.Table) -> int:
+        """Derive the initial per-node state from this partition's own
+        adjacency (e.g. LPA's label=node) — no driver node table."""
+        if self._adj is None or not len(self._adj):
+            self._state = empty.to_pandas()
+        else:
+            self._state = fn(self._adj)
+        return len(self._state)
+
+    def send_msgs(self) -> list:
+        P = self._num_partitions
+        if (self._adj is None or self._state is None
+                or not len(self._state)):
+            return [None] * P
+        msgs = self._send(self._state, self._adj)
+        if msgs is None or not len(msgs):
+            return [None] * P
+        pids = pid_of(msgs["node"].to_numpy(), P)
+        out: list = [None] * P
+        for j in np.unique(pids):
+            part = msgs.iloc[np.flatnonzero(pids == j)]
+            out[int(j)] = ray.put(
+                pa.Table.from_pandas(part, preserve_index=False))
+        return out
+
+    def apply_msgs(self, refs: list) -> int:
+        live = [r for r in refs if r is not None]
+        tables = ray.get(live) if live else []
+        if not tables and (self._state is None
+                           or not len(self._state)):
+            return 0
+        msgs = (pd.concat([t.to_pandas() for t in tables],
+                          ignore_index=True) if tables
+                else None)
+        state = (self._state if self._state is not None
+                 else pd.DataFrame())
+        self._state, changed = self._reduce(msgs, state)
+        return int(changed)
+
+    def state_rows(self) -> int:
+        return 0 if self._state is None else len(self._state)
+
+    def state_table(self) -> pa.Table:
+        if self._state is None or not len(self._state):
+            return None
+        return pa.Table.from_pandas(self._state,
+                                    preserve_index=False)
+
+
+class PregelPool:
+    """Build the actor pool from a pid-tagged adjacency Dataset and
+    run rounds until convergence (or ``max_rounds``).
+
+    ``adjacency`` must carry int64 ``node`` and a ``pid`` column
+    routed with :func:`pid_of`; any other columns ride along into the
+    per-partition adjacency frame (``other``, weights, ...).
+    """
+
+    def __init__(self, adjacency: "ray.data.Dataset",
+                 num_partitions: int,
+                 send_fn: Callable, reduce_fn: Callable):
+        self._P = num_partitions
+        # One exchange total: co-partition the adjacency by pid so each
+        # block holds few pids, then hand each actor only the blocks
+        # that contain its pid (zero-copy plasma reads; on a cluster a
+        # block ships to at most the 1-2 actors that own its pids).
+        routed = adjacency.groupby("pid").map_groups(
+            lambda g: g, batch_format="pyarrow").materialize()
+        refs = routed.to_arrow_refs()
+        blk_pids = ray.get([_block_pids.remote(r) for r in refs])
+        self._actors = [
+            _PregelPart.remote(i, num_partitions, send_fn, reduce_fn)
+            for i in range(num_partitions)]
+        loads = []
+        for i, a in enumerate(self._actors):
+            mine = [r for r, ps in zip(refs, blk_pids) if i in ps]
+            loads.append(a.load_adj.remote(mine))
+        ray.get(loads)
+
+    def init_state(self, table: pa.Table) -> None:
+        """Scatter a driver-built initial state (small: e.g. the BFS
+        source row). Rows route by hash(node)."""
+        pids = pid_of(table.column("node").to_numpy(), self._P)
+        empty = table.slice(0, 0)
+        calls = []
+        for i, a in enumerate(self._actors):
+            mask = pa.array(pids == i)
+            calls.append(a.init_state.remote(table.filter(mask)
+                                             if mask.true_count
+                                             else empty))
+        ray.get(calls)
+
+    def init_state_from_adj(self, fn: Callable,
+                            empty: pa.Table) -> None:
+        ray.get([a.init_state_from_adj.remote(fn, empty)
+                 for a in self._actors])
+
+    def run(self, max_rounds: int) -> int:
+        """Run synchronous rounds; returns the number executed.
+        Stops early when no partition reports a change."""
+        rounds = 0
+        for _ in range(max_rounds):
+            mats = ray.get([a.send_msgs.remote()
+                            for a in self._actors])
+            changed = ray.get([
+                self._actors[j].apply_msgs.remote(
+                    [mats[i][j] for i in range(self._P)])
+                for j in range(self._P)])
+            rounds += 1
+            if not sum(changed):
+                break
+        return rounds
+
+    def collect(self) -> "ray.data.Dataset":
+        """Final state as a Dataset WITHOUT driver materialization:
+        the per-partition state tables stay in the object store
+        (actor-owned refs) and are copied into job-owned blocks so
+        :meth:`shutdown` can't strand them."""
+        counts = ray.get([a.state_rows.remote()
+                          for a in self._actors])
+        live = [a.state_table.remote()
+                for a, c in zip(self._actors, counts) if c]
+        if not live:
+            raise ValueError("pregel: empty final state")
+        return ray.data.from_arrow_refs(live) \
+            .map_batches(lambda t: t, batch_format="pyarrow") \
+            .materialize()
+
+    def shutdown(self) -> None:
+        for a in self._actors:
+            ray.kill(a)
+        self._actors = []

@@ -862,7 +862,7 @@ def k_core(edges: "ray.data.Dataset", k: int = 2, max_iters: int = 50,
             .map_batches(lambda t: pa.Table.from_pydict(
                 {"a": t.column("y"), "b": t.column("x")}),
                 batch_format="pyarrow")
-        edges = surv.repartition(num_partitions).materialize()
+        edges = _sever(surv.repartition(num_partitions))
     return deg
 
 
@@ -940,9 +940,91 @@ def graph_components_query(sf_dir: str, threshold: float = 0.3):
         num_partitions=partitions_for(emb, 8))
 
 
+# --- Pregel-venue message kernels (module-level: pickled to actors) -----------
+# These are the SAME per-partition pandas kernels the Dataset venues
+# run inside map_groups, so the two venues are row-identical.
+
+def _sever(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """materialize + sever lineage (same trick as pagerank's _pin):
+    per-round plans otherwise nest, and a long-diameter BFS/SSSP run
+    (hundreds of rounds) blows the interpreter recursion limit when
+    the accumulated plan is traversed. Blocks stay in the object
+    store — to_arrow_refs moves no data."""
+    mat = ds.materialize()
+    return ray.data.from_arrow_refs(mat.to_arrow_refs())
+
+
+def _bfs_send(state: pd.DataFrame, adj: pd.DataFrame):
+    f = state.loc[state["changed"] == 1, ["node", "level"]]
+    if not len(f):
+        return None
+    m = adj.merge(f, on="node", how="inner")
+    out = pd.DataFrame({"node": m["other"].to_numpy(),
+                        "level": m["level"].to_numpy() + 1})
+    return out.groupby("node", as_index=False)["level"].min()
+
+
+def _min_reduce(value_col: str):
+    def _reduce(msgs, state: pd.DataFrame):
+        cols = ["node", value_col]
+        if msgs is None or not len(msgs):
+            if len(state):
+                state = state.copy()
+                state["changed"] = np.int64(0)
+            return state, 0
+        if not len(state):
+            out = msgs.groupby("node", as_index=False)[value_col] \
+                .min()
+            out["changed"] = np.int64(1)
+            return out[cols + ["changed"]], len(out)
+        both = pd.concat([msgs[cols], state[cols]],
+                         ignore_index=True)
+        new = both.groupby("node", as_index=False)[value_col].min()
+        old = state[cols].rename(columns={value_col: "_old"})
+        out = new.merge(old, on="node", how="left")
+        out["changed"] = (out["_old"].isna()
+                          | (out[value_col] < out["_old"])) \
+            .astype(np.int64)
+        return (out[cols + ["changed"]],
+                int(out["changed"].sum()))
+    return _reduce
+
+
+def _sssp_send(state: pd.DataFrame, adj: pd.DataFrame):
+    f = state.loc[state["changed"] == 1, ["node", "dist"]]
+    if not len(f):
+        return None
+    m = adj.merge(f, on="node", how="inner")
+    out = pd.DataFrame({
+        "node": m["other"].to_numpy(),
+        "dist": m["dist"].to_numpy() + m["w"].to_numpy()})
+    return out.groupby("node", as_index=False)["dist"].min()
+
+
+def _run_pregel_min(adjacency: "ray.data.Dataset",
+                    num_partitions: int, source: int,
+                    value_col: str, send_fn, max_rounds: int
+                    ) -> "ray.data.Dataset":
+    """Shared driver for the min-propagation family (BFS hop levels,
+    weighted SSSP): persistent actor partitions, adjacency loaded
+    once, only messages move per round."""
+    from rdf_mapper_ray.engine.pregel import PregelPool
+    pool = PregelPool(adjacency, num_partitions, send_fn,
+                      _min_reduce(value_col))
+    pool.init_state(pa.Table.from_pydict({
+        "node": pa.array([source], type=pa.int64()),
+        value_col: pa.array([0], type=pa.int64()),
+        "changed": pa.array([1], type=pa.int64())}))
+    pool.run(max_rounds)
+    out = pool.collect().select_columns(["node", value_col])
+    pool.shutdown()
+    return out
+
+
 def bfs_levels(edges: "ray.data.Dataset", source: int | None = None,
                max_iters: int = 64,
-               num_partitions: int | None = None) -> "ray.data.Dataset":
+               num_partitions: int | None = None,
+               venue: str = "dataset") -> "ray.data.Dataset":
     """Single-source BFS hop distance over an undirected (a, b) int64
     edge Dataset -> (node, level) for reachable nodes. ``source=None``
     means the globally smallest node id (deterministic, so the SQL
@@ -979,6 +1061,10 @@ def bfs_levels(edges: "ray.data.Dataset", source: int | None = None,
     if source is None:
         mins = adjacency.min("node")
         source = int(mins if np.isscalar(mins) else mins["node"])
+
+    if venue == "actors":
+        return _run_pregel_min(adjacency, num_partitions, source,
+                               "level", _bfs_send, max_iters)
 
     dist = ray.data.from_arrow(_pid(pa.Table.from_pydict({
         "node": pa.array([source], type=pa.int64()),
@@ -1039,10 +1125,10 @@ def bfs_levels(edges: "ray.data.Dataset", source: int | None = None,
                 .astype(np.int64)
             return out[["node", "level", "changed"]]
 
-        nxt = merged.groupby("pid").map_groups(
+        nxt = _sever(merged.groupby("pid").map_groups(
             reduce_part, batch_format="pandas") \
             .map_batches(_pid, batch_format="pyarrow") \
-            .repartition(num_partitions).materialize()
+            .repartition(num_partitions))
         dist = nxt
         if not nxt.sum("changed"):
             break
@@ -1110,7 +1196,8 @@ FROM reach GROUP BY node ORDER BY node
 
 def sssp_bounded(edges: "ray.data.Dataset", source: int | None = None,
                  max_hops: int = 8,
-                 num_partitions: int | None = None) -> "ray.data.Dataset":
+                 num_partitions: int | None = None,
+                 venue: str = "dataset") -> "ray.data.Dataset":
     """Single-source shortest WEIGHTED distance over an undirected
     (a, b, w) int64 edge Dataset, bounded to paths of at most
     ``max_hops`` edges -> (node, dist). ``source=None`` = the globally
@@ -1153,6 +1240,10 @@ def sssp_bounded(edges: "ray.data.Dataset", source: int | None = None,
     if source is None:
         mins = adjacency.min("node")
         source = int(mins if np.isscalar(mins) else mins["node"])
+
+    if venue == "actors":
+        return _run_pregel_min(adjacency, num_partitions, source,
+                               "dist", _sssp_send, max_hops)
 
     dist = ray.data.from_arrow(_pid(pa.Table.from_pydict({
         "node": pa.array([source], type=pa.int64()),
@@ -1214,10 +1305,10 @@ def sssp_bounded(edges: "ray.data.Dataset", source: int | None = None,
                 .astype(np.int64)
             return out[["node", "dist", "changed"]]
 
-        nxt = merged.groupby("pid").map_groups(
+        nxt = _sever(merged.groupby("pid").map_groups(
             reduce_part, batch_format="pandas") \
             .map_batches(_pid, batch_format="pyarrow") \
-            .repartition(num_partitions).materialize()
+            .repartition(num_partitions))
         dist = nxt
         if not nxt.sum("changed"):
             break
@@ -1433,10 +1524,10 @@ def community_lpa(edges: "ray.data.Dataset", rounds: int = 3,
         msgs = adjacency.map_batches(tag_adj, batch_format="pyarrow") \
             .union(labels.map_batches(tag_lab, batch_format="pyarrow")) \
             .groupby("pid").map_groups(send, batch_format="pandas")
-        labels = msgs.map_batches(_pid("dst"), batch_format="pyarrow") \
+        labels = _sever(msgs.map_batches(_pid("dst"), batch_format="pyarrow") \
             .groupby("pid").map_groups(vote, batch_format="pandas") \
             .map_batches(_pid("node"), batch_format="pyarrow") \
-            .repartition(num_partitions).materialize()
+            .repartition(num_partitions))
 
     return labels.drop_columns(["pid"])
 

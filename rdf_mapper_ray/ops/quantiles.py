@@ -331,3 +331,80 @@ GROUP_QUANTILES_ORACLE_SQL = "\nUNION ALL\n".join(
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem GROUP BY l_returnflag"""
     for q in GROUP_QUANTILES_QS) + "\nORDER BY l_returnflag, q\n"
+
+
+# --- robust outlier detection: median absolute deviation per group ---------------
+
+def mad_outliers(ds: "ray.data.Dataset", group_col: str,
+                 value_col: str, k: float = 3.0,
+                 num_partitions: Optional[int] = None
+                 ) -> "ray.data.Dataset":
+    """Robust per-group dispersion + outlier count via the median
+    absolute deviation: med = median(x), mad = median(|x − med|),
+    outlier ⇔ |x − med| > k·mad. Everything happens inside ONE
+    routed exchange — each complete group computes both medians and
+    the count in-task (pandas median interpolates exactly like SQL's
+    median/quantile_cont, and |x−med| / k·mad are the identical IEEE
+    doubles on both sides, so the comparison set matches
+    bit-for-bit). Same one-group-fits-one-task contract as
+    group_median. -> (group, n, med, mad, n_outliers)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(batch: pa.Table) -> pa.Table:
+        batch = batch.select([group_col, value_col])
+        pid = pd.util.hash_pandas_object(
+            batch.column(group_col).to_pandas(), index=False).to_numpy()
+        return batch.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def mad_part(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, grp in g.groupby(group_col, sort=False):
+            v = grp[value_col].to_numpy(dtype=np.float64)
+            med = float(np.median(v))
+            dev = np.abs(v - med)
+            mad = float(np.median(dev))
+            n_out = int(np.count_nonzero(dev > k * mad))
+            rows.append((key, len(v), med, mad, n_out))
+        return pd.DataFrame(rows, columns=[
+            group_col, "n", "med", "mad", "n_outliers"]) \
+            .astype({"n": np.int64, "med": np.float64,
+                     "mad": np.float64, "n_outliers": np.int64})
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(mad_part, batch_format="pandas")
+
+
+def mad_outliers_query(sf_dir: str):
+    """Extended-price outliers per return flag, MAD rule at k=3."""
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice"])
+    return mad_outliers(ds, "l_returnflag", "l_extendedprice")
+
+
+MAD_OUTLIERS_ORACLE_SQL = """
+WITH m AS (
+  SELECT l_returnflag, median(l_extendedprice) AS med
+  FROM lineitem GROUP BY l_returnflag
+),
+d AS (
+  SELECT l.l_returnflag, m.med,
+         abs(l.l_extendedprice - m.med) AS dev
+  FROM lineitem l JOIN m USING (l_returnflag)
+),
+s AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         any_value(med) AS med, median(dev) AS mad
+  FROM d GROUP BY l_returnflag
+)
+SELECT s.l_returnflag, s.n, CAST(s.med AS DOUBLE) AS med,
+       CAST(s.mad AS DOUBLE) AS mad,
+       CAST((SELECT COUNT(*) FROM d
+             WHERE d.l_returnflag = s.l_returnflag
+               AND d.dev > 3.0 * s.mad) AS BIGINT) AS n_outliers
+FROM s ORDER BY s.l_returnflag
+"""

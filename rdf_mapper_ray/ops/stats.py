@@ -303,3 +303,180 @@ SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
             AS BIGINT) AS h_milli
 FROM c GROUP BY event_type ORDER BY event_type
 """
+
+
+# --- per-group OLS regression (exact-integer sufficient stats) -------------------
+
+def group_regression(ds: "ray.data.Dataset", group_col: str,
+                     x_col: str, y_col: str, x_scale: int = 100,
+                     y_scale: int = 100,
+                     num_partitions: Optional[int] = None
+                     ) -> "ray.data.Dataset":
+    """Simple linear regression y = slope·x + intercept per group,
+    from the SAME exact int64 sufficient statistics as
+    :func:`group_corr` (n, Σx, Σy, Σxy, Σx²) over quantized units.
+    The finish applies one double division per coefficient with
+    Python ints (arbitrary precision) feeding it — the SQL oracle
+    runs the literally identical expression over HUGEINT sums, so
+    the doubles agree bit-for-bit. Slope/intercept are reported in
+    the ORIGINAL units via an exact final multiply by the scale
+    ratio (both sides run the same multiply).
+    -> (group, n, slope, intercept)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_pandas()
+        x = np.rint(t.column(x_col).to_numpy(zero_copy_only=False)
+                    * x_scale).astype(np.int64)
+        y = np.rint(t.column(y_col).to_numpy(zero_copy_only=False)
+                    * y_scale).astype(np.int64)
+        df = pd.DataFrame({group_col: g, "sx": x, "sy": y,
+                           "sxy": x * y, "sx2": x * x})
+        out = df.groupby(group_col, as_index=False).agg(
+            n=("sx", "size"), sx=("sx", "sum"), sy=("sy", "sum"),
+            sxy=("sxy", "sum"), sx2=("sx2", "sum"))
+        out["n"] = out["n"].astype(np.int64)
+        pid = pd.util.hash_pandas_object(out[group_col],
+                                         index=False).to_numpy()
+        out["pid"] = (pid % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # slope_q = (nΣxy − ΣxΣy)/(nΣx² − Σx²̂) is in y-units-per-x-unit
+    # of the QUANTIZED space; multiplying by x_scale/y_scale returns
+    # it to original units. intercept likewise divides by y_scale.
+    sx_over_sy = float(x_scale) / float(y_scale)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(group_col, as_index=False)[
+            ["n", "sx", "sy", "sxy", "sx2"]].sum()
+        slopes, intercepts = [], []
+        for n, sx, sy, sxy, sx2 in zip(
+                s["n"].tolist(), s["sx"].tolist(), s["sy"].tolist(),
+                s["sxy"].tolist(), s["sx2"].tolist()):
+            den = n * sx2 - sx * sx
+            if den == 0:
+                slopes.append(float("nan"))
+                intercepts.append(float("nan"))
+                continue
+            slope_q = float(n * sxy - sx * sy) / float(den)
+            slopes.append(slope_q * sx_over_sy)
+            intercepts.append(
+                (float(sy) - slope_q * float(sx)) / float(n)
+                / float(y_scale))
+        out = s[[group_col, "n"]].copy()
+        out["n"] = out["n"].astype(np.int64)
+        out["slope"] = np.asarray(slopes, dtype=np.float64)
+        out["intercept"] = np.asarray(intercepts, dtype=np.float64)
+        return out
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pid").map_groups(finish, batch_format="pandas")
+
+
+def group_regression_query(sf_dir: str):
+    """OLS of extendedprice on quantity per return flag (unit-price
+    trend with a per-flag intercept)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+    return group_regression(ds, "l_returnflag", "l_quantity",
+                            "l_extendedprice")
+
+
+GROUP_REGRESSION_ORACLE_SQL = """
+WITH u AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sx2
+  FROM u GROUP BY l_returnflag
+),
+c AS (
+  SELECT l_returnflag, n, sx, sy,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sx2 - sx * sx AS DOUBLE) AS slope_q
+  FROM s
+)
+SELECT l_returnflag, n,
+       slope_q * (100.0 / 100.0) AS slope,
+       (CAST(sy AS DOUBLE) - slope_q * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) / 100.0 AS intercept
+FROM c ORDER BY l_returnflag
+"""
+
+
+# --- SQL window-rank functions per group ------------------------------------------
+
+def rank_windows(ds: "ray.data.Dataset", group_col: str,
+                 value_col: str, id_col: str,
+                 num_partitions: Optional[int] = None
+                 ) -> "ray.data.Dataset":
+    """SQL ``rank() / dense_rank() / percent_rank() / cume_dist()
+    OVER (PARTITION BY group ORDER BY value)`` for every row, without
+    a global sort: groups co-partition by hash(group) (ONE routed
+    exchange), each complete group ranks vectorized in pandas. The
+    float divisions are the standard definitions — percent_rank =
+    (rank−1)/(n−1), cume_dist = max_rank/n — evaluated as the same
+    IEEE doubles SQL computes. Scale contract: one group fits one
+    task (the repo's group_median contract); table-sized groups
+    would move to a two-pass histogram rank like ntile_bucket.
+    -> (id, group, value, rnk, dense_rnk, pct_rank, cume)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, group_col, value_col])
+        pid = pd.util.hash_pandas_object(
+            t.column(group_col).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby(group_col, sort=False):
+            v = grp[value_col]
+            n = len(grp)
+            rmin = v.rank(method="min").to_numpy(np.float64)
+            rmax = v.rank(method="max").to_numpy(np.float64)
+            rden = v.rank(method="dense").to_numpy(np.float64)
+            o = grp[[id_col, group_col, value_col]].copy()
+            o["rnk"] = rmin.astype(np.int64)
+            o["dense_rnk"] = rden.astype(np.int64)
+            o["pct_rank"] = (np.zeros(n, dtype=np.float64) if n == 1
+                             else (rmin - 1.0) / float(n - 1))
+            o["cume"] = rmax / float(n)
+            outs.append(o)
+        return pd.concat(outs, ignore_index=True)
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(rank_part, batch_format="pandas")
+
+
+def rank_windows_query(sf_dir: str):
+    """Price rank of every order within its priority class."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_orderpriority",
+                             "o_totalprice"])
+    return rank_windows(ds, "o_orderpriority", "o_totalprice",
+                        "o_orderkey")
+
+
+RANK_WINDOWS_ORACLE_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+       CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+       CAST(cume_dist() OVER w AS DOUBLE) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+ORDER BY o_orderkey
+"""

@@ -239,3 +239,45 @@ def test_degree_hist_small(ray_session):
         got = degree_hist(ds, num_partitions=2).to_pandas() \
             .sort_values("degree").reset_index(drop=True)
         assert dict(zip(got["degree"], got["n_nodes"])) == {1: 3, 3: 1}
+
+
+def test_bfs_pregel_venue_equals_dataset_venue(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import bfs_levels
+    # clique {1,2,3} + path 3-4-5-6 + disconnected edge 10-11
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "a": [1, 1, 2, 3, 4, 5, 10],
+        "b": [2, 3, 3, 4, 5, 6, 11]})
+    for nblocks in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        base = bfs_levels(ds, num_partitions=3).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        act = bfs_levels(ds, num_partitions=3, venue="actors") \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(base, act)
+    assert dict(zip(act["node"], act["level"])) == {
+        1: 0, 2: 1, 3: 1, 4: 2, 5: 3, 6: 4}
+
+
+def test_sssp_pregel_venue_equals_dataset_venue(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import sssp_bounded
+    # random-ish weighted graph over 40 nodes, deterministic
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 40, 120)
+    off = rng.integers(1, 5, 120)
+    df = pd.DataFrame({"a": a, "b": (a + off) % 40,
+                       "w": rng.integers(1, 9, 120)})
+    df = df[df.a != df.b]
+    ds = ray.data.from_pandas(df).repartition(3)
+    base = sssp_bounded(ds, max_hops=6, num_partitions=4) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    act = sssp_bounded(ds, max_hops=6, num_partitions=4,
+                       venue="actors").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, act)

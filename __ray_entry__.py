@@ -89,6 +89,7 @@ _DRIVER_WINDOW = [
 _NEXT_UP = [
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
+    "adamic_adar", "item_cosine",
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
     "bgp_construct", "hll_by_type",
@@ -273,6 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mode": stats.grouped_mode_query,
         "group_corr": stats.group_corr_query,
         "group_regression": stats.group_regression_query,
+        "adamic_adar": graphs.adamic_adar_query,
+        "item_cosine": baskets.item_cosine_query,
         "rank_windows": stats.rank_windows_query,
         "mad_outliers": quantiles.mad_outliers_query,
         # set algebra: INTERSECT / EXCEPT on distinct keys
@@ -492,6 +495,8 @@ def oracle_sql() -> dict[str, str]:
         "grouped_mode": stats.GROUPED_MODE_ORACLE_SQL,
         "group_corr": stats.GROUP_CORR_ORACLE_SQL,
         "group_regression": stats.GROUP_REGRESSION_ORACLE_SQL,
+        "adamic_adar": graphs.adamic_adar_oracle_sql(),
+        "item_cosine": baskets.item_cosine_oracle_sql(),
         "rank_windows": stats.RANK_WINDOWS_ORACLE_SQL,
         "mad_outliers": quantiles.MAD_OUTLIERS_ORACLE_SQL,
         "users_intersect": setops.USERS_INTERSECT_ORACLE_SQL,

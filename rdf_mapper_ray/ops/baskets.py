@@ -122,3 +122,182 @@ GROUP BY x.l_partkey, y.l_partkey
 ORDER BY support DESC, item_a, item_b
 LIMIT {k}
 """
+
+
+# --- item-item cosine similarity from basket co-occurrence -----------------------
+
+def item_cosine(ds: "ray.data.Dataset", basket_col: str,
+                item_col: str, k: int = 100, min_support: int = 2,
+                num_partitions: int | None = None
+                ) -> "ray.data.Dataset":
+    """Collaborative-filtering item similarity: cosine over the
+    basket-incidence vectors, cos(i, j) = cooc(i,j)/√(c_i·c_j), for
+    pairs with cooc ≥ min_support. Reported as the quantized integer
+    ``cos_milli = floor(1000·cooc/√(c_i·c_j) + 0.5)`` so the one
+    float expression is evaluated identically on both sides (the SQL
+    oracle runs the same literal formula).
+
+    Shape: frequent_pairs' two routed exchanges produce exact pair
+    counts; the per-item basket counts c_i (item-cardinality-sized —
+    the small side BY CONSTRUCTION) reduce map-side and broadcast via
+    ray.put into the scoring task, so no third shuffle.
+    -> (item_a, item_b, cooc, count_a, count_b, cos_milli)."""
+    import math
+
+    import ray
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def dedup_route(batch: pa.Table) -> pa.Table:
+        t = batch.select([basket_col, item_col]) \
+            .group_by([basket_col, item_col], use_threads=False) \
+            .aggregate([])
+        h = pd.util.hash_pandas_object(
+            t.column(basket_col).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def pairs_and_counts(g: pd.DataFrame) -> pd.DataFrame:
+        """Each complete basket lives here: emit its item pairs AND
+        one (item, NULL-pair) count row per item occurrence so the
+        item totals ride the same exchange (kind 0 = count row,
+        kind 1 = pair row)."""
+        g = g.drop_duplicates([basket_col, item_col]) \
+            .sort_values([basket_col, item_col])
+        b = g[basket_col].to_numpy()
+        it = g[item_col].to_numpy()
+        n = len(g)
+        runs = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        max_sz = int(np.diff(np.append(runs, n)).max()) if n else 0
+        la, lb = [], []
+        for off in range(1, max_sz):
+            same = b[off:] == b[:-off]
+            la.append(it[:-off][same])
+            lb.append(it[off:][same])
+        cnt = pd.DataFrame({"item_a": it,
+                            "item_b": np.zeros(n, dtype=np.int64),
+                            "kind": np.zeros(n, dtype=np.int8)})
+        if la:
+            pr = pd.DataFrame({"item_a": np.concatenate(la),
+                               "item_b": np.concatenate(lb)})
+            pr["kind"] = np.int8(1)
+            cnt = pd.concat([cnt, pr], ignore_index=True)
+        out = cnt.groupby(["item_a", "item_b", "kind"],
+                          as_index=False).size() \
+            .rename(columns={"size": "cooc"})
+        return out.astype({"item_a": np.int64, "item_b": np.int64,
+                           "kind": np.int8, "cooc": np.int64})
+
+    def route_pairs(t: pa.Table) -> pa.Table:
+        a = t.column("item_a").to_numpy(zero_copy_only=False)
+        b = t.column("item_b").to_numpy(zero_copy_only=False)
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        # count rows (kind 0) route by item alone so each item's
+        # total merges exactly once
+        key = np.where(kind == 1,
+                       a * np.int64(2_654_435_761) + b, a)
+        h = pd.util.hash_pandas_object(pd.Series(key),
+                                       index=False).to_numpy()
+        return t.append_column(
+            "pid2", pa.array((h % np.uint64(num_partitions))
+                             .astype(np.int64)))
+
+    merged = ds.map_batches(dedup_route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(pairs_and_counts,
+                                   batch_format="pandas") \
+        .map_batches(route_pairs, batch_format="pyarrow") \
+        .groupby("pid2").map_groups(
+            lambda g: g.groupby(["item_a", "item_b", "kind"],
+                                as_index=False)["cooc"].sum(),
+            batch_format="pandas").materialize()
+
+    # item totals: item-cardinality-sized by construction -> filter
+    # the count rows distributed, pull ONLY them, broadcast once
+    import pyarrow.compute as pc
+
+    def split_counts(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("kind"),
+                                 pa.scalar(0, pa.int8()))) \
+            .select(["item_a", "cooc"])
+
+    cnt_df = merged.map_batches(split_counts,
+                                batch_format="pyarrow").to_pandas()
+    counts = dict(zip(cnt_df["item_a"].tolist(),
+                      cnt_df["cooc"].tolist()))
+    counts_ref = ray.put(counts)
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"),
+                              pa.scalar(1, pa.int8())))
+        if t.num_rows == 0:
+            return pa.Table.from_pydict({
+                "item_a": pa.array([], pa.int64()),
+                "item_b": pa.array([], pa.int64()),
+                "cooc": pa.array([], pa.int64()),
+                "count_a": pa.array([], pa.int64()),
+                "count_b": pa.array([], pa.int64()),
+                "cos_milli": pa.array([], pa.int64())})
+        c = ray.get(counts_ref)
+        a = t.column("item_a").to_numpy(zero_copy_only=False)
+        b = t.column("item_b").to_numpy(zero_copy_only=False)
+        cooc = t.column("cooc").to_numpy(zero_copy_only=False)
+        keep = cooc >= min_support
+        a, b, cooc = a[keep], b[keep], cooc[keep]
+        ca = np.fromiter((c[x] for x in a), dtype=np.int64,
+                         count=len(a))
+        cb = np.fromiter((c[x] for x in b), dtype=np.int64,
+                         count=len(b))
+        cos = np.floor(1000.0 * cooc
+                       / np.sqrt((ca * cb).astype(np.float64))
+                       + 0.5).astype(np.int64)
+        out = pa.Table.from_pydict({
+            "item_a": pa.array(a), "item_b": pa.array(b),
+            "cooc": pa.array(cooc), "count_a": pa.array(ca),
+            "count_b": pa.array(cb), "cos_milli": pa.array(cos)})
+        # map-side prune: counts are final, only a local top-k can
+        # reach the global top-k
+        idx = pd.DataFrame({"cos_milli": cos, "item_a": a,
+                            "item_b": b}).sort_values(
+            ["cos_milli", "item_a", "item_b"],
+            ascending=[False, True, True]).index[:k]
+        return out.take(pa.array(np.sort(np.asarray(idx))))
+
+    return merged.map_batches(score, batch_format="pyarrow") \
+        .sort(["cos_milli", "item_a", "item_b"],
+              descending=[True, False, False]).limit(k)
+
+
+def item_cosine_query(sf_dir: str, k: int = 100):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey"])
+    return item_cosine(ds, basket_col="l_orderkey",
+                       item_col="l_partkey", k=k)
+
+
+def item_cosine_oracle_sql(k: int = 100, min_support: int = 2) -> str:
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+ic AS (SELECT l_partkey, COUNT(*) AS c FROM b GROUP BY l_partkey),
+p AS (
+  SELECT x.l_partkey AS item_a, y.l_partkey AS item_b,
+         COUNT(*) AS cooc
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_support}
+)
+SELECT item_a, item_b, CAST(cooc AS BIGINT) AS cooc,
+       CAST(ca.c AS BIGINT) AS count_a,
+       CAST(cb.c AS BIGINT) AS count_b,
+       CAST(floor(1000.0 * cooc
+            / sqrt(CAST(ca.c * cb.c AS DOUBLE)) + 0.5) AS BIGINT)
+         AS cos_milli
+FROM p JOIN ic ca ON ca.l_partkey = item_a
+       JOIN ic cb ON cb.l_partkey = item_b
+ORDER BY cos_milli DESC, item_a, item_b LIMIT {k}
+"""

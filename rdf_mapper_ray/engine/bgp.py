@@ -644,3 +644,161 @@ def bgp_group_count(triples: "ray.data.Dataset",
             group_var: t.column(group_var),
             count_name: pc.cast(t.column("sum(c)"), pa.int64())}),
             batch_format="pyarrow")
+
+
+# --- SPARQL numeric aggregates over solution groups ----------------------------
+
+def bgp_aggregate(triples: "ray.data.Dataset",
+                  patterns: list[tuple[str, str, str]],
+                  group_var: str, value_var: str, scale: int = 100,
+                  num_partitions: Optional[int] = None
+                  ) -> "ray.data.Dataset":
+    """``SELECT ?g (COUNT(*) ?n) (SUM(?v)) (AVG(?v)) (MIN(?v))
+    (MAX(?v)) WHERE { ... } GROUP BY ?g``. Triple objects are strings,
+    so the value variable quantizes to int64 ``round(x·scale)`` units
+    (the repo's exact-integer contract): SUM/MIN/MAX are exact ints
+    in those units and AVG is the one double division, applied
+    identically in the SQL oracle. Per-batch partials reduce
+    map-side; only group-cardinality rows ride the exchange.
+    -> (group_var, n, sum_c, avg, min_c, max_c)."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    b = bgp_match(triples, patterns,
+                  num_partitions=num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_var).to_pandas()
+        v = np.rint(t.column(value_var).cast(pa.float64())
+                    .to_numpy(zero_copy_only=False)
+                    * scale).astype(np.int64)
+        df = pd.DataFrame({group_var: g, "v": v})
+        out = df.groupby(group_var, as_index=False)["v"].agg(
+            n="size", s="sum", mn="min", mx="max")
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = b.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_var).aggregate(
+            Sum("n"), Sum("s"), Min("mn"), Max("mx"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("sum(n)"), pa.int64())
+        s = pc.cast(t.column("sum(s)"), pa.int64())
+        return pa.Table.from_pydict({
+            group_var: t.column(group_var), "n": n, "sum_c": s,
+            "avg": pc.divide(pc.cast(s, pa.float64()),
+                             pc.cast(n, pa.float64())),
+            "min_c": pc.cast(t.column("min(mn)"), pa.int64()),
+            "max_c": pc.cast(t.column("max(mx)"), pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --- SPARQL solution modifiers: ORDER BY ... LIMIT k ----------------------------
+
+def bgp_order_limit(triples: "ray.data.Dataset",
+                    patterns: list[tuple[str, str, str]],
+                    order_var: str, k: int, descending: bool = True,
+                    tie_var: Optional[str] = None, scale: int = 100,
+                    num_partitions: Optional[int] = None
+                    ) -> "ray.data.Dataset":
+    """``SELECT * WHERE { ... } ORDER BY DESC(xsd:decimal(?v)) ?tie
+    LIMIT k``: the numeric sort key is the quantized int64 (exact, so
+    cross-venue ordering is stable), ties break on ``tie_var`` for a
+    deterministic top-k. Distributed top-k = Ray sort + limit (sort
+    is the documented all-to-all; k rows leave it)."""
+    b = bgp_match(triples, patterns, num_partitions=num_partitions)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column(order_var), pa.float64()),
+            float(scale))), pa.int64())
+        return t.append_column("__key", key)
+
+    cols = ["__key"] + ([tie_var] if tie_var else [])
+    out = b.map_batches(keyed, batch_format="pyarrow") \
+        .sort(cols, descending=[descending] + [False] * (len(cols) - 1)) \
+        .limit(k)
+    return out.map_batches(
+        lambda t: t.drop_columns(["__key"]), batch_format="pyarrow")
+
+
+# --- SPARQL VALUES (inline data) and BIND (expression binding) ------------------
+
+def apply_values(ds: "ray.data.Dataset", var: str,
+                 allowed: Sequence[str]) -> "ray.data.Dataset":
+    """``VALUES ?var { "a" "b" ... }`` joined into the solution
+    sequence — with a constant-sized value list this is a vectorized
+    is_in mask, the broadcast-semi-join venue of SPARQL's inline
+    data."""
+    allowed_arr = pa.array(list(allowed), type=pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.is_in(batch.column(var),
+                                  value_set=allowed_arr), False)
+        return batch.filter(m)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bind_concat(ds: "ray.data.Dataset", new_var: str,
+                parts: Sequence[str]) -> "ray.data.Dataset":
+    """``BIND(CONCAT(...) AS ?new)``: parts are ``?var`` references
+    or literal strings; a null input nulls the binding (SPARQL error
+    semantics -> unbound). Map-only."""
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = [batch.column(p[1:]) if _is_var(p)
+                else pa.array([p] * batch.num_rows, pa.string())
+                for p in parts]
+        val = pc.binary_join_element_wise(
+            *[c.cast(pa.string()) for c in cols], "",
+            null_handling="emit_null")
+        return batch.append_column(new_var, val)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- SPARQL ASK -------------------------------------------------------------------
+
+def bgp_ask(triples: "ray.data.Dataset",
+            patterns: list[tuple[str, str, str]],
+            filters: Optional[Sequence[tuple[str, str, str]]] = None,
+            num_partitions: Optional[int] = None) -> pa.Table:
+    """``ASK WHERE { ... }`` -> one-row (ask: bool) table. limit(1)
+    keeps the streaming executor from materializing more than the
+    first matching binding block."""
+    b = bgp_match(triples, patterns, filters=filters,
+                  num_partitions=num_partitions)
+    found = b.limit(1).count() > 0
+    return pa.Table.from_pydict({"ask": pa.array([found])})
+
+
+# --- SPARQL path alternation / inverse: (p1 | ^p2) ------------------------------
+
+def path_alt(triples: "ray.data.Dataset",
+             predicates: Sequence[str] = (),
+             inverse_predicates: Sequence[str] = (),
+             num_partitions: Optional[int] = None
+             ) -> "ray.data.Dataset":
+    """Property-path alternation with inverse arms:
+    ``?a (p1 | p2 | ^q1) ?b`` = the set-union of each arm's (a, b)
+    pairs, inverse arms swapping subject/object. Each arm is one
+    vectorized predicate scan (map-only); the union dedups through
+    one routed drop_duplicates exchange (SPARQL path semantics are
+    set-valued). -> (src, dst)."""
+    triples, num_partitions = _pin_triples(triples, num_partitions)
+    arms = []
+    for p in predicates:
+        arms.append(_scan(triples, ("?src", p, "?dst")))
+    for p in inverse_predicates:
+        arms.append(_scan(triples, ("?dst", p, "?src"))
+                    .map_batches(lambda t: t.select(["src", "dst"]),
+                                 batch_format="pyarrow"))
+    if not arms:
+        raise ValueError("path_alt needs at least one arm")
+    acc = arms[0]
+    for a in arms[1:]:
+        acc = acc.union(a)
+    return _distinct_rows(acc, ["src", "dst"], num_partitions)

@@ -1149,7 +1149,7 @@ def bfs_levels_query(sf_dir: str, threshold: float = 0.3):
         .select_columns(["left_id", "right_id"])
     return bfs_levels(pairs.map_batches(
         _pairs_as_edges, batch_format="pyarrow"),
-        num_partitions=partitions_for(emb, 8))
+        num_partitions=partitions_for(emb, 8), venue="actors")
 
 
 # levels are bounded by 64 (bfs_levels max_iters) so the recursive
@@ -1336,9 +1336,13 @@ def sssp_query(sf_dir: str, threshold: float = 0.3, max_hops: int = 8):
         return t.append_column(
             "w", pa.array((a * 31 + b) % 9 + 1))
 
+    # actors venue: 13-18x over the dataset venue on long-diameter
+    # graphs (measured 255->20 s, 200k nodes / 150 rounds) — the
+    # adjacency never re-rides the per-round exchange
     return sssp_bounded(pairs.map_batches(weigh, batch_format="pyarrow"),
                         max_hops=max_hops,
-                        num_partitions=partitions_for(emb, 8))
+                        num_partitions=partitions_for(emb, 8),
+                        venue="actors")
 
 
 # hops < 8 bounds the recursive walk; integer weights in 1..9 cap the

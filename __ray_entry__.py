@@ -89,7 +89,8 @@ _DRIVER_WINDOW = [
 _NEXT_UP = [
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
-    "adamic_adar", "item_cosine",
+    "adamic_adar", "item_cosine", "bgp_agg_balance",
+    "bgp_top_balance", "bgp_values_bind", "bgp_ask", "bgp_path_alt",
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
     "bgp_construct", "hll_by_type",
@@ -275,6 +276,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_corr": stats.group_corr_query,
         "group_regression": stats.group_regression_query,
         "adamic_adar": graphs.adamic_adar_query,
+        "bgp_agg_balance": relational.bgp_agg_balance_query,
+        "bgp_top_balance": relational.bgp_top_balance_query,
+        "bgp_values_bind": relational.bgp_values_bind_query,
+        "bgp_ask": relational.bgp_ask_query,
+        "bgp_path_alt": relational.bgp_path_alt_query,
         "item_cosine": baskets.item_cosine_query,
         "rank_windows": stats.rank_windows_query,
         "mad_outliers": quantiles.mad_outliers_query,
@@ -496,6 +502,11 @@ def oracle_sql() -> dict[str, str]:
         "group_corr": stats.GROUP_CORR_ORACLE_SQL,
         "group_regression": stats.GROUP_REGRESSION_ORACLE_SQL,
         "adamic_adar": graphs.adamic_adar_oracle_sql(),
+        "bgp_agg_balance": relational.BGP_AGG_BALANCE_ORACLE_SQL,
+        "bgp_top_balance": relational.BGP_TOP_BALANCE_ORACLE_SQL,
+        "bgp_values_bind": relational.BGP_VALUES_BIND_ORACLE_SQL,
+        "bgp_ask": relational.BGP_ASK_ORACLE_SQL,
+        "bgp_path_alt": relational.BGP_PATH_ALT_ORACLE_SQL,
         "item_cosine": baskets.item_cosine_oracle_sql(),
         "rank_windows": stats.RANK_WINDOWS_ORACLE_SQL,
         "mad_outliers": quantiles.MAD_OUTLIERS_ORACLE_SQL,

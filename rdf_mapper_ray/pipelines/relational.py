@@ -821,3 +821,129 @@ SELECT 'http://example.org/region/' || CAST(n_regionkey AS VARCHAR)
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_regionkey ORDER BY r
 """
+
+
+# --- SPARQL numeric aggregates: account balance stats per nation --------------
+
+def bgp_agg_balance_query(sf_dir: str) -> "ray.data.Dataset":
+    """``SELECT ?nat (COUNT(*) ?n) (SUM(?bal)) (AVG(?bal)) (MIN)
+    (MAX) WHERE { ?c ex:nation ?nat . ?c ex:acctbal ?bal }
+    GROUP BY ?nat`` over the customer graph — numeric aggregation of
+    literal objects via the exact-integer cents contract."""
+    from rdf_mapper_ray.engine.bgp import bgp_aggregate
+    return bgp_aggregate(customer_query(sf_dir), [
+        ("?c", f"{_EX}nation", "?nat"),
+        ("?c", f"{_EX}acctbal", "?bal"),
+    ], group_var="nat", value_var="bal")
+
+
+BGP_AGG_BALANCE_ORACLE_SQL = """
+WITH u AS (
+  SELECT 'http://example.org/nation/' || CAST(c_nationkey AS VARCHAR)
+           AS nat,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS v
+  FROM customer
+)
+SELECT nat, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_c,
+       CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg,
+       CAST(MIN(v) AS BIGINT) AS min_c,
+       CAST(MAX(v) AS BIGINT) AS max_c
+FROM u GROUP BY nat ORDER BY nat
+"""
+
+
+# --- SPARQL ORDER BY ... LIMIT: richest customers ------------------------------
+
+def bgp_top_balance_query(sf_dir: str, k: int = 20):
+    """``SELECT ?c ?bal WHERE { ?c ex:acctbal ?bal } ORDER BY
+    DESC(xsd:decimal(?bal)) ?c LIMIT 20``."""
+    from rdf_mapper_ray.engine.bgp import bgp_order_limit
+    return bgp_order_limit(customer_query(sf_dir), [
+        ("?c", f"{_EX}acctbal", "?bal"),
+    ], order_var="bal", k=k, descending=True, tie_var="c")
+
+
+BGP_TOP_BALANCE_ORACLE_SQL = """
+SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR) AS c,
+       CAST(c_acctbal AS VARCHAR) AS bal
+FROM customer
+ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC, c
+LIMIT 20
+"""
+
+
+# --- SPARQL VALUES + BIND -------------------------------------------------------
+
+def bgp_values_bind_query(sf_dir: str) -> "ray.data.Dataset":
+    """``SELECT ?c ?seg ?name ?tag WHERE { ?c ex:segment ?seg .
+    ?c ex:name ?name . VALUES ?seg { "building" "machinery" } .
+    BIND(CONCAT(?seg, ":", ?name) AS ?tag) }``."""
+    from rdf_mapper_ray.engine.bgp import (apply_values, bgp_match,
+                                           bind_concat)
+    b = bgp_match(customer_query(sf_dir), [
+        ("?c", f"{_EX}segment", "?seg"),
+        ("?c", f"{_EX}name", "?name"),
+    ])
+    b = apply_values(b, "seg", ["building", "machinery"])
+    return bind_concat(b, "tag", ["?seg", ":", "?name"])
+
+
+BGP_VALUES_BIND_ORACLE_SQL = """
+SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR) AS c,
+       lower(c_mktsegment) AS seg, c_name AS name,
+       lower(c_mktsegment) || ':' || c_name AS tag
+FROM customer
+WHERE lower(c_mktsegment) IN ('building', 'machinery')
+ORDER BY c
+"""
+
+
+# --- SPARQL ASK ------------------------------------------------------------------
+
+def bgp_ask_query(sf_dir: str):
+    """``ASK WHERE { ?c ex:tier ?t . FILTER(?t = "furniture") }``
+    over the guard-sparse tier graph (true iff some vip customer is
+    in the furniture segment)."""
+    from rdf_mapper_ray.engine.bgp import bgp_ask
+    return bgp_ask(_cust_graph(sf_dir), [
+        ("?c", f"{_EX}tier", "?t"),
+    ], filters=[("?t", "==", "furniture")])
+
+
+BGP_ASK_ORACLE_SQL = """
+SELECT EXISTS (
+  SELECT 1 FROM customer
+  WHERE c_acctbal > 5000
+    AND replace(lower(c_mktsegment), ' ', '-') = 'furniture'
+) AS ask
+"""
+
+
+# --- SPARQL path alternation + inverse: (within | ^hasNation) -------------------
+
+def bgp_path_alt_query(sf_dir: str) -> "ray.data.Dataset":
+    """``SELECT ?src ?dst WHERE { ?src (ex:within | ^ex:hasNation)
+    ?dst }`` over the containment graph UNIONed with the nation
+    graph: the inverse arm re-derives nation→region pairs from the
+    region-side hasNation assertions, and path set semantics dedup
+    them against the asserted within edges."""
+    from rdf_mapper_ray.engine.bgp import path_alt
+    trips = _within_graph(sf_dir).union(nation_query(sf_dir))
+    return path_alt(trips, predicates=[f"{_EX}within"],
+                    inverse_predicates=[f"{_EX}hasNation"])
+
+
+BGP_PATH_ALT_ORACLE_SQL = """
+SELECT DISTINCT src, dst FROM (
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR)
+           AS src,
+         'http://example.org/nation/' || CAST(c_nationkey AS VARCHAR)
+           AS dst
+  FROM customer
+  UNION ALL
+  SELECT 'http://example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+         'http://example.org/region/' || CAST(n_regionkey AS VARCHAR)
+  FROM nation
+) ORDER BY src, dst
+"""

@@ -91,6 +91,7 @@ _NEXT_UP = [
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
     "bgp_top_balance", "bgp_values_bind", "bgp_ask", "bgp_path_alt",
+    "winsorize", "path_rollup", "rolling_anomaly",
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
     "bgp_construct", "hll_by_type",
@@ -284,6 +285,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_cosine": baskets.item_cosine_query,
         "rank_windows": stats.rank_windows_query,
         "mad_outliers": quantiles.mad_outliers_query,
+        "winsorize": quantiles.winsorize_query,
+        "path_rollup": domains.path_rollup_query,
+        "rolling_anomaly": windows.rolling_anomaly_query,
         # set algebra: INTERSECT / EXCEPT on distinct keys
         "users_intersect": setops.users_intersect_query,
         "users_except": setops.users_except_query,
@@ -510,6 +514,9 @@ def oracle_sql() -> dict[str, str]:
         "item_cosine": baskets.item_cosine_oracle_sql(),
         "rank_windows": stats.RANK_WINDOWS_ORACLE_SQL,
         "mad_outliers": quantiles.MAD_OUTLIERS_ORACLE_SQL,
+        "winsorize": quantiles.WINSORIZE_ORACLE_SQL,
+        "path_rollup": domains.PATH_ROLLUP_ORACLE_SQL,
+        "rolling_anomaly": windows.ROLLING_ANOMALY_ORACLE_SQL,
         "users_intersect": setops.USERS_INTERSECT_ORACLE_SQL,
         "users_except": setops.USERS_EXCEPT_ORACLE_SQL,
         "ntile_bucket": normalize.ntile_oracle_sql(),

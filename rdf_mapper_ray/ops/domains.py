@@ -232,3 +232,82 @@ ranked AS (
 SELECT domain, rank, doc_id FROM ranked
 WHERE rank <= {cap} ORDER BY domain, rank
 """
+
+
+# --- URL path-prefix hierarchy rollup ---------------------------------------------
+
+def path_rollup(ds: "ray.data.Dataset", path_col: str = "path",
+                max_depth: int = 3,
+                ) -> "ray.data.Dataset":
+    """Document counts per path prefix at every depth 1..max_depth —
+    the directory-tree view crawl curation uses to spot over-crawled
+    sections. One vectorized RE2 extraction per depth (no Python
+    row loop), per-batch partial counts, and a prefix-keyed exchange
+    that carries only prefix-cardinality rows (bounded by the site's
+    directory fan-out, not the corpus). -> (depth, prefix, n_docs)."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    pats = {d: rf"^(?P<p>(?:/[^/]+){{{d}}})" for d in
+            range(1, max_depth + 1)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = batch.column(path_col)
+        if isinstance(p, pa.ChunkedArray):
+            p = p.combine_chunks()
+        outs = []
+        for d, pat in pats.items():
+            ex = pc.extract_regex(p, pat)
+            pref = pc.struct_field(ex, "p")
+            t = pa.Table.from_pydict({"prefix": pref})
+            t = t.filter(pc.is_valid(t.column("prefix")))
+            c = t.group_by(["prefix"], use_threads=False) \
+                .aggregate([([], "count_all")])
+            c = c.append_column(
+                "depth", pa.array([d] * c.num_rows, pa.int64()))
+            outs.append(c.select(["depth", "prefix", "count_all"]))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["depth", "prefix"]).aggregate(Sum("count_all")) \
+        .map_batches(lambda t: pa.Table.from_pydict({
+            "depth": t.column("depth"),
+            "prefix": t.column("prefix"),
+            "n_docs": pc.cast(t.column("sum(count_all)"),
+                              pa.int64())}), batch_format="pyarrow")
+
+
+def _mint_paths(batch: pa.Table) -> pa.Table:
+    """Deterministic hierarchical paths /{lang}/{source}/p/{doc_id}
+    from the documents table (the synthetic corpus has no real URLs;
+    the SQL oracle mints the identical strings)."""
+    ids = batch.column("doc_id").to_pandas().astype(str)
+    lang = batch.column("lang").to_pandas()
+    src = batch.column("source").to_pandas()
+    return pa.Table.from_pydict({
+        "doc_id": batch.column("doc_id"),
+        "path": pa.array("/" + lang + "/" + src + "/p/" + ids,
+                         pa.string())})
+
+
+def path_rollup_query(sf_dir: str, max_depth: int = 3):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "source"])
+    return path_rollup(ds.map_batches(_mint_paths,
+                                      batch_format="pyarrow"),
+                       max_depth=max_depth)
+
+
+PATH_ROLLUP_ORACLE_SQL = """
+WITH p AS (
+  SELECT CAST(1 AS BIGINT) AS depth, '/' || lang AS prefix FROM documents
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), '/' || lang || '/' || source FROM documents
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), '/' || lang || '/' || source || '/p' FROM documents
+)
+SELECT depth, prefix, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM p GROUP BY depth, prefix ORDER BY depth, prefix
+"""

@@ -306,7 +306,7 @@ def group_quantiles(ds: "ray.data.Dataset", group_col: str,
                 lo = int(math.floor(pos))
                 hi = min(lo + 1, n - 1)
                 frac = pos - lo
-                val = v[lo] + (v[hi] - v[lo]) * frac
+                val = v[lo] * (1.0 - frac) + v[hi] * frac
                 rows.append((key, float(q), float(val), n))
         return pd.DataFrame(rows, columns=[group_col, "q", "value",
                                            "n"]) \
@@ -407,4 +407,82 @@ SELECT s.l_returnflag, s.n, CAST(s.med AS DOUBLE) AS med,
              WHERE d.l_returnflag = s.l_returnflag
                AND d.dev > 3.0 * s.mad) AS BIGINT) AS n_outliers
 FROM s ORDER BY s.l_returnflag
+"""
+
+
+# --- per-group winsorization -------------------------------------------------------
+
+def winsorize(ds: "ray.data.Dataset", group_col: str,
+              value_col: str, id_col: str,
+              lo: float = 0.05, hi: float = 0.95,
+              num_partitions: Optional[int] = None
+              ) -> "ray.data.Dataset":
+    """Clamp each row's value to its group's [q_lo, q_hi]
+    quantile_cont band (outlier-robust feature prep). ONE routed
+    exchange: each complete group computes both quantiles with
+    DuckDB's exact interpolation ``lower·(1−frac) + upper·frac``
+    (probed bit-equal against quantile_cont) and clamps
+    vectorized — least/greatest are exact float comparisons on both
+    sides. -> (id, group, value, v_wins)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(batch: pa.Table) -> pa.Table:
+        batch = batch.select([id_col, group_col, value_col])
+        pid = pd.util.hash_pandas_object(
+            batch.column(group_col).to_pandas(), index=False).to_numpy()
+        return batch.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def _q(v_sorted: np.ndarray, q: float) -> float:
+        n = len(v_sorted)
+        pos = q * (n - 1)
+        lo_i = int(math.floor(pos))
+        hi_i = min(lo_i + 1, n - 1)
+        frac = pos - lo_i
+        # DuckDB's quantile_cont evaluates lo*(1-frac) + hi*frac —
+        # NOT lo + (hi-lo)*frac; the two differ by an ulp on doubles
+        # (probed against duckdb directly), so mirror it exactly
+        return float(v_sorted[lo_i] * (1.0 - frac)
+                     + v_sorted[hi_i] * frac)
+
+    def clamp(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby(group_col, sort=False):
+            v = grp[value_col].to_numpy(dtype=np.float64)
+            vs = np.sort(v)
+            ql, qh = _q(vs, lo), _q(vs, hi)
+            o = grp[[id_col, group_col, value_col]].copy()
+            o["v_wins"] = np.minimum(np.maximum(v, ql), qh)
+            outs.append(o)
+        return pd.concat(outs, ignore_index=True)
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(clamp, batch_format="pandas")
+
+
+def winsorize_query(sf_dir: str):
+    """Order totals winsorized to the [p05, p95] band of their
+    priority class."""
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_orderpriority",
+                             "o_totalprice"])
+    return winsorize(ds, "o_orderpriority", "o_totalprice",
+                     "o_orderkey")
+
+
+WINSORIZE_ORACLE_SQL = """
+WITH q AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.05) AS ql,
+         quantile_cont(o_totalprice, 0.95) AS qh
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       least(greatest(o_totalprice, ql), qh) AS v_wins
+FROM orders JOIN q USING (o_orderpriority)
+ORDER BY o_orderkey
 """

@@ -128,3 +128,55 @@ def test_path_alt_planted(ray_session):
         .to_pandas().sort_values(["src", "dst"]).to_dict("records")
     # within(a,b) asserted twice dedups; ^has gives (b, r)
     assert got == [{"src": "a", "dst": "b"}, {"src": "b", "dst": "r"}]
+
+
+def test_rolling_anomaly_planted_spike(ray_session):
+    from rdf_mapper_ray.ops.windows import rolling_anomaly
+    # one user, steady 10s + one 1000 spike at event 7 -> only the
+    # spike row flags (k=2, window 10, min_n 5)
+    n = 20
+    vals = np.full(n, 10.0)
+    vals[7] = 1000.0
+    # jitter so variance is nonzero before the spike
+    vals[:7] += np.arange(7) % 3
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.ones(n, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n), unit="s"),
+        "metric": vals})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = rolling_anomaly(ds, "user_id", "ts", "event_id", "metric",
+                          num_partitions=2).to_pandas()
+    assert got["event_id"].tolist() == [7]
+    assert got["v_c"].tolist() == [100000]
+
+
+def test_winsorize_matches_duckdb_interpolation(ray_session):
+    import duckdb
+    from rdf_mapper_ray.ops.quantiles import winsorize
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "id": np.arange(200, dtype=np.int64),
+        "g": rng.integers(0, 3, 200).astype(str),
+        "v": rng.normal(100.0, 37.0, 200)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = winsorize(ds, "g", "v", "id", num_partitions=2) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        WITH q AS (SELECT g, quantile_cont(v, 0.05) ql,
+                          quantile_cont(v, 0.95) qh FROM t GROUP BY g)
+        SELECT id, t.g, v, least(greatest(v, ql), qh) AS v_wins
+        FROM t JOIN q USING (g) ORDER BY id""").df()
+    assert (got["v_wins"].to_numpy() == exp["v_wins"].to_numpy()).all()
+
+
+def test_path_rollup_planted(ray_session):
+    from rdf_mapper_ray.ops.domains import path_rollup
+    df = pd.DataFrame({"path": ["/a/x/1", "/a/x/2", "/a/y/1", "/b/z/9"]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    got = path_rollup(ds, "path", max_depth=2).to_pandas()
+    m = {(r.depth, r.prefix): r.n_docs for r in got.itertuples()}
+    assert m == {(1, "/a"): 3, (1, "/b"): 1,
+                 (2, "/a/x"): 2, (2, "/a/y"): 1, (2, "/b/z"): 1}

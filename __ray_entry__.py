@@ -91,7 +91,7 @@ _NEXT_UP = [
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
     "bgp_top_balance", "bgp_values_bind", "bgp_ask", "bgp_path_alt",
-    "winsorize", "path_rollup", "rolling_anomaly",
+    "winsorize", "path_rollup", "rolling_anomaly", "crosstab_chi2",
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
     "bgp_construct", "hll_by_type",
@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_windows": stats.rank_windows_query,
         "mad_outliers": quantiles.mad_outliers_query,
         "winsorize": quantiles.winsorize_query,
+        "crosstab_chi2": rollup.crosstab_chi2_query,
         "path_rollup": domains.path_rollup_query,
         "rolling_anomaly": windows.rolling_anomaly_query,
         # set algebra: INTERSECT / EXCEPT on distinct keys
@@ -515,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_windows": stats.RANK_WINDOWS_ORACLE_SQL,
         "mad_outliers": quantiles.MAD_OUTLIERS_ORACLE_SQL,
         "winsorize": quantiles.WINSORIZE_ORACLE_SQL,
+        "crosstab_chi2": rollup.CROSSTAB_CHI2_ORACLE_SQL,
         "path_rollup": domains.PATH_ROLLUP_ORACLE_SQL,
         "rolling_anomaly": windows.ROLLING_ANOMALY_ORACLE_SQL,
         "users_intersect": setops.USERS_INTERSECT_ORACLE_SQL,

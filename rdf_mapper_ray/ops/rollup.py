@@ -322,3 +322,97 @@ FROM (
 )
 ORDER BY l_orderkey, l_linenumber, measure
 """
+
+
+# --- chi-square independence statistic over the contingency table ------------------
+
+def crosstab_chi2(cells: "ray.data.Dataset", a_col: str, b_col: str
+                  ) -> pa.Table:
+    """Pearson χ² for independence from a :func:`crosstab` cell
+    table, as an EXACT integer: with observed O, row total r, column
+    total c and grand total t, the cell term (O−E)²/E (E = r·c/t)
+    equals the rational (O·t − r·c)²/(t·r·c); quantized to micro
+    units with pure integer floor arithmetic —
+    ``(2·(O·t−r·c)²·10⁶ + t·r·c) // (2·t·r·c)`` — the distributed
+    sum is order-independent and the SQL oracle replays it in
+    HUGEINT. Zero cells of the full R×C grid contribute their E
+    term, so the statistic is the textbook one, not observed-only.
+
+    The cell table is category²-sized BY CONSTRUCTION, so the grid
+    completion + sum run driver-side (the repo's cell-table lesson:
+    re-shuffling a 35-row table pays sort floors for nothing).
+    -> one row (n_cells, dof, chi2_micro)."""
+    m = cells.to_pandas()
+    rows = m.groupby(a_col)["n"].sum().to_dict()
+    cols = m.groupby(b_col)["n"].sum().to_dict()
+    t = int(m["n"].sum())
+    obs = {(a, b): int(n) for a, b, n in
+           zip(m[a_col], m[b_col], m["n"])}
+    chi2_micro = 0
+    for a, r in rows.items():
+        r = int(r)
+        for b, c in cols.items():
+            c = int(c)
+            o = obs.get((a, b), 0)
+            num = (o * t - r * c) ** 2 * 1_000_000
+            den = t * r * c
+            chi2_micro += (2 * num + den) // (2 * den)
+    return pa.Table.from_pydict({
+        "n_cells": pa.array([len(rows) * len(cols)], pa.int64()),
+        "dof": pa.array([(len(rows) - 1) * (len(cols) - 1)],
+                        pa.int64()),
+        "chi2_micro": pa.array([chi2_micro], pa.int64())})
+
+
+def crosstab_chi2_query(sf_dir: str):
+    """Is event type independent of weekday? χ² over the same
+    event_type × isodow contingency table as the crosstab query."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "ts"])
+
+    def add_dow(batch: pa.Table) -> pa.Table:
+        col = batch.column("ts")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        us = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // 86_400_000_000 + 3) % 7 + 1)
+        return pa.Table.from_pydict({
+            "event_type": batch.column("event_type"),
+            "weekday": pa.array(dow.astype("int64")),
+        })
+
+    cells = crosstab(ds.map_batches(add_dow, batch_format="pyarrow"),
+                     "event_type", "weekday")
+    return crosstab_chi2(cells, "event_type", "weekday")
+
+
+CROSSTAB_CHI2_ORACLE_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS weekday FROM events
+),
+cells AS (
+  SELECT event_type, weekday, CAST(COUNT(*) AS HUGEINT) AS o
+  FROM d GROUP BY event_type, weekday
+),
+rows_ AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1),
+cols_ AS (SELECT weekday, SUM(o) AS c FROM cells GROUP BY 1),
+tot AS (SELECT SUM(o) AS t FROM cells),
+grid AS (
+  SELECT rows_.event_type, cols_.weekday, r, c, t,
+         COALESCE(cells.o, 0) AS o
+  FROM rows_ CROSS JOIN cols_ CROSS JOIN tot
+  LEFT JOIN cells ON cells.event_type = rows_.event_type
+                 AND cells.weekday = cols_.weekday
+),
+term AS (
+  SELECT (2 * (o*t - r*c) * (o*t - r*c) * 1000000 + t*r*c)
+         // (2 * t*r*c) AS m
+  FROM grid
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM grid) AS n_cells,
+       (SELECT CAST((COUNT(DISTINCT event_type) - 1)
+                 * (COUNT(DISTINCT weekday) - 1) AS BIGINT)
+        FROM d) AS dof,
+       CAST(SUM(m) AS BIGINT) AS chi2_micro
+FROM term
+"""

@@ -1724,3 +1724,137 @@ SELECT u AS node_u, v AS node_v,
 FROM wedge GROUP BY u, v
 ORDER BY aa_milli DESC, node_u, node_v LIMIT {k}
 """
+
+
+# --- personalized PageRank (integer-exact, broadcast venue) ---------------------
+
+def ppr_int(edges: "ray.data.Dataset", source: int | None = None,
+            iters: int = 2, num_partitions: int | None = None
+            ) -> "ray.data.Dataset":
+    """Personalized PageRank (random walk with restart to ONE source
+    — the graph-retrieval ranking primitive): same integer contract
+    as :func:`pagerank_int`, but the teleport mass lands only on the
+    source node:
+
+        q_0(v)      = S·[v = s]
+        q_{k+1}(v)  = (1−d)·S·[v = s] + (85 · Σ contrib(u→v)) // 100
+
+    Every step is int64 and order-free, so the result is
+    bit-identical under any partitioning and the SQL oracle unrolls
+    it exactly. ``source=None`` = globally smallest node
+    (deterministic for the oracle).
+
+    Venue: the zero-exchange broadcast loop (node-sized rank/degree
+    arrays via ray.put, per-edge-block contributions pre-aggregated,
+    driver np.add.at finish) — the same scale contract as
+    pagerank_int's broadcast venue; past broadcast scale the
+    co-partition venue applies with the identical two changes (seed
+    vector, source-only base). Output: (node, q)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        a = batch.column(batch.column_names[0]).to_numpy(
+            zero_copy_only=False)
+        b = batch.column(batch.column_names[1]).to_numpy(
+            zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "src": pa.array(np.concatenate([a, b])),
+            "dst": pa.array(np.concatenate([b, a]))})
+
+    und = edges.map_batches(undirect, batch_format="pyarrow") \
+        .materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        v, c = np.unique(src, return_counts=True)
+        return pa.Table.from_pydict({
+            "node": pa.array(v), "c": pa.array(c.astype(np.int64))})
+
+    deg_pd = pd.concat(
+        b.to_pandas() for b in und.map_batches(
+            deg_partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow")) \
+        .groupby("node", as_index=False)["c"].sum() \
+        .sort_values("node")
+    nodes = deg_pd["node"].to_numpy(np.int64)
+    outdeg = deg_pd["c"].to_numpy(np.int64)
+    if source is None:
+        source = int(nodes.min())
+    base = (_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE // _PR_DAMP_DEN
+    seed_vec = np.where(nodes == source, _PR_SCALE, 0) \
+        .astype(np.int64)
+    q = seed_vec.copy()
+    base_vec = np.where(nodes == source, base, 0).astype(np.int64)
+    deg_ref = ray.put((nodes, outdeg))
+
+    for _ in range(iters):
+        ref = ray.put(q)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            nn, od = ray.get(deg_ref)
+            qq = ray.get(ref)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            si = np.searchsorted(nn, src)
+            c = qq[si] // od[si]
+            out = pd.DataFrame({"node": dst, "c": c})
+            out = out[out["c"] != 0]
+            out = out.groupby("node", as_index=False)["c"].sum()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        parts = pd.concat(
+            b.to_pandas() for b in und.map_batches(
+                contrib, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"))
+        s = np.zeros(len(nodes), dtype=np.int64)
+        if len(parts):
+            np.add.at(s, np.searchsorted(
+                nodes, parts["node"].to_numpy(np.int64)),
+                parts["c"].to_numpy(np.int64))
+        q = base_vec + (_PR_DAMP_NUM * s) // _PR_DAMP_DEN
+
+    keep = q != 0
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "node": pa.array(nodes[keep]), "q": pa.array(q[keep])}))
+
+
+def ppr_query(sf_dir: str, iters: int = 2):
+    """Personalized PageRank from the smallest node of the bipartite
+    part–supplier graph (which parts/suppliers are closest to part 1
+    by random walk with restart)."""
+    return ppr_int(partsupp_edges(sf_dir), iters=iters)
+
+
+def ppr_oracle_sql(iters: int = 2) -> str:
+    base = (_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE // _PR_DAMP_DEN
+    ctes = [f"""e0 AS (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem WHERE l_partkey <= {PR_PART_CAP}
+),
+e AS (SELECT a AS src, b AS dst FROM e0
+      UNION ALL SELECT b, a FROM e0),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
+srcn AS (SELECT MIN(node) AS s FROM deg),
+q0 AS (SELECT node,
+              CAST(CASE WHEN node = (SELECT s FROM srcn)
+                   THEN {_PR_SCALE} ELSE 0 END AS BIGINT) AS q
+       FROM deg)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""q{k} AS MATERIALIZED (
+  SELECT dg.node,
+         CAST(CASE WHEN dg.node = (SELECT s FROM srcn)
+                   THEN {base} ELSE 0 END
+              + ({_PR_DAMP_NUM} * COALESCE(m.s, 0))
+              // {_PR_DAMP_DEN} AS BIGINT) AS q
+  FROM deg dg
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(qp.q // d2.d) AS s
+    FROM e JOIN q{k-1} qp ON e.src = qp.node
+    JOIN deg d2 ON d2.node = e.src
+    WHERE qp.q // d2.d <> 0
+    GROUP BY e.dst) m USING (node)
+)""")
+    return "WITH " + ",\n".join(ctes) + \
+        f"\nSELECT node, q FROM q{iters} WHERE q <> 0 ORDER BY node\n"

@@ -92,7 +92,7 @@ _NEXT_UP = [
     "adamic_adar", "item_cosine", "bgp_agg_balance",
     "bgp_top_balance", "bgp_values_bind", "bgp_ask", "bgp_path_alt",
     "winsorize", "path_rollup", "rolling_anomaly", "crosstab_chi2",
-    "ppr",
+    "ppr", "random_walks",
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
     "bgp_construct", "hll_by_type",
@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_regression": stats.group_regression_query,
         "adamic_adar": graphs.adamic_adar_query,
         "ppr": graphs.ppr_query,
+        "random_walks": graphs.random_walks_query,
         "bgp_agg_balance": relational.bgp_agg_balance_query,
         "bgp_top_balance": relational.bgp_top_balance_query,
         "bgp_values_bind": relational.bgp_values_bind_query,
@@ -510,6 +511,7 @@ def oracle_sql() -> dict[str, str]:
         "group_regression": stats.GROUP_REGRESSION_ORACLE_SQL,
         "adamic_adar": graphs.adamic_adar_oracle_sql(),
         "ppr": graphs.ppr_oracle_sql(),
+        "random_walks": graphs.random_walks_oracle_sql(),
         "bgp_agg_balance": relational.BGP_AGG_BALANCE_ORACLE_SQL,
         "bgp_top_balance": relational.BGP_TOP_BALANCE_ORACLE_SQL,
         "bgp_values_bind": relational.BGP_VALUES_BIND_ORACLE_SQL,

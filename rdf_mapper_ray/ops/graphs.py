@@ -1858,3 +1858,114 @@ q0 AS (SELECT node,
 )""")
     return "WITH " + ",\n".join(ctes) + \
         f"\nSELECT node, q FROM q{iters} WHERE q <> 0 ORDER BY node\n"
+
+
+# --- deterministic random walks (DeepWalk corpus primitive) ----------------------
+
+def random_walks(edges: "ray.data.Dataset", length: int = 3,
+                 num_partitions: int | None = None
+                 ) -> "ray.data.Dataset":
+    """One walk of ``length`` steps from EVERY node of an undirected
+    (a, b) edge Dataset — the DeepWalk/node2vec corpus-generation
+    primitive (Perozzi et al., KDD 2014), made deterministic: step t
+    from position p moves to the ``(md5(p||'-'||t) mod deg(p))``-th
+    smallest neighbor of p. md5 is the repo's portable hash (same
+    trick as hll_registers), so a SQL oracle replays every step with
+    row_number() over the sorted neighbor list. -> (start, step,
+    node) long form, steps 1..length.
+
+    Venue: broadcast — the sorted CSR adjacency (indptr + neighbor
+    arrays) rides ray.put and each node block walks vectorized
+    against it (the md5-per-(pos,step) loop is node-count-sized per
+    step, the documented portability cost, swappable for a vectorized
+    hash when no SQL replay is needed). Past broadcast scale the
+    walk is a length-bounded sequence of co-partition joins
+    (position routes by hash(pos) to its adjacency partition) — the
+    same exchange pattern as bfs_levels."""
+    import hashlib
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        a = batch.column(batch.column_names[0]).to_numpy(
+            zero_copy_only=False)
+        b = batch.column(batch.column_names[1]).to_numpy(
+            zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "node": pa.array(np.concatenate([a, b])),
+            "other": pa.array(np.concatenate([b, a]))})
+
+    und = edges.map_batches(undirect, batch_format="pyarrow") \
+        .materialize()
+    # CSR build: adjacency is the broadcast bound (docstring) — the
+    # demo graph is part-capped like pagerank's broadcast venue
+    adj = und.to_pandas().sort_values(["node", "other"])
+    nodes, counts = np.unique(adj["node"].to_numpy(),
+                              return_counts=True)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    nbrs = adj["other"].to_numpy(np.int64)
+    adj_ref = ray.put((nodes, indptr.astype(np.int64), nbrs))
+
+    steps = list(range(1, length + 1))
+
+    def walk(t: pa.Table) -> pa.Table:
+        nn, ip, nb = ray.get(adj_ref)
+        start = t.column("node").to_numpy(zero_copy_only=False)
+        pos = start.copy()
+        outs = []
+        for st in steps:
+            h = np.empty(len(pos), dtype=np.uint64)
+            for i, p in enumerate(pos):
+                h[i] = np.uint64(int(hashlib.md5(
+                    f"{p}-{st}".encode()).hexdigest()[:16], 16))
+            si = np.searchsorted(nn, pos)
+            deg = (ip[si + 1] - ip[si]).astype(np.uint64)
+            idx = (h % deg).astype(np.int64)
+            pos = nb[ip[si] + idx]
+            outs.append(pa.Table.from_pydict({
+                "start": pa.array(start),
+                "step": pa.array(
+                    np.full(len(start), st, dtype=np.int64)),
+                "node": pa.array(pos)}))
+        return pa.concat_tables(outs)
+
+    starts = ray.data.from_arrow(
+        pa.Table.from_pydict({"node": pa.array(nodes)})) \
+        .repartition(max(2, num_partitions // 4))
+    return starts.map_batches(walk, batch_format="pyarrow")
+
+
+def random_walks_query(sf_dir: str, length: int = 3):
+    return random_walks(partsupp_edges(sf_dir), length=length)
+
+
+def random_walks_oracle_sql(length: int = 3) -> str:
+    ctes = [f"""e0 AS (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem WHERE l_partkey <= {PR_PART_CAP}
+),
+ued AS (SELECT a AS node, b AS other FROM e0
+        UNION ALL SELECT b, a FROM e0),
+nbr AS (
+  SELECT node, other,
+         row_number() OVER (PARTITION BY node ORDER BY other) AS rn,
+         COUNT(*) OVER (PARTITION BY node) AS d
+  FROM ued
+),
+w0 AS (SELECT DISTINCT node AS start, node AS pos FROM ued)"""]
+    for st in range(1, length + 1):
+        ctes.append(f"""w{st} AS MATERIALIZED (
+  SELECT w.start, nbr.other AS pos
+  FROM w{st-1} w
+  JOIN nbr ON nbr.node = w.pos
+   AND nbr.rn = 1 + CAST(
+     ('0x' || substr(md5(CAST(w.pos AS VARCHAR) || '-{st}'), 1, 16))
+       ::UBIGINT % CAST(nbr.d AS UBIGINT) AS BIGINT)
+)""")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT start, CAST({st} AS BIGINT) AS step, pos AS node "
+        f"FROM w{st}" for st in range(1, length + 1))
+    return ("WITH " + ",\n".join(ctes) + "\n" + arms
+            + "\nORDER BY start, step\n")

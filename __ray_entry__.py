@@ -92,7 +92,7 @@ _NEXT_UP = [
     "adamic_adar", "item_cosine", "bgp_agg_balance",
     "bgp_top_balance", "bgp_values_bind", "bgp_ask", "bgp_path_alt",
     "winsorize", "path_rollup", "rolling_anomaly", "crosstab_chi2",
-    "ppr", "random_walks",
+    "ppr", "random_walks", "transition_matrix",
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
     "bgp_construct", "hll_by_type",
@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crosstab_chi2": rollup.crosstab_chi2_query,
         "path_rollup": domains.path_rollup_query,
         "rolling_anomaly": windows.rolling_anomaly_query,
+        "transition_matrix": sessions.transition_matrix_query,
         # set algebra: INTERSECT / EXCEPT on distinct keys
         "users_intersect": setops.users_intersect_query,
         "users_except": setops.users_except_query,
@@ -524,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
         "crosstab_chi2": rollup.CROSSTAB_CHI2_ORACLE_SQL,
         "path_rollup": domains.PATH_ROLLUP_ORACLE_SQL,
         "rolling_anomaly": windows.ROLLING_ANOMALY_ORACLE_SQL,
+        "transition_matrix": sessions.TRANSITION_MATRIX_ORACLE_SQL,
         "users_intersect": setops.USERS_INTERSECT_ORACLE_SQL,
         "users_except": setops.USERS_EXCEPT_ORACLE_SQL,
         "ntile_bucket": normalize.ntile_oracle_sql(),

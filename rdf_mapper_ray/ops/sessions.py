@@ -912,3 +912,88 @@ WITH b AS (
 r AS (SELECT SUM(d) OVER (ORDER BY t, d) AS running FROM b)
 SELECT CAST(MAX(running) AS BIGINT) AS peak FROM r
 """
+
+
+# --- Markov transition matrix over per-user event sequences -----------------------
+
+def transition_matrix(ds: "ray.data.Dataset", user_col: str,
+                      ts_col: str, id_col: str, type_col: str,
+                      num_partitions: int | None = None
+                      ) -> "ray.data.Dataset":
+    """First-order Markov transition estimate over each user's
+    time-ordered event stream: count every consecutive
+    (from_type → to_type) pair, then p̂ = count/row_total quantized
+    to ``floor(1000·c/tot + 0.5)`` (one float expression, identical
+    in the SQL oracle). Users co-partition by hash (one exchange);
+    consecutive pairs come from a vectorized grouped shift, and the
+    (types × types)-sized count table finishes driver-side (the
+    repo's cell-table lesson). -> (from_type, to_type, n, p_milli)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([user_col, ts_col, id_col, type_col])
+        pid = pd.util.hash_pandas_object(
+            t.column(user_col).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col],
+                          kind="mergesort")
+        grp = g.groupby(user_col, sort=False)
+        nxt = grp[type_col].shift(-1)
+        keep = nxt.notna()
+        out = pd.DataFrame({
+            "from_type": g.loc[keep, type_col].to_numpy(),
+            "to_type": nxt[keep].to_numpy()})
+        out = out.groupby(["from_type", "to_type"],
+                          as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    cells = ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(pairs, batch_format="pandas") \
+        .to_pandas()
+    cells = cells.groupby(["from_type", "to_type"],
+                          as_index=False)["n"].sum()
+    tot = cells.groupby("from_type")["n"].transform("sum") \
+        .to_numpy(np.int64)
+    n = cells["n"].to_numpy(np.int64)
+    cells["p_milli"] = np.floor(1000.0 * n / tot + 0.5) \
+        .astype(np.int64)
+    return pa.Table.from_pandas(
+        cells.sort_values(["from_type", "to_type"])
+        .reset_index(drop=True), preserve_index=False)
+
+
+def transition_matrix_query(sf_dir: str):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id",
+                             "event_type"])
+    return transition_matrix(ds, "user_id", "ts", "event_id",
+                             "event_type")
+
+
+TRANSITION_MATRIX_ORACLE_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+c AS (
+  SELECT event_type AS from_type, nxt AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY from_type)
+SELECT from_type, to_type, n,
+       CAST(floor(1000.0 * n / tot + 0.5) AS BIGINT) AS p_milli
+FROM c JOIN t USING (from_type)
+ORDER BY from_type, to_type
+"""

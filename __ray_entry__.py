@@ -92,7 +92,7 @@ _NEXT_UP = [
     "adamic_adar", "item_cosine", "bgp_agg_balance",
     "bgp_top_balance", "bgp_values_bind", "bgp_ask", "bgp_path_alt",
     "winsorize", "path_rollup", "rolling_anomaly", "crosstab_chi2",
-    "ppr", "random_walks", "transition_matrix",
+    "ppr", "random_walks", "transition_matrix", "ab_test",
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
     "bgp_construct", "hll_by_type",
@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_path_alt": relational.bgp_path_alt_query,
         "item_cosine": baskets.item_cosine_query,
         "rank_windows": stats.rank_windows_query,
+        "ab_test": stats.ab_test_query,
         "mad_outliers": quantiles.mad_outliers_query,
         "winsorize": quantiles.winsorize_query,
         "crosstab_chi2": rollup.crosstab_chi2_query,
@@ -520,6 +521,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_path_alt": relational.BGP_PATH_ALT_ORACLE_SQL,
         "item_cosine": baskets.item_cosine_oracle_sql(),
         "rank_windows": stats.RANK_WINDOWS_ORACLE_SQL,
+        "ab_test": stats.AB_TEST_ORACLE_SQL,
         "mad_outliers": quantiles.MAD_OUTLIERS_ORACLE_SQL,
         "winsorize": quantiles.WINSORIZE_ORACLE_SQL,
         "crosstab_chi2": rollup.CROSSTAB_CHI2_ORACLE_SQL,

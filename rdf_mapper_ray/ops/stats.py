@@ -480,3 +480,129 @@ FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
 ORDER BY o_orderkey
 """
+
+
+# --- two-proportion A/B test (pure-integer z-square) ------------------------------
+
+def ab_test(ds: "ray.data.Dataset", user_col: str, conv_col: str,
+            num_partitions: Optional[int] = None) -> pa.Table:
+    """Experimentation readout: users split 50/50 by the portable
+    md5 hash of their id (variant a = even hash — a pure function,
+    no assignment table), conversion = the user-level flag in
+    ``conv_col``. The two-proportion z² statistic
+
+        z² = (c_a·n_b − c_b·n_a)²·N / (n_a·n_b·c·(N−c))
+
+    (c = c_a+c_b, N = n_a+n_b — the pooled-variance form cleared of
+    every division) is quantized to micro units with the pure-integer
+    ``(2·num + den) // (2·den)`` floor — order-independent, replayed
+    by the SQL oracle in HUGEINT. Per-user rows reduce to ONE
+    (user, variant, conv) row through a user-routed exchange; the
+    four counters come back as partition partials and finish as
+    Python ints. -> one row (n_a, c_a, p_a_milli, n_b, c_b,
+    p_b_milli, z2_micro)."""
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": t.column(user_col).to_numpy(zero_copy_only=False),
+            "conv": t.column(conv_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        g = df.groupby("u", as_index=False)["conv"].max()
+        pid = pd.util.hash_pandas_object(g["u"], index=False) \
+            .to_numpy()
+        g["pid"] = (pid % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def counts(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("u", as_index=False)["conv"].max()
+        v = (hash64(m["u"].astype(str).tolist(), "md5")
+             % np.uint64(2)).astype(np.int64)
+        conv = m["conv"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_a": [int((v == 0).sum())],
+            "c_a": [int(conv[v == 0].sum())],
+            "n_b": [int((v == 1).sum())],
+            "c_b": [int(conv[v == 1].sum())]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pid").map_groups(counts, batch_format="pandas") \
+        .to_pandas()
+    n_a, c_a = int(parts["n_a"].sum()), int(parts["c_a"].sum())
+    n_b, c_b = int(parts["n_b"].sum()), int(parts["c_b"].sum())
+    c, big_n = c_a + c_b, n_a + n_b
+    num = (c_a * n_b - c_b * n_a) ** 2 * big_n * 1_000_000
+    den = n_a * n_b * c * (big_n - c)
+    z2_micro = (2 * num + den) // (2 * den) if den else -1
+    p_a = (2 * 1000 * c_a + n_a) // (2 * n_a)
+    p_b = (2 * 1000 * c_b + n_b) // (2 * n_b)
+    return pa.Table.from_pydict({
+        "n_a": pa.array([n_a], pa.int64()),
+        "c_a": pa.array([c_a], pa.int64()),
+        "p_a_milli": pa.array([p_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "c_b": pa.array([c_b], pa.int64()),
+        "p_b_milli": pa.array([p_b], pa.int64()),
+        "z2_micro": pa.array([z2_micro], pa.int64())})
+
+
+def ab_test_query(sf_dir: str):
+    """Did variant a convert at a different rate than variant b?
+    50/50 md5 split of event users; conversion = a high-value
+    purchase (value > 900 — plain 'any purchase' is degenerate on
+    the test data: EVERY user purchases, so c = N and the pooled
+    variance is 0)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        conv = pa.compute.and_(
+            pa.compute.equal(t.column("event_type"), "purchase"),
+            pa.compute.greater(t.column("value"), 900.0)) \
+            .cast(pa.int64())
+        return pa.Table.from_pydict({
+            "user_id": t.column("user_id"), "conv": conv})
+
+    return ab_test(ds.map_batches(flag, batch_format="pyarrow"),
+                   "user_id", "conv")
+
+
+AB_TEST_ORACLE_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+              ::UBIGINT % 2 AS BIGINT) AS v,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 900
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+           AS n_a,
+         CAST(SUM(CASE WHEN v = 0 THEN conv ELSE 0 END) AS HUGEINT)
+           AS c_a,
+         CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+           AS n_b,
+         CAST(SUM(CASE WHEN v = 1 THEN conv ELSE 0 END) AS HUGEINT)
+           AS c_b
+  FROM u
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+       CAST((2 * 1000 * c_a + n_a) // (2 * n_a) AS BIGINT)
+         AS p_a_milli,
+       CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+       CAST((2 * 1000 * c_b + n_b) // (2 * n_b) AS BIGINT)
+         AS p_b_milli,
+       CAST(CASE WHEN n_a*n_b*(c_a+c_b)*(n_a+n_b-c_a-c_b) = 0
+            THEN -1 ELSE
+            (2 * (c_a*n_b - c_b*n_a) * (c_a*n_b - c_b*n_a)
+               * (n_a+n_b) * 1000000
+             + n_a*n_b*(c_a+c_b)*(n_a+n_b-c_a-c_b))
+            // (2 * n_a*n_b*(c_a+c_b)*(n_a+n_b-c_a-c_b))
+            END AS BIGINT) AS z2_micro
+FROM s
+"""

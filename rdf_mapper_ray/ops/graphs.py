@@ -1438,8 +1438,44 @@ FROM deg GROUP BY degree ORDER BY degree
 
 # --- label propagation communities (synchronous, deterministic) --------------------
 
+def _lpa_send(state: pd.DataFrame, adj: pd.DataFrame):
+    m = adj.merge(state, on="node")
+    out = pd.DataFrame({"node": m["other"].to_numpy(),
+                        "label": m["label"].to_numpy()})
+    out = out.groupby(["node", "label"], as_index=False).size() \
+        .rename(columns={"size": "cnt"})
+    return out.astype({"node": np.int64, "label": np.int64,
+                       "cnt": np.int64})
+
+
+def _lpa_reduce(msgs, state: pd.DataFrame):
+    if msgs is None or not len(msgs):
+        return state, 0
+    c = msgs.groupby(["node", "label"], as_index=False)["cnt"].sum()
+    c = c.sort_values(["node", "cnt", "label"],
+                      ascending=[True, False, True])
+    new = c.groupby("node", sort=False).head(1)[["node", "label"]]
+    # every graph node has neighbors, so msgs cover the partition's
+    # nodes; keep old labels for any stragglers all the same
+    if len(state):
+        old = state.rename(columns={"label": "_old"})
+        merged = old.merge(new, on="node", how="left")
+        keep = merged["label"].isna()
+        merged.loc[keep, "label"] = merged.loc[keep, "_old"]
+        extra = new[~new["node"].isin(old["node"])]
+        out = pd.concat([merged[["node", "label"]], extra],
+                        ignore_index=True)
+        changed = int((merged["label"] != merged["_old"]).sum()) \
+            + len(extra)
+    else:
+        out, changed = new.reset_index(drop=True), len(new)
+    out["label"] = out["label"].astype(np.int64)
+    return out, changed
+
+
 def community_lpa(edges: "ray.data.Dataset", rounds: int = 3,
-                  num_partitions: int | None = None
+                  num_partitions: int | None = None,
+                  venue: str = "dataset"
                   ) -> "ray.data.Dataset":
     """Community detection by SYNCHRONOUS label propagation
     (Raghavan et al. 2007) made fully deterministic: every node starts
@@ -1479,6 +1515,30 @@ def community_lpa(edges: "ray.data.Dataset", rounds: int = 3,
     adjacency = edges.map_batches(adj, batch_format="pyarrow") \
         .map_batches(_pid("src"), batch_format="pyarrow") \
         .repartition(num_partitions).materialize()
+
+    if venue == "actors":
+        from rdf_mapper_ray.engine.pregel import PregelPool
+
+        def as_node_other(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["node", "other", "pid"])
+
+        pool = PregelPool(
+            adjacency.map_batches(as_node_other,
+                                  batch_format="pyarrow"),
+            num_partitions, _lpa_send, _lpa_reduce)
+        empty = pa.Table.from_pydict({
+            "node": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64())})
+
+        def seed_labels(adj_df: pd.DataFrame) -> pd.DataFrame:
+            n = np.unique(adj_df["node"].to_numpy())
+            return pd.DataFrame({"node": n, "label": n})
+
+        pool.init_state_from_adj(seed_labels, empty)
+        pool.run(rounds)
+        out = pool.collect().select_columns(["node", "label"])
+        pool.shutdown()
+        return out
 
     def init_labels(t: pa.Table) -> pa.Table:
         n = pc.unique(t.column("src").combine_chunks()

@@ -281,3 +281,24 @@ def test_sssp_pregel_venue_equals_dataset_venue(ray_session):
                        venue="actors").to_pandas() \
         .sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(base, act)
+
+
+def test_lpa_pregel_venue_equals_dataset_venue(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import community_lpa
+    # two planted cliques bridged by one edge + a noisy tail
+    rng = np.random.default_rng(13)
+    c1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(10, 16) for b in range(a + 1, 16)]
+    bridge = [(4, 10), (15, 20), (20, 21)]
+    df = pd.DataFrame(c1 + c2 + bridge, columns=["a", "b"])
+    for nblocks in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        base = community_lpa(ds, rounds=3, num_partitions=3) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        act = community_lpa(ds, rounds=3, num_partitions=3,
+                            venue="actors").to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(base, act)

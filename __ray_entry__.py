@@ -93,6 +93,7 @@ _NEXT_UP = [
     "bgp_top_balance", "bgp_values_bind", "bgp_ask", "bgp_path_alt",
     "winsorize", "path_rollup", "rolling_anomaly", "crosstab_chi2",
     "ppr", "random_walks", "transition_matrix", "ab_test",
+    "node_jaccard",
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
     "bgp_construct", "hll_by_type",
@@ -280,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": graphs.adamic_adar_query,
         "ppr": graphs.ppr_query,
         "random_walks": graphs.random_walks_query,
+        "node_jaccard": graphs.node_jaccard_query,
         "bgp_agg_balance": relational.bgp_agg_balance_query,
         "bgp_top_balance": relational.bgp_top_balance_query,
         "bgp_values_bind": relational.bgp_values_bind_query,
@@ -514,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar": graphs.adamic_adar_oracle_sql(),
         "ppr": graphs.ppr_oracle_sql(),
         "random_walks": graphs.random_walks_oracle_sql(),
+        "node_jaccard": graphs.node_jaccard_oracle_sql(),
         "bgp_agg_balance": relational.BGP_AGG_BALANCE_ORACLE_SQL,
         "bgp_top_balance": relational.BGP_TOP_BALANCE_ORACLE_SQL,
         "bgp_values_bind": relational.BGP_VALUES_BIND_ORACLE_SQL,

@@ -2029,3 +2029,150 @@ w0 AS (SELECT DISTINCT node AS start, node AS pos FROM ued)"""]
         f"FROM w{st}" for st in range(1, length + 1))
     return ("WITH " + ",\n".join(ctes) + "\n" + arms
             + "\nORDER BY start, step\n")
+
+
+# --- Jaccard node similarity (link prediction, set-overlap form) ------------------
+
+def node_jaccard(edges: "ray.data.Dataset", k: int = 100,
+                 min_cn: int = 2,
+                 num_partitions: int | None = None
+                 ) -> "ray.data.Dataset":
+    """Top-k node pairs by neighborhood Jaccard
+    |N(u)∩N(v)| / |N(u)∪N(v)|, the set-overlap sibling of
+    :func:`adamic_adar`: the same wedge pass yields the intersection
+    size cn, degrees come back as a node-cardinality broadcast (the
+    small side BY CONSTRUCTION — one dict via ray.put, same venue as
+    item_cosine's totals), and the union is du+dv−cn. Quantized
+    ``jac_milli = floor(1000·cn/(du+dv−cn) + 0.5)`` — pure integer
+    floor ``(2000·cn + u) // (2·u)``, so both sides are exact.
+    -> (node_u, node_v, cn, jac_milli)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+
+    def adj(t: pa.Table) -> pa.Table:
+        a, b = (t.column("a").combine_chunks(),
+                t.column("b").combine_chunks())
+        out = pa.Table.from_pydict({
+            "node": pa.concat_arrays([a, b]),
+            "other": pa.concat_arrays([b, a])})
+        h = pd.util.hash_pandas_object(
+            out.column("node").to_pandas(), index=False).to_numpy()
+        return out.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    routed = edges.map_batches(adj, batch_format="pyarrow") \
+        .materialize()
+
+    # per-pivot wedge pass: complete neighborhoods per task -> cn
+    # partials AND exact degrees in the same exchange
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["node", "other"])
+        node = g["node"].to_numpy()
+        other = g["other"].to_numpy()
+        n = len(g)
+        runs = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        sizes = np.diff(np.append(runs, n))
+        max_sz = int(sizes.max()) if n else 0
+        lu, lv = [], []
+        for off in range(1, max_sz):
+            same = node[off:] == node[:-off]
+            lu.append(other[:-off][same])
+            lv.append(other[off:][same])
+        deg = pd.DataFrame({"u": node[runs], "v": -1,
+                            "cn": sizes.astype(np.int64),
+                            "kind": np.int8(0)})
+        if not lu:
+            return deg
+        pr = pd.DataFrame({"u": np.concatenate(lu),
+                           "v": np.concatenate(lv)})
+        pr = pr.groupby(["u", "v"], as_index=False).size() \
+            .rename(columns={"size": "cn"})
+        pr["kind"] = np.int8(1)
+        return pd.concat([deg, pr], ignore_index=True) \
+            .astype({"u": np.int64, "v": np.int64, "cn": np.int64,
+                     "kind": np.int8})
+
+    merged = routed.groupby("pid").map_groups(
+        wedges, batch_format="pandas")
+
+    def route_pairs(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        key = np.where(kind == 1,
+                       u * np.int64(2_654_435_761) + v, u)
+        h = pd.util.hash_pandas_object(pd.Series(key),
+                                       index=False).to_numpy()
+        return t.append_column(
+            "pid2", pa.array((h % np.uint64(num_partitions))
+                             .astype(np.int64)))
+
+    summed = merged.map_batches(route_pairs, batch_format="pyarrow") \
+        .groupby("pid2").map_groups(
+            lambda g: g.groupby(["u", "v", "kind"],
+                                as_index=False)["cn"].sum(),
+            batch_format="pandas").materialize()
+
+    def just_deg(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("kind"),
+                                 pa.scalar(0, pa.int8()))) \
+            .select(["u", "cn"])
+
+    deg_df = summed.map_batches(just_deg,
+                                batch_format="pyarrow").to_pandas()
+    degs = dict(zip(deg_df["u"].tolist(), deg_df["cn"].tolist()))
+    deg_ref = ray.put(degs)
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"),
+                              pa.scalar(1, pa.int8())))
+        d = ray.get(deg_ref)
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        cn = t.column("cn").to_numpy(zero_copy_only=False)
+        keep = cn >= min_cn
+        u, v, cn = u[keep], v[keep], cn[keep]
+        du = np.fromiter((d[x] for x in u), np.int64, len(u))
+        dv = np.fromiter((d[x] for x in v), np.int64, len(v))
+        un = du + dv - cn
+        jac = (2000 * cn + un) // (2 * un)
+        out = pd.DataFrame({"node_u": u, "node_v": v, "cn": cn,
+                            "jac_milli": jac})
+        out = out.sort_values(["jac_milli", "node_u", "node_v"],
+                              ascending=[False, True, True]).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return summed.map_batches(score, batch_format="pyarrow") \
+        .sort(["jac_milli", "node_u", "node_v"],
+              descending=[True, False, False]).limit(k)
+
+
+def node_jaccard_query(sf_dir: str, k: int = 100):
+    return node_jaccard(partsupp_edges(sf_dir), k=k)
+
+
+def node_jaccard_oracle_sql(k: int = 100, min_cn: int = 2) -> str:
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem WHERE l_partkey <= {PR_PART_CAP}
+),
+ued AS (SELECT a AS node, b AS other FROM e0
+        UNION ALL SELECT b, a FROM e0),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM ued GROUP BY node),
+wedge AS (
+  SELECT u1.other AS u, u2.other AS v
+  FROM ued u1 JOIN ued u2
+    ON u1.node = u2.node AND u1.other < u2.other
+),
+cn AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn
+       FROM wedge GROUP BY u, v HAVING COUNT(*) >= {min_cn})
+SELECT u AS node_u, v AS node_v, cn,
+       CAST((2000 * cn + (du.d + dv.d - cn))
+            // (2 * (du.d + dv.d - cn)) AS BIGINT) AS jac_milli
+FROM cn JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+ORDER BY jac_milli DESC, node_u, node_v LIMIT {k}
+"""

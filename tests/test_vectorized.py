@@ -617,9 +617,12 @@ def test_random_spec_parity():
     expr, asBoolean(args), map_by, autoCV, inverse, nested specs — over
     null-bearing data must produce byte-identical triples on the fast
     and per-row paths (whichever path compiles)."""
+    import os
     import random
 
-    rng = random.Random(77)
+    # round-close ritual: RMR_FUZZ_SEED=n pytest -k random_spec_parity
+    # (5 seeds × 200 specs caught the only real parity bugs in r2/r3)
+    rng = random.Random(int(os.environ.get("RMR_FUZZ_SEED", "77")))
 
     def rand_value_template():
         choices = [

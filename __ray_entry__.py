@@ -93,7 +93,7 @@ _NEXT_UP = [
     "bgp_top_balance", "bgp_values_bind", "bgp_ask", "bgp_path_alt",
     "winsorize", "path_rollup", "rolling_anomaly", "crosstab_chi2",
     "ppr", "random_walks", "transition_matrix", "ab_test",
-    "node_jaccard",
+    "node_jaccard", "quantiles_disc", "twap",
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
     "bgp_construct", "hll_by_type",
@@ -296,6 +296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_rollup": domains.path_rollup_query,
         "rolling_anomaly": windows.rolling_anomaly_query,
         "transition_matrix": sessions.transition_matrix_query,
+        "twap": sessions.twap_query,
+        "quantiles_disc": quantiles.group_quantiles_disc_query,
         # set algebra: INTERSECT / EXCEPT on distinct keys
         "users_intersect": setops.users_intersect_query,
         "users_except": setops.users_except_query,
@@ -531,6 +533,8 @@ def oracle_sql() -> dict[str, str]:
         "path_rollup": domains.PATH_ROLLUP_ORACLE_SQL,
         "rolling_anomaly": windows.ROLLING_ANOMALY_ORACLE_SQL,
         "transition_matrix": sessions.TRANSITION_MATRIX_ORACLE_SQL,
+        "twap": sessions.TWAP_ORACLE_SQL,
+        "quantiles_disc": quantiles.GROUP_QUANTILES_DISC_ORACLE_SQL,
         "users_intersect": setops.USERS_INTERSECT_ORACLE_SQL,
         "users_except": setops.USERS_EXCEPT_ORACLE_SQL,
         "ntile_bucket": normalize.ntile_oracle_sql(),

@@ -486,3 +486,60 @@ SELECT o_orderkey, o_orderpriority, o_totalprice,
 FROM orders JOIN q USING (o_orderpriority)
 ORDER BY o_orderkey
 """
+
+
+# --- discrete quantiles (quantile_disc parity) --------------------------------------
+
+def group_quantiles_disc(ds: "ray.data.Dataset", group_col: str,
+                         value_col: str,
+                         qs: tuple = GROUP_QUANTILES_QS,
+                         num_partitions: Optional[int] = None
+                         ) -> "ray.data.Dataset":
+    """SQL ``quantile_disc`` parity: the ACTUAL element at each
+    probability (no interpolation — DuckDB picks index
+    ``ceil(q·n) − 1`` of the sorted values, probed against every
+    rounding candidate on a distinct-value table), so the result is
+    exact for any dtype. Same one-exchange shape as group_quantiles.
+    -> (group, q, value, n)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(batch: pa.Table) -> pa.Table:
+        batch = batch.select([group_col, value_col])
+        pid = pd.util.hash_pandas_object(
+            batch.column(group_col).to_pandas(), index=False).to_numpy()
+        return batch.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, grp in g.groupby(group_col, sort=False):
+            v = np.sort(grp[value_col].to_numpy(dtype=np.float64))
+            n = len(v)
+            for q in qs:
+                idx = max(0, int(math.ceil(q * n)) - 1)
+                rows.append((key, float(q), float(v[idx]), n))
+        return pd.DataFrame(rows, columns=[group_col, "q", "value",
+                                           "n"]) \
+            .astype({"q": np.float64, "value": np.float64,
+                     "n": np.int64})
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(quant, batch_format="pandas")
+
+
+def group_quantiles_disc_query(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice"])
+    return group_quantiles_disc(ds, "l_returnflag",
+                                "l_extendedprice")
+
+
+GROUP_QUANTILES_DISC_ORACLE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT l_returnflag, CAST({q} AS DOUBLE) AS q,
+       quantile_disc(l_extendedprice, {q}) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag"""
+    for q in GROUP_QUANTILES_QS) + "\nORDER BY l_returnflag, q\n"

@@ -997,3 +997,102 @@ SELECT from_type, to_type, n,
 FROM c JOIN t USING (from_type)
 ORDER BY from_type, to_type
 """
+
+
+# --- time-weighted average per user (TWAP) -----------------------------------------
+
+def twap(ds: "ray.data.Dataset", user_col: str, ts_col: str,
+         id_col: str, value_col: str,
+         num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Time-weighted average of a metric between consecutive events
+    (each reading holds until the next one — the TWAP/uptime-average
+    rule): per user, Σ v_i·Δt_i over the observation span, with v in
+    exact cents and Δt in whole seconds, so both sums are int64 and
+    order-free; the single quantized division
+    ``twap_c_milli = (2000·Σv·Δt + span) // (2·span)`` (milli-cents)
+    is the pure-integer floor both sides run. Users with one event
+    (span 0) are excluded. One user-routed exchange; consecutive
+    deltas come from a grouped shift. -> (user, n_events, span_s,
+    vt_sum, twap_c_milli)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([user_col, ts_col, id_col, value_col])
+        v = np.rint(t.column(value_col)
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        ts = t.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        # normalize to whole seconds FIRST (timestamp[ns] cast to
+        # int64 silently yields nanos — the peak_concurrency lesson)
+        us = ts.cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        secs = pa.array(us // 1_000_000, pa.int64())
+        out = pa.Table.from_pydict({
+            user_col: t.column(user_col), "sec": secs,
+            id_col: t.column(id_col), "v": pa.array(v)})
+        pid = pd.util.hash_pandas_object(
+            out.column(user_col).to_pandas(), index=False).to_numpy()
+        return out.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "sec", id_col],
+                          kind="mergesort")
+        grp = g.groupby(user_col, sort=False)
+        nxt = grp["sec"].shift(-1)
+        dt = (nxt - g["sec"]).fillna(0).astype(np.int64).to_numpy()
+        vt = g["v"].to_numpy() * dt
+        agg = pd.DataFrame({user_col: g[user_col].to_numpy(),
+                            "vt": vt, "dt": dt, "one": 1}) \
+            .groupby(user_col, as_index=False).sum()
+        agg = agg[agg["dt"] > 0]
+        span = agg["dt"].to_numpy(np.int64)
+        vts = agg["vt"].to_numpy(np.int64)
+        return pd.DataFrame({
+            user_col: agg[user_col].to_numpy(),
+            "n_events": agg["one"].to_numpy(np.int64),
+            "span_s": span, "vt_sum": vts,
+            "twap_c_milli": (2000 * vts + span) // (2 * span)})
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(reduce_part,
+                                   batch_format="pandas")
+
+
+def twap_query(sf_dir: str):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"])
+    return twap(ds, "user_id", "ts", "event_id", "value")
+
+
+TWAP_ORACLE_SQL = """
+WITH u AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) // 1000000 AS sec,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+d AS (
+  SELECT user_id, v,
+         lead(sec) OVER (PARTITION BY user_id
+                         ORDER BY sec, event_id) - sec AS dt
+  FROM u
+),
+s AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(COALESCE(dt, 0)) AS BIGINT) AS span_s,
+         CAST(SUM(COALESCE(v * dt, 0)) AS BIGINT) AS vt_sum
+  FROM d GROUP BY user_id
+)
+SELECT user_id, n_events, span_s, vt_sum,
+       CAST((2000 * vt_sum + span_s) // (2 * span_s) AS BIGINT)
+         AS twap_c_milli
+FROM s WHERE span_s > 0 ORDER BY user_id
+"""

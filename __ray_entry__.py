@@ -93,7 +93,7 @@ _NEXT_UP = [
     "bgp_top_balance", "bgp_values_bind", "bgp_ask", "bgp_path_alt",
     "winsorize", "path_rollup", "rolling_anomaly", "crosstab_chi2",
     "ppr", "random_walks", "transition_matrix", "ab_test",
-    "node_jaccard", "quantiles_disc", "twap",
+    "node_jaccard", "quantiles_disc", "twap", "ewma",
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
     "bgp_construct", "hll_by_type",
@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_anomaly": windows.rolling_anomaly_query,
         "transition_matrix": sessions.transition_matrix_query,
         "twap": sessions.twap_query,
+        "ewma": sessions.ewma_query,
         "quantiles_disc": quantiles.group_quantiles_disc_query,
         # set algebra: INTERSECT / EXCEPT on distinct keys
         "users_intersect": setops.users_intersect_query,
@@ -534,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_anomaly": windows.ROLLING_ANOMALY_ORACLE_SQL,
         "transition_matrix": sessions.TRANSITION_MATRIX_ORACLE_SQL,
         "twap": sessions.TWAP_ORACLE_SQL,
+        "ewma": sessions.EWMA_ORACLE_SQL,
         "quantiles_disc": quantiles.GROUP_QUANTILES_DISC_ORACLE_SQL,
         "users_intersect": setops.USERS_INTERSECT_ORACLE_SQL,
         "users_except": setops.USERS_EXCEPT_ORACLE_SQL,

@@ -1096,3 +1096,90 @@ SELECT user_id, n_events, span_s, vt_sum,
          AS twap_c_milli
 FROM s WHERE span_s > 0 ORDER BY user_id
 """
+
+
+# --- exponentially weighted moving average (integer-halving contract) ---------------
+
+def ewma_half(ds: "ray.data.Dataset", user_col: str, ts_col: str,
+              id_col: str, value_col: str,
+              num_partitions: int | None = None
+              ) -> "ray.data.Dataset":
+    """EWMA with α = 1/2 over each user's time-ordered stream, in
+    exact integers: ``s_i = (v_i + s_{i-1}) // 2`` (s_0 = v_0), v in
+    cents — every state is an int64, so the fold is bit-stable and a
+    bounded recursive-CTE oracle replays it row by row. The fold is
+    inherently sequential per user (each state floors before the
+    next), so the per-user scan is the op's contract — users
+    co-partition by hash and each task folds its complete users with
+    a NumPy object-ufunc accumulate (one pass, no Python indexing);
+    the cross-user work is fully parallel, exactly like group_concat's
+    one-group-one-task contract. -> (user, event_id, v_c, ewma_c)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([user_col, ts_col, id_col, value_col])
+        v = np.rint(t.column(value_col)
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = t.drop_columns([value_col]).append_column(
+            "v", pa.array(v))
+        pid = pd.util.hash_pandas_object(
+            t.column(user_col).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        # frompyfunc ufuncs don't pickle — build per task (cheap)
+        _fold = np.frompyfunc(lambda s, v: (s + v) // 2, 2, 1)
+        g = g.sort_values([user_col, ts_col, id_col],
+                          kind="mergesort").reset_index(drop=True)
+        v = g["v"].to_numpy()
+        # reset the fold at each user boundary by folding per segment
+        starts = np.flatnonzero(np.r_[
+            True, g[user_col].to_numpy()[1:]
+            != g[user_col].to_numpy()[:-1]])
+        bounds = np.append(starts, len(g))
+        ew = np.empty(len(g), dtype=np.int64)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            seg = v[a:b].astype(object)
+            acc = _fold.accumulate(seg, dtype=object)
+            acc[0] = seg[0]
+            ew[a:b] = acc.astype(np.int64)
+        return pd.DataFrame({
+            user_col: g[user_col].to_numpy(),
+            id_col: g[id_col].to_numpy(),
+            "v_c": v, "ewma_c": ew})
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(scan, batch_format="pandas")
+
+
+def ewma_query(sf_dir: str):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"])
+    return ewma_half(ds, "user_id", "ts", "event_id", "value")
+
+
+# the walk is bounded by the deepest per-user stream; rn is dense per
+# user so the recursive join advances exactly one row per iteration
+EWMA_ORACLE_SQL = """
+WITH RECURSIVE u AS MATERIALIZED (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+walk(user_id, rn, event_id, v, s) AS (
+  SELECT user_id, rn, event_id, v, v FROM u WHERE rn = 1
+  UNION ALL
+  SELECT u.user_id, u.rn, u.event_id, u.v, (u.v + w.s) // 2
+  FROM walk w JOIN u ON u.user_id = w.user_id AND u.rn = w.rn + 1
+)
+SELECT user_id, event_id, v AS v_c, s AS ewma_c
+FROM walk ORDER BY user_id, rn
+"""

@@ -767,8 +767,44 @@ q0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS q FROM nodes)"""]
 
 # --- k-core decomposition ------------------------------------------------------
 
+def _kcore_send(k: int):
+    def send(state: pd.DataFrame, adj: pd.DataFrame):
+        peel = state.loc[(state["alive"] == 1)
+                         & (state["deg"] < k), ["node"]]
+        if not len(peel):
+            return None
+        m = adj.merge(peel, on="node")
+        out = m.groupby("other", as_index=False).size()
+        return pd.DataFrame({
+            "node": out["other"].to_numpy(),
+            "cnt": out["size"].to_numpy(np.int64)})
+    return send
+
+
+def _kcore_reduce(k: int):
+    def reduce(msgs, state: pd.DataFrame):
+        if not len(state):
+            return state, 0
+        # synchronous peel: the round's peel set is determined by the
+        # START-of-round degrees (same set the send kernel derived)
+        newly = ((state["alive"] == 1)
+                 & (state["deg"] < k)).to_numpy()
+        changed = int(newly.sum())
+        state = state.copy()
+        state.loc[newly, "alive"] = np.int64(0)
+        if msgs is not None and len(msgs):
+            dec = msgs.groupby("node", as_index=False)["cnt"].sum()
+            m = state[["node"]].merge(dec, on="node", how="left")
+            state["deg"] = state["deg"].to_numpy(np.int64) \
+                - np.nan_to_num(m["cnt"].to_numpy(np.float64),
+                                nan=0.0).astype(np.int64)
+        return state, changed
+    return reduce
+
+
 def k_core(edges: "ray.data.Dataset", k: int = 2, max_iters: int = 50,
-           num_partitions: int | None = None) -> "ray.data.Dataset":
+           num_partitions: int | None = None,
+           venue: str = "dataset") -> "ray.data.Dataset":
     """The k-core of an undirected (a, b) int64 edge Dataset (distinct
     edges, no self-loops): iterative peeling — drop every node whose
     degree in the SURVIVING subgraph is < k, recompute, repeat to
@@ -809,6 +845,52 @@ def k_core(edges: "ray.data.Dataset", k: int = 2, max_iters: int = 50,
         return out
 
     edges = edges.select_columns(["a", "b"]).materialize()
+
+    if venue == "actors":
+        # peeling on the Pregel pool: NO adjacency mutation needed —
+        # a peeled node flips alive=0 and simply stops sending; its
+        # neighbors' degrees fall via decrement messages sent exactly
+        # once (the round it peels). Synchronous semantics identical
+        # to the dataset venue (venue-equality unit).
+        from rdf_mapper_ray.engine.pregel import PregelPool
+
+        def adj_rows(t: pa.Table) -> pa.Table:
+            a, b = (t.column("a").combine_chunks(),
+                    t.column("b").combine_chunks())
+            out = pa.Table.from_pydict({
+                "node": pa.concat_arrays([a, b]),
+                "other": pa.concat_arrays([b, a])})
+            return _pid_on("node")(out)
+
+        pool = PregelPool(
+            edges.map_batches(adj_rows, batch_format="pyarrow"),
+            num_partitions, _kcore_send(k), _kcore_reduce(k))
+        empty = pa.Table.from_pydict({
+            "node": pa.array([], pa.int64()),
+            "deg": pa.array([], pa.int64()),
+            "alive": pa.array([], pa.int64())})
+
+        def seed_deg(adj_df: pd.DataFrame) -> pd.DataFrame:
+            d = adj_df.groupby("node", as_index=False).size() \
+                .rename(columns={"size": "deg"})
+            d["deg"] = d["deg"].astype(np.int64)
+            d["alive"] = np.int64(1)
+            return d
+
+        pool.init_state_from_adj(seed_deg, empty)
+        pool.run(max_iters)
+        out = pool.collect()
+        pool.shutdown()
+
+        def survivors(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("alive"),
+                                  pa.scalar(1, pa.int64())))
+            return pa.Table.from_pydict({
+                "node": t.column("node"),
+                "degree": t.column("deg")})
+
+        return out.map_batches(survivors, batch_format="pyarrow")
+
     deg = None
     for _ in range(max_iters):
         deg = edges.map_batches(endpoints, batch_format="pyarrow") \

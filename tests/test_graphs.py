@@ -302,3 +302,28 @@ def test_lpa_pregel_venue_equals_dataset_venue(ray_session):
                             venue="actors").to_pandas() \
             .sort_values("node").reset_index(drop=True)
         pd.testing.assert_frame_equal(base, act)
+
+
+def test_kcore_pregel_venue_equals_dataset_venue(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import k_core
+    # K4 clique (3-core) + a tail 4-5-6 that fully peels at k=3, and
+    # a triangle 10-11-12 (2-core, peels at k=3)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tail = [(3, 4), (4, 5), (5, 6)]
+    tri = [(10, 11), (11, 12), (10, 12)]
+    df = pd.DataFrame(k4 + tail + tri, columns=["a", "b"])
+    for kk in (2, 3):
+        for nblocks in (1, 4):
+            ds = ray.data.from_pandas(df).repartition(nblocks)
+            base = k_core(ds, k=kk, num_partitions=3).to_pandas() \
+                .sort_values("node").reset_index(drop=True)
+            act = k_core(ds, k=kk, num_partitions=3,
+                         venue="actors").to_pandas() \
+                .sort_values("node").reset_index(drop=True)
+            pd.testing.assert_frame_equal(base, act)
+    # k=3 leaves exactly the K4 with in-core degree 3
+    assert dict(zip(act["node"], act["degree"])) == {
+        0: 3, 1: 3, 2: 3, 3: 3}

@@ -41,6 +41,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -272,4 +273,236 @@ SELECT doc_id, cluster_id, CAST(score AS BIGINT) AS score,
        (row_number() OVER (PARTITION BY cluster_id
                            ORDER BY score DESC, doc_id) = 1) AS kept
 FROM asg ORDER BY doc_id
+"""
+
+
+# --- DBSCAN (deterministic core/border variant) over the eps-graph ---------------
+
+def dbscan_embeddings(emb: "ray.data.Dataset", threshold: float = 0.3,
+                      min_pts: int = 2,
+                      num_partitions: int | None = None
+                      ) -> "ray.data.Dataset":
+    """Density clustering over the embedding eps-neighborhood graph
+    (cosine ≥ threshold ⇔ eps-close), in the DETERMINISTIC core/border
+    formulation (textbook DBSCAN assigns border points to whichever
+    core point reaches them first — order-dependent; this variant is
+    the standard reproducible fix): core ⇔ ≥ min_pts neighbors;
+    clusters = connected components of the core–core subgraph
+    (min-label, the repo's CC); border = non-core with ≥1 core
+    neighbor, assigned the SMALLEST adjacent core's cluster; others
+    are noise and are not emitted. -> (node, role 'core'|'border',
+    cluster).
+
+    Shape: one degree pass over the pair list (pid-routed counts),
+    core flags broadcast-free via semi-joins on the routed partitions,
+    CC on the core-core edges, then one more routed join for borders.
+    """
+    from rdf_mapper_ray.engine.canonicalize import _cc_min_label
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs,
+                                          partitions_for)
+
+    if num_partitions is None:
+        num_partitions = partitions_for(emb, 8)
+
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"]) \
+        .map_batches(_pairs_as_edges, batch_format="pyarrow") \
+        .materialize()
+
+    def _pid(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(
+                t.column(col).to_pandas(), index=False).to_numpy()
+            return t.append_column(
+                "pid", pa.array((h % np.uint64(num_partitions))
+                                .astype(np.int64)))
+        return f
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        a, b = (t.column("a").combine_chunks(),
+                t.column("b").combine_chunks())
+        return _pid("node")(pa.Table.from_pydict({
+            "node": pa.concat_arrays([a, b])}))
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False).size() \
+            .rename(columns={"size": "deg"})
+        out["deg"] = out["deg"].astype(np.int64)
+        return out
+
+    deg = pairs.map_batches(endpoints, batch_format="pyarrow") \
+        .groupby("pid").map_groups(count_part,
+                                   batch_format="pandas") \
+        .materialize()
+    core = deg.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t.column("deg"), pa.scalar(min_pts, pa.int64())))
+        .select(["node"]), batch_format="pyarrow").materialize()
+
+    # core-core edges: two routed semi-joins (edge by a, then by b)
+    def tag(kind: int, cols):
+        def f(t: pa.Table) -> pa.Table:
+            d = {"x": t.column(cols[0]),
+                 "y": (t.column(cols[1]) if len(cols) > 1
+                       else t.column(cols[0]))}
+            out = pa.Table.from_pydict(d)
+            out = out.append_column(
+                "kind", pa.array(np.full(t.num_rows, kind, np.int8)))
+            return _pid("x")(out)
+        return f
+
+    def keep_if_core(g: pd.DataFrame) -> pd.DataFrame:
+        cs = set(g.loc[g["kind"] == 1, "x"].to_numpy())
+        e = g[g["kind"] == 0]
+        return e[e["x"].isin(cs)][["x", "y"]]
+
+    half = pairs.map_batches(tag(0, ("a", "b")),
+                             batch_format="pyarrow") \
+        .union(core.map_batches(tag(1, ("node",)),
+                                batch_format="pyarrow")) \
+        .groupby("pid").map_groups(keep_if_core,
+                                   batch_format="pandas")
+    def swap_edges(t: pa.Table) -> pa.Table:
+        out = pa.Table.from_pydict(
+            {"x": t.column("y"), "y": t.column("x")})
+        out = out.append_column(
+            "kind", pa.array(np.zeros(t.num_rows, np.int8)))
+        return _pid("x")(out)
+
+    cc_edges = half.map_batches(swap_edges, batch_format="pyarrow") \
+        .union(core.map_batches(tag(1, ("node",)),
+                                batch_format="pyarrow")) \
+        .groupby("pid").map_groups(keep_if_core,
+                                   batch_format="pandas") \
+        .map_batches(lambda t: pa.Table.from_pydict(
+            {"a": t.column("y"), "b": t.column("x")}),
+            batch_format="pyarrow").materialize()
+
+    # isolated cores (no core neighbor) are their own cluster; CC
+    # covers cores touching a core edge — union the rest back in
+    labels = _cc_min_label(cc_edges, num_partitions=num_partitions)
+
+    def lab_rows(t: pa.Table) -> pa.Table:
+        out = t.rename_columns(["node", "cluster"])
+        return _pid("node")(out).append_column(
+            "kind", pa.array(np.ones(t.num_rows, np.int8)))
+
+    def core_rows(t: pa.Table) -> pa.Table:
+        return _pid("node")(pa.Table.from_pydict({
+            "node": t.column("node"),
+            "cluster": t.column("node")})).append_column(
+            "kind", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    def pick_label(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["node", "kind"])
+        # kind 1 (CC label) wins over kind 0 (self label) per node
+        out = g.groupby("node", as_index=False).last()
+        return out[["node", "cluster"]]
+
+    core_lab = labels.map_batches(lab_rows, batch_format="pyarrow") \
+        .union(core.map_batches(core_rows, batch_format="pyarrow")) \
+        .groupby("pid").map_groups(pick_label,
+                                   batch_format="pandas") \
+        .materialize()
+
+    # borders: non-core endpoint adjacent to a core -> min adjacent
+    # core cluster; route edges by the CORE side and join its label
+    def edge_by_core(t: pa.Table) -> pa.Table:
+        a, b = (t.column("a").combine_chunks(),
+                t.column("b").combine_chunks())
+        out = pa.Table.from_pydict({
+            "node": pa.concat_arrays([a, b]),
+            "other": pa.concat_arrays([b, a])})
+        out = out.append_column(
+            "cluster", pa.array(np.zeros(out.num_rows, np.int64)))
+        return _pid("node")(out).append_column(
+            "kind", pa.array(np.zeros(out.num_rows, np.int8)))
+
+    def lab2(t: pa.Table) -> pa.Table:
+        out = pa.Table.from_pydict({
+            "node": t.column("node"), "other": t.column("node"),
+            "cluster": t.column("cluster")})
+        return _pid("node")(out).append_column(
+            "kind", pa.array(np.ones(out.num_rows, np.int8)))
+
+    def border_msgs(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[g["kind"] == 1, ["node", "cluster"]]
+        e = g.loc[g["kind"] == 0, ["node", "other"]]
+        m = e.merge(lab, on="node")  # edges whose routed side is core
+        return m[["other", "cluster"]]
+
+    msgs = pairs.map_batches(edge_by_core, batch_format="pyarrow") \
+        .union(core_lab.map_batches(lab2, batch_format="pyarrow")) \
+        .groupby("pid").map_groups(border_msgs,
+                                   batch_format="pandas")
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[g["kind"] == 1, ["node", "cluster"]]
+        cand = g.loc[g["kind"] == 0] \
+            .groupby("node", as_index=False)["cluster"].min()
+        border = cand[~cand["node"].isin(lab["node"])]
+        out = pd.concat([
+            lab.assign(role="core"),
+            border.assign(role="border")], ignore_index=True)
+        return out[["node", "role", "cluster"]]
+
+    def msg_rows(t: pa.Table) -> pa.Table:
+        out = pa.Table.from_pydict({
+            "node": t.column("other"),
+            "cluster": t.column("cluster")})
+        return _pid("node")(out).append_column(
+            "kind", pa.array(np.zeros(out.num_rows, np.int8)))
+
+    def lab3(t: pa.Table) -> pa.Table:
+        return _pid("node")(t.select(["node", "cluster"])) \
+            .append_column("kind",
+                           pa.array(np.ones(t.num_rows, np.int8)))
+
+    return msgs.map_batches(msg_rows, batch_format="pyarrow") \
+        .union(core_lab.map_batches(lab3, batch_format="pyarrow")) \
+        .groupby("pid").map_groups(assemble, batch_format="pandas")
+
+
+def dbscan_query(sf_dir: str, threshold: float = 0.3,
+                 min_pts: int = 2):
+    from rdf_mapper_ray.ops.readers import read_table
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    return dbscan_embeddings(emb, threshold=threshold,
+                             min_pts=min_pts)
+
+
+DBSCAN_ORACLE_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+),
+ued AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT a AS node, COUNT(*) AS d FROM ued GROUP BY a),
+core AS (SELECT node FROM deg WHERE d >= 2),
+cce AS (
+  SELECT u.a, u.b FROM ued u
+  JOIN core c1 ON c1.node = u.a JOIN core c2 ON c2.node = u.b
+),
+reach(node, label) AS (
+  SELECT node, node FROM core
+  UNION
+  SELECT cce.b, r.label FROM reach r JOIN cce ON cce.a = r.node
+),
+corelab AS (
+  SELECT node, CAST(MIN(label) AS BIGINT) AS cluster
+  FROM reach GROUP BY node
+),
+border AS (
+  SELECT u.b AS node, MIN(cl.cluster) AS cluster
+  FROM ued u JOIN corelab cl ON cl.node = u.a
+  WHERE u.b NOT IN (SELECT node FROM core)
+  GROUP BY u.b
+)
+SELECT node, 'core' AS role, cluster FROM corelab
+UNION ALL
+SELECT node, 'border', CAST(cluster AS BIGINT) FROM border
+ORDER BY node
 """

@@ -94,6 +94,7 @@ _NEXT_UP = [
     "winsorize", "path_rollup", "rolling_anomaly", "crosstab_chi2",
     "ppr", "random_walks", "transition_matrix", "ab_test",
     "node_jaccard", "quantiles_disc", "twap", "ewma", "dbscan",
+    "zorder", "fk_audit",
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
     "bgp_construct", "hll_by_type",
@@ -283,6 +284,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": graphs.random_walks_query,
         "node_jaccard": graphs.node_jaccard_query,
         "dbscan": clusters.dbscan_query,
+        "zorder": __import__("rdf_mapper_ray.ops.io",
+                             fromlist=["io"]).zorder_query,
+        "fk_audit": diff.fk_audit_query,
         "bgp_agg_balance": relational.bgp_agg_balance_query,
         "bgp_top_balance": relational.bgp_top_balance_query,
         "bgp_values_bind": relational.bgp_values_bind_query,
@@ -522,6 +526,9 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": graphs.random_walks_oracle_sql(),
         "node_jaccard": graphs.node_jaccard_oracle_sql(),
         "dbscan": clusters.DBSCAN_ORACLE_SQL,
+        "zorder": __import__("rdf_mapper_ray.ops.io",
+                             fromlist=["io"]).ZORDER_ORACLE_SQL,
+        "fk_audit": diff.FK_AUDIT_ORACLE_SQL,
         "bgp_agg_balance": relational.BGP_AGG_BALANCE_ORACLE_SQL,
         "bgp_top_balance": relational.BGP_TOP_BALANCE_ORACLE_SQL,
         "bgp_values_bind": relational.BGP_VALUES_BIND_ORACLE_SQL,

@@ -234,3 +234,105 @@ UNION ALL
 SELECT doc_id, text FROM ch WHERE op IN ('I', 'U')
 ORDER BY doc_id
 """
+
+
+# --- referential-integrity audit ----------------------------------------------------
+
+def fk_audit(sf_dir: str,
+             num_partitions: int | None = None) -> pa.Table:
+    """Cross-table foreign-key integrity counts — the data-governance
+    check a warehouse runs before publishing: for each FK edge, how
+    many child rows have no parent (distributed ANTI joins over the
+    repo's equi_join) and how many distinct orphan keys. One summary
+    row per relationship; counts reduce map-side so only per-block
+    partials move. -> (relationship, n_child, n_orphans,
+    n_orphan_keys)."""
+    from rdf_mapper_ray.ops.joins import equi_join
+    from rdf_mapper_ray.ops.readers import read_table
+
+    def audit(child, child_col, parent, parent_col, name):
+        anti = equi_join(child, parent, left_on=child_col,
+                         right_on=parent_col, how="anti",
+                         num_partitions=num_partitions).materialize()
+        total = child.count()
+        n_orphans = anti.count()
+        if n_orphans:
+            # orphan keys are a small side BY CONSTRUCTION
+            # (violations): per-block distinct, final nunique driver-side
+            def uniq(t: pa.Table, c=child_col) -> pa.Table:
+                col = t.column(c)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                return pa.Table.from_pydict({"k": pc.unique(col)})
+
+            n_orphan_keys = anti.map_batches(
+                uniq, batch_format="pyarrow").to_pandas()["k"] \
+                .nunique()
+        else:
+            n_orphan_keys = 0
+        return (name, total, int(n_orphans), int(n_orphan_keys))
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+    od = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey"])
+    cu = read_table(sf_dir, "customer", columns=["c_custkey",
+                                                 "c_nationkey"])
+    na = read_table(sf_dir, "nation", columns=["n_nationkey"])
+
+    rows = [
+        audit(li, "l_orderkey", od.select_columns(["o_orderkey"]),
+              "o_orderkey", "lineitem.order"),
+        audit(od.select_columns(["o_custkey"]), "o_custkey",
+              cu.select_columns(["c_custkey"]), "c_custkey",
+              "orders.customer"),
+        audit(cu.select_columns(["c_nationkey"]), "c_nationkey",
+              na, "n_nationkey", "customer.nation"),
+    ]
+    rows.sort()
+    return pa.Table.from_pydict({
+        "relationship": pa.array([r[0] for r in rows]),
+        "n_child": pa.array([r[1] for r in rows], pa.int64()),
+        "n_orphans": pa.array([r[2] for r in rows], pa.int64()),
+        "n_orphan_keys": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def fk_audit_query(sf_dir: str):
+    return fk_audit(sf_dir)
+
+
+FK_AUDIT_ORACLE_SQL = """
+SELECT * FROM (
+  SELECT 'lineitem.order' AS relationship,
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+              AS BIGINT) AS n_orphans,
+         CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+              AS BIGINT) AS n_orphan_keys
+  UNION ALL
+  SELECT 'orders.customer',
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+              AS BIGINT),
+         CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'customer.nation',
+         CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = c.c_nationkey))
+              AS BIGINT),
+         CAST((SELECT COUNT(DISTINCT c_nationkey) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = c.c_nationkey))
+              AS BIGINT)
+) ORDER BY relationship
+"""

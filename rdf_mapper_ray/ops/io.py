@@ -74,3 +74,79 @@ def write_partitioned(ds: "ray.data.Dataset", root: str, by_col: str,
     return ds.map_batches(route, batch_format="pyarrow") \
         .groupby("__bucket").map_groups(write_bucket,
                                         batch_format="pyarrow")
+
+
+# --- Z-order (Morton) clustering key ----------------------------------------------
+
+_Z_BITS = 8
+
+
+def _zorder_sql_terms(xcol: str, ycol: str, bits: int = _Z_BITS) -> str:
+    """The unrolled bit-interleave as one SQL expression (the engine's
+    vectorized kernel and this expression are the same formula)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_key(ds: "ray.data.Dataset", x_col: str, y_col: str,
+               x_max: float, y_max: float, id_col: str,
+               bits: int = _Z_BITS) -> "ray.data.Dataset":
+    """Morton/Z-order clustering key over two numeric columns — the
+    multi-dimensional data-layout primitive (sort by zval before a
+    partitioned write and range scans on EITHER column prune to
+    O(√N) of the file zone maps instead of all of them). Each column
+    quantizes to ``bits`` bits of its [0, max] range with pure
+    integer math (``v·(2^bits − 1) // max`` on cents — no float), and
+    the interleave is an unrolled shift-or both sides run literally.
+    Map-only (the sort is the caller's move; this op is the key).
+    -> (id, zx, zy, zval) sorted by (zval, id)."""
+    levels = (1 << bits) - 1
+    xm = int(round(x_max * 100))
+    ym = int(round(y_max * 100))
+
+    def key(t: pa.Table) -> pa.Table:
+        x = np.rint(t.column(x_col).to_numpy(zero_copy_only=False)
+                    * 100).astype(np.int64)
+        y = np.rint(t.column(y_col).to_numpy(zero_copy_only=False)
+                    * 100).astype(np.int64)
+        zx = np.minimum(x * levels // xm, levels)
+        zy = np.minimum(y * levels // ym, levels)
+        zval = np.zeros(len(zx), dtype=np.int64)
+        for i in range(bits):
+            zval |= ((zx >> i) & 1) << (2 * i)
+            zval |= ((zy >> i) & 1) << (2 * i + 1)
+        return pa.Table.from_pydict({
+            id_col: t.column(id_col),
+            "zx": pa.array(zx), "zy": pa.array(zy),
+            "zval": pa.array(zval)})
+
+    return ds.map_batches(key, batch_format="pyarrow") \
+        .sort(["zval", id_col])
+
+
+def zorder_query(sf_dir: str):
+    """Z-order key over (p_size, p_retailprice) — the two columns a
+    part scan filters by."""
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "part",
+                    columns=["p_partkey", "p_size", "p_retailprice"])
+    return zorder_key(ds, "p_size", "p_retailprice",
+                      x_max=50.0, y_max=2000.0, id_col="p_partkey")
+
+
+ZORDER_ORACLE_SQL = f"""
+WITH q AS (
+  SELECT p_partkey,
+         least(CAST(round(p_size * 100) AS BIGINT) * 255 // 5000,
+               255) AS zx,
+         least(CAST(round(p_retailprice * 100) AS BIGINT) * 255
+               // 200000, 255) AS zy
+  FROM part
+)
+SELECT p_partkey, zx, zy,
+       CAST({_zorder_sql_terms('zx', 'zy')} AS BIGINT) AS zval
+FROM q ORDER BY zval, p_partkey
+"""

@@ -94,7 +94,7 @@ _NEXT_UP = [
     "winsorize", "path_rollup", "rolling_anomaly", "crosstab_chi2",
     "ppr", "random_walks", "transition_matrix", "ab_test",
     "node_jaccard", "quantiles_disc", "twap", "ewma", "dbscan",
-    "zorder", "fk_audit",
+    "zorder", "fk_audit", "group_gini", "benford",
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
     "bgp_construct", "hll_by_type",
@@ -295,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_cosine": baskets.item_cosine_query,
         "rank_windows": stats.rank_windows_query,
         "ab_test": stats.ab_test_query,
+        "group_gini": stats.group_gini_query,
+        "benford": stats.benford_audit_query,
         "mad_outliers": quantiles.mad_outliers_query,
         "winsorize": quantiles.winsorize_query,
         "crosstab_chi2": rollup.crosstab_chi2_query,
@@ -537,6 +539,8 @@ def oracle_sql() -> dict[str, str]:
         "item_cosine": baskets.item_cosine_oracle_sql(),
         "rank_windows": stats.RANK_WINDOWS_ORACLE_SQL,
         "ab_test": stats.AB_TEST_ORACLE_SQL,
+        "group_gini": stats.GROUP_GINI_ORACLE_SQL,
+        "benford": stats.BENFORD_ORACLE_SQL,
         "mad_outliers": quantiles.MAD_OUTLIERS_ORACLE_SQL,
         "winsorize": quantiles.WINSORIZE_ORACLE_SQL,
         "crosstab_chi2": rollup.CROSSTAB_CHI2_ORACLE_SQL,

@@ -606,3 +606,154 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
             END AS BIGINT) AS z2_micro
 FROM s
 """
+
+
+# --- Gini coefficient per group (exact integer numerator) --------------------------
+
+def group_gini(ds: "ray.data.Dataset", group_col: str,
+               value_col: str,
+               num_partitions: Optional[int] = None
+               ) -> "ray.data.Dataset":
+    """Inequality of a positive metric inside each group, by the exact
+    sorted-rank identity G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) (i = 1-based
+    rank): with cents xᵢ both numerator and denominator are exact
+    integers, and the milli quantization ``(2000·num + den)//(2·den)``
+    is the pure-integer floor the SQL oracle replays over a
+    row_number() window. Groups co-partition by hash; the rank pass
+    is one in-task sort. -> (group, n, gini_milli)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col])
+        v = np.rint(t.column(value_col)
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = t.drop_columns([value_col]).append_column(
+            "v", pa.array(v))
+        pid = pd.util.hash_pandas_object(
+            t.column(group_col).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def gini_part(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, grp in g.groupby(group_col, sort=False):
+            v = np.sort(grp["v"].to_numpy(np.int64))
+            n = len(v)
+            i = np.arange(1, n + 1, dtype=np.int64)
+            num = int(((2 * i - n - 1) * v).sum())
+            den = n * int(v.sum())
+            gini = (2000 * num + den) // (2 * den) if den else -1
+            rows.append((key, n, gini))
+        return pd.DataFrame(rows, columns=[group_col, "n",
+                                           "gini_milli"]) \
+            .astype({"n": np.int64, "gini_milli": np.int64})
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(gini_part, batch_format="pandas")
+
+
+def group_gini_query(sf_dir: str):
+    """Order-value inequality per priority class."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_totalprice"])
+    return group_gini(ds, "o_orderpriority", "o_totalprice")
+
+
+GROUP_GINI_ORACLE_SQL = """
+WITH u AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS i
+  FROM orders
+),
+s AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(v) AS sv, SUM(2 * i * v) AS s2iv
+  FROM u GROUP BY g
+)
+SELECT g AS o_orderpriority, n,
+       CAST((2000 * (s2iv - (n + 1) * sv) + n * sv)
+            // (2 * n * sv) AS BIGINT) AS gini_milli
+FROM s ORDER BY g
+"""
+
+
+# --- Benford first-digit audit -------------------------------------------------------
+
+def benford_audit(ds: "ray.data.Dataset", value_col: str
+                  ) -> "ray.data.Dataset":
+    """First-significant-digit distribution of a positive metric vs
+    Benford's law — the classic fabricated-data screen. The digit
+    comes from the decimal STRING of the integer cents (identical
+    extraction in SQL: ``substr(CAST(v AS VARCHAR), 1, 1)`` — no
+    float log10 edge cases), counts reduce map-side, and the
+    observed per-digit share is milli-quantized with the pure-integer
+    floor. Expected Benford shares ship as integer milli constants
+    computed once from log10(1 + 1/d). -> (digit, n, p_obs_milli,
+    p_benford_milli)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    bm = {d: int(math.floor(1000.0 * math.log10(1.0 + 1.0 / d)
+                            + 0.5)) for d in range(1, 10)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.rint(t.column(value_col)
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        v = v[v > 0]
+        s = v.astype("U1")  # first char of the decimal repr
+        dig = s.astype(np.int64)
+        d, c = np.unique(dig, return_counts=True)
+        return pa.Table.from_pydict({
+            "digit": pa.array(d),
+            "c": pa.array(c.astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("digit").aggregate(Sum("c")).to_pandas() \
+        .rename(columns={"sum(c)": "n"}).sort_values("digit")
+    total = int(agg["n"].sum())
+    n = agg["n"].to_numpy(np.int64)
+    out = pa.Table.from_pydict({
+        "digit": pa.array(agg["digit"].to_numpy(np.int64)),
+        "n": pa.array(n),
+        "p_obs_milli": pa.array(
+            (2000 * n + total) // (2 * total)),
+        "p_benford_milli": pa.array(
+            np.asarray([bm[int(d)] for d in agg["digit"]],
+                       dtype=np.int64))})
+    return out
+
+
+def benford_audit_query(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+    return benford_audit(ds, "o_totalprice")
+
+
+BENFORD_ORACLE_SQL = """
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE round(o_totalprice * 100) > 0
+),
+d AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM v GROUP BY 1
+),
+t AS (SELECT SUM(n) AS total FROM d)
+SELECT digit, n,
+       CAST((2000 * n + total) // (2 * total) AS BIGINT)
+         AS p_obs_milli,
+       CAST(CASE digit
+            WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+            WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67
+            WHEN 7 THEN 58 WHEN 8 THEN 51 WHEN 9 THEN 46
+            END AS BIGINT) AS p_benford_milli
+FROM d, t ORDER BY digit
+"""

@@ -54,7 +54,12 @@ def pid_of(nodes, num_partitions: int) -> np.ndarray:
 def _block_pids(t: pa.Table) -> list:
     """Which partitions' rows live in this adjacency block (blocks
     come out of a pid groupby, so usually 1-2 pids per block).
-    Empty groupby output blocks carry an empty schema — skip them."""
+    Empty groupby output blocks carry an empty schema — skip them.
+    Blocks may be pandas (upstream map_groups) or Arrow."""
+    if isinstance(t, pd.DataFrame):
+        if not len(t) or "pid" not in t.columns:
+            return []
+        return np.unique(t["pid"].to_numpy()).tolist()
     if t.num_rows == 0 or "pid" not in t.schema.names:
         return []
     return np.unique(t.column("pid").to_numpy()).tolist()
@@ -79,6 +84,8 @@ class _PregelPart:
     def load_adj(self, refs: list) -> int:
         parts = []
         for t in ray.get(list(refs)):
+            if isinstance(t, pd.DataFrame):
+                t = pa.Table.from_pandas(t, preserve_index=False)
             t = t.filter(pa.compute.equal(
                 t.column("pid"), pa.scalar(self._pid, pa.int64())))
             if t.num_rows:

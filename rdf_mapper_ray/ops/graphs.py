@@ -376,6 +376,70 @@ def pagerank_int(edges: "ray.data.Dataset", iters: int = 2,
             "pid": _pid_of(node),
         })
 
+    if venue == "actors":
+        # fourth algorithm on the Pregel pool (engine/pregel.py): the
+        # degree-annotated adjacency loads into persistent actors
+        # once, per round only (dst, contribution-sum) messages move.
+        # Simple-config venue (the broadcast/copartition venues carry
+        # the directed/dangling/tol machinery).
+        if directed or dangling != "none" or tol is not None:
+            raise ValueError("actors venue: undirected, "
+                             "dangling='none', tol=None only")
+        from rdf_mapper_ray.engine.pregel import PregelPool
+
+        def adj_with_deg(g: pd.DataFrame) -> pd.DataFrame:
+            d = g.groupby("src")["dst"].transform("size")
+            return pd.DataFrame({
+                "node": g["src"].to_numpy(),
+                "dst": g["dst"].to_numpy(),
+                "deg": d.to_numpy(np.int64),
+                "pid": g["pid"].to_numpy()})
+
+        routed = edges.map_batches(undirect, batch_format="pyarrow") \
+            .groupby("pid").map_groups(adj_with_deg,
+                                       batch_format="pandas")
+        base_a = (_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE \
+            // _PR_DAMP_DEN
+
+        def pr_send(state: pd.DataFrame, adj: pd.DataFrame):
+            m = adj.merge(state[["node", "q"]], on="node")
+            c = m["q"].to_numpy(np.int64) \
+                // m["deg"].to_numpy(np.int64)
+            out = pd.DataFrame({"node": m["dst"].to_numpy(), "c": c})
+            return out.groupby("node", as_index=False)["c"].sum()
+
+        def pr_reduce(msgs, state: pd.DataFrame):
+            if not len(state):
+                return state, 0
+            s = np.zeros(len(state), dtype=np.int64)
+            if msgs is not None and len(msgs):
+                agg = msgs.groupby("node", as_index=False)["c"].sum()
+                m = state[["node"]].merge(agg, on="node", how="left")
+                s = np.nan_to_num(m["c"].to_numpy(np.float64),
+                                  nan=0.0).astype(np.int64)
+            q_new = base_a + (_PR_DAMP_NUM * s) // _PR_DAMP_DEN
+            changed = int((q_new != state["q"].to_numpy()).any())
+            state = state.copy()
+            state["q"] = q_new
+            return state, changed
+
+        pool = PregelPool(routed, num_partitions, pr_send, pr_reduce)
+        empty = pa.Table.from_pydict({
+            "node": pa.array([], pa.int64()),
+            "q": pa.array([], pa.int64())})
+
+        def seed_state(adj_df: pd.DataFrame) -> pd.DataFrame:
+            n = np.unique(adj_df["node"].to_numpy())
+            return pd.DataFrame({
+                "node": n,
+                "q": np.full(len(n), _PR_SCALE, dtype=np.int64)})
+
+        pool.init_state_from_adj(seed_state, empty)
+        pool.run(iters)
+        out = pool.collect().select_columns(["node", "q"])
+        pool.shutdown()
+        return out
+
     if venue == "broadcast":
         # the rank AND degree tables ride the driver + object store, so
         # this venue needs ZERO distributed exchanges: degrees merge on

@@ -327,3 +327,24 @@ def test_kcore_pregel_venue_equals_dataset_venue(ray_session):
     # k=3 leaves exactly the K4 with in-core degree 3
     assert dict(zip(act["node"], act["degree"])) == {
         0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_pagerank_pregel_venue_equals_broadcast(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import pagerank_int
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 30, 80)
+    b = (a + rng.integers(1, 7, 80)) % 30
+    df = pd.DataFrame({"a": a, "b": b})
+    df = df[df.a != df.b].drop_duplicates()
+    ds = ray.data.from_pandas(df).repartition(3)
+    for iters in (1, 3):
+        base = pagerank_int(ds, iters=iters, num_partitions=3,
+                            venue="broadcast").to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        act = pagerank_int(ds, iters=iters, num_partitions=3,
+                           venue="actors").to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(base, act)

@@ -1050,14 +1050,70 @@ ORDER BY node
 
 # --- connected components as a first-class query ------------------------------
 
+def _cc_send(state: pd.DataFrame, adj: pd.DataFrame):
+    f = state.loc[state["changed"] == 1, ["node", "label"]]
+    if not len(f):
+        return None
+    m = adj.merge(f, on="node", how="inner")
+    out = pd.DataFrame({"node": m["other"].to_numpy(),
+                        "label": m["label"].to_numpy()})
+    return out.groupby("node", as_index=False)["label"].min()
+
+
 def graph_components(edges: "ray.data.Dataset",
-                     num_partitions: int | None = None
-                     ) -> "ray.data.Dataset":
+                     num_partitions: int | None = None,
+                     venue: str = "dataset",
+                     max_rounds: int = 64) -> "ray.data.Dataset":
     """(a, b) int64 edge Dataset -> (node, component) where component
-    is the smallest node id in the node's connected component — the
-    distributed Hash-to-Min min-label propagation
-    (engine/canonicalize.py) exposed directly. Nodes are those
+    is the smallest node id in the node's connected component. Two
+    venues: the distributed Hash-to-Min min-label propagation
+    (engine/canonicalize.py — the production canonicalization path),
+    and ``venue="actors"`` — min-label propagation on the Pregel pool
+    (fifth algorithm on engine/pregel.py: every node seeds its own
+    label with changed=1, the min-reduce family does the rest; the
+    adjacency never re-rides the per-round exchange). Nodes are those
     appearing in at least one edge."""
+    if venue == "actors":
+        from rdf_mapper_ray.engine.pregel import PregelPool
+        if num_partitions is None:
+            from rdf_mapper_ray.ops.dedup import partitions_for
+            num_partitions = partitions_for(edges, 8)
+
+        def adj(t: pa.Table) -> pa.Table:
+            a, b = (t.column("a").combine_chunks(),
+                    t.column("b").combine_chunks())
+            out = pa.Table.from_pydict({
+                "node": pa.concat_arrays([a, b]),
+                "other": pa.concat_arrays([b, a])})
+            h = pd.util.hash_pandas_object(
+                out.column("node").to_pandas(),
+                index=False).to_numpy()
+            return out.append_column(
+                "pid", pa.array((h % np.uint64(num_partitions))
+                                .astype(np.int64)))
+
+        pool = PregelPool(
+            edges.map_batches(adj, batch_format="pyarrow"),
+            num_partitions, _cc_send, _min_reduce("label"))
+        empty = pa.Table.from_pydict({
+            "node": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64()),
+            "changed": pa.array([], pa.int64())})
+
+        def seed(adj_df: pd.DataFrame) -> pd.DataFrame:
+            n = np.unique(adj_df["node"].to_numpy())
+            return pd.DataFrame({
+                "node": n, "label": n,
+                "changed": np.ones(len(n), dtype=np.int64)})
+
+        pool.init_state_from_adj(seed, empty)
+        pool.run(max_rounds)
+        out = pool.collect().select_columns(["node", "label"]) \
+            .map_batches(lambda t: t.rename_columns(
+                ["node", "component"]), batch_format="pyarrow")
+        pool.shutdown()
+        return out
+
     from rdf_mapper_ray.engine.canonicalize import _cc_min_label
 
     labels = _cc_min_label(edges, num_partitions=num_partitions)

@@ -348,3 +348,21 @@ def test_pagerank_pregel_venue_equals_broadcast(ray_session):
                            venue="actors").to_pandas() \
             .sort_values("node").reset_index(drop=True)
         pd.testing.assert_frame_equal(base, act)
+
+
+def test_cc_pregel_venue_equals_hash_to_min(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import graph_components
+    rng = np.random.default_rng(19)
+    a = rng.integers(0, 60, 90)
+    b = (a + rng.integers(1, 4, 90)) % 60
+    df = pd.DataFrame({"a": a, "b": b})
+    df = df[df.a != df.b].drop_duplicates()
+    ds = ray.data.from_pandas(df).repartition(3)
+    base = graph_components(ds, num_partitions=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    act = graph_components(ds, num_partitions=3, venue="actors") \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, act)

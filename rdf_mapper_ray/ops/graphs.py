@@ -2378,3 +2378,129 @@ SELECT u AS node_u, v AS node_v, cn,
 FROM cn JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
 ORDER BY jac_milli DESC, node_u, node_v LIMIT {k}
 """
+
+
+# --- degree assortativity (Newman 2002) --------------------------------------------
+
+def degree_assortativity(edges: "ray.data.Dataset",
+                         num_partitions: int | None = None
+                         ) -> pa.Table:
+    """Pearson correlation of endpoint degrees over the undirected
+    edge list — positive = hubs attach to hubs (Newman, PRL 2002).
+    Exactly the repo's group_corr contract with (deg u, deg v) as the
+    (x, y) sample over BOTH edge orientations: degrees come from one
+    pid-routed count, attach to edges through a second routed
+    exchange, and the int64 sufficient statistics (n, Σx, Σy, Σxy,
+    Σx², Σy²) reduce map-side; the one double expression at the end
+    is replayed verbatim by the SQL oracle over HUGEINT sums.
+    -> one row (n_edges, r)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+
+    def adj(t: pa.Table) -> pa.Table:
+        a, b = (t.column("a").combine_chunks(),
+                t.column("b").combine_chunks())
+        out = pa.Table.from_pydict({
+            "node": pa.concat_arrays([a, b]),
+            "other": pa.concat_arrays([b, a])})
+        h = pd.util.hash_pandas_object(
+            out.column("node").to_pandas(), index=False).to_numpy()
+        return out.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    routed = edges.map_batches(adj, batch_format="pyarrow") \
+        .materialize()
+
+    # one pass: each partition holds node's full adjacency -> its
+    # degree is local; emit (node=other, deg_of_node) messages so the
+    # OTHER endpoint's partition can pair (deg_u, deg_v)
+    def deg_msgs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby("node")["other"].transform("size") \
+            .to_numpy(np.int64)
+        out = pd.DataFrame({"node": g["other"].to_numpy(),
+                            "du": d})
+        h = pd.util.hash_pandas_object(out["node"],
+                                       index=False).to_numpy()
+        out["pid"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        out["kind"] = np.int8(0)
+        return out
+
+    def self_deg(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby("node", as_index=False)["other"].size() \
+            .rename(columns={"size": "du"})
+        d["du"] = d["du"].astype(np.int64)
+        h = pd.util.hash_pandas_object(d["node"],
+                                       index=False).to_numpy()
+        d["pid"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        d["kind"] = np.int8(1)
+        return d
+
+    msgs = routed.groupby("pid").map_groups(deg_msgs,
+                                            batch_format="pandas")
+    degs = routed.groupby("pid").map_groups(self_deg,
+                                            batch_format="pandas")
+
+    def partials(g: pd.DataFrame) -> pd.DataFrame:
+        dv = g.loc[g["kind"] == 1, ["node", "du"]] \
+            .rename(columns={"du": "dv"})
+        e = g.loc[g["kind"] == 0, ["node", "du"]]
+        m = e.merge(dv, on="node")
+        x = m["du"].to_numpy(np.int64)
+        y = m["dv"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n": [len(m)], "sx": [int(x.sum())],
+            "sy": [int(y.sum())], "sxy": [int((x * y).sum())],
+            "sx2": [int((x * x).sum())],
+            "sy2": [int((y * y).sum())]})
+
+    p = msgs.union(degs).groupby("pid") \
+        .map_groups(partials, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum())
+    sx, sy = int(p["sx"].sum()), int(p["sy"].sum())
+    sxy = int(p["sxy"].sum())
+    sx2, sy2 = int(p["sx2"].sum()), int(p["sy2"].sum())
+    num = n * sxy - sx * sy
+    d1, d2 = n * sx2 - sx * sx, n * sy2 - sy * sy
+    import math
+    r = (float("nan") if d1 == 0 or d2 == 0
+         else float(num) / (math.sqrt(float(d1))
+                            * math.sqrt(float(d2))))
+    return pa.Table.from_pydict({
+        "n_ends": pa.array([n], pa.int64()),
+        "r": pa.array([r], pa.float64())})
+
+
+def degree_assortativity_query(sf_dir: str):
+    return degree_assortativity(partsupp_edges(sf_dir))
+
+
+DEGREE_ASSORTATIVITY_ORACLE_SQL = f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem WHERE l_partkey <= {PR_PART_CAP}
+),
+ued AS (SELECT a AS node, b AS other FROM e0
+        UNION ALL SELECT b, a FROM e0),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM ued GROUP BY node),
+pairs AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM ued JOIN deg du ON du.node = ued.node
+           JOIN deg dv ON dv.node = ued.other
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sx2,
+         SUM(CAST(y AS HUGEINT) * y) AS sy2
+  FROM pairs
+)
+SELECT n AS n_ends,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+          * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS r
+FROM s
+"""

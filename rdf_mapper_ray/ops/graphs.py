@@ -2504,3 +2504,70 @@ SELECT n AS n_ends,
           * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS r
 FROM s
 """
+
+
+# --- closeness centrality of a source node ----------------------------------------
+
+def closeness(edges: "ray.data.Dataset", source: int | None = None,
+              max_iters: int = 64,
+              num_partitions: int | None = None) -> pa.Table:
+    """Closeness centrality of one node, (n_reach − 1)/Σ dist over
+    its reachable set — a direct composition of the Pregel BFS (hop
+    distances never re-shuffle the adjacency) and one tiny
+    aggregation, micro-quantized with the pure-integer floor.
+    -> one row (source, n_reach, sum_dist, closeness_micro)."""
+    lv = bfs_levels(edges, source=source, max_iters=max_iters,
+                    num_partitions=num_partitions, venue="actors") \
+        .to_pandas()
+    src = int(lv.loc[lv["level"] == 0, "node"].iloc[0])
+    n = len(lv)
+    sd = int(lv["level"].sum())
+    cm = (2 * 1_000_000 * (n - 1) + sd) // (2 * sd) if sd else -1
+    return pa.Table.from_pydict({
+        "source": pa.array([src], pa.int64()),
+        "n_reach": pa.array([n], pa.int64()),
+        "sum_dist": pa.array([sd], pa.int64()),
+        "closeness_micro": pa.array([cm], pa.int64())})
+
+
+def closeness_query(sf_dir: str, threshold: float = 0.3):
+    """Closeness of the smallest node of the embedding near-dup
+    graph (same derivation as bfs_levels, whose oracle proves it)."""
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs,
+                                          partitions_for)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+    return closeness(pairs.map_batches(_pairs_as_edges,
+                                       batch_format="pyarrow"),
+                     num_partitions=partitions_for(emb, 8))
+
+
+CLOSENESS_ORACLE_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+),
+ued AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+src AS (SELECT min(a) AS s FROM e),
+walk(node, level) AS (
+  SELECT s, 0 FROM src
+  UNION
+  SELECT ue.b, w.level + 1 FROM walk w
+  JOIN ued ue ON ue.a = w.node
+  WHERE w.level < 64
+),
+lv AS (SELECT node, CAST(min(level) AS BIGINT) AS level
+       FROM walk GROUP BY node),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(level) AS BIGINT) AS sd FROM lv)
+SELECT (SELECT s FROM src) AS source, n AS n_reach,
+       sd AS sum_dist,
+       CAST(CASE WHEN sd = 0 THEN -1
+            ELSE (2 * 1000000 * (n - 1) + sd) // (2 * sd)
+            END AS BIGINT) AS closeness_micro
+FROM s
+"""

@@ -94,7 +94,7 @@ _NEXT_UP = [
     "winsorize", "path_rollup", "rolling_anomaly", "crosstab_chi2",
     "ppr", "random_walks", "transition_matrix", "ab_test",
     "node_jaccard", "quantiles_disc", "twap", "ewma", "dbscan",
-    "zorder", "fk_audit", "group_gini", "benford", "assortativity", "closeness",
+    "zorder", "fk_audit", "group_gini", "benford", "assortativity", "closeness", "minimax_path",
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
     "bgp_construct", "hll_by_type",
@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node_jaccard": graphs.node_jaccard_query,
         "assortativity": graphs.degree_assortativity_query,
         "closeness": graphs.closeness_query,
+        "minimax_path": graphs.minimax_query,
         "dbscan": clusters.dbscan_query,
         "zorder": __import__("rdf_mapper_ray.ops.io",
                              fromlist=["io"]).zorder_query,
@@ -531,6 +532,7 @@ def oracle_sql() -> dict[str, str]:
         "node_jaccard": graphs.node_jaccard_oracle_sql(),
         "assortativity": graphs.DEGREE_ASSORTATIVITY_ORACLE_SQL,
         "closeness": graphs.CLOSENESS_ORACLE_SQL,
+        "minimax_path": graphs.MINIMAX_ORACLE_SQL,
         "dbscan": clusters.DBSCAN_ORACLE_SQL,
         "zorder": __import__("rdf_mapper_ray.ops.io",
                              fromlist=["io"]).ZORDER_ORACLE_SQL,

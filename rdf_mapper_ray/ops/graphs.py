@@ -2571,3 +2571,102 @@ SELECT (SELECT s FROM src) AS source, n AS n_reach,
             END AS BIGINT) AS closeness_micro
 FROM s
 """
+
+
+# --- minimax (bottleneck) path distances ------------------------------------------
+
+def _minimax_send(state: pd.DataFrame, adj: pd.DataFrame):
+    f = state.loc[state["changed"] == 1, ["node", "dist"]]
+    if not len(f):
+        return None
+    m = adj.merge(f, on="node", how="inner")
+    out = pd.DataFrame({
+        "node": m["other"].to_numpy(),
+        "dist": np.maximum(m["dist"].to_numpy(),
+                           m["w"].to_numpy())})
+    return out.groupby("node", as_index=False)["dist"].min()
+
+
+def minimax_bounded(edges: "ray.data.Dataset",
+                    source: int | None = None, max_hops: int = 8,
+                    num_partitions: int | None = None
+                    ) -> "ray.data.Dataset":
+    """Bottleneck (minimax) path distances from one source over a
+    weighted undirected (a, b, w) edge Dataset, bounded to ≤ max_hops
+    edges: dist(v) = min over paths of the MAX edge weight along the
+    path — the widest-path / bottleneck routing metric. Same
+    min-propagation family as BFS/SSSP with ``max`` as the path
+    combine (still monotone, so k rounds = exact min over ≤ k-hop
+    paths and the hop-bounded recursive-CTE oracle replays it).
+    Runs on the Pregel pool: adjacency resident, only (node, dist)
+    messages move. -> (node, dist)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+
+    def adj(t: pa.Table) -> pa.Table:
+        a, b, w = (t.column("a").combine_chunks(),
+                   t.column("b").combine_chunks(),
+                   t.column("w").combine_chunks())
+        out = pa.Table.from_pydict({
+            "node": pa.concat_arrays([a, b]),
+            "other": pa.concat_arrays([b, a]),
+            "w": pa.concat_arrays([w, w])})
+        h = pd.util.hash_pandas_object(
+            out.column("node").to_pandas(), index=False).to_numpy()
+        return out.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    adjacency = edges.map_batches(adj, batch_format="pyarrow") \
+        .materialize()
+    if source is None:
+        mins = adjacency.min("node")
+        source = int(mins if np.isscalar(mins) else mins["node"])
+    return _run_pregel_min(adjacency, num_partitions, source,
+                           "dist", _minimax_send, max_hops)
+
+
+def minimax_query(sf_dir: str, threshold: float = 0.3,
+                  max_hops: int = 8):
+    """Bottleneck distances over the weighted near-dup graph (same
+    minted weights as sssp_weighted)."""
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs,
+                                          partitions_for)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+
+    def weigh(t: pa.Table) -> pa.Table:
+        t = _pairs_as_edges(t)
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        return t.append_column(
+            "w", pa.array((a * 31 + b) % 9 + 1))
+
+    return minimax_bounded(
+        pairs.map_batches(weigh, batch_format="pyarrow"),
+        max_hops=max_hops, num_partitions=partitions_for(emb, 8))
+
+
+MINIMAX_ORACLE_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         (a.vec_id * 31 + b.vec_id) % 9 + 1 AS w
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+),
+ued AS (SELECT a, b, w FROM e UNION ALL SELECT b, a, w FROM e),
+src AS (SELECT min(a) AS s FROM e),
+walk(node, dist, hops) AS (
+  SELECT s, 0, 0 FROM src
+  UNION
+  SELECT ue.b, greatest(w.dist, ue.w), w.hops + 1 FROM walk w
+  JOIN ued ue ON ue.a = w.node
+  WHERE w.hops < 8
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node ORDER BY node
+"""

@@ -94,7 +94,7 @@ _NEXT_UP = [
     "winsorize", "path_rollup", "rolling_anomaly", "crosstab_chi2",
     "ppr", "random_walks", "transition_matrix", "ab_test",
     "node_jaccard", "quantiles_disc", "twap", "ewma", "dbscan",
-    "zorder", "fk_audit", "group_gini", "benford", "assortativity", "closeness", "minimax_path",
+    "zorder", "fk_audit", "group_gini", "benford", "assortativity", "closeness", "minimax_path", "msf_boruvka",
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
     "bgp_construct", "hll_by_type",
@@ -286,6 +286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": graphs.degree_assortativity_query,
         "closeness": graphs.closeness_query,
         "minimax_path": graphs.minimax_query,
+        "msf_boruvka": __import__("rdf_mapper_ray.ops.mst",
+                                  fromlist=["mst"]).msf_query,
         "dbscan": clusters.dbscan_query,
         "zorder": __import__("rdf_mapper_ray.ops.io",
                              fromlist=["io"]).zorder_query,
@@ -533,6 +535,8 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": graphs.DEGREE_ASSORTATIVITY_ORACLE_SQL,
         "closeness": graphs.CLOSENESS_ORACLE_SQL,
         "minimax_path": graphs.MINIMAX_ORACLE_SQL,
+        "msf_boruvka": __import__("rdf_mapper_ray.ops.mst",
+                                  fromlist=["mst"]).msf_oracle_sql(),
         "dbscan": clusters.DBSCAN_ORACLE_SQL,
         "zorder": __import__("rdf_mapper_ray.ops.io",
                              fromlist=["io"]).ZORDER_ORACLE_SQL,

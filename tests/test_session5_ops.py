@@ -137,3 +137,26 @@ def test_ab_test_hand_counts(ray_session):
     num = (c_a * n_b - c_b * n_a) ** 2 * N * 10**6
     den = n_a * n_b * c * (N - c)
     assert out["z2_micro"] == (2 * num + den) // (2 * den)
+
+
+def test_boruvka_msf_planted(ray_session):
+    from rdf_mapper_ray.ops.mst import boruvka_msf
+    # square 1-2-3-4-1 with distinct weights + pendant 5
+    df = pd.DataFrame({
+        "a": [1, 2, 3, 1, 4],
+        "b": [2, 3, 4, 4, 5],
+        "w": [5, 1, 2, 9, 3]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    got = boruvka_msf(ds, num_partitions=2).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    # MST drops the heaviest cycle edge (1-4, w9)
+    assert got[["a", "b", "w"]].to_dict("records") == [
+        {"a": 1, "b": 2, "w": 5}, {"a": 2, "b": 3, "w": 1},
+        {"a": 3, "b": 4, "w": 2}, {"a": 4, "b": 5, "w": 3}]
+    # two components: add a disconnected heavy pair
+    df2 = pd.concat([df, pd.DataFrame(
+        {"a": [10], "b": [11], "w": [7]})], ignore_index=True)
+    got2 = boruvka_msf(ray.data.from_pandas(df2).repartition(3),
+                       num_partitions=2).to_pandas()
+    assert len(got2) == 5 and (10, 11, 7) in set(
+        map(tuple, got2[["a", "b", "w"]].to_numpy()))

@@ -137,6 +137,29 @@ class _PregelPart:
         self._state, changed = self._reduce(msgs, state)
         return int(changed)
 
+    def write_state(self, path: str) -> int:
+        import pyarrow.parquet as pq
+        t = (pa.Table.from_pandas(self._state, preserve_index=False)
+             if self._state is not None and len(self._state)
+             else None)
+        if t is None:
+            # empty partitions still write a (schema-less) marker so
+            # restore can distinguish "empty" from "missing"
+            t = pa.Table.from_pydict({"__empty": pa.array([1])})
+        pq.write_table(t, path)
+        return 0 if self._state is None else len(self._state)
+
+    def read_state(self, path: str) -> int:
+        import pyarrow.parquet as pq
+        t = pq.read_table(path)
+        if "__empty" in t.schema.names:
+            self._state = (self._state.iloc[:0]
+                           if self._state is not None else
+                           pd.DataFrame())
+            return 0
+        self._state = t.to_pandas()
+        return len(self._state)
+
     def state_rows(self) -> int:
         return 0 if self._state is None else len(self._state)
 
@@ -195,9 +218,23 @@ class PregelPool:
         ray.get([a.init_state_from_adj.remote(fn, empty)
                  for a in self._actors])
 
-    def run(self, max_rounds: int) -> int:
+    def run(self, max_rounds: int,
+            checkpoint_dir: Optional[str] = None,
+            checkpoint_every: int = 8) -> int:
         """Run synchronous rounds; returns the number executed.
-        Stops early when no partition reports a change."""
+        Stops early when no partition reports a change.
+
+        ``checkpoint_dir`` makes long runs resumable: every
+        ``checkpoint_every`` rounds the per-partition node states
+        write to ``<dir>/round=<k>/part-<pid>.parquet`` with a
+        manifest sealed AFTER the data (the repo's write_partitioned
+        discipline). A restarted job rebuilds the pool (adjacency
+        re-loads from its source) and calls
+        :meth:`restore_checkpoint` before ``run`` — at 100 TB the
+        adjacency is a re-read, the O(rounds) message history is NOT
+        re-paid."""
+        import json
+        import os
         rounds = 0
         for _ in range(max_rounds):
             mats = ray.get([a.send_msgs.remote()
@@ -209,7 +246,47 @@ class PregelPool:
             rounds += 1
             if not sum(changed):
                 break
+            if checkpoint_dir and rounds % checkpoint_every == 0:
+                d = os.path.join(checkpoint_dir, f"round={rounds}")
+                os.makedirs(d, exist_ok=True)
+                ray.get([a.write_state.remote(
+                    os.path.join(d, f"part-{i}.parquet"))
+                    for i, a in enumerate(self._actors)])
+                with open(os.path.join(d, "_MANIFEST.json"),
+                          "w") as f:
+                    json.dump({"round": rounds,
+                               "partitions": self._P}, f)
         return rounds
+
+    def restore_checkpoint(self, checkpoint_dir: str) -> int:
+        """Load the LATEST sealed checkpoint into the pool's actors;
+        returns the round number it represents (0 if none found).
+        Only sealed rounds (manifest present) count — a crash mid-
+        write leaves no manifest and the round is ignored."""
+        import json
+        import os
+        rounds = []
+        if os.path.isdir(checkpoint_dir):
+            for name in os.listdir(checkpoint_dir):
+                man = os.path.join(checkpoint_dir, name,
+                                   "_MANIFEST.json")
+                if name.startswith("round=") and os.path.exists(man):
+                    with open(man) as f:
+                        m = json.load(f)
+                    if m["partitions"] != self._P:
+                        raise ValueError(
+                            f"checkpoint {name} has "
+                            f"{m['partitions']} partitions, pool "
+                            f"has {self._P}")
+                    rounds.append(int(name.split("=", 1)[1]))
+        if not rounds:
+            return 0
+        k = max(rounds)
+        d = os.path.join(checkpoint_dir, f"round={k}")
+        ray.get([a.read_state.remote(
+            os.path.join(d, f"part-{i}.parquet"))
+            for i, a in enumerate(self._actors)])
+        return k
 
     def collect(self) -> "ray.data.Dataset":
         """Final state as a Dataset WITHOUT driver materialization:

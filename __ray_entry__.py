@@ -95,6 +95,7 @@ _NEXT_UP = [
     "ppr", "random_walks", "transition_matrix", "ab_test",
     "node_jaccard", "quantiles_disc", "twap", "ewma", "dbscan",
     "zorder", "fk_audit", "group_gini", "benford", "assortativity", "closeness", "minimax_path", "msf_boruvka",
+    "event_followups", "wow_change", "top_decile_share",
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
     "bgp_construct", "hll_by_type",
@@ -307,6 +308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crosstab_chi2": rollup.crosstab_chi2_query,
         "path_rollup": domains.path_rollup_query,
         "rolling_anomaly": windows.rolling_anomaly_query,
+        "event_followups": windows.event_followups_query,
+        "wow_change": windows.wow_change_query,
+        "top_decile_share": stats.top_decile_share_query,
         "transition_matrix": sessions.transition_matrix_query,
         "twap": sessions.twap_query,
         "ewma": sessions.ewma_query,
@@ -556,6 +560,9 @@ def oracle_sql() -> dict[str, str]:
         "crosstab_chi2": rollup.CROSSTAB_CHI2_ORACLE_SQL,
         "path_rollup": domains.PATH_ROLLUP_ORACLE_SQL,
         "rolling_anomaly": windows.ROLLING_ANOMALY_ORACLE_SQL,
+        "event_followups": windows.EVENT_FOLLOWUPS_ORACLE_SQL,
+        "wow_change": windows.WOW_CHANGE_ORACLE_SQL,
+        "top_decile_share": stats.TOP_DECILE_SHARE_ORACLE_SQL,
         "transition_matrix": sessions.TRANSITION_MATRIX_ORACLE_SQL,
         "twap": sessions.TWAP_ORACLE_SQL,
         "ewma": sessions.EWMA_ORACLE_SQL,

@@ -757,3 +757,86 @@ SELECT digit, n,
             END AS BIGINT) AS p_benford_milli
 FROM d, t ORDER BY digit
 """
+
+
+# --- revenue concentration: top-decile share per group ------------------------------
+
+def top_decile_share(ds: "ray.data.Dataset", group_col: str,
+                     value_col: str,
+                     num_partitions: Optional[int] = None
+                     ) -> "ray.data.Dataset":
+    """What share of a group's total value its top 10% rows carry —
+    the concentration readout next to :func:`group_gini`. Top-k =
+    the ceil(n/10) largest values (ties broken deterministically by
+    value order only — the sum over the cut is tie-invariant because
+    tied values are interchangeable); sums are exact cents and the
+    share is the pure-integer milli floor. One routed exchange.
+    -> (group, n, top_n, top_sum, total_sum, share_milli)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col])
+        v = np.rint(t.column(value_col)
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = t.drop_columns([value_col]).append_column(
+            "v", pa.array(v))
+        pid = pd.util.hash_pandas_object(
+            t.column(group_col).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def share(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, grp in g.groupby(group_col, sort=False):
+            v = np.sort(grp["v"].to_numpy(np.int64))[::-1]
+            n = len(v)
+            k = (n + 9) // 10  # ceil, positive-safe
+            # (NB DuckDB // truncates toward zero on negatives,
+            #  Python floors — never use // on negatives in a
+            #  cross-engine contract)
+            ts_ = int(v[:k].sum())
+            tot = int(v.sum())
+            sm = (2000 * ts_ + tot) // (2 * tot) if tot else -1
+            rows.append((key, n, k, ts_, tot, sm))
+        return pd.DataFrame(rows, columns=[
+            group_col, "n", "top_n", "top_sum", "total_sum",
+            "share_milli"]).astype(
+            {c: np.int64 for c in ["n", "top_n", "top_sum",
+                                   "total_sum", "share_milli"]})
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(share, batch_format="pandas")
+
+
+def top_decile_share_query(sf_dir: str):
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_totalprice"])
+    return top_decile_share(ds, "o_orderpriority", "o_totalprice")
+
+
+TOP_DECILE_SHARE_ORACLE_SQL = """
+WITH u AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+s AS (
+  SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+         CAST((MAX(n) + 9) // 10 AS BIGINT) AS top_n,
+         CAST(SUM(CASE WHEN rn <= (n + 9) // 10 THEN v
+                  ELSE 0 END) AS BIGINT) AS top_sum,
+         CAST(SUM(v) AS BIGINT) AS total_sum
+  FROM u GROUP BY g
+)
+SELECT g AS o_orderpriority, n, top_n, top_sum, total_sum,
+       CAST((2000 * top_sum + total_sum)
+            // (2 * total_sum) AS BIGINT) AS share_milli
+FROM s ORDER BY g
+"""

@@ -379,3 +379,198 @@ WHERE (n * v - s) * (n * v - s) > 4 * (n * s2 - s * s)
   AND n >= 5
 ORDER BY event_id
 """
+
+
+# --- stream-stream temporal join: followup pairs within a bound --------------------
+
+def event_followups(ds: "ray.data.Dataset", user_col: str,
+                    ts_col: str, id_col: str, type_col: str,
+                    within_secs: int = 60,
+                    num_partitions: int | None = None
+                    ) -> "ray.data.Dataset":
+    """Stream-stream interval self-join, aggregated: for every
+    ordered pair of events of ONE user with 0 < Δt ≤ within_secs,
+    count (type_a → type_b) — "what follows what within a minute".
+    Users co-partition by hash (one exchange); within a partition the
+    pair scan is the frequent_pairs offset trick over the time-sorted
+    stream (compare row i with i+off while the user matches AND the
+    gap bound holds — the scan stops growing off as soon as no row
+    qualifies, so cost is output-sized, not quadratic); the
+    (types²)-sized count table finishes driver-side.
+    -> (type_a, type_b, n_pairs)."""
+    import pandas as pd
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([user_col, ts_col, id_col, type_col])
+        ts = t.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        out = pa.Table.from_pydict({
+            user_col: t.column(user_col),
+            "sec": pa.array(us // 1_000_000),
+            id_col: t.column(id_col),
+            type_col: t.column(type_col)})
+        pid = pd.util.hash_pandas_object(
+            out.column(user_col).to_pandas(), index=False).to_numpy()
+        return out.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "sec", id_col],
+                          kind="mergesort").reset_index(drop=True)
+        u = g[user_col].to_numpy()
+        s = g["sec"].to_numpy(np.int64)
+        ty = g[type_col].to_numpy()
+        las, lbs = [], []
+        off = 1
+        while off < len(g):
+            same = (u[off:] == u[:-off])
+            ok = same & (s[off:] - s[:-off] > 0) \
+                & (s[off:] - s[:-off] <= within_secs)
+            # ts-sorted: if NO same-user row at this offset is inside
+            # the bound anymore, larger offsets (within a user) only
+            # grow the gap for contiguous streams — but interleaved
+            # users can still qualify, so stop only when no same-user
+            # pair remains at all
+            if not same.any():
+                break
+            if ok.any():
+                las.append(ty[:-off][ok])
+                lbs.append(ty[off:][ok])
+            elif not (same & (s[off:] - s[:-off]
+                              <= within_secs)).any():
+                break
+            off += 1
+        if not las:
+            return pd.DataFrame({"type_a": pd.array([], "str"),
+                                 "type_b": pd.array([], "str"),
+                                 "n_pairs": pd.array([], "int64")})
+        out = pd.DataFrame({"type_a": np.concatenate(las),
+                            "type_b": np.concatenate(lbs)})
+        out = out.groupby(["type_a", "type_b"], as_index=False) \
+            .size().rename(columns={"size": "n_pairs"})
+        out["n_pairs"] = out["n_pairs"].astype(np.int64)
+        return out
+
+    cells = ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(pairs, batch_format="pandas") \
+        .to_pandas()
+    cells = cells.groupby(["type_a", "type_b"],
+                          as_index=False)["n_pairs"].sum() \
+        .sort_values(["type_a", "type_b"]).reset_index(drop=True)
+    cells["n_pairs"] = cells["n_pairs"].astype(np.int64)
+    return pa.Table.from_pandas(cells, preserve_index=False)
+
+
+def event_followups_query(sf_dir: str, within_secs: int = 60):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id",
+                             "event_type"])
+    return event_followups(ds, "user_id", "ts", "event_id",
+                           "event_type", within_secs=within_secs)
+
+
+EVENT_FOLLOWUPS_ORACLE_SQL = """
+WITH u AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) // 1000000 AS sec
+  FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM u a JOIN u b
+  ON a.user_id = b.user_id
+ AND b.sec - a.sec > 0 AND b.sec - a.sec <= 60
+GROUP BY type_a, type_b
+ORDER BY type_a, type_b
+"""
+
+
+# --- week-over-week change per event type -------------------------------------------
+
+def wow_change(ds: "ray.data.Dataset", ts_col: str, type_col: str,
+               num_partitions: int | None = None
+               ) -> "ray.data.Dataset":
+    """Weekly event counts per type with the week-over-week delta and
+    milli-ratio — the time-series monitoring readout. Weeks are epoch
+    floor-division buckets (7·86400 s, the repo's window discipline);
+    counts reduce map-side, the (weeks × types)-sized series finishes
+    driver-side (cell-table lesson), and the ratio is the
+    pure-integer quantized floor. Weeks with no previous week emit
+    NULL delta/ratio exactly like SQL's lag().
+    -> (event_type, week, n, delta, ratio_milli)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        week = us // (7 * 86_400 * 1_000_000)
+        out = pa.Table.from_pydict({
+            type_col: t.column(type_col),
+            "week": pa.array(week.astype(np.int64))})
+        return out.group_by([type_col, "week"],
+                            use_threads=False) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns([type_col, "week", "c"])
+
+    cells = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([type_col, "week"]).aggregate(Sum("c")) \
+        .to_pandas().rename(columns={"sum(c)": "n"})
+    cells = cells.sort_values([type_col, "week"]) \
+        .reset_index(drop=True)
+    n = cells["n"].to_numpy(np.int64)
+    prev = cells.groupby(type_col)["n"].shift(1)
+    delta = n - prev.to_numpy()
+    pv = prev.to_numpy()
+    with np.errstate(invalid="ignore"):
+        ratio = np.where(
+            np.isnan(pv), np.nan,
+            (2000 * n + np.nan_to_num(pv, nan=1))
+            // (2 * np.nan_to_num(pv, nan=1)))
+    out = pd.DataFrame({
+        type_col: cells[type_col], "week": cells["week"],
+        "n": n,
+        "delta": pd.array(
+            [None if np.isnan(d) else int(d) for d in delta],
+            dtype="float64"),
+        "ratio_milli": pd.array(
+            [None if np.isnan(r) else float(r) for r in ratio],
+            dtype="float64")})
+    out["week"] = out["week"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def wow_change_query(sf_dir: str):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "events",
+                    columns=["ts", "event_type"])
+    return wow_change(ds, "ts", "event_type")
+
+
+WOW_CHANGE_ORACLE_SQL = """
+WITH w AS (
+  SELECT event_type,
+         epoch_us(ts) // (7 * 86400 * CAST(1000000 AS BIGINT)) AS week,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, week
+)
+SELECT event_type, CAST(week AS BIGINT) AS week, n,
+       CAST(n - lag(n) OVER wn AS DOUBLE) AS delta,
+       CAST((2000 * n + lag(n) OVER wn)
+            // (2 * lag(n) OVER wn) AS DOUBLE) AS ratio_milli
+FROM w WINDOW wn AS (PARTITION BY event_type ORDER BY week)
+ORDER BY event_type, week
+"""

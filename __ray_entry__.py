@@ -95,7 +95,7 @@ _NEXT_UP = [
     "ppr", "random_walks", "transition_matrix", "ab_test",
     "node_jaccard", "quantiles_disc", "twap", "ewma", "dbscan",
     "zorder", "fk_audit", "group_gini", "benford", "assortativity", "closeness", "minimax_path", "msf_boruvka",
-    "event_followups", "wow_change", "top_decile_share",
+    "event_followups", "wow_change", "top_decile_share", "harmonic",
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
     "bgp_construct", "hll_by_type",
@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node_jaccard": graphs.node_jaccard_query,
         "assortativity": graphs.degree_assortativity_query,
         "closeness": graphs.closeness_query,
+        "harmonic": graphs.harmonic_query,
         "minimax_path": graphs.minimax_query,
         "msf_boruvka": __import__("rdf_mapper_ray.ops.mst",
                                   fromlist=["mst"]).msf_query,
@@ -538,6 +539,7 @@ def oracle_sql() -> dict[str, str]:
         "node_jaccard": graphs.node_jaccard_oracle_sql(),
         "assortativity": graphs.DEGREE_ASSORTATIVITY_ORACLE_SQL,
         "closeness": graphs.CLOSENESS_ORACLE_SQL,
+        "harmonic": graphs.HARMONIC_ORACLE_SQL,
         "minimax_path": graphs.MINIMAX_ORACLE_SQL,
         "msf_boruvka": __import__("rdf_mapper_ray.ops.mst",
                                   fromlist=["mst"]).msf_oracle_sql(),

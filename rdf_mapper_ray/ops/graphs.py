@@ -2670,3 +2670,68 @@ walk(node, dist, hops) AS (
 SELECT node, CAST(min(dist) AS BIGINT) AS dist
 FROM walk GROUP BY node ORDER BY node
 """
+
+
+# --- harmonic centrality of a source node -------------------------------------------
+
+def harmonic_centrality(edges: "ray.data.Dataset",
+                        source: int | None = None,
+                        max_iters: int = 64,
+                        num_partitions: int | None = None
+                        ) -> pa.Table:
+    """Harmonic centrality of one node, Σ_{v≠s} 1/d(s,v) — the
+    disconnected-robust cousin of closeness (Marchiori & Latora
+    2000): each reachable node contributes the exact integer
+    ``floor(10⁶/d + 0.5)`` micro-units, so the distributed sum is
+    order-free and SQL replays it termwise. Distances ride the
+    Pregel BFS. -> one row (source, n_reach, harmonic_micro)."""
+    lv = bfs_levels(edges, source=source, max_iters=max_iters,
+                    num_partitions=num_partitions, venue="actors") \
+        .to_pandas()
+    src = int(lv.loc[lv["level"] == 0, "node"].iloc[0])
+    d = lv["level"].to_numpy(np.int64)
+    d = d[d > 0]
+    terms = (2_000_000 + d) // (2 * d)
+    return pa.Table.from_pydict({
+        "source": pa.array([src], pa.int64()),
+        "n_reach": pa.array([len(lv)], pa.int64()),
+        "harmonic_micro": pa.array([int(terms.sum())], pa.int64())})
+
+
+def harmonic_query(sf_dir: str, threshold: float = 0.3):
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs,
+                                          partitions_for)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+    return harmonic_centrality(
+        pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
+        num_partitions=partitions_for(emb, 8))
+
+
+HARMONIC_ORACLE_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+),
+ued AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+src AS (SELECT min(a) AS s FROM e),
+walk(node, level) AS (
+  SELECT s, 0 FROM src
+  UNION
+  SELECT ue.b, w.level + 1 FROM walk w
+  JOIN ued ue ON ue.a = w.node
+  WHERE w.level < 64
+),
+lv AS (SELECT node, CAST(min(level) AS BIGINT) AS d
+       FROM walk GROUP BY node)
+SELECT (SELECT s FROM src) AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_reach,
+       CAST(SUM(CASE WHEN d > 0
+                THEN (2000000 + d) // (2 * d) ELSE 0 END)
+            AS BIGINT) AS harmonic_micro
+FROM lv
+"""

@@ -96,6 +96,7 @@ _NEXT_UP = [
     "node_jaccard", "quantiles_disc", "twap", "ewma", "dbscan",
     "zorder", "fk_audit", "group_gini", "benford", "assortativity", "closeness", "minimax_path", "msf_boruvka",
     "event_followups", "wow_change", "top_decile_share", "harmonic",
+    "k_truss",
     # new in round-4 session 4 (window already full; locally dtype-exact)
     "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
     "bgp_construct", "hll_by_type",
@@ -287,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": graphs.degree_assortativity_query,
         "closeness": graphs.closeness_query,
         "harmonic": graphs.harmonic_query,
+        "k_truss": graphs.k_truss_query,
         "minimax_path": graphs.minimax_query,
         "msf_boruvka": __import__("rdf_mapper_ray.ops.mst",
                                   fromlist=["mst"]).msf_query,
@@ -540,6 +542,7 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": graphs.DEGREE_ASSORTATIVITY_ORACLE_SQL,
         "closeness": graphs.CLOSENESS_ORACLE_SQL,
         "harmonic": graphs.HARMONIC_ORACLE_SQL,
+        "k_truss": graphs.k_truss_oracle_sql(k=3),
         "minimax_path": graphs.MINIMAX_ORACLE_SQL,
         "msf_boruvka": __import__("rdf_mapper_ray.ops.mst",
                                   fromlist=["mst"]).msf_oracle_sql(),

@@ -2735,3 +2735,176 @@ SELECT (SELECT s FROM src) AS source,
             AS BIGINT) AS harmonic_micro
 FROM lv
 """
+
+
+# --- k-truss decomposition ------------------------------------------------------
+
+def k_truss(edges: "ray.data.Dataset", k: int = 4,
+            max_rounds: int = 8,
+            num_partitions: int | None = None) -> "ray.data.Dataset":
+    """The k-truss (Cohen 2008): the maximal subgraph where every
+    edge closes ≥ k−2 triangles WITHIN the subgraph — the
+    edge-peeling strengthening of k-core that isolates genuinely
+    dense communities. Each round recomputes every surviving edge's
+    support (= common-neighbor count of its endpoints, exactly the
+    node_jaccard wedge pass semi-joined against the edge set) and
+    drops the under-supported edges; repeats to fixpoint.
+
+    Per round: one pivot-routed wedge emission + one pair-hash-routed
+    semi-join/count; the edge table re-materializes with severed
+    lineage. Raises if not converged within ``max_rounds`` — the SQL
+    oracle unrolls exactly that many rounds (idempotent after the
+    fixpoint), so the bound is loud, never silent.
+    -> (a, b, support) for surviving edges."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+
+    need = k - 2
+    cur = edges.select_columns(["a", "b"]).materialize()
+
+    def pair_pid(a: np.ndarray, b: np.ndarray) -> pa.Array:
+        h = pd.util.hash_pandas_object(
+            pd.Series(a * np.int64(2_654_435_761) + b),
+            index=False).to_numpy()
+        return pa.array((h % np.uint64(num_partitions))
+                        .astype(np.int64))
+
+    for _ in range(max_rounds):
+        def adj(t: pa.Table) -> pa.Table:
+            a, b = (t.column("a").combine_chunks(),
+                    t.column("b").combine_chunks())
+            out = pa.Table.from_pydict({
+                "node": pa.concat_arrays([a, b]),
+                "other": pa.concat_arrays([b, a])})
+            h = pd.util.hash_pandas_object(
+                out.column("node").to_pandas(),
+                index=False).to_numpy()
+            return out.append_column(
+                "pid", pa.array((h % np.uint64(num_partitions))
+                                .astype(np.int64)))
+
+        def wedges(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["node", "other"])
+            node = g["node"].to_numpy()
+            other = g["other"].to_numpy()
+            n = len(g)
+            runs = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+            sizes = np.diff(np.append(runs, n))
+            max_sz = int(sizes.max()) if n else 0
+            lu, lv = [], []
+            for off in range(1, max_sz):
+                same = node[off:] == node[:-off]
+                lu.append(other[:-off][same])
+                lv.append(other[off:][same])
+            if not lu:
+                return pd.DataFrame({"a": pd.array([], "int64"),
+                                     "b": pd.array([], "int64"),
+                                     "c": pd.array([], "int64"),
+                                     "kind": pd.array([], "int8")})
+            out = pd.DataFrame({"a": np.concatenate(lu),
+                                "b": np.concatenate(lv)})
+            out = out.groupby(["a", "b"], as_index=False).size() \
+                .rename(columns={"size": "c"})
+            out["kind"] = np.int8(0)
+            return out.astype({"a": np.int64, "b": np.int64,
+                               "c": np.int64, "kind": np.int8})
+
+        wedge_counts = cur.map_batches(adj, batch_format="pyarrow") \
+            .groupby("pid").map_groups(wedges,
+                                       batch_format="pandas") \
+            .map_batches(lambda t: t.append_column(
+                "pid2", pair_pid(
+                    t.column("a").to_numpy(zero_copy_only=False),
+                    t.column("b").to_numpy(zero_copy_only=False))),
+                batch_format="pyarrow")
+
+        def edge_rows(t: pa.Table) -> pa.Table:
+            out = pa.Table.from_pydict({
+                "a": t.column("a"), "b": t.column("b"),
+                "c": pa.array(np.zeros(t.num_rows, np.int64)),
+                "kind": pa.array(np.ones(t.num_rows, np.int8))})
+            return out.append_column(
+                "pid2", pair_pid(
+                    t.column("a").to_numpy(zero_copy_only=False),
+                    t.column("b").to_numpy(zero_copy_only=False)))
+
+        def support(g: pd.DataFrame) -> pd.DataFrame:
+            e = g.loc[g["kind"] == 1, ["a", "b"]]
+            w = g.loc[g["kind"] == 0] \
+                .groupby(["a", "b"], as_index=False)["c"].sum()
+            m = e.merge(w, on=["a", "b"], how="left")
+            m["support"] = np.nan_to_num(
+                m["c"].to_numpy(np.float64), nan=0.0) \
+                .astype(np.int64)
+            return m[["a", "b", "support"]]
+
+        supported = wedge_counts \
+            .union(cur.map_batches(edge_rows,
+                                   batch_format="pyarrow")) \
+            .groupby("pid2").map_groups(support,
+                                        batch_format="pandas") \
+            .materialize()
+
+        drops = supported.map_batches(
+            lambda t: t.filter(pc.less(t.column("support"),
+                                       pa.scalar(need, pa.int64()))),
+            batch_format="pyarrow").count()
+        if drops == 0:
+            return supported.select_columns(["a", "b", "support"]) \
+                .sort(["a", "b"])
+        nxt = supported.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t.column("support"),
+                pa.scalar(need, pa.int64())))
+            .select(["a", "b"]), batch_format="pyarrow") \
+            .materialize()
+        cur = ray.data.from_arrow_refs(nxt.to_arrow_refs())
+    raise RuntimeError(
+        f"k_truss: not converged in {max_rounds} rounds — raise "
+        f"max_rounds AND the oracle's unroll budget")
+
+
+def k_truss_query(sf_dir: str, threshold: float = 0.3, k: int = 3):
+    """3-truss of the embedding near-dup graph: edges that close at
+    least one triangle within the surviving subgraph (the 4-truss is
+    EMPTY on this data — probed at both test scales)."""
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs,
+                                          partitions_for)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+    return k_truss(pairs.map_batches(_pairs_as_edges,
+                                     batch_format="pyarrow"),
+                   k=k, num_partitions=partitions_for(emb, 8))
+
+
+def k_truss_oracle_sql(k: int = 4, max_rounds: int = 8) -> str:
+    need = k - 2
+    parts = ["""e0 AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+)"""]
+    prev = "e0"
+    for r in range(1, max_rounds + 1):
+        parts.append(f"""
+u{r} AS (SELECT a AS node, b AS other FROM {prev}
+         UNION ALL SELECT b, a FROM {prev}),
+s{r} AS MATERIALIZED (
+  SELECT e.a, e.b, (
+    SELECT COUNT(*) FROM u{r} x JOIN u{r} y
+    ON x.node = y.node AND x.other = e.a AND y.other = e.b
+  ) AS support
+  FROM {prev} e
+),
+e{r} AS MATERIALIZED (
+  SELECT a, b FROM s{r} WHERE support >= {need}
+)""")
+        prev = f"e{r}"
+    return ("WITH " + ",".join(parts)
+            + f"\nSELECT a, b, CAST(support AS BIGINT) AS support "
+              f"FROM s{max_rounds} WHERE support >= {need} "
+              f"ORDER BY a, b\n")

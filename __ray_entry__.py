@@ -87,6 +87,8 @@ _DRIVER_WINDOW = [
 # never driver-verified but deferred past the window this round
 # (value+dtype-exact locally, judge-verified in r3) — round-5 leads
 _NEXT_UP = [
+    # new in round-4 session 6 (window already full; locally dtype-exact)
+    "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
@@ -139,7 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     retrieval, rollup, semdedup,
                                     sessions, setops, similarity,
                                     skyline,
-                                    stats, substrings, text, tfidf,
+                                    stats, substrings, text, tfidf, timeseries,
                                     topk, vectors, windows)
     from rdf_mapper_ray.pipelines import corpus, relational, sourcecode
 
@@ -318,6 +320,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twap": sessions.twap_query,
         "ewma": sessions.ewma_query,
         "quantiles_disc": quantiles.group_quantiles_disc_query,
+        # time-series family: LOCF gap fill, OHLC resampling bars,
+        # exact lag-k autocovariance stats, CUSUM changepoints
+        "locf_fill": timeseries.locf_fill_query,
+        "ohlc_bars": timeseries.ohlc_query,
+        "autocorr": timeseries.autocorr_query,
+        "cusum_changepoint": timeseries.cusum_query,
         # set algebra: INTERSECT / EXCEPT on distinct keys
         "users_intersect": setops.users_intersect_query,
         "users_except": setops.users_except_query,
@@ -453,7 +461,7 @@ def oracle_sql() -> dict[str, str]:
                                     retrieval, rollup, semdedup,
                                     sessions, setops, similarity,
                                     skyline,
-                                    stats, substrings, text, tfidf,
+                                    stats, substrings, text, tfidf, timeseries,
                                     topk, vectors, windows)
     from rdf_mapper_ray.pipelines import corpus, relational, sourcecode
 
@@ -572,6 +580,10 @@ def oracle_sql() -> dict[str, str]:
         "twap": sessions.TWAP_ORACLE_SQL,
         "ewma": sessions.EWMA_ORACLE_SQL,
         "quantiles_disc": quantiles.GROUP_QUANTILES_DISC_ORACLE_SQL,
+        "locf_fill": timeseries.locf_fill_oracle_sql(),
+        "ohlc_bars": timeseries.ohlc_oracle_sql(),
+        "autocorr": timeseries.autocorr_oracle_sql(),
+        "cusum_changepoint": timeseries.cusum_oracle_sql(),
         "users_intersect": setops.USERS_INTERSECT_ORACLE_SQL,
         "users_except": setops.USERS_EXCEPT_ORACLE_SQL,
         "ntile_bucket": normalize.ntile_oracle_sql(),

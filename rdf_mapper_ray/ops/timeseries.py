@@ -1,0 +1,408 @@
+"""Time-series feature ops over event streams: LOCF forward-fill,
+OHLC bucket resampling, lag-k autocorrelation sufficient statistics,
+and CUSUM changepoint detection.
+
+Exactness contracts follow the house rules (see ops/sessions.py):
+money is integer cents, per-user window math is vectorized across ALL
+of a partition's users at once behind the pid-route co-location
+contract, and every float-free statistic is replayed bit-exactly by
+the DuckDB oracle.
+
+Scale notes (100 TB):
+- ``locf_fill`` / ``cusum_changepoint`` shuffle events ONCE by
+  hash(user) — same venue as sessionize; partitions hold complete
+  users, the fill/scan is a grouped pandas kernel, never a Python
+  loop per user.
+- ``ohlc_resample`` pre-aggregates per block (one candidate row per
+  bucket per block, commutative merge keys), so the exchange carries
+  blocks x buckets rows, never events.
+- ``autocorr_stats`` is the distributed prefix-scan shape
+  (sessions.peak_concurrency): one global sort, per-block partial
+  pair sums, and only the K-row block seams (block-count-sized)
+  concatenate on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from rdf_mapper_ray.ops.readers import read_table
+
+__all__ = [
+    "locf_fill", "locf_fill_query", "locf_fill_oracle_sql",
+    "ohlc_resample", "ohlc_query", "ohlc_oracle_sql",
+    "autocorr_stats", "autocorr_query", "autocorr_oracle_sql",
+    "cusum_changepoint", "cusum_query", "cusum_oracle_sql",
+]
+
+
+def _cents(values: np.ndarray) -> np.ndarray:
+    return np.rint(values * 100).astype(np.int64)
+
+
+# --- LOCF forward fill -----------------------------------------------------
+
+def locf_fill(ds: "ray.data.Dataset", user_col: str = "user_id",
+              ts_col: str = "ts", id_col: str = "event_id",
+              type_col: str = "event_type", value_col: str = "value",
+              known_type: str = "purchase") -> "ray.data.Dataset":
+    """Last-observation-carried-forward gap fill: within each user's
+    (ts, id)-ordered stream, rows of ``known_type`` define the metric
+    (integer cents) and every other row inherits the most recent known
+    value; rows before the first observation get -1 (so the output
+    column stays a clean int64 — the SQL oracle COALESCEs the same
+    way).  One hash(user) exchange; the fill itself is a grouped
+    pandas ``ffill`` vectorized across all users in a partition.
+    -> (user, event, filled_cents)."""
+    from rdf_mapper_ray.ops.sessions import _route_by_user
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col]).reset_index(
+            drop=True)
+        cents = pd.Series(_cents(g[value_col].to_numpy()), dtype="Int64")
+        cents[g[type_col].to_numpy() != known_type] = pd.NA
+        filled = cents.groupby(g[user_col].to_numpy()).ffill()
+        return pd.DataFrame({
+            user_col: g[user_col],
+            id_col: g[id_col],
+            "filled_cents": filled.fillna(-1).astype("int64"),
+        })
+
+    return _route_by_user(ds, user_col).map_groups(part,
+                                                   batch_format="pandas")
+
+
+def locf_fill_query(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type",
+                             "value"])
+    return locf_fill(ds)
+
+
+def locf_fill_oracle_sql() -> str:
+    return """
+SELECT user_id, event_id,
+       CAST(COALESCE(LAST_VALUE(
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+         AS BIGINT) AS filled_cents
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+# --- OHLC bucket resampling -------------------------------------------------
+
+def ohlc_resample(ds: "ray.data.Dataset", ts_col: str = "ts",
+                  id_col: str = "event_id", value_col: str = "value",
+                  bucket_us: int = 3_600_000_000) -> "ray.data.Dataset":
+    """Downsample the event stream into per-bucket OHLC bars (open =
+    first value by (ts, id), close = last, high/low = extrema, plus
+    count and volume), the market-data resampling primitive.
+
+    Map-side partials emit ONE candidate row per bucket per block
+    (open/close carry their (ts, id) order keys so the merge stays
+    commutative); the exchange therefore moves blocks x buckets rows.
+    The merge re-arg-mins lexicographically — order-insensitive, so
+    the result is bit-stable under any block layout.
+    -> (bucket_hour, open_cents, high_cents, low_cents, close_cents,
+        n_events, vol_cents)."""
+    from rdf_mapper_ray.ops.dedup import partitions_for
+    num_partitions = partitions_for(ds, 8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(ts_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))
+        us = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        cents = _cents(t.column(value_col).to_numpy(zero_copy_only=False))
+        bucket = us // bucket_us
+        df = pd.DataFrame({"bucket_hour": bucket, "us": us, "id": ids,
+                           "c": cents})
+        df = df.sort_values(["bucket_hour", "us", "id"], kind="stable")
+        g = df.groupby("bucket_hour", sort=False)
+        out = pd.DataFrame({
+            "open_us": g["us"].first(), "open_id": g["id"].first(),
+            "open_c": g["c"].first(),
+            "close_us": g["us"].last(), "close_id": g["id"].last(),
+            "close_c": g["c"].last(),
+            "high_c": g["c"].max(), "low_c": g["c"].min(),
+            "n": g["c"].size(), "vol": g["c"].sum(),
+        }).reset_index()
+        out["pid"] = (out["bucket_hour"].to_numpy()
+                      % num_partitions).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket_hour", "open_us", "open_id"],
+                          kind="stable")
+        by = g.groupby("bucket_hour", sort=False)
+        first = by.first()
+        gc = g.sort_values(["bucket_hour", "close_us", "close_id"],
+                           kind="stable").groupby("bucket_hour",
+                                                  sort=False).last()
+        return pd.DataFrame({
+            "bucket_hour": first.index.to_numpy(),
+            "open_cents": first["open_c"].to_numpy(),
+            "high_cents": by["high_c"].max().to_numpy(),
+            "low_cents": by["low_c"].min().to_numpy(),
+            "close_cents": gc["close_c"].to_numpy(),
+            "n_events": by["n"].sum().to_numpy(),
+            "vol_cents": by["vol"].sum().to_numpy(),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pid").map_groups(merge, batch_format="pandas")
+
+
+def ohlc_query(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "value"])
+    return ohlc_resample(ds)
+
+
+def ohlc_oracle_sql(bucket_us: int = 3_600_000_000) -> str:
+    return f"""
+WITH s AS (
+  SELECT epoch_us(ts) // {bucket_us} AS bucket_hour,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY epoch_us(ts) // {bucket_us}
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY epoch_us(ts) // {bucket_us}
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT bucket_hour,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN c END) AS BIGINT) AS open_cents,
+       MAX(c) AS high_cents,
+       MIN(c) AS low_cents,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS close_cents,
+       COUNT(*) AS n_events,
+       CAST(SUM(c) AS BIGINT) AS vol_cents
+FROM s GROUP BY bucket_hour ORDER BY bucket_hour
+"""
+
+
+# --- lag-k autocorrelation sufficient statistics ---------------------------
+
+def autocorr_stats(ds: "ray.data.Dataset", ts_col: str = "ts",
+                   id_col: str = "event_id", value_col: str = "value",
+                   max_lag: int = 5) -> "ray.data.Dataset":
+    """Exact lag-k autocovariance sufficient statistics of the global
+    (ts, id)-ordered cents series: for each lag k in 0..max_lag, the
+    pair count and the integer sum of x_i * x_{i+k}.  (Lag 0 is the
+    sum of squares; the Pearson ACF is reconstructible exactly from
+    these plus head/tail sums, which callers can derive — the
+    CONTRACT here is the integer products, float-free.)
+
+    Distributed shape: one global sort; each sorted block computes its
+    interior pair sums vectorized (np.dot of shifted slices); only the
+    first max_lag rows of every block (block-count x K rows) come back
+    to the driver, where consecutive seams are stitched exactly.  A
+    block shorter than max_lag contributes no interior pairs and its
+    whole prefix rides the seam, so tiny blocks stay correct.
+    -> (lag, n_pairs, sum_xy)."""
+    K = max_lag
+
+    def encode(t: pa.Table) -> pa.Table:
+        col = t.column(ts_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))
+        return pa.Table.from_pydict({
+            "t": col.cast(pa.int64()),
+            "i": t.column(id_col),
+            "c": pa.array(_cents(
+                t.column(value_col).to_numpy(zero_copy_only=False))),
+        })
+
+    srt = ds.map_batches(encode, batch_format="pyarrow") \
+        .sort(["t", "i"]).materialize()
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        n = len(c)
+        if n == 0:
+            return pa.Table.from_pydict({
+                "kind": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "val": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "first_t": pa.array([], pa.int64()),
+                "first_i": pa.array([], pa.int64())})
+        # kind 0: interior lag sums; kind 1: head values; kind 2: tails
+        kinds, poss, vals, cnts = [], [], [], []
+        for k in range(K + 1):
+            if n > k:
+                kinds.append(0)
+                poss.append(k)
+                vals.append(int(np.dot(c[:n - k], c[k:])))
+                cnts.append(n - k)
+        for kind, seam in ((1, c[:min(K, n)]), (2, c[-min(K, n):])):
+            for j, x in enumerate(seam):
+                kinds.append(kind)
+                poss.append(j)
+                vals.append(int(x))
+                cnts.append(n)
+        m = len(kinds)
+        return pa.Table.from_pydict({
+            "kind": pa.array(kinds, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
+            "val": pa.array(vals, pa.int64()),
+            "cnt": pa.array(cnts, pa.int64()),
+            "first_t": pa.array([int(t.column("t")[0].as_py())] * m,
+                                pa.int64()),
+            "first_i": pa.array([int(t.column("i")[0].as_py())] * m,
+                                pa.int64()),
+        })
+
+    parts = srt.map_batches(block_partial, batch_format="pyarrow") \
+        .to_pandas()
+    sums = {k: 0 for k in range(K + 1)}
+    cnts = {k: 0 for k in range(K + 1)}
+    if parts.empty:
+        return ray.data.from_arrow(pa.Table.from_pydict({
+            "lag": pa.array(list(range(K + 1)), pa.int64()),
+            "n_pairs": pa.array([0] * (K + 1), pa.int64()),
+            "sum_xy": pa.array([0] * (K + 1), pa.int64())}))
+    # interior sums add up; block seams (block-count x K rows on the
+    # driver, same bound as peak_concurrency's block stats) stitch the
+    # cross-block pairs exactly — a carry of the last <=K values seen
+    # so far meets each next block's head, which also covers blocks
+    # shorter than K (their whole prefix rides the seam).
+    interior = parts[parts["kind"] == 0]
+    for k, s, c in zip(interior["pos"], interior["val"],
+                       interior["cnt"]):
+        sums[int(k)] += int(s)
+        cnts[int(k)] += int(c)
+    heads, tails, n_by = {}, {}, {}
+    for (ft, fi, kind), g in parts[parts["kind"] != 0].groupby(
+            ["first_t", "first_i", "kind"], sort=False):
+        arr = g.sort_values("pos")["val"].to_numpy().astype(np.int64)
+        (heads if kind == 1 else tails)[(int(ft), int(fi))] = arr
+        n_by[(int(ft), int(fi))] = int(g["cnt"].iloc[0])
+    keys = sorted(heads)
+    carry = np.empty(0, dtype=np.int64)
+    for key in keys:
+        head = heads[key]
+        if len(carry) and len(head):
+            span = np.concatenate([carry, head])
+            nc = len(carry)
+            for k in range(1, K + 1):
+                # pairs (i, i+k) with i in carry, i+k in this head
+                lo = max(0, nc - k)
+                hi = min(nc, len(span) - k)
+                if hi > lo:
+                    sums[k] += int(np.dot(span[lo:hi],
+                                          span[lo + k:hi + k]))
+                    cnts[k] += hi - lo
+        if n_by[key] >= K:
+            carry = tails[key]
+        else:
+            carry = np.concatenate([carry, tails[key]])[max(
+                0, len(carry) + len(tails[key]) - K):]
+    out = pa.Table.from_pydict({
+        "lag": pa.array(list(range(K + 1)), pa.int64()),
+        "n_pairs": pa.array([cnts[k] for k in range(K + 1)], pa.int64()),
+        "sum_xy": pa.array([sums[k] for k in range(K + 1)], pa.int64()),
+    })
+    return ray.data.from_arrow(out)
+
+
+def autocorr_query(sf_dir: str, max_lag: int = 5):
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "value"])
+    return autocorr_stats(ds, max_lag=max_lag)
+
+
+def autocorr_oracle_sql(max_lag: int = 5) -> str:
+    return f"""
+WITH s AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) AS rn,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(0, {max_lag + 1}))
+SELECT l.lag, COUNT(*) AS n_pairs, CAST(SUM(a.c * b.c) AS BIGINT) AS sum_xy
+FROM l JOIN s a ON TRUE JOIN s b ON b.rn = a.rn + l.lag
+GROUP BY l.lag ORDER BY l.lag
+"""
+
+
+# --- CUSUM changepoint ------------------------------------------------------
+
+def cusum_changepoint(ds: "ray.data.Dataset", user_col: str = "user_id",
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      value_col: str = "value") -> "ray.data.Dataset":
+    """Per-user CUSUM changepoint (Page 1954): over the user's
+    (ts, id)-ordered cents series x_1..x_n, the scaled cumulative
+    deviation D_i = n * prefix_i - i * total is the exact-integer form
+    of the mean-centered CUSUM (times n, so no division); the detected
+    changepoint is the 1-based position maximizing |D_i| (ties ->
+    smallest i).  One hash(user) exchange, grouped-vectorized scan.
+    -> (user, n_events, cp_seq, max_abs_dev)."""
+    from rdf_mapper_ray.ops.sessions import _route_by_user
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col]).reset_index(
+            drop=True)
+        cents = pd.Series(_cents(g[value_col].to_numpy()))
+        by = g[user_col].to_numpy()
+        grp = cents.groupby(by)
+        prefix = grp.cumsum().to_numpy()
+        total = grp.transform("sum").to_numpy()
+        n = grp.transform("size").to_numpy().astype(np.int64)
+        seq = g.groupby(user_col, sort=False).cumcount().to_numpy() + 1
+        dev = np.abs(n * prefix - seq * total)
+        d = pd.DataFrame({user_col: g[user_col], "n": n, "i": seq,
+                          "dev": dev})
+        mx = d.groupby(user_col, sort=False)["dev"].transform("max")
+        at = d[d["dev"] == mx]
+        out = at.groupby(user_col, sort=False).agg(
+            n_events=("n", "first"), cp_seq=("i", "min"),
+            max_abs_dev=("dev", "first")).reset_index()
+        return out[[user_col, "n_events", "cp_seq", "max_abs_dev"]]
+
+    return _route_by_user(ds, user_col).map_groups(part,
+                                                   batch_format="pandas")
+
+
+def cusum_query(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+    return cusum_changepoint(ds)
+
+
+def cusum_oracle_sql() -> str:
+    return """
+WITH s AS (
+  SELECT user_id,
+         row_number() OVER w AS i,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS p,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT))
+              OVER (PARTITION BY user_id) AS BIGINT) AS tot
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+d AS (SELECT user_id, n, i, abs(n * p - i * tot) AS dev FROM s),
+m AS (SELECT user_id, MAX(dev) AS mx FROM d GROUP BY user_id)
+SELECT d.user_id,
+       CAST(MAX(d.n) AS BIGINT) AS n_events,
+       CAST(MIN(d.i) AS BIGINT) AS cp_seq,
+       CAST(MAX(m.mx) AS BIGINT) AS max_abs_dev
+FROM d JOIN m USING (user_id) WHERE d.dev = m.mx
+GROUP BY d.user_id ORDER BY d.user_id
+"""

@@ -1,0 +1,102 @@
+"""Time-series ops: LOCF fill, OHLC bars, autocorrelation stats,
+CUSUM changepoints — hand-computed small cases, with multi-block
+layouts to exercise the seam/merge paths."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _events(rows):
+    """rows: (event_id, ts_secs, user_id, event_type, value)"""
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(
+            [np.datetime64("2024-01-01T00:00:00", "us")
+             + np.timedelta64(int(r[1] * 1_000_000), "us")
+             for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+    }))
+
+
+def test_locf_fill_basic(ray_session):
+    from rdf_mapper_ray.ops.timeseries import locf_fill
+    rows = [
+        (1, 0, 7, "view", 9.99),        # before first purchase -> -1
+        (2, 10, 7, "purchase", 1.50),   # known: 150
+        (3, 20, 7, "click", 0.10),      # carries 150
+        (4, 30, 7, "purchase", 2.25),   # known: 225
+        (5, 40, 7, "error", 0.01),      # carries 225
+        (6, 5, 8, "click", 3.00),       # user 8 never purchases -> -1
+    ]
+    out = locf_fill(_events(rows).repartition(4)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert list(out["filled_cents"]) == [-1, 150, 150, 225, 225, -1]
+    assert str(out["filled_cents"].dtype) == "int64"
+
+
+def test_ohlc_resample_hand_case(ray_session):
+    from rdf_mapper_ray.ops.timeseries import ohlc_resample
+    # two buckets (hour 0 and hour 1); open/close by (ts, id) order,
+    # including a ts tie broken by event_id
+    rows = [
+        (5, 100, 1, "x", 3.00),   # h0
+        (2, 100, 1, "x", 1.00),   # h0 same ts, smaller id -> open
+        (9, 3599, 1, "x", 0.50),  # h0 close
+        (1, 3600, 1, "x", 7.00),  # h1 open
+        (3, 7199, 1, "x", 2.00),  # h1 close
+    ]
+    out = ohlc_resample(_events(rows).repartition(3)).to_pandas() \
+        .sort_values("bucket_hour").reset_index(drop=True)
+    h0_hour = int(np.datetime64("2024-01-01T00", "s").astype(
+        "int64") // 3600)
+    assert list(out["bucket_hour"]) == [h0_hour, h0_hour + 1]
+    assert list(out["open_cents"]) == [100, 700]
+    assert list(out["close_cents"]) == [50, 200]
+    assert list(out["high_cents"]) == [300, 700]
+    assert list(out["low_cents"]) == [50, 200]
+    assert list(out["n_events"]) == [3, 2]
+    assert list(out["vol_cents"]) == [450, 900]
+
+
+def test_autocorr_matches_numpy_across_blocks(ray_session):
+    from rdf_mapper_ray.ops.timeseries import autocorr_stats
+    rng = np.random.RandomState(11)
+    vals = rng.randint(1, 500, size=97) / 100.0
+    rows = [(i, i, 1, "x", v) for i, v in enumerate(vals)]
+    # tiny blocks (some shorter than max_lag) to exercise the seams
+    ds = _events(rows).repartition(25)
+    out = autocorr_stats(ds, max_lag=5).to_pandas() \
+        .sort_values("lag").reset_index(drop=True)
+    c = np.rint(vals * 100).astype(np.int64)
+    for k in range(6):
+        assert out["n_pairs"][k] == len(c) - k
+        assert out["sum_xy"][k] == int(np.dot(c[:len(c) - k], c[k:])), k
+
+
+def test_cusum_changepoint_hand_case(ray_session):
+    from rdf_mapper_ray.ops.timeseries import cusum_changepoint
+    # user 1: level shift after the 3rd event (1,1,1,5,5,5)
+    rows = [(i, i, 1, "x", v)
+            for i, v in enumerate([0.01, 0.01, 0.01, 0.05, 0.05, 0.05])]
+    out = cusum_changepoint(_events(rows).repartition(3)).to_pandas()
+    assert len(out) == 1
+    # cents 1,1,1,5,5,5; n=6 tot=18; D_i = 6*P_i - i*18
+    # P = 1,2,3,8,13,18 -> D = -12,-24,-36,-24,-12,0 -> argmax |D| at i=3
+    assert int(out["cp_seq"][0]) == 3
+    assert int(out["max_abs_dev"][0]) == 36
+    assert int(out["n_events"][0]) == 6
+
+
+def test_cusum_tie_takes_smallest_seq(ray_session):
+    from rdf_mapper_ray.ops.timeseries import cusum_changepoint
+    # symmetric series -> |D| ties; the SQL contract picks min i
+    rows = [(i, i, 3, "x", v)
+            for i, v in enumerate([0.02, 0.01, 0.02, 0.01])]
+    out = cusum_changepoint(_events(rows)).to_pandas()
+    # cents 2,1,2,1: n=4 tot=6; P=2,3,5,6; D=8-6=2, 12-12=0, 20-18=2, 0
+    assert int(out["cp_seq"][0]) == 1
+    assert int(out["max_abs_dev"][0]) == 2

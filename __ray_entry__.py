@@ -89,6 +89,7 @@ _DRIVER_WINDOW = [
 _NEXT_UP = [
     # new in round-4 session 6 (window already full; locally dtype-exact)
     "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
+    "hits", "mis_luby",
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
@@ -322,6 +323,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_disc": quantiles.group_quantiles_disc_query,
         # time-series family: LOCF gap fill, OHLC resampling bars,
         # exact lag-k autocovariance stats, CUSUM changepoints
+        # HITS hubs/authorities (unnormalized-integer contract) on the
+        # Pregel actor pool; Luby's maximal independent set likewise
+        "hits": graphs.hits_query,
+        "mis_luby": graphs.mis_query,
         "locf_fill": timeseries.locf_fill_query,
         "ohlc_bars": timeseries.ohlc_query,
         "autocorr": timeseries.autocorr_query,
@@ -580,6 +585,8 @@ def oracle_sql() -> dict[str, str]:
         "twap": sessions.TWAP_ORACLE_SQL,
         "ewma": sessions.EWMA_ORACLE_SQL,
         "quantiles_disc": quantiles.GROUP_QUANTILES_DISC_ORACLE_SQL,
+        "hits": graphs.hits_oracle_sql(),
+        "mis_luby": graphs.mis_oracle_sql(),
         "locf_fill": timeseries.locf_fill_oracle_sql(),
         "ohlc_bars": timeseries.ohlc_oracle_sql(),
         "autocorr": timeseries.autocorr_oracle_sql(),

@@ -2908,3 +2908,501 @@ e{r} AS MATERIALIZED (
             + f"\nSELECT a, b, CAST(support AS BIGINT) AS support "
               f"FROM s{max_rounds} WHERE support >= {need} "
               f"ORDER BY a, b\n")
+
+
+# --- HITS hubs & authorities (Kleinberg 1999) --------------------------------
+# Exactness contract: the per-round L2 normalization of textbook HITS
+# divides every score by one GLOBAL scalar, so the unnormalized integer
+# iterates computed here are exactly proportional to HITS scores — the
+# ranking and ratios are identical, and the integers are bit-stable
+# under any partition order (pure sums). h0 = 1 for every node; each
+# full round updates auth from hubs over in-edges, then hubs from the
+# NEW auths over out-edges (the standard alternation).
+
+def _hits_send(state: pd.DataFrame, adj: pd.DataFrame):
+    """Half-round sender: even parity ships hub scores along out-edges
+    (dir=0 rows), odd parity ships the fresh auth scores back along
+    in-edges (dir=1 rows). Per-partition partial sums shrink the
+    exchange to one row per (partition, destination)."""
+    if not len(state):
+        return None
+    r = int(state["r"].iloc[0])
+    d, col = (0, "h") if r % 2 == 0 else (1, "a")
+    m = adj.loc[adj["dir"] == d].merge(
+        state[["node", col]], on="node")
+    if not len(m):
+        return None
+    out = pd.DataFrame({"node": m["other"].to_numpy(),
+                        "v": m[col].to_numpy(np.int64)})
+    return out.groupby("node", as_index=False)["v"].sum()
+
+
+def _hits_reduce(msgs, state: pd.DataFrame):
+    """Replace auth (even parity) or hub (odd) with the message sums;
+    nodes with no inbound messages get 0 (a supplier's authority, a
+    part's hub)."""
+    if not len(state):
+        return state, 0
+    r = int(state["r"].iloc[0])
+    col = "a" if r % 2 == 0 else "h"
+    s = np.zeros(len(state), dtype=np.int64)
+    if msgs is not None and len(msgs):
+        agg = msgs.groupby("node", as_index=False)["v"].sum()
+        m = state[["node"]].merge(agg, on="node", how="left")
+        s = np.nan_to_num(m["v"].to_numpy(np.float64),
+                          nan=0.0).astype(np.int64)
+    state = state.copy()
+    state[col] = s
+    state["r"] = r + 1
+    return state, 1
+
+
+def hits_int(edges: "ray.data.Dataset", rounds: int = 2,
+             num_partitions: int | None = None,
+             venue: str = "actors") -> "ray.data.Dataset":
+    """Unnormalized-integer HITS over a DIRECTED (src, dst) edge
+    Dataset -> (node, hub_score, auth_score) for every node.
+
+    ``venue="actors"`` (default) runs 2·rounds half-rounds on the
+    persistent Pregel pool (engine/pregel.py): the two-direction
+    adjacency loads once, only (node, partial-sum) messages move; a
+    shared round-parity column in the state alternates hub/auth
+    half-rounds. ``venue="dataset"`` is the same kernel as two
+    pid-routed exchanges per half-round (the bfs_levels shape) —
+    venue equality is unit-asserted on planted graphs."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+
+    def adj_rows(t: pa.Table) -> pa.Table:
+        s = t.column("src").combine_chunks() \
+            if isinstance(t.column("src"), pa.ChunkedArray) \
+            else t.column("src")
+        d = t.column("dst").combine_chunks() \
+            if isinstance(t.column("dst"), pa.ChunkedArray) \
+            else t.column("dst")
+        n = len(s)
+        tbl = pa.Table.from_pydict({
+            "node": pa.concat_arrays([s, d]),
+            "other": pa.concat_arrays([d, s]),
+            "dir": pa.array(np.concatenate([
+                np.zeros(n, np.int64), np.ones(n, np.int64)])),
+        })
+        return tbl.append_column(
+            "pid", _pid_col(tbl, "node", num_partitions))
+
+    adjacency = edges.map_batches(adj_rows, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
+    if venue == "actors":
+        from rdf_mapper_ray.engine.pregel import PregelPool
+        pool = PregelPool(adjacency, num_partitions,
+                          _hits_send, _hits_reduce)
+        empty = pa.Table.from_pydict({
+            "node": pa.array([], pa.int64()),
+            "h": pa.array([], pa.int64()),
+            "a": pa.array([], pa.int64()),
+            "r": pa.array([], pa.int64())})
+
+        def seed(adj_df: pd.DataFrame) -> pd.DataFrame:
+            n = np.unique(adj_df["node"].to_numpy())
+            return pd.DataFrame({
+                "node": n,
+                "h": np.ones(len(n), dtype=np.int64),
+                "a": np.zeros(len(n), dtype=np.int64),
+                "r": np.zeros(len(n), dtype=np.int64)})
+
+        pool.init_state_from_adj(seed, empty)
+        pool.run(2 * rounds)
+        out = pool.collect().map_batches(
+            lambda t: pa.Table.from_pydict({
+                "node": t.column("node"),
+                "hub_score": t.column("h"),
+                "auth_score": t.column("a")}),
+            batch_format="pyarrow")
+        pool.shutdown()
+        return out
+
+    # dataset venue: same kernels as two tagged exchanges per half-round
+    def init_scores(t: pa.Table) -> pa.Table:
+        col = t.column("node")
+        n = pc.unique(col.combine_chunks()
+                      if isinstance(col, pa.ChunkedArray) else col)
+        z = np.zeros(len(n), np.int64)
+        tbl = pa.Table.from_pydict({
+            "node": n, "h": pa.array(np.ones(len(n), np.int64)),
+            "a": pa.array(z)})
+        return tbl.append_column(
+            "pid", _pid_col(tbl, "node", num_partitions))
+
+    scores = adjacency.map_batches(init_scores, batch_format="pyarrow") \
+        .groupby("pid").map_groups(
+            lambda g: g.drop_duplicates("node"),
+            batch_format="pandas").materialize()
+
+    for half in range(2 * rounds):
+        d, col = (0, "h") if half % 2 == 0 else (1, "a")
+        upd = "a" if half % 2 == 0 else "h"
+
+        def tag_adj(t: pa.Table, _d=d) -> pa.Table:
+            t = t.filter(pc.equal(t.column("dir"),
+                                  pa.scalar(_d, pa.int64())))
+            z = np.zeros(t.num_rows, np.int64)
+            return pa.Table.from_pydict({
+                "node": t.column("node"), "other": t.column("other"),
+                "h": pa.array(z), "a": pa.array(z),
+                "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "pid": t.column("pid")})
+
+        def tag_score(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict({
+                "node": t.column("node"), "other": t.column("node"),
+                "h": t.column("h"), "a": t.column("a"),
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "pid": t.column("pid")})
+
+        def send(g: pd.DataFrame, _col=col) -> pd.DataFrame:
+            sc = g.loc[g["kind"] == 1, ["node", _col]]
+            e = g.loc[g["kind"] == 0, ["node", "other"]]
+            m = e.merge(sc, on="node")
+            if not len(m):
+                return pd.DataFrame({"node": [], "v": []}) \
+                    .astype({"node": np.int64, "v": np.int64})
+            out = pd.DataFrame({"node": m["other"].to_numpy(),
+                                "v": m[_col].to_numpy(np.int64)})
+            return out.groupby("node", as_index=False)["v"].sum()
+
+        def tag_msg(t: pa.Table) -> pa.Table:
+            z = np.zeros(t.num_rows, np.int64)
+            tbl = pa.Table.from_pydict({
+                "node": t.column("node"), "h": pa.array(z),
+                "a": pa.array(z), "v": t.column("v"),
+                "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8))})
+            return tbl.append_column(
+                "pid", _pid_col(tbl, "node", num_partitions))
+
+        def tag_state(t: pa.Table) -> pa.Table:
+            z = np.zeros(t.num_rows, np.int64)
+            return pa.Table.from_pydict({
+                "node": t.column("node"), "h": t.column("h"),
+                "a": t.column("a"), "v": pa.array(z),
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "pid": t.column("pid")})
+
+        def apply(g: pd.DataFrame, _upd=upd) -> pd.DataFrame:
+            st = g.loc[g["kind"] == 1,
+                       ["node", "h", "a", "pid"]].copy()
+            if not len(st):
+                return pd.DataFrame({
+                    "node": [], "h": [], "a": [], "pid": []}).astype(
+                    {"node": np.int64, "h": np.int64,
+                     "a": np.int64, "pid": np.int64})
+            ms = g.loc[g["kind"] == 0, ["node", "v"]]
+            s = np.zeros(len(st), dtype=np.int64)
+            if len(ms):
+                agg = ms.groupby("node", as_index=False)["v"].sum()
+                m = st[["node"]].merge(agg, on="node", how="left")
+                s = np.nan_to_num(m["v"].to_numpy(np.float64),
+                                  nan=0.0).astype(np.int64)
+            st[_upd] = s
+            return st
+
+        msgs = adjacency.map_batches(tag_adj, batch_format="pyarrow") \
+            .union(scores.map_batches(tag_score,
+                                      batch_format="pyarrow")) \
+            .groupby("pid").map_groups(send, batch_format="pandas")
+        # per-round repartition is LOAD-BEARING (the community_lpa
+        # lesson): sort-shuffle output block counts otherwise compound
+        # 2x per half-round through the unions
+        scores = _sever(
+            msgs.map_batches(tag_msg, batch_format="pyarrow")
+            .union(scores.map_batches(tag_state,
+                                      batch_format="pyarrow"))
+            .groupby("pid").map_groups(apply, batch_format="pandas")
+            .repartition(num_partitions))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "node": t.column("node"),
+            "hub_score": t.column("h"),
+            "auth_score": t.column("a")})
+
+    return scores.map_batches(finish, batch_format="pyarrow")
+
+
+def supplier_part_directed_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Directed supplier→part edges (the hub→authority direction of
+    the bipartite graph), same namespacing + part cap as
+    partsupp_edges so the SQL oracles share the predicate."""
+    import pyarrow.dataset as pads
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey"],
+                    filter=pads.field("l_partkey") <= PR_PART_CAP)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        t = pa.Table.from_pydict({"src": pa.array(s * 2 + 1),
+                                  "dst": pa.array(p * 2)})
+        return t.group_by(["src", "dst"], use_threads=False).aggregate([])
+
+    def route(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_pandas_object(
+            pd.Series(s * 1_000_003 + d), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(32)).astype(np.int64)))
+
+    def dd(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.drop_duplicates(["src", "dst"])[["src", "dst"]]
+
+    return li.map_batches(enc, batch_format="pyarrow") \
+        .map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(dd, batch_format="pandas")
+
+
+def hits_query(sf_dir: str, rounds: int = 2):
+    """HITS over the directed supplier→part graph: suppliers are hubs,
+    parts are authorities (zero for the opposite role — the general
+    directed kernel produces that naturally on a bipartite graph)."""
+    return hits_int(supplier_part_directed_edges(sf_dir),
+                    rounds=rounds)
+
+
+def hits_oracle_sql(rounds: int = 2) -> str:
+    ctes = [f"""e AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst
+  FROM lineitem WHERE l_partkey <= {PR_PART_CAP}
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+h0 AS (SELECT node, CAST(1 AS BIGINT) AS v FROM nodes)"""]
+    prev_h = "h0"
+    for k in range(1, rounds + 1):
+        ctes.append(f"""a{k} AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM({prev_h}.v) AS v
+    FROM e JOIN {prev_h} ON {prev_h}.node = e.src
+    GROUP BY e.dst) s USING (node)
+)""")
+        ctes.append(f"""h{k} AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, SUM(a{k}.v) AS v
+    FROM e JOIN a{k} ON a{k}.node = e.dst
+    GROUP BY e.src) s USING (node)
+)""")
+        prev_h = f"h{k}"
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+SELECT n.node, h{rounds}.v AS hub_score, a{rounds}.v AS auth_score
+FROM nodes n
+JOIN h{rounds} ON h{rounds}.node = n.node
+JOIN a{rounds} ON a{rounds}.node = n.node
+ORDER BY n.node
+""")
+
+
+# --- Maximal independent set (Luby 1986) -------------------------------------
+# Deterministic variant: node priorities are the portable md5 hash64
+# of the node id (ops/hashing.py), so the round-by-round outcome is a
+# pure function of the graph and the SQL oracle replays it bit-for-bit
+# (same UBIGINT comparisons). Per round: every undecided node whose
+# priority is strictly below all undecided neighbors' joins the MIS;
+# its neighbors drop out. Collisions (~2^-64/pair) would leave both
+# endpoints undecided — identically in both engines, so the replay
+# cannot diverge; it would only make the set non-maximal.
+
+def _mis_send(state: pd.DataFrame, adj: pd.DataFrame):
+    if not len(state):
+        return None
+    r = int(state["r"].iloc[0])
+    if r % 2 == 0:
+        und = state.loc[state["status"] == 0, ["node", "p"]]
+        if not len(und):
+            return None
+        m = adj.merge(und, on="node")
+        if not len(m):
+            return None
+        out = pd.DataFrame({"node": m["other"].to_numpy(),
+                            "v": m["p"].to_numpy()})
+        return out.groupby("node", as_index=False)["v"].min()
+    fresh = state.loc[state["fresh"] == 1, ["node"]]
+    if not len(fresh):
+        return None
+    m = adj.merge(fresh, on="node")
+    if not len(m):
+        return None
+    out = pd.DataFrame({"node": m["other"].to_numpy()})
+    out = out.drop_duplicates()
+    out["v"] = np.uint64(1)
+    return out
+
+
+def _mis_reduce(msgs, state: pd.DataFrame):
+    if not len(state):
+        return state, 0
+    r = int(state["r"].iloc[0])
+    state = state.copy()
+    changed = 0
+    if r % 2 == 0:
+        und = state["status"].to_numpy() == 0
+        joins = und.copy()
+        if msgs is not None and len(msgs):
+            # exact uint64 lookup (a merge would round-trip missing
+            # rows through float64 and could flip a comparison)
+            agg = msgs.groupby("node", as_index=False)["v"].min()
+            an = agg["node"].to_numpy()
+            av = agg["v"].to_numpy().astype(np.uint64)
+            order = np.argsort(an)
+            an, av = an[order], av[order]
+            idx = state["node"].to_numpy()
+            pos = np.clip(np.searchsorted(an, idx), 0, len(an) - 1)
+            has = an[pos] == idx
+            pv = state["p"].to_numpy().astype(np.uint64)
+            joins = und & (~has | (pv < av[pos]))
+        state.loc[joins, "status"] = np.int64(1)
+        state.loc[joins, "fresh"] = np.int64(1)
+        changed = int(joins.sum())
+    else:
+        if msgs is not None and len(msgs):
+            hit = state["node"].isin(msgs["node"]).to_numpy()
+            drop = (state["status"].to_numpy() == 0) & hit
+            state.loc[drop, "status"] = np.int64(2)
+            changed = int(drop.sum())
+        state["fresh"] = np.int64(0)
+    state["r"] = r + 1
+    remaining = int((state["status"].to_numpy() == 0).sum())
+    return state, changed + remaining
+
+
+def mis_luby(edges: "ray.data.Dataset", rounds: int = 6,
+             num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Maximal independent set over an undirected (a, b) edge Dataset
+    -> (node, status): 1 = in the MIS, 2 = removed (neighbor of a MIS
+    member), 0 = undecided (only if ``rounds`` was too small — the SQL
+    oracle replays the same round count, so the two always agree).
+
+    Runs on the persistent Pregel pool: adjacency loads once; each
+    Luby round is two message phases (undecided-priority mins, then
+    fresh-MIS-member notifications — only NEW members notify, so late
+    rounds ship nearly nothing)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+    from rdf_mapper_ray.engine.pregel import PregelPool
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    def adj_rows(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks() \
+            if isinstance(t.column("a"), pa.ChunkedArray) \
+            else t.column("a")
+        b = t.column("b").combine_chunks() \
+            if isinstance(t.column("b"), pa.ChunkedArray) \
+            else t.column("b")
+        tbl = pa.Table.from_pydict({
+            "node": pa.concat_arrays([a, b]),
+            "other": pa.concat_arrays([b, a])})
+        return tbl.append_column(
+            "pid", _pid_col(tbl, "node", num_partitions))
+
+    adjacency = edges.map_batches(adj_rows, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
+    pool = PregelPool(adjacency, num_partitions,
+                      _mis_send, _mis_reduce)
+    empty = pa.Table.from_pydict({
+        "node": pa.array([], pa.int64()),
+        "p": pa.array([], pa.uint64()),
+        "status": pa.array([], pa.int64()),
+        "fresh": pa.array([], pa.int64()),
+        "r": pa.array([], pa.int64())})
+
+    def seed(adj_df: pd.DataFrame) -> pd.DataFrame:
+        n = np.unique(adj_df["node"].to_numpy())
+        return pd.DataFrame({
+            "node": n,
+            "p": hash64([str(int(x)) for x in n], backend="md5"),
+            "status": np.zeros(len(n), dtype=np.int64),
+            "fresh": np.zeros(len(n), dtype=np.int64),
+            "r": np.zeros(len(n), dtype=np.int64)})
+
+    pool.init_state_from_adj(seed, empty)
+    pool.run(2 * rounds)
+    out = pool.collect().map_batches(
+        lambda t: pa.Table.from_pydict({
+            "node": t.column("node"),
+            "status": t.column("status")}),
+        batch_format="pyarrow")
+    pool.shutdown()
+    return out
+
+
+def mis_query(sf_dir: str, threshold: float = 0.3, rounds: int = 6):
+    """MIS of the embedding near-dup graph (same derivation as
+    k_truss/graph_components)."""
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs,
+                                          partitions_for)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+    return mis_luby(pairs.map_batches(_pairs_as_edges,
+                                      batch_format="pyarrow"),
+                    rounds=rounds,
+                    num_partitions=partitions_for(emb, 8))
+
+
+def mis_oracle_sql(threshold: float = 0.3, rounds: int = 6) -> str:
+    parts = [f"""e0 AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding)
+        >= {threshold}
+),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS other FROM e0
+  UNION ALL SELECT b, a FROM e0),
+u0 AS MATERIALIZED (
+  SELECT DISTINCT node,
+    ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 16))::UBIGINT AS p
+  FROM adj)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f"""nb{k} AS (
+  SELECT a.node, MIN(u2.p) AS mn
+  FROM adj a
+  JOIN u{k-1} u1 ON u1.node = a.node
+  JOIN u{k-1} u2 ON u2.node = a.other
+  GROUP BY a.node
+),
+mis{k} AS MATERIALIZED (
+  SELECT u.node FROM u{k-1} u
+  LEFT JOIN nb{k} ON nb{k}.node = u.node
+  WHERE nb{k}.mn IS NULL OR u.p < nb{k}.mn
+),
+rm{k} AS MATERIALIZED (
+  SELECT DISTINCT a.other AS node
+  FROM adj a JOIN mis{k} m ON m.node = a.node
+),
+u{k} AS MATERIALIZED (
+  SELECT u.node, u.p FROM u{k-1} u
+  WHERE u.node NOT IN (SELECT node FROM mis{k})
+    AND u.node NOT IN (SELECT node FROM rm{k})
+)""")
+    mis_all = " UNION ALL ".join(
+        f"SELECT node FROM mis{k}" for k in range(1, rounds + 1))
+    return ("WITH " + ",\n".join(parts) + f""",
+mis_all AS (SELECT DISTINCT node FROM ({mis_all}))
+SELECT u0.node,
+       CAST(CASE
+         WHEN u0.node IN (SELECT node FROM mis_all) THEN 1
+         WHEN u0.node IN (SELECT node FROM u{rounds}) THEN 0
+         ELSE 2 END AS BIGINT) AS status
+FROM u0 ORDER BY u0.node
+""")

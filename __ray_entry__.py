@@ -89,7 +89,7 @@ _DRIVER_WINDOW = [
 _NEXT_UP = [
     # new in round-4 session 6 (window already full; locally dtype-exact)
     "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
-    "hits", "mis_luby",
+    "hits", "mis_luby", "event_ngrams", "gap_fill",
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
@@ -331,6 +331,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc_bars": timeseries.ohlc_query,
         "autocorr": timeseries.autocorr_query,
         "cusum_changepoint": timeseries.cusum_query,
+        # per-user event trigram mining (cell-table finish) and dense
+        # hourly grid with exact trunc-div linear interpolation
+        "event_ngrams": timeseries.event_ngrams_query,
+        "gap_fill": timeseries.gap_fill_query,
         # set algebra: INTERSECT / EXCEPT on distinct keys
         "users_intersect": setops.users_intersect_query,
         "users_except": setops.users_except_query,
@@ -591,6 +595,8 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_bars": timeseries.ohlc_oracle_sql(),
         "autocorr": timeseries.autocorr_oracle_sql(),
         "cusum_changepoint": timeseries.cusum_oracle_sql(),
+        "event_ngrams": timeseries.event_ngrams_oracle_sql(),
+        "gap_fill": timeseries.gap_fill_oracle_sql(),
         "users_intersect": setops.USERS_INTERSECT_ORACLE_SQL,
         "users_except": setops.USERS_EXCEPT_ORACLE_SQL,
         "ntile_bucket": normalize.ntile_oracle_sql(),

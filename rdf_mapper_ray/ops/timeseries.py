@@ -406,3 +406,193 @@ SELECT d.user_id,
 FROM d JOIN m USING (user_id) WHERE d.dev = m.mx
 GROUP BY d.user_id ORDER BY d.user_id
 """
+
+
+# --- per-user event n-gram mining --------------------------------------------
+
+def event_ngrams(ds: "ray.data.Dataset", n: int = 3,
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 id_col: str = "event_id", type_col: str = "event_type",
+                 num_partitions: int | None = None):
+    """Contiguous length-``n`` event-type sequences over each user's
+    time-ordered stream with global counts — the sequence-mining
+    primitive behind 'what do users do right before X'.  Users
+    co-partition by hash (one exchange); the n-gram window is a
+    vectorized grouped shift stack, per-partition partial counts keep
+    the final table (|types|^n cells at most) driver-sized (the
+    transition_matrix cell-table lesson). -> (t1..tn, n_seq)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    cols = [f"t{i + 1}" for i in range(n)]
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([user_col, ts_col, id_col, type_col])
+        pid = pd.util.hash_pandas_object(
+            t.column(user_col).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def grams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        grp = g.groupby(user_col, sort=False)
+        frame = {cols[0]: g[type_col].to_numpy()}
+        keep = np.ones(len(g), dtype=bool)
+        for i in range(1, n):
+            s = grp[type_col].shift(-i)
+            keep &= s.notna().to_numpy()
+            frame[cols[i]] = s.to_numpy()
+        out = pd.DataFrame(frame)[keep]
+        out = out.groupby(cols, as_index=False).size() \
+            .rename(columns={"size": "n_seq"})
+        out["n_seq"] = out["n_seq"].astype(np.int64)
+        return out
+
+    cells = ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(grams, batch_format="pandas") \
+        .to_pandas()
+    cells = cells.groupby(cols, as_index=False)["n_seq"].sum()
+    return pa.Table.from_pandas(
+        cells.sort_values(cols).reset_index(drop=True),
+        preserve_index=False)
+
+
+def event_ngrams_query(sf_dir: str, n: int = 3):
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    return event_ngrams(ds, n=n)
+
+
+def event_ngrams_oracle_sql(n: int = 3) -> str:
+    cols = [f"t{i + 1}" for i in range(n)]
+    sel = ["event_type AS t1"] + [
+        f"lead(event_type, {i}) OVER w AS t{i + 1}"
+        for i in range(1, n)]
+    return f"""
+WITH s AS (
+  SELECT {", ".join(sel)}
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT {", ".join(cols)}, COUNT(*) AS n_seq
+FROM s WHERE t{n} IS NOT NULL
+GROUP BY {", ".join(cols)} ORDER BY {", ".join(cols)}
+"""
+
+
+# --- per-user hourly grid with linear interpolation --------------------------
+
+def gap_fill_interpolate(ds: "ray.data.Dataset",
+                         user_col: str = "user_id",
+                         ts_col: str = "ts", type_col: str = "event_type",
+                         value_col: str = "value",
+                         known_type: str = "purchase",
+                         bucket_us: int = 3_600_000_000
+                         ) -> "ray.data.Dataset":
+    """Regularize each user's purchase stream onto a dense hourly
+    grid: known buckets carry the integer-cents sum of that hour's
+    purchases; missing buckets between a user's first and last known
+    hour are LINEARLY interpolated with the exact truncating-integer
+    formula ``prev + ((next-prev) * (t-pt)) trunc-div (nt-pt)`` —
+    trunc (not floor) to match SQL's ``//``, which the oracle uses
+    verbatim. -> (user, bucket_hour, cents, interpolated 0/1).
+
+    One hash(user) exchange; the dense grid builds vectorized across
+    all of a partition's users (offset-arange, no Python loop), and
+    prev/next known values come from grouped ffill/bfill."""
+    from rdf_mapper_ray.ops.sessions import _route_by_user
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        col = g[ts_col]
+        us = col.astype("datetime64[us]").astype("int64").to_numpy()
+        cents = _cents(g[value_col].to_numpy())
+        k = pd.DataFrame({
+            "u": g[user_col].to_numpy(), "b": us // bucket_us,
+            "c": cents})[g[type_col].to_numpy() == known_type]
+        if not len(k):
+            return pd.DataFrame({
+                user_col: np.array([], np.int64),
+                "bucket_hour": np.array([], np.int64),
+                "cents": np.array([], np.int64),
+                "interpolated": np.array([], np.int64)})
+        k = k.groupby(["u", "b"], as_index=False)["c"].sum()
+        spans = k.groupby("u").agg(lo=("b", "min"), hi=("b", "max"))
+        counts = (spans["hi"] - spans["lo"] + 1).to_numpy(np.int64)
+        users = np.repeat(spans.index.to_numpy(), counts)
+        # offset-arange: one global arange minus per-user restarts
+        total = int(counts.sum())
+        idx = np.arange(total, dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        b = idx - np.repeat(starts, counts) \
+            + np.repeat(spans["lo"].to_numpy(np.int64), counts)
+        grid = pd.DataFrame({"u": users, "b": b})
+        m = grid.merge(k, on=["u", "b"], how="left")
+        known = m["c"].notna().to_numpy()
+        cs = m["c"]
+        by = m["u"].to_numpy()
+        pv = cs.groupby(by).ffill().to_numpy()
+        nv = cs.groupby(by).bfill().to_numpy()
+        bk = m["b"].where(known)
+        pb = bk.groupby(by).ffill().to_numpy()
+        nb = bk.groupby(by).bfill().to_numpy()
+        num = ((nv - pv) * (m["b"].to_numpy() - pb)).astype(np.int64)
+        den = (nb - pb).astype(np.int64)
+        den[known] = 1  # avoid 0/0 on known rows; value unused there
+        q = np.where(num >= 0, num // den, -((-num) // den))
+        out = np.where(known, np.nan_to_num(cs.to_numpy()),
+                       pv + q).astype(np.int64)
+        return pd.DataFrame({
+            user_col: m["u"].to_numpy(),
+            "bucket_hour": m["b"].to_numpy(),
+            "cents": out,
+            "interpolated": (~known).astype(np.int64)})
+
+    return _route_by_user(ds, user_col).map_groups(part,
+                                                   batch_format="pandas")
+
+
+def gap_fill_query(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["ts", "user_id", "event_type", "value"])
+    return gap_fill_interpolate(ds)
+
+
+def gap_fill_oracle_sql(bucket_us: int = 3_600_000_000,
+                        max_span: int = 20000) -> str:
+    return f"""
+WITH k AS (
+  SELECT user_id, epoch_us(ts) // {bucket_us} AS b,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+spans AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi
+          FROM k GROUP BY user_id),
+grid AS (
+  SELECT s.user_id, s.lo + r.range AS b
+  FROM spans s JOIN range(0, {max_span}) r
+  ON r.range <= s.hi - s.lo
+),
+g2 AS (
+  SELECT g.user_id, g.b, k.c,
+         last_value(k.c IGNORE NULLS) OVER w AS pv,
+         last_value(CASE WHEN k.c IS NOT NULL THEN g.b END
+                    IGNORE NULLS) OVER w AS pb,
+         first_value(k.c IGNORE NULLS) OVER w2 AS nv,
+         first_value(CASE WHEN k.c IS NOT NULL THEN g.b END
+                     IGNORE NULLS) OVER w2 AS nb
+  FROM grid g LEFT JOIN k USING (user_id, b)
+  WINDOW w AS (PARTITION BY user_id ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w2 AS (PARTITION BY user_id ORDER BY b
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, b AS bucket_hour,
+       CAST(CASE WHEN c IS NOT NULL THEN c
+            ELSE pv + ((nv - pv) * (b - pb)) // (nb - pb)
+            END AS BIGINT) AS cents,
+       CAST(CASE WHEN c IS NOT NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS interpolated
+FROM g2 ORDER BY user_id, bucket_hour
+"""

@@ -100,3 +100,47 @@ def test_cusum_tie_takes_smallest_seq(ray_session):
     # cents 2,1,2,1: n=4 tot=6; P=2,3,5,6; D=8-6=2, 12-12=0, 20-18=2, 0
     assert int(out["cp_seq"][0]) == 1
     assert int(out["max_abs_dev"][0]) == 2
+
+
+def test_event_ngrams_hand_case(ray_session):
+    from rdf_mapper_ray.ops.timeseries import event_ngrams
+    rows = [
+        (1, 0, 1, "a", 1.0), (2, 1, 1, "b", 1.0), (3, 2, 1, "a", 1.0),
+        (4, 3, 1, "b", 1.0),                     # user 1: abab
+        (5, 0, 2, "a", 1.0), (6, 1, 2, "b", 1.0), (7, 2, 2, "a", 1.0),
+        (8, 9, 3, "x", 1.0),                     # too short for n=3
+    ]
+    out = event_ngrams(_events(rows).repartition(3), n=3).to_pandas()
+    got = {(r.t1, r.t2, r.t3): int(r.n_seq) for r in out.itertuples()}
+    # user 1 "abab" -> aba, bab ; user 2 "aba" -> aba
+    assert got == {("a", "b", "a"): 2, ("b", "a", "b"): 1}
+
+
+def test_gap_fill_interpolates_with_trunc_division(ray_session):
+    from rdf_mapper_ray.ops.timeseries import gap_fill_interpolate
+    # user 1: purchases at hour 0 (300) and hour 3 (100) -> downward
+    # slope; trunc division must match SQL // (not Python floor)
+    rows = [
+        (1, 0, 1, "purchase", 3.00),
+        (2, 3 * 3600, 1, "purchase", 1.00),
+        (3, 1800, 1, "click", 9.99),   # ignored
+    ]
+    out = gap_fill_interpolate(_events(rows).repartition(2)) \
+        .to_pandas().sort_values("bucket_hour").reset_index(drop=True)
+    # num at t=1: (100-300)*1 = -200, den 3 -> trunc(-66.67) = -66
+    # -> 300 - 66 = 234 ; at t=2: trunc(-400/3) = -133 -> 167
+    assert list(out["cents"]) == [300, 234, 167, 100]
+    assert list(out["interpolated"]) == [0, 1, 1, 0]
+
+
+def test_gap_fill_sums_within_bucket(ray_session):
+    from rdf_mapper_ray.ops.timeseries import gap_fill_interpolate
+    rows = [
+        (1, 0, 5, "purchase", 1.00),
+        (2, 60, 5, "purchase", 2.00),   # same hour -> 300 total
+        (3, 3600, 5, "purchase", 1.00),
+    ]
+    out = gap_fill_interpolate(_events(rows)).to_pandas() \
+        .sort_values("bucket_hour").reset_index(drop=True)
+    assert list(out["cents"]) == [300, 100]
+    assert list(out["interpolated"]) == [0, 0]

@@ -309,3 +309,39 @@ def test_bgp_group_count_matches_oracle(ray_session):
                     f"read_parquet('{SF}/{t}.parquet')")
     want = con.execute(E.oracle_sql()["bgp_group_count"]).fetchdf()
     assert compare("bgp_group_count", got, want)
+
+
+def _p_triples(pairs):
+    import pyarrow as pa
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "subject": pa.array([a for a, _ in pairs]),
+        "predicate": pa.array(["p"] * len(pairs)),
+        "object_value": pa.array([b for _, b in pairs])}))
+
+
+def test_path_plus_actors_venue_equality(ray_session):
+    from rdf_mapper_ray.engine.bgp import path_plus
+    # chain + 3-cycle: closure must include the cycle's self-pairs
+    pairs = [("n0", "n1"), ("n1", "n2"), ("n2", "n3"),
+             ("x", "y"), ("y", "z"), ("z", "x")]
+    t = _p_triples(pairs)
+    d = path_plus(t, "p", venue="dataset").to_pandas() \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    a = path_plus(t, "p", venue="actors").to_pandas() \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    assert d.equals(a)
+    exp = {("n0", "n1"), ("n0", "n2"), ("n0", "n3"), ("n1", "n2"),
+           ("n1", "n3"), ("n2", "n3")}
+    exp |= {(u, v) for u in "xyz" for v in "xyz"}
+    assert set(zip(a["src"], a["dst"])) == exp
+
+
+def test_path_plus_actors_deep_chain(ray_session):
+    from rdf_mapper_ray.engine.bgp import path_plus
+    # the dataset venue pays 2 exchanges per depth level; the pool
+    # venue closes a 40-deep chain in a few seconds
+    pairs = [(f"c{i:02d}", f"c{i+1:02d}") for i in range(40)]
+    out = path_plus(_p_triples(pairs), "p", venue="actors",
+                    max_depth=50).to_pandas()
+    assert len(out) == 41 * 40 // 2

@@ -137,6 +137,16 @@ class _PregelPart:
         self._state, changed = self._reduce(msgs, state)
         return int(changed)
 
+    def rebind(self, send_fn: Callable, reduce_fn: Callable) -> int:
+        self._send = send_fn
+        self._reduce = reduce_fn
+        return 0
+
+    def transform_state(self, fn: Callable) -> int:
+        if self._state is not None and len(self._state):
+            self._state = fn(self._state)
+        return 0 if self._state is None else len(self._state)
+
     def write_state(self, path: str) -> int:
         import pyarrow.parquet as pq
         t = (pa.Table.from_pandas(self._state, preserve_index=False)
@@ -257,6 +267,35 @@ class PregelPool:
                     json.dump({"round": rounds,
                                "partitions": self._P}, f)
         return rounds
+
+    def rebind(self, send_fn: Callable, reduce_fn: Callable,
+               transform: Optional[Callable] = None) -> None:
+        """Swap the message kernels (and optionally transform each
+        partition's state in place) — a multi-phase algorithm (e.g. a
+        forward shortest-path-counting pass then a backward dependency
+        accumulation) runs on ONE pool without reloading the adjacency
+        or round-tripping state through storage."""
+        ray.get([a.rebind.remote(send_fn, reduce_fn)
+                 for a in self._actors])
+        if transform is not None:
+            ray.get([a.transform_state.remote(transform)
+                     for a in self._actors])
+
+    def checkpoint(self, checkpoint_dir: str, round_no: int = 0) -> None:
+        """Write the current per-partition states as a sealed
+        checkpoint (same layout run() writes) — lets a SECOND pool
+        with the same partition count take over the state (e.g. a
+        backward pass over a forward pass's result) without the
+        driver ever holding the node table."""
+        import json
+        import os
+        d = os.path.join(checkpoint_dir, f"round={round_no}")
+        os.makedirs(d, exist_ok=True)
+        ray.get([a.write_state.remote(
+            os.path.join(d, f"part-{i}.parquet"))
+            for i, a in enumerate(self._actors)])
+        with open(os.path.join(d, "_MANIFEST.json"), "w") as f:
+            json.dump({"round": round_no, "partitions": self._P}, f)
 
     def restore_checkpoint(self, checkpoint_dir: str) -> int:
         """Load the LATEST sealed checkpoint into the pool's actors;

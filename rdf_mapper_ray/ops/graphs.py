@@ -3406,3 +3406,274 @@ SELECT u0.node,
          ELSE 2 END AS BIGINT) AS status
 FROM u0 ORDER BY u0.node
 """)
+
+
+# --- Stress centrality (Shimbel 1953) via multi-source BFS -------------------
+# stress(v) = number of shortest paths passing THROUGH v, summed over
+# all ordered (s, t) pairs (undirected graphs count each unordered
+# pair twice — documented contract). Pure integers end to end:
+# forward multi-source BFS counts sigma_sv (level-synchronous, so a
+# node's shortest-path predecessors all report in the same round);
+# the backward sweep accumulates tau_sv = sum over s-DAG successors w
+# of (1 + tau_sw) — the integer Brandes (2008) variant for stress —
+# and stress(v) = sum_s sigma_sv * tau_sv.  BOTH phases run on ONE
+# Pregel pool: the kernels are rebound between phases (no adjacency
+# reload, no state round-trip through storage).
+
+def _key64(node: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """(node, src) composite as one int64 for exact lookups (ids are
+    < 2^31 here; asserted by the caller contract)."""
+    return (node.astype(np.int64) << np.int64(32)) \
+        | src.astype(np.int64)
+
+
+def _exact_lookup(keys: np.ndarray, table_keys: np.ndarray,
+                  table_vals: np.ndarray):
+    """Exact int64->int64 lookup: (found_mask, values) — no float64
+    merge round-trip."""
+    order = np.argsort(table_keys)
+    tk, tv = table_keys[order], table_vals[order]
+    pos = np.clip(np.searchsorted(tk, keys), 0, max(len(tk) - 1, 0))
+    if not len(tk):
+        return np.zeros(len(keys), dtype=bool), \
+            np.zeros(len(keys), dtype=np.int64)
+    found = tk[pos] == keys
+    return found, tv[pos]
+
+
+def _stress_fwd_send(state: pd.DataFrame, adj: pd.DataFrame):
+    f = state.loc[state["fresh"] == 1,
+                  ["node", "src", "dist", "sigma"]]
+    if not len(f):
+        return None
+    m = adj.merge(f, on="node")
+    if not len(m):
+        return None
+    out = pd.DataFrame({"node": m["other"].to_numpy(),
+                        "src": m["src"].to_numpy(),
+                        "d": m["dist"].to_numpy(np.int64) + 1,
+                        "v": m["sigma"].to_numpy(np.int64)})
+    return out.groupby(["node", "src", "d"], as_index=False)["v"].sum()
+
+
+def _stress_fwd_reduce(msgs, state: pd.DataFrame):
+    if not len(state):
+        return state, 0
+    state = state.copy()
+    state["fresh"] = np.int64(0)
+    if msgs is None or not len(msgs):
+        return state, 0
+    agg = msgs.groupby(["node", "src"], as_index=False).agg(
+        d=("d", "first"), v=("v", "sum"))
+    have = _key64(state["node"].to_numpy(), state["src"].to_numpy())
+    want = _key64(agg["node"].to_numpy(), agg["src"].to_numpy())
+    seen, _ = _exact_lookup(want, have,
+                            np.zeros(len(have), dtype=np.int64))
+    new = agg[~seen]
+    if not len(new):
+        return state, 0
+    add = pd.DataFrame({
+        "node": new["node"].to_numpy(),
+        "src": new["src"].to_numpy(),
+        "dist": new["d"].to_numpy(np.int64),
+        "sigma": new["v"].to_numpy(np.int64),
+        "tau": np.zeros(len(new), dtype=np.int64),
+        "fresh": np.ones(len(new), dtype=np.int64),
+        "k": np.zeros(len(new), dtype=np.int64)})
+    return pd.concat([state, add], ignore_index=True), len(new)
+
+
+def _stress_bwd_send(state: pd.DataFrame, adj: pd.DataFrame):
+    if not len(state):
+        return None
+    k = int(state["k"].iloc[0])
+    snd = state.loc[state["dist"].to_numpy() == k,
+                    ["node", "src", "tau"]]
+    if not len(snd):
+        return None
+    m = adj.merge(snd, on="node")
+    if not len(m):
+        return None
+    out = pd.DataFrame({"node": m["other"].to_numpy(),
+                        "src": m["src"].to_numpy(),
+                        "c": m["tau"].to_numpy(np.int64) + 1})
+    return out.groupby(["node", "src"], as_index=False)["c"].sum()
+
+
+def _stress_bwd_reduce(msgs, state: pd.DataFrame):
+    if not len(state):
+        return state, 0
+    k = int(state["k"].iloc[0])
+    state = state.copy()
+    if msgs is not None and len(msgs) and k >= 1:
+        agg = msgs.groupby(["node", "src"], as_index=False)["c"].sum()
+        keys = _key64(state["node"].to_numpy(),
+                      state["src"].to_numpy())
+        found, vals = _exact_lookup(
+            keys, _key64(agg["node"].to_numpy(),
+                         agg["src"].to_numpy()),
+            agg["c"].to_numpy(np.int64))
+        upd = found & (state["dist"].to_numpy() == k - 1)
+        tau = state["tau"].to_numpy(np.int64).copy()
+        tau[upd] = vals[upd]
+        state["tau"] = tau
+    state["k"] = np.int64(k - 1)
+    return state, int(k - 1 > 0)
+
+
+def stress_centrality(edges: "ray.data.Dataset",
+                      max_levels: int = 12,
+                      num_partitions: int | None = None
+                      ) -> "ray.data.Dataset":
+    """Exact stress centrality over an undirected (a, b) int64 edge
+    Dataset -> (node, stress). All-pairs by construction (every node
+    seeds its own BFS), so state is O(V^2 / P) rows per partition —
+    the exact-analytics venue; at web scale seed a source SAMPLE (the
+    standard pivot estimator) by filtering the seed frame.
+
+    Node ids must fit 31 bits (composite-key contract, asserted)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+    from rdf_mapper_ray.engine.pregel import PregelPool
+
+    def adj_rows(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks() \
+            if isinstance(t.column("a"), pa.ChunkedArray) \
+            else t.column("a")
+        b = t.column("b").combine_chunks() \
+            if isinstance(t.column("b"), pa.ChunkedArray) \
+            else t.column("b")
+        mx = pc.max(pc.max_element_wise(a, b)).as_py()
+        if mx is not None and mx >= 2**31:
+            raise ValueError("stress_centrality: node ids must fit "
+                             "31 bits (composite-key contract)")
+        tbl = pa.Table.from_pydict({
+            "node": pa.concat_arrays([a, b]),
+            "other": pa.concat_arrays([b, a])})
+        return tbl.append_column(
+            "pid", _pid_col(tbl, "node", num_partitions))
+
+    adjacency = edges.map_batches(adj_rows, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+    pool = PregelPool(adjacency, num_partitions,
+                      _stress_fwd_send, _stress_fwd_reduce)
+    empty = pa.Table.from_pydict({
+        "node": pa.array([], pa.int64()),
+        "src": pa.array([], pa.int64()),
+        "dist": pa.array([], pa.int64()),
+        "sigma": pa.array([], pa.int64()),
+        "tau": pa.array([], pa.int64()),
+        "fresh": pa.array([], pa.int64()),
+        "k": pa.array([], pa.int64())})
+
+    def seed(adj_df: pd.DataFrame) -> pd.DataFrame:
+        n = np.unique(adj_df["node"].to_numpy())
+        z = np.zeros(len(n), dtype=np.int64)
+        return pd.DataFrame({
+            "node": n, "src": n, "dist": z,
+            "sigma": np.ones(len(n), dtype=np.int64),
+            "tau": z.copy(), "fresh": np.ones(len(n), dtype=np.int64),
+            "k": z.copy()})
+
+    pool.init_state_from_adj(seed, empty)
+    pool.run(max_levels)
+    fwd = pool.collect()
+    kmax = int(fwd.max("dist"))
+
+    def to_bwd(st: pd.DataFrame) -> pd.DataFrame:
+        st = st.copy()
+        st["k"] = np.int64(kmax)
+        return st
+
+    pool.rebind(_stress_bwd_send, _stress_bwd_reduce, transform=to_bwd)
+    pool.run(max(kmax, 1))
+    out = pool.collect()
+    pool.shutdown()
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        nodes = np.unique(df.loc[df["dist"] == 0, "node"].to_numpy())
+        c = df[df["dist"] >= 1]
+        prod = c["sigma"].to_numpy(np.int64) * c["tau"].to_numpy(
+            np.int64)
+        s = pd.Series(prod).groupby(c["node"].to_numpy()).sum()
+        vals = s.reindex(nodes).fillna(0).astype(np.int64)
+        return pa.Table.from_pydict({
+            "node": pa.array(nodes, pa.int64()),
+            "stress": pa.array(vals.to_numpy(), pa.int64())})
+
+    # collect() yields one complete block per partition, and every row
+    # of a node lives in that node's partition — per-block finish is
+    # exact
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def stress_query(sf_dir: str, threshold: float = 0.3,
+                 max_levels: int = 12):
+    """Stress centrality of the embedding near-dup graph (same
+    derivation as mis_luby/k_truss; max eccentricity probed 10-11 at
+    the test scales, so 12 levels cover it — the oracle unrolls the
+    identical count)."""
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs,
+                                          partitions_for)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+    return stress_centrality(
+        pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
+        max_levels=max_levels,
+        num_partitions=partitions_for(emb, 8))
+
+
+def stress_oracle_sql(threshold: float = 0.3,
+                      max_levels: int = 12) -> str:
+    L = max_levels
+    parts = [f"""e0 AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding)
+        >= {threshold}
+),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS other FROM e0
+  UNION ALL SELECT b, a FROM e0),
+nodes AS (SELECT DISTINCT node FROM adj),
+f0 AS (SELECT node AS src, node, CAST(1 AS BIGINT) AS sigma
+       FROM nodes),
+s0 AS (SELECT src, node FROM f0)"""]
+    for k in range(1, L + 1):
+        parts.append(f"""f{k} AS MATERIALIZED (
+  SELECT f.src, a.other AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+  FROM f{k-1} f JOIN adj a ON a.node = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM s{k-1} s
+                    WHERE s.src = f.src AND s.node = a.other)
+  GROUP BY f.src, a.other
+),
+s{k} AS MATERIALIZED (
+  SELECT src, node FROM s{k-1}
+  UNION ALL SELECT src, node FROM f{k}
+)""")
+    parts.append(f"""t{L} AS MATERIALIZED (
+  SELECT src, node, CAST(0 AS BIGINT) AS tau FROM f{L})""")
+    for k in range(L - 1, 0, -1):
+        parts.append(f"""t{k} AS MATERIALIZED (
+  SELECT f.src, f.node, CAST(COALESCE(x.s, 0) AS BIGINT) AS tau
+  FROM f{k} f LEFT JOIN (
+    SELECT a.node, tn.src, SUM(1 + tn.tau) AS s
+    FROM adj a JOIN t{k+1} tn ON tn.node = a.other
+    GROUP BY a.node, tn.src) x
+  ON x.node = f.node AND x.src = f.src
+)""")
+    contrib = " UNION ALL ".join(
+        f"SELECT f{k}.node, f{k}.sigma * t{k}.tau AS c "
+        f"FROM f{k} JOIN t{k} ON t{k}.src = f{k}.src "
+        f"AND t{k}.node = f{k}.node" for k in range(1, L + 1))
+    return ("WITH " + ",\n".join(parts) + f""",
+contrib AS ({contrib})
+SELECT n.node, CAST(COALESCE(SUM(c.c), 0) AS BIGINT) AS stress
+FROM nodes n LEFT JOIN contrib c ON c.node = n.node
+GROUP BY n.node ORDER BY n.node
+""")

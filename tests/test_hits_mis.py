@@ -98,3 +98,63 @@ def test_mis_star_takes_leaves_or_center(ray_session):
     got = dict(zip(out["node"].astype(int), out["status"].astype(int)))
     assert got == _ref_luby(pairs)
     assert 0 not in {v for v, s in got.items() if s == 0}
+
+
+def _ref_stress(pairs):
+    from collections import deque, defaultdict
+    nbr = defaultdict(set)
+    for a, b in pairs:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    nodes = sorted(nbr)
+    stress = {v: 0 for v in nodes}
+    for s in nodes:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = [s]
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for u in nbr[v]:
+                if u not in dist:
+                    dist[u] = dist[v] + 1
+                    sigma[u] = 0
+                    q.append(u)
+                    order.append(u)
+                if dist[u] == dist[v] + 1:
+                    sigma[u] += sigma[v]
+        tau = {v: 0 for v in dist}
+        for v in reversed(order):
+            for u in nbr[v]:
+                if u in dist and dist[u] == dist[v] + 1:
+                    tau[v] += 1 + tau[u]
+        for v in dist:
+            if v != s:
+                stress[v] += sigma[v] * tau[v]
+    return stress
+
+
+def test_stress_centrality_matches_brandes_reference(ray_session):
+    from rdf_mapper_ray.ops.graphs import stress_centrality
+    rng = np.random.RandomState(13)
+    pairs = set()
+    for _ in range(50):
+        a, b = rng.randint(0, 28, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    pairs = sorted(pairs)
+    out = stress_centrality(_edges(pairs, cols=("a", "b")),
+                            max_levels=16).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["stress"].astype(int)))
+    assert got == _ref_stress(pairs)
+
+
+def test_stress_path_graph_hand_case(ray_session):
+    from rdf_mapper_ray.ops.graphs import stress_centrality
+    # path 0-1-2-3: interior node v at position i has
+    # stress = 2 * i * (n-1-i) ordered pairs
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    out = stress_centrality(_edges(pairs, cols=("a", "b")),
+                            max_levels=8).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["stress"].astype(int)))
+    assert got == {0: 0, 1: 4, 2: 4, 3: 0}

@@ -90,7 +90,7 @@ _NEXT_UP = [
     # new in round-4 session 6 (window already full; locally dtype-exact)
     "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
     "hits", "mis_luby", "event_ngrams", "gap_fill",
-    "stress_centrality",
+    "stress_centrality", "jw_pairs",
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
@@ -331,6 +331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact all-pairs stress centrality: forward MS-BFS sigma +
         # backward integer Brandes tau, two phases on ONE Pregel pool
         "stress_centrality": graphs.stress_query,
+        # Jaro-Winkler fuzzy name-matching pairs (blocked, verified)
+        "jw_pairs": editdist.jw_pairs_query,
         "locf_fill": timeseries.locf_fill_query,
         "ohlc_bars": timeseries.ohlc_query,
         "autocorr": timeseries.autocorr_query,
@@ -596,6 +598,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": graphs.hits_oracle_sql(),
         "mis_luby": graphs.mis_oracle_sql(),
         "stress_centrality": graphs.stress_oracle_sql(),
+        "jw_pairs": editdist.jw_pairs_oracle_sql(),
         "locf_fill": timeseries.locf_fill_oracle_sql(),
         "ohlc_bars": timeseries.ohlc_oracle_sql(),
         "autocorr": timeseries.autocorr_oracle_sql(),

@@ -90,7 +90,8 @@ _NEXT_UP = [
     # new in round-4 session 6 (window already full; locally dtype-exact)
     "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
     "hits", "mis_luby", "event_ngrams", "gap_fill",
-    "stress_centrality", "jw_pairs",
+    "stress_centrality", "jw_pairs", "epoch_shuffle",
+    "bgp_path_star",
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
@@ -333,6 +334,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stress_centrality": graphs.stress_query,
         # Jaro-Winkler fuzzy name-matching pairs (blocked, verified)
         "jw_pairs": editdist.jw_pairs_query,
+        # deterministic md5-rank epoch shuffle (training-data order)
+        "epoch_shuffle": __import__("rdf_mapper_ray.ops.io",
+                                    fromlist=["io"]).epoch_shuffle_query,
+        # SPARQL p* — closure UNION identity over the edge set's nodes
+        "bgp_path_star": relational.bgp_path_star_query,
         "locf_fill": timeseries.locf_fill_query,
         "ohlc_bars": timeseries.ohlc_query,
         "autocorr": timeseries.autocorr_query,
@@ -599,6 +605,10 @@ def oracle_sql() -> dict[str, str]:
         "mis_luby": graphs.mis_oracle_sql(),
         "stress_centrality": graphs.stress_oracle_sql(),
         "jw_pairs": editdist.jw_pairs_oracle_sql(),
+        "epoch_shuffle": __import__(
+            "rdf_mapper_ray.ops.io",
+            fromlist=["io"]).epoch_shuffle_oracle_sql(),
+        "bgp_path_star": relational.BGP_PATH_STAR_ORACLE_SQL,
         "locf_fill": timeseries.locf_fill_oracle_sql(),
         "ohlc_bars": timeseries.ohlc_oracle_sql(),
         "autocorr": timeseries.autocorr_oracle_sql(),

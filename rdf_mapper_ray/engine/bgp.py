@@ -911,3 +911,37 @@ def path_alt(triples: "ray.data.Dataset",
     for a in arms[1:]:
         acc = acc.union(a)
     return _distinct_rows(acc, ["src", "dst"], num_partitions)
+
+
+def path_star(triples: "ray.data.Dataset", predicate: str,
+              src_name: str = "src", dst_name: str = "dst",
+              max_depth: int = 32,
+              num_partitions: Optional[int] = None,
+              venue: str = "dataset") -> "ray.data.Dataset":
+    """SPARQL property path ``?s <p>* ?o`` — zero-or-more: the
+    transitive closure (path_plus, either venue) UNION the identity
+    pair (n, n) for every node of the predicate's edge set, made
+    distinct (a cycle's closure already contains its self-pairs).
+    ``path_zero_or_one`` (p?) composes the same way from the base
+    edges instead of the closure."""
+    plus = path_plus(triples, predicate, src_name, dst_name,
+                     max_depth, num_partitions, venue)
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(triples, 8)
+
+    def ident(batch: pa.Table) -> pa.Table:
+        m = pc.fill_null(
+            pc.equal(batch.column("predicate"), predicate), False)
+        t = batch.filter(m)
+        s = t.column("subject").cast(pa.string())
+        o = t.column("object_value").cast(pa.string())
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        o = o.combine_chunks() if isinstance(o, pa.ChunkedArray) else o
+        both = pa.concat_arrays([s, o])
+        return pa.Table.from_pydict({src_name: both, dst_name: both})
+
+    merged = plus.union(triples.map_batches(ident,
+                                            batch_format="pyarrow"))
+    return _distinct_rows(merged, [src_name, dst_name],
+                          num_partitions)

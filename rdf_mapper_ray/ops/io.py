@@ -150,3 +150,86 @@ SELECT p_partkey, zx, zy,
        CAST({_zorder_sql_terms('zx', 'zy')} AS BIGINT) AS zval
 FROM q ORDER BY zval, p_partkey
 """
+
+
+# --- deterministic epoch shuffle ----------------------------------------------
+
+def epoch_shuffle(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                  seed: int = 42) -> "ray.data.Dataset":
+    """Deterministic global shuffle for training-data epoch ordering:
+    every row gets a dense rank by the portable md5 hash of
+    ``"<id>:<seed>"`` (ties by id — md5 collisions) — same permutation
+    on every run and on any cluster, and a different one per seed.
+    -> (id, epoch_rank).
+
+    Shape: one all-to-all sort by the hash key, then ranks assign with
+    the sorted-block prefix-scan (per-block counts cumsum on the
+    driver, block-count-sized state; a map-only second pass adds the
+    offsets) — the peak_concurrency discipline, no row-numbered
+    driver materialization."""
+    import numpy as np
+    import pandas as pd
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    def enc(t: "pa.Table") -> "pa.Table":
+        ids = t.column(id_col).to_pandas()
+        k = hash64([f"{i}:{seed}" for i in ids], backend="md5")
+        return pa.Table.from_pydict({
+            id_col: t.column(id_col),
+            "k": pa.array(k, pa.uint64())})
+
+    srt = ds.map_batches(enc, batch_format="pyarrow") \
+        .sort(["k", id_col]).materialize()
+
+    def stats(t: "pa.Table") -> "pa.Table":
+        if not t.num_rows:
+            return pa.Table.from_pydict({
+                "first_k": pa.array([], pa.uint64()),
+                "first_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())})
+        return pa.Table.from_pydict({
+            "first_k": pa.array([t.column("k")[0].as_py()],
+                                pa.uint64()),
+            "first_id": pa.array([t.column(id_col)[0].as_py()],
+                                 pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64())})
+
+    st = srt.map_batches(stats, batch_format="pyarrow").to_pandas()
+    st = st.sort_values(["first_k", "first_id"],
+                        kind="stable").reset_index(drop=True)
+    offs = np.concatenate([[0], np.cumsum(st["n"].to_numpy())[:-1]])
+    lut = {(int(k), int(i)): int(o) for k, i, o in
+           zip(st["first_k"], st["first_id"], offs)}
+
+    def rank(t: "pa.Table") -> "pa.Table":
+        if not t.num_rows:
+            return pa.Table.from_pydict({
+                id_col: pa.array([], pa.int64()),
+                "epoch_rank": pa.array([], pa.int64())})
+        key = (int(t.column("k")[0].as_py()),
+               int(t.column(id_col)[0].as_py()))
+        base = lut[key]
+        return pa.Table.from_pydict({
+            id_col: t.column(id_col),
+            "epoch_rank": pa.array(
+                base + np.arange(1, t.num_rows + 1, dtype=np.int64)),
+        })
+
+    return srt.map_batches(rank, batch_format="pyarrow")
+
+
+def epoch_shuffle_query(sf_dir: str, seed: int = 42):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    return epoch_shuffle(ds, seed=seed)
+
+
+def epoch_shuffle_oracle_sql(seed: int = 42) -> str:
+    return f"""
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                      || ':{seed}'), 1, 16))::UBIGINT,
+                  doc_id) AS epoch_rank
+FROM documents ORDER BY epoch_rank
+"""

@@ -968,3 +968,37 @@ SELECT DISTINCT src, dst FROM (
   FROM nation
 ) ORDER BY src, dst
 """
+
+
+def bgp_path_star_query(sf_dir: str) -> "ray.data.Dataset":
+    """SPARQL ``?x ex:within* ?y`` — zero-or-more: closure plus the
+    identity pairs over the within-graph's nodes."""
+    from rdf_mapper_ray.engine.bgp import path_star
+    return path_star(_within_graph(sf_dir), f"{_EX}within")
+
+
+BGP_PATH_STAR_ORACLE_SQL = """
+WITH RECURSIVE e AS (
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR) AS a,
+         'http://example.org/nation/' || CAST(c_nationkey AS VARCHAR) AS b
+  FROM customer
+  UNION ALL
+  SELECT 'http://example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+         'http://example.org/region/' || CAST(n_regionkey AS VARCHAR)
+  FROM nation
+),
+walk(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT w.a, e.b FROM walk w JOIN e ON e.a = w.b
+),
+nodes AS (
+  SELECT DISTINCT x AS n FROM (
+    SELECT a AS x FROM e UNION ALL SELECT b FROM e)
+)
+SELECT src, dst FROM (
+  SELECT a AS src, b AS dst FROM walk
+  UNION
+  SELECT n, n FROM nodes
+) ORDER BY src, dst
+"""

@@ -345,3 +345,12 @@ def test_path_plus_actors_deep_chain(ray_session):
     out = path_plus(_p_triples(pairs), "p", venue="actors",
                     max_depth=50).to_pandas()
     assert len(out) == 41 * 40 // 2
+
+
+def test_path_star_includes_identity(ray_session):
+    from rdf_mapper_ray.engine.bgp import path_star
+    pairs = [("n0", "n1"), ("n1", "n2")]
+    out = path_star(_p_triples(pairs), "p").to_pandas()
+    got = set(zip(out["src"], out["dst"]))
+    assert got == {("n0", "n0"), ("n1", "n1"), ("n2", "n2"),
+                   ("n0", "n1"), ("n1", "n2"), ("n0", "n2")}

@@ -87,3 +87,21 @@ def test_dedup_against_index_pure(ray_session):
     got = dedup_against_index(new, root, num_buckets=4).to_pandas()
     assert got["doc_id"].tolist() == [11]
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_epoch_shuffle_is_a_deterministic_permutation(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from rdf_mapper_ray.ops.io import epoch_shuffle
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(100)), pa.int64())})) \
+        .repartition(7)
+    a = epoch_shuffle(ds, seed=42).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = epoch_shuffle(ds, seed=42).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    c = epoch_shuffle(ds, seed=7).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)                       # same seed -> same order
+    assert not a["epoch_rank"].equals(c["epoch_rank"])  # seed matters
+    assert sorted(a["epoch_rank"]) == list(range(1, 101))  # dense

@@ -91,7 +91,7 @@ _NEXT_UP = [
     "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
     "hits", "mis_luby", "event_ngrams", "gap_fill",
     "stress_centrality", "jw_pairs", "epoch_shuffle",
-    "bgp_path_star",
+    "bgp_path_star", "eccentricity",
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact all-pairs stress centrality: forward MS-BFS sigma +
         # backward integer Brandes tau, two phases on ONE Pregel pool
         "stress_centrality": graphs.stress_query,
+        # per-node eccentricity (diameter/radius) off the same pool
+        "eccentricity": graphs.eccentricity_query,
         # Jaro-Winkler fuzzy name-matching pairs (blocked, verified)
         "jw_pairs": editdist.jw_pairs_query,
         # deterministic md5-rank epoch shuffle (training-data order)
@@ -604,6 +606,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": graphs.hits_oracle_sql(),
         "mis_luby": graphs.mis_oracle_sql(),
         "stress_centrality": graphs.stress_oracle_sql(),
+        "eccentricity": graphs.eccentricity_oracle_sql(),
         "jw_pairs": editdist.jw_pairs_oracle_sql(),
         "epoch_shuffle": __import__(
             "rdf_mapper_ray.ops.io",

@@ -3521,20 +3521,13 @@ def _stress_bwd_reduce(msgs, state: pd.DataFrame):
     return state, int(k - 1 > 0)
 
 
-def stress_centrality(edges: "ray.data.Dataset",
-                      max_levels: int = 12,
-                      num_partitions: int | None = None
-                      ) -> "ray.data.Dataset":
-    """Exact stress centrality over an undirected (a, b) int64 edge
-    Dataset -> (node, stress). All-pairs by construction (every node
-    seeds its own BFS), so state is O(V^2 / P) rows per partition —
-    the exact-analytics venue; at web scale seed a source SAMPLE (the
-    standard pivot estimator) by filtering the seed frame.
-
-    Node ids must fit 31 bits (composite-key contract, asserted)."""
-    if num_partitions is None:
-        from rdf_mapper_ray.ops.dedup import partitions_for
-        num_partitions = partitions_for(edges, 8)
+def _msbfs_forward_pool(edges: "ray.data.Dataset", max_levels: int,
+                        num_partitions: int):
+    """Multi-source BFS forward phase on the Pregel pool (every node
+    seeds its own BFS; state rows (node, src, dist, sigma) are the
+    all-pairs distances + shortest-path counts). Shared by
+    stress_centrality (which rebinds to the backward tau phase) and
+    eccentricity (which reads the distances directly)."""
     from rdf_mapper_ray.engine.pregel import PregelPool
 
     def adj_rows(t: pa.Table) -> pa.Table:
@@ -3546,8 +3539,8 @@ def stress_centrality(edges: "ray.data.Dataset",
             else t.column("b")
         mx = pc.max(pc.max_element_wise(a, b)).as_py()
         if mx is not None and mx >= 2**31:
-            raise ValueError("stress_centrality: node ids must fit "
-                             "31 bits (composite-key contract)")
+            raise ValueError("msbfs: node ids must fit 31 bits "
+                             "(composite-key contract)")
         tbl = pa.Table.from_pydict({
             "node": pa.concat_arrays([a, b]),
             "other": pa.concat_arrays([b, a])})
@@ -3578,6 +3571,24 @@ def stress_centrality(edges: "ray.data.Dataset",
 
     pool.init_state_from_adj(seed, empty)
     pool.run(max_levels)
+    return pool
+
+
+def stress_centrality(edges: "ray.data.Dataset",
+                      max_levels: int = 12,
+                      num_partitions: int | None = None
+                      ) -> "ray.data.Dataset":
+    """Exact stress centrality over an undirected (a, b) int64 edge
+    Dataset -> (node, stress). All-pairs by construction (every node
+    seeds its own BFS), so state is O(V^2 / P) rows per partition —
+    the exact-analytics venue; at web scale seed a source SAMPLE (the
+    standard pivot estimator) by filtering the seed frame.
+
+    Node ids must fit 31 bits (composite-key contract, asserted)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+    pool = _msbfs_forward_pool(edges, max_levels, num_partitions)
     fwd = pool.collect()
     kmax = int(fwd.max("dist"))
 
@@ -3676,4 +3687,85 @@ contrib AS ({contrib})
 SELECT n.node, CAST(COALESCE(SUM(c.c), 0) AS BIGINT) AS stress
 FROM nodes n LEFT JOIN contrib c ON c.node = n.node
 GROUP BY n.node ORDER BY n.node
+""")
+
+
+def eccentricity(edges: "ray.data.Dataset", max_levels: int = 12,
+                 num_partitions: int | None = None
+                 ) -> "ray.data.Dataset":
+    """Per-node eccentricity (max shortest-path distance to any node
+    REACHABLE from it — per-component semantics) -> (node, ecc); the
+    graph diameter is max(ecc), the radius min(ecc). Reads the
+    all-pairs distances straight off the MS-BFS forward pool shared
+    with stress_centrality."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+    pool = _msbfs_forward_pool(edges, max_levels, num_partitions)
+    out = pool.collect()
+    pool.shutdown()
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ecc = df.groupby("node")["dist"].max()
+        return pa.Table.from_pydict({
+            "node": pa.array(ecc.index.to_numpy(), pa.int64()),
+            "ecc": pa.array(ecc.to_numpy(np.int64), pa.int64())})
+
+    # one complete block per partition; every (node, src) row lives in
+    # node's partition, so per-block max is exact
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def eccentricity_query(sf_dir: str, threshold: float = 0.3,
+                       max_levels: int = 12):
+    """Eccentricity over the embedding near-dup graph (same
+    derivation and level bound as stress_centrality)."""
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs,
+                                          partitions_for)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+    return eccentricity(
+        pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
+        max_levels=max_levels,
+        num_partitions=partitions_for(emb, 8))
+
+
+def eccentricity_oracle_sql(threshold: float = 0.3,
+                            max_levels: int = 12) -> str:
+    L = max_levels
+    parts = [f"""e0 AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding)
+        >= {threshold}
+),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS other FROM e0
+  UNION ALL SELECT b, a FROM e0),
+nodes AS (SELECT DISTINCT node FROM adj),
+f0 AS (SELECT node AS src, node, CAST(1 AS BIGINT) AS sigma
+       FROM nodes),
+s0 AS (SELECT src, node FROM f0)"""]
+    for k in range(1, L + 1):
+        parts.append(f"""f{k} AS MATERIALIZED (
+  SELECT f.src, a.other AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+  FROM f{k-1} f JOIN adj a ON a.node = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM s{k-1} s
+                    WHERE s.src = f.src AND s.node = a.other)
+  GROUP BY f.src, a.other
+),
+s{k} AS MATERIALIZED (
+  SELECT src, node FROM s{k-1}
+  UNION ALL SELECT src, node FROM f{k}
+)""")
+    dists = " UNION ALL ".join(
+        f"SELECT node, {k} AS d FROM f{k}" for k in range(0, L + 1))
+    return ("WITH " + ",\n".join(parts) + f""",
+dists AS ({dists})
+SELECT node, CAST(MAX(d) AS BIGINT) AS ecc
+FROM dists GROUP BY node ORDER BY node
 """)

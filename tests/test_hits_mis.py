@@ -158,3 +158,13 @@ def test_stress_path_graph_hand_case(ray_session):
                             max_levels=8).to_pandas()
     got = dict(zip(out["node"].astype(int), out["stress"].astype(int)))
     assert got == {0: 0, 1: 4, 2: 4, 3: 0}
+
+
+def test_eccentricity_path_and_components(ray_session):
+    from rdf_mapper_ray.ops.graphs import eccentricity
+    # path 0-1-2-3 (ecc 3,2,2,3) + separate edge 10-11 (ecc 1,1)
+    pairs = [(0, 1), (1, 2), (2, 3), (10, 11)]
+    out = eccentricity(_edges(pairs, cols=("a", "b")),
+                       max_levels=8).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["ecc"].astype(int)))
+    assert got == {0: 3, 1: 2, 2: 2, 3: 3, 10: 1, 11: 1}

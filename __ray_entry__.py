@@ -91,7 +91,7 @@ _NEXT_UP = [
     "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
     "hits", "mis_luby", "event_ngrams", "gap_fill",
     "stress_centrality", "jw_pairs", "epoch_shuffle",
-    "bgp_path_star", "eccentricity",
+    "bgp_path_star", "eccentricity", "embedding_gram",
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
@@ -334,6 +334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stress_centrality": graphs.stress_query,
         # per-node eccentricity (diameter/radius) off the same pool
         "eccentricity": graphs.eccentricity_query,
+        # exact integer Gram matrix (PCA/covariance sufficient stats)
+        "embedding_gram": vectors.embedding_gram_query,
         # Jaro-Winkler fuzzy name-matching pairs (blocked, verified)
         "jw_pairs": editdist.jw_pairs_query,
         # deterministic md5-rank epoch shuffle (training-data order)
@@ -607,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
         "mis_luby": graphs.mis_oracle_sql(),
         "stress_centrality": graphs.stress_oracle_sql(),
         "eccentricity": graphs.eccentricity_oracle_sql(),
+        "embedding_gram": vectors.EMBEDDING_GRAM_ORACLE_SQL,
         "jw_pairs": editdist.jw_pairs_oracle_sql(),
         "epoch_shuffle": __import__(
             "rdf_mapper_ray.ops.io",

@@ -188,3 +188,68 @@ SELECT label, CAST(rank AS BIGINT) AS rank, vec_id FROM (
 WHERE rank <= 5
 ORDER BY label, rank
 """
+
+
+def embedding_gram(ds: "ray.data.Dataset", vec_col: str = "embedding"
+                   ) -> "ray.data.Dataset":
+    """Exact Gram-matrix sufficient statistics of the embedding
+    column — the PCA / whitening / covariance primitive: vectors
+    quantize to integer micro-units (same floor(x·1e6 + 0.5) contract
+    as label_centroids) and S = Qᵀ·Q accumulates as int64.  Output:
+    one row per dimension pair i ≤ j -> (i, j, n, sum_xy).  First
+    moments (for centering) come from :func:`label_centroids`;
+    covariance is (sum_xy − sum_i·sum_j/n)/n on the caller's side.
+
+    Shape: each block computes its d×d partial with ONE integer
+    matmul (never a per-row loop); the exchange carries
+    blocks × d(d+1)/2 rows, never vectors."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _stack(batch.column(vec_col))
+        if m.size == 0:
+            return pa.Table.from_pydict({
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sum_xy": pa.array([], pa.int64())})
+        q = np.floor(m.astype(np.float64) * _SCALE + 0.5) \
+            .astype(np.int64)
+        g = q.T @ q
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.Table.from_pydict({
+            "i": pa.array(iu.astype(np.int64)),
+            "j": pa.array(ju.astype(np.int64)),
+            "n": pa.array(np.full(len(iu), m.shape[0], np.int64)),
+            "sum_xy": pa.array(g[iu, ju]),
+        })
+
+    return ds.select_columns([vec_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["i", "j"]).aggregate(Sum("n"), Sum("sum_xy")) \
+        .map_batches(lambda t: t.rename_columns(
+            ["i", "j", "n", "sum_xy"]), batch_format="pyarrow")
+
+
+def embedding_gram_query(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    return embedding_gram(ds)
+
+
+EMBEDDING_GRAM_ORACLE_SQL = f"""
+WITH flat AS (
+  SELECT vec_id,
+         CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) - 1
+           AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_SCALE} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+),
+nn AS (SELECT COUNT(*) AS n FROM embeddings)
+SELECT a.dim AS i, b.dim AS j,
+       CAST((SELECT n FROM nn) AS BIGINT) AS n,
+       CAST(SUM(a.q * b.q) AS BIGINT) AS sum_xy
+FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY a.dim, b.dim ORDER BY i, j
+"""

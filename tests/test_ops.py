@@ -780,3 +780,22 @@ def test_minhash_idf_matches_oracle(ray_session):
                 f"read_parquet('{sf}/documents.parquet')")
     want = con.execute(E.oracle_sql()["dedup_minhash_idf"]).fetchdf()
     assert compare("dedup_minhash_idf", got, want)
+
+
+def test_embedding_gram_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from rdf_mapper_ray.ops.vectors import embedding_gram
+    rng = np.random.RandomState(3)
+    m = rng.randn(50, 8).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32()))})).repartition(5)
+    out = embedding_gram(ds).to_pandas()
+    q = np.floor(m.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+    g = q.T @ q
+    for r in out.itertuples():
+        assert g[int(r.i), int(r.j)] == int(r.sum_xy)
+        assert int(r.n) == 50
+    assert len(out) == 8 * 9 // 2

@@ -92,6 +92,7 @@ _NEXT_UP = [
     "hits", "mis_luby", "event_ngrams", "gap_fill",
     "stress_centrality", "jw_pairs", "epoch_shuffle",
     "bgp_path_star", "eccentricity", "embedding_gram",
+    "entity_resolution",
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
@@ -338,6 +339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": vectors.embedding_gram_query,
         # Jaro-Winkler fuzzy name-matching pairs (blocked, verified)
         "jw_pairs": editdist.jw_pairs_query,
+        # blocking -> fuzzy link -> CC -> survivorship, one SQL chain
+        "entity_resolution": editdist.entity_resolution_query,
         # deterministic md5-rank epoch shuffle (training-data order)
         "epoch_shuffle": __import__("rdf_mapper_ray.ops.io",
                                     fromlist=["io"]).epoch_shuffle_query,
@@ -611,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
         "eccentricity": graphs.eccentricity_oracle_sql(),
         "embedding_gram": vectors.EMBEDDING_GRAM_ORACLE_SQL,
         "jw_pairs": editdist.jw_pairs_oracle_sql(),
+        "entity_resolution": editdist.entity_resolution_oracle_sql(),
         "epoch_shuffle": __import__(
             "rdf_mapper_ray.ops.io",
             fromlist=["io"]).epoch_shuffle_oracle_sql(),

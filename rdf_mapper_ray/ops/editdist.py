@@ -166,7 +166,8 @@ def _jaro_winkler(a: str, b: str) -> float:
 
 def jw_pairs(ds: "ray.data.Dataset", id_col: str = "p_partkey",
              text_col: str = "p_name", threshold: float = 0.9,
-             num_partitions: int | None = None) -> "ray.data.Dataset":
+             num_partitions: int | None = None,
+             include_equal: bool = False) -> "ray.data.Dataset":
     """Fuzzy record-linkage pairs by Jaro-Winkler similarity — the
     name-matching classic. Candidates block on the name's SECOND
     token (the noun in '<adj> <noun>' part names; '' when absent),
@@ -206,6 +207,11 @@ def jw_pairs(ds: "ray.data.Dataset", id_col: str = "p_partkey",
             for a, b in zip(i, j):
                 ta, tb = texts[a], texts[b]
                 if ta == tb:
+                    if not include_equal:
+                        continue
+                    ls.append(ids[a])
+                    rs.append(ids[b])
+                    jj.append(1_000_000)
                     continue
                 s = _jaro_winkler(ta, tb)
                 if s >= threshold:
@@ -241,4 +247,152 @@ FROM d a JOIN d b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
 WHERE a.p_name <> b.p_name
   AND jaro_winkler_similarity(a.p_name, b.p_name) >= {threshold}
 ORDER BY left_id, right_id
+"""
+
+
+# --- entity resolution (blocking -> fuzzy pairs -> CC -> survivorship) --------
+
+def entity_resolution(ds: "ray.data.Dataset",
+                      id_col: str = "p_partkey",
+                      text_col: str = "p_name",
+                      threshold: float = 0.9,
+                      num_partitions: int | None = None
+                      ) -> "ray.data.Dataset":
+    """End-to-end record linkage: block on the name's second token,
+    link pairs that are exact-equal OR Jaro-Winkler >= threshold,
+    cluster links with distributed min-label connected components
+    (ops/graphs.graph_components), and pick each cluster's survivor —
+    canonical_id = smallest member id, canonical_name = the cluster's
+    most frequent name (ties -> lexicographically smallest).
+    -> (entity_id, canonical_id, canonical_name), one row per entity
+    (singletons canonicalize to themselves).
+
+    Composition of three existing venues: one blocking exchange, the
+    CC rounds, then two pid-routed exchanges (label attach by id,
+    survivorship by label)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+    from rdf_mapper_ray.ops.graphs import graph_components
+
+    pairs = jw_pairs(ds, id_col, text_col, threshold,
+                     num_partitions, include_equal=True)
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "a": t.column("left_id"), "b": t.column("right_id")})
+
+    comp = graph_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow"),
+        num_partitions=num_partitions)
+
+    # attach labels to ALL entities (singletons default to self):
+    # comp rows (kind 0) and entity rows (kind 1) co-partition by id
+    def tag_comp(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.column("node").to_pandas(), index=False).to_numpy()
+        return pa.Table.from_pydict({
+            "id": t.column("node"),
+            "name": pa.array([""] * t.num_rows, pa.string()),
+            "label": t.column("component"),
+            "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "pid": pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64))})
+
+    def tag_ent(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.column(id_col).to_pandas(), index=False).to_numpy()
+        return pa.Table.from_pydict({
+            "id": t.column(id_col),
+            "name": pc.fill_null(t.column(text_col), ""),
+            "label": pa.array(np.zeros(t.num_rows, np.int64)),
+            "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            "pid": pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64))})
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[g["kind"] == 0, ["id", "label"]] \
+            .drop_duplicates("id")
+        ent = g.loc[g["kind"] == 1, ["id", "name"]]
+        m = ent.merge(lab, on="id", how="left")
+        lv = m["label"].to_numpy()
+        iv = m["id"].to_numpy()
+        m["label"] = np.where(pd.isna(lv), iv,
+                              lv).astype(np.int64)
+        return m[["id", "name", "label"]]
+
+    labeled = comp.map_batches(tag_comp, batch_format="pyarrow") \
+        .union(ds.map_batches(tag_ent, batch_format="pyarrow")) \
+        .groupby("pid").map_groups(attach, batch_format="pandas")
+
+    def route_label(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.column("label").to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def survive(g: pd.DataFrame) -> pd.DataFrame:
+        canon_id = g.groupby("label")["id"].transform("min")
+        nc = g.groupby(["label", "name"])["id"].transform("size")
+        pick = g.assign(_c=nc).sort_values(
+            ["label", "_c", "name"],
+            ascending=[True, False, True]) \
+            .groupby("label", sort=False).head(1)[["label", "name"]] \
+            .rename(columns={"name": "canonical_name"})
+        out = g.assign(canonical_id=canon_id) \
+            .merge(pick, on="label")
+        return pd.DataFrame({
+            "entity_id": out["id"].to_numpy(),
+            "canonical_id": out["canonical_id"].to_numpy(),
+            "canonical_name": out["canonical_name"].to_numpy()})
+
+    return labeled.map_batches(route_label, batch_format="pyarrow") \
+        .groupby("pid").map_groups(survive, batch_format="pandas")
+
+
+def entity_resolution_query(sf_dir: str):
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    return entity_resolution(ds)
+
+
+def entity_resolution_oracle_sql(threshold: float = 0.9) -> str:
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT p_partkey AS id, COALESCE(p_name, '') AS name,
+         split_part(COALESCE(p_name, ''), ' ', 2) AS blk
+  FROM part
+),
+p AS MATERIALIZED (
+  SELECT a.id AS x, b.id AS y
+  FROM d a JOIN d b ON a.blk = b.blk AND a.id < b.id
+  WHERE a.name = b.name
+     OR jaro_winkler_similarity(a.name, b.name) >= {threshold}
+),
+e AS (SELECT x AS a, y AS b FROM p UNION ALL SELECT y, x FROM p),
+reach(src, node) AS (
+  SELECT id, id FROM d
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.node
+),
+lab AS (SELECT src AS id, MIN(node) AS label FROM reach GROUP BY src),
+members AS (SELECT d.id, d.name, lab.label
+            FROM d JOIN lab USING (id)),
+name_counts AS (SELECT label, name, COUNT(*) AS c
+                FROM members GROUP BY label, name),
+canon_name AS (
+  SELECT label, name FROM (
+    SELECT label, name,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY c DESC, name) AS rn
+    FROM name_counts) WHERE rn = 1
+),
+canon_id AS (SELECT label, MIN(id) AS canonical_id
+             FROM members GROUP BY label)
+SELECT m.id AS entity_id, ci.canonical_id,
+       cn.name AS canonical_name
+FROM members m
+JOIN canon_id ci USING (label)
+JOIN canon_name cn USING (label)
+ORDER BY entity_id
 """

@@ -91,3 +91,24 @@ def test_jw_pairs_blocks_and_thresholds(ray_session):
     # blocks alone
     assert got == {(1, 5), (3, 5)}
     assert (out["jw_micro"] >= 850000).all()
+
+
+def test_entity_resolution_survivorship(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from rdf_mapper_ray.ops.editdist import entity_resolution
+    ds = ray.data.from_arrow(pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "p_name": pa.array(["small ring", "small ring", "smol ring",
+                            "tiny gear", "small rung", "small ring"]),
+    }))
+    out = entity_resolution(ds, threshold=0.85).to_pandas() \
+        .sort_values("entity_id").reset_index(drop=True)
+    # ring-block cluster {1,2,3,6}: canonical id 1, majority name
+    # 'small ring' (3 of 4); 'small rung' blocks under 'rung' ->
+    # singleton; 'tiny gear' singleton
+    got = {int(r.entity_id): (int(r.canonical_id), r.canonical_name)
+           for r in out.itertuples()}
+    assert got == {1: (1, "small ring"), 2: (1, "small ring"),
+                   3: (1, "small ring"), 6: (1, "small ring"),
+                   4: (4, "tiny gear"), 5: (5, "small rung")}

@@ -92,7 +92,7 @@ _NEXT_UP = [
     "hits", "mis_luby", "event_ngrams", "gap_fill",
     "stress_centrality", "jw_pairs", "epoch_shuffle",
     "bgp_path_star", "eccentricity", "embedding_gram",
-    "entity_resolution",
+    "entity_resolution", "dag_layers",
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
@@ -335,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stress_centrality": graphs.stress_query,
         # per-node eccentricity (diameter/radius) off the same pool
         "eccentricity": graphs.eccentricity_query,
+        # topological levels of the id-oriented DAG (max-propagation)
+        "dag_layers": graphs.dag_layers_query,
         # exact integer Gram matrix (PCA/covariance sufficient stats)
         "embedding_gram": vectors.embedding_gram_query,
         # Jaro-Winkler fuzzy name-matching pairs (blocked, verified)
@@ -612,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
         "mis_luby": graphs.mis_oracle_sql(),
         "stress_centrality": graphs.stress_oracle_sql(),
         "eccentricity": graphs.eccentricity_oracle_sql(),
+        "dag_layers": graphs.dag_layers_oracle_sql(),
         "embedding_gram": vectors.EMBEDDING_GRAM_ORACLE_SQL,
         "jw_pairs": editdist.jw_pairs_oracle_sql(),
         "entity_resolution": editdist.entity_resolution_oracle_sql(),

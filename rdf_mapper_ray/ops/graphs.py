@@ -3769,3 +3769,143 @@ dists AS ({dists})
 SELECT node, CAST(MAX(d) AS BIGINT) AS ecc
 FROM dists GROUP BY node ORDER BY node
 """)
+
+
+# --- DAG longest-path layering (topological levels) ---------------------------
+
+def _layer_send(state: pd.DataFrame, adj: pd.DataFrame):
+    f = state.loc[state["changed"] == 1, ["node", "layer"]]
+    if not len(f):
+        return None
+    m = adj.merge(f, on="node", how="inner")
+    if not len(m):
+        return None
+    out = pd.DataFrame({"node": m["other"].to_numpy(),
+                        "layer": m["layer"].to_numpy() + 1})
+    return out.groupby("node", as_index=False)["layer"].max()
+
+
+def _max_reduce(value_col: str):
+    def _reduce(msgs, state: pd.DataFrame):
+        cols = ["node", value_col]
+        if msgs is None or not len(msgs):
+            if len(state):
+                state = state.copy()
+                state["changed"] = np.int64(0)
+            return state, 0
+        if not len(state):
+            out = msgs.groupby("node", as_index=False)[value_col].max()
+            out["changed"] = np.int64(1)
+            return out[cols + ["changed"]], len(out)
+        both = pd.concat([msgs[cols], state[cols]], ignore_index=True)
+        new = both.groupby("node", as_index=False)[value_col].max()
+        old = state[cols].rename(columns={value_col: "_old"})
+        out = new.merge(old, on="node", how="left")
+        out["changed"] = (out["_old"].isna()
+                          | (out[value_col] > out["_old"])) \
+            .astype(np.int64)
+        return (out[cols + ["changed"]], int(out["changed"].sum()))
+    return _reduce
+
+
+def dag_layers(edges: "ray.data.Dataset", max_rounds: int = 16,
+               num_partitions: int | None = None
+               ) -> "ray.data.Dataset":
+    """Topological levels of the DAG obtained by orienting each
+    undirected (a, b) edge from smaller to larger id (acyclic by
+    construction): layer(v) = length of the longest directed path
+    ending at v — the critical-path / scheduling-level primitive.
+    Max-propagation on the Pregel pool (the min-reduce family's dual);
+    exactly ``max_rounds`` rounds bound the replay, so the SQL oracle
+    unrolls the identical count and the two always agree (rounds after
+    convergence are no-ops). -> (node, layer)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+    from rdf_mapper_ray.engine.pregel import PregelPool
+
+    def adj_rows(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        tbl = pa.Table.from_pydict({
+            "node": pa.array(np.concatenate([lo, hi])),
+            "other": pa.array(np.concatenate([hi, hi])),
+            "out": pa.array(np.concatenate([
+                np.ones(len(lo), np.int64),
+                np.zeros(len(hi), np.int64)])),
+        })
+        # rows with out=1 carry real lo->hi edges; out=0 rows only
+        # register hi as a node (self-loop-free presence rows)
+        return tbl.append_column(
+            "pid", _pid_col(tbl, "node", num_partitions))
+
+    adjacency = edges.map_batches(adj_rows, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
+    def layer_send(state: pd.DataFrame, adj: pd.DataFrame):
+        return _layer_send(state, adj.loc[adj["out"] == 1])
+
+    pool = PregelPool(adjacency, num_partitions,
+                      layer_send, _max_reduce("layer"))
+    empty = pa.Table.from_pydict({
+        "node": pa.array([], pa.int64()),
+        "layer": pa.array([], pa.int64()),
+        "changed": pa.array([], pa.int64())})
+
+    def seed(adj_df: pd.DataFrame) -> pd.DataFrame:
+        n = np.unique(adj_df["node"].to_numpy())
+        return pd.DataFrame({
+            "node": n,
+            "layer": np.zeros(len(n), dtype=np.int64),
+            "changed": np.ones(len(n), dtype=np.int64)})
+
+    pool.init_state_from_adj(seed, empty)
+    pool.run(max_rounds)
+    out = pool.collect().select_columns(["node", "layer"])
+    pool.shutdown()
+    return out
+
+
+def dag_layers_query(sf_dir: str, threshold: float = 0.3,
+                     max_rounds: int = 16):
+    """Topological levels of the id-oriented near-dup DAG."""
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs,
+                                          partitions_for)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+    return dag_layers(
+        pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
+        max_rounds=max_rounds,
+        num_partitions=partitions_for(emb, 8))
+
+
+def dag_layers_oracle_sql(threshold: float = 0.3,
+                          max_rounds: int = 16) -> str:
+    parts = [f"""e0 AS MATERIALIZED (
+  SELECT LEAST(a.vec_id, b.vec_id) AS a,
+         GREATEST(a.vec_id, b.vec_id) AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding)
+        >= {threshold}
+),
+nodes AS (
+  SELECT DISTINCT n FROM (
+    SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)),
+l0 AS (SELECT n AS node, CAST(0 AS BIGINT) AS layer FROM nodes)"""]
+    for k in range(1, max_rounds + 1):
+        parts.append(f"""l{k} AS MATERIALIZED (
+  SELECT p.node,
+         CAST(GREATEST(p.layer, COALESCE(m.mx, 0)) AS BIGINT) AS layer
+  FROM l{k-1} p
+  LEFT JOIN (
+    SELECT e0.b AS node, MAX(lp.layer + 1) AS mx
+    FROM e0 JOIN l{k-1} lp ON lp.node = e0.a
+    GROUP BY e0.b) m ON m.node = p.node
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, layer FROM l{max_rounds} ORDER BY node\n")

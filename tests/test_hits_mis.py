@@ -168,3 +168,12 @@ def test_eccentricity_path_and_components(ray_session):
                        max_levels=8).to_pandas()
     got = dict(zip(out["node"].astype(int), out["ecc"].astype(int)))
     assert got == {0: 3, 1: 2, 2: 2, 3: 3, 10: 1, 11: 1}
+
+
+def test_dag_layers_chain_with_shortcut(ray_session):
+    from rdf_mapper_ray.ops.graphs import dag_layers
+    # chain 0-1-2-3 plus shortcut 0-3: longest path wins (layer 3)
+    out = dag_layers(_edges([(0, 1), (1, 2), (2, 3), (0, 3)],
+                            cols=("a", "b")), max_rounds=8).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["layer"].astype(int)))
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}

@@ -196,32 +196,46 @@ def jw_pairs(ds: "ray.data.Dataset", id_col: str = "p_partkey",
         })
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        ls, rs, jj = [], [], []
+        # the JW kernel runs per DISTINCT NAME PAIR, never per row
+        # pair (20k rows share 64 names at bench scale: 25M row-pair
+        # kernels collapse to a handful); qualifying name pairs expand
+        # to row pairs with one vectorized meshgrid each
+        los, his, jjs = [], [], []
         for _, grp in g.groupby("blk", sort=False):
-            if len(grp) < 2:
-                continue
-            grp = grp.sort_values(id_col)
+            names, inv = np.unique(grp[text_col].to_numpy(),
+                                   return_inverse=True)
             ids = grp[id_col].to_numpy()
-            texts = grp[text_col].to_numpy()
-            i, j = np.triu_indices(len(ids), k=1)
-            for a, b in zip(i, j):
-                ta, tb = texts[a], texts[b]
-                if ta == tb:
-                    if not include_equal:
+            by_name = [np.sort(ids[inv == i])
+                       for i in range(len(names))]
+            if include_equal:
+                for A in by_name:
+                    if len(A) >= 2:
+                        i, j = np.triu_indices(len(A), k=1)
+                        los.append(A[i])
+                        his.append(A[j])
+                        jjs.append(np.full(len(i), 1_000_000,
+                                           np.int64))
+            for a in range(len(names)):
+                for b in range(a + 1, len(names)):
+                    s = _jaro_winkler(names[a], names[b])
+                    if s < threshold:
                         continue
-                    ls.append(ids[a])
-                    rs.append(ids[b])
-                    jj.append(1_000_000)
-                    continue
-                s = _jaro_winkler(ta, tb)
-                if s >= threshold:
-                    ls.append(ids[a])
-                    rs.append(ids[b])
-                    jj.append(int(np.floor(s * 1_000_000 + 0.5)))
+                    micro = int(np.floor(s * 1_000_000 + 0.5))
+                    x, y = np.meshgrid(by_name[a], by_name[b],
+                                       indexing="ij")
+                    x, y = x.ravel(), y.ravel()
+                    los.append(np.minimum(x, y))
+                    his.append(np.maximum(x, y))
+                    jjs.append(np.full(len(x), micro, np.int64))
+        if not los:
+            return pd.DataFrame({
+                "left_id": pd.array([], dtype="int64"),
+                "right_id": pd.array([], dtype="int64"),
+                "jw_micro": pd.array([], dtype="int64")})
         return pd.DataFrame({
-            "left_id": pd.array(ls, dtype="int64"),
-            "right_id": pd.array(rs, dtype="int64"),
-            "jw_micro": pd.array(jj, dtype="int64"),
+            "left_id": np.concatenate(los).astype(np.int64),
+            "right_id": np.concatenate(his).astype(np.int64),
+            "jw_micro": np.concatenate(jjs),
         })
 
     return ds.map_batches(tag, batch_format="pyarrow") \

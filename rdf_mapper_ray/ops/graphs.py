@@ -3574,9 +3574,17 @@ def _msbfs_forward_pool(edges: "ray.data.Dataset", max_levels: int,
     return pool
 
 
+# per-process cache of collected forward MS-BFS states, keyed by the
+# QUERY-level derivation (sf_dir, threshold, levels): stress and
+# eccentricity over the same graph share one forward pass (the same
+# pattern as relational.py's cached BGP extractions)
+_MSBFS_FWD_CACHE: dict = {}
+
+
 def stress_centrality(edges: "ray.data.Dataset",
                       max_levels: int = 12,
-                      num_partitions: int | None = None
+                      num_partitions: int | None = None,
+                      fwd_cache_key=None
                       ) -> "ray.data.Dataset":
     """Exact stress centrality over an undirected (a, b) int64 edge
     Dataset -> (node, stress). All-pairs by construction (every node
@@ -3590,6 +3598,8 @@ def stress_centrality(edges: "ray.data.Dataset",
         num_partitions = partitions_for(edges, 8)
     pool = _msbfs_forward_pool(edges, max_levels, num_partitions)
     fwd = pool.collect()
+    if fwd_cache_key is not None:
+        _MSBFS_FWD_CACHE[fwd_cache_key] = fwd
     kmax = int(fwd.max("dist"))
 
     def to_bwd(st: pd.DataFrame) -> pd.DataFrame:
@@ -3636,7 +3646,8 @@ def stress_query(sf_dir: str, threshold: float = 0.3,
     return stress_centrality(
         pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
         max_levels=max_levels,
-        num_partitions=partitions_for(emb, 8))
+        num_partitions=partitions_for(emb, 8),
+        fwd_cache_key=(sf_dir, threshold, max_levels))
 
 
 def stress_oracle_sql(threshold: float = 0.3,
@@ -3691,19 +3702,23 @@ GROUP BY n.node ORDER BY n.node
 
 
 def eccentricity(edges: "ray.data.Dataset", max_levels: int = 12,
-                 num_partitions: int | None = None
+                 num_partitions: int | None = None,
+                 fwd: "ray.data.Dataset" = None
                  ) -> "ray.data.Dataset":
     """Per-node eccentricity (max shortest-path distance to any node
     REACHABLE from it — per-component semantics) -> (node, ecc); the
     graph diameter is max(ecc), the radius min(ecc). Reads the
     all-pairs distances straight off the MS-BFS forward pool shared
     with stress_centrality."""
-    if num_partitions is None:
-        from rdf_mapper_ray.ops.dedup import partitions_for
-        num_partitions = partitions_for(edges, 8)
-    pool = _msbfs_forward_pool(edges, max_levels, num_partitions)
-    out = pool.collect()
-    pool.shutdown()
+    if fwd is not None:
+        out = fwd
+    else:
+        if num_partitions is None:
+            from rdf_mapper_ray.ops.dedup import partitions_for
+            num_partitions = partitions_for(edges, 8)
+        pool = _msbfs_forward_pool(edges, max_levels, num_partitions)
+        out = pool.collect()
+        pool.shutdown()
 
     def finish(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -3731,7 +3746,8 @@ def eccentricity_query(sf_dir: str, threshold: float = 0.3,
     return eccentricity(
         pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
         max_levels=max_levels,
-        num_partitions=partitions_for(emb, 8))
+        num_partitions=partitions_for(emb, 8),
+        fwd=_MSBFS_FWD_CACHE.get((sf_dir, threshold, max_levels)))
 
 
 def eccentricity_oracle_sql(threshold: float = 0.3,

@@ -92,7 +92,7 @@ _NEXT_UP = [
     "hits", "mis_luby", "event_ngrams", "gap_fill",
     "stress_centrality", "jw_pairs", "epoch_shuffle",
     "bgp_path_star", "eccentricity", "embedding_gram",
-    "entity_resolution", "dag_layers",
+    "entity_resolution", "dag_layers", "bgp_negated_pred",
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
@@ -348,6 +348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     fromlist=["io"]).epoch_shuffle_query,
         # SPARQL p* — closure UNION identity over the edge set's nodes
         "bgp_path_star": relational.bgp_path_star_query,
+        # SPARQL negated property set !(p1|p2) — map-only mask
+        "bgp_negated_pred": relational.bgp_negated_pred_query,
         "locf_fill": timeseries.locf_fill_query,
         "ohlc_bars": timeseries.ohlc_query,
         "autocorr": timeseries.autocorr_query,
@@ -622,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
             "rdf_mapper_ray.ops.io",
             fromlist=["io"]).epoch_shuffle_oracle_sql(),
         "bgp_path_star": relational.BGP_PATH_STAR_ORACLE_SQL,
+        "bgp_negated_pred": relational.BGP_NEGATED_PRED_ORACLE_SQL,
         "locf_fill": timeseries.locf_fill_oracle_sql(),
         "ohlc_bars": timeseries.ohlc_oracle_sql(),
         "autocorr": timeseries.autocorr_oracle_sql(),

@@ -945,3 +945,28 @@ def path_star(triples: "ray.data.Dataset", predicate: str,
                                             batch_format="pyarrow"))
     return _distinct_rows(merged, [src_name, dst_name],
                           num_partitions)
+
+
+def negated_path(triples: "ray.data.Dataset",
+                 excluded: Sequence[str],
+                 src_name: str = "src", pred_name: str = "p",
+                 dst_name: str = "dst") -> "ray.data.Dataset":
+    """SPARQL 1.1 negated property set ``?s !(p1|...|pk) ?o`` — every
+    triple whose predicate is NOT in the set. Map-only (one vectorized
+    mask per batch, nothing shuffles)."""
+    preds = list(excluded)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = None
+        for p in preds:
+            m = pc.not_equal(batch.column("predicate"), p)
+            mask = m if mask is None else pc.and_(mask, m)
+        if mask is not None:
+            batch = batch.filter(pc.fill_null(mask, False))
+        return pa.Table.from_pydict({
+            src_name: batch.column("subject").cast(pa.string()),
+            pred_name: batch.column("predicate").cast(pa.string()),
+            dst_name: batch.column("object_value").cast(pa.string()),
+        })
+
+    return triples.map_batches(fn, batch_format="pyarrow")

@@ -1002,3 +1002,27 @@ SELECT src, dst FROM (
   SELECT n, n FROM nodes
 ) ORDER BY src, dst
 """
+
+
+def bgp_negated_pred_query(sf_dir: str) -> "ray.data.Dataset":
+    """SPARQL negated property set ``?s !(rdf:type|ex:tier) ?o`` over
+    the customer graph — everything except typing and the
+    guard-sparse tier (leaves ex:name and ex:segment triples)."""
+    from rdf_mapper_ray.engine.bgp import negated_path
+    return negated_path(_cust_graph(sf_dir),
+                        [_RDF_TYPE, f"{_EX}tier"])
+
+
+BGP_NEGATED_PRED_ORACLE_SQL = f"""
+WITH rows AS (
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR)
+           AS src,
+         '{_EX}name' AS p, c_name AS dst
+  FROM customer
+  UNION ALL
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR),
+         '{_EX}segment', lower(c_mktsegment)
+  FROM customer
+)
+SELECT src, p, dst FROM rows ORDER BY src, p, dst
+"""

@@ -215,7 +215,11 @@ def boruvka_msf(edges: "ray.data.Dataset", max_rounds: int = 10,
                     ["a", "b", "w"]], batch_format="pandas"))
 
         # components = min-label CC over the forest + self for nodes
-        # not yet in the forest
+        # not yet in the forest. VENUE NOTE: this must stay the
+        # Hash-to-Min _cc_min_label (log-round pointer doubling) — MST
+        # forests are chain-heavy, and the Pregel actors CC is plain
+        # min-label propagation (O(diameter) rounds): tried, it hits
+        # its round budget on the sf0.1 forest's ~10^3-long chains
         cc = _cc_min_label(forest.select_columns(["a", "b"]),
                            num_partitions=num_partitions)
 

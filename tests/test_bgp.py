@@ -354,3 +354,16 @@ def test_path_star_includes_identity(ray_session):
     got = set(zip(out["src"], out["dst"]))
     assert got == {("n0", "n0"), ("n1", "n1"), ("n2", "n2"),
                    ("n0", "n1"), ("n1", "n2"), ("n0", "n2")}
+
+
+def test_negated_property_set(ray_session):
+    from rdf_mapper_ray.engine.bgp import negated_path
+    import pyarrow as pa
+    import ray.data
+    t = ray.data.from_arrow(pa.table({
+        "subject": pa.array(["s1", "s1", "s2"]),
+        "predicate": pa.array(["p1", "p2", "p3"]),
+        "object_value": pa.array(["a", "b", "c"])}))
+    out = negated_path(t, ["p2"]).to_pandas()
+    got = set(zip(out["src"], out["p"], out["dst"]))
+    assert got == {("s1", "p1", "a"), ("s2", "p3", "c")}

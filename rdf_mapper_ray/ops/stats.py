@@ -97,6 +97,9 @@ FROM r WHERE rn = 1 ORDER BY event_type
 
 # --- Pearson correlation per group ----------------------------------------------
 
+_MASK30 = np.int64((1 << 30) - 1)
+
+
 def group_corr(ds: "ray.data.Dataset", group_col: str, x_col: str,
                y_col: str, x_scale: int = 100, y_scale: int = 100,
                num_partitions: Optional[int] = None
@@ -105,10 +108,14 @@ def group_corr(ds: "ray.data.Dataset", group_col: str, x_col: str,
     (n, Σx, Σy, Σxy, Σx², Σy²) over quantized units
     ``round(value·scale)``. Partials per block are group-sized; the
     finish runs per routed group with Python-int (arbitrary
-    precision) products, so ``n·Σxy − Σx·Σy`` never wraps. int64
-    partial accumulation bounds the op to Σy² < 2^63 per block and
-    per group (~1.4e8 rows at TPC-H price scale) — past that, switch
-    to two-limb hi/lo accumulation; the formula is unchanged.
+    precision) products, so ``n·Σxy − Σx·Σy`` never wraps. The
+    quadratic sums (Σxy, Σy²) accumulate as TWO int64 limbs
+    (hi = v>>30, lo = v&(2^30−1), recombined with Python ints in the
+    finish): cents-quantized TPC-H prices square to ~1.1e14 per row,
+    so a single-limb Σy² wraps silently past ~84k rows per group —
+    sf0.1's 200k-row groups were already over it (caught by a bound
+    audit; DuckDB's HUGEINT sums never wrap, so the oracle exposes
+    the engine). Limb sums stay exact past 1e13 rows per group.
 
     r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²̂) · √(n·Σy² − Σy²̂)) with the
     single double conversion applied to each exact integer operand —
@@ -125,12 +132,17 @@ def group_corr(ds: "ray.data.Dataset", group_col: str, x_col: str,
                     * x_scale).astype(np.int64)
         y = np.rint(t.column(y_col).to_numpy(zero_copy_only=False)
                     * y_scale).astype(np.int64)
+        xy = x * y
+        y2 = y * y
         df = pd.DataFrame({group_col: g, "sx": x, "sy": y,
-                           "sxy": x * y, "sx2": x * x, "sy2": y * y})
+                           "sxy_hi": xy >> 30, "sxy_lo": xy & _MASK30,
+                           "sx2": x * x,
+                           "sy2_hi": y2 >> 30, "sy2_lo": y2 & _MASK30})
         out = df.groupby(group_col, as_index=False).agg(
             n=("sx", "size"), sx=("sx", "sum"), sy=("sy", "sum"),
-            sxy=("sxy", "sum"), sx2=("sx2", "sum"),
-            sy2=("sy2", "sum"))
+            sxy_hi=("sxy_hi", "sum"), sxy_lo=("sxy_lo", "sum"),
+            sx2=("sx2", "sum"),
+            sy2_hi=("sy2_hi", "sum"), sy2_lo=("sy2_lo", "sum"))
         out["n"] = out["n"].astype(np.int64)
         pid = pd.util.hash_pandas_object(out[group_col],
                                          index=False).to_numpy()
@@ -139,12 +151,16 @@ def group_corr(ds: "ray.data.Dataset", group_col: str, x_col: str,
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         s = g.groupby(group_col, as_index=False)[
-            ["n", "sx", "sy", "sxy", "sx2", "sy2"]].sum()
+            ["n", "sx", "sy", "sxy_hi", "sxy_lo", "sx2",
+             "sy2_hi", "sy2_lo"]].sum()
         corr = []
-        for n, sx, sy, sxy, sx2, sy2 in zip(
+        for (n, sx, sy, sxy_hi, sxy_lo, sx2, sy2_hi, sy2_lo) in zip(
                 s["n"].tolist(), s["sx"].tolist(), s["sy"].tolist(),
-                s["sxy"].tolist(), s["sx2"].tolist(),
-                s["sy2"].tolist()):
+                s["sxy_hi"].tolist(), s["sxy_lo"].tolist(),
+                s["sx2"].tolist(), s["sy2_hi"].tolist(),
+                s["sy2_lo"].tolist()):
+            sxy = (int(sxy_hi) << 30) + int(sxy_lo)
+            sy2 = (int(sy2_hi) << 30) + int(sy2_lo)
             num = n * sxy - sx * sy
             d1, d2 = n * sx2 - sx * sx, n * sy2 - sy * sy
             corr.append(
@@ -332,11 +348,14 @@ def group_regression(ds: "ray.data.Dataset", group_col: str,
                     * x_scale).astype(np.int64)
         y = np.rint(t.column(y_col).to_numpy(zero_copy_only=False)
                     * y_scale).astype(np.int64)
+        xy = x * y
         df = pd.DataFrame({group_col: g, "sx": x, "sy": y,
-                           "sxy": x * y, "sx2": x * x})
+                           "sxy_hi": xy >> 30, "sxy_lo": xy & _MASK30,
+                           "sx2": x * x})
         out = df.groupby(group_col, as_index=False).agg(
             n=("sx", "size"), sx=("sx", "sum"), sy=("sy", "sum"),
-            sxy=("sxy", "sum"), sx2=("sx2", "sum"))
+            sxy_hi=("sxy_hi", "sum"), sxy_lo=("sxy_lo", "sum"),
+            sx2=("sx2", "sum"))
         out["n"] = out["n"].astype(np.int64)
         pid = pd.util.hash_pandas_object(out[group_col],
                                          index=False).to_numpy()
@@ -350,11 +369,13 @@ def group_regression(ds: "ray.data.Dataset", group_col: str,
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         s = g.groupby(group_col, as_index=False)[
-            ["n", "sx", "sy", "sxy", "sx2"]].sum()
+            ["n", "sx", "sy", "sxy_hi", "sxy_lo", "sx2"]].sum()
         slopes, intercepts = [], []
-        for n, sx, sy, sxy, sx2 in zip(
+        for n, sx, sy, sxy_hi, sxy_lo, sx2 in zip(
                 s["n"].tolist(), s["sx"].tolist(), s["sy"].tolist(),
-                s["sxy"].tolist(), s["sx2"].tolist()):
+                s["sxy_hi"].tolist(), s["sxy_lo"].tolist(),
+                s["sx2"].tolist()):
+            sxy = (int(sxy_hi) << 30) + int(sxy_lo)
             den = n * sx2 - sx * sx
             if den == 0:
                 slopes.append(float("nan"))
@@ -616,7 +637,10 @@ def group_gini(ds: "ray.data.Dataset", group_col: str,
                ) -> "ray.data.Dataset":
     """Inequality of a positive metric inside each group, by the exact
     sorted-rank identity G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) (i = 1-based
-    rank): with cents xᵢ both numerator and denominator are exact
+    rank): with cents xᵢ both numerator and denominator are exact.
+    int64 bound: the rank-weighted term grows O(n²·max_cents) per
+    group — ~9e18 at 3e5-row groups of price-scale cents (sf1), the
+    two-limb pattern in group_corr is the upgrade path past that
     integers, and the milli quantization ``(2000·num + den)//(2·den)``
     is the pure-integer floor the SQL oracle replays over a
     row_number() window. Groups co-partition by hash; the rank pass

@@ -93,6 +93,7 @@ _NEXT_UP = [
     "stress_centrality", "jw_pairs", "epoch_shuffle",
     "bgp_path_star", "eccentricity", "embedding_gram",
     "entity_resolution", "dag_layers", "bgp_negated_pred",
+    "corr_matrix", "rolling_window",
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
@@ -287,6 +288,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mode": stats.grouped_mode_query,
         "group_corr": stats.group_corr_query,
         "group_regression": stats.group_regression_query,
+        # all-pairs Pearson matrix (two-limb exact sufficient stats)
+        "corr_matrix": stats.corr_matrix_query,
+        # trailing ROWS-window count+sum per user (moving average)
+        "rolling_window": sessions.rolling_window_query,
         "adamic_adar": graphs.adamic_adar_query,
         "ppr": graphs.ppr_query,
         "random_walks": graphs.random_walks_query,
@@ -575,6 +580,8 @@ def oracle_sql() -> dict[str, str]:
         "grouped_mode": stats.GROUPED_MODE_ORACLE_SQL,
         "group_corr": stats.GROUP_CORR_ORACLE_SQL,
         "group_regression": stats.GROUP_REGRESSION_ORACLE_SQL,
+        "corr_matrix": stats.corr_matrix_oracle_sql(),
+        "rolling_window": sessions.rolling_window_oracle_sql(),
         "adamic_adar": graphs.adamic_adar_oracle_sql(),
         "ppr": graphs.ppr_oracle_sql(),
         "random_walks": graphs.random_walks_oracle_sql(),

@@ -1183,3 +1183,58 @@ walk(user_id, rn, event_id, v, s) AS (
 SELECT user_id, event_id, v AS v_c, s AS ewma_c
 FROM walk ORDER BY user_id, rn
 """
+
+
+# --- rolling window sums per user ---------------------------------------------
+
+def rolling_window(ds: "ray.data.Dataset", user_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   value_col: str = "value", window: int = 5
+                   ) -> "ray.data.Dataset":
+    """Trailing ROWS-window aggregate per user: for each event, the
+    count and exact integer-cents sum of the last ``window`` events
+    (current included) in the user's (ts, id) order — SQL's
+    ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW``. The division
+    (moving average) is the caller's — the contract ships the exact
+    sums. Same one-exchange venue as running_totals; the window scan
+    is a grouped pandas rolling (vectorized across all of a
+    partition's users). -> (user, event, w_n, w_sum_cents)."""
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col]).reset_index(
+            drop=True)
+        cents = pd.Series(np.rint(g[value_col].to_numpy() * 100)
+                          .astype(np.int64))
+        grp = cents.groupby(g[user_col].to_numpy())
+        roll = grp.rolling(window, min_periods=1)
+        return pd.DataFrame({
+            user_col: g[user_col],
+            id_col: g[id_col],
+            "w_n": roll.count().reset_index(drop=True)
+                       .astype(np.int64),
+            "w_sum_cents": roll.sum().reset_index(drop=True)
+                               .astype(np.int64),
+        })
+
+    return _route_by_user(ds, user_col).map_groups(part,
+                                                   batch_format="pandas")
+
+
+def rolling_window_query(sf_dir: str, window: int = 5):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+    return rolling_window(ds, window=window)
+
+
+def rolling_window_oracle_sql(window: int = 5) -> str:
+    return f"""
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS w_n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS w_sum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""

@@ -864,3 +864,105 @@ SELECT g AS o_orderpriority, n, top_n, top_sum, total_sum,
             // (2 * total_sum) AS BIGINT) AS share_milli
 FROM s ORDER BY g
 """
+
+
+# --- full correlation matrix over a measure list ------------------------------
+
+def corr_matrix(ds: "ray.data.Dataset", measure_cols: list,
+                scale: int = 100) -> "ray.data.Dataset":
+    """Pearson correlation for EVERY pair of measure columns — the
+    feature-screening matrix — from exact two-limb int64 sufficient
+    statistics (the group_corr overflow discipline applied to all
+    quadratic sums, squares included). Each block contributes one
+    partial row per ordered pair (i <= j); the (pairs x blocks)-sized
+    cell table finishes driver-side with Python-int recombination and
+    the group_corr double expression, so the SQL oracle agrees
+    bit-for-bit. -> (m1, m2, n, corr), m1 < m2 lexicographically."""
+    cols = sorted(measure_cols)
+    k = len(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.stack([
+            np.rint(t.column(c).to_numpy(zero_copy_only=False)
+                    * scale).astype(np.int64) for c in cols], axis=1)
+        n = q.shape[0]
+        ii, jj, sxs, sys_, phi, plo = [], [], [], [], [], []
+        for i in range(k):
+            for j in range(i, k):
+                p = q[:, i] * q[:, j]
+                ii.append(i)
+                jj.append(j)
+                sxs.append(int(q[:, i].sum()))
+                sys_.append(int(q[:, j].sum()))
+                phi.append(int((p >> 30).sum()))
+                plo.append(int((p & _MASK30).sum()))
+        return pa.Table.from_pydict({
+            "i": pa.array(ii, pa.int64()),
+            "j": pa.array(jj, pa.int64()),
+            "n": pa.array([n] * len(ii), pa.int64()),
+            "sx": pa.array(sxs, pa.int64()),
+            "sy": pa.array(sys_, pa.int64()),
+            "p_hi": pa.array(phi, pa.int64()),
+            "p_lo": pa.array(plo, pa.int64()),
+        })
+
+    cells = ds.select_columns(cols) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = cells.groupby(["i", "j"], as_index=False).sum()
+    sums = {}
+    for r in agg.itertuples(index=False):
+        sums[(int(r.i), int(r.j))] = (
+            int(r.n), int(r.sx), int(r.sy),
+            (int(r.p_hi) << 30) + int(r.p_lo))
+    m1s, m2s, ns, corrs = [], [], [], []
+    for i in range(k):
+        for j in range(i + 1, k):
+            n, sx, _, sxy = sums[(i, j)]
+            _, _, _, sx2 = sums[(i, i)]
+            _, _, sy, sy2 = sums[(j, j)]
+            num = n * sxy - sx * sy
+            d1 = n * sx2 - sx * sx
+            d2 = n * sy2 - sy * sy
+            m1s.append(cols[i])
+            m2s.append(cols[j])
+            ns.append(n)
+            corrs.append(
+                float("nan") if d1 == 0 or d2 == 0 else
+                float(num) / (math.sqrt(float(d1))
+                              * math.sqrt(float(d2))))
+    return pa.Table.from_pydict({
+        "m1": pa.array(m1s), "m2": pa.array(m2s),
+        "n": pa.array(ns, pa.int64()),
+        "corr": pa.array(corrs, pa.float64())})
+
+
+def corr_matrix_query(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_quantity", "l_extendedprice",
+                             "l_discount", "l_tax"])
+    return corr_matrix(ds, ["l_quantity", "l_extendedprice",
+                            "l_discount", "l_tax"])
+
+
+def corr_matrix_oracle_sql(scale: int = 100) -> str:
+    cols = sorted(["l_quantity", "l_extendedprice", "l_discount",
+                   "l_tax"])
+    arms = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            a, b = cols[i], cols[j]
+            arms.append(f"""
+SELECT '{a}' AS m1, '{b}' AS m2, n, CAST(num AS DOUBLE)
+       / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE)))
+       AS corr
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS num,
+         COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS d1,
+         COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS d2
+  FROM (SELECT CAST(round({a} * {scale}) AS BIGINT) AS x,
+               CAST(round({b} * {scale}) AS BIGINT) AS y
+        FROM lineitem))""")
+    return ("SELECT m1, m2, n, corr FROM ("
+            + " UNION ALL ".join(arms)
+            + ") ORDER BY m1, m2")

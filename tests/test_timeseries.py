@@ -144,3 +144,34 @@ def test_gap_fill_sums_within_bucket(ray_session):
         .sort_values("bucket_hour").reset_index(drop=True)
     assert list(out["cents"]) == [300, 100]
     assert list(out["interpolated"]) == [0, 0]
+
+
+def test_rolling_window_hand_case(ray_session):
+    from rdf_mapper_ray.ops.sessions import rolling_window
+    rows = [(i, i, 1, "x", v)
+            for i, v in enumerate([1.0, 2.0, 3.0, 4.0])]
+    out = rolling_window(_events(rows), window=3).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert list(out["w_n"]) == [1, 2, 3, 3]
+    assert list(out["w_sum_cents"]) == [100, 300, 600, 900]
+
+
+def test_corr_matrix_matches_numpy(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from rdf_mapper_ray.ops.stats import corr_matrix
+    rng = np.random.RandomState(21)
+    a = rng.randn(200)
+    b = 0.5 * a + rng.randn(200) * 0.1
+    c = rng.randn(200)
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array(a), "b": pa.array(b), "c": pa.array(c)})) \
+        .repartition(4)
+    out = corr_matrix(ds, ["a", "b", "c"], scale=1000).to_pandas()
+    got = {(r.m1, r.m2): r.corr for r in out.itertuples()}
+    qa = np.rint(a * 1000); qb = np.rint(b * 1000); qc = np.rint(c * 1000)
+    for (x, y, k1, k2) in [(qa, qb, "a", "b"), (qa, qc, "a", "c"),
+                           (qb, qc, "b", "c")]:
+        ref = np.corrcoef(x, y)[0, 1]
+        assert abs(got[(k1, k2)] - ref) < 1e-9, (k1, k2)
+    assert abs(got[("a", "b")]) > 0.9 and abs(got[("a", "c")]) < 0.3

@@ -93,7 +93,7 @@ _NEXT_UP = [
     "stress_centrality", "jw_pairs", "epoch_shuffle",
     "bgp_path_star", "eccentricity", "embedding_gram",
     "entity_resolution", "dag_layers", "bgp_negated_pred",
-    "corr_matrix", "rolling_window",
+    "corr_matrix", "rolling_window", "stress_sampled",
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
@@ -338,6 +338,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact all-pairs stress centrality: forward MS-BFS sigma +
         # backward integer Brandes tau, two phases on ONE Pregel pool
         "stress_centrality": graphs.stress_query,
+        # pivot-sampled stress (node % 4 == 0 sources) — the
+        # estimator venue past all-pairs scale, oracle-restricted
+        "stress_sampled": graphs.stress_sampled_query,
         # per-node eccentricity (diameter/radius) off the same pool
         "eccentricity": graphs.eccentricity_query,
         # topological levels of the id-oriented DAG (max-propagation)
@@ -622,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": graphs.hits_oracle_sql(),
         "mis_luby": graphs.mis_oracle_sql(),
         "stress_centrality": graphs.stress_oracle_sql(),
+        "stress_sampled": graphs.stress_oracle_sql(source_mod=4),
         "eccentricity": graphs.eccentricity_oracle_sql(),
         "dag_layers": graphs.dag_layers_oracle_sql(),
         "embedding_gram": vectors.EMBEDDING_GRAM_ORACLE_SQL,

@@ -3532,7 +3532,7 @@ def _msbfs_partitions() -> int:
 
 
 def _msbfs_forward_pool(edges: "ray.data.Dataset", max_levels: int,
-                        num_partitions: int):
+                        num_partitions: int, source_mod: int = 1):
     """Multi-source BFS forward phase on the Pregel pool (every node
     seeds its own BFS; state rows (node, src, dist, sigma) are the
     all-pairs distances + shortest-path counts). Shared by
@@ -3570,13 +3570,18 @@ def _msbfs_forward_pool(edges: "ray.data.Dataset", max_levels: int,
         "fresh": pa.array([], pa.int64()),
         "k": pa.array([], pa.int64())})
 
-    def seed(adj_df: pd.DataFrame) -> pd.DataFrame:
+    def seed(adj_df: pd.DataFrame, _mod=source_mod) -> pd.DataFrame:
         n = np.unique(adj_df["node"].to_numpy())
         z = np.zeros(len(n), dtype=np.int64)
+        # every node gets its (v, v, 0) row so no partition starts
+        # with an empty state, but only SAMPLED sources are fresh —
+        # the pivot-estimator path: BFS trees grow only from
+        # node % source_mod == 0 (source_mod=1 -> exact all-pairs)
         return pd.DataFrame({
             "node": n, "src": n, "dist": z,
             "sigma": np.ones(len(n), dtype=np.int64),
-            "tau": z.copy(), "fresh": np.ones(len(n), dtype=np.int64),
+            "tau": z.copy(),
+            "fresh": (n % _mod == 0).astype(np.int64),
             "k": z.copy()})
 
     pool.init_state_from_adj(seed, empty)
@@ -3594,18 +3599,23 @@ _MSBFS_FWD_CACHE: dict = {}
 def stress_centrality(edges: "ray.data.Dataset",
                       max_levels: int = 12,
                       num_partitions: int | None = None,
-                      fwd_cache_key=None
+                      fwd_cache_key=None,
+                      source_mod: int = 1
                       ) -> "ray.data.Dataset":
     """Exact stress centrality over an undirected (a, b) int64 edge
     Dataset -> (node, stress). All-pairs by construction (every node
     seeds its own BFS), so state is O(V^2 / P) rows per partition —
-    the exact-analytics venue; at web scale seed a source SAMPLE (the
-    standard pivot estimator) by filtering the seed frame.
+    the exact-analytics venue; ``source_mod > 1`` seeds only nodes
+    with node %% source_mod == 0 — the standard pivot-sampling
+    estimator (stress restricted to the sampled source set, still
+    bit-exact against the identically-restricted oracle), the path
+    past all-pairs scale.
 
     Node ids must fit 31 bits (composite-key contract, asserted)."""
     if num_partitions is None:
         num_partitions = _msbfs_partitions()
-    pool = _msbfs_forward_pool(edges, max_levels, num_partitions)
+    pool = _msbfs_forward_pool(edges, max_levels, num_partitions,
+                               source_mod)
     fwd = pool.collect()
     if fwd_cache_key is not None:
         _MSBFS_FWD_CACHE[fwd_cache_key] = fwd
@@ -3658,8 +3668,25 @@ def stress_query(sf_dir: str, threshold: float = 0.3,
         fwd_cache_key=(sf_dir, threshold, max_levels))
 
 
+def stress_sampled_query(sf_dir: str, threshold: float = 0.3,
+                         max_levels: int = 12, source_mod: int = 4):
+    """Pivot-sampled stress: BFS trees grow only from the
+    node %% source_mod == 0 sources (the estimator venue past
+    all-pairs scale); the oracle restricts its seeds identically."""
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+    return stress_centrality(
+        pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
+        max_levels=max_levels, source_mod=source_mod)
+
+
 def stress_oracle_sql(threshold: float = 0.3,
-                      max_levels: int = 12) -> str:
+                      max_levels: int = 12,
+                      source_mod: int = 1) -> str:
     L = max_levels
     parts = [f"""e0 AS MATERIALIZED (
   SELECT a.vec_id AS a, b.vec_id AS b
@@ -3672,7 +3699,7 @@ adj AS MATERIALIZED (
   UNION ALL SELECT b, a FROM e0),
 nodes AS (SELECT DISTINCT node FROM adj),
 f0 AS (SELECT node AS src, node, CAST(1 AS BIGINT) AS sigma
-       FROM nodes),
+       FROM nodes WHERE node % {source_mod} = 0),
 s0 AS (SELECT src, node FROM f0)"""]
     for k in range(1, L + 1):
         parts.append(f"""f{k} AS MATERIALIZED (

@@ -177,3 +177,46 @@ def test_dag_layers_chain_with_shortcut(ray_session):
                             cols=("a", "b")), max_rounds=8).to_pandas()
     got = dict(zip(out["node"].astype(int), out["layer"].astype(int)))
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_stress_sampled_matches_restricted_reference(ray_session):
+    from rdf_mapper_ray.ops.graphs import stress_centrality
+    rng = np.random.RandomState(31)
+    pairs = sorted({(min(a, b), max(a, b))
+                    for a, b in rng.randint(0, 24, (45, 2)) if a != b})
+    out = stress_centrality(_edges(pairs, cols=("a", "b")),
+                            max_levels=16, source_mod=3).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["stress"].astype(int)))
+    # reference restricted to sources s % 3 == 0
+    from collections import deque, defaultdict
+    nbr = defaultdict(set)
+    for a, b in pairs:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    exp = {v: 0 for v in nbr}
+    for s in sorted(nbr):
+        if s % 3 != 0:
+            continue
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = [s]
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for u in nbr[v]:
+                if u not in dist:
+                    dist[u] = dist[v] + 1
+                    sigma[u] = 0
+                    q.append(u)
+                    order.append(u)
+                if dist[u] == dist[v] + 1:
+                    sigma[u] += sigma[v]
+        tau = {v: 0 for v in dist}
+        for v in reversed(order):
+            for u in nbr[v]:
+                if u in dist and dist[u] == dist[v] + 1:
+                    tau[v] += 1 + tau[u]
+        for v in dist:
+            if v != s:
+                exp[v] += sigma[v] * tau[v]
+    assert got == exp

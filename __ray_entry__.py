@@ -94,6 +94,7 @@ _NEXT_UP = [
     "bgp_path_star", "eccentricity", "embedding_gram",
     "entity_resolution", "dag_layers", "bgp_negated_pred",
     "corr_matrix", "rolling_window", "stress_sampled",
+    "grouping_sets", "clustering_coeff",
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
@@ -387,6 +388,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_stats": joins.docs_lang_stats_query,
         # GROUP BY CUBE — all four grouping sets from ONE fine shuffle
         "cube_orders": rollup.cube_query,
+        # GROUP BY GROUPING SETS — arbitrary (non-prefix) set family
+        "grouping_sets": rollup.grouping_sets_query,
+        # per-node triangles + degree -> exact micro-unit lcc
+        "clustering_coeff": graphs.clustering_coeff_query,
         # per-user first/last-touch attribution (argmin/argmax family)
         "attribution": sessions.attribution_query,
         # hop-bounded weighted SSSP (distributed Bellman-Ford,
@@ -653,6 +658,8 @@ def oracle_sql() -> dict[str, str]:
         "group_quantiles": quantiles.GROUP_QUANTILES_ORACLE_SQL,
         "docs_lang_stats": joins.DOCS_LANG_STATS_ORACLE_SQL,
         "cube_orders": rollup.CUBE_ORACLE_SQL,
+        "grouping_sets": rollup.GROUPING_SETS_ORACLE_SQL,
+        "clustering_coeff": graphs.CLUSTERING_COEFF_ORACLE_SQL,
         "attribution": sessions.attribution_oracle_sql(),
         "sssp_weighted": graphs.SSSP_ORACLE_SQL,
         "pmi_bigrams": topk.pmi_bigrams_oracle_sql(),

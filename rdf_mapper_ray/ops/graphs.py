@@ -3958,3 +3958,178 @@ l0 AS (SELECT n AS node, CAST(0 AS BIGINT) AS layer FROM nodes)"""]
 )""")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, layer FROM l{max_rounds} ORDER BY node\n")
+
+
+# --- local clustering coefficient -------------------------------------------------
+
+def clustering_coeff(pairs: "ray.data.Dataset",
+                     left_col: str = "left_id",
+                     right_col: str = "right_id",
+                     num_partitions: int | None = None
+                     ) -> "ray.data.Dataset":
+    """Per-node local clustering coefficient over a canonical (a < b)
+    undirected edge Dataset: for each node v with degree d(v) and
+    triangle incidence t(v),
+
+        lcc(v) = 2·t(v) / (d(v)·(d(v)−1)),
+
+    quantized to EXACT micro units with floor arithmetic
+    (``2_000_000·t // (d·(d−1))``, 0 when d < 2) so the distributed
+    sum is order-independent and DuckDB replays it bit-for-bit.
+
+    Same two-exchange shape as :func:`triangle_count`, but the wedge
+    rows CARRY their pivot so each closed wedge can credit all three
+    corners: wedges route by hash(l, r) alongside the kind-tagged edge
+    set, the per-partition hash join emits (node, +1) partials for the
+    pivot and both endpoints, and ONE kind-tagged groupby merges the
+    triangle partials with the per-batch degree partials (no second
+    join). Overflow audit: 2e6·t(v) wraps at t(v) ≈ 4.6e12 — a node
+    in 4.6e12 triangles implies degree ≳ 3e6 with a near-clique
+    neighborhood; cap or sample such hubs upstream (the degree
+    orientation of triangle_count is the published remedy).
+    -> (node, degree, n_tri, lcc_micro) one row per node."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(pairs, 8)
+
+    edges = pairs.select_columns([left_col, right_col]).materialize()
+
+    def route_pivot(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch.column(left_col).to_pandas(), index=False).to_numpy()
+        return batch.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def wedge_part(g: pd.DataFrame) -> pd.DataFrame:
+        ls, rs, ps = [], [], []
+        for p, grp in g.groupby(left_col, sort=False):
+            bs = np.sort(grp[right_col].to_numpy())
+            if len(bs) >= 2:
+                i, j = np.triu_indices(len(bs), k=1)
+                ls.append(bs[i])
+                rs.append(bs[j])
+                ps.append(np.full(len(i), p, dtype=np.int64))
+        if not ls:
+            return pd.DataFrame({"l": pd.array([], dtype="int64"),
+                                 "r": pd.array([], dtype="int64"),
+                                 "p": pd.array([], dtype="int64")})
+        return pd.DataFrame({"l": np.concatenate(ls),
+                             "r": np.concatenate(rs),
+                             "p": np.concatenate(ps)})
+
+    wedges = edges.map_batches(route_pivot, batch_format="pyarrow") \
+        .groupby("pid").map_groups(wedge_part, batch_format="pandas")
+
+    def tag(side: int):
+        def _tag(batch: pa.Table) -> pa.Table:
+            names = batch.column_names
+            l = batch.column(names[0])
+            r = batch.column(names[1])
+            p = (batch.column("p") if side == 0
+                 else pa.nulls(batch.num_rows, pa.int64()))
+            h = pd.util.hash_pandas_object(
+                l.to_pandas().astype("int64") * 2_654_435_761
+                + r.to_pandas().astype("int64"), index=False).to_numpy()
+            return pa.Table.from_pydict({
+                "l": l, "r": r, "p": p,
+                "side": pa.array(np.full(batch.num_rows, side,
+                                         dtype=np.int8)),
+                "pid": pa.array((h % np.uint64(num_partitions))
+                                .astype(np.int64)),
+            })
+        return _tag
+
+    both = wedges.map_batches(tag(0), batch_format="pyarrow") \
+        .union(edges.map_batches(tag(1), batch_format="pyarrow"))
+
+    def tri_part(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[g["side"] == 0][["l", "r", "p"]]
+        e = g[g["side"] == 1][["l", "r"]].drop_duplicates()
+        hit = w.merge(e, on=["l", "r"], how="inner")
+        corners = np.concatenate([
+            hit["l"].to_numpy(np.int64), hit["r"].to_numpy(np.int64),
+            hit["p"].to_numpy(np.int64)])
+        v, c = np.unique(corners, return_counts=True)
+        return pd.DataFrame({"node": v.astype(np.int64),
+                             "deg": np.zeros(len(v), dtype=np.int64),
+                             "tri": c.astype(np.int64)})
+
+    # union requires uniform block types: lift the pandas map_groups
+    # output to Arrow to match the degree partials
+    tri = both.groupby("pid").map_groups(tri_part, batch_format="pandas") \
+        .map_batches(lambda t: t, batch_format="pyarrow")
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        bothv = np.concatenate([
+            batch.column(left_col).to_numpy(zero_copy_only=False),
+            batch.column(right_col).to_numpy(zero_copy_only=False)])
+        v, c = np.unique(bothv, return_counts=True)
+        return pa.Table.from_pydict({
+            "node": pa.array(v.astype(np.int64)),
+            "deg": pa.array(c.astype(np.int64)),
+            "tri": pa.array(np.zeros(len(v), dtype=np.int64))})
+
+    deg = edges.map_batches(deg_partial, batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch.column("sum(deg)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = batch.column("sum(tri)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        den = d * (d - 1)
+        lcc = np.where(den > 0,
+                       (2_000_000 * t) // np.maximum(den, 1), 0)
+        return pa.Table.from_pydict({
+            "node": batch.column("node"),
+            "degree": pa.array(d),
+            "n_tri": pa.array(t),
+            "lcc_micro": pa.array(lcc.astype(np.int64)),
+        })
+
+    return tri.union(deg).groupby("node") \
+        .aggregate(Sum("deg"), Sum("tri")) \
+        .map_batches(finish, batch_format="pyarrow")
+
+
+def clustering_coeff_query(sf_dir: str, threshold: float = 0.3):
+    """Local clustering coefficient of the embedding near-dup graph
+    (same graph as the triangle_count demo)."""
+    from rdf_mapper_ray.ops.dedup import embedding_neardup_pairs
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+    return clustering_coeff(pairs)
+
+
+CLUSTERING_COEFF_ORACLE_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+pern AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT x AS v FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY v
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v
+)
+SELECT deg.v AS node, d AS degree,
+       CAST(COALESCE(t, 0) AS BIGINT) AS n_tri,
+       CAST(CASE WHEN d >= 2
+                 THEN (2000000 * COALESCE(t, 0)) // (d * (d - 1))
+                 ELSE 0 END AS BIGINT) AS lcc_micro
+FROM deg LEFT JOIN pern ON pern.v = deg.v
+ORDER BY node
+"""

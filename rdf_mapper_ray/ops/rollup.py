@@ -128,6 +128,98 @@ def cube_counts(ds: "ray.data.Dataset", keys: tuple[str, str],
         lvl(by_b, False, True), lvl(total, False, False)]))
 
 
+def grouping_sets_counts(ds: "ray.data.Dataset", keys: tuple[str, str],
+                         sets: list[tuple[bool, bool]],
+                         sum_col: str) -> "ray.data.Dataset":
+    """SQL ``GROUP BY GROUPING SETS (...)`` over two keys — the
+    arbitrary-set generalization of :func:`rollup_counts` /
+    :func:`cube_counts`: each requested set is a (keep_a, keep_b)
+    flag pair, e.g. ``[(True, True), (False, True), (False, False)]``
+    for ``((a,b),(b),())`` — a NON-prefix family neither ROLLUP nor
+    CUBE emits on its own.
+
+    Scale shape (the repo's cell-table lesson): ONE map-side-combined
+    shuffle reduces the raw table to the finest (a, b) level; every
+    requested set derives from that RESULT — |a|×|b| cell-sized BY
+    CONSTRUCTION — driver-side. Typed-NULL markers in rolled-up slots
+    carry the INPUT schema's types (same marker caveat as rollup).
+    -> (a, b, n_rows, sum_<col>)."""
+    import numpy as np
+    import pandas as pd
+
+    a, b = keys
+    sch = ds.schema().base_schema
+    a_type = sch.field(a).type
+    b_type = sch.field(b).type
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([a, b, sum_col])
+        agg = t.group_by([a, b], use_threads=False).aggregate(
+            [(sum_col, "sum"), ([], "count_all")])
+        return agg.rename_columns([a, b, "s", "n"])
+
+    fine = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([a, b]).aggregate(Sum("s"), Sum("n")).to_pandas() \
+        .rename(columns={"sum(s)": "s", "sum(n)": "n"})
+
+    def lvl(keep_a: bool, keep_b: bool) -> pa.Table:
+        grp = [c for c, keep in ((a, keep_a), (b, keep_b)) if keep]
+        frame = (fine.groupby(grp, as_index=False)[["s", "n"]].sum()
+                 if grp else
+                 pd.DataFrame({"s": [fine["s"].sum()],
+                               "n": [fine["n"].sum()]}))
+        nrows = len(frame)
+        return pa.Table.from_pydict({
+            a: (pa.array(frame[a]).cast(a_type) if keep_a
+                else pa.nulls(nrows, a_type)),
+            b: (pa.array(frame[b]).cast(b_type) if keep_b
+                else pa.nulls(nrows, b_type)),
+            "n_rows": pa.array(frame["n"].to_numpy(np.int64)),
+            "sum_" + sum_col: pa.array(frame["s"].to_numpy(np.int64)),
+        })
+
+    return ray.data.from_arrow(pa.concat_tables(
+        [lvl(ka, kb) for ka, kb in sets]))
+
+
+def grouping_sets_query(sf_dir: str):
+    """Order count + exact total cents by GROUPING SETS
+    ((status, priority), (priority), ()) — the non-prefix family."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderstatus", "o_orderpriority",
+                             "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        col = batch.column("o_totalprice")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.Table.from_pydict({
+            "o_orderstatus": batch.column("o_orderstatus"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "cents": pc.round(pc.multiply(col, 100.0)).cast(pa.int64()),
+        })
+
+    return grouping_sets_counts(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        keys=("o_orderstatus", "o_orderpriority"),
+        sets=[(True, True), (False, True), (False, False)],
+        sum_col="cents")
+
+
+GROUPING_SETS_ORACLE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
 def cube_query(sf_dir: str):
     """Order count + total price (cents, exact int) by every grouping
     set of (orderstatus, orderpriority)."""

@@ -94,7 +94,7 @@ _NEXT_UP = [
     "bgp_path_star", "eccentricity", "embedding_gram",
     "entity_resolution", "dag_layers", "bgp_negated_pred",
     "corr_matrix", "rolling_window", "stress_sampled",
-    "grouping_sets", "clustering_coeff",
+    "grouping_sets", "clustering_coeff", "scc", "quantile_normalize",
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
@@ -392,6 +392,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets": rollup.grouping_sets_query,
         # per-node triangles + degree -> exact micro-unit lcc
         "clustering_coeff": graphs.clustering_coeff_query,
+        # strongly connected components: Pregel-pool closure +
+        # mutual-pair reduction (closure exactness-contract venue)
+        "scc": graphs.scc_query,
+        # quantile normalization (rank-wise cross-column reference)
+        "quantile_normalize": normalize.quantile_normalize_query,
         # per-user first/last-touch attribution (argmin/argmax family)
         "attribution": sessions.attribution_query,
         # hop-bounded weighted SSSP (distributed Bellman-Ford,
@@ -660,6 +665,8 @@ def oracle_sql() -> dict[str, str]:
         "cube_orders": rollup.CUBE_ORACLE_SQL,
         "grouping_sets": rollup.GROUPING_SETS_ORACLE_SQL,
         "clustering_coeff": graphs.CLUSTERING_COEFF_ORACLE_SQL,
+        "scc": graphs.SCC_ORACLE_SQL,
+        "quantile_normalize": normalize.QUANTILE_NORMALIZE_ORACLE_SQL,
         "attribution": sessions.attribution_oracle_sql(),
         "sssp_weighted": graphs.SSSP_ORACLE_SQL,
         "pmi_bigrams": topk.pmi_bigrams_oracle_sql(),

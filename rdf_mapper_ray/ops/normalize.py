@@ -358,3 +358,194 @@ SELECT event_id,
          AS BIGINT) AS bucket
 FROM events ORDER BY event_id
 """
+
+
+# --- quantile normalization --------------------------------------------------------
+
+_QN_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def quantile_normalize(ds: "ray.data.Dataset", id_cols: list[str],
+                       value_cols: list[str],
+                       num_partitions: int | None = None
+                       ) -> "ray.data.Dataset":
+    """Quantile normalization (Bolstad et al. 2003, the microarray /
+    feature-alignment transform): every column's distribution is
+    mapped onto the SHARED reference distribution — the rank-wise sum
+    across columns (sum, not mean, so the contract stays pure int64;
+    the caller divides by len(value_cols) in whatever float discipline
+    they need). Ranks are ``row_number() OVER (PARTITION BY measure
+    ORDER BY value, id)`` — the deterministic-tie-break variant, so
+    the whole transform is SQL-replayable bit-for-bit.
+
+    Distributed shape (no global sort at any point):
+    1. long form per batch (map-only k-fold reshape, micro-unit ints);
+    2. the ntile_bucket two-pass rank: per-(measure, value) histogram
+       partials shuffle once, the merged cumulative histogram
+       broadcasts, and a hash(measure, value)-routed pass co-locates
+       each TIE SET to assign exact global row_numbers (scale
+       contract: one value's tie set per measure fits a task — the
+       histogram pass proves the worst count before pass 2 runs);
+    3. the reference distribution is a pid-routed in-task rank-sum
+       merge (rank-keyed groups are table-sized, where Ray's
+       sort-aggregate degrades — the frequent_pairs lesson), and rows
+       join it back co-partitioned by hash(rank).
+    -> id_cols + (measure, rnk, v_micro, ref_sum), 1-based ranks.
+
+    Overflow audit: Σ over k columns of micro values ≤ k·|v|·1e6 —
+    wraps at |v|·k ≈ 9.2e12, far past any bounded-decimal feature."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    k = len(value_cols)
+
+    def long(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), k))
+        out = {c: batch.column(c).take(idx).cast(pa.int64())
+               for c in id_cols}
+        out["measure"] = pa.array(
+            np.repeat(np.asarray(value_cols, dtype=object), n),
+            type=pa.string())
+        micro = [np.rint(batch.column(c).to_numpy(
+            zero_copy_only=False).astype(np.float64) * 1_000_000)
+            .astype(np.int64) for c in value_cols]
+        out["v_micro"] = pa.array(np.concatenate(micro))
+        return pa.Table.from_pydict(out)
+
+    rows = ds.map_batches(long, batch_format="pyarrow")
+
+    # pass 1: per-(measure, value) histogram
+    def hist(batch: pa.Table) -> pa.Table:
+        t = batch.select(["measure", "v_micro"])
+        agg = t.group_by(["measure", "v_micro"],
+                         use_threads=False).aggregate([([], "count_all")])
+        return agg.rename_columns(["measure", "v_micro", "cnt"])
+
+    h = rows.map_batches(hist, batch_format="pyarrow") \
+        .groupby(["measure", "v_micro"]).aggregate(Sum("cnt")) \
+        .to_pandas().sort_values(["measure", "v_micro"])
+    lut = {}
+    for m, grp in h.groupby("measure", sort=False):
+        cum = np.cumsum(grp["sum(cnt)"].to_numpy())
+        below = np.concatenate([[0], cum[:-1]])
+        lut[m] = (grp["v_micro"].to_numpy(np.int64), below)
+    ref = ray.put(lut)
+
+    # pass 2: co-locate tie sets, assign exact global row_numbers
+    def route_tie(batch: pa.Table) -> pa.Table:
+        key = (pd.util.hash_pandas_object(
+                   batch.column("measure").to_pandas(), index=False)
+               .to_numpy()
+               + batch.column("v_micro").to_numpy(
+                   zero_copy_only=False).view(np.uint64))
+        return batch.append_column(
+            "pid", pa.array((key % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        g = g.sort_values(["measure", "v_micro"] + id_cols)
+        rnk = np.empty(len(g), dtype=np.int64)
+        pos = 0
+        for name, grp in g.groupby("measure", sort=False):
+            v, below = m[name]
+            within = grp.groupby("v_micro", sort=False) \
+                .cumcount().to_numpy()
+            rnk[pos:pos + len(grp)] = below[np.searchsorted(
+                v, grp["v_micro"].to_numpy())] + within + 1
+            pos += len(grp)
+        out = g.drop(columns=["pid"]).reset_index(drop=True)
+        out["rnk"] = rnk
+        return out
+
+    ranked = rows.map_batches(route_tie, batch_format="pyarrow") \
+        .groupby("pid").map_groups(rank_part, batch_format="pandas") \
+        .map_batches(lambda t: t, batch_format="pyarrow") \
+        .materialize()
+
+    # reference distribution: pid-routed in-task rank-sum merge
+    def route_rank(batch: pa.Table) -> pa.Table:
+        h2 = pd.util.hash_pandas_object(
+            batch.column("rnk").to_pandas(), index=False).to_numpy()
+        return batch.append_column(
+            "pid", pa.array((h2 % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def ref_part(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("rnk", sort=False)["v_micro"].sum()
+        # full row schema (placeholder ids/measure) so the kind-tagged
+        # union below has uniform columns
+        out = pd.DataFrame({"rnk": s.index.to_numpy(np.int64),
+                            "v_micro": np.zeros(len(s), np.int64),
+                            "ref_sum": s.to_numpy(np.int64),
+                            "kind": np.ones(len(s), np.int64)})
+        for c in id_cols:
+            out[c] = np.zeros(len(s), np.int64)
+        out["measure"] = ""
+        return out[id_cols + ["measure", "v_micro", "rnk",
+                              "kind", "ref_sum"]]
+
+    refsum = ranked.map_batches(route_rank, batch_format="pyarrow") \
+        .groupby("pid").map_groups(ref_part, batch_format="pandas") \
+        .map_batches(lambda t: t, batch_format="pyarrow")
+
+    # join back by rank: kind-tagged co-partition merge
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "kind", pa.array(np.zeros(batch.num_rows, np.int64))) \
+            .append_column(
+                "ref_sum", pa.array(np.zeros(batch.num_rows, np.int64)))
+
+    tagged = ranked.map_batches(tag_rows, batch_format="pyarrow") \
+        .map_batches(route_rank, batch_format="pyarrow")
+    refsum_routed = refsum.map_batches(route_rank,
+                                       batch_format="pyarrow")
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        r = g[g["kind"] == 1][["rnk", "ref_sum"]]
+        d = g[g["kind"] == 0].drop(columns=["kind", "ref_sum", "pid"])
+        out = d.merge(r, on="rnk", how="left")
+        out["ref_sum"] = out["ref_sum"].to_numpy(np.int64)
+        return out
+
+    return tagged.union(refsum_routed).groupby("pid") \
+        .map_groups(join_part, batch_format="pandas") \
+        .map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def quantile_normalize_query(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber"] + _QN_COLS)
+    return quantile_normalize(ds, ["l_orderkey", "l_linenumber"],
+                              _QN_COLS)
+
+
+QUANTILE_NORMALIZE_ORACLE_SQL = f"""
+WITH long AS (
+  SELECT l_orderkey, l_linenumber, measure,
+         CAST(round(value * 1000000) AS BIGINT) AS v_micro
+  FROM (
+    UNPIVOT (SELECT l_orderkey, l_linenumber,
+                    {', '.join(_QN_COLS)} FROM lineitem)
+    ON {', '.join(_QN_COLS)}
+    INTO NAME measure VALUE value
+  )
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY measure
+      ORDER BY v_micro, l_orderkey, l_linenumber) AS rnk
+  FROM long
+),
+ref AS (
+  SELECT rnk, CAST(SUM(v_micro) AS BIGINT) AS ref_sum
+  FROM ranked GROUP BY rnk
+)
+SELECT r.l_orderkey,
+       CAST(r.l_linenumber AS BIGINT) AS l_linenumber, r.measure,
+       CAST(r.rnk AS BIGINT) AS rnk, r.v_micro, ref.ref_sum
+FROM ranked r JOIN ref USING (rnk)
+ORDER BY measure, rnk
+"""

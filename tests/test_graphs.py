@@ -420,3 +420,33 @@ def test_pregel_checkpoint_resume(ray_session, tmp_path):
         .reset_index(drop=True)[["node", "level"]]
     p2.shutdown()
     pd.testing.assert_frame_equal(want, got)
+
+
+def test_scc_planted(ray_session):
+    from rdf_mapper_ray.ops.graphs import scc
+    # 1->2->3->1 (SCC {1,2,3}); 3->4; 4<->5 (SCC {4,5}); 6->1 (alone)
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (6, 1)]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        edges, columns=["src", "dst"]))
+    got = scc(ds, num_partitions=2).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    want = pd.DataFrame({"node": [1, 2, 3, 4, 5, 6],
+                         "scc_id": [1, 1, 1, 4, 4, 6]})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_clustering_coeff_planted(ray_session):
+    from rdf_mapper_ray.ops.graphs import clustering_coeff
+    # K4: every node d=3, t=3, lcc=1.0; pendant node 9: d=1, lcc=0;
+    # node 4 gains the pendant edge: d=4, t=3, lcc=3/6
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 9)]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        k4, columns=["left_id", "right_id"]))
+    got = clustering_coeff(ds, num_partitions=2).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    want = pd.DataFrame({
+        "node": [1, 2, 3, 4, 9],
+        "degree": [3, 3, 3, 4, 1],
+        "n_tri": [3, 3, 3, 3, 0],
+        "lcc_micro": [1_000_000, 1_000_000, 1_000_000, 500_000, 0]})
+    pd.testing.assert_frame_equal(got, want)

@@ -95,6 +95,7 @@ _NEXT_UP = [
     "entity_resolution", "dag_layers", "bgp_negated_pred",
     "corr_matrix", "rolling_window", "stress_sampled",
     "grouping_sets", "clustering_coeff", "scc", "quantile_normalize",
+    "ndcg", "bgp_having",
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
@@ -144,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     multimodal, cleaning, nbayes,
                                     normalize, packing, paragraphs,
                                     quantiles, graphs, kmeans,
+                                    ranking,
                                     retrieval, rollup, semdedup,
                                     sessions, setops, similarity,
                                     skyline,
@@ -397,6 +399,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc": graphs.scc_query,
         # quantile normalization (rank-wise cross-column reference)
         "quantile_normalize": normalize.quantile_normalize_query,
+        # NDCG@10 (inlined integer discount constants)
+        "ndcg": ranking.ndcg_query,
+        # SPARQL HAVING + deterministic SAMPLE over solution groups
+        "bgp_having": relational.bgp_having_query,
         # per-user first/last-touch attribution (argmin/argmax family)
         "attribution": sessions.attribution_query,
         # hop-bounded weighted SSSP (distributed Bellman-Ford,
@@ -508,6 +514,7 @@ def oracle_sql() -> dict[str, str]:
                                     multimodal, cleaning, nbayes,
                                     normalize, packing, paragraphs,
                                     quantiles, graphs, kmeans,
+                                    ranking,
                                     retrieval, rollup, semdedup,
                                     sessions, setops, similarity,
                                     skyline,
@@ -667,6 +674,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": graphs.CLUSTERING_COEFF_ORACLE_SQL,
         "scc": graphs.SCC_ORACLE_SQL,
         "quantile_normalize": normalize.QUANTILE_NORMALIZE_ORACLE_SQL,
+        "ndcg": ranking.ndcg_oracle_sql(),
+        "bgp_having": relational.BGP_HAVING_ORACLE_SQL,
         "attribution": sessions.attribution_oracle_sql(),
         "sssp_weighted": graphs.SSSP_ORACLE_SQL,
         "pmi_bigrams": topk.pmi_bigrams_oracle_sql(),

@@ -970,3 +970,55 @@ def negated_path(triples: "ray.data.Dataset",
         })
 
     return triples.map_batches(fn, batch_format="pyarrow")
+
+
+# --- SPARQL HAVING over solution groups -----------------------------------------
+
+def bgp_having(triples: "ray.data.Dataset",
+               patterns: list[tuple[str, str, str]],
+               group_var: str, value_var: str, sample_var: str,
+               scale: int = 100, avg_floor_units: int = 0,
+               num_partitions: Optional[int] = None
+               ) -> "ray.data.Dataset":
+    """``SELECT ?g (COUNT(*) AS ?n) (SUM(?v) AS ?sum) (SAMPLE(?s))
+    WHERE { ... } GROUP BY ?g HAVING (AVG(?v) > floor)`` — the
+    post-aggregate filter of the SPARQL algebra. The HAVING predicate
+    is evaluated in EXACT integers (``sum > floor·n`` instead of the
+    float average), and SAMPLE — implementation-defined in the spec —
+    is pinned to MIN(?s) so the result is deterministic and the
+    DuckDB oracle replays it. Same map-side-combine shape as
+    bgp_aggregate: per-batch partials ride the one group-sized
+    exchange, the HAVING filter runs on the group table.
+    -> (group_var, n, sum_c, sample)."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Min, Sum
+
+    b = bgp_match(triples, patterns, num_partitions=num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            group_var: t.column(group_var).to_pandas(),
+            "v": np.rint(t.column(value_var).cast(pa.float64())
+                         .to_numpy(zero_copy_only=False)
+                         * scale).astype(np.int64),
+            "smp": t.column(sample_var).to_pandas(),
+        })
+        out = df.groupby(group_var, as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), smp=("smp", "min"))
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = b.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_var).aggregate(Sum("n"), Sum("s"), Min("smp"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("sum(n)"), pa.int64())
+        s = pc.cast(t.column("sum(s)"), pa.int64())
+        keep = pc.greater(s, pc.multiply(n, avg_floor_units))
+        out = pa.Table.from_pydict({
+            group_var: t.column(group_var), "n": n, "sum_c": s,
+            "sample": t.column("min(smp)")})
+        return out.filter(keep)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

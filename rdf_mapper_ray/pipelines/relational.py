@@ -1026,3 +1026,37 @@ WITH rows AS (
 )
 SELECT src, p, dst FROM rows ORDER BY src, p, dst
 """
+
+
+# --- SPARQL HAVING: nations whose average balance clears a floor ----------------
+
+def bgp_having_query(sf_dir: str) -> "ray.data.Dataset":
+    """``SELECT ?nat (COUNT(*) AS ?n) (SUM(?bal)) (SAMPLE(?c)) WHERE
+    { ?c ex:nation ?nat . ?c ex:acctbal ?bal } GROUP BY ?nat HAVING
+    (AVG(?bal) > 4500)`` — HAVING evaluated as the exact-integer
+    ``sum_cents > 450000·n``; SAMPLE pinned to MIN(?c) (deterministic,
+    spec-allowed)."""
+    from rdf_mapper_ray.engine.bgp import bgp_having
+    return bgp_having(_customer_graph_cached(sf_dir), [
+        ("?c", f"{_EX}nation", "?nat"),
+        ("?c", f"{_EX}acctbal", "?bal"),
+    ], group_var="nat", value_var="bal", sample_var="c",
+        avg_floor_units=450_000)
+
+
+BGP_HAVING_ORACLE_SQL = """
+WITH u AS (
+  SELECT 'http://example.org/nation/' || CAST(c_nationkey AS VARCHAR)
+           AS nat,
+         'http://example.org/cust/' || CAST(c_custkey AS VARCHAR)
+           AS c,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS v
+  FROM customer
+)
+SELECT nat, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_c,
+       MIN(c) AS sample
+FROM u GROUP BY nat
+HAVING SUM(v) > 450000 * COUNT(*)
+ORDER BY nat
+"""

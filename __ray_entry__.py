@@ -95,7 +95,8 @@ _NEXT_UP = [
     "entity_resolution", "dag_layers", "bgp_negated_pred",
     "corr_matrix", "rolling_window", "stress_sampled",
     "grouping_sets", "clustering_coeff", "scc", "quantile_normalize",
-    "ndcg", "bgp_having",
+    "ndcg", "bgp_having", "frequent_triples", "kmv_overlap",
+    "preference_pairs",
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
@@ -403,6 +404,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndcg": ranking.ndcg_query,
         # SPARQL HAVING + deterministic SAMPLE over solution groups
         "bgp_having": relational.bgp_having_query,
+        # A-priori level-3 co-occurrence (offset-pair vectorized)
+        "frequent_triples": baskets.frequent_triples_query,
+        # KMV bottom-k sketch audience-overlap estimate
+        "kmv_overlap": distinct.kmv_overlap_query,
+        # RLHF-style best/worst preference pairs per group
+        "preference_pairs": cleaning.preference_pairs_query,
         # per-user first/last-touch attribution (argmin/argmax family)
         "attribution": sessions.attribution_query,
         # hop-bounded weighted SSSP (distributed Bellman-Ford,
@@ -676,6 +683,9 @@ def oracle_sql() -> dict[str, str]:
         "quantile_normalize": normalize.QUANTILE_NORMALIZE_ORACLE_SQL,
         "ndcg": ranking.ndcg_oracle_sql(),
         "bgp_having": relational.BGP_HAVING_ORACLE_SQL,
+        "frequent_triples": baskets.frequent_triples_oracle_sql(),
+        "kmv_overlap": distinct.kmv_overlap_oracle_sql(),
+        "preference_pairs": cleaning.PREFERENCE_PAIRS_ORACLE_SQL,
         "attribution": sessions.attribution_oracle_sql(),
         "sssp_weighted": graphs.SSSP_ORACLE_SQL,
         "pmi_bigrams": topk.pmi_bigrams_oracle_sql(),

@@ -301,3 +301,117 @@ FROM p JOIN ic ca ON ca.l_partkey = item_a
        JOIN ic cb ON cb.l_partkey = item_b
 ORDER BY cos_milli DESC, item_a, item_b LIMIT {k}
 """
+
+
+def frequent_triples(ds: "ray.data.Dataset", basket_col: str,
+                     item_col: str, k: int = 30,
+                     num_partitions: int | None = None
+                     ) -> "ray.data.Dataset":
+    """-> (item_a, item_b, item_c, support): the k most co-purchased
+    item TRIPLES (A-priori level 3; Agrawal & Srikant 1994), ties by
+    (a, b, c) ascending.
+
+    Same two-exchange shape as :func:`frequent_pairs` — baskets
+    co-locate by hash(basket), each task emits canonical sorted
+    triples, and triple counts merge in pid-routed tasks (group counts
+    are table-sized, where Ray's sort-aggregate degrades). Triple
+    generation is vectorized over OFFSET PAIRS, not rows: with items
+    sorted within baskets, positions (p, p+o1, p+o2) share a basket
+    iff b[p] == b[p+o2], so each (o1 < o2) pass compares the whole
+    partition at once — the loop runs C(max_basket, 2) times, bounded
+    by the biggest basket, never by row count. Scale contract: basket
+    fan-out is C(|basket|, 3); cap or sample mega-baskets upstream."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def dedup_route(batch: pa.Table) -> pa.Table:
+        t = batch.select([basket_col, item_col]) \
+            .group_by([basket_col, item_col], use_threads=False) \
+            .aggregate([])
+        h = pd.util.hash_pandas_object(
+            t.column(basket_col).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def triples(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([basket_col, item_col]) \
+            .sort_values([basket_col, item_col])
+        b = g[basket_col].to_numpy()
+        it = g[item_col].to_numpy()
+        n = len(g)
+        runs = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        max_sz = int(np.diff(np.append(runs, n)).max()) if n else 0
+        la, lb, lc = [], [], []
+        for o2 in range(2, max_sz):
+            same = b[o2:] == b[:-o2]
+            for o1 in range(1, o2):
+                la.append(it[:n - o2][same])
+                lb.append(it[o1:n - o2 + o1][same])
+                lc.append(it[o2:][same])
+        if not la:
+            return pd.DataFrame({"item_a": pd.array([], "int64"),
+                                 "item_b": pd.array([], "int64"),
+                                 "item_c": pd.array([], "int64"),
+                                 "support": pd.array([], "int64")})
+        out = pd.DataFrame({"item_a": np.concatenate(la),
+                            "item_b": np.concatenate(lb),
+                            "item_c": np.concatenate(lc)})
+        out = out.groupby(["item_a", "item_b", "item_c"],
+                          as_index=False).size()
+        return out.rename(columns={"size": "support"}).astype("int64")
+
+    def route_triples(t: pa.Table) -> pa.Table:
+        a = t.column("item_a").to_numpy(zero_copy_only=False)
+        b = t.column("item_b").to_numpy(zero_copy_only=False)
+        c = t.column("item_c").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_pandas_object(
+            pd.Series((a * np.int64(2_654_435_761) + b)
+                      * np.int64(2_654_435_761) + c),
+            index=False).to_numpy()
+        return t.append_column(
+            "pid2", pa.array((h % np.uint64(num_partitions))
+                             .astype(np.int64)))
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["item_a", "item_b", "item_c"],
+                        as_index=False)["support"].sum()
+        out = out.sort_values(
+            ["support", "item_a", "item_b", "item_c"],
+            ascending=[False, True, True, True]).head(k)
+        return out
+
+    counts = ds.map_batches(dedup_route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(triples, batch_format="pandas") \
+        .map_batches(route_triples, batch_format="pyarrow") \
+        .groupby("pid2").map_groups(merge_counts,
+                                    batch_format="pandas")
+    return counts.sort(["support", "item_a", "item_b", "item_c"],
+                       descending=[True, False, False, False]).limit(k)
+
+
+def frequent_triples_query(sf_dir: str, k: int = 30):
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey"])
+    return frequent_triples(ds, basket_col="l_orderkey",
+                            item_col="l_partkey", k=k)
+
+
+def frequent_triples_oracle_sql(k: int = 30) -> str:
+    return f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT x.l_partkey AS item_a, y.l_partkey AS item_b,
+       z.l_partkey AS item_c,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM b x
+JOIN b y ON x.l_orderkey = y.l_orderkey
+        AND x.l_partkey < y.l_partkey
+JOIN b z ON x.l_orderkey = z.l_orderkey
+        AND y.l_partkey < z.l_partkey
+GROUP BY 1, 2, 3
+ORDER BY support DESC, item_a, item_b, item_c
+LIMIT {k}
+"""

@@ -855,3 +855,125 @@ SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
 FROM r WHERE rank <= {n}
 ORDER BY lang, rank
 """
+
+
+# --- preference-pair construction ---------------------------------------------------
+
+def preference_pairs(ds: "ray.data.Dataset", group_col: str,
+                     id_col: str, text_col: str,
+                     num_partitions: int | None = None
+                     ) -> "ray.data.Dataset":
+    """RLHF-style (chosen, rejected) pair construction: per group, the
+    best- and worst-scoring document under an integer quality signal —
+    here milli-units of mean token length, ``cpt_milli =
+    n_token_chars·1000 // n_tokens`` (the repo's exact floor
+    contract; docs with zero tokens are excluded, groups with < 2
+    scored docs emit nothing). Chosen = first by (score DESC, id
+    ASC); rejected = first by (score ASC, id ASC) — fully
+    deterministic, so the SQL oracle replays the pairing exactly.
+
+    Scale shape (grouped_top_n lesson): each block prunes every group
+    it sees to ≤ 2 candidate rows + a count partial; only those
+    shuffle, hash(group)-routed. -> (group, chosen_id, rejected_id,
+    chosen_cpt_milli, rejected_cpt_milli)."""
+    import pyarrow.compute as pc
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 1)
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        n_tokens = pc.cast(pc.count_substring_regex(text, r"\S+"),
+                           pa.int64())
+        n_ws = pc.cast(pc.count_substring_regex(text, r"\s"),
+                       pa.int64())
+        n_chars = pc.subtract(
+            pc.cast(pc.utf8_length(text), pa.int64()), n_ws)
+        t = pa.Table.from_pydict({
+            "grp": batch.column(group_col),
+            "id": batch.column(id_col),
+            "n_tokens": n_tokens, "n_chars": n_chars})
+        t = t.filter(pc.greater(t.column("n_tokens"), 0))
+        cpt = pc.divide(pc.multiply(t.column("n_chars"), 1000),
+                        t.column("n_tokens"))
+        g = pd.DataFrame({"grp": t.column("grp").to_pandas(),
+                          "id": t.column("id").to_pandas(),
+                          "cpt": pc.cast(cpt, pa.int64()).to_pandas()})
+        cnt = g.groupby("grp", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        best = g.sort_values(["grp", "cpt", "id"],
+                             ascending=[True, False, True],
+                             kind="stable").groupby(
+            "grp", sort=False).head(1)
+        worst = g.sort_values(["grp", "cpt", "id"],
+                              ascending=[True, True, True],
+                              kind="stable").groupby(
+            "grp", sort=False).head(1)
+        out = pd.concat([best, worst]).drop_duplicates(["grp", "id"])
+        out = out.merge(cnt, on="grp")
+        h = pd.util.hash_pandas_object(out["grp"],
+                                       index=False).to_numpy()
+        out["pid"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        grps, ch_id, rj_id, ch_c, rj_c = [], [], [], [], []
+        for grp, gg in g.groupby("grp", sort=False):
+            if int(gg["n"].sum()) < 2:
+                continue
+            gg = gg.drop_duplicates("id")
+            b = gg.sort_values(["cpt", "id"],
+                               ascending=[False, True],
+                               kind="stable").iloc[0]
+            w = gg.sort_values(["cpt", "id"],
+                               ascending=[True, True],
+                               kind="stable").iloc[0]
+            grps.append(grp)
+            ch_id.append(b["id"])
+            rj_id.append(w["id"])
+            ch_c.append(int(b["cpt"]))
+            rj_c.append(int(w["cpt"]))
+        return pd.DataFrame({
+            group_col: grps,
+            "chosen_id": np.asarray(ch_id, dtype=object),
+            "rejected_id": np.asarray(rj_id, dtype=object),
+            "chosen_cpt_milli": np.asarray(ch_c, dtype=np.int64),
+            "rejected_cpt_milli": np.asarray(rj_c, dtype=np.int64)})
+
+    return ds.map_batches(score, batch_format="pyarrow") \
+        .groupby("pid").map_groups(finish, batch_format="pandas") \
+        .map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def preference_pairs_query(sf_dir: str):
+    ds = read_table(sf_dir, "documents",
+                    columns=["source", "doc_id", "text"])
+    return preference_pairs(ds, "source", "doc_id", "text")
+
+
+PREFERENCE_PAIRS_ORACLE_SQL = """
+WITH s AS (
+  SELECT source, doc_id,
+         (length(text) - len(regexp_extract_all(text, '\\s')))
+           * 1000 // len(regexp_extract_all(text, '\\S+')) AS cpt
+  FROM documents
+  WHERE len(regexp_extract_all(text, '\\S+')) > 0
+),
+r AS (
+  SELECT source, doc_id, cpt,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY cpt DESC, doc_id) AS rn_best,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY cpt ASC, doc_id) AS rn_worst,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM s
+)
+SELECT b.source,
+       b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+       CAST(b.cpt AS BIGINT) AS chosen_cpt_milli,
+       CAST(w.cpt AS BIGINT) AS rejected_cpt_milli
+FROM (SELECT * FROM r WHERE rn_best = 1 AND n >= 2) b
+JOIN (SELECT * FROM r WHERE rn_worst = 1) w USING (source)
+ORDER BY b.source
+"""

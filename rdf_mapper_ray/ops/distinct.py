@@ -479,3 +479,110 @@ SELECT g.row, g.col, COALESCE(cells.cnt, 0) AS cnt
 FROM grid g LEFT JOIN cells USING (row, col)
 ORDER BY g.row, g.col
 """
+
+
+# --- KMV (bottom-k) sketch set-overlap estimate ------------------------------------
+
+def kmv_overlap(a: "ray.data.Dataset", b: "ray.data.Dataset",
+                key_col: str, k: int = 512,
+                hash_fn: str = "md5") -> "ray.data.Dataset":
+    """Audience-overlap estimation from two bottom-k (KMV) sketches
+    (Beyer et al. 2007 "distinct-value synopses"): each side reduces
+    to its k smallest DISTINCT key hashes, and from the two k-row
+    sketches the driver derives
+
+        union_est     = (k-1)·2⁶⁴ // M     (M = k-th smallest of the
+                                            merged sketch)
+        jaccard ≈ common/k                 (common = shared hashes
+                                            among the union's bottom-k)
+        intersect_est = common·union_est // k
+
+    all in arbitrary-precision Python ints (floor division), so with
+    ``hash_fn="md5"`` DuckDB replays the estimate BIT-EXACTLY in
+    HUGEINT — the sketch is a pure function of the key set. The
+    exact-set counterpart is ops/setops.set_op; this is the venue
+    when the key sets themselves are too big to exchange: per block
+    only ≤ k sketch rows move, and the merge is sketch-sized.
+    -> one row (sketch_k, common, union_est, intersect_est)."""
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(key_col).cast(pa.string()).to_pylist()
+        h = np.unique(hash64(ids, hash_fn))[:k]
+        return pa.Table.from_pydict({"h": pa.array(h.astype(np.uint64))})
+
+    def sketch_of(ds: "ray.data.Dataset") -> np.ndarray:
+        # per-block bottom-k partials are ≤ k rows each; the global
+        # merge is sketch-sized BY CONSTRUCTION, so it runs in one
+        # task (the repo's cell-table lesson)
+        rows = ds.map_batches(bottomk, batch_format="pyarrow") \
+            .to_pandas()["h"].to_numpy()
+        return np.unique(rows)[:k]
+
+    sa = sketch_of(a)
+    sb = sketch_of(b)
+    merged = np.unique(np.concatenate([sa, sb]))[:k]
+    m = int(merged[-1])
+    # common = |merged ∩ sa ∩ sb|
+    common = int((np.isin(merged, sa) & np.isin(merged, sb)).sum())
+    kk = len(merged)
+    union_est = (kk - 1) * (1 << 64) // m if m else 0
+    intersect_est = common * union_est // kk if kk else 0
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "sketch_k": pa.array([kk], pa.int64()),
+        "common": pa.array([common], pa.int64()),
+        "union_est": pa.array([union_est], pa.int64()),
+        "intersect_est": pa.array([intersect_est], pa.int64())}))
+
+
+def kmv_overlap_query(sf_dir: str, k: int = 512):
+    """Estimated overlap between the purchase and click audiences
+    (full sets, no value cut — the sets the exact op can't afford to
+    exchange at scale)."""
+    def users(event_type: str):
+        ds = read_table(sf_dir, "events",
+                        columns=["user_id", "event_type"])
+
+        def pick(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            mask = pc.equal(batch.column("event_type"), event_type)
+            return batch.filter(mask).select(["user_id"])
+
+        return ds.map_batches(pick, batch_format="pyarrow")
+
+    return kmv_overlap(users("purchase"), users("click"), "user_id",
+                       k=k)
+
+
+def kmv_overlap_oracle_sql(k: int = 512) -> str:
+    from rdf_mapper_ray.ops.hashing import MD5_HASH64_SQL
+    h = MD5_HASH64_SQL.format(col="CAST(user_id AS VARCHAR)")
+    return f"""
+WITH sa AS (
+  SELECT DISTINCT {h} AS h FROM events
+  WHERE event_type = 'purchase' ORDER BY h LIMIT {k}
+),
+sb AS (
+  SELECT DISTINCT {h} AS h FROM events
+  WHERE event_type = 'click' ORDER BY h LIMIT {k}
+),
+merged AS (
+  SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+  ORDER BY h LIMIT {k}
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS kk,
+         CAST(MAX(h) AS HUGEINT) AS m,
+         CAST(SUM(CASE WHEN h IN (SELECT h FROM sa)
+                        AND h IN (SELECT h FROM sb)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS common
+  FROM merged
+)
+SELECT kk AS sketch_k, common,
+       CAST((kk - 1) * CAST('18446744073709551616' AS HUGEINT) // m
+            AS BIGINT) AS union_est,
+       CAST(common * ((kk - 1)
+            * CAST('18446744073709551616' AS HUGEINT) // m) // kk
+            AS BIGINT) AS intersect_est
+FROM st
+"""

@@ -96,7 +96,8 @@ _NEXT_UP = [
     "corr_matrix", "rolling_window", "stress_sampled",
     "grouping_sets", "clustering_coeff", "scc", "quantile_normalize",
     "ndcg", "bgp_having", "frequent_triples", "kmv_overlap",
-    "preference_pairs",
+    "preference_pairs", "phrase_search", "bgp_describe",
+    "curriculum_order",
     # new in round-4 session 5 (window already full; locally dtype-exact)
     "group_regression", "rank_windows", "mad_outliers",
     "adamic_adar", "item_cosine", "bgp_agg_balance",
@@ -410,6 +411,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_overlap": distinct.kmv_overlap_query,
         # RLHF-style best/worst preference pairs per group
         "preference_pairs": cleaning.preference_pairs_query,
+        # exact positional phrase matching (map-only, zero shuffle)
+        "phrase_search": retrieval.phrase_search_query,
+        # SPARQL DESCRIBE (subject-triples description form)
+        "bgp_describe": relational.bgp_describe_query,
+        # easy->hard curriculum ordering (bucket + md5 within)
+        "curriculum_order": __import__("rdf_mapper_ray.ops.io",
+            fromlist=["io"]).curriculum_order_query,
         # per-user first/last-touch attribution (argmin/argmax family)
         "attribution": sessions.attribution_query,
         # hop-bounded weighted SSSP (distributed Bellman-Ford,
@@ -686,6 +694,10 @@ def oracle_sql() -> dict[str, str]:
         "frequent_triples": baskets.frequent_triples_oracle_sql(),
         "kmv_overlap": distinct.kmv_overlap_oracle_sql(),
         "preference_pairs": cleaning.PREFERENCE_PAIRS_ORACLE_SQL,
+        "phrase_search": retrieval.phrase_search_oracle_sql(),
+        "bgp_describe": relational.BGP_DESCRIBE_ORACLE_SQL,
+        "curriculum_order": __import__("rdf_mapper_ray.ops.io",
+            fromlist=["io"]).curriculum_order_oracle_sql(),
         "attribution": sessions.attribution_oracle_sql(),
         "sssp_weighted": graphs.SSSP_ORACLE_SQL,
         "pmi_bigrams": topk.pmi_bigrams_oracle_sql(),

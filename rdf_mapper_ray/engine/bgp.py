@@ -1022,3 +1022,36 @@ def bgp_having(triples: "ray.data.Dataset",
         return out.filter(keep)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --- SPARQL DESCRIBE --------------------------------------------------------------
+
+def bgp_describe(triples: "ray.data.Dataset",
+                 patterns: list[tuple[str, str, str]], var: str,
+                 num_partitions: Optional[int] = None
+                 ) -> "ray.data.Dataset":
+    """``DESCRIBE ?x WHERE { ... }`` — the description form is
+    implementation-defined by the SPARQL spec; this engine pins it to
+    "every triple whose SUBJECT is a solution of ?x" (the asymmetric
+    concise-bounded-description core), so the result is deterministic
+    and the SQL oracle replays it. One distinct exchange for the
+    solution set, then a hash(subject)-co-partitioned semi-join of the
+    triple table against it (equi_join's venue dispatch: broadcast
+    below threshold, routed above). -> (subject, predicate,
+    object_value)."""
+    from rdf_mapper_ray.ops.joins import equi_join
+
+    triples, num_partitions = _pin_triples(triples, num_partitions)
+    b = bgp_match(triples, patterns, num_partitions=num_partitions)
+    subjects = _distinct_rows(b, [var], num_partitions) \
+        .map_batches(lambda t: pa.Table.from_pydict(
+            {"x": t.column(var)}), batch_format="pyarrow")
+
+    body = triples.map_batches(
+        lambda t: pa.Table.from_pydict({
+            "subject": t.column("subject").cast(pa.string()),
+            "predicate": t.column("predicate").cast(pa.string()),
+            "object_value": t.column("object_value").cast(pa.string()),
+        }), batch_format="pyarrow")
+    return equi_join(body, subjects, "subject", "x", how="semi",
+                     num_partitions=num_partitions)

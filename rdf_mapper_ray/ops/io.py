@@ -233,3 +233,105 @@ SELECT doc_id,
                   doc_id) AS epoch_rank
 FROM documents ORDER BY epoch_rank
 """
+
+
+def curriculum_order(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                     text_col: str = "text", n_buckets: int = 4,
+                     bucket_tokens: int = 25, seed: int = 7
+                     ) -> "ray.data.Dataset":
+    """Curriculum training order (Bengio et al. 2009, easy→hard):
+    docs sort by (difficulty bucket ASC, md5 shuffle key, id) and get
+    a dense global position — short docs first, randomized WITHIN a
+    bucket so each difficulty band is still an unbiased stream.
+    Difficulty here is the token-count band ``min(n_tokens //
+    bucket_tokens, n_buckets-1)`` (swap in any integer signal — an
+    lm_score bucket at 100 TB). Same one-sort + sorted-block
+    prefix-scan shape as :func:`epoch_shuffle`; the bucket simply
+    leads the sort key. -> (id, bucket, curriculum_rank)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    def enc(t: "pa.Table") -> "pa.Table":
+        n_tok = pc.cast(pc.count_substring_regex(
+            t.column(text_col), r"\S+"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        bucket = np.minimum(n_tok // bucket_tokens,
+                            n_buckets - 1).astype(np.int64)
+        ids = t.column(id_col).to_pandas()
+        k = hash64([f"{i}:{seed}" for i in ids], backend="md5")
+        return pa.Table.from_pydict({
+            id_col: t.column(id_col),
+            "bucket": pa.array(bucket),
+            "k": pa.array(k, pa.uint64())})
+
+    srt = ds.map_batches(enc, batch_format="pyarrow") \
+        .sort(["bucket", "k", id_col]).materialize()
+
+    def stats(t: "pa.Table") -> "pa.Table":
+        if not t.num_rows:
+            return pa.Table.from_pydict({
+                "first_b": pa.array([], pa.int64()),
+                "first_k": pa.array([], pa.uint64()),
+                "first_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())})
+        return pa.Table.from_pydict({
+            "first_b": pa.array([t.column("bucket")[0].as_py()],
+                                pa.int64()),
+            "first_k": pa.array([t.column("k")[0].as_py()],
+                                pa.uint64()),
+            "first_id": pa.array([t.column(id_col)[0].as_py()],
+                                 pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64())})
+
+    st = srt.map_batches(stats, batch_format="pyarrow").to_pandas()
+    st = st.sort_values(["first_b", "first_k", "first_id"],
+                        kind="stable").reset_index(drop=True)
+    offs = np.concatenate([[0], np.cumsum(st["n"].to_numpy())[:-1]])
+    lut = {(int(b), int(k), int(i)): int(o) for b, k, i, o in
+           zip(st["first_b"], st["first_k"], st["first_id"], offs)}
+
+    def rank(t: "pa.Table") -> "pa.Table":
+        if not t.num_rows:
+            return pa.Table.from_pydict({
+                id_col: pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "curriculum_rank": pa.array([], pa.int64())})
+        key = (int(t.column("bucket")[0].as_py()),
+               int(t.column("k")[0].as_py()),
+               int(t.column(id_col)[0].as_py()))
+        base = lut[key]
+        return pa.Table.from_pydict({
+            id_col: t.column(id_col),
+            "bucket": t.column("bucket"),
+            "curriculum_rank": pa.array(
+                base + np.arange(1, t.num_rows + 1, dtype=np.int64)),
+        })
+
+    return srt.map_batches(rank, batch_format="pyarrow")
+
+
+def curriculum_order_query(sf_dir: str):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return curriculum_order(ds)
+
+
+def curriculum_order_oracle_sql(n_buckets: int = 4,
+                                bucket_tokens: int = 25,
+                                seed: int = 7) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         LEAST(len(regexp_extract_all(text, '\\S+'))
+               // {bucket_tokens}, {n_buckets - 1}) AS bucket,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                             || ':{seed}'), 1, 16))::UBIGINT AS k
+  FROM documents
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       row_number() OVER (ORDER BY bucket, k, doc_id)
+         AS curriculum_rank
+FROM d ORDER BY curriculum_rank
+"""

@@ -339,3 +339,75 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id FROM ranked
 WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+# --- exact phrase search -----------------------------------------------------------
+
+PHRASE_MAX_TOKENS = 512
+
+
+def phrase_search(ds: "ray.data.Dataset", phrase: list[str],
+                  text_col: str = "text", id_col: str = "doc_id"
+                  ) -> "ray.data.Dataset":
+    """Exact phrase matching — docs whose token stream contains the
+    query tokens ADJACENTLY (the positional-postings query BM25's
+    bag-of-words scoring can't answer). MAP-ONLY: per batch the flat
+    token array (same whitespace tokenizer as BM25, `_tok`) is scanned
+    with shifted vectorized equality — position i starts a match iff
+    tok[i..i+m-1] equal the phrase AND all lie in the same document —
+    so no postings ever shuffle; the per-doc hit counts are the only
+    output. Occurrences of a phrase with distinct tokens cannot
+    overlap, so the count is the textbook one.
+    -> (doc_id, n_hits), matching docs only."""
+    m = len(phrase)
+    assert m >= 2, "phrase_search wants a multi-token phrase"
+    lowered = [w.lower() for w in phrase]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, parents = _tok(batch.column(text_col))
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        par = parents.to_numpy(zero_copy_only=False)
+        n = len(toks)
+        if n < m:
+            return pa.Table.from_pydict({
+                id_col: batch.column(id_col).slice(0, 0),
+                "n_hits": pa.array([], pa.int64())})
+        hit = (toks[: n - m + 1] == lowered[0]) \
+            & (par[: n - m + 1] == par[m - 1:])
+        for j in range(1, m):
+            hit &= toks[j: n - m + 1 + j] == lowered[j]
+        rows = par[: n - m + 1][hit]
+        docs, counts = np.unique(rows, return_counts=True)
+        return pa.Table.from_pydict({
+            id_col: batch.column(id_col).take(pa.array(docs)),
+            "n_hits": pa.array(counts.astype(np.int64))})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+PHRASE_QUERY = ["hash", "join"]
+
+
+def phrase_search_query(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return phrase_search(ds, PHRASE_QUERY)
+
+
+def phrase_search_oracle_sql(phrase: list[str] | None = None) -> str:
+    phrase = phrase or PHRASE_QUERY
+    conds = " AND ".join(
+        f"t[i + {j}] = '{w.lower()}'" for j, w in enumerate(phrase))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id
+  FROM toks,
+       (SELECT unnest(generate_series(1, {PHRASE_MAX_TOKENS})) AS i)
+  WHERE i + {len(phrase) - 1} <= len(t) AND {conds}
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM pos GROUP BY doc_id ORDER BY doc_id
+"""

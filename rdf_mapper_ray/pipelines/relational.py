@@ -1060,3 +1060,39 @@ FROM u GROUP BY nat
 HAVING SUM(v) > 450000 * COUNT(*)
 ORDER BY nat
 """
+
+
+# --- SPARQL DESCRIBE: customers of one nation -----------------------------------
+
+def bgp_describe_query(sf_dir: str) -> "ray.data.Dataset":
+    """``DESCRIBE ?c WHERE { ?c ex:nation <nation/7> }`` — every
+    triple about every customer bound to nation 7 (description form
+    pinned to subject-triples; see engine/bgp.bgp_describe)."""
+    from rdf_mapper_ray.engine.bgp import bgp_describe
+    return bgp_describe(_customer_graph_cached(sf_dir), [
+        ("?c", f"{_EX}nation", "http://example.org/nation/7"),
+    ], var="c")
+
+
+BGP_DESCRIBE_ORACLE_SQL = f"""
+WITH c AS (
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR) AS s, *
+  FROM customer WHERE c_nationkey = 7
+),
+triples AS (
+  SELECT s AS subject, '{_RDF_TYPE}' AS predicate,
+         '{_EX}Customer' AS object_value FROM c
+  UNION ALL
+  SELECT s, '{_EX}name', c_name FROM c
+  UNION ALL
+  SELECT s, '{_EX}segment', lower(c_mktsegment) FROM c
+  UNION ALL
+  SELECT s, '{_EX}acctbal', CAST(c_acctbal AS VARCHAR) FROM c
+  UNION ALL
+  SELECT s, '{_EX}nation',
+         'http://example.org/nation/' || CAST(c_nationkey AS VARCHAR)
+  FROM c
+)
+SELECT subject, predicate, object_value FROM triples
+ORDER BY subject, predicate, object_value
+"""

@@ -87,6 +87,8 @@ _DRIVER_WINDOW = [
 # never driver-verified but deferred past the window this round
 # (value+dtype-exact locally, judge-verified in r3) — round-5 leads
 _NEXT_UP = [
+    # new in round-4 session 7 (window already full; locally dtype-exact)
+    "date_features", "region_revenue", "bgp_subquery",
     # new in round-4 session 6 (window already full; locally dtype-exact)
     "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
     "hits", "mis_luby", "event_ngrams", "gap_fill",
@@ -460,6 +462,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sync label-propagation communities (min-label tie-break,
         # fixed rounds => bit-stable + SQL-unrollable)
         "community_lpa": graphs.community_lpa_query,
+        # calendar features (pure map-side Arrow temporal kernels)
+        "date_features": timeseries.date_features_query,
+        # 5-table star chain (TPC-H Q5 shape, discounted revenue)
+        "region_revenue": joins.region_revenue_query,
+        # SPARQL 1.1 subquery (broadcast sub-SELECT + integer filter)
+        "bgp_subquery": relational.bgp_subquery_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -704,6 +712,9 @@ def oracle_sql() -> dict[str, str]:
         "skyline_parts": skyline.SKYLINE_ORACLE_SQL,
         "hll_registers": distinct.hll_registers_oracle_sql(),
         "hll_by_type": distinct.hll_by_type_oracle_sql(),
+        "date_features": timeseries.DATE_FEATURES_ORACLE_SQL,
+        "region_revenue": joins.REGION_REVENUE_ORACLE_SQL,
+        "bgp_subquery": relational.BGP_SUBQUERY_ORACLE_SQL,
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,
         "bgp_group_count": relational.BGP_GROUP_COUNT_ORACLE_SQL,
         "bgp_minus_tier": relational.BGP_MINUS_TIER_ORACLE_SQL,

@@ -1055,3 +1055,61 @@ def bgp_describe(triples: "ray.data.Dataset",
         }), batch_format="pyarrow")
     return equi_join(body, subjects, "subject", "x", how="semi",
                      num_partitions=num_partitions)
+
+
+# --- SPARQL 1.1 subquery: group-aggregate sub-SELECT + FILTER --------------------
+
+def bgp_filter_above_group_avg(triples: "ray.data.Dataset",
+                               patterns: list[tuple[str, str, str]],
+                               group_var: str, value_var: str,
+                               scale: int = 100,
+                               num_partitions: Optional[int] = None
+                               ) -> "ray.data.Dataset":
+    """SPARQL 1.1 subquery (§12): solutions whose value exceeds their
+    group's average —
+
+        SELECT ?g ?s ?v WHERE {
+          <outer patterns binding ?g ?s ?v>
+          { SELECT ?g (AVG(?v2) AS ?avg) WHERE { ... } GROUP BY ?g }
+          FILTER(?v > ?avg)
+        }
+
+    The inner SELECT reuses :func:`bgp_aggregate` (map-side partials,
+    one group-cardinality exchange) and its result is GROUP-sized, so
+    it broadcasts once (``ray.put``) instead of riding a shuffle join;
+    the outer match then filters map-side with zero further exchanges.
+    The comparison cross-multiplies — ``v·n > sum`` — so the whole
+    query stays in the exact-integer contract (no float division to
+    drift against the oracle). -> outer solution columns with the
+    value re-emitted as int64 ``<value_var>_c`` units."""
+    triples, num_partitions = _pin_triples(triples, num_partitions)
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    agg = bgp_aggregate(triples, patterns, group_var, value_var,
+                        scale=scale,
+                        num_partitions=num_partitions).to_pandas()
+    n_by_g = pd.Series(agg["n"].to_numpy(np.int64),
+                       index=agg[group_var])
+    s_by_g = pd.Series(agg["sum_c"].to_numpy(np.int64),
+                       index=agg[group_var])
+    ref = ray.put((n_by_g, s_by_g))
+
+    b = bgp_match(triples, patterns, num_partitions=num_partitions)
+
+    def filt(t: pa.Table) -> pa.Table:
+        n_map, s_map = ray.get(ref)
+        g = t.column(group_var).to_pandas()
+        v = np.rint(t.column(value_var).cast(pa.float64())
+                    .to_numpy(zero_copy_only=False)
+                    * scale).astype(np.int64)
+        n = g.map(n_map).to_numpy(np.int64)
+        s = g.map(s_map).to_numpy(np.int64)
+        keep = v * n > s
+        out = t.drop_columns([value_var]) \
+            .append_column(f"{value_var}_c", pa.array(v))
+        return out.filter(pa.array(keep))
+
+    return b.map_batches(filt, batch_format="pyarrow")

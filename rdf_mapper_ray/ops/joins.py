@@ -732,3 +732,82 @@ SELECT a.k AS a_key, b.k AS b_key
 FROM p a JOIN p b ON a.k < b.k AND abs(a.c - b.c) <= {eps_cents}
 ORDER BY a_key, b_key
 """
+
+
+# --- five-table star chain: regional discounted revenue -------------------------
+
+def region_revenue_query(sf_dir: str):
+    """Deepest join chain in the roster (TPC-H Q5 shape, reference
+    parity for multi-hop relational mapping): lineitem ⋈ orders
+    co-partitioned on orderkey (fact⋈fact), the result ⋈ customer
+    co-partitioned on custkey, then the tiny nation and region
+    dimensions broadcast. Revenue is the discounted exact-integer
+    contract: price_cents × (100 − discount_pct), units of
+    cents·percent.
+
+    Overflow audit: per row ≤ ~1e6 cents × 100 = 1e8; a region group
+    wraps int64 only past ~9e10 rows — beyond this repo's bench scale
+    by 1e5; the two-limb hi/lo venue (stats.group_corr) is the
+    documented escape hatch at 100 TB."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice",
+                             "l_discount"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_regionkey"])
+    region = read_table(sf_dir, "region",
+                        columns=["r_regionkey", "r_name"])
+
+    lo = equi_join(li, orders, left_on="l_orderkey",
+                   right_on="o_orderkey", how="inner",
+                   venue="copartition")
+    loc = equi_join(lo, cust, left_on="o_custkey",
+                    right_on="c_custkey", how="inner",
+                    venue="copartition")
+    locn = equi_join(loc, nation, left_on="c_nationkey",
+                     right_on="n_nationkey", how="inner",
+                     venue="broadcast")
+    locnr = equi_join(locn, region, left_on="n_regionkey",
+                      right_on="r_regionkey", how="inner",
+                      venue="broadcast")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        pct = np.rint(batch.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.Table.from_pydict({
+            "r_name": batch.column("r_name"),
+            "rev": pa.array(cents * (100 - pct)),
+        })
+        agg = t.group_by("r_name", use_threads=False).aggregate(
+            [("rev", "sum"), ([], "count_all")])
+        return agg.rename_columns(["r_name", "revenue", "n_items"])
+
+    return locnr.map_batches(partial, batch_format="pyarrow") \
+        .groupby("r_name").aggregate(Sum("revenue"), Sum("n_items")) \
+        .map_batches(lambda t: t.rename_columns(
+            ["r_name", "revenue", "n_items"]), batch_format="pyarrow")
+
+
+REGION_REVENUE_ORACLE_SQL = """
+SELECT r.r_name,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""

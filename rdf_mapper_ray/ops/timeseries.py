@@ -596,3 +596,58 @@ SELECT user_id, b AS bucket_hour,
          AS interpolated
 FROM g2 ORDER BY user_id, bucket_hour
 """
+
+
+# --- calendar feature extraction ----------------------------------------------
+
+
+def date_features(ds: "ray.data.Dataset", ts_col: str,
+                  id_col: str) -> "ray.data.Dataset":
+    """Calendar features for model training: (id, y, m, d, dow,
+    quarter, wk, doy, is_weekend) — pure map-side Arrow temporal
+    kernels, zero exchanges, streams at any scale. ``dow`` follows
+    the SQL convention (0=Sunday..6=Saturday; Arrow's day_of_week is
+    Monday=0, so it shifts by one mod 7); ``wk`` is the ISO week,
+    identical in both engines (probed)."""
+    import pyarrow.compute as pc
+
+    def feats(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        dow = pc.day_of_week(ts, count_from_zero=True, week_start=7)
+        return pa.Table.from_pydict({
+            id_col: batch.column(id_col),
+            "y": pc.cast(pc.year(ts), pa.int64()),
+            "m": pc.cast(pc.month(ts), pa.int64()),
+            "d": pc.cast(pc.day(ts), pa.int64()),
+            "dow": pc.cast(dow, pa.int64()),
+            "quarter": pc.cast(pc.quarter(ts), pa.int64()),
+            "wk": pc.cast(pc.iso_week(ts), pa.int64()),
+            "doy": pc.cast(pc.day_of_year(ts), pa.int64()),
+            "is_weekend": pc.is_in(
+                pc.cast(dow, pa.int64()),
+                value_set=pa.array([0, 6], pa.int64())),
+        })
+
+    return ds.map_batches(feats, batch_format="pyarrow")
+
+
+def date_features_query(sf_dir: str):
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_orderdate"])
+    return date_features(ds, "o_orderdate", "o_orderkey")
+
+
+DATE_FEATURES_ORACLE_SQL = """
+SELECT o_orderkey,
+       EXTRACT(year FROM o_orderdate) AS y,
+       EXTRACT(month FROM o_orderdate) AS m,
+       EXTRACT(day FROM o_orderdate) AS d,
+       EXTRACT(dow FROM o_orderdate) AS dow,
+       EXTRACT(quarter FROM o_orderdate) AS quarter,
+       EXTRACT(week FROM o_orderdate) AS wk,
+       EXTRACT(doy FROM o_orderdate) AS doy,
+       EXTRACT(dow FROM o_orderdate) IN (0, 6) AS is_weekend
+FROM orders ORDER BY o_orderkey
+"""

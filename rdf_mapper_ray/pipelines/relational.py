@@ -1096,3 +1096,43 @@ triples AS (
 SELECT subject, predicate, object_value FROM triples
 ORDER BY subject, predicate, object_value
 """
+
+
+# --- SPARQL 1.1 subquery: customers above their nation's average balance --------
+
+def bgp_subquery_query(sf_dir: str) -> "ray.data.Dataset":
+    """``SELECT ?nat ?c ?bal WHERE { ?c ex:nation ?nat .
+    ?c ex:acctbal ?bal . { SELECT ?nat (AVG(?b) AS ?avg) WHERE
+    { ?x ex:nation ?nat . ?x ex:acctbal ?b } GROUP BY ?nat }
+    FILTER(?bal > ?avg) }`` — the sub-SELECT broadcasts (25 rows) and
+    the filter cross-multiplies in exact integer cents
+    (``bal·n > sum``), zero extra exchanges past the aggregate's own.
+
+    Overflow audit: bal_c ≤ ~1.1e6 × n(customers/nation); wraps only
+    past ~8e12 customers per nation."""
+    from rdf_mapper_ray.engine.bgp import bgp_filter_above_group_avg
+    return bgp_filter_above_group_avg(_customer_graph_cached(sf_dir), [
+        ("?c", f"{_EX}nation", "?nat"),
+        ("?c", f"{_EX}acctbal", "?bal"),
+    ], group_var="nat", value_var="bal")
+
+
+BGP_SUBQUERY_ORACLE_SQL = """
+WITH u AS (
+  SELECT 'http://example.org/nation/' || CAST(c_nationkey AS VARCHAR)
+           AS nat,
+         'http://example.org/cust/' || CAST(c_custkey AS VARCHAR)
+           AS c,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+),
+g AS (
+  SELECT nat, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(bal_c) AS BIGINT) AS s
+  FROM u GROUP BY nat
+)
+SELECT u.nat, u.c, u.bal_c
+FROM u JOIN g USING (nat)
+WHERE u.bal_c * g.n > g.s
+ORDER BY u.nat, u.c
+"""

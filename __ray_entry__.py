@@ -88,7 +88,8 @@ _DRIVER_WINDOW = [
 # (value+dtype-exact locally, judge-verified in r3) — round-5 leads
 _NEXT_UP = [
     # new in round-4 session 7 (window already full; locally dtype-exact)
-    "date_features", "region_revenue", "bgp_subquery",
+    "date_features", "region_revenue", "bgp_subquery", "rfm_scores",
+    "event_precedence", "mrr", "feature_hashing",
     # new in round-4 session 6 (window already full; locally dtype-exact)
     "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
     "hits", "mis_luby", "event_ngrams", "gap_fill",
@@ -468,6 +469,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue": joins.region_revenue_query,
         # SPARQL 1.1 subquery (broadcast sub-SELECT + integer filter)
         "bgp_subquery": relational.bgp_subquery_query,
+        # RFM segmentation (NTILE quartiles per measure, exact ranks)
+        "rfm_scores": normalize.rfm_scores_query,
+        # first-A-before-first-B user counts per event-type pair
+        "event_precedence": windows.event_precedence_query,
+        # mean reciprocal rank (first-relevant, no global sort)
+        "mrr": ranking.mrr_query,
+        # hashing-trick vectorizer (md5 venue, SQL-replayed signs)
+        "feature_hashing": tfidf.feature_hashing_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -713,6 +722,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers": distinct.hll_registers_oracle_sql(),
         "hll_by_type": distinct.hll_by_type_oracle_sql(),
         "date_features": timeseries.DATE_FEATURES_ORACLE_SQL,
+        "rfm_scores": normalize.rfm_oracle_sql(),
+        "event_precedence": windows.EVENT_PRECEDENCE_ORACLE_SQL,
+        "mrr": ranking.MRR_ORACLE_SQL,
+        "feature_hashing": tfidf.feature_hashing_oracle_sql(),
         "region_revenue": joins.REGION_REVENUE_ORACLE_SQL,
         "bgp_subquery": relational.BGP_SUBQUERY_ORACLE_SQL,
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,

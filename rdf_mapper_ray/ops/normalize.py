@@ -29,7 +29,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from rdf_mapper_ray.ops.readers import read_table
 
@@ -509,4 +509,171 @@ SELECT r.l_orderkey,
        CAST(r.rnk AS BIGINT) AS rnk, r.v_micro, ref.ref_sum
 FROM ranked r JOIN ref USING (rnk)
 ORDER BY measure, rnk
+"""
+
+
+# --- RFM customer segmentation --------------------------------------------------
+
+
+def rfm_scores(ds: "ray.data.Dataset", user_col: str = "user_id",
+               ts_col: str = "ts", value_col: str = "value",
+               k: int = 4, num_partitions: int | None = None
+               ) -> "ray.data.Dataset":
+    """RFM segmentation (recency / frequency / monetary quartiles —
+    the classic CRM / training-data-curation stratifier): per user
+    R = last-activity epoch-micros, F = event count, M = spend in
+    exact cents; each measure then takes ``NTILE(k) OVER (ORDER BY
+    v, user_id)`` and the composite is ``r·100 + f·10 + m``.
+
+    Distributed shape: events pre-aggregate map-side (one row per
+    user per block) before ONE user-keyed exchange; the three
+    measures melt long and reuse the ntile_bucket two-pass rank —
+    per-(measure, value) histogram partials merge once and broadcast,
+    a hash(measure, value)-routed pass co-locates tie sets for exact
+    global row_numbers — then one user-keyed pivot brings the three
+    scores back wide. Tie-set contract inherited from ntile_bucket,
+    and F is the skewed measure (event counts concentrate on small
+    integers): a single (measure, v) tie set must fit one task.
+    -> (user_id, r_score, f_score, m_score, rfm)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict({
+            user_col: batch.column(user_col),
+            "ts_us": batch.column(ts_col).cast(pa.int64()),
+            "cents": pa.array(np.rint(batch.column(value_col)
+                .to_numpy(zero_copy_only=False) * 100)
+                .astype(np.int64)),
+        })
+        agg = t.group_by(user_col, use_threads=False).aggregate(
+            [("ts_us", "max"), ([], "count_all"), ("cents", "sum")])
+        return agg.rename_columns([user_col, "r", "f", "m"])
+
+    per_user = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(user_col).aggregate(Max("r"), Sum("f"), Sum("m")) \
+        .map_batches(lambda t: t.rename_columns(
+            [user_col, "r", "f", "m"]), batch_format="pyarrow")
+
+    measures = ["r", "f", "m"]
+
+    def long(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), 3))
+        return pa.Table.from_pydict({
+            user_col: batch.column(user_col).take(idx),
+            "measure": pa.array(
+                np.repeat(np.asarray(measures, dtype=object), n),
+                type=pa.string()),
+            "v": pa.array(np.concatenate(
+                [batch.column(c).to_numpy(zero_copy_only=False)
+                 .astype(np.int64) for c in measures])),
+        })
+
+    rows = per_user.map_batches(long, batch_format="pyarrow")
+
+    def hist(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["measure", "v"]).group_by(
+            ["measure", "v"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["measure", "v", "cnt"])
+
+    h = rows.map_batches(hist, batch_format="pyarrow") \
+        .groupby(["measure", "v"]).aggregate(Sum("cnt")) \
+        .to_pandas().sort_values(["measure", "v"])
+    lut = {}
+    for mname, grp in h.groupby("measure", sort=False):
+        cum = np.cumsum(grp["sum(cnt)"].to_numpy())
+        below = np.concatenate([[0], cum[:-1]])
+        lut[mname] = (grp["v"].to_numpy(np.int64), below)
+        n_total = int(cum[-1])
+    q, rem = divmod(n_total, k)
+    ref = ray.put(lut)
+
+    def route_tie(batch: pa.Table) -> pa.Table:
+        key = (pd.util.hash_pandas_object(
+                   batch.column("measure").to_pandas(), index=False)
+               .to_numpy()
+               + batch.column("v").to_numpy(
+                   zero_copy_only=False).view(np.uint64))
+        return batch.append_column(
+            "pid", pa.array((key % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    cut = rem * (q + 1)
+
+    def bucketize(g: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        g = g.sort_values(["measure", "v", user_col])
+        rn = np.empty(len(g), dtype=np.int64)
+        pos = 0
+        for name, grp in g.groupby("measure", sort=False):
+            v, below = m[name]
+            within = grp.groupby("v", sort=False).cumcount().to_numpy()
+            rn[pos:pos + len(grp)] = below[np.searchsorted(
+                v, grp["v"].to_numpy())] + within
+            pos += len(grp)
+        bucket = np.where(rn < cut, rn // max(q + 1, 1) + 1,
+                          rem + (rn - cut) // max(q, 1) + 1)
+        return pd.DataFrame({user_col: g[user_col].to_numpy(np.int64),
+                             "measure": g["measure"].to_numpy(),
+                             "score": bucket.astype(np.int64)})
+
+    scores = rows.map_batches(route_tie, batch_format="pyarrow") \
+        .groupby("pid").map_groups(bucketize, batch_format="pandas")
+
+    def route_user(batch: pa.Table) -> pa.Table:
+        hsh = pd.util.hash_pandas_object(
+            batch.column(user_col).to_pandas(), index=False).to_numpy()
+        return batch.append_column(
+            "pid", pa.array((hsh % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.pivot_table(index=user_col, columns="measure",
+                          values="score", aggfunc="first") \
+            .reset_index()
+        out = pd.DataFrame({
+            user_col: w[user_col].to_numpy(np.int64),
+            "r_score": w["r"].to_numpy(np.int64),
+            "f_score": w["f"].to_numpy(np.int64),
+            "m_score": w["m"].to_numpy(np.int64),
+        })
+        out["rfm"] = (out["r_score"] * 100 + out["f_score"] * 10
+                      + out["m_score"])
+        return out
+
+    return scores.map_batches(route_user, batch_format="pyarrow") \
+        .groupby("pid").map_groups(widen, batch_format="pandas")
+
+
+def rfm_scores_query(sf_dir: str, k: int = 4):
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "value"])
+    return rfm_scores(ds, k=k)
+
+
+def rfm_oracle_sql(k: int = 4) -> str:
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(epoch_us(MAX(ts)) AS BIGINT) AS r_v,
+         CAST(COUNT(*) AS BIGINT) AS f_v,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS m_v
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT user_id,
+    CAST(NTILE({k}) OVER (ORDER BY r_v, user_id) AS BIGINT)
+      AS r_score,
+    CAST(NTILE({k}) OVER (ORDER BY f_v, user_id) AS BIGINT)
+      AS f_score,
+    CAST(NTILE({k}) OVER (ORDER BY m_v, user_id) AS BIGINT)
+      AS m_score
+  FROM u
+)
+SELECT user_id, r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm
+FROM s ORDER BY user_id
 """

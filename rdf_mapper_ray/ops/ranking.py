@@ -21,7 +21,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Max, Sum
 
 from rdf_mapper_ray.ops.readers import read_table
 
@@ -196,4 +196,190 @@ SELECT CAST(d.c_nationkey AS BIGINT) AS c_nationkey,
                  ELSE 0 END AS BIGINT) AS ndcg_micro
 FROM d JOIN i USING (c_nationkey)
 ORDER BY c_nationkey
+"""
+
+
+# --- mean reciprocal rank ---------------------------------------------------------
+
+
+def mrr_by_group(cand: "ray.data.Dataset", group_col: str,
+                 id_col: str, score_col: str, rel_col: str,
+                 num_partitions: int | None = None
+                 ) -> "ray.data.Dataset":
+    """Reciprocal rank of the FIRST relevant item per group when the
+    group ranks by (score DESC, id ASC) — the MRR evaluation metric,
+    exact: ``rr_micro = 1e6 // first_rel_rank`` (floor division, no
+    float). Groups with no relevant item emit rank 0 / rr 0.
+
+    Scale shape — the first-relevant rank never needs a global sort:
+    1. per-batch top-1 relevant candidate per group (score-ordered)
+       shrinks map-side; one group-keyed route finishes the argmax,
+       which is GROUP-cardinality-sized and broadcasts;
+    2. a second map-side pass counts, per group, the rows ordered
+       strictly before that best relevant row (score >, or score ==
+       and id <) plus the group's relevant count — pure partial sums,
+       one group-cardinality exchange. first_rel_rank = n_before + 1.
+    -> (group, first_rel_rank, rr_micro, n_rel)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(cand, 1)
+
+    def best_partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "grp": batch.column(group_col).to_numpy(
+                zero_copy_only=False),
+            "id": batch.column(id_col).to_numpy(zero_copy_only=False),
+            "score": batch.column(score_col).to_numpy(
+                zero_copy_only=False),
+            "rel": batch.column(rel_col).to_numpy(
+                zero_copy_only=False),
+        })
+        g = g[g["rel"] > 0]
+        out = g.sort_values(["grp", "score", "id"],
+                            ascending=[True, False, True],
+                            kind="stable") \
+            .groupby("grp", sort=False).head(1)
+        h = pd.util.hash_pandas_object(out["grp"],
+                                       index=False).to_numpy()
+        out = out.assign(pid=(h % np.uint64(num_partitions))
+                         .astype(np.int64))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def best_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["grp", "score", "id"],
+                             ascending=[True, False, True],
+                             kind="stable") \
+            .groupby("grp", sort=False).head(1)[["grp", "score", "id"]]
+
+    best = cand.map_batches(best_partial, batch_format="pyarrow") \
+        .groupby("pid").map_groups(best_final, batch_format="pandas") \
+        .to_pandas()
+    ref = ray.put(best.rename(columns={"score": "b_score",
+                                       "id": "b_id"}))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        g = pd.DataFrame({
+            "grp": batch.column(group_col).to_numpy(
+                zero_copy_only=False),
+            "id": batch.column(id_col).to_numpy(zero_copy_only=False),
+            "score": batch.column(score_col).to_numpy(
+                zero_copy_only=False),
+            "rel": batch.column(rel_col).to_numpy(
+                zero_copy_only=False),
+        })
+        j = g.merge(b, on="grp", how="left")
+        before = ((j["score"] > j["b_score"])
+                  | ((j["score"] == j["b_score"])
+                     & (j["id"] < j["b_id"]))).fillna(False)
+        out = pd.DataFrame({
+            "grp": j["grp"],
+            "n_before": before.to_numpy().astype(np.int64),
+            "n_rel": (j["rel"].to_numpy() > 0).astype(np.int64),
+            "has_best": j["b_score"].notna().to_numpy()
+            .astype(np.int64),
+        }).groupby("grp", as_index=False).agg(
+            n_before=("n_before", "sum"), n_rel=("n_rel", "sum"),
+            has_best=("has_best", "max"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = cand.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("grp").aggregate(Sum("n_before"), Sum("n_rel"),
+                                  Max("has_best"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nb = t.column("sum(n_before)").to_numpy(zero_copy_only=False)
+        nr = t.column("sum(n_rel)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hb = t.column("max(has_best)").to_numpy(zero_copy_only=False)
+        rank = np.where(hb > 0, nb + 1, 0).astype(np.int64)
+        rr = np.where(rank > 0, 1_000_000 // np.maximum(rank, 1), 0)
+        return pa.Table.from_pydict({
+            group_col: t.column("grp").cast(pa.int64()),
+            "first_rel_rank": pa.array(rank),
+            "rr_micro": pa.array(rr.astype(np.int64)),
+            "n_rel": pa.array(nr),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def mrr_query(sf_dir: str):
+    """MRR of 'rank each nation's customers by balance; relevant =
+    has at least one URGENT-priority order' — how high the wealth
+    ranking places the first urgent-ordering customer."""
+    from rdf_mapper_ray.ops.joins import equi_join
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey",
+                               "c_acctbal"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority"])
+
+    def urgent_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.equal(batch.column("o_orderpriority"), "1-URGENT")
+        t = batch.filter(m)
+        v, c = np.unique(t.column("o_custkey").to_numpy(
+            zero_copy_only=False), return_counts=True)
+        return pa.Table.from_pydict({
+            "o_custkey": pa.array(v.astype(np.int64)),
+            "n": pa.array(c.astype(np.int64))})
+
+    rel = orders.map_batches(urgent_partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("n")) \
+        .map_batches(lambda t: t.rename_columns(["o_custkey", "rel"]),
+                     batch_format="pyarrow")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        bal = batch.column("c_acctbal")
+        if isinstance(bal, pa.ChunkedArray):
+            bal = bal.combine_chunks()
+        return pa.Table.from_pydict({
+            "c_nationkey": batch.column("c_nationkey")
+                .cast(pa.int64()),
+            "c_custkey": batch.column("c_custkey").cast(pa.int64()),
+            "bal_cents": pc.round(pc.multiply(bal, 100.0))
+                .cast(pa.int64()),
+            "rel": pc.fill_null(batch.column("rel"), 0)
+                .cast(pa.int64()),
+        })
+
+    cand = equi_join(cust, rel, "c_custkey", "o_custkey", how="left") \
+        .map_batches(shape, batch_format="pyarrow")
+    return mrr_by_group(cand, "c_nationkey", "c_custkey",
+                        "bal_cents", "rel")
+
+
+MRR_ORACLE_SQL = """
+WITH cand AS (
+  SELECT c_nationkey, c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         CAST(COALESCE(o.cnt, 0) AS BIGINT) AS rel
+  FROM customer
+  LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt
+             FROM orders WHERE o_orderpriority = '1-URGENT'
+             GROUP BY o_custkey) o
+    ON o.o_custkey = c_custkey
+),
+ranked AS (
+  SELECT c_nationkey, rel, row_number() OVER (
+      PARTITION BY c_nationkey
+      ORDER BY bal_cents DESC, c_custkey) AS pos
+  FROM cand
+),
+agg AS (
+  SELECT c_nationkey,
+         MIN(CASE WHEN rel > 0 THEN pos END) AS fr,
+         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel
+  FROM ranked GROUP BY c_nationkey
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COALESCE(fr, 0) AS BIGINT) AS first_rel_rank,
+       CAST(CASE WHEN fr IS NOT NULL THEN 1000000 // fr
+                 ELSE 0 END AS BIGINT) AS rr_micro,
+       n_rel
+FROM agg ORDER BY c_nationkey
 """

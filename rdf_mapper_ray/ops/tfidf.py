@@ -201,3 +201,79 @@ ranked AS (
 SELECT doc_id, rank, term, tf, df FROM ranked
 WHERE rank <= {k} ORDER BY doc_id, rank
 """
+
+
+# --- the hashing trick ------------------------------------------------------------
+
+
+def feature_hashing(ds: "ray.data.Dataset", text_col: str = "text",
+                    id_col: str = "doc_id", dim: int = 64,
+                    hash_fn: str = "md5") -> "ray.data.Dataset":
+    """Feature hashing (Weinberger et al. 2009): every token maps to
+    ``bucket = h(token) mod dim`` with sign ``±1`` drawn from the next
+    hash bit, collapsing an unbounded vocabulary into a fixed-width
+    vector with NO global dictionary — the exchange-free vectorizer
+    (token counting and hashing are per-batch; the only shuffle is
+    the (doc, bucket)-keyed count merge, and even that pre-aggregates
+    map-side to ≤ dim rows per doc per block).
+
+    ``hash_fn="md5"`` is the portable venue the SQL oracle replays
+    bit-exactly: bucket = h % dim, sign = ((h // dim) % 2)·2 − 1 with
+    h the big-endian first 8 bytes of MD5. -> sparse long form
+    (doc_id, bucket, n_tokens, signed_sum)."""
+    from ray.data.aggregate import Sum
+
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tf = _batch_tf(batch, text_col, id_col)
+        h = hash64(tf.column("term").to_pylist(), backend=hash_fn)
+        bucket = (h % np.uint64(dim)).astype(np.int64)
+        sign = (((h // np.uint64(dim)) % np.uint64(2))
+                .astype(np.int64) * 2 - 1)
+        cnt = tf.column("tf").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "doc_id": tf.column("doc_id").to_numpy(
+                zero_copy_only=False),
+            "bucket": bucket,
+            "n_tokens": cnt,
+            "signed_sum": sign * cnt,
+        }).groupby(["doc_id", "bucket"], as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["doc_id", "bucket"]) \
+        .aggregate(Sum("n_tokens"), Sum("signed_sum")) \
+        .map_batches(lambda t: t.rename_columns(
+            ["doc_id", "bucket", "n_tokens", "signed_sum"]),
+            batch_format="pyarrow")
+
+
+def feature_hashing_query(sf_dir: str, dim: int = 64):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return feature_hashing(ds, dim=dim)
+
+
+def feature_hashing_oracle_sql(dim: int = 64) -> str:
+    from rdf_mapper_ray.ops.hashing import MD5_HASH64_SQL
+    h = MD5_HASH64_SQL.format(col="token")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(COALESCE(text, '')),
+                                      '\\s+')) AS token
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST({h} % {dim} AS BIGINT) AS bucket,
+         CAST(({h} // {dim}) % 2 AS BIGINT) * 2 - 1 AS sign
+  FROM toks WHERE token <> ''
+)
+SELECT doc_id, bucket,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(sign) AS BIGINT) AS signed_sum
+FROM hashed
+GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+"""

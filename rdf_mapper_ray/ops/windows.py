@@ -574,3 +574,81 @@ SELECT event_type, CAST(week AS BIGINT) AS week, n,
 FROM w WINDOW wn AS (PARTITION BY event_type ORDER BY week)
 ORDER BY event_type, week
 """
+
+
+# --- event-type precedence mining ------------------------------------------------
+
+
+def event_precedence(ds: "ray.data.Dataset", user_col: str,
+                     ts_col: str, type_col: str,
+                     num_partitions: int | None = None
+                     ) -> "ray.data.Dataset":
+    """Temporal precedence mining over the event-type alphabet: for
+    every ordered pair (a, b), the number of users whose FIRST ``a``
+    strictly precedes their first ``b`` — the sequence-pattern signal
+    behind funnel discovery and curriculum ordering (strict <, so
+    same-timestamp firsts count for neither direction).
+
+    Distributed shape: per-batch (user, type) min-ts partials shrink
+    map-side to user×alphabet rows, ONE hash(user) exchange
+    co-locates each user, the per-task kernel finishes the min, joins
+    each user's type set against itself (alphabet ≤ a few dozen, so a
+    user contributes ≤ |A|² pair rows inside the task only), and
+    per-task pair counts ride a final alphabet²-row exchange.
+    -> (a, b, n_users)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict({
+            "u": batch.column(user_col),
+            "typ": batch.column(type_col),
+            "t_us": batch.column(ts_col).cast(pa.int64()),
+        })
+        agg = t.group_by(["u", "typ"], use_threads=False).aggregate(
+            [("t_us", "min")])
+        return agg.rename_columns(["u", "typ", "t_us"])
+
+    def route(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch.column("u").to_pandas(), index=False).to_numpy()
+        return batch.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["u", "typ"], as_index=False)["t_us"].min()
+        j = m.merge(m, on="u", suffixes=("_a", "_b"))
+        j = j[j["t_us_a"] < j["t_us_b"]]
+        out = j.groupby(["typ_a", "typ_b"], as_index=False).size()
+        return pd.DataFrame({"a": out["typ_a"], "b": out["typ_b"],
+                             "cnt": out["size"].to_numpy(np.int64)})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(pairs, batch_format="pandas") \
+        .groupby(["a", "b"]).aggregate(Sum("cnt")) \
+        .map_batches(lambda t: t.rename_columns(["a", "b", "n_users"]),
+                     batch_format="pyarrow")
+
+
+def event_precedence_query(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    return event_precedence(ds, "user_id", "ts", "event_type")
+
+
+EVENT_PRECEDENCE_ORACLE_SQL = """
+WITH m AS (
+  SELECT user_id, event_type, MIN(ts) AS t
+  FROM events GROUP BY user_id, event_type
+)
+SELECT x.event_type AS a, y.event_type AS b,
+       COUNT(*) AS n_users
+FROM m x JOIN m y ON x.user_id = y.user_id AND x.t < y.t
+GROUP BY x.event_type, y.event_type
+ORDER BY a, b
+"""

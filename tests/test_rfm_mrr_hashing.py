@@ -1,0 +1,82 @@
+"""Round-4 session-7 ops: RFM quartiles, precedence mining, MRR,
+feature hashing."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def test_rfm_ntile_uneven_split(ray_session):
+    """n=5 users, k=4: NTILE gives bucket sizes 2,1,1,1 (first n%k
+    buckets take the extra row)."""
+    from rdf_mapper_ray.ops.normalize import rfm_scores
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "user_id": [1, 2, 3, 4, 5],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03",
+                              "2024-01-04", "2024-01-05"]),
+        "value": [10.0, 20.0, 30.0, 40.0, 50.0],
+    }))
+    got = rfm_scores(ds, k=4).to_pandas().sort_values("user_id") \
+        .reset_index(drop=True)
+    # every measure is strictly increasing in user_id, so all three
+    # scores coincide: users 1,2 -> bucket 1; 3 -> 2; 4 -> 3; 5 -> 4
+    for c in ["r_score", "f_score", "m_score"]:
+        assert got[c].tolist() == [1, 1, 2, 3, 4]
+    assert got["rfm"].tolist() == [111, 111, 222, 333, 444]
+
+
+def test_event_precedence_strict_tie(ray_session):
+    """Same-timestamp firsts count for NEITHER direction."""
+    from rdf_mapper_ray.ops.windows import event_precedence
+    t0 = pd.Timestamp("2024-01-01")
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "user_id": [1, 1, 2, 2, 3, 3],
+        "ts": [t0, t0, t0, t0 + pd.Timedelta("1h"),
+               t0 + pd.Timedelta("1h"), t0],
+        "event_type": ["a", "b", "a", "b", "a", "b"],
+    }))
+    got = event_precedence(ds, "user_id", "ts", "event_type") \
+        .to_pandas()
+    d = {(r.a, r.b): r.n_users for r in got.itertuples()}
+    assert d == {("a", "b"): 1, ("b", "a"): 1}  # user 1 ties -> absent
+
+
+def test_mrr_group_without_relevant(ray_session):
+    from rdf_mapper_ray.ops.ranking import mrr_by_group
+    cand = ray.data.from_pandas(pd.DataFrame({
+        "grp": [1, 1, 1, 2, 2],
+        "id": [10, 11, 12, 20, 21],
+        "score": [30, 20, 10, 5, 4],
+        "rel": [0, 0, 1, 0, 0],
+    }))
+    got = mrr_by_group(cand, "grp", "id", "score", "rel") \
+        .to_pandas().sort_values("grp").reset_index(drop=True)
+    assert got["first_rel_rank"].tolist() == [3, 0]
+    assert got["rr_micro"].tolist() == [333333, 0]
+    assert got["n_rel"].tolist() == [1, 0]
+
+
+def test_feature_hashing_signs_match_md5(ray_session):
+    from rdf_mapper_ray.ops.tfidf import feature_hashing
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["Foo bar foo", "bar baz"],
+    }))
+    got = feature_hashing(ds, dim=8).to_pandas()
+    h = {t: int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                           "big") for t in ["foo", "bar", "baz"]}
+    want = {}
+    for doc, toks in [(1, ["foo", "bar", "foo"]), (2, ["bar", "baz"])]:
+        for t in toks:
+            b = h[t] % 8
+            s = ((h[t] // 8) % 2) * 2 - 1
+            k = (doc, b)
+            n, ss = want.get(k, (0, 0))
+            want[k] = (n + 1, ss + s)
+    gd = {(r.doc_id, r.bucket): (r.n_tokens, r.signed_sum)
+          for r in got.itertuples()}
+    assert gd == want
+    assert np.abs(got["signed_sum"].to_numpy()).max() <= \
+        got["n_tokens"].max()

@@ -89,7 +89,8 @@ _DRIVER_WINDOW = [
 _NEXT_UP = [
     # new in round-4 session 7 (window already full; locally dtype-exact)
     "date_features", "region_revenue", "bgp_subquery", "rfm_scores",
-    "event_precedence", "mrr", "feature_hashing",
+    "event_precedence", "mrr", "feature_hashing", "mm_frame_sample",
+    "k_anonymity",
     # new in round-4 session 6 (window already full; locally dtype-exact)
     "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
     "hits", "mis_luby", "event_ngrams", "gap_fill",
@@ -477,6 +478,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mrr": ranking.mrr_query,
         # hashing-trick vectorizer (md5 venue, SQL-replayed signs)
         "feature_hashing": tfidf.feature_hashing_query,
+        # video frame-sampling plan (vectorized fan-out, no exchange)
+        "mm_frame_sample": multimodal.mm_frame_sample_query,
+        # k-anonymity equivalence-class audit
+        "k_anonymity": cleaning.k_anonymity_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -726,6 +731,8 @@ def oracle_sql() -> dict[str, str]:
         "event_precedence": windows.EVENT_PRECEDENCE_ORACLE_SQL,
         "mrr": ranking.MRR_ORACLE_SQL,
         "feature_hashing": tfidf.feature_hashing_oracle_sql(),
+        "mm_frame_sample": multimodal.mm_frame_sample_oracle_sql(),
+        "k_anonymity": cleaning.k_anonymity_oracle_sql(),
         "region_revenue": joins.REGION_REVENUE_ORACLE_SQL,
         "bgp_subquery": relational.BGP_SUBQUERY_ORACLE_SQL,
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,

@@ -977,3 +977,54 @@ FROM (SELECT * FROM r WHERE rn_best = 1 AND n >= 2) b
 JOIN (SELECT * FROM r WHERE rn_worst = 1) w USING (source)
 ORDER BY b.source
 """
+
+
+# --- k-anonymity audit ------------------------------------------------------------
+
+
+def k_anonymity(ds: "ray.data.Dataset", quasi_cols: list[str],
+                k: int = 10) -> "ray.data.Dataset":
+    """k-anonymity audit (Sweeney 2002) over a quasi-identifier
+    combination: every equivalence class with its size and a
+    violation flag (n < k means the combo re-identifies to fewer
+    than k individuals — the release-gating privacy check a training
+    corpus runs before shipping user-derived tables).
+
+    Map-side combine (per-batch class counts) before one
+    class-cardinality exchange. -> quasi_cols + (n, is_violating)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(quasi_cols).group_by(
+            quasi_cols, use_threads=False).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(quasi_cols + ["n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = pc.cast(t.column("sum(n)"), pa.int64())
+        cols = {c: t.column(c) for c in quasi_cols}
+        cols["n"] = n
+        cols["is_violating"] = pc.less(n, k)
+        return pa.Table.from_pydict(cols)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(quasi_cols).aggregate(Sum("n")) \
+        .map_batches(finish, batch_format="pyarrow")
+
+
+def k_anonymity_query(sf_dir: str, k: int = 10):
+    ds = read_table(sf_dir, "customer",
+                    columns=["c_nationkey", "c_mktsegment"])
+    return k_anonymity(ds, ["c_nationkey", "c_mktsegment"], k=k)
+
+
+def k_anonymity_oracle_sql(k: int = 10) -> str:
+    return f"""
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+       COUNT(*) AS n,
+       COUNT(*) < {k} AS is_violating
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""

@@ -455,3 +455,74 @@ class AudioSpectral:
             "band_energy": pa.array(bands,
                                     type=pa.list_(pa.float64())),
         })
+
+
+# --- video frame-sampling plan ------------------------------------------------
+
+
+def frame_sample_plan(ds: "ray.data.Dataset", id_col: str,
+                      duration_col: str, stride_ms: int = 500
+                      ) -> "ray.data.Dataset":
+    """Frame-sampling PLAN for video rows: one output row per sampled
+    frame at t = 0, stride, 2·stride, … < duration_ms. This is the
+    fan-out half of a decode stage — the plan rows are what an
+    actor-pool decoder consumes (each task then seeks exactly its
+    (item, t) pairs, so decode parallelism is per-frame, not
+    per-video, and one 10-hour video cannot straggle a whole block).
+
+    Map-side only, zero exchanges; the expansion is vectorized
+    (repeat + arange-minus-offsets, no Python loop).
+    -> (id, frame_idx, t_ms)."""
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        dur = batch.column(duration_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        counts = np.maximum(
+            (dur + stride_ms - 1) // stride_ms, 0).astype(np.int64)
+        total = int(counts.sum())
+        rep = np.repeat(np.arange(len(ids)), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        idx = np.arange(total, dtype=np.int64) - starts[rep]
+        return pa.Table.from_pydict({
+            id_col: pa.array(ids[rep].astype(np.int64)),
+            "frame_idx": pa.array(idx),
+            "t_ms": pa.array(idx * stride_ms),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def mm_frame_sample_query(sf_dir: str, stride_ms: int = 500):
+    """Synthetic per-document video durations (derived
+    deterministically from n_chars, 1-20 s) -> sampled frame grid."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "n_chars"])
+
+    def meta(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "duration_ms": pa.array((n % 20 + 1) * 1000),
+        })
+
+    return frame_sample_plan(ds.map_batches(meta,
+                                            batch_format="pyarrow"),
+                             "doc_id", "duration_ms",
+                             stride_ms=stride_ms)
+
+
+def mm_frame_sample_oracle_sql(stride_ms: int = 500) -> str:
+    # bounded uncorrelated grid + range join: DuckDB 1.0 has no
+    # correlated generate_series (max duration 20 s -> 40 frames)
+    return f"""
+WITH meta AS (
+  SELECT doc_id, (n_chars % 20 + 1) * 1000 AS duration_ms
+  FROM documents
+),
+grid AS (SELECT i FROM range(0, 40) t(i))
+SELECT doc_id, i AS frame_idx,
+       i * {stride_ms} AS t_ms
+FROM meta JOIN grid ON i * {stride_ms} < duration_ms
+ORDER BY doc_id, frame_idx
+"""

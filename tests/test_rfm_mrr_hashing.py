@@ -80,3 +80,31 @@ def test_feature_hashing_signs_match_md5(ray_session):
     assert gd == want
     assert np.abs(got["signed_sum"].to_numpy()).max() <= \
         got["n_tokens"].max()
+
+
+def test_frame_sample_plan_bounds(ray_session):
+    """Frames strictly below duration; ceil count for non-multiples."""
+    from rdf_mapper_ray.ops.multimodal import frame_sample_plan
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "id": [1, 2, 3],
+        "duration_ms": [1000, 1250, 0],
+    }))
+    got = frame_sample_plan(ds, "id", "duration_ms", stride_ms=500) \
+        .to_pandas().sort_values(["id", "frame_idx"])
+    per = got.groupby("id").size().to_dict()
+    assert per == {1: 2, 2: 3}  # id 3 emits nothing
+    assert (got["t_ms"] < got["id"].map(
+        {1: 1000, 2: 1250, 3: 0})).all()
+    assert got[got["id"] == 2]["t_ms"].tolist() == [0, 500, 1000]
+
+
+def test_k_anonymity_flags(ray_session):
+    from rdf_mapper_ray.ops.cleaning import k_anonymity
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "a": [1, 1, 1, 2],
+        "b": ["x", "x", "x", "y"],
+    }))
+    got = k_anonymity(ds, ["a", "b"], k=2).to_pandas() \
+        .sort_values("a").reset_index(drop=True)
+    assert got["n"].tolist() == [3, 1]
+    assert got["is_violating"].tolist() == [False, True]

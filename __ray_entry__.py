@@ -90,7 +90,7 @@ _NEXT_UP = [
     # new in round-4 session 7 (window already full; locally dtype-exact)
     "date_features", "region_revenue", "bgp_subquery", "rfm_scores",
     "event_precedence", "mrr", "feature_hashing", "mm_frame_sample",
-    "k_anonymity",
+    "k_anonymity", "late_events",
     # new in round-4 session 6 (window already full; locally dtype-exact)
     "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
     "hits", "mis_luby", "event_ngrams", "gap_fill",
@@ -482,6 +482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_frame_sample": multimodal.mm_frame_sample_query,
         # k-anonymity equivalence-class audit
         "k_anonymity": cleaning.k_anonymity_query,
+        # streaming watermark lateness (distributed prefix-max)
+        "late_events": timeseries.late_events_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -733,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_hashing": tfidf.feature_hashing_oracle_sql(),
         "mm_frame_sample": multimodal.mm_frame_sample_oracle_sql(),
         "k_anonymity": cleaning.k_anonymity_oracle_sql(),
+        "late_events": timeseries.late_events_oracle_sql(),
         "region_revenue": joins.REGION_REVENUE_ORACLE_SQL,
         "bgp_subquery": relational.BGP_SUBQUERY_ORACLE_SQL,
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,

@@ -651,3 +651,111 @@ SELECT o_orderkey,
        EXTRACT(dow FROM o_orderdate) IN (0, 6) AS is_weekend
 FROM orders ORDER BY o_orderkey
 """
+
+
+# --- streaming watermark lateness ------------------------------------------------
+
+
+def late_events(ds: "ray.data.Dataset", id_col: str = "event_id",
+                ts_col: str = "ts", delay_us: int = 3_600_000_000,
+                num_partitions: int | None = None
+                ) -> "ray.data.Dataset":
+    """Streaming-semantics lateness audit: replaying the table in
+    arrival order (``id_col`` is the monotone arrival sequence), the
+    watermark before event i is ``max(ts of prior events) − delay``
+    and an event is LATE iff its own ts falls strictly below it —
+    the number every windowed-aggregation design needs before picking
+    its allowed-lateness bound.
+
+    Distributed prefix-max without a global sort: arrival ids bucket
+    into CONTIGUOUS ranges (pid = id // span — deterministic, so the
+    two phases agree), per-bucket max-ts partials reduce map-side to
+    one row per bucket and the exclusive running max over buckets
+    (block-count-sized) computes on the driver and broadcasts; ONE
+    hash exchange then co-locates each bucket, which seeds numpy's
+    ``maximum.accumulate`` with its incoming watermark. -> (event_id,
+    is_late, lateness_us)."""
+    from ray.data.aggregate import Max
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+    hi = int(ds.max(id_col))
+    span = max(1, (hi + num_partitions) // num_partitions)
+
+    def bucket_max(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        t = batch.column(ts_col)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        us = t.cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"pid": ids // span, "mx": us}) \
+            .groupby("pid", as_index=False)["mx"].max()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    bm = ds.map_batches(bucket_max, batch_format="pyarrow") \
+        .groupby("pid").aggregate(Max("mx")).to_pandas() \
+        .sort_values("pid")
+    pids = bm["pid"].to_numpy(np.int64)
+    mx = bm["max(mx)"].to_numpy(np.int64)
+    # exclusive prefix max over buckets, keyed by pid
+    LOW = np.int64(-2**62)
+    excl = np.concatenate([[LOW], np.maximum.accumulate(mx)[:-1]])
+    ref = ray.put((pids, excl))
+
+    def route(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        t = batch.column(ts_col)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        us = t.cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.Table.from_pydict({
+            id_col: batch.column(id_col),
+            "t_us": us,
+            "pid": pa.array((ids // span).astype(np.int64)),
+        })
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        all_pids, all_excl = ray.get(ref)
+        g = g.sort_values(id_col)
+        t = g["t_us"].to_numpy(np.int64)
+        pid = int(g["pid"].iloc[0])
+        seed = all_excl[np.searchsorted(all_pids, pid)]
+        # exclusive running max: prior events only
+        prior = np.concatenate([[seed],
+                                np.maximum.accumulate(t)[:-1]])
+        prior = np.maximum(prior, seed)
+        wm = prior - delay_us
+        lateness = np.where(prior == LOW, 0,
+                            np.maximum(wm - t, 0)).astype(np.int64)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(np.int64),
+            "is_late": lateness > 0,
+            "lateness_us": lateness,
+        })
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(scan, batch_format="pandas")
+
+
+def late_events_query(sf_dir: str, delay_us: int = 3_600_000_000):
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+    return late_events(ds, delay_us=delay_us)
+
+
+def late_events_oracle_sql(delay_us: int = 3_600_000_000) -> str:
+    return f"""
+WITH w AS (
+  SELECT event_id, epoch_us(ts) AS t,
+         MAX(epoch_us(ts)) OVER (
+             ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+  FROM events
+)
+SELECT event_id,
+       COALESCE(t < m - {delay_us}, FALSE) AS is_late,
+       CAST(CASE WHEN m IS NULL THEN 0
+                 ELSE GREATEST(m - {delay_us} - t, 0)
+            END AS BIGINT) AS lateness_us
+FROM w ORDER BY event_id
+"""

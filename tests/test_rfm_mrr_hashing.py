@@ -108,3 +108,21 @@ def test_k_anonymity_flags(ray_session):
         .sort_values("a").reset_index(drop=True)
     assert got["n"].tolist() == [3, 1]
     assert got["is_violating"].tolist() == [False, True]
+
+
+def test_late_events_watermark(ray_session):
+    """First event never late; watermark excludes the event itself;
+    bucket seams carry the running max across partitions."""
+    from rdf_mapper_ray.ops.timeseries import late_events
+    t0 = pd.Timestamp("2024-01-01").value // 1000  # us
+    hour = 3_600_000_000
+    ts = pd.to_datetime(np.array(
+        [t0, t0 + 10 * hour, t0 + 2 * hour, t0 + 11 * hour],
+        dtype="int64"), unit="us")
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "event_id": [1, 2, 3, 4], "ts": ts}))
+    got = late_events(ds, delay_us=hour, num_partitions=2) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    # wm before e3 = t0+10h - 1h = t0+9h; e3 at t0+2h -> 7h late.
+    assert got["is_late"].tolist() == [False, False, True, False]
+    assert got["lateness_us"].tolist() == [0, 0, 7 * hour, 0]

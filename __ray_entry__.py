@@ -90,7 +90,7 @@ _NEXT_UP = [
     # new in round-4 session 7 (window already full; locally dtype-exact)
     "date_features", "region_revenue", "bgp_subquery", "rfm_scores",
     "event_precedence", "mrr", "feature_hashing", "mm_frame_sample",
-    "k_anonymity", "late_events",
+    "k_anonymity", "late_events", "cascade_delete",
     # new in round-4 session 6 (window already full; locally dtype-exact)
     "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
     "hits", "mis_luby", "event_ngrams", "gap_fill",
@@ -484,6 +484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": cleaning.k_anonymity_query,
         # streaming watermark lateness (distributed prefix-max)
         "late_events": timeseries.late_events_query,
+        # GDPR cascade-delete impact audit (two-hop semi-join)
+        "cascade_delete": cleaning.cascade_delete_audit,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -736,6 +738,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": multimodal.mm_frame_sample_oracle_sql(),
         "k_anonymity": cleaning.k_anonymity_oracle_sql(),
         "late_events": timeseries.late_events_oracle_sql(),
+        "cascade_delete": cleaning.cascade_delete_oracle_sql(),
         "region_revenue": joins.REGION_REVENUE_ORACLE_SQL,
         "bgp_subquery": relational.BGP_SUBQUERY_ORACLE_SQL,
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,

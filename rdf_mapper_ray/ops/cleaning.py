@@ -1028,3 +1028,90 @@ FROM customer
 GROUP BY c_nationkey, c_mktsegment
 ORDER BY c_nationkey, c_mktsegment
 """
+
+
+# --- GDPR cascade-delete impact audit ----------------------------------------------
+
+
+def cascade_delete_audit(sf_dir: str, modulus: int = 97
+                         ) -> "ray.data.Dataset":
+    """Right-to-erasure impact audit: given a deletion request set
+    (customers with ``c_custkey % modulus == 0`` — the deterministic
+    stand-in for an uploaded key list), count the rows each table
+    loses, INCLUDING the two-hop cascade (lineitem rows die through
+    their parent order, not through a customer key they don't carry).
+
+    Scale shape: the three key-carrying tables count map-side (one
+    tiny sum each, zero exchanges); the cascade hop is a semi-join of
+    lineitem against the deleted-order keys (equi_join's venue
+    dispatch: broadcast under threshold, hash-routed above).
+    -> (tbl, n_total, n_deleted), one row per table."""
+    from rdf_mapper_ray.ops.joins import equi_join
+
+    def direct(table: str, key: str) -> tuple[int, int]:
+        ds = read_table(sf_dir, table, columns=[key])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            k = batch.column(key).to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict({
+                "n": pa.array([len(k)], pa.int64()),
+                "d": pa.array([int((k % modulus == 0).sum())],
+                              pa.int64())})
+
+        agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .sum(["n", "d"])
+        return int(agg["sum(n)"]), int(agg["sum(d)"])
+
+    rows = []
+    for table, key in [("customer", "c_custkey"),
+                       ("orders", "o_custkey"),
+                       ("events", "user_id")]:
+        n, d = direct(table, key)
+        rows.append((table, n, d))
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+    def dead(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(k % modulus == 0)) \
+            .select(["o_orderkey"])
+
+    dead_orders = read_table(sf_dir, "orders",
+                             columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(dead, batch_format="pyarrow")
+    n_li = li.count()
+    d_li = equi_join(li, dead_orders, "l_orderkey", "o_orderkey",
+                     how="semi").count()
+    rows.append(("lineitem", n_li, d_li))
+
+    rows.sort()
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "tbl": pa.array([r[0] for r in rows], pa.string()),
+        "n_total": pa.array([r[1] for r in rows], pa.int64()),
+        "n_deleted": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+
+
+def cascade_delete_oracle_sql(modulus: int = 97) -> str:
+    return f"""
+SELECT * FROM (
+  SELECT 'customer' AS tbl, COUNT(*) AS n_total,
+         CAST(SUM(CASE WHEN c_custkey % {modulus} = 0 THEN 1
+                  ELSE 0 END) AS BIGINT) AS n_deleted
+  FROM customer
+  UNION ALL
+  SELECT 'orders', COUNT(*),
+         CAST(SUM(CASE WHEN o_custkey % {modulus} = 0 THEN 1
+                  ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'events', COUNT(*),
+         CAST(SUM(CASE WHEN user_id % {modulus} = 0 THEN 1
+                  ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'lineitem', COUNT(*),
+         CAST(SUM(CASE WHEN o.o_custkey % {modulus} = 0 THEN 1
+                  ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+) ORDER BY tbl
+"""

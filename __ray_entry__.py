@@ -90,7 +90,7 @@ _NEXT_UP = [
     # new in round-4 session 7 (window already full; locally dtype-exact)
     "date_features", "region_revenue", "bgp_subquery", "rfm_scores",
     "event_precedence", "mrr", "feature_hashing", "mm_frame_sample",
-    "k_anonymity", "late_events", "cascade_delete",
+    "k_anonymity", "late_events", "cascade_delete", "temporal_reach",
     # new in round-4 session 6 (window already full; locally dtype-exact)
     "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
     "hits", "mis_luby", "event_ngrams", "gap_fill",
@@ -486,6 +486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": timeseries.late_events_query,
         # GDPR cascade-delete impact audit (two-hop semi-join)
         "cascade_delete": cleaning.cascade_delete_audit,
+        # time-respecting 2-hop reachability (temporal wedge pass)
+        "temporal_reach": graphs.temporal_reach_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -739,6 +741,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": cleaning.k_anonymity_oracle_sql(),
         "late_events": timeseries.late_events_oracle_sql(),
         "cascade_delete": cleaning.cascade_delete_oracle_sql(),
+        "temporal_reach": graphs.TEMPORAL_REACH_ORACLE_SQL,
         "region_revenue": joins.REGION_REVENUE_ORACLE_SQL,
         "bgp_subquery": relational.BGP_SUBQUERY_ORACLE_SQL,
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,

@@ -4344,3 +4344,129 @@ FROM nodes n LEFT JOIN mutual m ON m.v = n.v
 GROUP BY n.v
 ORDER BY node
 """
+
+
+# --- time-respecting 2-hop reachability ------------------------------------------
+
+
+def temporal_reach(sf_dir: str, num_partitions: int | None = None
+                   ) -> "ray.data.Dataset":
+    """Temporal-network reachability (Holme & Saramäki 2012): part p
+    reaches part p' iff some supplier s carries an in-edge (p, s, t1)
+    and an out-edge (s, p', t2) with t2 ≥ t1 — paths must respect
+    time. Per part: how many DISTINCT other parts it reaches in two
+    hops. Exists-quantification collapses to sufficient statistics —
+    MIN t1 over (p, s) multi-edges, MAX t2 over (s, p') — so
+    multi-edges never ride an exchange.
+
+    Shape: the naive wedge expansion emits Σ_s in·out candidate pairs
+    (measured 30M rows / 28 s at sf0.01) — instead the (s, p2, max t2)
+    out-table is CAP-bounded (PR_PART_CAP parts × suppliers), so it
+    reduces through one small routed exchange and BROADCASTS with each
+    supplier's out-list sorted by t2 descending; per-(p, s) min-t1
+    partials then route ONCE by hash(p), and each part unions its
+    suppliers' reachable PREFIXES (searchsorted + boolean mask over
+    the capped id space) — distinct counting without any pair ever
+    leaving a task. -> (p, n_reach)."""
+    import pyarrow.dataset as pads
+
+    if num_partitions is None:
+        num_partitions = 32
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_shipdate"],
+                    filter=pads.field("l_partkey") <= PR_PART_CAP)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict({
+            "p": batch.column("l_partkey").cast(pa.int64()),
+            "s": batch.column("l_suppkey").cast(pa.int64()),
+            "t_us": batch.column("l_shipdate")
+                .cast(pa.timestamp("us")).cast(pa.int64()),
+        })
+        agg = t.group_by(["p", "s"], use_threads=False).aggregate(
+            [("t_us", "min"), ("t_us", "max")])
+        return agg.rename_columns(["p", "s", "t1", "t2"])
+
+    pairs = li.map_batches(partial, batch_format="pyarrow") \
+        .materialize()
+
+    # out-table: final max t2 per (s, p2), cap-bounded -> broadcast
+    def route_s(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch.column("s").to_pandas(), index=False).to_numpy()
+        return batch.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def out_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["s", "p"], as_index=False)["t2"].max()
+
+    out = pairs.map_batches(route_s, batch_format="pyarrow") \
+        .groupby("pid").map_groups(out_final, batch_format="pandas") \
+        .to_pandas()
+    lut = {}
+    for s_key, grp in out.groupby("s", sort=False):
+        g = grp.sort_values("t2", ascending=False)
+        lut[int(s_key)] = (g["t2"].to_numpy(np.int64),
+                           g["p"].to_numpy(np.int64))
+    ref = ray.put(lut)
+
+    def route_p(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch.column("p").to_pandas(), index=False).to_numpy()
+        return batch.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def count_reach(g: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        g = g.groupby(["p", "s"], as_index=False)["t1"].min()
+        ps, ns = [], []
+        mask = np.zeros(PR_PART_CAP + 1, dtype=bool)
+        for p_key, grp in g.groupby("p", sort=False):
+            touched = []
+            for s_key, t1 in zip(grp["s"].to_numpy(np.int64),
+                                 grp["t1"].to_numpy(np.int64)):
+                t2_desc, p2 = m[int(s_key)]
+                # reachable = the prefix with t2 >= t1
+                k = len(t2_desc) - np.searchsorted(t2_desc[::-1], t1,
+                                                   side="left")
+                if k:
+                    pref = p2[:k]
+                    mask[pref] = True
+                    touched.append(pref)
+            n = int(mask.sum()) - int(mask[p_key])
+            for pref in touched:
+                mask[pref] = False
+            ps.append(int(p_key))
+            ns.append(n)
+        return pd.DataFrame({"p": np.asarray(ps, np.int64),
+                             "n_reach": np.asarray(ns, np.int64)})
+
+    return pairs.map_batches(route_p, batch_format="pyarrow") \
+        .groupby("pid").map_groups(count_reach, batch_format="pandas")
+
+
+def temporal_reach_query(sf_dir: str):
+    return temporal_reach(sf_dir)
+
+
+TEMPORAL_REACH_ORACLE_SQL = f"""
+WITH e_in AS (
+  SELECT l_partkey AS p, l_suppkey AS s,
+         MIN(epoch_us(l_shipdate)) AS t1
+  FROM lineitem WHERE l_partkey <= {PR_PART_CAP}
+  GROUP BY l_partkey, l_suppkey
+),
+e_out AS (
+  SELECT l_suppkey AS s, l_partkey AS p2,
+         MAX(epoch_us(l_shipdate)) AS t2
+  FROM lineitem WHERE l_partkey <= {PR_PART_CAP}
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT p, COUNT(DISTINCT p2) AS n_reach
+FROM e_in JOIN e_out USING (s)
+WHERE t2 >= t1 AND p2 <> p
+GROUP BY p ORDER BY p
+"""

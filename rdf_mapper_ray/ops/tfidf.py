@@ -227,7 +227,11 @@ def feature_hashing(ds: "ray.data.Dataset", text_col: str = "text",
 
     def partial(batch: pa.Table) -> pa.Table:
         tf = _batch_tf(batch, text_col, id_col)
-        h = hash64(tf.column("term").to_pylist(), backend=hash_fn)
+        # md5 is per-string Python: hash each DISTINCT term once per
+        # batch, then gather (vocab ≪ (doc, term) pairs)
+        terms = tf.column("term").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(terms, return_inverse=True)
+        h = hash64(list(uniq), backend=hash_fn)[inv]
         bucket = (h % np.uint64(dim)).astype(np.int64)
         sign = (((h // np.uint64(dim)) % np.uint64(2))
                 .astype(np.int64) * 2 - 1)
@@ -241,12 +245,26 @@ def feature_hashing(ds: "ray.data.Dataset", text_col: str = "text",
         }).groupby(["doc_id", "bucket"], as_index=False).sum()
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    # (doc, bucket)-cardinality group counts degrade Ray's
+    # sort-aggregate (the frequent_pairs lesson): route by hash(doc)
+    # and merge in-task instead
+    num_partitions = _num_partitions(None)
+
+    def route(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.column("doc_id").to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["doc_id", "bucket"], as_index=False).agg(
+            n_tokens=("n_tokens", "sum"),
+            signed_sum=("signed_sum", "sum"))
+
     return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["doc_id", "bucket"]) \
-        .aggregate(Sum("n_tokens"), Sum("signed_sum")) \
-        .map_batches(lambda t: t.rename_columns(
-            ["doc_id", "bucket", "n_tokens", "signed_sum"]),
-            batch_format="pyarrow")
+        .map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(merge, batch_format="pandas")
 
 
 def feature_hashing_query(sf_dir: str, dim: int = 64):

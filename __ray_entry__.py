@@ -91,6 +91,7 @@ _NEXT_UP = [
     "date_features", "region_revenue", "bgp_subquery", "rfm_scores",
     "event_precedence", "mrr", "feature_hashing", "mm_frame_sample",
     "k_anonymity", "late_events", "cascade_delete", "temporal_reach",
+    "bgp_group_concat",
     # new in round-4 session 6 (window already full; locally dtype-exact)
     "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
     "hits", "mis_luby", "event_ngrams", "gap_fill",
@@ -488,6 +489,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cascade_delete": cleaning.cascade_delete_audit,
         # time-respecting 2-hop reachability (temporal wedge pass)
         "temporal_reach": graphs.temporal_reach_query,
+        # SPARQL GROUP_CONCAT (deterministic ordered form)
+        "bgp_group_concat": relational.bgp_group_concat_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -742,6 +745,7 @@ def oracle_sql() -> dict[str, str]:
         "late_events": timeseries.late_events_oracle_sql(),
         "cascade_delete": cleaning.cascade_delete_oracle_sql(),
         "temporal_reach": graphs.TEMPORAL_REACH_ORACLE_SQL,
+        "bgp_group_concat": relational.BGP_GROUP_CONCAT_ORACLE_SQL,
         "region_revenue": joins.REGION_REVENUE_ORACLE_SQL,
         "bgp_subquery": relational.BGP_SUBQUERY_ORACLE_SQL,
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,

@@ -1113,3 +1113,45 @@ def bgp_filter_above_group_avg(triples: "ray.data.Dataset",
         return out.filter(pa.array(keep))
 
     return b.map_batches(filt, batch_format="pyarrow")
+
+
+# --- SPARQL GROUP_CONCAT aggregate ------------------------------------------------
+
+def bgp_group_concat(triples: "ray.data.Dataset",
+                     patterns: list[tuple[str, str, str]],
+                     group_var: str, value_var: str,
+                     separator: str = ",",
+                     num_partitions: Optional[int] = None
+                     ) -> "ray.data.Dataset":
+    """``SELECT ?g (GROUP_CONCAT(?v; separator=S) AS ?vals) GROUP BY
+    ?g`` — pinned to the deterministic ordered form (values sort
+    ascending within the group; SPARQL leaves the order
+    implementation-defined, the oracle replays ``string_agg(v, S
+    ORDER BY v)``). One hash(group) exchange co-locates each group;
+    the per-group join runs once per GROUP (group-cardinality — the
+    exchange already shrank the data), not per row.
+    -> (group_var, n, vals)."""
+    import numpy as np
+    import pandas as pd
+
+    triples, num_partitions = _pin_triples(triples, num_partitions)
+    b = bgp_match(triples, patterns, num_partitions=num_partitions)
+
+    def route(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.column(group_var).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_var, value_var], kind="stable")
+        by = g.groupby(group_var, sort=False)[value_var]
+        out = by.agg(lambda s: separator.join(s))
+        n = by.size()
+        return pd.DataFrame({group_var: out.index.to_numpy(),
+                             "n": n.to_numpy(np.int64),
+                             "vals": out.to_numpy()})
+
+    return b.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(concat, batch_format="pandas")

@@ -270,3 +270,185 @@ FROM c
 WHERE n > 0
 ORDER BY doc_id, chunk_id
 """
+
+
+# --- distributed BPE vocabulary TRAINING -------------------------------------------
+
+
+def _word_counts(ds: "ray.data.Dataset", text_col: str,
+                 num_partitions: int) -> "ray.data.Dataset":
+    """(word, cnt) over lowercased whitespace words — routed in-task
+    merge (word-cardinality group counts degrade Ray's
+    sort-aggregate)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(col, "")), r"\s+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.Table.from_pydict({
+            "word": vc.field("values"),
+            "cnt": vc.field("counts").cast(pa.int64())})
+
+    def route(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.column("word").to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("word", as_index=False)["cnt"].sum()
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(merge, batch_format="pandas")
+
+
+def bpe_train(ds: "ray.data.Dataset", text_col: str = "text",
+              n_merges: int = 20,
+              num_partitions: int | None = None
+              ) -> tuple[list[tuple[str, str]], "ray.data.Dataset"]:
+    """Distributed BPE vocabulary TRAINING (Sennrich et al. 2016,
+    word-level): learn ``n_merges`` merge rules from the corpus. The
+    companion of :func:`tokenize_bpe` — the returned merges feed its
+    encoder directly (same (p1, p2) priority-list format), so
+    train → tokenize composes end-to-end.
+
+    Determinism contract: the merge each round is the pair with the
+    HIGHEST total count, ties broken by (p1, p2) ascending — the rule
+    the pure-Python reference in tests replays.
+
+    Scale shape: the corpus reduces ONCE to the distributed
+    (word, cnt, syms) vocabulary table (web-scale word vocabularies
+    are ~1e8 rows — table-sized, never driver-sized), which then
+    carries every round: per-batch weighted pair counts shrink
+    map-side, route by hash(pair) for in-task final sums, each task
+    emits its top-1 candidate and only P rows reach the driver's
+    argmax; the winning pair broadcasts back into a 1:1 merge map.
+    Each round is one vocab-sized exchange — the corpus is never
+    re-read. Per-round work is O(vocab), per-word Python (words are
+    short; the vocab table is the working set, not the corpus)."""
+    import ray
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    words = _word_counts(ds, text_col, num_partitions)
+
+    def init_syms(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cnt": g["cnt"].to_numpy(np.int64),
+            "syms": [list(w) for w in g["word"]]})
+
+    vocab = words.map_batches(init_syms, batch_format="pandas") \
+        .materialize()
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+            from collections import Counter
+            c: Counter = Counter()
+            for syms, cnt in zip(g["syms"], g["cnt"]):
+                for i in range(len(syms) - 1):
+                    c[(syms[i], syms[i + 1])] += int(cnt)
+            if not c:
+                return pd.DataFrame({"p1": [], "p2": [], "c": []})
+            p1, p2 = zip(*c.keys())
+            return pd.DataFrame({
+                "p1": list(p1), "p2": list(p2),
+                "c": np.fromiter(c.values(), np.int64, len(c))})
+
+        def pair_route(t: pa.Table) -> pa.Table:
+            h = (pd.util.hash_pandas_object(
+                     t.column("p1").to_pandas(), index=False)
+                 .to_numpy()
+                 ^ pd.util.hash_pandas_object(
+                     t.column("p2").to_pandas(), index=False)
+                 .to_numpy())
+            return t.append_column(
+                "pid", pa.array((h % np.uint64(num_partitions))
+                                .astype(np.int64)))
+
+        def task_top1(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby(["p1", "p2"], as_index=False)["c"].sum()
+            s = s.sort_values(["c", "p1", "p2"],
+                              ascending=[False, True, True],
+                              kind="stable")
+            return s.head(1)
+
+        cands = vocab.map_batches(pair_partial, batch_format="pandas") \
+            .map_batches(pair_route, batch_format="pyarrow") \
+            .groupby("pid").map_groups(task_top1,
+                                       batch_format="pandas") \
+            .to_pandas()
+        if cands.empty:
+            break
+        cands = cands.sort_values(["c", "p1", "p2"],
+                                  ascending=[False, True, True],
+                                  kind="stable")
+        best = (str(cands.iloc[0]["p1"]), str(cands.iloc[0]["p2"]))
+        merges.append(best)
+        ref = ray.put(best)
+
+        def apply_merge(g: pd.DataFrame) -> pd.DataFrame:
+            a, b = ray.get(ref)
+            ab = a + b
+            out = []
+            for syms in g["syms"]:
+                syms = list(syms)
+                i, n = 0, len(syms)
+                w = []
+                while i < n:
+                    if (i + 1 < n and syms[i] == a
+                            and syms[i + 1] == b):
+                        w.append(ab)
+                        i += 2
+                    else:
+                        w.append(syms[i])
+                        i += 1
+                out.append(w)
+            return pd.DataFrame({"cnt": g["cnt"].to_numpy(np.int64),
+                                 "syms": out})
+
+        vocab = vocab.map_batches(apply_merge,
+                                  batch_format="pandas").materialize()
+
+    return merges, vocab
+
+
+def bpe_train_reference(texts: list[str], n_merges: int = 20
+                        ) -> list[tuple[str, str]]:
+    """Pure-Python single-process BPE trainer — the test oracle for
+    :func:`bpe_train` (identical count/tie contract)."""
+    from collections import Counter
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update((t or "").lower().split())
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pc_: Counter = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc_[(syms[i], syms[i + 1])] += wc[w]
+        if not pc_:
+            break
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w, syms in vocab.items():
+            i, out = 0, []
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges

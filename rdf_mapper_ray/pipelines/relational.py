@@ -1136,3 +1136,28 @@ FROM u JOIN g USING (nat)
 WHERE u.bal_c * g.n > g.s
 ORDER BY u.nat, u.c
 """
+
+
+# --- SPARQL GROUP_CONCAT: customer roster per nation -----------------------------
+
+def bgp_group_concat_query(sf_dir: str) -> "ray.data.Dataset":
+    """``SELECT ?nat (COUNT(*) AS ?n) (GROUP_CONCAT(?name;
+    separator=",") AS ?vals) WHERE { ?c ex:nation ?nat .
+    ?c ex:name ?name } GROUP BY ?nat`` — deterministic ordered form
+    (values ascending)."""
+    from rdf_mapper_ray.engine.bgp import bgp_group_concat
+    return bgp_group_concat(_customer_graph_cached(sf_dir), [
+        ("?c", f"{_EX}nation", "?nat"),
+        ("?c", f"{_EX}name", "?name"),
+    ], group_var="nat", value_var="name")
+
+
+BGP_GROUP_CONCAT_ORACLE_SQL = """
+SELECT 'http://example.org/nation/' || CAST(c_nationkey AS VARCHAR)
+         AS nat,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       string_agg(c_name, ',' ORDER BY c_name) AS vals
+FROM customer
+GROUP BY c_nationkey
+ORDER BY nat
+"""

@@ -126,3 +126,21 @@ def test_late_events_watermark(ray_session):
     # wm before e3 = t0+10h - 1h = t0+9h; e3 at t0+2h -> 7h late.
     assert got["is_late"].tolist() == [False, False, True, False]
     assert got["lateness_us"].tolist() == [0, 0, 7 * hour, 0]
+
+
+def test_bpe_train_matches_reference(ray_session):
+    """Distributed trainer learns the identical merge list as the
+    pure-Python reference, and its merges drive encode_word."""
+    from rdf_mapper_ray.ops.bpe import (bpe_train, bpe_train_reference,
+                                        encode_word)
+    texts = ["the cat sat on the mat", "the bat and the cat",
+             "mat bat cat hat", "the the the hat sat"] * 3
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+    merges, vocab = bpe_train(ds, n_merges=12, num_partitions=4)
+    want = bpe_train_reference(texts, n_merges=12)
+    assert merges == want
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = encode_word("that", ranks, merges)
+    assert "".join(toks) == "that"
+    # 'the' assembles within the first merges in this corpus
+    assert ("t", "he") in merges[:3]

@@ -91,7 +91,8 @@ _NEXT_UP = [
     "date_features", "region_revenue", "bgp_subquery", "rfm_scores",
     "event_precedence", "mrr", "feature_hashing", "mm_frame_sample",
     "k_anonymity", "late_events", "cascade_delete", "temporal_reach",
-    "bgp_group_concat",
+    "bgp_group_concat", "roc_auc", "interval_coverage",
+    "running_distinct", "scd2_history",
     # new in round-4 session 6 (window already full; locally dtype-exact)
     "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
     "hits", "mis_luby", "event_ngrams", "gap_fill",
@@ -491,6 +492,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_reach": graphs.temporal_reach_query,
         # SPARQL GROUP_CONCAT (deterministic ordered form)
         "bgp_group_concat": relational.bgp_group_concat_query,
+        # exact tie-aware ROC AUC (Mann-Whitney U prefix scan)
+        "roc_auc": ranking.roc_auc_query,
+        # union-of-intervals coverage (gaps-and-islands)
+        "interval_coverage": sessions.interval_coverage_query,
+        # cumulative COUNT(DISTINCT) per user
+        "running_distinct": sessions.running_distinct_query,
+        # SCD type-2 dimension-history build
+        "scd2_history": diff.scd2_history_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -746,6 +755,10 @@ def oracle_sql() -> dict[str, str]:
         "cascade_delete": cleaning.cascade_delete_oracle_sql(),
         "temporal_reach": graphs.TEMPORAL_REACH_ORACLE_SQL,
         "bgp_group_concat": relational.BGP_GROUP_CONCAT_ORACLE_SQL,
+        "roc_auc": ranking.ROC_AUC_ORACLE_SQL,
+        "interval_coverage": sessions.INTERVAL_COVERAGE_ORACLE_SQL,
+        "running_distinct": sessions.RUNNING_DISTINCT_ORACLE_SQL,
+        "scd2_history": diff.SCD2_HISTORY_ORACLE_SQL,
         "region_revenue": joins.REGION_REVENUE_ORACLE_SQL,
         "bgp_subquery": relational.BGP_SUBQUERY_ORACLE_SQL,
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,

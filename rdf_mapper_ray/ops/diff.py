@@ -336,3 +336,67 @@ SELECT * FROM (
               AS BIGINT)
 ) ORDER BY relationship
 """
+
+
+# --- SCD type-2 history build -------------------------------------------------------
+
+def scd2_history(ds: "ray.data.Dataset", key_col: str = "user_id",
+                 ts_col: str = "ts", id_col: str = "event_id",
+                 state_col: str = "event_type") -> "ray.data.Dataset":
+    """Slowly-changing-dimension TYPE 2 build from an event stream:
+    collapse consecutive repeats of each key's state into validity
+    intervals — (key, state, valid_from_us, valid_to_us), the
+    warehouse dimension-history table (Kimball). The OPEN (current)
+    row carries valid_to_us = -1 (int64 sentinel, never NULL — the
+    repo's dtype-exactness contract).
+
+    Venue: sessionize routing (complete keys per partition); inside a
+    partition one vectorized pass — sort by (key, ts, id), grouped
+    shift(1) detects state changes, grouped shift(-1) over the change
+    rows closes each interval."""
+    import pandas as pd
+
+    from rdf_mapper_ray.ops.sessions import _route_by_user
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        from rdf_mapper_ray.ops.sessions import _ts_us
+        g = g.sort_values([key_col, ts_col, id_col], kind="stable")
+        t = _ts_us(g[ts_col])
+        keys = g[key_col].to_numpy()
+        prev = g.groupby(key_col, sort=False)[state_col].shift(1)
+        ch = prev.isna().to_numpy() | (prev.to_numpy()
+                                       != g[state_col].to_numpy())
+        c = pd.DataFrame({key_col: keys[ch],
+                          "state": g[state_col].to_numpy()[ch],
+                          "valid_from_us": t[ch]})
+        nxt = c.groupby(key_col, sort=False)["valid_from_us"].shift(-1)
+        c["valid_to_us"] = nxt.fillna(-1).astype(np.int64).to_numpy()
+        return c
+
+    return _route_by_user(
+        ds.select_columns([key_col, ts_col, id_col, state_col]),
+        key_col).map_groups(part, batch_format="pandas")
+
+
+def scd2_history_query(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    return scd2_history(ds)
+
+
+SCD2_HISTORY_ORACLE_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+         LAG(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS prev
+  FROM events
+),
+ch AS (
+  SELECT user_id, event_type, event_id, t FROM e
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type AS state, t AS valid_from_us,
+       COALESCE(LEAD(t) OVER (PARTITION BY user_id
+           ORDER BY t, event_id), -1) AS valid_to_us
+FROM ch ORDER BY user_id, valid_from_us
+"""

@@ -383,3 +383,136 @@ SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
        n_rel
 FROM agg ORDER BY c_nationkey
 """
+
+
+# --- ROC AUC: exact tie-aware Mann-Whitney U as a distributed prefix scan ---------
+
+def roc_auc(ds: "ray.data.Dataset", score_col: str, label_col: str,
+            num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Exact ROC AUC of an integer score against a 0/1 label — the
+    Mann-Whitney U statistic with midrank tie handling, kept integral
+    end to end: AUC = (#{pos>neg} + ½·#{pos==neg}) / (npos·nneg), so
+    ``u2 = 2·#{pos>neg} + #{pos==neg}`` is an exact int64 and
+    ``auc_e6 = u2·500000 // (npos·nneg)`` (u2·1e6 // 2·npos·nneg as
+    rationals) truncates identically in DuckDB. -> ONE row
+    (npos, nneg, u2, auc_e6).
+
+    Scale shape: the corpus reduces map-side to per-distinct-score
+    (n, npos) partials, hash(score)-routed for in-task merges (score
+    cardinality is table-sized — Ray's sort-aggregate degrades
+    there), then ONE global sort of the distinct-score table; each
+    sorted block emits a 4-number summary (Σnpos, Σnneg and its local
+    u2 term via the within-block negative prefix), and the driver
+    combines O(blocks) rows: with cross-block offset o_b =
+    Σ nneg of earlier blocks, u2 = Σ_b [local_b + 2·o_b·Σnpos_b].
+    Overflow audit: u2 ≤ 2·npos·nneg (n=1e9 rows wraps — this is a
+    whole-corpus scalar metric; shard it per split/day upstream)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict({
+            "sc": batch.column(score_col),
+            "lab": batch.column(label_col),
+        })
+        agg = t.group_by("sc", use_threads=False).aggregate(
+            [("lab", "sum"), ("lab", "count")])
+        return agg.rename_columns(["sc", "npos", "n"])
+
+    def route(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.column("sc").to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("sc", as_index=False)[["npos", "n"]].sum()
+        return pd.DataFrame({
+            "sc": m["sc"].to_numpy(np.int64),
+            "npos": m["npos"].to_numpy(np.int64),
+            "nneg": (m["n"] - m["npos"]).to_numpy(np.int64)})
+
+    srt = ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(merge, batch_format="pandas") \
+        .sort("sc").materialize()
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict({
+                "first_sc": pa.array([], pa.int64()),
+                "sp": pa.array([], pa.int64()),
+                "sn": pa.array([], pa.int64()),
+                "local": pa.array([], pa.int64())})
+        p = t.column("npos").to_numpy(zero_copy_only=False)
+        n = t.column("nneg").to_numpy(zero_copy_only=False)
+        before = np.concatenate([[0], np.cumsum(n)[:-1]])
+        local = int((p * (2 * before + n)).sum())
+        return pa.Table.from_pydict({
+            "first_sc": pa.array([int(t.column("sc")[0].as_py())],
+                                 pa.int64()),
+            "sp": pa.array([int(p.sum())], pa.int64()),
+            "sn": pa.array([int(n.sum())], pa.int64()),
+            "local": pa.array([local], pa.int64())})
+
+    st = srt.map_batches(block_summary, batch_format="pyarrow") \
+        .to_pandas().sort_values("first_sc", kind="stable")
+    offs = np.concatenate([[0], np.cumsum(st["sn"].to_numpy())[:-1]])
+    u2 = int((st["local"].to_numpy()
+              + 2 * offs * st["sp"].to_numpy()).sum())
+    npos, nneg = int(st["sp"].sum()), int(st["sn"].sum())
+    auc_e6 = (u2 * 500000) // (npos * nneg) if npos and nneg else 0
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "npos": pa.array([npos], pa.int64()),
+        "nneg": pa.array([nneg], pa.int64()),
+        "u2": pa.array([u2], pa.int64()),
+        "auc_e6": pa.array([auc_e6], pa.int64())}))
+
+
+def roc_auc_query(sf_dir: str):
+    """Does order price predict 'F' (fulfilled) status? — integer
+    cents score, tie-aware exact AUC."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_totalprice", "o_orderstatus"])
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "sc": pc.cast(pc.round(pc.multiply(
+                batch.column("o_totalprice"), 100.0)), pa.int64()),
+            "lab": pc.cast(pc.equal(batch.column("o_orderstatus"),
+                                    "F"), pa.int64()),
+        })
+
+    return roc_auc(ds.map_batches(shape, batch_format="pyarrow"),
+                   "sc", "lab")
+
+
+ROC_AUC_ORACLE_SQL = """
+WITH s AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS sc,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lab
+  FROM orders
+),
+d AS (
+  SELECT sc, CAST(SUM(lab) AS BIGINT) AS npos,
+         CAST(COUNT(*) - SUM(lab) AS BIGINT) AS nneg
+  FROM s GROUP BY sc
+),
+o AS (
+  SELECT npos, nneg,
+         COALESCE(SUM(nneg) OVER (ORDER BY sc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS cb
+  FROM d
+)
+SELECT CAST(SUM(npos) AS BIGINT) AS npos,
+       CAST(SUM(nneg) AS BIGINT) AS nneg,
+       CAST(SUM(npos * (2 * cb + nneg)) AS BIGINT) AS u2,
+       CAST(SUM(npos * (2 * cb + nneg)) * 500000
+            // (SUM(npos) * SUM(nneg)) AS BIGINT) AS auc_e6
+FROM o
+"""

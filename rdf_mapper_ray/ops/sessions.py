@@ -1238,3 +1238,141 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
 ORDER BY user_id, event_id
 """
+
+
+def _ts_us(s: "pd.Series") -> np.ndarray:
+    """Epoch MICROSECONDS int64 whatever the column's unit — parquet
+    reads land datetime64[us] but from_pandas test inputs are [ns];
+    a raw int64 view of ns silently inflates every duration 1000x."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        s = s.astype("datetime64[us]")
+    return s.to_numpy(np.int64)
+
+
+# --- interval union coverage (gaps-and-islands) ------------------------------------
+
+def interval_coverage(ds: "ray.data.Dataset", user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      duration_us: int = 1_800_000_000
+                      ) -> "ray.data.Dataset":
+    """Union-of-intervals coverage per user: each event opens
+    [ts, ts + duration) and overlapping/touching intervals merge into
+    islands — billing's "total active time" / dedup of overlapping
+    spans. -> (user, n_islands, covered_us), both int64.
+
+    Venue: sessionize routing (complete users per partition); inside a
+    partition ONE vectorized pass over all users — sort by (user, s,
+    e), within-user cummax(e) shifted 1 marks island starts (strict
+    ``s > prev_max`` — half-open intervals, touching spans merge),
+    cumsum of starts is the island id. Tie-stable: equal-s intervals
+    always overlap each other, so island membership is order-free."""
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"u": g[user_col].to_numpy(),
+                          "s": _ts_us(g[ts_col])})
+        g["e"] = g["s"] + duration_us
+        g = g.sort_values(["u", "s", "e"], kind="stable")
+        # int64 fill keeps the shifted cummax integral (a NaN shift
+        # would round-trip epoch values through float64)
+        pmax = g.groupby("u")["e"].cummax().groupby(
+            g["u"].to_numpy()).shift(1, fill_value=-(2 ** 62))
+        new = g["s"] > pmax
+        g["gid"] = new.to_numpy().cumsum()
+        isl = g.groupby(["u", "gid"], as_index=False, sort=False) \
+            .agg(st=("s", "min"), en=("e", "max"))
+        out = isl.assign(span=isl["en"] - isl["st"]) \
+            .groupby("u", as_index=False, sort=False) \
+            .agg(n_islands=("gid", "count"), covered_us=("span", "sum"))
+        return pd.DataFrame({
+            user_col: out["u"].to_numpy(),
+            "n_islands": out["n_islands"].to_numpy(np.int64),
+            "covered_us": out["covered_us"].to_numpy(np.int64)})
+
+    return _route_by_user(
+        ds.select_columns([user_col, ts_col]),
+        user_col).map_groups(part, batch_format="pandas")
+
+
+def interval_coverage_query(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return interval_coverage(ds)
+
+
+INTERVAL_COVERAGE_ORACLE_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + 1800000000 AS e
+  FROM events
+),
+m AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+),
+g AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS gid
+  FROM m
+),
+isl AS (
+  SELECT user_id, gid, MIN(s) AS st, MAX(e) AS en
+  FROM g GROUP BY user_id, gid
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(en - st) AS BIGINT) AS covered_us
+FROM isl GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- running distinct count -----------------------------------------------------
+
+def running_distinct(ds: "ray.data.Dataset", user_col: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     type_col: str = "event_type"
+                     ) -> "ray.data.Dataset":
+    """Cumulative COUNT(DISTINCT type) per user at each event — the
+    windowed-distinct SQL can't express directly (no COUNT(DISTINCT)
+    OVER): mark each (user, type)'s FIRST occurrence by (ts, id)
+    order, running-sum the marks. -> (id, user, n_distinct).
+
+    Venue: sessionize routing; one sort + duplicated() + grouped
+    cumsum per partition, all users vectorized together."""
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col], kind="stable")
+        first = ~g.duplicated([user_col, type_col])
+        n = first.astype(np.int64).groupby(
+            g[user_col].to_numpy()).cumsum()
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(np.int64),
+            user_col: g[user_col].to_numpy(np.int64),
+            "n_distinct": n.to_numpy(np.int64)})
+
+    return _route_by_user(
+        ds.select_columns([user_col, ts_col, id_col, type_col]),
+        user_col).map_groups(part, batch_format="pandas")
+
+
+def running_distinct_query(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    return running_distinct(ds)
+
+
+RUNNING_DISTINCT_ORACLE_SQL = """
+WITH f AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ROW_NUMBER() OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS isfirst
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(isfirst) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_distinct
+FROM f ORDER BY user_id, ts, event_id
+"""

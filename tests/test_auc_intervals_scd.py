@@ -1,0 +1,104 @@
+"""Planted-data units for roc_auc, interval_coverage,
+running_distinct and scd2_history."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def test_roc_auc_ties_and_perfect(ray_session):
+    from rdf_mapper_ray.ops.ranking import roc_auc
+
+    # scores: pos {3, 2, 2}, neg {2, 1, 0}
+    # pairs: #(pos>neg)=7  (3>2,3>1,3>0, 2>1 x2, 2>0 x2)
+    # ties:  #(pos==neg)=2 (2==2 twice) -> u2 = 2*7 + 2 = 16
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "sc": [3, 2, 2, 2, 1, 0],
+        "lab": [1, 1, 1, 0, 0, 0]}))
+    got = roc_auc(ds, "sc", "lab", num_partitions=3).to_pandas()
+    assert got["npos"].tolist() == [3]
+    assert got["nneg"].tolist() == [3]
+    assert got["u2"].tolist() == [16]
+    assert got["auc_e6"].tolist() == [16 * 500000 // 9]
+
+    # perfect separation -> auc_e6 == 1e6
+    ds2 = ray.data.from_pandas(pd.DataFrame({
+        "sc": [10, 9, 1, 0], "lab": [1, 1, 0, 0]}))
+    got2 = roc_auc(ds2, "sc", "lab", num_partitions=2).to_pandas()
+    assert got2["auc_e6"].tolist() == [1_000_000]
+
+
+def test_roc_auc_matches_rank_formula(ray_session):
+    """Random data vs the midrank formula computed with pandas."""
+    from rdf_mapper_ray.ops.ranking import roc_auc
+
+    rng = np.random.RandomState(7)
+    sc = rng.randint(0, 50, size=500)     # heavy ties
+    lab = rng.randint(0, 2, size=500)
+    df = pd.DataFrame({"sc": sc, "lab": lab})
+    got = roc_auc(ray.data.from_pandas(df), "sc", "lab",
+                  num_partitions=4).to_pandas()
+    r = pd.Series(sc).rank(method="average")
+    npos, nneg = int(lab.sum()), int((1 - lab).sum())
+    u = r[lab == 1].sum() - npos * (npos + 1) / 2
+    assert got["u2"].tolist() == [int(round(2 * u))]
+    assert got["auc_e6"].tolist() == [
+        int(round(2 * u)) * 500000 // (npos * nneg)]
+
+
+def test_interval_coverage_islands(ray_session):
+    from rdf_mapper_ray.ops.sessions import interval_coverage
+
+    t0 = pd.Timestamp("2024-01-01")
+    us = lambda m: t0 + pd.Timedelta(minutes=m)
+    # user 1: [0,30) + [10,40) merge; [40,70) TOUCHES (half-open) ->
+    # merges too; [200,230) separate => 2 islands, 70+30 minutes
+    # user 2: one event => 1 island, 30 minutes
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2],
+        "ts": [us(0), us(10), us(40), us(200), us(0)]})
+    got = interval_coverage(ray.data.from_pandas(df)) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert got["n_islands"].tolist() == [2, 1]
+    mins = (got["covered_us"] // 60_000_000).tolist()
+    assert mins == [100, 30]
+
+
+def test_running_distinct_planted(ray_session):
+    from rdf_mapper_ray.ops.sessions import running_distinct
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [1, 1, 1, 2, 2],
+        "ts": [t0 + pd.Timedelta(seconds=s) for s in range(5)],
+        "event_type": ["a", "a", "b", "x", "x"]})
+    got = running_distinct(ray.data.from_pandas(df)) \
+        .to_pandas().sort_values("event_id")
+    assert got["n_distinct"].tolist() == [1, 1, 2, 1, 1]
+
+
+def test_scd2_history_planted(ray_session):
+    from rdf_mapper_ray.ops.diff import scd2_history
+
+    t0 = pd.Timestamp("2024-01-01")
+    sec = lambda s: t0 + pd.Timedelta(seconds=s)
+    # user 1: a a b a -> 3 intervals (a, b, a); user 2: x -> open row
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [1, 1, 1, 1, 2],
+        "ts": [sec(0), sec(1), sec(2), sec(3), sec(9)],
+        "event_type": ["a", "a", "b", "a", "x"]})
+    got = scd2_history(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values(["user_id", "valid_from_us"]).reset_index(drop=True)
+    base = int(sec(0).value // 1000)
+    assert got["state"].tolist() == ["a", "b", "a", "x"]
+    assert got["valid_from_us"].tolist() == [
+        base, base + 2_000_000, base + 3_000_000,
+        int(sec(9).value // 1000)]
+    assert got["valid_to_us"].tolist() == [
+        base + 2_000_000, base + 3_000_000, -1, -1]
+    assert str(got["valid_to_us"].dtype) == "int64"

@@ -92,7 +92,7 @@ _NEXT_UP = [
     "event_precedence", "mrr", "feature_hashing", "mm_frame_sample",
     "k_anonymity", "late_events", "cascade_delete", "temporal_reach",
     "bgp_group_concat", "roc_auc", "interval_coverage",
-    "running_distinct", "scd2_history",
+    "running_distinct", "scd2_history", "snm_pairs",
     # new in round-4 session 6 (window already full; locally dtype-exact)
     "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
     "hits", "mis_luby", "event_ngrams", "gap_fill",
@@ -360,6 +360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": vectors.embedding_gram_query,
         # Jaro-Winkler fuzzy name-matching pairs (blocked, verified)
         "jw_pairs": editdist.jw_pairs_query,
+        # sorted-neighborhood blocking (Hernandez & Stolfo 1995)
+        "snm_pairs": editdist.snm_pairs_query,
         # blocking -> fuzzy link -> CC -> survivorship, one SQL chain
         "entity_resolution": editdist.entity_resolution_query,
         # deterministic md5-rank epoch shuffle (training-data order)
@@ -702,6 +704,7 @@ def oracle_sql() -> dict[str, str]:
         "dag_layers": graphs.dag_layers_oracle_sql(),
         "embedding_gram": vectors.EMBEDDING_GRAM_ORACLE_SQL,
         "jw_pairs": editdist.jw_pairs_oracle_sql(),
+        "snm_pairs": editdist.snm_pairs_oracle_sql(),
         "entity_resolution": editdist.entity_resolution_oracle_sql(),
         "epoch_shuffle": __import__(
             "rdf_mapper_ray.ops.io",

@@ -410,3 +410,98 @@ JOIN canon_id ci USING (label)
 JOIN canon_name cn USING (label)
 ORDER BY entity_id
 """
+
+
+# --- sorted-neighborhood blocking ---------------------------------------------------
+
+def snm_pairs(ds: "ray.data.Dataset", id_col: str, key_col: str,
+              window: int = 3) -> "ray.data.Dataset":
+    """Sorted-Neighborhood Method candidate pairs (Hernández &
+    Stolfo 1995): globally sort by the blocking key, slide a window of
+    ``window`` rows, emit every pair that co-occurs in some window —
+    i.e. all pairs whose dense-rank distance is < window. The classic
+    record-linkage alternative to hash blocking: O(n·w) candidates,
+    catches near-misses that exact blocking splits. -> (a_key, b_key),
+    a_key < b_key, deduped.
+
+    Shape: composition of two existing primitives — the sorted-block
+    PREFIX-SCAN dense rank (epoch_shuffle discipline: per-block counts
+    cumsum on the driver, O(blocks) state, map-only rank pass) and
+    band_self_join on the rank column with eps = window − 1 (ghost
+    replication co-locates cross-block neighbors; no seam special
+    case)."""
+    import ray.data
+
+    from rdf_mapper_ray.ops.joins import band_self_join
+
+    srt = ds.select_columns([id_col, key_col]) \
+        .sort([key_col, id_col]).materialize()
+
+    def stats(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.Table.from_pydict({
+                "first_key": pa.array([], t.schema.field(key_col).type),
+                "first_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())})
+        return pa.Table.from_pydict({
+            "first_key": pa.array([t.column(key_col)[0].as_py()],
+                                  t.schema.field(key_col).type),
+            "first_id": pa.array([t.column(id_col)[0].as_py()],
+                                 pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64())})
+
+    st = srt.map_batches(stats, batch_format="pyarrow").to_pandas()
+    st = st.sort_values(["first_key", "first_id"],
+                        kind="stable").reset_index(drop=True)
+    offs = np.concatenate([[0], np.cumsum(st["n"].to_numpy())[:-1]])
+    lut = {(k, int(i)): int(o) for k, i, o in
+           zip(st["first_key"], st["first_id"], offs)}
+
+    def rank(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.Table.from_pydict({
+                id_col: pa.array([], pa.int64()),
+                "rk": pa.array([], pa.int64())})
+        base = lut[(t.column(key_col)[0].as_py(),
+                    int(t.column(id_col)[0].as_py()))]
+        return pa.Table.from_pydict({
+            id_col: t.column(id_col),
+            "rk": pa.array(
+                base + np.arange(1, t.num_rows + 1, dtype=np.int64))})
+
+    ranked = srt.map_batches(rank, batch_format="pyarrow")
+    return band_self_join(ranked, id_col=id_col, value_col="rk",
+                          eps=window - 1)
+
+
+def snm_pairs_query(sf_dir: str, window: int = 3):
+    """Customers with adjacent account balances (integer cents as the
+    blocking key) — the 'similar financial profile' neighborhood."""
+    ds = read_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_acctbal"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "c_custkey": t.column("c_custkey"),
+            "cents": pc.round(pc.multiply(
+                t.column("c_acctbal"), 100.0)).cast(pa.int64())})
+
+    return snm_pairs(ds.map_batches(cents, batch_format="pyarrow"),
+                     id_col="c_custkey", key_col="cents",
+                     window=window)
+
+
+def snm_pairs_oracle_sql(window: int = 3) -> str:
+    return f"""
+WITH r AS (
+  SELECT c_custkey AS k,
+         ROW_NUMBER() OVER (
+             ORDER BY CAST(round(c_acctbal * 100) AS BIGINT),
+                      c_custkey) AS rk
+  FROM customer
+)
+SELECT LEAST(a.k, b.k) AS a_key, GREATEST(a.k, b.k) AS b_key
+FROM r a JOIN r b
+  ON b.rk > a.rk AND b.rk - a.rk <= {window - 1}
+ORDER BY a_key, b_key
+"""

@@ -102,3 +102,21 @@ def test_scd2_history_planted(ray_session):
     assert got["valid_to_us"].tolist() == [
         base + 2_000_000, base + 3_000_000, -1, -1]
     assert str(got["valid_to_us"].dtype) == "int64"
+
+
+def test_snm_pairs_window(ray_session):
+    """w=3 over 6 sorted rows -> pairs with rank distance <= 2, found
+    across block boundaries (4 input blocks force seams)."""
+    from rdf_mapper_ray.ops.editdist import snm_pairs
+
+    # key order: ids 10(k=1) 30(k=2) 20(k=5) 40(k=9) 60(k=12) 50(k=20)
+    df = pd.DataFrame({"id": [10, 20, 30, 40, 50, 60],
+                       "key": [1, 5, 2, 9, 20, 12]})
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = snm_pairs(ds, id_col="id", key_col="key", window=3) \
+        .to_pandas().sort_values(["a_key", "b_key"]).values.tolist()
+    # sorted ids: 10 30 20 40 60 50; adjacent-within-2 pairs:
+    want = sorted([tuple(sorted(p)) for p in
+                   [(10, 30), (10, 20), (30, 20), (30, 40), (20, 40),
+                    (20, 60), (40, 60), (40, 50), (60, 50)]])
+    assert [tuple(r) for r in got] == want

@@ -160,3 +160,30 @@ def test_boruvka_msf_planted(ray_session):
                        num_partitions=2).to_pandas()
     assert len(got2) == 5 and (10, 11, 7) in set(
         map(tuple, got2[["a", "b", "w"]].to_numpy()))
+
+
+def test_boruvka_venue_equality(ray_session):
+    """Driver Kruskal and distributed Borůvka rounds return the
+    identical forest (unique MSF under distinct weights) — planted
+    square and a random 40-edge graph."""
+    import numpy as np
+    from rdf_mapper_ray.ops.mst import boruvka_msf
+
+    df = pd.DataFrame({
+        "a": [1, 2, 3, 1, 4],
+        "b": [2, 3, 4, 4, 5],
+        "w": [5, 1, 2, 9, 3]})
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 25, 40)
+    b = a + 1 + rng.randint(0, 5, 40)
+    w = rng.permutation(1000)[:40]
+    big = pd.DataFrame({"a": a, "b": b, "w": w}) \
+        .drop_duplicates(["a", "b"])
+    for frame in (df, big):
+        ds = ray.data.from_pandas(frame).repartition(3)
+        drv = boruvka_msf(ds, venue="driver").to_pandas() \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        dst = boruvka_msf(ds, venue="dataset",
+                          num_partitions=2).to_pandas() \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(drv, dst)

@@ -92,7 +92,8 @@ _NEXT_UP = [
     "event_precedence", "mrr", "feature_hashing", "mm_frame_sample",
     "k_anonymity", "late_events", "cascade_delete", "temporal_reach",
     "bgp_group_concat", "roc_auc", "interval_coverage",
-    "running_distinct", "scd2_history", "snm_pairs",
+    "running_distinct", "scd2_history", "snm_pairs", "quota_sample",
+    "nearest_event",
     # new in round-4 session 6 (window already full; locally dtype-exact)
     "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
     "hits", "mis_luby", "event_ngrams", "gap_fill",
@@ -502,6 +503,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": sessions.running_distinct_query,
         # SCD type-2 dimension-history build
         "scd2_history": diff.scd2_history_query,
+        # exact-total largest-remainder quota allocation
+        "quota_sample": cleaning.quota_sample_query,
+        # bidirectional as-of (nearest event by |dt|)
+        "nearest_event": joins.nearest_event_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -762,6 +767,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_coverage": sessions.INTERVAL_COVERAGE_ORACLE_SQL,
         "running_distinct": sessions.RUNNING_DISTINCT_ORACLE_SQL,
         "scd2_history": diff.SCD2_HISTORY_ORACLE_SQL,
+        "quota_sample": cleaning.quota_sample_oracle_sql(),
+        "nearest_event": joins.NEAREST_EVENT_ORACLE_SQL,
         "region_revenue": joins.REGION_REVENUE_ORACLE_SQL,
         "bgp_subquery": relational.BGP_SUBQUERY_ORACLE_SQL,
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,

@@ -1115,3 +1115,120 @@ SELECT * FROM (
   FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
 ) ORDER BY tbl
 """
+
+
+# --- exact-total quota sampling (largest remainder) --------------------------------
+
+def quota_sample(ds: "ray.data.Dataset", group_col: str, id_col: str,
+                 total: int, num_partitions: int | None = None
+                 ) -> "ray.data.Dataset":
+    """Sample EXACTLY ``total`` rows, allocated across groups
+    proportional to group size by the largest-remainder (Hamilton)
+    method — the training-mix shape when the budget is a hard row
+    count, not a rate (weighted_mix's fractions hit quotas only in
+    expectation). quota_g = floor(total·n_g/N) plus +1 for the
+    groups with the largest remainders (ties by group ascending);
+    within a group the md5-rank smallest ids win (deterministic,
+    SQL-replayable). -> (group, id).
+
+    Shape: group counts reduce map-side then merge on the driver
+    (group-cardinality — mixture domains are dozens, not millions);
+    quotas broadcast; the pick is the weighted_sample two-phase —
+    per-block prune to ≤ quota_g rows per group seen, pid-routed
+    finish. If ``total`` exceeds the row count everything is kept."""
+    import ray
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        agg = batch.select([group_col]).group_by(
+            group_col, use_threads=False).aggregate([([], "count_all")])
+        return agg.rename_columns([group_col, "n"])
+
+    c = ds.map_batches(counts, batch_format="pyarrow").to_pandas() \
+        .groupby(group_col, as_index=False)["n"].sum() \
+        .sort_values(group_col).reset_index(drop=True)
+    n = c["n"].to_numpy(np.int64)
+    grand = int(n.sum())
+    fl = (total * n) // grand
+    rem = (total * n) % grand
+    leftover = int(total - fl.sum())
+    order = np.lexsort((np.arange(len(n)), -rem))  # rem desc, grp asc
+    fl[order[:leftover]] += 1
+    quota = dict(zip(c[group_col], (int(q) for q in fl)))
+    qref = ray.put(quota)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        df = batch.select([group_col, id_col]).to_pandas()
+        df["h"] = hash64([str(i) for i in df[id_col]], "md5") \
+            .astype(np.uint64)
+        df = df.sort_values([group_col, "h", id_col], kind="stable")
+        k = df[group_col].map(q).to_numpy(np.int64)
+        keep = df.groupby(group_col, sort=False).cumcount() \
+            .to_numpy() < k
+        df = df[keep]
+        pid = pd.util.hash_pandas_object(df[group_col],
+                                         index=False).to_numpy()
+        df["pid"] = (pid % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(qref)
+        g = g.sort_values([group_col, "h", id_col], kind="stable")
+        k = g[group_col].map(q).to_numpy(np.int64)
+        keep = g.groupby(group_col, sort=False).cumcount() \
+            .to_numpy() < k
+        g = g[keep]
+        return g[[group_col, id_col]]
+
+    return ds.map_batches(prune, batch_format="pyarrow") \
+        .groupby("pid").map_groups(finish, batch_format="pandas")
+
+
+def quota_sample_query(sf_dir: str, total: int = 500):
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source"])
+    return quota_sample(ds, group_col="source", id_col="doc_id",
+                        total=total)
+
+
+def quota_sample_oracle_sql(total: int = 500) -> str:
+    h = MD5_HASH64_SQL.format(col="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source
+),
+t AS (SELECT SUM(n) AS grand FROM c),
+q AS (
+  SELECT source, n,
+         ({total} * n) // grand AS fl,
+         ({total} * n) % grand AS rem
+  FROM c, t
+),
+lo AS (SELECT {total} - SUM(fl) AS leftover FROM q),
+r AS (
+  SELECT source, fl,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+  FROM q
+),
+quota AS (
+  SELECT source,
+         fl + CASE WHEN rk <= (SELECT leftover FROM lo)
+                   THEN 1 ELSE 0 END AS k
+  FROM r
+),
+ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY {h}, doc_id) AS rnk
+  FROM documents
+)
+SELECT ranked.source AS source, doc_id
+FROM ranked JOIN quota ON ranked.source = quota.source
+WHERE rnk <= k
+ORDER BY ranked.source, doc_id
+"""

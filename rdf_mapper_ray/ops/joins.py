@@ -811,3 +811,131 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
 ORDER BY r.r_name
 """
+
+
+# --- nearest-event temporal join ----------------------------------------------------
+
+def nearest_event_join(left: "ray.data.Dataset",
+                       events: "ray.data.Dataset",
+                       key_col: str, left_key: str,
+                       t_col: str, left_t: str,
+                       id_col: str = "event_id",
+                       out_key: str = "o_orderkey",
+                       num_partitions: int | None = None
+                       ) -> "ray.data.Dataset":
+    """BIDIRECTIONAL as-of: for each left row, the single nearest
+    event of the same key by |Δt| — ties broken (|Δt|, ts, id)
+    ascending, i.e. the earlier event, then the smallest id. The
+    companion of asof_join (backward-only); inner semantics (left
+    rows with no events drop). -> (out_key, id, dt_us) with dt_us
+    signed (event − left).
+
+    Shape: one hash(key) co-partition exchange (kind-tagged union,
+    the asof pattern), then per-partition TWO pandas merge_asofs
+    (backward + forward, C-vectorized, by=key) pick candidate
+    timestamps and a (key, ts)→min-id lookup repairs the intra-tie
+    id choice — no per-key Python loop, no quadratic join."""
+    from rdf_mapper_ray.ops.sessions import _ts_us
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(events, 8)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        out = pa.Table.from_pydict({
+            "k": t.column(left_key),
+            "t": pa.array(_ts_us(t.column(left_t).to_pandas())),
+            "id": t.column(out_key),
+            "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+        h = pd.util.hash_pandas_object(
+            out.column("k").to_pandas(), index=False).to_numpy()
+        return out.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def tag_ev(t: pa.Table) -> pa.Table:
+        out = pa.Table.from_pydict({
+            "k": t.column(key_col),
+            "t": pa.array(_ts_us(t.column(t_col).to_pandas())),
+            "id": t.column(id_col),
+            "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+        h = pd.util.hash_pandas_object(
+            out.column("k").to_pandas(), index=False).to_numpy()
+        return out.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["kind"] == 0]
+        ev = g[g["kind"] == 1]
+        if lf.empty or ev.empty:
+            return pd.DataFrame({out_key: pd.array([], dtype="int64"),
+                                 id_col: pd.array([], dtype="int64"),
+                                 "dt_us": pd.array([], dtype="int64")})
+        lf = lf.sort_values("t", kind="stable")[["k", "t", "id"]]
+        ev = ev.sort_values("t", kind="stable")[["k", "t", "id"]] \
+            .rename(columns={"t": "ts", "id": "eid"})
+        kw = dict(left_on="t", right_on="ts", by="k")
+        b = pd.merge_asof(lf, ev[["k", "ts"]], direction="backward",
+                          **kw)["ts"].to_numpy(np.float64)
+        f = pd.merge_asof(lf, ev[["k", "ts"]], direction="forward",
+                          **kw)["ts"].to_numpy(np.float64)
+        t = lf["t"].to_numpy(np.int64).astype(np.float64)
+        db = np.abs(t - b)   # NaN where no backward event
+        df_ = np.abs(f - t)
+        # tie |Δt| -> earlier ts wins, so backward beats forward
+        use_b = ~np.isnan(db) & (np.isnan(df_) | (db <= df_))
+        win_ts = np.where(use_b, b, f)
+        has = ~np.isnan(win_ts)
+        res = pd.DataFrame({
+            out_key: lf["id"].to_numpy(np.int64)[has],
+            "k": lf["k"].to_numpy()[has],
+            "ts": win_ts[has].astype(np.int64),
+            "dt_us": (win_ts[has].astype(np.int64)
+                      - lf["t"].to_numpy(np.int64)[has]),
+        })
+        # (key, ts) -> min event id (sorted-first among equal ts)
+        emin = ev.groupby(["k", "ts"], as_index=False)["eid"].min()
+        res = res.merge(emin, on=["k", "ts"], how="left")
+        return pd.DataFrame({
+            out_key: res[out_key].to_numpy(np.int64),
+            id_col: res["eid"].to_numpy(np.int64),
+            "dt_us": res["dt_us"].to_numpy(np.int64)})
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        events.map_batches(tag_ev, batch_format="pyarrow"))
+    return both.groupby("pid").map_groups(part, batch_format="pandas")
+
+
+def nearest_event_query(sf_dir: str):
+    """Each order's nearest user event in time (orders whose custkey
+    is an event user) — the bidirectional-as-of demo."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate"])
+    events = read_table(sf_dir, "events",
+                        columns=["event_id", "user_id", "ts"])
+    return nearest_event_join(orders, events,
+                              key_col="user_id", left_key="o_custkey",
+                              t_col="ts", left_t="o_orderdate")
+
+
+NEAREST_EVENT_ORACLE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu FROM events
+),
+o AS (
+  SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS ou
+  FROM orders
+),
+j AS (
+  SELECT o_orderkey, event_id, tu - ou AS dt,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey
+             ORDER BY abs(tu - ou), tu, event_id) AS rn
+  FROM o JOIN e ON e.user_id = o.o_custkey
+)
+SELECT o_orderkey, event_id, CAST(dt AS BIGINT) AS dt_us
+FROM j WHERE rn = 1 ORDER BY o_orderkey
+"""

@@ -120,3 +120,52 @@ def test_snm_pairs_window(ray_session):
                    [(10, 30), (10, 20), (30, 20), (30, 40), (20, 40),
                     (20, 60), (40, 60), (40, 50), (60, 50)]])
     assert [tuple(r) for r in got] == want
+
+
+def test_quota_sample_exact_total(ray_session):
+    """Largest-remainder quotas: exact total, proportional per group,
+    remainders resolved by (rem desc, group asc)."""
+    from rdf_mapper_ray.ops.cleaning import quota_sample
+
+    # groups: a=5, b=3, c=2 rows; total budget 7 ->
+    # fl = floor(7*5/10, 7*3/10, 7*2/10) = (3, 2, 1), leftover 1,
+    # rems = (5, 1, 4) -> 'a' gets +1 => (4, 2, 1)
+    df = pd.DataFrame({
+        "g": list("aaaaabbbcc"),
+        "id": list(range(10))})
+    got = quota_sample(ray.data.from_pandas(df).repartition(3),
+                       group_col="g", id_col="id", total=7,
+                       num_partitions=2).to_pandas()
+    sizes = got.groupby("g")["id"].count().to_dict()
+    assert sizes == {"a": 4, "b": 2, "c": 1}
+    assert len(got) == 7
+
+    # budget >= rows keeps everything
+    all_ = quota_sample(ray.data.from_pandas(df), "g", "id", total=10)
+    assert all_.count() == 10
+
+
+def test_nearest_event_tie_rules(ray_session):
+    from rdf_mapper_ray.ops.joins import nearest_event_join
+
+    t0 = pd.Timestamp("2024-01-01")
+    sec = lambda s: t0 + pd.Timedelta(seconds=s)
+    events = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 7, 8],
+        # two events equidistant from t=10 (at 8 and 12): earlier wins;
+        # two events at the SAME ts 8 (ids 1,2): min id wins
+        "ts": [sec(8), sec(8), sec(12), sec(100)]})
+    orders = pd.DataFrame({
+        "o_orderkey": [100, 101, 102],
+        "o_custkey": [7, 8, 9],           # 9 has no events -> drops
+        "o_orderdate": [sec(10), sec(90), sec(0)]})
+    got = nearest_event_join(
+        ray.data.from_pandas(orders), ray.data.from_pandas(events),
+        key_col="user_id", left_key="o_custkey",
+        t_col="ts", left_t="o_orderdate",
+        num_partitions=2).to_pandas().sort_values("o_orderkey") \
+        .reset_index(drop=True)
+    assert got["o_orderkey"].tolist() == [100, 101]
+    assert got["event_id"].tolist() == [1, 4]   # earlier ts, min id
+    assert got["dt_us"].tolist() == [-2_000_000, 10_000_000]

@@ -87,6 +87,9 @@ _DRIVER_WINDOW = [
 # never driver-verified but deferred past the window this round
 # (value+dtype-exact locally, judge-verified in r3) — round-5 leads
 _NEXT_UP = [
+    # new in round-4 session 8 (window already full; locally dtype-exact)
+    "ks_test", "decision_stump", "mutual_info", "psi_drift",
+    "time_rolling", "l_diversity",
     # new in round-4 session 7 (window already full; locally dtype-exact)
     "date_features", "region_revenue", "bgp_subquery", "rfm_scores",
     "event_precedence", "mrr", "feature_hashing", "mm_frame_sample",
@@ -149,7 +152,8 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_mapper_ray.ops import (baskets, bloom, bpe, bucketed,
                                     clusters,
-                                    dedup, diff, distinct, domains,
+                                    dedup, diff, distinct, disttests,
+                                    domains,
                                     editdist, incremental, joins,
                                     multimodal, cleaning, nbayes,
                                     normalize, packing, paragraphs,
@@ -507,6 +511,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_sample": cleaning.quota_sample_query,
         # bidirectional as-of (nearest event by |dt|)
         "nearest_event": joins.nearest_event_query,
+        # session 8: distribution tests + privacy + RANGE windows
+        "ks_test": disttests.ks_test_query,
+        "decision_stump": disttests.decision_stump_query,
+        "mutual_info": disttests.mutual_info_query,
+        "psi_drift": disttests.psi_drift_query,
+        "time_rolling": timeseries.time_rolling_query,
+        "l_diversity": cleaning.l_diversity_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -571,7 +582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from rdf_mapper_ray.ops import (baskets, bloom, bpe, bucketed,
                                     clusters,
-                                    dedup, diff, distinct, domains,
+                                    dedup, diff, distinct, disttests,
+                                    domains,
                                     editdist, incremental, joins,
                                     multimodal, cleaning, nbayes,
                                     normalize, packing, paragraphs,
@@ -769,6 +781,12 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": diff.SCD2_HISTORY_ORACLE_SQL,
         "quota_sample": cleaning.quota_sample_oracle_sql(),
         "nearest_event": joins.NEAREST_EVENT_ORACLE_SQL,
+        "ks_test": disttests.KS_TEST_ORACLE_SQL,
+        "decision_stump": disttests.DECISION_STUMP_ORACLE_SQL,
+        "mutual_info": disttests.MUTUAL_INFO_ORACLE_SQL,
+        "psi_drift": disttests.PSI_DRIFT_ORACLE_SQL,
+        "time_rolling": timeseries.TIME_ROLLING_ORACLE_SQL,
+        "l_diversity": cleaning.l_diversity_oracle_sql(),
         "region_revenue": joins.REGION_REVENUE_ORACLE_SQL,
         "bgp_subquery": relational.BGP_SUBQUERY_ORACLE_SQL,
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,

@@ -1232,3 +1232,88 @@ FROM ranked JOIN quota ON ranked.source = quota.source
 WHERE rnk <= k
 ORDER BY ranked.source, doc_id
 """
+
+
+# --- l-diversity audit (Machanavajjhala et al. 2007) --------------------------------
+
+
+def l_diversity(ds: "ray.data.Dataset", quasi_cols: list[str],
+                sensitive_col: str, l: int = 3,
+                num_partitions: int | None = None
+                ) -> "ray.data.Dataset":
+    """Distinct l-diversity audit, the companion gate to k_anonymity:
+    every quasi-identifier equivalence class with its row count, its
+    number of DISTINCT sensitive values, and a violation flag
+    (l_distinct < l means an attacker who locates the class learns
+    the sensitive attribute almost surely). -> quasi_cols +
+    (n, l_distinct, is_violating).
+
+    Scale shape: per-batch partials shrink blocks to distinct
+    (quasi, sensitive) triples with counts FIRST, so the one
+    hash(quasi) exchange carries class x sensitive cardinality, never
+    rows; the per-partition finish is a vectorized pandas groupby."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(quasi_cols + [sensitive_col]).group_by(
+            quasi_cols + [sensitive_col], use_threads=False).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(quasi_cols + [sensitive_col, "cnt"])
+
+    def route(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.select(quasi_cols).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(quasi_cols + [sensitive_col],
+                      as_index=False)["cnt"].sum()
+        out = m.groupby(quasi_cols, as_index=False).agg(
+            n=("cnt", "sum"), l_distinct=(sensitive_col, "size"))
+        out["n"] = out["n"].astype(np.int64)
+        out["l_distinct"] = out["l_distinct"].astype(np.int64)
+        out["is_violating"] = out["l_distinct"] < l
+        return out
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(finish, batch_format="pandas")
+
+
+def l_diversity_query(sf_dir: str, l: int = 3):
+    """Does knowing an order's (priority, status) pin down its price
+    band? — price band = cents // 5_000_000 ($50k) is the sensitive
+    attribute stand-in."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_orderstatus",
+                             "o_totalprice"])
+
+    def band(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("o_totalprice"), 100.0)), pa.int64())
+        return pa.Table.from_pydict({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "o_orderstatus": batch.column("o_orderstatus"),
+            "band": pc.cast(pc.divide(cents, 5_000_000), pa.int64())})
+
+    return l_diversity(ds.map_batches(band, batch_format="pyarrow"),
+                       ["o_orderpriority", "o_orderstatus"], "band",
+                       l=l)
+
+
+def l_diversity_oracle_sql(l: int = 3) -> str:
+    return f"""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)
+                           // 5000000) AS BIGINT) AS l_distinct,
+       COUNT(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)
+             // 5000000) < {l} AS is_violating
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+ORDER BY o_orderpriority, o_orderstatus
+"""

@@ -1,0 +1,168 @@
+"""Distribution tests / split audits: exact KS, misclassification
+stump, mutual information, PSI drift, interval RANGE rolling sums,
+l-diversity — each against a brute-force pure-python reference on
+multi-block synthetic data (ties and block seams exercised)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _two_col(vals, flags):
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "v": pa.array(vals, pa.int64()),
+        "f": pa.array(flags, pa.int64())}))
+
+
+def _brute_ks(vals, flags):
+    a = sorted(v for v, f in zip(vals, flags) if f == 0)
+    b = sorted(v for v, f in zip(vals, flags) if f == 1)
+    best = (-1, None)
+    for v in sorted(set(vals)):
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        d = abs(len(b) * ca - len(a) * cb)
+        if d > best[0]:
+            best = (d, v)
+    return len(a), len(b), best[0], best[1]
+
+
+def test_ks_exact_with_ties(ray_session):
+    from rdf_mapper_ray.ops.disttests import ks_test
+    rng = np.random.RandomState(7)
+    vals = list(rng.randint(0, 25, size=400))          # heavy ties
+    flags = list((rng.rand(400) < 0.4).astype(int))
+    out = ks_test(_two_col(vals, flags).repartition(7), "v", "f",
+                  num_partitions=3).to_pandas()
+    n_a, n_b, d_num, at_v = _brute_ks(vals, flags)
+    assert int(out["n_a"][0]) == n_a and int(out["n_b"][0]) == n_b
+    assert int(out["d_num"][0]) == d_num
+    assert int(out["at_v"][0]) == at_v
+    assert int(out["d_e6"][0]) == d_num * 1_000_000 // (n_a * n_b)
+
+
+def test_ks_identical_distributions_zero(ray_session):
+    from rdf_mapper_ray.ops.disttests import ks_test
+    vals = [1, 2, 3, 1, 2, 3]
+    flags = [0, 0, 0, 1, 1, 1]
+    out = ks_test(_two_col(vals, flags), "v", "f").to_pandas()
+    assert int(out["d_num"][0]) == 0
+    assert int(out["at_v"][0]) == 1  # tie broken to the smallest v
+
+
+def _brute_stump(vals, flags):
+    P, N = sum(flags), len(flags) - sum(flags)
+    best = (P + N + 1, None)
+    for t in sorted(set(vals)):
+        pl = sum(1 for v, f in zip(vals, flags) if v <= t and f == 1)
+        nl = sum(1 for v, f in zip(vals, flags) if v <= t and f == 0)
+        e = min(pl, nl) + min(P - pl, N - nl)
+        if e < best[0]:
+            best = (e, t)
+    return best[1], best[0], P, N
+
+
+def test_stump_finds_separating_threshold(ray_session):
+    from rdf_mapper_ray.ops.disttests import decision_stump
+    # perfectly separable at v <= 9
+    vals = list(range(20))
+    flags = [1] * 10 + [0] * 10
+    out = decision_stump(_two_col(vals, flags).repartition(5),
+                         "v", "f", num_partitions=2).to_pandas()
+    assert int(out["errors"][0]) == 0
+    assert int(out["threshold"][0]) == 9
+
+
+def test_stump_matches_brute_force(ray_session):
+    from rdf_mapper_ray.ops.disttests import decision_stump
+    rng = np.random.RandomState(11)
+    vals = list(rng.randint(0, 40, size=300))
+    flags = list((rng.rand(300) < (np.array(vals) / 60.0))
+                 .astype(int))
+    out = decision_stump(_two_col(vals, flags).repartition(6),
+                         "v", "f", num_partitions=3).to_pandas()
+    t, e, P, N = _brute_stump(vals, flags)
+    assert int(out["threshold"][0]) == t
+    assert int(out["errors"][0]) == e
+    assert int(out["n_pos"][0]) == P and int(out["n_neg"][0]) == N
+
+
+def test_mutual_info_independent_vs_dependent(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.disttests import mutual_info
+
+    def make(xs, ys):
+        return ray.data.from_arrow(pa.table({
+            "x": pa.array(xs), "y": pa.array(ys)})).repartition(4)
+
+    # y == x: MI = H(X) -> mi_term_sum = sum n_x*(q(n_x)+q(n)-2q(n_x))
+    xs = ["a"] * 6 + ["b"] * 2
+    out = mutual_info(make(xs, xs), "x", "y").to_pandas()
+    q = lambda k: int(np.floor(np.log(k) * 1000.0 + 0.5))
+    expect = 6 * (q(6) + q(8) - 2 * q(6)) + 2 * (q(2) + q(8) - 2 * q(2))
+    assert int(out["mi_term_sum"][0]) == expect
+    # independent uniform grid: every pmi term is exactly 0
+    xs = ["a", "a", "b", "b"] * 3
+    ys = ["u", "v"] * 6
+    out = mutual_info(make(xs, ys), "x", "y").to_pandas()
+    assert int(out["mi_term_sum"][0]) == 0
+    assert int(out["n_cells"][0]) == 4
+
+
+def test_psi_drift_hand_case(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.disttests import psi_drift
+    # split a: bins 0x4, 1x4; split b: bins 0x2, 1x6, 2x1 (2 one-sided)
+    bins = [0] * 4 + [1] * 4 + [0] * 2 + [1] * 6 + [2]
+    fl = [0] * 8 + [1] * 9
+    out = psi_drift(ray.data.from_arrow(pa.table({
+        "bin": pa.array(bins, pa.int64()),
+        "f": pa.array(fl, pa.int64())})).repartition(3),
+        "bin", "f").to_pandas()
+    assert list(out["bin"]) == [0, 1]  # bin 2 is one-sided, excluded
+    q = lambda k: int(np.floor(np.log(k) * 1000.0 + 0.5))
+    r0 = out.iloc[0]
+    assert (int(r0["pa_micro"]), int(r0["pb_micro"])) == (
+        4 * 1_000_000 // 8, 2 * 1_000_000 // 9)
+    assert int(r0["lr_milli"]) == q(4) + q(9) - q(2) - q(8)
+    assert int(r0["term_nano"]) == (
+        (int(r0["pa_micro"]) - int(r0["pb_micro"]))
+        * int(r0["lr_milli"]))
+
+
+def test_time_rolling_range_semantics(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.timeseries import time_rolling
+    # user 1: ts ties at t=100 — RANGE frame includes BOTH peers for
+    # both rows; t=4000 falls outside the 3600s window of t=100
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = [(1, 0, 1, 10), (2, 100, 1, 20), (3, 100, 1, 30),
+            (4, 3700, 1, 40), (5, 50, 2, 7)]
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + np.timedelta64(r[1] * 1_000_000, "us")
+                        for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "cents": pa.array([r[3] for r in rows], pa.int64())}))
+    out = time_rolling(ds.repartition(3), "user_id", "ts", "event_id",
+                       "cents", num_partitions=2).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    # event 4's window is [100, 3700]: the t=0 row is outside, the
+    # boundary rows at exactly t-w=100 are inside (RANGE is inclusive)
+    assert list(out["roll_cents"]) == [10, 60, 60, 90, 7]
+    assert list(out["n_window"]) == [1, 3, 3, 3, 1]
+
+
+def test_l_diversity_flags(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.cleaning import l_diversity
+    ds = ray.data.from_arrow(pa.table({
+        "qa": pa.array(["x", "x", "x", "y", "y"]),
+        "s": pa.array([1, 2, 3, 5, 5], pa.int64())})).repartition(3)
+    out = l_diversity(ds, ["qa"], "s", l=3,
+                      num_partitions=2).to_pandas() \
+        .sort_values("qa").reset_index(drop=True)
+    assert list(out["l_distinct"]) == [3, 1]
+    assert list(out["is_violating"]) == [False, True]
+    assert list(out["n"]) == [3, 2]

@@ -89,7 +89,7 @@ _DRIVER_WINDOW = [
 _NEXT_UP = [
     # new in round-4 session 8 (window already full; locally dtype-exact)
     "ks_test", "decision_stump", "mutual_info", "psi_drift",
-    "time_rolling", "l_diversity",
+    "time_rolling", "l_diversity", "katz", "distance_hist",
     # new in round-4 session 7 (window already full; locally dtype-exact)
     "date_features", "region_revenue", "bgp_subquery", "rfm_scores",
     "event_precedence", "mrr", "feature_hashing", "mm_frame_sample",
@@ -518,6 +518,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_drift": disttests.psi_drift_query,
         "time_rolling": timeseries.time_rolling_query,
         "l_diversity": cleaning.l_diversity_query,
+        "katz": graphs.katz_query,
+        "distance_hist": graphs.distance_hist_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -787,6 +789,8 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": disttests.PSI_DRIFT_ORACLE_SQL,
         "time_rolling": timeseries.TIME_ROLLING_ORACLE_SQL,
         "l_diversity": cleaning.l_diversity_oracle_sql(),
+        "katz": graphs.katz_oracle_sql(),
+        "distance_hist": graphs.distance_hist_oracle_sql(),
         "region_revenue": joins.REGION_REVENUE_ORACLE_SQL,
         "bgp_subquery": relational.BGP_SUBQUERY_ORACLE_SQL,
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,

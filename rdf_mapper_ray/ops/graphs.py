@@ -4470,3 +4470,202 @@ FROM e_in JOIN e_out USING (s)
 WHERE t2 >= t1 AND p2 <> p
 GROUP BY p ORDER BY p
 """
+
+
+# --- Katz centrality (integer-exact, fixed rounds) ---------------------------------
+
+_KATZ_SCALE = 1_000_000
+
+
+def katz_int(edges: "ray.data.Dataset", rounds: int = 3
+             ) -> "ray.data.Dataset":
+    """Integer-exact Katz centrality (Katz 1953) over an undirected
+    (a, b) edge Dataset with attenuation α = 1/2 and β = S = 10⁶,
+    unnormalized (ranks are the contract, like pagerank_int):
+
+        q_0(v)      = S
+        q_{k+1}(v)  = S + (Σ_{u~v} q_k(u)) // 2
+
+    One floor of the TOTAL neighbor sum per node per round keeps every
+    step int64 and order-free — bit-identical under any partitioning,
+    so the SQL oracle unrolls it exactly. Unlike PageRank there is no
+    out-degree division: hubs accumulate raw neighbor mass (that IS
+    Katz's semantics — walks, not probability).
+
+    Venue: the zero-exchange broadcast loop (node-sized rank array via
+    ray.put, per-edge-block partial sums, driver np.add.at finish) —
+    same contract as pagerank_int's broadcast venue; past broadcast
+    scale the two-exchange co-partition venue applies unchanged (the
+    adjacency needs no degree column at all). Overflow audit:
+    q_k ≤ S·(d_max/2)^k — at rounds=3 wraps past d_max ≈ 4·10⁴; scale
+    S down or shard the hub before that. Output: (node, q)."""
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        a = batch.column(batch.column_names[0]).to_numpy(
+            zero_copy_only=False)
+        b = batch.column(batch.column_names[1]).to_numpy(
+            zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "src": pa.array(np.concatenate([a, b])),
+            "dst": pa.array(np.concatenate([b, a]))})
+
+    und = edges.map_batches(undirect, batch_format="pyarrow") \
+        .materialize()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({"node": pa.array(np.unique(src))})
+
+    nodes = np.unique(np.concatenate(
+        [b.to_pandas()["node"].to_numpy(np.int64) for b in
+         und.map_batches(node_partial, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")]))
+    q = np.full(len(nodes), _KATZ_SCALE, dtype=np.int64)
+
+    for _ in range(rounds):
+        ref = ray.put(q)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            qq = ray.get(ref)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            out = pd.DataFrame({
+                "node": dst, "c": qq[np.searchsorted(nodes, src)]})
+            out = out.groupby("node", as_index=False)["c"].sum()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        parts = pd.concat(
+            b.to_pandas() for b in und.map_batches(
+                contrib, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"))
+        s = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(s, np.searchsorted(
+            nodes, parts["node"].to_numpy(np.int64)),
+            parts["c"].to_numpy(np.int64))
+        q = _KATZ_SCALE + s // 2
+
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "node": pa.array(nodes, pa.int64()),
+        "q": pa.array(q, pa.int64())}))
+
+
+def katz_query(sf_dir: str, rounds: int = 3):
+    """Katz centrality over the bipartite part–supplier graph (same
+    derivation as pagerank)."""
+    return katz_int(partsupp_edges(sf_dir), rounds=rounds)
+
+
+def katz_oracle_sql(rounds: int = 3) -> str:
+    ctes = [f"""e0 AS (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem WHERE l_partkey <= {PR_PART_CAP}
+),
+e AS (SELECT a AS src, b AS dst FROM e0
+      UNION ALL SELECT b, a FROM e0),
+q0 AS (SELECT DISTINCT src AS node,
+              CAST({_KATZ_SCALE} AS BIGINT) AS q FROM e)"""]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""q{k} AS MATERIALIZED (
+  SELECT e.dst AS node,
+         CAST({_KATZ_SCALE} + SUM(qp.q) // 2 AS BIGINT) AS q
+  FROM e JOIN q{k-1} qp ON e.src = qp.node
+  GROUP BY e.dst
+)""")
+    return "WITH " + ",\n".join(ctes) + \
+        f"\nSELECT node, q FROM q{rounds} ORDER BY node\n"
+
+
+# --- shortest-path distance histogram (distance distribution) ----------------------
+
+
+def distance_hist(edges: "ray.data.Dataset", max_levels: int = 12,
+                  num_partitions: int | None = None,
+                  fwd: "ray.data.Dataset" = None
+                  ) -> "ray.data.Dataset":
+    """Histogram of all-pairs shortest-path distances (the distance
+    distribution — diameter, median distance and the "effective
+    diameter" d90 all read off it). Counts ORDERED reachable (src,
+    node) pairs per distance, INCLUDING the n d=0 self-pairs; pairs
+    further apart than max_levels (or disconnected) don't appear —
+    per-component semantics like eccentricity. -> (dist, n_pairs).
+
+    Reads the shared MS-BFS forward pool (one (node, src, dist) row
+    per reached pair, each living in node's partition), shrinks each
+    partition block to ≤ max_levels+1 partial rows, and the
+    level-bounded cell table finishes driver-side."""
+    if fwd is None:
+        if num_partitions is None:
+            num_partitions = _msbfs_partitions()
+        pool = _msbfs_forward_pool(edges, max_levels, num_partitions)
+        fwd = pool.collect()
+        pool.shutdown()
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("dist").to_numpy(zero_copy_only=False)
+        v, c = np.unique(d, return_counts=True)
+        return pa.Table.from_pydict({
+            "dist": pa.array(v.astype(np.int64)),
+            "n": pa.array(c.astype(np.int64))})
+
+    cells = pd.concat(
+        b.to_pandas() for b in fwd.map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow")) \
+        .groupby("dist", as_index=False)["n"].sum().sort_values("dist")
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "dist": pa.array(cells["dist"].to_numpy(np.int64), pa.int64()),
+        "n_pairs": pa.array(cells["n"].to_numpy(np.int64),
+                            pa.int64())}))
+
+
+def distance_hist_query(sf_dir: str, threshold: float = 0.3,
+                        max_levels: int = 12):
+    """Distance distribution of the embedding near-dup graph — shares
+    the forward MS-BFS cache with stress_centrality/eccentricity."""
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+    return distance_hist(
+        pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
+        max_levels=max_levels,
+        fwd=_MSBFS_FWD_CACHE.get((sf_dir, threshold, max_levels)))
+
+
+def distance_hist_oracle_sql(threshold: float = 0.3,
+                             max_levels: int = 12) -> str:
+    L = max_levels
+    parts = [f"""e0 AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding)
+        >= {threshold}
+),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS other FROM e0
+  UNION ALL SELECT b, a FROM e0),
+nodes AS (SELECT DISTINCT node FROM adj),
+f0 AS (SELECT node AS src, node, CAST(1 AS BIGINT) AS sigma
+       FROM nodes),
+s0 AS (SELECT src, node FROM f0)"""]
+    for k in range(1, L + 1):
+        parts.append(f"""f{k} AS MATERIALIZED (
+  SELECT f.src, a.other AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+  FROM f{k-1} f JOIN adj a ON a.node = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM s{k-1} s
+                    WHERE s.src = f.src AND s.node = a.other)
+  GROUP BY f.src, a.other
+),
+s{k} AS MATERIALIZED (
+  SELECT src, node FROM s{k-1}
+  UNION ALL SELECT src, node FROM f{k}
+)""")
+    dists = " UNION ALL ".join(
+        f"SELECT node, {k} AS d FROM f{k}" for k in range(0, L + 1))
+    return ("WITH " + ",\n".join(parts) + f""",
+dists AS ({dists})
+SELECT CAST(d AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM dists GROUP BY d ORDER BY dist
+""")

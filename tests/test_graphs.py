@@ -450,3 +450,39 @@ def test_clustering_coeff_planted(ray_session):
         "n_tri": [3, 3, 3, 3, 0],
         "lcc_micro": [1_000_000, 1_000_000, 1_000_000, 500_000, 0]})
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_katz_hand_case(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import katz_int, _KATZ_SCALE
+    # path graph 1-2-3: pure-python reference of the integer recurrence
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, 2], pa.int64()),
+        "b": pa.array([2, 3], pa.int64())})).repartition(2)
+    out = katz_int(edges, rounds=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    adj = {1: [2], 2: [1, 3], 3: [2]}
+    q = {n: _KATZ_SCALE for n in adj}
+    for _ in range(3):
+        q = {n: _KATZ_SCALE + sum(q[u] for u in adj[n]) // 2
+             for n in adj}
+    assert list(out["node"]) == [1, 2, 3]
+    assert list(out["q"]) == [q[1], q[2], q[3]]
+    assert q[2] > q[1]  # the middle node dominates
+
+
+def test_distance_hist_path_graph(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import distance_hist
+    # path 0-1-2-3: pair counts per distance are 4/6/4/2 (ordered,
+    # self-pairs included at d=0)
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array([0, 1, 2], pa.int64()),
+        "b": pa.array([1, 2, 3], pa.int64())})).repartition(2)
+    out = distance_hist(edges, max_levels=5, num_partitions=2) \
+        .to_pandas().sort_values("dist").reset_index(drop=True)
+    assert list(out["dist"]) == [0, 1, 2, 3]
+    assert list(out["n_pairs"]) == [4, 6, 4, 2]

@@ -90,6 +90,7 @@ _NEXT_UP = [
     # new in round-4 session 8 (window already full; locally dtype-exact)
     "ks_test", "decision_stump", "mutual_info", "psi_drift",
     "time_rolling", "l_diversity", "katz", "distance_hist",
+    "holt", "zipf_fit", "rdfs_entail",
     # new in round-4 session 7 (window already full; locally dtype-exact)
     "date_features", "region_revenue", "bgp_subquery", "rfm_scores",
     "event_precedence", "mrr", "feature_hashing", "mm_frame_sample",
@@ -156,7 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     domains,
                                     editdist, incremental, joins,
                                     multimodal, cleaning, nbayes,
-                                    normalize, packing, paragraphs,
+                                    normalize, ontology, packing,
+                                    paragraphs,
                                     quantiles, graphs, kmeans,
                                     ranking,
                                     retrieval, rollup, semdedup,
@@ -520,6 +522,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diversity": cleaning.l_diversity_query,
         "katz": graphs.katz_query,
         "distance_hist": graphs.distance_hist_query,
+        "holt": timeseries.holt_query,
+        "zipf_fit": topk.zipf_fit_query,
+        "rdfs_entail": ontology.rdfs_entail_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -588,7 +593,8 @@ def oracle_sql() -> dict[str, str]:
                                     domains,
                                     editdist, incremental, joins,
                                     multimodal, cleaning, nbayes,
-                                    normalize, packing, paragraphs,
+                                    normalize, ontology, packing,
+                                    paragraphs,
                                     quantiles, graphs, kmeans,
                                     ranking,
                                     retrieval, rollup, semdedup,
@@ -791,6 +797,9 @@ def oracle_sql() -> dict[str, str]:
         "l_diversity": cleaning.l_diversity_oracle_sql(),
         "katz": graphs.katz_oracle_sql(),
         "distance_hist": graphs.distance_hist_oracle_sql(),
+        "holt": timeseries.HOLT_ORACLE_SQL,
+        "zipf_fit": topk.zipf_fit_oracle_sql(),
+        "rdfs_entail": ontology.RDFS_ENTAIL_ORACLE_SQL,
         "region_revenue": joins.REGION_REVENUE_ORACLE_SQL,
         "bgp_subquery": relational.BGP_SUBQUERY_ORACLE_SQL,
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,

@@ -857,3 +857,114 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
+
+
+# --- Holt linear (double exponential) smoothing --------------------------------------
+
+
+def _tdiv2(x: np.int64 | int) -> int:
+    """Truncating division by 2 — DuckDB's ``//`` truncates toward
+    zero (-7//2 = -3) while Python floors (-4); the trend state can
+    go negative, so the engine must truncate to match the oracle
+    (same lesson as gap_fill's interpolation)."""
+    x = int(x)
+    return -((-x) // 2) if x < 0 else x // 2
+
+
+def holt_linear(ds: "ray.data.Dataset", user_col: str, ts_col: str,
+                id_col: str, value_col: str,
+                num_partitions: int | None = None
+                ) -> "ray.data.Dataset":
+    """Holt's double exponential smoothing (level + trend, α = β =
+    1/2) over each user's time-ordered stream, in exact integers with
+    TRUNCATING halves so a recursive-CTE oracle replays it row by
+    row:
+
+        l_1 = v_1,  b_1 = 0
+        l_i = tdiv2(v_i + l_{i-1} + b_{i-1})
+        b_i = tdiv2(b_{i-1} + (l_i - l_{i-1}))
+
+    and the one-step-ahead forecast ``fc_i = l_i + b_i``. v in cents;
+    every state is int64 (audit: |l| ≤ max cents, |b| ≤ max cents —
+    no growth). The fold is inherently sequential per user (ewma_half's
+    contract); users co-partition by hash and each task folds its
+    complete users with a NumPy object-ufunc accumulate over (l, b)
+    tuple states. -> (user, event_id, v_c, level_c, trend_c, fc_c)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([user_col, ts_col, id_col, value_col])
+        v = np.rint(t.column(value_col)
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = t.drop_columns([value_col]).append_column(
+            "v", pa.array(v))
+        pid = pd.util.hash_pandas_object(
+            t.column(user_col).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        def _step(s, v):
+            l0, b0 = s
+            l1 = _tdiv2(v + l0 + b0)
+            b1 = _tdiv2(b0 + (l1 - l0))
+            return (l1, b1)
+
+        _fold = np.frompyfunc(_step, 2, 1)
+        g = g.sort_values([user_col, ts_col, id_col],
+                          kind="mergesort").reset_index(drop=True)
+        v = g["v"].to_numpy()
+        starts = np.flatnonzero(np.r_[
+            True, g[user_col].to_numpy()[1:]
+            != g[user_col].to_numpy()[:-1]])
+        bounds = np.append(starts, len(g))
+        lev = np.empty(len(g), dtype=np.int64)
+        trd = np.empty(len(g), dtype=np.int64)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            seg = v[a:b].astype(object)
+            seg[0] = (int(v[a]), 0)          # initial (l, b) state
+            acc = _fold.accumulate(seg, dtype=object)
+            lev[a:b] = [s[0] for s in acc]
+            trd[a:b] = [s[1] for s in acc]
+        return pd.DataFrame({
+            user_col: g[user_col].to_numpy(),
+            id_col: g[id_col].to_numpy(),
+            "v_c": v, "level_c": lev, "trend_c": trd,
+            "fc_c": lev + trd})
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(scan, batch_format="pandas")
+
+
+def holt_query(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"])
+    return holt_linear(ds, "user_id", "ts", "event_id", "value")
+
+
+# DuckDB // truncates toward zero, matching the engine's _tdiv2
+HOLT_ORACLE_SQL = """
+WITH RECURSIVE u AS MATERIALIZED (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+walk(user_id, rn, event_id, v, l, b) AS (
+  SELECT user_id, rn, event_id, v, v, CAST(0 AS BIGINT)
+  FROM u WHERE rn = 1
+  UNION ALL
+  SELECT u.user_id, u.rn, u.event_id, u.v,
+         (u.v + w.l + w.b) // 2,
+         (w.b + ((u.v + w.l + w.b) // 2 - w.l)) // 2
+  FROM walk w JOIN u ON u.user_id = w.user_id AND u.rn = w.rn + 1
+)
+SELECT user_id, event_id, v AS v_c, l AS level_c, b AS trend_c,
+       CAST(l + b AS BIGINT) AS fc_c
+FROM walk ORDER BY user_id, rn
+"""

@@ -675,3 +675,83 @@ JOIN uni u1 ON u1.token = bg.w1
 JOIN uni u2 ON u2.token = bg.w2
 ORDER BY bg.bigram
 """
+
+
+# --- Zipf law fit over the token frequency spectrum ----------------------------------
+
+
+def zipf_fit(ds: "ray.data.Dataset", text_col: str = "text",
+             k: int = 100) -> "ray.data.Dataset":
+    """OLS fit of log-frequency against log-rank over the exact top-k
+    tokens — the Zipf-law diagnostic a corpus health check runs
+    (slope ≈ -1 for natural language; a flat or cliff-shaped spectrum
+    flags boilerplate or template spam). Ranks use top_k_tokens'
+    exact tie order (cnt DESC, token ASC); both axes quantize to
+    milli-nats with the repo's integer-log rule, the sufficient sums
+    are Python ints, and the finish applies group_regression's float
+    contract (one double division, literally the same expression in
+    the SQL oracle — bit-exact). Slope is dimensionless
+    (milli/milli); intercept is in milli-nats.
+    -> one row (k_used, slope, intercept).
+
+    Scale shape: the spectrum head rides the existing top-k machinery
+    (map-side count partials, pid-routed in-task merges, local
+    top-k); only the k-row head reaches the driver."""
+    top = top_k_tokens(ds, text_col=text_col, k=k).to_pandas()
+    n = len(top)
+    rank = np.arange(1, n + 1, dtype=np.int64)
+    x = np.floor(np.log(rank) * 1000.0 + 0.5).astype(np.int64)
+    y = np.floor(np.log(top["cnt"].to_numpy(np.int64)) * 1000.0
+                 + 0.5).astype(np.int64)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sx2 = int((x * y).sum()), int((x * x).sum())
+    den = n * sx2 - sx * sx
+    slope = float(n * sxy - sx * sy) / float(den)
+    intercept = (float(sy) - slope * float(sx)) / float(n)
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "k_used": pa.array([n], pa.int64()),
+        "slope": pa.array([slope], pa.float64()),
+        "intercept": pa.array([intercept], pa.float64())}))
+
+
+def zipf_fit_query(sf_dir: str, k: int = 100):
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return zipf_fit(ds, k=k)
+
+
+def zipf_fit_oracle_sql(k: int = 100) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(COALESCE(text, '')),
+                '\\s+')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS cnt FROM toks
+  WHERE token <> '' GROUP BY token
+),
+top AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+  FROM counts ORDER BY cnt DESC, token LIMIT {k}
+),
+u AS (
+  SELECT CAST(floor(ln(rnk)*1000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(cnt)*1000 + 0.5) AS BIGINT) AS y
+  FROM top
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sx2
+  FROM u
+),
+c AS (
+  SELECT n, sx, sy,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sx2 - sx * sx AS DOUBLE) AS slope
+  FROM s
+)
+SELECT n AS k_used, slope,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept
+FROM c
+"""

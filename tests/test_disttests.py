@@ -166,3 +166,62 @@ def test_l_diversity_flags(ray_session):
     assert list(out["l_distinct"]) == [3, 1]
     assert list(out["is_violating"]) == [False, True]
     assert list(out["n"]) == [3, 2]
+
+
+def test_holt_linear_reference_fold(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.timeseries import holt_linear, _tdiv2
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    vals = [10.00, 12.00, 9.00, 15.00, 15.00, 3.00]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1] * 6, pa.int64()),
+        "ts": pa.array([base + np.timedelta64(i, "s") for i in
+                        range(6)], pa.timestamp("us")),
+        "event_id": pa.array(list(range(6)), pa.int64()),
+        "value": pa.array(vals, pa.float64())}))
+    out = holt_linear(ds.repartition(3), "user_id", "ts", "event_id",
+                      "value", num_partitions=2).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    l, b = 1000, 0
+    for i, v in enumerate(int(round(x * 100)) for x in vals):
+        if i:
+            l1 = _tdiv2(v + l + b)
+            b = _tdiv2(b + (l1 - l))
+            l = l1
+        assert (int(out["level_c"][i]), int(out["trend_c"][i])) == (l, b)
+        assert int(out["fc_c"][i]) == l + b
+
+
+def test_tdiv2_truncates_like_duckdb():
+    from rdf_mapper_ray.ops.timeseries import _tdiv2
+    assert _tdiv2(-7) == -3   # DuckDB -7//2; Python floor would be -4
+    assert _tdiv2(7) == 3
+    assert _tdiv2(-1) == 0
+
+
+def test_zipf_fit_planted_spectrum(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.topk import zipf_fit
+    # construct counts ~ 64/rank: log-log slope should be near -1
+    docs = []
+    for rank, cnt in enumerate([64, 32, 21, 16, 12, 10, 9, 8], 1):
+        docs.extend([f"tok{rank:02d}"] * cnt)
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array([" ".join(docs)], pa.string())}))
+    out = zipf_fit(ds, k=8).to_pandas()
+    assert int(out["k_used"][0]) == 8
+    assert -1.15 < float(out["slope"][0]) < -0.85
+
+
+def test_rdfs_entail_closure_counts(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.ontology import rdfs_entail_counts
+    closure = {"nation:0": ["nation:0", "region:9", "world"],
+               "nation:1": ["nation:1", "region:9", "world"]}
+    inst = ray.data.from_arrow(pa.table({
+        "class": pa.array(["nation:0"] * 3 + ["nation:1"] * 2)})) \
+        .repartition(2)
+    out = rdfs_entail_counts(inst, "class", closure).to_pandas()
+    got = dict(zip(out["class"], out["n_inst"]))
+    assert got == {"nation:0": 3, "nation:1": 2, "region:9": 5,
+                   "world": 5}

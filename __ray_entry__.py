@@ -90,7 +90,8 @@ _NEXT_UP = [
     # new in round-4 session 8 (window already full; locally dtype-exact)
     "ks_test", "decision_stump", "mutual_info", "psi_drift",
     "time_rolling", "l_diversity", "katz", "distance_hist",
-    "holt", "zipf_fit", "rdfs_entail",
+    "holt", "zipf_fit", "rdfs_entail", "dedup_rate",
+    "dup_cluster_hist",
     # new in round-4 session 7 (window already full; locally dtype-exact)
     "date_features", "region_revenue", "bgp_subquery", "rfm_scores",
     "event_precedence", "mrr", "feature_hashing", "mm_frame_sample",
@@ -525,6 +526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt": timeseries.holt_query,
         "zipf_fit": topk.zipf_fit_query,
         "rdfs_entail": ontology.rdfs_entail_query,
+        "dedup_rate": dedup.dedup_rate_query,
+        "dup_cluster_hist": graphs.dup_cluster_hist_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -800,6 +803,8 @@ def oracle_sql() -> dict[str, str]:
         "holt": timeseries.HOLT_ORACLE_SQL,
         "zipf_fit": topk.zipf_fit_oracle_sql(),
         "rdfs_entail": ontology.RDFS_ENTAIL_ORACLE_SQL,
+        "dedup_rate": dedup.DEDUP_RATE_ORACLE_SQL,
+        "dup_cluster_hist": graphs.DUP_CLUSTER_HIST_ORACLE_SQL,
         "region_revenue": joins.REGION_REVENUE_ORACLE_SQL,
         "bgp_subquery": relational.BGP_SUBQUERY_ORACLE_SQL,
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,

@@ -1632,3 +1632,84 @@ def embedding_neardup_lsh(ds: "ray.data.Dataset",
 
     return pairs.map_batches(add_pair_pid, batch_format="pyarrow") \
         .groupby("ppid").map_groups(dedup_pairs, batch_format="pandas")
+
+
+# --- per-source dedup-rate audit -----------------------------------------------------
+
+
+def dedup_rate_by_group(ds: "ray.data.Dataset", group_col: str,
+                        text_col: str = "text",
+                        num_partitions: int | None = None
+                        ) -> "ray.data.Dataset":
+    """Exact-duplicate rate per group (per-source/per-domain dedup
+    audit — the curation dashboard number that decides which feeds
+    get a crawler fix): for each group, total docs, distinct texts,
+    and ``dup_rate_milli = (n_docs − n_unique)·1000 // n_docs``
+    (pure-integer share floor). -> (group, n_docs, n_unique,
+    dup_rate_milli).
+
+    Scale shape: per-batch (group, digest) count partials, ONE
+    hash(digest) exchange for in-task merges (digest cardinality is
+    table-sized — Ray's sort-aggregate venue degrades there), then
+    each task shrinks its merge to per-group (Σcnt, #digests) partials
+    and the group-bounded cell table finishes driver-side."""
+    if num_partitions is None:
+        num_partitions = partitions_for(ds, 8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict({
+            "g": batch.column(group_col),
+            "dg": _sha256_col(batch.column(text_col).to_pylist())})
+        agg = t.group_by(["g", "dg"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["g", "dg", "cnt"])
+
+    def route(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(t.column("dg").to_pylist()),
+            index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["g", "dg"], as_index=False)["cnt"].sum()
+        out = m.groupby("g", as_index=False).agg(
+            nd=("cnt", "sum"), nu=("dg", "size"))
+        return out
+
+    cells = pd.concat(
+        b.to_pandas() for b in ds.map_batches(
+            partial, batch_format="pyarrow")
+        .map_batches(route, batch_format="pyarrow")
+        .groupby("pid").map_groups(merge, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby("g", as_index=False)[["nd", "nu"]].sum() \
+        .sort_values("g")
+    nd = cells["nd"].to_numpy(np.int64)
+    nu = cells["nu"].to_numpy(np.int64)
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "source": pa.array(cells["g"].to_numpy(), pa.string()),
+        "n_docs": pa.array(nd, pa.int64()),
+        "n_unique": pa.array(nu, pa.int64()),
+        "dup_rate_milli": pa.array((nd - nu) * 1000 // nd,
+                                   pa.int64())}))
+
+
+def dedup_rate_query(sf_dir: str):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    return dedup_rate_by_group(ds, "source")
+
+
+DEDUP_RATE_ORACLE_SQL = """
+WITH d AS (
+  SELECT source, sha256(text) AS dg, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, sha256(text)
+)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST((SUM(c) - COUNT(*)) * 1000 // SUM(c) AS BIGINT)
+         AS dup_rate_milli
+FROM d GROUP BY source ORDER BY source
+"""

@@ -4669,3 +4669,90 @@ dists AS ({dists})
 SELECT CAST(d AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM dists GROUP BY d ORDER BY dist
 """)
+
+
+# --- component-size histogram (dup-cluster size distribution) ----------------------
+
+
+def component_size_hist(edges: "ray.data.Dataset",
+                        num_partitions: int | None = None
+                        ) -> "ray.data.Dataset":
+    """Histogram of connected-component sizes — the dup-cluster size
+    distribution a near-dup pass reports (a fat tail means a template
+    family or mirror site; singletons don't appear because isolated
+    nodes have no edges). -> (size, n_components).
+
+    Scale shape: rides graph_components (distributed min-label CC),
+    shrinks the node-sized label table map-side to per-component
+    count partials, ONE hash(component) exchange merges them, and the
+    size-bounded histogram cells finish driver-side."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+    labels = graph_components(edges, num_partitions=num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column("component").to_numpy(zero_copy_only=False)
+        v, n = np.unique(c, return_counts=True)
+        return pa.Table.from_pydict({
+            "component": pa.array(v.astype(np.int64)),
+            "n": pa.array(n.astype(np.int64))})
+
+    def route(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.column("component").to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("component")["n"].sum()
+        v, n = np.unique(sizes.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"size": v, "nc": n.astype(np.int64)})
+
+    cells = pd.concat(
+        b.to_pandas() for b in labels.map_batches(
+            partial, batch_format="pyarrow")
+        .map_batches(route, batch_format="pyarrow")
+        .groupby("pid").map_groups(merge, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby("size", as_index=False)["nc"].sum().sort_values("size")
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "size": pa.array(cells["size"].to_numpy(np.int64), pa.int64()),
+        "n_components": pa.array(cells["nc"].to_numpy(np.int64),
+                                 pa.int64())}))
+
+
+def dup_cluster_hist_query(sf_dir: str, threshold: float = 0.3):
+    """Cluster-size distribution of the embedding near-dup graph."""
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs,
+                                          partitions_for)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+    return component_size_hist(pairs.map_batches(
+        _pairs_as_edges, batch_format="pyarrow"),
+        num_partitions=partitions_for(emb, 8))
+
+
+DUP_CLUSTER_HIST_ORACLE_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+),
+nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+ued AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+reach(node, label) AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT ue.b, r.label FROM reach r JOIN ued ue ON ue.a = r.node
+),
+lab AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, COUNT(*) AS sz FROM lab GROUP BY component)
+SELECT CAST(sz AS BIGINT) AS size,
+       CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY sz ORDER BY size
+"""

@@ -268,3 +268,18 @@ def test_decontaminate_ngram_planted_leak(ray_session):
     assert not bool(out.loc[1, "contaminated"])
     assert not bool(out.loc[2, "contaminated"])
     assert int(out.loc[0, "n_matched"]) == 1
+
+
+def test_dedup_rate_by_group(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from rdf_mapper_ray.ops.dedup import dedup_rate_by_group
+    ds = ray.data.from_arrow(pa.table({
+        "source": pa.array(["s1"] * 4 + ["s2"] * 2),
+        "text": pa.array(["a", "a", "b", "a", "x", "y"])})) \
+        .repartition(3)
+    out = dedup_rate_by_group(ds, "source", num_partitions=2) \
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    assert list(out["n_docs"]) == [4, 2]
+    assert list(out["n_unique"]) == [2, 2]
+    assert list(out["dup_rate_milli"]) == [2 * 1000 // 4, 0]

@@ -486,3 +486,16 @@ def test_distance_hist_path_graph(ray_session):
         .to_pandas().sort_values("dist").reset_index(drop=True)
     assert list(out["dist"]) == [0, 1, 2, 3]
     assert list(out["n_pairs"]) == [4, 6, 4, 2]
+
+
+def test_component_size_hist_two_components(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import component_size_hist
+    # triangle {1,2,3} + edge {10,11}: sizes 3 and 2
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, 2, 1, 10], pa.int64()),
+        "b": pa.array([2, 3, 3, 11], pa.int64())})).repartition(2)
+    out = component_size_hist(edges, num_partitions=2).to_pandas()
+    assert list(out["size"]) == [2, 3]
+    assert list(out["n_components"]) == [1, 1]

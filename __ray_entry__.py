@@ -91,7 +91,8 @@ _NEXT_UP = [
     "ks_test", "decision_stump", "mutual_info", "psi_drift",
     "time_rolling", "l_diversity", "katz", "distance_hist",
     "holt", "zipf_fit", "rdfs_entail", "dedup_rate",
-    "dup_cluster_hist",
+    "dup_cluster_hist", "weighted_median", "table_fingerprint",
+    "kendall",
     # new in round-4 session 7 (window already full; locally dtype-exact)
     "date_features", "region_revenue", "bgp_subquery", "rfm_scores",
     "event_precedence", "mrr", "feature_hashing", "mm_frame_sample",
@@ -528,6 +529,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rdfs_entail": ontology.rdfs_entail_query,
         "dedup_rate": dedup.dedup_rate_query,
         "dup_cluster_hist": graphs.dup_cluster_hist_query,
+        "weighted_median": quantiles.weighted_median_query,
+        "table_fingerprint": diff.table_fingerprint_query,
+        "kendall": stats.kendall_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -805,6 +809,9 @@ def oracle_sql() -> dict[str, str]:
         "rdfs_entail": ontology.RDFS_ENTAIL_ORACLE_SQL,
         "dedup_rate": dedup.DEDUP_RATE_ORACLE_SQL,
         "dup_cluster_hist": graphs.DUP_CLUSTER_HIST_ORACLE_SQL,
+        "weighted_median": quantiles.WEIGHTED_MEDIAN_ORACLE_SQL,
+        "table_fingerprint": diff.TABLE_FINGERPRINT_ORACLE_SQL,
+        "kendall": stats.KENDALL_ORACLE_SQL,
         "region_revenue": joins.REGION_REVENUE_ORACLE_SQL,
         "bgp_subquery": relational.BGP_SUBQUERY_ORACLE_SQL,
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,

@@ -400,3 +400,73 @@ SELECT user_id, event_type AS state, t AS valid_from_us,
            ORDER BY t, event_id), -1) AS valid_to_us
 FROM ch ORDER BY user_id, valid_from_us
 """
+
+
+# --- order-free table fingerprint ---------------------------------------------------
+
+
+def table_fingerprint(ds: "ray.data.Dataset", cols: list[str]
+                      ) -> "ray.data.Dataset":
+    """Commutative content fingerprint of a table: md5-64 of each
+    canonical row string ('|'-joined column values), summed in two
+    32-bit limbs so the total never overflows and ANY row order /
+    partitioning gives the same answer — the replication-equality
+    check two pipeline runs compare before swapping a snapshot in
+    (the cheap half of snapshot_diff: equality yes/no without the
+    co-partition join). -> one row (n_rows, fp_lo, fp_hi), with
+    fp_lo/fp_hi = Σ(h & 0xFFFFFFFF) mod 2³², Σ(h >> 32) mod 2³².
+
+    Map-only (zero exchanges); per-batch partials are 3 numbers.
+    Overflow audit: 2³²·rows wraps int64 past ~2·10⁹ rows — the limb
+    sums reduce mod 2³² inside each partial, so the driver sum is
+    blocks-bounded, never rows-bounded."""
+    import pandas as pd
+
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    _M32 = np.uint64(0xFFFFFFFF)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = [batch.column(c).cast(pa.string()).to_pandas()
+                 for c in cols]
+        s = parts[0].fillna("")
+        for p in parts[1:]:
+            s = s + "|" + p.fillna("")
+        h = hash64(s.tolist(), backend="md5")
+        lo = int((h & _M32).sum() % (1 << 32))
+        hi = int((h >> np.uint64(32)).sum() % (1 << 32))
+        return pa.Table.from_pydict({
+            "n": pa.array([len(h)], pa.int64()),
+            "lo": pa.array([lo], pa.int64()),
+            "hi": pa.array([hi], pa.int64())})
+
+    st = pd.concat(
+        b.to_pandas() for b in ds.map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"))
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "n_rows": pa.array([int(st["n"].sum())], pa.int64()),
+        "fp_lo": pa.array([int(st["lo"].sum() % (1 << 32))],
+                          pa.int64()),
+        "fp_hi": pa.array([int(st["hi"].sum() % (1 << 32))],
+                          pa.int64())}))
+
+
+def table_fingerprint_query(sf_dir: str):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return table_fingerprint(ds, ["doc_id", "text"])
+
+
+TABLE_FINGERPRINT_ORACLE_SQL = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                             || COALESCE(text, '')), 1, 16))::UBIGINT
+         AS hv
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(hv % 4294967296) % 4294967296 AS BIGINT) AS fp_lo,
+       CAST(SUM(hv // 4294967296) % 4294967296 AS BIGINT) AS fp_hi
+FROM h
+"""

@@ -543,3 +543,108 @@ GROUP_QUANTILES_DISC_ORACLE_SQL = "\nUNION ALL\n".join(
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem GROUP BY l_returnflag"""
     for q in GROUP_QUANTILES_QS) + "\nORDER BY l_returnflag, q\n"
+
+
+# --- exact weighted median per group -------------------------------------------------
+
+
+def weighted_median(ds: "ray.data.Dataset", group_col: str,
+                    value_col: str, weight_col: str,
+                    num_partitions: Optional[int] = None
+                    ) -> "ray.data.Dataset":
+    """Exact lower weighted median per group: the smallest value v
+    with ``2·cumweight(v) ≥ totalweight`` — all int64, no
+    interpolation (the discrete rule, like quantiles_disc).
+    -> (group, total_w, wmedian).
+
+    Scale shape: per-batch (group, value) weight-sum partials shrink
+    blocks to distinct values FIRST, one hash(group) exchange
+    co-locates each group's (value, weight) spectrum, and the
+    per-task finish is a vectorized sort + cumsum + searchsorted —
+    spectrum-sized, not row-sized (the group_median contract applies
+    only past distinct-value blowup)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict({
+            "g": batch.column(group_col),
+            "v": batch.column(value_col),
+            "w": batch.column(weight_col)})
+        agg = t.group_by(["g", "v"], use_threads=False).aggregate(
+            [("w", "sum")])
+        return agg.rename_columns(["g", "v", "w"])
+
+    def route(t: pa.Table) -> pa.Table:
+        pid = pd.util.hash_pandas_object(
+            t.column("g").to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["g", "v"], as_index=False)["w"].sum() \
+            .sort_values(["g", "v"], kind="mergesort") \
+            .reset_index(drop=True)
+        rows = []
+        for key, grp in m.groupby("g", sort=False):
+            w = grp["w"].to_numpy(np.int64)
+            cw = np.cumsum(w)
+            tot = int(cw[-1])
+            i = int(np.searchsorted(2 * cw, tot))
+            rows.append((key, tot, int(grp["v"].to_numpy()[i])))
+        return pd.DataFrame(rows, columns=["g", "total_w", "wmedian"]) \
+            .astype({"total_w": np.int64, "wmedian": np.int64})
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(finish, batch_format="pandas")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([group_col, "total_w", "wmedian"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def weighted_median_query(sf_dir: str):
+    """Quantity-weighted median unit price per return flag (which
+    price point moves the most units?)."""
+    import pyarrow.compute as pc
+    from rdf_mapper_ray.ops.readers import read_table
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice",
+                             "l_quantity"])
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "l_returnflag": batch.column("l_returnflag"),
+            "v": pc.cast(pc.round(pc.multiply(
+                batch.column("l_extendedprice"), 100.0)), pa.int64()),
+            "w": pc.cast(pc.round(batch.column("l_quantity")),
+                         pa.int64())})
+
+    return weighted_median(ds.map_batches(shape,
+                                          batch_format="pyarrow"),
+                           "l_returnflag", "v", "w")
+
+
+WEIGHTED_MEDIAN_ORACLE_SQL = """
+WITH u AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(round(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+),
+d AS (SELECT g, v, CAST(SUM(w) AS BIGINT) AS w FROM u GROUP BY g, v),
+c AS (
+  SELECT g, v, SUM(w) OVER (PARTITION BY g ORDER BY v) AS cw,
+         SUM(w) OVER (PARTITION BY g) AS tw
+  FROM d
+)
+SELECT g AS l_returnflag, CAST(MAX(tw) AS BIGINT) AS total_w,
+       CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
+         AS wmedian
+FROM c GROUP BY g ORDER BY g
+"""

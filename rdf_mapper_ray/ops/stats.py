@@ -966,3 +966,112 @@ FROM (
     return ("SELECT m1, m2, n, corr FROM ("
             + " UNION ALL ".join(arms)
             + ") ORDER BY m1, m2")
+
+
+# --- Kendall concordance counts per group --------------------------------------------
+
+
+def kendall_counts(ds: "ray.data.Dataset", group_col: str,
+                   x_col: str, y_col: str,
+                   num_partitions: Optional[int] = None
+                   ) -> "ray.data.Dataset":
+    """Exact Kendall concordance/discordance counts per group — the
+    tau-b numerator and every tie class as pure int64 (no sqrt: the
+    caller divides; counts hash bit-exactly): over all unordered row
+    pairs, n_c (x and y strictly agree), n_d (strictly disagree),
+    t_x / t_y (tied in exactly one axis), t_xy (tied in both).
+    n_c + n_d + t_x + t_y + t_xy = C(n,2) by construction.
+    -> (group, n, n_c, n_d, t_x, t_y, t_xy).
+
+    Venue: groups co-partition by hash (one exchange); the per-group
+    tile is a vectorized meshgrid comparison (the jw_pairs lesson),
+    bounded by group size — past ~10⁵-row groups the merge-sort
+    inversion count + tie-run arithmetic is the stated venue (same
+    O(n log n) recurrence scipy uses), swapped inside the same task
+    contract."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, x_col, y_col])
+        pid = pd.util.hash_pandas_object(
+            t.column(group_col).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, grp in g.groupby(group_col, sort=False):
+            x = grp[x_col].to_numpy(np.int64)
+            y = grp[y_col].to_numpy(np.int64)
+            n = len(x)
+            iu, ju = np.triu_indices(n, k=1)
+            sx = np.sign(x[ju] - x[iu])
+            sy = np.sign(y[ju] - y[iu])
+            prod = sx * sy
+            n_c = int((prod == 1).sum())
+            n_d = int((prod == -1).sum())
+            t_xy = int(((sx == 0) & (sy == 0)).sum())
+            t_x = int((sx == 0).sum()) - t_xy
+            t_y = int((sy == 0).sum()) - t_xy
+            rows.append((key, n, n_c, n_d, t_x, t_y, t_xy))
+        return pd.DataFrame(rows, columns=[
+            group_col, "n", "n_c", "n_d", "t_x", "t_y", "t_xy"]) \
+            .astype({c: np.int64 for c in
+                     ["n", "n_c", "n_d", "t_x", "t_y", "t_xy"]})
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(count, batch_format="pandas")
+
+
+def kendall_query(sf_dir: str):
+    """Do higher-value orders come later in time? Kendall concordance
+    of (orderdate, totalprice) per priority class."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_orderdate",
+                             "o_totalprice"])
+
+    def shape(batch: pa.Table) -> pa.Table:
+        col = batch.column("o_orderdate")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.Table.from_pydict({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "x": col.cast(pa.timestamp("us")).cast(pa.int64()),
+            "y": pc.cast(pc.round(pc.multiply(
+                batch.column("o_totalprice"), 100.0)), pa.int64())})
+
+    return kendall_counts(ds.map_batches(shape,
+                                         batch_format="pyarrow"),
+                          "o_orderpriority", "x", "y")
+
+
+KENDALL_ORACLE_SQL = """
+WITH u AS (
+  SELECT o_orderpriority AS g, epoch_us(o_orderdate) AS x,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+         row_number() OVER () AS rid
+  FROM orders
+),
+p AS (
+  SELECT a.g,
+         CASE WHEN (a.x < b.x AND a.y < b.y)
+                OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS c,
+         CASE WHEN (a.x < b.x AND a.y > b.y)
+                OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS d,
+         CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END AS tx,
+         CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END AS ty,
+         CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END AS txy
+  FROM u a JOIN u b ON a.g = b.g AND a.rid < b.rid
+)
+SELECT g AS o_orderpriority,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM u WHERE u.g = p.g) AS n,
+       CAST(SUM(c) AS BIGINT) AS n_c, CAST(SUM(d) AS BIGINT) AS n_d,
+       CAST(SUM(tx) AS BIGINT) AS t_x, CAST(SUM(ty) AS BIGINT) AS t_y,
+       CAST(SUM(txy) AS BIGINT) AS t_xy
+FROM p GROUP BY g ORDER BY g
+"""

@@ -225,3 +225,73 @@ def test_rdfs_entail_closure_counts(ray_session):
     got = dict(zip(out["class"], out["n_inst"]))
     assert got == {"nation:0": 3, "nation:1": 2, "region:9": 5,
                    "world": 5}
+
+
+def test_weighted_median_rule(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.quantiles import weighted_median
+    # g: values 1(w=1), 2(w=1), 3(w=10) -> median 3; h: 5(w=2), 7(w=2)
+    # -> 2*cw(5)=4 >= tw=4 -> lower median 5
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["g", "g", "g", "h", "h"]),
+        "v": pa.array([1, 2, 3, 5, 7], pa.int64()),
+        "w": pa.array([1, 1, 10, 2, 2], pa.int64())})).repartition(3)
+    out = weighted_median(ds, "g", "v", "w", num_partitions=2) \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    assert list(out["wmedian"]) == [3, 5]
+    assert list(out["total_w"]) == [12, 4]
+
+
+def test_kendall_counts_brute(ray_session):
+    import itertools
+
+    import ray.data
+    from rdf_mapper_ray.ops.stats import kendall_counts
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 10, 60)
+    y = rng.randint(0, 10, 60)
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["a"] * 60),
+        "x": pa.array(x, pa.int64()),
+        "y": pa.array(y, pa.int64())})).repartition(4)
+    out = kendall_counts(ds, "g", "x", "y", num_partitions=2) \
+        .to_pandas()
+    nc = nd = tx = ty = txy = 0
+    for i, j in itertools.combinations(range(60), 2):
+        sx = int(x[j] > x[i]) - int(x[j] < x[i])
+        sy = int(y[j] > y[i]) - int(y[j] < y[i])
+        if sx and sy:
+            nc += sx == sy
+            nd += sx != sy
+        elif sx == 0 and sy == 0:
+            txy += 1
+        elif sx == 0:
+            tx += 1
+        else:
+            ty += 1
+    assert (int(out["n_c"][0]), int(out["n_d"][0])) == (nc, nd)
+    assert (int(out["t_x"][0]), int(out["t_y"][0]),
+            int(out["t_xy"][0])) == (tx, ty, txy)
+    total = nc + nd + tx + ty + txy
+    assert total == 60 * 59 // 2
+
+
+def test_table_fingerprint_order_free(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.diff import table_fingerprint
+    rows = {"doc_id": pa.array([3, 1, 2], pa.int64()),
+            "text": pa.array(["c", "a", "b"])}
+    a = table_fingerprint(ray.data.from_arrow(pa.table(rows)),
+                          ["doc_id", "text"]).to_pandas()
+    rows2 = {"doc_id": pa.array([1, 2, 3], pa.int64()),
+             "text": pa.array(["a", "b", "c"])}
+    b = table_fingerprint(
+        ray.data.from_arrow(pa.table(rows2)).repartition(3),
+        ["doc_id", "text"]).to_pandas()
+    assert a.equals(b)
+    # any value change must move the fingerprint
+    rows3 = {"doc_id": pa.array([1, 2, 3], pa.int64()),
+             "text": pa.array(["a", "b", "d"])}
+    c = table_fingerprint(ray.data.from_arrow(pa.table(rows3)),
+                          ["doc_id", "text"]).to_pandas()
+    assert not a.equals(c)

@@ -89,7 +89,7 @@ _DRIVER_WINDOW = [
 _NEXT_UP = [
     # new in round-4 session 8 (window already full; locally dtype-exact)
     "ks_test", "decision_stump", "mutual_info", "psi_drift",
-    "time_rolling", "l_diversity", "katz", "distance_hist",
+    "time_rolling", "l_diversity", "katz",
     "holt", "zipf_fit", "rdfs_entail", "dedup_rate",
     "dup_cluster_hist", "weighted_median", "table_fingerprint",
     "kendall",
@@ -103,7 +103,7 @@ _NEXT_UP = [
     # new in round-4 session 6 (window already full; locally dtype-exact)
     "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
     "hits", "mis_luby", "event_ngrams", "gap_fill",
-    "stress_centrality", "jw_pairs", "epoch_shuffle",
+    "stress_centrality", "distance_hist", "jw_pairs", "epoch_shuffle",
     "bgp_path_star", "eccentricity", "embedding_gram",
     "entity_resolution", "dag_layers", "bgp_negated_pred",
     "corr_matrix", "rolling_window", "stress_sampled",

@@ -4580,8 +4580,8 @@ q0 AS (SELECT DISTINCT src AS node,
 
 def distance_hist(edges: "ray.data.Dataset", max_levels: int = 12,
                   num_partitions: int | None = None,
-                  fwd: "ray.data.Dataset" = None
-                  ) -> "ray.data.Dataset":
+                  fwd: "ray.data.Dataset" = None,
+                  fwd_cache_key=None) -> "ray.data.Dataset":
     """Histogram of all-pairs shortest-path distances (the distance
     distribution — diameter, median distance and the "effective
     diameter" d90 all read off it). Counts ORDERED reachable (src,
@@ -4599,6 +4599,8 @@ def distance_hist(edges: "ray.data.Dataset", max_levels: int = 12,
         pool = _msbfs_forward_pool(edges, max_levels, num_partitions)
         fwd = pool.collect()
         pool.shutdown()
+        if fwd_cache_key is not None:
+            _MSBFS_FWD_CACHE[fwd_cache_key] = fwd
 
     def partial(t: pa.Table) -> pa.Table:
         d = t.column("dist").to_numpy(zero_copy_only=False)
@@ -4631,7 +4633,8 @@ def distance_hist_query(sf_dir: str, threshold: float = 0.3,
     return distance_hist(
         pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
         max_levels=max_levels,
-        fwd=_MSBFS_FWD_CACHE.get((sf_dir, threshold, max_levels)))
+        fwd=_MSBFS_FWD_CACHE.get((sf_dir, threshold, max_levels)),
+        fwd_cache_key=(sf_dir, threshold, max_levels))
 
 
 def distance_hist_oracle_sql(threshold: float = 0.3,

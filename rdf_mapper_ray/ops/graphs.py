@@ -4759,3 +4759,114 @@ SELECT CAST(sz AS BIGINT) AS size,
        CAST(COUNT(*) AS BIGINT) AS n_components
 FROM sizes GROUP BY sz ORDER BY size
 """
+
+
+# --- modularity of the LPA partition --------------------------------------------------
+
+
+def lpa_modularity(edges: "ray.data.Dataset", rounds: int = 3,
+                   num_partitions: int | None = None
+                   ) -> "ray.data.Dataset":
+    """Newman modularity Q of the community_lpa partition, as ONE
+    exact integer pair — ``Q = q_num / m2²`` with
+
+        m2    = |directed edge rows| = 2m
+        q_num = m2·Σ_c in_c − Σ_c d_c²
+
+    (in_c = directed intra-community edge rows of community c, d_c =
+    total degree of c) — no division until the caller's, so the value
+    hashes bit-exactly and the oracle replays the whole composition
+    (LPA unroll ∘ two label joins ∘ per-community cells) in SQL.
+    -> one row (m2, q_num). Overflow audit: Σ d_c² ≤ m2² — wraps past
+    m ≈ 1.5·10⁹ edges inside one community; shard the hub community
+    or rescale before that.
+
+    Scale shape: labels are node-sized and join the directed edge
+    rows TWICE (src then dst) through equi_join's co-partition venue
+    (node-sized sides never broadcast); per-batch partials then
+    shrink to per-community (d_c, in_c) cells and the
+    community-bounded table finishes driver-side."""
+    from rdf_mapper_ray.ops.joins import equi_join
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+
+    labels = community_lpa(edges, rounds=rounds,
+                           num_partitions=num_partitions) \
+        .materialize()
+
+    def ued(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "src": pa.array(np.concatenate([a, b])),
+            "dst": pa.array(np.concatenate([b, a]))})
+
+    j1 = equi_join(edges.map_batches(ued, batch_format="pyarrow"),
+                   labels, left_on="src", right_on="node",
+                   venue="copartition",
+                   num_partitions=num_partitions)  # + label (of src)
+    j2 = equi_join(j1, labels.map_batches(
+        lambda t: t.rename_columns(["node2", "label2"]),
+        batch_format="pyarrow"), left_on="dst", right_on="node2",
+        venue="copartition", num_partitions=num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        la = t.column("label").to_numpy(zero_copy_only=False)
+        lb = t.column("label2").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"c": la, "intra": (la == lb)
+                           .astype(np.int64)})
+        out = df.groupby("c", as_index=False).agg(
+            dc=("intra", "size"), inc=("intra", "sum"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cells = pd.concat(
+        b.to_pandas() for b in j2.map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow")) \
+        .groupby("c", as_index=False)[["dc", "inc"]].sum()
+    m2 = int(cells["dc"].sum())
+    q_num = m2 * int(cells["inc"].sum()) \
+        - int((cells["dc"].to_numpy(np.int64) ** 2).sum())
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "m2": pa.array([m2], pa.int64()),
+        "q_num": pa.array([q_num], pa.int64())}))
+
+
+def lpa_modularity_query(sf_dir: str, threshold: float = 0.3,
+                         rounds: int = 3):
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs,
+                                          partitions_for)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+    return lpa_modularity(
+        pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
+        rounds=rounds, num_partitions=partitions_for(emb, 8))
+
+
+def lpa_modularity_oracle_sql(rounds: int = 3) -> str:
+    lpa = community_lpa_oracle_sql(rounds)
+    # reuse the unrolled LPA chain, swap the final projection for the
+    # modularity cells (same WITH prefix => provably the same labels)
+    prefix = lpa[:lpa.rindex("SELECT node,")].rstrip().rstrip(",")
+    return prefix + f""",
+lab AS (SELECT node, label FROM l{rounds}),
+j AS (
+  SELECT la.label AS la, lb.label AS lb
+  FROM ued u JOIN lab la ON la.node = u.src
+  JOIN lab lb ON lb.node = u.dst
+),
+per AS (
+  SELECT la AS c, CAST(COUNT(*) AS BIGINT) AS dc,
+         CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+           AS inc
+  FROM j GROUP BY la
+)
+SELECT CAST(SUM(dc) AS BIGINT) AS m2,
+       CAST(SUM(dc) * SUM(inc) - SUM(dc * dc) AS BIGINT) AS q_num
+FROM per
+"""

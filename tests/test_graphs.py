@@ -499,3 +499,23 @@ def test_component_size_hist_two_components(ray_session):
     out = component_size_hist(edges, num_partitions=2).to_pandas()
     assert list(out["size"]) == [2, 3]
     assert list(out["n_components"]) == [1, 1]
+
+
+def test_lpa_modularity_two_cliques(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import lpa_modularity
+    # two triangles joined by one bridge: LPA(3 rounds, min-tie)
+    # separates them; check q_num against the hand formula
+    a = [1, 2, 1, 4, 5, 4, 3]
+    b = [2, 3, 3, 5, 6, 6, 4]
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array(a, pa.int64()),
+        "b": pa.array(b, pa.int64())})).repartition(2)
+    out = lpa_modularity(edges, rounds=3, num_partitions=2) \
+        .to_pandas()
+    m2 = int(out["m2"][0])
+    assert m2 == 14  # 7 undirected edges
+    # communities {1,2,3} and {4,5,6}: in_c = 6 directed rows each,
+    # d_c = 7 each -> q_num = 14*12 - (49+49) = 70
+    assert int(out["q_num"][0]) == 14 * 12 - 2 * 49

@@ -3532,12 +3532,19 @@ def _msbfs_partitions() -> int:
 
 
 def _msbfs_forward_pool(edges: "ray.data.Dataset", max_levels: int,
-                        num_partitions: int, source_mod: int = 1):
+                        num_partitions: int, source_mod: int = 1,
+                        source_residue: int = 0):
     """Multi-source BFS forward phase on the Pregel pool (every node
     seeds its own BFS; state rows (node, src, dist, sigma) are the
     all-pairs distances + shortest-path counts). Shared by
     stress_centrality (which rebinds to the backward tau phase) and
-    eccentricity (which reads the distances directly)."""
+    eccentricity (which reads the distances directly).
+
+    ``source_mod``/``source_residue`` seed only nodes with
+    ``node % mod == residue``: residue 0 is the pivot-sampling
+    estimator; sweeping residue 0..mod-1 and summing is the EXACT
+    all-pairs answer with per-pass state bounded to O(V²/(mod·P)) —
+    the source-batching venue stress_batched composes."""
     from rdf_mapper_ray.engine.pregel import PregelPool
 
     def adj_rows(t: pa.Table) -> pa.Table:
@@ -3570,7 +3577,8 @@ def _msbfs_forward_pool(edges: "ray.data.Dataset", max_levels: int,
         "fresh": pa.array([], pa.int64()),
         "k": pa.array([], pa.int64())})
 
-    def seed(adj_df: pd.DataFrame, _mod=source_mod) -> pd.DataFrame:
+    def seed(adj_df: pd.DataFrame, _mod=source_mod,
+             _res=source_residue) -> pd.DataFrame:
         n = np.unique(adj_df["node"].to_numpy())
         z = np.zeros(len(n), dtype=np.int64)
         # every node gets its (v, v, 0) row so no partition starts
@@ -3581,7 +3589,7 @@ def _msbfs_forward_pool(edges: "ray.data.Dataset", max_levels: int,
             "node": n, "src": n, "dist": z,
             "sigma": np.ones(len(n), dtype=np.int64),
             "tau": z.copy(),
-            "fresh": (n % _mod == 0).astype(np.int64),
+            "fresh": (n % _mod == _res).astype(np.int64),
             "k": z.copy()})
 
     pool.init_state_from_adj(seed, empty)
@@ -3600,7 +3608,8 @@ def stress_centrality(edges: "ray.data.Dataset",
                       max_levels: int = 12,
                       num_partitions: int | None = None,
                       fwd_cache_key=None,
-                      source_mod: int = 1
+                      source_mod: int = 1,
+                      source_residue: int = 0
                       ) -> "ray.data.Dataset":
     """Exact stress centrality over an undirected (a, b) int64 edge
     Dataset -> (node, stress). All-pairs by construction (every node
@@ -3615,7 +3624,7 @@ def stress_centrality(edges: "ray.data.Dataset",
     if num_partitions is None:
         num_partitions = _msbfs_partitions()
     pool = _msbfs_forward_pool(edges, max_levels, num_partitions,
-                               source_mod)
+                               source_mod, source_residue)
     fwd = pool.collect()
     if fwd_cache_key is not None:
         _MSBFS_FWD_CACHE[fwd_cache_key] = fwd
@@ -4870,3 +4879,38 @@ SELECT CAST(SUM(dc) AS BIGINT) AS m2,
        CAST(SUM(dc) * SUM(inc) - SUM(dc * dc) AS BIGINT) AS q_num
 FROM per
 """
+
+
+def stress_batched(edges: "ray.data.Dataset", nbatches: int = 4,
+                   max_levels: int = 12,
+                   num_partitions: int | None = None
+                   ) -> "ray.data.Dataset":
+    """EXACT all-pairs stress centrality with BOUNDED state — the
+    source-batching venue past the memory envelope of the one-pass
+    all-pairs pool: sweep ``source_residue = 0..nbatches-1`` (each
+    pass seeds only nodes ≡ residue (mod nbatches), so per-pass state
+    is O(V²/(nbatches·P)) instead of O(V²/P)), then sum the per-pass
+    restricted stress tables (stress is additive over disjoint source
+    sets). Row-identical to stress_centrality(source_mod=1) —
+    venue-equality unit. Wall-clock trades linearly: nbatches passes
+    over the same pool machinery. -> (node, stress)."""
+    from ray.data.aggregate import Sum
+
+    parts = []
+    for r in range(nbatches):
+        parts.append(stress_centrality(
+            edges, max_levels=max_levels,
+            num_partitions=num_partitions,
+            source_mod=nbatches, source_residue=r))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return pa.Table.from_pydict({
+            "node": t.column("node"),
+            "stress": _pc.cast(t.column("sum(stress)"), pa.int64())})
+
+    return u.groupby("node").aggregate(Sum("stress")) \
+        .map_batches(finish, batch_format="pyarrow")

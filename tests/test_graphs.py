@@ -519,3 +519,21 @@ def test_lpa_modularity_two_cliques(ray_session):
     # communities {1,2,3} and {4,5,6}: in_c = 6 directed rows each,
     # d_c = 7 each -> q_num = 14*12 - (49+49) = 70
     assert int(out["q_num"][0]) == 14 * 12 - 2 * 49
+
+
+def test_stress_batched_equals_all_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import (stress_batched,
+                                           stress_centrality)
+    # path + branch: 0-1-2-3, 2-4 (asymmetric, nonzero stress)
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array([0, 1, 2, 2], pa.int64()),
+        "b": pa.array([1, 2, 3, 4], pa.int64())})).repartition(2)
+    full = stress_centrality(edges, max_levels=6, num_partitions=2) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    batched = stress_batched(edges, nbatches=3, max_levels=6,
+                             num_partitions=2) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert full.equals(batched)
+    assert int(full.loc[full["node"] == 2, "stress"].iloc[0]) > 0

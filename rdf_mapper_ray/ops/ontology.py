@@ -115,3 +115,157 @@ WITH types AS (
 SELECT class, CAST(COUNT(*) AS BIGINT) AS n_inst
 FROM types GROUP BY class ORDER BY class
 """
+
+
+# --- SHACL-lite cardinality validation ----------------------------------------------
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def shacl_cardinality(triples: "ray.data.Dataset", target_class: str,
+                      shapes: list[tuple[str, int, int]],
+                      num_partitions: int | None = None
+                      ) -> "ray.data.Dataset":
+    """SHACL-lite cardinality validation (sh:minCount/sh:maxCount over
+    sh:targetClass) — the release gate a KG-construction pipeline runs
+    before publishing a graph: for every target-class subject and
+    every shape (predicate, min, max), count the subject's triples
+    with that predicate and tally the violations.
+    -> (predicate, min_count, max_count, n_targets, n_min_viol,
+    n_max_viol), one row per shape.
+
+    Scale shape: per-batch (subject, predicate) count partials over
+    only the shape predicates (column-pruned filter), ONE
+    hash(subject) exchange co-locates each subject's counts with its
+    target marker, the per-partition finish is a vectorized pivot
+    (missing predicates count 0 — that's what min violations ARE),
+    and the shape-bounded cells sum driver-side."""
+    import pyarrow.compute as pc
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(triples, 8)
+    preds = [p for p, _, _ in shapes]
+
+    def shred(t: pa.Table) -> pa.Table:
+        subj = t.column("subject")
+        pred = t.column("predicate")
+        is_target = pc.and_(pc.equal(pred, _RDF_TYPE),
+                            pc.equal(t.column("object_value"),
+                                     target_class))
+        tt = t.filter(is_target)
+        cc = t.filter(pc.is_in(pred, value_set=pa.array(preds)))
+        agg = pa.Table.from_pydict({
+            "subject": cc.column("subject"),
+            "predicate": cc.column("predicate")}).group_by(
+            ["subject", "predicate"], use_threads=False).aggregate(
+            [([], "count_all")])
+        out = pa.Table.from_pydict({
+            "subject": pa.concat_arrays(
+                [tt.column("subject").combine_chunks(),
+                 agg.column("subject").combine_chunks()]),
+            "predicate": pa.concat_arrays(
+                [pa.array(["__target__"] * tt.num_rows, pa.string()),
+                 agg.column("predicate").combine_chunks()]),
+            "cnt": pa.concat_arrays(
+                [pa.array([1] * tt.num_rows, pa.int64()),
+                 agg.column("count_all").combine_chunks()
+                 .cast(pa.int64())])})
+        h = pd.util.hash_pandas_object(
+            out.column("subject").to_pandas(), index=False).to_numpy()
+        return out.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["subject", "predicate"],
+                      as_index=False)["cnt"].sum()
+        targets = m.loc[m["predicate"] == "__target__", "subject"]
+        rows = []
+        for pred, mn, mx in shapes:
+            c = m[m["predicate"] == pred].set_index("subject")["cnt"] \
+                .reindex(targets).fillna(0).to_numpy(np.int64)
+            rows.append((pred, mn, mx, len(c),
+                         int((c < mn).sum()), int((c > mx).sum())))
+        return pd.DataFrame(rows, columns=[
+            "predicate", "min_count", "max_count", "n_targets",
+            "n_min_viol", "n_max_viol"]) \
+            .astype({c: np.int64 for c in
+                     ["min_count", "max_count", "n_targets",
+                      "n_min_viol", "n_max_viol"]})
+
+    cells = pd.concat(
+        b.to_pandas() for b in triples.map_batches(
+            shred, batch_format="pyarrow")
+        .groupby("pid").map_groups(audit, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby(["predicate", "min_count", "max_count"],
+                 as_index=False)[["n_targets", "n_min_viol",
+                                  "n_max_viol"]].sum() \
+        .sort_values("predicate")
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        cells, preserve_index=False))
+
+
+def shacl_cardinality_query(sf_dir: str):
+    """Validate the guard-sparse customer tier graph: every
+    ex:Customer must carry exactly one ex:name and ex:segment (all
+    conform) and exactly one ex:tier — the guard (acctbal > 5000)
+    makes tier sparse, so its min-count violations ARE the guarded-out
+    customers."""
+    from rdf_mapper_ray.pipelines.relational import _cust_graph
+    ex = "http://example.org/def/"
+    return shacl_cardinality(
+        _cust_graph(sf_dir), f"{ex}Customer",
+        [(f"{ex}name", 1, 1), (f"{ex}segment", 1, 1),
+         (f"{ex}tier", 1, 1)])
+
+
+SHACL_CARDINALITY_ORACLE_SQL = """
+WITH trip AS (
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR)
+           AS subject,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+           AS predicate,
+         'http://example.org/def/Customer' AS object_value
+  FROM customer
+  UNION ALL
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR),
+         'http://example.org/def/name', c_name FROM customer
+  UNION ALL
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR),
+         'http://example.org/def/segment', lower(c_mktsegment)
+  FROM customer
+  UNION ALL
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR),
+         'http://example.org/def/tier',
+         replace(lower(c_mktsegment), ' ', '-')
+  FROM customer WHERE c_acctbal > 5000
+),
+targets AS (
+  SELECT subject FROM trip
+  WHERE predicate = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+    AND object_value = 'http://example.org/def/Customer'
+),
+shapes(predicate, minc, maxc) AS (VALUES
+  ('http://example.org/def/name', 1, 1),
+  ('http://example.org/def/segment', 1, 1),
+  ('http://example.org/def/tier', 1, 1)
+),
+cnt AS (
+  SELECT t.subject, s.predicate, s.minc, s.maxc,
+         COUNT(tr.subject) AS c
+  FROM targets t CROSS JOIN shapes s
+  LEFT JOIN trip tr ON tr.subject = t.subject
+                   AND tr.predicate = s.predicate
+  GROUP BY t.subject, s.predicate, s.minc, s.maxc
+)
+SELECT predicate, CAST(minc AS BIGINT) AS min_count,
+       CAST(maxc AS BIGINT) AS max_count,
+       CAST(COUNT(*) AS BIGINT) AS n_targets,
+       CAST(SUM(CASE WHEN c < minc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_min_viol,
+       CAST(SUM(CASE WHEN c > maxc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_max_viol
+FROM cnt GROUP BY predicate, minc, maxc ORDER BY predicate
+"""

@@ -295,3 +295,24 @@ def test_table_fingerprint_order_free(ray_session):
     c = table_fingerprint(ray.data.from_arrow(pa.table(rows3)),
                           ["doc_id", "text"]).to_pandas()
     assert not a.equals(c)
+
+
+def test_shacl_cardinality_min_max(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.ontology import shacl_cardinality
+    T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [  # s1: 2 names (max viol); s2: 0 names (min viol); both typed
+        ("s1", T, "C"), ("s2", T, "C"), ("s3", T, "Other"),
+        ("s1", "p:name", "a"), ("s1", "p:name", "b"),
+        ("s3", "p:name", "x"),  # non-target: ignored
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "subject": pa.array([r[0] for r in rows]),
+        "predicate": pa.array([r[1] for r in rows]),
+        "object_value": pa.array([r[2] for r in rows])})) \
+        .repartition(3)
+    out = shacl_cardinality(ds, "C", [("p:name", 1, 1)],
+                            num_partitions=2).to_pandas()
+    assert int(out["n_targets"][0]) == 2
+    assert int(out["n_min_viol"][0]) == 1   # s2 has none
+    assert int(out["n_max_viol"][0]) == 1   # s1 has two

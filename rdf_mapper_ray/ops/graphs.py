@@ -4914,3 +4914,156 @@ def stress_batched(edges: "ray.data.Dataset", nbatches: int = 4,
 
     return u.groupby("node").aggregate(Sum("stress")) \
         .map_batches(finish, batch_format="pyarrow")
+
+
+# --- weighted PageRank (integer-exact) -----------------------------------------------
+
+
+def pagerank_weighted(edges: "ray.data.Dataset", iters: int = 2
+                      ) -> "ray.data.Dataset":
+    """Integer-exact WEIGHTED PageRank over an undirected (a, b, w)
+    edge Dataset (w int64 > 0): each node splits its rank across
+    neighbors proportionally to edge weight,
+
+        contrib(u→v) = (q_k(u) · w_uv) // W_u      (W_u = Σ_x w_ux)
+        q_{k+1}(v)   = (1−d)·S + (85 · Σ contrib(u→v)) // 100
+
+    — the one floor per edge keeps every step int64 and order-free
+    (the flooring point IS the contract, replayed by the unrolled SQL
+    oracle). Overflow audit: q·w ≤ S·2m·w_max ≈ 10⁹·w_max·deg — at
+    w_max·deg > ~9·10⁹ pre-divide W_u into the rank (shard hubs)
+    before this wraps.
+
+    Venue: zero-exchange broadcast loop (node-sized rank + weight-sum
+    arrays via ray.put, per-edge-block pre-aggregated contributions,
+    driver np.add.at finish — ppr_int's contract); the co-partition
+    venue applies unchanged past broadcast scale (the adjacency rides
+    with (w, W_src) attached, exactly pagerank_int's degree column).
+    Output: (node, q)."""
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "src": pa.array(np.concatenate([a, b])),
+            "dst": pa.array(np.concatenate([b, a])),
+            "w": pa.array(np.concatenate([w, w]))})
+
+    und = edges.map_batches(undirect, batch_format="pyarrow") \
+        .materialize()
+
+    def wsum_partial(t: pa.Table) -> pa.Table:
+        agg = pa.Table.from_pydict({
+            "node": t.column("src"), "w": t.column("w")}).group_by(
+            "node", use_threads=False).aggregate([("w", "sum")])
+        return agg.rename_columns(["node", "w"])
+
+    ws = pd.concat(
+        b.to_pandas() for b in und.map_batches(
+            wsum_partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow")) \
+        .groupby("node", as_index=False)["w"].sum().sort_values("node")
+    nodes = ws["node"].to_numpy(np.int64)
+    wtot = ws["w"].to_numpy(np.int64)
+    base = (_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE // _PR_DAMP_DEN
+    q = np.full(len(nodes), _PR_SCALE, dtype=np.int64)
+    w_ref = ray.put((nodes, wtot))
+
+    for _ in range(iters):
+        ref = ray.put(q)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            nn, wt = ray.get(w_ref)
+            qq = ray.get(ref)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            si = np.searchsorted(nn, src)
+            c = (qq[si] * w) // wt[si]
+            out = pd.DataFrame({"node": dst, "c": c})
+            out = out.groupby("node", as_index=False)["c"].sum()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        parts = pd.concat(
+            b.to_pandas() for b in und.map_batches(
+                contrib, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"))
+        s = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(s, np.searchsorted(
+            nodes, parts["node"].to_numpy(np.int64)),
+            parts["c"].to_numpy(np.int64))
+        q = base + (_PR_DAMP_NUM * s) // _PR_DAMP_DEN
+
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "node": pa.array(nodes, pa.int64()),
+        "q": pa.array(q, pa.int64())}))
+
+
+def pagerank_weighted_query(sf_dir: str, iters: int = 2):
+    """Weighted PageRank over the part–supplier graph with edge
+    weight = total lineitem quantity on the (part, supplier) lane —
+    heavy procurement lanes carry proportionally more rank."""
+    import pyarrow.dataset as pads
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_quantity"],
+                    filter=pads.field("l_partkey") <= PR_PART_CAP)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        p = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        qn = np.rint(batch.column("l_quantity")
+                     .to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.Table.from_pydict({
+            "a": pa.array(p * 2), "b": pa.array(s * 2 + 1),
+            "w": pa.array(qn)})
+        agg = t.group_by(["a", "b"], use_threads=False).aggregate(
+            [("w", "sum")])
+        return agg.rename_columns(["a", "b", "w"])
+
+    # per-batch partial weight sums; the in-task merge venue
+    # (partsupp_edges' route+dd shape) merges duplicates exactly
+    def route(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_pandas_object(pd.Series(a * 1_000_003 + b),
+                                       index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(32)).astype(np.int64)))
+
+    def mrg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["a", "b"], as_index=False)["w"].sum()
+
+    edges = li.map_batches(enc, batch_format="pyarrow") \
+        .map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(mrg, batch_format="pandas")
+    return pagerank_weighted(edges, iters=iters)
+
+
+def pagerank_weighted_oracle_sql(iters: int = 2) -> str:
+    base = (_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE // _PR_DAMP_DEN
+    ctes = [f"""e0 AS (
+  SELECT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b,
+         CAST(SUM(round(l_quantity)) AS BIGINT) AS w
+  FROM lineitem WHERE l_partkey <= {PR_PART_CAP}
+  GROUP BY l_partkey, l_suppkey
+),
+e AS (SELECT a AS src, b AS dst, w FROM e0
+      UNION ALL SELECT b, a, w FROM e0),
+ws AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS wt
+       FROM e GROUP BY src),
+q0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS q FROM ws)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""q{k} AS MATERIALIZED (
+  SELECT e.dst AS node,
+         CAST({base} + ({_PR_DAMP_NUM}
+              * SUM(qp.q * e.w // ws.wt)) // {_PR_DAMP_DEN}
+              AS BIGINT) AS q
+  FROM e JOIN q{k-1} qp ON e.src = qp.node
+  JOIN ws ON ws.node = e.src
+  GROUP BY e.dst
+)""")
+    return "WITH " + ",\n".join(ctes) + \
+        f"\nSELECT node, q FROM q{iters} ORDER BY node\n"

@@ -537,3 +537,24 @@ def test_stress_batched_equals_all_pairs(ray_session):
         .to_pandas().sort_values("node").reset_index(drop=True)
     assert full.equals(batched)
     assert int(full.loc[full["node"] == 2, "stress"].iloc[0]) > 0
+
+
+def test_pagerank_weighted_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import (_PR_DAMP_DEN, _PR_DAMP_NUM,
+                                           _PR_SCALE, pagerank_weighted)
+    # star: hub 0 with spokes 1 (w=3) and 2 (w=1)
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array([0, 0], pa.int64()),
+        "b": pa.array([1, 2], pa.int64()),
+        "w": pa.array([3, 1], pa.int64())})).repartition(2)
+    out = pagerank_weighted(edges, iters=1).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    base = (_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE // _PR_DAMP_DEN
+    S = _PR_SCALE
+    # contribs: 0->1: S*3//4, 0->2: S*1//4; 1->0: S*3//3; 2->0: S
+    q0 = base + (_PR_DAMP_NUM * (S + S)) // _PR_DAMP_DEN
+    q1 = base + (_PR_DAMP_NUM * (S * 3 // 4)) // _PR_DAMP_DEN
+    q2 = base + (_PR_DAMP_NUM * (S * 1 // 4)) // _PR_DAMP_DEN
+    assert list(out["q"]) == [q0, q1, q2]

@@ -968,3 +968,95 @@ SELECT user_id, event_id, v AS v_c, l AS level_c, b AS trend_c,
        CAST(l + b AS BIGINT) AS fc_c
 FROM walk ORDER BY user_id, rn
 """
+
+
+# --- rolling window MEDIAN (order statistic over a ROWS frame) -----------------------
+
+
+def rolling_median(ds: "ray.data.Dataset", user_col: str, ts_col: str,
+                   id_col: str, value_col: str, window: int = 5,
+                   num_partitions: int | None = None
+                   ) -> "ray.data.Dataset":
+    """Trailing ROWS-window DISCRETE median per user — SQL's
+    ``quantile_disc(v, 0.5) OVER (... ROWS BETWEEN w-1 PRECEDING AND
+    CURRENT ROW)``, probed to pick ``sorted[ceil(0.5·k)−1]`` of the
+    k ≤ w window rows (an actual data value, int64-exact — unlike the
+    interpolating median). rolling_window ships the sums; this is the
+    ORDER-STATISTIC window sibling. -> (user, event_id, med_cents).
+
+    Scale shape: one hash(user) exchange; inside a partition, full
+    windows come from ONE sliding_window_view + row-wise np.sort
+    over the whole partition (rows whose window would cross a user
+    seam are masked out), and each ramp-up length k < w is ONE fancy-
+    indexed gather across ALL users at once — no per-row loop."""
+    import math
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([user_col, ts_col, id_col, value_col])
+        pid = pd.util.hash_pandas_object(
+            t.column(user_col).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col],
+                          kind="mergesort").reset_index(drop=True)
+        v = g[value_col].to_numpy(np.int64)
+        n = len(v)
+        u = g[user_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        seg_of = np.repeat(np.arange(len(starts)),
+                           np.diff(np.append(starts, n)))
+        pos = np.arange(n) - starts[seg_of]   # position within user
+        out = np.empty(n, dtype=np.int64)
+        # ramp-up rows (pos = k-1 < window-1): one gather per k
+        for k in range(1, min(window, int(pos.max()) + 2 if n else 1)):
+            rows = np.flatnonzero(pos == k - 1)
+            if not len(rows):
+                continue
+            win = v[(rows - (k - 1))[:, None] + np.arange(k)]
+            out[rows] = np.sort(win, axis=1)[:, math.ceil(0.5 * k) - 1]
+        # full windows in one vectorized pass
+        full = np.flatnonzero(pos >= window - 1)
+        if len(full):
+            from numpy.lib.stride_tricks import sliding_window_view
+            sw = np.sort(sliding_window_view(v, window), axis=1)
+            out[full] = sw[full - (window - 1),
+                           math.ceil(0.5 * window) - 1]
+        return pd.DataFrame({
+            user_col: u, id_col: g[id_col].to_numpy(),
+            "med_cents": out})
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(med, batch_format="pandas")
+
+
+def rolling_median_query(sf_dir: str, window: int = 5):
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "cents", pc.cast(pc.round(pc.multiply(
+                batch.column("value"), 100.0)), pa.int64()))
+
+    return rolling_median(ds.map_batches(cents,
+                                         batch_format="pyarrow"),
+                          "user_id", "ts", "event_id", "cents",
+                          window=window)
+
+
+ROLLING_MEDIAN_ORACLE_SQL = """
+SELECT user_id, event_id,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med_cents
+FROM events ORDER BY user_id, event_id
+"""

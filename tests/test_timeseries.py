@@ -175,3 +175,32 @@ def test_corr_matrix_matches_numpy(ray_session):
         ref = np.corrcoef(x, y)[0, 1]
         assert abs(got[(k1, k2)] - ref) < 1e-9, (k1, k2)
     assert abs(got[("a", "b")]) > 0.9 and abs(got[("a", "c")]) < 0.3
+
+
+def test_rolling_median_seams_and_rampup(ray_session):
+    import math
+
+    from rdf_mapper_ray.ops.timeseries import rolling_median
+    # two users; verify ramp-up windows and that user seams don't leak
+    rows = [(1, 0, 7, "v", 0.10), (2, 1, 7, "v", 0.30),
+            (3, 2, 7, "v", 0.20), (4, 3, 7, "v", 0.40),
+            (5, 4, 7, "v", 0.05), (6, 5, 7, "v", 0.01),
+            (7, 0, 8, "v", 9.99)]
+    import pyarrow.compute as pc
+
+    def cents(batch):
+        return batch.append_column(
+            "cents", pc.cast(pc.round(pc.multiply(
+                batch.column("value"), 100.0)), pa.int64()))
+
+    ds = _events(rows).repartition(3).map_batches(
+        cents, batch_format="pyarrow")
+    out = rolling_median(ds, "user_id", "ts", "event_id", "cents",
+                         num_partitions=2).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    vals = [10, 30, 20, 40, 5, 1]
+    expect = []
+    for i in range(6):
+        w = sorted(vals[max(0, i - 4):i + 1])
+        expect.append(w[math.ceil(0.5 * len(w)) - 1])
+    assert list(out["med_cents"]) == expect + [999]

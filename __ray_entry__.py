@@ -93,7 +93,7 @@ _NEXT_UP = [
     "holt", "zipf_fit", "rdfs_entail", "dedup_rate",
     "dup_cluster_hist", "weighted_median", "table_fingerprint",
     "kendall", "lpa_modularity", "shacl_cardinality",
-    "pagerank_weighted", "rolling_median",
+    "pagerank_weighted", "rolling_median", "source_jaccard",
     # new in round-4 session 7 (window already full; locally dtype-exact)
     "date_features", "region_revenue", "bgp_subquery", "rfm_scores",
     "event_precedence", "mrr", "feature_hashing", "mm_frame_sample",
@@ -537,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shacl_cardinality": ontology.shacl_cardinality_query,
         "pagerank_weighted": graphs.pagerank_weighted_query,
         "rolling_median": timeseries.rolling_median_query,
+        "source_jaccard": setops.source_jaccard_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -821,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         "shacl_cardinality": ontology.SHACL_CARDINALITY_ORACLE_SQL,
         "pagerank_weighted": graphs.pagerank_weighted_oracle_sql(),
         "rolling_median": timeseries.ROLLING_MEDIAN_ORACLE_SQL,
+        "source_jaccard": setops.SOURCE_JACCARD_ORACLE_SQL,
         "region_revenue": joins.REGION_REVENUE_ORACLE_SQL,
         "bgp_subquery": relational.BGP_SUBQUERY_ORACLE_SQL,
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,

@@ -102,3 +102,116 @@ SELECT user_id FROM (
   WHERE event_type = 'error' AND value > {_VALUE_CUT}
 ) ORDER BY user_id
 """
+
+
+# --- exact pairwise Jaccard between group token sets ---------------------------------
+
+
+def group_set_jaccard(ds: "ray.data.Dataset", group_col: str,
+                      text_col: str,
+                      num_partitions: int | None = None
+                      ) -> "ray.data.Dataset":
+    """EXACT token-set Jaccard between every pair of groups (the
+    source-overlap matrix a curation run reads before merging feeds;
+    kmv_overlap is the sketched venue, this is the exact one): with
+    S_g the set of distinct lowercased whitespace tokens in group g,
+    report |S_a ∩ S_b|, |S_a ∪ S_b| and the pure-integer
+    ``jaccard_milli = 1000·∩ // ∪`` for every a < b.
+    -> (src_a, src_b, n_inter, n_union, jaccard_milli).
+
+    Scale shape: per-batch distinct (token, group) partials, ONE
+    hash(token) exchange dedupes them in-task; each task then expands
+    every token's sorted group list into C(k,2) pair rows (k ≤
+    #groups — group-bounded, never corpus-bounded) pre-summed per
+    task, and the (groups²)-bounded cell table finishes driver-side
+    (set sizes ride the same exchange as kind-0 rows, the item_cosine
+    totals trick)."""
+    import itertools
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def toks(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_pandas()
+        tx = batch.column(text_col).to_pandas().fillna("").str.lower() \
+            .str.split()
+        df = pd.DataFrame({"g": g.repeat(tx.str.len()),
+                           "token": np.concatenate(
+                               [np.array(t, dtype=object)
+                                for t in tx])} if len(batch) else
+                          {"g": [], "token": []})
+        df = df.drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def route(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(t.column("token").to_pylist()),
+            index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.drop_duplicates(["token", "g"])
+        sizes = m.groupby("g").size()          # partial |S_g| per task
+        rows: dict = {}
+        for _, grp in m.groupby("token", sort=False):
+            gs = sorted(grp["g"].tolist())
+            for a, b in itertools.combinations(gs, 2):
+                rows[(a, b)] = rows.get((a, b), 0) + 1
+        out = pd.DataFrame(
+            [(a, b, c, 0) for (a, b), c in rows.items()]
+            + [(g, g, int(n), 1) for g, n in sizes.items()],
+            columns=["a", "b", "c", "kind"])
+        return out
+
+    cells = pd.concat(
+        b.to_pandas() for b in ds.map_batches(
+            toks, batch_format="pyarrow")
+        .map_batches(route, batch_format="pyarrow")
+        .groupby("pid").map_groups(pairs, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow"))
+    sizes = cells[cells["kind"] == 1].groupby("a")["c"].sum()
+    inter = cells[cells["kind"] == 0].groupby(["a", "b"])["c"].sum() \
+        .reset_index().sort_values(["a", "b"])
+    na = sizes.reindex(inter["a"]).to_numpy(np.int64)
+    nb = sizes.reindex(inter["b"]).to_numpy(np.int64)
+    ni = inter["c"].to_numpy(np.int64)
+    nu = na + nb - ni
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "src_a": pa.array(inter["a"].to_numpy(), pa.string()),
+        "src_b": pa.array(inter["b"].to_numpy(), pa.string()),
+        "n_inter": pa.array(ni, pa.int64()),
+        "n_union": pa.array(nu, pa.int64()),
+        "jaccard_milli": pa.array(1000 * ni // nu, pa.int64())}))
+
+
+def source_jaccard_query(sf_dir: str):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    return group_set_jaccard(ds, "source", "text")
+
+
+SOURCE_JACCARD_ORACLE_SQL = """
+WITH toks AS (
+  SELECT DISTINCT source AS g,
+         unnest(regexp_split_to_array(lower(COALESCE(text, '')),
+                '\\s+')) AS token
+  FROM documents
+),
+t AS (SELECT g, token FROM toks WHERE token <> ''),
+sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY g),
+inter AS (
+  SELECT a.g AS src_a, b.g AS src_b, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM t a JOIN t b ON a.token = b.token AND a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT src_a, src_b, ni AS n_inter,
+       CAST(sa.n + sb.n - ni AS BIGINT) AS n_union,
+       CAST(1000 * ni // (sa.n + sb.n - ni) AS BIGINT)
+         AS jaccard_milli
+FROM inter JOIN sizes sa ON sa.g = src_a
+JOIN sizes sb ON sb.g = src_b
+ORDER BY src_a, src_b
+"""

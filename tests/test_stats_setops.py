@@ -132,3 +132,22 @@ def test_new_ops_match_oracle_sf001(ray_session):
         got = E.queries()[name](sf).to_pandas()
         want = con.execute(E.oracle_sql()[name]).fetchdf()
         assert compare(name, got, want)
+
+
+def test_group_set_jaccard_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from rdf_mapper_ray.ops.setops import group_set_jaccard
+    ds = ray.data.from_arrow(pa.table({
+        "source": pa.array(["s1", "s1", "s2", "s3"]),
+        "text": pa.array(["a b c", "c d", "b c e", "zz"])})) \
+        .repartition(3)
+    out = group_set_jaccard(ds, "source", "text",
+                            num_partitions=2).to_pandas() \
+        .sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    # s1={a,b,c,d}, s2={b,c,e}, s3={zz}: only (s1,s2) intersect
+    assert list(out["src_a"]) == ["s1"]
+    assert list(out["src_b"]) == ["s2"]
+    assert list(out["n_inter"]) == [2]
+    assert list(out["n_union"]) == [5]
+    assert list(out["jaccard_milli"]) == [2000 // 5]

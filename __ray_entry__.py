@@ -94,6 +94,7 @@ _NEXT_UP = [
     "dup_cluster_hist", "weighted_median", "table_fingerprint",
     "kendall", "lpa_modularity", "shacl_cardinality",
     "pagerank_weighted", "rolling_median", "source_jaccard",
+    "bgp_path_range",
     # new in round-4 session 7 (window already full; locally dtype-exact)
     "date_features", "region_revenue", "bgp_subquery", "rfm_scores",
     "event_precedence", "mrr", "feature_hashing", "mm_frame_sample",
@@ -538,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted": graphs.pagerank_weighted_query,
         "rolling_median": timeseries.rolling_median_query,
         "source_jaccard": setops.source_jaccard_query,
+        "bgp_path_range": relational.bgp_path_range_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -823,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": graphs.pagerank_weighted_oracle_sql(),
         "rolling_median": timeseries.ROLLING_MEDIAN_ORACLE_SQL,
         "source_jaccard": setops.SOURCE_JACCARD_ORACLE_SQL,
+        "bgp_path_range": relational.BGP_PATH_RANGE_ORACLE_SQL,
         "region_revenue": joins.REGION_REVENUE_ORACLE_SQL,
         "bgp_subquery": relational.BGP_SUBQUERY_ORACLE_SQL,
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,

@@ -1155,3 +1155,65 @@ def bgp_group_concat(triples: "ray.data.Dataset",
 
     return b.map_batches(route, batch_format="pyarrow") \
         .groupby("pid").map_groups(concat, batch_format="pandas")
+
+
+def path_range(triples: "ray.data.Dataset", predicate: str,
+               lo: int = 1, hi: int = 3,
+               src_name: str = "src", dst_name: str = "dst",
+               num_partitions: Optional[int] = None
+               ) -> "ray.data.Dataset":
+    """Bounded-length property path ``?s <p>{lo,hi} ?o`` (the
+    SPARQL 1.1 draft's counted form, still the common engine
+    extension): DISTINCT pairs connected by a p-chain of length
+    between lo and hi. Evaluated as hi-1 chained co-partition
+    equi-joins with a per-depth distinct (the depth-indexed variant
+    of path_plus — bounded depth means no fixpoint test, and the
+    per-depth dedup keeps the frontier set-sized on cyclic graphs).
+    -> (src, dst) string columns."""
+    if not (1 <= lo <= hi):
+        raise ValueError(f"bad path range {{{lo},{hi}}}")
+    from rdf_mapper_ray.ops.joins import equi_join
+
+    triples, num_partitions = _pin_triples(triples, num_partitions)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        m = pc.fill_null(
+            pc.equal(batch.column("predicate"), predicate), False)
+        t = batch.filter(m)
+        return pa.Table.from_pydict({
+            "a": t.column("subject").cast(pa.string()),
+            "b": t.column("object_value").cast(pa.string())})
+
+    edges = triples.map_batches(scan, batch_format="pyarrow") \
+        .materialize()
+    cur = _distinct_rows(edges, ["a", "b"], num_partitions)
+    collected = [cur] if lo <= 1 else []
+    for depth in range(2, hi + 1):
+        nxt = equi_join(
+            cur, edges.map_batches(
+                lambda t: t.rename_columns(["mid", "c"]),
+                batch_format="pyarrow"),
+            left_on="b", right_on="mid", how="inner",
+            venue="copartition", num_partitions=num_partitions,
+            left_schema=pa.schema([("a", pa.string()),
+                                   ("b", pa.string())]),
+            right_schema=pa.schema([("mid", pa.string()),
+                                    ("c", pa.string())]))
+
+        def step(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict({
+                "a": t.column("a"), "b": t.column("c")})
+
+        cur = _distinct_rows(nxt.map_batches(
+            step, batch_format="pyarrow"), ["a", "b"], num_partitions)
+        if depth >= lo:
+            collected.append(cur)
+
+    u = collected[0]
+    for c in collected[1:]:
+        u = u.union(c)
+    out = _distinct_rows(u, ["a", "b"], num_partitions)
+    return out.map_batches(
+        lambda g, _s=src_name, _d=dst_name: g.rename(
+            columns={"a": _s, "b": _d}),
+        batch_format="pandas")

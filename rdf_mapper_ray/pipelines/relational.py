@@ -1161,3 +1161,33 @@ FROM customer
 GROUP BY c_nationkey
 ORDER BY nat
 """
+
+
+def bgp_path_range_query(sf_dir: str) -> "ray.data.Dataset":
+    """Counted property path ``?s ex:within{2,3} ?o`` over the
+    within-graph: everything reachable in exactly 2 or 3 hops
+    (customer→region pairs; the graph is 2 deep, so depth 3 is
+    provably empty — the oracle unions it anyway)."""
+    from rdf_mapper_ray.engine.bgp import path_range
+    return path_range(_within_graph(sf_dir), f"{_EX}within",
+                      lo=2, hi=3)
+
+
+BGP_PATH_RANGE_ORACLE_SQL = """
+WITH e AS (
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR) AS a,
+         'http://example.org/nation/' || CAST(c_nationkey AS VARCHAR)
+           AS b
+  FROM customer
+  UNION ALL
+  SELECT 'http://example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+         'http://example.org/region/' || CAST(n_regionkey AS VARCHAR)
+  FROM nation
+),
+d1 AS (SELECT DISTINCT a, b FROM e),
+d2 AS (SELECT DISTINCT d1.a, e.b FROM d1 JOIN e ON e.a = d1.b),
+d3 AS (SELECT DISTINCT d2.a, e.b FROM d2 JOIN e ON e.a = d2.b)
+SELECT DISTINCT a AS src, b AS dst
+FROM (SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+ORDER BY src, dst
+"""

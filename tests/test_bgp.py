@@ -367,3 +367,26 @@ def test_negated_property_set(ray_session):
     out = negated_path(t, ["p2"]).to_pandas()
     got = set(zip(out["src"], out["p"], out["dst"]))
     assert got == {("s1", "p1", "a"), ("s2", "p3", "c")}
+
+
+def test_path_range_counted(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from rdf_mapper_ray.engine.bgp import path_range
+    # chain a->b->c->d with cycle d->a: depth {2,2} from a reaches c
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+            ("d", "p", "a")]
+    trips = ray.data.from_arrow(pa.table({
+        "subject": pa.array([r[0] for r in rows]),
+        "predicate": pa.array([r[1] for r in rows]),
+        "object_value": pa.array([r[2] for r in rows])})) \
+        .repartition(2)
+    out = path_range(trips, "p", lo=2, hi=2, num_partitions=2) \
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert list(map(tuple, out.to_numpy())) == [
+        ("a", "c"), ("b", "d"), ("c", "a"), ("d", "b")]
+    # {1,3}: cycle of length 4 -> every ordered pair except self at
+    # depth<=3... a reaches b,c,d
+    out2 = path_range(trips, "p", lo=1, hi=3, num_partitions=2) \
+        .to_pandas()
+    assert len(out2) == 12  # 4 nodes x 3 reachable depths

@@ -724,3 +724,62 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# --- lexical diversity (type-token ratio) --------------------------------------------
+
+
+def lexical_diversity(ds: "ray.data.Dataset", text_col: str = "text",
+                      id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Per-document type-token ratio (lexical-diversity quality
+    signal: template spam and keyword stuffing crater it): lowercased
+    whitespace tokens, ``ttr_milli = 1000·n_types // n_tokens``
+    (pure-integer floor; 0-token docs report -1). Map-only, zero
+    exchanges; the per-batch kernel is one pandas explode + TWO
+    groupby-nunique/size passes over all docs at once — no Python
+    loop per document. -> (doc_id, n_tokens, n_types, ttr_milli)."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pandas()
+        toks = batch.column(text_col).to_pandas().fillna("") \
+            .str.lower().str.split()
+        n_tok = toks.str.len().to_numpy(np.int64)
+        ex = pd.DataFrame({
+            "d": ids.repeat(n_tok).to_numpy(),
+            "t": np.concatenate(
+                [np.array(t, dtype=object) for t in toks]
+                or [np.array([], dtype=object)])})
+        types = ex.groupby("d")["t"].nunique()
+        n_typ = types.reindex(ids).fillna(0).to_numpy(np.int64)
+        ttr = np.where(n_tok > 0, 1000 * n_typ // np.maximum(n_tok, 1),
+                       -1)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids.to_numpy(np.int64)),
+            "n_tokens": pa.array(n_tok),
+            "n_types": pa.array(n_typ),
+            "ttr_milli": pa.array(ttr.astype(np.int64))})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def lexical_diversity_query(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return lexical_diversity(ds)
+
+
+LEXICAL_DIVERSITY_ORACLE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(COALESCE(text, '')),
+                                        '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       CAST(CASE WHEN len(toks) > 0
+                 THEN 1000 * len(list_distinct(toks)) // len(toks)
+                 ELSE -1 END AS BIGINT) AS ttr_milli
+FROM t ORDER BY doc_id
+"""

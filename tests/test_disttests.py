@@ -316,3 +316,17 @@ def test_shacl_cardinality_min_max(ray_session):
     assert int(out["n_targets"][0]) == 2
     assert int(out["n_min_viol"][0]) == 1   # s2 has none
     assert int(out["n_max_viol"][0]) == 1   # s1 has two
+
+
+def test_lexical_diversity_hand_case(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.text import lexical_diversity
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b A b c", "x x x x", ""])})) \
+        .repartition(2)
+    out = lexical_diversity(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["n_tokens"]) == [5, 4, 0]
+    assert list(out["n_types"]) == [3, 1, 0]   # lowercased: a,b,c
+    assert list(out["ttr_milli"]) == [3000 // 5, 250, -1]

@@ -94,7 +94,7 @@ _NEXT_UP = [
     "dup_cluster_hist", "weighted_median", "table_fingerprint",
     "kendall", "lpa_modularity", "shacl_cardinality",
     "pagerank_weighted", "rolling_median", "source_jaccard",
-    "bgp_path_range", "lexical_diversity",
+    "bgp_path_range", "lexical_diversity", "group_skewness",
     # new in round-4 session 7 (window already full; locally dtype-exact)
     "date_features", "region_revenue", "bgp_subquery", "rfm_scores",
     "event_precedence", "mrr", "feature_hashing", "mm_frame_sample",
@@ -541,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_jaccard": setops.source_jaccard_query,
         "bgp_path_range": relational.bgp_path_range_query,
         "lexical_diversity": text.lexical_diversity_query,
+        "group_skewness": stats.group_skewness_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -828,6 +829,7 @@ def oracle_sql() -> dict[str, str]:
         "source_jaccard": setops.SOURCE_JACCARD_ORACLE_SQL,
         "bgp_path_range": relational.BGP_PATH_RANGE_ORACLE_SQL,
         "lexical_diversity": text.LEXICAL_DIVERSITY_ORACLE_SQL,
+        "group_skewness": stats.GROUP_SKEWNESS_ORACLE_SQL,
         "region_revenue": joins.REGION_REVENUE_ORACLE_SQL,
         "bgp_subquery": relational.BGP_SUBQUERY_ORACLE_SQL,
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,

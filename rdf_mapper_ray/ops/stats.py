@@ -1075,3 +1075,107 @@ SELECT g AS o_orderpriority,
        CAST(SUM(txy) AS BIGINT) AS t_xy
 FROM p GROUP BY g ORDER BY g
 """
+
+
+# --- skewness per group (exact third-moment sufficient statistics) -------------------
+
+
+def group_skewness(ds: "ray.data.Dataset", group_col: str,
+                   value_col: str,
+                   num_partitions: Optional[int] = None
+                   ) -> "ray.data.Dataset":
+    """Population skewness g₁ per group from EXACT integer moment
+    sums: with s₁ = Σx, s₂ = Σx², s₃ = Σx³ over dollar-quantized
+    values (``round(x)`` — cents would cube past int64 per ELEMENT;
+    the dollar quantization is the documented contract, applied
+    identically in the oracle),
+
+        A = n²·s₃ − 3n·s₁·s₂ + 2·s₁³   (= n³·m₃, exact)
+        D = n·s₂ − s₁²                  (= n²·m₂, exact)
+        g₁ = A / (√D·√D·√D)
+
+    s₃ accumulates in two int64 limbs (x³ ≤ 10¹⁵ per element but
+    batch sums wrap — the group_corr hi/lo discipline), A and D
+    recombine as Python ints, and the one float expression matches
+    DuckDB's HUGEINT→DOUBLE cast bit-for-bit (the group_corr sqrt
+    contract). Overflow audit (SQL side): n²·s₃ < 10³⁶ up to ~10⁷
+    dollar-scale rows per group — inside HUGEINT.
+    -> (group, n, skew)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+    _MASK30 = (1 << 30) - 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_pandas()
+        # floor(x+0.5), NOT np.rint: dollar quantization hits exact
+        # .50 doubles, where rint's half-to-even diverges from DuckDB
+        # round()'s half-away (cents-scale ops never see exact halves)
+        x = np.floor(t.column(value_col)
+                     .to_numpy(zero_copy_only=False) + 0.5) \
+            .astype(np.int64)
+        x3 = x * x * x
+        df = pd.DataFrame({
+            group_col: g, "s1": x, "s2": x * x,
+            "s3_hi": x3 >> 30, "s3_lo": x3 & _MASK30})
+        out = df.groupby(group_col, as_index=False).agg(
+            n=("s1", "size"), s1=("s1", "sum"), s2=("s2", "sum"),
+            s3_hi=("s3_hi", "sum"), s3_lo=("s3_lo", "sum"))
+        out["n"] = out["n"].astype(np.int64)
+        pid = pd.util.hash_pandas_object(out[group_col],
+                                         index=False).to_numpy()
+        out["pid"] = (pid % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(group_col, as_index=False)[
+            ["n", "s1", "s2", "s3_hi", "s3_lo"]].sum()
+        skews = []
+        for n, s1, s2, s3_hi, s3_lo in zip(
+                s["n"].tolist(), s["s1"].tolist(), s["s2"].tolist(),
+                s["s3_hi"].tolist(), s["s3_lo"].tolist()):
+            n, s1, s2 = int(n), int(s1), int(s2)
+            s3 = (int(s3_hi) << 30) + int(s3_lo)
+            a = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+            d = n * s2 - s1 * s1
+            if d <= 0:
+                skews.append(float("nan"))
+                continue
+            sd = math.sqrt(float(d))
+            skews.append(float(a) / (sd * sd * sd))
+        out = s[[group_col, "n"]].copy()
+        out["n"] = out["n"].astype(np.int64)
+        out["skew"] = np.asarray(skews, dtype=np.float64)
+        return out
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pid").map_groups(finish, batch_format="pandas")
+
+
+def group_skewness_query(sf_dir: str):
+    """Skewness of order totals per priority class (are expensive
+    orders a fat right tail everywhere?)."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_totalprice"])
+    return group_skewness(ds, "o_orderpriority", "o_totalprice")
+
+
+GROUP_SKEWNESS_ORACLE_SQL = """
+WITH u AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice) AS BIGINT) AS x
+  FROM orders
+),
+s AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS s1, SUM(x * x) AS s2, SUM(x * x * x) AS s3
+  FROM u GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+            AS DOUBLE)
+       / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+          * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+          * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) AS skew
+FROM s ORDER BY o_orderpriority
+"""

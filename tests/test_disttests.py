@@ -330,3 +330,24 @@ def test_lexical_diversity_hand_case(ray_session):
     assert list(out["n_tokens"]) == [5, 4, 0]
     assert list(out["n_types"]) == [3, 1, 0]   # lowercased: a,b,c
     assert list(out["ttr_milli"]) == [3000 // 5, 250, -1]
+
+
+def test_group_skewness_reference(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.stats import group_skewness
+    rng = np.random.RandomState(5)
+    vals = np.concatenate([rng.uniform(10, 100, 200),
+                           rng.uniform(500, 900, 20)])  # right skew
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["a"] * 220),
+        "v": pa.array(vals, pa.float64())})).repartition(4)
+    out = group_skewness(ds, "g", "v", num_partitions=2).to_pandas()
+    x = np.floor(vals + 0.5).astype(np.int64)
+    n, s1, s2, s3 = len(x), int(x.sum()), int((x * x).sum()), \
+        int((x.astype(object) ** 3).sum())
+    a = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+    d = n * s2 - s1 * s1
+    import math
+    sd = math.sqrt(float(d))
+    assert float(out["skew"][0]) == float(a) / (sd * sd * sd)
+    assert float(out["skew"][0]) > 1.0  # planted right skew

@@ -5067,3 +5067,110 @@ q0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS q FROM ws)"""]
 )""")
     return "WITH " + ",\n".join(ctes) + \
         f"\nSELECT node, q FROM q{iters} ORDER BY node\n"
+
+
+# --- rich-club coefficient -----------------------------------------------------------
+
+
+def rich_club(edges: "ray.data.Dataset", k: int = 3,
+              num_partitions: int | None = None
+              ) -> "ray.data.Dataset":
+    """Rich-club audit at degree threshold k (Colizza et al. 2006),
+    kept integral: with R = {v : deg(v) > k} the "rich" node set,
+    report |R|, the number of edges with BOTH endpoints in R, and the
+    density numerator ``phi_milli = 1000·2·E_R // (|R|·(|R|−1))`` —
+    do well-connected hubs also interconnect? -> one row
+    (k, n_rich, n_rich_edges, phi_milli).
+
+    Scale shape: degrees from per-batch endpoint-count partials, one
+    hash(node) exchange; the rich set is degree-thresholded SMALL by
+    construction (power-law tails — k chooses the envelope) and
+    broadcasts via ray.put; edge blocks then count rich-rich members
+    map-side with np.isin against the sorted broadcast array — the
+    map_by small-side contract, with the co-partition double
+    semi-join as the stated venue past broadcast scale."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        v, c = np.unique(np.concatenate([a, b]), return_counts=True)
+        return pa.Table.from_pydict({
+            "node": pa.array(v), "c": pa.array(c.astype(np.int64))})
+
+    def route(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.column("node").to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def rich_part(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node", as_index=False)["c"].sum()
+        return m[m["c"] > k][["node"]]
+
+    rich = np.sort(np.concatenate(
+        [b.to_pandas()["node"].to_numpy(np.int64) for b in
+         edges.map_batches(deg_partial, batch_format="pyarrow")
+         .map_batches(route, batch_format="pyarrow")
+         .groupby("pid").map_groups(rich_part, batch_format="pandas")
+         .iter_batches(batch_format="pyarrow")]
+        + [np.array([], dtype=np.int64)]))
+    rich_ref = ray.put(rich)
+
+    def count_rich(t: pa.Table) -> pa.Table:
+        r = ray.get(rich_ref)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        both = np.isin(a, r) & np.isin(b, r)
+        return pa.Table.from_pydict({
+            "n": pa.array([int(both.sum())], pa.int64())})
+
+    n_edges = sum(
+        b.to_pandas()["n"].sum() for b in edges.map_batches(
+            count_rich, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"))
+    n_rich = len(rich)
+    denom = n_rich * (n_rich - 1)
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "k": pa.array([k], pa.int64()),
+        "n_rich": pa.array([n_rich], pa.int64()),
+        "n_rich_edges": pa.array([int(n_edges)], pa.int64()),
+        "phi_milli": pa.array(
+            [2000 * int(n_edges) // denom if denom else 0],
+            pa.int64())}))
+
+
+def rich_club_query(sf_dir: str, k: int = 3):
+    """Rich-club coefficient of the part-supplier graph at deg > 3."""
+    return rich_club(partsupp_edges(sf_dir), k=k)
+
+
+def rich_club_oracle_sql(k: int = 3) -> str:
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem WHERE l_partkey <= {PR_PART_CAP}
+),
+d AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+  GROUP BY node
+),
+rich AS (SELECT node FROM d WHERE c > {k}),
+re AS (
+  SELECT COUNT(*) AS n FROM e0
+  WHERE a IN (SELECT node FROM rich)
+    AND b IN (SELECT node FROM rich)
+),
+nr AS (SELECT COUNT(*) AS n FROM rich)
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(nr.n AS BIGINT) AS n_rich,
+       CAST(re.n AS BIGINT) AS n_rich_edges,
+       CAST(CASE WHEN nr.n > 1
+            THEN 2000 * re.n // (nr.n * (nr.n - 1))
+            ELSE 0 END AS BIGINT) AS phi_milli
+FROM re, nr
+"""

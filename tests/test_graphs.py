@@ -558,3 +558,21 @@ def test_pagerank_weighted_hand_case(ray_session):
     q1 = base + (_PR_DAMP_NUM * (S * 3 // 4)) // _PR_DAMP_DEN
     q2 = base + (_PR_DAMP_NUM * (S * 1 // 4)) // _PR_DAMP_DEN
     assert list(out["q"]) == [q0, q1, q2]
+
+
+def test_rich_club_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import rich_club
+    # K4 on {1,2,3,4} (deg 3 each... make deg>2 rich) + pendant 5-1
+    a = [1, 1, 1, 2, 2, 3, 5]
+    b = [2, 3, 4, 3, 4, 4, 1]
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array(a, pa.int64()),
+        "b": pa.array(b, pa.int64())})).repartition(2)
+    out = rich_club(edges, k=2, num_partitions=2).to_pandas()
+    # degrees: 1->4, 2/3/4->3, 5->1; rich(>2) = {1,2,3,4}; all 6 K4
+    # edges are rich-rich; phi = 2*6/(4*3) = 1.0
+    assert int(out["n_rich"][0]) == 4
+    assert int(out["n_rich_edges"][0]) == 6
+    assert int(out["phi_milli"][0]) == 1000

@@ -1179,3 +1179,169 @@ SELECT o_orderpriority, n,
           * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) AS skew
 FROM s ORDER BY o_orderpriority
 """
+
+
+# --- Fano factor (burstiness) per user ------------------------------------------------
+
+
+def fano_factor(ds: "ray.data.Dataset", user_col: str, ts_col: str,
+                bucket_us: int = 3_600_000_000,
+                num_partitions: Optional[int] = None
+                ) -> "ray.data.Dataset":
+    """Burstiness audit per user: the Fano factor of the per-bucket
+    (hourly) event counts over the user's ACTIVE buckets, as one
+    exact integer pair — ``F = var/mean = fano_num / fano_den`` with
+
+        fano_num = n·Σc² − (Σc)²      (= n²·var, population)
+        fano_den = n·Σc               (= n²·mean)
+
+    (n = active buckets, c = events in bucket; F≈1 Poisson-like, F≫1
+    bursty). No floats anywhere. -> (user, n_buckets, n_events,
+    fano_num, fano_den).
+
+    Scale shape: per-batch (user, bucket) count partials, ONE
+    hash(user) exchange (bucket cardinality per user is bounded by
+    the time span), vectorized per-user finish."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(ts_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))
+        bucket = col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            // bucket_us
+        df = pd.DataFrame({
+            "u": t.column(user_col).to_numpy(zero_copy_only=False),
+            "b": bucket})
+        out = df.groupby(["u", "b"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        pid = pd.util.hash_pandas_object(out["u"],
+                                         index=False).to_numpy()
+        out["pid"] = (pid % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["u", "b"], as_index=False)["c"].sum()
+        s = m.groupby("u", as_index=False).agg(
+            n=("c", "size"), s1=("c", "sum"))
+        s2 = m.assign(cc=m["c"] * m["c"]).groupby(
+            "u", as_index=False)["cc"].sum()
+        s = s.merge(s2, on="u")
+        n = s["n"].to_numpy(np.int64)
+        s1 = s["s1"].to_numpy(np.int64)
+        cc = s["cc"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": s["u"].to_numpy(np.int64),
+            "n_buckets": n, "n_events": s1,
+            "fano_num": n * cc - s1 * s1,
+            "fano_den": n * s1})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pid").map_groups(finish, batch_format="pandas")
+
+
+def fano_factor_query(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return fano_factor(ds, "user_id", "ts")
+
+
+FANO_FACTOR_ORACLE_SQL = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, bucket
+),
+s AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS cc
+  FROM b GROUP BY user_id
+)
+SELECT user_id, n AS n_buckets, s1 AS n_events,
+       CAST(n * cc - s1 * s1 AS BIGINT) AS fano_num,
+       CAST(n * s1 AS BIGINT) AS fano_den
+FROM s ORDER BY user_id
+"""
+
+
+# --- Herfindahl-Hirschman concentration per group -------------------------------------
+
+
+def group_hhi(ds: "ray.data.Dataset", group_col: str, item_col: str,
+              num_partitions: Optional[int] = None
+              ) -> "ray.data.Dataset":
+    """Herfindahl-Hirschman concentration of an item mix per group,
+    integral end to end: ``HHI = Σ (c_i/n)² = hhi_num / n²`` with
+    ``hhi_num = Σ c_i²``; reported with the pure-integer micro floor
+    ``hhi_e6 = 1_000_000·Σc_i² // n²`` (1e6 = single item dominates,
+    1e6/k = uniform over k). -> (group, n, n_items, hhi_e6).
+
+    Per-batch (group, item) count partials, one hash(group) exchange,
+    vectorized finish — the cell-table discipline."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.select([group_col, item_col]).group_by(
+            [group_col, item_col], use_threads=False).aggregate(
+            [([], "count_all")])
+        out = agg.rename_columns([group_col, item_col, "c"])
+        h = pd.util.hash_pandas_object(
+            out.column(group_col).to_pandas(), index=False).to_numpy()
+        return out.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby([group_col, item_col], as_index=False)["c"].sum()
+        s = m.groupby(group_col, as_index=False).agg(
+            n=("c", "sum"), n_items=("c", "size"))
+        cc = m.assign(c2=m["c"] * m["c"]).groupby(
+            group_col, as_index=False)["c2"].sum()
+        s = s.merge(cc, on=group_col)
+        n = s["n"].to_numpy(np.int64)
+        return pd.DataFrame({
+            group_col: s[group_col],
+            "n": n,
+            "n_items": s["n_items"].to_numpy(np.int64),
+            "hhi_e6": 1_000_000 * s["c2"].to_numpy(np.int64)
+            // (n * n)})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pid").map_groups(finish, batch_format="pandas")
+
+
+def group_hhi_query(sf_dir: str):
+    """How concentrated is each nation's customer base across market
+    segments?"""
+    ds = read_table(sf_dir, "customer",
+                    columns=["c_nationkey", "c_mktsegment"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.Table.from_pydict({
+            "c_nationkey": pc.cast(t.column("c_nationkey"),
+                                   pa.int64()),
+            "c_mktsegment": t.column("c_mktsegment")})
+
+    return group_hhi(ds.map_batches(shape, batch_format="pyarrow"),
+                     "c_nationkey", "c_mktsegment")
+
+
+GROUP_HHI_ORACLE_SQL = """
+WITH m AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, CAST(SUM(c) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(1000000 * SUM(c * c) // (SUM(c) * SUM(c)) AS BIGINT)
+         AS hhi_e6
+FROM m GROUP BY c_nationkey ORDER BY c_nationkey
+"""

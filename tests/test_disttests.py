@@ -351,3 +351,31 @@ def test_group_skewness_reference(ray_session):
     sd = math.sqrt(float(d))
     assert float(out["skew"][0]) == float(a) / (sd * sd * sd)
     assert float(out["skew"][0]) > 1.0  # planted right skew
+
+
+def test_fano_factor_pure_integer(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.stats import fano_factor
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # user 1: hourly counts [3, 1] -> n=2, s1=4, cc=10
+    secs = [10, 20, 30, 3700]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1] * 4, pa.int64()),
+        "ts": pa.array([base + np.timedelta64(s, "s") for s in secs],
+                       pa.timestamp("us"))}))
+    out = fano_factor(ds.repartition(2), "user_id", "ts",
+                      num_partitions=2).to_pandas()
+    assert (int(out["n_buckets"][0]), int(out["n_events"][0])) == (2, 4)
+    assert int(out["fano_num"][0]) == 2 * 10 - 16
+    assert int(out["fano_den"][0]) == 2 * 4
+
+
+def test_group_hhi_bounds(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.stats import group_hhi
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "i": pa.array(["a", "a", "a", "a", "x", "y"])})).repartition(2)
+    out = group_hhi(ds, "g", "i", num_partitions=2).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert list(out["hhi_e6"]) == [1_000_000, 500_000]

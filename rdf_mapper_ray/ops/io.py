@@ -29,10 +29,15 @@ import ray.data
 
 
 def write_partitioned(ds: "ray.data.Dataset", root: str, by_col: str,
-                      num_buckets: int = 64) -> "ray.data.Dataset":
-    """Write ``ds`` under ``root/bucket=NNNNN/part.parquet`` keyed by
+                      num_buckets: int = 64, fmt: str = "parquet"
+                      ) -> "ray.data.Dataset":
+    """Write ``ds`` under ``root/bucket=NNNNN/part.<fmt>`` keyed by
     hash(``by_col``); skip buckets whose manifest already exists.
+    ``fmt`` ∈ {parquet, csv, jsonl} — the sealed-manifest resume
+    protocol (data complete, THEN manifest) is format-agnostic.
     Returns the receipt Dataset described in the module docstring."""
+    if fmt not in ("parquet", "csv", "jsonl"):
+        raise ValueError(f"unsupported fmt {fmt!r}")
     os.makedirs(root, exist_ok=True)
 
     def route(batch: pa.Table) -> pa.Table:
@@ -45,7 +50,9 @@ def write_partitioned(ds: "ray.data.Dataset", root: str, by_col: str,
         b = int(g.column("__bucket")[0].as_py())
         part_dir = os.path.join(root, f"bucket={b:05d}")
         manifest = os.path.join(part_dir, "_MANIFEST.json")
-        data_path = os.path.join(part_dir, "part.parquet")
+        ext = {"parquet": "parquet", "csv": "csv",
+               "jsonl": "jsonl"}[fmt]
+        data_path = os.path.join(part_dir, f"part.{ext}")
         out = g.drop_columns(["__bucket"])
         if os.path.isfile(manifest):
             with open(manifest, encoding="utf-8") as fh:
@@ -58,7 +65,15 @@ def write_partitioned(ds: "ray.data.Dataset", root: str, by_col: str,
             })
         os.makedirs(part_dir, exist_ok=True)
         tmp = data_path + ".tmp"
-        pq.write_table(out, tmp)
+        if fmt == "parquet":
+            pq.write_table(out, tmp)
+        elif fmt == "csv":
+            import pyarrow.csv as pacsv
+            pacsv.write_csv(out, tmp)
+        else:                               # jsonl
+            df = out.to_pandas()
+            df.to_json(tmp, orient="records", lines=True,
+                       force_ascii=False)
         os.replace(tmp, data_path)          # data complete
         mtmp = manifest + ".tmp"
         with open(mtmp, "w", encoding="utf-8") as fh:

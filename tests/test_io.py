@@ -105,3 +105,29 @@ def test_epoch_shuffle_is_a_deterministic_permutation(ray_session):
     assert a.equals(b)                       # same seed -> same order
     assert not a["epoch_rank"].equals(c["epoch_rank"])  # seed matters
     assert sorted(a["epoch_rank"]) == list(range(1, 101))  # dense
+
+
+def test_write_partitioned_csv_jsonl_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import ray.data
+
+    import pandas as pd
+    from rdf_mapper_ray.ops.io import write_partitioned
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(list(range(20)), pa.int64()),
+        "s": pa.array([f"v{i}" for i in range(20)])}))
+    for fmt, reader in [
+            ("csv", lambda p: pacsv.read_csv(p).to_pandas()),
+            ("jsonl", lambda p: pd.read_json(p, lines=True))]:
+        root = str(tmp_path / fmt)
+        receipts = write_partitioned(ds, root, "k", num_buckets=4,
+                                     fmt=fmt).to_pandas()
+        assert receipts["rows"].sum() == 20
+        assert not receipts["skipped"].any()
+        got = pd.concat([reader(p) for p in receipts["path"]])
+        assert sorted(got["k"].tolist()) == list(range(20))
+        # second run resumes: every bucket skipped
+        again = write_partitioned(ds, root, "k", num_buckets=4,
+                                  fmt=fmt).to_pandas()
+        assert again["skipped"].all()

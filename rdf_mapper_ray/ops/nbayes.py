@@ -336,3 +336,112 @@ SELECT r.doc_id, te.source AS label, r.source AS pred,
 FROM ranked r JOIN te USING (doc_id)
 WHERE r.rn = 1 ORDER BY r.doc_id
 """
+
+
+# --- calibration-by-margin reliability bins -------------------------------------------
+
+_MARGIN_BIN_MILLI = 5000  # 5-nat margin buckets
+
+
+def nb_margin_calibration(ds: "ray.data.Dataset", model: dict,
+                          label_col: str = "source",
+                          text_col: str = "text"
+                          ) -> "ray.data.Dataset":
+    """Reliability audit of the NB classifier by SCORE MARGIN (the
+    integer-exact stand-in for probability calibration — softmax
+    would break the milli-nat discipline): margin = best − second
+    joint log-score (milli-nats, ≥ 0), binned at 5-nat width; per bin
+    the row count, correct count and pure-integer accuracy floor.
+    Does a bigger margin mean a more trustworthy prediction?
+    -> (bin, n, n_correct, acc_milli).
+
+    Per-batch kernel reuses nb_classify's vectorized scorer plus one
+    np.partition for the runner-up; bin-bounded cells finish
+    driver-side."""
+    ref = ray.put(model)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        classes = m["classes"]
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lowered = pc.utf8_lower(pc.fill_null(col, ""))
+        lists = pc.split_pattern_regex(lowered, _WS)
+        lengths = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        doc = np.repeat(np.arange(batch.num_rows), lengths)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = pd.Series(flat.filter(pa.array(keep)).to_pandas())
+        doc = doc[keep]
+        n = batch.num_rows
+        scores = np.empty((n, len(classes)), dtype=np.int64)
+        for j, cls in enumerate(classes):
+            ql = toks.map(m["pair"][cls]) \
+                .fillna(m["default"][cls]).to_numpy(np.int64)
+            scores[:, j] = m["prior"][cls] + np.bincount(
+                doc, weights=ql, minlength=n).astype(np.int64)
+        best_j = np.argmax(scores, axis=1)
+        best = scores[np.arange(n), best_j]
+        part = np.partition(scores, len(classes) - 2, axis=1)
+        second = part[:, len(classes) - 2]
+        margin = best - second
+        true = batch.column(label_col).to_pandas().to_numpy(object)
+        ok = np.array([classes[j] for j in best_j],
+                      dtype=object) == true
+        df = pd.DataFrame({"bin": margin // _MARGIN_BIN_MILLI,
+                           "ok": ok.astype(np.int64)})
+        out = df.groupby("bin", as_index=False).agg(
+            n=("ok", "size"), n_correct=("ok", "sum"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cells = pd.concat(
+        b.to_pandas() for b in ds.map_batches(
+            score, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow")) \
+        .groupby("bin", as_index=False)[["n", "n_correct"]].sum() \
+        .sort_values("bin")
+    n = cells["n"].to_numpy(np.int64)
+    c = cells["n_correct"].to_numpy(np.int64)
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "bin": pa.array(cells["bin"].to_numpy(np.int64), pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "n_correct": pa.array(c, pa.int64()),
+        "acc_milli": pa.array(1000 * c // n, pa.int64())}))
+
+
+def nb_calibration_query(sf_dir: str):
+    train = read_table(sf_dir, "documents",
+                       columns=["source", "text"])
+    model = nb_train(train)
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "text"])
+    return nb_margin_calibration(ds, model)
+
+
+def nb_calibration_oracle_sql() -> str:
+    # reuse nb_classify's full scoring chain; swap the final argmax
+    # projection for the top-2 margin + reliability bins
+    base = NB_CLASSIFY_ORACLE_SQL
+    prefix = base[:base.rindex("SELECT doc_id, source AS pred")] \
+        .rstrip().rstrip(",")
+    return prefix + f""",
+top2 AS (
+  SELECT a.doc_id, a.source AS pred,
+         a.score - b.score AS margin
+  FROM ranked a JOIN ranked b
+    ON b.doc_id = a.doc_id AND b.rn = 2
+  WHERE a.rn = 1
+),
+j AS (
+  SELECT t.margin // {_MARGIN_BIN_MILLI} AS bin,
+         CASE WHEN t.pred = l.source THEN 1 ELSE 0 END AS ok
+  FROM top2 t JOIN lab l USING (doc_id)
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(ok) AS BIGINT) AS n_correct,
+       CAST(1000 * SUM(ok) // COUNT(*) AS BIGINT) AS acc_milli
+FROM j GROUP BY bin ORDER BY bin
+"""

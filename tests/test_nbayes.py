@@ -101,3 +101,27 @@ def test_nb_holdout_separable_generalizes(ray_session):
                       keep_cols=("source",)).to_pandas()
     assert len(out) == len(test_df) > 0
     assert (out["pred"] == out["source"]).all()
+
+
+def test_nb_margin_calibration_bins(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from rdf_mapper_ray.ops.nbayes import (nb_margin_calibration,
+                                           nb_train)
+    # two clearly-separated classes + one ambiguous doc
+    rows = [("a", "apple apple banana"), ("a", "apple apple"),
+            ("b", "zebra zebra yak"), ("b", "zebra yak yak"),
+            ("a", "apple zebra")]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "source": pa.array([r[0] for r in rows]),
+        "text": pa.array([r[1] for r in rows])})).repartition(2)
+    model = nb_train(ray.data.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows]),
+        "text": pa.array([r[1] for r in rows])})))
+    out = nb_margin_calibration(ds, model).to_pandas()
+    assert int(out["n"].sum()) == 5
+    assert (out["n_correct"] <= out["n"]).all()
+    assert (out["acc_milli"]
+            == 1000 * out["n_correct"] // out["n"]).all()

@@ -5174,3 +5174,129 @@ SELECT CAST({k} AS BIGINT) AS k,
             ELSE 0 END AS BIGINT) AS phi_milli
 FROM re, nr
 """
+
+
+# --- deterministic independent-cascade influence spread -------------------------------
+
+_IC_P_MILLI = 300
+_IC_SEED_MOD = 50
+
+
+def ic_spread(edges: "ray.data.Dataset", rounds: int = 3,
+              p_milli: int = _IC_P_MILLI,
+              seed_mod: int = _IC_SEED_MOD,
+              num_partitions: int | None = None
+              ) -> "ray.data.Dataset":
+    """Independent-cascade influence spread (Kempe et al., KDD 2003)
+    made fully deterministic: seeds are nodes ≡ 0 (mod seed_mod);
+    in round t each edge (u, v) out of the round-(t−1) frontier fires
+    iff ``md5(u||'-'||v||'-'||t) mod 1000 < p_milli`` and v is still
+    inactive (md5 is the repo's portable hash — the SQL oracle
+    replays every coin). -> (node, round) activation rounds, round 0
+    = seeds.
+
+    Venue: ppr's zero-exchange broadcast loop — the active/frontier
+    sets are node-sized sorted arrays via ray.put, edge blocks filter
+    vectorized (np.isin) and only the surviving frontier-out edges
+    pay the md5-per-edge portability cost; ``rounds`` bounded.
+    Past broadcast scale the frontier co-partitions with the
+    adjacency per round (bfs_levels' exchange shape)."""
+    import hashlib
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        a = batch.column(batch.column_names[0]).to_numpy(
+            zero_copy_only=False)
+        b = batch.column(batch.column_names[1]).to_numpy(
+            zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "src": pa.array(np.concatenate([a, b])),
+            "dst": pa.array(np.concatenate([b, a]))})
+
+    und = edges.map_batches(undirect, batch_format="pyarrow") \
+        .materialize()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({"node": pa.array(np.unique(src))})
+
+    nodes = np.unique(np.concatenate(
+        [b.to_pandas()["node"].to_numpy(np.int64) for b in
+         und.map_batches(node_partial, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")]))
+    seeds = nodes[nodes % seed_mod == 0]
+    active = {int(v): 0 for v in seeds}
+    frontier = np.sort(seeds)
+
+    for t in range(1, rounds + 1):
+        if not len(frontier):
+            break
+        act_arr = np.sort(np.fromiter(active, dtype=np.int64,
+                                      count=len(active)))
+        f_ref = ray.put(frontier)
+        a_ref = ray.put(act_arr)
+
+        def fire(tbl: pa.Table, _t=t) -> pa.Table:
+            fr = ray.get(f_ref)
+            ac = ray.get(a_ref)
+            src = tbl.column("src").to_numpy(zero_copy_only=False)
+            dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+            m = np.isin(src, fr) & ~np.isin(dst, ac)
+            src, dst = src[m], dst[m]
+            hit = [int(hashlib.md5(
+                f"{u}-{v}-{_t}".encode()).hexdigest()[:16], 16)
+                % 1000 < p_milli for u, v in zip(src, dst)]
+            return pa.Table.from_pydict({
+                "dst": pa.array(np.unique(dst[np.array(
+                    hit, dtype=bool)]) if len(dst) else
+                    np.array([], dtype=np.int64))})
+
+        new = np.unique(np.concatenate(
+            [b.to_pandas()["dst"].to_numpy(np.int64) for b in
+             und.map_batches(fire, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+            + [np.array([], dtype=np.int64)]))
+        new = new[~np.isin(new, np.sort(np.fromiter(
+            active, dtype=np.int64, count=len(active))))]
+        for v in new:
+            active[int(v)] = t
+        frontier = np.sort(new)
+
+    items = sorted(active.items())
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "node": pa.array([k for k, _ in items], pa.int64()),
+        "round": pa.array([r for _, r in items], pa.int64())}))
+
+
+def ic_spread_query(sf_dir: str, rounds: int = 3):
+    return ic_spread(partsupp_edges(sf_dir), rounds=rounds)
+
+
+def ic_spread_oracle_sql(rounds: int = 3,
+                         p_milli: int = _IC_P_MILLI,
+                         seed_mod: int = _IC_SEED_MOD) -> str:
+    coin = ("('0x' || substr(md5(CAST(e.src AS VARCHAR) || '-' || "
+            "CAST(e.dst AS VARCHAR) || '-{t}'), 1, 16))::UBIGINT "
+            f"% 1000 < {p_milli}")
+    ctes = [f"""e0 AS (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem WHERE l_partkey <= {PR_PART_CAP}
+),
+e AS (SELECT a AS src, b AS dst FROM e0
+      UNION ALL SELECT b, a FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+a0 AS (SELECT node, CAST(0 AS BIGINT) AS r FROM nodes
+       WHERE node % {seed_mod} = 0)"""]
+    prev = "a0"
+    for t in range(1, rounds + 1):
+        ctes.append(f"""f{t} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node, CAST({t} AS BIGINT) AS r
+  FROM e JOIN {prev} p ON p.node = e.src AND p.r = {t-1}
+  WHERE {coin.replace('{t}', str(t))}
+    AND e.dst NOT IN (SELECT node FROM {prev})
+),
+a{t} AS MATERIALIZED (
+  SELECT node, r FROM {prev} UNION ALL SELECT node, r FROM f{t}
+)""")
+        prev = f"a{t}"
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, r AS round FROM {prev} ORDER BY node\n")

@@ -576,3 +576,22 @@ def test_rich_club_hand_case(ray_session):
     assert int(out["n_rich"][0]) == 4
     assert int(out["n_rich_edges"][0]) == 6
     assert int(out["phi_milli"][0]) == 1000
+
+
+def test_ic_spread_deterministic_and_monotone(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import ic_spread
+    # star around seed 0 (0 % seed_mod == 0): spread is a subset of
+    # neighbors at round 1, identical across runs
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array([0] * 6, pa.int64()),
+        "b": pa.array(list(range(1, 7)), pa.int64())})).repartition(2)
+    r1 = ic_spread(edges, rounds=2, p_milli=500).to_pandas()
+    r2 = ic_spread(edges, rounds=2, p_milli=500).to_pandas()
+    assert r1.equals(r2)
+    assert (r1.loc[r1["node"] == 0, "round"] == 0).all()
+    assert set(r1["round"]) <= {0, 1}
+    # p=1000 fires every coin: everything activates in round 1
+    full = ic_spread(edges, rounds=2, p_milli=1000).to_pandas()
+    assert len(full) == 7

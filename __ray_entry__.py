@@ -96,7 +96,7 @@ _NEXT_UP = [
     "pagerank_weighted", "rolling_median", "source_jaccard",
     "bgp_path_range", "lexical_diversity", "group_skewness",
     "rich_club", "fano_factor", "group_hhi", "nb_calibration",
-    "ic_spread",
+    "ic_spread", "freq_of_freq",
     # new in round-4 session 7 (window already full; locally dtype-exact)
     "date_features", "region_revenue", "bgp_subquery", "rfm_scores",
     "event_precedence", "mrr", "feature_hashing", "mm_frame_sample",
@@ -549,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_hhi": stats.group_hhi_query,
         "nb_calibration": nbayes.nb_calibration_query,
         "ic_spread": graphs.ic_spread_query,
+        "freq_of_freq": topk.freq_of_freq_query,
         # --- (d) r3 driver-hash-green (kg_nation_mapby first: its
         # oracle's datatype column was re-typed this round) ---
         "kg_nation_mapby": relational.nation_query,
@@ -842,6 +843,7 @@ def oracle_sql() -> dict[str, str]:
         "group_hhi": stats.GROUP_HHI_ORACLE_SQL,
         "nb_calibration": nbayes.nb_calibration_oracle_sql(),
         "ic_spread": graphs.ic_spread_oracle_sql(),
+        "freq_of_freq": topk.freq_of_freq_oracle_sql(),
         "region_revenue": joins.REGION_REVENUE_ORACLE_SQL,
         "bgp_subquery": relational.BGP_SUBQUERY_ORACLE_SQL,
         "bgp_path_within": relational.BGP_PATH_WITHIN_ORACLE_SQL,

@@ -755,3 +755,85 @@ SELECT n AS k_used, slope,
        / CAST(n AS DOUBLE) AS intercept
 FROM c
 """
+
+
+# --- frequency-of-frequencies spectrum (Good-Turing input) ----------------------------
+
+
+def freq_of_freq(ds: "ray.data.Dataset", text_col: str = "text",
+                 max_r: int = 10,
+                 num_partitions: Optional[int] = None
+                 ) -> "ray.data.Dataset":
+    """Vocabulary frequency-of-frequencies spectrum: N_r = number of
+    distinct tokens occurring exactly r times, r = 1..max_r, plus one
+    tail row (r = max_r+1 aggregates everything above) — the
+    Good-Turing smoothing input and the vocab-health diagnostic
+    (hapax share spikes on OCR noise, craters on template spam).
+    -> (r, n_types, n_tokens), n_tokens = r·N_r mass per shelf
+    (tail = true token mass).
+
+    Scale shape: per-batch token-count partials, ONE hash(token)
+    exchange for in-task merges (vocabulary is table-sized — the
+    sort-aggregate degradation lesson), then each task shrinks its
+    merged counts to a ≤(max_r+1)-row spectrum partial and the
+    shelf-bounded cells finish driver-side."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    partials = ds.map_batches(
+        lambda b: _batch_token_counts(b, text_col),
+        batch_format="pyarrow")
+
+    def route(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(t.column("token").to_pylist()),
+            index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def spectrum(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False)["cnt"].sum()
+        c = m["cnt"].to_numpy(np.int64)
+        shelf = np.minimum(c, max_r + 1)
+        df = pd.DataFrame({"r": shelf, "types": 1, "mass": c})
+        return df.groupby("r", as_index=False).agg(
+            n_types=("types", "sum"), n_tokens=("mass", "sum"))
+
+    cells = pd.concat(
+        b.to_pandas() for b in partials
+        .map_batches(route, batch_format="pyarrow")
+        .groupby("pid").map_groups(spectrum, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby("r", as_index=False)[["n_types", "n_tokens"]].sum() \
+        .sort_values("r")
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "r": pa.array(cells["r"].to_numpy(np.int64), pa.int64()),
+        "n_types": pa.array(cells["n_types"].to_numpy(np.int64),
+                            pa.int64()),
+        "n_tokens": pa.array(cells["n_tokens"].to_numpy(np.int64),
+                             pa.int64())}))
+
+
+def freq_of_freq_query(sf_dir: str, max_r: int = 10):
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return freq_of_freq(ds, max_r=max_r)
+
+
+def freq_of_freq_oracle_sql(max_r: int = 10) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(COALESCE(text, '')),
+                '\\s+')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+  WHERE token <> '' GROUP BY token
+)
+SELECT CAST(LEAST(c, {max_r + 1}) AS BIGINT) AS r,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(c) AS BIGINT) AS n_tokens
+FROM counts GROUP BY LEAST(c, {max_r + 1}) ORDER BY r
+"""

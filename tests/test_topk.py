@@ -100,3 +100,17 @@ def test_grouped_top_n_matches_oracle(ray_session):
     assert got.shape == want.shape
     cols = ["o_custkey", "rank", "o_orderkey", "value_cents"]
     assert (got[cols].values == want[cols].values).all()
+
+
+def test_freq_of_freq_spectrum(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from rdf_mapper_ray.ops.topk import freq_of_freq
+    # a:1, b:2, c:2, d:12 (tail) -> N1=1, N2=2, tail: 1 type, 12 mass
+    text = "a " + "b " * 2 + "c " * 2 + "d " * 12
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array([text])}))
+    out = freq_of_freq(ds, max_r=10, num_partitions=2).to_pandas()
+    got = {int(r): (int(t), int(m)) for r, t, m in
+           zip(out["r"], out["n_types"], out["n_tokens"])}
+    assert got == {1: (1, 1), 2: (2, 4), 11: (1, 12)}

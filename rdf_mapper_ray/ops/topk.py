@@ -423,8 +423,15 @@ def top_bigrams(ds: "ray.data.Dataset", text_col: str = "text",
     bookkeeping marks document boundaries; pc.binary_join_element_wise
     concatenates shifted views) and only (bigram, cnt) partials ride
     the shuffle — the corpus never does. Output: (bigram, cnt)."""
+    partials = ds.map_batches(
+        lambda b: _batch_bigram_counts(b, text_col),
+        batch_format="pyarrow")
+    merged = _merge_counts_topk(partials, "bigram", k)
+    return merged.sort(["cnt", "bigram"],
+                       descending=[True, False]).limit(k)
 
-    def partial(batch: pa.Table) -> pa.Table:
+
+def _batch_bigram_counts(batch: pa.Table, text_col: str) -> pa.Table:
         col = batch.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -449,11 +456,6 @@ def top_bigrams(ds: "ray.data.Dataset", text_col: str = "text",
             "bigram": vc.field("values"),
             "cnt": vc.field("counts").cast(pa.int64()),
         })
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    merged = _merge_counts_topk(partials, "bigram", k)
-    return merged.sort(["cnt", "bigram"],
-                       descending=[True, False]).limit(k)
 
 
 def top_bigrams_query(sf_dir: str, k: int = 30):
@@ -761,7 +763,7 @@ FROM c
 
 
 def freq_of_freq(ds: "ray.data.Dataset", text_col: str = "text",
-                 max_r: int = 10,
+                 max_r: int = 10, unit: str = "word",
                  num_partitions: Optional[int] = None
                  ) -> "ray.data.Dataset":
     """Vocabulary frequency-of-frequencies spectrum: N_r = number of
@@ -781,20 +783,22 @@ def freq_of_freq(ds: "ray.data.Dataset", text_col: str = "text",
         from rdf_mapper_ray.ops.dedup import partitions_for
         num_partitions = partitions_for(ds, 8)
 
+    count_fn = (_batch_token_counts if unit == "word"
+                else _batch_bigram_counts)
+    key = "token" if unit == "word" else "bigram"
     partials = ds.map_batches(
-        lambda b: _batch_token_counts(b, text_col),
-        batch_format="pyarrow")
+        lambda b: count_fn(b, text_col), batch_format="pyarrow")
 
     def route(t: pa.Table) -> pa.Table:
         h = pd.util.hash_pandas_object(
-            pd.Series(t.column("token").to_pylist()),
+            pd.Series(t.column(key).to_pylist()),
             index=False).to_numpy()
         return t.append_column(
             "pid", pa.array((h % np.uint64(num_partitions))
                             .astype(np.int64)))
 
     def spectrum(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby("token", as_index=False)["cnt"].sum()
+        m = g.groupby(key, as_index=False)["cnt"].sum()
         c = m["cnt"].to_numpy(np.int64)
         shelf = np.minimum(c, max_r + 1)
         df = pd.DataFrame({"r": shelf, "types": 1, "mass": c})
@@ -817,20 +821,29 @@ def freq_of_freq(ds: "ray.data.Dataset", text_col: str = "text",
 
 
 def freq_of_freq_query(sf_dir: str, max_r: int = 10):
+    """Bigram spectrum: the word vocabulary here is tiny and
+    saturated (31 types, every count > max_r — a one-row tail), so
+    the demo runs the BIGRAM unit, whose hapax/low shelves are
+    populated at every test scale."""
     ds = read_table(sf_dir, "documents", columns=["text"])
-    return freq_of_freq(ds, max_r=max_r)
+    return freq_of_freq(ds, max_r=max_r, unit="bigram")
 
 
 def freq_of_freq_oracle_sql(max_r: int = 10) -> str:
     return f"""
 WITH toks AS (
-  SELECT unnest(regexp_split_to_array(lower(COALESCE(text, '')),
-                '\\s+')) AS token
+  SELECT list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                           '\\s+'),
+                     t -> t <> '') AS ts
   FROM documents
 ),
+pairs AS (
+  SELECT ts[i] || ' ' || ts[i + 1] AS bigram
+  FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+),
 counts AS (
-  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks
-  WHERE token <> '' GROUP BY token
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c FROM pairs
+  GROUP BY bigram
 )
 SELECT CAST(LEAST(c, {max_r + 1}) AS BIGINT) AS r,
        CAST(COUNT(*) AS BIGINT) AS n_types,

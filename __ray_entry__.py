@@ -158,7 +158,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_mapper_ray.ops import (baskets, bloom, bpe, bucketed,
-                                    clusters,
+                                    clusters, containment,
                                     dedup, diff, distinct, disttests,
                                     domains,
                                     editdist, incremental, joins,
@@ -572,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             threshold=0.45).select_columns(["left_id", "right_id"]),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_exact(
             _docs(sf, ["doc_id", "text"]), threshold=0.5),
+        "containment_pairs": containment.containment_pairs_query,
         "text_stats": lambda sf: text.text_stats(
             _docs(sf, ["doc_id", "text"])),
         "quality_score": lambda sf: text.quality_score(
@@ -613,7 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rdf_mapper_ray.ops import (baskets, bloom, bpe, bucketed,
-                                    clusters,
+                                    clusters, containment,
                                     dedup, diff, distinct, disttests,
                                     domains,
                                     editdist, incremental, joins,
@@ -651,6 +652,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY left_id, right_id
         """,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_ORACLE_SQL,
+        "containment_pairs": containment.CONTAINMENT_PAIRS_ORACLE_SQL,
         "text_stats": text.TEXT_STATS_ORACLE_SQL,
         "quality_score": text.QUALITY_ORACLE_SQL,
         "repetition_signals": text.REPETITION_ORACLE_SQL,

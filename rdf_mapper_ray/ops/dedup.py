@@ -1329,25 +1329,21 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                          n_candidate_docs=len(wanted))
 
 
-def ngram_jaccard_exact(ds: "ray.data.Dataset", text_col: str = "text",
-                        id_col: str = "doc_id", shingle_k: int = 5,
-                        threshold: float = 0.5,
-                        max_df: Optional[int] = None) -> "ray.data.Dataset":
-    """All pairs with exact shingle-Jaccard ≥ threshold — complete recall.
-
-    Candidates come from a distributed inverted index (docs sharing at
-    least one shingle — a NECESSARY condition for Jaccard > 0), so the
-    result is exactly the all-pairs answer and oracle-checkable with SQL
-    (see NGRAM_JACCARD_ORACLE_SQL). ``max_df`` optionally skips shingles
-    shared by more than that many docs (boilerplate guard at web scale;
-    leaves recall exact only for pairs sharing a rarer shingle too —
-    None, the default, keeps full exactness).
-    """
+def inverted_index_cands(ds: "ray.data.Dataset", text_col: str,
+                         id_col: str, shingle_k: int,
+                         num_partitions: int,
+                         max_df: Optional[int] = None):
+    """Distributed inverted-index candidate generation: every unordered
+    doc pair sharing ≥1 shingle (a NECESSARY condition for Jaccard or
+    containment > 0) — complete recall for set-overlap predicates.
+    Returns ``(cand, wanted)``: the deduped (left_id < right_id) pair
+    Dataset (materialized) and the candidate doc-id set, or
+    ``(None, set())`` when no doc pair shares a shingle. Shared by
+    ngram_jaccard_exact and ops/containment.py."""
     # stream the corpus-scale shingle table through the postings stage —
     # never materialized; the verify pass later recomputes shingles for
     # the (vanishing) candidate set only via the broadcast semi-join
     shingles = _distinct_shingles(ds, None, text_col, id_col, shingle_k)
-    num_partitions = _num_partitions(ds.count())
 
     # inverted index: (shingle, id) routed by hash(shingle); flattening
     # via Arrow list offsets, pid via one numpy mod — no Python loop over
@@ -1411,11 +1407,33 @@ def ngram_jaccard_exact(ds: "ray.data.Dataset", text_col: str = "text",
         .materialize()
     n_cand = cand.count()
     if n_cand == 0:
-        return ray.data.from_arrow(_EMPTY_PAIRS)
+        return None, set()
     wanted = set()
     for b in cand.iter_batches(batch_format="pyarrow"):
         wanted.update(int(v) for v in b.column("left_id").to_pylist())
         wanted.update(int(v) for v in b.column("right_id").to_pylist())
+    return cand, wanted
+
+
+def ngram_jaccard_exact(ds: "ray.data.Dataset", text_col: str = "text",
+                        id_col: str = "doc_id", shingle_k: int = 5,
+                        threshold: float = 0.5,
+                        max_df: Optional[int] = None) -> "ray.data.Dataset":
+    """All pairs with exact shingle-Jaccard ≥ threshold — complete recall.
+
+    Candidates come from the shared distributed inverted index
+    (``inverted_index_cands``), so the result is exactly the all-pairs
+    answer and oracle-checkable with SQL (see
+    NGRAM_JACCARD_ORACLE_SQL). ``max_df`` optionally skips shingles
+    shared by more than that many docs (boilerplate guard at web scale;
+    leaves recall exact only for pairs sharing a rarer shingle too —
+    None, the default, keeps full exactness).
+    """
+    num_partitions = _num_partitions(ds.count())
+    cand, wanted = inverted_index_cands(ds, text_col, id_col, shingle_k,
+                                        num_partitions, max_df)
+    if cand is None:
+        return ray.data.from_arrow(_EMPTY_PAIRS)
     cand_shingles = _distinct_shingles(ds, ray.put(wanted), text_col,
                                        id_col, shingle_k)
     return _verify_pairs(cand, cand_shingles, threshold, num_partitions,

@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc_bars": timeseries.ohlc_query,
         "autocorr": timeseries.autocorr_query,
         "cusum_changepoint": timeseries.cusum_query,
+        "drawdown": timeseries.drawdown_query,
         # per-user event trigram mining (cell-table finish) and dense
         # hourly grid with exact trunc-div linear interpolation
         "event_ngrams": timeseries.event_ngrams_query,
@@ -768,6 +769,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_bars": timeseries.ohlc_oracle_sql(),
         "autocorr": timeseries.autocorr_oracle_sql(),
         "cusum_changepoint": timeseries.cusum_oracle_sql(),
+        "drawdown": timeseries.DRAWDOWN_ORACLE_SQL,
         "event_ngrams": timeseries.event_ngrams_oracle_sql(),
         "gap_fill": timeseries.gap_fill_oracle_sql(),
         "users_intersect": setops.USERS_INTERSECT_ORACLE_SQL,

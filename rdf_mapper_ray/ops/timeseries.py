@@ -1060,3 +1060,63 @@ SELECT user_id, event_id,
                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med_cents
 FROM events ORDER BY user_id, event_id
 """
+
+
+# --- maximum drawdown ---------------------------------------------------------
+
+
+def max_drawdown(ds: "ray.data.Dataset", user_col: str = "user_id",
+                 ts_col: str = "ts", id_col: str = "event_id",
+                 value_col: str = "value") -> "ray.data.Dataset":
+    """Per-user maximum drawdown over the (ts, id)-ordered cumulative
+    cents series: dd_i = max_{j<=i} cum_j - cum_i, reported as
+    max_i dd_i (0 for a never-declining series). Pure integers — the
+    cumsum/cummax prefix scans run grouped-vectorized after ONE
+    hash(user) exchange (pid-routed complete keys, the sessions
+    contract; per-user history fits a partition by construction).
+    -> (user_id, n_events, max_drawdown)."""
+    from rdf_mapper_ray.ops.sessions import _route_by_user
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col]).reset_index(
+            drop=True)
+        cents = pd.Series(_cents(g[value_col].to_numpy()))
+        grp = cents.groupby(g[user_col].to_numpy())
+        cum = grp.cumsum()
+        dd = cum.groupby(g[user_col].to_numpy()).cummax() - cum
+        out = pd.DataFrame({user_col: g[user_col], "dd": dd})
+        agg = out.groupby(user_col, sort=False).agg(
+            n_events=("dd", "size"),
+            max_drawdown=("dd", "max")).reset_index()
+        agg["n_events"] = agg["n_events"].astype("int64")
+        agg["max_drawdown"] = agg["max_drawdown"].astype("int64")
+        return agg
+
+    return _route_by_user(ds, user_col).map_groups(part,
+                                                   batch_format="pandas")
+
+
+def drawdown_query(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+    return max_drawdown(ds)
+
+
+DRAWDOWN_ORACLE_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS cum
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+r AS (
+  SELECT user_id, MAX(cum) OVER w2 - cum AS dd
+  FROM s
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(dd) AS BIGINT) AS max_drawdown
+FROM r GROUP BY user_id ORDER BY user_id
+"""

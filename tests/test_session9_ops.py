@@ -45,3 +45,23 @@ def test_domain_range_range_only_class(ray_session):
     got = dict(zip(out["class"], out["n_entities"]))
     assert got == {"S": 2, "V": 2}
     assert list(out["class"]) == sorted(out["class"])
+
+
+def test_max_drawdown_planted(ray_session):
+    """values 10, -4, -3, +20, -6, -5: cum = 10,6,3,23,17,12 — peak 23,
+    deepest dip after it 11; the earlier 10->3 dip is 7."""
+    import datetime
+    import ray.data
+    from rdf_mapper_ray.ops.timeseries import max_drawdown
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [10.0, -4.0, -3.0, 20.0, -6.0, -5.0]
+    rows = [{"event_id": i, "user_id": 7,
+             "ts": t0 + datetime.timedelta(minutes=i), "value": v}
+            for i, v in enumerate(vals)]
+    rows.append({"event_id": 99, "user_id": 8, "ts": t0, "value": 5.0})
+    out = max_drawdown(ray.data.from_items(rows)).to_pandas() \
+        .set_index("user_id")
+    assert out.loc[7, "max_drawdown"] == 1100  # cents
+    assert out.loc[7, "n_events"] == 6
+    assert out.loc[8, "max_drawdown"] == 0  # single rising point

@@ -396,6 +396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # set algebra: INTERSECT / EXCEPT on distinct keys
         "users_intersect": setops.users_intersect_query,
         "users_except": setops.users_except_query,
+        "users_intersect_all": setops.users_intersect_all_query,
+        "users_except_all": setops.users_except_all_query,
         # equi-depth NTILE binning (histogram pass, no global sort)
         "ntile_bucket": normalize.ntile_query,
         # ordered string_agg per group
@@ -774,6 +776,8 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill": timeseries.gap_fill_oracle_sql(),
         "users_intersect": setops.USERS_INTERSECT_ORACLE_SQL,
         "users_except": setops.USERS_EXCEPT_ORACLE_SQL,
+        "users_intersect_all": setops.USERS_INTERSECT_ALL_ORACLE_SQL,
+        "users_except_all": setops.USERS_EXCEPT_ALL_ORACLE_SQL,
         "ntile_bucket": normalize.ntile_oracle_sql(),
         "nation_customers": stats.NATION_CUSTOMERS_ORACLE_SQL,
         "bucketed_orders": bucketed.BUCKETED_ORDERS_ORACLE_SQL,

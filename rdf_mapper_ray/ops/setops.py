@@ -104,6 +104,94 @@ SELECT user_id FROM (
 """
 
 
+# --- bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) -----------------------
+
+
+def set_op_all(left: "ray.data.Dataset", right: "ray.data.Dataset",
+               key_col: str, op: str = "intersect_all",
+               num_partitions: Optional[int] = None
+               ) -> "ray.data.Dataset":
+    """SQL bag semantics: INTERSECT ALL emits each key
+    min(count_l, count_r) times, EXCEPT ALL max(count_l - count_r, 0)
+    times. Map-side per-batch count partials shrink each block to its
+    distinct keys FIRST, ONE hash(key) exchange merges them, and the
+    multiplicity expansion is a vectorized np.repeat — input rows
+    never ride the shuffle, only (key, side, n) partials."""
+    if op not in ("intersect_all", "except_all"):
+        raise ValueError(f"unknown bag op {op!r}")
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(left, 8)
+
+    def partial(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            vc = t.column(key_col).to_pandas().value_counts()
+            keys = vc.index.to_numpy()
+            pid = pd.util.hash_pandas_object(
+                pd.Series(keys), index=False).to_numpy()
+            return pa.Table.from_pydict({
+                key_col: pa.array(keys),
+                "side": pa.array(np.full(len(keys), side, np.int8)),
+                "n": pa.array(vc.to_numpy(np.int64)),
+                "pid": pa.array((pid % np.uint64(num_partitions))
+                                .astype(np.int64))})
+        return f
+
+    def combine(g: pd.DataFrame, _op=op) -> pd.DataFrame:
+        agg = g.pivot_table(index=key_col, columns="side", values="n",
+                            aggfunc="sum", fill_value=0)
+        cl = agg[0].to_numpy(np.int64) if 0 in agg.columns \
+            else np.zeros(len(agg), np.int64)
+        cr = agg[1].to_numpy(np.int64) if 1 in agg.columns \
+            else np.zeros(len(agg), np.int64)
+        m = np.minimum(cl, cr) if _op == "intersect_all" \
+            else np.maximum(cl - cr, 0)
+        keep = m > 0
+        return pd.DataFrame({key_col: np.repeat(
+            agg.index.to_numpy()[keep], m[keep])})
+
+    return left.map_batches(partial(0), batch_format="pyarrow") \
+        .union(right.map_batches(partial(1), batch_format="pyarrow")) \
+        .groupby("pid").map_groups(combine, batch_format="pandas")
+
+
+def users_intersect_all_query(sf_dir: str):
+    """Paired big-purchase/big-error occurrences per user (bag
+    intersection: each user as many times as BOTH sides support)."""
+    return set_op_all(_event_users(sf_dir, "purchase"),
+                      _event_users(sf_dir, "error"),
+                      "user_id", op="intersect_all")
+
+
+def users_except_all_query(sf_dir: str):
+    """Surplus big purchases beyond big errors per user (bag
+    difference keeps the excess multiplicity)."""
+    return set_op_all(_event_users(sf_dir, "purchase"),
+                      _event_users(sf_dir, "error"),
+                      "user_id", op="except_all")
+
+
+USERS_INTERSECT_ALL_ORACLE_SQL = f"""
+SELECT user_id FROM (
+  SELECT user_id FROM events
+  WHERE event_type = 'purchase' AND value > {_VALUE_CUT}
+  INTERSECT ALL
+  SELECT user_id FROM events
+  WHERE event_type = 'error' AND value > {_VALUE_CUT}
+) ORDER BY user_id
+"""
+
+USERS_EXCEPT_ALL_ORACLE_SQL = f"""
+SELECT user_id FROM (
+  SELECT user_id FROM events
+  WHERE event_type = 'purchase' AND value > {_VALUE_CUT}
+  EXCEPT ALL
+  SELECT user_id FROM events
+  WHERE event_type = 'error' AND value > {_VALUE_CUT}
+) ORDER BY user_id
+"""
+
+
 # --- exact pairwise Jaccard between group token sets ---------------------------------
 
 

@@ -65,3 +65,16 @@ def test_max_drawdown_planted(ray_session):
     assert out.loc[7, "max_drawdown"] == 1100  # cents
     assert out.loc[7, "n_events"] == 6
     assert out.loc[8, "max_drawdown"] == 0  # single rising point
+
+
+def test_set_op_all_multiplicities(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.setops import set_op_all
+
+    l = ray.data.from_items([{"k": v} for v in [1, 1, 1, 2, 3]])
+    r = ray.data.from_items([{"k": v} for v in [1, 2, 2, 4]])
+    inter = sorted(set_op_all(l, r, "k", "intersect_all")
+                   .to_pandas()["k"])
+    exc = sorted(set_op_all(l, r, "k", "except_all").to_pandas()["k"])
+    assert inter == [1, 2]          # min(3,1)=1, min(1,2)=1, 3/4 absent
+    assert exc == [1, 1, 3]         # 3-1 copies of 1, 1-2<0, 3 unmatched

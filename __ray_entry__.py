@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dag_layers": graphs.dag_layers_query,
         # exact integer Gram matrix (PCA/covariance sufficient stats)
         "embedding_gram": vectors.embedding_gram_query,
+        "pca_power": vectors.pca_power_query,
         # Jaro-Winkler fuzzy name-matching pairs (blocked, verified)
         "jw_pairs": editdist.jw_pairs_query,
         # sorted-neighborhood blocking (Hernandez & Stolfo 1995)
@@ -759,6 +760,7 @@ def oracle_sql() -> dict[str, str]:
         "eccentricity": graphs.eccentricity_oracle_sql(),
         "dag_layers": graphs.dag_layers_oracle_sql(),
         "embedding_gram": vectors.EMBEDDING_GRAM_ORACLE_SQL,
+        "pca_power": vectors.pca_power_oracle_sql(),
         "jw_pairs": editdist.jw_pairs_oracle_sql(),
         "snm_pairs": editdist.snm_pairs_oracle_sql(),
         "entity_resolution": editdist.entity_resolution_oracle_sql(),

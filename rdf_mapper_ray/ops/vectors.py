@@ -253,3 +253,82 @@ SELECT a.dim AS i, b.dim AS j,
 FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.dim <= b.dim
 GROUP BY a.dim, b.dim ORDER BY i, j
 """
+
+
+def pca_power(ds: "ray.data.Dataset", vec_col: str = "embedding",
+              iters: int = 8) -> "ray.data.Dataset":
+    """Top principal direction of the (uncentered) integer Gram matrix
+    by deterministic power iteration — the PCA primitive on top of
+    :func:`embedding_gram`. -> (dim, component) with the eigenvector
+    scaled to max |component| = 1e6.
+
+    Exact-integer contract end to end: the Gram accumulates in int64
+    (micro-unit quantization), each iteration computes w = G·v in
+    arbitrary-precision Python ints on the DRIVER (the state is d², a
+    few thousand entries — the cell-table lesson: never shuffle what
+    is dimension-bounded by construction) and renormalizes with a
+    positive-magnitude truncating division ``sign(w) · (|w|·1e6 //
+    max|w|)`` that DuckDB's HUGEINT ``//`` replays bit-exactly
+    (both sides divide POSITIVE operands — DuckDB truncates toward
+    zero, Python floors; they agree only on non-negatives).
+    Start vector all-ones ⇒ fully deterministic, no RNG."""
+    gram = embedding_gram(ds, vec_col)
+    rows = gram.to_pandas()
+    d = int(rows["i"].max()) + 1 if len(rows) else 0
+    g = [[0] * d for _ in range(d)]
+    for i, j, s in zip(rows["i"], rows["j"], rows["sum_xy"]):
+        g[int(i)][int(j)] = int(s)
+        g[int(j)][int(i)] = int(s)
+    v = [_SCALE] * d
+    for _ in range(iters):
+        w = [sum(g[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in w) or 1
+        v = [(1 if x >= 0 else -1) * (abs(x) * _SCALE // mx)
+             for x in w]
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "dim": pa.array(np.arange(d, dtype=np.int64)),
+        "component": pa.array(np.array(v, dtype=np.int64))}))
+
+
+def pca_power_query(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    return pca_power(ds)
+
+
+def pca_power_oracle_sql(iters: int = 8) -> str:
+    """Unrolled power-iteration replay: full Gram in HUGEINT, one CTE
+    pair (matvec, renormalize) per iteration."""
+    head = f"""
+WITH flat AS (
+  SELECT vec_id,
+         CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) - 1
+           AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_SCALE} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+),
+gram AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j,
+         CAST(SUM(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS s
+  FROM flat a JOIN flat b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+v0 AS (SELECT DISTINCT dim AS i, CAST({_SCALE} AS HUGEINT) AS v
+       FROM flat)"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f""",
+w{t} AS (
+  SELECT g.i, CAST(SUM(g.s * v.v) AS HUGEINT) AS w
+  FROM gram g JOIN v{t-1} v ON g.j = v.i GROUP BY g.i
+),
+m{t} AS (SELECT MAX(abs(w)) AS mx FROM w{t}),
+v{t} AS (
+  SELECT i, CAST(CASE WHEN w >= 0 THEN (abs(w) * {_SCALE}) // mx
+                 ELSE -((abs(w) * {_SCALE}) // mx) END AS HUGEINT) AS v
+  FROM w{t}, m{t}
+)""")
+    return head + "".join(steps) + f"""
+SELECT i AS dim, CAST(v AS BIGINT) AS component
+FROM v{iters} ORDER BY dim
+"""

@@ -78,3 +78,27 @@ def test_set_op_all_multiplicities(ray_session):
     exc = sorted(set_op_all(l, r, "k", "except_all").to_pandas()["k"])
     assert inter == [1, 2]          # min(3,1)=1, min(1,2)=1, 3/4 absent
     assert exc == [1, 1, 3]         # 3-1 copies of 1, 1-2<0, 3 unmatched
+
+
+def test_pca_power_matches_numpy_eigvec(ray_session):
+    """On a strongly anisotropic cloud the integer power iteration
+    must align with numpy's top eigenvector of the same quantized
+    Gram (cosine > 0.999)."""
+    import ray.data
+    from rdf_mapper_ray.ops.vectors import pca_power
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(200, 1) @ np.array([[3.0, 1.0, 0.2, -0.5]])
+    noise = 0.05 * rng.randn(200, 4)
+    m = base + noise
+    ds = ray.data.from_items(
+        [{"embedding": row.astype(np.float32).tolist()} for row in m])
+    out = pca_power(ds, iters=12).to_pandas().sort_values("dim")
+    v = out["component"].to_numpy(np.float64)
+    q = np.floor(m.astype(np.float64) * 1e6 + 0.5)
+    g = q.T @ q
+    w, vecs = np.linalg.eigh(g)
+    top = vecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999
+    assert np.abs(v).max() == 1_000_000

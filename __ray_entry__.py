@@ -590,6 +590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": cleaning.hash_split_query,
         "stratified_sample": cleaning.stratified_sample_query,
         "decontaminate": cleaning.decontaminate_query,
+        "embedding_decontaminate": cleaning.embedding_decontaminate_query,
         "json_field_stats": cleaning.json_field_stats_query,
         "decontaminate_ngram": cleaning.decontaminate_ngram_query,
         "normalize_text": text.normalize_text_query,
@@ -668,6 +669,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": cleaning.HASH_SPLIT_ORACLE_SQL,
         "stratified_sample": cleaning.STRATIFIED_SAMPLE_ORACLE_SQL,
         "decontaminate": cleaning.DECONTAMINATE_ORACLE_SQL,
+        "embedding_decontaminate": cleaning.EMBEDDING_DECONTAMINATE_ORACLE_SQL,
         "json_field_stats": cleaning.JSON_FIELD_STATS_ORACLE_SQL,
         "decontaminate_ngram": cleaning.DECONTAMINATE_NGRAM_ORACLE_SQL,
         "normalize_text": text.NORMALIZE_TEXT_ORACLE_SQL,

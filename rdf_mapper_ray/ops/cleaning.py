@@ -1317,3 +1317,91 @@ FROM orders
 GROUP BY o_orderpriority, o_orderstatus
 ORDER BY o_orderpriority, o_orderstatus
 """
+
+
+# --- embedding-space decontamination -------------------------------------------------
+
+
+def embedding_decontaminate(train: "ray.data.Dataset",
+                            eval_ds: "ray.data.Dataset",
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            threshold: float = 0.35
+                            ) -> "ray.data.Dataset":
+    """Semantic benchmark-contamination scan: for every TRAIN vector,
+    count the EVAL vectors with cosine ≥ threshold. The n-gram
+    decontaminate catches verbatim leakage; this catches paraphrases
+    and near-duplicates that survive lexical checks (the SemDeDup /
+    benchmark-overlap concern). -> (vec_id, n_matches), matched train
+    rows only.
+
+    Venue: the eval side is small BY CONSTRUCTION (benchmarks are
+    KB–MB scale), so its row-normalized matrix broadcasts once via
+    ``ray.put`` and each train block does ONE dense matmul against it
+    — zero shuffles, zero driver funnel for the corpus side. Past
+    broadcast scale the block-pair self-join venue
+    (dedup.embedding_neardup_pairs) is the stated path."""
+    import ray
+
+    from rdf_mapper_ray.ops.dedup import _vecs_from_block
+
+    eval_ids, eval_m = [], []
+    for b in eval_ds.select_columns([id_col, vec_col]) \
+                    .iter_batches(batch_format="pyarrow"):
+        i, m = _vecs_from_block(b, id_col, vec_col)
+        if len(i):
+            eval_ids.append(i)
+            eval_m.append(m)
+    if not eval_ids:
+        return ray.data.from_arrow(pa.Table.from_pydict({
+            id_col: pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64())}))
+    ref = ray.put(np.concatenate(eval_m, axis=0))
+
+    def scan(batch: pa.Table, _thr=threshold) -> pa.Table:
+        ev = ray.get(ref)
+        ids, m = _vecs_from_block(batch, id_col, vec_col)
+        if not len(ids):
+            return pa.Table.from_pydict({
+                id_col: pa.array([], pa.int64()),
+                "n_matches": pa.array([], pa.int64())})
+        hits = ((m @ ev.T) >= _thr).sum(axis=1).astype(np.int64)
+        keep = hits > 0
+        return pa.Table.from_pydict({
+            id_col: pa.array(ids[keep], pa.int64()),
+            "n_matches": pa.array(hits[keep], pa.int64())})
+
+    return train.select_columns([id_col, vec_col]) \
+        .map_batches(scan, batch_format="pyarrow")
+
+
+_EVAL_MOD = 20  # vec_id % 20 == 0 -> the held-out eval split (5%)
+
+
+def embedding_decontaminate_query(sf_dir: str):
+    full = read_table(sf_dir, "embeddings",
+                      columns=["vec_id", "embedding"])
+
+    def split(want_eval: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            m = (ids % _EVAL_MOD) == 0
+            keep = np.flatnonzero(m if want_eval else ~m)
+            return t.take(pa.array(keep, pa.int64()))
+        return f
+
+    train = full.map_batches(split(False), batch_format="pyarrow")
+    ev = full.map_batches(split(True), batch_format="pyarrow")
+    return embedding_decontaminate(train, ev)
+
+
+EMBEDDING_DECONTAMINATE_ORACLE_SQL = f"""
+WITH ev AS (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % {_EVAL_MOD} = 0),
+tr AS (SELECT vec_id, embedding FROM embeddings
+       WHERE vec_id % {_EVAL_MOD} <> 0)
+SELECT t.vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM tr t JOIN ev e
+  ON list_cosine_similarity(t.embedding, e.embedding) >= 0.35
+GROUP BY t.vec_id ORDER BY t.vec_id
+"""

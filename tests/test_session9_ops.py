@@ -102,3 +102,27 @@ def test_pca_power_matches_numpy_eigvec(ray_session):
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos > 0.999
     assert np.abs(v).max() == 1_000_000
+
+
+def test_embedding_decontaminate_planted(ray_session):
+    """A train vector identical to an eval vector must be flagged with
+    the right match count; orthogonal ones must not appear."""
+    import ray.data
+    from rdf_mapper_ray.ops.cleaning import embedding_decontaminate
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    ev = ray.data.from_items([
+        {"vec_id": 100, "embedding": e1},
+        {"vec_id": 101, "embedding": e2},
+    ])
+    train = ray.data.from_items([
+        {"vec_id": 1, "embedding": e1},                  # = eval 100
+        {"vec_id": 2, "embedding": [0.9, 0.9, 0.0, 0.0]},  # hits both
+        {"vec_id": 3, "embedding": [0.0, 0.0, 1.0, 0.0]},  # clean
+    ])
+    out = embedding_decontaminate(train, ev, threshold=0.7) \
+        .to_pandas().set_index("vec_id")
+    assert out.loc[1, "n_matches"] == 1
+    assert out.loc[2, "n_matches"] == 2
+    assert 3 not in out.index

@@ -530,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_drift": disttests.psi_drift_query,
         "time_rolling": timeseries.time_rolling_query,
         "l_diversity": cleaning.l_diversity_query,
+        "t_closeness": cleaning.t_closeness_query,
         "katz": graphs.katz_query,
         "distance_hist": graphs.distance_hist_query,
         "holt": timeseries.holt_query,
@@ -833,6 +834,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": disttests.PSI_DRIFT_ORACLE_SQL,
         "time_rolling": timeseries.TIME_ROLLING_ORACLE_SQL,
         "l_diversity": cleaning.l_diversity_oracle_sql(),
+        "t_closeness": cleaning.t_closeness_oracle_sql(),
         "katz": graphs.katz_oracle_sql(),
         "distance_hist": graphs.distance_hist_oracle_sql(),
         "holt": timeseries.HOLT_ORACLE_SQL,

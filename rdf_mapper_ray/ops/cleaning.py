@@ -1405,3 +1405,110 @@ FROM tr t JOIN ev e
   ON list_cosine_similarity(t.embedding, e.embedding) >= 0.35
 GROUP BY t.vec_id ORDER BY t.vec_id
 """
+
+
+# --- t-closeness ---------------------------------------------------------------------
+
+
+def t_closeness(ds: "ray.data.Dataset", quasi_cols: list[str],
+                sensitive_col: str, t_milli: int = 200
+                ) -> "ray.data.Dataset":
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) with
+    total variation distance: for every quasi-identifier class, the
+    TVD between its sensitive-value distribution and the GLOBAL one —
+    TVD = Σ_c |n_gc·N − n_c·N_g| / (2·N_g·N), including sensitive
+    values absent from the class. Reported as exact-integer milli-TVD
+    ``(1000·S + N_g·N) // (2·N_g·N)`` (the repo's positive-operand
+    truncating-division rounding — DuckDB ``//`` replays it
+    bit-exactly). -> quasi_cols + (n, milli_tvd, is_violating).
+
+    Scale shape: blocks shrink map-side to (quasi, sensitive) count
+    partials; the merged cell table is class × sensitive-cardinality
+    sized BY CONSTRUCTION, so it finishes driver-side in Python ints
+    (the mutual_info / rdfs_entail cell-table pattern — re-shuffling
+    it would pay sort floors for nothing)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(quasi_cols + [sensitive_col]).group_by(
+            quasi_cols + [sensitive_col], use_threads=False).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(quasi_cols + [sensitive_col, "cnt"])
+
+    cells = pd.concat(
+        b.to_pandas() for b in ds.map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow")) \
+        .groupby(quasi_cols + [sensitive_col], as_index=False)["cnt"] \
+        .sum()
+    big_n = int(cells["cnt"].sum())
+    glob = cells.groupby(sensitive_col)["cnt"].sum()
+    rows = []
+    for quasi, g in cells.groupby(quasi_cols, sort=True):
+        ng = int(g["cnt"].sum())
+        by_s = dict(zip(g[sensitive_col], g["cnt"]))
+        s_dev = sum(abs(int(by_s.get(sv, 0)) * big_n - int(nc) * ng)
+                    for sv, nc in glob.items())
+        milli = (1000 * s_dev + ng * big_n) // (2 * ng * big_n)
+        key = quasi if isinstance(quasi, tuple) else (quasi,)
+        rows.append((*key, ng, milli, milli > t_milli))
+    cols = {c: pa.array([r[i] for r in rows])
+            for i, c in enumerate(quasi_cols)}
+    cols["n"] = pa.array([r[-3] for r in rows], pa.int64())
+    cols["milli_tvd"] = pa.array([r[-2] for r in rows], pa.int64())
+    cols["is_violating"] = pa.array([r[-1] for r in rows], pa.bool_())
+    return ray.data.from_arrow(pa.Table.from_pydict(cols))
+
+
+def t_closeness_query(sf_dir: str, t_milli: int = 200):
+    """Is any (priority, status) class's price-band distribution far
+    from the corpus-wide one? Same quasi/sensitive frame as
+    l_diversity (band = cents // $50k)."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_orderstatus",
+                             "o_totalprice"])
+
+    def band(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("o_totalprice"), 100.0)), pa.int64())
+        return pa.Table.from_pydict({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "o_orderstatus": batch.column("o_orderstatus"),
+            "band": pc.cast(pc.divide(cents, 5_000_000), pa.int64())})
+
+    return t_closeness(ds.map_batches(band, batch_format="pyarrow"),
+                       ["o_orderpriority", "o_orderstatus"], "band",
+                       t_milli=t_milli)
+
+
+def t_closeness_oracle_sql(t_milli: int = 200) -> str:
+    return f"""
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS band,
+         COUNT(*) AS c
+  FROM orders GROUP BY 1, 2, 3
+),
+g AS (SELECT o_orderpriority, o_orderstatus, SUM(c) AS ng
+      FROM cells GROUP BY 1, 2),
+gl AS (SELECT band, SUM(c) AS nc FROM cells GROUP BY band),
+tot AS (SELECT SUM(c) AS n FROM cells),
+grid AS (
+  SELECT g.o_orderpriority, g.o_orderstatus, g.ng, gl.band, gl.nc,
+         COALESCE(cells.c, 0) AS c
+  FROM g CROSS JOIN gl
+  LEFT JOIN cells ON cells.o_orderpriority = g.o_orderpriority
+                 AND cells.o_orderstatus = g.o_orderstatus
+                 AND cells.band = gl.band
+),
+s AS (
+  SELECT o_orderpriority, o_orderstatus, ng,
+         SUM(abs(CAST(c AS HUGEINT) * (SELECT n FROM tot)
+                 - CAST(nc AS HUGEINT) * ng)) AS sdev
+  FROM grid GROUP BY 1, 2, 3
+)
+SELECT o_orderpriority, o_orderstatus, CAST(ng AS BIGINT) AS n,
+       CAST((1000 * sdev + ng * (SELECT n FROM tot))
+            // (2 * ng * (SELECT n FROM tot)) AS BIGINT) AS milli_tvd,
+       ((1000 * sdev + ng * (SELECT n FROM tot))
+        // (2 * ng * (SELECT n FROM tot))) > {t_milli} AS is_violating
+FROM s ORDER BY o_orderpriority, o_orderstatus
+"""

@@ -126,3 +126,29 @@ def test_embedding_decontaminate_planted(ray_session):
     assert out.loc[1, "n_matches"] == 1
     assert out.loc[2, "n_matches"] == 2
     assert 3 not in out.index
+
+
+def test_t_closeness_extremes(ray_session):
+    """A class matching the global distribution has TVD 0; a class
+    concentrated on one value of a 50/50 global has TVD = 1/2
+    (wait: global includes the class itself — verified by hand)."""
+    import ray.data
+    from rdf_mapper_ray.ops.cleaning import t_closeness
+
+    # group A: 2x s=0, 2x s=1; group B: 4x s=0
+    rows = ([{"q": "A", "s": 0}] * 2 + [{"q": "A", "s": 1}] * 2
+            + [{"q": "B", "s": 0}] * 4)
+    out = t_closeness(ray.data.from_items(rows), ["q"], "s",
+                      t_milli=200).to_pandas().set_index("q")
+    # global: s=0 6/8, s=1 2/8. A: 2/4,2/4 -> TVD = |.5-.75|/1... =
+    # (|2*8-6*4| + |2*8-2*4|)/(2*4*8) = (8+8)/64 = 0.25
+    assert out.loc["A", "milli_tvd"] == 250
+    # B: (|4*8-6*4| + |0-2*4|)/(2*4*8) = (8+8)/64 = 0.25
+    assert out.loc["B", "milli_tvd"] == 250
+    assert bool(out.loc["A", "is_violating"]) is True
+
+    # a uniform table: every class distribution equals global, TVD 0
+    rows2 = [{"q": q, "s": s} for q in ("X", "Y") for s in (0, 1)]
+    out2 = t_closeness(ray.data.from_items(rows2), ["q"], "s") \
+        .to_pandas()
+    assert (out2["milli_tvd"] == 0).all()

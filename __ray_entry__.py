@@ -537,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": topk.zipf_fit_query,
         "rdfs_entail": ontology.rdfs_entail_query,
         "rdfs_domain_range": ontology.domain_range_query,
+        "owl_functional": ontology.functional_violations_query,
         "dedup_rate": dedup.dedup_rate_query,
         "dup_cluster_hist": graphs.dup_cluster_hist_query,
         "weighted_median": quantiles.weighted_median_query,
@@ -841,6 +842,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": topk.zipf_fit_oracle_sql(),
         "rdfs_entail": ontology.RDFS_ENTAIL_ORACLE_SQL,
         "rdfs_domain_range": ontology.DOMAIN_RANGE_ORACLE_SQL,
+        "owl_functional": ontology.FUNCTIONAL_VIOLATIONS_ORACLE_SQL,
         "dedup_rate": dedup.DEDUP_RATE_ORACLE_SQL,
         "dup_cluster_hist": graphs.DUP_CLUSTER_HIST_ORACLE_SQL,
         "weighted_median": quantiles.WEIGHTED_MEDIAN_ORACLE_SQL,

@@ -411,3 +411,119 @@ WITH ents AS (
 SELECT class, CAST(COUNT(DISTINCT entity) AS BIGINT) AS n_entities
 FROM ents GROUP BY class ORDER BY class
 """
+
+
+# --- owl:FunctionalProperty violation audit ------------------------------------------
+
+
+def functional_violations(triples: "ray.data.Dataset",
+                          functional_preds: list[str],
+                          subj_col: str = "subject",
+                          pred_col: str = "predicate",
+                          obj_col: str = "object_value",
+                          num_partitions: Optional[int] = None
+                          ) -> "ray.data.Dataset":
+    """owl:FunctionalProperty audit (OWL 2 semantics): a functional
+    property admits at most ONE distinct object per subject; any
+    subject with ≥2 violates. -> (predicate, n_subjects,
+    n_violating), one row per declared functional predicate.
+
+    Scale shape: blocks shrink map-side to distinct (pred, subj, obj)
+    triples FIRST (Arrow hash distinct), ONE hash(pred, subj) routed
+    exchange co-locates each subject's objects, the per-partition
+    finish counts distinct objects per subject vectorized, and the
+    predicate-bounded cell table ends driver-side."""
+    import ray
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(triples, 8)
+    fset = set(functional_preds)
+    fref = ray.put(fset)
+
+    def partial(t: pa.Table) -> pa.Table:
+        fs = ray.get(fref)
+        df = t.select([pred_col, subj_col, obj_col]).to_pandas()
+        df = df[df[pred_col].isin(fs)].drop_duplicates()
+        h = pd.util.hash_pandas_object(
+            df[pred_col] + "\x1f" + df[subj_col].astype(str),
+            index=False).to_numpy()
+        return pa.Table.from_pydict({
+            "p": pa.array(df[pred_col].to_numpy(), pa.string()),
+            "s": pa.array(df[subj_col].to_numpy()),
+            "o": pa.array(df[obj_col].to_numpy()),
+            "pid": pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64))})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["p", "s", "o"])
+        per = d.groupby(["p", "s"], as_index=False).size()
+        out = per.groupby("p", as_index=False).agg(
+            n_subjects=("size", "size"),
+            n_violating=("size", lambda k: int((k > 1).sum())))
+        return out
+
+    cells = pd.concat(
+        b.to_pandas() for b in triples
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pid").map_groups(finish, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow"))
+    agg = cells.groupby("p", as_index=False)[
+        ["n_subjects", "n_violating"]].sum().sort_values("p")
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "predicate": pa.array(agg["p"].to_numpy(), pa.string()),
+        "n_subjects": pa.array(agg["n_subjects"].to_numpy(np.int64),
+                               pa.int64()),
+        "n_violating": pa.array(agg["n_violating"].to_numpy(np.int64),
+                                pa.int64())}))
+
+
+def functional_violations_query(sf_dir: str):
+    """Audit the procurement graph: ``placed_by`` (order → customer)
+    is genuinely functional; ``shipped_by`` (order → supplier) is
+    declared functional but multi-supplier orders violate it."""
+    import pyarrow.compute as pc
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
+
+    def li_t(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_pydict({
+            "subject": pc.cast(t.column("l_orderkey"), pa.string()),
+            "predicate": pa.array(["shipped_by"] * n, pa.string()),
+            "object_value": pc.cast(t.column("l_suppkey"),
+                                    pa.string())})
+
+    def ord_t(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_pydict({
+            "subject": pc.cast(t.column("o_orderkey"), pa.string()),
+            "predicate": pa.array(["placed_by"] * n, pa.string()),
+            "object_value": pc.cast(t.column("o_custkey"),
+                                    pa.string())})
+
+    triples = li.map_batches(li_t, batch_format="pyarrow") \
+        .union(orders.map_batches(ord_t, batch_format="pyarrow"))
+    return functional_violations(triples, ["shipped_by", "placed_by"])
+
+
+FUNCTIONAL_VIOLATIONS_ORACLE_SQL = """
+WITH t AS (
+  SELECT 'shipped_by' AS p, CAST(l_orderkey AS VARCHAR) AS s,
+         CAST(l_suppkey AS VARCHAR) AS o
+  FROM lineitem
+  UNION ALL
+  SELECT 'placed_by', CAST(o_orderkey AS VARCHAR),
+         CAST(o_custkey AS VARCHAR)
+  FROM orders
+),
+d AS (SELECT DISTINCT p, s, o FROM t),
+per AS (SELECT p, s, COUNT(*) AS k FROM d GROUP BY 1, 2)
+SELECT p AS predicate, CAST(COUNT(*) AS BIGINT) AS n_subjects,
+       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating
+FROM per GROUP BY p ORDER BY p
+"""

@@ -152,3 +152,25 @@ def test_t_closeness_extremes(ray_session):
     out2 = t_closeness(ray.data.from_items(rows2), ["q"], "s") \
         .to_pandas()
     assert (out2["milli_tvd"] == 0).all()
+
+
+def test_functional_violations_planted(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.ontology import functional_violations
+
+    rows = [
+        {"subject": "o1", "predicate": "f", "object_value": "a"},
+        {"subject": "o1", "predicate": "f", "object_value": "a"},  # dup ok
+        {"subject": "o2", "predicate": "f", "object_value": "a"},
+        {"subject": "o2", "predicate": "f", "object_value": "b"},  # viol
+        {"subject": "o1", "predicate": "g", "object_value": "x"},
+        {"subject": "o1", "predicate": "other", "object_value": "y"},
+    ]
+    out = functional_violations(
+        ray.data.from_items(rows), ["f", "g"]).to_pandas() \
+        .set_index("predicate")
+    assert out.loc["f", "n_subjects"] == 2
+    assert out.loc["f", "n_violating"] == 1
+    assert out.loc["g", "n_subjects"] == 1
+    assert out.loc["g", "n_violating"] == 0
+    assert "other" not in out.index

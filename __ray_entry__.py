@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr": timeseries.autocorr_query,
         "cusum_changepoint": timeseries.cusum_query,
         "drawdown": timeseries.drawdown_query,
+        "cross_corr": timeseries.cross_corr_query,
         # per-user event trigram mining (cell-table finish) and dense
         # hourly grid with exact trunc-div linear interpolation
         "event_ngrams": timeseries.event_ngrams_query,
@@ -778,6 +779,7 @@ def oracle_sql() -> dict[str, str]:
         "autocorr": timeseries.autocorr_oracle_sql(),
         "cusum_changepoint": timeseries.cusum_oracle_sql(),
         "drawdown": timeseries.DRAWDOWN_ORACLE_SQL,
+        "cross_corr": timeseries.cross_corr_oracle_sql(),
         "event_ngrams": timeseries.event_ngrams_oracle_sql(),
         "gap_fill": timeseries.gap_fill_oracle_sql(),
         "users_intersect": setops.USERS_INTERSECT_ORACLE_SQL,

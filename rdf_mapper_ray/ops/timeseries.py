@@ -1120,3 +1120,100 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(MAX(dd) AS BIGINT) AS max_drawdown
 FROM r GROUP BY user_id ORDER BY user_id
 """
+
+
+# --- cross-correlation between two event-type series ---------------------------
+
+
+_HOUR_US = 3_600_000_000
+
+
+def cross_corr(ds: "ray.data.Dataset", type_a: str, type_b: str,
+               ts_col: str = "ts", type_col: str = "event_type",
+               max_lag: int = 5) -> "ray.data.Dataset":
+    """Exact lag-k cross-covariance sufficient statistics between the
+    DENSE hourly count series of two event types (missing hours count
+    0): for each lag k in 0..max_lag over the overlap window
+    x_t vs y_{t+k}, the integer sums (n, Σxy, Σx, Σy, Σx², Σy²) —
+    Pearson r is one IEEE expression away, reconstructible exactly
+    (the autocorr_stats contract: the op's output is float-free).
+
+    Scale shape: blocks shrink map-side to (hour, x, y) count
+    partials; the merged series is TIME-bounded by construction
+    (hours in the corpus span), so it densifies and reduces
+    driver-side — the degree_hist/cell-table lesson. -> (lag, n,
+    sum_xy, sum_x, sum_y, sum_xx, sum_yy)."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(ts_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))
+        hours = (col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                 // _HOUR_US)
+        et = t.column(type_col).to_pandas()
+        df = pd.DataFrame({
+            "h": hours,
+            "x": (et == type_a).to_numpy(np.int64),
+            "y": (et == type_b).to_numpy(np.int64)})
+        m = df.groupby("h", as_index=False)[["x", "y"]].sum()
+        return pa.Table.from_pydict({
+            "h": pa.array(m["h"].to_numpy(np.int64)),
+            "x": pa.array(m["x"].to_numpy(np.int64)),
+            "y": pa.array(m["y"].to_numpy(np.int64))})
+
+    cells = pd.concat(
+        b.to_pandas() for b in ds.select_columns([ts_col, type_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby("h", as_index=False)[["x", "y"]].sum()
+    lo, hi = int(cells["h"].min()), int(cells["h"].max())
+    grid = np.zeros((hi - lo + 1, 2), dtype=np.int64)
+    idx = cells["h"].to_numpy(np.int64) - lo
+    grid[idx, 0] = cells["x"].to_numpy(np.int64)
+    grid[idx, 1] = cells["y"].to_numpy(np.int64)
+    x, y = grid[:, 0], grid[:, 1]
+    rows = []
+    for k in range(max_lag + 1):
+        xs = x[: len(x) - k]
+        ys = y[k:]
+        rows.append((k, len(xs), int(xs @ ys), int(xs.sum()),
+                     int(ys.sum()), int(xs @ xs), int(ys @ ys)))
+    names = ["lag", "n", "sum_xy", "sum_x", "sum_y", "sum_xx",
+             "sum_yy"]
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        c: pa.array([r[i] for r in rows], pa.int64())
+        for i, c in enumerate(names)}))
+
+
+def cross_corr_query(sf_dir: str, max_lag: int = 5):
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    return cross_corr(ds, "click", "purchase", max_lag=max_lag)
+
+
+def cross_corr_oracle_sql(max_lag: int = 5) -> str:
+    return f"""
+WITH b AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // {_HOUR_US} AS h,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1
+),
+ext AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM b),
+grid AS (
+  SELECT g.h, COALESCE(b.x, 0) AS x, COALESCE(b.y, 0) AS y
+  FROM (SELECT unnest(generate_series(lo, hi)) AS h FROM ext) g
+  LEFT JOIN b USING (h)
+),
+l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(0, {max_lag + 1}))
+SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(a.x * c.y) AS BIGINT) AS sum_xy,
+       CAST(SUM(a.x) AS BIGINT) AS sum_x,
+       CAST(SUM(c.y) AS BIGINT) AS sum_y,
+       CAST(SUM(a.x * a.x) AS BIGINT) AS sum_xx,
+       CAST(SUM(c.y * c.y) AS BIGINT) AS sum_yy
+FROM l JOIN grid a ON TRUE JOIN grid c ON c.h = a.h + l.lag
+GROUP BY l.lag ORDER BY l.lag
+"""

@@ -174,3 +174,32 @@ def test_functional_violations_planted(ray_session):
     assert out.loc["g", "n_subjects"] == 1
     assert out.loc["g", "n_violating"] == 0
     assert "other" not in out.index
+
+
+def test_cross_corr_shifted_series(ray_session):
+    """y is x shifted by exactly 2 hours: the lag-2 cross product must
+    dominate and equal the lag-0 autovariance of the pattern."""
+    import datetime
+    import ray.data
+    from rdf_mapper_ray.ops.timeseries import cross_corr
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    pattern = [3, 0, 1, 0, 5, 0, 0, 2]
+    for h, cnt in enumerate(pattern):
+        for _ in range(cnt):
+            rows.append({"ts": t0 + datetime.timedelta(hours=h),
+                         "event_type": "click"})
+        for _ in range(cnt):  # same pattern, 2 hours later
+            rows.append({"ts": t0 + datetime.timedelta(hours=h + 2),
+                         "event_type": "purchase"})
+    out = cross_corr(ray.data.from_items(rows), "click", "purchase",
+                     max_lag=3).to_pandas().set_index("lag")
+    x = np.array(pattern + [0, 0])
+    y = np.array([0, 0] + pattern)
+    for k in range(4):
+        xs, ys = x[: len(x) - k], y[k:]
+        assert out.loc[k, "sum_xy"] == xs @ ys
+        assert out.loc[k, "n"] == len(xs)
+    assert out.loc[2, "sum_xy"] == (np.array(pattern) ** 2).sum()

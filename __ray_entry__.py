@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_ask": relational.bgp_ask_query,
         "bgp_path_alt": relational.bgp_path_alt_query,
         "item_cosine": baskets.item_cosine_query,
+        "assoc_rules": baskets.assoc_rules_query,
         "rank_windows": stats.rank_windows_query,
         "ab_test": stats.ab_test_query,
         "group_gini": stats.group_gini_query,
@@ -742,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_ask": relational.BGP_ASK_ORACLE_SQL,
         "bgp_path_alt": relational.BGP_PATH_ALT_ORACLE_SQL,
         "item_cosine": baskets.item_cosine_oracle_sql(),
+        "assoc_rules": baskets.assoc_rules_oracle_sql(),
         "rank_windows": stats.RANK_WINDOWS_ORACLE_SQL,
         "ab_test": stats.AB_TEST_ORACLE_SQL,
         "group_gini": stats.GROUP_GINI_ORACLE_SQL,

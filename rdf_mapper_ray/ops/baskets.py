@@ -126,29 +126,17 @@ LIMIT {k}
 
 # --- item-item cosine similarity from basket co-occurrence -----------------------
 
-def item_cosine(ds: "ray.data.Dataset", basket_col: str,
-                item_col: str, k: int = 100, min_support: int = 2,
-                num_partitions: int | None = None
-                ) -> "ray.data.Dataset":
-    """Collaborative-filtering item similarity: cosine over the
-    basket-incidence vectors, cos(i, j) = cooc(i,j)/√(c_i·c_j), for
-    pairs with cooc ≥ min_support. Reported as the quantized integer
-    ``cos_milli = floor(1000·cooc/√(c_i·c_j) + 0.5)`` so the one
-    float expression is evaluated identically on both sides (the SQL
-    oracle runs the same literal formula).
-
-    Shape: frequent_pairs' two routed exchanges produce exact pair
-    counts; the per-item basket counts c_i (item-cardinality-sized —
-    the small side BY CONSTRUCTION) reduce map-side and broadcast via
-    ray.put into the scoring task, so no third shuffle.
-    -> (item_a, item_b, cooc, count_a, count_b, cos_milli)."""
-    import math
-
-    import ray
-
-    if num_partitions is None:
-        from rdf_mapper_ray.ops.dedup import partitions_for
-        num_partitions = partitions_for(ds, 8)
+def _pair_count_exchange(ds: "ray.data.Dataset", basket_col: str,
+                         item_col: str, num_partitions: int,
+                         emit_basket_total: bool = False
+                         ) -> "ray.data.Dataset":
+    """Shared basket machinery (item_cosine / assoc_rules): two routed
+    exchanges producing exact per-pair co-occurrence counts (kind 1)
+    with the per-item basket counts riding the SAME exchange as
+    kind-0 rows; ``emit_basket_total`` adds kind-2 rows whose merged
+    sum is the total distinct-basket count N (each hash(basket)
+    partition holds complete baskets, so its local distinct count is
+    exact and the kind-2 rows all route to one partition)."""
 
     def dedup_route(batch: pa.Table) -> pa.Table:
         t = batch.select([basket_col, item_col]) \
@@ -164,7 +152,7 @@ def item_cosine(ds: "ray.data.Dataset", basket_col: str,
         """Each complete basket lives here: emit its item pairs AND
         one (item, NULL-pair) count row per item occurrence so the
         item totals ride the same exchange (kind 0 = count row,
-        kind 1 = pair row)."""
+        kind 1 = pair row, kind 2 = basket-total row)."""
         g = g.drop_duplicates([basket_col, item_col]) \
             .sort_values([basket_col, item_col])
         b = g[basket_col].to_numpy()
@@ -188,15 +176,21 @@ def item_cosine(ds: "ray.data.Dataset", basket_col: str,
         out = cnt.groupby(["item_a", "item_b", "kind"],
                           as_index=False).size() \
             .rename(columns={"size": "cooc"})
-        return out.astype({"item_a": np.int64, "item_b": np.int64,
-                           "kind": np.int8, "cooc": np.int64})
+        out = out.astype({"item_a": np.int64, "item_b": np.int64,
+                          "kind": np.int8, "cooc": np.int64})
+        if emit_basket_total and n:
+            total = pd.DataFrame({
+                "item_a": [np.int64(0)], "item_b": [np.int64(0)],
+                "kind": [np.int8(2)], "cooc": [np.int64(len(runs))]})
+            out = pd.concat([out, total], ignore_index=True)
+        return out
 
     def route_pairs(t: pa.Table) -> pa.Table:
         a = t.column("item_a").to_numpy(zero_copy_only=False)
         b = t.column("item_b").to_numpy(zero_copy_only=False)
         kind = t.column("kind").to_numpy(zero_copy_only=False)
         # count rows (kind 0) route by item alone so each item's
-        # total merges exactly once
+        # total merges exactly once; kind-2 rows share key 0
         key = np.where(kind == 1,
                        a * np.int64(2_654_435_761) + b, a)
         h = pd.util.hash_pandas_object(pd.Series(key),
@@ -205,7 +199,7 @@ def item_cosine(ds: "ray.data.Dataset", basket_col: str,
             "pid2", pa.array((h % np.uint64(num_partitions))
                              .astype(np.int64)))
 
-    merged = ds.map_batches(dedup_route, batch_format="pyarrow") \
+    return ds.map_batches(dedup_route, batch_format="pyarrow") \
         .groupby("pid").map_groups(pairs_and_counts,
                                    batch_format="pandas") \
         .map_batches(route_pairs, batch_format="pyarrow") \
@@ -213,6 +207,31 @@ def item_cosine(ds: "ray.data.Dataset", basket_col: str,
             lambda g: g.groupby(["item_a", "item_b", "kind"],
                                 as_index=False)["cooc"].sum(),
             batch_format="pandas").materialize()
+
+
+def item_cosine(ds: "ray.data.Dataset", basket_col: str,
+                item_col: str, k: int = 100, min_support: int = 2,
+                num_partitions: int | None = None
+                ) -> "ray.data.Dataset":
+    """Collaborative-filtering item similarity: cosine over the
+    basket-incidence vectors, cos(i, j) = cooc(i,j)/√(c_i·c_j), for
+    pairs with cooc ≥ min_support. Reported as the quantized integer
+    ``cos_milli = floor(1000·cooc/√(c_i·c_j) + 0.5)`` so the one
+    float expression is evaluated identically on both sides (the SQL
+    oracle runs the same literal formula).
+
+    Shape: frequent_pairs' two routed exchanges produce exact pair
+    counts; the per-item basket counts c_i (item-cardinality-sized —
+    the small side BY CONSTRUCTION) reduce map-side and broadcast via
+    ray.put into the scoring task, so no third shuffle.
+    -> (item_a, item_b, cooc, count_a, count_b, cos_milli)."""
+    import ray
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+    merged = _pair_count_exchange(ds, basket_col, item_col,
+                                  num_partitions)
 
     # item totals: item-cardinality-sized by construction -> filter
     # the count rows distributed, pull ONLY them, broadcast once
@@ -414,4 +433,121 @@ JOIN b z ON x.l_orderkey = z.l_orderkey
 GROUP BY 1, 2, 3
 ORDER BY support DESC, item_a, item_b, item_c
 LIMIT {k}
+"""
+
+
+# --- association rules (confidence / lift) -----------------------------------------
+
+def assoc_rules(ds: "ray.data.Dataset", basket_col: str,
+                item_col: str, k: int = 100, min_support: int = 2,
+                num_partitions: int | None = None
+                ) -> "ray.data.Dataset":
+    """Association rules over basket co-occurrence (Agrawal & Srikant,
+    VLDB 1994): every ordered rule a → b with pair support ≥
+    min_support, scored by exact-integer confidence and lift —
+    ``conf_milli = (1000·n_ab) // n_a`` and ``lift_milli =
+    (1000·n_ab·N) // (n_a·n_b)`` (positive-operand truncating
+    division; DuckDB ``//`` replays both bit-exactly). Top-k by
+    (lift_milli DESC, antecedent, consequent).
+
+    Shape: the shared ``_pair_count_exchange`` produces pair counts,
+    per-item basket counts AND the distinct-basket total N on the
+    same two exchanges (no extra pass for N — each hash(basket)
+    partition counts its complete baskets as kind-2 rows); item
+    counts broadcast once; scoring + map-side top-k prune run per
+    block. -> (antecedent, consequent, support, conf_milli,
+    lift_milli)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+    merged = _pair_count_exchange(ds, basket_col, item_col,
+                                  num_partitions,
+                                  emit_basket_total=True)
+
+    def split_counts(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("kind"),
+                                     pa.scalar(1, pa.int8()))) \
+            .select(["item_a", "kind", "cooc"])
+
+    cnt_df = merged.map_batches(split_counts,
+                                batch_format="pyarrow").to_pandas()
+    n_baskets = int(cnt_df.loc[cnt_df["kind"] == 2, "cooc"].sum())
+    item_rows = cnt_df[cnt_df["kind"] == 0]
+    counts = dict(zip(item_rows["item_a"].tolist(),
+                      item_rows["cooc"].tolist()))
+    counts_ref = ray.put(counts)
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"),
+                              pa.scalar(1, pa.int8())))
+        c = ray.get(counts_ref)
+        a0 = t.column("item_a").to_numpy(zero_copy_only=False)
+        b0 = t.column("item_b").to_numpy(zero_copy_only=False)
+        s0 = t.column("cooc").to_numpy(zero_copy_only=False)
+        keep = s0 >= min_support
+        a0, b0, s0 = a0[keep], b0[keep], s0[keep]
+        # both rule directions from each unordered pair
+        ant = np.concatenate([a0, b0])
+        con = np.concatenate([b0, a0])
+        sup = np.concatenate([s0, s0])
+        ca = np.fromiter((c[x] for x in ant), dtype=np.int64,
+                         count=len(ant))
+        cc = np.fromiter((c[x] for x in con), dtype=np.int64,
+                         count=len(con))
+        conf = (1000 * sup) // ca
+        lift = (1000 * sup * np.int64(n_baskets)) // (ca * cc)
+        out = pd.DataFrame({
+            "antecedent": ant, "consequent": con, "support": sup,
+            "conf_milli": conf, "lift_milli": lift})
+        # counts are final -> only a local top-k can reach the global
+        out = out.sort_values(["lift_milli", "antecedent",
+                               "consequent"],
+                              ascending=[False, True, True]).head(k)
+        return pa.Table.from_pydict(
+            {c2: pa.array(out[c2].to_numpy(np.int64), pa.int64())
+             for c2 in out.columns})
+
+    return merged.map_batches(score, batch_format="pyarrow") \
+        .sort(["lift_milli", "antecedent", "consequent"],
+              descending=[True, False, False]).limit(k)
+
+
+def assoc_rules_query(sf_dir: str, k: int = 100):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey"])
+    return assoc_rules(ds, basket_col="l_orderkey",
+                       item_col="l_partkey", k=k)
+
+
+def assoc_rules_oracle_sql(k: int = 100, min_support: int = 2) -> str:
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM b),
+ic AS (SELECT l_partkey, COUNT(*) AS c FROM b GROUP BY l_partkey),
+p AS (
+  SELECT x.l_partkey AS item_a, y.l_partkey AS item_b,
+         COUNT(*) AS cooc
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_support}
+),
+r AS (
+  SELECT item_a AS antecedent, item_b AS consequent, cooc FROM p
+  UNION ALL
+  SELECT item_b, item_a, cooc FROM p
+)
+SELECT antecedent, consequent, CAST(cooc AS BIGINT) AS support,
+       CAST((1000 * cooc) // ca.c AS BIGINT) AS conf_milli,
+       CAST((1000 * cooc * (SELECT n FROM nb)) // (ca.c * cc.c)
+            AS BIGINT) AS lift_milli
+FROM r JOIN ic ca ON ca.l_partkey = antecedent
+       JOIN ic cc ON cc.l_partkey = consequent
+ORDER BY lift_milli DESC, antecedent, consequent LIMIT {k}
 """

@@ -203,3 +203,22 @@ def test_cross_corr_shifted_series(ray_session):
         assert out.loc[k, "sum_xy"] == xs @ ys
         assert out.loc[k, "n"] == len(xs)
     assert out.loc[2, "sum_xy"] == (np.array(pattern) ** 2).sum()
+
+
+def test_assoc_rules_planted(ray_session):
+    """4 baskets: {1,2} x3, {1} x1 -> rule 2->1 conf=1000, 1->2
+    conf=750; lift = 1000*3*4/(4*3) = 1000 both ways."""
+    import ray.data
+    from rdf_mapper_ray.ops.baskets import assoc_rules
+
+    rows = []
+    for b, items in enumerate([[1, 2], [1, 2], [1, 2], [1]]):
+        rows += [{"b": b, "i": i} for i in items]
+    out = assoc_rules(ray.data.from_items(rows), "b", "i",
+                      min_support=2).to_pandas() \
+        .set_index(["antecedent", "consequent"])
+    assert out.loc[(2, 1), "conf_milli"] == 1000
+    assert out.loc[(1, 2), "conf_milli"] == 750
+    assert out.loc[(1, 2), "support"] == 3
+    assert out.loc[(1, 2), "lift_milli"] == 1000
+    assert out.loc[(2, 1), "lift_milli"] == 1000

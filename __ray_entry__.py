@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-exact PageRank (bit-identical under any partition
         # order); broadcast rank venue, copartition venue unit-tested
         "pagerank": graphs.pagerank_query,
+        "neighbor_agg": graphs.neighbor_agg_query,
         "frequent_pairs": baskets.frequent_pairs_query,
         "grouped_top_n": topk.grouped_top_n_query,
         "window_tumbling": windows.tumbling_query,
@@ -903,6 +904,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": sessions.retention_cohorts_oracle_sql(),
         "negative_samples": cleaning.negative_samples_oracle_sql(),
         "pagerank": graphs.pagerank_oracle_sql(),
+        "neighbor_agg": graphs.NEIGHBOR_AGG_ORACLE_SQL,
         "frequent_pairs": baskets.frequent_pairs_oracle_sql(),
         "grouped_top_n": topk.GROUPED_TOP_N_ORACLE_SQL,
         "event_type_pivot": windows.event_type_pivot_oracle_sql(),

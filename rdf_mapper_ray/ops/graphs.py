@@ -5300,3 +5300,175 @@ a{t} AS MATERIALIZED (
         prev = f"a{t}"
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node, r AS round FROM {prev} ORDER BY node\n")
+
+
+# --- neighbor feature aggregation (GNN message passing) ------------------------------
+
+
+def neighbor_agg(edges: "ray.data.Dataset", feats: "ray.data.Dataset",
+                 hops: int = 2, num_partitions: int = 32
+                 ) -> "ray.data.Dataset":
+    """GNN-style neighborhood aggregation with adjacency-matvec
+    semantics: h0 = x (integer node features), h_{t+1} = A·h_t over
+    the undirected graph (backtracking included — the standard A^t x
+    contract, what a GraphSAGE sum-aggregator layer computes before
+    the nonlinearity). -> (node, degree, sum_1hop, ..., sum_{hops}hop),
+    all exact int64.
+
+    Shape per hop: features co-partition with edge sources on ONE
+    hash(node) exchange (kind-row union — never a driver-side feature
+    dict), each task emits (dst, x_src) messages, and a hash(dst)
+    routed merge sums them. 2 exchanges per hop, edge rows never
+    duplicated beyond the doubled undirected orientation."""
+    import pandas as pd
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    directed = edges.map_batches(both_dirs,
+                                 batch_format="pyarrow").materialize()
+
+    def propagate(h: "ray.data.Dataset") -> "ray.data.Dataset":
+        """One A·h matvec: h rows (node, val) meet edge rows
+        (src, dst) on hash(src)=hash(node), emit (dst, val), merge by
+        hash(dst)."""
+        def tag_edges(t: pa.Table) -> pa.Table:
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict({
+                "key": pa.array(src % np.int64(num_partitions)),
+                "node": t.column("src"),
+                "dst": t.column("dst"),
+                "val": pa.nulls(t.num_rows, pa.int64())})
+
+        def tag_feats(t: pa.Table) -> pa.Table:
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict({
+                "key": pa.array(node % np.int64(num_partitions)),
+                "node": t.column("node"),
+                "dst": pa.nulls(t.num_rows, pa.int64()),
+                "val": t.column("val")})
+
+        def emit_msgs(g: pd.DataFrame) -> pd.DataFrame:
+            f = g.loc[g["dst"].isna(), ["node", "val"]]
+            e = g.loc[g["dst"].notna(), ["node", "dst"]]
+            m = e.merge(f, on="node", how="inner")
+            return pd.DataFrame({
+                "dst": m["dst"].to_numpy(np.int64),
+                "val": m["val"].to_numpy(np.int64)})
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("dst", as_index=False).agg(
+                val=("val", "sum"), deg=("val", "size"))
+            return pd.DataFrame({
+                "node": out["dst"].to_numpy(np.int64),
+                "val": out["val"].to_numpy(np.int64),
+                "deg": out["deg"].to_numpy(np.int64)})
+
+        msgs = directed.map_batches(tag_edges, batch_format="pyarrow") \
+            .union(h.map_batches(tag_feats, batch_format="pyarrow")) \
+            .groupby("key").map_groups(emit_msgs,
+                                       batch_format="pandas")
+
+        def route_dst(t: pa.Table) -> pa.Table:
+            d = t.column("dst").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "key", pa.array(d % np.int64(num_partitions)))
+
+        return msgs.map_batches(route_dst, batch_format="pyarrow") \
+            .groupby("key").map_groups(merge, batch_format="pandas") \
+            .materialize()
+
+    results = []
+    h = feats.materialize()
+    for _ in range(hops):
+        h = propagate(h.select_columns(["node", "val"]))
+        results.append(h)
+
+    # assemble: node-keyed outer merge of the hop tables (node-bounded
+    # cell tables by construction at demo scale; at web scale this is
+    # an equi_join chain — the deg column of hop 1 is the degree)
+    out = None
+    for i, r in enumerate(results, start=1):
+        df = r.to_pandas().rename(columns={"val": f"sum_{i}hop"})
+        df = df.drop(columns=["deg"]) if i > 1 else df.rename(
+            columns={"deg": "degree"})
+        out = df if out is None else out.merge(df, on="node",
+                                               how="outer")
+    out = out.fillna(0).astype("int64").sort_values("node")
+    cols = ["node", "degree"] + [f"sum_{i}hop"
+                                 for i in range(1, hops + 1)]
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        c: pa.array(out[c].to_numpy(np.int64), pa.int64())
+        for c in cols}))
+
+
+def neighbor_agg_query(sf_dir: str):
+    """A·x and A²·x over the part–supplier graph with cents features
+    (part retail price / supplier balance)."""
+    import pyarrow.compute as pc
+
+    edges = partsupp_edges(sf_dir)
+    import pyarrow.dataset as pads
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_retailprice"],
+                      filter=pads.field("p_partkey") <= PR_PART_CAP)
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_acctbal"])
+
+    def part_feats(t: pa.Table) -> pa.Table:
+        k = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        cents = np.floor(t.column("p_retailprice")
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        return pa.Table.from_pydict({
+            "node": pa.array(k * 2, pa.int64()),
+            "val": pa.array(cents, pa.int64())})
+
+    def supp_feats(t: pa.Table) -> pa.Table:
+        k = t.column("s_suppkey").to_numpy(zero_copy_only=False)
+        cents = np.floor(t.column("s_acctbal")
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        return pa.Table.from_pydict({
+            "node": pa.array(k * 2 + 1, pa.int64()),
+            "val": pa.array(cents, pa.int64())})
+
+    feats = part.map_batches(part_feats, batch_format="pyarrow") \
+        .union(supp.map_batches(supp_feats, batch_format="pyarrow"))
+    return neighbor_agg(edges, feats, hops=2)
+
+
+NEIGHBOR_AGG_ORACLE_SQL = f"""
+WITH e0 AS (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem WHERE l_partkey <= {PR_PART_CAP}
+),
+e AS (SELECT a AS src, b AS dst FROM e0
+      UNION ALL SELECT b, a FROM e0),
+f AS (
+  SELECT p_partkey * 2 AS node,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS val
+  FROM part WHERE p_partkey <= {PR_PART_CAP}
+  UNION ALL
+  SELECT s_suppkey * 2 + 1,
+         CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)
+  FROM supplier
+),
+h1 AS (
+  SELECT e.dst AS node, CAST(COUNT(*) AS BIGINT) AS degree,
+         CAST(SUM(f.val) AS BIGINT) AS sum_1hop
+  FROM e JOIN f ON f.node = e.src GROUP BY e.dst
+),
+h2 AS (
+  SELECT e.dst AS node, CAST(SUM(h1.sum_1hop) AS BIGINT) AS sum_2hop
+  FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst
+)
+SELECT h1.node, h1.degree, h1.sum_1hop,
+       COALESCE(h2.sum_2hop, 0) AS sum_2hop
+FROM h1 LEFT JOIN h2 ON h2.node = h1.node
+ORDER BY h1.node
+"""

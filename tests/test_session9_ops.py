@@ -222,3 +222,21 @@ def test_assoc_rules_planted(ray_session):
     assert out.loc[(1, 2), "support"] == 3
     assert out.loc[(1, 2), "lift_milli"] == 1000
     assert out.loc[(2, 1), "lift_milli"] == 1000
+
+
+def test_neighbor_agg_path_graph(ray_session):
+    """Path 1-2-3 with x = (10, 20, 30): A·x = (20, 40, 20);
+    A²·x = (40, 40, 40) (backtracking included)."""
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import neighbor_agg
+
+    edges = ray.data.from_items([{"a": 1, "b": 2}, {"a": 2, "b": 3}])
+    feats = ray.data.from_items([
+        {"node": 1, "val": 10}, {"node": 2, "val": 20},
+        {"node": 3, "val": 30}])
+    out = neighbor_agg(edges, feats, hops=2).to_pandas() \
+        .set_index("node")
+    assert out.loc[1, "sum_1hop"] == 20 and out.loc[1, "sum_2hop"] == 40
+    assert out.loc[2, "sum_1hop"] == 40 and out.loc[2, "sum_2hop"] == 40
+    assert out.loc[3, "sum_1hop"] == 20 and out.loc[3, "sum_2hop"] == 40
+    assert out.loc[2, "degree"] == 2

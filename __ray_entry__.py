@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jw_pairs": editdist.jw_pairs_query,
         # sorted-neighborhood blocking (Hernandez & Stolfo 1995)
         "snm_pairs": editdist.snm_pairs_query,
+        "blocking_audit": editdist.blocking_audit_query,
         # blocking -> fuzzy link -> CC -> survivorship, one SQL chain
         "entity_resolution": editdist.entity_resolution_query,
         # deterministic md5-rank epoch shuffle (training-data order)
@@ -771,6 +772,7 @@ def oracle_sql() -> dict[str, str]:
         "pca_power": vectors.pca_power_oracle_sql(),
         "jw_pairs": editdist.jw_pairs_oracle_sql(),
         "snm_pairs": editdist.snm_pairs_oracle_sql(),
+        "blocking_audit": editdist.blocking_audit_oracle_sql(),
         "entity_resolution": editdist.entity_resolution_oracle_sql(),
         "epoch_shuffle": __import__(
             "rdf_mapper_ray.ops.io",

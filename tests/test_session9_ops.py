@@ -240,3 +240,21 @@ def test_neighbor_agg_path_graph(ray_session):
     assert out.loc[2, "sum_1hop"] == 40 and out.loc[2, "sum_2hop"] == 40
     assert out.loc[3, "sum_1hop"] == 20 and out.loc[3, "sum_2hop"] == 40
     assert out.loc[2, "degree"] == 2
+
+
+def test_blocking_audit_dense_region(ray_session):
+    """5 records all within eps of each other, window 3: truth C(5,2)
+    = 10, SNM candidates = 4+3 = 7 (rank distance <= 2), so
+    completeness = 700 milli."""
+    import ray.data
+    from rdf_mapper_ray.ops.editdist import blocking_audit
+
+    rows = [{"id": i, "v": 100 + i} for i in range(5)]
+    out = blocking_audit(ray.data.from_items(rows), id_col="id",
+                         key_col="v", window=3, eps=10).to_pandas()
+    r = out.iloc[0]
+    assert r["n_true"] == 10
+    assert r["n_candidates"] == 7
+    assert r["n_matched"] == 7
+    assert r["completeness_milli"] == 700
+    assert r["reduction_milli"] == 1000 - (1000 * 7) // 10

@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Pregel actor pool; Luby's maximal independent set likewise
         "hits": graphs.hits_query,
         "mis_luby": graphs.mis_query,
+        "luby_coloring": graphs.luby_coloring_query,
         # exact all-pairs stress centrality: forward MS-BFS sigma +
         # backward integer Brandes tau, two phases on ONE Pregel pool
         "stress_centrality": graphs.stress_query,
@@ -764,6 +765,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_disc": quantiles.GROUP_QUANTILES_DISC_ORACLE_SQL,
         "hits": graphs.hits_oracle_sql(),
         "mis_luby": graphs.mis_oracle_sql(),
+        "luby_coloring": graphs.luby_coloring_oracle_sql(),
         "stress_centrality": graphs.stress_oracle_sql(),
         "stress_sampled": graphs.stress_oracle_sql(source_mod=4),
         "eccentricity": graphs.eccentricity_oracle_sql(),

@@ -5472,3 +5472,189 @@ SELECT h1.node, h1.degree, h1.sum_1hop,
 FROM h1 LEFT JOIN h2 ON h2.node = h1.node
 ORDER BY h1.node
 """
+
+
+# --- greedy graph coloring via iterated Luby MIS --------------------------------------
+
+
+def luby_coloring(edges: "ray.data.Dataset", max_colors: int = 4,
+                  rounds: int = 6,
+                  num_partitions: int | None = None
+                  ) -> "ray.data.Dataset":
+    """Distributed greedy coloring (Jones & Plassmann 1993): color c
+    is the Luby MIS of the residual graph after colors 0..c−1 — with
+    FIXED md5 node priorities the whole process is deterministic and
+    the SQL oracle replays it color by color. -> (node, color); −1
+    marks nodes left after ``max_colors`` (both sides agree by
+    construction). Adjacent nodes never share a color ≥ 0.
+
+    Shape: each color runs the persistent-actor Pregel MIS on the
+    residual edge set; colored nodes are node-bounded per round and
+    broadcast into a vectorized searchsorted edge filter (past
+    broadcast scale the residual filter is a hash(node) semi-join —
+    the bloom_semi_join venue)."""
+    import ray
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+
+    residual = edges.materialize()
+    all_nodes: set = set()
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        all_nodes.update(b.column("a").to_pylist())
+        all_nodes.update(b.column("b").to_pylist())
+    assigned: list[pd.DataFrame] = []
+    colored_set: set = set()
+    for color in range(max_colors):
+        if len(colored_set) == len(all_nodes):
+            break
+        in_res: set = set()
+        if residual.count() > 0:
+            st = mis_luby(residual, rounds=rounds,
+                          num_partitions=num_partitions).to_pandas()
+            in_mis = st.loc[st["status"] == 1, "node"] \
+                .to_numpy(np.int64)
+            in_res = set(st["node"].tolist())
+        else:
+            in_mis = np.array([], np.int64)
+        # uncolored nodes with every neighbor already colored are
+        # isolated in the residual: an independent set by definition,
+        # they take this color too (otherwise they'd strand at -1)
+        isolated = np.array(
+            sorted(all_nodes - colored_set - in_res), np.int64)
+        take = np.concatenate([in_mis, isolated])
+        if len(take) == 0:
+            break
+        assigned.append(pd.DataFrame({
+            "node": take,
+            "color": np.full(len(take), color, np.int64)}))
+        colored_set.update(take.tolist())
+        colored = np.sort(np.concatenate(
+            [a["node"].to_numpy(np.int64) for a in assigned]))
+        cref = ray.put(colored)
+
+        def drop_colored(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            ka = np.searchsorted(c, a)
+            kb = np.searchsorted(c, b)
+            hit_a = (ka < len(c)) & (c[np.minimum(ka, len(c) - 1)] == a)
+            hit_b = (kb < len(c)) & (c[np.minimum(kb, len(c) - 1)] == b)
+            keep = np.flatnonzero(~hit_a & ~hit_b)
+            return t.take(pa.array(keep, pa.int64()))
+
+        residual = residual.map_batches(
+            drop_colored, batch_format="pyarrow").materialize()
+
+    # anything still uncolored after max_colors gets -1 (oracle
+    # replays the same cap)
+    got = pd.concat(assigned) if assigned else pd.DataFrame(
+        {"node": [], "color": []})
+    left = np.array(sorted(all_nodes - set(got["node"])), np.int64)
+    out = pd.concat([got, pd.DataFrame({
+        "node": left, "color": np.full(len(left), -1, np.int64)})]) \
+        .sort_values("node")
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "node": pa.array(out["node"].to_numpy(np.int64)),
+        "color": pa.array(out["color"].to_numpy(np.int64))}))
+
+
+def luby_coloring_query(sf_dir: str, threshold: float = 0.3,
+                        max_colors: int = 4, rounds: int = 6):
+    """Color the embedding near-dup graph (same derivation as
+    mis_query) — a conflict-free batch schedule for its nodes."""
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs,
+                                          partitions_for)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+    return luby_coloring(pairs.map_batches(_pairs_as_edges,
+                                           batch_format="pyarrow"),
+                         max_colors=max_colors, rounds=rounds,
+                         num_partitions=partitions_for(emb, 8))
+
+
+def luby_coloring_oracle_sql(threshold: float = 0.3,
+                             max_colors: int = 4,
+                             rounds: int = 6) -> str:
+    """Color-by-color replay: residual edges res{c}, then the full
+    Luby unroll per color (the mis_oracle_sql inner loop with
+    residual-scoped tables)."""
+    parts = [f"""e0 AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding)
+        >= {threshold}
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+),
+prio AS MATERIALIZED (
+  SELECT node,
+    ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 16))::UBIGINT AS p
+  FROM nodes
+),
+res0 AS MATERIALIZED (SELECT a, b FROM e0)"""]
+    for c in range(max_colors):
+        parts.append(f"""adj_{c} AS MATERIALIZED (
+  SELECT a AS node, b AS other FROM res{c}
+  UNION ALL SELECT b, a FROM res{c}),
+c{c}u0 AS MATERIALIZED (
+  SELECT DISTINCT a.node, prio.p FROM adj_{c} a
+  JOIN prio ON prio.node = a.node)""")
+        for k in range(1, rounds + 1):
+            parts.append(f"""c{c}nb{k} AS (
+  SELECT a.node, MIN(u2.p) AS mn
+  FROM adj_{c} a
+  JOIN c{c}u{k-1} u1 ON u1.node = a.node
+  JOIN c{c}u{k-1} u2 ON u2.node = a.other
+  GROUP BY a.node
+),
+c{c}mis{k} AS MATERIALIZED (
+  SELECT u.node FROM c{c}u{k-1} u
+  LEFT JOIN c{c}nb{k} ON c{c}nb{k}.node = u.node
+  WHERE c{c}nb{k}.mn IS NULL OR u.p < c{c}nb{k}.mn
+),
+c{c}rm{k} AS MATERIALIZED (
+  SELECT DISTINCT a.other AS node
+  FROM adj_{c} a JOIN c{c}mis{k} m ON m.node = a.node
+),
+c{c}u{k} AS MATERIALIZED (
+  SELECT u.node, u.p FROM c{c}u{k-1} u
+  WHERE u.node NOT IN (SELECT node FROM c{c}mis{k})
+    AND u.node NOT IN (SELECT node FROM c{c}rm{k})
+)""")
+        mis_all = " UNION ALL ".join(
+            f"SELECT node FROM c{c}mis{k}"
+            for k in range(1, rounds + 1))
+        prev = " UNION ALL ".join(
+            f"SELECT node FROM col{i}" for i in range(c))
+        prev_filter = f"AND node NOT IN ({prev})" if c else ""
+        # isolated-in-residual uncolored nodes take this color too
+        parts.append(f"""col{c} AS MATERIALIZED (
+  SELECT DISTINCT node FROM ({mis_all}
+  UNION ALL
+  SELECT node FROM nodes
+  WHERE node NOT IN (SELECT a FROM res{c}
+                     UNION ALL SELECT b FROM res{c})
+    {prev_filter}))""")
+        done = " UNION ALL ".join(
+            f"SELECT node FROM col{i}" for i in range(c + 1))
+        parts.append(f"""res{c+1} AS MATERIALIZED (
+  SELECT a, b FROM res{c}
+  WHERE a NOT IN ({done}) AND b NOT IN ({done})
+)""")
+    cases = "\n".join(
+        f"  WHEN node IN (SELECT node FROM col{c}) THEN {c}"
+        for c in range(max_colors))
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT node, CAST(CASE
+{cases}
+  ELSE -1 END AS BIGINT) AS color
+FROM nodes ORDER BY node
+""")

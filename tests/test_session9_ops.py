@@ -258,3 +258,20 @@ def test_blocking_audit_dense_region(ray_session):
     assert r["n_matched"] == 7
     assert r["completeness_milli"] == 700
     assert r["reduction_milli"] == 1000 - (1000 * 7) // 10
+
+
+def test_luby_coloring_proper(ray_session):
+    """K4 plus a pendant: coloring must be proper (no edge shares a
+    color) and K4 needs all 4 colors."""
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import luby_coloring
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5)]
+    ds = ray.data.from_items([{"a": a, "b": b} for a, b in edges])
+    out = luby_coloring(ds, max_colors=4).to_pandas() \
+        .set_index("node")["color"]
+    for a, b in edges:
+        assert out[a] != out[b] or (out[a] == -1 and out[b] == -1)
+    assert set(out[[1, 2, 3, 4]]) == {0, 1, 2, 3}
+    assert out[5] >= 0 and out[5] != out[4]

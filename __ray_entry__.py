@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vocab-file BPE subword counts (merge loop replayed in SQL,
         # unrolled-CTE pattern) + packing driven by the real counts
         "tokenize_bpe": bpe.tokenize_bpe_query,
+        "bpe_learn": bpe.bpe_learn_query,
         "pack_bpe": bpe.pack_bpe_query,
         # URL/domain curation: RE2 host parse + per-domain caps
         "domain_stats": domains.domain_stats_query,
@@ -701,6 +702,7 @@ def oracle_sql() -> dict[str, str]:
         "user_sequences": sessions.user_sequences_oracle_sql(),
         "nation_revenue": joins.NATION_REVENUE_ORACLE_SQL,
         "tokenize_bpe": bpe.tokenize_bpe_oracle_sql(),
+        "bpe_learn": bpe.bpe_learn_oracle_sql(),
         "pack_bpe": bpe.pack_bpe_oracle_sql(),
         "domain_stats": domains.DOMAIN_STATS_ORACLE_SQL,
         "domain_caps": domains.domain_caps_oracle_sql(),

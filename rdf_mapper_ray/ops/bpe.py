@@ -452,3 +452,92 @@ def bpe_train_reference(texts: list[str], n_merges: int = 20
                     i += 1
             vocab[w] = out
     return merges
+
+
+# --- BPE training as a query (learned merge table + SQL replay) -----------------------
+
+_BPE_TRAIN_STEP = """e{k} AS MATERIALIZED (
+  SELECT w, unnest(generate_series(1, len(syms))) AS pos,
+         unnest(syms) AS sym
+  FROM t_s{j}
+),
+pc{k} AS MATERIALIZED (
+  SELECT e.sym AS p1, e2.sym AS p2, SUM(wc.cnt) AS c
+  FROM e{k} e JOIN e{k} e2 ON e2.w = e.w AND e2.pos = e.pos + 1
+  JOIN t_wc wc ON wc.w = e.w
+  GROUP BY 1, 2
+),
+best{k} AS MATERIALIZED (
+  SELECT p1, p2 FROM pc{k}
+  ORDER BY c DESC, p1, p2 LIMIT 1
+),
+p{k} AS MATERIALIZED (
+  SELECT e.w, e.pos
+  FROM e{k} e JOIN e{k} e2 ON e2.w = e.w AND e2.pos = e.pos + 1
+  JOIN best{k} b ON b.p1 = e.sym AND b.p2 = e2.sym
+),
+m0{k} AS MATERIALIZED (
+  SELECT p.w, p.pos,
+         p.pos - row_number() OVER (PARTITION BY p.w ORDER BY p.pos)
+           AS grp
+  FROM p{k} p
+),
+r{k} AS MATERIALIZED (
+  SELECT w, pos FROM (
+    SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+    FROM m0{k})
+  WHERE off % 2 = 0
+),
+t_s{k} AS MATERIALIZED (
+  SELECT e.w,
+         list(CASE WHEN r.pos IS NOT NULL THEN e.sym || e2.sym
+                   ELSE e.sym END ORDER BY e.pos) AS syms
+  FROM e{k} e
+  LEFT JOIN r{k} r ON r.w = e.w AND r.pos = e.pos
+  LEFT JOIN r{k} r2 ON r2.w = e.w AND r2.pos = e.pos - 1
+  LEFT JOIN e{k} e2 ON e2.w = e.w AND e2.pos = e.pos + 1
+  WHERE r2.pos IS NULL
+  GROUP BY e.w
+)"""
+
+
+def bpe_learn_query(sf_dir: str, n_merges: int = 8):
+    """The learned merge table (rank, p1, p2) of :func:`bpe_train`
+    over the documents corpus — train → tokenize composes; this query
+    exposes the training half with a full SQL replay."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    merges, _ = bpe_train(ds, n_merges=n_merges)
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "rank": pa.array(np.arange(len(merges), dtype=np.int64)),
+        "p1": pa.array([a for a, _ in merges], pa.string()),
+        "p2": pa.array([b for _, b in merges], pa.string())}))
+
+
+def bpe_learn_oracle_sql(n_merges: int = 8) -> str:
+    """Unrolled training replay: per round — weighted adjacent pair
+    counts over the current symbolization, argmax merge
+    (c DESC, p1, p2), run-parity non-overlapping application (the
+    tokenize-oracle machinery with the fixed merge list swapped for
+    the per-round winner)."""
+    parts = ["""t_tok AS MATERIALIZED (
+  SELECT unnest(regexp_split_to_array(lower(COALESCE(text, '')),
+                '\\s+')) AS w
+  FROM documents
+),
+t_wc AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM t_tok
+  WHERE w <> '' GROUP BY w
+),
+t_s0 AS MATERIALIZED (
+  SELECT w, list_transform(range(1, len(w)+1),
+                           i -> substr(w, CAST(i AS INT), 1)) AS syms
+  FROM t_wc
+)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(_BPE_TRAIN_STEP.format(k=k, j=k - 1))
+    sel = " UNION ALL ".join(
+        f"SELECT {k - 1} AS rank, p1, p2 FROM best{k}"
+        for k in range(1, n_merges + 1))
+    return ("WITH " + ",".join(parts)
+            + f"\nSELECT CAST(rank AS BIGINT) AS rank, p1, p2"
+              f" FROM ({sel}) ORDER BY rank")

@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wow_change": windows.wow_change_query,
         "top_decile_share": stats.top_decile_share_query,
         "transition_matrix": sessions.transition_matrix_query,
+        "markov_entropy": sessions.markov_entropy_query,
         "twap": sessions.twap_query,
         "ewma": sessions.ewma_query,
         "quantiles_disc": quantiles.group_quantiles_disc_query,
@@ -762,6 +763,7 @@ def oracle_sql() -> dict[str, str]:
         "wow_change": windows.WOW_CHANGE_ORACLE_SQL,
         "top_decile_share": stats.TOP_DECILE_SHARE_ORACLE_SQL,
         "transition_matrix": sessions.TRANSITION_MATRIX_ORACLE_SQL,
+        "markov_entropy": sessions.MARKOV_ENTROPY_ORACLE_SQL,
         "twap": sessions.TWAP_ORACLE_SQL,
         "ewma": sessions.EWMA_ORACLE_SQL,
         "quantiles_disc": quantiles.GROUP_QUANTILES_DISC_ORACLE_SQL,

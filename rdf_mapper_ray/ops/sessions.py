@@ -1376,3 +1376,60 @@ SELECT event_id, user_id,
          AS n_distinct
 FROM f ORDER BY user_id, ts, event_id
 """
+
+
+def markov_entropy(ds: "ray.data.Dataset", user_col: str,
+                   ts_col: str, id_col: str, type_col: str,
+                   num_partitions: int | None = None
+                   ) -> "ray.data.Dataset":
+    """Conditional next-event entropy per state — how predictable is
+    the stream after each event type? Composes the transition-pair
+    machinery with the group_entropy milli-nat contract: each
+    transition count c contributes ``c · floor(ln(c)·1000 + 0.5)``
+    (exact int64, order-independent), and consumers recover
+    ``H(next|s) = ln(n_s) − h_milli/(1000·n_s)`` nats.
+    -> (from_type, n, h_milli). The transition table is
+    (types × types)-sized BY CONSTRUCTION, so the entropy finish is
+    cell-table work on top of ONE hash(user) exchange."""
+    cells = transition_matrix(ds, user_col, ts_col, id_col, type_col,
+                              num_partitions=num_partitions) \
+        .to_pandas()
+    cnt = cells["n"].to_numpy(np.int64)
+    q = np.floor(np.log(cnt) * 1000.0 + 0.5).astype(np.int64)
+    cells["term"] = cnt * q
+    out = cells.groupby("from_type", as_index=False).agg(
+        n=("n", "sum"), h_milli=("term", "sum")).sort_values(
+        "from_type")
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "from_type": pa.array(out["from_type"].to_numpy(),
+                              pa.string()),
+        "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+        "h_milli": pa.array(out["h_milli"].to_numpy(np.int64),
+                            pa.int64())}))
+
+
+def markov_entropy_query(sf_dir: str):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id",
+                             "event_type"])
+    return markov_entropy(ds, "user_id", "ts", "event_id",
+                          "event_type")
+
+
+MARKOV_ENTROPY_ORACLE_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+c AS (
+  SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS cnt
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS n,
+       CAST(SUM(cnt * CAST(floor(ln(cnt) * 1000 + 0.5) AS BIGINT))
+            AS BIGINT) AS h_milli
+FROM c GROUP BY from_type ORDER BY from_type
+"""

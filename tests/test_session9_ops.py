@@ -275,3 +275,33 @@ def test_luby_coloring_proper(ray_session):
         assert out[a] != out[b] or (out[a] == -1 and out[b] == -1)
     assert set(out[[1, 2, 3, 4]]) == {0, 1, 2, 3}
     assert out[5] >= 0 and out[5] != out[4]
+
+
+def test_markov_entropy_deterministic_vs_uniform(ray_session):
+    """A deterministic chain (a->b always) has H=0; a 50/50 split has
+    the quantized two-way entropy."""
+    import datetime
+    import ray.data
+    from rdf_mapper_ray.ops.sessions import markov_entropy
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: a b a b a b  -> from a always b (x3? a->b 3, b->a 2)
+    seq1 = ["a", "b", "a", "b", "a", "b"]
+    for i, et in enumerate(seq1):
+        rows.append({"user_id": 1, "event_id": i,
+                     "ts": t0 + datetime.timedelta(minutes=i),
+                     "event_type": et})
+    # user 2: c d c e  -> from c: d once, e once (50/50)
+    for i, et in enumerate(["c", "d", "c", "e"]):
+        rows.append({"user_id": 2, "event_id": 100 + i,
+                     "ts": t0 + datetime.timedelta(minutes=i),
+                     "event_type": et})
+    out = markov_entropy(ray.data.from_items(rows), "user_id", "ts",
+                         "event_id", "event_type").to_pandas() \
+        .set_index("from_type")
+    # deterministic: h_milli = n * qln(n) -> H = ln(n) - qln(n)/1000 ≈ 0
+    assert out.loc["a", "n"] == 3
+    assert out.loc["a", "h_milli"] == 3 * round(np.log(3) * 1000)
+    # 50/50: both counts 1, qln(1)=0 -> h_milli 0 -> H = ln(2)
+    assert out.loc["c", "n"] == 2 and out.loc["c", "h_milli"] == 0

@@ -158,7 +158,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_mapper_ray.ops import (baskets, bloom, bpe, bucketed,
-                                    clusters, containment,
+                                    clusters, containment, coverage,
                                     dedup, diff, distinct, disttests,
                                     domains,
                                     editdist, incremental, joins,
@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # easy->hard curriculum ordering (bucket + md5 within)
         "curriculum_order": __import__("rdf_mapper_ray.ops.io",
             fromlist=["io"]).curriculum_order_query,
+        "coverage_select": coverage.coverage_select_query,
         # per-user first/last-touch attribution (argmin/argmax family)
         "attribution": sessions.attribution_query,
         # hop-bounded weighted SSSP (distributed Bellman-Ford,
@@ -629,7 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rdf_mapper_ray.ops import (baskets, bloom, bpe, bucketed,
-                                    clusters, containment,
+                                    clusters, containment, coverage,
                                     dedup, diff, distinct, disttests,
                                     domains,
                                     editdist, incremental, joins,
@@ -819,6 +820,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_describe": relational.BGP_DESCRIBE_ORACLE_SQL,
         "curriculum_order": __import__("rdf_mapper_ray.ops.io",
             fromlist=["io"]).curriculum_order_oracle_sql(),
+        "coverage_select": coverage.coverage_select_oracle_sql(),
         "attribution": sessions.attribution_oracle_sql(),
         "sssp_weighted": graphs.SSSP_ORACLE_SQL,
         "pmi_bigrams": topk.pmi_bigrams_oracle_sql(),

@@ -305,3 +305,20 @@ def test_markov_entropy_deterministic_vs_uniform(ray_session):
     assert out.loc["a", "h_milli"] == 3 * round(np.log(3) * 1000)
     # 50/50: both counts 1, qln(1)=0 -> h_milli 0 -> H = ln(2)
     assert out.loc["c", "n"] == 2 and out.loc["c", "h_milli"] == 0
+
+
+def test_coverage_select_greedy(ray_session):
+    """doc1 covers 4 bigrams, doc2 covers 3 new, doc3 fully covered by
+    doc1 -> greedy picks 1 then 2, stops (3 has zero gain)."""
+    import ray.data
+    from rdf_mapper_ray.ops.coverage import coverage_select
+
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": "a b c d e"},          # ab bc cd de
+        {"doc_id": 2, "text": "x y z w"},            # xy yz zw
+        {"doc_id": 3, "text": "a b c"},              # ab bc (covered)
+    ])
+    out = coverage_select(ds, k=5).to_pandas()
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["gain"].tolist() == [4, 3]
+    assert out["rank"].tolist() == [0, 1]

@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one-assignment-round contract (ops/kmeans.py docstring);
         # multi-round convergence covered by tests/test_kmeans.py
         "kmeans_assign": kmeans.kmeans_assign_query,
+        "pq_codes": kmeans.pq_codes_query,
         "split_leakage": cleaning.split_leakage_query,
         "crosstab": rollup.crosstab_query,
         "chunk_text": packing.chunk_text_query,
@@ -902,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": diff.SNAPSHOT_DIFF_ORACLE_SQL,
         "data_audit": cleaning.DATA_AUDIT_ORACLE_SQL,
         "kmeans_assign": kmeans.kmeans_assign_oracle_sql(),
+        "pq_codes": kmeans.pq_codes_oracle_sql(),
         "split_leakage": cleaning.SPLIT_LEAKAGE_ORACLE_SQL,
         "crosstab": rollup.CROSSTAB_ORACLE_SQL,
         "chunk_text": packing.chunk_text_oracle_sql(),

@@ -158,3 +158,87 @@ FROM (
 WHERE rn = 1
 ORDER BY vec_id
 """
+
+
+# --- product quantization codes -------------------------------------------------------
+
+
+def pq_codes(ds: "ray.data.Dataset", m: int = 4, k: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> "ray.data.Dataset":
+    """Product-quantization code assignment (Jégou et al., PAMI 2011)
+    — the memory-scale path for ANN beyond IVF: the vector splits
+    into ``m`` contiguous subspaces, each quantized independently
+    against its own codebook; a vector stores m small codes instead
+    of d floats. Codebooks here are the deterministic one-round
+    contract (k lowest-id vectors' sub-slices — kmeans_assign's
+    SQL-replayable rule; multi-round refinement is kmeans_fit per
+    subspace, covered by units). -> (vec_id, code_0..code_{m-1}).
+
+    Shape: codebooks broadcast once (m·k·d/m floats — KB-sized), ONE
+    map pass computes all m argmins per batch with subspace-sliced
+    exact squared distances (matches SQL's list_slice replay
+    term-for-term)."""
+    first = _seed_centroids(ds, k, id_col, vec_col)
+    d = first.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    ref = ray.put(first)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(ref)
+        mat = _stack(batch.column(vec_col))
+        cols = {id_col: batch.column(id_col)}
+        for j in range(m):
+            lo, hi = j * sub, (j + 1) * sub
+            c = cent[:, lo:hi]
+            v = mat[:, lo:hi]
+            d2 = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            cols[f"code_{j}"] = pa.array(
+                d2.argmin(axis=1).astype(np.int64))
+        return pa.Table.from_pydict(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def pq_codes_query(sf_dir: str, m: int = 4, k: int = 8):
+    ds = read_table(sf_dir, "embeddings",
+                    columns=["vec_id", "embedding"])
+    return pq_codes(ds, m=m, k=k)
+
+
+def pq_codes_oracle_sql(m: int = 4, k: int = 8, dim: int = 64) -> str:
+    sub = dim // m
+    chains = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        chains.append(f"""c{j} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, s.cluster,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(
+               list_zip(list_slice(e.embedding, {lo}, {hi}),
+                        list_slice(s.embedding, {lo}, {hi})),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+             s.cluster) AS rn
+    FROM embeddings e CROSS JOIN seeds s)
+  WHERE rn = 1
+)""")
+    joins = "\n".join(
+        f"JOIN c{j} ON c{j}.vec_id = e.vec_id" for j in range(m))
+    codes = ", ".join(
+        f"CAST(c{j}.cluster AS BIGINT) AS code_{j}" for j in range(m))
+    return f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {k})
+),
+{", ".join(chains)}
+SELECT e.vec_id, {codes}
+FROM embeddings e
+{joins}
+ORDER BY e.vec_id
+"""

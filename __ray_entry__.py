@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-round convergence covered by tests/test_kmeans.py
         "kmeans_assign": kmeans.kmeans_assign_query,
         "pq_codes": kmeans.pq_codes_query,
+        "knn_pq": kmeans.knn_pq_query,
         "split_leakage": cleaning.split_leakage_query,
         "crosstab": rollup.crosstab_query,
         "chunk_text": packing.chunk_text_query,
@@ -904,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
         "data_audit": cleaning.DATA_AUDIT_ORACLE_SQL,
         "kmeans_assign": kmeans.kmeans_assign_oracle_sql(),
         "pq_codes": kmeans.pq_codes_oracle_sql(),
+        "knn_pq": kmeans.knn_pq_oracle_sql(),
         "split_leakage": cleaning.SPLIT_LEAKAGE_ORACLE_SQL,
         "crosstab": rollup.CROSSTAB_ORACLE_SQL,
         "chunk_text": packing.chunk_text_oracle_sql(),

@@ -242,3 +242,160 @@ FROM embeddings e
 {joins}
 ORDER BY e.vec_id
 """
+
+
+def knn_pq(ds: "ray.data.Dataset", query_ids: list, query_vecs,
+           m: int = 4, kcode: int = 8, k: int = 10,
+           id_col: str = "vec_id", vec_col: str = "embedding"
+           ) -> "ray.data.Dataset":
+    """Asymmetric-distance PQ search (Jégou et al., PAMI 2011, ADC):
+    approximate kNN where each database vector is its m PQ codes and
+    the query stays exact — d²(q, x) ≈ Σ_j ||q_j − c_{j,code_j(x)}||².
+    The ADC trick made distributed: per batch, each query's m×kcode
+    distance LUT computes ONCE (tiny matmul), then every row's
+    distance is m table lookups — no per-row float vector math.
+    -> (query_id, rank, neighbor_id) with (d2, neighbor_id) ordering,
+    the knn ops' tie contract. Deterministic one-round codebooks
+    (pq_codes) ⇒ fully SQL-replayable.
+
+    Shape: codebooks + query slices broadcast once; map-side per-block
+    top-k prune, ONE (queries·k)-bounded global sort."""
+    first = _seed_centroids(ds, kcode, id_col, vec_col)
+    d = first.shape[1]
+    sub = d // m
+    q = np.asarray(query_vecs, dtype=np.float64)
+    ref = ray.put((first, q, np.asarray(query_ids, dtype=np.int64)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cent, qm, qids = ray.get(ref)
+        mat = _stack(batch.column(vec_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return pa.Table.from_pydict({
+                "query_id": pa.array([], pa.int64()),
+                "d2": pa.array([], pa.float64()),
+                "neighbor_id": pa.array([], pa.int64())})
+        # codes per row (same exact rule as pq_codes)
+        codes = np.empty((n, m), np.int64)
+        luts = np.empty((len(qids), m, kcode), np.float64)
+        for j in range(m):
+            lo, hi = j * sub, (j + 1) * sub
+            c = cent[:, lo:hi]
+            v = mat[:, lo:hi]
+            codes[:, j] = ((v[:, None, :] - c[None, :, :]) ** 2) \
+                .sum(axis=2).argmin(axis=1)
+            luts[:, j, :] = ((qm[:, None, lo:hi] - c[None, :, :]) ** 2
+                             ).sum(axis=2)
+        out_q, out_d, out_n = [], [], []
+        for qi in range(len(qids)):
+            dist = np.zeros(n, np.float64)
+            for j in range(m):
+                dist += luts[qi, j, codes[:, j]]
+            order = np.lexsort((ids, dist))[:k]
+            out_q.append(np.full(len(order), qids[qi], np.int64))
+            out_d.append(dist[order])
+            out_n.append(ids[order])
+        return pa.Table.from_pydict({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "d2": pa.array(np.concatenate(out_d)),
+            "neighbor_id": pa.array(np.concatenate(out_n))})
+
+    scored = ds.map_batches(score, batch_format="pyarrow") \
+        .sort(["query_id", "d2", "neighbor_id"])
+
+    def ranked(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.Table.from_pydict({
+            "query_id": pa.array(df["query_id"].to_numpy(np.int64)),
+            "rank": pa.array(df["rank"].to_numpy(np.int64)),
+            "neighbor_id": pa.array(
+                df["neighbor_id"].to_numpy(np.int64))})
+
+    # the scored stream is queries×k-per-block bounded; one driver-side
+    # repartition(1) finish keeps the rank assignment globally correct
+    return scored.repartition(1).map_batches(ranked,
+                                             batch_format="pyarrow")
+
+
+def knn_pq_query(sf_dir: str, num_queries: int = 5, m: int = 4,
+                 kcode: int = 8, k: int = 10):
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()
+    vecs = tbl.column("embedding").to_pylist()
+    qids = [int(i) for i in ids if i < num_queries]
+    qvecs = [v for i, v in zip(ids, vecs) if i < num_queries]
+    ds = read_table(sf_dir, "embeddings",
+                    columns=["vec_id", "embedding"])
+    return knn_pq(ds, qids, qvecs, m=m, kcode=kcode, k=k)
+
+
+def knn_pq_oracle_sql(num_queries: int = 5, m: int = 4,
+                      kcode: int = 8, k: int = 10,
+                      dim: int = 64) -> str:
+    sub = dim // m
+    code_chains = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        code_chains.append(f"""c{j} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, s.cluster,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(
+               list_zip(list_slice(e.embedding, {lo}, {hi}),
+                        list_slice(s.embedding, {lo}, {hi})),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+             s.cluster) AS rn
+    FROM embeddings e CROSS JOIN seeds s)
+  WHERE rn = 1
+)""")
+    lut_terms = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        lut_terms.append(f"""l{j} AS (
+  SELECT q.vec_id AS qid, s.cluster,
+         list_sum(list_transform(
+           list_zip(list_slice(q.embedding, {lo}, {hi}),
+                    list_slice(s.embedding, {lo}, {hi})),
+           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+           AS d2
+  FROM q CROSS JOIN seeds s
+)""")
+    dist_sum = " + ".join(f"l{j}.d2" for j in range(m))
+    lut_joins = "\n".join(
+        f"JOIN l{j} ON l{j}.qid = q.vec_id AND l{j}.cluster "
+        f"= c{j}.cluster" for j in range(m))
+    code_joins = "\n".join(
+        f"JOIN c{j} ON c{j}.vec_id = e.vec_id" for j in range(m))
+    return f"""
+WITH seeds AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {kcode})
+),
+q AS (SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id < {num_queries}),
+{", ".join(code_chains)},
+{", ".join(lut_terms)},
+dists AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {dist_sum} AS d2
+  FROM q CROSS JOIN embeddings e
+  {code_joins}
+  {lut_joins}
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2, neighbor_id) AS rank
+  FROM dists)
+WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

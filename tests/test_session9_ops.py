@@ -343,3 +343,26 @@ def test_pq_codes_reconstruction_beats_random(ray_session):
         d2 = ((v64[:, None, lo:hi] - cent[None, :, lo:hi]) ** 2) \
             .sum(axis=2)
         assert (out[col].to_numpy() == d2.argmin(axis=1)).all()
+
+
+def test_knn_pq_recall_vs_bruteforce(ray_session):
+    """ADC over the real embeddings: recall@10 against exact kNN must
+    be well above chance (clustered latents quantize cleanly)."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from rdf_mapper_ray.ops.kmeans import knn_pq
+    from rdf_mapper_ray.ops.similarity import knn_bruteforce
+
+    tbl = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()
+    vecs = tbl.column("embedding").to_pylist()
+    qids, qvecs = ids[:5], vecs[:5]
+    ds = ray.data.from_arrow(tbl)
+    exact = knn_bruteforce(ds, qids, qvecs, k=10).to_pandas()
+    approx = knn_pq(ds, qids, qvecs, m=4, kcode=8, k=10).to_pandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    # exact knn ranks by cosine, ADC by L2 with one-round 8-entry
+    # codebooks: 0.2 is 10x chance (10/500)
+    assert len(a & e) / len(e) > 0.2

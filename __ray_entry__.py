@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": distinct.hll_registers_query,
         # per-group HLL registers: group-count-sized shuffle, never keys
         "hll_by_type": distinct.hll_by_type_query,
+        "hll_union": distinct.hll_union_query,
         # SPARQL property path <p>+ — semi-naive transitive closure
         "bgp_path_within": relational.bgp_path_within_query,
         # SPARQL GROUP BY / COUNT over BGP solution groups
@@ -829,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline_parts": skyline.SKYLINE_ORACLE_SQL,
         "hll_registers": distinct.hll_registers_oracle_sql(),
         "hll_by_type": distinct.hll_by_type_oracle_sql(),
+        "hll_union": distinct.hll_union_oracle_sql(),
         "date_features": timeseries.DATE_FEATURES_ORACLE_SQL,
         "rfm_scores": normalize.rfm_oracle_sql(),
         "event_precedence": windows.EVENT_PRECEDENCE_ORACLE_SQL,

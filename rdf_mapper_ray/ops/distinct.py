@@ -586,3 +586,53 @@ SELECT kk AS sketch_k, common,
             AS BIGINT) AS intersect_est
 FROM st
 """
+
+
+def hll_union_query(sf_dir: str, p: int = 6):
+    """Sketch algebra: the per-event-type HLL register tables merge by
+    per-bucket MAX into the register table of the UNION stream — the
+    property that lets per-partition/per-day sketches roll up without
+    touching raw keys. Output (bucket, r) of the union of all types'
+    sketches; the oracle replays the same per-type-then-MAX shape, and
+    by the HLL merge theorem both equal the direct whole-stream
+    sketch."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type"])
+    per_type = hll_registers_by(ds, "user_id", "event_type",
+                                p=p).to_pandas()
+    m = 1 << p
+    r = np.zeros(m, dtype=np.int64)
+    for b, v in zip(per_type["bucket"], per_type["r"]):
+        r[int(b)] = max(r[int(b)], int(v))
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "bucket": pa.array(np.arange(m, dtype=np.int64)),
+        "r": pa.array(r, pa.int64())}))
+
+
+def hll_union_oracle_sql(p: int = 6) -> str:
+    m = 1 << p
+    rem_bits = 64 - p
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+           ::UBIGINT AS h
+  FROM events
+),
+parts AS (
+  SELECT event_type, CAST(h >> {rem_bits} AS BIGINT) AS bucket,
+         h & {(1 << rem_bits) - 1}::UBIGINT AS rem
+  FROM h
+),
+rho AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN rem = 0 THEN {rem_bits + 1}
+                  ELSE {rem_bits} - length(bin(rem)) + 1 END) AS r
+  FROM parts GROUP BY 1, 2
+),
+merged AS (SELECT bucket, MAX(r) AS r FROM rho GROUP BY bucket),
+buckets AS (SELECT UNNEST(generate_series(0, {m - 1})) AS bucket)
+SELECT b.bucket, CAST(COALESCE(m.r, 0) AS BIGINT) AS r
+FROM buckets b LEFT JOIN merged m USING (bucket)
+GROUP BY b.bucket, m.r ORDER BY b.bucket
+"""

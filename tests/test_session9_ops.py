@@ -366,3 +366,19 @@ def test_knn_pq_recall_vs_bruteforce(ray_session):
     # exact knn ranks by cosine, ADC by L2 with one-round 8-entry
     # codebooks: 0.2 is 10x chance (10/500)
     assert len(a & e) / len(e) > 0.2
+
+
+def test_hll_union_equals_direct_sketch(ray_session):
+    """The per-type max-merged registers must equal the direct
+    whole-stream sketch (HLL merge theorem)."""
+    from rdf_mapper_ray.ops.distinct import (hll_registers,
+                                             hll_union_query)
+    from rdf_mapper_ray.ops.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    union = hll_union_query(sf).to_pandas().set_index("bucket")["r"]
+    direct = hll_registers(
+        read_table(sf, "events", columns=["user_id"]),
+        "user_id", p=6).to_pandas().set_index("bucket")["r"]
+    for b in range(64):
+        assert union.get(b, 0) == direct.get(b, 0)

@@ -553,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_hist": graphs.dup_cluster_hist_query,
         "weighted_median": quantiles.weighted_median_query,
         "table_fingerprint": diff.table_fingerprint_query,
+        "merkle_buckets": diff.merkle_buckets_query,
         "kendall": stats.kendall_query,
         "lpa_modularity": graphs.lpa_modularity_query,
         "shacl_cardinality": ontology.shacl_cardinality_query,
@@ -866,6 +867,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_cluster_hist": graphs.DUP_CLUSTER_HIST_ORACLE_SQL,
         "weighted_median": quantiles.WEIGHTED_MEDIAN_ORACLE_SQL,
         "table_fingerprint": diff.TABLE_FINGERPRINT_ORACLE_SQL,
+        "merkle_buckets": diff.merkle_buckets_oracle_sql(),
         "kendall": stats.KENDALL_ORACLE_SQL,
         "lpa_modularity": graphs.lpa_modularity_oracle_sql(),
         "shacl_cardinality": ontology.SHACL_CARDINALITY_ORACLE_SQL,

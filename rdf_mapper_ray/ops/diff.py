@@ -470,3 +470,91 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(hv // 4294967296) % 4294967296 AS BIGINT) AS fp_hi
 FROM h
 """
+
+
+def merkle_buckets(ds: "ray.data.Dataset", cols: list[str],
+                   n_buckets: int = 64) -> "ray.data.Dataset":
+    """Bucketed commutative fingerprint — table_fingerprint's
+    diff-LOCALIZING sibling (the anti-entropy / Merkle-exchange
+    primitive replicated stores use): rows hash to ``h mod n_buckets``
+    and each bucket keeps its own two-limb md5-64 sum, so comparing
+    two replicas' tables narrows a mismatch to the differing buckets
+    before paying the row-level snapshot_diff join.
+    -> (bucket, n_rows, fp_lo, fp_hi), dense over 0..n_buckets−1.
+
+    Map-only: per-batch partials are bucket-bounded (the cell-table
+    lesson); the driver folds blocks × buckets rows, never row
+    counts."""
+    import pandas as pd
+
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    _M32 = np.uint64(0xFFFFFFFF)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = [batch.column(c).cast(pa.string()).to_pandas()
+                 for c in cols]
+        s = parts[0].fillna("")
+        for p in parts[1:]:
+            s = s + "|" + p.fillna("")
+        h = hash64(s.tolist(), backend="md5")
+        b = (h % np.uint64(n_buckets)).astype(np.int64)
+        df = pd.DataFrame({
+            "bucket": b,
+            "lo": (h & _M32).astype(np.int64),
+            "hi": (h >> np.uint64(32)).astype(np.int64)})
+        agg = df.groupby("bucket", as_index=False).agg(
+            n=("lo", "size"), lo=("lo", "sum"), hi=("hi", "sum"))
+        agg["lo"] = agg["lo"] % (1 << 32)
+        agg["hi"] = agg["hi"] % (1 << 32)
+        return pa.Table.from_pydict({
+            "bucket": pa.array(agg["bucket"].to_numpy(np.int64)),
+            "n": pa.array(agg["n"].to_numpy(np.int64)),
+            "lo": pa.array(agg["lo"].to_numpy(np.int64)),
+            "hi": pa.array(agg["hi"].to_numpy(np.int64))})
+
+    st = pd.concat(
+        b.to_pandas() for b in ds.map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"))
+    agg = st.groupby("bucket", as_index=False).agg(
+        n=("n", "sum"), lo=("lo", "sum"), hi=("hi", "sum"))
+    dense = pd.DataFrame({"bucket": np.arange(n_buckets, dtype=np.int64)})
+    agg = dense.merge(agg, on="bucket", how="left").fillna(0)
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "bucket": pa.array(agg["bucket"].to_numpy(np.int64)),
+        "n_rows": pa.array(agg["n"].to_numpy(np.int64)),
+        "fp_lo": pa.array((agg["lo"].to_numpy(np.int64)
+                           % (1 << 32))),
+        "fp_hi": pa.array((agg["hi"].to_numpy(np.int64)
+                           % (1 << 32)))}))
+
+
+def merkle_buckets_query(sf_dir: str, n_buckets: int = 64):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return merkle_buckets(ds, ["doc_id", "text"], n_buckets=n_buckets)
+
+
+def merkle_buckets_oracle_sql(n_buckets: int = 64) -> str:
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                             || COALESCE(text, '')), 1, 16))::UBIGINT
+         AS hv
+  FROM documents
+),
+agg AS (
+  SELECT CAST(hv % {n_buckets} AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(hv & 4294967295) % 4294967296 AS BIGINT) AS fp_lo,
+         CAST(SUM(hv >> 32) % 4294967296 AS BIGINT) AS fp_hi
+  FROM h GROUP BY 1
+),
+buckets AS (SELECT UNNEST(generate_series(0, {n_buckets - 1}))
+              AS bucket)
+SELECT b.bucket, COALESCE(a.n_rows, 0) AS n_rows,
+       COALESCE(a.fp_lo, 0) AS fp_lo, COALESCE(a.fp_hi, 0) AS fp_hi
+FROM buckets b LEFT JOIN agg a USING (bucket)
+ORDER BY b.bucket
+"""

@@ -382,3 +382,27 @@ def test_hll_union_equals_direct_sketch(ray_session):
         "user_id", p=6).to_pandas().set_index("bucket")["r"]
     for b in range(64):
         assert union.get(b, 0) == direct.get(b, 0)
+
+
+def test_merkle_buckets_localize_diff(ray_session):
+    """Two replicas differing in ONE row must differ in exactly the
+    buckets holding that row's old/new hashes; equal replicas match
+    everywhere. Bucket sums must also fold to the table fingerprint's
+    totals."""
+    import ray.data
+    from rdf_mapper_ray.ops.diff import merkle_buckets, table_fingerprint
+
+    rows = [{"doc_id": i, "text": f"t{i}"} for i in range(50)]
+    a = merkle_buckets(ray.data.from_items(rows),
+                       ["doc_id", "text"], 16).to_pandas()
+    rows2 = [dict(r) for r in rows]
+    rows2[7]["text"] = "CHANGED"
+    b = merkle_buckets(ray.data.from_items(rows2),
+                       ["doc_id", "text"], 16).to_pandas()
+    diff = (a[["fp_lo", "fp_hi"]] != b[["fp_lo", "fp_hi"]]).any(axis=1)
+    assert 1 <= diff.sum() <= 2  # old + new hash buckets
+    fp = table_fingerprint(ray.data.from_items(rows),
+                           ["doc_id", "text"]).to_pandas().iloc[0]
+    assert a["n_rows"].sum() == fp["n_rows"]
+    assert a["fp_lo"].sum() % (1 << 32) == fp["fp_lo"]
+    assert a["fp_hi"].sum() % (1 << 32) == fp["fp_hi"]

@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_levels": graphs.bfs_levels_query,
         # k-core peeling of the part-supplier bipartite graph
         "k_core": graphs.k_core_query,
+        "densest_subgraph": graphs.densest_subgraph_query,
         # grouped statistics: mode + exact-integer Pearson r
         "grouped_mode": stats.grouped_mode_query,
         "group_corr": stats.group_corr_query,
@@ -728,6 +729,7 @@ def oracle_sql() -> dict[str, str]:
         "group_median": quantiles.GROUP_MEDIAN_ORACLE_SQL,
         "bfs_levels": graphs.BFS_LEVELS_ORACLE_SQL,
         "k_core": graphs.k_core_oracle_sql(),
+        "densest_subgraph": graphs.densest_subgraph_oracle_sql(),
         "grouped_mode": stats.GROUPED_MODE_ORACLE_SQL,
         "group_corr": stats.GROUP_CORR_ORACLE_SQL,
         "group_regression": stats.GROUP_REGRESSION_ORACLE_SQL,

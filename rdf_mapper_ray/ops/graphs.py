@@ -5658,3 +5658,184 @@ SELECT node, CAST(CASE
   ELSE -1 END AS BIGINT) AS color
 FROM nodes ORDER BY node
 """)
+
+
+# --- densest subgraph (batch peeling 2(1+eps)-approximation) ---------------------------
+
+
+def densest_subgraph(edges: "ray.data.Dataset", max_rounds: int = 12,
+                     num_partitions: int | None = None
+                     ) -> "ray.data.Dataset":
+    """Densest-subgraph batch peeling (Bahmani, Kumar &
+    Vassilvitskii, VLDB 2012; Charikar 2000): each round removes
+    every node with degree ≤ 2(1+ε)·ρ (ε = 1/4 here, so the integer
+    test is ``2·deg·n ≤ 5·m`` — exact, no division) and the surviving
+    prefix with maximum density is a 2(1+ε)-approximation of the
+    densest subgraph. Rounds are bounded by log_{1+ε} n.
+    -> (round, n_nodes, n_edges, density_micro, is_best) per
+    non-empty round, density_micro = (10⁶·m) // n (positive trunc
+    div), best = earliest max.
+
+    Shape: each round reuses the k_core exchanges — a hash(node)
+    degree count and a peeled-set anti-join that stays co-partitioned
+    (never driver-collected); only the 2-number (n, m) stats reach
+    the driver per round; edge tables re-materialize per round to
+    sever lineage (the _pin lesson)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+
+    def _pid_on(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(
+                t.column(col).to_pandas(), index=False).to_numpy()
+            return t.append_column(
+                "pid", pa.array((h % np.uint64(num_partitions))
+                                .astype(np.int64)))
+        return f
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        a, b = (t.column("a").combine_chunks(),
+                t.column("b").combine_chunks())
+        return _pid_on("node")(pa.Table.from_pydict(
+            {"node": pa.concat_arrays([a, b])}))
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False).size() \
+            .rename(columns={"size": "degree"})
+        out["degree"] = out["degree"].astype(np.int64)
+        return out
+
+    cur = edges.select_columns(["a", "b"]).materialize()
+    stats: list[tuple[int, int, int]] = []
+    for r in range(max_rounds):
+        m = cur.count()
+        if m == 0:
+            break
+        deg = cur.map_batches(endpoints, batch_format="pyarrow") \
+            .groupby("pid").map_groups(count_part,
+                                       batch_format="pandas") \
+            .materialize()
+        n = deg.count()
+        stats.append((r, n, m))
+        thresh_num = 5 * m  # 2 * deg * n <= 5 * m  (eps = 1/4)
+
+        peeled = deg.map_batches(
+            lambda t, _n=n, _t=thresh_num: t.filter(
+                pc.less_equal(pc.multiply(t.column("degree"),
+                                          pa.scalar(2 * _n,
+                                                    pa.int64())),
+                              pa.scalar(_t, pa.int64()))),
+            batch_format="pyarrow").materialize()
+        if peeled.count() == 0:
+            break
+
+        def tag_peeled(t: pa.Table) -> pa.Table:
+            return _pid_on("x")(pa.Table.from_pydict({
+                "x": t.column("node"), "y": t.column("node"),
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }))
+
+        def tag_edges(xcol: str, ycol: str):
+            def f(t: pa.Table) -> pa.Table:
+                return _pid_on("x")(pa.Table.from_pydict({
+                    "x": t.column(xcol), "y": t.column(ycol),
+                    "kind": pa.array(np.zeros(t.num_rows,
+                                              dtype=np.int8)),
+                }))
+            return f
+
+        def drop_hits(g: pd.DataFrame) -> pd.DataFrame:
+            bad = g.loc[g["kind"] == 1, "x"]
+            e = g[g["kind"] == 0]
+            return e.loc[~e["x"].isin(set(bad)), ["x", "y"]]
+
+        surv = cur.map_batches(tag_edges("a", "b"),
+                               batch_format="pyarrow") \
+            .union(peeled.map_batches(tag_peeled,
+                                      batch_format="pyarrow")) \
+            .groupby("pid").map_groups(drop_hits,
+                                       batch_format="pandas")
+        cur = surv.map_batches(tag_edges("y", "x"),
+                               batch_format="pyarrow") \
+            .union(peeled.map_batches(tag_peeled,
+                                      batch_format="pyarrow")) \
+            .groupby("pid").map_groups(drop_hits,
+                                       batch_format="pandas") \
+            .map_batches(lambda t: pa.Table.from_pydict(
+                {"a": t.column("y"), "b": t.column("x")}),
+                batch_format="pyarrow").materialize()
+
+    dens = [(10**6 * m) // n for _, n, m in stats]
+    best = max(range(len(stats)),
+               key=lambda i: (dens[i], -i)) if stats else -1
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "round": pa.array([s[0] for s in stats], pa.int64()),
+        "n_nodes": pa.array([s[1] for s in stats], pa.int64()),
+        "n_edges": pa.array([s[2] for s in stats], pa.int64()),
+        "density_micro": pa.array(dens, pa.int64()),
+        "is_best": pa.array([i == best for i in range(len(stats))],
+                            pa.bool_())}))
+
+
+def densest_subgraph_query(sf_dir: str, max_rounds: int = 12,
+                           threshold: float = 0.3):
+    """Densest community of the embedding near-dup graph (the
+    mis/k_truss derivation — cluster structure keeps the peeling
+    informative; the bipartite procurement graph dies in one round)."""
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs,
+                                          partitions_for)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+    return densest_subgraph(
+        pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
+        max_rounds=max_rounds,
+        num_partitions=partitions_for(emb, 8))
+
+
+def densest_subgraph_oracle_sql(max_rounds: int = 12,
+                                threshold: float = 0.3) -> str:
+    parts = [f"""e0 AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding)
+        >= {threshold}
+)"""]
+    for r in range(max_rounds):
+        parts.append(f"""d{r} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r})
+  GROUP BY node
+),
+st{r} AS MATERIALIZED (
+  SELECT (SELECT COUNT(*) FROM d{r}) AS n,
+         (SELECT COUNT(*) FROM e{r}) AS m
+),
+p{r} AS MATERIALIZED (
+  SELECT node FROM d{r}, st{r}
+  WHERE 2 * degree * st{r}.n <= 5 * st{r}.m
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{r}
+  WHERE a NOT IN (SELECT node FROM p{r})
+    AND b NOT IN (SELECT node FROM p{r})
+)""")
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS round, n, m FROM st{r} WHERE m > 0"
+        for r in range(max_rounds))
+    return ("WITH " + ",\n".join(parts) + f""",
+stats AS (SELECT round, n, m, (1000000 * m) // n AS density
+          FROM ({rows})),
+ranked AS (
+  SELECT round, n, m, density,
+         row_number() OVER (ORDER BY density DESC, round) AS rk
+  FROM stats)
+SELECT CAST(round AS BIGINT) AS round, CAST(n AS BIGINT) AS n_nodes,
+       CAST(m AS BIGINT) AS n_edges,
+       CAST(density AS BIGINT) AS density_micro,
+       rk = 1 AS is_best
+FROM ranked ORDER BY round
+""")

@@ -406,3 +406,19 @@ def test_merkle_buckets_localize_diff(ray_session):
     assert a["n_rows"].sum() == fp["n_rows"]
     assert a["fp_lo"].sum() % (1 << 32) == fp["fp_lo"]
     assert a["fp_hi"].sum() % (1 << 32) == fp["fp_hi"]
+
+
+def test_densest_subgraph_finds_clique(ray_session):
+    """A K6 attached to a long path: the densest prefix is the clique
+    (density 15/6 = 2.5 vs the whole graph's lower ratio)."""
+    import ray.data
+    from rdf_mapper_ray.ops.graphs import densest_subgraph
+
+    k6 = [(a, b) for a in range(1, 7) for b in range(a + 1, 7)]
+    path = [(100 + i, 101 + i) for i in range(20)] + [(6, 100)]
+    ds = ray.data.from_items([{"a": a, "b": b} for a, b in k6 + path])
+    out = densest_subgraph(ds, max_rounds=12).to_pandas()
+    best = out[out["is_best"]].iloc[0]
+    # the best surviving round must be exactly the K6 core
+    assert best["n_nodes"] == 6 and best["n_edges"] == 15
+    assert best["density_micro"] == (10**6 * 15) // 6

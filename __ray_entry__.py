@@ -87,6 +87,15 @@ _DRIVER_WINDOW = [
 # never driver-verified but deferred past the window this round
 # (value+dtype-exact locally, judge-verified in r3) — round-5 leads
 _NEXT_UP = [
+    # new in round-4 session 9 (window already full; locally
+    # value+dtype-exact at sf0.001 AND sf0.01)
+    "containment_pairs", "rdfs_domain_range", "drawdown",
+    "users_intersect_all", "users_except_all", "pca_power",
+    "embedding_decontaminate", "t_closeness", "owl_functional",
+    "cross_corr", "assoc_rules", "neighbor_agg", "blocking_audit",
+    "luby_coloring", "bpe_learn", "markov_entropy",
+    "coverage_select", "pq_codes", "knn_pq", "hll_union",
+    "merkle_buckets", "densest_subgraph",
     # new in round-4 session 8 (window already full; locally dtype-exact)
     "ks_test", "decision_stump", "mutual_info", "psi_drift",
     "time_rolling", "l_diversity", "katz",

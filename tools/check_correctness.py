@@ -39,6 +39,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
     ok = True
+    if ray_df.empty and sql_df.empty and len(ray_df.columns) == 0:
+        # an empty Ray Dataset loses its schema through to_pandas();
+        # both sides agree the result is 0 rows — pass with a note
+        print(f"  [{name}] note: empty-vs-empty (ray schema lost)")
+        return True
     if sorted(ray_df.columns) != sorted(sql_df.columns):
         print(f"  [{name}] SCHEMA mismatch: ray={sorted(ray_df.columns)} "
               f"sql={sorted(sql_df.columns)}")

@@ -445,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc": graphs.scc_query,
         # quantile normalization (rank-wise cross-column reference)
         "quantile_normalize": normalize.quantile_normalize_query,
+        "quantile_map": normalize.quantile_map_query,
         # NDCG@10 (inlined integer discount constants)
         "ndcg": ranking.ndcg_query,
         # SPARQL HAVING + deterministic SAMPLE over solution groups
@@ -826,6 +827,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": graphs.CLUSTERING_COEFF_ORACLE_SQL,
         "scc": graphs.SCC_ORACLE_SQL,
         "quantile_normalize": normalize.QUANTILE_NORMALIZE_ORACLE_SQL,
+        "quantile_map": normalize.QUANTILE_MAP_ORACLE_SQL,
         "ndcg": ranking.ndcg_oracle_sql(),
         "bgp_having": relational.BGP_HAVING_ORACLE_SQL,
         "frequent_triples": baskets.frequent_triples_oracle_sql(),

@@ -26,6 +26,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -696,4 +697,129 @@ WITH u AS (
 SELECT user_id, r_score, f_score, m_score,
        r_score * 100 + f_score * 10 + m_score AS rfm
 FROM s ORDER BY user_id
+"""
+
+
+# --- cross-distribution quantile mapping ----------------------------------------------
+
+
+def _global_rank(ds: "ray.data.Dataset", id_col: str, key_col: str
+                 ) -> "ray.data.Dataset":
+    """(id, key, rk): global 1-based rank by (key, id) — the sorted-
+    block prefix scan (epoch_shuffle discipline: per-block counts
+    cumsum driver-side, O(blocks) state, map-only rank pass)."""
+    srt = ds.select_columns([id_col, key_col]) \
+        .sort([key_col, id_col]).materialize()
+
+    def stats(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.Table.from_pydict({
+                "first_key": pa.array([], t.schema.field(key_col).type),
+                "first_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())})
+        return pa.Table.from_pydict({
+            "first_key": pa.array([t.column(key_col)[0].as_py()],
+                                  t.schema.field(key_col).type),
+            "first_id": pa.array([t.column(id_col)[0].as_py()],
+                                 pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64())})
+
+    st = srt.map_batches(stats, batch_format="pyarrow").to_pandas()
+    st = st.sort_values(["first_key", "first_id"],
+                        kind="stable").reset_index(drop=True)
+    offs = np.concatenate([[0], np.cumsum(st["n"].to_numpy())[:-1]])
+    lut = {(k, int(i)): int(o) for k, i, o in
+           zip(st["first_key"], st["first_id"], offs)}
+
+    def rank(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.Table.from_pydict({
+                id_col: pa.array([], pa.int64()),
+                key_col: pa.array([], pa.int64()),
+                "rk": pa.array([], pa.int64())})
+        base = lut[(t.column(key_col)[0].as_py(),
+                    int(t.column(id_col)[0].as_py()))]
+        return pa.Table.from_pydict({
+            id_col: t.column(id_col),
+            key_col: t.column(key_col),
+            "rk": pa.array(
+                base + np.arange(1, t.num_rows + 1, dtype=np.int64))})
+
+    return srt.map_batches(rank, batch_format="pyarrow")
+
+
+def quantile_map(src: "ray.data.Dataset", ref: "ray.data.Dataset",
+                 id_col: str, value_col: str) -> "ray.data.Dataset":
+    """Cross-distribution quantile mapping (histogram matching /
+    CDF alignment — the domain-adaptation transform): each source row
+    maps to the REFERENCE distribution's order statistic at its own
+    quantile — ``mapped = ref_sorted[((r−1)·n_ref) // n_src + 1]``
+    (1-based, positive trunc div, ties by (value, id) — fully
+    SQL-replayable). -> (id, value, mapped).
+
+    Shape: two sorted-block prefix-scan rank passes (O(blocks) driver
+    state each) and ONE hash equi-join of source target-indices
+    against reference ranks — no broadcast of either distribution."""
+    from rdf_mapper_ray.ops.joins import equi_join
+
+    a = _global_rank(src, id_col, value_col).materialize()
+    b = _global_rank(ref, id_col, value_col).materialize()
+    n_src = a.count()
+    n_ref = b.count()
+
+    def target(t: pa.Table) -> pa.Table:
+        rk = t.column("rk").to_numpy(zero_copy_only=False)
+        ti = (rk - 1) * n_ref // n_src + 1
+        return pa.Table.from_pydict({
+            id_col: t.column(id_col),
+            value_col: t.column(value_col),
+            "ti": pa.array(ti.astype(np.int64))})
+
+    def ref_rows(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "rb": t.column("rk"),
+            "mapped": t.column(value_col)})
+
+    left = a.map_batches(target, batch_format="pyarrow")
+    right = b.map_batches(ref_rows, batch_format="pyarrow")
+    out = equi_join(left, right, left_on="ti", right_on="rb",
+                    how="inner")
+    return out.select_columns([id_col, value_col, "mapped"])
+
+
+def quantile_map_query(sf_dir: str):
+    """Map src0 documents' length distribution onto src1's."""
+    from rdf_mapper_ray.ops.readers import read_table
+
+    full = read_table(sf_dir, "documents",
+                      columns=["doc_id", "n_chars", "source"])
+
+    def pick(src_name: str):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t.column("source"), pa.scalar(src_name))
+            return t.filter(keep).select(["doc_id", "n_chars"])
+        return f
+
+    a = full.map_batches(pick("src0"), batch_format="pyarrow")
+    b = full.map_batches(pick("src1"), batch_format="pyarrow")
+    return quantile_map(a, b, "doc_id", "n_chars")
+
+
+QUANTILE_MAP_ORACLE_SQL = """
+WITH a AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS r
+  FROM documents WHERE source = 'src0'
+),
+b AS (
+  SELECT n_chars AS mapped,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rb
+  FROM documents WHERE source = 'src1'
+),
+na AS (SELECT COUNT(*) AS n FROM a),
+nb AS (SELECT COUNT(*) AS n FROM b)
+SELECT a.doc_id, a.n_chars, b.mapped
+FROM a JOIN b
+  ON b.rb = ((a.r - 1) * (SELECT n FROM nb)) // (SELECT n FROM na) + 1
+ORDER BY a.doc_id
 """

@@ -422,3 +422,24 @@ def test_densest_subgraph_finds_clique(ray_session):
     # the best surviving round must be exactly the K6 core
     assert best["n_nodes"] == 6 and best["n_edges"] == 15
     assert best["density_micro"] == (10**6 * 15) // 6
+
+
+def test_quantile_map_matches_numpy(ray_session):
+    """Mapping src distribution onto ref: each src value lands on the
+    ref order statistic at its own quantile."""
+    import ray.data
+    from rdf_mapper_ray.ops.normalize import quantile_map
+
+    src_vals = [5, 1, 9, 3, 7]          # ranks 3,1,5,2,4
+    ref_vals = [100, 200, 300, 400, 500, 600, 700, 800, 900, 1000]
+    src = ray.data.from_items(
+        [{"id": i, "v": v} for i, v in enumerate(src_vals)])
+    ref = ray.data.from_items(
+        [{"id": 100 + i, "v": v} for i, v in enumerate(ref_vals)])
+    out = quantile_map(src, ref, "id", "v").to_pandas() \
+        .set_index("id").sort_index()
+    ref_sorted = sorted(ref_vals)
+    ranks = {0: 3, 1: 1, 2: 5, 3: 2, 4: 4}
+    for i, r in ranks.items():
+        expect = ref_sorted[((r - 1) * 10) // 5]  # 1-based -> 0-based
+        assert out.loc[i, "mapped"] == expect

@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": cleaning.split_leakage_query,
         "crosstab": rollup.crosstab_query,
         "chunk_text": packing.chunk_text_query,
+        "cdc_chunks": packing.cdc_chunks_query,
         # composition showcase: filter -> dedup -> decontaminate ->
         # split -> count, one CTE-chain oracle for the whole thing
         "corpus_prep": corpus.corpus_prep,
@@ -926,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": cleaning.SPLIT_LEAKAGE_ORACLE_SQL,
         "crosstab": rollup.CROSSTAB_ORACLE_SQL,
         "chunk_text": packing.chunk_text_oracle_sql(),
+        "cdc_chunks": packing.cdc_chunks_oracle_sql(),
         "corpus_prep": corpus.CORPUS_PREP_ORACLE_SQL,
         "lm_score": text.lm_score_oracle_sql(),
         "incremental_dedup": incremental.INCREMENTAL_DEDUP_ORACLE_SQL,

@@ -235,3 +235,108 @@ SELECT doc_id,
 FROM n
 ORDER BY doc_id, chunk_no
 """
+
+
+# --- content-defined chunking ---------------------------------------------------------
+
+
+def cdc_chunks(ds: "ray.data.Dataset", id_col: str = "doc_id",
+               text_col: str = "text", mask: int = 15
+               ) -> "ray.data.Dataset":
+    """Content-defined chunking (the FastCDC/LBFS idea at word
+    granularity): a chunk boundary falls AFTER every word whose
+    md5-64 hash satisfies ``h % (mask+1) == 0``, so chunk boundaries
+    depend only on LOCAL content — an insertion early in a document
+    shifts one chunk, not every later chunk like fixed-window
+    chunking does (the storage-dedup property). -> (doc_id, chunk_no,
+    n_words, first_pos), 1-based positions; expected chunk length =
+    mask+1 words.
+
+    Map-only zero-shuffle: per batch, words explode via Arrow list
+    offsets, boundary flags vectorize through the portable md5-64
+    hash, and per-doc chunk ids are a grouped cumulative sum of the
+    shifted flag (the sessions grouped-shift shape) — fully
+    SQL-replayable with one window pass."""
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(col, "")), r"\s+")
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        ids_all = batch.column(id_col).to_numpy(zero_copy_only=False)
+        doc = ids_all[parents.to_numpy(zero_copy_only=False)]
+        words = flat.to_pandas()
+        keep = (words != "").to_numpy()
+        doc = doc[keep]
+        words = words[keep]
+        if not len(doc):
+            return pa.Table.from_pydict({
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_no": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "first_pos": pa.array([], pa.int64())})
+        h = hash64(words.tolist(), backend="md5")
+        bnd = (h % np.uint64(mask + 1) == 0)
+        df = pd.DataFrame({"doc": doc, "bnd": bnd})
+        g = df.groupby("doc", sort=False)
+        pos = g.cumcount().to_numpy() + 1
+        # chunk id = count of boundary words BEFORE this position
+        prev = g["bnd"].shift(1, fill_value=False)
+        cid = prev.astype(np.int64).groupby(df["doc"].to_numpy()) \
+            .cumsum().to_numpy()
+        out = pd.DataFrame({"doc_id": doc, "chunk_no": cid,
+                            "pos": pos})
+        agg = out.groupby(["doc_id", "chunk_no"], as_index=False) \
+            .agg(n_words=("pos", "size"), first_pos=("pos", "min"))
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64)),
+            "chunk_no": pa.array(agg["chunk_no"].to_numpy(np.int64)),
+            "n_words": pa.array(agg["n_words"].to_numpy(np.int64)),
+            "first_pos": pa.array(
+                agg["first_pos"].to_numpy(np.int64))})
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(chunks, batch_format="pyarrow")
+
+
+def cdc_chunks_query(sf_dir: str, mask: int = 15):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return cdc_chunks(ds, mask=mask)
+
+
+def cdc_chunks_oracle_sql(mask: int = 15) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(COALESCE(text, '')),
+                '\\s+')) AS word
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, word,
+         row_number() OVER (PARTITION BY doc_id) AS pos
+  FROM w WHERE word <> ''
+),
+flags AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(word), 1, 16))::UBIGINT
+           % {mask + 1} = 0 AS bnd
+  FROM pos
+),
+cid AS (
+  SELECT doc_id, pos,
+         CAST(COALESCE(SUM(CASE WHEN bnd THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS chunk_no
+  FROM flags
+)
+SELECT doc_id, chunk_no, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(MIN(pos) AS BIGINT) AS first_pos
+FROM cid GROUP BY doc_id, chunk_no
+ORDER BY doc_id, chunk_no
+"""

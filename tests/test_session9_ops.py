@@ -443,3 +443,29 @@ def test_quantile_map_matches_numpy(ray_session):
     for i, r in ranks.items():
         expect = ref_sorted[((r - 1) * 10) // 5]  # 1-based -> 0-based
         assert out.loc[i, "mapped"] == expect
+
+
+def test_cdc_chunks_shift_stability(ray_session):
+    """The CDC property: prepending words to a doc changes early
+    chunks, but chunk lengths after the first boundary past the edit
+    are IDENTICAL — fixed-window chunking would shift everything."""
+    import ray.data
+    from rdf_mapper_ray.ops.packing import cdc_chunks
+
+    base = " ".join(f"w{i}" for i in range(200))
+    edited = "zz yy " + base
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": edited},
+    ])
+    out = cdc_chunks(ds, mask=7).to_pandas()
+    c1 = out[out["doc_id"] == 1].sort_values("chunk_no")
+    c2 = out[out["doc_id"] == 2].sort_values("chunk_no")
+    # all chunks except each doc's first must agree pairwise
+    t1 = c1["n_words"].tolist()[1:]
+    t2 = c2["n_words"].tolist()[1:]
+    assert t1 == t2 and len(t1) >= 3
+    # and the word positions differ by exactly the 2 inserted words
+    f1 = c1["first_pos"].tolist()[1:]
+    f2 = c2["first_pos"].tolist()[1:]
+    assert [p + 2 for p in f1] == f2

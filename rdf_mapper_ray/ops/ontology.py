@@ -527,3 +527,104 @@ SELECT p AS predicate, CAST(COUNT(*) AS BIGINT) AS n_subjects,
          AS n_violating
 FROM per GROUP BY p ORDER BY p
 """
+
+
+# --- VoID dataset statistics ----------------------------------------------------------
+
+
+def void_stats(triples: "ray.data.Dataset",
+               subj_col: str = "subject", pred_col: str = "predicate",
+               obj_col: str = "object_value",
+               num_partitions: Optional[int] = None
+               ) -> "ray.data.Dataset":
+    """W3C VoID property partitions — the statistics block a KG
+    publisher emits alongside the graph (void:triples,
+    void:distinctSubjects, void:distinctObjects per predicate).
+    -> (predicate, n_triples, n_subjects, n_objects), ordered.
+
+    Scale shape: blocks shrink map-side to distinct (pred, subj) /
+    (pred, obj) partials plus per-pred triple counts; ONE routed
+    exchange per distinct-kind (hash of the pair ⇒ each pair lands in
+    exactly one partition, partition-local distinct counts sum
+    exactly); the predicate-bounded cells finish driver-side."""
+    import ray
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(triples, 8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "p": t.column(pred_col).to_pandas(),
+            "s": t.column(subj_col).to_pandas(),
+            "o": t.column(obj_col).to_pandas().fillna("\x00null")})
+        cnt = df.groupby("p", as_index=False).size()
+        subs = df[["p", "s"]].drop_duplicates()
+        objs = df[["p", "o"]].drop_duplicates()
+        rows = pd.concat([
+            pd.DataFrame({"p": cnt["p"], "k": "\x00cnt",
+                          "n": cnt["size"].astype("int64"),
+                          "kind": np.int8(0)}),
+            pd.DataFrame({"p": subs["p"], "k": subs["s"], "n": 1,
+                          "kind": np.int8(1)}),
+            pd.DataFrame({"p": objs["p"], "k": objs["o"], "n": 1,
+                          "kind": np.int8(2)}),
+        ], ignore_index=True)
+        h = pd.util.hash_pandas_object(
+            rows["p"] + "\x1f" + rows["k"], index=False).to_numpy()
+        return pa.Table.from_pydict({
+            "p": pa.array(rows["p"].to_numpy(), pa.string()),
+            "k": pa.array(rows["k"].to_numpy(), pa.string()),
+            "n": pa.array(rows["n"].to_numpy(np.int64)),
+            "kind": pa.array(rows["kind"].to_numpy(np.int8)),
+            "pid": pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64))})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g[g["kind"] == 0].groupby("p", as_index=False)["n"].sum()
+        cnt["col"] = "n_triples"
+        su = g[g["kind"] == 1].drop_duplicates(["p", "k"]) \
+            .groupby("p", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        su["col"] = "n_subjects"
+        ob = g[g["kind"] == 2].drop_duplicates(["p", "k"]) \
+            .groupby("p", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        ob["col"] = "n_objects"
+        return pd.concat([cnt, su, ob], ignore_index=True)[
+            ["p", "col", "n"]].astype({"n": "int64"})
+
+    cells = pd.concat(
+        b.to_pandas() for b in triples
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pid").map_groups(finish, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow"))
+    wide = cells.groupby(["p", "col"], as_index=False)["n"].sum() \
+        .pivot(index="p", columns="col", values="n") \
+        .fillna(0).astype("int64").reset_index().sort_values("p")
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "predicate": pa.array(wide["p"].to_numpy(), pa.string()),
+        "n_triples": pa.array(wide["n_triples"].to_numpy(np.int64)),
+        "n_subjects": pa.array(
+            wide["n_subjects"].to_numpy(np.int64)),
+        "n_objects": pa.array(wide["n_objects"].to_numpy(np.int64))}))
+
+
+def void_stats_query(sf_dir: str):
+    """VoID property partitions of the CONSTRUCTED flagship graph —
+    extract → dedup → profile as one streaming composition (the
+    publish-time statistics step; reference anchor: rdf-mapper's
+    emitted dataset is what a VoID block would describe)."""
+    from rdf_mapper_ray.pipelines.sourcecode import flagship
+    return void_stats(flagship(sf_dir))
+
+
+def void_stats_oracle_sql() -> str:
+    from rdf_mapper_ray.pipelines.sourcecode import FLAGSHIP_ORACLE_SQL
+    return f"""
+SELECT predicate, CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT subject) AS BIGINT) AS n_subjects,
+       CAST(COUNT(DISTINCT object_value) AS BIGINT) AS n_objects
+FROM ({FLAGSHIP_ORACLE_SQL}) t
+GROUP BY predicate ORDER BY predicate
+"""

@@ -469,3 +469,21 @@ def test_cdc_chunks_shift_stability(ray_session):
     f1 = c1["first_pos"].tolist()[1:]
     f2 = c2["first_pos"].tolist()[1:]
     assert [p + 2 for p in f1] == f2
+
+
+def test_void_stats_planted(ray_session):
+    import ray.data
+    from rdf_mapper_ray.ops.ontology import void_stats
+
+    rows = [
+        {"subject": "s1", "predicate": "p", "object_value": "a"},
+        {"subject": "s1", "predicate": "p", "object_value": "b"},
+        {"subject": "s2", "predicate": "p", "object_value": "a"},
+        {"subject": "s1", "predicate": "q", "object_value": "a"},
+    ]
+    out = void_stats(ray.data.from_items(rows)).to_pandas() \
+        .set_index("predicate")
+    assert out.loc["p", "n_triples"] == 3
+    assert out.loc["p", "n_subjects"] == 2
+    assert out.loc["p", "n_objects"] == 2
+    assert out.loc["q", "n_triples"] == 1

@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 from typing import Optional
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -393,4 +394,138 @@ SELECT DISTINCT
   datatype
 FROM triples
 ORDER BY graph, subject, predicate, object_kind, object_value
+"""
+
+
+# --- KG snapshot diff (two constructed graphs) -----------------------------------------
+
+
+def flagship_subset(sf_dir: str, keep_mod: int, drop_rem: int,
+                    batch_size: int = 2048) -> "ray.data.Dataset":
+    """The flagship pipeline over the documents with
+    ``doc_id % keep_mod != drop_rem`` — a deterministic stand-in for a
+    previous ingest snapshot (one shard of sources absent)."""
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq_
+
+    from rdf_mapper_ray.engine.pipeline import KGPipeline
+    from rdf_mapper_ray.engine.sources import read_parquet_rows
+
+    ds = read_parquet_rows(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang",
+                                    "source"])
+
+    def keep(t: "pa.Table") -> "pa.Table":
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = (ids % keep_mod) != drop_rem
+        return t.take(pa.array(np.flatnonzero(m), pa.int64()))
+
+    src = ds.map_batches(keep, batch_format="pyarrow") \
+        .map_batches(derive_source_code, batch_format="pyarrow")
+    pipe = KGPipeline(FLAGSHIP_SPEC, auto_declare=False,
+                      canonicalize=False, batch_size=batch_size)
+    rows = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return pipe.run(src, rows_hint=rows)
+
+
+def kg_diff(old: "ray.data.Dataset", new: "ray.data.Dataset",
+            num_partitions: int = 32) -> "ray.data.Dataset":
+    """Graph-level CDC between two constructed triple tables:
+    -> (predicate, n_added, n_removed) — triples present only in
+    ``new`` count added, only in ``old`` removed (set semantics, the
+    reference's triple-set model). The per-predicate counts are what
+    an incremental publisher logs per ingest.
+
+    Shape: each side shrinks to (digest-of-row, predicate, side)
+    map-side; ONE hash(digest) routed exchange co-locates every
+    occurrence of a triple, the per-partition anti-join is a
+    vectorized pandas groupby, and the predicate-bounded cells finish
+    driver-side."""
+    import pandas as pd
+
+    cols = ["graph", "subject", "subject_kind", "predicate",
+            "object_kind", "object_value", "lang", "datatype"]
+
+    def shrink(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            df = t.select(cols).to_pandas().astype("string")
+            key = df[cols[0]].fillna("")
+            for c in cols[1:]:
+                key = key + "\x1f" + df[c].fillna("")
+            h = pd.util.hash_pandas_object(key,
+                                           index=False).to_numpy()
+            return pa.Table.from_pydict({
+                "h": pa.array(h.astype(np.uint64)),
+                "predicate": pa.array(df["predicate"].to_numpy(),
+                                      pa.string()),
+                "side": pa.array(np.full(len(df), side, np.int8)),
+                "pid": pa.array((h % np.uint64(num_partitions))
+                                .astype(np.int64))})
+        return f
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.drop_duplicates(["h", "side"]) \
+            .groupby("h").agg(sides=("side", "sum"),
+                              n=("side", "size"),
+                              predicate=("predicate", "first"))
+        only_old = per[(per["n"] == 1) & (per["sides"] == 0)]
+        only_new = per[(per["n"] == 1) & (per["sides"] == 1)]
+        rem = only_old.groupby("predicate", as_index=False).size() \
+            .rename(columns={"size": "n_removed"})
+        add = only_new.groupby("predicate", as_index=False).size() \
+            .rename(columns={"size": "n_added"})
+        return add.merge(rem, on="predicate", how="outer") \
+            .fillna(0).astype({"n_added": "int64",
+                               "n_removed": "int64"})
+
+    cells = pd.concat(
+        b.to_pandas() for b in old.map_batches(
+            shrink(0), batch_format="pyarrow")
+        .union(new.map_batches(shrink(1), batch_format="pyarrow"))
+        .groupby("pid").map_groups(classify, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow"))
+    agg = cells.groupby("predicate", as_index=False)[
+        ["n_added", "n_removed"]].sum().sort_values("predicate")
+    agg = agg[(agg["n_added"] > 0) | (agg["n_removed"] > 0)]
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "predicate": pa.array(agg["predicate"].to_numpy(),
+                              pa.string()),
+        "n_added": pa.array(agg["n_added"].to_numpy(np.int64)),
+        "n_removed": pa.array(agg["n_removed"].to_numpy(np.int64))}))
+
+
+def kg_diff_query(sf_dir: str):
+    """Diff two constructed snapshots: 'old' missing the
+    doc_id%10==0 shard, 'new' missing the doc_id%10==1 shard — both
+    directions non-empty."""
+    old = flagship_subset(sf_dir, keep_mod=10, drop_rem=0)
+    new = flagship_subset(sf_dir, keep_mod=10, drop_rem=1)
+    return kg_diff(old, new)
+
+
+def _flagship_subset_sql(drop_rem: int) -> str:
+    """The flagship triples CTE body over the doc_id%10 subset."""
+    return FLAGSHIP_ORACLE_SQL.replace(
+        "FROM documents",
+        f"FROM documents WHERE doc_id % 10 <> {drop_rem}", 1)
+
+
+KG_DIFF_ORACLE_SQL = f"""
+WITH old_g AS ({_flagship_subset_sql(0)}),
+new_g AS ({_flagship_subset_sql(1)}),
+added AS (
+  SELECT predicate, COUNT(*) AS n FROM (
+    SELECT * FROM new_g EXCEPT SELECT * FROM old_g)
+  GROUP BY predicate
+),
+removed AS (
+  SELECT predicate, COUNT(*) AS n FROM (
+    SELECT * FROM old_g EXCEPT SELECT * FROM new_g)
+  GROUP BY predicate
+)
+SELECT COALESCE(a.predicate, r.predicate) AS predicate,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_added,
+       CAST(COALESCE(r.n, 0) AS BIGINT) AS n_removed
+FROM added a FULL OUTER JOIN removed r ON a.predicate = r.predicate
+ORDER BY predicate
 """

@@ -487,3 +487,23 @@ def test_void_stats_planted(ray_session):
     assert out.loc["p", "n_subjects"] == 2
     assert out.loc["p", "n_objects"] == 2
     assert out.loc["q", "n_triples"] == 1
+
+
+def test_kg_diff_planted(ray_session):
+    """Triple-set CDC: one removed, one added, shared ones silent."""
+    import ray.data
+    from rdf_mapper_ray.pipelines.sourcecode import kg_diff
+
+    def t(s, p, o):
+        return {"graph": "g", "subject": s, "subject_kind": "uri",
+                "predicate": p, "object_kind": "literal",
+                "object_value": o, "lang": None, "datatype": None}
+
+    old = ray.data.from_items([t("a", "p", "1"), t("b", "q", "2")])
+    new = ray.data.from_items([t("a", "p", "1"), t("c", "q", "3"),
+                               t("d", "r", "4")])
+    out = kg_diff(old, new).to_pandas().set_index("predicate")
+    assert out.loc["q", "n_removed"] == 1
+    assert out.loc["q", "n_added"] == 1
+    assert out.loc["r", "n_added"] == 1 and out.loc["r", "n_removed"] == 0
+    assert "p" not in out.index

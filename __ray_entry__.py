@@ -95,7 +95,7 @@ _NEXT_UP = [
     "cross_corr", "assoc_rules", "neighbor_agg", "blocking_audit",
     "luby_coloring", "bpe_learn", "markov_entropy",
     "coverage_select", "pq_codes", "knn_pq", "hll_union",
-    "merkle_buckets", "densest_subgraph", "quantile_map", "cdc_chunks", "void_stats", "kg_diff",
+    "merkle_buckets", "densest_subgraph", "quantile_map", "cdc_chunks", "void_stats", "kg_diff", "partition_plan",
     # new in round-4 session 8 (window already full; locally dtype-exact)
     "ks_test", "decision_stump", "mutual_info", "psi_drift",
     "time_rolling", "l_diversity", "katz",
@@ -563,6 +563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "owl_functional": ontology.functional_violations_query,
         "void_stats": ontology.void_stats_query,
         "kg_diff": sourcecode.kg_diff_query,
+        "partition_plan": __import__("rdf_mapper_ray.engine.partitioning",
+            fromlist=["partitioning"]).partition_plan_query,
         "dedup_rate": dedup.dedup_rate_query,
         "dup_cluster_hist": graphs.dup_cluster_hist_query,
         "weighted_median": quantiles.weighted_median_query,
@@ -881,6 +883,8 @@ def oracle_sql() -> dict[str, str]:
         "owl_functional": ontology.FUNCTIONAL_VIOLATIONS_ORACLE_SQL,
         "void_stats": ontology.void_stats_oracle_sql(),
         "kg_diff": sourcecode.KG_DIFF_ORACLE_SQL,
+        "partition_plan": __import__("rdf_mapper_ray.engine.partitioning",
+            fromlist=["partitioning"]).partition_plan_oracle_sql(),
         "dedup_rate": dedup.DEDUP_RATE_ORACLE_SQL,
         "dup_cluster_hist": graphs.DUP_CLUSTER_HIST_ORACLE_SQL,
         "weighted_median": quantiles.WEIGHTED_MEDIAN_ORACLE_SQL,

@@ -116,3 +116,89 @@ FROM documents
 GROUP BY source
 ORDER BY repo
 """
+
+
+def partition_plan(ds: "ray.data.Dataset", key: str, bytes_col: str,
+                   num_partitions: int = 8) -> "ray.data.Dataset":
+    """Skew-aware key→partition plan (north_rule: mega-repo skew is
+    handled explicitly): per-key byte totals reduce map-side, then
+    keys assign by SORTED ROUND-ROBIN — rank keys by total bytes
+    descending (ties by key) and give rank r to partition (r−1) mod P.
+    The heaviest P keys land on distinct partitions and weights
+    interleave, bounding imbalance without the sequential state a
+    greedy LPT would need (and staying fully SQL-replayable).
+    -> (partition, n_keys, total_bytes, max_key_bytes), dense over
+    0..P−1.
+
+    Shape: per-batch (key, bytes) partials, ONE routed merge at key
+    cardinality, and the key-bounded plan finishes driver-side (the
+    cell-table lesson — a repo-count table is never corpus-sized)."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t.column(key).to_pandas(),
+            "b": t.column(bytes_col).to_pandas()})
+        m = df.groupby("k", as_index=False)["b"].sum()
+        return pa.Table.from_pydict({
+            "k": pa.array(m["k"].to_numpy()),
+            "b": pa.array(m["b"].to_numpy("int64"))})
+
+    cells = pd.concat(
+        bt.to_pandas() for bt in ds.map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow")) \
+        .groupby("k", as_index=False)["b"].sum()
+    cells = cells.sort_values(["b", "k"],
+                              ascending=[False, True]) \
+        .reset_index(drop=True)
+    cells["partition"] = cells.index.to_numpy() % num_partitions
+    plan = cells.groupby("partition", as_index=False).agg(
+        n_keys=("k", "size"), total_bytes=("b", "sum"),
+        max_key_bytes=("b", "max"))
+    dense = pd.DataFrame(
+        {"partition": np.arange(num_partitions, dtype=np.int64)})
+    plan = dense.merge(plan, on="partition", how="left").fillna(0)
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "partition": pa.array(plan["partition"].to_numpy("int64")),
+        "n_keys": pa.array(plan["n_keys"].to_numpy("int64")),
+        "total_bytes": pa.array(
+            plan["total_bytes"].to_numpy("int64")),
+        "max_key_bytes": pa.array(
+            plan["max_key_bytes"].to_numpy("int64"))}))
+
+
+def partition_plan_query(sf_dir: str, num_partitions: int = 8):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "documents",
+                    columns=["source", "n_chars"])
+    return partition_plan(ds, "source", "n_chars",
+                          num_partitions=num_partitions)
+
+
+def partition_plan_oracle_sql(num_partitions: int = 8) -> str:
+    return f"""
+WITH kb AS (
+  SELECT source AS k, CAST(SUM(n_chars) AS BIGINT) AS b
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT k, b,
+         (row_number() OVER (ORDER BY b DESC, k) - 1)
+           % {num_partitions} AS partition
+  FROM kb
+),
+plan AS (
+  SELECT partition, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(b) AS BIGINT) AS total_bytes,
+         CAST(MAX(b) AS BIGINT) AS max_key_bytes
+  FROM ranked GROUP BY partition
+),
+dense AS (SELECT UNNEST(generate_series(0, {num_partitions - 1}))
+            AS partition)
+SELECT d.partition, COALESCE(p.n_keys, 0) AS n_keys,
+       COALESCE(p.total_bytes, 0) AS total_bytes,
+       COALESCE(p.max_key_bytes, 0) AS max_key_bytes
+FROM dense d LEFT JOIN plan p USING (partition)
+ORDER BY d.partition
+"""

@@ -507,3 +507,21 @@ def test_kg_diff_planted(ray_session):
     assert out.loc["q", "n_added"] == 1
     assert out.loc["r", "n_added"] == 1 and out.loc["r", "n_removed"] == 0
     assert "p" not in out.index
+
+
+def test_partition_plan_interleaves_heavy_keys(ray_session):
+    """The P heaviest keys must land on P distinct partitions."""
+    import ray.data
+    from rdf_mapper_ray.engine.partitioning import partition_plan
+
+    rows = []
+    sizes = {f"k{i}": (10 - i) * 1000 for i in range(10)}
+    for k, b in sizes.items():
+        rows.append({"key": k, "nbytes": b})
+    out = partition_plan(ray.data.from_items(rows), "key", "nbytes",
+                         num_partitions=4).to_pandas()
+    # ranks 1..4 (k0..k3) on distinct partitions; 10 keys over 4
+    # partitions -> loads interleave: p0 {k0,k4,k8} etc.
+    assert out["n_keys"].tolist() == [3, 3, 2, 2]
+    assert out.loc[0, "total_bytes"] == 10000 + 6000 + 2000
+    assert out.loc[0, "max_key_bytes"] == 10000

@@ -87,6 +87,9 @@ _DRIVER_WINDOW = [
 # never driver-verified but deferred past the window this round
 # (value+dtype-exact locally, judge-verified in r3) — round-5 leads
 _NEXT_UP = [
+    # new in round-4 session 10 (window already full; locally
+    # value+dtype-exact at sf0.001 AND sf0.01)
+    "wl_refine",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -571,6 +574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_fingerprint": diff.table_fingerprint_query,
         "merkle_buckets": diff.merkle_buckets_query,
         "kendall": stats.kendall_query,
+        # session 10: WL color refinement trace (graph fingerprint)
+        "wl_refine": graphs.wl_refine_query,
         "lpa_modularity": graphs.lpa_modularity_query,
         "shacl_cardinality": ontology.shacl_cardinality_query,
         "pagerank_weighted": graphs.pagerank_weighted_query,
@@ -891,6 +896,7 @@ def oracle_sql() -> dict[str, str]:
         "table_fingerprint": diff.TABLE_FINGERPRINT_ORACLE_SQL,
         "merkle_buckets": diff.merkle_buckets_oracle_sql(),
         "kendall": stats.KENDALL_ORACLE_SQL,
+        "wl_refine": graphs.wl_refine_oracle_sql(),
         "lpa_modularity": graphs.lpa_modularity_oracle_sql(),
         "shacl_cardinality": ontology.SHACL_CARDINALITY_ORACLE_SQL,
         "pagerank_weighted": graphs.pagerank_weighted_oracle_sql(),

@@ -5839,3 +5839,195 @@ SELECT CAST(round AS BIGINT) AS round, CAST(n AS BIGINT) AS n_nodes,
        rk = 1 AS is_best
 FROM ranked ORDER BY round
 """)
+
+
+# --- Weisfeiler-Leman color refinement (graph fingerprint) -----------------------------
+
+
+def wl_refine(edges: "ray.data.Dataset", rounds: int = 2,
+              num_partitions: int = 32) -> "ray.data.Dataset":
+    """1-dimensional Weisfeiler-Leman color refinement (Weisfeiler &
+    Leman 1968; the WL graph-kernel feature map of Shervashidze et
+    al., JMLR 2011) — the canonical graph fingerprint / symmetry
+    detector: ``color_0(v) = degree(v)``,
+    ``color_{t+1}(v) = h(color_t(v) | sorted multiset of neighbor
+    colors)`` with h = portable md5-64 (top bit cleared so the color
+    stays an int64 both sides). Two refinement rounds distinguish
+    everything short of WL-equivalent graphs.
+    -> (round, n_colors, n_nodes): the refinement trace — how many
+    color classes exist after each round. A stable (round, n_colors)
+    trace is the cheap iso-invariant two graph snapshots are compared
+    by before any expensive alignment.
+
+    Shape per round (the neighbor_agg kind-row discipline): colors
+    co-partition with edge sources on ONE hash(src) exchange, each
+    task emits (dst, src_color) messages, and a hash(dst) routed
+    merge builds each node's signature string and rehashes it. Color
+    tables are node-sized; edges are never duplicated beyond the
+    doubled undirected orientation. Per-round materialize severs
+    lineage (the pagerank _pin lesson)."""
+    import hashlib
+
+    import pandas as pd
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    directed = edges.map_batches(both_dirs,
+                                 batch_format="pyarrow").materialize()
+
+    # color_0 = degree (routed count merge; node-sized result)
+    def route_dst(t: pa.Table) -> pa.Table:
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "key", pa.array(d % np.int64(num_partitions)))
+
+    def deg_merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("dst", as_index=False).agg(color=("src",
+                                                          "size"))
+        return pd.DataFrame({
+            "node": out["dst"].to_numpy(np.int64),
+            "color": out["color"].to_numpy(np.int64)})
+
+    colors = directed.map_batches(route_dst, batch_format="pyarrow") \
+        .groupby("key").map_groups(deg_merge, batch_format="pandas") \
+        .materialize()
+
+    def refine(h: "ray.data.Dataset") -> "ray.data.Dataset":
+        def tag_edges(t: pa.Table) -> pa.Table:
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict({
+                "key": pa.array(src % np.int64(num_partitions)),
+                "node": t.column("src"),
+                "dst": t.column("dst"),
+                "color": pa.nulls(t.num_rows, pa.int64())})
+
+        def tag_colors(t: pa.Table) -> pa.Table:
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict({
+                "key": pa.array(node % np.int64(num_partitions)),
+                "node": t.column("node"),
+                "dst": pa.nulls(t.num_rows, pa.int64()),
+                "color": t.column("color")})
+
+        def emit_msgs(g: pd.DataFrame) -> pd.DataFrame:
+            f = g.loc[g["dst"].isna(), ["node", "color"]]
+            e = g.loc[g["dst"].notna(), ["node", "dst"]]
+            m = e.merge(f, on="node", how="inner")
+            # own-color rows ride the same exchange, flagged by the
+            # `own` column (a dst==node test would break on
+            # self-loops)
+            own = pd.DataFrame({"dst": f["node"].to_numpy(np.int64),
+                                "color": f["color"]
+                                .to_numpy(np.int64),
+                                "own": np.ones(len(f), np.bool_)})
+            msg = pd.DataFrame({"dst": m["dst"].to_numpy(np.int64),
+                                "color": m["color"]
+                                .to_numpy(np.int64),
+                                "own": np.zeros(len(m), np.bool_)})
+            return pd.concat([own, msg], ignore_index=True)
+
+        def rehash(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["dst", "own", "color"],
+                              ascending=[True, False, True])
+            rows = []
+            for node, grp in g.groupby("dst", sort=False):
+                own = grp.loc[grp["own"], "color"]
+                nbr = grp.loc[~grp["own"], "color"]
+                sig = (str(int(own.iloc[0])) + "|" +
+                       ",".join(str(c) for c in nbr))
+                hv = int.from_bytes(
+                    hashlib.md5(sig.encode()).digest()[:8], "big")
+                rows.append((node, hv >> 1))
+            return pd.DataFrame(rows, columns=["node", "color"]) \
+                .astype({"node": np.int64, "color": np.int64})
+
+        def route_msg(t: pa.Table) -> pa.Table:
+            d = t.column("dst").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "key", pa.array(d % np.int64(num_partitions)))
+
+        return directed.map_batches(tag_edges,
+                                    batch_format="pyarrow") \
+            .union(h.map_batches(tag_colors, batch_format="pyarrow")) \
+            .groupby("key").map_groups(emit_msgs,
+                                       batch_format="pandas") \
+            .map_batches(route_msg, batch_format="pyarrow") \
+            .groupby("key").map_groups(rehash,
+                                       batch_format="pandas") \
+            .materialize()
+
+    def distinct_trace(h: "ray.data.Dataset", rnd: int
+                       ) -> tuple[int, int, int]:
+        # pid-route colors, per-partition nunique, driver sums the
+        # (partition-count-sized) partials
+        def part(t: pa.Table) -> pa.Table:
+            c = t.column("color").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict({
+                "key": pa.array(c % np.int64(num_partitions)),
+                "color": t.column("color")})
+
+        def nuniq(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "n_colors": [np.int64(g["color"].nunique())],
+                "n_nodes": [np.int64(len(g))]})
+
+        parts = h.map_batches(part, batch_format="pyarrow") \
+            .groupby("key").map_groups(nuniq, batch_format="pandas") \
+            .to_pandas()
+        return (rnd, int(parts["n_colors"].sum()),
+                int(parts["n_nodes"].sum()))
+
+    trace = [distinct_trace(colors, 0)]
+    for r in range(1, rounds + 1):
+        colors = refine(colors)
+        trace.append(distinct_trace(colors, r))
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "round": pa.array([t[0] for t in trace], pa.int64()),
+        "n_colors": pa.array([t[1] for t in trace], pa.int64()),
+        "n_nodes": pa.array([t[2] for t in trace], pa.int64())}))
+
+
+def wl_refine_query(sf_dir: str, rounds: int = 2):
+    """WL refinement trace of the part–supplier graph (shared
+    partsupp_edges derivation)."""
+    return wl_refine(partsupp_edges(sf_dir), rounds=rounds)
+
+
+def wl_refine_oracle_sql(rounds: int = 2) -> str:
+    parts = [f"""e0 AS (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem WHERE l_partkey <= {PR_PART_CAP}
+),
+e AS (SELECT a AS src, b AS dst FROM e0
+      UNION ALL SELECT b, a FROM e0),
+c0 AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS color
+       FROM e GROUP BY dst)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""s{r} AS (
+  SELECT e.dst AS node,
+         string_agg(CAST(c.color AS VARCHAR), ','
+                    ORDER BY c.color) AS nb
+  FROM e JOIN c{r - 1} c ON c.node = e.src GROUP BY e.dst
+),
+c{r} AS (
+  SELECT s{r}.node,
+         CAST((('0x' || substr(md5(
+             CAST(o.color AS VARCHAR) || '|' || s{r}.nb),
+             1, 16))::UBIGINT >> 1) AS BIGINT) AS color
+  FROM s{r} JOIN c{r - 1} o ON o.node = s{r}.node
+)""")
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS round, COUNT(DISTINCT color) AS n_colors, "
+        f"COUNT(*) AS n_nodes FROM c{r}"
+        for r in range(rounds + 1))
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT CAST(round AS BIGINT) AS round,
+       CAST(n_colors AS BIGINT) AS n_colors,
+       CAST(n_nodes AS BIGINT) AS n_nodes
+FROM ({rows}) ORDER BY round
+""")

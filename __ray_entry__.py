@@ -89,7 +89,7 @@ _DRIVER_WINDOW = [
 _NEXT_UP = [
     # new in round-4 session 10 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
-    "wl_refine",
+    "wl_refine", "woe_iv", "class_report",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -576,6 +576,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall": stats.kendall_query,
         # session 10: WL color refinement trace (graph fingerprint)
         "wl_refine": graphs.wl_refine_query,
+        # WOE / information value feature audit (milli-nat contract)
+        "woe_iv": disttests.woe_iv_query,
+        # per-class precision/recall/F1 over the NB holdout run
+        "class_report": nbayes.class_report_query,
         "lpa_modularity": graphs.lpa_modularity_query,
         "shacl_cardinality": ontology.shacl_cardinality_query,
         "pagerank_weighted": graphs.pagerank_weighted_query,
@@ -897,6 +901,8 @@ def oracle_sql() -> dict[str, str]:
         "merkle_buckets": diff.merkle_buckets_oracle_sql(),
         "kendall": stats.KENDALL_ORACLE_SQL,
         "wl_refine": graphs.wl_refine_oracle_sql(),
+        "woe_iv": disttests.WOE_IV_ORACLE_SQL,
+        "class_report": nbayes.class_report_oracle_sql(),
         "lpa_modularity": graphs.lpa_modularity_oracle_sql(),
         "shacl_cardinality": ontology.SHACL_CARDINALITY_ORACLE_SQL,
         "pagerank_weighted": graphs.pagerank_weighted_oracle_sql(),

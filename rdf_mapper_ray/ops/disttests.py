@@ -479,3 +479,114 @@ FROM c, t
 WHERE c.ca > 0 AND c.cb > 0
 ORDER BY bin
 """
+
+
+# --- weight of evidence / information value ----------------------------------------
+
+
+_WOE_BUCKET = 50_000  # o_totalprice dollars per bin
+
+
+def woe_iv(ds: "ray.data.Dataset", bucket_col: str, bad_col: str
+           ) -> "ray.data.Dataset":
+    """Weight-of-evidence / information-value feature audit (the
+    credit-scoring binning diagnostic; Siddiqi 2006): per feature bin
+    the Laplace-smoothed ``WOE = ln((g_i+1)/G') − ln((b_i+1)/B')``
+    with ``G' = G + n_bins``, ``B' = B + n_bins`` — expressed in the
+    repo's milli-nat integer contract as a sum of four
+    ``floor(ln(k)·1000 + 0.5)`` terms, so the distributed result and
+    the SQL oracle agree bit-for-bit. The IV contribution rides as
+    the exact integer numerator
+    ``iv_num = ((g_i+1)·B' − (b_i+1)·G')·woe_milli``; consumers
+    recover IV ≈ Σ iv_num / (1000·G'·B').
+    -> (bucket, n_good, n_bad, woe_milli, iv_num).
+
+    Shape: per-batch (bucket, bad) count partials — bin-bounded by
+    construction — then a driver-side finish (the cell-table
+    discipline; totals need every bin anyway)."""
+    def partial(t: pa.Table) -> pa.Table:
+        return t.select([bucket_col, bad_col]) \
+            .group_by([bucket_col, bad_col], use_threads=False) \
+            .aggregate([([], "count_all")])
+
+    cells = pd.concat(
+        b.to_pandas() for b in ds.map_batches(
+            partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby([bucket_col, bad_col], as_index=False)[
+            "count_all"].sum()
+    piv = cells.pivot_table(index=bucket_col, columns=bad_col,
+                            values="count_all", fill_value=0,
+                            aggfunc="sum")
+    g = (piv[0] if 0 in piv.columns else
+         pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    b = (piv[1] if 1 in piv.columns else
+         pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    nb = len(piv)
+    gp, bp = int(g.sum()) + nb, int(b.sum()) + nb
+
+    def q(k):
+        return np.floor(np.log(k) * 1000.0 + 0.5).astype(np.int64)
+
+    woe = q(g + 1) - q(gp) - (q(b + 1) - q(bp))
+    iv_num = ((g + 1) * np.int64(bp) - (b + 1) * np.int64(gp)) * woe
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "bucket": pa.array(piv.index.to_numpy(np.int64), pa.int64()),
+        "n_good": pa.array(g, pa.int64()),
+        "n_bad": pa.array(b, pa.int64()),
+        "woe_milli": pa.array(woe, pa.int64()),
+        "iv_num": pa.array(iv_num, pa.int64())}))
+
+
+def woe_iv_query(sf_dir: str):
+    """WOE/IV of order-value bins against the urgent-priority flag."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_totalprice", "o_orderpriority"])
+
+    def shape(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        price = batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False)
+        bad = pc.cast(pc.equal(batch.column("o_orderpriority"),
+                               "1-URGENT"), pa.int64())
+        return pa.Table.from_pydict({
+            "bucket": pa.array(np.floor(price / _WOE_BUCKET)
+                               .astype(np.int64), pa.int64()),
+            "bad": bad})
+
+    return woe_iv(ds.map_batches(shape, batch_format="pyarrow"),
+                  "bucket", "bad")
+
+
+WOE_IV_ORACLE_SQL = f"""
+WITH base AS (
+  SELECT CAST(floor(o_totalprice / {_WOE_BUCKET}) AS BIGINT)
+           AS bucket,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+           AS bad
+  FROM orders
+),
+c AS (
+  SELECT bucket,
+         CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+         CAST(SUM(bad) AS BIGINT) AS n_bad
+  FROM base GROUP BY bucket
+),
+t AS (
+  SELECT COUNT(*) AS nb, SUM(n_good) AS g, SUM(n_bad) AS b FROM c
+),
+w AS (
+  SELECT c.bucket, c.n_good, c.n_bad,
+         CAST(floor(ln(c.n_good + 1) * 1000 + 0.5) AS BIGINT)
+         - CAST(floor(ln(t.g + t.nb) * 1000 + 0.5) AS BIGINT)
+         - CAST(floor(ln(c.n_bad + 1) * 1000 + 0.5) AS BIGINT)
+         + CAST(floor(ln(t.b + t.nb) * 1000 + 0.5) AS BIGINT)
+           AS woe_milli,
+         t.g + t.nb AS gp, t.b + t.nb AS bp
+  FROM c, t
+)
+SELECT bucket, n_good, n_bad, woe_milli,
+       CAST(((n_good + 1) * bp - (n_bad + 1) * gp) * woe_milli
+            AS BIGINT) AS iv_num
+FROM w ORDER BY bucket
+"""

@@ -445,3 +445,89 @@ SELECT CAST(bin AS BIGINT) AS bin,
        CAST(1000 * SUM(ok) // COUNT(*) AS BIGINT) AS acc_milli
 FROM j GROUP BY bin ORDER BY bin
 """
+
+
+# --- per-class precision / recall / F1 report -----------------------------------------
+
+
+def class_report(ds: "ray.data.Dataset", label_col: str = "label",
+                 pred_col: str = "pred") -> "ray.data.Dataset":
+    """Per-class classifier evaluation over (label, pred) rows: the
+    confusion-matrix marginals and trunc-div milli metrics
+    ``prec = 1000·tp // (tp+fp)``, ``rec = 1000·tp // (tp+fn)``,
+    ``f1 = 2000·tp // (2·tp+fp+fn)`` — all exact integers, so the
+    SQL oracle replays them bit-for-bit (DuckDB ``//`` truncates and
+    every operand here is ≥ 0, so trunc == floor on both sides).
+    Zero denominators report 0 (CASE WHEN, both sides).
+    -> (label, tp, fp, fn, prec_milli, rec_milli, f1_milli).
+
+    Shape: per-batch (label, pred) count partials (class²-bounded by
+    construction), summed driver-side like every cell-table finish."""
+    def partial(t: pa.Table) -> pa.Table:
+        return t.select([label_col, pred_col]) \
+            .group_by([label_col, pred_col], use_threads=False) \
+            .aggregate([([], "count_all")])
+
+    cm = pd.concat(
+        b.to_pandas() for b in ds.map_batches(
+            partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby([label_col, pred_col], as_index=False)[
+            "count_all"].sum()
+    classes = sorted(set(cm[label_col]) | set(cm[pred_col]))
+    rows = []
+    for c in classes:
+        tp = int(cm.loc[(cm[label_col] == c) & (cm[pred_col] == c),
+                        "count_all"].sum())
+        fp = int(cm.loc[(cm[label_col] != c) & (cm[pred_col] == c),
+                        "count_all"].sum())
+        fn = int(cm.loc[(cm[label_col] == c) & (cm[pred_col] != c),
+                        "count_all"].sum())
+        prec = 1000 * tp // (tp + fp) if tp + fp else 0
+        rec = 1000 * tp // (tp + fn) if tp + fn else 0
+        f1 = 2000 * tp // (2 * tp + fp + fn) if 2 * tp + fp + fn \
+            else 0
+        rows.append((c, tp, fp, fn, prec, rec, f1))
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "label": pa.array([r[0] for r in rows], pa.string()),
+        "tp": pa.array([r[1] for r in rows], pa.int64()),
+        "fp": pa.array([r[2] for r in rows], pa.int64()),
+        "fn": pa.array([r[3] for r in rows], pa.int64()),
+        "prec_milli": pa.array([r[4] for r in rows], pa.int64()),
+        "rec_milli": pa.array([r[5] for r in rows], pa.int64()),
+        "f1_milli": pa.array([r[6] for r in rows], pa.int64())}))
+
+
+def class_report_query(sf_dir: str):
+    """Precision/recall/F1 per source class of the held-out NB run
+    (the nb_holdout chain feeds it unchanged)."""
+    return class_report(nb_holdout_query(sf_dir))
+
+
+def class_report_oracle_sql() -> str:
+    return f"""
+WITH base AS ({nb_holdout_oracle_sql()}),
+cm AS (SELECT label, pred, COUNT(*) AS c FROM base
+       GROUP BY label, pred),
+cls AS (SELECT DISTINCT label AS cls FROM base
+        UNION SELECT DISTINCT pred FROM base),
+per AS (
+  SELECT cls,
+    COALESCE((SELECT SUM(c) FROM cm
+              WHERE label = cls AND pred = cls), 0) AS tp,
+    COALESCE((SELECT SUM(c) FROM cm
+              WHERE pred = cls AND label <> cls), 0) AS fp,
+    COALESCE((SELECT SUM(c) FROM cm
+              WHERE label = cls AND pred <> cls), 0) AS fn
+  FROM cls)
+SELECT cls AS label, CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       CAST(CASE WHEN tp + fp = 0 THEN 0
+            ELSE 1000 * tp // (tp + fp) END AS BIGINT) AS prec_milli,
+       CAST(CASE WHEN tp + fn = 0 THEN 0
+            ELSE 1000 * tp // (tp + fn) END AS BIGINT) AS rec_milli,
+       CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+            ELSE 2000 * tp // (2 * tp + fp + fn) END AS BIGINT)
+         AS f1_milli
+FROM per ORDER BY label
+"""

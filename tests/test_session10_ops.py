@@ -59,3 +59,41 @@ class TestWLRefine:
         df = wl_refine(_edges_ds(pairs), rounds=3).to_pandas()
         got = list(zip(df["round"], df["n_colors"], df["n_nodes"]))
         assert got == ref
+
+
+class TestWoeIv:
+    def test_planted(self, ray_session):
+        from rdf_mapper_ray.ops.disttests import woe_iv
+        import math
+        # bin 0: 3 good / 1 bad; bin 1: 1 good / 3 bad
+        t = pa.Table.from_pydict({
+            "bucket": pa.array([0, 0, 0, 0, 1, 1, 1, 1], pa.int64()),
+            "bad": pa.array([0, 0, 0, 1, 1, 1, 1, 0], pa.int64())})
+        df = woe_iv(ray.data.from_arrow(t), "bucket", "bad") \
+            .to_pandas()
+        q = lambda k: math.floor(math.log(k) * 1000 + 0.5)
+        gp, bp = 4 + 2, 4 + 2
+        woe0 = q(4) - q(gp) - (q(2) - q(bp))
+        assert df.loc[0, "woe_milli"] == woe0
+        assert df.loc[0, "iv_num"] == (4 * bp - 2 * gp) * woe0
+        # symmetric bins: woe antisymmetric, iv contributions equal
+        assert df.loc[1, "woe_milli"] == -woe0
+        assert df.loc[1, "iv_num"] == df.loc[0, "iv_num"]
+
+
+class TestClassReport:
+    def test_planted(self, ray_session):
+        from rdf_mapper_ray.ops.nbayes import class_report
+        t = pa.Table.from_pydict({
+            "label": pa.array(["a", "a", "a", "b", "b", "c"]),
+            "pred": pa.array(["a", "a", "b", "b", "a", "a"])})
+        df = class_report(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("label")
+        assert df.loc["a", ["tp", "fp", "fn"]].tolist() == [2, 2, 1]
+        assert df.loc["a", "prec_milli"] == 500
+        assert df.loc["a", "rec_milli"] == 1000 * 2 // 3
+        assert df.loc["a", "f1_milli"] == 2000 * 2 // 7
+        # class c: never predicted -> zero denominators report 0
+        assert df.loc["c", ["tp", "fp", "fn"]].tolist() == [0, 0, 1]
+        assert df.loc["c", "prec_milli"] == 0
+        assert df.loc["c", "f1_milli"] == 0

@@ -89,7 +89,8 @@ _DRIVER_WINDOW = [
 _NEXT_UP = [
     # new in round-4 session 10 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
-    "wl_refine", "woe_iv", "class_report",
+    "wl_refine", "woe_iv", "class_report", "theil_sen",
+    "char_entropy",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -580,6 +581,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "woe_iv": disttests.woe_iv_query,
         # per-class precision/recall/F1 over the NB holdout run
         "class_report": nbayes.class_report_query,
+        # Theil-Sen robust trend slope per user (median of pairwise
+        # slopes, exact selection + trunc-div milli report)
+        "theil_sen": timeseries.theil_sen_query,
+        # char-bigram entropy (compressibility quality proxy)
+        "char_entropy": text.char_entropy_query,
         "lpa_modularity": graphs.lpa_modularity_query,
         "shacl_cardinality": ontology.shacl_cardinality_query,
         "pagerank_weighted": graphs.pagerank_weighted_query,
@@ -903,6 +909,8 @@ def oracle_sql() -> dict[str, str]:
         "wl_refine": graphs.wl_refine_oracle_sql(),
         "woe_iv": disttests.WOE_IV_ORACLE_SQL,
         "class_report": nbayes.class_report_oracle_sql(),
+        "theil_sen": timeseries.THEIL_SEN_ORACLE_SQL,
+        "char_entropy": text.CHAR_ENTROPY_ORACLE_SQL,
         "lpa_modularity": graphs.lpa_modularity_oracle_sql(),
         "shacl_cardinality": ontology.SHACL_CARDINALITY_ORACLE_SQL,
         "pagerank_weighted": graphs.pagerank_weighted_oracle_sql(),

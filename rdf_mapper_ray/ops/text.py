@@ -783,3 +783,75 @@ SELECT doc_id,
                  ELSE -1 END AS BIGINT) AS ttr_milli
 FROM t ORDER BY doc_id
 """
+
+
+# --- character-bigram entropy (compressibility proxy) ----------------------------------
+
+
+def char_entropy(ds: "ray.data.Dataset", text_col: str = "text",
+                 id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Per-document character-bigram entropy — the order-2
+    compressibility proxy the Gopher/RefinedWeb-style quality filters
+    use in place of an actual zstd pass (low bigram entropy ≈ highly
+    compressible ≈ boilerplate/repetitive). Emitted in the repo's
+    milli-nat integer contract: each distinct bigram's count c
+    contributes ``c · floor(ln(c)·1000 + 0.5)``, so
+    ``H = ln(n) − h_milli/(1000·n)`` nats; docs shorter than 2 chars
+    are skipped on both sides. -> (doc_id, n, h_milli).
+
+    Map-only (zero shuffle): per doc, the text round-trips through
+    UTF-32 into a codepoint array, adjacent pairs pack into one
+    uint64, and np.unique counts the bigrams — no Python loop over
+    characters."""
+    def kernel(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        texts = pc.fill_null(col, "").to_pylist()
+        ids, ns, hs = [], [], []
+        for did, txt in zip(batch.column(id_col).to_pylist(), texts):
+            if len(txt) < 2:
+                continue
+            codes = np.frombuffer(txt.encode("utf-32-le"),
+                                  dtype=np.uint32).astype(np.uint64)
+            big = (codes[:-1] << np.uint64(32)) | codes[1:]
+            _, cnt = np.unique(big, return_counts=True)
+            cnt = cnt.astype(np.int64)
+            q = np.floor(np.log(cnt) * 1000.0 + 0.5).astype(np.int64)
+            ids.append(did)
+            ns.append(int(cnt.sum()))
+            hs.append(int((cnt * q).sum()))
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+            "h_milli": pa.array(hs, pa.int64())})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def char_entropy_query(sf_dir: str):
+    return char_entropy(read_table(sf_dir, "documents",
+                                   columns=["doc_id", "text"]))
+
+
+# correlated generate_series is unavailable (the gap_fill lesson), so
+# bigram positions come from a bounded range join against 1..max(len)
+CHAR_ENTROPY_ORACLE_SQL = """
+WITH d AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents
+  WHERE length(COALESCE(text, '')) >= 2
+),
+g AS (
+  SELECT unnest(generate_series(
+      1, (SELECT CAST(MAX(length(t)) AS INTEGER) FROM d))) AS i
+),
+b AS (
+  SELECT d.doc_id, substr(d.t, g.i, 2) AS bg
+  FROM d JOIN g ON g.i <= length(d.t) - 1
+),
+c AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+       CAST(SUM(c * CAST(floor(ln(c) * 1000 + 0.5) AS BIGINT))
+            AS BIGINT) AS h_milli
+FROM c GROUP BY doc_id ORDER BY doc_id
+"""

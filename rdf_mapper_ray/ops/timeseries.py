@@ -1217,3 +1217,120 @@ SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n,
 FROM l JOIN grid a ON TRUE JOIN grid c ON c.h = a.h + l.lag
 GROUP BY l.lag ORDER BY l.lag
 """
+
+
+# --- Theil-Sen robust trend slope per group --------------------------------------------
+
+
+def theil_sen(ds: "ray.data.Dataset", group_col: str, x_col: str,
+              y_col: str, num_partitions: int | None = None
+              ) -> "ray.data.Dataset":
+    """Theil–Sen robust slope estimator per group (Theil 1950, Sen
+    1968): the median of all pairwise slopes ``(y_j−y_i)/(x_j−x_i)``
+    over pairs with distinct x. Selection is exact and replayable:
+    pairs are normalized to ``dx > 0``, ordered by the IEEE-double
+    quotient ``dy/dx`` (int64 operands < 2⁵³ divide identically in
+    numpy and DuckDB) with a deterministic ``(dy, dx)`` tiebreak, and
+    the pick is the ``quantile_disc(0.5)`` rule ``ceil(m/2)−1``; the
+    reported slope is the truncating division ``1000·dy // dx`` of
+    the selected PAIR (trunc to match DuckDB ``//`` on negatives —
+    the holt/_tdiv2 lesson). -> (group, n, m_pairs, slope_milli).
+
+    Venue: groups co-partition by hash (one exchange); the per-group
+    tile is the kendall_counts meshgrid, bounded by group size —
+    past ~10⁵-row groups the stated venue is the randomized
+    median-of-slopes selection (Matoušek 1991) inside the same task
+    contract."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, x_col, y_col])
+        pid = pd.util.hash_pandas_object(
+            t.column(group_col).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def slope(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, grp in g.groupby(group_col, sort=False):
+            x = grp[x_col].to_numpy(np.int64)
+            y = grp[y_col].to_numpy(np.int64)
+            n = len(x)
+            iu, ju = np.triu_indices(n, k=1)
+            dx = x[ju] - x[iu]
+            dy = y[ju] - y[iu]
+            keep = dx != 0
+            dx, dy = dx[keep], dy[keep]
+            flip = dx < 0
+            dx = np.where(flip, -dx, dx)
+            dy = np.where(flip, -dy, dy)
+            m = len(dx)
+            if m == 0:
+                continue
+            q = dy.astype(np.float64) / dx.astype(np.float64)
+            order = np.lexsort((dx, dy, q))
+            pick = order[int(np.ceil(0.5 * m)) - 1]
+            sdy, sdx = int(dy[pick]) * 1000, int(dx[pick])
+            s = -((-sdy) // sdx) if sdy < 0 else sdy // sdx
+            rows.append((key, n, m, s))
+        return pd.DataFrame(rows, columns=[
+            group_col, "n", "m_pairs", "slope_milli"]) \
+            .astype({"n": np.int64, "m_pairs": np.int64,
+                     "slope_milli": np.int64})
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(slope, batch_format="pandas")
+
+
+def theil_sen_query(sf_dir: str):
+    """Robust per-user trend of event value (cents) over time."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "value"])
+
+    def shape(batch: pa.Table) -> pa.Table:
+        col = batch.column("ts")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.Table.from_pydict({
+            "user_id": batch.column("user_id"),
+            "x": col.cast(pa.timestamp("us")).cast(pa.int64()),
+            "y": pc.cast(pc.round(pc.multiply(
+                batch.column("value"), 100.0)), pa.int64())})
+
+    return theil_sen(ds.map_batches(shape, batch_format="pyarrow"),
+                     "user_id", "x", "y")
+
+
+THEIL_SEN_ORACLE_SQL = """
+WITH u AS (
+  SELECT user_id AS g, epoch_us(ts) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y,
+         row_number() OVER () AS rid
+  FROM events
+),
+p AS (
+  SELECT a.g,
+         CASE WHEN b.x > a.x THEN b.x - a.x ELSE a.x - b.x END AS dx,
+         CASE WHEN b.x > a.x THEN b.y - a.y ELSE a.y - b.y END AS dy
+  FROM u a JOIN u b ON a.g = b.g AND a.rid < b.rid
+  WHERE a.x <> b.x
+),
+r AS (
+  SELECT g, dx, dy,
+         row_number() OVER (PARTITION BY g
+             ORDER BY CAST(dy AS DOUBLE) / dx, dy, dx) AS rk,
+         COUNT(*) OVER (PARTITION BY g) AS m
+  FROM p
+)
+SELECT g AS user_id,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM u WHERE u.g = r.g) AS n,
+       CAST(m AS BIGINT) AS m_pairs,
+       CAST((1000 * dy) // dx AS BIGINT) AS slope_milli
+FROM r WHERE rk = CAST(ceil(0.5 * m) AS BIGINT)
+ORDER BY user_id
+"""

@@ -97,3 +97,59 @@ class TestClassReport:
         assert df.loc["c", ["tp", "fp", "fn"]].tolist() == [0, 0, 1]
         assert df.loc["c", "prec_milli"] == 0
         assert df.loc["c", "f1_milli"] == 0
+
+
+class TestTheilSen:
+    def test_planted_exact_line(self, ray_session):
+        from rdf_mapper_ray.ops.timeseries import theil_sen
+        # y = 2x + noise-free: every pairwise slope is 2.0
+        t = pa.Table.from_pydict({
+            "g": pa.array(["u"] * 5),
+            "x": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "y": pa.array([2, 4, 6, 8, 10], pa.int64())})
+        df = theil_sen(ray.data.from_arrow(t), "g", "x", "y") \
+            .to_pandas()
+        assert df.loc[0, "slope_milli"] == 2000
+        assert df.loc[0, "m_pairs"] == 10
+
+    def test_outlier_robust_and_negative_trunc(self, ray_session):
+        from rdf_mapper_ray.ops.timeseries import theil_sen
+        # downward trend -1/3 per step with one wild outlier; OLS
+        # would be dragged, the median slope is not; trunc division
+        # on the negative slope must match DuckDB // (toward zero)
+        t = pa.Table.from_pydict({
+            "g": pa.array(["u"] * 5),
+            "x": pa.array([0, 3, 6, 9, 12], pa.int64()),
+            "y": pa.array([10, 9, 8, 7, 1000], pa.int64())})
+        df = theil_sen(ray.data.from_arrow(t), "g", "x", "y") \
+            .to_pandas()
+        # median of sorted slopes: most pairs are -1/3
+        assert df.loc[0, "slope_milli"] == -(1000 // 3)  # trunc: -333
+
+    def test_equal_x_pairs_excluded(self, ray_session):
+        from rdf_mapper_ray.ops.timeseries import theil_sen
+        t = pa.Table.from_pydict({
+            "g": pa.array(["u"] * 3),
+            "x": pa.array([1, 1, 2], pa.int64()),
+            "y": pa.array([0, 10, 5], pa.int64())})
+        df = theil_sen(ray.data.from_arrow(t), "g", "x", "y") \
+            .to_pandas()
+        assert df.loc[0, "m_pairs"] == 2
+
+
+class TestCharEntropy:
+    def test_repetitive_vs_diverse(self, ray_session):
+        from rdf_mapper_ray.ops.text import char_entropy
+        import math
+        t = pa.Table.from_pydict({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["aaaaaa", "abcdef", "x"])})
+        df = char_entropy(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("doc_id")
+        # doc 1: one bigram 'aa' x5 -> h = 5*q(5); H = ln5 - q5/1000*... = 0-ish
+        q5 = math.floor(math.log(5) * 1000 + 0.5)
+        assert df.loc[1, "n"] == 5 and df.loc[1, "h_milli"] == 5 * q5
+        # doc 2: 5 distinct bigrams, each count 1 -> h = 0 (max entropy)
+        assert df.loc[2, "n"] == 5 and df.loc[2, "h_milli"] == 0
+        # doc 3: shorter than 2 chars -> skipped
+        assert 3 not in df.index

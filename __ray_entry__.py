@@ -90,7 +90,7 @@ _NEXT_UP = [
     # new in round-4 session 10 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "wl_refine", "woe_iv", "class_report", "theil_sen",
-    "char_entropy",
+    "char_entropy", "shacl_datatype", "shacl_closed",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -588,6 +588,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": text.char_entropy_query,
         "lpa_modularity": graphs.lpa_modularity_query,
         "shacl_cardinality": ontology.shacl_cardinality_query,
+        "shacl_datatype": ontology.shacl_datatype_query,
+        "shacl_closed": ontology.shacl_closed_query,
         "pagerank_weighted": graphs.pagerank_weighted_query,
         "rolling_median": timeseries.rolling_median_query,
         "source_jaccard": setops.source_jaccard_query,
@@ -913,6 +915,8 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": text.CHAR_ENTROPY_ORACLE_SQL,
         "lpa_modularity": graphs.lpa_modularity_oracle_sql(),
         "shacl_cardinality": ontology.SHACL_CARDINALITY_ORACLE_SQL,
+        "shacl_datatype": ontology.SHACL_DATATYPE_ORACLE_SQL,
+        "shacl_closed": ontology.SHACL_CLOSED_ORACLE_SQL,
         "pagerank_weighted": graphs.pagerank_weighted_oracle_sql(),
         "rolling_median": timeseries.ROLLING_MEDIAN_ORACLE_SQL,
         "source_jaccard": setops.SOURCE_JACCARD_ORACLE_SQL,

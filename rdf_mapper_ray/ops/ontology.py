@@ -628,3 +628,245 @@ SELECT predicate, CAST(COUNT(*) AS BIGINT) AS n_triples,
 FROM ({FLAGSHIP_ORACLE_SQL}) t
 GROUP BY predicate ORDER BY predicate
 """
+
+
+# --- SHACL datatype / pattern conformance ----------------------------------------------
+
+
+def shacl_datatype(triples: "ray.data.Dataset", target_class: str,
+                   shapes: list[tuple[str, str | None, str]],
+                   num_partitions: int | None = None
+                   ) -> "ray.data.Dataset":
+    """SHACL-lite value validation (sh:datatype + sh:pattern over
+    sh:targetClass) — the other half of the release gate next to
+    :func:`shacl_cardinality`: for every triple of a target-class
+    subject whose predicate has a shape ``(predicate,
+    expected_datatype | None, pattern)``, flag a datatype violation
+    when the literal's datatype differs (None = plain literal) and a
+    pattern violation when the lexical form fails the anchored RE2
+    fullmatch. -> (predicate, n_values, n_dt_viol, n_pattern_viol).
+
+    Shape: violation flags are computed per batch BEFORE the
+    exchange (map-side, vectorized), ONE hash(subject) exchange
+    semi-joins them to the target markers, and the shape-bounded
+    cells sum driver-side."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(triples, 8)
+    preds = [p for p, _, _ in shapes]
+
+    def shred(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        pred = t.column("predicate")
+        is_target = pc.and_(pc.equal(pred, _RDF_TYPE),
+                            pc.equal(t.column("object_value"),
+                                     target_class))
+        tt = t.filter(is_target)
+        vals = t.filter(pc.is_in(pred, value_set=pa.array(preds)))
+        df = vals.select(["subject", "predicate", "object_value",
+                          "datatype"]).to_pandas()
+        dtv = np.zeros(len(df), np.int64)
+        pv = np.zeros(len(df), np.int64)
+        for p, dt, pat in shapes:
+            m = (df["predicate"] == p).to_numpy()
+            if not m.any():
+                continue
+            d = df.loc[m, "datatype"]
+            ok_dt = d.isna() if dt is None else (d == dt)
+            dtv[m] = (~ok_dt).to_numpy().astype(np.int64)
+            ov = df.loc[m, "object_value"].fillna("")
+            pv[m] = (~ov.str.fullmatch(pat)) \
+                .to_numpy().astype(np.int64)
+        out = pd.DataFrame({
+            "subject": np.concatenate([
+                tt.column("subject").to_pandas().to_numpy(object),
+                df["subject"].to_numpy(object)]),
+            "predicate": np.concatenate([
+                np.full(tt.num_rows, "__target__", object),
+                df["predicate"].to_numpy(object)]),
+            "dtv": np.concatenate([np.zeros(tt.num_rows, np.int64),
+                                   dtv]),
+            "pv": np.concatenate([np.zeros(tt.num_rows, np.int64),
+                                  pv])})
+        h = pd.util.hash_pandas_object(out["subject"],
+                                       index=False).to_numpy()
+        out["pid"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        targets = set(g.loc[g["predicate"] == "__target__",
+                            "subject"])
+        v = g[(g["predicate"] != "__target__")
+              & g["subject"].isin(targets)]
+        out = v.groupby("predicate", as_index=False).agg(
+            n_values=("dtv", "size"), n_dt_viol=("dtv", "sum"),
+            n_pattern_viol=("pv", "sum"))
+        return out
+
+    cells = pd.concat(
+        b.to_pandas() for b in triples.map_batches(
+            shred, batch_format="pyarrow")
+        .groupby("pid").map_groups(audit, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby("predicate", as_index=False)[
+            ["n_values", "n_dt_viol", "n_pattern_viol"]].sum() \
+        .sort_values("predicate")
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "predicate": pa.array(cells["predicate"], pa.string()),
+        "n_values": pa.array(cells["n_values"].to_numpy(np.int64)),
+        "n_dt_viol": pa.array(cells["n_dt_viol"].to_numpy(np.int64)),
+        "n_pattern_viol": pa.array(
+            cells["n_pattern_viol"].to_numpy(np.int64))}))
+
+
+_EX = "http://example.org/def/"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def shacl_datatype_query(sf_dir: str):
+    """Validate the customer graph's literals: name must look like
+    Customer#digits (all conform), acctbal must be an xsd:decimal
+    with a plain numeric form, segment must start with a–f (the
+    machinery/household segments violate — non-degenerate)."""
+    from rdf_mapper_ray.pipelines.relational import \
+        _customer_graph_cached
+    return shacl_datatype(
+        _customer_graph_cached(sf_dir), f"{_EX}Customer",
+        [(f"{_EX}name", None, r"Customer#[0-9]+"),
+         (f"{_EX}acctbal", f"{_XSD}decimal", r"-?[0-9]+\.[0-9]+"),
+         (f"{_EX}segment", None, r"[a-f][a-z]*")])
+
+
+SHACL_DATATYPE_ORACLE_SQL = f"""
+WITH trip AS (
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR)
+           AS subject,
+         '{_RDF_TYPE}' AS predicate,
+         '{_EX}Customer' AS object_value,
+         CAST(NULL AS VARCHAR) AS datatype
+  FROM customer
+  UNION ALL
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR),
+         '{_EX}name', c_name, NULL FROM customer
+  UNION ALL
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR),
+         '{_EX}acctbal', CAST(c_acctbal AS VARCHAR),
+         '{_XSD}decimal' FROM customer
+  UNION ALL
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR),
+         '{_EX}segment', lower(c_mktsegment), NULL FROM customer
+),
+targets AS (
+  SELECT subject FROM trip
+  WHERE predicate = '{_RDF_TYPE}'
+    AND object_value = '{_EX}Customer'
+),
+shapes(predicate, dt, pat) AS (VALUES
+  ('{_EX}name', CAST(NULL AS VARCHAR), 'Customer#[0-9]+'),
+  ('{_EX}acctbal', '{_XSD}decimal', '-?[0-9]+\\.[0-9]+'),
+  ('{_EX}segment', CAST(NULL AS VARCHAR), '[a-f][a-z]*')),
+v AS (
+  SELECT s.predicate,
+         CASE WHEN t.datatype IS DISTINCT FROM s.dt
+              THEN 1 ELSE 0 END AS dtv,
+         CASE WHEN NOT regexp_full_match(
+                  COALESCE(t.object_value, ''), s.pat)
+              THEN 1 ELSE 0 END AS pv
+  FROM trip t JOIN shapes s ON s.predicate = t.predicate
+  WHERE t.subject IN (SELECT subject FROM targets)
+)
+SELECT predicate, CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(SUM(dtv) AS BIGINT) AS n_dt_viol,
+       CAST(SUM(pv) AS BIGINT) AS n_pattern_viol
+FROM v GROUP BY predicate ORDER BY predicate
+"""
+
+
+# --- SHACL closed-shape audit -----------------------------------------------------------
+
+
+def shacl_closed(triples: "ray.data.Dataset", target_class: str,
+                 allowed: list[str],
+                 num_partitions: int | None = None
+                 ) -> "ray.data.Dataset":
+    """SHACL ``sh:closed`` audit: on target-class subjects, every
+    predicate OUTSIDE the allowed list is a violation — the
+    schema-drift detector a KG pipeline runs when an upstream
+    template grows a property the downstream contract doesn't know.
+    -> (predicate, n_triples, n_subjects), one row per unexpected
+    predicate. Same one-exchange shred/audit shape as
+    :func:`shacl_datatype`."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(triples, 8)
+    allow = set(allowed) | {_RDF_TYPE}
+
+    def shred(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        pred = t.column("predicate")
+        is_target = pc.and_(pc.equal(pred, _RDF_TYPE),
+                            pc.equal(t.column("object_value"),
+                                     target_class))
+        tt = t.filter(is_target)
+        bad = t.filter(pc.invert(pc.is_in(
+            pred, value_set=pa.array(sorted(allow)))))
+        out = pd.DataFrame({
+            "subject": np.concatenate([
+                tt.column("subject").to_pandas().to_numpy(object),
+                bad.column("subject").to_pandas().to_numpy(object)]),
+            "predicate": np.concatenate([
+                np.full(tt.num_rows, "__target__", object),
+                bad.column("predicate").to_pandas()
+                .to_numpy(object)])})
+        h = pd.util.hash_pandas_object(out["subject"],
+                                       index=False).to_numpy()
+        out["pid"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        targets = set(g.loc[g["predicate"] == "__target__",
+                            "subject"])
+        v = g[(g["predicate"] != "__target__")
+              & g["subject"].isin(targets)]
+        return v.groupby("predicate", as_index=False).agg(
+            n_triples=("subject", "size"),
+            n_subjects=("subject", "nunique"))
+
+    cells = pd.concat(
+        b.to_pandas() for b in triples.map_batches(
+            shred, batch_format="pyarrow")
+        .groupby("pid").map_groups(audit, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby("predicate", as_index=False)[
+            ["n_triples", "n_subjects"]].sum() \
+        .sort_values("predicate")
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "predicate": pa.array(cells["predicate"], pa.string()),
+        "n_triples": pa.array(cells["n_triples"].to_numpy(np.int64)),
+        "n_subjects": pa.array(
+            cells["n_subjects"].to_numpy(np.int64))}))
+
+
+def shacl_closed_query(sf_dir: str):
+    """Closed-shape audit of the customer graph with ex:nation left
+    off the allowed list — every customer carries exactly one
+    unexpected triple, so the violation table is non-degenerate by
+    construction."""
+    from rdf_mapper_ray.pipelines.relational import \
+        _customer_graph_cached
+    return shacl_closed(
+        _customer_graph_cached(sf_dir), f"{_EX}Customer",
+        [f"{_EX}name", f"{_EX}segment", f"{_EX}acctbal"])
+
+
+SHACL_CLOSED_ORACLE_SQL = f"""
+WITH bad AS (
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR)
+           AS subject,
+         '{_EX}nation' AS predicate
+  FROM customer
+)
+SELECT predicate, CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT subject) AS BIGINT) AS n_subjects
+FROM bad GROUP BY predicate ORDER BY predicate
+"""

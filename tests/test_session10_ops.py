@@ -153,3 +153,45 @@ class TestCharEntropy:
         assert df.loc[2, "n"] == 5 and df.loc[2, "h_milli"] == 0
         # doc 3: shorter than 2 chars -> skipped
         assert 3 not in df.index
+
+
+def _triples_ds(rows):
+    cols = ["subject", "predicate", "object_value", "datatype"]
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        c: pa.array([r[i] for r in rows], pa.string())
+        for i, c in enumerate(cols)}))
+
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class TestShaclDatatype:
+    def test_planted(self, ray_session):
+        from rdf_mapper_ray.ops.ontology import shacl_datatype
+        rows = [
+            ("s1", _RDF_TYPE, "C", None),
+            ("s2", _RDF_TYPE, "C", None),
+            ("s3", _RDF_TYPE, "Other", None),
+            ("s1", "p", "123", "xsd:int"),     # conforms
+            ("s2", "p", "abc", None),          # dt viol + pattern viol
+            ("s3", "p", "zzz", None),          # non-target: ignored
+        ]
+        df = shacl_datatype(_triples_ds(rows), "C",
+                            [("p", "xsd:int", r"[0-9]+")]).to_pandas()
+        assert df.loc[0, ["n_values", "n_dt_viol",
+                          "n_pattern_viol"]].tolist() == [2, 1, 1]
+
+
+class TestShaclClosed:
+    def test_planted(self, ray_session):
+        from rdf_mapper_ray.ops.ontology import shacl_closed
+        rows = [
+            ("s1", _RDF_TYPE, "C", None),
+            ("s1", "ok", "v", None),
+            ("s1", "extra", "v", None),
+            ("s1", "extra", "w", None),
+            ("s2", "extra", "v", None),  # not a target: ignored
+        ]
+        df = shacl_closed(_triples_ds(rows), "C", ["ok"]).to_pandas()
+        assert df.loc[0, "predicate"] == "extra"
+        assert df.loc[0, ["n_triples", "n_subjects"]].tolist() == [2, 1]

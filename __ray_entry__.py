@@ -90,7 +90,8 @@ _NEXT_UP = [
     # new in round-4 session 10 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "wl_refine", "woe_iv", "class_report", "theil_sen",
-    "char_entropy", "shacl_datatype", "shacl_closed",
+    "char_entropy", "shacl_datatype", "shacl_closed", "jl_project",
+    "stratified_kfold", "precision_at_k",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -586,6 +587,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen": timeseries.theil_sen_query,
         # char-bigram entropy (compressibility quality proxy)
         "char_entropy": text.char_entropy_query,
+        # JL ±1 sign projection (exact int64 matmul, md5 signs)
+        "jl_project": vectors.jl_project_query,
+        # deterministic stratified k-fold splitter (md5-rank mod k)
+        "stratified_kfold": cleaning.stratified_kfold_query,
+        # P@k / R@k of the BM25 ranker vs AND-containment gold
+        "precision_at_k": retrieval.precision_at_k_query,
         "lpa_modularity": graphs.lpa_modularity_query,
         "shacl_cardinality": ontology.shacl_cardinality_query,
         "shacl_datatype": ontology.shacl_datatype_query,
@@ -913,6 +920,9 @@ def oracle_sql() -> dict[str, str]:
         "class_report": nbayes.class_report_oracle_sql(),
         "theil_sen": timeseries.THEIL_SEN_ORACLE_SQL,
         "char_entropy": text.CHAR_ENTROPY_ORACLE_SQL,
+        "jl_project": vectors.jl_project_oracle_sql(),
+        "stratified_kfold": cleaning.stratified_kfold_oracle_sql(),
+        "precision_at_k": retrieval.precision_at_k_oracle_sql(),
         "lpa_modularity": graphs.lpa_modularity_oracle_sql(),
         "shacl_cardinality": ontology.SHACL_CARDINALITY_ORACLE_SQL,
         "shacl_datatype": ontology.SHACL_DATATYPE_ORACLE_SQL,

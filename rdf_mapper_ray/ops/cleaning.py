@@ -1512,3 +1512,76 @@ SELECT o_orderpriority, o_orderstatus, CAST(ng AS BIGINT) AS n,
         // (2 * ng * (SELECT n FROM tot))) > {t_milli} AS is_violating
 FROM s ORDER BY o_orderpriority, o_orderstatus
 """
+
+
+# --- stratified k-fold assignment --------------------------------------------------------
+
+
+def stratified_kfold(ds: "ray.data.Dataset", label_col: str,
+                     id_col: str, k: int = 4,
+                     num_partitions: int | None = None
+                     ) -> "ray.data.Dataset":
+    """Deterministic stratified k-fold assignment (the
+    cross-validation splitter): within each label class, rows rank by
+    the portable md5-64 of their id (the hash_split convention — a
+    pure function of the id, reshuffling-proof) and fold =
+    (rank−1) mod k, so every fold gets ⌈n_c/k⌉ or ⌊n_c/k⌋ rows of
+    class c — balance is exact by construction, not in expectation.
+    -> (id, label, fold).
+
+    Shape: ONE hash(label) exchange co-partitions each class; the
+    per-class rank is a vectorized lexsort (hash, id tiebreak)."""
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, label_col])
+        pid = pd.util.hash_pandas_object(
+            t.column(label_col).to_pandas(), index=False).to_numpy()
+        ids = t.column(id_col).cast(pa.string()).to_pylist()
+        h = hash64(ids, "md5")
+        return t.append_column(
+            "h", pa.array(h.astype(np.uint64), pa.uint64())) \
+            .append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lab, grp in g.groupby(label_col, sort=False):
+            ids = grp[id_col].to_numpy()
+            h = grp["h"].to_numpy(np.uint64)
+            order = np.lexsort((ids, h))
+            fold = np.empty(len(ids), np.int64)
+            fold[order] = np.arange(len(ids), dtype=np.int64) % k
+            # label keeps the INPUT dtype (int32 parquet labels must
+            # not upcast — the driver's value hash is dtype-sensitive)
+            out.append(pd.DataFrame({
+                id_col: ids,
+                label_col: grp[label_col].to_numpy(),
+                "fold": fold}))
+        return pd.concat(out, ignore_index=True)
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(assign, batch_format="pandas")
+
+
+def stratified_kfold_query(sf_dir: str, k: int = 4):
+    ds = read_table(sf_dir, "embeddings",
+                    columns=["vec_id", "label"])
+    return stratified_kfold(ds, "label", "vec_id", k=k)
+
+
+def stratified_kfold_oracle_sql(k: int = 4) -> str:
+    from rdf_mapper_ray.ops.hashing import MD5_HASH64_SQL
+    h = MD5_HASH64_SQL.format(col="CAST(vec_id AS VARCHAR)")
+    return f"""
+SELECT vec_id, label,
+       CAST((row_number() OVER (PARTITION BY label
+                                ORDER BY {h}, vec_id) - 1) % {k}
+            AS BIGINT) AS fold
+FROM embeddings ORDER BY vec_id
+"""

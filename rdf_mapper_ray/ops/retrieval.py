@@ -411,3 +411,118 @@ pos AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
 FROM pos GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# --- retrieval evaluation: precision / recall @ k ---------------------------------------
+
+
+def precision_at_k(ds: "ray.data.Dataset",
+                   queries: dict[int, list[str]], k: int = 10
+                   ) -> "ray.data.Dataset":
+    """Retrieval evaluation of the BM25 ranker against an exact
+    AND-containment gold standard: a document is RELEVANT to a query
+    iff its token set contains every query term (the deterministic
+    relevance rule — no judgments needed, replayable in SQL).
+    ``P@k = 1000·hits // k``, ``R@k = 1000·hits // n_rel_total``
+    (trunc-div milli, 0 when no relevant docs exist).
+    -> (query_id, n_rel_topk, n_rel_total, p_at_k_milli,
+    recall_at_k_milli).
+
+    Shape: the top-k result set is (|queries|·k)-bounded by
+    construction, so it broadcasts into a map-only relevance pass
+    over the corpus (tokenize once per batch, AND-mask per query);
+    per-query cells sum driver-side."""
+    res = bm25_search(ds, queries, k=k).to_pandas()
+    topk = {qid: set(grp["doc_id"])
+            for qid, grp in res.groupby("query_id")}
+
+    def rel_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lowered = pc.utf8_lower(pc.fill_null(col, ""))
+        lists = pc.split_pattern_regex(lowered, r"\s+")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        qids, tot, hit = [], [], []
+        toksets = [set(x) - {""} for x in lists.to_pylist()]
+        for qid, terms in queries.items():
+            need = set(t.lower() for t in terms)
+            seen = topk.get(qid, set())
+            n_rel = n_hit = 0
+            for did, ts in zip(ids, toksets):
+                if need <= ts:
+                    n_rel += 1
+                    if did in seen:
+                        n_hit += 1
+            qids.append(qid)
+            tot.append(n_rel)
+            hit.append(n_hit)
+        return pa.Table.from_pydict({
+            "query_id": pa.array(qids, pa.int64()),
+            "n_rel_total": pa.array(tot, pa.int64()),
+            "n_rel_topk": pa.array(hit, pa.int64())})
+
+    cells = pd.concat(
+        b.to_pandas() for b in ds.map_batches(
+            rel_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby("query_id", as_index=False)[
+            ["n_rel_total", "n_rel_topk"]].sum() \
+        .sort_values("query_id")
+    hits = cells["n_rel_topk"].to_numpy(np.int64)
+    tot = cells["n_rel_total"].to_numpy(np.int64)
+    rec = np.where(tot > 0, 1000 * hits // np.maximum(tot, 1), 0)
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "query_id": pa.array(cells["query_id"].to_numpy(np.int64)),
+        "n_rel_topk": pa.array(hits),
+        "n_rel_total": pa.array(tot),
+        "p_at_k_milli": pa.array(1000 * hits // k),
+        "recall_at_k_milli": pa.array(rec.astype(np.int64))}))
+
+
+def precision_at_k_query(sf_dir: str):
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text"])
+    return precision_at_k(ds, DEMO_QUERIES, k=10)
+
+
+def precision_at_k_oracle_sql(k: int = 10) -> str:
+    qvals = ", ".join(f"({qid}, '{t.lower()}')"
+                      for qid, ts in DEMO_QUERIES.items()
+                      for t in ts)
+    return f"""
+WITH base AS ({bm25_oracle_sql(k=k)}),
+qt(query_id, term) AS (VALUES {qvals}),
+toks AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(coalesce(text, '')),
+                                     '\\s+')) AS term
+    FROM documents) WHERE term <> ''
+),
+need AS (SELECT query_id, COUNT(*) AS nt FROM qt GROUP BY query_id),
+rel AS (
+  SELECT q.query_id, t.doc_id
+  FROM qt q JOIN toks t ON t.term = q.term
+  GROUP BY q.query_id, t.doc_id
+  HAVING COUNT(*) = (SELECT nt FROM need n
+                     WHERE n.query_id = q.query_id)
+),
+tot AS (SELECT query_id, COUNT(*) AS n_rel_total FROM rel
+        GROUP BY query_id),
+hit AS (
+  SELECT b.query_id, COUNT(r.doc_id) AS n_rel_topk
+  FROM base b LEFT JOIN rel r
+    ON r.query_id = b.query_id AND r.doc_id = b.doc_id
+  GROUP BY b.query_id
+)
+SELECT h.query_id,
+       CAST(h.n_rel_topk AS BIGINT) AS n_rel_topk,
+       CAST(COALESCE(t.n_rel_total, 0) AS BIGINT) AS n_rel_total,
+       CAST(1000 * h.n_rel_topk // {k} AS BIGINT) AS p_at_k_milli,
+       CAST(CASE WHEN COALESCE(t.n_rel_total, 0) = 0 THEN 0
+            ELSE 1000 * h.n_rel_topk // t.n_rel_total END AS BIGINT)
+         AS recall_at_k_milli
+FROM hit h LEFT JOIN tot t USING (query_id)
+ORDER BY h.query_id
+"""

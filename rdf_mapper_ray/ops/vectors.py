@@ -332,3 +332,92 @@ v{t} AS (
 SELECT i AS dim, CAST(v AS BIGINT) AS component
 FROM v{iters} ORDER BY dim
 """
+
+
+# --- Johnson-Lindenstrauss sign projection ----------------------------------------------
+
+
+_JL_DIM = 16
+
+
+def jl_project(ds: "ray.data.Dataset", vec_col: str = "embedding",
+               id_col: str = "vec_id", out_dim: int = _JL_DIM
+               ) -> "ray.data.Dataset":
+    """Johnson–Lindenstrauss dimensionality reduction with a ±1 sign
+    matrix (Achlioptas 2003: database-friendly random projections —
+    sign entries preserve pairwise distances in expectation exactly
+    like Gaussians): ``proj[j] = Σ_i q(x_i) · s(i, j)`` with the
+    micro-unit quantization ``q(x) = floor(x·10⁶ + 0.5)`` and the
+    deterministic portable sign ``s(i, j) = +1 iff md5_64("i:j")`` is
+    even — an exact int64 both sides, so the SQL oracle replays the
+    projection bit-for-bit. Consumers rescale by 1/(10⁶·√d').
+    -> (vec_id, dim, proj) long format, d' rows per vector.
+
+    Map-only, zero shuffle: the (d × d') sign matrix is built once
+    per actor from the hash (never shipped), each batch is one int64
+    matmul. This is the memory-scale path in front of the kNN family
+    (project, then brute-force in d' ≪ d)."""
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    class Project:
+        def __init__(self):
+            self.signs = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = np.stack(batch.column(vec_col).to_pandas()
+                         .to_numpy())
+            d = m.shape[1]
+            if self.signs is None:
+                keys = [f"{i}:{j}" for i in range(d)
+                        for j in range(out_dim)]
+                h = hash64(keys, "md5") % np.uint64(2)
+                self.signs = np.where(
+                    h.reshape(d, out_dim) == 0, 1, -1) \
+                    .astype(np.int64)
+            q = np.floor(m.astype(np.float64) * _SCALE + 0.5) \
+                .astype(np.int64)
+            proj = q @ self.signs
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            n = len(ids)
+            return pa.Table.from_pydict({
+                "vec_id": pa.array(np.repeat(ids, out_dim)),
+                "dim": pa.array(np.tile(np.arange(out_dim,
+                                                  dtype=np.int64),
+                                        n)),
+                "proj": pa.array(proj.reshape(-1))})
+
+    return ds.map_batches(Project, batch_format="pyarrow",
+                          concurrency=4)
+
+
+def jl_project_query(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings",
+                    columns=["vec_id", "embedding"])
+    return jl_project(ds)
+
+
+def jl_project_oracle_sql(out_dim: int = _JL_DIM) -> str:
+    from rdf_mapper_ray.ops.hashing import MD5_HASH64_SQL
+    sgn = MD5_HASH64_SQL.format(
+        col="CAST(i.i AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)")
+    return f"""
+WITH flat AS (
+  SELECT vec_id,
+         CAST(unnest(generate_series(1, len(embedding))) AS BIGINT)
+           - 1 AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_SCALE}
+                    + 0.5) AS BIGINT) AS q
+  FROM embeddings
+),
+s AS (
+  SELECT i.i, j.j,
+         CASE WHEN ({sgn}) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT DISTINCT i FROM flat) i
+  CROSS JOIN (SELECT unnest(generate_series(0, {out_dim - 1}))
+              AS j) j
+)
+SELECT f.vec_id, s.j AS dim,
+       CAST(SUM(f.q * s.sgn) AS BIGINT) AS proj
+FROM flat f JOIN s ON s.i = f.i
+GROUP BY f.vec_id, s.j ORDER BY vec_id, dim
+"""

@@ -195,3 +195,48 @@ class TestShaclClosed:
         df = shacl_closed(_triples_ds(rows), "C", ["ok"]).to_pandas()
         assert df.loc[0, "predicate"] == "extra"
         assert df.loc[0, ["n_triples", "n_subjects"]].tolist() == [2, 1]
+
+
+class TestJLProject:
+    def test_distance_preservation_trend(self, ray_session):
+        from rdf_mapper_ray.ops.vectors import jl_project
+        # deterministic vectors; projection must be an exact int64
+        # matmul of micro-units against the md5 sign matrix
+        rng = np.random.RandomState(7)
+        m = rng.randn(20, 64).astype(np.float32)
+        t = pa.Table.from_pydict({
+            "vec_id": pa.array(np.arange(20), pa.int64()),
+            "embedding": pa.array(list(m))})
+        df = jl_project(ray.data.from_arrow(t)).to_pandas()
+        assert len(df) == 20 * 16
+        # recompute one cell by hand
+        from rdf_mapper_ray.ops.hashing import hash64
+        keys = [f"{i}:{j}" for i in range(64) for j in range(16)]
+        signs = np.where(hash64(keys, "md5").reshape(64, 16)
+                         % np.uint64(2) == 0, 1, -1).astype(np.int64)
+        q = np.floor(m.astype(np.float64) * 1_000_000 + 0.5) \
+            .astype(np.int64)
+        want = int((q[3] * signs[:, 5]).sum())
+        got = int(df[(df.vec_id == 3) & (df.dim == 5)]["proj"]
+                  .iloc[0])
+        assert got == want
+
+
+class TestStratifiedKfold:
+    def test_exact_balance(self, ray_session):
+        from rdf_mapper_ray.ops.cleaning import stratified_kfold
+        t = pa.Table.from_pydict({
+            "id": pa.array(np.arange(103), pa.int64()),
+            "lab": pa.array(([0] * 50) + ([1] * 53), pa.int64())})
+        df = stratified_kfold(ray.data.from_arrow(t), "lab", "id",
+                              k=4).to_pandas()
+        sizes = df.groupby(["lab", "fold"]).size()
+        # class 0: 50/4 -> 13,13,12,12; class 1: 53/4 -> 14,13,13,13
+        assert sorted(sizes[0].tolist()) == [12, 12, 13, 13]
+        assert sorted(sizes[1].tolist()) == [13, 13, 13, 14]
+        # pure function of id: rerun gives identical assignment
+        df2 = stratified_kfold(ray.data.from_arrow(t), "lab", "id",
+                               k=4).to_pandas()
+        m = df.sort_values("id").reset_index(drop=True)
+        m2 = df2.sort_values("id").reset_index(drop=True)
+        assert (m["fold"] == m2["fold"]).all()

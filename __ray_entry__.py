@@ -91,7 +91,8 @@ _NEXT_UP = [
     # value+dtype-exact at sf0.001 AND sf0.01)
     "wl_refine", "woe_iv", "class_report", "theil_sen",
     "char_entropy", "shacl_datatype", "shacl_closed", "jl_project",
-    "stratified_kfold", "precision_at_k",
+    "stratified_kfold", "precision_at_k", "seasonality",
+    "readability",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -593,6 +594,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_kfold": cleaning.stratified_kfold_query,
         # P@k / R@k of the BM25 ranker vs AND-containment gold
         "precision_at_k": retrieval.precision_at_k_query,
+        # hour-of-week seasonality profile (peak cell + concentration)
+        "seasonality": timeseries.seasonality_query,
+        # Flesch reading ease (trunc-div milli, RE2 heuristic counts)
+        "readability": text.readability_query,
         "lpa_modularity": graphs.lpa_modularity_query,
         "shacl_cardinality": ontology.shacl_cardinality_query,
         "shacl_datatype": ontology.shacl_datatype_query,
@@ -923,6 +928,8 @@ def oracle_sql() -> dict[str, str]:
         "jl_project": vectors.jl_project_oracle_sql(),
         "stratified_kfold": cleaning.stratified_kfold_oracle_sql(),
         "precision_at_k": retrieval.precision_at_k_oracle_sql(),
+        "seasonality": timeseries.SEASONALITY_ORACLE_SQL,
+        "readability": text.READABILITY_ORACLE_SQL,
         "lpa_modularity": graphs.lpa_modularity_oracle_sql(),
         "shacl_cardinality": ontology.SHACL_CARDINALITY_ORACLE_SQL,
         "shacl_datatype": ontology.SHACL_DATATYPE_ORACLE_SQL,

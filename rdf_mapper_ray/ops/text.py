@@ -855,3 +855,77 @@ SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
             AS BIGINT) AS h_milli
 FROM c GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# --- Flesch readability (integer contract) ----------------------------------------------
+
+
+def readability(ds: "ray.data.Dataset", text_col: str = "text",
+                id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Flesch reading-ease per document with the classic heuristic
+    counts, kept exactly replayable: words = whitespace tokens,
+    sentences = ``[.!?]+`` runs (min 1), syllables = ``[aeiouy]+``
+    vowel groups in the lowered text (min 1). The score is the exact
+    trunc-div milli form of Flesch's 206.835 − 1.015·w/s − 84.6·sy/w:
+    ``flesch_milli = 206835 − (1015·w) // s − (84600·sy) // w`` —
+    pure int64 both sides (DuckDB ``//`` truncates; every operand
+    here is positive, so trunc == floor).
+    -> (doc_id, n_words, n_sentences, n_syllables, flesch_milli).
+    Map-only, RE2 kernels, zero exchanges."""
+    _sent = re.compile(r"[.!?]+")
+    _syl = re.compile(r"[aeiouy]+")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lowered = pc.utf8_lower(pc.fill_null(col, ""))
+        words = pc.list_value_length(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(lowered), r"\s+")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # empty text splits to [''] -> 1; true word count needs the
+        # trimmed-empty special case (both sides count 0 words as 1
+        # via the max() floor below, so the formula never divides by 0)
+        texts = lowered.to_pylist()
+        sents = np.fromiter((len(_sent.findall(t)) for t in texts),
+                            dtype=np.int64, count=len(texts))
+        syls = np.fromiter(
+            (sum(1 for _ in _syl.finditer(t)) for t in texts),
+            dtype=np.int64, count=len(texts))
+        w = np.maximum(words, 1)
+        s = np.maximum(sents, 1)
+        sy = np.maximum(syls, 1)
+        flesch = (206835 - (1015 * w) // s - (84600 * sy) // w)
+        return pa.Table.from_pydict({
+            "doc_id": batch.column(id_col),
+            "n_words": pa.array(w),
+            "n_sentences": pa.array(s),
+            "n_syllables": pa.array(sy),
+            "flesch_milli": pa.array(flesch)})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def readability_query(sf_dir: str):
+    return readability(read_table(sf_dir, "documents",
+                                  columns=["doc_id", "text"]))
+
+
+READABILITY_ORACLE_SQL = """
+WITH d AS (
+  SELECT doc_id, lower(COALESCE(text, '')) AS t FROM documents
+),
+c AS (
+  SELECT doc_id,
+         GREATEST(len(string_split_regex(trim(t), '\\s+')), 1) AS w,
+         GREATEST(len(regexp_extract_all(t, '[.!?]+')), 1) AS s,
+         GREATEST(len(regexp_extract_all(t, '[aeiouy]+')), 1) AS sy
+  FROM d
+)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sentences,
+       CAST(sy AS BIGINT) AS n_syllables,
+       CAST(206835 - (1015 * w) // s - (84600 * sy) // w AS BIGINT)
+         AS flesch_milli
+FROM c ORDER BY doc_id
+"""

@@ -1334,3 +1334,86 @@ SELECT g AS user_id,
 FROM r WHERE rk = CAST(ceil(0.5 * m) AS BIGINT)
 ORDER BY user_id
 """
+
+
+# --- weekly seasonality profile ----------------------------------------------------------
+
+
+def seasonality(ds: "ray.data.Dataset", key_col: str, ts_col: str
+                ) -> "ray.data.Dataset":
+    """Hour-of-week seasonality profile per key: every event lands in
+    one of 168 (dow, hour) cells; the op reports the peak cell (tie
+    order count DESC, dow, hour — deterministic), the total and the
+    peak concentration ``1000·peak // n`` (trunc-div milli). A flat
+    profile reads ~6‰ (1000/168), a strongly diurnal one reads 10×
+    that — the cheap pre-check before fitting any seasonal model.
+    -> (key, peak_dow, peak_hour, n_events, peak_n, peak_milli).
+
+    Shape: per-batch (key, dow, hour) count partials — (keys·168)-
+    bounded by construction — then the cell-table driver finish."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        dow = pc.cast(pc.day_of_week(ts, count_from_zero=True,
+                                     week_start=7), pa.int64())
+        t = pa.Table.from_pydict({
+            "key": batch.column(key_col),
+            "dow": dow,
+            "hour": pc.cast(pc.hour(ts), pa.int64())})
+        return t.group_by(["key", "dow", "hour"],
+                          use_threads=False).aggregate(
+            [([], "count_all")])
+
+    cells = pd.concat(
+        b.to_pandas() for b in ds.map_batches(
+            partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby(["key", "dow", "hour"], as_index=False)[
+            "count_all"].sum()
+    rows = []
+    for key, grp in cells.groupby("key", sort=True):
+        g = grp.sort_values(["count_all", "dow", "hour"],
+                            ascending=[False, True, True])
+        n = int(g["count_all"].sum())
+        peak = g.iloc[0]
+        pn = int(peak["count_all"])
+        rows.append((key, int(peak["dow"]), int(peak["hour"]),
+                     n, pn, 1000 * pn // n))
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "key": pa.array([r[0] for r in rows]),
+        "peak_dow": pa.array([r[1] for r in rows], pa.int64()),
+        "peak_hour": pa.array([r[2] for r in rows], pa.int64()),
+        "n_events": pa.array([r[3] for r in rows], pa.int64()),
+        "peak_n": pa.array([r[4] for r in rows], pa.int64()),
+        "peak_milli": pa.array([r[5] for r in rows], pa.int64())}))
+
+
+def seasonality_query(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "ts"])
+    return seasonality(ds, "event_type", "ts")
+
+
+SEASONALITY_ORACLE_SQL = """
+WITH c AS (
+  SELECT event_type AS key,
+         CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT key, dow, hour, cnt,
+         SUM(cnt) OVER (PARTITION BY key) AS n,
+         row_number() OVER (PARTITION BY key
+             ORDER BY cnt DESC, dow, hour) AS rk
+  FROM c
+)
+SELECT key, dow AS peak_dow, hour AS peak_hour,
+       CAST(n AS BIGINT) AS n_events, CAST(cnt AS BIGINT) AS peak_n,
+       CAST(1000 * cnt // n AS BIGINT) AS peak_milli
+FROM r WHERE rk = 1 ORDER BY key
+"""

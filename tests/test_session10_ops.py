@@ -240,3 +240,39 @@ class TestStratifiedKfold:
         m = df.sort_values("id").reset_index(drop=True)
         m2 = df2.sort_values("id").reset_index(drop=True)
         assert (m["fold"] == m2["fold"]).all()
+
+
+class TestReadability:
+    def test_known_text(self, ray_session):
+        from rdf_mapper_ray.ops.text import readability
+        t = pa.Table.from_pydict({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["The cat sat. The dog ran!", ""])})
+        df = readability(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("doc_id")
+        # 6 words, 2 sentences, 6 vowel groups (e,a,a,e,o,a)
+        assert df.loc[1, ["n_words", "n_sentences",
+                          "n_syllables"]].tolist() == [6, 2, 6]
+        assert df.loc[1, "flesch_milli"] == \
+            206835 - (1015 * 6) // 2 - (84600 * 6) // 6
+        # empty doc: all counts floor at 1, formula stays defined
+        assert df.loc[2, ["n_words", "n_sentences",
+                          "n_syllables"]].tolist() == [1, 1, 1]
+
+
+class TestSeasonality:
+    def test_planted_peak(self, ray_session):
+        from rdf_mapper_ray.ops.timeseries import seasonality
+        ts = pd.to_datetime([
+            "2024-01-07 09:00",  # Sunday(dow 0) 9h
+            "2024-01-07 09:30",
+            "2024-01-08 12:00",  # Monday(dow 1) 12h
+        ])
+        t = pa.Table.from_pydict({
+            "k": pa.array(["a", "a", "a"]),
+            "ts": pa.array(ts)})
+        df = seasonality(ray.data.from_arrow(t), "k", "ts") \
+            .to_pandas()
+        assert df.loc[0, ["peak_dow", "peak_hour", "n_events",
+                          "peak_n", "peak_milli"]].tolist() == \
+            [0, 9, 3, 2, 2000 // 3]

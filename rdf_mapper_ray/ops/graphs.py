@@ -6031,3 +6031,102 @@ SELECT CAST(round AS BIGINT) AS round,
        CAST(n_nodes AS BIGINT) AS n_nodes
 FROM ({rows}) ORDER BY round
 """)
+
+
+# --- landmark distance embedding ---------------------------------------------------------
+
+
+def landmark_dist(edges: "ray.data.Dataset", max_levels: int = 12,
+                  num_partitions: int | None = None,
+                  landmark_mod: int = 4,
+                  fwd: "ray.data.Dataset" = None
+                  ) -> "ray.data.Dataset":
+    """Landmark distance embedding (Potamias et al., CIKM 2009): hop
+    distances from the deterministic landmark set
+    ``node % landmark_mod == 0`` to every reachable node — the
+    standard sketch for fast shortest-path estimates
+    (d(u,v) ≲ min over landmarks of d(u,ℓ)+d(ℓ,v)) and a ready-made
+    k-dim structural feature vector per node.
+    -> (node, landmark, dist), including the (ℓ, ℓ, 0) self rows;
+    pairs beyond max_levels don't appear (per-component semantics
+    like eccentricity).
+
+    Shape: seeds only the landmark residue class on the persistent
+    MS-BFS Pregel pool (the stress_sampled pivot discipline — state
+    is O(V·|L|/P) per partition, not O(V²/P)); when the all-pairs
+    forward cache is already populated (stress ran first in the
+    roster), the op is a map-only filter over it."""
+    if fwd is None:
+        if num_partitions is None:
+            num_partitions = _msbfs_partitions()
+        pool = _msbfs_forward_pool(edges, max_levels, num_partitions,
+                                   source_mod=landmark_mod)
+        fwd = pool.collect()
+        pool.shutdown()
+
+    def shape(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        # the pool seeds EVERY node with its own (v, v, 0) row so no
+        # partition starts empty; only landmark-rooted rows are output
+        keep = (src % np.int64(landmark_mod)) == 0
+        t = t.filter(pa.array(keep))
+        return pa.Table.from_pydict({
+            "node": t.column("node"),
+            "landmark": t.column("src"),
+            "dist": t.column("dist")})
+
+    return fwd.map_batches(shape, batch_format="pyarrow")
+
+
+def landmark_dist_query(sf_dir: str, threshold: float = 0.3,
+                        max_levels: int = 12,
+                        landmark_mod: int = 4):
+    """Landmark distances over the embedding near-dup graph; filters
+    the shared all-pairs MS-BFS cache when stress already built it."""
+    from rdf_mapper_ray.ops.dedup import (_pairs_as_edges,
+                                          embedding_neardup_pairs)
+    fwd = _MSBFS_FWD_CACHE.get((sf_dir, threshold, max_levels))
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+    return landmark_dist(
+        pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
+        max_levels=max_levels, landmark_mod=landmark_mod, fwd=fwd)
+
+
+def landmark_dist_oracle_sql(threshold: float = 0.3,
+                             max_levels: int = 12,
+                             landmark_mod: int = 4) -> str:
+    L = max_levels
+    parts = [f"""e0 AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding)
+        >= {threshold}
+),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS other FROM e0
+  UNION ALL SELECT b, a FROM e0),
+nodes AS (SELECT DISTINCT node FROM adj),
+f0 AS (SELECT node AS src, node FROM nodes
+       WHERE node % {landmark_mod} = 0),
+s0 AS (SELECT src, node FROM f0)"""]
+    for k in range(1, L + 1):
+        parts.append(f"""f{k} AS MATERIALIZED (
+  SELECT DISTINCT f.src, a.other AS node
+  FROM f{k-1} f JOIN adj a ON a.node = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM s{k-1} s
+                    WHERE s.src = f.src AND s.node = a.other)
+),
+s{k} AS MATERIALIZED (
+  SELECT src, node FROM s{k-1}
+  UNION ALL SELECT src, node FROM f{k}
+)""")
+    dists = " UNION ALL ".join(
+        f"SELECT src, node, {k} AS d FROM f{k}"
+        for k in range(0, L + 1))
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT node, src AS landmark, CAST(d AS BIGINT) AS dist
+FROM ({dists}) ORDER BY node, landmark
+""")

@@ -92,7 +92,7 @@ _NEXT_UP = [
     "wl_refine", "woe_iv", "class_report", "theil_sen",
     "char_entropy", "shacl_datatype", "shacl_closed", "jl_project",
     "stratified_kfold", "precision_at_k", "seasonality",
-    "readability", "landmark_dist",
+    "readability", "landmark_dist", "simrank",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -564,6 +564,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distance_hist": graphs.distance_hist_query,
         # landmark distance embedding off the same MS-BFS pool
         "landmark_dist": graphs.landmark_dist_query,
+        # SimRank structural similarity (milli fixed-point, 2 rounds)
+        "simrank": graphs.simrank_query,
         "holt": timeseries.holt_query,
         "zipf_fit": topk.zipf_fit_query,
         "rdfs_entail": ontology.rdfs_entail_query,
@@ -908,6 +910,7 @@ def oracle_sql() -> dict[str, str]:
         "katz": graphs.katz_oracle_sql(),
         "distance_hist": graphs.distance_hist_oracle_sql(),
         "landmark_dist": graphs.landmark_dist_oracle_sql(),
+        "simrank": graphs.simrank_oracle_sql(),
         "holt": timeseries.HOLT_ORACLE_SQL,
         "zipf_fit": topk.zipf_fit_oracle_sql(),
         "rdfs_entail": ontology.RDFS_ENTAIL_ORACLE_SQL,

@@ -6130,3 +6130,210 @@ s{k} AS MATERIALIZED (
 SELECT node, src AS landmark, CAST(d AS BIGINT) AS dist
 FROM ({dists}) ORDER BY node, landmark
 """)
+
+
+# --- SimRank (bounded fixed-point, milli arithmetic) -------------------------------------
+
+
+SR_PART_CAP = 200  # quadratic-pair semantics: graph capped by construction
+
+
+def simrank(edges: "ray.data.Dataset", iters: int = 2,
+            num_partitions: int = 16) -> "ray.data.Dataset":
+    """SimRank structural similarity (Jeh & Widom, KDD 2002) in the
+    repo's exact milli fixed-point: ``s₀ = 1000·[a=b]``,
+    ``s_{t+1}(a,b) = (800·Σ_{i∈N(a),j∈N(b)} s_t(i,j))
+    // (1000·|N(a)|·|N(b)|)`` for a≠b (C = 0.8, trunc-div — every
+    operand non-negative, so DuckDB ``//`` replays it bit-for-bit),
+    diagonal pinned at 1000. Zero-scored pairs drop from the state
+    each round (exact: they contribute nothing downstream).
+    -> (i, j, s_milli) for i < j with s > 0 after ``iters`` rounds.
+
+    Scale shape: the pair state lives where hash(i) lives; each round
+    is two edge-join exchanges (i-side fan-out, then j-side) plus one
+    pair-routed merge — never an all-pairs table, only pairs within
+    co-citation distance survive. The input graph is CAPPED by
+    construction (SR_PART_CAP, pushed into the parquet read): SimRank
+    is inherently quadratic in the co-citation neighborhood, and the
+    cap IS the published contract (the semdedup nclusters lesson) —
+    past it, the stated venue is the Monte-Carlo random-surfer
+    estimator over the same edge table. Degrees broadcast
+    (node-bounded under the cap; the co-partition degree join of
+    triangle_count is the venue past broadcast scale)."""
+    import pandas as pd
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    directed = edges.map_batches(both_dirs,
+                                 batch_format="pyarrow").materialize()
+    deg_df = directed.groupby("src").count().to_pandas() \
+        .sort_values("src")
+    nodes = deg_df["src"].to_numpy(np.int64)
+    degs = deg_df["count()"].to_numpy(np.int64)
+    # sorted arrays + searchsorted, not a per-row dict probe (the
+    # triangle_count lesson)
+    deg_ref = ray.put((nodes, degs))
+
+    state = ray.data.from_arrow(pa.Table.from_pydict({
+        "i": pa.array(nodes, pa.int64()),
+        "j": pa.array(nodes, pa.int64()),
+        "s": pa.array(np.full(len(nodes), 1000, np.int64))}))
+
+    def fan(side: str):
+        """Join state rows with edges on `side` (i then j): the state
+        row (i, j, s) meets every edge (a → i) and becomes
+        (a, j, s) — the kind-row co-partition discipline."""
+        def tag_edges(t: pa.Table) -> pa.Table:
+            d = t.column("dst").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict({
+                "key": pa.array(d % np.int64(num_partitions)),
+                "hub": t.column("dst"), "other": t.column("src"),
+                "j": pa.nulls(t.num_rows, pa.int64()),
+                "s": pa.nulls(t.num_rows, pa.int64())})
+
+        def tag_state(t: pa.Table) -> pa.Table:
+            h = t.column(side).to_numpy(zero_copy_only=False)
+            oth = "j" if side == "i" else "i"
+            return pa.Table.from_pydict({
+                "key": pa.array(h % np.int64(num_partitions)),
+                "hub": t.column(side),
+                "other": pa.nulls(t.num_rows, pa.int64()),
+                "j": t.column(oth), "s": t.column("s")})
+
+        def emit(g: pd.DataFrame) -> pd.DataFrame:
+            e = g.loc[g["other"].notna(), ["hub", "other"]]
+            st = g.loc[g["other"].isna(), ["hub", "j", "s"]]
+            m = e.merge(st, on="hub", how="inner")
+            out = pd.DataFrame({
+                "i": m["other"].to_numpy(np.int64),
+                "j": m["j"].to_numpy(np.int64),
+                "s": m["s"].to_numpy(np.int64)})
+            # pre-merge duplicates inside the task before the next
+            # exchange (map-side combine)
+            return out.groupby(["i", "j"], as_index=False)["s"].sum()
+        return tag_edges, tag_state, emit
+
+    def one_round(st: "ray.data.Dataset") -> "ray.data.Dataset":
+        for side in ("i", "j"):
+            tag_edges, tag_state, emit = fan(side)
+            st = directed.map_batches(tag_edges,
+                                      batch_format="pyarrow") \
+                .union(st.map_batches(tag_state,
+                                      batch_format="pyarrow")) \
+                .groupby("key").map_groups(emit,
+                                           batch_format="pandas")
+            # emit leaves the freshly-fanned node in column "i" and
+            # the carried endpoint in "j"; the j-side fan then hubs on
+            # "j" directly. Output pairs come back label-swapped,
+            # which is harmless: the state is symmetric by induction
+            # (the diagonal seed emits both orders).
+
+        def route_pair(t: pa.Table) -> pa.Table:
+            i = t.column("i").to_numpy(zero_copy_only=False)
+            j = t.column("j").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "key", pa.array((i * 1_000_003 + j)
+                                % np.int64(num_partitions)))
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            nd, dg = ray.get(deg_ref)
+            c = g.groupby(["i", "j"], as_index=False)["s"].sum()
+            i = c["i"].to_numpy(np.int64)
+            j = c["j"].to_numpy(np.int64)
+            S = c["s"].to_numpy(np.int64)
+            di = dg[np.searchsorted(nd, i)]
+            dj = dg[np.searchsorted(nd, j)]
+            s = (800 * S) // (1000 * di * dj)
+            s = np.where(i == j, 1000, s)
+            keep = s > 0
+            return pd.DataFrame({"i": i[keep], "j": j[keep],
+                                 "s": s[keep]})
+
+        return st.map_batches(route_pair, batch_format="pyarrow") \
+            .groupby("key").map_groups(merge,
+                                       batch_format="pandas") \
+            .materialize()
+
+    for _ in range(iters):
+        state = one_round(state)
+
+    def upper(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.less(t.column("i"), t.column("j")))
+        return pa.Table.from_pydict({
+            "i": t.column("i"), "j": t.column("j"),
+            "s_milli": t.column("s")})
+
+    return state.map_batches(upper, batch_format="pyarrow")
+
+
+def simrank_query(sf_dir: str, iters: int = 2):
+    """SimRank pairs over the capped part–supplier graph."""
+    import pyarrow.dataset as pads
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey"],
+                    filter=pads.field("l_partkey") <= SR_PART_CAP)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        t = pa.Table.from_pydict({"a": pa.array(p * 2),
+                                  "b": pa.array(s * 2 + 1)})
+        return t.group_by(["a", "b"], use_threads=False).aggregate([])
+
+    def route(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_pandas_object(pd.Series(a * 1_000_003 + b),
+                                       index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(32)).astype(np.int64)))
+
+    def dd(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    edges = li.map_batches(enc, batch_format="pyarrow") \
+        .map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(dd, batch_format="pandas")
+    return simrank(edges, iters=iters)
+
+
+def simrank_oracle_sql(iters: int = 2) -> str:
+    parts = [f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem WHERE l_partkey <= {SR_PART_CAP}
+),
+e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+      UNION ALL SELECT b, a FROM e0),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM e GROUP BY src),
+s0 AS (SELECT node AS i, node AS j, CAST(1000 AS BIGINT) AS s
+       FROM deg)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""m{t} AS MATERIALIZED (
+  SELECT ea.src AS i, eb.src AS j, SUM(s.s) AS S
+  FROM s{t - 1} s
+  JOIN e ea ON ea.dst = s.i
+  JOIN e eb ON eb.dst = s.j
+  GROUP BY ea.src, eb.src
+),
+s{t} AS MATERIALIZED (
+  SELECT i, j,
+         CASE WHEN i = j THEN CAST(1000 AS BIGINT)
+              ELSE (800 * S) // (1000 * da.d * db.d) END AS s
+  FROM m{t}
+  JOIN deg da ON da.node = i
+  JOIN deg db ON db.node = j
+  WHERE i = j OR (800 * S) // (1000 * da.d * db.d) > 0
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT i, j, CAST(s AS BIGINT) AS s_milli
+FROM s{iters} WHERE i < j ORDER BY i, j
+""")

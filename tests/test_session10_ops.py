@@ -276,3 +276,42 @@ class TestSeasonality:
         assert df.loc[0, ["peak_dow", "peak_hour", "n_events",
                           "peak_n", "peak_milli"]].tolist() == \
             [0, 9, 3, 2, 2000 // 3]
+
+
+def _simrank_reference(pairs, iters=2):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    s = {(v, v): 1000 for v in nodes}
+    for _ in range(iters):
+        new = {}
+        for a in nodes:
+            for b in nodes:
+                if a == b:
+                    new[(a, b)] = 1000
+                    continue
+                S = sum(s.get((i, j), 0)
+                        for i in adj[a] for j in adj[b])
+                v = (800 * S) // (1000 * len(adj[a]) * len(adj[b]))
+                if v > 0:
+                    new[(a, b)] = v
+        s = new
+    return {(a, b): v for (a, b), v in s.items() if a < b and v > 0}
+
+
+class TestSimrank:
+    def test_matches_reference(self, ray_session):
+        from rdf_mapper_ray.ops.graphs import simrank
+        # bipartite-ish graph with shared neighbors + a pendant
+        pairs = [(0, 10), (0, 11), (2, 10), (2, 11), (4, 11),
+                 (4, 12), (6, 12)]
+        ref = _simrank_reference(pairs, iters=2)
+        df = simrank(_edges_ds(pairs), iters=2).to_pandas()
+        got = {(int(r.i), int(r.j)): int(r.s_milli)
+               for r in df.itertuples()}
+        assert got == ref
+        # structural twins 0 and 2 (identical neighborhoods) score
+        # highest among distinct pairs
+        assert got[(0, 2)] == max(v for k, v in got.items())

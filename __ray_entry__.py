@@ -92,7 +92,8 @@ _NEXT_UP = [
     "wl_refine", "woe_iv", "class_report", "theil_sen",
     "char_entropy", "shacl_datatype", "shacl_closed", "jl_project",
     "stratified_kfold", "precision_at_k", "seasonality",
-    "readability", "landmark_dist", "simrank",
+    "readability", "landmark_dist", "simrank", "char_sets",
+    "bpe_fertility",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -606,6 +607,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shacl_cardinality": ontology.shacl_cardinality_query,
         "shacl_datatype": ontology.shacl_datatype_query,
         "shacl_closed": ontology.shacl_closed_query,
+        # characteristic sets (Neumann & Moerkotte RDF statistic)
+        "char_sets": ontology.char_sets_query,
+        # BPE tokens per word by language (tokenizer health metric)
+        "bpe_fertility": bpe.bpe_fertility_query,
         "pagerank_weighted": graphs.pagerank_weighted_query,
         "rolling_median": timeseries.rolling_median_query,
         "source_jaccard": setops.source_jaccard_query,
@@ -940,6 +945,8 @@ def oracle_sql() -> dict[str, str]:
         "shacl_cardinality": ontology.SHACL_CARDINALITY_ORACLE_SQL,
         "shacl_datatype": ontology.SHACL_DATATYPE_ORACLE_SQL,
         "shacl_closed": ontology.SHACL_CLOSED_ORACLE_SQL,
+        "char_sets": ontology.CHAR_SETS_ORACLE_SQL,
+        "bpe_fertility": bpe.bpe_fertility_oracle_sql(),
         "pagerank_weighted": graphs.pagerank_weighted_oracle_sql(),
         "rolling_median": timeseries.ROLLING_MEDIAN_ORACLE_SQL,
         "source_jaccard": setops.SOURCE_JACCARD_ORACLE_SQL,

@@ -541,3 +541,113 @@ t_s0 AS MATERIALIZED (
     return ("WITH " + ",".join(parts)
             + f"\nSELECT CAST(rank AS BIGINT) AS rank, p1, p2"
               f" FROM ({sel}) ORDER BY rank")
+
+
+# --- tokenizer fertility per language -----------------------------------------------------
+
+
+def bpe_fertility(docs: "ray.data.Dataset",
+                  merges_path: str = DEFAULT_MERGES,
+                  concurrency: Optional[int] = None
+                  ) -> "ray.data.Dataset":
+    """Tokenizer fertility per language — BPE tokens emitted per
+    whitespace word, the standard multilingual-tokenizer health
+    metric (a fertility of 2–3× on one language means its training
+    share is undercounted by the same factor). Words are whitespace
+    tokens (the readability convention, counted non-empty); the
+    ratio is the trunc-div milli ``1000·Σtokens // Σwords``.
+    -> (lang, n_docs, sum_tokens, sum_words, fert_milli).
+
+    Shape: ONE actor-pool pass computes per-doc token AND word
+    counts (the BPE merge table loads once per actor), per-batch
+    (lang, sums) partials follow, and the language-bounded cells
+    finish driver-side — zero exchanges."""
+    import re as _re
+
+    ws = _re.compile(r"\s+")
+
+    class TokWords(BPETokenize):
+        def __init__(self, **kw):
+            super().__init__(**kw)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(
+                batch.select([self.id_col, self.text_col]))
+            col = batch.column(self.text_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            texts = pc.fill_null(col, "").to_pylist()
+            words = np.fromiter(
+                (sum(1 for w in ws.split(t) if w) for t in texts),
+                dtype=np.int64, count=len(texts))
+            return out.append_column(
+                "n_words", pa.array(words)).append_column(
+                "lang", batch.column("lang"))
+
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    per_doc = docs.map_batches(
+        TokWords, fn_constructor_kwargs={
+            "id_col": "doc_id", "text_col": "text",
+            "merges_path": merges_path},
+        batch_format="pyarrow", **kwargs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.select(["lang", "n_tokens", "n_words"]) \
+            .group_by(["lang"], use_threads=False).aggregate(
+            [("n_tokens", "sum"), ("n_words", "sum"),
+             ([], "count_all")])
+
+    cells = pd.concat(
+        b.to_pandas() for b in per_doc.map_batches(
+            partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby("lang", as_index=False).agg(
+        sum_tokens=("n_tokens_sum", "sum"),
+        sum_words=("n_words_sum", "sum"),
+        n_docs=("count_all", "sum")).sort_values("lang")
+    tok = cells["sum_tokens"].to_numpy(np.int64)
+    wrd = cells["sum_words"].to_numpy(np.int64)
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "lang": pa.array(cells["lang"], pa.string()),
+        "n_docs": pa.array(cells["n_docs"].to_numpy(np.int64)),
+        "sum_tokens": pa.array(tok),
+        "sum_words": pa.array(wrd),
+        "fert_milli": pa.array(1000 * tok // np.maximum(wrd, 1))}))
+
+
+def bpe_fertility_query(sf_dir: str):
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "lang"])
+    return bpe_fertility(docs, concurrency=2)
+
+
+def bpe_fertility_oracle_sql(steps: int = 11) -> str:
+    return f"""
+WITH {bpe_count_ctes(steps=steps)},
+tok AS (
+  SELECT t.doc_id, SUM(c.n) AS n_tokens
+  FROM bpe_tok t JOIN bpe_cnt c USING (w) GROUP BY t.doc_id
+),
+w AS (
+  SELECT doc_id, lang,
+         (SELECT COUNT(*) FROM unnest(string_split_regex(
+              lower(coalesce(text, '')), '\\s+')) AS u(x)
+          WHERE x <> '') AS n_words
+  FROM documents
+),
+cells AS (
+  SELECT w.lang, COUNT(*) AS n_docs,
+         SUM(COALESCE(tok.n_tokens, 0)) AS sum_tokens,
+         SUM(w.n_words) AS sum_words
+  FROM w LEFT JOIN tok USING (doc_id)
+  GROUP BY w.lang
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum_tokens AS BIGINT) AS sum_tokens,
+       CAST(sum_words AS BIGINT) AS sum_words,
+       CAST(1000 * sum_tokens // GREATEST(sum_words, 1) AS BIGINT)
+         AS fert_milli
+FROM cells ORDER BY lang
+"""

@@ -870,3 +870,91 @@ SELECT predicate, CAST(COUNT(*) AS BIGINT) AS n_triples,
        CAST(COUNT(DISTINCT subject) AS BIGINT) AS n_subjects
 FROM bad GROUP BY predicate ORDER BY predicate
 """
+
+
+# --- characteristic sets (RDF schema discovery) -------------------------------------------
+
+
+def characteristic_sets(triples: "ray.data.Dataset",
+                        num_partitions: int | None = None
+                        ) -> "ray.data.Dataset":
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011) — THE
+    classic RDF statistic: group subjects by their exact predicate
+    set and count each set's population. Query optimizers estimate
+    star-join cardinalities straight off this table, and for a KG
+    builder it is the schema-conformance fingerprint (a guard-sparse
+    property splits the population into with/without variants).
+    -> (pred_set, n_subjects), pred_set = '|'-joined sorted distinct
+    predicates.
+
+    Shape: ONE hash(subject) exchange co-locates each subject's
+    triples; the per-partition finish is a sorted-join string per
+    subject plus a local set count, and the schema-bounded set table
+    finishes driver-side (the number of DISTINCT characteristic sets
+    is bounded by the template spec, not the data)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(triples, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select(["subject", "predicate"])
+        h = pd.util.hash_pandas_object(
+            t.column("subject").to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def local_sets(g: pd.DataFrame) -> pd.DataFrame:
+        cs = g.groupby("subject")["predicate"].agg(
+            lambda p: "|".join(sorted(set(p))))
+        out = cs.value_counts().rename_axis("pred_set") \
+            .reset_index(name="n_subjects")
+        return out
+
+    cells = pd.concat(
+        b.to_pandas() for b in triples.map_batches(
+            route, batch_format="pyarrow")
+        .groupby("pid").map_groups(local_sets, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby("pred_set", as_index=False)["n_subjects"].sum() \
+        .sort_values("pred_set")
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "pred_set": pa.array(cells["pred_set"], pa.string()),
+        "n_subjects": pa.array(
+            cells["n_subjects"].to_numpy(np.int64))}))
+
+
+def char_sets_query(sf_dir: str):
+    """Characteristic sets of the guard-sparse customer tier graph:
+    the acctbal > 5000 guard splits customers into the with-tier and
+    without-tier variants — exactly what the statistic exists to
+    surface."""
+    from rdf_mapper_ray.pipelines.relational import _cust_graph
+    return characteristic_sets(_cust_graph(sf_dir))
+
+
+CHAR_SETS_ORACLE_SQL = f"""
+WITH trip AS (
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR)
+           AS subject,
+         '{_RDF_TYPE}' AS predicate
+  FROM customer
+  UNION ALL
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR),
+         '{_EX}name' FROM customer
+  UNION ALL
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR),
+         '{_EX}segment' FROM customer
+  UNION ALL
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR),
+         '{_EX}tier' FROM customer WHERE c_acctbal > 5000
+),
+cs AS (
+  SELECT subject,
+         string_agg(DISTINCT predicate, '|' ORDER BY predicate)
+           AS pred_set
+  FROM trip GROUP BY subject
+)
+SELECT pred_set, CAST(COUNT(*) AS BIGINT) AS n_subjects
+FROM cs GROUP BY pred_set ORDER BY pred_set
+"""

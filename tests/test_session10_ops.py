@@ -315,3 +315,37 @@ class TestSimrank:
         # structural twins 0 and 2 (identical neighborhoods) score
         # highest among distinct pairs
         assert got[(0, 2)] == max(v for k, v in got.items())
+
+
+class TestCharSets:
+    def test_planted(self, ray_session):
+        from rdf_mapper_ray.ops.ontology import characteristic_sets
+        rows = [
+            ("s1", "p1", "x", None), ("s1", "p2", "x", None),
+            ("s1", "p1", "y", None),  # repeated pred: set-collapsed
+            ("s2", "p1", "x", None), ("s2", "p2", "x", None),
+            ("s3", "p1", "x", None),
+        ]
+        df = characteristic_sets(_triples_ds(rows)).to_pandas()
+        got = dict(zip(df["pred_set"], df["n_subjects"]))
+        assert got == {"p1|p2": 2, "p1": 1}
+
+
+class TestBpeFertility:
+    def test_sums_match_tokenize(self, ray_session):
+        from rdf_mapper_ray.ops.bpe import (bpe_fertility,
+                                            tokenize_bpe)
+        t = pa.Table.from_pydict({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["hello world", "hello", ""]),
+            "lang": pa.array(["en", "en", "fr"])})
+        ds = ray.data.from_arrow(t)
+        per_doc = tokenize_bpe(ds, concurrency=1).to_pandas()
+        df = bpe_fertility(ds, concurrency=1).to_pandas() \
+            .set_index("lang")
+        assert df.loc["en", "sum_tokens"] == per_doc[
+            per_doc.doc_id.isin([1, 2])]["n_tokens"].sum()
+        assert df.loc["en", "sum_words"] == 3
+        assert df.loc["fr", ["n_docs", "sum_tokens",
+                             "sum_words"]].tolist() == [1, 0, 0]
+        assert df.loc["fr", "fert_milli"] == 0

@@ -93,7 +93,7 @@ _NEXT_UP = [
     "char_entropy", "shacl_datatype", "shacl_closed", "jl_project",
     "stratified_kfold", "precision_at_k", "seasonality",
     "readability", "landmark_dist", "simrank", "char_sets",
-    "bpe_fertility",
+    "bpe_fertility", "kaplan_meier", "dup_txn",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -591,6 +591,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Theil-Sen robust trend slope per user (median of pairwise
         # slopes, exact selection + trunc-div milli report)
         "theil_sen": timeseries.theil_sen_query,
+        # Kaplan-Meier survival of user lifetimes (milli fold)
+        "kaplan_meier": timeseries.kaplan_meier_query,
+        # duplicate-transaction screen (2-D band self-join per cust)
+        "dup_txn": joins.dup_txn_query,
         # char-bigram entropy (compressibility quality proxy)
         "char_entropy": text.char_entropy_query,
         # JL ±1 sign projection (exact int64 matmul, md5 signs)
@@ -947,6 +951,8 @@ def oracle_sql() -> dict[str, str]:
         "shacl_closed": ontology.SHACL_CLOSED_ORACLE_SQL,
         "char_sets": ontology.CHAR_SETS_ORACLE_SQL,
         "bpe_fertility": bpe.bpe_fertility_oracle_sql(),
+        "kaplan_meier": timeseries.KAPLAN_MEIER_ORACLE_SQL,
+        "dup_txn": joins.DUP_TXN_ORACLE_SQL,
         "pagerank_weighted": graphs.pagerank_weighted_oracle_sql(),
         "rolling_median": timeseries.ROLLING_MEDIAN_ORACLE_SQL,
         "source_jaccard": setops.SOURCE_JACCARD_ORACLE_SQL,

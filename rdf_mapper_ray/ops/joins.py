@@ -939,3 +939,107 @@ j AS (
 SELECT o_orderkey, event_id, CAST(dt AS BIGINT) AS dt_us
 FROM j WHERE rn = 1 ORDER BY o_orderkey
 """
+
+
+# --- duplicate-transaction detection (2-D band self-join) ---------------------------------
+
+
+_DUP_TXN_CENTS = 500_000                  # |price delta| <= $5,000
+_DUP_TXN_US = 180 * 86_400_000_000        # |date delta| <= 180 days
+
+
+def dup_txn_pairs(ds: "ray.data.Dataset", key_col: str, id_col: str,
+                  amt_col: str, ts_col: str,
+                  eps_cents: int = _DUP_TXN_CENTS,
+                  eps_us: int = _DUP_TXN_US,
+                  num_partitions: int | None = None
+                  ) -> "ray.data.Dataset":
+    """Duplicate-transaction candidates — the fraud/ETL double-entry
+    screen: two orders of the SAME customer whose amounts agree
+    within ``eps_cents`` AND whose dates agree within ``eps_us``. A
+    2-D band self-join, blocked exactly by the equality key (the
+    customer), so the quadratic tile is bounded by per-customer order
+    count, never the table. -> (left_id, right_id, key) with
+    left_id < right_id.
+
+    Shape: ONE hash(key) exchange; the per-group tile is the
+    kendall/jw_pairs vectorized meshgrid with both band predicates
+    applied as masks. Skewed keys fall back to the band_join bucket
+    replication (stated venue)."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        pid = pd.util.hash_pandas_object(
+            t.column(key_col).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((pid % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, grp in g.groupby(key_col, sort=False):
+            ids = grp[id_col].to_numpy(np.int64)
+            amt = grp[amt_col].to_numpy(np.int64)
+            ts = grp[ts_col].to_numpy(np.int64)
+            n = len(ids)
+            if n < 2:
+                continue
+            iu, ju = np.triu_indices(n, k=1)
+            keep = (np.abs(amt[ju] - amt[iu]) <= eps_cents) \
+                & (np.abs(ts[ju] - ts[iu]) <= eps_us)
+            if not keep.any():
+                continue
+            li = np.minimum(ids[iu[keep]], ids[ju[keep]])
+            ri = np.maximum(ids[iu[keep]], ids[ju[keep]])
+            out.append(pd.DataFrame({
+                "left_id": li, "right_id": ri,
+                "key": np.full(len(li), key)}))
+        if not out:
+            return pd.DataFrame({
+                "left_id": pd.Series(dtype=np.int64),
+                "right_id": pd.Series(dtype=np.int64),
+                "key": pd.Series(dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(pairs, batch_format="pandas")
+
+
+def dup_txn_query(sf_dir: str):
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey",
+                             "o_totalprice", "o_orderdate"])
+
+    def shape(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = batch.column("o_orderdate")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.Table.from_pydict({
+            "key": batch.column("o_custkey"),
+            "id": batch.column("o_orderkey"),
+            "amt": pc.cast(pc.round(pc.multiply(
+                batch.column("o_totalprice"), 100.0)), pa.int64()),
+            "ts": col.cast(pa.timestamp("us")).cast(pa.int64())})
+
+    return dup_txn_pairs(ds.map_batches(shape,
+                                        batch_format="pyarrow"),
+                         "key", "id", "amt", "ts")
+
+
+DUP_TXN_ORACLE_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey AS id, o_custkey AS key,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS amt,
+         epoch_us(o_orderdate) AS ts
+  FROM orders
+)
+SELECT a.id AS left_id, b.id AS right_id, a.key
+FROM o a JOIN o b
+  ON a.key = b.key AND a.id < b.id
+WHERE abs(a.amt - b.amt) <= {_DUP_TXN_CENTS}
+  AND abs(a.ts - b.ts) <= {_DUP_TXN_US}
+ORDER BY left_id, right_id
+"""

@@ -1417,3 +1417,134 @@ SELECT key, dow AS peak_dow, hour AS peak_hour,
        CAST(1000 * cnt // n AS BIGINT) AS peak_milli
 FROM r WHERE rk = 1 ORDER BY key
 """
+
+
+# --- Kaplan-Meier survival curve -----------------------------------------------------------
+
+
+_KM_CENSOR_US = 86_400_000_000  # 24 h
+
+
+def kaplan_meier(ds: "ray.data.Dataset", user_col: str, ts_col: str,
+                 num_partitions: int | None = None
+                 ) -> "ray.data.Dataset":
+    """Kaplan–Meier survival estimate (Kaplan & Meier 1958) of user
+    lifetime (first event → last event, whole hours): a lifetime is
+    an observed DEATH if it ends ≥ 24 h before the stream's last
+    timestamp, otherwise right-censored (the user may still be
+    active). The survival curve folds in exact milli fixed-point:
+    ``S_k = S_{k−1}·(n_k − d_k) // n_k`` with S₀ = 1000 (trunc-div,
+    all operands ≥ 0 — DuckDB's recursive CTE replays the fold
+    bit-for-bit, the holt/ewma pattern).
+    -> (dur_hours, n_risk, n_death, surv_milli), one row per
+    distinct death duration.
+
+    Shape: per-batch (user, min, max) partials → ONE hash(user)
+    exchange merges lifetimes → duration-bucket cell partials →
+    the duration-bounded fold runs driver-side."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    from ray.data.aggregate import Max
+
+    def to_us(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        return pa.Table.from_pydict({
+            "user": t.column(user_col),
+            "us": ts.cast(pa.timestamp("us")).cast(pa.int64())})
+
+    us = ds.map_batches(to_us, batch_format="pyarrow").materialize()
+    m = int(us.aggregate(Max("us"))["max(us)"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.group_by(["user"], use_threads=False).aggregate(
+            [("us", "min"), ("us", "max")])
+        h = pd.util.hash_pandas_object(
+            c.column("user").to_pandas(), index=False).to_numpy()
+        return c.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby("user", as_index=False).agg(
+            t0=("us_min", "min"), t1=("us_max", "max"))
+        dur = (u["t1"].to_numpy(np.int64)
+               - u["t0"].to_numpy(np.int64)) // 3_600_000_000
+        death = (u["t1"].to_numpy(np.int64)
+                 <= m - _KM_CENSOR_US).astype(np.int64)
+        df = pd.DataFrame({"dur": dur, "death": death})
+        return df.groupby("dur", as_index=False).agg(
+            deaths=("death", "sum"), ends=("death", "size"))
+
+    tab = pd.concat(
+        b.to_pandas() for b in us.map_batches(
+            partial, batch_format="pyarrow")
+        .groupby("pid").map_groups(cells, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby("dur", as_index=False)[["deaths", "ends"]].sum() \
+        .sort_values("dur", ascending=False)
+    tab["n_risk"] = tab["ends"].cumsum()
+    tab = tab.sort_values("dur")
+    rows = []
+    s = 1000
+    for r in tab.itertuples():
+        if r.deaths == 0:
+            continue
+        s = s * (int(r.n_risk) - int(r.deaths)) // int(r.n_risk)
+        rows.append((int(r.dur), int(r.n_risk), int(r.deaths), s))
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "dur_hours": pa.array([r[0] for r in rows], pa.int64()),
+        "n_risk": pa.array([r[1] for r in rows], pa.int64()),
+        "n_death": pa.array([r[2] for r in rows], pa.int64()),
+        "surv_milli": pa.array([r[3] for r in rows], pa.int64())}))
+
+
+def kaplan_meier_query(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return kaplan_meier(ds, "user_id", "ts")
+
+
+KAPLAN_MEIER_ORACLE_SQL = f"""
+WITH RECURSIVE u AS (
+  SELECT user_id, epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) AS t1
+  FROM events GROUP BY user_id
+),
+mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+lif AS (
+  SELECT (t1 - t0) // 3600000000 AS dur,
+         CASE WHEN t1 <= (SELECT m FROM mx) - {_KM_CENSOR_US}
+              THEN 1 ELSE 0 END AS death
+  FROM u
+),
+d AS (
+  SELECT dur, SUM(death) AS deaths, COUNT(*) AS ends
+  FROM lif GROUP BY dur
+),
+r AS (
+  SELECT dur, deaths,
+         SUM(ends) OVER (ORDER BY dur DESC) AS n_risk
+  FROM d
+),
+dd AS (
+  SELECT dur, deaths, n_risk,
+         row_number() OVER (ORDER BY dur) AS rk
+  FROM r WHERE deaths > 0
+),
+km(rk, dur, n_risk, deaths, s) AS (
+  SELECT rk, dur, n_risk, deaths,
+         1000 * (n_risk - deaths) // n_risk
+  FROM dd WHERE rk = 1
+  UNION ALL
+  SELECT d.rk, d.dur, d.n_risk, d.deaths,
+         km.s * (d.n_risk - d.deaths) // d.n_risk
+  FROM km JOIN dd d ON d.rk = km.rk + 1
+)
+SELECT CAST(dur AS BIGINT) AS dur_hours,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(deaths AS BIGINT) AS n_death,
+       CAST(s AS BIGINT) AS surv_milli
+FROM km ORDER BY dur_hours
+"""

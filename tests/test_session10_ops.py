@@ -349,3 +349,42 @@ class TestBpeFertility:
         assert df.loc["fr", ["n_docs", "sum_tokens",
                              "sum_words"]].tolist() == [1, 0, 0]
         assert df.loc["fr", "fert_milli"] == 0
+
+
+class TestKaplanMeier:
+    def test_planted(self, ray_session):
+        from rdf_mapper_ray.ops.timeseries import kaplan_meier
+        # users u1..u3 die at hours 1,1,2; u4 censored (ends at max)
+        ts = pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 01:00",   # u1: dur 1
+            "2024-01-01 00:00", "2024-01-01 01:30",   # u2: dur 1
+            "2024-01-01 00:00", "2024-01-01 02:00",   # u3: dur 2
+            "2024-01-01 00:00", "2024-01-05 00:00",   # u4: censored
+        ])
+        t = pa.Table.from_pydict({
+            "u": pa.array(["u1", "u1", "u2", "u2", "u3", "u3",
+                           "u4", "u4"]),
+            "ts": pa.array(ts)})
+        df = kaplan_meier(ray.data.from_arrow(t), "u", "ts") \
+            .to_pandas()
+        # at dur 1: 4 at risk, 2 deaths -> S = 1000*2//4 = 500
+        # at dur 2: 2 at risk, 1 death  -> S = 500*1//2 = 250
+        assert df.values.tolist() == [[1, 4, 2, 500], [2, 2, 1, 250]]
+
+
+class TestDupTxn:
+    def test_planted(self, ray_session):
+        from rdf_mapper_ray.ops.joins import dup_txn_pairs
+        day = 86_400_000_000
+        t = pa.Table.from_pydict({
+            "key": pa.array([1, 1, 1, 2], pa.int64()),
+            "id": pa.array([10, 11, 12, 13], pa.int64()),
+            "amt": pa.array([1000, 1050, 99999, 1000], pa.int64()),
+            "ts": pa.array([0, day, 0, 0], pa.int64())})
+        df = dup_txn_pairs(ray.data.from_arrow(t), "key", "id",
+                           "amt", "ts", eps_cents=100,
+                           eps_us=2 * day).to_pandas()
+        # only (10, 11): same key, |amt| 50 <= 100, |ts| 1d <= 2d;
+        # 12 fails the amount band, 13 is a different customer
+        assert df[["left_id", "right_id"]].values.tolist() == \
+            [[10, 11]]

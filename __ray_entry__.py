@@ -93,7 +93,8 @@ _NEXT_UP = [
     "char_entropy", "shacl_datatype", "shacl_closed", "jl_project",
     "stratified_kfold", "precision_at_k", "seasonality",
     "readability", "landmark_dist", "simrank", "char_sets",
-    "bpe_fertility", "kaplan_meier", "dup_txn",
+    "bpe_fertility", "kaplan_meier", "dup_txn", "ns_mining",
+    "fd_audit",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -613,6 +614,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shacl_closed": ontology.shacl_closed_query,
         # characteristic sets (Neumann & Moerkotte RDF statistic)
         "char_sets": ontology.char_sets_query,
+        # subject-namespace partitions of the flagship graph
+        "ns_mining": ontology.ns_mining_query,
+        # functional-dependency audit (TANE-style candidate check)
+        "fd_audit": diff.fd_audit_query,
         # BPE tokens per word by language (tokenizer health metric)
         "bpe_fertility": bpe.bpe_fertility_query,
         "pagerank_weighted": graphs.pagerank_weighted_query,
@@ -953,6 +958,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_fertility": bpe.bpe_fertility_oracle_sql(),
         "kaplan_meier": timeseries.KAPLAN_MEIER_ORACLE_SQL,
         "dup_txn": joins.DUP_TXN_ORACLE_SQL,
+        "ns_mining": ontology.ns_mining_oracle_sql(),
+        "fd_audit": diff.FD_AUDIT_ORACLE_SQL,
         "pagerank_weighted": graphs.pagerank_weighted_oracle_sql(),
         "rolling_median": timeseries.ROLLING_MEDIAN_ORACLE_SQL,
         "source_jaccard": setops.SOURCE_JACCARD_ORACLE_SQL,

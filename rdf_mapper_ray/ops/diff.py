@@ -12,6 +12,7 @@ the resumable partitioned writer to refresh only affected buckets."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -558,3 +559,93 @@ SELECT b.bucket, COALESCE(a.n_rows, 0) AS n_rows,
 FROM buckets b LEFT JOIN agg a USING (bucket)
 ORDER BY b.bucket
 """
+
+
+# --- functional-dependency audit ----------------------------------------------------------
+
+
+def fd_check(ds: "ray.data.Dataset", lhs_col: str, rhs_col: str,
+             fd_name: str, num_partitions: int | None = None
+             ) -> "pd.DataFrame":
+    """Audit one candidate functional dependency lhs → rhs: count
+    LHS groups, groups determining MORE than one RHS (the
+    violations), and the worst group's distinct-RHS count. The FD
+    discovery loop every schema-inference tool runs (TANE-style,
+    restricted to candidate checking — the distributed-friendly
+    half). Returns a one-row pandas frame (cell-sized).
+
+    Shape: per-batch DISTINCT (lhs, rhs) pairs (Arrow hash
+    aggregate), ONE hash(lhs) exchange, per-partition nunique, cells
+    sum driver-side."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.select([lhs_col, rhs_col]) \
+            .group_by([lhs_col, rhs_col], use_threads=False) \
+            .aggregate([])
+        h = pd.util.hash_pandas_object(
+            c.column(lhs_col).to_pandas(), index=False).to_numpy()
+        return c.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        nun = g.drop_duplicates([lhs_col, rhs_col]) \
+            .groupby(lhs_col)[rhs_col].nunique()
+        return pd.DataFrame({
+            "n_lhs": [np.int64(len(nun))],
+            "n_viol": [np.int64((nun > 1).sum())],
+            "max_rhs": [np.int64(nun.max() if len(nun) else 0)]})
+
+    cells = pd.concat(
+        b.to_pandas() for b in ds.map_batches(
+            partial, batch_format="pyarrow")
+        .groupby("pid").map_groups(count, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow"))
+    return pd.DataFrame({
+        "fd": [fd_name],
+        "n_lhs": [np.int64(cells["n_lhs"].sum())],
+        "n_viol_lhs": [np.int64(cells["n_viol"].sum())],
+        "max_rhs": [np.int64(cells["max_rhs"].max())]})
+
+
+def fd_audit_query(sf_dir: str):
+    """Three candidate FDs over orders: the key FD holds by
+    construction, o_custkey → o_orderstatus and o_custkey →
+    o_orderpriority are violated by nearly every repeat customer."""
+    from rdf_mapper_ray.ops.readers import read_table
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey",
+                             "o_orderstatus", "o_orderpriority"])
+    rows = pd.concat([
+        fd_check(ds, "o_orderkey", "o_custkey", "orderkey->custkey"),
+        fd_check(ds, "o_custkey", "o_orderstatus",
+                 "custkey->status"),
+        fd_check(ds, "o_custkey", "o_orderpriority",
+                 "custkey->priority"),
+    ], ignore_index=True)
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        rows, preserve_index=False))
+
+
+_FD_ONE = """
+SELECT '{name}' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_lhs,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_viol_lhs,
+       CAST(MAX(n) AS BIGINT) AS max_rhs
+FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n
+      FROM orders GROUP BY {lhs})
+"""
+
+FD_AUDIT_ORACLE_SQL = " UNION ALL ".join([
+    _FD_ONE.format(name="orderkey->custkey", lhs="o_orderkey",
+                   rhs="o_custkey"),
+    _FD_ONE.format(name="custkey->status", lhs="o_custkey",
+                   rhs="o_orderstatus"),
+    _FD_ONE.format(name="custkey->priority", lhs="o_custkey",
+                   rhs="o_orderpriority"),
+])

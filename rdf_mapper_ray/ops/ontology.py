@@ -958,3 +958,91 @@ cs AS (
 SELECT pred_set, CAST(COUNT(*) AS BIGINT) AS n_subjects
 FROM cs GROUP BY pred_set ORDER BY pred_set
 """
+
+
+# --- URI namespace mining -----------------------------------------------------------------
+
+
+def ns_mining(triples: "ray.data.Dataset",
+              num_partitions: int | None = None
+              ) -> "ray.data.Dataset":
+    """Subject-namespace statistics over a constructed graph: every
+    subject's namespace is its scheme + authority + two path
+    segments (hierarchical URIs nest arbitrarily deep — file URIs
+    carry the repo path — so the fixed-depth rule is what groups
+    them into publishable partitions), and the
+    op reports triples and distinct subjects per namespace — what a
+    publisher reads before choosing prefix declarations and what a
+    void:uriSpace partition is built from (the subject-side
+    complement of void_stats' predicate partitions).
+    -> (namespace, n_triples, n_subjects).
+
+    Shape: (namespace, subject) rows route on hash(subject) — every
+    subject lands whole in one partition, so the per-partition
+    nunique is exact and the namespace-bounded cells sum
+    driver-side. Routing on the namespace itself would put the whole
+    graph's dominant prefix on one task (skew by construction)."""
+    import pyarrow.compute as pc
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(triples, 8)
+
+    def shred(t: pa.Table) -> pa.Table:
+        subj = t.column("subject")
+        if isinstance(subj, pa.ChunkedArray):
+            subj = subj.combine_chunks()
+        ns = pc.extract_regex(
+            subj, r"^(?P<ns>[a-z]+://[^/]+/[^/]+/[^/]+/)")
+        ns = pc.struct_field(ns, "ns")
+        out = pa.Table.from_pydict({
+            "namespace": pc.fill_null(ns, ""),
+            "subject": subj})
+        h = pd.util.hash_pandas_object(
+            out.column("subject").to_pandas(), index=False).to_numpy()
+        return out.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("namespace", as_index=False).agg(
+            n_triples=("subject", "size"),
+            n_subjects=("subject", "nunique"))
+
+    cells = pd.concat(
+        b.to_pandas() for b in triples.map_batches(
+            shred, batch_format="pyarrow")
+        .groupby("pid").map_groups(count, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby("namespace", as_index=False)[
+            ["n_triples", "n_subjects"]].sum() \
+        .sort_values("namespace")
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "namespace": pa.array(cells["namespace"], pa.string()),
+        "n_triples": pa.array(cells["n_triples"].to_numpy(np.int64)),
+        "n_subjects": pa.array(
+            cells["n_subjects"].to_numpy(np.int64))}))
+
+
+def ns_mining_query(sf_dir: str):
+    """Namespace partition of the flagship source-code graph."""
+    from rdf_mapper_ray.pipelines.sourcecode import flagship
+    return ns_mining(flagship(sf_dir))
+
+
+def ns_mining_oracle_sql() -> str:
+    from rdf_mapper_ray.pipelines.sourcecode import \
+        FLAGSHIP_ORACLE_SQL
+    return f"""
+WITH base AS ({FLAGSHIP_ORACLE_SQL}),
+n AS (
+  SELECT COALESCE(regexp_extract(subject,
+             '^([a-z]+://[^/]+/[^/]+/[^/]+/)', 1), '')
+           AS namespace,
+         subject
+  FROM base
+)
+SELECT namespace, CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT subject) AS BIGINT) AS n_subjects
+FROM n GROUP BY namespace ORDER BY namespace
+"""

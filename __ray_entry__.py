@@ -94,7 +94,7 @@ _NEXT_UP = [
     "stratified_kfold", "precision_at_k", "seasonality",
     "readability", "landmark_dist", "simrank", "char_sets",
     "bpe_fertility", "kaplan_meier", "dup_txn", "ns_mining",
-    "fd_audit",
+    "fd_audit", "attribution_linear", "bot_flags",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -596,6 +596,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kaplan_meier": timeseries.kaplan_meier_query,
         # duplicate-transaction screen (2-D band self-join per cust)
         "dup_txn": joins.dup_txn_query,
+        # linear multi-touch attribution (exact 1000-milli per user)
+        "attribution_linear": sessions.attribution_linear_query,
+        # events-per-active-minute bot screen
+        "bot_flags": sessions.bot_flags_query,
         # char-bigram entropy (compressibility quality proxy)
         "char_entropy": text.char_entropy_query,
         # JL ±1 sign projection (exact int64 matmul, md5 signs)
@@ -960,6 +964,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_txn": joins.DUP_TXN_ORACLE_SQL,
         "ns_mining": ontology.ns_mining_oracle_sql(),
         "fd_audit": diff.FD_AUDIT_ORACLE_SQL,
+        "attribution_linear": sessions.ATTRIBUTION_LINEAR_ORACLE_SQL,
+        "bot_flags": sessions.BOT_FLAGS_ORACLE_SQL,
         "pagerank_weighted": graphs.pagerank_weighted_oracle_sql(),
         "rolling_median": timeseries.ROLLING_MEDIAN_ORACLE_SQL,
         "source_jaccard": setops.SOURCE_JACCARD_ORACLE_SQL,

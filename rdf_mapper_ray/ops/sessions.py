@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -1432,4 +1433,183 @@ SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS n,
        CAST(SUM(cnt * CAST(floor(ln(cnt) * 1000 + 0.5) AS BIGINT))
             AS BIGINT) AS h_milli
 FROM c GROUP BY from_type ORDER BY from_type
+"""
+
+
+# --- linear (position-based) attribution -----------------------------------------------
+
+
+def attribution_linear(ds: "ray.data.Dataset",
+                       user_col: str = "user_id",
+                       ts_col: str = "ts",
+                       id_col: str = "event_id",
+                       type_col: str = "event_type",
+                       num_partitions: int | None = None
+                       ) -> "ray.data.Dataset":
+    """Linear multi-touch attribution: a user's 1000 milli of credit
+    split evenly over their touchpoints — each of the n events earns
+    ``1000 // n`` and the FIRST event (ts, event_id order) absorbs
+    the remainder ``1000 − n·(1000 // n)``, so every user
+    contributes exactly 1000 and the per-channel totals are exact
+    int64. -> (event_type, credit_milli, n_touches).
+
+    Scale shape: ONE hash(user) exchange (events route whole — the
+    per-user count and the first-touch pick need the user's rows
+    together); per-partition vectorized credit assignment; channel
+    cells sum driver-side."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        out = pa.Table.from_pydict({
+            "user": t.column(user_col),
+            "ts_us": ts.cast(pa.timestamp("us")).cast(pa.int64()),
+            "eid": t.column(id_col),
+            "etype": t.column(type_col)})
+        h = pd.util.hash_pandas_object(
+            out.column("user").to_pandas(), index=False).to_numpy()
+        return out.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def credit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user", "ts_us", "eid"], kind="stable")
+        n = g.groupby("user")["eid"].transform("size") \
+            .to_numpy(np.int64)
+        base = 1000 // n
+        first = ~g["user"].duplicated().to_numpy()
+        rem = np.where(first, 1000 - n * base, 0)
+        g = g.assign(credit=base + rem)
+        return g.groupby("etype", as_index=False).agg(
+            credit_milli=("credit", "sum"),
+            n_touches=("credit", "size"))
+
+    cells = pd.concat(
+        b.to_pandas() for b in ds.map_batches(
+            route, batch_format="pyarrow")
+        .groupby("pid").map_groups(credit, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby("etype", as_index=False)[
+            ["credit_milli", "n_touches"]].sum() \
+        .sort_values("etype")
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "event_type": pa.array(cells["etype"], pa.string()),
+        "credit_milli": pa.array(
+            cells["credit_milli"].to_numpy(np.int64)),
+        "n_touches": pa.array(
+            cells["n_touches"].to_numpy(np.int64))}))
+
+
+def attribution_linear_query(sf_dir: str):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id",
+                             "event_type"])
+    return attribution_linear(ds)
+
+
+ATTRIBUTION_LINEAR_ORACLE_SQL = """
+WITH e AS (
+  SELECT event_type,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rk
+  FROM events
+),
+c AS (
+  SELECT event_type,
+         1000 // n + CASE WHEN rk = 1 THEN 1000 - n * (1000 // n)
+                          ELSE 0 END AS credit
+  FROM e
+)
+SELECT event_type, CAST(SUM(credit) AS BIGINT) AS credit_milli,
+       CAST(COUNT(*) AS BIGINT) AS n_touches
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- bot-rate heuristic --------------------------------------------------------------------
+
+
+_BOT_RATE_MILLI = 3000  # > 3 events per active minute
+
+
+def bot_flags(ds: "ray.data.Dataset", user_col: str = "user_id",
+              ts_col: str = "ts",
+              num_partitions: int | None = None
+              ) -> "ray.data.Dataset":
+    """Bot-likeness screen — the rate heuristic every event-stream
+    curation pass runs before training on behavioral data: per user,
+    events per ACTIVE minute (distinct minute buckets, not wall
+    time — idle users aren't diluted) as trunc-div milli; flagged
+    when the rate exceeds 3 events/minute.
+    -> (user_id, n_events, n_active_min, rate_milli, is_bot).
+
+    Shape: per-batch (user, minute) distinct partials, ONE
+    hash(user) exchange, vectorized finish — user-sized output."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        mins = pc.cast(pc.divide(
+            ts.cast(pa.timestamp("us")).cast(pa.int64()),
+            60_000_000), pa.int64())
+        c = pa.Table.from_pydict({
+            "user": t.column(user_col), "minute": mins}) \
+            .group_by(["user", "minute"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        h = pd.util.hash_pandas_object(
+            c.column("user").to_pandas(), index=False).to_numpy()
+        return c.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user", "minute"], as_index=False)[
+            "count_all"].sum()
+        out = m.groupby("user", as_index=False).agg(
+            n_events=("count_all", "sum"),
+            n_active_min=("minute", "nunique"))
+        ev = out["n_events"].to_numpy(np.int64)
+        am = out["n_active_min"].to_numpy(np.int64)
+        rate = 1000 * ev // am
+        return pd.DataFrame({
+            "user_id": out["user"],
+            "n_events": ev, "n_active_min": am,
+            "rate_milli": rate,
+            "is_bot": rate > _BOT_RATE_MILLI})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pid").map_groups(finish, batch_format="pandas")
+
+
+def bot_flags_query(sf_dir: str):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return bot_flags(ds)
+
+
+BOT_FLAGS_ORACLE_SQL = f"""
+WITH m AS (
+  SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+         COUNT(*) AS c
+  FROM events GROUP BY user_id, minute
+),
+u AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_active_min
+  FROM m GROUP BY user_id
+)
+SELECT user_id, n_events, n_active_min,
+       CAST(1000 * n_events // n_active_min AS BIGINT) AS rate_milli,
+       1000 * n_events // n_active_min > {_BOT_RATE_MILLI} AS is_bot
+FROM u ORDER BY user_id
 """

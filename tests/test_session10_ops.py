@@ -388,3 +388,42 @@ class TestDupTxn:
         # 12 fails the amount band, 13 is a different customer
         assert df[["left_id", "right_id"]].values.tolist() == \
             [[10, 11]]
+
+
+class TestAttributionLinear:
+    def test_exact_thousand_per_user(self, ray_session):
+        from rdf_mapper_ray.ops.sessions import attribution_linear
+        ts = pd.to_datetime(["2024-01-01", "2024-01-02",
+                             "2024-01-03", "2024-01-01"])
+        t = pa.Table.from_pydict({
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array(ts),
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "event_type": pa.array(["a", "b", "a", "c"])})
+        df = attribution_linear(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("event_type")
+        # user 1: n=3, base 333, first ('a') gets +1 -> a: 334+333, b: 333
+        assert df.loc["a", "credit_milli"] == 667
+        assert df.loc["b", "credit_milli"] == 333
+        assert df.loc["c", "credit_milli"] == 1000
+        assert df["credit_milli"].sum() == 2000
+
+
+class TestBotFlags:
+    def test_rate(self, ray_session):
+        from rdf_mapper_ray.ops.sessions import bot_flags
+        base = pd.Timestamp("2024-01-01")
+        # user 1: 8 events in 2 distinct minutes -> 4000 milli (bot);
+        # user 2: 2 events in 2 minutes -> 1000 (not)
+        ts = ([base + pd.Timedelta(seconds=s)
+               for s in [0, 1, 2, 3, 60, 61, 62, 63]]
+              + [base, base + pd.Timedelta(minutes=5)])
+        t = pa.Table.from_pydict({
+            "user_id": pa.array([1] * 8 + [2] * 2, pa.int64()),
+            "ts": pa.array(pd.to_datetime(ts))})
+        df = bot_flags(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("user_id")
+        assert df.loc[1, ["n_events", "n_active_min",
+                          "rate_milli"]].tolist() == [8, 2, 4000]
+        assert bool(df.loc[1, "is_bot"]) is True
+        assert bool(df.loc[2, "is_bot"]) is False

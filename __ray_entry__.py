@@ -94,7 +94,7 @@ _NEXT_UP = [
     "stratified_kfold", "precision_at_k", "seasonality",
     "readability", "landmark_dist", "simrank", "char_sets",
     "bpe_fertility", "kaplan_meier", "dup_txn", "ns_mining",
-    "fd_audit", "attribution_linear", "bot_flags",
+    "fd_audit", "attribution_linear", "bot_flags", "cohort_ltv",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -600,6 +600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_linear": sessions.attribution_linear_query,
         # events-per-active-minute bot screen
         "bot_flags": sessions.bot_flags_query,
+        # cohort LTV curves (exact-cents running cumulative revenue)
+        "cohort_ltv": sessions.cohort_ltv_query,
         # char-bigram entropy (compressibility quality proxy)
         "char_entropy": text.char_entropy_query,
         # JL ±1 sign projection (exact int64 matmul, md5 signs)
@@ -966,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_audit": diff.FD_AUDIT_ORACLE_SQL,
         "attribution_linear": sessions.ATTRIBUTION_LINEAR_ORACLE_SQL,
         "bot_flags": sessions.BOT_FLAGS_ORACLE_SQL,
+        "cohort_ltv": sessions.COHORT_LTV_ORACLE_SQL,
         "pagerank_weighted": graphs.pagerank_weighted_oracle_sql(),
         "rolling_median": timeseries.ROLLING_MEDIAN_ORACLE_SQL,
         "source_jaccard": setops.SOURCE_JACCARD_ORACLE_SQL,

@@ -1613,3 +1613,101 @@ SELECT user_id, n_events, n_active_min,
        1000 * n_events // n_active_min > {_BOT_RATE_MILLI} AS is_bot
 FROM u ORDER BY user_id
 """
+
+
+# --- cohort LTV curves -----------------------------------------------------------------
+
+
+def cohort_ltv(ds: "ray.data.Dataset", user_col: str, ts_col: str,
+               amt_col: str, num_partitions: int | None = None
+               ) -> "ray.data.Dataset":
+    """Cohort lifetime-value curves: users cohort by the calendar
+    month of their FIRST purchase; every later purchase lands in the
+    (cohort, age-in-months) cell; the curve is the running cumulative
+    revenue per cohort — exact integer cents end to end.
+    -> (cohort_month, age_months, n_orders, rev_cents,
+    cum_rev_cents), cohort_month = year·100 + month.
+
+    Shape: ONE hash(user) exchange (the cohort assignment needs each
+    user's rows together — the attribution_linear discipline), per-
+    partition vectorized cell partials, and the months²-bounded cell
+    table cumsums driver-side."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        mon = pc.add(pc.multiply(pc.cast(pc.year(ts), pa.int64()),
+                                 12),
+                     pc.cast(pc.month(ts), pa.int64()))
+        out = pa.Table.from_pydict({
+            "user": t.column(user_col),
+            "mon": mon,
+            "cents": pc.cast(pc.round(pc.multiply(
+                t.column(amt_col), 100.0)), pa.int64())})
+        h = pd.util.hash_pandas_object(
+            out.column("user").to_pandas(), index=False).to_numpy()
+        return out.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(c0=g.groupby("user")["mon"].transform("min"))
+        g["age"] = g["mon"] - g["c0"]
+        out = g.groupby(["c0", "age"], as_index=False).agg(
+            n_orders=("cents", "size"), rev_cents=("cents", "sum"))
+        return out
+
+    tab = pd.concat(
+        b.to_pandas() for b in ds.map_batches(
+            route, batch_format="pyarrow")
+        .groupby("pid").map_groups(cells, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby(["c0", "age"], as_index=False)[
+            ["n_orders", "rev_cents"]].sum() \
+        .sort_values(["c0", "age"])
+    tab["cum"] = tab.groupby("c0")["rev_cents"].cumsum()
+    cm = tab["c0"].to_numpy(np.int64)
+    cohort = ((cm - 1) // 12) * 100 + ((cm - 1) % 12 + 1)
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "cohort_month": pa.array(cohort, pa.int64()),
+        "age_months": pa.array(tab["age"].to_numpy(np.int64)),
+        "n_orders": pa.array(tab["n_orders"].to_numpy(np.int64)),
+        "rev_cents": pa.array(tab["rev_cents"].to_numpy(np.int64)),
+        "cum_rev_cents": pa.array(tab["cum"].to_numpy(np.int64))}))
+
+
+def cohort_ltv_query(sf_dir: str):
+    from rdf_mapper_ray.ops.readers import read_table
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderdate",
+                             "o_totalprice"])
+    return cohort_ltv(ds, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+COHORT_LTV_ORACLE_SQL = """
+WITH o AS (
+  SELECT o_custkey AS u,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mon,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+c AS (SELECT u, mon, cents, MIN(mon) OVER (PARTITION BY u) AS c0
+      FROM o),
+cells AS (
+  SELECT c0, mon - c0 AS age,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS rev_cents
+  FROM c GROUP BY c0, age
+)
+SELECT CAST(((c0 - 1) // 12) * 100 + ((c0 - 1) % 12 + 1) AS BIGINT)
+         AS cohort_month,
+       CAST(age AS BIGINT) AS age_months, n_orders, rev_cents,
+       CAST(SUM(rev_cents) OVER (PARTITION BY c0 ORDER BY age)
+            AS BIGINT) AS cum_rev_cents
+FROM cells ORDER BY cohort_month, age_months
+"""

@@ -427,3 +427,23 @@ class TestBotFlags:
                           "rate_milli"]].tolist() == [8, 2, 4000]
         assert bool(df.loc[1, "is_bot"]) is True
         assert bool(df.loc[2, "is_bot"]) is False
+
+
+class TestCohortLtv:
+    def test_planted(self, ray_session):
+        from rdf_mapper_ray.ops.sessions import cohort_ltv
+        ts = pd.to_datetime(["2024-01-15", "2024-02-20",
+                             "2024-03-01", "2024-02-01"])
+        t = pa.Table.from_pydict({
+            "u": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array(ts),
+            "amt": pa.array([10.0, 20.0, 30.0, 5.0])})
+        df = cohort_ltv(ray.data.from_arrow(t), "u", "ts", "amt") \
+            .to_pandas()
+        jan = df[df.cohort_month == 202401]
+        assert jan[["age_months", "rev_cents",
+                    "cum_rev_cents"]].values.tolist() == \
+            [[0, 1000, 1000], [1, 2000, 3000], [2, 3000, 6000]]
+        feb = df[df.cohort_month == 202402]
+        assert feb[["age_months", "cum_rev_cents"]].values.tolist() \
+            == [[0, 500]]

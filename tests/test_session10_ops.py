@@ -447,3 +447,21 @@ class TestCohortLtv:
         feb = df[df.cohort_month == 202402]
         assert feb[["age_months", "cum_rev_cents"]].values.tolist() \
             == [[0, 500]]
+
+
+class TestKendallMergeVenue:
+    def test_venue_equality_with_ties(self, ray_session):
+        from rdf_mapper_ray.ops.stats import (_kendall_counts_merge,
+                                              _kendall_counts_tile)
+        rng = np.random.RandomState(11)
+        for trial in range(6):
+            n = int(rng.randint(50, 400))
+            # heavy ties in both axes to exercise every tie class
+            x = rng.randint(0, 12, n).astype(np.int64)
+            y = rng.randint(0, 9, n).astype(np.int64)
+            assert _kendall_counts_merge(x, y) == \
+                _kendall_counts_tile(x, y), f"trial {trial}"
+        # degenerate: all tied
+        x = np.zeros(20, np.int64)
+        assert _kendall_counts_merge(x, x) == \
+            _kendall_counts_tile(x, x)

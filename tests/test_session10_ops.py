@@ -465,3 +465,16 @@ class TestKendallMergeVenue:
         x = np.zeros(20, np.int64)
         assert _kendall_counts_merge(x, x) == \
             _kendall_counts_tile(x, x)
+
+
+class TestDensestVenues:
+    def test_broadcast_equals_copartition(self, ray_session):
+        from rdf_mapper_ray.ops.graphs import densest_subgraph
+        pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 5),
+                 (5, 6), (0, 3), (1, 3)]
+        e = _edges_ds(pairs)
+        d1 = densest_subgraph(e, venue="broadcast").to_pandas()
+        d2 = densest_subgraph(e, venue="copartition").to_pandas()
+        pd.testing.assert_frame_equal(d1, d2)
+        # the K4-ish core {0,1,2,3} is denser than the tail
+        assert bool(d1["is_best"].any())

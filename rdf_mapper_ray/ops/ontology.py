@@ -1046,3 +1046,91 @@ SELECT namespace, CAST(COUNT(*) AS BIGINT) AS n_triples,
        CAST(COUNT(DISTINCT subject) AS BIGINT) AS n_subjects
 FROM n GROUP BY namespace ORDER BY namespace
 """
+
+
+# --- KG-embedding negative sampling (triple corruption) -------------------------------------
+
+
+def kg_negatives(triples: "ray.data.Dataset", predicate: str
+                 ) -> "ray.data.Dataset":
+    """TransE-style negative sampling for KG-embedding training
+    (Bordes et al., NeurIPS 2013): every (s, p, o) triple of the
+    target predicate gets a corrupted object o' drawn
+    DETERMINISTICALLY from the predicate's object vocabulary —
+    ``o' = objects[md5_64(s) % |objects|]`` (portable, replayable,
+    reshuffling-proof) — plus the collision flag marking corruptions
+    that accidentally reproduce a true triple (the filtered-negatives
+    discipline). The target predicate must be FUNCTIONAL (one object
+    per subject — asserted), so the collision test is an equality
+    against the row's own object; for non-functional predicates the
+    stated venue is a broadcast/bloom membership probe of the
+    (s, o) pair set. -> (subject, object_value, neg_object,
+    collides).
+
+    Shape: the object vocabulary is predicate-bounded (broadcast as a
+    sorted array); the corruption itself is map-only, zero
+    exchanges."""
+    import pyarrow.compute as pc
+
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    def only_pred(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("predicate"), predicate)) \
+            .select(["subject", "object_value"])
+
+    pred_rows = triples.map_batches(
+        only_pred, batch_format="pyarrow").materialize()
+    objs = sorted(set(
+        v for b in pred_rows.iter_batches(batch_format="pyarrow")
+        for v in b.column("object_value").to_pylist()))
+    n_obj = len(objs)
+    vocab = np.array(objs, dtype=object)
+    ref = ray.put(vocab)
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        v = ray.get(ref)
+        subj = t.column("subject").to_pylist()
+        h = hash64(subj, "md5") % np.uint64(n_obj)
+        neg = v[h.astype(np.int64)]
+        obj = t.column("object_value").to_pandas().to_numpy(object)
+        return pa.Table.from_pydict({
+            "subject": t.column("subject"),
+            "object_value": t.column("object_value"),
+            "neg_object": pa.array(list(neg), pa.string()),
+            "collides": pa.array((neg == obj)),
+        })
+
+    return pred_rows.map_batches(corrupt, batch_format="pyarrow")
+
+
+def kg_negatives_query(sf_dir: str):
+    """Corrupt the customer graph's functional ex:nation edges."""
+    from rdf_mapper_ray.pipelines.relational import \
+        _customer_graph_cached
+    return kg_negatives(_customer_graph_cached(sf_dir),
+                        f"{_EX}nation")
+
+
+def kg_negatives_oracle_sql() -> str:
+    from rdf_mapper_ray.ops.hashing import MD5_HASH64_SQL
+    h = MD5_HASH64_SQL.format(col="subject")
+    return f"""
+WITH trip AS (
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR)
+           AS subject,
+         'http://example.org/nation/' || CAST(c_nationkey AS VARCHAR)
+           AS object_value
+  FROM customer
+),
+vocab AS (
+  SELECT object_value AS o,
+         row_number() OVER (ORDER BY object_value) - 1 AS idx
+  FROM (SELECT DISTINCT object_value FROM trip)
+),
+n AS (SELECT COUNT(*) AS n FROM vocab)
+SELECT t.subject, t.object_value, v.o AS neg_object,
+       v.o = t.object_value AS collides
+FROM trip t
+JOIN vocab v ON v.idx = CAST({h} % (SELECT n FROM n) AS BIGINT)
+ORDER BY t.subject
+"""

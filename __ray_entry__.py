@@ -95,7 +95,7 @@ _NEXT_UP = [
     "readability", "landmark_dist", "simrank", "char_sets",
     "bpe_fertility", "kaplan_meier", "dup_txn", "ns_mining",
     "fd_audit", "attribution_linear", "bot_flags", "cohort_ltv",
-    "kg_negatives",
+    "kg_negatives", "encoding_plan",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -627,6 +627,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_audit": diff.fd_audit_query,
         # TransE-style deterministic triple-corruption negatives
         "kg_negatives": ontology.kg_negatives_query,
+        # storage-encoding advisor (exact NDV, dict/plain rule)
+        "encoding_plan": __import__("rdf_mapper_ray.ops.io",
+            fromlist=["io"]).encoding_plan_query,
         # BPE tokens per word by language (tokenizer health metric)
         "bpe_fertility": bpe.bpe_fertility_query,
         "pagerank_weighted": graphs.pagerank_weighted_query,
@@ -973,6 +976,8 @@ def oracle_sql() -> dict[str, str]:
         "bot_flags": sessions.BOT_FLAGS_ORACLE_SQL,
         "cohort_ltv": sessions.COHORT_LTV_ORACLE_SQL,
         "kg_negatives": ontology.kg_negatives_oracle_sql(),
+        "encoding_plan": __import__("rdf_mapper_ray.ops.io",
+            fromlist=["io"]).ENCODING_PLAN_ORACLE_SQL,
         "pagerank_weighted": graphs.pagerank_weighted_oracle_sql(),
         "rolling_median": timeseries.ROLLING_MEDIAN_ORACLE_SQL,
         "source_jaccard": setops.SOURCE_JACCARD_ORACLE_SQL,

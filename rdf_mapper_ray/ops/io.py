@@ -23,6 +23,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data
@@ -350,3 +351,90 @@ SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
          AS curriculum_rank
 FROM d ORDER BY curriculum_rank
 """
+
+
+# --- column encoding advisor -----------------------------------------------------------
+
+
+def encoding_plan(ds: "ray.data.Dataset", columns: list[str],
+                  num_partitions: int | None = None
+                  ) -> "ray.data.Dataset":
+    """Storage-encoding advisor — the writer-side planning pass a
+    100-TB parquet layout runs per column: exact NDV per column,
+    the permille cardinality ratio (trunc-div), and the suggested
+    encoding (``dict`` when ndv/n ≤ 10%, else ``plain`` — the
+    parquet dictionary-page rule of thumb).
+    -> (column, n_rows, ndv, ndv_permille, encoding).
+
+    Shape: per-batch per-column local distincts UNPIVOT to
+    (column, value) pairs — already shrunk before anything moves —
+    ONE hash(value) exchange dedupes globally, per-column cells sum
+    driver-side. Routing by value (not column) keeps a hot column
+    from pinning one task."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    import pandas as pd
+
+    def shred(t: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for c in columns:
+            u = pc.unique(t.column(c)).cast(pa.string())
+            cols.append(np.full(len(u), c, object))
+            vals.append(u.to_pandas().to_numpy(object))
+        out = pd.DataFrame({
+            "col": np.concatenate(cols),
+            "val": np.concatenate(vals)})
+        h = pd.util.hash_pandas_object(out["col"] + "\x1f"
+                                       + out["val"].astype(str),
+                                       index=False).to_numpy()
+        out["pid"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def dedupe(g: "pd.DataFrame") -> "pd.DataFrame":
+        d = g.drop_duplicates(["col", "val"])
+        return d.groupby("col", as_index=False).agg(
+            ndv=("val", "size"))
+
+    cells = pd.concat(
+        b.to_pandas() for b in ds.map_batches(
+            shred, batch_format="pyarrow")
+        .groupby("pid").map_groups(dedupe, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby("col", as_index=False)["ndv"].sum()
+    n = ds.count()
+    cells = cells.sort_values("col")
+    ndv = cells["ndv"].to_numpy(np.int64)
+    permille = 1000 * ndv // max(n, 1)
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "column": pa.array(cells["col"], pa.string()),
+        "n_rows": pa.array(np.full(len(ndv), n, np.int64)),
+        "ndv": pa.array(ndv),
+        "ndv_permille": pa.array(permille.astype(np.int64)),
+        "encoding": pa.array(
+            np.where(permille <= 100, "dict", "plain"))}))
+
+
+def encoding_plan_query(sf_dir: str):
+    from rdf_mapper_ray.ops.readers import read_table
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority"]
+    return encoding_plan(read_table(sf_dir, "orders", columns=cols),
+                         cols)
+
+
+_ENC_ONE = """
+SELECT '{c}' AS "column",
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+       CAST(1000 * COUNT(DISTINCT {c}) // COUNT(*) AS BIGINT)
+         AS ndv_permille,
+       CASE WHEN 1000 * COUNT(DISTINCT {c}) // COUNT(*) <= 100
+            THEN 'dict' ELSE 'plain' END AS encoding
+FROM orders
+"""
+
+ENCODING_PLAN_ORACLE_SQL = " UNION ALL ".join(
+    _ENC_ONE.format(c=c) for c in
+    ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"])

@@ -95,7 +95,7 @@ _NEXT_UP = [
     "readability", "landmark_dist", "simrank", "char_sets",
     "bpe_fertility", "kaplan_meier", "dup_txn", "ns_mining",
     "fd_audit", "attribution_linear", "bot_flags", "cohort_ltv",
-    "kg_negatives", "encoding_plan",
+    "kg_negatives", "encoding_plan", "edge_cut",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -569,6 +569,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "landmark_dist": graphs.landmark_dist_query,
         # SimRank structural similarity (milli fixed-point, 2 rounds)
         "simrank": graphs.simrank_query,
+        # hash-partition edge-cut audit (co-partition venue pricing)
+        "edge_cut": graphs.edge_cut_query,
         "holt": timeseries.holt_query,
         "zipf_fit": topk.zipf_fit_query,
         "rdfs_entail": ontology.rdfs_entail_query,
@@ -937,6 +939,7 @@ def oracle_sql() -> dict[str, str]:
         "distance_hist": graphs.distance_hist_oracle_sql(),
         "landmark_dist": graphs.landmark_dist_oracle_sql(),
         "simrank": graphs.simrank_oracle_sql(),
+        "edge_cut": graphs.edge_cut_oracle_sql(),
         "holt": timeseries.HOLT_ORACLE_SQL,
         "zipf_fit": topk.zipf_fit_oracle_sql(),
         "rdfs_entail": ontology.RDFS_ENTAIL_ORACLE_SQL,

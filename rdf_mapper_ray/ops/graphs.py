@@ -6371,3 +6371,71 @@ s{t} AS MATERIALIZED (
 SELECT i, j, CAST(s AS BIGINT) AS s_milli
 FROM s{iters} WHERE i < j ORDER BY i, j
 """)
+
+
+# --- hash-partition edge-cut audit ----------------------------------------------------------
+
+
+def edge_cut(edges: "ray.data.Dataset", k: int = 8
+             ) -> "ray.data.Dataset":
+    """Edge-cut audit of hash partitioning: the fraction of edges
+    whose endpoints hash to different of k partitions — the number
+    that prices every co-partition graph venue in this repo (a cut
+    edge is a message that crosses the wire each round; random
+    hashing cuts ≈ (k−1)/k, and beating it is what a smart
+    partitioner is FOR). Portable md5 node hashing so the SQL oracle
+    replays the assignment bit-for-bit.
+    -> (k, n_edges, n_cut, cut_permille). Map-only, zero exchanges."""
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        pa_ = hash64([str(x) for x in a], "md5") % np.uint64(k)
+        pb_ = hash64([str(x) for x in b], "md5") % np.uint64(k)
+        cut = int((pa_ != pb_).sum())
+        return pa.Table.from_pydict({
+            "n_edges": pa.array([len(a)], pa.int64()),
+            "n_cut": pa.array([cut], pa.int64())})
+
+    cells = pd.concat(
+        b.to_pandas() for b in edges.map_batches(
+            partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    n, c = int(cells["n_edges"].sum()), int(cells["n_cut"].sum())
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "k": pa.array([k], pa.int64()),
+        "n_edges": pa.array([n], pa.int64()),
+        "n_cut": pa.array([c], pa.int64()),
+        "cut_permille": pa.array([1000 * c // max(n, 1)],
+                                 pa.int64())}))
+
+
+def edge_cut_query(sf_dir: str, k: int = 8):
+    """Edge-cut of md5-hash partitioning on the part–supplier graph
+    (bipartite: endpoints always differ, so the cut reads the raw
+    hash-collision rate ≈ (k−1)/k — the honest baseline a custom
+    partitioner must beat)."""
+    return edge_cut(partsupp_edges(sf_dir), k=k)
+
+
+def edge_cut_oracle_sql(k: int = 8) -> str:
+    from rdf_mapper_ray.ops.hashing import MD5_HASH64_SQL
+    ha = MD5_HASH64_SQL.format(col="CAST(a AS VARCHAR)")
+    hb = MD5_HASH64_SQL.format(col="CAST(b AS VARCHAR)")
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem WHERE l_partkey <= {PR_PART_CAP}
+),
+c AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN {ha} % {k} <> {hb} % {k}
+             THEN 1 ELSE 0 END) AS cut
+  FROM e0
+)
+SELECT CAST({k} AS BIGINT) AS k, CAST(n AS BIGINT) AS n_edges,
+       CAST(cut AS BIGINT) AS n_cut,
+       CAST(1000 * cut // GREATEST(n, 1) AS BIGINT) AS cut_permille
+FROM c
+"""

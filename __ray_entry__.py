@@ -95,7 +95,7 @@ _NEXT_UP = [
     "readability", "landmark_dist", "simrank", "char_sets",
     "bpe_fertility", "kaplan_meier", "dup_txn", "ns_mining",
     "fd_audit", "attribution_linear", "bot_flags", "cohort_ltv",
-    "kg_negatives", "encoding_plan", "edge_cut",
+    "kg_negatives", "encoding_plan", "edge_cut", "lsh_tradeoff",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -632,6 +632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # storage-encoding advisor (exact NDV, dict/plain rule)
         "encoding_plan": __import__("rdf_mapper_ray.ops.io",
             fromlist=["io"]).encoding_plan_query,
+        # LSH banding sweep: S-curve threshold vs measured candidates
+        "lsh_tradeoff": dedup.lsh_tradeoff_query,
         # BPE tokens per word by language (tokenizer health metric)
         "bpe_fertility": bpe.bpe_fertility_query,
         "pagerank_weighted": graphs.pagerank_weighted_query,
@@ -940,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "landmark_dist": graphs.landmark_dist_oracle_sql(),
         "simrank": graphs.simrank_oracle_sql(),
         "edge_cut": graphs.edge_cut_oracle_sql(),
+        "lsh_tradeoff": dedup.lsh_tradeoff_oracle_sql(),
         "holt": timeseries.HOLT_ORACLE_SQL,
         "zipf_fit": topk.zipf_fit_oracle_sql(),
         "rdfs_entail": ontology.RDFS_ENTAIL_ORACLE_SQL,

@@ -1731,3 +1731,106 @@ SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
          AS dup_rate_milli
 FROM d GROUP BY source ORDER BY source
 """
+
+
+# --- LSH banding parameter-sweep audit ------------------------------------------------------
+
+
+_LSH_SWEEP_CONFIGS = [32, 16, 8]  # bands over the 128-perm signature
+
+
+def lsh_tradeoff(ds: "ray.data.Dataset", text_col: str = "text",
+                 id_col: str = "doc_id", num_perm: int = 128,
+                 shingle_k: int = 5, seed: int = 42,
+                 configs: list[int] | None = None
+                 ) -> "ray.data.Dataset":
+    """LSH banding parameter sweep — the recall/cost design table a
+    dedup pipeline reads before committing to a (bands, rows) choice:
+    for each banding of the SAME 128-perm minhash signature, the
+    theoretical S-curve threshold ``(1/b)^(1/r)`` (the similarity at
+    which collision probability hits ~50%, Leskovec-Rajaraman-Ullman
+    ch.3) and the MEASURED distinct candidate-pair count. More bands
+    ⇒ lower threshold ⇒ more candidates to verify — this table
+    quantifies that cliff on the actual corpus.
+    -> (num_bands, rows_per_band, threshold_milli, n_cand_pairs).
+
+    Shape: ONE signature pass (md5-portable), re-banded per config
+    with the same light 24-byte band fan-out; the distinct pair
+    count routes pair rows by pair hash (drop-dup per partition,
+    partition-count-sized partials to the driver)."""
+    import math
+
+    configs = configs or _LSH_SWEEP_CONFIGS
+    num_partitions = _num_partitions(ds.count())
+    sigs = ds.map_batches(
+        MinHashSignatures(text_col, id_col, num_perm, shingle_k,
+                          seed, "md5"),
+        batch_format="pyarrow", concurrency=None).materialize()
+
+    rows = []
+    for nb in configs:
+        banded = sigs.map_batches(BandEmitter(nb, id_col),
+                                  batch_format="pyarrow")
+
+        def add_pid(batch: pa.Table) -> pa.Table:
+            band = batch.column("band") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            bucket = batch.column("bucket") \
+                .to_numpy(zero_copy_only=False)
+            pid = (bucket ^ band) % num_partitions
+            return batch.append_column(
+                "pid", pa.array(pid, type=pa.int64()))
+
+        def pair_pid(t: pa.Table) -> pa.Table:
+            li = t.column("left_id").to_numpy(zero_copy_only=False)
+            ri = t.column("right_id").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "pid", pa.array((li * 1_000_003 + ri)
+                                % np.int64(num_partitions)))
+
+        def distinct_count(g: pd.DataFrame) -> pd.DataFrame:
+            d = g.drop_duplicates(["left_id", "right_id"])
+            return pd.DataFrame({"n": [np.int64(len(d))]})
+
+        parts = banded.map_batches(add_pid, batch_format="pyarrow") \
+            .groupby("pid") \
+            .map_groups(lambda g: _candidate_pairs_from_partition(
+                g, id_col), batch_format="pandas") \
+            .map_batches(pair_pid, batch_format="pyarrow") \
+            .groupby("pid").map_groups(distinct_count,
+                                       batch_format="pandas") \
+            .to_pandas()
+        r = num_perm // nb
+        thr = math.floor(1000.0 * (1.0 / nb) ** (1.0 / r) + 0.5)
+        rows.append((nb, r, thr, int(parts["n"].sum())))
+
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "num_bands": pa.array([x[0] for x in rows], pa.int64()),
+        "rows_per_band": pa.array([x[1] for x in rows], pa.int64()),
+        "threshold_milli": pa.array([x[2] for x in rows], pa.int64()),
+        "n_cand_pairs": pa.array([x[3] for x in rows], pa.int64())}))
+
+
+def lsh_tradeoff_query(sf_dir: str):
+    from rdf_mapper_ray.ops.readers import read_table
+    return lsh_tradeoff(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def lsh_tradeoff_oracle_sql(num_perm: int = 128, shingle_k: int = 5,
+                            seed: int = 42,
+                            configs: list[int] | None = None) -> str:
+    configs = configs or _LSH_SWEEP_CONFIGS
+    parts = []
+    for nb in configs:
+        r = num_perm // nb
+        ctes = _minhash_cands_ctes(num_perm, nb, shingle_k, seed)
+        parts.append(f"""
+SELECT CAST({nb} AS BIGINT) AS num_bands,
+       CAST({r} AS BIGINT) AS rows_per_band,
+       CAST(floor(1000.0 * power(1.0 / {nb}, 1.0 / {r}) + 0.5)
+            AS BIGINT) AS threshold_milli,
+       CAST((SELECT COUNT(*) FROM (WITH {ctes}
+             SELECT DISTINCT l, r FROM cands)) AS BIGINT)
+         AS n_cand_pairs""")
+    return " UNION ALL ".join(parts)

@@ -478,3 +478,39 @@ class TestDensestVenues:
         pd.testing.assert_frame_equal(d1, d2)
         # the K4-ish core {0,1,2,3} is denser than the tail
         assert bool(d1["is_best"].any())
+
+
+class TestKgNegatives:
+    def test_deterministic_and_flagged(self, ray_session):
+        from rdf_mapper_ray.ops.ontology import kg_negatives
+        rows = [
+            ("s1", "p", "o1", None), ("s2", "p", "o2", None),
+            ("s3", "p", "o1", None), ("s1", "q", "zzz", None),
+        ]
+        df = kg_negatives(_triples_ds(rows), "p").to_pandas()
+        assert len(df) == 3                       # q rows excluded
+        # vocabulary is {o1, o2}; corruption is a pure function of
+        # the subject, so a rerun is identical
+        df2 = kg_negatives(_triples_ds(rows), "p").to_pandas()
+        pd.testing.assert_frame_equal(
+            df.sort_values("subject").reset_index(drop=True),
+            df2.sort_values("subject").reset_index(drop=True))
+        assert set(df["neg_object"]) <= {"o1", "o2"}
+        assert (df["collides"] ==
+                (df["neg_object"] == df["object_value"])).all()
+
+
+class TestEncodingPlan:
+    def test_rule(self, ray_session):
+        from rdf_mapper_ray.ops.io import encoding_plan
+        n = 100
+        t = pa.Table.from_pydict({
+            "k": pa.array(np.arange(n), pa.int64()),
+            "cat": pa.array((["a", "b"] * (n // 2))),
+        })
+        df = encoding_plan(ray.data.from_arrow(t), ["k", "cat"]) \
+            .to_pandas().set_index("column")
+        assert df.loc["k", "ndv"] == n
+        assert df.loc["k", "encoding"] == "plain"
+        assert df.loc["cat", "ndv"] == 2
+        assert df.loc["cat", "encoding"] == "dict"

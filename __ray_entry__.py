@@ -96,6 +96,7 @@ _NEXT_UP = [
     "bpe_fertility", "kaplan_meier", "dup_txn", "ns_mining",
     "fd_audit", "attribution_linear", "bot_flags", "cohort_ltv",
     "kg_negatives", "encoding_plan", "edge_cut", "lsh_tradeoff",
+    "lang_id_report",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -617,6 +618,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonality": timeseries.seasonality_query,
         # Flesch reading ease (trunc-div milli, RE2 heuristic counts)
         "readability": text.readability_query,
+        # lang_id evaluated against the labeled lang column
+        "lang_id_report": text.lang_id_report_query,
         "lpa_modularity": graphs.lpa_modularity_query,
         "shacl_cardinality": ontology.shacl_cardinality_query,
         "shacl_datatype": ontology.shacl_datatype_query,
@@ -943,6 +946,7 @@ def oracle_sql() -> dict[str, str]:
         "simrank": graphs.simrank_oracle_sql(),
         "edge_cut": graphs.edge_cut_oracle_sql(),
         "lsh_tradeoff": dedup.lsh_tradeoff_oracle_sql(),
+        "lang_id_report": text.lang_id_report_oracle_sql(),
         "holt": timeseries.HOLT_ORACLE_SQL,
         "zipf_fit": topk.zipf_fit_oracle_sql(),
         "rdfs_entail": ontology.RDFS_ENTAIL_ORACLE_SQL,

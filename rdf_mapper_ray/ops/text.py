@@ -929,3 +929,68 @@ SELECT doc_id, CAST(w AS BIGINT) AS n_words,
          AS flesch_milli
 FROM c ORDER BY doc_id
 """
+
+
+# --- language-ID evaluation against the labeled corpus ----------------------------------
+
+
+def lang_id_report_query(sf_dir: str):
+    """Per-class precision/recall/F1 of the trigram language
+    identifier against the corpus's labeled ``lang`` column — the
+    same class_report evaluator the NB holdout uses, pointed at a
+    second classifier (eval machinery is classifier-agnostic by
+    construction). Predictions meet the column-pruned label table in
+    the shared equi_join (doc-keyed 1:1, venue-dispatched)."""
+    from rdf_mapper_ray.ops.nbayes import class_report
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "lang"])
+    preds = lang_id(ds)
+    # doc-keyed 1:1: co-partition merge by hash(doc_id)
+    from rdf_mapper_ray.ops.joins import equi_join
+    lab = ds.map_batches(
+        lambda t: t.select(["doc_id", "lang"]),
+        batch_format="pyarrow")
+    joined = equi_join(preds, lab, "doc_id", "doc_id")
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "label": t.column("lang"),
+            "pred": t.column("predicted_lang")})
+
+    return class_report(
+        joined.map_batches(shape, batch_format="pyarrow"))
+
+
+def lang_id_report_oracle_sql() -> str:
+    from rdf_mapper_ray.ops.nbayes import class_report_oracle_sql
+    base = f"""
+WITH preds AS ({LANG_ID_ORACLE_SQL}),
+j AS (
+  SELECT d.lang AS label, p.predicted_lang AS pred
+  FROM documents d JOIN preds p USING (doc_id)
+),
+cm AS (SELECT label, pred, COUNT(*) AS c FROM j GROUP BY label, pred),
+cls AS (SELECT DISTINCT label AS cls FROM j
+        UNION SELECT DISTINCT pred FROM j),
+per AS (
+  SELECT cls,
+    COALESCE((SELECT SUM(c) FROM cm
+              WHERE label = cls AND pred = cls), 0) AS tp,
+    COALESCE((SELECT SUM(c) FROM cm
+              WHERE pred = cls AND label <> cls), 0) AS fp,
+    COALESCE((SELECT SUM(c) FROM cm
+              WHERE label = cls AND pred <> cls), 0) AS fn
+  FROM cls)
+SELECT cls AS label, CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       CAST(CASE WHEN tp + fp = 0 THEN 0
+            ELSE 1000 * tp // (tp + fp) END AS BIGINT) AS prec_milli,
+       CAST(CASE WHEN tp + fn = 0 THEN 0
+            ELSE 1000 * tp // (tp + fn) END AS BIGINT) AS rec_milli,
+       CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+            ELSE 2000 * tp // (2 * tp + fp + fn) END AS BIGINT)
+         AS f1_milli
+FROM per ORDER BY label
+"""
+    return base

@@ -96,7 +96,7 @@ _NEXT_UP = [
     "bpe_fertility", "kaplan_meier", "dup_txn", "ns_mining",
     "fd_audit", "attribution_linear", "bot_flags", "cohort_ltv",
     "kg_negatives", "encoding_plan", "edge_cut", "lsh_tradeoff",
-    "lang_id_report",
+    "lang_id_report", "sketch_calibration",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -637,6 +637,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["io"]).encoding_plan_query,
         # LSH banding sweep: S-curve threshold vs measured candidates
         "lsh_tradeoff": dedup.lsh_tradeoff_query,
+        # minhash est vs exact-Jaccard error histogram
+        "sketch_calibration": dedup.sketch_calibration_query,
         # BPE tokens per word by language (tokenizer health metric)
         "bpe_fertility": bpe.bpe_fertility_query,
         "pagerank_weighted": graphs.pagerank_weighted_query,
@@ -947,6 +949,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_cut": graphs.edge_cut_oracle_sql(),
         "lsh_tradeoff": dedup.lsh_tradeoff_oracle_sql(),
         "lang_id_report": text.lang_id_report_oracle_sql(),
+        "sketch_calibration": dedup.sketch_calibration_oracle_sql(),
         "holt": timeseries.HOLT_ORACLE_SQL,
         "zipf_fit": topk.zipf_fit_oracle_sql(),
         "rdfs_entail": ontology.RDFS_ENTAIL_ORACLE_SQL,

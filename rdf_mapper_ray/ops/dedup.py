@@ -1834,3 +1834,90 @@ SELECT CAST({nb} AS BIGINT) AS num_bands,
              SELECT DISTINCT l, r FROM cands)) AS BIGINT)
          AS n_cand_pairs""")
     return " UNION ALL ".join(parts)
+
+
+# --- minhash estimator calibration audit ----------------------------------------------------
+
+
+def sketch_calibration(ds: "ray.data.Dataset",
+                       text_col: str = "text",
+                       id_col: str = "doc_id"
+                       ) -> "ray.data.Dataset":
+    """Sketch-quality calibration: join the minhash ESTIMATES
+    (128-perm signature agreement, the md5-portable venue) with the
+    EXACT shingle-Jaccard of the same 5-word-shingle universe on the
+    pairs both passes surface, and histogram the absolute estimation
+    error in centi buckets — the empirical check that the sketch's
+    ±1/√128 ≈ ±0.09 theoretical band actually holds on this corpus.
+    Both similarity values are exact IEEE doubles (dyadic matches/128
+    and an int/int division), so the error bucket replays in SQL
+    bit-for-bit. -> (err_centi, n_pairs).
+
+    Shape: the two existing pair pipelines run unchanged; pairs meet
+    in the shared equi_join on a packed 64-bit pair key
+    (co-partition venue above broadcast scale), and the ≤100-cell
+    histogram sums driver-side."""
+    import pandas as pd
+
+    from rdf_mapper_ray.ops.joins import equi_join
+
+    mh = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col,
+                           hash_fn="md5")
+    ng = ngram_jaccard_exact(ds, text_col=text_col, id_col=id_col,
+                             threshold=0.5)
+
+    def pack(est_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            li = t.column("left_id").to_numpy(zero_copy_only=False)
+            ri = t.column("right_id").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict({
+                "pair": pa.array((li << 32) | ri, pa.int64()),
+                est_col: t.column(est_col)})
+        return f
+
+    joined = equi_join(mh.map_batches(pack("est_jaccard"),
+                                      batch_format="pyarrow"),
+                       ng.map_batches(pack("jaccard"),
+                                      batch_format="pyarrow"),
+                       "pair", "pair")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        est = t.column("est_jaccard").to_numpy(zero_copy_only=False)
+        tru = t.column("jaccard").to_numpy(zero_copy_only=False)
+        b = np.floor(np.abs(est - tru) * 100.0).astype(np.int64)
+        v, c = np.unique(b, return_counts=True)
+        return pa.Table.from_pydict({
+            "err_centi": pa.array(v),
+            "n": pa.array(c.astype(np.int64))})
+
+    cells = pd.concat(
+        b.to_pandas() for b in joined.map_batches(
+            bucket, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby("err_centi", as_index=False)["n"].sum() \
+        .sort_values("err_centi")
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "err_centi": pa.array(cells["err_centi"]
+                              .to_numpy(np.int64)),
+        "n_pairs": pa.array(cells["n"].to_numpy(np.int64))}))
+
+
+def sketch_calibration_query(sf_dir: str):
+    from rdf_mapper_ray.ops.readers import read_table
+    return sketch_calibration(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def sketch_calibration_oracle_sql() -> str:
+    return f"""
+WITH mh AS ({minhash_oracle_sql()}),
+ng AS ({NGRAM_JACCARD_ORACLE_SQL}),
+j AS (
+  SELECT m.est_jaccard, n.jaccard
+  FROM mh m JOIN ng n USING (left_id, right_id)
+)
+SELECT CAST(floor(abs(est_jaccard - jaccard) * 100) AS BIGINT)
+         AS err_centi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY err_centi ORDER BY err_centi
+"""

@@ -96,7 +96,7 @@ _NEXT_UP = [
     "bpe_fertility", "kaplan_meier", "dup_txn", "ns_mining",
     "fd_audit", "attribution_linear", "bot_flags", "cohort_ltv",
     "kg_negatives", "encoding_plan", "edge_cut", "lsh_tradeoff",
-    "lang_id_report", "sketch_calibration",
+    "lang_id_report", "sketch_calibration", "kg_release",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -632,6 +632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_audit": diff.fd_audit_query,
         # TransE-style deterministic triple-corruption negatives
         "kg_negatives": ontology.kg_negatives_query,
+        # release-gate composition: 4 audits over ONE cached graph
+        "kg_release": ontology.kg_release_query,
         # storage-encoding advisor (exact NDV, dict/plain rule)
         "encoding_plan": __import__("rdf_mapper_ray.ops.io",
             fromlist=["io"]).encoding_plan_query,
@@ -950,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_tradeoff": dedup.lsh_tradeoff_oracle_sql(),
         "lang_id_report": text.lang_id_report_oracle_sql(),
         "sketch_calibration": dedup.sketch_calibration_oracle_sql(),
+        "kg_release": ontology.KG_RELEASE_ORACLE_SQL,
         "holt": timeseries.HOLT_ORACLE_SQL,
         "zipf_fit": topk.zipf_fit_oracle_sql(),
         "rdfs_entail": ontology.RDFS_ENTAIL_ORACLE_SQL,

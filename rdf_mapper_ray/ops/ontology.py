@@ -1134,3 +1134,98 @@ FROM trip t
 JOIN vocab v ON v.idx = CAST({h} % (SELECT n FROM n) AS BIGINT)
 ORDER BY t.subject
 """
+
+
+# --- KG release gate (composition) -----------------------------------------------------------
+
+
+def kg_release_query(sf_dir: str):
+    """Release-gate dashboard for the customer graph — the
+    composition a publisher runs before shipping a snapshot, four
+    audits over ONE cached extraction (the corpus_prep discipline:
+    chained ops, one oracle CTE chain): total triples, distinct
+    subjects, SHACL cardinality violations (the guard-sparse tier),
+    pattern violations (segment must start a–f), characteristic-set
+    count, and namespace count. -> one row.
+
+    Every number rides an op that is itself an oracle-checked query
+    (shacl_cardinality / shacl_datatype / characteristic_sets /
+    ns_mining); this entry checks their COMPOSITION end to end."""
+    from rdf_mapper_ray.pipelines.relational import _cust_graph
+
+    g = _cust_graph(sf_dir)
+    ex = "http://example.org/def/"
+
+    card = shacl_cardinality(
+        g, f"{ex}Customer",
+        [(f"{ex}name", 1, 1), (f"{ex}segment", 1, 1),
+         (f"{ex}tier", 1, 1)]).to_pandas()
+    dtv = shacl_datatype(
+        g, f"{ex}Customer",
+        [(f"{ex}segment", None, r"[a-f][a-z]*")]).to_pandas()
+    cs = characteristic_sets(g).to_pandas()
+    ns = ns_mining(g).to_pandas()
+
+    n_triples = int(ns["n_triples"].sum())
+    n_subjects = int(ns["n_subjects"].sum())
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "n_triples": pa.array([n_triples], pa.int64()),
+        "n_subjects": pa.array([n_subjects], pa.int64()),
+        "n_min_viol": pa.array([int(card["n_min_viol"].sum())],
+                               pa.int64()),
+        "n_pattern_viol": pa.array(
+            [int(dtv["n_pattern_viol"].sum())], pa.int64()),
+        "n_char_sets": pa.array([len(cs)], pa.int64()),
+        "n_namespaces": pa.array([len(ns)], pa.int64())}))
+
+
+KG_RELEASE_ORACLE_SQL = f"""
+WITH trip AS (
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR)
+           AS subject,
+         '{_RDF_TYPE}' AS predicate,
+         '{_EX}Customer' AS object_value
+  FROM customer
+  UNION ALL
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR),
+         '{_EX}name', c_name FROM customer
+  UNION ALL
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR),
+         '{_EX}segment', lower(c_mktsegment) FROM customer
+  UNION ALL
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR),
+         '{_EX}tier', replace(lower(c_mktsegment), ' ', '-')
+  FROM customer WHERE c_acctbal > 5000
+),
+ns AS (
+  SELECT COALESCE(regexp_extract(subject,
+             '^([a-z]+://[^/]+/[^/]+/[^/]+/)', 1), '') AS namespace,
+         subject
+  FROM trip
+),
+cs AS (
+  SELECT subject,
+         string_agg(DISTINCT predicate, '|' ORDER BY predicate)
+           AS pred_set
+  FROM trip GROUP BY subject
+),
+-- min-count violations: tier is the only sparse shape (guard)
+tier AS (
+  SELECT COUNT(*) AS missing FROM customer WHERE c_acctbal <= 5000
+),
+pat AS (
+  SELECT COUNT(*) AS v FROM trip
+  WHERE predicate = '{_EX}segment'
+    AND NOT regexp_full_match(COALESCE(object_value, ''),
+                              '[a-f][a-z]*')
+)
+SELECT CAST((SELECT COUNT(*) FROM trip) AS BIGINT) AS n_triples,
+       CAST((SELECT COUNT(DISTINCT subject) FROM trip) AS BIGINT)
+         AS n_subjects,
+       CAST((SELECT missing FROM tier) AS BIGINT) AS n_min_viol,
+       CAST((SELECT v FROM pat) AS BIGINT) AS n_pattern_viol,
+       CAST((SELECT COUNT(DISTINCT pred_set) FROM cs) AS BIGINT)
+         AS n_char_sets,
+       CAST((SELECT COUNT(DISTINCT namespace) FROM ns) AS BIGINT)
+         AS n_namespaces
+"""

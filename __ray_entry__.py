@@ -97,6 +97,7 @@ _NEXT_UP = [
     "fd_audit", "attribution_linear", "bot_flags", "cohort_ltv",
     "kg_negatives", "encoding_plan", "edge_cut", "lsh_tradeoff",
     "lang_id_report", "sketch_calibration", "kg_release",
+    "span_corruption",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -221,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": cleaning.split_leakage_query,
         "crosstab": rollup.crosstab_query,
         "chunk_text": packing.chunk_text_query,
+        # T5-style deterministic span corruption (seq2seq pairs)
+        "span_corruption": packing.span_corruption_query,
         "cdc_chunks": packing.cdc_chunks_query,
         # composition showcase: filter -> dedup -> decontaminate ->
         # split -> count, one CTE-chain oracle for the whole thing
@@ -953,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_report": text.lang_id_report_oracle_sql(),
         "sketch_calibration": dedup.sketch_calibration_oracle_sql(),
         "kg_release": ontology.KG_RELEASE_ORACLE_SQL,
+        "span_corruption": packing.span_corruption_oracle_sql(),
         "holt": timeseries.HOLT_ORACLE_SQL,
         "zipf_fit": topk.zipf_fit_oracle_sql(),
         "rdfs_entail": ontology.RDFS_ENTAIL_ORACLE_SQL,

@@ -340,3 +340,100 @@ SELECT doc_id, chunk_no, CAST(COUNT(*) AS BIGINT) AS n_words,
 FROM cid GROUP BY doc_id, chunk_no
 ORDER BY doc_id, chunk_no
 """
+
+
+# --- T5-style span corruption -----------------------------------------------------------
+
+
+def span_corruption(ds: "ray.data.Dataset", text_col: str = "text",
+                    id_col: str = "doc_id", mask_pct: int = 15
+                    ) -> "ray.data.Dataset":
+    """Deterministic span corruption (the T5 denoising objective,
+    Raffel et al., JMLR 2020, single-span variant): mask a contiguous
+    span of ``max(1, w·mask_pct//100)`` words whose start is the
+    portable ``md5_64(doc_id) % (w − L + 1)`` — a pure function of
+    the id, so the training pair is reproducible from any engine and
+    resumable mid-corpus. The input keeps a sentinel in the span's
+    place; the target is the masked text.
+    -> (doc_id, n_words, span_start, span_len, input_text,
+    target_text); docs with no words are skipped.
+
+    Map-only, zero shuffle; word splitting is the whitespace
+    convention shared with readability/fertility."""
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        texts = pc.fill_null(col, "").to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        h = hash64([str(i) for i in ids], "md5")
+        out = {"doc_id": [], "n_words": [], "span_start": [],
+               "span_len": [], "input_text": [], "target_text": []}
+        for did, txt, hv in zip(ids, texts, h):
+            words = [w for w in txt.split() if w]
+            w = len(words)
+            if w == 0:
+                continue
+            ln = max(1, w * mask_pct // 100)
+            start = int(hv % np.uint64(w - ln + 1))
+            tgt = " ".join(words[start:start + ln])
+            inp = " ".join(words[:start] + ["<extra_id_0>"]
+                           + words[start + ln:])
+            out["doc_id"].append(did)
+            out["n_words"].append(w)
+            out["span_start"].append(start)
+            out["span_len"].append(ln)
+            out["input_text"].append(inp)
+            out["target_text"].append(tgt)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_words": pa.array(out["n_words"], pa.int64()),
+            "span_start": pa.array(out["span_start"], pa.int64()),
+            "span_len": pa.array(out["span_len"], pa.int64()),
+            "input_text": pa.array(out["input_text"], pa.string()),
+            "target_text": pa.array(out["target_text"],
+                                    pa.string())})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def span_corruption_query(sf_dir: str):
+    from rdf_mapper_ray.ops.readers import read_table
+    return span_corruption(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def span_corruption_oracle_sql(mask_pct: int = 15) -> str:
+    from rdf_mapper_ray.ops.hashing import MD5_HASH64_SQL
+    h = MD5_HASH64_SQL.format(col="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+),
+p AS (
+  SELECT doc_id, words, len(words) AS nw,
+         GREATEST(1, len(words) * {mask_pct} // 100) AS ln
+  FROM w WHERE len(words) > 0
+),
+s AS (
+  SELECT doc_id, words, nw, ln,
+         CAST({h} % (nw - ln + 1) AS BIGINT) AS start
+  FROM p
+)
+SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+       start AS span_start, CAST(ln AS BIGINT) AS span_len,
+       array_to_string(
+         list_concat(list_concat(
+             list_slice(words, 1, start),
+             ['<extra_id_0>']),
+             list_slice(words, start + ln + 1, nw)), ' ')
+         AS input_text,
+       array_to_string(list_slice(words, start + 1, start + ln), ' ')
+         AS target_text
+FROM s ORDER BY doc_id
+"""

@@ -97,7 +97,7 @@ _NEXT_UP = [
     "fd_audit", "attribution_linear", "bot_flags", "cohort_ltv",
     "kg_negatives", "encoding_plan", "edge_cut", "lsh_tradeoff",
     "lang_id_report", "sketch_calibration", "kg_release",
-    "span_corruption",
+    "span_corruption", "contrastive_pairs",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -224,6 +224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_text": packing.chunk_text_query,
         # T5-style deterministic span corruption (seq2seq pairs)
         "span_corruption": packing.span_corruption_query,
+        # contrastive (anchor, positive, negative) triplets
+        "contrastive_pairs": cleaning.contrastive_pairs_query,
         "cdc_chunks": packing.cdc_chunks_query,
         # composition showcase: filter -> dedup -> decontaminate ->
         # split -> count, one CTE-chain oracle for the whole thing
@@ -957,6 +959,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_calibration": dedup.sketch_calibration_oracle_sql(),
         "kg_release": ontology.KG_RELEASE_ORACLE_SQL,
         "span_corruption": packing.span_corruption_oracle_sql(),
+        "contrastive_pairs": cleaning.contrastive_pairs_oracle_sql(),
         "holt": timeseries.HOLT_ORACLE_SQL,
         "zipf_fit": topk.zipf_fit_oracle_sql(),
         "rdfs_entail": ontology.RDFS_ENTAIL_ORACLE_SQL,

@@ -1585,3 +1585,80 @@ SELECT vec_id, label,
             AS BIGINT) AS fold
 FROM embeddings ORDER BY vec_id
 """
+
+
+# --- contrastive training triplets -----------------------------------------------------------
+
+
+def contrastive_pairs(emb: "ray.data.Dataset",
+                      threshold: float = 0.45
+                      ) -> "ray.data.Dataset":
+    """Contrastive training triplets (SimCSE/InfoNCE data prep):
+    every embedding near-dup pair becomes an (anchor, positive) and
+    draws a DETERMINISTIC negative — ``vocab[md5_64(anchor||positive)
+    % n]`` over the sorted vec_id vocabulary — with the degeneracy
+    flag marking negatives that collide with the anchor or the
+    positive (the filtered-negatives discipline, same as
+    kg_negatives). -> (anchor, positive, negative, degenerate).
+
+    Shape: positives ride the existing block-pair exact near-dup op
+    unchanged; the vocabulary is id-table-sized (broadcast sorted
+    array); the negative draw is map-only."""
+    from rdf_mapper_ray.ops.dedup import embedding_neardup_pairs
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    ids = np.sort(np.concatenate(
+        [b.column("vec_id").to_numpy(zero_copy_only=False)
+         for b in emb.select_columns(["vec_id"])
+         .iter_batches(batch_format="pyarrow")]))
+    n = len(ids)
+    ref = ray.put(ids)
+
+    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
+        .select_columns(["left_id", "right_id"])
+
+    def draw(t: pa.Table) -> pa.Table:
+        vocab = ray.get(ref)
+        a = t.column("left_id").to_numpy(zero_copy_only=False)
+        p = t.column("right_id").to_numpy(zero_copy_only=False)
+        keys = [f"{x}|{y}" for x, y in zip(a, p)]
+        neg = vocab[(hash64(keys, "md5") % np.uint64(n))
+                    .astype(np.int64)]
+        return pa.Table.from_pydict({
+            "anchor": pa.array(a, pa.int64()),
+            "positive": pa.array(p, pa.int64()),
+            "negative": pa.array(neg, pa.int64()),
+            "degenerate": pa.array((neg == a) | (neg == p))})
+
+    return pairs.map_batches(draw, batch_format="pyarrow")
+
+
+def contrastive_pairs_query(sf_dir: str):
+    return contrastive_pairs(
+        read_table(sf_dir, "embeddings",
+                   columns=["vec_id", "embedding"]))
+
+
+def contrastive_pairs_oracle_sql(threshold: float = 0.45) -> str:
+    from rdf_mapper_ray.ops.hashing import MD5_HASH64_SQL
+    h = MD5_HASH64_SQL.format(
+        col="CAST(a.vec_id AS VARCHAR) || '|' "
+            "|| CAST(b.vec_id AS VARCHAR)")
+    return f"""
+WITH vocab AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS idx
+  FROM embeddings
+),
+n AS (SELECT COUNT(*) AS n FROM vocab),
+p AS (
+  SELECT a.vec_id AS anchor, b.vec_id AS positive,
+         CAST({h} % (SELECT n FROM n) AS BIGINT) AS nidx
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding)
+        >= {threshold}
+)
+SELECT p.anchor, p.positive, v.vec_id AS negative,
+       v.vec_id = p.anchor OR v.vec_id = p.positive AS degenerate
+FROM p JOIN vocab v ON v.idx = p.nidx
+ORDER BY anchor, positive
+"""

@@ -514,3 +514,42 @@ class TestEncodingPlan:
         assert df.loc["k", "encoding"] == "plain"
         assert df.loc["cat", "ndv"] == 2
         assert df.loc["cat", "encoding"] == "dict"
+
+
+class TestSpanCorruption:
+    def test_roundtrip(self, ray_session):
+        from rdf_mapper_ray.ops.packing import span_corruption
+        t = pa.Table.from_pydict({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b c d e f g h i j", ""])})
+        df = span_corruption(ray.data.from_arrow(t)).to_pandas()
+        assert len(df) == 1           # empty doc skipped
+        r = df.iloc[0]
+        words = "a b c d e f g h i j".split()
+        assert r["span_len"] == max(1, 10 * 15 // 100)
+        # sentinel replaces exactly the target span
+        rebuilt = r["input_text"].replace("<extra_id_0>",
+                                          r["target_text"])
+        assert rebuilt.split() == words
+        # pure function of id: deterministic across reruns
+        df2 = span_corruption(ray.data.from_arrow(t)).to_pandas()
+        assert df2.iloc[0]["span_start"] == r["span_start"]
+
+
+class TestContrastivePairs:
+    def test_planted(self, ray_session):
+        from rdf_mapper_ray.ops.cleaning import contrastive_pairs
+        # vectors 0 and 1 identical (positive pair); 2, 3 orthogonal
+        v = np.zeros((4, 8), np.float32)
+        v[0, 0] = v[1, 0] = 1.0
+        v[2, 1] = 1.0
+        v[3, 2] = 1.0
+        t = pa.Table.from_pydict({
+            "vec_id": pa.array(np.arange(4), pa.int64()),
+            "embedding": pa.array(list(v))})
+        df = contrastive_pairs(ray.data.from_arrow(t),
+                               threshold=0.9).to_pandas()
+        assert df[["anchor", "positive"]].values.tolist() == [[0, 1]]
+        assert df.iloc[0]["negative"] in {0, 1, 2, 3}
+        assert bool(df.iloc[0]["degenerate"]) == \
+            (df.iloc[0]["negative"] in {0, 1})

@@ -97,7 +97,7 @@ _NEXT_UP = [
     "fd_audit", "attribution_linear", "bot_flags", "cohort_ltv",
     "kg_negatives", "encoding_plan", "edge_cut", "lsh_tradeoff",
     "lang_id_report", "sketch_calibration", "kg_release",
-    "span_corruption", "contrastive_pairs",
+    "span_corruption", "contrastive_pairs", "k4_cliques",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -577,6 +577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simrank": graphs.simrank_query,
         # hash-partition edge-cut audit (co-partition venue pricing)
         "edge_cut": graphs.edge_cut_query,
+        # exact 4-clique count (pivot fan-out + 3 closing semi-joins)
+        "k4_cliques": graphs.k4_cliques_query,
         "holt": timeseries.holt_query,
         "zipf_fit": topk.zipf_fit_query,
         "rdfs_entail": ontology.rdfs_entail_query,
@@ -960,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_release": ontology.KG_RELEASE_ORACLE_SQL,
         "span_corruption": packing.span_corruption_oracle_sql(),
         "contrastive_pairs": cleaning.contrastive_pairs_oracle_sql(),
+        "k4_cliques": graphs.k4_cliques_oracle_sql(),
         "holt": timeseries.HOLT_ORACLE_SQL,
         "zipf_fit": topk.zipf_fit_oracle_sql(),
         "rdfs_entail": ontology.RDFS_ENTAIL_ORACLE_SQL,

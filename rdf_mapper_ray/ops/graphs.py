@@ -6439,3 +6439,144 @@ SELECT CAST({k} AS BIGINT) AS k, CAST(n AS BIGINT) AS n_edges,
        CAST(1000 * cut // GREATEST(n, 1) AS BIGINT) AS cut_permille
 FROM c
 """
+
+
+# --- 4-clique counting ------------------------------------------------------------------------
+
+
+def k4_cliques(pairs: "ray.data.Dataset",
+               left_col: str = "left_id",
+               right_col: str = "right_id",
+               num_partitions: int | None = None
+               ) -> "ray.data.Dataset":
+    """Exact 4-clique count over a canonical (a < b) edge Dataset —
+    the next graph-mining level above triangle_count (a near-dup
+    graph's K4s are its tightest template families). Every 4-clique
+    {a<b<c<d} is generated exactly once at its smallest vertex: per
+    pivot, the sorted greater-neighbor list fans out C(deg, 3)
+    candidate triples, and three successive co-partitioned
+    closing-edge semi-joins ((b,c), (b,d), (c,d)) keep only real
+    cliques. -> one row (n_k4,).
+
+    Shape: pivot wedges route by hash(pivot) (the triangle_count
+    discipline; degree orientation is the stated hub remedy — on the
+    near-dup graph cluster sizes bound the C(deg,3) fan-out); each
+    closing stage is ONE pair-hash exchange with edges riding as
+    kind rows."""
+    from itertools import combinations
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(pairs, 8)
+
+    edges = pairs.select_columns([left_col, right_col]).materialize()
+
+    def route_pivot(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.column(left_col).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def triples(g: pd.DataFrame) -> pd.DataFrame:
+        bs, cs, ds_ = [], [], []
+        for _, grp in g.groupby(left_col, sort=False):
+            nb = np.sort(np.unique(grp[right_col].to_numpy()))
+            if len(nb) < 3:
+                continue
+            for b, c, d in combinations(nb.tolist(), 3):
+                bs.append(b)
+                cs.append(c)
+                ds_.append(d)
+        return pd.DataFrame({
+            "b": pd.array(bs, dtype="int64"),
+            "c": pd.array(cs, dtype="int64"),
+            "d": pd.array(ds_, dtype="int64")})
+
+    cand = edges.map_batches(route_pivot, batch_format="pyarrow") \
+        .groupby("pid").map_groups(triples, batch_format="pandas")
+
+    def close_stage(cand_ds, xcol: str, ycol: str):
+        def tag_cand(t: pa.Table) -> pa.Table:
+            x = t.column(xcol).to_numpy(zero_copy_only=False)
+            y = t.column(ycol).to_numpy(zero_copy_only=False)
+            h = pd.util.hash_pandas_object(
+                pd.Series(x * 2_654_435_761 + y),
+                index=False).to_numpy()
+            return t.append_column(
+                "kind", pa.array(np.zeros(t.num_rows, np.int8))) \
+                .append_column(
+                "pid", pa.array((h % np.uint64(num_partitions))
+                                .astype(np.int64)))
+
+        def tag_edges(t: pa.Table) -> pa.Table:
+            a = t.column(left_col).to_numpy(zero_copy_only=False)
+            b = t.column(right_col).to_numpy(zero_copy_only=False)
+            h = pd.util.hash_pandas_object(
+                pd.Series(a * 2_654_435_761 + b),
+                index=False).to_numpy()
+            return pa.Table.from_pydict({
+                "b": pa.array(a), "c": pa.array(b),
+                "d": pa.nulls(t.num_rows, pa.int64()),
+                "kind": pa.array(np.ones(t.num_rows, np.int8)),
+                "pid": pa.array((h % np.uint64(num_partitions))
+                                .astype(np.int64))})
+
+        def keep(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[g["kind"] == 1]
+            ok = set(zip(e["b"].to_numpy(np.int64),
+                         e["c"].to_numpy(np.int64)))
+            cnd = g[g["kind"] == 0]
+            # the edge kind rows NULL-pad d, so pandas upcasts the
+            # whole column to float64 — cast the survivors back or
+            # the NEXT stage hashes floats and routes them away from
+            # their closing edges (found by the planted K5 unit)
+            ints = {"b": np.int64, "c": np.int64, "d": np.int64}
+            if not len(cnd):
+                return cnd[["b", "c", "d"]].astype(ints)
+            x = cnd[xcol].to_numpy(np.float64).astype(np.int64)
+            y = cnd[ycol].to_numpy(np.float64).astype(np.int64)
+            mask = np.fromiter(
+                ((a, b) in ok for a, b in zip(x, y)),
+                np.bool_, len(x))
+            return cnd.loc[mask, ["b", "c", "d"]].astype(ints)
+
+        return cand_ds.map_batches(tag_cand,
+                                   batch_format="pyarrow") \
+            .union(edges.map_batches(tag_edges,
+                                     batch_format="pyarrow")) \
+            .groupby("pid").map_groups(keep, batch_format="pandas")
+
+    for xcol, ycol in (("b", "c"), ("b", "d"), ("c", "d")):
+        cand = close_stage(cand, xcol, ycol)
+
+    n = cand.count()
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "n_k4": pa.array([n], pa.int64())}))
+
+
+def k4_cliques_query(sf_dir: str, threshold: float = 0.25):
+    from rdf_mapper_ray.ops.dedup import embedding_neardup_pairs
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    return k4_cliques(
+        embedding_neardup_pairs(emb, threshold=threshold)
+        .select_columns(["left_id", "right_id"]))
+
+
+def k4_cliques_oracle_sql(threshold: float = 0.25) -> str:
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding)
+        >= {threshold}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_k4
+FROM e0 ab
+JOIN e0 ac ON ac.a = ab.a AND ac.b > ab.b
+JOIN e0 ad ON ad.a = ab.a AND ad.b > ac.b
+JOIN e0 bc ON bc.a = ab.b AND bc.b = ac.b
+JOIN e0 bd ON bd.a = ab.b AND bd.b = ad.b
+JOIN e0 cd ON cd.a = ac.b AND cd.b = ad.b
+"""

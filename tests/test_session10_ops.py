@@ -553,3 +553,16 @@ class TestContrastivePairs:
         assert df.iloc[0]["negative"] in {0, 1, 2, 3}
         assert bool(df.iloc[0]["degenerate"]) == \
             (df.iloc[0]["negative"] in {0, 1})
+
+
+class TestK4Cliques:
+    def test_planted(self, ray_session):
+        from itertools import combinations
+        from rdf_mapper_ray.ops.graphs import k4_cliques
+        # K5 on {0..4} has C(5,4)=5 four-cliques; plus a triangle
+        # {10,11,12} and a pendant that contribute none
+        pairs = list(combinations(range(5), 2)) + \
+            [(10, 11), (10, 12), (11, 12), (12, 13)]
+        ds = _edges_ds(pairs)
+        df = k4_cliques(ds, left_col="a", right_col="b").to_pandas()
+        assert df.iloc[0, 0] == 5

@@ -98,6 +98,7 @@ _NEXT_UP = [
     "kg_negatives", "encoding_plan", "edge_cut", "lsh_tradeoff",
     "lang_id_report", "sketch_calibration", "kg_release",
     "span_corruption", "contrastive_pairs", "k4_cliques",
+    "transitivity",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -579,6 +580,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_cut": graphs.edge_cut_query,
         # exact 4-clique count (pivot fan-out + 3 closing semi-joins)
         "k4_cliques": graphs.k4_cliques_query,
+        # global clustering coefficient (3*tri // wedges, micro)
+        "transitivity": graphs.transitivity_query,
         "holt": timeseries.holt_query,
         "zipf_fit": topk.zipf_fit_query,
         "rdfs_entail": ontology.rdfs_entail_query,
@@ -963,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
         "span_corruption": packing.span_corruption_oracle_sql(),
         "contrastive_pairs": cleaning.contrastive_pairs_oracle_sql(),
         "k4_cliques": graphs.k4_cliques_oracle_sql(),
+        "transitivity": graphs.TRANSITIVITY_ORACLE_SQL,
         "holt": timeseries.HOLT_ORACLE_SQL,
         "zipf_fit": topk.zipf_fit_oracle_sql(),
         "rdfs_entail": ontology.RDFS_ENTAIL_ORACLE_SQL,

@@ -6580,3 +6580,82 @@ JOIN e0 bc ON bc.a = ab.b AND bc.b = ac.b
 JOIN e0 bd ON bd.a = ab.b AND bd.b = ad.b
 JOIN e0 cd ON cd.a = ac.b AND cd.b = ad.b
 """
+
+
+# --- global transitivity ------------------------------------------------------------------------
+
+
+def transitivity(pairs: "ray.data.Dataset",
+                 left_col: str = "left_id",
+                 right_col: str = "right_id",
+                 num_partitions: int | None = None
+                 ) -> "ray.data.Dataset":
+    """Global transitivity (the graph-level clustering coefficient):
+    ``3·triangles / wedges`` with wedges = Σ_v C(deg(v), 2) — exact
+    integers end to end, reported as the trunc-div micro ratio.
+    Newman's one-number summary of how cliquish the near-dup graph
+    is (1 = disjoint cliques = clean dup clusters; near 0 = chains =
+    borderline-threshold noise).
+    -> (n_wedges, n_triangles, transitivity_micro).
+
+    Shape: the triangle count rides :func:`triangle_count`
+    unchanged; wedges need only the degree table (per-batch endpoint
+    count partials → ONE aggregate)."""
+    edges = pairs.select_columns([left_col, right_col]).materialize()
+    tri = int(triangle_count(edges, left_col, right_col,
+                             num_partitions=num_partitions)
+              .to_pandas()["n_triangles"].iloc[0])
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            batch.column(left_col).to_numpy(zero_copy_only=False),
+            batch.column(right_col).to_numpy(zero_copy_only=False)])
+        v, c = np.unique(both, return_counts=True)
+        return pa.Table.from_pydict({
+            "v": pa.array(v), "c": pa.array(c.astype(np.int64))})
+
+    deg = edges.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("c")).to_pandas()
+    d = deg["sum(c)"].to_numpy(np.int64)
+    wedges = int((d * (d - 1) // 2).sum())
+    micro = 1_000_000 * 3 * tri // wedges if wedges else 0
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "n_wedges": pa.array([wedges], pa.int64()),
+        "n_triangles": pa.array([tri], pa.int64()),
+        "transitivity_micro": pa.array([micro], pa.int64())}))
+
+
+def transitivity_query(sf_dir: str, threshold: float = 0.3):
+    from rdf_mapper_ray.ops.dedup import embedding_neardup_pairs
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    return transitivity(
+        embedding_neardup_pairs(emb, threshold=threshold)
+        .select_columns(["left_id", "right_id"]))
+
+
+TRANSITIVITY_ORACLE_SQL = """
+WITH e AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node
+),
+w AS (SELECT SUM(d * (d - 1) // 2) AS w FROM deg)
+SELECT CAST((SELECT w FROM w) AS BIGINT) AS n_wedges,
+       CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN (SELECT w FROM w) = 0 THEN 0
+            ELSE 1000000 * 3 * (SELECT t FROM tri)
+                 // (SELECT w FROM w) END AS BIGINT)
+         AS transitivity_micro
+"""

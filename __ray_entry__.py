@@ -98,7 +98,7 @@ _NEXT_UP = [
     "kg_negatives", "encoding_plan", "edge_cut", "lsh_tradeoff",
     "lang_id_report", "sketch_calibration", "kg_release",
     "span_corruption", "contrastive_pairs", "k4_cliques",
-    "transitivity",
+    "transitivity", "bounce_rate", "markov_stationary",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -616,6 +616,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bot_flags": sessions.bot_flags_query,
         # cohort LTV curves (exact-cents running cumulative revenue)
         "cohort_ltv": sessions.cohort_ltv_query,
+        # share of single-event sessions per user
+        "bounce_rate": sessions.bounce_rate_query,
+        # stationary distribution by exact micro power iteration
+        "markov_stationary": sessions.markov_stationary_query,
         # char-bigram entropy (compressibility quality proxy)
         "char_entropy": text.char_entropy_query,
         # JL ±1 sign projection (exact int64 matmul, md5 signs)
@@ -967,6 +971,8 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_pairs": cleaning.contrastive_pairs_oracle_sql(),
         "k4_cliques": graphs.k4_cliques_oracle_sql(),
         "transitivity": graphs.TRANSITIVITY_ORACLE_SQL,
+        "bounce_rate": sessions.bounce_rate_oracle_sql(),
+        "markov_stationary": sessions.markov_stationary_oracle_sql(),
         "holt": timeseries.HOLT_ORACLE_SQL,
         "zipf_fit": topk.zipf_fit_oracle_sql(),
         "rdfs_entail": ontology.RDFS_ENTAIL_ORACLE_SQL,

@@ -1711,3 +1711,111 @@ SELECT CAST(((c0 - 1) // 12) * 100 + ((c0 - 1) % 12 + 1) AS BIGINT)
             AS BIGINT) AS cum_rev_cents
 FROM cells ORDER BY cohort_month, age_months
 """
+
+
+# --- bounce rate -------------------------------------------------------------------------
+
+
+def bounce_rate_query(sf_dir: str):
+    """Per-user bounce rate: the share of a user's sessions that
+    contain exactly one event (trunc-div milli) — the product
+    analytics staple, computed as a thin aggregate over the
+    oracle-checked sessionize chain (n_sessions-bounded rows).
+    -> (user_id, n_sessions, n_bounces, bounce_milli)."""
+    per_session = session_stats_query(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ne = t.column("n_events").to_numpy(zero_copy_only=False)
+        out = pa.Table.from_pydict({
+            "user_id": t.column("user_id"),
+            "s": pa.array(np.ones(t.num_rows, np.int64)),
+            "b": pa.array((ne == 1).astype(np.int64))})
+        return out.group_by(["user_id"], use_threads=False) \
+            .aggregate([("s", "sum"), ("b", "sum")])
+
+    cells = pd.concat(
+        b.to_pandas() for b in per_session.map_batches(
+            partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby("user_id", as_index=False)[["s_sum", "b_sum"]] \
+        .sum().sort_values("user_id")
+    s = cells["s_sum"].to_numpy(np.int64)
+    b = cells["b_sum"].to_numpy(np.int64)
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "user_id": pa.array(cells["user_id"].to_numpy(np.int64)),
+        "n_sessions": pa.array(s),
+        "n_bounces": pa.array(b),
+        "bounce_milli": pa.array(1000 * b // s)}))
+
+
+def bounce_rate_oracle_sql() -> str:
+    return f"""
+WITH base AS ({session_stats_oracle_sql()})
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(1000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS bounce_milli
+FROM base GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- Markov stationary distribution (bounded power iteration) ------------------------------
+
+
+def markov_stationary_query(sf_dir: str, iters: int = 3):
+    """Stationary distribution of the event-type Markov chain by
+    bounded power iteration in exact micro fixed-point:
+    ``pi'(j) = Σ_i (pi(i)·c_ij) // tot_i`` (trunc per term — every
+    operand non-negative, so the SQL replay is bit-exact), starting
+    uniform. The transition counts come from the same distributed
+    per-user bigram exchange as transition_matrix; the state space
+    is event-type-bounded BY CONSTRUCTION, so the iteration itself
+    is driver arithmetic over a cell table.
+    -> (event_type, pi_micro)."""
+    tm = transition_matrix_query(sf_dir).to_pandas()
+    states = sorted(set(tm["from_type"]) | set(tm["to_type"]))
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    c = np.zeros((n, n), np.int64)
+    for r in tm.itertuples():
+        c[idx[r.from_type], idx[r.to_type]] = r.n
+    tot = c.sum(axis=1)
+    pi = np.full(n, 1_000_000 // n, np.int64)
+    for _ in range(iters):
+        new = np.zeros(n, np.int64)
+        for j in range(n):
+            terms = np.where(tot > 0, pi * c[:, j], 0)
+            new[j] = int((terms[tot > 0]
+                          // tot[tot > 0]).sum())
+        pi = new
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "event_type": pa.array(states, pa.string()),
+        "pi_micro": pa.array(pi, pa.int64())}))
+
+
+def markov_stationary_oracle_sql(iters: int = 3) -> str:
+    base = TRANSITION_MATRIX_ORACLE_SQL.strip().rstrip(";")
+    parts = [f"""tm AS ({base}),
+tot AS (SELECT from_type, SUM(n) AS tot FROM tm GROUP BY from_type),
+states AS (
+  SELECT from_type AS s FROM tm
+  UNION SELECT to_type FROM tm
+),
+nn AS (SELECT COUNT(*) AS n FROM states),
+pi0 AS (SELECT s, CAST(1000000 // (SELECT n FROM nn) AS BIGINT)
+               AS p FROM states)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""pi{t} AS (
+  SELECT st.s,
+         CAST(COALESCE((
+           SELECT SUM(p.p * tm.n // tot.tot)
+           FROM tm JOIN tot ON tot.from_type = tm.from_type
+           JOIN pi{t - 1} p ON p.s = tm.from_type
+           WHERE tm.to_type = st.s), 0) AS BIGINT) AS p
+  FROM states st
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT s AS event_type, CAST(p AS BIGINT) AS pi_micro
+FROM pi{iters} ORDER BY event_type
+""")

@@ -99,6 +99,7 @@ _NEXT_UP = [
     "lang_id_report", "sketch_calibration", "kg_release",
     "span_corruption", "contrastive_pairs", "k4_cliques",
     "transitivity", "bounce_rate", "markov_stationary",
+    "hub_removal",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -582,6 +583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k4_cliques": graphs.k4_cliques_query,
         # global clustering coefficient (3*tri // wedges, micro)
         "transitivity": graphs.transitivity_query,
+        # attack-robustness: component structure after hub removal
+        "hub_removal": graphs.hub_removal_query,
         "holt": timeseries.holt_query,
         "zipf_fit": topk.zipf_fit_query,
         "rdfs_entail": ontology.rdfs_entail_query,
@@ -973,6 +976,7 @@ def oracle_sql() -> dict[str, str]:
         "transitivity": graphs.TRANSITIVITY_ORACLE_SQL,
         "bounce_rate": sessions.bounce_rate_oracle_sql(),
         "markov_stationary": sessions.markov_stationary_oracle_sql(),
+        "hub_removal": graphs.hub_removal_oracle_sql(),
         "holt": timeseries.HOLT_ORACLE_SQL,
         "zipf_fit": topk.zipf_fit_oracle_sql(),
         "rdfs_entail": ontology.RDFS_ENTAIL_ORACLE_SQL,

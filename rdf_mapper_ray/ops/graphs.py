@@ -6659,3 +6659,141 @@ SELECT CAST((SELECT w FROM w) AS BIGINT) AS n_wedges,
                  // (SELECT w FROM w) END AS BIGINT)
          AS transitivity_micro
 """
+
+
+# --- hub-removal robustness audit ---------------------------------------------------------------
+
+
+def hub_removal(edges: "ray.data.Dataset", n_hubs: int = 8,
+                num_partitions: int | None = None
+                ) -> "ray.data.Dataset":
+    """Attack-robustness audit (Albert, Jeong & Barabási, Nature
+    2000): how does the component structure degrade when the top-k
+    degree hubs are removed? Reports node/component/giant-size counts
+    BEFORE and AFTER deleting the ``n_hubs`` highest-degree vertices
+    (ties break to the smaller id — deterministic). Isolated
+    survivors vanish with their edges (the component_size_hist
+    convention, both sides). -> one row.
+
+    Shape: degrees reduce map-side; the hub set is k-bounded and
+    broadcasts into a sorted-array searchsorted edge filter (the
+    densest_subgraph venue); both CC passes ride the shared
+    distributed min-label machinery."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+
+    e = edges.materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            batch.column("left_id").to_numpy(zero_copy_only=False),
+            batch.column("right_id").to_numpy(zero_copy_only=False)])
+        v, c = np.unique(both, return_counts=True)
+        return pa.Table.from_pydict({
+            "v": pa.array(v), "c": pa.array(c.astype(np.int64))})
+
+    deg = e.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("c")).to_pandas() \
+        .rename(columns={"sum(c)": "c"})
+    deg = deg.sort_values(["c", "v"], ascending=[False, True])
+    hubs = np.sort(deg.head(n_hubs)["v"].to_numpy(np.int64))
+    ref = ray.put(hubs)
+
+    def drop_hubs(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        a = t.column("left_id").to_numpy(zero_copy_only=False)
+        b = t.column("right_id").to_numpy(zero_copy_only=False)
+        pa_ = np.searchsorted(s, a)
+        pb_ = np.searchsorted(s, b)
+        hit_a = (pa_ < len(s)) & (s[np.minimum(pa_, len(s) - 1)]
+                                  == a)
+        hit_b = (pb_ < len(s)) & (s[np.minimum(pb_, len(s) - 1)]
+                                  == b)
+        return t.filter(pa.array(~(hit_a | hit_b)))
+
+    def summarize(edge_ds) -> tuple[int, int, int]:
+        ab = edge_ds.map_batches(
+            lambda t: t.select(["left_id", "right_id"])
+            .rename_columns(["a", "b"]), batch_format="pyarrow")
+        comp = graph_components(ab,
+                                num_partitions=num_partitions) \
+            .to_pandas()
+        if not len(comp):
+            return (0, 0, 0)
+        sizes = comp.groupby("component").size()
+        return (len(comp), len(sizes), int(sizes.max()))
+
+    nb, cb, gb = summarize(e)
+    na, ca, ga = summarize(e.map_batches(drop_hubs,
+                                         batch_format="pyarrow"))
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "n_hubs": pa.array([n_hubs], pa.int64()),
+        "nodes_before": pa.array([nb], pa.int64()),
+        "comps_before": pa.array([cb], pa.int64()),
+        "giant_before": pa.array([gb], pa.int64()),
+        "nodes_after": pa.array([na], pa.int64()),
+        "comps_after": pa.array([ca], pa.int64()),
+        "giant_after": pa.array([ga], pa.int64())}))
+
+
+def hub_removal_query(sf_dir: str, threshold: float = 0.3,
+                      n_hubs: int = 8):
+    from rdf_mapper_ray.ops.dedup import embedding_neardup_pairs
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    return hub_removal(
+        embedding_neardup_pairs(emb, threshold=threshold)
+        .select_columns(["left_id", "right_id"]), n_hubs=n_hubs)
+
+
+def hub_removal_oracle_sql(threshold: float = 0.3,
+                           n_hubs: int = 8) -> str:
+    return f"""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding)
+        >= {threshold}
+),
+deg AS (
+  SELECT node, COUNT(*) AS c FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node
+),
+hubs AS (
+  SELECT node FROM deg ORDER BY c DESC, node LIMIT {n_hubs}
+),
+e2 AS MATERIALIZED (
+  SELECT a, b FROM e
+  WHERE a NOT IN (SELECT node FROM hubs)
+    AND b NOT IN (SELECT node FROM hubs)
+),
+n1 AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+u1 AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+r1(node, label) AS (
+  SELECT node, node FROM n1
+  UNION
+  SELECT u.b, r.label FROM r1 r JOIN u1 u ON u.a = r.node
+),
+c1 AS (SELECT node, MIN(label) AS comp FROM r1 GROUP BY node),
+s1 AS (SELECT comp, COUNT(*) AS sz FROM c1 GROUP BY comp),
+n2 AS (SELECT a AS node FROM e2 UNION SELECT b FROM e2),
+u2 AS (SELECT a, b FROM e2 UNION ALL SELECT b, a FROM e2),
+r2(node, label) AS (
+  SELECT node, node FROM n2
+  UNION
+  SELECT u.b, r.label FROM r2 r JOIN u2 u ON u.a = r.node
+),
+c2 AS (SELECT node, MIN(label) AS comp FROM r2 GROUP BY node),
+s2 AS (SELECT comp, COUNT(*) AS sz FROM c2 GROUP BY comp)
+SELECT CAST({n_hubs} AS BIGINT) AS n_hubs,
+       CAST((SELECT COUNT(*) FROM c1) AS BIGINT) AS nodes_before,
+       CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS comps_before,
+       CAST((SELECT COALESCE(MAX(sz), 0) FROM s1) AS BIGINT)
+         AS giant_before,
+       CAST((SELECT COUNT(*) FROM c2) AS BIGINT) AS nodes_after,
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS comps_after,
+       CAST((SELECT COALESCE(MAX(sz), 0) FROM s2) AS BIGINT)
+         AS giant_after
+"""

@@ -99,7 +99,7 @@ _NEXT_UP = [
     "lang_id_report", "sketch_calibration", "kg_release",
     "span_corruption", "contrastive_pairs", "k4_cliques",
     "transitivity", "bounce_rate", "markov_stationary",
-    "hub_removal",
+    "hub_removal", "subject_profile",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -645,6 +645,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_sets": ontology.char_sets_query,
         # subject-namespace partitions of the flagship graph
         "ns_mining": ontology.ns_mining_query,
+        # KG shape histogram: subjects by triple count
+        "subject_profile": ontology.subject_profile_query,
         # functional-dependency audit (TANE-style candidate check)
         "fd_audit": diff.fd_audit_query,
         # TransE-style deterministic triple-corruption negatives
@@ -977,6 +979,7 @@ def oracle_sql() -> dict[str, str]:
         "bounce_rate": sessions.bounce_rate_oracle_sql(),
         "markov_stationary": sessions.markov_stationary_oracle_sql(),
         "hub_removal": graphs.hub_removal_oracle_sql(),
+        "subject_profile": ontology.subject_profile_oracle_sql(),
         "holt": timeseries.HOLT_ORACLE_SQL,
         "zipf_fit": topk.zipf_fit_oracle_sql(),
         "rdfs_entail": ontology.RDFS_ENTAIL_ORACLE_SQL,

@@ -1229,3 +1229,66 @@ SELECT CAST((SELECT COUNT(*) FROM trip) AS BIGINT) AS n_triples,
        CAST((SELECT COUNT(DISTINCT namespace) FROM ns) AS BIGINT)
          AS n_namespaces
 """
+
+
+# --- subject out-degree profile ------------------------------------------------------------
+
+
+def subject_profile(triples: "ray.data.Dataset",
+                    num_partitions: int | None = None
+                    ) -> "ray.data.Dataset":
+    """Subject out-degree profile of a constructed graph: how many
+    subjects carry exactly k triples — the KG shape histogram (a
+    spike = a template family, a long tail = heterogeneous nesting;
+    the first thing to diff across releases next to void_stats).
+    -> (n_triples_per_subject, n_subjects).
+
+    Shape: per-batch subject-count partials, ONE hash(subject)
+    exchange merges split subjects, per-partition histograms, and
+    the degree-bounded cells sum driver-side."""
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(triples, 8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.select(["subject"]) \
+            .group_by(["subject"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        h = pd.util.hash_pandas_object(
+            c.column("subject").to_pandas(), index=False).to_numpy()
+        return c.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("subject")["count_all"].sum()
+        v, c = np.unique(per.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"k": v, "n": c.astype(np.int64)})
+
+    cells = pd.concat(
+        b.to_pandas() for b in triples.map_batches(
+            partial, batch_format="pyarrow")
+        .groupby("pid").map_groups(hist, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby("k", as_index=False)["n"].sum().sort_values("k")
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "n_triples_per_subject": pa.array(
+            cells["k"].to_numpy(np.int64)),
+        "n_subjects": pa.array(cells["n"].to_numpy(np.int64))}))
+
+
+def subject_profile_query(sf_dir: str):
+    from rdf_mapper_ray.pipelines.sourcecode import flagship
+    return subject_profile(flagship(sf_dir))
+
+
+def subject_profile_oracle_sql() -> str:
+    from rdf_mapper_ray.pipelines.sourcecode import \
+        FLAGSHIP_ORACLE_SQL
+    return f"""
+WITH base AS ({FLAGSHIP_ORACLE_SQL}),
+per AS (SELECT subject, COUNT(*) AS k FROM base GROUP BY subject)
+SELECT CAST(k AS BIGINT) AS n_triples_per_subject,
+       CAST(COUNT(*) AS BIGINT) AS n_subjects
+FROM per GROUP BY k ORDER BY n_triples_per_subject
+"""

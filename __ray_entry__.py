@@ -99,7 +99,7 @@ _NEXT_UP = [
     "lang_id_report", "sketch_calibration", "kg_release",
     "span_corruption", "contrastive_pairs", "k4_cliques",
     "transitivity", "bounce_rate", "markov_stationary",
-    "hub_removal", "subject_profile",
+    "hub_removal", "subject_profile", "predicate_cooccur",
     # new in round-4 session 9 (window already full; locally
     # value+dtype-exact at sf0.001 AND sf0.01)
     "containment_pairs", "rdfs_domain_range", "drawdown",
@@ -647,6 +647,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ns_mining": ontology.ns_mining_query,
         # KG shape histogram: subjects by triple count
         "subject_profile": ontology.subject_profile_query,
+        # schema-graph edge weights: predicate co-occurrence
+        "predicate_cooccur": ontology.predicate_cooccur_query,
         # functional-dependency audit (TANE-style candidate check)
         "fd_audit": diff.fd_audit_query,
         # TransE-style deterministic triple-corruption negatives
@@ -980,6 +982,7 @@ def oracle_sql() -> dict[str, str]:
         "markov_stationary": sessions.markov_stationary_oracle_sql(),
         "hub_removal": graphs.hub_removal_oracle_sql(),
         "subject_profile": ontology.subject_profile_oracle_sql(),
+        "predicate_cooccur": ontology.PREDICATE_COOCCUR_ORACLE_SQL,
         "holt": timeseries.HOLT_ORACLE_SQL,
         "zipf_fit": topk.zipf_fit_oracle_sql(),
         "rdfs_entail": ontology.RDFS_ENTAIL_ORACLE_SQL,

@@ -1292,3 +1292,88 @@ SELECT CAST(k AS BIGINT) AS n_triples_per_subject,
        CAST(COUNT(*) AS BIGINT) AS n_subjects
 FROM per GROUP BY k ORDER BY n_triples_per_subject
 """
+
+
+# --- predicate co-occurrence ----------------------------------------------------------------
+
+
+def predicate_cooccur(triples: "ray.data.Dataset",
+                      num_partitions: int | None = None
+                      ) -> "ray.data.Dataset":
+    """Pairwise predicate co-occurrence within subjects — the edge
+    weights of the SCHEMA graph (which properties travel together;
+    characteristic sets' pairwise marginal, and what a query
+    optimizer prices p1 ⋈ p2 subject joins with).
+    -> (pred_a, pred_b, n_subjects), pred_a < pred_b.
+
+    Shape: ONE hash(subject) exchange co-locates each subject's
+    predicates; the per-partition pair fan-out is C(|preds|, 2) per
+    subject — template-bounded BY CONSTRUCTION (a spec emits a fixed
+    property set), never data-sized; predicate-pair cells sum
+    driver-side."""
+    from itertools import combinations
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(triples, 8)
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select(["subject", "predicate"])
+        h = pd.util.hash_pandas_object(
+            t.column("subject").to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out: dict[tuple, int] = {}
+        for _, grp in g.groupby("subject", sort=False):
+            for a, b in combinations(
+                    sorted(set(grp["predicate"])), 2):
+                out[(a, b)] = out.get((a, b), 0) + 1
+        return pd.DataFrame({
+            "pred_a": [k[0] for k in out],
+            "pred_b": [k[1] for k in out],
+            "n": np.fromiter(out.values(), np.int64, len(out))})
+
+    cells = pd.concat(
+        b.to_pandas() for b in triples.map_batches(
+            route, batch_format="pyarrow")
+        .groupby("pid").map_groups(pairs, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")) \
+        .groupby(["pred_a", "pred_b"], as_index=False)["n"].sum() \
+        .sort_values(["pred_a", "pred_b"])
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "pred_a": pa.array(cells["pred_a"], pa.string()),
+        "pred_b": pa.array(cells["pred_b"], pa.string()),
+        "n_subjects": pa.array(cells["n"].to_numpy(np.int64))}))
+
+
+def predicate_cooccur_query(sf_dir: str):
+    """Schema graph of the guard-sparse customer tier graph: tier
+    co-occurs with the others on only the acctbal > 5000 subjects."""
+    from rdf_mapper_ray.pipelines.relational import _cust_graph
+    return predicate_cooccur(_cust_graph(sf_dir))
+
+
+PREDICATE_COOCCUR_ORACLE_SQL = f"""
+WITH trip AS (
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR)
+           AS subject, '{_RDF_TYPE}' AS predicate FROM customer
+  UNION ALL
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR),
+         '{_EX}name' FROM customer
+  UNION ALL
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR),
+         '{_EX}segment' FROM customer
+  UNION ALL
+  SELECT 'http://example.org/cust/' || CAST(c_custkey AS VARCHAR),
+         '{_EX}tier' FROM customer WHERE c_acctbal > 5000
+),
+d AS (SELECT DISTINCT subject, predicate FROM trip)
+SELECT a.predicate AS pred_a, b.predicate AS pred_b,
+       CAST(COUNT(*) AS BIGINT) AS n_subjects
+FROM d a JOIN d b
+  ON a.subject = b.subject AND a.predicate < b.predicate
+GROUP BY pred_a, pred_b ORDER BY pred_a, pred_b
+"""

@@ -50,114 +50,74 @@ def _first_queries(sf_dir: str, n: int = 5):
 
 # ----------------------------------------------------------------------------
 # DRIVER WINDOW: the driver's correctness gate checks the FIRST 50
-# queries() entries only, so the roster is rotated each round. Round-4
-# window = everything never driver-verified, newest first (this
-# session's 10 ops, the continuation session's 24, round-4-main's 7,
-# the 5 modified-in-r4 ops), then the 4 that were hash-red in r3
-# (dtype fixes need driver re-confirmation). 16 never-driver-checked
-# entries don't fit — all are value+dtype-exact under
-# tools/check_correctness.py this session AND were judge-verified
-# green in r3; they lead the tail so they rotate in first in round 5.
+# queries() entries only, so the roster is rotated each round. Round-5
+# window = the next 50 never-driver-checked entries in queue order
+# (cumulative distinct driver-verified after r5: 164 of 324). The
+# remaining 160 never-checked entries keep their queue order in
+# _NEXT_UP for round 6; all previously driver-green entries follow.
 # ----------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # new this session
-    "cube_orders", "attribution", "sssp_weighted", "pmi_bigrams",
-    "skyline_parts", "hll_registers", "bgp_path_within",
-    "bgp_group_count", "upsert_apply", "degree_hist",
-    "peak_concurrency", "band_join", "cms_counts",
-    "weighted_sample", "community_lpa",
-    # round-4 continuation session
-    "bgp_region_names", "bgp_optional_tier", "bgp_union_filter",
-    "substring_excise", "nb_holdout", "dedup_minhash_idf",
-    "knn_classify", "graph_components", "top_orders_per_customer",
-    "group_median", "bfs_levels", "k_core", "nation_customers", "bucketed_orders", "regex_extract",
-    "unpivot_lineitem", "group_entropy", "group_quantiles",
-    "docs_lang_stats",
-    # round-4 main session
-    "tokenize_bpe", "pack_bpe", "domain_stats", "domain_caps",
-    "substring_dup", "bloom_semi_join", "nb_classify",
-    # modified in round 4 (never driver-verified)
-    "triangle_count", "corpus_prep", "incremental_dedup", "pagerank",
-    "event_type_pivot",
-    # hash-red in r3, dtype-aligned in r4
-    "running_totals", "event_gaps", "nation_revenue",
-    "label_centroids",
+    # round-5 window: 50 never-driver-checked entries (VERDICT r4
+    # directive 4), in the queue order recorded at round-4 close —
+    # session-10 ops first, then session-9. All are value+dtype-exact
+    # under tools/check_correctness.py and judge-verified green in r4.
+    "wl_refine", "woe_iv", "class_report", "theil_sen", "char_entropy",
+    "shacl_datatype", "shacl_closed", "jl_project", "stratified_kfold",
+    "precision_at_k", "seasonality", "readability", "landmark_dist",
+    "simrank", "char_sets", "bpe_fertility", "kaplan_meier", "dup_txn",
+    "ns_mining", "fd_audit", "attribution_linear", "bot_flags",
+    "cohort_ltv", "kg_negatives", "encoding_plan", "edge_cut",
+    "lsh_tradeoff", "lang_id_report", "sketch_calibration", "kg_release",
+    "span_corruption", "contrastive_pairs", "k4_cliques", "transitivity",
+    "bounce_rate", "markov_stationary", "hub_removal", "subject_profile",
+    "predicate_cooccur", "containment_pairs", "rdfs_domain_range",
+    "drawdown", "users_intersect_all", "users_except_all", "pca_power",
+    "embedding_decontaminate", "t_closeness", "owl_functional",
+    "cross_corr", "assoc_rules",
 ]
 
 # never driver-verified but deferred past the window this round
-# (value+dtype-exact locally, judge-verified in r3) — round-5 leads
+# (value+dtype-exact locally; queue order preserved) — round-6 leads
 _NEXT_UP = [
-    # new in round-4 session 10 (window already full; locally
-    # value+dtype-exact at sf0.001 AND sf0.01)
-    "wl_refine", "woe_iv", "class_report", "theil_sen",
-    "char_entropy", "shacl_datatype", "shacl_closed", "jl_project",
-    "stratified_kfold", "precision_at_k", "seasonality",
-    "readability", "landmark_dist", "simrank", "char_sets",
-    "bpe_fertility", "kaplan_meier", "dup_txn", "ns_mining",
-    "fd_audit", "attribution_linear", "bot_flags", "cohort_ltv",
-    "kg_negatives", "encoding_plan", "edge_cut", "lsh_tradeoff",
-    "lang_id_report", "sketch_calibration", "kg_release",
-    "span_corruption", "contrastive_pairs", "k4_cliques",
-    "transitivity", "bounce_rate", "markov_stationary",
-    "hub_removal", "subject_profile", "predicate_cooccur",
-    # new in round-4 session 9 (window already full; locally
-    # value+dtype-exact at sf0.001 AND sf0.01)
-    "containment_pairs", "rdfs_domain_range", "drawdown",
-    "users_intersect_all", "users_except_all", "pca_power",
-    "embedding_decontaminate", "t_closeness", "owl_functional",
-    "cross_corr", "assoc_rules", "neighbor_agg", "blocking_audit",
-    "luby_coloring", "bpe_learn", "markov_entropy",
-    "coverage_select", "pq_codes", "knn_pq", "hll_union",
-    "merkle_buckets", "densest_subgraph", "quantile_map", "cdc_chunks", "void_stats", "kg_diff", "partition_plan",
-    # new in round-4 session 8 (window already full; locally dtype-exact)
-    "ks_test", "decision_stump", "mutual_info", "psi_drift",
-    "time_rolling", "l_diversity", "katz",
-    "holt", "zipf_fit", "rdfs_entail", "dedup_rate",
-    "dup_cluster_hist", "weighted_median", "table_fingerprint",
-    "kendall", "lpa_modularity", "shacl_cardinality",
-    "pagerank_weighted", "rolling_median", "source_jaccard",
-    "bgp_path_range", "lexical_diversity", "group_skewness",
-    "rich_club", "fano_factor", "group_hhi", "nb_calibration",
-    "ic_spread", "freq_of_freq",
-    # new in round-4 session 7 (window already full; locally dtype-exact)
-    "date_features", "region_revenue", "bgp_subquery", "rfm_scores",
-    "event_precedence", "mrr", "feature_hashing", "mm_frame_sample",
-    "k_anonymity", "late_events", "cascade_delete", "temporal_reach",
-    "bgp_group_concat", "roc_auc", "interval_coverage",
-    "running_distinct", "scd2_history", "snm_pairs", "quota_sample",
-    "nearest_event",
-    # new in round-4 session 6 (window already full; locally dtype-exact)
-    "locf_fill", "ohlc_bars", "autocorr", "cusum_changepoint",
-    "hits", "mis_luby", "event_ngrams", "gap_fill",
-    "stress_centrality", "distance_hist", "jw_pairs", "epoch_shuffle",
-    "bgp_path_star", "eccentricity", "embedding_gram",
-    "entity_resolution", "dag_layers", "bgp_negated_pred",
-    "corr_matrix", "rolling_window", "stress_sampled",
-    "grouping_sets", "clustering_coeff", "scc", "quantile_normalize",
-    "ndcg", "bgp_having", "frequent_triples", "kmv_overlap",
-    "preference_pairs", "phrase_search", "bgp_describe",
-    "curriculum_order",
-    # new in round-4 session 5 (window already full; locally dtype-exact)
-    "group_regression", "rank_windows", "mad_outliers",
-    "adamic_adar", "item_cosine", "bgp_agg_balance",
+    "neighbor_agg", "blocking_audit", "luby_coloring", "bpe_learn",
+    "markov_entropy", "coverage_select", "pq_codes", "knn_pq", "hll_union",
+    "merkle_buckets", "densest_subgraph", "quantile_map", "cdc_chunks",
+    "void_stats", "kg_diff", "partition_plan", "ks_test", "decision_stump",
+    "mutual_info", "psi_drift", "time_rolling", "l_diversity", "katz",
+    "holt", "zipf_fit", "rdfs_entail", "dedup_rate", "dup_cluster_hist",
+    "weighted_median", "table_fingerprint", "kendall", "lpa_modularity",
+    "shacl_cardinality", "pagerank_weighted", "rolling_median",
+    "source_jaccard", "bgp_path_range", "lexical_diversity",
+    "group_skewness", "rich_club", "fano_factor", "group_hhi",
+    "nb_calibration", "ic_spread", "freq_of_freq", "date_features",
+    "region_revenue", "bgp_subquery", "rfm_scores", "event_precedence",
+    "mrr", "feature_hashing", "mm_frame_sample", "k_anonymity",
+    "late_events", "cascade_delete", "temporal_reach", "bgp_group_concat",
+    "roc_auc", "interval_coverage", "running_distinct", "scd2_history",
+    "snm_pairs", "quota_sample", "nearest_event", "locf_fill", "ohlc_bars",
+    "autocorr", "cusum_changepoint", "hits", "mis_luby", "event_ngrams",
+    "gap_fill", "stress_centrality", "distance_hist", "jw_pairs",
+    "epoch_shuffle", "bgp_path_star", "eccentricity", "embedding_gram",
+    "entity_resolution", "dag_layers", "bgp_negated_pred", "corr_matrix",
+    "rolling_window", "stress_sampled", "grouping_sets",
+    "clustering_coeff", "scc", "quantile_normalize", "ndcg", "bgp_having",
+    "frequent_triples", "kmv_overlap", "preference_pairs", "phrase_search",
+    "bgp_describe", "curriculum_order", "group_regression", "rank_windows",
+    "mad_outliers", "adamic_adar", "item_cosine", "bgp_agg_balance",
     "bgp_top_balance", "bgp_values_bind", "bgp_ask", "bgp_path_alt",
-    "winsorize", "path_rollup", "rolling_anomaly", "crosstab_chi2",
-    "ppr", "random_walks", "transition_matrix", "ab_test",
-    "node_jaccard", "quantiles_disc", "twap", "ewma", "dbscan",
-    "zorder", "fk_audit", "group_gini", "benford", "assortativity", "closeness", "minimax_path", "msf_boruvka",
-    "event_followups", "wow_change", "top_decile_share", "harmonic",
-    "k_truss",
-    # new in round-4 session 4 (window already full; locally dtype-exact)
-    "bgp_minus_tier", "bgp_exists_tier", "bgp_path_seq",
-    "bgp_construct", "hll_by_type",
-    "ntile_bucket",
-    "users_intersect", "users_except",
-    "grouped_mode", "group_corr",
+    "winsorize", "path_rollup", "rolling_anomaly", "crosstab_chi2", "ppr",
+    "random_walks", "transition_matrix", "ab_test", "node_jaccard",
+    "quantiles_disc", "twap", "ewma", "dbscan", "zorder", "fk_audit",
+    "group_gini", "benford", "assortativity", "closeness", "minimax_path",
+    "msf_boruvka", "event_followups", "wow_change", "top_decile_share",
+    "harmonic", "k_truss", "bgp_minus_tier", "bgp_exists_tier",
+    "bgp_path_seq", "bgp_construct", "hll_by_type", "ntile_bucket",
+    "users_intersect", "users_except", "grouped_mode", "group_corr",
     "window_distinct_users", "snapshot_diff", "data_audit",
-    "kmeans_assign", "split_leakage", "crosstab", "chunk_text",
-    "lm_score", "label_outliers", "editdist_pairs",
-    "value_histogram", "retention_cohorts", "negative_samples",
-    "frequent_pairs", "grouped_top_n", "simhash_pairs",
+    "kmeans_assign", "split_leakage", "crosstab", "chunk_text", "lm_score",
+    "label_outliers", "editdist_pairs", "value_histogram",
+    "retention_cohorts", "negative_samples", "frequent_pairs",
+    "grouped_top_n", "simhash_pairs",
 ]
 
 

@@ -6675,15 +6675,20 @@ def hub_removal(edges: "ray.data.Dataset", n_hubs: int = 8,
     survivors vanish with their edges (the component_size_hist
     convention, both sides). -> one row.
 
-    Shape: degrees reduce map-side; the hub set is k-bounded and
-    broadcasts into a sorted-array searchsorted edge filter (the
-    densest_subgraph venue); both CC passes ride the shared
-    distributed min-label machinery."""
-    if num_partitions is None:
-        from rdf_mapper_ray.ops.dedup import partitions_for
-        num_partitions = partitions_for(edges, 8)
-
+    Shape: degrees reduce map-side and the hub set comes from
+    k-bounded per-block top-k partials (the heavy_hitters shape — the
+    driver never holds the O(V) degree table); the hub set broadcasts
+    into a sorted-array searchsorted edge filter (the densest_subgraph
+    venue); both CC passes run min-label propagation on the Pregel
+    persistent-actor pool over ONE shared materialized edge table, and
+    component sizes reduce to a single row via a distributed
+    groupby(component).count() + aggregate."""
     e = edges.materialize()
+    if num_partitions is None:
+        # size off the already-materialized table — counting the lazy
+        # input would re-execute the upstream pair generation
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(e, 8)
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         both = np.concatenate([
@@ -6693,11 +6698,25 @@ def hub_removal(edges: "ray.data.Dataset", n_hubs: int = 8,
         return pa.Table.from_pydict({
             "v": pa.array(v), "c": pa.array(c.astype(np.int64))})
 
-    deg = e.map_batches(deg_partial, batch_format="pyarrow") \
-        .groupby("v").aggregate(Sum("c")).to_pandas() \
-        .rename(columns={"sum(c)": "c"})
-    deg = deg.sort_values(["c", "v"], ascending=[False, True])
-    hubs = np.sort(deg.head(n_hubs)["v"].to_numpy(np.int64))
+    # Hubs via k-bounded per-block top-k partials over the aggregated
+    # degree dataset (the heavy_hitters shape): global top-k ⊆ union of
+    # per-block top-ks because post-groupby blocks hold distinct v.
+    # Driver sees blocks×k rows, never the O(V) degree table.
+    k = n_hubs
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "v": t.column("v").to_numpy(zero_copy_only=False),
+            "c": t.column("sum(c)").to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.sort_values(["c", "v"], ascending=[False, True]).head(k),
+            preserve_index=False)
+
+    parts = e.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("c")) \
+        .map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["c", "v"], ascending=[False, True])
+    hubs = np.sort(parts.head(n_hubs)["v"].to_numpy(np.int64))
     ref = ray.put(hubs)
 
     def drop_hubs(t: pa.Table) -> pa.Table:
@@ -6713,16 +6732,24 @@ def hub_removal(edges: "ray.data.Dataset", n_hubs: int = 8,
         return t.filter(pa.array(~(hit_a | hit_b)))
 
     def summarize(edge_ds) -> tuple[int, int, int]:
+        # Component sizes stay distributed: groupby(component).count()
+        # then a one-row aggregate reduce — the driver never holds the
+        # O(V) (node, component) table.
+        from ray.data.aggregate import Count, Max
         ab = edge_ds.map_batches(
             lambda t: t.select(["left_id", "right_id"])
-            .rename_columns(["a", "b"]), batch_format="pyarrow")
-        comp = graph_components(ab,
-                                num_partitions=num_partitions) \
-            .to_pandas()
-        if not len(comp):
+            .rename_columns(["a", "b"]), batch_format="pyarrow") \
+            .materialize()
+        if ab.count() == 0:
             return (0, 0, 0)
-        sizes = comp.groupby("component").size()
-        return (len(comp), len(sizes), int(sizes.max()))
+        comp = graph_components(ab, num_partitions=num_partitions,
+                                venue="actors")
+        agg = comp.groupby("component").count() \
+            .aggregate(Sum("count()"), Max("count()"), Count())
+        if not agg or agg.get("sum(count())") is None:
+            return (0, 0, 0)
+        return (int(agg["sum(count())"]), int(agg["count()"]),
+                int(agg["max(count())"]))
 
     nb, cb, gb = summarize(e)
     na, ca, ga = summarize(e.map_batches(drop_hubs,

@@ -595,3 +595,32 @@ def test_ic_spread_deterministic_and_monotone(ray_session):
     # p=1000 fires every coin: everything activates in round 1
     full = ic_spread(edges, rounds=2, p_milli=1000).to_pandas()
     assert len(full) == 7
+
+
+def test_hub_removal_planted(ray_session):
+    # Star hub 100 joined to a 3-chain through hub 200:
+    #   100-{1..9}, 100-200, 200-{301,302}, 301-302, plus isolated
+    #   edge 401-402. Removing the top-2 hubs (100, 200) leaves only
+    #   {301,302} and {401,402}: 4 nodes, 2 comps, giant 2.
+    from rdf_mapper_ray.ops.graphs import hub_removal
+    edges = [(100, v) for v in range(1, 10)] + [
+        (100, 200), (200, 301), (200, 302), (301, 302), (401, 402)]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        edges, columns=["left_id", "right_id"]))
+    out = hub_removal(ds, n_hubs=2, num_partitions=4).to_pandas()
+    row = out.iloc[0]
+    assert (row["nodes_before"], row["comps_before"],
+            row["giant_before"]) == (15, 2, 13)
+    assert (row["nodes_after"], row["comps_after"],
+            row["giant_after"]) == (4, 2, 2)
+
+
+def test_hub_removal_all_edges_removed(ray_session):
+    # removing the only two vertices of every edge empties the graph
+    from rdf_mapper_ray.ops.graphs import hub_removal
+    ds = ray.data.from_pandas(pd.DataFrame(
+        [(1, 2)], columns=["left_id", "right_id"]))
+    out = hub_removal(ds, n_hubs=2, num_partitions=2).to_pandas()
+    row = out.iloc[0]
+    assert (row["nodes_after"], row["comps_after"],
+            row["giant_after"]) == (0, 0, 0)

@@ -65,6 +65,18 @@ def build_bloom(keys: "ray.data.Dataset", key_col: str,
     return out
 
 
+def bloom_contains(bits: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe against a build_bloom bitmap ->
+    boolean keep mask (false positives possible, negatives exact)."""
+    m = len(bits) * 8
+    keep = np.ones(len(vals), dtype=bool)
+    for pos in _hash2(vals, m):
+        keep &= (bits[pos // 8]
+                 & np.left_shift(np.uint8(1),
+                                 (pos % 8).astype(np.uint8))) != 0
+    return keep
+
+
 def bloom_semi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                     left_on: str, right_on: str,
                     num_bits: int = 1 << 23,
@@ -77,17 +89,11 @@ def bloom_semi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     bits = build_bloom(right.select_columns([right_on]), right_on,
                        num_bits)
     ref = ray.put(bits)
-    m = num_bits
 
     def prefilter(t: pa.Table) -> pa.Table:
         bm = ray.get(ref)
         v = t.column(left_on).to_numpy(zero_copy_only=False)
-        keep = np.ones(len(v), dtype=bool)
-        for pos in _hash2(v, m):
-            keep &= (bm[pos // 8]
-                     & np.left_shift(np.uint8(1),
-                                     (pos % 8).astype(np.uint8))) != 0
-        return t.filter(pa.array(keep))
+        return t.filter(pa.array(bloom_contains(bm, v)))
 
     survivors = left.map_batches(prefilter, batch_format="pyarrow")
     return equi_join(survivors, right, left_on=left_on,

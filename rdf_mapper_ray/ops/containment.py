@@ -36,8 +36,10 @@ import pyarrow as pa
 
 import ray.data
 
-from rdf_mapper_ray.ops.dedup import (_EMPTY_PAIRS, _distinct_shingles,
+from rdf_mapper_ray.ops.dedup import (_EMPTY_PAIRS, _candidate_docs,
+                                      _distinct_shingles,
                                       _num_partitions, _verify_pairs,
+                                      _verify_pairs_distributed,
                                       inverted_index_cands)
 from rdf_mapper_ray.ops.readers import read_table
 
@@ -53,13 +55,14 @@ def ngram_containment_pairs(ds: "ray.data.Dataset",
                             id_col: str = "doc_id",
                             shingle_k: int = 5,
                             threshold: float = 0.8,
-                            max_df: Optional[int] = None
+                            max_df: Optional[int] = None,
+                            broadcast_max_docs: int = 100_000
                             ) -> "ray.data.Dataset":
     """All ordered pairs (left contained-in right) with exact shingle
     containment ≥ threshold. -> (left_id, right_id, containment);
     identical docs yield both directions at 1.0."""
     num_partitions = _num_partitions(ds.count())
-    cand, wanted = inverted_index_cands(ds, text_col, id_col, shingle_k,
+    cand, n_cand = inverted_index_cands(ds, text_col, id_col, shingle_k,
                                         num_partitions, max_df)
     if cand is None:
         empty = _EMPTY_PAIRS.rename_columns(
@@ -79,12 +82,20 @@ def ngram_containment_pairs(ds: "ray.data.Dataset",
         })
 
     ordered = cand.map_batches(both_directions, batch_format="pyarrow")
-    shingles = _distinct_shingles(ds, ray.put(wanted), text_col, id_col,
+    docs, n_docs = _candidate_docs(cand, n_cand, ds, id_col,
+                                   broadcast_max_docs)
+    shingles = _distinct_shingles(docs, None, text_col, id_col,
                                   shingle_k)
-    return _verify_pairs(ordered, shingles, threshold, num_partitions,
-                         n_candidate_docs=len(wanted),
-                         score=_score_containment,
-                         out_col="containment")
+    if n_docs is not None:
+        return _verify_pairs(ordered, shingles, threshold,
+                             num_partitions, n_candidate_docs=n_docs,
+                             broadcast_max_docs=broadcast_max_docs,
+                             score=_score_containment,
+                             out_col="containment")
+    return _verify_pairs_distributed(ordered, shingles, threshold,
+                                     num_partitions,
+                                     score=_score_containment,
+                                     out_col="containment")
 
 
 def containment_pairs_query(sf_dir: str):

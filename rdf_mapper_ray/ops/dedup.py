@@ -384,10 +384,11 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
             "right_id": pa.array([], type=pa.int64()),
             "est_jaccard": pa.array([], type=pa.float64())}))
 
-    # verify venue dispatch (shared with the Jaccard ops): recompute
-    # signatures for the candidate ids only (broadcast semi-join) below
-    # the doc threshold; above it, recompute for ALL docs as a streaming
-    # pass and meet the pairs in a pid-routed co-partition join.
+    # verify venue dispatch (shared with the Jaccard ops, via
+    # _candidate_docs): recompute signatures for the candidate ids only
+    # — a bounded broadcast set under the gate, a bloom-prefiltered
+    # corpus pass above it — then meet the pairs broadcast-side or in a
+    # pid-routed co-partition join.
     n_pairs = cand.count()
     sketcher = MinHashSignatures(text_col, id_col, num_perm, shingle_k,
                                  seed, hash_fn, stop_ref=stop_ref)
@@ -397,30 +398,14 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
             "id": pc.cast(t.column(id_col), pa.int64()),
             "shingles": t.column("signature")})
 
-    if 2 * n_pairs <= broadcast_max_docs:
-        wanted: set = set()
-        for b in cand.iter_batches(batch_format="pyarrow"):
-            wanted.update(int(v) for v in b.column("left_id").to_pylist())
-            wanted.update(int(v) for v in b.column("right_id").to_pylist())
-        wref = ray.put(wanted)
-
-        def cand_sigs(batch: pa.Table) -> pa.Table:
-            w = ray.get(wref)
-            keep = [i for i, v in enumerate(batch.column(id_col).to_pylist())
-                    if int(v) in w]
-            if not keep:
-                return pa.Table.from_pydict({
-                    "id": pa.array([], type=pa.int64()),
-                    "shingles": pa.array([], type=pa.list_(pa.uint64()))})
-            return as_payload(sketcher(batch.take(
-                pa.array(keep, type=pa.int64()))))
-
-        return _verify_pairs_broadcast(
-            cand, ds.map_batches(cand_sigs, batch_format="pyarrow"),
-            threshold, _prep_signature, _score_signature, "est_jaccard")
-
-    payloads = ds.map_batches(
+    docs, n_docs = _candidate_docs(cand, n_pairs, ds, id_col,
+                                   broadcast_max_docs)
+    payloads = docs.map_batches(
         lambda b: as_payload(sketcher(b)), batch_format="pyarrow")
+    if n_docs is not None:
+        return _verify_pairs_broadcast(
+            cand, payloads, threshold,
+            _prep_signature, _score_signature, "est_jaccard")
     return _verify_pairs_distributed(
         cand, payloads, threshold, num_partitions,
         _prep_signature, _score_signature, "est_jaccard")
@@ -1047,6 +1032,59 @@ _EMPTY_PAIRS = pa.Table.from_pydict({
     "jaccard": pa.array([], type=pa.float64())})
 
 
+def _candidate_docs(cand: "ray.data.Dataset", n_pairs: int,
+                    ds: "ray.data.Dataset", id_col: str,
+                    broadcast_max_docs: int
+                    ) -> tuple["ray.data.Dataset", Optional[int]]:
+    """Narrow the corpus to docs that can appear in a candidate pair,
+    ahead of payload (shingle/signature) recomputation.
+
+    -> ``(docs, n_docs)``. Under the gate (2·n_pairs ≤
+    broadcast_max_docs) the candidate ids form a bounded driver set
+    broadcast into an exact filter, and ``n_docs`` is their exact
+    count (callers feed it to the _verify_pairs venue dispatch). Past
+    the gate NO id set ever funnels through the driver: a bloom bitmap
+    (num_bits/8 bytes, OR-merged per-block partials — ops/bloom.py)
+    prefilters the corpus and ``n_docs`` is None. Bloom false
+    positives only add payload rows no pair references, which the
+    pid-routed co-partition verify drops — final pairs stay exact."""
+    if 2 * n_pairs <= broadcast_max_docs:
+        wanted: set = set()
+        for b in cand.iter_batches(batch_format="pyarrow"):
+            wanted.update(int(v) for v in b.column("left_id").to_pylist())
+            wanted.update(int(v) for v in b.column("right_id").to_pylist())
+        wref = ray.put(wanted)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            w = ray.get(wref)
+            mask = [int(v) in w
+                    for v in batch.column(id_col).to_pylist()]
+            return batch.filter(pa.array(mask))
+
+        return ds.map_batches(keep, batch_format="pyarrow"), len(wanted)
+
+    from rdf_mapper_ray.ops.bloom import bloom_contains, build_bloom
+
+    def pair_ids(t: pa.Table) -> pa.Table:
+        v = np.concatenate([
+            t.column("left_id").to_numpy(zero_copy_only=False),
+            t.column("right_id").to_numpy(zero_copy_only=False)])
+        return pa.Table.from_pydict({
+            "id": pa.array(v.astype(np.int64), type=pa.int64())})
+
+    bits = build_bloom(
+        cand.map_batches(pair_ids, batch_format="pyarrow"), "id")
+    bref = ray.put(bits)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bref)
+        v = pc.cast(batch.column(id_col), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(bloom_contains(bm, v)))
+
+    return ds.map_batches(prefilter, batch_format="pyarrow"), None
+
+
 def _distinct_shingles(ds, wanted_ref, text_col: str, id_col: str,
                        shingle_k: int) -> "ray.data.Dataset":
     """(id, shingles list<uint64>) for the docs in the broadcast wanted
@@ -1302,13 +1340,15 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                         id_col: str = "doc_id", shingle_k: int = 5,
                         threshold: float = 0.5,
                         num_perm: int = 128, num_bands: int = 32,
-                        seed: int = 42,
-                        hash_fn: str = "pandas") -> "ray.data.Dataset":
+                        seed: int = 42, hash_fn: str = "pandas",
+                        broadcast_max_docs: int = 100_000
+                        ) -> "ray.data.Dataset":
     """Near-dup pairs with *exact* n-gram Jaccard: MinHash+LSH proposes
     candidates (cheap, distributed), then every candidate pair is
-    verified by the distributed exact-Jaccard stage. Only candidate doc
-    *ids* ever reach the driver (the broadcast semi-join set); texts,
-    shingles and pairs all stay Datasets."""
+    verified by the distributed exact-Jaccard stage. Candidate doc ids
+    reach the driver only under the broadcast gate; past it the corpus
+    is bloom-prefiltered and verification co-partitions — texts,
+    shingles, pairs and ids all stay Datasets (_candidate_docs)."""
     cands = minhash_lsh_pairs(ds, text_col, id_col, num_perm=num_perm,
                               num_bands=num_bands, shingle_k=shingle_k,
                               threshold=threshold * 0.7, seed=seed,
@@ -1318,15 +1358,16 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     if n_cands == 0:
         return ray.data.from_arrow(_EMPTY_PAIRS)
     num_partitions = _num_partitions(n_cands)
-    wanted = set()
-    for b in cands.iter_batches(batch_format="pyarrow"):
-        wanted.update(b.column("left_id").to_pylist())
-        wanted.update(b.column("right_id").to_pylist())
-    wanted_ref = ray.put(wanted)
-    shingles = _distinct_shingles(ds, wanted_ref, text_col, id_col,
+    docs, n_docs = _candidate_docs(cands, n_cands, ds, id_col,
+                                   broadcast_max_docs)
+    shingles = _distinct_shingles(docs, None, text_col, id_col,
                                   shingle_k)
-    return _verify_pairs(cands, shingles, threshold, num_partitions,
-                         n_candidate_docs=len(wanted))
+    if n_docs is not None:
+        return _verify_pairs(cands, shingles, threshold, num_partitions,
+                             n_candidate_docs=n_docs,
+                             broadcast_max_docs=broadcast_max_docs)
+    return _verify_pairs_distributed(cands, shingles, threshold,
+                                     num_partitions)
 
 
 def inverted_index_cands(ds: "ray.data.Dataset", text_col: str,
@@ -1336,9 +1377,10 @@ def inverted_index_cands(ds: "ray.data.Dataset", text_col: str,
     """Distributed inverted-index candidate generation: every unordered
     doc pair sharing ≥1 shingle (a NECESSARY condition for Jaccard or
     containment > 0) — complete recall for set-overlap predicates.
-    Returns ``(cand, wanted)``: the deduped (left_id < right_id) pair
-    Dataset (materialized) and the candidate doc-id set, or
-    ``(None, set())`` when no doc pair shares a shingle. Shared by
+    Returns ``(cand, n_cand)``: the deduped (left_id < right_id) pair
+    Dataset (materialized) and its row count, or ``(None, 0)`` when no
+    doc pair shares a shingle — candidate ids stay a Dataset; callers
+    narrow the corpus with _candidate_docs. Shared by
     ngram_jaccard_exact and ops/containment.py."""
     # stream the corpus-scale shingle table through the postings stage —
     # never materialized; the verify pass later recomputes shingles for
@@ -1407,18 +1449,16 @@ def inverted_index_cands(ds: "ray.data.Dataset", text_col: str,
         .materialize()
     n_cand = cand.count()
     if n_cand == 0:
-        return None, set()
-    wanted = set()
-    for b in cand.iter_batches(batch_format="pyarrow"):
-        wanted.update(int(v) for v in b.column("left_id").to_pylist())
-        wanted.update(int(v) for v in b.column("right_id").to_pylist())
-    return cand, wanted
+        return None, 0
+    return cand, n_cand
 
 
 def ngram_jaccard_exact(ds: "ray.data.Dataset", text_col: str = "text",
                         id_col: str = "doc_id", shingle_k: int = 5,
                         threshold: float = 0.5,
-                        max_df: Optional[int] = None) -> "ray.data.Dataset":
+                        max_df: Optional[int] = None,
+                        broadcast_max_docs: int = 100_000
+                        ) -> "ray.data.Dataset":
     """All pairs with exact shingle-Jaccard ≥ threshold — complete recall.
 
     Candidates come from the shared distributed inverted index
@@ -1430,14 +1470,20 @@ def ngram_jaccard_exact(ds: "ray.data.Dataset", text_col: str = "text",
     None, the default, keeps full exactness).
     """
     num_partitions = _num_partitions(ds.count())
-    cand, wanted = inverted_index_cands(ds, text_col, id_col, shingle_k,
+    cand, n_cand = inverted_index_cands(ds, text_col, id_col, shingle_k,
                                         num_partitions, max_df)
     if cand is None:
         return ray.data.from_arrow(_EMPTY_PAIRS)
-    cand_shingles = _distinct_shingles(ds, ray.put(wanted), text_col,
-                                       id_col, shingle_k)
-    return _verify_pairs(cand, cand_shingles, threshold, num_partitions,
-                         n_candidate_docs=len(wanted))
+    docs, n_docs = _candidate_docs(cand, n_cand, ds, id_col,
+                                   broadcast_max_docs)
+    cand_shingles = _distinct_shingles(docs, None, text_col, id_col,
+                                       shingle_k)
+    if n_docs is not None:
+        return _verify_pairs(cand, cand_shingles, threshold,
+                             num_partitions, n_candidate_docs=n_docs,
+                             broadcast_max_docs=broadcast_max_docs)
+    return _verify_pairs_distributed(cand, cand_shingles, threshold,
+                                     num_partitions)
 
 
 # DuckDB equivalent of ngram_jaccard_exact (word 5-gram shingles, exact

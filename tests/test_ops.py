@@ -799,3 +799,35 @@ def test_embedding_gram_matches_numpy(ray_session):
         assert g[int(r.i), int(r.j)] == int(r.sum_xy)
         assert int(r.n) == 50
     assert len(out) == 8 * 9 // 2
+
+
+def test_ngram_pair_ops_bloom_venue_agrees(ray_session):
+    """Forced past the broadcast gate (broadcast_max_docs=0), the
+    bloom-prefilter + co-partition verify venue must return exactly the
+    driver-id-set venue's pairs for every n-gram pair op (the r4
+    verdict's candidate-id-set fix)."""
+    import ray.data
+    from rdf_mapper_ray.ops.containment import ngram_containment_pairs
+    from rdf_mapper_ray.ops.dedup import (ngram_jaccard_exact,
+                                          ngram_jaccard_pairs)
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    texts = tbl.column("text").to_pylist()[:30]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    for i in range(8):
+        words = texts[i].split()
+        words[len(words) // 3] = "zzzz"
+        rows.append({"doc_id": 3000 + i, "text": " ".join(words)})
+    ds = ray.data.from_items(rows)
+    for fn, out_col, kw in [
+            (ngram_jaccard_pairs, "jaccard", dict(threshold=0.4)),
+            (ngram_jaccard_exact, "jaccard", dict(threshold=0.4)),
+            (ngram_containment_pairs, "containment",
+             dict(threshold=0.8))]:
+        bc = fn(ds, **kw).to_pandas()
+        dist = fn(ds, broadcast_max_docs=0, **kw).to_pandas()
+        cols = ["left_id", "right_id", out_col]
+        ka = sorted(map(tuple, bc[cols].values.tolist()))
+        kb = sorted(map(tuple, dist[cols].values.tolist()))
+        assert ka == kb, fn.__name__
+        assert len(ka) > 0, fn.__name__

@@ -13,6 +13,15 @@ kmeans, broadcast-centroid assignment, per-cluster tile prune). The
 ``nclusters>1`` scale path can only MISS cross-cluster duplicates, so
 its survivor set is a superset of the exact one — asserted as the
 recall unit in tests.
+
+Scale enforcement (r4 verdict): the within-cluster comparison never
+materializes a cluster-sized dense matrix — the lower-triangle scan
+runs in ``tile_rows``-bounded blocked tiles (O(tile_rows²) peak per
+tile, bit-identical to the dense rule), and ``nclusters=None`` (the
+default) auto-scales the cluster count to the row count the way the
+paper scales its ~10⁴ clusters, so no single cluster is
+quadratic-in-N by default. Explicit ``nclusters`` (including the
+oracle's 1) is honored, with the blocked tiles still capping memory.
 """
 
 from __future__ import annotations
@@ -27,14 +36,49 @@ from rdf_mapper_ray.ops.similarity import IVFIndex
 
 from rdf_mapper_ray.ops.readers import read_table
 
+# ~4k rows/cluster: a 4096² float64 tile is 134 MB transient, and the
+# auto-scaled cluster count reaches the paper's regime as N grows
+TARGET_CLUSTER_ROWS = 4096
+
+
+def _dup_mask_blocked(m: np.ndarray, threshold: float,
+                      tile_rows: int) -> np.ndarray:
+    """Boolean dup flags for rows of ``m`` (sorted by id): row i is a
+    dup iff any j < i has cosine ≥ threshold. Identical to the dense
+    lower-triangle rule but computed in tile_rows×tile_rows blocks."""
+    n = len(m)
+    dup = np.zeros(n, dtype=bool)
+    for s in range(0, n, tile_rows):
+        e = min(s + tile_rows, n)
+        blk = m[s:e]
+        for s2 in range(0, e, tile_rows):
+            e2 = min(s2 + tile_rows, e)
+            sim = blk @ m[s2:e2].T
+            if s2 == s:
+                # intra-block: explicit boolean lower triangle (NOT
+                # np.tril of values — that zero-fills the upper
+                # triangle and any threshold <= 0 would then mark
+                # EVERY vector a duplicate)
+                mask = np.tri(e - s, e2 - s2, k=-1, dtype=bool)
+                dup[s:e] |= ((sim >= threshold) & mask).any(axis=1)
+            else:
+                dup[s:e] |= (sim >= threshold).any(axis=1)
+    return dup
+
 
 def semantic_dedup(ds: "ray.data.Dataset", id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    threshold: float = 0.45,
-                   nclusters: int = 16) -> "ray.data.Dataset":
+                   nclusters: int | None = None,
+                   tile_rows: int = TARGET_CLUSTER_ROWS
+                   ) -> "ray.data.Dataset":
     """-> (id,) survivors after within-cluster near-duplicate pruning
     (keep the smallest id of every near-dup relation)."""
     import pyarrow as pa
+
+    if nclusters is None:
+        n_rows = ds.count()
+        nclusters = max(1, -(-n_rows // TARGET_CLUSTER_ROWS))
 
     index = IVFIndex(ds, nlist=nclusters, vec_col=vec_col)
     assigned = index.assign(ds.select_columns([id_col, vec_col]))
@@ -45,13 +89,7 @@ def semantic_dedup(ds: "ray.data.Dataset", id_col: str = "vec_id",
         ids, m = _vecs_from_block(tbl, id_col, vec_col)
         order = np.argsort(ids)
         ids, m = ids[order], m[order]
-        # one dense tile per cluster; an explicit boolean lower-triangle
-        # mask (NOT np.tril of the values: that zero-fills the upper
-        # triangle, and any threshold <= 0 would then mark EVERY vector
-        # a duplicate) ⇒ only real smaller-id cosines are compared
-        sim = m @ m.T
-        lower = np.tri(len(ids), k=-1, dtype=bool)
-        dup = ((sim >= threshold) & lower).any(axis=1)
+        dup = _dup_mask_blocked(m, threshold, tile_rows)
         return pd.DataFrame({id_col: ids[~dup]})
 
     return assigned.groupby("cluster").map_groups(prune,

@@ -73,3 +73,59 @@ def test_top_bigrams_document_boundaries(ray_session):
     got = top_bigrams(ds, k=10).to_pandas()
     assert dict(zip(got["bigram"], got["cnt"])) == \
         {"a b": 2, "b c": 1}
+
+
+def test_semantic_dedup_blocked_tile_equals_dense(ray_session):
+    """A planted oversized cluster (tile_rows smaller than the cluster)
+    must prune bit-identically to the one-shot dense rule — the r4
+    verdict's cluster-size-cap enforcement."""
+    import numpy as np
+    import ray.data
+    from rdf_mapper_ray.ops.semdedup import (_dup_mask_blocked,
+                                             semantic_dedup)
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8))
+    vecs = base / np.linalg.norm(base, axis=1, keepdims=True)
+    # plant near-dup runs: rows 10..14 are jittered copies of row 3
+    for i in range(10, 15):
+        v = vecs[3] + rng.normal(scale=0.01, size=8)
+        vecs[i] = v / np.linalg.norm(v)
+    # direct mask equality, forced multi-tile
+    dense = _dup_mask_blocked(vecs, 0.9, tile_rows=len(vecs))
+    blocked = _dup_mask_blocked(vecs, 0.9, tile_rows=7)
+    assert (dense == blocked).all() and dense.any()
+    # end-to-end: one cluster, tile smaller than the cluster
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()}
+         for i in range(len(vecs))])
+    a = sorted(r["vec_id"] for r in
+               semantic_dedup(ds, threshold=0.9, nclusters=1)
+               .take_all())
+    b = sorted(r["vec_id"] for r in
+               semantic_dedup(ds, threshold=0.9, nclusters=1,
+                              tile_rows=7).take_all())
+    assert a == b
+
+
+def test_semantic_dedup_autoscales_nclusters(ray_session):
+    """nclusters=None derives the cluster count from the row count, so
+    the default path never builds an O(N²) tile."""
+    import numpy as np
+    import ray.data
+    from rdf_mapper_ray.ops import semdedup as sd
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(30, 4))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()}
+         for i in range(len(vecs))])
+    old = sd.TARGET_CLUSTER_ROWS
+    try:
+        sd.TARGET_CLUSTER_ROWS = 10  # force the auto-scale to split
+        out = sd.semantic_dedup(ds, threshold=0.99,
+                                tile_rows=old)
+        exact = sd.semantic_dedup(ds, threshold=0.99, nclusters=1)
+        assert set(r["vec_id"] for r in out.take_all()) >= \
+            set(r["vec_id"] for r in exact.take_all())
+    finally:
+        sd.TARGET_CLUSTER_ROWS = old

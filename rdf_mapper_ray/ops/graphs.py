@@ -4194,8 +4194,54 @@ def quantity_directed_edges(sf_dir: str,
         .groupby("pid").map_groups(dd, batch_format="pandas")
 
 
+def _scc_mutual_send(state: pd.DataFrame,
+                     adj: pd.DataFrame) -> pd.DataFrame:
+    """Post-closure pool round, send half: every closure row (v, t)
+    becomes an in-reach message to t carrying v."""
+    return pd.DataFrame({
+        "node": state["target"].to_numpy(np.int64),
+        "src": state["node"].to_numpy(np.int64)})
+
+
+def _scc_mutual_reduce(msgs, state: pd.DataFrame):
+    """Post-closure pool round, reduce half: a node's mutual partners
+    are its in-reach (messages) ∩ out-reach (resident closure state);
+    scc_id = min({self} ∪ mutual). Nodes appearing only as message
+    receivers (no out-reach) have no mutual partner ⇒ self."""
+    has_state = state is not None and len(state) \
+        and "node" in state.columns
+    parts = []
+    if has_state:
+        parts.append(pd.DataFrame({
+            "node": state["node"].to_numpy(np.int64),
+            "partner": state["node"].to_numpy(np.int64)}))
+    if msgs is not None and len(msgs):
+        parts.append(pd.DataFrame({
+            "node": msgs["node"].to_numpy(np.int64),
+            "partner": msgs["node"].to_numpy(np.int64)}))
+        if has_state:
+            m = msgs.merge(state[["node", "target"]],
+                           left_on=["node", "src"],
+                           right_on=["node", "target"], how="inner")
+            mut_n = m["node"].to_numpy(np.int64)
+            mut_p = m["src"].to_numpy(np.int64)
+            keep = mut_n != mut_p
+            parts.append(pd.DataFrame({"node": mut_n[keep],
+                                       "partner": mut_p[keep]}))
+    if not parts:
+        return state, 0
+    df = pd.concat(parts, ignore_index=True)
+    n = df["node"].to_numpy(np.int64)
+    q = df["partner"].to_numpy(np.int64)
+    order = np.lexsort((q, n))
+    n, q = n[order], q[order]
+    first = np.r_[True, n[1:] != n[:-1]]
+    return pd.DataFrame({"node": n[first], "scc_id": q[first]}), 0
+
+
 def scc(edges: "ray.data.Dataset", max_depth: int = 32,
-        num_partitions: int | None = None) -> "ray.data.Dataset":
+        num_partitions: int | None = None,
+        venue: str = "actors") -> "ray.data.Dataset":
     """Strongly connected components of a directed int64 (src, dst)
     edge Dataset: scc_id(v) = min node id mutually reachable with v.
 
@@ -4258,9 +4304,51 @@ def scc(edges: "ray.data.Dataset", max_depth: int = 32,
 
     pool.init_state_from_adj(seed, empty)
     pool.run(max_depth)
-    closure = pool.collect()
+    if venue == "dataset":
+        closure = pool.collect()
+        pool.shutdown()
+        return _scc_dataset_tail(closure, edges, num_partitions)
+    # stage 2+3 on the SAME pool: one rebind round sends each closure
+    # row (v, t) to t as an in-reach message; the reduce intersects
+    # each node's in-reach with its resident out-reach (mutual ⇒ same
+    # SCC) and min-folds to scc_id — no closure-sized Dataset exchange
+    # ever runs (the previous venue sorted the 1.6M-row closure twice).
+    pool.rebind(_scc_mutual_send, _scc_mutual_reduce)
+    pool.run(1)
+    by_pool = pool.collect()
     pool.shutdown()
 
+    # nodes outside the pool state (possible only if they appear in no
+    # closure row at all) get scc_id = self via the self-row union
+    def self_rows(t: pa.Table) -> pa.Table:
+        v = np.unique(np.concatenate([
+            t.column("src").to_numpy(zero_copy_only=False),
+            t.column("dst").to_numpy(zero_copy_only=False)])) \
+            .astype(np.int64)
+        return pa.Table.from_pydict({
+            "node": pa.array(v), "partner": pa.array(v)})
+
+    nodes = edges.map_batches(self_rows, batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "node": batch.column("node"),
+            "scc_id": pa.compute.cast(batch.column("min(partner)"),
+                                      pa.int64())})
+
+    pool_rows = by_pool.map_batches(
+        lambda t: t.rename_columns(["node", "partner"]),
+        batch_format="pyarrow")
+    return pool_rows.union(nodes).groupby("node") \
+        .aggregate(Min("partner")) \
+        .map_batches(finish, batch_format="pyarrow")
+
+
+def _scc_dataset_tail(closure, edges, num_partitions):
+    """Dataset-venue mutual-pair tail (scc venue="dataset"): closure
+    rows route by hash(unordered pair), a partition holding both
+    orientations emits partner rows both ways, one groupby min
+    finishes. The actors venue folds this into one pool round."""
     def route_unordered(t: pa.Table) -> pa.Table:
         a = t.column("node").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
@@ -4279,18 +4367,29 @@ def scc(edges: "ray.data.Dataset", max_depth: int = 32,
                             .astype(np.int64))})
 
     def mutual_part(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(["lo", "hi", "fwd"])
-        cnt = d.groupby(["lo", "hi"], sort=False)["fwd"].size()
-        both = cnt[cnt == 2].index
+        # lexsort + boundary diffs instead of pandas groupby: the
+        # partition holds closure-pair-sized groups and this kernel is
+        # the stage's hot loop
+        lo = g["lo"].to_numpy(np.int64)
+        hi = g["hi"].to_numpy(np.int64)
+        fwd = g["fwd"].to_numpy(np.int8)
+        order = np.lexsort((fwd, hi, lo))
+        lo, hi, fwd = lo[order], hi[order], fwd[order]
+        keep = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+                     | (fwd[1:] != fwd[:-1])]
+        lo, hi = lo[keep], hi[keep]
+        starts = np.flatnonzero(
+            np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])])
+        counts = np.diff(np.r_[starts, len(lo)])
+        both = starts[counts == 2]
         if not len(both):
             return pd.DataFrame({
                 "node": pd.array([], dtype="int64"),
                 "partner": pd.array([], dtype="int64")})
-        lo = both.get_level_values(0).to_numpy(np.int64)
-        hi = both.get_level_values(1).to_numpy(np.int64)
+        blo, bhi = lo[both], hi[both]
         return pd.DataFrame({
-            "node": np.concatenate([lo, hi]),
-            "partner": np.concatenate([hi, lo])})
+            "node": np.concatenate([blo, bhi]),
+            "partner": np.concatenate([bhi, blo])})
 
     mutual = closure.map_batches(route_unordered,
                                  batch_format="pyarrow") \
@@ -5878,8 +5977,43 @@ FROM ranked ORDER BY round
 # --- Weisfeiler-Leman color refinement (graph fingerprint) -----------------------------
 
 
+def _wl_send(state: pd.DataFrame, adj: pd.DataFrame) -> pd.DataFrame:
+    """Pregel send: each node's current color to every out-neighbor
+    (adjacency keyed by src: node=src, other=dst)."""
+    m = adj.merge(state, on="node", how="inner")
+    return pd.DataFrame({
+        "node": m["other"].to_numpy(np.int64),
+        "color": m["color"].to_numpy(np.int64)})
+
+
+def _wl_reduce(msgs, state: pd.DataFrame):
+    """Pregel reduce: rehash each node's (own color | sorted neighbor
+    multiset) signature — byte-identical to the Dataset venue's
+    ``rehash`` (same sig format, same portable md5-64, top bit
+    cleared). Nodes that received no message keep their color."""
+    import hashlib
+    if msgs is None or not len(msgs):
+        return state, 1
+    own = dict(zip(state["node"].to_numpy(np.int64),
+                   state["color"].to_numpy(np.int64)))
+    msgs = msgs.sort_values(["node", "color"])
+    new = dict(own)
+    for node, grp in msgs.groupby("node", sort=False):
+        sig = (str(int(own[int(node)])) + "|" +
+               ",".join(str(int(c)) for c in grp["color"]))
+        hv = int.from_bytes(
+            hashlib.md5(sig.encode()).digest()[:8], "big")
+        new[int(node)] = hv >> 1
+    nodes = np.fromiter(new.keys(), np.int64, len(new))
+    order = np.argsort(nodes)
+    colors = np.fromiter(new.values(), np.int64, len(new))
+    return pd.DataFrame({"node": nodes[order],
+                         "color": colors[order]}), 1
+
+
 def wl_refine(edges: "ray.data.Dataset", rounds: int = 2,
-              num_partitions: int = 32) -> "ray.data.Dataset":
+              num_partitions: int = 32,
+              venue: str = "actors") -> "ray.data.Dataset":
     """1-dimensional Weisfeiler-Leman color refinement (Weisfeiler &
     Leman 1968; the WL graph-kernel feature map of Shervashidze et
     al., JMLR 2011) — the canonical graph fingerprint / symmetry
@@ -5893,13 +6027,17 @@ def wl_refine(edges: "ray.data.Dataset", rounds: int = 2,
     trace is the cheap iso-invariant two graph snapshots are compared
     by before any expensive alignment.
 
-    Shape per round (the neighbor_agg kind-row discipline): colors
-    co-partition with edge sources on ONE hash(src) exchange, each
-    task emits (dst, src_color) messages, and a hash(dst) routed
-    merge builds each node's signature string and rehashes it. Color
-    tables are node-sized; edges are never duplicated beyond the
-    doubled undirected orientation. Per-round materialize severs
-    lineage (the pagerank _pin lesson)."""
+    Venues: ``"actors"`` (default) runs rounds on the Pregel
+    persistent-actor pool (engine/pregel.py) — the adjacency loads
+    once and only (dst, color) messages move per round, with the SAME
+    signature/rehash kernel, so venue equality is row-exact
+    (tests/test_graphs.py). ``"dataset"`` is the original per-round
+    exchange: colors co-partition with edge sources on ONE hash(src)
+    exchange, each task emits (dst, src_color) messages, and a
+    hash(dst) routed merge builds each node's signature string and
+    rehashes it. Color tables are node-sized; edges are never
+    duplicated beyond the doubled undirected orientation. Per-round
+    materialize severs lineage (the pagerank _pin lesson)."""
     import hashlib
 
     import pandas as pd
@@ -5913,6 +6051,65 @@ def wl_refine(edges: "ray.data.Dataset", rounds: int = 2,
 
     directed = edges.map_batches(both_dirs,
                                  batch_format="pyarrow").materialize()
+
+    def distinct_trace(h: "ray.data.Dataset", rnd: int
+                       ) -> tuple[int, int, int]:
+        # pid-route colors, per-partition nunique, driver sums the
+        # (partition-count-sized) partials
+        def part(t: pa.Table) -> pa.Table:
+            c = t.column("color").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict({
+                "key": pa.array(c % np.int64(num_partitions)),
+                "color": t.column("color")})
+
+        def nuniq(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "n_colors": [np.int64(g["color"].nunique())],
+                "n_nodes": [np.int64(len(g))]})
+
+        parts = h.map_batches(part, batch_format="pyarrow") \
+            .groupby("key").map_groups(nuniq, batch_format="pandas") \
+            .to_pandas()
+        return (rnd, int(parts["n_colors"].sum()),
+                int(parts["n_nodes"].sum()))
+
+    def as_trace(trace: list) -> "ray.data.Dataset":
+        return ray.data.from_arrow(pa.Table.from_pydict({
+            "round": pa.array([t[0] for t in trace], pa.int64()),
+            "n_colors": pa.array([t[1] for t in trace], pa.int64()),
+            "n_nodes": pa.array([t[2] for t in trace], pa.int64())}))
+
+    if venue == "actors":
+        from rdf_mapper_ray.engine.pregel import PregelPool, pid_of
+        P = min(num_partitions, 8)
+
+        def adj_pid(t: pa.Table) -> pa.Table:
+            out = pa.Table.from_pydict({
+                "node": t.column("src"), "other": t.column("dst")})
+            return out.append_column("pid", pa.array(pid_of(
+                out.column("node").to_numpy(zero_copy_only=False),
+                P)))
+
+        pool = PregelPool(
+            directed.map_batches(adj_pid, batch_format="pyarrow"),
+            P, _wl_send, _wl_reduce)
+        empty = pa.Table.from_pydict({
+            "node": pa.array([], pa.int64()),
+            "color": pa.array([], pa.int64())})
+
+        def seed(adj_df: pd.DataFrame) -> pd.DataFrame:
+            g = adj_df.groupby("node", as_index=False).size()
+            return pd.DataFrame({
+                "node": g["node"].to_numpy(np.int64),
+                "color": g["size"].to_numpy(np.int64)})
+
+        pool.init_state_from_adj(seed, empty)
+        trace = [distinct_trace(pool.collect(), 0)]
+        for r in range(1, rounds + 1):
+            pool.run(1)
+            trace.append(distinct_trace(pool.collect(), r))
+        pool.shutdown()
+        return as_trace(trace)
 
     # color_0 = degree (routed count merge; node-sized result)
     def route_dst(t: pa.Table) -> pa.Table:
@@ -5995,35 +6192,11 @@ def wl_refine(edges: "ray.data.Dataset", rounds: int = 2,
                                        batch_format="pandas") \
             .materialize()
 
-    def distinct_trace(h: "ray.data.Dataset", rnd: int
-                       ) -> tuple[int, int, int]:
-        # pid-route colors, per-partition nunique, driver sums the
-        # (partition-count-sized) partials
-        def part(t: pa.Table) -> pa.Table:
-            c = t.column("color").to_numpy(zero_copy_only=False)
-            return pa.Table.from_pydict({
-                "key": pa.array(c % np.int64(num_partitions)),
-                "color": t.column("color")})
-
-        def nuniq(g: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "n_colors": [np.int64(g["color"].nunique())],
-                "n_nodes": [np.int64(len(g))]})
-
-        parts = h.map_batches(part, batch_format="pyarrow") \
-            .groupby("key").map_groups(nuniq, batch_format="pandas") \
-            .to_pandas()
-        return (rnd, int(parts["n_colors"].sum()),
-                int(parts["n_nodes"].sum()))
-
     trace = [distinct_trace(colors, 0)]
     for r in range(1, rounds + 1):
         colors = refine(colors)
         trace.append(distinct_trace(colors, r))
-    return ray.data.from_arrow(pa.Table.from_pydict({
-        "round": pa.array([t[0] for t in trace], pa.int64()),
-        "n_colors": pa.array([t[1] for t in trace], pa.int64()),
-        "n_nodes": pa.array([t[2] for t in trace], pa.int64())}))
+    return as_trace(trace)
 
 
 def wl_refine_query(sf_dir: str, rounds: int = 2):

@@ -624,3 +624,35 @@ def test_hub_removal_all_edges_removed(ray_session):
     row = out.iloc[0]
     assert (row["nodes_after"], row["comps_after"],
             row["giant_after"]) == (0, 0, 0)
+
+
+def test_wl_refine_venues_agree(ray_session):
+    """Pregel-pool WL refinement must produce the exact trace of the
+    Dataset venue (same signature format, same md5-64 rehash)."""
+    from rdf_mapper_ray.ops.graphs import wl_refine
+    # two triangles joined by a bridge + a pendant: degrees separate,
+    # then WL separates bridge-adjacent from far vertices
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6),
+             (6, 7)]
+    ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["a", "b"]))
+    a = wl_refine(ds, rounds=3, venue="actors").to_pandas()
+    b = wl_refine(ds, rounds=3, venue="dataset").to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+    assert a["n_colors"].iloc[-1] > a["n_colors"].iloc[0]
+
+
+def test_scc_venues_agree(ray_session):
+    """The fold-into-the-pool mutual round must equal the Dataset-venue
+    closure tail exactly (r4 verdict directive 5)."""
+    from rdf_mapper_ray.ops.graphs import scc
+    # 3-cycle, a 2-cycle, a feed-in chain and a sink
+    edges = [(1, 2), (2, 3), (3, 1), (5, 6), (6, 5), (7, 1), (3, 9)]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        edges, columns=["src", "dst"]))
+    a = scc(ds, num_partitions=4, venue="actors").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    b = scc(ds, num_partitions=4, venue="dataset").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
+    got = dict(zip(a["node"], a["scc_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 9: 9}

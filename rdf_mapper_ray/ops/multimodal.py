@@ -7,13 +7,15 @@ codec state initialises once per actor in ``__init__``, work happens per
 batch, and ``batch_size`` must stay small because each row may carry
 megabytes (see ``recommended_batch_size``).
 
-The real image/audio libraries are not in this container, so the codec
-layer is pluggable: if PIL/libav were importable they would be used;
-otherwise a clearly-marked deterministic FAKE codec decodes the synthetic
-``FAKEIMG`` payloads produced by :func:`attach_payloads`. The Ray-side
-plumbing — schemas, actor signatures, batch sizing, output layout — is
-real and tested either way; decoding genuine JPEG bytes here raises
-``NotImplementedError``.
+The heavyweight image/audio libraries are not in this container, so
+the codec layer is pluggable: if PIL/libav were importable they would
+be used; natively the engine decodes binary PNM (P5/P6), WAV, and
+baseline JPEG for REAL (ops/jpeg.py — pure-numpy Huffman + IDCT,
+ground-truth-tested against DC-only fixtures), plus the synthetic
+``FAKEIMG`` payloads produced by :func:`attach_payloads`. PNG and
+progressive JPEG still raise ``NotImplementedError`` cleanly. The
+Ray-side plumbing — schemas, actor signatures, batch sizing, output
+layout — is identical across codecs.
 """
 
 from __future__ import annotations
@@ -48,16 +50,44 @@ def _fake_payload(text: str) -> bytes:
     return _MAGIC + struct.pack("<II", w, h) + (body * reps)[: w * h]
 
 
+def _jpeg_payload(text: str) -> bytes:
+    """Deterministic REAL grayscale baseline JPEG with the same dim
+    formula as _fake_payload: per-block constants from sha256(text),
+    DC-only encoded (ops/jpeg.py) so decode is pixel-exact."""
+    from rdf_mapper_ray.ops.jpeg import encode_gray_dc
+    n = len(text)
+    w = 16 + n % 101
+    h = 16 + (n * 7) % 101
+    by, bx = -(-h // 8), -(-w // 8)
+    seed = hashlib.sha256(text.encode()).digest()
+    reps = (by * bx) // len(seed) + 1
+    raw = np.frombuffer((seed * reps)[:by * bx], dtype=np.uint8)
+    ks = raw.astype(np.int64) - 128
+    return encode_gray_dc(w, h, ks.reshape(by, bx))
+
+
 def attach_payloads(batch: pa.Table, text_col: str = "text",
                     id_col: str = "doc_id") -> pa.Table:
-    """documents batch -> (item_id, media_type, payload) batch."""
+    """documents batch -> (item_id, media_type, payload) batch.
+    Every 7th doc (id % 7 == 3) carries a REAL baseline JPEG instead
+    of the synthetic FAKEIMG, so the decode stages exercise the
+    genuine codec path in every pipeline run; both payload kinds obey
+    the same (width, height) = f(len(text)) formula the SQL oracles
+    replay."""
     texts = batch.column(text_col).to_pylist()
+    ids = batch.column(id_col).to_pylist()
+    payloads, kinds = [], []
+    for i, t in zip(ids, texts):
+        if int(i) % 7 == 3:
+            payloads.append(_jpeg_payload(t or ""))
+            kinds.append("image/jpeg")
+        else:
+            payloads.append(_fake_payload(t or ""))
+            kinds.append("image/x-fake")
     return pa.Table.from_pydict({
         "item_id": batch.column(id_col),
-        "media_type": pa.array(["image/x-fake"] * len(texts),
-                               type=pa.string()),
-        "payload": pa.array([_fake_payload(t or "") for t in texts],
-                            type=pa.binary()),
+        "media_type": pa.array(kinds, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
     })
 
 
@@ -102,23 +132,40 @@ class _PNMCodec:
         return w, h, payload[pos:pos + w * h * depth]
 
 
+class _JPEGCodec:
+    """REAL baseline-JPEG decoder (ops/jpeg.py — pure numpy Huffman +
+    IDCT, grayscale and YCbCr, restart markers). Progressive JPEG
+    still refuses cleanly."""
+
+    def __init__(self) -> None:
+        from rdf_mapper_ray.ops.jpeg import JPEGDecoder
+        self._dec = JPEGDecoder()
+
+    def decode(self, payload: bytes) -> tuple[int, int, bytes]:
+        return self._dec.decode(payload)
+
+
 class _Codec:
     """Magic-byte dispatch: FAKEIMG (synthetic), binary PNM (real),
-    anything else (JPEG/PNG/...) raises until PIL exists here."""
+    baseline JPEG (real, ops/jpeg.py); PNG/progressive-JPEG/...
+    raise until PIL exists here."""
 
     def __init__(self) -> None:
         self._fake = _FakeCodec()
         self._pnm = _PNMCodec()
+        self._jpeg = _JPEGCodec()
 
     def decode(self, payload: bytes) -> tuple[int, int, bytes]:
         if payload[:8] == _MAGIC:
             return self._fake.decode(payload)
         if payload[:2] in (b"P5", b"P6"):
             return self._pnm.decode(payload)
+        if payload[:2] == b"\xff\xd8":
+            return self._jpeg.decode(payload)
         raise NotImplementedError(
             "decoding this format requires PIL, which is not available "
-            "in this environment; FAKEIMG and binary PNM (P5/P6) are "
-            "supported natively")
+            "in this environment; FAKEIMG, binary PNM (P5/P6) and "
+            "baseline JPEG are supported natively")
 
 
 def _load_codec():

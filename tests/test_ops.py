@@ -328,12 +328,76 @@ def test_multimodal_decode_and_features(ray_session):
     assert np.allclose(f.sum(axis=1), 1.0, atol=1e-3)
 
 
-def test_multimodal_decode_rejects_real_media(ray_session):
-    # JPEG magic: dispatcher refuses (needs PIL, absent here) rather
-    # than misdecoding
+def test_multimodal_decode_rejects_unsupported_media(ray_session):
+    # PNG magic: dispatcher refuses (needs PIL, absent here) rather
+    # than misdecoding; a corrupt JPEG errors rather than guessing
     from rdf_mapper_ray.ops.multimodal import _load_codec
     with pytest.raises(NotImplementedError):
-        _load_codec().decode(b"\xff\xd8\xff\xe0 not a fake image")
+        _load_codec().decode(b"\x89PNG\r\n\x1a\n not supported")
+    with pytest.raises(ValueError):
+        _load_codec().decode(b"\xff\xd8\xff\xe0 truncated jpeg")
+
+
+def test_jpeg_codec_dc_fixture_pixel_exact(ray_session):
+    """The native baseline-JPEG decoder is ground-truth-exact on
+    DC-only images: block (i,j) with DC 8k decodes to 128+k on every
+    sample (all-ones quant table)."""
+    from rdf_mapper_ray.ops.jpeg import (JPEGDecoder, encode_gray_dc,
+                                         parse_dims)
+    bk = np.array([[0, 5, -7], [100, -120, 33]], dtype=np.int64)
+    data = encode_gray_dc(20, 13, bk)
+    assert parse_dims(data) == (20, 13, 1)
+    w, h, s = JPEGDecoder().decode(data)
+    assert (w, h, len(s)) == (20, 13, 260)
+    img = np.frombuffer(s, np.uint8).reshape(h, w)
+    for i in range(2):
+        for j in range(3):
+            blk = img[i * 8:(i + 1) * 8, j * 8:(j + 1) * 8]
+            assert (blk == np.clip(128 + bk[i, j], 0, 255)).all()
+
+
+def test_jpeg_fixture_rides_decode_stage(ray_session):
+    """attach_payloads mixes real JPEG payloads in (id % 7 == 3); the
+    DecodeImage actor stage must produce the same dims formula for
+    both payload kinds."""
+    import ray.data
+    from rdf_mapper_ray.ops.multimodal import (DecodeImage,
+                                               attach_payloads)
+    batch = pa.Table.from_pydict({
+        "doc_id": pa.array([3, 10, 4], type=pa.int64()),
+        "text": pa.array(["alpha beta", "x" * 30, "words here"]),
+    })
+    payloads = attach_payloads(batch)
+    kinds = dict(zip(payloads.column("item_id").to_pylist(),
+                     payloads.column("media_type").to_pylist()))
+    assert kinds[3] == "image/jpeg"
+    assert kinds[10] == "image/jpeg"
+    assert kinds[4] == "image/x-fake"
+    out = ray.data.from_arrow(payloads) \
+        .map_batches(DecodeImage, batch_format="pyarrow",
+                     concurrency=1).to_pandas() \
+        .sort_values("item_id").reset_index(drop=True)
+    for _, r in out.iterrows():
+        n = [10, 30, 10][[3, 10, 4].index(r["item_id"])]
+        assert r["width"] == 16 + n % 101
+        assert r["height"] == 16 + (n * 7) % 101
+        assert r["n_pixels"] == r["width"] * r["height"]
+
+
+def test_jpeg_decodes_real_color_file(ray_session):
+    """A genuine 4:2:0 color JPEG from the CPython test suite decodes
+    to the right dims and 3-byte RGB samples."""
+    import os
+    path = ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+            "python3.11/test/imghdrdata/python.jpg")
+    if not os.path.exists(path):
+        pytest.skip("sample jpeg not present")
+    from rdf_mapper_ray.ops.jpeg import JPEGDecoder, parse_dims
+    data = open(path, "rb").read()
+    w, h, nc = parse_dims(data)
+    dw, dh, s = JPEGDecoder().decode(data)
+    assert (dw, dh) == (w, h)
+    assert len(s) == w * h * (3 if nc == 3 else 1)
 
 
 def test_frame_sample_fanout(ray_session):

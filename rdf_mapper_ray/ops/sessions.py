@@ -1716,13 +1716,28 @@ FROM cells ORDER BY cohort_month, age_months
 # --- bounce rate -------------------------------------------------------------------------
 
 
+_SESSION_STATS_CACHE: dict = {}
+
+
+def _session_stats_cached(sf_dir: str) -> "ray.data.Dataset":
+    """Per-process pinned session_stats (the _cust_graph /
+    customer_kg discipline): compositions reuse ONE materialized
+    sessionize chain; the driver-checked session_stats query itself
+    deliberately stays fresh."""
+    if sf_dir not in _SESSION_STATS_CACHE:
+        _SESSION_STATS_CACHE[sf_dir] = \
+            session_stats_query(sf_dir).materialize()
+    return _SESSION_STATS_CACHE[sf_dir]
+
+
 def bounce_rate_query(sf_dir: str):
     """Per-user bounce rate: the share of a user's sessions that
     contain exactly one event (trunc-div milli) — the product
     analytics staple, computed as a thin aggregate over the
-    oracle-checked sessionize chain (n_sessions-bounded rows).
+    oracle-checked sessionize chain (n_sessions-bounded rows,
+    pinned once per process).
     -> (user_id, n_sessions, n_bounces, bounce_milli)."""
-    per_session = session_stats_query(sf_dir)
+    per_session = _session_stats_cached(sf_dir)
 
     def partial(t: pa.Table) -> pa.Table:
         ne = t.column("n_events").to_numpy(zero_copy_only=False)

@@ -147,6 +147,11 @@ class _PregelPart:
             self._state = fn(self._state)
         return 0 if self._state is None else len(self._state)
 
+    def transform_adj(self, fn: Callable) -> int:
+        if self._adj is not None and len(self._adj):
+            self._adj = fn(self._adj)
+        return 0 if self._adj is None else len(self._adj)
+
     def write_state(self, path: str) -> int:
         import pyarrow.parquet as pq
         t = (pa.Table.from_pandas(self._state, preserve_index=False)
@@ -280,6 +285,16 @@ class PregelPool:
         if transform is not None:
             ray.get([a.transform_state.remote(transform)
                      for a in self._actors])
+
+    def transform_adj(self, fn: Callable) -> int:
+        """Rewrite each partition's RESIDENT adjacency in place (e.g.
+        drop edges incident to nodes a previous phase consumed) —
+        multi-phase residual algorithms (greedy coloring, peeling)
+        run every phase on ONE pool instead of rebuilding it per
+        phase. Returns the total remaining adjacency rows, so callers
+        can stop when the residual graph empties."""
+        return sum(ray.get([a.transform_adj.remote(fn)
+                            for a in self._actors]))
 
     def checkpoint(self, checkpoint_dir: str, round_no: int = 0) -> None:
         """Write the current per-partition states as a sealed

@@ -5587,31 +5587,66 @@ def luby_coloring(edges: "ray.data.Dataset", max_colors: int = 4,
     marks nodes left after ``max_colors`` (both sides agree by
     construction). Adjacent nodes never share a color ≥ 0.
 
-    Shape: each color runs the persistent-actor Pregel MIS on the
-    residual edge set; colored nodes are node-bounded per round and
-    broadcast into a vectorized searchsorted edge filter (past
-    broadcast scale the residual filter is a hash(node) semi-join —
-    the bloom_semi_join venue)."""
-    import ray
+    Shape: ONE persistent-actor Pregel pool runs every color — the
+    adjacency loads once, each color is a Luby MIS over the resident
+    residual, and ``transform_adj`` drops edges incident to the
+    newly colored nodes in place (node-bounded filter shipped per
+    color); no pool rebuild, no residual re-materialization."""
+    from rdf_mapper_ray.engine.pregel import PregelPool
+    from rdf_mapper_ray.ops.hashing import hash64
 
     if num_partitions is None:
         from rdf_mapper_ray.ops.dedup import partitions_for
         num_partitions = partitions_for(edges, 8)
 
-    residual = edges.materialize()
+    def adj_rows(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks() \
+            if isinstance(t.column("a"), pa.ChunkedArray) \
+            else t.column("a")
+        b = t.column("b").combine_chunks() \
+            if isinstance(t.column("b"), pa.ChunkedArray) \
+            else t.column("b")
+        tbl = pa.Table.from_pydict({
+            "node": pa.concat_arrays([a, b]),
+            "other": pa.concat_arrays([b, a])})
+        return tbl.append_column(
+            "pid", _pid_col(tbl, "node", num_partitions))
+
+    adjacency = edges.map_batches(adj_rows, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+    pool = PregelPool(adjacency, num_partitions,
+                      _mis_send, _mis_reduce)
+    empty = pa.Table.from_pydict({
+        "node": pa.array([], pa.int64()),
+        "p": pa.array([], pa.uint64()),
+        "status": pa.array([], pa.int64()),
+        "fresh": pa.array([], pa.int64()),
+        "r": pa.array([], pa.int64())})
+
+    def seed(adj_df: pd.DataFrame) -> pd.DataFrame:
+        n = np.unique(adj_df["node"].to_numpy())
+        return pd.DataFrame({
+            "node": n,
+            "p": hash64([str(int(x)) for x in n], backend="md5"),
+            "status": np.zeros(len(n), dtype=np.int64),
+            "fresh": np.zeros(len(n), dtype=np.int64),
+            "r": np.zeros(len(n), dtype=np.int64)})
+
     all_nodes: set = set()
     for b in edges.iter_batches(batch_format="pyarrow"):
         all_nodes.update(b.column("a").to_pylist())
         all_nodes.update(b.column("b").to_pylist())
     assigned: list[pd.DataFrame] = []
     colored_set: set = set()
+    remaining = adjacency.count()
     for color in range(max_colors):
         if len(colored_set) == len(all_nodes):
             break
         in_res: set = set()
-        if residual.count() > 0:
-            st = mis_luby(residual, rounds=rounds,
-                          num_partitions=num_partitions).to_pandas()
+        if remaining > 0:
+            pool.init_state_from_adj(seed, empty)
+            pool.run(2 * rounds)
+            st = pool.collect().to_pandas()
             in_mis = st.loc[st["status"] == 1, "node"] \
                 .to_numpy(np.int64)
             in_res = set(st["node"].tolist())
@@ -5629,23 +5664,24 @@ def luby_coloring(edges: "ray.data.Dataset", max_colors: int = 4,
             "node": take,
             "color": np.full(len(take), color, np.int64)}))
         colored_set.update(take.tolist())
-        colored = np.sort(np.concatenate(
-            [a["node"].to_numpy(np.int64) for a in assigned]))
-        cref = ray.put(colored)
+        if remaining > 0 and color + 1 < max_colors:
+            colored = np.sort(np.concatenate(
+                [a["node"].to_numpy(np.int64) for a in assigned]))
 
-        def drop_colored(t: pa.Table) -> pa.Table:
-            c = ray.get(cref)
-            a = t.column("a").to_numpy(zero_copy_only=False)
-            b = t.column("b").to_numpy(zero_copy_only=False)
-            ka = np.searchsorted(c, a)
-            kb = np.searchsorted(c, b)
-            hit_a = (ka < len(c)) & (c[np.minimum(ka, len(c) - 1)] == a)
-            hit_b = (kb < len(c)) & (c[np.minimum(kb, len(c) - 1)] == b)
-            keep = np.flatnonzero(~hit_a & ~hit_b)
-            return t.take(pa.array(keep, pa.int64()))
+            def drop_colored(adj: pd.DataFrame,
+                             c: np.ndarray = colored) -> pd.DataFrame:
+                a = adj["node"].to_numpy(np.int64)
+                b = adj["other"].to_numpy(np.int64)
+                ka = np.searchsorted(c, a)
+                kb = np.searchsorted(c, b)
+                hit_a = (ka < len(c)) \
+                    & (c[np.minimum(ka, len(c) - 1)] == a)
+                hit_b = (kb < len(c)) \
+                    & (c[np.minimum(kb, len(c) - 1)] == b)
+                return adj.iloc[np.flatnonzero(~hit_a & ~hit_b)]
 
-        residual = residual.map_batches(
-            drop_colored, batch_format="pyarrow").materialize()
+            remaining = pool.transform_adj(drop_colored)
+    pool.shutdown()
 
     # anything still uncolored after max_colors gets -1 (oracle
     # replays the same cap)

@@ -118,6 +118,8 @@ _NEXT_UP = [
     "label_outliers", "editdist_pairs", "value_histogram",
     "retention_cohorts", "negative_samples", "frequent_pairs",
     "grouped_top_n", "simhash_pairs",
+    # new in round 5 (never driver-checked yet)
+    "ngram_novelty",
 ]
 
 
@@ -597,6 +599,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": text.readability_query,
         # lang_id evaluated against the labeled lang column
         "lang_id_report": text.lang_id_report_query,
+        # per-doc shingle novelty vs all earlier docs (round 5)
+        "ngram_novelty": text.ngram_novelty_query,
         "lpa_modularity": graphs.lpa_modularity_query,
         "shacl_cardinality": ontology.shacl_cardinality_query,
         "shacl_datatype": ontology.shacl_datatype_query,
@@ -932,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_cut": graphs.edge_cut_oracle_sql(),
         "lsh_tradeoff": dedup.lsh_tradeoff_oracle_sql(),
         "lang_id_report": text.lang_id_report_oracle_sql(),
+        "ngram_novelty": text.NGRAM_NOVELTY_ORACLE_SQL,
         "sketch_calibration": dedup.sketch_calibration_oracle_sql(),
         "kg_release": ontology.KG_RELEASE_ORACLE_SQL,
         "span_corruption": packing.span_corruption_oracle_sql(),

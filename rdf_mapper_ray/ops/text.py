@@ -1009,3 +1009,115 @@ SELECT cls AS label, CAST(tp AS BIGINT) AS tp,
 FROM per ORDER BY label
 """
     return base
+
+
+# --- corpus novelty profile (temporal shingle overlap) ----------------------------------
+
+
+def ngram_novelty(ds: "ray.data.Dataset", text_col: str = "text",
+                  id_col: str = "doc_id", shingle_k: int = 5,
+                  num_partitions: int | None = None
+                  ) -> "ray.data.Dataset":
+    """Per-doc novelty against everything that came before it (docs
+    ordered by id — the streaming-crawl contract): of a doc's DISTINCT
+    word-``shingle_k``-gram shingles, how many were already emitted by
+    ANY smaller-id doc. The standard memorization / staleness signal
+    for LLM corpus curation (cf. the Lee et al. 2022 dedup analyses).
+    -> (doc_id, n_shingles, n_seen, novelty_milli).
+
+    Shape: the shared _distinct_shingles stream (hashed shingles, the
+    ngram_jaccard collision contract) flattens via Arrow list offsets,
+    routes ONE exchange on hash(shingle) where each partition computes
+    per-shingle first-occurrence and per-doc partial (seen, total)
+    counts, then a doc-keyed groupby sums the partials — two bounded
+    exchanges, no pair table, no driver state."""
+    from ray.data.aggregate import Sum
+
+    from rdf_mapper_ray.ops.dedup import _distinct_shingles
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(ds, 8)
+
+    shingles = _distinct_shingles(ds, None, text_col, id_col,
+                                  shingle_k)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        col = batch.column("shingles")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten()
+        parents = pc.list_parent_indices(col)
+        ids = batch.column("id").take(parents)
+        sh = flat.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.Table.from_pydict({
+            "pid": pa.array((sh % np.uint64(num_partitions))
+                            .astype(np.int64)),
+            "sh": flat,
+            "id": ids})
+
+    def per_shingle_part(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a shingle hash land here: first occurrence is
+        # the min doc id; every later holder counts it as 'seen'
+        ids = g["id"].to_numpy(np.int64)
+        first = g.groupby("sh")["id"].transform("min") \
+            .to_numpy(np.int64)
+        out = pd.DataFrame({
+            "id": ids,
+            "n": np.ones(len(ids), np.int64),
+            "s": (ids > first).astype(np.int64)})
+        return out.groupby("id", as_index=False)[["n", "s"]].sum()
+
+    parts = shingles.map_batches(emit, batch_format="pyarrow") \
+        .groupby("pid").map_groups(per_shingle_part,
+                                   batch_format="pandas")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("sum(n)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = t.column("sum(s)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.Table.from_pydict({
+            "doc_id": pc.cast(t.column("id"), pa.int64()),
+            "n_shingles": pa.array(n),
+            "n_seen": pa.array(s),
+            "novelty_milli": pa.array(1000 * (n - s) // n)})
+
+    return parts.groupby("id").aggregate(Sum("n"), Sum("s")) \
+        .map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def ngram_novelty_query(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_novelty(ds)
+
+
+# word-5-gram shingles exactly as NGRAM_JACCARD_ORACLE_SQL (short docs
+# contribute their whole text as the single shingle)
+NGRAM_NOVELTY_ORACLE_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13)), '\\s+') AS w
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS sh
+  FROM words, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) t
+  WHERE len(w) >= 5
+  UNION ALL
+  SELECT doc_id, array_to_string(w, ' ') AS sh FROM words WHERE len(w) < 5
+),
+dsh AS (SELECT DISTINCT doc_id, sh FROM shingled),
+firsts AS (SELECT sh, MIN(doc_id) AS first_doc FROM dsh GROUP BY sh),
+per AS (
+  SELECT d.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN d.doc_id > f.first_doc
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+  FROM dsh d JOIN firsts f USING (sh)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_shingles, n_seen,
+       CAST(1000 * (n_shingles - n_seen) // n_shingles AS BIGINT)
+         AS novelty_milli
+FROM per ORDER BY doc_id
+"""

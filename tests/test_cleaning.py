@@ -283,3 +283,29 @@ def test_dedup_rate_by_group(ray_session):
     assert list(out["n_docs"]) == [4, 2]
     assert list(out["n_unique"]) == [2, 2]
     assert list(out["dup_rate_milli"]) == [2 * 1000 // 4, 0]
+
+
+def test_ngram_novelty_planted(ray_session):
+    """doc 1 all-novel; doc 2 copies doc 1 (all seen); doc 3 half
+    overlaps; short doc = single whole-text shingle."""
+    import ray.data
+    from rdf_mapper_ray.ops.text import ngram_novelty
+    base = "a b c d e f g h i j"          # 6 distinct 5-gram shingles
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},       # exact copy -> 0 novelty
+        {"doc_id": 3, "text": "a b c d e x y z w v"},
+        {"doc_id": 4, "text": "tiny"},     # <5 words -> 1 shingle
+    ]
+    out = ngram_novelty(ray.data.from_items(rows), num_partitions=4) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_shingles"] == 6
+    assert out.loc[1, "n_seen"] == 0
+    assert out.loc[1, "novelty_milli"] == 1000
+    assert out.loc[2, "n_seen"] == 6
+    assert out.loc[2, "novelty_milli"] == 0
+    # doc 3 shares exactly one shingle with doc 1 ("a b c d e")
+    assert out.loc[3, "n_shingles"] == 6
+    assert out.loc[3, "n_seen"] == 1
+    assert out.loc[4, "n_shingles"] == 1
+    assert out.loc[4, "n_seen"] == 0

@@ -1538,6 +1538,27 @@ def _vecs_from_block(tbl: pa.Table, id_col: str, vec_col: str):
     return ids, m / norms
 
 
+_NEARDUP_PAIRS_CACHE: dict = {}
+
+
+def neardup_pairs_cached(sf_dir: str, threshold: float = 0.3
+                         ) -> "ray.data.Dataset":
+    """Per-process pinned (left_id, right_id) near-dup pair table over
+    the embeddings table (the _cust_graph / session_stats pin
+    discipline): ~20 graph/cluster queries derive the SAME eps-graph,
+    so one bench process runs the block-matmul self-join once. The
+    base embedding_neardup_pairs query entry stays fresh."""
+    from rdf_mapper_ray.ops.readers import read_table
+    k = (sf_dir, threshold)
+    if k not in _NEARDUP_PAIRS_CACHE:
+        emb = read_table(sf_dir, "embeddings",
+                         columns=["vec_id", "embedding"])
+        _NEARDUP_PAIRS_CACHE[k] = embedding_neardup_pairs(
+            emb, threshold=threshold) \
+            .select_columns(["left_id", "right_id"]).materialize()
+    return _NEARDUP_PAIRS_CACHE[k]
+
+
 def embedding_neardup_pairs(ds: "ray.data.Dataset",
                             vec_col: str = "embedding",
                             id_col: str = "vec_id",

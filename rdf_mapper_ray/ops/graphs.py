@@ -30,6 +30,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Min, Sum
 
+from rdf_mapper_ray.ops.dedup import neardup_pairs_cached
 from rdf_mapper_ray.ops.readers import read_table
 
 
@@ -248,9 +249,8 @@ def triangle_count(pairs: "ray.data.Dataset",
 def triangle_count_query(sf_dir: str, threshold: float = 0.3):
     from rdf_mapper_ray.ops.dedup import embedding_neardup_pairs
     emb = read_table(sf_dir, "embeddings",
-                                columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+                     columns=["vec_id", "embedding"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     return triangle_count(pairs)
 
 
@@ -1132,8 +1132,7 @@ def graph_components_query(sf_dir: str, threshold: float = 0.3):
                                           partitions_for)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     # partition count from the INPUT's row tag: the CC round loop pays
     # the blocks × partitions coordination floor per round (2x wall at
     # this SF with the cluster default)
@@ -1347,8 +1346,7 @@ def bfs_levels_query(sf_dir: str, threshold: float = 0.3):
                                           partitions_for)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     return bfs_levels(pairs.map_batches(
         _pairs_as_edges, batch_format="pyarrow"),
         num_partitions=partitions_for(emb, 8), venue="actors")
@@ -1528,8 +1526,7 @@ def sssp_query(sf_dir: str, threshold: float = 0.3, max_hops: int = 8):
                                           partitions_for)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
 
     def weigh(t: pa.Table) -> pa.Table:
         t = _pairs_as_edges(t)
@@ -1811,8 +1808,7 @@ def community_lpa_query(sf_dir: str, threshold: float = 0.3,
                                           partitions_for)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     return community_lpa(
         pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
         rounds=rounds, num_partitions=partitions_for(emb, 8))
@@ -2538,8 +2534,7 @@ def closeness_query(sf_dir: str, threshold: float = 0.3):
                                           partitions_for)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     return closeness(pairs.map_batches(_pairs_as_edges,
                                        batch_format="pyarrow"),
                      num_partitions=partitions_for(emb, 8))
@@ -2636,8 +2631,7 @@ def minimax_query(sf_dir: str, threshold: float = 0.3,
                                           partitions_for)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
 
     def weigh(t: pa.Table) -> pa.Table:
         t = _pairs_as_edges(t)
@@ -2704,8 +2698,7 @@ def harmonic_query(sf_dir: str, threshold: float = 0.3):
                                           partitions_for)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     return harmonic_centrality(
         pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
         num_partitions=partitions_for(emb, 8))
@@ -2874,8 +2867,7 @@ def k_truss_query(sf_dir: str, threshold: float = 0.3, k: int = 3):
                                           partitions_for)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     return k_truss(pairs.map_batches(_pairs_as_edges,
                                      batch_format="pyarrow"),
                    k=k, num_partitions=partitions_for(emb, 8))
@@ -3351,8 +3343,7 @@ def mis_query(sf_dir: str, threshold: float = 0.3, rounds: int = 6):
                                           partitions_for)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     return mis_luby(pairs.map_batches(_pairs_as_edges,
                                       batch_format="pyarrow"),
                     rounds=rounds,
@@ -3669,8 +3660,7 @@ def stress_query(sf_dir: str, threshold: float = 0.3,
                                           partitions_for)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     return stress_centrality(
         pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
         max_levels=max_levels,
@@ -3686,8 +3676,7 @@ def stress_sampled_query(sf_dir: str, threshold: float = 0.3,
                                           embedding_neardup_pairs)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     return stress_centrality(
         pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
         max_levels=max_levels, source_mod=source_mod)
@@ -3784,8 +3773,7 @@ def eccentricity_query(sf_dir: str, threshold: float = 0.3,
                                           partitions_for)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     return eccentricity(
         pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
         max_levels=max_levels,
@@ -3934,8 +3922,7 @@ def dag_layers_query(sf_dir: str, threshold: float = 0.3,
                                           partitions_for)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     return dag_layers(
         pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
         max_rounds=max_rounds,
@@ -4107,8 +4094,7 @@ def clustering_coeff_query(sf_dir: str, threshold: float = 0.3):
     from rdf_mapper_ray.ops.dedup import embedding_neardup_pairs
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     return clustering_coeff(pairs)
 
 
@@ -4736,8 +4722,7 @@ def distance_hist_query(sf_dir: str, threshold: float = 0.3,
                                           embedding_neardup_pairs)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     return distance_hist(
         pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
         max_levels=max_levels,
@@ -4841,8 +4826,7 @@ def dup_cluster_hist_query(sf_dir: str, threshold: float = 0.3):
                                           partitions_for)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     return component_size_hist(pairs.map_batches(
         _pairs_as_edges, batch_format="pyarrow"),
         num_partitions=partitions_for(emb, 8))
@@ -4949,8 +4933,7 @@ def lpa_modularity_query(sf_dir: str, threshold: float = 0.3,
                                           partitions_for)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     return lpa_modularity(
         pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
         rounds=rounds, num_partitions=partitions_for(emb, 8))
@@ -5705,8 +5688,7 @@ def luby_coloring_query(sf_dir: str, threshold: float = 0.3,
                                           partitions_for)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     return luby_coloring(pairs.map_batches(_pairs_as_edges,
                                            batch_format="pyarrow"),
                          max_colors=max_colors, rounds=rounds,
@@ -5957,8 +5939,7 @@ def densest_subgraph_query(sf_dir: str, max_rounds: int = 12,
                                           partitions_for)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     return densest_subgraph(
         pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
         max_rounds=max_rounds,
@@ -6331,8 +6312,7 @@ def landmark_dist_query(sf_dir: str, threshold: float = 0.3,
     fwd = _MSBFS_FWD_CACHE.get((sf_dir, threshold, max_levels))
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
     return landmark_dist(
         pairs.map_batches(_pairs_as_edges, batch_format="pyarrow"),
         max_levels=max_levels, landmark_mod=landmark_mod, fwd=fwd)
@@ -6765,12 +6745,8 @@ def k4_cliques(pairs: "ray.data.Dataset",
 
 
 def k4_cliques_query(sf_dir: str, threshold: float = 0.25):
-    from rdf_mapper_ray.ops.dedup import embedding_neardup_pairs
-    emb = read_table(sf_dir, "embeddings",
-                     columns=["vec_id", "embedding"])
-    return k4_cliques(
-        embedding_neardup_pairs(emb, threshold=threshold)
-        .select_columns(["left_id", "right_id"]))
+    from rdf_mapper_ray.ops.dedup import neardup_pairs_cached
+    return k4_cliques(neardup_pairs_cached(sf_dir, threshold))
 
 
 def k4_cliques_oracle_sql(threshold: float = 0.25) -> str:
@@ -6835,12 +6811,8 @@ def transitivity(pairs: "ray.data.Dataset",
 
 
 def transitivity_query(sf_dir: str, threshold: float = 0.3):
-    from rdf_mapper_ray.ops.dedup import embedding_neardup_pairs
-    emb = read_table(sf_dir, "embeddings",
-                     columns=["vec_id", "embedding"])
-    return transitivity(
-        embedding_neardup_pairs(emb, threshold=threshold)
-        .select_columns(["left_id", "right_id"]))
+    from rdf_mapper_ray.ops.dedup import neardup_pairs_cached
+    return transitivity(neardup_pairs_cached(sf_dir, threshold))
 
 
 TRANSITIVITY_ORACLE_SQL = """
@@ -6975,12 +6947,9 @@ def hub_removal(edges: "ray.data.Dataset", n_hubs: int = 8,
 
 def hub_removal_query(sf_dir: str, threshold: float = 0.3,
                       n_hubs: int = 8):
-    from rdf_mapper_ray.ops.dedup import embedding_neardup_pairs
-    emb = read_table(sf_dir, "embeddings",
-                     columns=["vec_id", "embedding"])
-    return hub_removal(
-        embedding_neardup_pairs(emb, threshold=threshold)
-        .select_columns(["left_id", "right_id"]), n_hubs=n_hubs)
+    from rdf_mapper_ray.ops.dedup import neardup_pairs_cached
+    return hub_removal(neardup_pairs_cached(sf_dir, threshold),
+                       n_hubs=n_hubs)
 
 
 def hub_removal_oracle_sql(threshold: float = 0.3,

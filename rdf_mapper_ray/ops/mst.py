@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from rdf_mapper_ray.ops.readers import read_table
+from rdf_mapper_ray.ops.dedup import neardup_pairs_cached
 
 
 def _pid_arr(vals: np.ndarray, num_partitions: int) -> pa.Array:
@@ -329,8 +330,7 @@ def msf_query(sf_dir: str, threshold: float = 0.3):
                                           partitions_for)
     emb = read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(emb, threshold=threshold) \
-        .select_columns(["left_id", "right_id"])
+    pairs = neardup_pairs_cached(sf_dir, threshold)
 
     def weigh(t: pa.Table) -> pa.Table:
         t = _pairs_as_edges(t)

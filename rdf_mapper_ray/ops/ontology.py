@@ -615,8 +615,8 @@ def void_stats_query(sf_dir: str):
     extract → dedup → profile as one streaming composition (the
     publish-time statistics step; reference anchor: rdf-mapper's
     emitted dataset is what a VoID block would describe)."""
-    from rdf_mapper_ray.pipelines.sourcecode import flagship
-    return void_stats(flagship(sf_dir))
+    from rdf_mapper_ray.pipelines.sourcecode import flagship_cached
+    return void_stats(flagship_cached(sf_dir))
 
 
 def void_stats_oracle_sql() -> str:
@@ -1026,8 +1026,8 @@ def ns_mining(triples: "ray.data.Dataset",
 
 def ns_mining_query(sf_dir: str):
     """Namespace partition of the flagship source-code graph."""
-    from rdf_mapper_ray.pipelines.sourcecode import flagship
-    return ns_mining(flagship(sf_dir))
+    from rdf_mapper_ray.pipelines.sourcecode import flagship_cached
+    return ns_mining(flagship_cached(sf_dir))
 
 
 def ns_mining_oracle_sql() -> str:
@@ -1278,8 +1278,8 @@ def subject_profile(triples: "ray.data.Dataset",
 
 
 def subject_profile_query(sf_dir: str):
-    from rdf_mapper_ray.pipelines.sourcecode import flagship
-    return subject_profile(flagship(sf_dir))
+    from rdf_mapper_ray.pipelines.sourcecode import flagship_cached
+    return subject_profile(flagship_cached(sf_dir))
 
 
 def subject_profile_oracle_sql() -> str:

@@ -101,6 +101,19 @@ def source_code_dataset(sf_dir: str,
     return ds.map_batches(derive_source_code, batch_format="pyarrow")
 
 
+_FLAGSHIP_CACHE: dict = {}
+
+
+def flagship_cached(sf_dir: str) -> "ray.data.Dataset":
+    """Per-process pinned flagship triple table (the _cust_graph pin
+    discipline): the VoID / namespace / subject-profile audits all
+    scan the SAME constructed graph, so one bench process extracts it
+    once. The flagship entry()/bench paths stay fresh."""
+    if sf_dir not in _FLAGSHIP_CACHE:
+        _FLAGSHIP_CACHE[sf_dir] = flagship(sf_dir).materialize()
+    return _FLAGSHIP_CACHE[sf_dir]
+
+
 def flagship(sf_dir: str, output_dir: Optional[str] = None,
              reconcile_backend=None,
              batch_size: int = 2048) -> "ray.data.Dataset":

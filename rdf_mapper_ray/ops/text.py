@@ -1031,8 +1031,6 @@ def ngram_novelty(ds: "ray.data.Dataset", text_col: str = "text",
     per-shingle first-occurrence and per-doc partial (seen, total)
     counts, then a doc-keyed groupby sums the partials — two bounded
     exchanges, no pair table, no driver state."""
-    from ray.data.aggregate import Sum
-
     from rdf_mapper_ray.ops.dedup import _distinct_shingles
     if num_partitions is None:
         from rdf_mapper_ray.ops.dedup import partitions_for
@@ -1071,19 +1069,30 @@ def ngram_novelty(ds: "ray.data.Dataset", text_col: str = "text",
         .groupby("pid").map_groups(per_shingle_part,
                                    batch_format="pandas")
 
-    def finish(t: pa.Table) -> pa.Table:
-        n = t.column("sum(n)").to_numpy(zero_copy_only=False) \
+    # doc-keyed merge of the (docs × P)-bounded partials via a routed
+    # in-task groupby — Ray's sort-aggregate degrades ~100x on this
+    # tiny-group shape (the partsupp_edges lesson; measured 24 s)
+    def route_doc(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        s = t.column("sum(s)").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        return pa.Table.from_pydict({
-            "doc_id": pc.cast(t.column("id"), pa.int64()),
-            "n_shingles": pa.array(n),
-            "n_seen": pa.array(s),
-            "novelty_milli": pa.array(1000 * (n - s) // n)})
+        return t.append_column(
+            "dpid", pa.array(i % np.int64(num_partitions)))
 
-    return parts.groupby("id").aggregate(Sum("n"), Sum("s")) \
-        .map_batches(finish, batch_format="pyarrow").sort("doc_id")
+    def merge_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("id", as_index=False)[["n", "s"]].sum()
+        n = out["n"].to_numpy(np.int64)
+        s = out["s"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": out["id"].to_numpy(np.int64),
+            "n_shingles": n,
+            "n_seen": s,
+            "novelty_milli": 1000 * (n - s) // n})
+
+    return parts.map_batches(route_doc, batch_format="pyarrow") \
+        .groupby("dpid").map_groups(merge_doc,
+                                    batch_format="pandas") \
+        .map_batches(lambda t: t, batch_format="pyarrow") \
+        .sort("doc_id")
 
 
 def ngram_novelty_query(sf_dir: str):

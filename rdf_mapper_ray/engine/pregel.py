@@ -42,6 +42,11 @@ import ray
 import ray.data
 
 
+# released-but-alive actor sets, keyed by partition count — reused by
+# the next PregelPool of the same size (see _acquire_actors)
+_RELEASED_ACTORS: dict[int, list] = {}
+
+
 def pid_of(nodes, num_partitions: int) -> np.ndarray:
     """The repo-standard node -> partition hash (must match the
     Dataset venues' ``_pid`` helpers)."""
@@ -175,6 +180,13 @@ class _PregelPart:
         self._state = t.to_pandas()
         return len(self._state)
 
+    def clear(self) -> int:
+        """Drop the adjacency and state references so a released
+        (cached) actor pins no object-store or heap memory."""
+        self._adj = None
+        self._state = None
+        return 0
+
     def state_rows(self) -> int:
         return 0 if self._state is None else len(self._state)
 
@@ -196,7 +208,8 @@ class PregelPool:
 
     def __init__(self, adjacency: "ray.data.Dataset",
                  num_partitions: int,
-                 send_fn: Callable, reduce_fn: Callable):
+                 send_fn: Callable, reduce_fn: Callable,
+                 reuse: bool = True):
         self._P = num_partitions
         # One exchange total: co-partition the adjacency by pid so each
         # block holds few pids, then hand each actor only the blocks
@@ -206,14 +219,36 @@ class PregelPool:
             lambda g: g, batch_format="pyarrow").materialize()
         refs = routed.to_arrow_refs()
         blk_pids = ray.get([_block_pids.remote(r) for r in refs])
-        self._actors = [
-            _PregelPart.remote(i, num_partitions, send_fn, reduce_fn)
-            for i in range(num_partitions)]
+        self._reusable = reuse
+        self._actors = self._acquire_actors(send_fn, reduce_fn)
         loads = []
         for i, a in enumerate(self._actors):
             mine = [r for r, ps in zip(refs, blk_pids) if i in ps]
             loads.append(a.load_adj.remote(mine))
         ray.get(loads)
+
+    def _acquire_actors(self, send_fn: Callable,
+                        reduce_fn: Callable) -> list:
+        """Reuse a released actor set of the same partition count when
+        one exists (actor spawn is the dominant cold cost of a small
+        pool run — ~0.3-1 s per fresh worker process); kernels rebind
+        and the adjacency reloads, so reuse is semantics-free. A dead
+        cached set (killed cluster worker) falls back to a respawn."""
+        cached = _RELEASED_ACTORS.pop(self._P, None) \
+            if self._reusable else None
+        if cached is not None:
+            try:
+                ray.get([a.rebind.remote(send_fn, reduce_fn)
+                         for a in cached], timeout=30)
+                return cached
+            except Exception:
+                for a in cached:
+                    try:
+                        ray.kill(a)
+                    except Exception:
+                        pass
+        return [_PregelPart.remote(i, self._P, send_fn, reduce_fn)
+                for i in range(self._P)]
 
     def init_state(self, table: pa.Table) -> None:
         """Scatter a driver-built initial state (small: e.g. the BFS
@@ -358,6 +393,23 @@ class PregelPool:
             .materialize()
 
     def shutdown(self) -> None:
+        """Release the actors for reuse by the next same-size pool
+        (cleared of adjacency/state first); kill them when reuse is
+        off or a released set of this size is already cached."""
+        if not self._actors:
+            return
+        if self._reusable and self._P not in _RELEASED_ACTORS:
+            try:
+                ray.get([a.clear.remote() for a in self._actors],
+                        timeout=30)
+                _RELEASED_ACTORS[self._P] = self._actors
+                self._actors = []
+                return
+            except Exception:
+                pass
         for a in self._actors:
-            ray.kill(a)
+            try:
+                ray.kill(a)
+            except Exception:
+                pass
         self._actors = []

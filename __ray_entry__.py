@@ -119,7 +119,7 @@ _NEXT_UP = [
     "retention_cohorts", "negative_samples", "frequent_pairs",
     "grouped_top_n", "simhash_pairs",
     # new in round 5 (never driver-checked yet)
-    "ngram_novelty",
+    "ngram_novelty", "kg_incremental",
 ]
 
 
@@ -645,6 +645,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nation_mapby": relational.nation_query,
         # --- KG construction (SURVEY.md §2) ---
         "kg_sourcecode": sourcecode.flagship,
+        # incremental maintenance ≡ full rebuild (round 5): stale-shard
+        # base + changed-batch apply must equal the flagship SQL exactly
+        "kg_incremental": sourcecode.kg_incremental_update_query,
         "kg_reconcile_canonicalize": sourcecode.reconciled,
         "kg_customer": relational.customer_query,
         "kg_orders": relational.orders_query,
@@ -723,6 +726,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "kg_sourcecode": sourcecode.FLAGSHIP_ORACLE_SQL,
+        "kg_incremental": sourcecode.FLAGSHIP_ORACLE_SQL,
         "kg_reconcile_canonicalize": sourcecode.RECONCILE_ORACLE_SQL,
         "kg_customer": relational.CUSTOMER_ORACLE_SQL,
         "kg_orders": relational.ORDERS_ORACLE_SQL,

@@ -542,3 +542,76 @@ SELECT COALESCE(a.predicate, r.predicate) AS predicate,
 FROM added a FULL OUTER JOIN removed r ON a.predicate = r.predicate
 ORDER BY predicate
 """
+
+
+def kg_incremental_update_query(sf_dir: str) -> "ray.data.Dataset":
+    """Incremental KG maintenance ≡ full rebuild — the 10^12-file
+    contract: re-ingesting only a changed commit batch must yield the
+    SAME triple table as rebuilding from scratch.
+
+    Base snapshot: flagship extraction over a corpus where the
+    ``doc_id % 10 == 1`` shard carries STALE content (first 5
+    whitespace words — so its sha256/size triples differ); the
+    incoming commit batch re-delivers those files with fresh content
+    (same repo/path/commit/lang, content-independent URIs). Apply =
+    anti-join the changed files' subjects out of the base (content-
+    derived triples live only under the file subject — FLAGSHIP_SPEC),
+    union the fresh extraction, ONE global distinct. Oracle: the plain
+    flagship SQL over the CURRENT corpus — equality is row-for-row.
+
+    Shape: the retired-subject side is a commit-batch-bounded Dataset
+    (never a driver set) met in the shared equi_join anti venue; the
+    final distinct rides the pipeline's own dedup machinery."""
+    import pyarrow.parquet as pq_
+
+    from rdf_mapper_ray.engine.dedup import distinct_triples
+    from rdf_mapper_ray.ops.joins import equi_join
+
+    rows = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    cols = ["doc_id", "text", "lang", "source"]
+
+    def run(src: "ray.data.Dataset") -> "ray.data.Dataset":
+        pipe = KGPipeline(FLAGSHIP_SPEC, auto_declare=False,
+                          canonicalize=False)
+        return pipe.run(src.map_batches(derive_source_code,
+                                        batch_format="pyarrow"),
+                        rows_hint=rows)
+
+    def stale(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        out = [(" ".join((x or "").split()[:5]) if i % 10 == 1 else x)
+               for i, x in zip(ids, texts)]
+        idx = t.schema.get_field_index("text")
+        return t.set_column(idx, "text", pa.array(out, pa.string()))
+
+    def changed_only(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.take(pa.array(np.flatnonzero(ids % 10 == 1),
+                               pa.int64()))
+
+    docs = read_parquet_rows(f"{sf_dir}/documents.parquet",
+                             columns=cols)
+    base = run(docs.map_batches(stale, batch_format="pyarrow"))
+    changed_docs = docs.map_batches(changed_only,
+                                    batch_format="pyarrow")
+    fresh = run(changed_docs)
+
+    def file_subjects(t: pa.Table) -> pa.Table:
+        # mirrors derive_source_code's URI recipe exactly
+        doc_id = t.column("doc_id").to_pylist()
+        source = t.column("source").to_pylist()
+        lang = t.column("lang").to_pylist()
+        subs = [
+            f"{CODE_BASE}/file/{s}/"
+            f"{hashlib.md5(f'{s}:{d}'.encode()).hexdigest()[:12]}/"
+            f"src/{lg}/doc-{d}.txt"
+            for s, d, lg in zip(source, doc_id, lang)]
+        return pa.Table.from_pydict(
+            {"subject": pa.array(subs, pa.string())})
+
+    retire = changed_docs.map_batches(file_subjects,
+                                      batch_format="pyarrow")
+    kept = equi_join(base, retire, left_on="subject",
+                     right_on="subject", how="anti")
+    return distinct_triples(kept.union(fresh))

@@ -609,3 +609,21 @@ def test_sparql_update_sharded_matches_driver_writer(ray_session, tmp_path):
             state = set(apply_update(open(f, encoding="utf-8").read(),
                                      state))
         assert state == set(expected), mode
+
+
+def test_kg_incremental_update_equals_full_rebuild(ray_session):
+    """Delete-changed-subjects + re-extract + distinct must equal the
+    from-scratch flagship graph row-for-row (the incremental
+    maintenance contract; content-derived triples live only under
+    file subjects by spec construction)."""
+    from rdf_mapper_ray.pipelines.sourcecode import (
+        flagship, kg_incremental_update_query)
+    sf = "/root/testdata/sf0.001"
+    cols = ["graph", "subject", "subject_kind", "predicate",
+            "object_kind", "object_value", "lang", "datatype"]
+    inc = kg_incremental_update_query(sf).to_pandas()[cols] \
+        .fillna("").sort_values(cols).reset_index(drop=True)
+    full = flagship(sf).to_pandas()[cols] \
+        .fillna("").sort_values(cols).reset_index(drop=True)
+    assert len(inc) == len(full) > 0
+    assert inc.equals(full)

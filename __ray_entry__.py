@@ -119,7 +119,7 @@ _NEXT_UP = [
     "retention_cohorts", "negative_samples", "frequent_pairs",
     "grouped_top_n", "simhash_pairs",
     # new in round 5 (never driver-checked yet)
-    "ngram_novelty", "kg_incremental",
+    "ngram_novelty", "kg_incremental", "simrank_mc",
 ]
 
 
@@ -539,6 +539,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "landmark_dist": graphs.landmark_dist_query,
         # SimRank structural similarity (milli fixed-point, 2 rounds)
         "simrank": graphs.simrank_query,
+        # the past-SR_PART_CAP Monte-Carlo venue, md5-coin replayable
+        "simrank_mc": graphs.simrank_mc_query,
         # hash-partition edge-cut audit (co-partition venue pricing)
         "edge_cut": graphs.edge_cut_query,
         # exact 4-clique count (pivot fan-out + 3 closing semi-joins)
@@ -937,6 +939,7 @@ def oracle_sql() -> dict[str, str]:
         "distance_hist": graphs.distance_hist_oracle_sql(),
         "landmark_dist": graphs.landmark_dist_oracle_sql(),
         "simrank": graphs.simrank_oracle_sql(),
+        "simrank_mc": graphs.simrank_mc_oracle_sql(),
         "edge_cut": graphs.edge_cut_oracle_sql(),
         "lsh_tradeoff": dedup.lsh_tradeoff_oracle_sql(),
         "lang_id_report": text.lang_id_report_oracle_sql(),

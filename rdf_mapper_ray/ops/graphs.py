@@ -7011,3 +7011,199 @@ SELECT CAST({n_hubs} AS BIGINT) AS n_hubs,
        CAST((SELECT COALESCE(MAX(sz), 0) FROM s2) AS BIGINT)
          AS giant_after
 """
+
+
+# --- Monte-Carlo SimRank (the past-SR_PART_CAP venue, made concrete) ----------------------------
+
+
+def simrank_mc(edges: "ray.data.Dataset", walks: int = 8,
+               steps: int = 3,
+               num_partitions: int | None = None
+               ) -> "ray.data.Dataset":
+    """Monte-Carlo SimRank estimator — the venue :func:`simrank`'s
+    contract names for graphs past SR_PART_CAP, made concrete and
+    SQL-replayable (coupled walk fingerprints, Fogaras & Rácz, WWW
+    2005): run ``walks`` deterministic random walks from EVERY node,
+    where step t from position p moves to the
+    ``md5(p||'-'||w||'-'||t) mod deg(p)``-th smallest neighbor. The
+    coin depends ONLY on (position, walk, step), so two walks that
+    land on the same node coalesce forever — first-meeting detection
+    is a (walk, step, position) groupby, never a pair join.
+    ``s_mc(a,b) = (Σ_w C^{τ_w(a,b)}) // walks`` in milli
+    (C = 0.8 ⇒ cpow(t) = 1000·8^t // 10^t; τ capped at ``steps``,
+    non-met walks contribute 0) -> (i, j, s_mc_milli), i < j, s > 0.
+
+    Scale shape: walk state is (nodes × walks) rows updated against
+    the broadcast CSR (the random_walks venue; co-partition joins
+    past broadcast scale); meetings emit per coalescence bucket and
+    one hash(i,j)-routed exchange folds min-τ-per-walk and the final
+    score. All coins md5 ⇒ the DuckDB oracle replays every step."""
+    import hashlib
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+    W = walks
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        a = batch.column(batch.column_names[0]).to_numpy(
+            zero_copy_only=False)
+        b = batch.column(batch.column_names[1]).to_numpy(
+            zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "node": pa.array(np.concatenate([a, b])),
+            "other": pa.array(np.concatenate([b, a]))})
+
+    und = edges.map_batches(undirect, batch_format="pyarrow") \
+        .materialize()
+    adj = und.to_pandas().sort_values(["node", "other"])
+    nodes, counts = np.unique(adj["node"].to_numpy(),
+                              return_counts=True)
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    nbrs = adj["other"].to_numpy(np.int64)
+    adj_ref = ray.put((nodes, indptr, nbrs))
+
+    def walk(t: pa.Table) -> pa.Table:
+        nn, ip, nb = ray.get(adj_ref)
+        start = t.column("node").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        pos = start.copy()
+        outs = []
+        for st in range(1, steps + 1):
+            h = np.empty(len(pos), dtype=np.uint64)
+            for i, (p, wi) in enumerate(zip(pos, w)):
+                h[i] = np.uint64(int(hashlib.md5(
+                    f"{p}-{wi}-{st}".encode()).hexdigest()[:16], 16))
+            si = np.searchsorted(nn, pos)
+            deg = (ip[si + 1] - ip[si]).astype(np.uint64)
+            idx = (h % deg).astype(np.int64)
+            pos = nb[ip[si] + idx]
+            outs.append(pa.Table.from_pydict({
+                "w": pa.array(w), "t": pa.array(
+                    np.full(len(start), st, np.int64)),
+                "start": pa.array(start), "pos": pa.array(pos)}))
+        return pa.concat_tables(outs)
+
+    starts = ray.data.from_arrow(pa.Table.from_pydict({
+        "node": pa.array(np.repeat(nodes, W)),
+        "w": pa.array(np.tile(np.arange(1, W + 1, dtype=np.int64),
+                              len(nodes)))})) \
+        .repartition(max(2, num_partitions // 4))
+    traj = starts.map_batches(walk, batch_format="pyarrow")
+
+    def route_bucket(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        p = t.column("pos").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_pandas_object(
+            pd.Series(w * np.int64(1_000_003) + p),
+            index=False).to_numpy()
+        return t.append_column(
+            "k", pa.array((h % np.uint64(num_partitions))
+                          .astype(np.int64)))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # per (w, t, pos) coalescence bucket: every start pair in the
+        # bucket is met-by-step-t
+        out_i, out_j, out_w, out_t = [], [], [], []
+        for (w, t), grp in g.groupby(["w", "t"], sort=False):
+            for pos, sub in grp.groupby("pos", sort=False):
+                s = np.unique(sub["start"].to_numpy(np.int64))
+                if len(s) < 2:
+                    continue
+                iu = np.triu_indices(len(s), 1)
+                out_i.extend(s[iu[0]].tolist())
+                out_j.extend(s[iu[1]].tolist())
+                out_w.extend([w] * len(iu[0]))
+                out_t.extend([t] * len(iu[0]))
+        return pd.DataFrame({
+            "i": pd.array(out_i, dtype="int64"),
+            "j": pd.array(out_j, dtype="int64"),
+            "w": pd.array(out_w, dtype="int64"),
+            "t": pd.array(out_t, dtype="int64")})
+
+    cands = traj.map_batches(route_bucket, batch_format="pyarrow") \
+        .groupby("k").map_groups(bucket_pairs, batch_format="pandas")
+
+    cpow = {t: (1000 * 8 ** t) // 10 ** t
+            for t in range(1, steps + 1)}
+
+    def route_pair(t: pa.Table) -> pa.Table:
+        i = t.column("i").to_numpy(zero_copy_only=False)
+        j = t.column("j").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_pandas_object(
+            pd.Series(i * np.int64(1_000_003) + j),
+            index=False).to_numpy()
+        return t.append_column(
+            "k2", pa.array((h % np.uint64(num_partitions))
+                           .astype(np.int64)))
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        tau = g.groupby(["i", "j", "w"], as_index=False)["t"].min()
+        tau["c"] = tau["t"].map(cpow).astype("int64")
+        s = tau.groupby(["i", "j"], as_index=False)["c"].sum()
+        s["s_mc_milli"] = s["c"].to_numpy(np.int64) // np.int64(W)
+        s = s[s["s_mc_milli"] > 0]
+        return s[["i", "j", "s_mc_milli"]].astype("int64")
+
+    return cands.map_batches(route_pair, batch_format="pyarrow") \
+        .groupby("k2").map_groups(score, batch_format="pandas") \
+        .map_batches(lambda t: t, batch_format="pyarrow") \
+        .sort(["i", "j"])
+
+
+def simrank_mc_query(sf_dir: str, walks: int = 8, steps: int = 3):
+    """MC SimRank over the SAME part–supplier graph the exact
+    fixed-point uses below its cap (shared partsupp_edges)."""
+    return simrank_mc(partsupp_edges(sf_dir), walks=walks,
+                      steps=steps)
+
+
+def simrank_mc_oracle_sql(walks: int = 8, steps: int = 3) -> str:
+    cpow = {t: (1000 * 8 ** t) // 10 ** t
+            for t in range(1, steps + 1)}
+    case = " ".join(f"WHEN {t} THEN {c}" for t, c in cpow.items())
+    ctes = [f"""e0 AS (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem WHERE l_partkey <= {PR_PART_CAP}
+),
+ued AS (SELECT a AS node, b AS other FROM e0
+        UNION ALL SELECT b, a FROM e0),
+nbr AS (
+  SELECT node, other,
+         row_number() OVER (PARTITION BY node ORDER BY other) AS rn,
+         COUNT(*) OVER (PARTITION BY node) AS d
+  FROM ued
+),
+w0 AS (SELECT DISTINCT node AS start, node AS pos, wk
+       FROM ued, LATERAL (SELECT unnest(range(1, {walks + 1})) AS wk) z)"""]
+    for st in range(1, steps + 1):
+        ctes.append(f"""w{st} AS MATERIALIZED (
+  SELECT w.start, nbr.other AS pos, w.wk
+  FROM w{st-1} w
+  JOIN nbr ON nbr.node = w.pos
+   AND nbr.rn = 1 + CAST(
+     ('0x' || substr(md5(CAST(w.pos AS VARCHAR) || '-' ||
+                         CAST(w.wk AS VARCHAR) || '-{st}'), 1, 16))
+       ::UBIGINT % CAST(nbr.d AS UBIGINT) AS BIGINT)
+)""")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT start, wk, CAST({st} AS BIGINT) AS t, pos FROM w{st}"
+        for st in range(1, steps + 1))
+    return ("WITH " + ",\n".join(ctes) + f""",
+traj AS ({arms}),
+met AS (
+  SELECT a.start AS i, b.start AS j, a.wk, MIN(a.t) AS tau
+  FROM traj a
+  JOIN traj b ON b.wk = a.wk AND b.t = a.t AND b.pos = a.pos
+            AND b.start > a.start
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT i, j,
+         CAST(SUM(CASE tau {case} END) // {walks} AS BIGINT)
+           AS s_mc_milli
+  FROM met GROUP BY i, j
+)
+SELECT i, j, s_mc_milli FROM scored WHERE s_mc_milli > 0
+ORDER BY i, j
+""")

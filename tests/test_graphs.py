@@ -656,3 +656,30 @@ def test_scc_venues_agree(ray_session):
     assert a.equals(b)
     got = dict(zip(a["node"], a["scc_id"]))
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 9: 9}
+
+
+def test_simrank_mc_star_leaves(ray_session):
+    """All leaves of a star walk to the hub at step 1 and coalesce:
+    every leaf pair meets at tau=1 in EVERY walk, so the estimate is
+    exactly cpow(1) = 800 milli; hub-leaf pairs alternate positions
+    and never coalesce with the leaves' walks at equal steps."""
+    from rdf_mapper_ray.ops.graphs import simrank_mc
+    edges = [(100, v) for v in (1, 2, 3, 4)]
+    ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["a", "b"]))
+    out = simrank_mc(ds, walks=4, steps=2, num_partitions=4) \
+        .to_pandas()
+    leafpairs = out[(out["i"] != 100) & (out["j"] != 100)]
+    assert len(leafpairs) == 6          # C(4,2) leaf pairs
+    assert (leafpairs["s_mc_milli"] == 800).all()
+
+
+def test_simrank_mc_deterministic(ray_session):
+    """Same inputs, same coins, same estimates — run-to-run bit
+    equality (the md5-coin contract the SQL oracle relies on)."""
+    from rdf_mapper_ray.ops.graphs import simrank_mc
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["a", "b"]))
+    a = simrank_mc(ds, walks=6, steps=3, num_partitions=4).to_pandas()
+    b = simrank_mc(ds, walks=6, steps=3, num_partitions=2).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+    assert len(a) > 0

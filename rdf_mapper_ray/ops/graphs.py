@@ -4234,6 +4234,51 @@ def _scc_mutual_reduce(msgs, state: pd.DataFrame):
     return pd.DataFrame({"node": n[first], "scc_id": q[first]}), 0
 
 
+def _reach_send(dirflag: int):
+    """Directed-reachability send for the FW/BW passes: fresh nodes
+    push along dir==1 rows (out-edges) or dir==0 rows (in-edges)."""
+    def send(state: pd.DataFrame, adj: pd.DataFrame) -> pd.DataFrame:
+        fresh = state[state["fresh"] == 1]
+        if not len(fresh):
+            return None
+        e = adj[adj["dir"] == dirflag]
+        m = e.merge(fresh[["node"]], on="node")
+        return pd.DataFrame({"node": m["other"].to_numpy(np.int64)})
+    return send
+
+
+def _reach_reduce(msgs, state: pd.DataFrame):
+    """Mark newly reached nodes fresh; already-known nodes are dropped
+    so late rounds ship nothing (semi-naive)."""
+    if state is None or not len(state) or "node" not in state.columns:
+        state = pd.DataFrame({"node": pd.array([], dtype="int64"),
+                              "fresh": pd.array([], dtype="int64")})
+    state = state.assign(fresh=np.int64(0))
+    if msgs is None or not len(msgs):
+        return state, 0
+    new = np.setdiff1d(
+        np.unique(msgs["node"].to_numpy(np.int64)),
+        state["node"].to_numpy(np.int64))
+    if not len(new):
+        return state, 0
+    add = pd.DataFrame({"node": new,
+                        "fresh": np.ones(len(new), np.int64)})
+    return pd.concat([state, add], ignore_index=True), 1
+
+
+def _trim_state(adj_df: pd.DataFrame) -> pd.DataFrame:
+    """Nodes with zero in- or zero out-degree within the resident
+    residual adjacency — they cannot sit on a cycle, so they are
+    singleton SCCs (the Trim step). Both orientations of every edge
+    are keyed by the node, so the computation is partition-local."""
+    nodes = np.unique(adj_df["node"].to_numpy(np.int64))
+    outd = adj_df.loc[adj_df["dir"] == 1, "node"].to_numpy(np.int64)
+    ind = adj_df.loc[adj_df["dir"] == 0, "node"].to_numpy(np.int64)
+    has_out = np.isin(nodes, np.unique(outd))
+    has_in = np.isin(nodes, np.unique(ind))
+    return pd.DataFrame({"node": nodes[~(has_out & has_in)]})
+
+
 def scc(edges: "ray.data.Dataset", max_depth: int = 32,
         num_partitions: int | None = None,
         venue: str = "actors") -> "ray.data.Dataset":
@@ -4285,6 +4330,8 @@ def scc(edges: "ray.data.Dataset", max_depth: int = 32,
 
     adjacency = edges.map_batches(adj_rows, batch_format="pyarrow") \
         .repartition(num_partitions).materialize()
+    if venue == "fwbw":
+        return _scc_fwbw(adjacency, edges, num_partitions, max_depth)
     pool = PregelPool(adjacency, num_partitions, _tc_send, _tc_reduce)
     empty = pa.Table.from_pydict({
         "node": pa.array([], pa.int64()),
@@ -4410,6 +4457,124 @@ def _scc_dataset_tail(closure, edges, num_partitions):
     return mutual.union(nodes).groupby("node") \
         .aggregate(Min("partner")) \
         .map_batches(finish, batch_format="pyarrow")
+
+
+def _drop_nodes(c: np.ndarray):
+    """transform_adj filter: drop residual rows touching any node in
+    the SORTED array ``c`` (searchsorted membership, no Python sets)."""
+    def f(adj: pd.DataFrame) -> pd.DataFrame:
+        a = adj["node"].to_numpy(np.int64)
+        b = adj["other"].to_numpy(np.int64)
+        ka = np.searchsorted(c, a)
+        kb = np.searchsorted(c, b)
+        hit_a = (ka < len(c)) & (c[np.minimum(ka, len(c) - 1)] == a)
+        hit_b = (kb < len(c)) & (c[np.minimum(kb, len(c) - 1)] == b)
+        return adj.iloc[np.flatnonzero(~hit_a & ~hit_b)]
+    return f
+
+
+def _scc_fwbw(adjacency: "ray.data.Dataset",
+              edges: "ray.data.Dataset", num_partitions: int,
+              max_depth: int,
+              max_pivots: int = 64) -> "ray.data.Dataset":
+    """FW-BW-Trim SCC decomposition (Fleischer, Hendrickson & Pınar
+    2000) — the huge-diameter/huge-component scale venue the closure
+    contract names, on ONE Pregel pool:
+
+    loop: (a) TRIM to fixpoint — nodes with zero in- or out-degree in
+    the residual cannot sit on a cycle, leave as singleton SCCs via
+    the self-row default (degree test is partition-local: both edge
+    orientations are keyed by the node); (b) pick the min residual
+    node as pivot, run a forward and a backward reachability BFS
+    (semi-naive, only fresh nodes message); (c) F ∩ B IS the pivot's
+    SCC (removing whole SCCs never changes remaining SCCs — the
+    condensation is a DAG), assign scc_id = min member and drop it
+    from the residual in place (transform_adj). Per-round driver
+    state is node-bounded (trim/F/B/SCC arrays — the mis/luby
+    broadcast discipline); the closure venue stays the bit-replayable
+    oracle path. Work is Θ(Σ per-SCC BFS) vs the closure's
+    Θ(Σ|SCC|·|reach|) pairs — the asymptotic win at scale."""
+    from rdf_mapper_ray.engine.pregel import PregelPool
+
+    pool = PregelPool(adjacency, num_partitions,
+                      _reach_send(1), _reach_reduce)
+    empty = pa.Table.from_pydict({
+        "node": pa.array([], pa.int64()),
+        "fresh": pa.array([], pa.int64())})
+
+    def collect_nodes() -> np.ndarray:
+        try:
+            return np.unique(pool.collect().to_pandas()["node"]
+                             .to_numpy(np.int64))
+        except ValueError:
+            return np.array([], np.int64)
+
+    assigned: list[pd.DataFrame] = []
+    remaining = adjacency.count()
+    pivots = 0
+    while remaining > 0:
+        # (a) trim to fixpoint
+        while remaining > 0:
+            pool.init_state_from_adj(_trim_state, empty)
+            trim = collect_nodes()
+            if not len(trim):
+                break
+            remaining = pool.transform_adj(_drop_nodes(trim))
+        if remaining == 0:
+            break
+        # (b) pivot = min residual node
+        pool.init_state_from_adj(
+            lambda adj: pd.DataFrame(
+                {"node": [np.int64(adj["node"].min())]}), empty)
+        act = collect_nodes()
+        if not len(act):
+            break
+        pivot = int(act.min())
+        seed = pa.Table.from_pydict({
+            "node": pa.array([pivot], pa.int64()),
+            "fresh": pa.array([1], pa.int64())})
+        pool.rebind(_reach_send(1), _reach_reduce)
+        pool.init_state(seed)
+        pool.run(max_depth)
+        fwd = collect_nodes()
+        pool.rebind(_reach_send(0), _reach_reduce)
+        pool.init_state(seed)
+        pool.run(max_depth)
+        bwd = collect_nodes()
+        # (c) extract and retire the pivot's SCC
+        sccn = np.intersect1d(fwd, bwd)
+        assigned.append(pd.DataFrame({
+            "node": sccn,
+            "partner": np.full(len(sccn), sccn.min(), np.int64)}))
+        pivots += 1
+        if pivots > max_pivots:
+            pool.shutdown()
+            raise ValueError(
+                "scc fwbw: pivot budget exceeded (many nontrivial "
+                "SCCs) — use the closure venue")
+        remaining = pool.transform_adj(_drop_nodes(sccn))
+    pool.shutdown()
+
+    def self_rows(t: pa.Table) -> pa.Table:
+        v = np.unique(np.concatenate([
+            t.column("src").to_numpy(zero_copy_only=False),
+            t.column("dst").to_numpy(zero_copy_only=False)]))             .astype(np.int64)
+        return pa.Table.from_pydict({
+            "node": pa.array(v), "partner": pa.array(v)})
+
+    combined = edges.map_batches(self_rows, batch_format="pyarrow")
+    if assigned:
+        asg = pd.concat(assigned, ignore_index=True)
+        combined = ray.data.from_arrow(
+            pa.Table.from_pandas(asg, preserve_index=False))             .union(combined)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "node": batch.column("node"),
+            "scc_id": pa.compute.cast(batch.column("min(partner)"),
+                                      pa.int64())})
+
+    return combined.groupby("node").aggregate(Min("partner"))         .map_batches(finish, batch_format="pyarrow")
 
 
 def scc_query(sf_dir: str):

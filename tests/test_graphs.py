@@ -683,3 +683,30 @@ def test_simrank_mc_deterministic(ray_session):
     b = simrank_mc(ds, walks=6, steps=3, num_partitions=2).to_pandas()
     assert a.values.tolist() == b.values.tolist()
     assert len(a) > 0
+
+
+def test_scc_fwbw_venue_agrees(ray_session):
+    """FW-BW-Trim must equal the closure venue on a graph with
+    several nontrivial SCCs, trim chains and cross-SCC edges."""
+    from rdf_mapper_ray.ops.graphs import scc
+    edges = [
+        (1, 2), (2, 3), (3, 1),          # 3-cycle
+        (5, 6), (6, 5),                  # 2-cycle
+        (3, 5),                          # condensation edge
+        (10, 11), (11, 12),              # feed-in chain (trimmed)
+        (12, 1),
+        (3, 20),                         # sink (trimmed)
+        (30, 31), (31, 32), (32, 30),    # separate 3-cycle
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        edges, columns=["src", "dst"]))
+    a = scc(ds, num_partitions=4, venue="fwbw").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    b = scc(ds, num_partitions=4, venue="actors").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
+    got = dict(zip(a["node"], a["scc_id"]))
+    assert got[1] == got[2] == got[3] == 1
+    assert got[5] == got[6] == 5
+    assert got[30] == got[31] == got[32] == 30
+    assert got[10] == 10 and got[20] == 20

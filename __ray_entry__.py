@@ -120,6 +120,7 @@ _NEXT_UP = [
     "grouped_top_n", "simhash_pairs",
     # new in round 5 (never driver-checked yet)
     "ngram_novelty", "kg_incremental", "simrank_mc",
+    "scc_condensation",
 ]
 
 
@@ -423,6 +424,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # strongly connected components: Pregel-pool closure +
         # mutual-pair reduction (closure exactness-contract venue)
         "scc": graphs.scc_query,
+        # condensation DAG over the sparse-regime digraph (round 5)
+        "scc_condensation": graphs.scc_condensation_query,
         # quantile normalization (rank-wise cross-column reference)
         "quantile_normalize": normalize.quantile_normalize_query,
         "quantile_map": normalize.quantile_map_query,
@@ -892,6 +895,7 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets": rollup.GROUPING_SETS_ORACLE_SQL,
         "clustering_coeff": graphs.CLUSTERING_COEFF_ORACLE_SQL,
         "scc": graphs.SCC_ORACLE_SQL,
+        "scc_condensation": graphs.scc_condensation_oracle_sql(),
         "quantile_normalize": normalize.QUANTILE_NORMALIZE_ORACLE_SQL,
         "quantile_map": normalize.QUANTILE_MAP_ORACLE_SQL,
         "ndcg": ranking.ndcg_oracle_sql(),

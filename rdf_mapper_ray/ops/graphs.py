@@ -4145,7 +4145,8 @@ SCC_PART_CAP = 300
 
 
 def quantity_directed_edges(sf_dir: str,
-                            part_cap: int = SCC_PART_CAP
+                            part_cap: int = SCC_PART_CAP,
+                            hi: int = 26, lo: int = 25
                             ) -> "ray.data.Dataset":
     """Directed, CYCLIC demo graph over the part–supplier bipartite
     structure: part→supplier when a lineitem ships quantity ≥ 26,
@@ -4166,7 +4167,9 @@ def quantity_directed_edges(sf_dir: str,
         p = batch.column("l_partkey").to_numpy(zero_copy_only=False)
         s = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
         q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
-        fwd = q >= 26
+        keep = (q >= hi) | (q <= lo)
+        p, s, q = p[keep], s[keep], q[keep]
+        fwd = q >= hi
         src = np.where(fwd, p * 2, s * 2 + 1).astype(np.int64)
         dst = np.where(fwd, s * 2 + 1, p * 2).astype(np.int64)
         t = pa.Table.from_pydict({"src": pa.array(src),
@@ -4612,6 +4615,160 @@ FROM nodes n LEFT JOIN mutual m ON m.v = n.v
 GROUP BY n.v
 ORDER BY node
 """
+
+
+# --- condensation DAG (SCC summary graph) ---------------------------------------
+
+
+def scc_condensation(edges: "ray.data.Dataset",
+                     num_partitions: int | None = None
+                     ) -> "ray.data.Dataset":
+    """Condensation of the directed graph: one row per DISTINCT
+    cross-SCC edge (scc_src, scc_dst) — the always-acyclic summary
+    DAG a pipeline scheduler or lineage browser works with.
+    -> (scc_src, scc_dst), scc ids from the shared :func:`scc`
+    labelling (min mutually reachable node).
+
+    Shape: the node -> scc map rides the shared scc machinery; edge
+    endpoints meet their labels in co-partition kind-row passes (one
+    per endpoint — labels and endpoints route to hash(node)), then
+    cross-SCC survivors dedup in a routed in-task pass. Nothing node-
+    or edge-sized touches the driver. Wall is dominated by the
+    closure's O(longest-chain) pool rounds on the sparse demo graph
+    (~7-8 s at sf0.1) — the honest semi-naive bound; the fwbw venue
+    trades it for O(#nontrivial-SCC) BFS pairs at scale."""
+    # both the edge table and the label table feed TWO pid-routed
+    # passes below — pin them once or every consumer re-executes the
+    # whole upstream (including the closure pool)
+    edges = edges.materialize()
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+    labels = scc(edges, num_partitions=num_partitions).materialize()
+
+    def lab_rows(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "key": t.column("node"),
+            "other": pa.nulls(t.num_rows, pa.int64()),
+            "lab": t.column("scc_id"),
+            "kind": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "key": t.column("src"), "other": t.column("dst"),
+            "lab": pa.nulls(t.num_rows, pa.int64()),
+            "kind": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def route(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_pandas_object(pd.Series(k),
+                                       index=False).to_numpy()
+        return t.append_column(
+            "pid", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def rewrite_src(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[g["kind"] == 0, ["key", "lab"]]
+        ed = g.loc[g["kind"] == 1, ["key", "other"]]
+        m = ed.merge(lab, on="key", how="inner")
+        # re-key by the raw dst for the second labelling pass
+        return pd.DataFrame({
+            "key": m["other"].to_numpy(np.int64),
+            "other": m["lab"].to_numpy(np.int64),
+            "lab": pd.array([None] * len(m), dtype="Int64"),
+            "kind": np.ones(len(m), np.int8)})
+
+    half = labels.map_batches(lab_rows, batch_format="pyarrow") \
+        .union(edges.map_batches(edge_rows, batch_format="pyarrow")) \
+        .map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(rewrite_src, batch_format="pandas")
+
+    def rewrite_dst(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[g["kind"] == 0, ["key", "lab"]]
+        ed = g.loc[g["kind"] == 1, ["key", "other"]]
+        m = ed.merge(lab, on="key", how="inner")
+        out = pd.DataFrame({
+            "scc_src": m["other"].to_numpy(np.int64),
+            "scc_dst": m["lab"].to_numpy(np.int64)})
+        return out[out["scc_src"] != out["scc_dst"]] \
+            .drop_duplicates()
+
+    # equal condensation edges arrive from different dst partitions —
+    # global distinct needs one more routed exchange (in-task dedup,
+    # the pair-dedup discipline)
+    def route_pair(t: pa.Table) -> pa.Table:
+        a = t.column("scc_src").to_numpy(zero_copy_only=False)
+        b = t.column("scc_dst").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_pandas_object(
+            pd.Series(a * np.int64(1_000_003) + b),
+            index=False).to_numpy()
+        return t.append_column(
+            "pp", pa.array((h % np.uint64(num_partitions))
+                           .astype(np.int64)))
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["scc_src", "scc_dst"]) \
+            [["scc_src", "scc_dst"]]
+
+    return labels.map_batches(lab_rows, batch_format="pyarrow") \
+        .union(half.map_batches(lambda t: t,
+                                batch_format="pyarrow")) \
+        .map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(rewrite_dst,
+                                   batch_format="pandas") \
+        .map_batches(route_pair, batch_format="pyarrow") \
+        .groupby("pp").map_groups(dd, batch_format="pandas") \
+        .map_batches(lambda t: t, batch_format="pyarrow") \
+        .sort(["scc_src", "scc_dst"])
+
+
+def scc_condensation_query(sf_dir: str, part_cap: int = 60,
+                           hi: int = 45, lo: int = 8):
+    """Condensation DAG of a SPARSER two-regime quantity digraph
+    (part keys <= 60, quantities >= 45 / <= 8 only): the 26/25 split
+    collapses to one giant SCC at every SF, while the sparse regimes
+    leave many small cycles and feed chains — a non-degenerate
+    condensation (32 cross-SCC edges at sf0.01, 489 at sf0.1) whose
+    closure stays small enough for the bit-replayable oracle."""
+    return scc_condensation(
+        quantity_directed_edges(sf_dir, part_cap=part_cap,
+                                hi=hi, lo=lo))
+
+
+_SCC_LABEL_TAIL = (
+    "SELECT n.v AS node,\n"
+    "       CAST(LEAST(n.v, COALESCE(MIN(m.w), n.v)) AS BIGINT)"
+    " AS scc_id\n"
+    "FROM nodes n LEFT JOIN mutual m ON m.v = n.v\n"
+    "GROUP BY n.v\n"
+    "ORDER BY node\n")
+
+_SCC_COND_TAIL = (
+    ", lab AS (\n"
+    "  SELECT n.v AS node,\n"
+    "         CAST(LEAST(n.v, COALESCE(MIN(m.w), n.v)) AS BIGINT)"
+    " AS scc_id\n"
+    "  FROM nodes n LEFT JOIN mutual m ON m.v = n.v\n"
+    "  GROUP BY n.v\n"
+    ")\n"
+    "SELECT DISTINCT ls.scc_id AS scc_src, ld.scc_id AS scc_dst\n"
+    "FROM e\n"
+    "JOIN lab ls ON ls.node = e.src\n"
+    "JOIN lab ld ON ld.node = e.dst\n"
+    "WHERE ls.scc_id <> ld.scc_id\n"
+    "ORDER BY scc_src, scc_dst\n")
+
+def scc_condensation_oracle_sql(part_cap: int = 60, hi: int = 45,
+                                lo: int = 8) -> str:
+    """The closure CTE chain with the condensation tail spliced on and
+    the sparse cap/quantity regimes substituted."""
+    assert _SCC_LABEL_TAIL in SCC_ORACLE_SQL
+    return SCC_ORACLE_SQL \
+        .replace(f"l_partkey <= {SCC_PART_CAP}",
+                 f"l_partkey <= {part_cap}") \
+        .replace("l_quantity >= 26", f"l_quantity >= {hi}") \
+        .replace("l_quantity <= 25", f"l_quantity <= {lo}") \
+        .replace(_SCC_LABEL_TAIL, _SCC_COND_TAIL)
 
 
 # --- time-respecting 2-hop reachability ------------------------------------------

@@ -710,3 +710,18 @@ def test_scc_fwbw_venue_agrees(ray_session):
     assert got[5] == got[6] == 5
     assert got[30] == got[31] == got[32] == 30
     assert got[10] == 10 and got[20] == 20
+
+
+def test_scc_condensation_planted(ray_session):
+    """Two cycles joined by a one-way bridge plus a feed chain: the
+    condensation has exactly the bridge and chain edges, deduped."""
+    from rdf_mapper_ray.ops.graphs import scc_condensation
+    edges = [(1, 2), (2, 1),             # scc {1,2} -> id 1
+             (5, 6), (6, 5),             # scc {5,6} -> id 5
+             (2, 5), (1, 6),             # two bridges, SAME cond edge
+             (9, 1)]                     # singleton feed
+    ds = ray.data.from_pandas(pd.DataFrame(
+        edges, columns=["src", "dst"]))
+    out = scc_condensation(ds, num_partitions=4).to_pandas()
+    got = set(map(tuple, out[["scc_src", "scc_dst"]].values.tolist()))
+    assert got == {(1, 5), (9, 1)}

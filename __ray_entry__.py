@@ -52,9 +52,10 @@ def _first_queries(sf_dir: str, n: int = 5):
 # DRIVER WINDOW: the driver's correctness gate checks the FIRST 50
 # queries() entries only, so the roster is rotated each round. Round-5
 # window = the next 50 never-driver-checked entries in queue order
-# (cumulative distinct driver-verified after r5: 164 of 324). The
-# remaining 160 never-checked entries keep their queue order in
-# _NEXT_UP for round 6; all previously driver-green entries follow.
+# (cumulative distinct driver-verified after r5: 164 of 328). The
+# remaining never-checked entries (incl. the four new round-5 ops at
+# the _NEXT_UP tail) keep their queue order for round 6; all
+# previously driver-green entries follow.
 # ----------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # round-5 window: 50 never-driver-checked entries (VERDICT r4

@@ -725,3 +725,22 @@ def test_scc_condensation_planted(ray_session):
     out = scc_condensation(ds, num_partitions=4).to_pandas()
     got = set(map(tuple, out[["scc_src", "scc_dst"]].values.tolist()))
     assert got == {(1, 5), (9, 1)}
+
+
+def test_scc_doubling_closure_agrees(ray_session):
+    """Pointer-doubling closure must produce the identical SCC
+    labelling as the semi-naive kernels (O(log d) vs O(d) rounds)."""
+    from rdf_mapper_ray.ops.graphs import scc
+    # 40-deep chain into a cycle, plus a separate 2-cycle: forces
+    # many semi-naive rounds and several doubling phases
+    edges = [(i, i + 1) for i in range(1, 40)] + [
+        (40, 33), (50, 51), (51, 50), (39, 50)]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        edges, columns=["src", "dst"]))
+    a = scc(ds, num_partitions=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    b = scc(ds, num_partitions=4, closure="doubling").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
+    got = dict(zip(b["node"], b["scc_id"]))
+    assert got[33] == got[40] == 33 and got[50] == got[51] == 50

@@ -121,7 +121,7 @@ _NEXT_UP = [
     "grouped_top_n", "simhash_pairs",
     # new in round 5 (never driver-checked yet)
     "ngram_novelty", "kg_incremental", "simrank_mc",
-    "scc_condensation",
+    "scc_condensation", "bipartite_check",
 ]
 
 
@@ -427,6 +427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc": graphs.scc_query,
         # condensation DAG over the sparse-regime digraph (round 5)
         "scc_condensation": graphs.scc_condensation_query,
+        # odd-cycle / 2-colorability audit (round 5)
+        "bipartite_check": graphs.bipartite_check_query,
         # quantile normalization (rank-wise cross-column reference)
         "quantile_normalize": normalize.quantile_normalize_query,
         "quantile_map": normalize.quantile_map_query,
@@ -897,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": graphs.CLUSTERING_COEFF_ORACLE_SQL,
         "scc": graphs.SCC_ORACLE_SQL,
         "scc_condensation": graphs.scc_condensation_oracle_sql(),
+        "bipartite_check": graphs.BIPARTITE_CHECK_ORACLE_SQL,
         "quantile_normalize": normalize.QUANTILE_NORMALIZE_ORACLE_SQL,
         "quantile_map": normalize.QUANTILE_MAP_ORACLE_SQL,
         "ndcg": ranking.ndcg_oracle_sql(),

@@ -1401,6 +1401,145 @@ FROM reach GROUP BY node ORDER BY node
 """
 
 
+# --- bipartiteness / odd-cycle audit ------------------------------------------
+
+
+def bipartite_check(edges: "ray.data.Dataset",
+                    max_iters: int = 64,
+                    num_partitions: int | None = None
+                    ) -> "ray.data.Dataset":
+    """Is the graph 2-colorable? Deterministic odd-cycle audit: color
+    every node by the PARITY OF ITS SHORTEST DISTANCE to its
+    component's minimum node (well-defined regardless of traversal
+    order, so the SQL oracle replays it), then count edges whose
+    endpoints share a parity — each is a witness of an odd cycle.
+    -> one row (n_nodes, n_edges, n_odd_edges, bipartite).
+
+    Shape: component labels ride the Pregel min-label CC; ONE
+    multi-source BFS on the same pool machinery (all component minima
+    seed at level 0 simultaneously — components are disjoint so the
+    fronts never interact) gives shortest levels; the node-bounded
+    level table broadcasts into a vectorized per-block edge parity
+    count (co-partition kind-rows are the stated past-broadcast
+    venue), and block partials fold to one row."""
+    from rdf_mapper_ray.engine.pregel import PregelPool, pid_of
+
+    if num_partitions is None:
+        from rdf_mapper_ray.ops.dedup import partitions_for
+        num_partitions = partitions_for(edges, 8)
+
+    e = edges.materialize()
+
+    def as_ab(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "a": pc.cast(t.column(t.column_names[0]), pa.int64()),
+            "b": pc.cast(t.column(t.column_names[1]), pa.int64())})
+
+    ab = e.map_batches(as_ab, batch_format="pyarrow").materialize()
+    comp = graph_components(ab, num_partitions=num_partitions,
+                            venue="actors")
+    # seeds: each component's min node (component-count-bounded — the
+    # mis/luby broadcast discipline)
+    seeds = comp.map_batches(
+        lambda t: t.filter(pc.equal(t.column("node"),
+                                    t.column("component"))),
+        batch_format="pyarrow").to_pandas()
+
+    def adj(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks() \
+            if isinstance(t.column("a"), pa.ChunkedArray) \
+            else t.column("a")
+        b = t.column("b").combine_chunks() \
+            if isinstance(t.column("b"), pa.ChunkedArray) \
+            else t.column("b")
+        out = pa.Table.from_pydict({
+            "node": pa.concat_arrays([a, b]),
+            "other": pa.concat_arrays([b, a])})
+        return out.append_column("pid", pa.array(pid_of(
+            out.column("node").to_numpy(zero_copy_only=False),
+            num_partitions)))
+
+    pool = PregelPool(ab.map_batches(adj, batch_format="pyarrow"),
+                      num_partitions, _bfs_send, _min_reduce("level"))
+    pool.init_state(pa.Table.from_pydict({
+        "node": pa.array(seeds["node"].to_numpy(np.int64)),
+        "level": pa.array(np.zeros(len(seeds), np.int64)),
+        "changed": pa.array(np.ones(len(seeds), np.int64))}))
+    pool.run(max_iters)
+    lv = pool.collect().to_pandas()
+    pool.shutdown()
+    order = np.argsort(lv["node"].to_numpy(np.int64))
+    lref = ray.put((lv["node"].to_numpy(np.int64)[order],
+                    lv["level"].to_numpy(np.int64)[order]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        nn, ll = ray.get(lref)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        pa_ = ll[np.searchsorted(nn, a)]
+        pb_ = ll[np.searchsorted(nn, b)]
+        odd = int((((pa_ + pb_) % 2) == 0).sum())
+        return pa.Table.from_pydict({
+            "n_edges": pa.array([t.num_rows], pa.int64()),
+            "n_odd": pa.array([odd], pa.int64())})
+
+    parts = ab.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas()
+    n_nodes = int(comp.count())
+    n_edges = int(parts["n_edges"].sum())
+    n_odd = int(parts["n_odd"].sum())
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_odd_edges": pa.array([n_odd], pa.int64()),
+        "bipartite": pa.array([1 if n_odd == 0 else 0], pa.int64())}))
+
+
+def bipartite_check_query(sf_dir: str, threshold: float = 0.3):
+    """Odd-cycle audit of the embedding near-dup graph (triangles ⇒
+    decidedly NOT bipartite — non-degenerate counts)."""
+    return bipartite_check(neardup_pairs_cached(sf_dir, threshold))
+
+
+BIPARTITE_CHECK_ORACLE_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+),
+-- explicit DISTINCT: inside WITH RECURSIVE DuckDB gives a bare
+-- UNION in a non-recursive CTE bag semantics (observed 2x rows)
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT a AS node FROM e UNION ALL SELECT b FROM e)),
+ued AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+reach(node, label) AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT ue.b, r.label FROM reach r JOIN ued ue ON ue.a = r.node
+),
+comp AS (SELECT node, MIN(label) AS component
+         FROM reach GROUP BY node),
+walk(node, d) AS (
+  SELECT node, 0 FROM comp WHERE node = component
+  UNION
+  SELECT ue.b, w.d + 1 FROM walk w JOIN ued ue ON ue.a = w.node
+  WHERE w.d < 64
+),
+lvl AS (SELECT node, MIN(d) AS level FROM walk GROUP BY node),
+odd AS (
+  SELECT COUNT(*) AS n FROM e
+  JOIN lvl la ON la.node = e.a
+  JOIN lvl lb ON lb.node = e.b
+  WHERE (la.level + lb.level) % 2 = 0
+)
+SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT n FROM odd) AS BIGINT) AS n_odd_edges,
+       CAST(CASE WHEN (SELECT n FROM odd) = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS bipartite
+"""
+
+
 # --- hop-bounded weighted SSSP (distributed Bellman-Ford) ---------------------
 
 def sssp_bounded(edges: "ray.data.Dataset", source: int | None = None,

@@ -744,3 +744,22 @@ def test_scc_doubling_closure_agrees(ray_session):
     assert a.equals(b)
     got = dict(zip(b["node"], b["scc_id"]))
     assert got[33] == got[40] == 33 and got[50] == got[51] == 50
+
+
+def test_bipartite_check_planted(ray_session):
+    """A bipartite even cycle reports 0 odd edges; adding a triangle
+    flips the verdict and counts the parity-equal edges."""
+    from rdf_mapper_ray.ops.graphs import bipartite_check
+    square = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        square, columns=["left_id", "right_id"]))
+    out = bipartite_check(ds, num_partitions=4).to_pandas().iloc[0]
+    assert (out["n_nodes"], out["n_edges"],
+            out["n_odd_edges"], out["bipartite"]) == (4, 4, 0, 1)
+    tri = square + [(10, 11), (11, 12), (10, 12)]
+    ds2 = ray.data.from_pandas(pd.DataFrame(
+        tri, columns=["left_id", "right_id"]))
+    out2 = bipartite_check(ds2, num_partitions=4).to_pandas().iloc[0]
+    assert out2["bipartite"] == 0
+    assert out2["n_odd_edges"] >= 1
+    assert out2["n_nodes"] == 7 and out2["n_edges"] == 7

@@ -4842,7 +4842,8 @@ ORDER BY node
 
 
 def scc_condensation(edges: "ray.data.Dataset",
-                     num_partitions: int | None = None
+                     num_partitions: int | None = None,
+                     broadcast_max_nodes: int = 5_000_000
                      ) -> "ray.data.Dataset":
     """Condensation of the directed graph: one row per DISTINCT
     cross-SCC edge (scc_src, scc_dst) — the always-acyclic summary
@@ -4871,6 +4872,45 @@ def scc_condensation(edges: "ray.data.Dataset",
     # per-round volume is edge-bounded rather than closure-bounded)
     labels = scc(edges, num_partitions=num_partitions,
                  closure="doubling").materialize()
+
+    if labels.count() <= broadcast_max_nodes:
+        # node-bounded label table: broadcast both lookups into ONE
+        # vectorized edge pass + a routed pair dedup (the pagerank
+        # broadcast discipline); the kind-row co-partition passes
+        # below are the past-broadcast venue
+        lab_df = labels.to_pandas().sort_values("node")
+        lref = ray.put((lab_df["node"].to_numpy(np.int64),
+                        lab_df["scc_id"].to_numpy(np.int64)))
+
+        def edge_labels(t: pa.Table) -> pa.Table:
+            nn, ll = ray.get(lref)
+            a = t.column("src").to_numpy(zero_copy_only=False)
+            b = t.column("dst").to_numpy(zero_copy_only=False)
+            la = ll[np.searchsorted(nn, a)]
+            lb = ll[np.searchsorted(nn, b)]
+            keep = la != lb
+            df = pd.DataFrame({"scc_src": la[keep],
+                               "scc_dst": lb[keep]}).drop_duplicates()
+            h = pd.util.hash_pandas_object(
+                pd.Series(df["scc_src"].to_numpy(np.int64)
+                          * np.int64(1_000_003)
+                          + df["scc_dst"].to_numpy(np.int64)),
+                index=False).to_numpy()
+            return pa.Table.from_pydict({
+                "scc_src": pa.array(df["scc_src"].to_numpy(np.int64)),
+                "scc_dst": pa.array(df["scc_dst"].to_numpy(np.int64)),
+                "pp": pa.array((h % np.uint64(num_partitions))
+                               .astype(np.int64))})
+
+        def dd_b(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates(["scc_src", "scc_dst"]) \
+                [["scc_src", "scc_dst"]]
+
+        return edges.map_batches(edge_labels,
+                                 batch_format="pyarrow") \
+            .groupby("pp").map_groups(dd_b, batch_format="pandas") \
+            .map_batches(lambda t: t, batch_format="pyarrow") \
+            .sort(["scc_src", "scc_dst"])
 
     def lab_rows(t: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({

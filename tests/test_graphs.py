@@ -763,3 +763,18 @@ def test_bipartite_check_planted(ray_session):
     assert out2["bipartite"] == 0
     assert out2["n_odd_edges"] >= 1
     assert out2["n_nodes"] == 7 and out2["n_edges"] == 7
+
+
+def test_scc_condensation_venues_agree(ray_session):
+    """Broadcast label lookup must equal the kind-row co-partition
+    rewrite (broadcast_max_nodes=0 forces the co-partition venue)."""
+    from rdf_mapper_ray.ops.graphs import scc_condensation
+    edges = [(1, 2), (2, 1), (5, 6), (6, 5), (2, 5), (1, 6), (9, 1),
+             (5, 20)]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        edges, columns=["src", "dst"]))
+    a = scc_condensation(ds, num_partitions=4).to_pandas()
+    b = scc_condensation(ds, num_partitions=4,
+                         broadcast_max_nodes=0).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+    assert len(a) > 0

@@ -84,11 +84,33 @@ def flagship_throughput(sf_dir: str, commits_per_file: int = 1,
             "triples_per_sec": round(triples / dt, 1)}
 
 
+def _warmup() -> None:
+    """Steady-state the cluster before timing starts (the same
+    amortise-cold-start discipline the scaling legs already use):
+    touch the object store / worker pool and spawn-release one Pregel
+    actor set so the first roster query doesn't absorb Ray's one-time
+    process-fork and import costs."""
+    import pandas as pd
+
+    import ray.data
+    from rdf_mapper_ray.engine.pregel import PregelPool, pid_of
+
+    ray.data.range(64).map_batches(lambda t: t,
+                                   batch_format="pyarrow") \
+        .materialize()
+    adj = pd.DataFrame({"node": [1, 2], "other": [2, 1]})
+    adj["pid"] = pid_of(adj["node"].to_numpy(), 8)
+    pool = PregelPool(ray.data.from_pandas(adj), 8,
+                      lambda s, a: None, lambda m, s: (s, 0))
+    pool.shutdown()                       # released set stays warm
+
+
 def main() -> None:
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS,
                  include_dashboard=False, logging_level="ERROR")
+    _warmup()
     times, rows = run_queries(SF_DIR)
     # headline: the commit-multiplied 1M-row source-code workload (the
     # bare table is so small that fixed pipeline overhead dominates)

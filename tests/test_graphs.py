@@ -778,3 +778,18 @@ def test_scc_condensation_venues_agree(ray_session):
                          broadcast_max_nodes=0).to_pandas()
     assert a.values.tolist() == b.values.tolist()
     assert len(a) > 0
+
+
+def test_simrank_venues_agree(ray_session):
+    """The Pregel actors venue must reproduce the Dataset venue's
+    milli fixed-point bit-for-bit (same merge math, resident
+    adjacency instead of per-round edge shuffles)."""
+    from rdf_mapper_ray.ops.graphs import simrank
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6), (2, 6),
+             (7, 4)]
+    ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["a", "b"]))
+    a = simrank(ds, iters=3, num_partitions=4).to_pandas() \
+        .sort_values(["i", "j"]).reset_index(drop=True)
+    b = simrank(ds, iters=3, num_partitions=4, venue="actors") \
+        .to_pandas().sort_values(["i", "j"]).reset_index(drop=True)
+    assert a.equals(b) and len(a) > 0

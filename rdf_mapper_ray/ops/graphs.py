@@ -4512,9 +4512,15 @@ def scc(edges: "ray.data.Dataset", max_depth: int = 32,
     Exactness-contract venue: the closure is Θ(Σ|SCC|·|reach|) pairs,
     so the demo graph caps the node set (SCC_PART_CAP). The
     100-TB-scale path for huge diameters/components is FW-BW-Trim
-    pivot decomposition (Fleischer et al. 2000) — same pool, pivots
-    per round; the closure venue is the one DuckDB can replay
-    bit-for-bit."""
+    pivot decomposition (``venue="fwbw"`` — Fleischer et al. 2000,
+    same pool, pivots per round); the closure venue is the one DuckDB
+    can replay bit-for-bit. ``closure="doubling"`` swaps the
+    semi-naive kernels for two-phase Δ∘R pointer doubling — measured
+    dispatch rule: doubling wins on sparse chain-dominated graphs
+    (3.6 → 2.2 s, the condensation derivation) and LOSES ~4x on the
+    dense giant-SCC demo (4.1 → 16.4 s: its respond-phase message
+    volume is closure-bounded while semi-naive's is edge-bounded), so
+    semi-naive stays this query's default."""
     from rdf_mapper_ray.engine.bgp import _tc_reduce, _tc_send
     from rdf_mapper_ray.engine.pregel import PregelPool
 

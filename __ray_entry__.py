@@ -121,7 +121,7 @@ _NEXT_UP = [
     "grouped_top_n", "simhash_pairs",
     # new in round 5 (never driver-checked yet)
     "ngram_novelty", "kg_incremental", "simrank_mc",
-    "scc_condensation", "bipartite_check",
+    "scc_condensation", "bipartite_check", "pair_volume",
 ]
 
 
@@ -440,6 +440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_triples": baskets.frequent_triples_query,
         # KMV bottom-k sketch audience-overlap estimate
         "kmv_overlap": distinct.kmv_overlap_query,
+        # KMV blocking pair-volume estimator (round 5)
+        "pair_volume": distinct.pair_volume_query,
         # RLHF-style best/worst preference pairs per group
         "preference_pairs": cleaning.preference_pairs_query,
         # exact positional phrase matching (map-only, zero shuffle)
@@ -906,6 +908,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_having": relational.BGP_HAVING_ORACLE_SQL,
         "frequent_triples": baskets.frequent_triples_oracle_sql(),
         "kmv_overlap": distinct.kmv_overlap_oracle_sql(),
+        "pair_volume": distinct.pair_volume_oracle_sql(),
         "preference_pairs": cleaning.PREFERENCE_PAIRS_ORACLE_SQL,
         "phrase_search": retrieval.phrase_search_oracle_sql(),
         "bgp_describe": relational.BGP_DESCRIBE_ORACLE_SQL,

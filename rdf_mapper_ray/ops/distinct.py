@@ -636,3 +636,90 @@ SELECT b.bucket, CAST(COALESCE(m.r, 0) AS BIGINT) AS r
 FROM buckets b LEFT JOIN merged m USING (bucket)
 GROUP BY b.bucket, m.r ORDER BY b.bucket
 """
+
+
+def pair_volume_estimate(ds: "ray.data.Dataset", key_col: str,
+                         k: int = 64, hash_fn: str = "md5"
+                         ) -> "ray.data.Dataset":
+    """Blocking pair-volume estimation from a KMV key sample — the
+    number a record-linkage / dedup planner needs BEFORE materializing
+    candidate pairs: Σ_key cnt(key)² (the snm_pairs / blocking_audit
+    denominator), estimated without touching the full key spectrum.
+
+    KMV sum-estimator (Beyer et al. 2007 generalized to per-key
+    functions): keep the k smallest DISTINCT key hashes; with
+    m = k-th smallest hash, ``est = (Σ_{h(key)<m} cnt(key)²)·2⁶⁴ // m``
+    — pure integer floor math over md5 hashes, so DuckDB replays the
+    estimate bit-exactly in HUGEINT. Fewer than k distinct keys ⇒
+    exact mode (est = the true sum, flagged).
+
+    Shape: ONE pass — each block emits its bottom-k distinct keys
+    WITH partial counts (any globally-sampled key present in a block
+    survives that block's bottom-k, so the merged partials are the
+    exact global counts); the driver merge is k·blocks-bounded.
+    -> one row (sketch_k, exact_mode, est_pair_volume)."""
+    from rdf_mapper_ray.ops.hashing import hash64
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).cast(pa.string()).to_pylist()
+        df = pd.DataFrame({"key": keys})
+        cnt = df.groupby("key", as_index=False).size()
+        h = hash64(cnt["key"].tolist(), hash_fn)
+        order = np.argsort(h)[:k]
+        return pa.Table.from_pydict({
+            "key": pa.array(cnt["key"].to_numpy()[order]),
+            "h": pa.array(h[order].astype(np.uint64)),
+            "c": pa.array(cnt["size"].to_numpy(np.int64)[order])})
+
+    parts = ds.map_batches(block_partial, batch_format="pyarrow") \
+        .to_pandas()
+    merged = parts.groupby(["key", "h"], as_index=False)["c"].sum() \
+        .sort_values("h").head(k)
+    kk = len(merged)
+    cnts = merged["c"].to_numpy(np.int64)
+    if kk < k:
+        est = int((cnts.astype(object) ** 2).sum())
+        exact = 1
+    else:
+        m = int(merged["h"].to_numpy(np.uint64)[-1])
+        s = int((cnts[:-1].astype(object) ** 2).sum())
+        est = s * (1 << 64) // m
+        exact = 0
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "sketch_k": pa.array([kk], pa.int64()),
+        "exact_mode": pa.array([exact], pa.int64()),
+        "est_pair_volume": pa.array([est], pa.int64())}))
+
+
+def pair_volume_query(sf_dir: str, k: int = 64):
+    """Estimated Σ cnt(user)² over the events table (150 users at
+    sf0.01 > k=64 ⇒ the ESTIMATOR path runs at the driver's SF)."""
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    return pair_volume_estimate(ds, "user_id", k=k)
+
+
+def pair_volume_oracle_sql(k: int = 64) -> str:
+    from rdf_mapper_ray.ops.hashing import MD5_HASH64_SQL
+    h = MD5_HASH64_SQL.format(col="CAST(user_id AS VARCHAR)")
+    return f"""
+WITH per AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, {h} AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+sk AS (SELECT * FROM per ORDER BY h LIMIT {k}),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk,
+              CAST(MAX(h) AS HUGEINT) AS m
+       FROM sk)
+SELECT kk AS sketch_k,
+       CAST(CASE WHEN kk < {k} THEN 1 ELSE 0 END AS BIGINT)
+         AS exact_mode,
+       CAST(CASE WHEN kk < {k}
+            THEN (SELECT SUM(CAST(c AS HUGEINT) * c) FROM sk)
+            ELSE (SELECT SUM(CAST(c AS HUGEINT) * c) FROM sk
+                  WHERE h < (SELECT m FROM st))
+                 * CAST('18446744073709551616' AS HUGEINT)
+                 // (SELECT m FROM st) END AS BIGINT)
+         AS est_pair_volume
+FROM st
+"""

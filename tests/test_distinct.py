@@ -180,3 +180,27 @@ def test_weighted_sample_partition_invariant_and_biased(ray_session):
     # heavy ids are 10% of rows but should dominate the sample
     heavy = (outs[0]["id"] < 100).mean()
     assert heavy > 0.5
+
+
+def test_pair_volume_estimate_accuracy_and_exact_mode(ray_session):
+    """Exact mode when distinct keys < k; estimator within ~3/sqrt(k)
+    relative error on a skewed synthetic key spectrum."""
+    import numpy as np
+    import ray.data
+    from rdf_mapper_ray.ops.distinct import pair_volume_estimate
+    rng = np.random.default_rng(3)
+    keys = np.concatenate([
+        np.repeat(np.arange(50), 40),          # 50 heavy keys x 40
+        rng.integers(1000, 3000, 4000)])       # long tail
+    ds = ray.data.from_items([{"k": int(x)} for x in keys])
+    true = int(sum(c * c for c in
+                   np.unique(keys, return_counts=True)[1]))
+    est = pair_volume_estimate(ds, "k", k=256).to_pandas().iloc[0]
+    assert est["exact_mode"] == 0
+    rel = abs(int(est["est_pair_volume"]) - true) / true
+    assert rel < 3 / np.sqrt(256), (est["est_pair_volume"], true, rel)
+    # exact mode: fewer distinct keys than k
+    small = ray.data.from_items([{"k": i % 10} for i in range(200)])
+    out = pair_volume_estimate(small, "k", k=64).to_pandas().iloc[0]
+    assert out["exact_mode"] == 1
+    assert out["est_pair_volume"] == 10 * 20 * 20

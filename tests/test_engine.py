@@ -627,3 +627,59 @@ def test_kg_incremental_update_equals_full_rebuild(ray_session):
         .fillna("").sort_values(cols).reset_index(drop=True)
     assert len(inc) == len(full) > 0
     assert inc.equals(full)
+
+
+def test_pregel_actor_reuse_is_clean(ray_session):
+    """A released actor set must be reused by the next same-size pool
+    with NO state or adjacency leaking across uses (the round-5
+    cross-query reuse mechanism)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from rdf_mapper_ray.engine import pregel
+    from rdf_mapper_ray.engine.pregel import PregelPool, pid_of
+
+    def adj_of(edges):
+        df = pd.DataFrame(edges, columns=["node", "other"])
+        df["pid"] = pid_of(df["node"].to_numpy(), 3)
+        return ray.data.from_pandas(df)
+
+    def send(state, adj):
+        f = state.loc[state["changed"] == 1, ["node", "level"]]
+        if not len(f):
+            return None
+        m = adj.merge(f, on="node")
+        out = pd.DataFrame({"node": m["other"].to_numpy(),
+                            "level": m["level"].to_numpy() + 1})
+        return out.groupby("node", as_index=False)["level"].min()
+
+    from rdf_mapper_ray.ops.graphs import _min_reduce
+    reduce = _min_reduce("level")
+
+    def bfs(pool, source):
+        pool.init_state(pa.Table.from_pydict({
+            "node": pa.array([source], pa.int64()),
+            "level": pa.array([0], pa.int64()),
+            "changed": pa.array([1], pa.int64())}))
+        pool.run(16)
+        out = pool.collect().to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        pool.shutdown()
+        return dict(zip(out["node"], out["level"]))
+
+    pregel._RELEASED_ACTORS.pop(3, None)
+    p1 = PregelPool(adj_of([(1, 2), (2, 1), (2, 3), (3, 2)]), 3,
+                    send, reduce)
+    ids1 = [a._actor_id for a in p1._actors]
+    got1 = bfs(p1, 1)
+    assert got1 == {1: 0, 2: 1, 3: 2}
+    assert 3 in pregel._RELEASED_ACTORS          # released, not killed
+    # a DIFFERENT graph on a same-size pool must reuse the actors and
+    # see none of the first run's adjacency/state
+    p2 = PregelPool(adj_of([(7, 8), (8, 7)]), 3, send, reduce)
+    ids2 = [a._actor_id for a in p2._actors]
+    assert ids1 == ids2                          # same actor set
+    got2 = bfs(p2, 7)
+    assert got2 == {7: 0, 8: 1}                  # no leakage from p1
